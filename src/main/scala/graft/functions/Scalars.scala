@@ -1,0 +1,187 @@
+package graft.functions
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+
+/** Scalar functions — SURVEY.md §2.7. All codegen'd built-ins, no UDFs.
+  *
+  * Integer-valued math throughout (exact in double on any engine); the
+  * one rounding op goes through DECIMAL so the tie-break is defined.
+  */
+object Scalars {
+
+  /** F1/F2 (raw_to_samples.py:24-52): bbox recenter + ceil-resize +
+    * clamp to the frame, as pure column arithmetic. Bboxes are
+    * synthesized deterministically from lineitem integer columns; the
+    * transform mirrors the reference: center (:20-21), ceil to target
+    * size (:33-36), clamp to [0,W]x[0,H] preserving size (:39-50). */
+  def fnMathBbox(s: SparkSession, dir: String): DataFrame = {
+    val W = 640; val H = 480; val TW = 128; val TH = 96
+    val base = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_quantity").cast(IntegerType) * 11 % 600).as("x1"),
+      ((col("l_linenumber") * 53) % 440).as("y1"),
+      ((col("l_quantity").cast(IntegerType) * 11 % 600)
+        + (col("l_orderkey") % 80) + 20).as("x2"),
+      ((col("l_linenumber") * 53 % 440)
+        + (col("l_partkey") % 60) + 20).as("y2"))
+    val cx = (col("x1") + col("x2")) / 2.0
+    val cy = (col("y1") + col("y2")) / 2.0
+    // ceil(center - half) then clamp right/bottom, then pull back the
+    // left/top edge so the box keeps its target size at the walls.
+    val rx1 = greatest(lit(0), ceil(cx - TW / 2.0))
+    val ry1 = greatest(lit(0), ceil(cy - TH / 2.0))
+    val rx2 = least(lit(W), rx1 + TW)
+    val ry2 = least(lit(H), ry1 + TH)
+    base.select(
+      col("l_orderkey"), col("l_linenumber"),
+      greatest(lit(0), rx2 - TW).cast("long").as("bx1"),
+      greatest(lit(0), ry2 - TH).cast("long").as("by1"),
+      rx2.cast("long").as("bx2"),
+      ry2.cast("long").as("by2"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** F5 (raw_to_samples.py:303-307): casts + rounding. floor/ceil are
+    * bit-deterministic; ROUND goes through DECIMAL(18,2) so half-way
+    * ties are exact, not float-boundary-dependent. */
+  def fnCastRound(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice")).as("p_floor"),
+        ceil(col("l_extendedprice")).as("p_ceil"),
+        round(col("l_extendedprice").cast(DecimalType(18, 2)), 1)
+          .cast("double").as("p_round1"),
+        col("l_quantity").cast(IntegerType).as("qty_int"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** F6 (preprocessed_to_raw.py:40; raw_to_samples.py:254,366):
+    * zero-padded id formatting, `{:06}` / `{:03}` via lpad. */
+  def fnFormatString(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        lpad(col("o_orderkey").cast("string"), 6, "0").as("file_id"),
+        concat(lit("sample-"),
+          lpad((col("o_orderkey") % 100).cast("string"), 3, "0"),
+          lit(".mp4")).as("sample_name"))
+      .orderBy("o_orderkey")
+
+  /** F11 (preprocess_dataset.py:77-79; preprocessed_to_raw.py:33-34):
+    * JSON decode — parse events.props. */
+  def fnJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .orderBy("event_id")
+
+  /** F12 (engine-added; reference's only time math is fps-derived
+    * seconds, raw_to_samples.py:330): calendar functions over
+    * o_orderdate (millisecond-precision — safe to emit, unlike
+    * events.ts whose ns payload Spark truncates). */
+  def fnDatetime(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate"),
+          lit("1995-01-01").cast("date")).as("days_since"))
+      .orderBy("o_orderkey")
+
+  /** F9 (raw_to_samples.py:68,189-191): array indexing/length over the
+    * embeddings vectors (float32 passthrough — identical bits in both
+    * engines as long as we never re-accumulate). */
+  def fnArrayOps(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        element_at(col("embedding"), 1).as("e1"),
+        element_at(col("embedding"), 2).as("e2"),
+        element_at(col("embedding"), -1).as("e_last"),
+        size(col("embedding")).as("dim"))
+      .orderBy("vec_id")
+
+  /** F10 (raw_to_samples.py:159,225-229): zip/explode — posexplode of
+    * tokenized text (bounded to doc_id<20 to keep the oracle cheap). */
+  def fnMapExplode(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "token")
+      .orderBy("doc_id", "pos")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_math_bbox" -> fnMathBbox,
+    "fn_cast_round" -> fnCastRound,
+    "fn_format_string" -> fnFormatString,
+    "fn_json" -> fnJson,
+    "fn_datetime" -> fnDatetime,
+    "fn_array_ops" -> fnArrayOps,
+    "fn_map_explode" -> fnMapExplode,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "fn_math_bbox" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    (CAST(l_quantity AS INT) * 11) % 600 AS x1,
+        |    (l_linenumber * 53) % 440 AS y1,
+        |    (CAST(l_quantity AS INT) * 11) % 600 + (l_orderkey % 80) + 20 AS x2,
+        |    (l_linenumber * 53) % 440 + (l_partkey % 60) + 20 AS y2
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    GREATEST(0, CEIL((x1+x2)/2.0 - 64)) AS rx1,
+        |    GREATEST(0, CEIL((y1+y2)/2.0 - 48)) AS ry1
+        |  FROM b),
+        |c AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    LEAST(640, rx1 + 128) AS rx2, LEAST(480, ry1 + 96) AS ry2
+        |  FROM r)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(GREATEST(0, rx2 - 128) AS BIGINT) AS bx1,
+        |  CAST(GREATEST(0, ry2 - 96) AS BIGINT) AS by1,
+        |  CAST(rx2 AS BIGINT) AS bx2, CAST(ry2 AS BIGINT) AS by2
+        |FROM c ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_cast_round" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS p_floor,
+        |  CAST(CEIL(l_extendedprice) AS BIGINT) AS p_ceil,
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS p_round1,
+        |  CAST(l_quantity AS INT) AS qty_int
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_format_string" ->
+      """SELECT o_orderkey,
+        |  lpad(CAST(o_orderkey AS VARCHAR), 6, '0') AS file_id,
+        |  'sample-' || lpad(CAST(o_orderkey % 100 AS VARCHAR), 3, '0') || '.mp4' AS sample_name
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id, CAST(props->>'k' AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_array_ops" ->
+      """SELECT vec_id, embedding[1] AS e1, embedding[2] AS e2,
+        |  embedding[-1] AS e_last, CAST(len(embedding) AS INT) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_map_explode" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |      FROM documents WHERE doc_id < 20),
+        |     UNNEST(range(1, len(toks)+1)) AS r(i)
+        |ORDER BY doc_id, pos""".stripMargin,
+  )
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregations — SURVEY.md §2.4.
+  *
+  * Every groupBy here compiles to HashAggregateExec with a partial
+  * (map-side) pass before the shuffle, so network volume is one row
+  * per (partition, group), not per input row — the property that keeps
+  * these shapes viable at 100 TB. Money sums go through Exact.* so the
+  * DuckDB hash-compare is bit-stable.
+  */
+object Aggregates {
+
+  /** Flagship relational agg (TPC-H Q1 shape): scan-filter-aggregate
+    * with exact decimal money arithmetic. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        Exact.sumD(col("l_extendedprice")).as("sum_base_price"),
+        Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+          .as("sum_disc_price"),
+        (sum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A1 (raw_to_samples.py:156-164 `build_dict`): order-preserving
+    * group-to-list. collect_list is partition-order nondeterministic,
+    * so we collect (seq, item) structs and sort_array — the engine-side
+    * restoration of the frame order the reference got from its loop.
+    * Emitted as a joined string (array hash-compare is brittle across
+    * engines; fn_array_ops covers array outputs). */
+  def aggCollectList(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("event_id"), col("event_type")))),
+          x => x.getField("event_type")),
+        ",").as("actions"))
+      .orderBy("user_id")
+
+  /** A2 (raw_to_samples.py:63-72): per-group max of a derived value
+    * (+10 pad), integer math only. */
+  def aggMaxGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_suppkey")
+      .agg(
+        max(col("l_quantity")).as("max_qty"),
+        (max(abs(col("l_quantity") - col("l_linenumber") * 3)) + 10)
+          .as("max_span_pad"))
+      .orderBy("l_suppkey")
+
+  /** A3 (raw_to_samples.py:147-153): label-frequency ratio HAVING —
+    * per user, purchases/events > 0.3. Integer counts divided once in
+    * double: bit-identical across engines. */
+  def aggRatioHaving(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"),
+        count(lit(1)).as("n_events"))
+      .withColumn("ratio",
+        col("n_purchase").cast("double") / col("n_events"))
+      .filter(col("ratio") > 0.3)
+      .orderBy("user_id")
+
+  /** A4/J4 (raw_to_samples.py:212-216): HAVING count == scalar — the
+    * full-coverage filter (`len(bboxs) == total_frames`). */
+  def aggHaving(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") === 7)
+      .orderBy("l_orderkey")
+
+  /** A5 (preprocessed_to_raw.py:26-29): max-id + 1 scalar, 0 on empty
+    * catalog (:21-23 init path). */
+  def aggMaxScalar(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .agg(coalesce(max(col("o_orderkey")) + 1, lit(0L)).as("next_id"))
+
+  /** A7 (raw_to_samples.py:236,262,287): distinct subject ids. */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type")
+
+  /** A8: rollup over orders status x priority (engine-added; the
+    * reference only ever groups one key at a time). */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.sumD(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** A8 (cube variant). */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** A9: approx_count_distinct (HLL++) — the 100 TB-scale substitute
+    * for exact COUNT(DISTINCT). Sketch values are implementation-
+    * specific, so no SQL oracle (driver records rows-only); exact
+    * bounds are asserted in the ScalaTest spec instead. */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> q1Agg,
+    "agg_collect_list" -> aggCollectList,
+    "agg_max_group" -> aggMaxGroup,
+    "agg_ratio_having" -> aggRatioHaving,
+    "agg_having" -> aggHaving,
+    "agg_max_scalar" -> aggMaxScalar,
+    "agg_distinct" -> aggDistinct,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_approx_distinct" -> aggApproxDistinct,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_collect_list" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY event_id) AS actions
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_max_group" ->
+      """SELECT l_suppkey, MAX(l_quantity) AS max_qty,
+        |  MAX(ABS(l_quantity - l_linenumber * 3)) + 10 AS max_span_pad
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "agg_ratio_having" ->
+      """SELECT user_id,
+        |  SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS ratio
+        |FROM events GROUP BY user_id
+        |HAVING CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) > 0.3
+        |ORDER BY user_id""".stripMargin,
+    "agg_having" ->
+      """SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem
+        |GROUP BY l_orderkey HAVING COUNT(*) = 7 ORDER BY l_orderkey""".stripMargin,
+    "agg_max_scalar" ->
+      "SELECT COALESCE(MAX(o_orderkey) + 1, 0) AS next_id FROM orders",
+    "agg_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+  )
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Joins — SURVEY.md §2.3.
+  *
+  * Strategy selection is deliberate per join: dimension tables
+  * (region/nation/band dims) are explicitly `broadcast()` so the fact
+  * side never shuffles; fact-to-fact joins (lineitem x orders) shuffle
+  * on the join key and land on sort-merge/shuffled-hash, which scales
+  * horizontally with executors. Semi/anti joins ship only the key
+  * column of the right side.
+  */
+object Joins {
+
+  /** J1 (preprocess_dataset.py:103-113): tiny-dim lookup as an explicit
+    * broadcast join — customer x nation x region, rolled up by region. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_customers"),
+        Exact.sumD(col("c_acctbal")).as("total_acctbal"))
+      .orderBy("r_name")
+
+  /** J2 (raw_to_samples.py:159,202-206): large-large equi-join —
+    * lineitem x orders on the order key (shuffle join; both sides
+    * partition on l_orderkey/o_orderkey). */
+  def joinInner(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+      .orderBy("o_orderstatus")
+
+  /** J3 (raw_to_samples.py:209,212-216): semi-join — customers having
+    * at least one 2000 order; only o_custkey crosses the wire. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")) === 2000)
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** J5 (preprocess_dataset.py:55-56): anti-join — the skip-if-exists
+    * dedup against the sink, as NOT EXISTS (customers with no URGENT
+    * order; unfiltered orders cover every customer at sf>=0.01). */
+  def joinAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** J6: multi-way star join (lineitem x orders x customer x nation x
+    * region) — revenue by nation for one year. Fact-fact legs shuffle;
+    * dim legs broadcast. */
+  def joinMultiway(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")) === 1997),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+
+  /** J7 (raw_to_samples.py:336-341 segment-containment analog): range
+    * join — quantity bands x lineitem, point-in-interval. The band dim
+    * is broadcast so the non-equi predicate is evaluated map-side
+    * (BroadcastNestedLoopJoin) — no shuffle of the fact table. */
+  def joinRange(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.createDataFrame(Seq(
+      ("b0_tiny", 0.0, 10.0),
+      ("b1_small", 10.0, 20.0),
+      ("b2_mid", 20.0, 35.0),
+      ("b3_large", 35.0, 50.0),
+      ("b4_huge", 50.0, 1e9))).toDF("band", "lo", "hi")
+    Tables.lineitem(s, dir)
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("band")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_broadcast" -> joinBroadcast,
+    "join_inner" -> joinInner,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_multiway" -> joinMultiway,
+    "join_range" -> joinRange,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_broadcast" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_inner" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND year(o_orderdate) = 2000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_multiway" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey AND year(o_orderdate) = 1997
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_range" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('b0_tiny', 0.0, 10.0), ('b1_small', 10.0, 20.0),
+        |  ('b2_mid', 20.0, 35.0), ('b3_large', 35.0, 50.0),
+        |  ('b4_huge', 50.0, 1e9))
+        |SELECT band, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+  )
+}

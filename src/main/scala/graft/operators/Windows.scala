@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window functions — SURVEY.md §2.5.
+  *
+  * Partitioned windows (W2-W4) scale: each partition's frames are
+  * evaluated independently after a shuffle on the partition key. The
+  * one deliberate exception is W1's dense global id, which forces a
+  * single-partition sort — kept faithful to the reference (sequential
+  * id continuation) but isolated here; at 100 TB one would switch to
+  * monotonically_increasing_id when density isn't required (SURVEY.md
+  * §4 "What needs custom work" #5).
+  */
+object Windows {
+
+  /** W1 (preprocessed_to_raw.py:39-46): sequential unique id
+    * continuation from an existing max (start=1000). */
+  def windowRowNumber(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("file_index",
+        row_number().over(Window.orderBy("c_name")) + lit(999L))
+      .orderBy("c_custkey")
+
+  /** W2 (raw_to_samples.py:59-90): group-max broadcast back to every
+    * row — the bbox "resize to group max" analytic. */
+  def windowAnalyticMax(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        max(col("l_quantity")).over(w).as("max_qty_in_order"),
+        (max(col("l_quantity")).over(w) - col("l_quantity"))
+          .as("gap_to_max"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** W4a: rank / dense_rank of customers inside their nation by
+    * account balance (custkey tie-break for a total order). */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .select(
+        col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).as("bal_rank"),
+        dense_rank().over(w).as("bal_dense_rank"))
+      .filter(col("bal_rank") <= 5)
+      .orderBy("c_nationkey", "bal_rank")
+  }
+
+  /** W4b: lag + running sum per customer over order history (exact
+    * decimal running sum, one double cast at the end). */
+  def windowLagSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_row_number" -> windowRowNumber,
+    "window_analytic_max" -> windowAnalyticMax,
+    "window_rank" -> windowRank,
+    "window_lag_sum" -> windowLagSum,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "window_row_number" ->
+      """SELECT c_custkey, c_name,
+        |  row_number() OVER (ORDER BY c_name) + 999 AS file_index
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "window_analytic_max" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  MAX(l_quantity) OVER (PARTITION BY l_orderkey) AS max_qty_in_order,
+        |  MAX(l_quantity) OVER (PARTITION BY l_orderkey) - l_quantity AS gap_to_max
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "window_rank" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  rank() OVER w AS bal_rank, dense_rank() OVER w AS bal_dense_rank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+        |QUALIFY bal_rank <= 5
+        |ORDER BY c_nationkey, bal_rank""".stripMargin,
+    "window_lag_sum" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+  )
+}

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming surface — SURVEY.md §2.10.
+  *
+  * The reference is batch-only; its tumbling 2-second segments
+  * (raw_to_samples.py:336-341) are the batch shadow of streaming
+  * tumbling windows. Each op here is written as a pure transform over
+  * an input DataFrame so the SAME function runs under
+  * `spark.read.parquet` (batch, DuckDB-oracled below) and
+  * `spark.readStream` (with a watermark added) — that equivalence is
+  * exercised in StreamingSpec with a file/Memory stream.
+  */
+object Streaming {
+
+  /** T1: tumbling window aggregate (2-minute buckets per event_type).
+    * Output only the bucket start — never the raw ns-precision ts
+    * (Spark truncates to micros; flooring to the bucket is safe). */
+  def tumbling(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "2 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumD(col("value")).as("total_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  def streamTumbling(s: SparkSession, dir: String): DataFrame =
+    tumbling(Tables.events(s, dir)).orderBy("win_start", "event_type")
+
+  /** T2: sliding window aggregate — 10-minute windows every 5 minutes
+    * (each event lands in exactly two windows). */
+  def sliding(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "10 minutes", "5 minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumD(col("value")).as("total_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  def streamSliding(s: SparkSession, dir: String): DataFrame =
+    sliding(Tables.events(s, dir)).orderBy("win_start", "event_type")
+
+  /** T3: session window — per-user sessions with a 30-minute gap.
+    * Session boundaries depend on ts differences only (> 1s apart in
+    * the data), so micro vs nano truncation cannot flip a boundary.
+    * Output session bounds truncated to the second for oracle parity. */
+  def session(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumD(col("value")).as("session_value"))
+      .select(col("user_id"),
+        date_trunc("second", col("session_window.start"))
+          .as("session_start"),
+        col("n_events"), col("session_value"))
+
+  def streamSession(s: SparkSession, dir: String): DataFrame =
+    session(Tables.events(s, dir)).orderBy("user_id", "session_start")
+
+  /** T4: late-data discard — the batch mirror of a watermark: drop
+    * rows older than (global max ts - tolerance), like the reference
+    * drops its incomplete trailing segment (raw_to_samples.py:340-341).
+    * The scalar max is computed in a 1-row subplan and broadcast into
+    * the filter, not collected to the driver. */
+  def lateDataFilter(ev: DataFrame, toleranceSec: Int): DataFrame = {
+    val maxTs = ev.agg(max(col("ts")).as("max_ts"))
+    ev.crossJoin(broadcast(maxTs))
+      .filter(col("ts") >= col("max_ts") - expr(s"INTERVAL $toleranceSec SECONDS"))
+      .drop("max_ts")
+  }
+
+  def streamLateFilter(s: SparkSession, dir: String): DataFrame =
+    lateDataFilter(Tables.events(s, dir), 3 * 24 * 3600)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
+    "stream_session" -> streamSession,
+    "stream_late_filter" -> streamLateFilter,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL 2 MINUTES, ts) AS win_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_sliding" ->
+      """WITH b AS (SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS bkt, event_type, value FROM events),
+        |w AS (
+        |  SELECT bkt AS win_start, event_type, value FROM b
+        |  UNION ALL
+        |  SELECT bkt - INTERVAL 5 MINUTES AS win_start, event_type, value FROM b)
+        |SELECT win_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTES
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM o)
+        |SELECT user_id,
+        |  date_trunc('second', MIN(ts)) AS session_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+    "stream_late_filter" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 3 DAYS
+        |ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's correctness gate.
+
+Runs DuckDB on oracle_sql.json (tables registered as views over the
+sf parquet files), loads each Spark parquet output, sorts columns by
+name and rows by all columns, and compares values exactly.
+
+Usage: check.py <sfDir> <outDir> [query ...]
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if a != a and b != b:  # NaT/NaN
+            return True
+    except Exception:
+        pass
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            want = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_bad += 1
+            continue
+        try:
+            got = canon(duckdb.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_bad += 1
+            continue
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: columns want={list(want.columns)} "
+                  f"got={list(got.columns)}")
+            n_bad += 1
+            continue
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
+            n_bad += 1
+            continue
+        bad = None
+        for c in want.columns:
+            wv, gv = want[c].tolist(), got[c].tolist()
+            for i, (a, b) in enumerate(zip(wv, gv)):
+                if not cell_eq(a, b):
+                    bad = (c, i, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            c, i, a, b = bad
+            print(f"FAIL {name}: value mismatch col={c} row={i} "
+                  f"want={a!r} ({type(a).__name__}) got={b!r} ({type(b).__name__})")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(want)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail ==")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
