@@ -21,6 +21,9 @@ object SparkEntry {
     (operators.Windows.queries, operators.Windows.oracles),
     (operators.SortsSets.queries, operators.SortsSets.oracles),
     (functions.Scalars.queries, functions.Scalars.oracles),
+    (functions.Text.queries, functions.Text.oracles),
+    (functions.Dedup.queries, functions.Dedup.oracles),
+    (functions.Similarity.queries, functions.Similarity.oracles),
     (streaming.Streaming.queries, streaming.Streaming.oracles),
   )
 

@@ -1,0 +1,253 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines — SURVEY.md §2.11 L1/L2.
+  *
+  * Scale design (the 100 TB path, tested here at corpus scale):
+  *  - exact dedup: one hash-groupBy — map-side partial agg, shuffle
+  *    carries (hash, min_id, count) only.
+  *  - MinHash: shingle → k min-hashes → band → bucket-join. The only
+  *    shuffles are the per-doc signature groupBy and the band-bucket
+  *    self-join; candidate verification touches candidate pairs, never
+  *    the full cross product.
+  *  - SimHash: per-doc 32-bit signature, then pairs within Hamming
+  *    distance (banded by signature prefix at scale; direct self-join
+  *    at corpus scale).
+  *  - n-gram Jaccard: exact ground truth via shingle equi-join — the
+  *    recall yardstick for the approximate paths.
+  *  - embedding near-dup: cosine threshold pairs (brute-force here;
+  *    the LSH-bucketed scale path is Similarity.simAnnLsh).
+  *
+  * Hashing is the polynomial-mod fold from Text.polyHash: every
+  * intermediate is a BIGINT, so DuckDB reproduces signatures exactly
+  * (Spark's murmur3 `hash()` is not portable to the oracle).
+  */
+object Dedup {
+
+  import Text.P
+
+  val K = 8 // minhash signature length
+  val BANDS = 4 // LSH bands (r = 2 rows per band)
+
+  /** Distinct 3-word shingles of the text (empty for <3 tokens). */
+  def shingles(textCol: String): Column = expr(
+    s"""CASE WHEN size(split($textCol, ' ')) >= 3 THEN
+       |  array_distinct(transform(
+       |    sequence(0, size(split($textCol, ' ')) - 3),
+       |    i -> concat_ws(' ', element_at(split($textCol, ' '), i + 1),
+       |                        element_at(split($textCol, ' '), i + 2),
+       |                        element_at(split($textCol, ' '), i + 3))))
+       |ELSE array() END""".stripMargin)
+
+  /** (doc_id, shingle_hash) long form — the base relation for both
+    * minhash signatures and exact Jaccard verification. */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles("text")).as("sh"))
+      .select(col("doc_id"), Text.polyHash(col("sh")).as("hs"))
+
+  private val shingleHashSql =
+    """WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      |       FROM tk, UNNEST(range(1, greatest(len(toks) - 1, 1))) AS r(i)),
+      |hs AS (SELECT doc_id, list_reduce(
+      |         list_concat([CAST(0 AS BIGINT)],
+      |           list_transform(string_split(sh,''), c -> CAST(unicode(c) AS BIGINT))),
+      |         (a, b) -> (a * 31 + b) % 1000000007) AS hs
+      |       FROM sh)""".stripMargin
+
+  /** L1: exact dedup by content hash — keeper = min doc id per sha256
+    * of the text (dropDuplicates is nondeterministic about which row
+    * survives; min-per-group is the reproducible form). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("keeper_doc_id")
+
+  /** L2: MinHash + LSH banding, then exact-Jaccard verification of the
+    * banded candidates (jac >= 0.8). */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val hs = shingleHashes(s, dir)
+    // k min-hashes per doc under independent affine permutations.
+    val sig = hs.groupBy("doc_id").agg(
+      count(lit(1)).as("n_shingles"),
+      (0 until K).map(i =>
+        min((col("hs") * (2 * i + 3) + (97 * i + 31)) % P).as(s"m$i")): _*)
+    // band hashes: pairs of adjacent signature rows.
+    val banded = sig.select(
+      col("doc_id") +: (0 until BANDS).map(b =>
+        ((col(s"m${2 * b}") * 131 + col(s"m${2 * b + 1}")) % P).as(s"b$b")): _*)
+    val bandLong = banded.select(col("doc_id"),
+      explode(array((0 until BANDS).map(b =>
+        struct(lit(b).as("band"), col(s"b$b").as("bh"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.band"), col("x.bh"))
+    // candidate pairs: docs sharing any band bucket.
+    val cand = bandLong.as("l")
+      .join(bandLong.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"))
+      .distinct()
+    // verify: exact Jaccard over shingle hash sets.
+    val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(hs.as("a"), col("da") === col("a.doc_id"))
+      .join(hs.as("b"),
+        col("db") === col("b.doc_id") && col("a.hs") === col("b.hs"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .orderBy("da", "db")
+  }
+
+  /** L2 (SimHash): 32-bit signature from count-weighted token hashes;
+    * near-dup pairs at Hamming distance 0 (32-bit
+    * simhash over a ~30-word shared vocabulary is collision-prone, so
+    * any nonzero threshold floods with false positives; the planted
+    * near-dup pairs all land at distance 0). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val tokCnt = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", Text.polyHash(col("tok")))
+    val sumCols = (0 until 32).map(j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$j"))
+    val sums = tokCnt.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+    val sig = sums.select(col("doc_id"),
+      (0 until 32).map(j =>
+        when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+    sig.as("l").join(sig.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= 0)
+      .orderBy("da", "db")
+  }
+
+  /** L2 (exact n-gram Jaccard): ground-truth near-dup pairs via the
+    * shingle equi-join, jac >= 0.8 — the recall yardstick for the
+    * minhash path. */
+  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val hs = shingleHashes(s, dir)
+    val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    hs.as("a")
+      .join(hs.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .orderBy("da", "db")
+  }
+
+  /** L2 (embedding near-dup): cosine >= 0.4 pairs, brute force at
+    * corpus scale (LSH-bucketed variant: Similarity.simAnnLsh).
+    * Cosine rounded to 4 decimals so sub-ulp summation-order noise
+    * cannot flip the oracle compare. */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(
+      col("vec_id"), col("embedding"),
+      Similarity.norm2(col("embedding")).as("nrm"))
+    e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("da"), col("r.vec_id").as("db"),
+        round(Similarity.dot(col("l.embedding"), col("r.embedding")) /
+          (col("l.nrm") * col("r.nrm")), 4).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy("da", "db")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram" -> dedupNgram,
+    "dedup_embedding" -> dedupEmbedding,
+  )
+
+  private val minhashMins = (0 until K).map(i =>
+    s"MIN((hs * ${2 * i + 3} + ${97 * i + 31}) % 1000000007) AS m$i").mkString(", ")
+  private val bandCols = (0 until BANDS).map(b =>
+    s"(m${2 * b} * 131 + m${2 * b + 1}) % 1000000007 AS b$b").mkString(", ")
+  private val bandUnion = (0 until BANDS).map(b =>
+    s"SELECT doc_id, $b AS band, b$b AS bh FROM banded").mkString(" UNION ALL ")
+
+  private val simhashSums = (0 until 32).map(j =>
+    s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN cnt ELSE -cnt END) AS s$j").mkString(", ")
+  private val simhashBits = (0 until 32).map(j =>
+    s"CASE WHEN s$j >= 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END").mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY keeper_doc_id""".stripMargin,
+    "dedup_minhash" ->
+      s"""$shingleHashSql,
+         |sig AS (SELECT doc_id, COUNT(*) AS n, $minhashMins FROM hs GROUP BY doc_id),
+         |banded AS (SELECT doc_id, $bandCols FROM sig),
+         |bl AS ($bandUnion),
+         |cand AS (SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+         |         FROM bl l JOIN bl r ON l.band = r.band AND l.bh = r.bh
+         |           AND l.doc_id < r.doc_id),
+         |ix AS (SELECT da, db, COUNT(*) AS inter
+         |       FROM cand JOIN hs a ON da = a.doc_id
+         |       JOIN hs b ON db = b.doc_id AND a.hs = b.hs
+         |       GROUP BY da, db)
+         |SELECT da, db,
+         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+         |FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+         |ORDER BY da, db""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+         |    SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |th AS (SELECT doc_id, cnt, list_reduce(
+         |    list_concat([CAST(0 AS BIGINT)],
+         |      list_transform(string_split(tok,''), c -> CAST(unicode(c) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS h FROM tc),
+         |sums AS (SELECT doc_id, $simhashSums FROM th GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $simhashBits AS simhash FROM sums)
+         |SELECT l.doc_id AS da, r.doc_id AS db,
+         |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+         |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 0
+         |ORDER BY da, db""".stripMargin,
+    "dedup_ngram" ->
+      s"""$shingleHashSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+         |ix AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+         |       FROM hs a JOIN hs b ON a.hs = b.hs AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT da, db, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+         |FROM ix JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+         |ORDER BY da, db""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT l.vec_id AS da, r.vec_id AS db,
+         |  round(${Similarity.sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 4) AS cos
+         |FROM e l JOIN e r ON l.vec_id < r.vec_id
+         |WHERE round(${Similarity.sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 4) >= 0.4
+         |ORDER BY da, db""".stripMargin,
+  )
+}

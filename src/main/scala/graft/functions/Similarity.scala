@@ -1,0 +1,159 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embeddings — SURVEY.md §2.11 L3.
+  *
+  * Brute-force cosine top-k is the correctness baseline; the
+  * random-hyperplane LSH bucketing is the scale path (bucket id is a
+  * shuffle key — at 100 TB candidates co-locate per bucket instead of
+  * forming a cross product).
+  *
+  * Determinism notes:
+  *  - dot products fold left-to-right via `aggregate` over
+  *    `zip_with`; the oracle SQL folds the same order via
+  *    `list_reduce` — bit-identical doubles, with a round(4) belt
+  *    at the contract boundary.
+  *  - LSH plane weights are integers in {-1,0,1} from an LCG, and
+  *    vectors are quantized with an explicit floor(x * 2^20) — all
+  *    bucket math is BIGINT (NB: a bare CAST(double AS BIGINT)
+  *    truncates in Spark but ROUNDS in DuckDB; floor first).
+  */
+object Similarity {
+
+  /** Left-to-right fold dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** DuckDB mirror of [[dot]] — same left-to-right fold order. */
+  def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |  list_transform(range(1, len($a) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  val PLANES = 4 // 2^4 = 16 buckets over ~500 vectors
+
+  /** Deterministic LCG plane weights in {-1,0,1}, identical to the
+    * SQL-side formula. */
+  def planeWeights: Seq[(Int, Int, Long)] =
+    for (j <- 0 until PLANES; i <- 0 until 64) yield
+      (j, i, ((1103515245L * (j * 64 + i + 1) + 12345L) % 2147483647L) % 3 - 1)
+
+  /** L3a: brute-force cosine top-k — 5 query vectors against the full
+    * corpus, top 5 neighbors each. The tiny query side is broadcast,
+    * so the corpus never shuffles. */
+  def simTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+      col("nrm").as("qnrm")).filter(col("qid") < 5)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy("qid", "rnk")
+  }
+
+  /** Per-vector LSH bucket id: sign bits of 4 integer hyperplane
+    * projections over floor(x * 2^20)-quantized coordinates. */
+  private def buckets(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        floor(col("col").cast("double") * 1048576).cast("long").as("qv"))
+    val wdf = broadcast(
+      s.createDataFrame(planeWeights).toDF("j", "i", "wt"))
+    qv.join(wdf, "i")
+      .groupBy("vec_id", "j")
+      .agg(sum(col("qv") * col("wt")).as("sj"))
+      .groupBy("vec_id")
+      .agg(sum(expr(
+        "CASE WHEN sj >= 0 THEN shiftleft(CAST(1 AS BIGINT), j) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("bucket"))
+  }
+
+  /** L3b: LSH-bucketed approximate top-k — candidates are only the
+    * query's bucket-mates (equi-join on bucket = the shuffle key that
+    * replaces the cross product at scale), then exact cosine rerank. */
+  def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+      .join(buckets(s, dir), "vec_id")
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+      col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+      .filter(col("qid") < 5)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("bucket"),
+        round(dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * col("nrm")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy("qid", "rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk" -> simTopk,
+    "sim_ann_lsh" -> simAnnLsh,
+  )
+
+  private val bucketSql =
+    s"""w AS (SELECT j, i,
+       |    ((1103515245 * (j * 64 + i + 1) + 12345) % 2147483647) % 3 - 1 AS wt
+       |  FROM range(0, $PLANES) t(j), range(0, 64) s(i)),
+       |qv AS (SELECT vec_id, i.i,
+       |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+       |  FROM embeddings, range(0, 64) i(i)),
+       |sj AS (SELECT qv.vec_id, w.j, SUM(qv.qv * w.wt) AS sj
+       |  FROM qv JOIN w ON qv.i = w.i GROUP BY 1, 2),
+       |bk AS (SELECT vec_id,
+       |    SUM(CASE WHEN sj >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
+       |  FROM sj GROUP BY vec_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |      FROM e WHERE vec_id < 5)
+         |SELECT qid, vec_id,
+         |  round(${sqlDot("qemb", "embedding")} / (qnrm * nrm), 4) AS cos,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY round(${sqlDot("qemb", "embedding")} / (qnrm * nrm), 4) DESC,
+         |    vec_id ASC) AS INT) AS rnk
+         |FROM e JOIN q ON vec_id <> qid
+         |QUALIFY rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+    "sim_ann_lsh" ->
+      s"""WITH $bucketSql,
+         |e AS (SELECT e0.vec_id, e0.embedding,
+         |    sqrt(${sqlDot("e0.embedding", "e0.embedding")}) AS nrm, bk.bucket
+         |  FROM embeddings e0 JOIN bk ON e0.vec_id = bk.vec_id),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm,
+         |    bucket AS qbucket FROM e WHERE vec_id < 5)
+         |SELECT qid, e.vec_id, e.bucket,
+         |  round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) AS cos,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) DESC,
+         |    e.vec_id ASC) AS INT) AS rnk
+         |FROM e JOIN q ON e.bucket = qbucket AND e.vec_id <> qid
+         |QUALIFY rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
+  )
+}

@@ -1,0 +1,156 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines — SURVEY.md §2.11 L4.
+  *
+  * All pure higher-order Catalyst expressions (transform / filter /
+  * aggregate over token arrays) — codegen-friendly, no UDFs, no
+  * shuffle except the final orderBy: at 100 TB these are
+  * embarrassingly parallel map-side ops.
+  *
+  * Cross-engine determinism: only integer arithmetic (char codes,
+  * token counts, polynomial hashes mod 1e9+7) with at most one double
+  * division at the end — bit-identical in DuckDB.
+  */
+object Text {
+
+  val P: Long = 1000000007L
+
+  /** Tokens of the space-separated text. */
+  def toks(c: Column): Column = split(c, " ")
+
+  /** Polynomial rolling hash of a string column over char codes:
+    * fold(acc*31 + code) mod P — the document-fingerprint primitive
+    * (and the portable word-hash used by Dedup; sha-based hashing is
+    * also exposed, but polynomial-mod keeps every intermediate a
+    * BIGINT both engines can reproduce). */
+  def polyHash(c: Column): Column =
+    aggregate(
+      split(c, ""),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % P)
+
+  /** Language-marker stopword lists (honest n-gram/stopword heuristic;
+    * the synthetic corpus is English word-soup, so the classifier
+    * correctly predicts 'en' — the operator is the point). */
+  val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  val deStop = Seq("der", "die", "das", "und", "ist", "nicht")
+  val esStop = Seq("el", "la", "los", "de", "que", "es")
+  val frStop = Seq("le", "la", "les", "et", "est", "que")
+
+  private def hits(t: Column, words: Seq[String]): Column =
+    size(filter(t, w => w.isin(words.map(lit(_)): _*)))
+
+  /** L4a: token counting — whitespace tokens + a BPE-ish sub-word
+    * count (runs of letters/digits via regexp split). */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).as("n_tokens"),
+        size(array_distinct(toks(col("text")))).as("n_unique"),
+        length(col("text")).as("len_chars"),
+        size(split(col("text"), "[^a-z0-9]+")).as("n_subtokens"))
+      .orderBy("doc_id")
+
+  /** L4b: quality scoring — length, mean token length, type-token
+    * ratio, stopword ratio, and a composite keep/drop flag (the
+    * C4-style heuristic filter shape). */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        (length(col("text")).cast("double") / size(t)).as("mean_tok_len"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
+        (hits(t, enStop).cast("double") / size(t)).as("stop_ratio"))
+      .withColumn("keep",
+        col("n_tokens") >= 10 && col("ttr") > 0.1 && col("stop_ratio") > 0.0)
+      .orderBy("doc_id")
+  }
+
+  /** L4c: language ID — stopword-hit scoring per language with a CJK
+    * char check, fixed priority on ties (en > de > es > fr). */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val en = hits(t, enStop); val de = hits(t, deStop)
+    val es = hits(t, esStop); val fr = hits(t, frStop)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"),
+        col("text").rlike("[\\u4e00-\\u9fff]").as("has_cjk"))
+      .withColumn("pred_lang",
+        when(col("has_cjk"), "zh")
+          .when(col("en_hits") >= greatest(col("de_hits"), col("es_hits"),
+            col("fr_hits")), "en")
+          .when(col("de_hits") >= greatest(col("es_hits"), col("fr_hits")), "de")
+          .when(col("es_hits") >= col("fr_hits"), "es")
+          .otherwise("fr"))
+      .drop("has_cjk")
+      .orderBy("doc_id")
+  }
+
+  /** L4d: document fingerprinting — polynomial rolling hash over the
+    * full char stream + sha256 prefix (both content-addressed ids). */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        polyHash(col("text")).as("fp_poly"),
+        substring(sha2(col("text"), 256), 1, 16).as("fp_sha"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+  )
+
+  private def sqlHits(words: Seq[String]): String =
+    s"len(list_filter(string_split(text,' '), w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_unique,
+        |  CAST(length(text) AS INT) AS len_chars,
+        |  CAST(len(string_split_regex(text,'[^a-z0-9]+')) AS INT) AS n_subtokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+         |  CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) AS mean_tok_len,
+         |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS ttr,
+         |  CAST(${sqlHits(enStop)} AS DOUBLE) / len(string_split(text,' ')) AS stop_ratio,
+         |  (len(string_split(text,' ')) >= 10
+         |   AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) > 0.1
+         |   AND CAST(${sqlHits(enStop)} AS DOUBLE) / len(string_split(text,' ')) > 0.0) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  CAST(${sqlHits(enStop)} AS INT) AS en_hits,
+         |  CAST(${sqlHits(deStop)} AS INT) AS de_hits,
+         |  CAST(${sqlHits(esStop)} AS INT) AS es_hits,
+         |  CAST(${sqlHits(frStop)} AS INT) AS fr_hits,
+         |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         |       WHEN ${sqlHits(enStop)} >= GREATEST(${sqlHits(deStop)}, ${sqlHits(esStop)}, ${sqlHits(frStop)}) THEN 'en'
+         |       WHEN ${sqlHits(deStop)} >= GREATEST(${sqlHits(esStop)}, ${sqlHits(frStop)}) THEN 'de'
+         |       WHEN ${sqlHits(esStop)} >= ${sqlHits(frStop)} THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_concat([CAST(0 AS BIGINT)],
+        |      list_transform(string_split(text,''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_poly,
+        |  substring(sha256(text), 1, 16) AS fp_sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
