@@ -15,6 +15,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
       Map[String, String])] = Seq(
     (pipeline.Flagship.queries, pipeline.Flagship.oracles),
+    (pipeline.Reference.queries, pipeline.Reference.oracles),
+    (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
     (operators.Relational.queries, operators.Relational.oracles),
     (operators.Aggregates.queries, operators.Aggregates.oracles),
     (operators.Joins.queries, operators.Joins.oracles),

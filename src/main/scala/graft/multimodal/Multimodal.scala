@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns + ML-inference surrogates — SURVEY.md §2.8/§2.11 L5.
+  *
+  * Media (video frames in the reference, raw_to_samples.py:173-196) is
+  * carried as opaque `binary` columns with typed metadata structs;
+  * decode / feature-extract run in `mapPartitions` with per-partition
+  * "model" init — the Spark shape of the reference's per-segment
+  * tracker re-init (:170), where init cost amortizes over a partition
+  * instead of per row. The real decoders (cv2/moviepy, :183,:62-63)
+  * are STUBBED behind [[SurrogateDetector]] / the metadata arithmetic
+  * — deterministic stand-ins with the same schema, partitioning, and
+  * batch shape, so the plumbing is real and oracle-testable even
+  * though this container has no image/audio libs.
+  */
+object Multimodal {
+
+  /** A "frame" row fed to inference. */
+  case class FrameRow(frame_id: Long)
+
+  /** One fake detection — schema mirrors the reference's per-frame
+    * tracker output (boxes + track-ids + classes, raw_to_samples.py
+    * :187-191). */
+  case class Detection(frame_id: Long, det_i: Int, sub_id: Long,
+      cls: Long, x1: Long, y1: Long, x2: Long, y2: Long)
+
+  /** Deterministic surrogate for the YOLO tracker (M1, :170,187).
+    * Construction is the expensive "model load" — done once per
+    * partition inside mapPartitions, never per row. */
+  final class SurrogateDetector {
+    def detect(f: Long): Seq[Detection] =
+      (0L to f % 3).map { i =>
+        val x1 = (f * 11 + i * 29) % 600
+        val y1 = (f * 17 + i * 37) % 440
+        Detection(f, i.toInt, (f * 7 + i) % 5, (f * 13 + i) % 20,
+          x1, y1, x1 + f % 80 + 20, y1 + f % 60 + 20)
+      }
+  }
+
+  /** M1: per-partition-initialized inference over frames (events as
+    * the frame stream). This is the one deliberate non-Catalyst hop in
+    * the engine — typed mapPartitions — kept oracle-testable because
+    * the surrogate is pure integer arithmetic. */
+  def udfInference(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames: Dataset[FrameRow] = Tables.events(s, dir)
+      .filter(col("event_id") < 1000)
+      .select(col("event_id").as("frame_id")).as[FrameRow]
+    frames.mapPartitions { it =>
+      val model = new SurrogateDetector // per-partition init (M1 :170)
+      it.flatMap(f => model.detect(f.frame_id))
+    }.toDF().orderBy("frame_id", "det_i")
+  }
+
+  /** L5a: multimodal metadata — text bytes stand in for media bytes:
+    * binary column + typed metadata (byte length, content hash, fake
+    * decoded dimensions derived from the payload). */
+  def mmMetadata(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        substring(sha2(col("payload"), 256), 1, 16).as("content_sha"),
+        (lit(64) + length(col("payload")) % 128).as("width"),
+        (lit(48) + length(col("payload")) % 96).as("height"))
+      .orderBy("doc_id")
+
+  /** L5b: frame sampling — every k-th frame index of a fake decoded
+    * video (frame count derived from payload size), the batch shape of
+    * S8's frame iterator (raw_to_samples.py:241-258). */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (length(col("text")) % 50 + 10).as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        posexplode(sequence(lit(0), col("n_frames") - 1, lit(5))))
+      .withColumnRenamed("col", "frame_idx")
+      .select(col("doc_id"), col("n_frames"), col("pos").as("sample_i"),
+        col("frame_idx"))
+      .orderBy("doc_id", "sample_i")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "udf_inference" -> udfInference,
+    "mm_metadata" -> mmMetadata,
+    "mm_frame_sample" -> mmFrameSample,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "udf_inference" ->
+      """SELECT f AS frame_id, CAST(i AS INT) AS det_i,
+        |  (f*7 + i) % 5 AS sub_id, (f*13 + i) % 20 AS cls,
+        |  (f*11 + i*29) % 600 AS x1, (f*17 + i*37) % 440 AS y1,
+        |  (f*11 + i*29) % 600 + f % 80 + 20 AS x2,
+        |  (f*17 + i*37) % 440 + f % 60 + 20 AS y2
+        |FROM (SELECT event_id AS f FROM events WHERE event_id < 1000),
+        |  UNNEST(range(0, f % 3 + 1)) AS r(i)
+        |ORDER BY frame_id, det_i""".stripMargin,
+    "mm_metadata" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  substring(sha256(text), 1, 16) AS content_sha,
+        |  CAST(64 + octet_length(encode(text)) % 128 AS INT) AS width,
+        |  CAST(48 + octet_length(encode(text)) % 96 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH v AS (SELECT doc_id, length(text) % 50 + 10 AS n_frames FROM documents)
+        |SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+        |  CAST(r.i AS INT) AS sample_i,
+        |  CAST(r.i * 5 AS INT) AS frame_idx
+        |FROM v, UNNEST(range(0, (n_frames + 4) // 5)) AS r(i)
+        |ORDER BY doc_id, sample_i""".stripMargin,
+  )
+}

@@ -1,0 +1,182 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-faithful composite pipelines — SURVEY.md §7 step 3.
+  *
+  * Each query reproduces one of the reference's multi-operator shapes
+  * end-to-end (not just the individual operators, which §2 covers
+  * one-by-one elsewhere).
+  */
+object Reference {
+
+  /** EP2 (preprocessed_to_raw.py:8-52): id-continuation append — read
+    * an existing catalog, find max id + 1 (A5, :26-29), enumerate the
+    * new batch from there (W1, :39-46), union (O2, :51).
+    *
+    * The scalar max crosses via a broadcast cross-join (never a
+    * driver-side collect); the dense enumeration is the one deliberate
+    * single-partition window, isolated here as in the reference. */
+  def refIdContinuation(s: SparkSession, dir: String): DataFrame = {
+    val existing = Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey").as("file_index"),
+        concat(lit("raw/"), col("o_orderkey")).as("file_path"),
+        lit("existing").as("dataset"))
+    val nextId = existing.agg(
+      coalesce(max(col("file_index")) + 1, lit(0L)).as("next_id"))
+    val newBatch = Tables.customer(s, dir)
+      .filter(col("c_custkey") < 50)
+      .select(col("c_name"))
+      .crossJoin(broadcast(nextId))
+      .withColumn("file_index",
+        row_number().over(Window.orderBy("c_name")) + col("next_id") - 1)
+      .select(col("file_index"),
+        concat(lit("new/"), col("c_name")).as("file_path"),
+        lit("incoming").as("dataset"))
+    existing.unionByName(newBatch).orderBy("file_index")
+  }
+
+  /** E1 (raw_to_samples.py:357-374): error-channel split — a fallible
+    * per-row op yields success rows and error rows as one relation
+    * with an `error` column (the reference's success_data /
+    * exceptions_data pair, :385-393), instead of a try/except loop.
+    * Failure surrogate: k % 97 == 0 "decode failure". */
+  def refErrorChannel(s: SparkSession, dir: String): DataFrame = {
+    val parsed = Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    val ok = parsed.filter(col("k") % 97 =!= 0)
+      .select(col("event_id"), lit("success").as("status"), col("k"),
+        lit(null).cast("string").as("error"))
+    val err = parsed.filter(col("k") % 97 === 0)
+      .select(col("event_id"), lit("error").as("status"),
+        lit(null).cast("int").as("k"),
+        concat(lit("decode failed: k="), col("k")).as("error"))
+    ok.unionByName(err).orderBy("event_id")
+  }
+
+  /** EP3 segmentation (raw_to_samples.py:330-341): tumbling fixed-size
+    * segments over each subject's ordered frames, dropping the
+    * incomplete trailing segment (:340-341). Frames analog: each
+    * user's events in id order, 5 frames per segment. */
+  def refSegments(s: SparkSession, dir: String): DataFrame = {
+    val perSeg = 5
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        ((row_number().over(w) - 1) / perSeg).cast("long").as("segment"))
+      .groupBy("user_id", "segment")
+      .agg(count(lit(1)).as("n_frames"),
+        min(col("event_id")).as("first_frame"),
+        max(col("event_id")).as("last_frame"))
+      .filter(col("n_frames") === perSeg) // drop incomplete tail
+      .orderBy("user_id", "segment")
+  }
+
+  /** W2+F1 composite (raw_to_samples.py:59-90): per-subject max bbox
+    * size (+10 pad, :63-72) broadcast back over the window, then each
+    * bbox recentered to that size and clamped to the frame (:24-52).
+    * Subjects = l_suppkey, frames = lineitem rows, integer math. */
+  def refBboxPipeline(s: SparkSession, dir: String): DataFrame = {
+    val W = 640; val H = 480
+    val w = Window.partitionBy("sub_id")
+    val base2 = Tables.lineitem(s, dir).select(
+      col("l_suppkey").as("sub_id"),
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_quantity").cast("int") * 11 % 600).as("x1"),
+      (col("l_linenumber") * 53 % 440).as("y1"),
+      ((col("l_quantity").cast("int") * 11 % 600)
+        + (col("l_orderkey") % 80) + 20).as("x2"),
+      ((col("l_linenumber") * 53 % 440)
+        + (col("l_partkey") % 60) + 20).as("y2"))
+    val withMax = base2
+      .withColumn("tw", max(col("x2") - col("x1")).over(w) + 10)
+      .withColumn("th", max(col("y2") - col("y1")).over(w) + 10)
+    val cx = (col("x1") + col("x2")) / 2.0
+    val cy = (col("y1") + col("y2")) / 2.0
+    val rx1 = greatest(lit(0), ceil(cx - col("tw") / 2.0))
+    val ry1 = greatest(lit(0), ceil(cy - col("th") / 2.0))
+    val rx2 = least(lit(W), rx1 + col("tw"))
+    val ry2 = least(lit(H), ry1 + col("th"))
+    withMax.select(
+      col("sub_id"), col("l_orderkey"), col("l_linenumber"),
+      col("tw"), col("th"),
+      greatest(lit(0), rx2 - col("tw")).cast("long").as("bx1"),
+      greatest(lit(0), ry2 - col("th")).cast("long").as("by1"),
+      rx2.cast("long").as("bx2"), ry2.cast("long").as("by2"))
+      .orderBy("sub_id", "l_orderkey", "l_linenumber")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ref_id_continuation" -> refIdContinuation,
+    "ref_error_channel" -> refErrorChannel,
+    "ref_segments" -> refSegments,
+    "ref_bbox_pipeline" -> refBboxPipeline,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ref_id_continuation" ->
+      """WITH existing AS (
+        |  SELECT o_orderkey AS file_index, 'raw/' || o_orderkey AS file_path,
+        |    'existing' AS dataset
+        |  FROM orders WHERE o_orderkey < 100),
+        |nid AS (SELECT COALESCE(MAX(file_index) + 1, 0) AS next_id FROM existing),
+        |newb AS (
+        |  SELECT row_number() OVER (ORDER BY c_name) + next_id - 1 AS file_index,
+        |    'new/' || c_name AS file_path, 'incoming' AS dataset
+        |  FROM customer, nid WHERE c_custkey < 50)
+        |SELECT * FROM (SELECT * FROM existing UNION ALL SELECT * FROM newb)
+        |ORDER BY file_index""".stripMargin,
+    "ref_error_channel" ->
+      """WITH parsed AS (
+        |  SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events)
+        |SELECT event_id, 'success' AS status, k, CAST(NULL AS VARCHAR) AS error
+        |FROM parsed WHERE k % 97 <> 0
+        |UNION ALL
+        |SELECT event_id, 'error' AS status, CAST(NULL AS INTEGER) AS k,
+        |  'decode failed: k=' || k AS error
+        |FROM parsed WHERE k % 97 = 0
+        |ORDER BY event_id""".stripMargin,
+    "ref_segments" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id,
+        |    CAST((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1)
+        |      // 5 AS BIGINT) AS segment
+        |  FROM events)
+        |SELECT user_id, segment, COUNT(*) AS n_frames,
+        |  MIN(event_id) AS first_frame, MAX(event_id) AS last_frame
+        |FROM f GROUP BY user_id, segment
+        |HAVING COUNT(*) = 5
+        |ORDER BY user_id, segment""".stripMargin,
+    "ref_bbox_pipeline" ->
+      """WITH b AS (
+        |  SELECT l_suppkey AS sub_id, l_orderkey, l_linenumber,
+        |    (CAST(l_quantity AS INT) * 11) % 600 AS x1,
+        |    (l_linenumber * 53) % 440 AS y1,
+        |    (CAST(l_quantity AS INT) * 11) % 600 + (l_orderkey % 80) + 20 AS x2,
+        |    (l_linenumber * 53) % 440 + (l_partkey % 60) + 20 AS y2
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT *, MAX(x2 - x1) OVER (PARTITION BY sub_id) + 10 AS tw,
+        |            MAX(y2 - y1) OVER (PARTITION BY sub_id) + 10 AS th
+        |  FROM b),
+        |r AS (
+        |  SELECT sub_id, l_orderkey, l_linenumber, tw, th,
+        |    GREATEST(0, CEIL((x1 + x2) / 2.0 - tw / 2.0)) AS rx1,
+        |    GREATEST(0, CEIL((y1 + y2) / 2.0 - th / 2.0)) AS ry1
+        |  FROM m),
+        |c AS (
+        |  SELECT sub_id, l_orderkey, l_linenumber, tw, th,
+        |    LEAST(640, rx1 + tw) AS rx2, LEAST(480, ry1 + th) AS ry2
+        |  FROM r)
+        |SELECT sub_id, l_orderkey, l_linenumber, tw, th,
+        |  CAST(GREATEST(0, rx2 - tw) AS BIGINT) AS bx1,
+        |  CAST(GREATEST(0, ry2 - th) AS BIGINT) AS by1,
+        |  CAST(rx2 AS BIGINT) AS bx2, CAST(ry2 AS BIGINT) AS by2
+        |FROM c ORDER BY sub_id, l_orderkey, l_linenumber""".stripMargin,
+  )
+}
