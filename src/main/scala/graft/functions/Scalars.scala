@@ -17,6 +17,26 @@ object Scalars {
     * synthesized deterministically from lineitem integer columns; the
     * transform mirrors the reference: center (:20-21), ceil to target
     * size (:33-36), clamp to [0,W]x[0,H] preserving size (:39-50). */
+  /** The recenter/ceil/clamp transform itself, reusable over any frame
+    * with x1/y1/x2/y2 columns (target size tw x th, frame W x H) —
+    * shared by fnMathBbox, Reference.refBboxPipeline, and the specs. */
+  def resizeBbox(df: DataFrame, W: Int, H: Int,
+      tw: org.apache.spark.sql.Column,
+      th: org.apache.spark.sql.Column): DataFrame = {
+    val cx = (col("x1") + col("x2")) / 2.0
+    val cy = (col("y1") + col("y2")) / 2.0
+    // ceil(center - half) then clamp right/bottom, then pull back the
+    // left/top edge so the box keeps its target size at the walls.
+    val rx1 = greatest(lit(0), ceil(cx - tw / 2.0))
+    val ry1 = greatest(lit(0), ceil(cy - th / 2.0))
+    val rx2 = least(lit(W), rx1 + tw)
+    val ry2 = least(lit(H), ry1 + th)
+    df.withColumn("bx1", greatest(lit(0), rx2 - tw).cast("long"))
+      .withColumn("by1", greatest(lit(0), ry2 - th).cast("long"))
+      .withColumn("bx2", rx2.cast("long"))
+      .withColumn("by2", ry2.cast("long"))
+  }
+
   def fnMathBbox(s: SparkSession, dir: String): DataFrame = {
     val W = 640; val H = 480; val TW = 128; val TH = 96
     val base = Tables.lineitem(s, dir).select(
@@ -27,20 +47,8 @@ object Scalars {
         + (col("l_orderkey") % 80) + 20).as("x2"),
       ((col("l_linenumber") * 53 % 440)
         + (col("l_partkey") % 60) + 20).as("y2"))
-    val cx = (col("x1") + col("x2")) / 2.0
-    val cy = (col("y1") + col("y2")) / 2.0
-    // ceil(center - half) then clamp right/bottom, then pull back the
-    // left/top edge so the box keeps its target size at the walls.
-    val rx1 = greatest(lit(0), ceil(cx - TW / 2.0))
-    val ry1 = greatest(lit(0), ceil(cy - TH / 2.0))
-    val rx2 = least(lit(W), rx1 + TW)
-    val ry2 = least(lit(H), ry1 + TH)
-    base.select(
-      col("l_orderkey"), col("l_linenumber"),
-      greatest(lit(0), rx2 - TW).cast("long").as("bx1"),
-      greatest(lit(0), ry2 - TH).cast("long").as("by1"),
-      rx2.cast("long").as("bx2"),
-      ry2.cast("long").as("by2"))
+    resizeBbox(base, W, H, lit(TW), lit(TH))
+      .select("l_orderkey", "l_linenumber", "bx1", "by1", "bx2", "by2")
       .orderBy("l_orderkey", "l_linenumber")
   }
 

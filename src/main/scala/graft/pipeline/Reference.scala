@@ -96,18 +96,9 @@ object Reference {
     val withMax = base2
       .withColumn("tw", max(col("x2") - col("x1")).over(w) + 10)
       .withColumn("th", max(col("y2") - col("y1")).over(w) + 10)
-    val cx = (col("x1") + col("x2")) / 2.0
-    val cy = (col("y1") + col("y2")) / 2.0
-    val rx1 = greatest(lit(0), ceil(cx - col("tw") / 2.0))
-    val ry1 = greatest(lit(0), ceil(cy - col("th") / 2.0))
-    val rx2 = least(lit(W), rx1 + col("tw"))
-    val ry2 = least(lit(H), ry1 + col("th"))
-    withMax.select(
-      col("sub_id"), col("l_orderkey"), col("l_linenumber"),
-      col("tw"), col("th"),
-      greatest(lit(0), rx2 - col("tw")).cast("long").as("bx1"),
-      greatest(lit(0), ry2 - col("th")).cast("long").as("by1"),
-      rx2.cast("long").as("bx2"), ry2.cast("long").as("by2"))
+    graft.functions.Scalars.resizeBbox(withMax, W, H, col("tw"), col("th"))
+      .select("sub_id", "l_orderkey", "l_linenumber", "tw", "th",
+        "bx1", "by1", "bx2", "by2")
       .orderBy("sub_id", "l_orderkey", "l_linenumber")
   }
 

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator unit tests over inline reference-shaped fixtures
+  * (FIXTURES.md §B) — hand-computed expectations. */
+class CoreOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("P3 case-map remap leaves unmapped values untouched (preprocess_dataset.py:103-113)") {
+    // pandas replace semantics: 71 and 74 have no mapping -> pass through
+    val df = Seq(71, 72, 73, 74).toDF("action_label")
+      .select(
+        when(col("action_label") === 72, "play")
+          .when(col("action_label") === 73, "eat")
+          .otherwise(col("action_label").cast("string")).as("action"))
+    assert(df.as[String].collect().toSeq == Seq("71", "play", "eat", "74"))
+  }
+
+  test("A3 frequency HAVING at/below/above the 0.3 threshold (raw_to_samples.py:147-153)") {
+    // sub 1: 2/5 = 0.4 > 0.3 keep; sub 2: 1/5 = 0.2 drop; sub 3: 3/10 = 0.3 NOT > 0.3 drop
+    val rows = Seq.fill(2)((1, 16)) ++ Seq.fill(3)((1, 0)) ++
+      Seq.fill(1)((2, 16)) ++ Seq.fill(4)((2, 0)) ++
+      Seq.fill(3)((3, 16)) ++ Seq.fill(7)((3, 0))
+    val kept = rows.toDF("sub_id", "cls")
+      .groupBy("sub_id")
+      .agg(avg(when(col("cls") === 16, 1.0).otherwise(0.0)).as("freq"))
+      .filter(col("freq") > 0.3)
+      .select("sub_id").as[Int].collect().toSeq
+    assert(kept == Seq(1))
+  }
+
+  test("A4 full-coverage HAVING count == scalar (raw_to_samples.py:212-216)") {
+    val rows = Seq((1, 0), (1, 1), (1, 2), (2, 0), (2, 1))
+    val full = rows.toDF("sub_id", "frame")
+      .groupBy("sub_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") === 3)
+      .select("sub_id").as[Int].collect().toSeq
+    assert(full == Seq(1))
+  }
+
+  test("A1 group-to-list preserves frame order via sort_array (raw_to_samples.py:156-164)") {
+    val rows = Seq((1, 3, "c"), (1, 1, "a"), (1, 2, "b"), (2, 1, "x"))
+    val got = rows.toDF("sub_id", "frame", "item")
+      .groupBy("sub_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("frame"), col("item")))),
+        x => x.getField("item")).as("items"))
+      .orderBy("sub_id")
+      .select("items").as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a", "b", "c"), Seq("x")))
+  }
+
+  test("A5 max-id scalar is 0 on an empty catalog (preprocessed_to_raw.py:21-29)") {
+    val empty = Seq.empty[Long].toDF("file_index")
+    val next = empty.agg(coalesce(max(col("file_index")) + 1, lit(0L)))
+      .as[Long].head()
+    assert(next == 0L)
+    val nonEmpty = Seq(4L, 9L, 7L).toDF("file_index")
+      .agg(coalesce(max(col("file_index")) + 1, lit(0L))).as[Long].head()
+    assert(nonEmpty == 10L)
+  }
+
+  test("W2 analytic max >= every member of its partition") {
+    val df = Tables.lineitem(spark, sf)
+    val viol = operators.Windows.windowAnalyticMax(spark, sf)
+      .filter(col("max_qty_in_order") < col("l_quantity")).count()
+    assert(viol == 0 && df.count() > 0)
+  }
+
+  test("O2 union preserves the row multiset (preprocessed_to_raw.py:51)") {
+    val a = Seq(1, 2, 2).toDF("x")
+    val b = Seq(2, 3).toDF("x")
+    val u = a.unionByName(b).groupBy("x").count()
+      .as[(Int, Long)].collect().toMap
+    assert(u == Map(1 -> 1L, 2 -> 3L, 3 -> 1L))
+  }
+
+  test("J5 anti-join = skip-if-exists (preprocess_dataset.py:55-56)") {
+    val todo = Seq("a", "b", "c").toDF("path")
+    val done = Seq("b").toDF("path")
+    val left = todo.join(done, Seq("path"), "left_anti")
+      .orderBy("path").as[String].collect().toSeq
+    assert(left == Seq("a", "c"))
+  }
+
+  test("J7 range join buckets every lineitem exactly once") {
+    val n = Tables.lineitem(spark, sf).count()
+    val bucketed = operators.Joins.joinRange(spark, sf)
+      .agg(sum(col("n_lines"))).as[Long].head()
+    assert(bucketed == n)
+  }
+
+  test("W1 id continuation starts at the existing max + 1 (preprocessed_to_raw.py:39-46)") {
+    val out = pipeline.Reference.refIdContinuation(spark, sf)
+    val existingMax = out.filter(col("dataset") === "existing")
+      .agg(max("file_index")).as[Long].head()
+    val newMin = out.filter(col("dataset") === "incoming")
+      .agg(min("file_index")).as[Long].head()
+    assert(newMin == existingMax + 1)
+    // dense ids, no collisions
+    assert(out.select("file_index").distinct().count() == out.count())
+  }
+}

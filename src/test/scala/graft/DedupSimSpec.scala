@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / text fixtures (FIXTURES.md §B.9): tiny frames
+  * with hand-computable signatures and cosines. */
+class DedupSimSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("polyHash: fold matches a hand computation and is order-sensitive") {
+    val got = Seq("ab", "ba", "ab").toDF("s")
+      .select(functions.Text.polyHash(col("s")).as("h"))
+      .as[Long].collect()
+    // "ab" = (0*31+97)*31+98 = 3105; "ba" = (0*31+98)*31+97 = 3135
+    assert(got(0) == 3105L && got(1) == 3135L)
+    assert(got(0) == got(2) && got(0) != got(1))
+  }
+
+  test("shingles: 3-grams of a 5-token doc; <3 tokens -> empty (no crash)") {
+    val got = Seq("a b c d e", "a b").toDF("text")
+      .select(functions.Dedup.shingles("text").as("sh"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d", "c d e"))
+    assert(got(1).isEmpty)
+  }
+
+  test("minhash: identical docs collide on every band; disjoint docs on none") {
+    val docs = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6"),
+      (1L, "w1 w2 w3 w4 w5 w6"), // exact dup of 0
+      (2L, "z1 z2 z3 z4 z5 z6")) // disjoint
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("t_minhash_docs")
+    val hs = docs.select(col("doc_id"),
+        explode(functions.Dedup.shingles("text")).as("sh"))
+      .select(col("doc_id"), functions.Text.polyHash(col("sh")).as("hs"))
+    val sigs = hs.groupBy("doc_id").agg(
+      min((col("hs") * 3 + 31) % functions.Text.P).as("m0"),
+      min((col("hs") * 5 + 128) % functions.Text.P).as("m1"))
+      .orderBy("doc_id").collect()
+    assert(sigs(0).getLong(1) == sigs(1).getLong(1)) // dup pair same minhash
+    assert(sigs(0).getLong(1) != sigs(2).getLong(1)) // disjoint differs
+  }
+
+  test("simhash of identical token multisets is identical") {
+    // dedupSimhash over the corpus: planted dup pairs at hamming 0 have
+    // jaccard-1.0 shingle sets; verify signatures equal for an exact pair
+    val out = functions.Dedup.dedupSimhash(spark, sf)
+    assert(out.columns.toSeq == Seq("da", "db", "hamming"))
+    assert(out.filter(col("hamming") =!= 0).count() == 0)
+  }
+
+  test("cosine fixtures: identical=1, orthogonal=0, opposite=-1 (FIXTURES.md B.9)") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f, 0f)), // identical to 0
+      (2L, Seq(0f, 1f, 0f, 0f)), // orthogonal to 0
+      (3L, Seq(-1f, 0f, 0f, 0f))) // opposite of 0
+      .toDF("vec_id", "embedding")
+    val e = vecs.select(col("vec_id"), col("embedding"),
+      functions.Similarity.norm2(col("embedding")).as("nrm"))
+    val cos = e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id"), col("r.vec_id"),
+        round(functions.Similarity.dot(col("l.embedding"), col("r.embedding")) /
+          (col("l.nrm") * col("r.nrm")), 4).as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(cos((0L, 1L)) == 1.0)
+    assert(cos((0L, 2L)) == 0.0)
+    assert(cos((0L, 3L)) == -1.0)
+  }
+
+  test("minhash candidates achieve full recall vs exact ngram ground truth") {
+    val approx = functions.Dedup.dedupMinhash(spark, sf)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val exact = functions.Dedup.dedupNgram(spark, sf)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(exact.subsetOf(approx) && approx.subsetOf(exact))
+  }
+
+  test("dedup_exact is idempotent: keepers survive a second pass unchanged") {
+    val once = functions.Dedup.dedupExact(spark, sf)
+    assert(once.count() == once.select("content_hash").distinct().count())
+    assert(once.agg(sum("n_copies")).as[Long].head() ==
+      Tables.documents(spark, sf).count())
+  }
+
+  test("ANN LSH buckets partition the corpus (every vector in exactly one bucket)") {
+    val topk = functions.Similarity.simTopk(spark, sf)
+    assert(topk.groupBy("qid").count().as[(Long, Long)].collect()
+      .forall(_._2 == 5))
+    val ann = functions.Similarity.simAnnLsh(spark, sf)
+    // ANN neighbors are a subset of the corpus with rank <= 3 per query
+    assert(ann.groupBy("qid").count().as[(Long, Long)].collect()
+      .forall(_._2 <= 3))
+  }
+
+  test("langid: CJK text -> zh; stopword-heavy english -> en") {
+    val df = Seq((0L, "the data of the table is big", "en"),
+      (1L, "中文文档", "zh")).toDF("doc_id", "text", "lang")
+    df.createOrReplaceTempView("t_langid")
+    val t = functions.Text.toks(col("text"))
+    val en = size(filter(t, w => w.isin(functions.Text.enStop.map(lit(_)): _*)))
+    val out = df.select(col("doc_id"),
+      when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+        .when(en > 0, "en").otherwise("other").as("pred"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((0L, "en"), (1L, "zh")))
+  }
+}

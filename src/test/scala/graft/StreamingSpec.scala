@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.10): the SAME transform
+  * functions run under readStream — batch result == streaming result
+  * (file source, memory sink, complete mode). */
+class StreamingSpec extends SparkSpecBase {
+
+  private lazy val streamDir: String = {
+    // readStream.parquet wants a directory of same-schema files; give
+    // events.parquet its own dir.
+    val d = Files.createTempDirectory("graft_stream")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    d.toString
+  }
+
+  /** events under readStream, with the same ns->micros conversion the
+    * batch loader applies (Tables.events). */
+  private def eventsStream = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def runToSet(streamingDf: org.apache.spark.sql.DataFrame,
+      name: String): Set[String] = {
+    val q = streamingDf.writeStream
+      .outputMode("complete").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      spark.table(name).collect().map(_.toString).toSet
+    } finally q.stop()
+  }
+
+  test("T1 tumbling windows: streaming (complete mode) == batch") {
+    val streamed = runToSet(
+      streaming.Streaming.tumbling(
+        eventsStream.withWatermark("ts", "10 minutes")), "t1_out")
+    val batch = streaming.Streaming.tumbling(Tables.events(spark, sf))
+      .collect().map(_.toString).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("T2 sliding windows: streaming (complete mode) == batch") {
+    val streamed = runToSet(
+      streaming.Streaming.sliding(
+        eventsStream.withWatermark("ts", "10 minutes")), "t2_out")
+    val batch = streaming.Streaming.sliding(Tables.events(spark, sf))
+      .collect().map(_.toString).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("T5 streaming dedup by key emits one row per event_id") {
+    val q = eventsStream.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t5_out").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("t5_out").count()
+      assert(n == Tables.events(spark, sf).count())
+    } finally q.stop()
+  }
+}
