@@ -32,21 +32,38 @@ object Dedup {
   val K = 8 // minhash signature length
   val BANDS = 4 // LSH bands (r = 2 rows per band)
 
-  /** Distinct 3-word shingles of the text (empty for <3 tokens). */
-  def shingles(textCol: String): Column = expr(
-    s"""CASE WHEN size(split($textCol, ' ')) >= 3 THEN
+  /** Distinct 3-word shingles over an already-tokenized array column
+    * (empty for <3 tokens). Tokenize ONCE into a column first — an
+    * element_at over split(text) re-splits the whole text per element,
+    * which measured O(tokens^2) per doc at bench time. */
+  def shinglesOf(toksCol: String): Column = expr(
+    s"""CASE WHEN size($toksCol) >= 3 THEN
        |  array_distinct(transform(
-       |    sequence(0, size(split($textCol, ' ')) - 3),
-       |    i -> concat_ws(' ', element_at(split($textCol, ' '), i + 1),
-       |                        element_at(split($textCol, ' '), i + 2),
-       |                        element_at(split($textCol, ' '), i + 3))))
+       |    sequence(0, size($toksCol) - 3),
+       |    i -> concat_ws(' ', element_at($toksCol, i + 1),
+       |                        element_at($toksCol, i + 2),
+       |                        element_at($toksCol, i + 3))))
        |ELSE array() END""".stripMargin)
+
+  /** Shingles straight from a text column (spec convenience). */
+  def shingles(textCol: String): Column = {
+    val t = s"split($textCol, ' ')"
+    expr(
+      s"""CASE WHEN size($t) >= 3 THEN
+         |  array_distinct(transform(
+         |    sequence(0, size($t) - 3),
+         |    i -> concat_ws(' ', element_at($t, i + 1),
+         |                        element_at($t, i + 2),
+         |                        element_at($t, i + 3))))
+         |ELSE array() END""".stripMargin)
+  }
 
   /** (doc_id, shingle_hash) long form — the base relation for both
     * minhash signatures and exact Jaccard verification. */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shingles("text")).as("sh"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(shinglesOf("toks")).as("sh"))
       .select(col("doc_id"), Text.polyHash(col("sh")).as("hs"))
 
   private val shingleHashSql =
@@ -162,12 +179,16 @@ object Dedup {
     * Cosine rounded to 4 decimals so sub-ulp summation-order noise
     * cannot flip the oracle compare. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(
-      col("vec_id"), col("embedding"),
-      Similarity.norm2(col("embedding")).as("nrm"))
+    // cast to double ONCE per vector, not once per pair (the per-pair
+    // cast allocation dominated this query's bench time)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"),
+        Similarity.norm2(col("emb")).as("nrm"))
     e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("da"), col("r.vec_id").as("db"),
-        round(Similarity.dot(col("l.embedding"), col("r.embedding")) /
+        round(Similarity.dot(col("l.emb"), col("r.emb")) /
           (col("l.nrm") * col("r.nrm")), 4).as("cos"))
       .filter(col("cos") >= 0.4)
       .orderBy("da", "db")

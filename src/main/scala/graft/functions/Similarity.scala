@@ -23,8 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right fold dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-to-right fold dot product of two float-array columns.
+    * Evaluated by the native codegen'd expression
+    * (graft.plans.DotProduct); [[dotFold]] is the pure-built-in
+    * higher-order formulation it replaced (same values, same fold
+    * order — kept for the equivalence spec). */
+  def dot(a: Column, b: Column): Column = graft.plans.GraftFunctions.dot(a, b)
+
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -52,15 +58,16 @@ object Similarity {
     * so the corpus never shuffles. */
   def simTopk(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"), norm2(col("emb")).as("nrm"))
+    val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"),
       col("nrm").as("qnrm")).filter(col("qid") < 5)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("vec_id").asc)
     e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        round(dot(col("qemb"), col("embedding")) /
+        round(dot(col("qemb"), col("emb")) /
           (col("qnrm") * col("nrm")), 4).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
@@ -90,9 +97,10 @@ object Similarity {
     * replaces the cross product at scale), then exact cosine rerank. */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"), norm2(col("emb")).as("nrm"))
       .join(buckets(s, dir), "vec_id")
-    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+    val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"),
       col("nrm").as("qnrm"), col("bucket").as("qbucket"))
       .filter(col("qid") < 5)
     import org.apache.spark.sql.expressions.Window
@@ -101,7 +109,7 @@ object Similarity {
     e.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("bucket"),
-        round(dot(col("qemb"), col("embedding")) /
+        round(dot(col("qemb"), col("emb")) /
           (col("qnrm") * col("nrm")), 4).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)

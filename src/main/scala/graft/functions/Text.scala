@@ -26,8 +26,13 @@ object Text {
     * fold(acc*31 + code) mod P — the document-fingerprint primitive
     * (and the portable word-hash used by Dedup; sha-based hashing is
     * also exposed, but polynomial-mod keeps every intermediate a
-    * BIGINT both engines can reproduce). */
-  def polyHash(c: Column): Column =
+    * BIGINT both engines can reproduce). Evaluated by the native
+    * codegen'd expression (graft.plans.PolyHash); [[polyHashFold]] is
+    * the pure-built-in formulation it replaced (same values, ~10x
+    * slower interpreted lambda — kept for the equivalence spec). */
+  def polyHash(c: Column): Column = graft.plans.GraftFunctions.poly_hash(c)
+
+  def polyHashFold(c: Column): Column =
     aggregate(
       split(c, ""),
       lit(0L),

@@ -1,0 +1,106 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions — SURVEY.md §4 "custom work" 2/3.
+  *
+  * The pure-built-in formulations of these two kernels (higher-order
+  * `aggregate` over `zip_with` / `split`) are semantically right but
+  * evaluate their lambdas interpreted, outside whole-stage codegen —
+  * measured at sf0.1 they dominate the bench (dedup_embedding 26s,
+  * dedup_ngram 12s). These replacements generate tight Java loops and
+  * compute the exact same values (same fold order, same modulus), so
+  * the DuckDB oracles are unchanged.
+  */
+
+/** Polynomial rolling hash over a string's chars:
+  * fold(acc*31 + code) mod 1e9+7 — identical to the DuckDB
+  * list_reduce over string_split(text,'') for BMP text. */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.PolyHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  final val P: Long = 1000000007L
+
+  /** Shared by interpreted eval and generated code. */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      acc = (acc * 31L + str.charAt(i)) % P
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Left-to-right dot product of two double arrays (same accumulation
+  * order as aggregate(zip_with(...)) and the oracle's list_reduce). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.DotProduct.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Column-level entry points + SQL registration. */
+object GraftFunctions {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def poly_hash(c: Column): Column = Bridge.toColumn(PolyHash(Bridge.toExpr(c)))
+
+  /** Accepts float or double arrays; floats widen losslessly. */
+  def dot(a: Column, b: Column): Column =
+    Bridge.toColumn(DotProduct(
+      Bridge.toExpr(a.cast(ArrayType(DoubleType))),
+      Bridge.toExpr(b.cast(ArrayType(DoubleType)))))
+
+  /** Register as SQL functions in a session (graft_poly_hash(s),
+    * graft_dot(a, b)). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+  }
+}

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> catalyst Expression bridge.
+  *
+  * Spark 4 made `Column` expression-agnostic (Spark Connect); the
+  * classic converters live behind `private[sql]`. This package sits
+  * inside org.apache.spark.sql solely to re-export the two
+  * conversions our custom expressions need — the standard wiring
+  * pattern for third-party Catalyst extensions on Spark 4.
+  */
+object Bridge {
+  def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Native codegen expressions (graft.plans) must produce the exact
+  * values of the higher-order formulations they replaced — same fold
+  * order, same modulus — on the real corpus. */
+class ExpressionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("PolyHash == aggregate/split fold on every document") {
+    val diff = Tables.documents(spark, sf)
+      .select(
+        functions.Text.polyHash(col("text")).as("native"),
+        functions.Text.polyHashFold(col("text")).as("fold"))
+      .filter(col("native") =!= col("fold")).count()
+    assert(diff == 0)
+  }
+
+  test("DotProduct == aggregate/zip_with fold on every embedding pair sample") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val pairs = e.as("l").join(e.as("r"),
+      col("l.vec_id") < col("r.vec_id"))
+    val diff = pairs.select(
+        functions.Similarity.dot(col("l.embedding"), col("r.embedding")).as("native"),
+        functions.Similarity.dotFold(col("l.embedding"), col("r.embedding")).as("fold"))
+      .filter(col("native") =!= col("fold")).count()
+    assert(diff == 0)
+  }
+
+  test("SQL registration: graft_poly_hash / graft_dot callable from spark.sql") {
+    plans.GraftFunctions.register(spark)
+    val h = spark.sql("SELECT graft_poly_hash('ab') AS h").as[Long].head()
+    assert(h == 3105L) // (0*31+97)*31+98
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(d == 11.0)
+  }
+
+  test("PolyHash participates in whole-stage codegen (no fallback)") {
+    val plan = Tables.documents(spark, sf)
+      .select(functions.Text.polyHash(col("text")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen span
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_poly_hash.*"), plan)
+  }
+}
