@@ -16,6 +16,7 @@ object SparkEntry {
       Map[String, String])] = Seq(
     (pipeline.Flagship.queries, pipeline.Flagship.oracles),
     (pipeline.Reference.queries, pipeline.Reference.oracles),
+    (sources.Sources.queries, sources.Sources.oracles),
     (multimodal.Multimodal.queries, multimodal.Multimodal.oracles),
     (operators.Relational.queries, operators.Relational.oracles),
     (operators.Aggregates.queries, operators.Aggregates.oracles),

@@ -84,13 +84,34 @@ object Multimodal {
         col("frame_idx"))
       .orderBy("doc_id", "sample_i")
 
+  /** M3 (preprocess_dataset.py:59-70): transcode surrogate as a real
+    * Scala UDF over the binary payload — the moviepy re-encode stub:
+    * same byte-level plumbing (binary in, container-tagged content
+    * out), deterministic so the oracle can reproduce it. */
+  private val transcodeUdf = udf((bytes: Array[Byte]) =>
+    if (bytes == null) null
+    else "mp4:" + java.util.Base64.getEncoder.encodeToString(bytes))
+
+  def udfTranscode(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        transcodeUdf(col("payload")).as("transcoded"),
+        length(col("payload")).as("src_bytes"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udf_inference" -> udfInference,
+    "udf_transcode" -> udfTranscode,
     "mm_metadata" -> mmMetadata,
     "mm_frame_sample" -> mmFrameSample,
   )
 
   val oracles: Map[String, String] = Map(
+    "udf_transcode" ->
+      """SELECT doc_id, 'mp4:' || to_base64(encode(text)) AS transcoded,
+        |  CAST(octet_length(encode(text)) AS INT) AS src_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "udf_inference" ->
       """SELECT f AS frame_id, CAST(i AS INT) AS det_i,
         |  (f*7 + i) % 5 AS sub_id, (f*13 + i) % 20 AS cls,

@@ -105,7 +105,39 @@ object Joins {
       .orderBy("band")
   }
 
+  /** J8 (engine-added; the reference's nearest analog is matching each
+    * frame to its segment state): AS-OF join — for every purchase, the
+    * user's most recent click at-or-before it. Composed as
+    * union + ignore-nulls running last over one per-user window (the
+    * scalable form: one shuffle on user_id, no range cross-join).
+    * Time axis = unix_micros(ts): integer microseconds in BOTH engines
+    * (DuckDB epoch_us truncates ns the same way), so ordering is
+    * bit-deterministic. */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"), col("event_id"))
+    val tagged = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), lit(0).as("m"), col("event_id").as("id"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"), lit(1).as("m"), col("event_id").as("id")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus").asc, col("m").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("click_id",
+        last(when(col("m") === 0, col("id")), ignoreNulls = true).over(w))
+      .withColumn("click_tus",
+        last(when(col("m") === 0, col("tus")), ignoreNulls = true).over(w))
+      .filter(col("m") === 1 && col("click_id").isNotNull)
+      .select(col("user_id"), col("id").as("purchase_id"),
+        col("click_id"), (col("tus") - col("click_tus")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof" -> joinAsof,
     "join_broadcast" -> joinBroadcast,
     "join_inner" -> joinInner,
     "join_semi" -> joinSemi,
@@ -115,6 +147,23 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_asof" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, 0 AS m, event_id AS id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) AS tus, 1 AS m, event_id AS id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, tus, m, id,
+        |    last_value(CASE WHEN m = 0 THEN id END IGNORE NULLS) OVER win AS click_id,
+        |    last_value(CASE WHEN m = 0 THEN tus END IGNORE NULLS) OVER win AS click_tus
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tus ASC, m ASC, id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, id AS purchase_id, click_id, tus - click_tus AS gap_us
+        |FROM w WHERE m = 1 AND click_id IS NOT NULL
+        |ORDER BY purchase_id""".stripMargin,
     "join_broadcast" ->
       """SELECT r_name, COUNT(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Sink round-trips — SURVEY.md §2.1 S5-S11 (the reference's CSV/JSON/
+  * text/partitioned outputs, re-read and compared). */
+class SinksSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sink").toString
+
+  test("S6 headered CSV sink round-trips (to_csv(index=False) analog)") {
+    val d = tmp()
+    val src = Tables.nation(spark, sf)
+    src.write.mode(SaveMode.Overwrite).option("header", "true").csv(d)
+    val back = spark.read.option("header", "true")
+      .schema(src.schema).csv(d)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("S5 JSON dict sink round-trips (json.dump analog)") {
+    val d = tmp()
+    val src = Seq(("a/b.mp4", "play"), ("c/d.mp4", "eat"))
+      .toDF("path", "action")
+    src.write.mode(SaveMode.Overwrite).json(d)
+    val back = spark.read.schema(src.schema).json(d)
+    assert(back.orderBy("path").collect().toSeq ==
+      src.orderBy("path").collect().toSeq)
+  }
+
+  test("S9 partitioned sink lays out frames/<sub_id>/ (raw_to_samples.py:111-121)") {
+    val d = tmp()
+    Seq((1, "f0"), (1, "f1"), (2, "f0")).toDF("sub_id", "frame")
+      .write.mode(SaveMode.Overwrite).partitionBy("sub_id").parquet(d)
+    val dirs = new java.io.File(d).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("sub_id=1", "sub_id=2"))
+    val back = spark.read.parquet(d)
+    assert(back.count() == 3 &&
+      back.select("sub_id").distinct().count() == 2)
+  }
+
+  test("S7 append-mode text sink accumulates error lines (raw_to_samples.py:291-299)") {
+    val d = tmp() + "/log"
+    Seq("err one").toDF("value").write.mode(SaveMode.Append).text(d)
+    Seq("err two").toDF("value").write.mode(SaveMode.Append).text(d)
+    val lines = spark.read.text(d).as[String].collect().toSet
+    assert(lines == Set("err one", "err two"))
+  }
+
+  test("S11 overwrite mode refreshes the dir (rmtree+mkdirs analog)") {
+    val d = tmp() + "/out"
+    Seq(1, 2, 3).toDF("x").write.mode(SaveMode.Overwrite).parquet(d)
+    Seq(9).toDF("x").write.mode(SaveMode.Overwrite).parquet(d)
+    assert(spark.read.parquet(d).as[Int].collect().toSeq == Seq(9))
+  }
+
+  test("S2 staged CSV export reads back with the declared schema") {
+    val base = sources.Sources.ensureStaged(spark, sf)
+    val df = spark.read.schema(sources.Sources.customerCsvSchema)
+      .option("header", "true").csv(s"$base/customer_csv")
+    assert(df.schema == sources.Sources.customerCsvSchema)
+    assert(df.count() == Tables.customer(spark, sf).count())
+  }
+}
