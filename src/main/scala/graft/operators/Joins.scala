@@ -136,8 +136,33 @@ object Joins {
       .orderBy("purchase_id")
   }
 
+  /** Skew-mitigation pattern: the join key (event_type, 5 hot values
+    * over the whole fact table) is salted 8 ways — the fact side gets
+    * salt = pmod(event_id, 8), the dim side is replicated per salt, and
+    * the join key becomes (event_type, salt), spreading each hot key
+    * over 8 reducers. (With a dim this small Spark would broadcast and
+    * sidestep skew anyway — the query pins the technique for the
+    * shuffle-join case at scale, where AQE skew handling or salting is
+    * the difference between one straggler and even reducers.) */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val SALTS = 8
+    val dim = s.createDataFrame(Seq(
+      ("click", "engage"), ("view", "engage"), ("purchase", "convert"),
+      ("signup", "convert"), ("error", "ops"))).toDF("event_type", "category")
+    val saltedDim = dim.crossJoin(
+      s.range(SALTS).select(col("id").cast("int").as("salt")))
+    val fact = Tables.events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(SALTS)).cast("int"))
+    fact.join(saltedDim, Seq("event_type", "salt"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_events"),
+        graft.Exact.sumD(col("value")).as("total_value"))
+      .orderBy("category")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> joinAsof,
+    "join_salted" -> joinSalted,
     "join_broadcast" -> joinBroadcast,
     "join_inner" -> joinInner,
     "join_semi" -> joinSemi,
@@ -147,6 +172,14 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_salted" ->
+      """WITH dim(event_type, category) AS (VALUES
+        |  ('click','engage'), ('view','engage'), ('purchase','convert'),
+        |  ('signup','convert'), ('error','ops'))
+        |SELECT category, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY category ORDER BY category""".stripMargin,
     "join_asof" ->
       """WITH t AS (
         |  SELECT user_id, epoch_us(ts) AS tus, 0 AS m, event_id AS id

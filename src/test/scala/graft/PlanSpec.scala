@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan quality gates — the properties that make these shapes
+  * survive a 100x scale-up. If an optimizer upgrade or a refactor
+  * regresses one of these (a lost pushdown, a broadcast that became a
+  * shuffle, a sort that swallowed a top-k), this spec fails before the
+  * bench does. */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter_offset pushes its range predicate into the parquet scan") {
+    val p = plan(operators.Relational.filterOffset(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), GreaterThanOrEqual(l_orderkey,1000)]"), p)
+  }
+
+  test("column pruning: q1_agg reads only the columns it needs") {
+    val p = plan(operators.Aggregates.q1Agg(spark, sf))
+    assert(p.contains("ReadSchema"), p)
+    // the 16-column lineitem scan must not materialize unused columns
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"), p)
+  }
+
+  test("join_broadcast and join_multiway use BroadcastHashJoin for dims") {
+    assert(plan(operators.Joins.joinBroadcast(spark, sf))
+      .contains("BroadcastHashJoin"))
+    val mw = plan(operators.Joins.joinMultiway(spark, sf))
+    assert(mw.contains("BroadcastHashJoin"), mw)
+  }
+
+  test("join_semi plans a semi join (only keys cross the wire)") {
+    val p = plan(operators.Joins.joinSemi(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("sort_topk compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan(operators.SortsSets.sortTopk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("join_range broadcasts the interval dim (BroadcastNestedLoopJoin)") {
+    val p = plan(operators.Joins.joinRange(spark, sf))
+    assert(p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("flagship pipeline: no cartesian product, window agg present") {
+    val p = plan(pipeline.Flagship.pipeline(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q1_agg splits into partial (map-side) and final aggregation") {
+    // the property that bounds shuffle volume at scale: one partial
+    // row per (partition, group) crosses the exchange, not raw rows
+    val p = plan(operators.Aggregates.q1Agg(spark, sf))
+    assert(p.contains("partial_sum"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("approx_count_distinct stays within 15% of exact on the corpus") {
+    import spark.implicits._
+    val rows = operators.Aggregates.aggApproxDistinct(spark, sf)
+      .select("approx_users", "exact_users").as[(Long, Long)].collect()
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.15).toLong),
+        s"approx=$approx exact=$exact")
+    }
+  }
+}

@@ -58,6 +58,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("custom state: flatMapGroupsWithState running per-user counts == batch groupBy") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ds = eventsStream.select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+    val counted = ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          Iterator((uid, n))
+      }.toDF("user_id", "n")
+    val q = counted.writeStream.outputMode("append")
+      .format("memory").queryName("state_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("state_out")
+        .groupBy("user_id").agg(max("n").as("n")) // last emitted state
+        .as[(Long, Long)].collect().toMap
+      val batch = Tables.events(spark, sf).groupBy("user_id")
+        .count().as[(Long, Long)].collect().toMap
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("T5 streaming dedup by key emits one row per event_id") {
     val q = eventsStream.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
