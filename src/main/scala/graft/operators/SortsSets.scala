@@ -69,7 +69,20 @@ object SortsSets {
       .orderBy("o_custkey")
   }
 
+  /** O4d: grouped top-k through the custom bounded-heap operator
+    * (graft.plans.TopKPerKey) — top 3 orders per customer by price.
+    * Same result as the Window(row_number)+Filter spelling, pinned by
+    * TopKSpec; O(n log k) instead of a full per-partition sort. */
+  def topkPerKey(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    graft.plans.TopK.of(o, Seq("o_custkey"), "o_totalprice",
+        desc = true, k = 3, tiebreak = Seq("o_orderkey"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_per_key" -> topkPerKey,
     "sort_orderby" -> sortOrderby,
     "sort_limit" -> sortLimit,
     "sort_topk" -> sortTopk,
@@ -79,6 +92,11 @@ object SortsSets {
   )
 
   val oracles: Map[String, String] = Map(
+    "topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "sort_orderby" ->
       """SELECT p_partkey, p_name, p_type, p_retailprice FROM part
         |ORDER BY p_type ASC, p_name ASC, p_partkey ASC""".stripMargin,

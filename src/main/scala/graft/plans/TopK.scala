@@ -1,0 +1,112 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Grouped top-k as a first-class operator — SURVEY.md §4 ladder (c):
+  * a whole-operator semantic Spark lacks, implemented as
+  * LogicalPlan + SparkStrategy + physical exec.
+  *
+  * Spark's only native spelling of "top k rows per key" is
+  * Window(row_number) + Filter(rn <= k): every partition is fully
+  * sorted (O(n log n)) and materialized before the filter drops almost
+  * everything. This operator keeps a bounded heap per key —
+  * O(n log k) with memory k rows per key, the difference between a
+  * straggling sort and a streaming pass when k << group size at
+  * 100 TB. (The same idea Spark applies to GLOBAL top-k via
+  * TakeOrderedAndProject, which PlanSpec pins for sort_topk.)
+  */
+case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKey =
+    copy(child = c)
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  /** All rows of one key must meet in one partition; the planner
+    * inserts the hash exchange (or reuses an existing one). */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val cmp = RowOrdering.create(sortOrder, childOutput)
+      // max-heap wrt the requested order: the ordering-greatest (i.e.
+      // worst-ranked) row sits on top and is evicted first.
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      val heapOrd: Ordering[UnsafeRow] =
+        (a: UnsafeRow, b: UnsafeRow) => cmp.compare(a, b)
+      it.foreach { row =>
+        val heap = heaps.getOrElseUpdate(
+          keyProj(row).copy(), mutable.PriorityQueue.empty(heapOrd))
+        if (heap.size < limit) {
+          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+        } else if (cmp.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+        }
+      }
+      // emit each group's survivors in rank order (deterministic)
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+object GraftStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Builder-time registration (SparkSession.builder.withExtensions /
+  * spark.sql.extensions=graft.plans.GraftExtensions); [[TopK.of]]
+  * also injects at runtime so driver-built sessions work unchanged. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => GraftStrategy)
+}
+
+object TopK {
+
+  /** Top `k` rows per key group under (orderCol, tiebreak asc) —
+    * descending on orderCol when `desc`. Keys/order are resolved
+    * against `df` so the custom node enters analysis already bound. */
+  def of(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      desc: Boolean, k: Int, tiebreak: Seq[String] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GraftStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftStrategy
+    }
+    val keys = keyCols.map(c => Bridge.toExpr(df.col(c)))
+    val dir = if (desc) Descending else Ascending
+    val order =
+      SortOrder(Bridge.toExpr(df.col(orderCol)), dir) +:
+        tiebreak.map(c => SortOrder(Bridge.toExpr(df.col(c)), Ascending))
+    Bridge.ofRows(spark,
+      TopKPerKey(keys, order, k, df.queryExecution.analyzed))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Custom grouped top-k operator (graft.plans.TopKPerKey). */
+class TopKSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("ties resolve by the tiebreak column, k truncates per group") {
+    val df = Seq(
+      (1, 10, 5.0), (1, 11, 5.0), (1, 12, 7.0), (1, 13, 1.0),
+      (2, 20, 2.0)).toDF("key", "id", "score")
+    val got = plans.TopK.of(df, Seq("key"), "score",
+        desc = true, k = 2, tiebreak = Seq("id"))
+      .orderBy("key", "id")
+      .as[(Int, Int, Double)].collect().toSeq
+    // key 1: 7.0 (id 12) then the 5.0 tie broken by id -> 10; key 2: all
+    assert(got == Seq((1, 10, 5.0), (1, 12, 7.0), (2, 20, 2.0)))
+  }
+
+  test("equals the Window(row_number)+Filter spelling on the corpus") {
+    val o = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val custom = plans.TopK.of(o, Seq("o_custkey"), "o_totalprice",
+        desc = true, k = 3, tiebreak = Seq("o_orderkey"))
+      .collect().map(_.toString).toSet
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val windowed = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(_.toString).toSet
+    assert(custom == windowed && custom.nonEmpty)
+  }
+
+  test("plans as TopKPerKeyExec with a hash exchange, no per-partition sort") {
+    val o = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val p = plans.TopK.of(o, Seq("o_custkey"), "o_totalprice",
+      desc = true, k = 3).queryExecution.executedPlan.toString
+    // physical node prints without the Exec suffix (TreeNode.nodeName)
+    assert(p.contains("TopKPerKey ["), p)
+    assert(p.contains("hashpartitioning(o_custkey"), p)
+    assert(!p.contains("Sort "), p)
+  }
+}
