@@ -23,6 +23,7 @@ object SparkEntry {
     (operators.Joins.queries, operators.Joins.oracles),
     (operators.Windows.queries, operators.Windows.oracles),
     (operators.SortsSets.queries, operators.SortsSets.oracles),
+    (operators.Analytics.queries, operators.Analytics.oracles),
     (functions.Scalars.queries, functions.Scalars.oracles),
     (functions.Text.queries, functions.Text.oracles),
     (functions.Dedup.queries, functions.Dedup.oracles),

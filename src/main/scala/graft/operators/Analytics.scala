@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.{Exact, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytic extensions beyond the reference's surface: grouping sets,
+  * distribution window functions, pivot, moment statistics, regex and
+  * conditional scalar functions. All follow the engine's determinism
+  * conventions (integer/decimal arithmetic, one double division at the
+  * end, total-order output).
+  */
+object Analytics {
+
+  /** A8+: GROUPING SETS with grouping_id disambiguation. */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n_orders
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+        |""".stripMargin)
+  }
+
+  /** W4c: distribution window functions — ntile / percent_rank /
+    * cume_dist over a total per-partition order (all rank-derived
+    * integer ratios: bit-deterministic). */
+  def windowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
+  /** A10: pivot — event counts per user fanned to one column per
+    * event_type (fixed column list, as a distributed pivot should at
+    * scale: never values-discovery over 100 TB). */
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type",
+        Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** A11: moment statistics via explicit exact sums (sum, sum of
+    * squares in DECIMAL) so variance/stddev are reproducible — the
+    * built-in stddev's streaming update order is engine-specific. */
+  def aggStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("s1"),
+        sum((col("l_quantity") * col("l_quantity"))).as("s2"))
+      .select(col("l_returnflag"), col("n"), col("s1"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("variance"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("stddev"))
+      .orderBy("l_returnflag")
+
+  /** F13: regex extract/replace/match (patterns in the common
+    * Java/RE2 subset). */
+  def fnRegex(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_extract(col("source"), "src([0-9]+)", 1).as("src_num"),
+        regexp_replace(col("lang"), "[aeiou]", "_").as("lang_masked"),
+        col("source").rlike("^src1[0-9]$").as("is_teen_src"))
+      .orderBy("doc_id")
+
+  /** F14: conditional scalar functions — coalesce / nullif / least /
+    * greatest over the error-prone columns. */
+  def fnConditional(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("recovered"))
+          .as("etype"),
+        least(col("value"), lit(100.0)).as("capped"),
+        greatest(col("user_id") % 7, col("event_id") % 5).as("gmax"))
+      .orderBy("event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_grouping_sets" -> aggGroupingSets,
+    "window_dist" -> windowDist,
+    "agg_pivot" -> aggPivot,
+    "agg_stats" -> aggStats,
+    "fn_regex" -> fnRegex,
+    "fn_conditional" -> fnConditional,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
+    "window_dist" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS s1,
+        |  (SUM(l_quantity*l_quantity) - SUM(l_quantity)*SUM(l_quantity)/COUNT(*)) / (COUNT(*)-1) AS variance,
+        |  sqrt((SUM(l_quantity*l_quantity) - SUM(l_quantity)*SUM(l_quantity)/COUNT(*)) / (COUNT(*)-1)) AS stddev
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "fn_regex" ->
+      """SELECT doc_id,
+        |  regexp_extract(source, 'src([0-9]+)', 1) AS src_num,
+        |  regexp_replace(lang, '[aeiou]', '_', 'g') AS lang_masked,
+        |  regexp_matches(source, '^src1[0-9]$') AS is_teen_src
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_conditional" ->
+      """SELECT event_id,
+        |  COALESCE(NULLIF(event_type, 'error'), 'recovered') AS etype,
+        |  LEAST(value, 100.0) AS capped,
+        |  GREATEST(user_id % 7, event_id % 5) AS gmax
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}
