@@ -102,7 +102,41 @@ object Reference {
       .orderBy("sub_id", "l_orderkey", "l_linenumber")
   }
 
+  /** EP1 (preprocess_dataset.py:93-132 `a2d_preprocess`): schema'd CSV
+    * scan (:99-100) → IN-list filter (:101) → dict remap (:103-113) →
+    * the path→action dict relation that feeds EP2 (JSON sink shape,
+    * :132). Nation keys stand in for the action-label vocabulary. */
+  def refPreprocess(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.sources.Sources.ensureStaged(s, dir)
+    s.read.schema(graft.sources.Sources.customerCsvSchema)
+      .option("header", "true").csv(s"$base/customer_csv")
+      .filter(col("c_nationkey").isin(1, 3, 5, 7))
+      .select(
+        concat(lit("videos/"), col("c_custkey"), lit(".mp4")).as("path"),
+        when(col("c_nationkey") === 1, "play")
+          .when(col("c_nationkey") === 3, "eat")
+          .when(col("c_nationkey") === 5, "run")
+          .otherwise("walk").as("action"))
+      .orderBy("path")
+  }
+
+  /** Per-frame subject transpose (raw_to_samples.py:222-230): the
+    * tracking dict {sub_id: [bbox...]} transposed to one row per frame
+    * listing its subjects — surrogate detections in, frame-ordered
+    * canonical subject list out (map semantics emitted as a sorted CSV
+    * string: map column hash-compare is not portable). */
+  def refTranspose(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.udfInference(s, dir)
+      .groupBy("frame_id")
+      .agg(count(lit(1)).as("n_subjects"),
+        array_join(
+          transform(sort_array(collect_list(col("sub_id"))),
+            _.cast("string")), ",").as("subjects"))
+      .orderBy("frame_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ref_preprocess" -> refPreprocess,
+    "ref_transpose" -> refTranspose,
     "ref_id_continuation" -> refIdContinuation,
     "ref_error_channel" -> refErrorChannel,
     "ref_segments" -> refSegments,
@@ -110,6 +144,23 @@ object Reference {
   )
 
   val oracles: Map[String, String] = Map(
+    "ref_preprocess" ->
+      """SELECT 'videos/' || c_custkey || '.mp4' AS path,
+        |  CASE WHEN c_nationkey = 1 THEN 'play'
+        |       WHEN c_nationkey = 3 THEN 'eat'
+        |       WHEN c_nationkey = 5 THEN 'run'
+        |       ELSE 'walk' END AS action
+        |FROM read_csv('/tmp/graft_export/_root_testdata_sf0.01/customer_csv/*.csv', header = true)
+        |WHERE c_nationkey IN (1, 3, 5, 7)
+        |ORDER BY path""".stripMargin,
+    "ref_transpose" ->
+      """WITH det AS (
+        |  SELECT f AS frame_id, (f*7 + i) % 5 AS sub_id
+        |  FROM (SELECT event_id AS f FROM events WHERE event_id < 1000),
+        |    UNNEST(range(0, f % 3 + 1)) AS r(i))
+        |SELECT frame_id, COUNT(*) AS n_subjects,
+        |  string_agg(CAST(sub_id AS VARCHAR), ',' ORDER BY sub_id) AS subjects
+        |FROM det GROUP BY frame_id ORDER BY frame_id""".stripMargin,
     "ref_id_continuation" ->
       """WITH existing AS (
         |  SELECT o_orderkey AS file_index, 'raw/' || o_orderkey AS file_path,

@@ -58,6 +58,15 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("T3 session windows: streaming (complete mode) == batch") {
+    val streamed = runToSet(
+      streaming.Streaming.session(
+        eventsStream.withWatermark("ts", "10 minutes")), "t3_out")
+    val batch = streaming.Streaming.session(Tables.events(spark, sf))
+      .collect().map(_.toString).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("custom state: flatMapGroupsWithState running per-user counts == batch groupBy") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
