@@ -91,11 +91,15 @@ object Dedup {
     * banded candidates (jac >= 0.8). */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val hs = shingleHashes(s, dir)
-    // k min-hashes per doc under independent affine permutations.
-    val sig = hs.groupBy("doc_id").agg(
-      count(lit(1)).as("n_shingles"),
-      (0 until K).map(i =>
-        min((col("hs") * (2 * i + 3) + (97 * i + 31)) % P).as(s"m$i")): _*)
+    // k min-hashes per doc in ONE pass via the custom
+    // TypedImperativeAggregate (k-slot buffer), not K separate min()s;
+    // same affine family, so the oracle SQL (K MIN columns) still
+    // reproduces every slot. Equivalence pinned in CustomAggSpec.
+    val sig = hs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        graft.plans.MinHashAgg.minhash(col("hs"), K).as("sig"))
+      .select(col("doc_id") +: col("n_shingles") +:
+        (0 until K).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
     // band hashes: pairs of adjacent signature rows.
     val banded = sig.select(
       col("doc_id") +: (0 until BANDS).map(b =>

@@ -92,7 +92,19 @@ object Analytics {
         greatest(col("user_id") % 7, col("event_id") % 5).as("gmax"))
       .orderBy("event_id")
 
+  /** A12: typed Aggregator (Dataset tier) — argmax: the event id
+    * carrying each user's maximum value, ties to the smaller id. */
+  def aggTypedArgmax(s: SparkSession, dir: String): DataFrame = {
+    val argmax = udaf(new graft.plans.ArgMax)
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(argmax(col("value"), col("event_id")).as("top_event_id"),
+        max(col("value")).as("max_value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_typed_argmax" -> aggTypedArgmax,
     "agg_grouping_sets" -> aggGroupingSets,
     "window_dist" -> windowDist,
     "agg_pivot" -> aggPivot,
@@ -102,6 +114,12 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_typed_argmax" ->
+      """SELECT user_id, event_id AS top_event_id, value AS max_value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY value DESC, event_id ASC) = 1
+        |ORDER BY user_id""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(grouping(o_orderstatus) AS INT) AS g_status,

@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Custom aggregates — the two tiers SURVEY.md §4 names.
+  *
+  * [[ArgMax]] is a user-facing typed `Aggregator[IN, BUF, OUT]` (the
+  * Dataset API tier); [[MinHashAgg]] is a Catalyst
+  * `TypedImperativeAggregate` (the engine tier) computing all K
+  * min-hash signature slots in ONE pass over the shingle stream with a
+  * k-long mutable buffer — replacing K separate min() aggregates that
+  * each re-scan the hash column. Both are deterministic and
+  * oracle-reproducible.
+  */
+
+/** Typed argmax: the (sortKey, payload) pair with the largest sortKey,
+  * ties broken by the smaller payload — used as
+  * "the event id carrying each user's maximum value". */
+class ArgMax extends Aggregator[(Double, Long), (Double, Long), Long] {
+  override def zero: (Double, Long) = (Double.NegativeInfinity, Long.MaxValue)
+  override def reduce(b: (Double, Long), a: (Double, Long)): (Double, Long) =
+    merge(b, a)
+  override def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+    if (x._1 > y._1 || (x._1 == y._1 && x._2 <= y._2)) x else y
+  override def finish(r: (Double, Long)): Long = r._2
+  override def bufferEncoder: Encoder[(Double, Long)] =
+    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+/** One-pass K-slot min-hash signature over a long hash column:
+  * slot i holds min((h * (2i+3) + (97i+31)) mod P) — the same affine
+  * family as Dedup's column formulation, in a single buffer. */
+case class MinHashAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private val P = PolyHash.P
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(k)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < k) {
+        val m = (h * (2 * i + 3) + (97 * i + 31)) % P
+        if (m < buf(i)) buf(i) = m
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * k)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(k)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MinHashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MinHashAgg = copy(child = c.head)
+  override def prettyName: String = "graft_minhash"
+}
+
+object MinHashAgg {
+  /** Column form: minhash(hashCol, k) -> array<long> of k slots. */
+  def minhash(hashCol: Column, k: Int): Column =
+    Bridge.toColumn(
+      MinHashAgg(Bridge.toExpr(hashCol), k).toAggregateExpression())
+}
