@@ -103,7 +103,45 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** A13: exact percentiles with linear interpolation (Spark
+    * `percentile` == DuckDB `quantile_cont` on the (n-1)*p rank
+    * definition; quantity is integer-valued so interpolated halves are
+    * exact in double). */
+  def aggPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** F15: string functions — reverse / position / repeat / replace. */
+  def fnString(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        reverse(lower(col("c_mktsegment"))).as("rev_seg"),
+        instr(col("c_name"), "#").as("hash_pos"),
+        repeat(lit("ab"), (col("c_nationkey") % 3) + 1).as("rep"),
+        regexp_replace(col("c_name"), "Customer#", "C-").as("short_name"))
+      .orderBy("c_custkey")
+
+  /** F16: array set algebra over token arrays (sorted-canonical string
+    * output — raw array columns don't hash-compare portably). */
+  def fnArraySet(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        array_join(array_sort(array_distinct(slice(col("toks"), 1, 10))), ",")
+          .as("first10_sorted"),
+        array_contains(col("toks"), "the").as("has_the"),
+        size(col("toks")).as("n_toks"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_percentile" -> aggPercentile,
+    "fn_string" -> fnString,
+    "fn_array_set" -> fnArraySet,
     "agg_typed_argmax" -> aggTypedArgmax,
     "agg_grouping_sets" -> aggGroupingSets,
     "window_dist" -> windowDist,
@@ -114,6 +152,25 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "fn_string" ->
+      """SELECT c_custkey,
+        |  reverse(lower(c_mktsegment)) AS rev_seg,
+        |  CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+        |  repeat('ab', (c_nationkey % 3) + 1) AS rep,
+        |  replace(c_name, 'Customer#', 'C-') AS short_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_array_set" ->
+      """SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(string_split(text,' ')[1:10])), ',') AS first10_sorted,
+        |  list_contains(string_split(text,' '), 'the') AS has_the,
+        |  CAST(len(string_split(text,' ')) AS INT) AS n_toks
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "agg_typed_argmax" ->
       """SELECT user_id, event_id AS top_event_id, value AS max_value
         |FROM events

@@ -75,7 +75,31 @@ object Streaming {
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")
 
+  /** T6 (stream-stream join): every (click, purchase) pair of the same
+    * user with the purchase inside 10 minutes after the click. The
+    * same transform runs as a batch equi+range join (SMJ on user_id)
+    * and as a watermarked stream-stream inner join (StreamingSpec);
+    * event-time columns stay timestamps so the streaming state store
+    * can bound retention from the range condition. */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.alias("c").join(purchases.alias("p"),
+      col("c.user_id") === col("p.user_id") &&
+        col("p.ts") >= col("c.ts") &&
+        col("p.ts") <= col("c.ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"))
+
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    intervalJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_interval_join" -> streamIntervalJoin,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -83,6 +107,13 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_interval_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTES
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL 2 MINUTES, ts) AS win_start, event_type,
         |  COUNT(*) AS n_events,

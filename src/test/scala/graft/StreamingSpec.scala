@@ -93,6 +93,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("T6 stream-stream interval join (watermarked, append) == batch join") {
+    val clicks = eventsStream.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+    val purchases = eventsStream.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+    val q = streaming.Streaming.intervalJoin(clicks, purchases)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t6_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("t6_out").collect().map(_.toString).toSet
+      val ev = Tables.events(spark, sf)
+      val batch = streaming.Streaming.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+        .collect().map(_.toString).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("T5 streaming dedup by key emits one row per event_id") {
     val q = eventsStream.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
