@@ -138,7 +138,70 @@ object Analytics {
         size(col("toks")).as("n_toks"))
       .orderBy("doc_id")
 
+  /** W4d: RANGE window frame — per customer, total spend over orders
+    * within the previous 90 days (value-based frame on an integer day
+    * axis; rowsBetween is windowLagSum). */
+  def windowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("d"))
+      .rangeBetween(-90, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("d"))
+      .withColumn("spend_90d",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double"))
+      .orderBy("o_custkey", "d", "o_orderkey")
+  }
+
+  /** W4e: first/last/nth value over an explicit running frame. */
+  def windowValueFns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("latest_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** F17: ANSI null semantics — count(col) vs count(*), null-safe
+    * equality, sum over an all-null group. */
+  def fnNullHandling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        nullif(col("event_type"), lit("error")).as("et"),
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_all"),
+        count(col("et")).as("n_nonnull"),
+        Exact.sumD(col("v")).as("sum_ok"),
+        sum(when(col("et").isNull, 1L).otherwise(0L)).as("n_errors"),
+        count(when(col("et") <=> lit(null), 1)).as("n_nullsafe"))
+      .orderBy("user_id")
+
+  /** A14: unpivot/melt — the pivot's inverse (wide per-status counts
+    * back to long form). */
+  def aggUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("open"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("finished"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("pending"))
+    wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("open"), col("finished"), col("pending")),
+        "status", "n_orders")
+      .orderBy("o_orderpriority", "status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_range_frame" -> windowRangeFrame,
+    "window_value_fns" -> windowValueFns,
+    "fn_null_handling" -> fnNullHandling,
+    "agg_unpivot" -> aggUnpivot,
     "agg_percentile" -> aggPercentile,
     "fn_string" -> fnString,
     "fn_array_set" -> fnArraySet,
@@ -152,6 +215,45 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT) AS d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1995-01-01', o_orderdate)
+        |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+        |FROM orders
+        |ORDER BY o_custkey, d, o_orderkey""".stripMargin,
+    "window_value_fns" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS latest_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "fn_null_handling" ->
+      """WITH t AS (
+        |  SELECT user_id, NULLIF(event_type, 'error') AS et,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_all, COUNT(et) AS n_nonnull,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_ok,
+        |  SUM(CASE WHEN et IS NULL THEN 1 ELSE 0 END) AS n_errors,
+        |  COUNT(CASE WHEN et IS NOT DISTINCT FROM NULL THEN 1 END) AS n_nullsafe
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |    SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS open,
+        |    SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS finished,
+        |    SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS pending
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, CAST(n_orders AS BIGINT) AS n_orders
+        |FROM wide UNPIVOT (n_orders FOR status IN (open, finished, pending))
+        |ORDER BY o_orderpriority, status""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS p50,
