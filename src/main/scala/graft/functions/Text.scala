@@ -109,7 +109,51 @@ object Text {
         substring(sha2(col("text"), 256), 1, 16).as("fp_sha"))
       .orderBy("doc_id")
 
+  /** L4e: corpus vocabulary — global token frequencies, top 50 by
+    * count (wordcount + TakeOrderedAndProject; at 100 TB this is the
+    * classic two-level partial-agg shape). */
+  def textVocab(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(50)
+
+  /** L4f: TF-IDF — tf per (doc, token), df per token, idf = ln(N/df).
+    * All counts integral; the one transcendental (ln) is rounded at
+    * the boundary. The scalar N crosses via broadcast cross-join. */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "token")
+  }
+
+  /** L4g: deterministic train/val/test assignment by content hash —
+    * the reproducible split every training pipeline needs (never
+    * rand(): re-runs and late-arriving shards must agree). */
+  def textSplitAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (polyHash(col("text")) % 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab" -> textVocab,
+    "text_tfidf" -> textTfidf,
+    "text_split_assign" -> textSplitAssign,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -119,7 +163,35 @@ object Text {
   private def sqlHits(words: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
 
+  private val polySql =
+    """list_reduce(
+      |  list_concat([CAST(0 AS BIGINT)],
+      |    list_transform(string_split(text,''), c -> CAST(unicode(c) AS BIGINT))),
+      |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_vocab" ->
+      """SELECT token, COUNT(*) AS freq
+        |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin,
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS token
+        |    FROM documents) GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, tf.token, tf, df,
+        |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |FROM tf JOIN df ON tf.token = df.token, n
+        |WHERE doc_id < 20
+        |ORDER BY doc_id, tf.token""".stripMargin,
+    "text_split_assign" ->
+      s"""SELECT doc_id, $polySql % 100 AS bucket,
+         |  CASE WHEN $polySql % 100 < 80 THEN 'train'
+         |       WHEN $polySql % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
