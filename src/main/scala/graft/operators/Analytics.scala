@@ -197,7 +197,31 @@ object Analytics {
       .orderBy("o_orderpriority", "status")
   }
 
+  /** SQL frontend parity: the TPC-H Q3 shape submitted as SQL text
+    * through spark.sql over registered views — same Catalyst pipeline
+    * as the DataFrame API, same exact-decimal conventions. */
+  def sqlQ3(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  o_orderpriority
+        |FROM v_customer
+        |JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 20""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_q3" -> sqlQ3,
     "window_range_frame" -> windowRangeFrame,
     "window_value_fns" -> windowValueFns,
     "fn_null_handling" -> fnNullHandling,
@@ -215,6 +239,20 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 20""".stripMargin,
     "window_range_frame" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT) AS d,

@@ -21,8 +21,12 @@ object SortsSets {
       .orderBy(col("p_type").asc, col("p_name").asc, col("p_partkey").asc)
 
   /** O3 (raw_to_samples.py:129,236,262): head-of-group pick — first
-    * event per user in id order (deterministic, not limit(1)). */
+    * event per user in id order (deterministic, not limit(1)).
+    * Written in the idiomatic row_number spelling; with the engine
+    * enabled, RewriteRowNumberTopK turns it into the bounded-heap
+    * TopKPerKey operator (k=1) — no per-partition sort. */
   def sortLimit(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.Graft.enable(s)
     val w = Window.partitionBy("user_id").orderBy(col("event_id").asc)
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),

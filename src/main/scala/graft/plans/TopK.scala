@@ -85,8 +85,10 @@ object GraftStrategy extends SparkStrategy {
   * spark.sql.extensions=graft.plans.GraftExtensions); [[TopK.of]]
   * also injects at runtime so driver-built sessions work unchanged. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => GraftStrategy)
+    e.injectOptimizerRule(_ => RewriteRowNumberTopK)
+  }
 }
 
 object TopK {

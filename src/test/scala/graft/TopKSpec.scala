@@ -33,6 +33,41 @@ class TopKSpec extends SparkSpecBase {
     assert(custom == windowed && custom.nonEmpty)
   }
 
+  test("optimizer rule rewrites the row_number()+filter spelling to TopKPerKey") {
+    plans.Graft.enable(spark)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val q = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey ["), p)
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "), p)
+    // same rows as the un-rewritten window spelling
+    val sNoRule = spark.newSession()
+    val expect = Tables.orders(sNoRule, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(_.toString).toSet
+    assert(q.collect().map(_.toString).toSet == expect && expect.nonEmpty)
+  }
+
+  test("rewrite does NOT fire when the rank column is still referenced") {
+    plans.Graft.enable(spark)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val q = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn")) // rn survives -> no rewrite
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("TopKPerKey ["), p)
+  }
+
   test("plans as TopKPerKeyExec with a hash exchange, no per-partition sort") {
     val o = Tables.orders(spark, sf)
       .select("o_custkey", "o_orderkey", "o_totalprice")
