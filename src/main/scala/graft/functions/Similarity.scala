@@ -45,13 +45,16 @@ object Similarity {
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        |  (x, y) -> x + y)""".stripMargin
 
-  val PLANES = 4 // 2^4 = 16 buckets over ~500 vectors
+  val PLANES = 4 // 2^4 = 16 buckets per table
+  val TABLES = 8 // standard multi-table LSH: candidates = bucket-mates in ANY table
 
-  /** Deterministic LCG plane weights in {-1,0,1}, identical to the
-    * SQL-side formula. */
-  def planeWeights: Seq[(Int, Int, Long)] =
-    for (j <- 0 until PLANES; i <- 0 until 64) yield
-      (j, i, ((1103515245L * (j * 64 + i + 1) + 12345L) % 2147483647L) % 3 - 1)
+  /** Deterministic LCG plane weights in {-1,0,1} per (table, plane,
+    * dim), identical to the SQL-side formula. */
+  def planeWeights: Seq[(Int, Int, Int, Long)] =
+    for (t <- 0 until TABLES; j <- 0 until PLANES; i <- 0 until 64) yield
+      (t, j, i,
+        ((1103515245L * ((t * PLANES + j) * 64 + i + 1) + 12345L)
+          % 2147483647L) % 3 - 1)
 
   /** L3a: brute-force cosine top-k — 5 query vectors against the full
     * corpus, top 5 neighbors each. The tiny query side is broadcast,
@@ -74,19 +77,20 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** Per-vector LSH bucket id: sign bits of 4 integer hyperplane
-    * projections over floor(x * 2^20)-quantized coordinates. */
+  /** Per-vector LSH bucket ids, one per hash table: sign bits of 4
+    * integer hyperplane projections over floor(x * 2^20)-quantized
+    * coordinates -> (vec_id, t, bucket). */
   private def buckets(s: SparkSession, dir: String): DataFrame = {
     val qv = Tables.embeddings(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("i"),
         floor(col("col").cast("double") * 1048576).cast("long").as("qv"))
     val wdf = broadcast(
-      s.createDataFrame(planeWeights).toDF("j", "i", "wt"))
+      s.createDataFrame(planeWeights).toDF("t", "j", "i", "wt"))
     qv.join(wdf, "i")
-      .groupBy("vec_id", "j")
+      .groupBy("vec_id", "t", "j")
       .agg(sum(col("qv") * col("wt")).as("sj"))
-      .groupBy("vec_id")
+      .groupBy("vec_id", "t")
       .agg(sum(expr(
         "CASE WHEN sj >= 0 THEN shiftleft(CAST(1 AS BIGINT), j) " +
           "ELSE CAST(0 AS BIGINT) END")).as("bucket"))
@@ -96,19 +100,23 @@ object Similarity {
     * query's bucket-mates (equi-join on bucket = the shuffle key that
     * replaces the cross product at scale), then exact cosine rerank. */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val bk = buckets(s, dir)
+    // candidate pairs: same bucket in ANY of the 8 tables
+    val qbk = bk.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("t"), col("bucket"))
+    val cand = bk.join(broadcast(qbk), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .select(col("vec_id"), col("emb"), norm2(col("emb")).as("nrm"))
-      .join(buckets(s, dir), "vec_id")
     val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"),
-      col("nrm").as("qnrm"), col("bucket").as("qbucket"))
-      .filter(col("qid") < 5)
+      col("nrm").as("qnrm"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    e.join(broadcast(q),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("bucket"),
+    cand.join(e, "vec_id").join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
         round(dot(col("qemb"), col("emb")) /
           (col("qnrm") * col("nrm")), 4).as("cos"))
       .withColumn("rnk", row_number().over(w))
@@ -122,17 +130,17 @@ object Similarity {
   )
 
   private val bucketSql =
-    s"""w AS (SELECT j, i,
-       |    ((1103515245 * (j * 64 + i + 1) + 12345) % 2147483647) % 3 - 1 AS wt
-       |  FROM range(0, $PLANES) t(j), range(0, 64) s(i)),
+    s"""w AS (SELECT tt.t, j, i,
+       |    ((1103515245 * ((tt.t * $PLANES + j) * 64 + i + 1) + 12345) % 2147483647) % 3 - 1 AS wt
+       |  FROM range(0, $TABLES) tt(t), range(0, $PLANES) p(j), range(0, 64) s(i)),
        |qv AS (SELECT vec_id, i.i,
        |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
        |  FROM embeddings, range(0, 64) i(i)),
-       |sj AS (SELECT qv.vec_id, w.j, SUM(qv.qv * w.wt) AS sj
-       |  FROM qv JOIN w ON qv.i = w.i GROUP BY 1, 2),
-       |bk AS (SELECT vec_id,
+       |sj AS (SELECT qv.vec_id, w.t, w.j, SUM(qv.qv * w.wt) AS sj
+       |  FROM qv JOIN w ON qv.i = w.i GROUP BY 1, 2, 3),
+       |bk AS (SELECT vec_id, t,
        |    SUM(CASE WHEN sj >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
-       |  FROM sj GROUP BY vec_id)""".stripMargin
+       |  FROM sj GROUP BY vec_id, t)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_topk" ->
@@ -150,18 +158,23 @@ object Similarity {
          |ORDER BY qid, rnk""".stripMargin,
     "sim_ann_lsh" ->
       s"""WITH $bucketSql,
+         |cand AS (SELECT DISTINCT qb.vec_id AS qid, bk.vec_id
+         |  FROM bk JOIN (SELECT * FROM bk WHERE vec_id < 5) qb
+         |    ON bk.t = qb.t AND bk.bucket = qb.bucket
+         |  WHERE bk.vec_id <> qb.vec_id),
          |e AS (SELECT e0.vec_id, e0.embedding,
-         |    sqrt(${sqlDot("e0.embedding", "e0.embedding")}) AS nrm, bk.bucket
-         |  FROM embeddings e0 JOIN bk ON e0.vec_id = bk.vec_id),
-         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm,
-         |    bucket AS qbucket FROM e WHERE vec_id < 5)
-         |SELECT qid, e.vec_id, e.bucket,
+         |    sqrt(${sqlDot("e0.embedding", "e0.embedding")}) AS nrm
+         |  FROM embeddings e0),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |  FROM e WHERE vec_id < 5)
+         |SELECT cand.qid, cand.vec_id,
          |  round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) AS cos,
-         |  CAST(row_number() OVER (PARTITION BY qid
+         |  CAST(row_number() OVER (PARTITION BY cand.qid
          |    ORDER BY round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) DESC,
-         |    e.vec_id ASC) AS INT) AS rnk
-         |FROM e JOIN q ON e.bucket = qbucket AND e.vec_id <> qid
+         |    cand.vec_id ASC) AS INT) AS rnk
+         |FROM cand JOIN e ON cand.vec_id = e.vec_id
+         |JOIN q ON cand.qid = q.qid
          |QUALIFY rnk <= 3
-         |ORDER BY qid, rnk""".stripMargin,
+         |ORDER BY cand.qid, rnk""".stripMargin,
   )
 }

@@ -160,9 +160,40 @@ object Joins {
       .orderBy("category")
   }
 
+  /** J7b: the bucketed range join — the 100 TB path for
+    * point-in-interval when neither side broadcasts ("A Scalable and
+    * Generic Approach to Range Joins", VLDB 2022): quantize points to
+    * fixed-width buckets, replicate each interval into every bucket it
+    * overlaps, equi-join on the bucket, then verify the exact
+    * predicate. Same output as join_range (BNLJ form), different
+    * physical shape: shuffle on bucket instead of a nested loop. */
+  def joinRangeBucketed(s: SparkSession, dir: String): DataFrame = {
+    val width = 5.0
+    val bands = s.createDataFrame(Seq(
+      ("b0_tiny", 0.0, 10.0),
+      ("b1_small", 10.0, 20.0),
+      ("b2_mid", 20.0, 35.0),
+      ("b3_large", 35.0, 50.0),
+      ("b4_huge", 50.0, 60.0))).toDF("band", "lo", "hi")
+    // replicate each band to every width-5 bucket it overlaps
+    val bandBuckets = bands.select(col("band"), col("lo"), col("hi"),
+      explode(sequence(
+        floor(col("lo") / width).cast("long"),
+        floor((col("hi") - 0.001) / width).cast("long"))).as("bucket"))
+    val pts = Tables.lineitem(s, dir)
+      .select(col("l_quantity"),
+        floor(col("l_quantity") / width).cast("long").as("bucket"))
+    pts.join(bandBuckets, "bucket")
+      .filter(col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> joinAsof,
     "join_salted" -> joinSalted,
+    "join_range_bucketed" -> joinRangeBucketed,
     "join_broadcast" -> joinBroadcast,
     "join_inner" -> joinInner,
     "join_semi" -> joinSemi,
@@ -172,6 +203,14 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_range_bucketed" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('b0_tiny', 0.0, 10.0), ('b1_small', 10.0, 20.0),
+        |  ('b2_mid', 20.0, 35.0), ('b3_large', 35.0, 50.0),
+        |  ('b4_huge', 50.0, 60.0))
+        |SELECT band, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
     "join_salted" ->
       """WITH dim(event_type, category) AS (VALUES
         |  ('click','engage'), ('view','engage'), ('purchase','convert'),

@@ -113,6 +113,22 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: micro-batches land as parquet equal to the batch input") {
+    val outDir = Files.createTempDirectory("graft_fb").toString + "/out"
+    val q = eventsStream.select("event_id", "user_id", "event_type")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val written = spark.read.parquet(outDir)
+      assert(written.count() == Tables.events(spark, sf).count())
+      assert(written.select("event_id").distinct().count() == written.count())
+    } finally q.stop()
+  }
+
   test("T5 streaming dedup by key emits one row per event_id") {
     val q = eventsStream.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
