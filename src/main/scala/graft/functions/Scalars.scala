@@ -125,7 +125,49 @@ object Scalars {
       .withColumnRenamed("col", "token")
       .orderBy("doc_id", "pos")
 
+  /** F18: higher-order array lambdas — transform / filter / exists /
+    * forall / aggregate over token arrays (the Catalyst lambda surface
+    * itself; the hot-path hashing versions are native expressions). */
+  def fnHigherOrder(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        size(filter(col("toks"), t => length(t) > 4)).as("n_long"),
+        exists(col("toks"), t => t === "the").as("has_the"),
+        forall(col("toks"), t => length(t) > 1).as("all_multichar"),
+        aggregate(transform(col("toks"), t => length(t)), lit(0),
+          (acc, n) => acc + n).as("total_chars"))
+      .orderBy("doc_id")
+
+  /** F19: struct build/extract — nested metadata shaping (flattened
+    * scalar outputs; raw struct columns don't hash-compare portably). */
+  def fnStructOps(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("st"),
+          col("o_orderpriority").as("prio")).as("meta"))
+      .select(col("o_orderkey"),
+        col("meta.st").as("status"),
+        upper(col("meta").getField("prio")).as("prio_uc"))
+      .orderBy("o_orderkey")
+
+  /** O2b: union by name with missing columns filled as null (schema
+    * evolution across catalog generations). */
+  def setUnionByname(s: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.orders(s, dir).filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val v2 = Tables.orders(s, dir)
+      .filter(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_higher_order" -> fnHigherOrder,
+    "fn_struct_ops" -> fnStructOps,
+    "set_union_byname" -> setUnionByname,
     "fn_math_bbox" -> fnMathBbox,
     "fn_cast_round" -> fnCastRound,
     "fn_format_string" -> fnFormatString,
@@ -136,6 +178,27 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_higher_order" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), t -> length(t) > 4)) AS INT) AS n_long,
+        |  list_has_any(string_split(text,' '), ['the']) AS has_the,
+        |  len(list_filter(string_split(text,' '), t -> length(t) <= 1)) = 0 AS all_multichar,
+        |  CAST(list_reduce(list_concat([0],
+        |    list_transform(string_split(text,' '), t -> CAST(length(t) AS INT))),
+        |    (a, b) -> a + b) AS INT) AS total_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_struct_ops" ->
+      """SELECT o_orderkey,
+        |  struct_extract({'st': o_orderstatus, 'prio': o_orderpriority}, 'st') AS status,
+        |  upper(struct_extract({'st': o_orderstatus, 'prio': o_orderpriority}, 'prio')) AS prio_uc
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "set_union_byname" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM orders WHERE o_orderkey < 100
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200
+        |ORDER BY o_orderkey""".stripMargin,
     "fn_math_bbox" ->
       """WITH b AS (
         |  SELECT l_orderkey, l_linenumber,
