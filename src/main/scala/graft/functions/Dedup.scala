@@ -150,11 +150,17 @@ object Dedup {
       (0 until 32).map(j =>
         when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
-    sig.as("l").join(sig.as("r"), col("l.doc_id") < col("r.doc_id"))
+    // Hamming 0 == signature equality, so the pair search is a hash
+    // EQUI-join on simhash (shuffle on the signature), never the
+    // O(n^2) cross join. For a nonzero threshold t at scale, band the
+    // signature into t+1 chunks and equi-join per chunk instead
+    // (pigeonhole: some chunk must match exactly).
+    sig.as("l").join(sig.as("r"),
+        col("l.simhash") === col("r.simhash") &&
+          col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash")))
           .as("hamming"))
-      .filter(col("hamming") <= 0)
       .orderBy("da", "db")
   }
 
