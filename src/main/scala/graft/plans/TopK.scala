@@ -41,6 +41,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  /** Top-k filtering preserves the child's partitioning — downstream
+    * operators keyed on the same columns reuse the exchange. */
+  override def outputPartitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
@@ -50,18 +55,25 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val cmp = RowOrdering.create(sortOrder, childOutput)
       // max-heap wrt the requested order: the ordering-greatest (i.e.
-      // worst-ranked) row sits on top and is evicted first.
-      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      val heapOrd: Ordering[UnsafeRow] =
-        (a: UnsafeRow, b: UnsafeRow) => cmp.compare(a, b)
+      // worst-ranked) row sits on top and is evicted first. Memory is
+      // bounded at k rows per distinct key in the partition; for
+      // k * cardinality beyond executor memory, fall back to the
+      // window spelling (which sorts and spills).
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      val heapOrd: Ordering[InternalRow] =
+        (a: InternalRow, b: InternalRow) => cmp.compare(a, b)
+      def copyRow(r: InternalRow): InternalRow = r match {
+        case u: UnsafeRow => u.copy()
+        case other => other.copy() // non-codegen children emit generic rows
+      }
       it.foreach { row =>
         val heap = heaps.getOrElseUpdate(
           keyProj(row).copy(), mutable.PriorityQueue.empty(heapOrd))
         if (heap.size < limit) {
-          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+          heap.enqueue(copyRow(row))
         } else if (cmp.compare(row, heap.head) < 0) {
           heap.dequeue()
-          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+          heap.enqueue(copyRow(row))
         }
       }
       // emit each group's survivors in rank order (deterministic)
