@@ -32,14 +32,21 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = c)
 }
 
+/** Bounded-heap grouped top-k pass. Planned TWICE per logical node —
+  * a `partial` pass runs map-side before the exchange (top-k is a
+  * merge-able monoid, like partial aggregation), so at most k rows per
+  * (input partition, key) cross the wire; the final pass runs after
+  * the hash exchange and produces the global per-key top-k. */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: SparkPlan) extends UnaryExecNode {
+    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
-  /** All rows of one key must meet in one partition; the planner
-    * inserts the hash exchange (or reuses an existing one). */
+  /** Final pass: all surviving rows of one key must meet in one
+    * partition (the planner inserts or reuses the hash exchange).
+    * Partial pass: runs wherever the child's rows already are. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   /** Top-k filtering preserves the child's partitioning — downstream
     * operators keyed on the same columns reuse the exchange. */
@@ -83,12 +90,18 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
     copy(child = c)
+
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
 }
 
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // partial (map-side) pass, then exchange, then final pass
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
