@@ -134,7 +134,58 @@ object Reference {
             _.cast("string")), ",").as("subjects"))
       .orderBy("frame_id")
 
+  /** EP3 end-to-end (raw_to_samples.py:310-396) as ONE lazy plan —
+    * the reference's whole stage 3: frames → tumbling segments (:336)
+    * → per-frame detections (M1 surrogate, :276) → class-frequency
+    * filter (:147-153, "dog" = cls < 7, ratio > 0.3) → coverage HAVING
+    * (:212-216; >= 8 distinct frames — the surrogate emits 1-3
+    * detections/frame, so the reference's strict equality would be
+    * degenerate) → per-subject window-max padded bbox (:59-72) →
+    * success rows with formatted sample paths (:364-369) unioned with
+    * an error channel for segments yielding no subjects (:372-374).
+    * Videos = frame_id div 100, segments = 20-frame tumbles. */
+  def refEp3Full(s: SparkSession, dir: String): DataFrame = {
+    val det = graft.multimodal.Multimodal.udfInference(s, dir)
+      .withColumn("video", (col("frame_id") / 100).cast("long"))
+      .withColumn("segment", ((col("frame_id") % 100) / 20).cast("long"))
+    val perSub = det.groupBy("video", "segment", "sub_id")
+      .agg(
+        count(lit(1)).as("n_det"),
+        countDistinct(col("frame_id")).as("n_frames"),
+        (sum(when(col("cls") < 7, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("dog_freq"),
+        (max(col("x2") - col("x1")) + 10).as("tw"),
+        (max(col("y2") - col("y1")) + 10).as("th"))
+    val qualifying = perSub
+      .filter(col("dog_freq") > 0.3 && col("n_frames") >= 8)
+    val success = qualifying.select(
+      col("video"), col("segment"), col("sub_id"),
+      lit("success").as("status"),
+      concat(lit("samples/v"), lpad(col("video").cast("string"), 3, "0"),
+        lit("/seg"), lpad(col("segment").cast("string"), 2, "0"),
+        lit("/sub"), col("sub_id"), lit(".mp4")).as("sample_path"),
+      col("n_det"), col("n_frames"), col("dog_freq"),
+      col("tw"), col("th"))
+    val allSegs = det.select("video", "segment").distinct()
+    val errors = allSegs
+      .join(qualifying.select("video", "segment").distinct(),
+        Seq("video", "segment"), "left_anti")
+      .select(col("video"), col("segment"),
+        lit(null).cast("long").as("sub_id"),
+        lit("error").as("status"),
+        lit(null).cast("string").as("sample_path"),
+        lit(null).cast("long").as("n_det"),
+        lit(null).cast("long").as("n_frames"),
+        lit(null).cast("double").as("dog_freq"),
+        lit(null).cast("long").as("tw"),
+        lit(null).cast("long").as("th"))
+    success.unionByName(errors)
+      .orderBy(col("video"), col("segment"),
+        col("sub_id").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ref_ep3_full" -> refEp3Full,
     "ref_preprocess" -> refPreprocess,
     "ref_transpose" -> refTranspose,
     "ref_id_continuation" -> refIdContinuation,
@@ -144,6 +195,43 @@ object Reference {
   )
 
   val oracles: Map[String, String] = Map(
+    "ref_ep3_full" ->
+      """WITH det AS (
+        |  SELECT f AS frame_id, f // 100 AS video, (f % 100) // 20 AS segment,
+        |    (f*7 + i) % 5 AS sub_id, (f*13 + i) % 20 AS cls,
+        |    (f*11 + i*29) % 600 AS x1, (f*17 + i*37) % 440 AS y1,
+        |    (f*11 + i*29) % 600 + f % 80 + 20 AS x2,
+        |    (f*17 + i*37) % 440 + f % 60 + 20 AS y2
+        |  FROM (SELECT event_id AS f FROM events WHERE event_id < 1000),
+        |    UNNEST(range(0, f % 3 + 1)) AS r(i)),
+        |per_sub AS (
+        |  SELECT video, segment, sub_id,
+        |    COUNT(*) AS n_det,
+        |    COUNT(DISTINCT frame_id) AS n_frames,
+        |    CAST(SUM(CASE WHEN cls < 7 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / COUNT(*) AS dog_freq,
+        |    MAX(x2 - x1) + 10 AS tw, MAX(y2 - y1) + 10 AS th
+        |  FROM det GROUP BY video, segment, sub_id),
+        |qualifying AS (
+        |  SELECT * FROM per_sub WHERE dog_freq > 0.3 AND n_frames >= 8),
+        |success AS (
+        |  SELECT video, segment, sub_id, 'success' AS status,
+        |    'samples/v' || lpad(CAST(video AS VARCHAR), 3, '0') ||
+        |    '/seg' || lpad(CAST(segment AS VARCHAR), 2, '0') ||
+        |    '/sub' || sub_id || '.mp4' AS sample_path,
+        |    n_det, n_frames, dog_freq, tw, th
+        |  FROM qualifying),
+        |errors AS (
+        |  SELECT s.video, s.segment, CAST(NULL AS BIGINT) AS sub_id,
+        |    'error' AS status, CAST(NULL AS VARCHAR) AS sample_path,
+        |    CAST(NULL AS BIGINT) AS n_det, CAST(NULL AS BIGINT) AS n_frames,
+        |    CAST(NULL AS DOUBLE) AS dog_freq,
+        |    CAST(NULL AS BIGINT) AS tw, CAST(NULL AS BIGINT) AS th
+        |  FROM (SELECT DISTINCT video, segment FROM det) s
+        |  WHERE NOT EXISTS (SELECT 1 FROM qualifying q
+        |    WHERE q.video = s.video AND q.segment = s.segment))
+        |SELECT * FROM (SELECT * FROM success UNION ALL SELECT * FROM errors)
+        |ORDER BY video, segment, sub_id NULLS FIRST""".stripMargin,
     "ref_preprocess" ->
       """SELECT 'videos/' || c_custkey || '.mp4' AS path,
         |  CASE WHEN c_nationkey = 1 THEN 'play'
