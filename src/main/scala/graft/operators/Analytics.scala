@@ -14,6 +14,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Analytics {
 
+  /** Typed row for [[typedPipeline]]. */
+  case class LineSlim(l_orderkey: Long, l_quantity: Double,
+      l_returnflag: String)
+
   /** A8+: GROUPING SETS with grouping_id disambiguation. */
   def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
@@ -220,7 +224,29 @@ object Analytics {
         |LIMIT 20""".stripMargin)
   }
 
+  /** Typed Dataset[T] pipeline — compile-time field checks through
+    * case-class Encoders, ending back in a DataFrame for the contract.
+    * (Dataset where type safety helps, DataFrame at the boundary —
+    * SURVEY.md §1.2 stance.) */
+  def typedPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .as[Analytics.LineSlim]
+    ds.filter(_.l_quantity > 30.0)
+      .map(l => (l.l_returnflag, l.l_quantity))
+      .groupByKey(_._1)
+      .mapGroups((flag, it) => {
+        var n = 0L; var sum = 0.0
+        it.foreach { case (_, q) => n += 1; sum += q } // integral doubles: exact
+        (flag, n, sum)
+      })
+      .toDF("l_returnflag", "n_big", "sum_qty")
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "typed_pipeline" -> typedPipeline,
     "sql_q3" -> sqlQ3,
     "window_range_frame" -> windowRangeFrame,
     "window_value_fns" -> windowValueFns,
@@ -239,6 +265,10 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "typed_pipeline" ->
+      """SELECT l_returnflag, COUNT(*) AS n_big, SUM(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_quantity > 30.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "sql_q3" ->
       """SELECT l_orderkey,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
