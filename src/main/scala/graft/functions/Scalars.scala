@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.{Exact, Tables}
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType}
@@ -12,12 +12,10 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType}
   */
 object Scalars {
 
-  /** F1/F2 (raw_to_samples.py:24-52): bbox recenter + ceil-resize +
-    * clamp to the frame, as pure column arithmetic. Bboxes are
-    * synthesized deterministically from lineitem integer columns; the
-    * transform mirrors the reference: center (:20-21), ceil to target
-    * size (:33-36), clamp to [0,W]x[0,H] preserving size (:39-50). */
-  /** The recenter/ceil/clamp transform itself, reusable over any frame
+  /** F1/F2 (raw_to_samples.py:24-52): the recenter/ceil/clamp
+    * transform — mirrors the reference: center (:20-21), ceil to
+    * target size (:33-36), clamp to [0,W]x[0,H] preserving size
+    * (:39-50). Reusable over any frame
     * with x1/y1/x2/y2 columns (target size tw x th, frame W x H) —
     * shared by fnMathBbox, Reference.refBboxPipeline, and the specs. */
   def resizeBbox(df: DataFrame, W: Int, H: Int,
@@ -37,6 +35,8 @@ object Scalars {
       .withColumn("by2", ry2.cast("long"))
   }
 
+  /** F1 over the corpus: bboxes synthesized deterministically from
+    * lineitem integer columns, then resized/clamped. */
   def fnMathBbox(s: SparkSession, dir: String): DataFrame = {
     val W = 640; val H = 480; val TW = 128; val TH = 96
     val base = Tables.lineitem(s, dir).select(
