@@ -190,10 +190,47 @@ object Joins {
       .orderBy("band")
   }
 
+  /** J9: LEFT OUTER — every customer with its order count (0 kept). */
+  def joinLeftOuter(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        Exact.sumD(coalesce(col("o_totalprice"), lit(0.0)))
+          .as("total_spend"))
+      .orderBy("c_custkey")
+
+  /** J10: FULL OUTER — customer-side vs supplier-side nation presence
+    * (unmatched keys survive from both sides). */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+    val su = Tables.supplier(s, dir).groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  /** J11: explicit CROSS — region x order status grid (tiny x tiny;
+    * anything larger crosses through broadcast/bucketed paths). */
+  def joinCross(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).select("r_name")
+      .crossJoin(Tables.orders(s, dir)
+        .select("o_orderstatus").distinct())
+      .orderBy("r_name", "o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> joinAsof,
     "join_salted" -> joinSalted,
     "join_range_bucketed" -> joinRangeBucketed,
+    "join_left_outer" -> joinLeftOuter,
+    "join_full_outer" -> joinFullOuter,
+    "join_cross" -> joinCross,
     "join_broadcast" -> joinBroadcast,
     "join_inner" -> joinInner,
     "join_semi" -> joinSemi,
@@ -203,6 +240,25 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, COUNT(*) AS n_customers
+        |  FROM customer GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey, COUNT(*) AS n_suppliers
+        |  FROM supplier GROUP BY s_nationkey)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |  COALESCE(n_customers, 0) AS n_customers,
+        |  COALESCE(n_suppliers, 0) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY r_name, o_orderstatus""".stripMargin,
     "join_range_bucketed" ->
       """WITH bands(band, lo, hi) AS (VALUES
         |  ('b0_tiny', 0.0, 10.0), ('b1_small', 10.0, 20.0),
