@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the analytics/sources surface (each query also
+  * has a DuckDB oracle; these pin semantic invariants directly). */
+class AnalyticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("scan_filter_paths lists exactly the 10 corpus tables") {
+    val names = sources.Sources.scanFilterPaths(spark, sf)
+      .select("file_name").as[String].collect().toSet
+    assert(names == Tables.names.map(_ + ".parquet").toSet)
+  }
+
+  test("pivot conserves rows: per-user counts sum to the event total") {
+    val p = operators.Analytics.aggPivot(spark, sf)
+    val total = p.select(
+      (col("click") + col("view") + col("purchase") +
+        col("signup") + col("error")).as("s"))
+      .agg(sum("s")).as[Long].head()
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("range-frame running spend always includes the current order") {
+    val bad = operators.Analytics.windowRangeFrame(spark, sf)
+      .filter(col("spend_90d") < col("o_totalprice")).count()
+    assert(bad == 0)
+  }
+
+  test("unpivot is the inverse of the pivot shape (cell count preserved)") {
+    val wide = Tables.orders(spark, sf).select("o_orderpriority")
+      .distinct().count()
+    assert(operators.Analytics.aggUnpivot(spark, sf).count() == wide * 3)
+  }
+
+  test("split assignment is ~80/10/10 and deterministic across runs") {
+    val a = operators.Analytics.aggTypedArgmax(spark, sf) // warm unrelated
+    val s1 = functions.Text.textSplitAssign(spark, sf)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val s2 = functions.Text.textSplitAssign(spark, sf)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(s1 == s2)
+    val n = s1.values.sum.toDouble
+    assert(s1("train") / n > 0.7 && s1("train") / n < 0.9)
+  }
+}
