@@ -245,7 +245,30 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** A15: Pearson correlation from exact integer moment sums (the
+    * built-in corr's streaming update is order-dependent; n*Sxy etc.
+    * stay exact integers in double range, one sqrt+division at the
+    * end). */
+  def aggCorr(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sx"),
+        sum(col("l_linenumber").cast("double")).as("sy"),
+        sum(col("l_quantity") * col("l_linenumber")).as("sxy"),
+        sum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        sum(col("l_linenumber").cast("double") * col("l_linenumber"))
+          .as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_line"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr" -> aggCorr,
     "typed_pipeline" -> typedPipeline,
     "sql_q3" -> sqlQ3,
     "window_range_frame" -> windowRangeFrame,
@@ -265,6 +288,19 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(l_quantity) AS sx,
+        |    SUM(CAST(l_linenumber AS DOUBLE)) AS sy,
+        |    SUM(l_quantity * l_linenumber) AS sxy,
+        |    SUM(l_quantity * l_quantity) AS sxx,
+        |    SUM(CAST(l_linenumber AS DOUBLE) * l_linenumber) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_line
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "typed_pipeline" ->
       """SELECT l_returnflag, COUNT(*) AS n_big, SUM(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_quantity > 30.0
