@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embeddings — SURVEY.md §2.11 L3.
@@ -124,9 +125,53 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  val CELLS = 16 // IVF coarse cells
+
+  /** L3c: IVF-Flat — coarse quantization into CELLS inverted lists,
+    * then exact search within the query's cell. "Training" is
+    * deterministic (centroids = the first CELLS corpus vectors — at
+    * scale, a seeded k-means over a sample); assignment distance runs
+    * in floor(x*2^20)-quantized integer space so the argmin (with
+    * centroid-id tie-break) is bit-identical in the oracle. */
+  def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val qv = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        floor(col("col").cast("double") * 1048576).cast("long").as("qv"))
+    val cent = qv.filter(col("vec_id") < CELLS)
+      .select(col("vec_id").as("cid"), col("i"), col("qv").as("cv"))
+    // quantized L2 to every centroid; argmin with cid tie-break
+    val d2 = qv.join(broadcast(cent), "i")
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+    val w0 = Window.partitionBy("vec_id")
+      .orderBy(col("d2").asc, col("cid").asc)
+    val cells = d2.withColumn("rn", row_number().over(w0))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
+    // exact cosine rerank within the query's cell
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"), norm2(col("emb")).as("nrm"))
+      .join(cells, "vec_id")
+    val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+      col("nrm").as("qnrm"), col("cell").as("qcell"))
+      .filter(col("qid") < 5)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"),
+        round(dot(col("qemb"), col("emb")) /
+          (col("qnrm") * col("nrm")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> simTopk,
     "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_ivf" -> simAnnIvf,
   )
 
   private val bucketSql =
@@ -142,7 +187,32 @@ object Similarity {
        |    SUM(CASE WHEN sj >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
        |  FROM sj GROUP BY vec_id, t)""".stripMargin
 
+  private val ivfSql =
+    s"""qv AS (SELECT vec_id, i.i,
+       |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+       |  FROM embeddings, range(0, 64) i(i)),
+       |cent AS (SELECT vec_id AS cid, i, qv AS cv FROM qv WHERE vec_id < $CELLS),
+       |d2 AS (SELECT qv.vec_id, cent.cid, SUM((qv.qv - cent.cv) * (qv.qv - cent.cv)) AS d2
+       |  FROM qv JOIN cent ON qv.i = cent.i GROUP BY 1, 2),
+       |cells AS (SELECT vec_id, cid AS cell FROM d2
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_ann_ivf" ->
+      s"""WITH $ivfSql,
+         |e AS (SELECT e0.vec_id, e0.embedding,
+         |    sqrt(${sqlDot("e0.embedding", "e0.embedding")}) AS nrm, cells.cell
+         |  FROM embeddings e0 JOIN cells ON e0.vec_id = cells.vec_id),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm,
+         |    cell AS qcell FROM e WHERE vec_id < 5)
+         |SELECT qid, e.vec_id, e.cell,
+         |  round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) AS cos,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) DESC,
+         |    e.vec_id ASC) AS INT) AS rnk
+         |FROM e JOIN q ON e.cell = qcell AND e.vec_id <> qid
+         |QUALIFY rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
     "sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
