@@ -30,10 +30,30 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    // Full per-query timings go to a repo file; stdout gets ONE compact
+    // JSON line. The driver captures only the final ~2000 chars of
+    // output, so a 100-entry map (~2.3 KB) gets truncated mid-line and
+    // fails to parse (round-1 BENCH had parsed:null). Keep the printed
+    // line under ~1500 chars: slowest queries first, rest summarized.
+    val fullJson = results.map { case (k, v) => s"\"$k\":$v" }
+      .mkString(s"""{"metric":"total","value":$total,"unit":"sec","queries":{""",
+        ",", s"""},"sf":"$sfDir"}""")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+        (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    val budget = 1500
+    val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
+    val sb = new StringBuilder(header)
+    var first = true
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      val entry = (if (first) "" else ",") + s""""$k":${fmt(v)}"""
+      if (sb.length + entry.length < budget) { sb.append(entry); first = false }
+    }
+    sb.append("}}")
+    println(sb.toString)
     spark.stop()
   }
 }

@@ -67,12 +67,19 @@ object Dedup {
     * (measured 2.2x on the dedup tail at sf0.1). ~10s of MB at corpus
     * scale; at 100 TB this staging relation would be written to
     * parquet between stages instead. */
+  private val shCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(shinglesOf("toks")).as("sh"))
-      .select(col("doc_id"), Text.polyHash(col("sh")).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // memoized per (session, dir): dedup_minhash and dedup_ngram both
+    // call this, and repeated catalog runs in one long-lived session
+    // must not accumulate fresh MEMORY_AND_DISK entries per invocation
+    shCache.getOrElseUpdate((s, dir),
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(shinglesOf("toks")).as("sh"))
+        .select(col("doc_id"), Text.polyHash(col("sh")).as("hs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private val shingleHashSql =
     """WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),

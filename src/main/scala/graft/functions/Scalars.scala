@@ -164,7 +164,21 @@ object Scalars {
       .orderBy("o_orderkey")
   }
 
+  /** F13: bitwise scalar family — AND / OR / XOR / shifts / popcount,
+    * all over BIGINT keys so both engines compute in 64-bit. */
+  def fnBitwise(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(col("l_partkey")).as("k_and"),
+        col("l_orderkey").bitwiseOR(col("l_partkey")).as("k_or"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("k_xor"),
+        shiftleft(col("l_linenumber").cast("long"), 3).as("line_shl"),
+        shiftright(col("l_orderkey"), 2).as("key_shr"),
+        bit_count(col("l_partkey")).as("part_bits"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_bitwise" -> fnBitwise,
     "fn_higher_order" -> fnHigherOrder,
     "fn_struct_ops" -> fnStructOps,
     "set_union_byname" -> setUnionByname,
@@ -178,6 +192,15 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & l_partkey AS k_and,
+        |  l_orderkey | l_partkey AS k_or,
+        |  xor(l_orderkey, l_partkey) AS k_xor,
+        |  CAST(l_linenumber AS BIGINT) << 3 AS line_shl,
+        |  l_orderkey >> 2 AS key_shr,
+        |  CAST(bit_count(l_partkey) AS INT) AS part_bits
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "fn_higher_order" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text,' '), t -> length(t) > 4)) AS INT) AS n_long,

@@ -45,7 +45,13 @@ object Multimodal {
     * the frame stream). This is the one deliberate non-Catalyst hop in
     * the engine — typed mapPartitions — kept oracle-testable because
     * the surrogate is pure integer arithmetic. */
-  def udfInference(s: SparkSession, dir: String): DataFrame = {
+  def udfInference(s: SparkSession, dir: String): DataFrame =
+    inferenceDet(s, dir).orderBy("frame_id", "det_i")
+
+  /** Unsorted detection stream — composite pipelines (ref_ep3_full,
+    * ref_transpose) aggregate right after, so forcing a sort + range
+    * exchange here would be two wasted shuffles inside their plans. */
+  private[graft] def inferenceDet(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val frames: Dataset[FrameRow] = Tables.events(s, dir)
       .filter(col("event_id") < 1000)
@@ -53,7 +59,7 @@ object Multimodal {
     frames.mapPartitions { it =>
       val model = new SurrogateDetector // per-partition init (M1 :170)
       it.flatMap(f => model.detect(f.frame_id))
-    }.toDF().orderBy("frame_id", "det_i")
+    }.toDF()
   }
 
   /** L5a: multimodal metadata — text bytes stand in for media bytes:

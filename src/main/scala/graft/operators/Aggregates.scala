@@ -121,8 +121,33 @@ object Aggregates {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** A10: exact median (interpolated percentile-0.5) + mode per group.
+    * mode ties are engine-arbitrary, so the mode column is over
+    * l_linenumber whose frequency is strictly decreasing in the TPC-H
+    * generator (line 1 exists for every order) — unique argmax, hence
+    * deterministic in both engines. */
+  def aggMedianMode(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(median(col("l_quantity")).as("med_qty"),
+        mode(col("l_linenumber")).as("mode_line"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** A11: boolean/conditional aggregates — count_if / bool_and /
+    * bool_or, the predicates-as-aggregates family. */
+  def aggBoolean(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(count_if(col("o_totalprice") > 150000).as("n_big"),
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_orderstatus") === "P").as("any_pending"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
+    "agg_median_mode" -> aggMedianMode,
+    "agg_boolean" -> aggBoolean,
     "agg_collect_list" -> aggCollectList,
     "agg_max_group" -> aggMaxGroup,
     "agg_ratio_having" -> aggRatioHaving,
@@ -135,6 +160,16 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_median_mode" ->
+      """SELECT l_returnflag, median(l_quantity) AS med_qty,
+        |  mode(l_linenumber) AS mode_line, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_boolean" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderstatus = 'P') AS any_pending
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
@@ -156,7 +191,7 @@ object Aggregates {
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "agg_ratio_having" ->
       """SELECT user_id,
-        |  SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS ratio
         |FROM events GROUP BY user_id

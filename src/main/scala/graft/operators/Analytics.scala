@@ -345,7 +345,7 @@ object Analytics {
         |  FROM events)
         |SELECT user_id, COUNT(*) AS n_all, COUNT(et) AS n_nonnull,
         |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_ok,
-        |  SUM(CASE WHEN et IS NULL THEN 1 ELSE 0 END) AS n_errors,
+        |  CAST(SUM(CASE WHEN et IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
         |  COUNT(CASE WHEN et IS NOT DISTINCT FROM NULL THEN 1 END) AS n_nullsafe
         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_unpivot" ->

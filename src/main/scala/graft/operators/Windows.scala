@@ -69,7 +69,25 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** W4c: distribution-bucket window functions — ntile / percent_rank
+    * / cume_dist per priority class. The (o_totalprice, o_orderkey)
+    * order is total, so every bucket assignment is deterministic;
+    * percent_rank and cume_dist are exact integer ratios, so the
+    * double division is bit-identical across engines. */
+  def windowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_ntile" -> windowNtile,
     "window_row_number" -> windowRowNumber,
     "window_analytic_max" -> windowAnalyticMax,
     "window_rank" -> windowRank,
@@ -77,6 +95,15 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "window_row_number" ->
       """SELECT c_custkey, c_name,
         |  row_number() OVER (ORDER BY c_name) + 999 AS file_index

@@ -53,7 +53,7 @@ object Flagship {
       """WITH w AS (
         |  SELECT user_id, time_bucket(INTERVAL 2 MINUTES, ts) AS win_start,
         |    COUNT(*) AS n_events,
-        |    SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |    CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS win_value
         |  FROM events GROUP BY 1, 2),
         |q AS (

@@ -46,17 +46,24 @@ object Reference {
     * exceptions_data pair, :385-393), instead of a try/except loop.
     * Failure surrogate: k % 97 == 0 "decode failure". */
   def refErrorChannel(s: SparkSession, dir: String): DataFrame = {
+    // Fused form of the two-channel split: one scan, one JSON parse,
+    // no union — each branch of the original union re-scanned events
+    // and re-parsed props (measured 2x the whole query's cost at
+    // sf0.1; at 100 TB the double scan is the difference between one
+    // pass and two). Catalyst cannot merge union branches itself, so
+    // the fusion is done at authoring time; output is identical.
     val parsed = Tables.events(s, dir)
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
-    val ok = parsed.filter(col("k") % 97 =!= 0)
-      .select(col("event_id"), lit("success").as("status"), col("k"),
-        lit(null).cast("string").as("error"))
-    val err = parsed.filter(col("k") % 97 === 0)
-      .select(col("event_id"), lit("error").as("status"),
-        lit(null).cast("int").as("k"),
-        concat(lit("decode failed: k="), col("k")).as("error"))
-    ok.unionByName(err).orderBy("event_id")
+        get_json_object(col("props"), "$.k").cast("int").as("k0"))
+    val isErr = col("k0") % 97 === 0
+    parsed
+      .filter(col("k0").isNotNull) // both original channels drop null k
+      .select(col("event_id"),
+        when(isErr, lit("error")).otherwise(lit("success")).as("status"),
+        when(!isErr, col("k0")).as("k"),
+        when(isErr, concat(lit("decode failed: k="), col("k0")))
+          .as("error"))
+      .orderBy("event_id")
   }
 
   /** EP3 segmentation (raw_to_samples.py:330-341): tumbling fixed-size
@@ -126,7 +133,7 @@ object Reference {
     * canonical subject list out (map semantics emitted as a sorted CSV
     * string: map column hash-compare is not portable). */
   def refTranspose(s: SparkSession, dir: String): DataFrame =
-    graft.multimodal.Multimodal.udfInference(s, dir)
+    graft.multimodal.Multimodal.inferenceDet(s, dir)
       .groupBy("frame_id")
       .agg(count(lit(1)).as("n_subjects"),
         array_join(
@@ -145,7 +152,7 @@ object Reference {
     * an error channel for segments yielding no subjects (:372-374).
     * Videos = frame_id div 100, segments = 20-frame tumbles. */
   def refEp3Full(s: SparkSession, dir: String): DataFrame = {
-    val det = graft.multimodal.Multimodal.udfInference(s, dir)
+    val det = graft.multimodal.Multimodal.inferenceDet(s, dir)
       .withColumn("video", (col("frame_id") / 100).cast("long"))
       .withColumn("segment", ((col("frame_id") % 100) / 20).cast("long"))
     val perSub = det.groupBy("video", "segment", "sub_id")
@@ -166,7 +173,11 @@ object Reference {
         lit("/sub"), col("sub_id"), lit(".mp4")).as("sample_path"),
       col("n_det"), col("n_frames"), col("dog_freq"),
       col("tw"), col("th"))
-    val allSegs = det.select("video", "segment").distinct()
+    // every detection belongs to some sub_id, so perSub already holds
+    // every (video, segment) — deriving the segment universe from it
+    // (instead of det) lets the planner reuse perSub's aggregation
+    // exchange rather than re-running the whole inference subtree
+    val allSegs = perSub.select("video", "segment").distinct()
     val errors = allSegs
       .join(qualifying.select("video", "segment").distinct(),
         Seq("video", "segment"), "left_anti")

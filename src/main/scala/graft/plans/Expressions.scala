@@ -18,9 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * the DuckDB oracles are unchanged.
   */
 
-/** Polynomial rolling hash over a string's chars:
-  * fold(acc*31 + code) mod 1e9+7 — identical to the DuckDB
-  * list_reduce over string_split(text,'') for BMP text. */
+/** Polynomial rolling hash over a string's code points:
+  * fold(acc*31 + codepoint) mod 1e9+7 — identical to the DuckDB
+  * list_reduce over unicode(string_split(text,'')) for ALL text:
+  * DuckDB's unicode() yields code points, so the Spark side iterates
+  * code points too (not UTF-16 units) or emoji/CJK-extension chars
+  * would diverge. */
 case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_poly_hash"
@@ -45,8 +48,9 @@ object PolyHash {
     var i = 0
     val n = str.length
     while (i < n) {
-      acc = (acc * 31L + str.charAt(i)) % P
-      i += 1
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % P
+      i += Character.charCount(cp)
     }
     acc
   }

@@ -32,11 +32,23 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = c)
 }
 
-/** Bounded-heap grouped top-k pass. Planned TWICE per logical node —
-  * a `partial` pass runs map-side before the exchange (top-k is a
-  * merge-able monoid, like partial aggregation), so at most k rows per
-  * (input partition, key) cross the wire; the final pass runs after
-  * the hash exchange and produces the global per-key top-k. */
+/** Grouped top-k, planned TWICE per logical node — a `partial` pass
+  * runs map-side before the exchange (top-k is a merge-able monoid,
+  * like partial aggregation), so at most k rows per (input partition,
+  * key) cross the wire; the final pass runs after the hash exchange
+  * and produces the global per-key top-k.
+  *
+  * Memory safety at high key cardinality (k x distinct-keys heaps
+  * cannot be allowed to OOM an executor):
+  *  - partial pass: bounded-heap reduction, but the heap map tracks at
+  *    most `spark.graft.topk.maxKeysPerPartition` keys (default 1M);
+  *    rows of further keys PASS THROUGH unfiltered — always correct,
+  *    since the partial pass is only a shuffle-volume reducer.
+  *  - final pass: no heaps at all — requires the child sorted by
+  *    (keys, order), which Spark satisfies with a spillable SortExec,
+  *    then a single streaming scan emits the first k rows per key in
+  *    O(1) memory. Input to this sort is already cut to
+  *    <= k x inputPartitions rows per key by the partial pass. */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
@@ -48,43 +60,74 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     if (partial) super.requiredChildDistribution
     else ClusteredDistribution(keys) :: Nil
 
+  /** Final pass consumes a grouped, rank-ordered stream; the planner
+    * plants a (spillable) sort if the child isn't already ordered. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+
   /** Top-k filtering preserves the child's partitioning — downstream
     * operators keyed on the same columns reuse the exchange. */
   override def outputPartitioning =
     child.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else keys.map(SortOrder(_, Ascending)) ++ order
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val limit = k
-    child.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
-      val cmp = RowOrdering.create(sortOrder, childOutput)
-      // max-heap wrt the requested order: the ordering-greatest (i.e.
-      // worst-ranked) row sits on top and is evicted first. Memory is
-      // bounded at k rows per distinct key in the partition; for
-      // k * cardinality beyond executor memory, fall back to the
-      // window spelling (which sorts and spills).
-      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      val heapOrd: Ordering[InternalRow] =
-        (a: InternalRow, b: InternalRow) => cmp.compare(a, b)
-      def copyRow(r: InternalRow): InternalRow = r match {
-        case u: UnsafeRow => u.copy()
-        case other => other.copy() // non-codegen children emit generic rows
+    if (partial) {
+      val maxKeys = conf.getConfString(
+        "spark.graft.topk.maxKeysPerPartition", "1000000").toInt
+      child.execute().mapPartitions { it =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        val cmp = RowOrdering.create(sortOrder, childOutput)
+        // max-heap wrt the requested order: the ordering-greatest
+        // (i.e. worst-ranked) row sits on top and is evicted first.
+        val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+        val heapOrd: Ordering[InternalRow] =
+          (a: InternalRow, b: InternalRow) => cmp.compare(a, b)
+        def copyRow(r: InternalRow): InternalRow = r match {
+          case u: UnsafeRow => u.copy()
+          case other => other.copy() // non-codegen children emit generic rows
+        }
+        val passthrough = it.flatMap { row =>
+          val key = keyProj(row)
+          val heap = heaps.get(key) match {
+            case Some(h) => h
+            case None if heaps.size < maxKeys =>
+              val h = mutable.PriorityQueue.empty(heapOrd)
+              heaps.put(key.copy(), h)
+              h
+            case None => null // over budget: emit unfiltered, final pass filters
+          }
+          if (heap == null) Iterator.single(row)
+          else {
+            if (heap.size < limit) heap.enqueue(copyRow(row))
+            else if (cmp.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(copyRow(row))
+            }
+            Iterator.empty
+          }
+        }
+        // ++ evaluates its right side only after the input is drained
+        passthrough ++ heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
       }
-      it.foreach { row =>
-        val heap = heaps.getOrElseUpdate(
-          keyProj(row).copy(), mutable.PriorityQueue.empty(heapOrd))
-        if (heap.size < limit) {
-          heap.enqueue(copyRow(row))
-        } else if (cmp.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(copyRow(row))
+    } else {
+      child.execute().mapPartitions { it =>
+        val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+        var curKey: UnsafeRow = null
+        var rank = 0
+        it.flatMap { row =>
+          val key = keyProj(row)
+          if (curKey == null || curKey != key) { curKey = key.copy(); rank = 0 }
+          rank += 1
+          if (rank <= limit) Iterator.single(row) else Iterator.empty
         }
       }
-      // emit each group's survivors in rank order (deterministic)
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
     }
   }
 

@@ -98,7 +98,63 @@ object Streaming {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** T7: streaming dedup — first-arrival key dedup, the streaming
+    * spelling of exact dedup (dropDuplicatesWithinWatermark bounds the
+    * key state by event time; StreamingSpec runs that flavor). Only
+    * the surviving KEY SET is emitted: which physical row survives is
+    * arrival-order-dependent in both engines, the key set is not. */
+  def dedupKeys(ev: DataFrame): DataFrame =
+    ev.dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
+  def streamDedup(s: SparkSession, dir: String): DataFrame =
+    dedupKeys(Tables.events(s, dir)).orderBy("user_id", "event_type")
+
+  /** T8: custom sessionization over KeyValueGroupedDataset — the
+    * arbitrary-stateful-op surface (SURVEY §2.10). Batch spelling:
+    * flatMapGroups walks each user's events in (ts, event_id) order
+    * and cuts a new session when the gap exceeds 30 minutes; the
+    * streaming spelling is flatMapGroupsWithState (same walk, state =
+    * open session; StreamingSpec pins a mapGroupsWithState variant).
+    * All comparisons are on unix_micros (== DuckDB epoch_us exactly);
+    * outputs are ids/counts only — no raw timestamps (ns vs us). */
+  def streamUserSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long)]) =>
+        // group fits in memory at corpus scale (events per user); the
+        // streaming flavor bounds this by watermark + state timeout
+        val rows = it.toArray.sortBy(r => (r._3, r._2))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        var idx = -1L; var prev = Long.MinValue
+        var n = 0L; var first = Long.MaxValue; var last = Long.MinValue
+        rows.foreach { case (_, eid, t) =>
+          if (idx < 0L || t - prev > gapUs) {
+            if (idx >= 0L) out += ((uid, idx, n, first, last))
+            idx += 1; n = 0; first = Long.MaxValue; last = Long.MinValue
+          }
+          n += 1
+          if (eid < first) first = eid
+          if (eid > last) last = eid
+          prev = t
+        }
+        if (idx >= 0L) out += ((uid, idx, n, first, last))
+        out.iterator
+      }
+      .toDF("user_id", "session_idx", "n_events", "first_event",
+        "last_event")
+      .orderBy("user_id", "session_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup" -> streamDedup,
+    "stream_user_sessions" -> streamUserSessions,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
@@ -107,6 +163,26 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "stream_user_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_idx
+        |  FROM o)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "stream_interval_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
         |FROM (SELECT * FROM events WHERE event_type = 'click') c

@@ -68,14 +68,38 @@ class TopKSpec extends SparkSpecBase {
     assert(!p.contains("TopKPerKey ["), p)
   }
 
-  test("plans as TopKPerKeyExec with a hash exchange, no per-partition sort") {
+  test("plans partial heap -> exchange -> spillable sort -> final scan") {
     val o = Tables.orders(spark, sf)
       .select("o_custkey", "o_orderkey", "o_totalprice")
     val p = plans.TopK.of(o, Seq("o_custkey"), "o_totalprice",
       desc = true, k = 3).queryExecution.executedPlan.toString
     // physical node prints without the Exec suffix (TreeNode.nodeName)
     assert(p.contains("TopKPerKey ["), p)
+    assert(p.contains("TopKPerKeyPartial ["), p)
     assert(p.contains("hashpartitioning(o_custkey"), p)
-    assert(!p.contains("Sort "), p)
+    // the final pass is deliberately sort-based (O(1) memory, Spark's
+    // SortExec spills): its input is already cut to <= k rows per
+    // (input partition, key) by the map-side heap pass, and the sort
+    // cannot OOM at high key cardinality the way per-key heaps can.
+    // The sort sits AFTER the exchange (local, not global).
+    assert(p.contains("Sort ["), p)
+  }
+
+  test("partial-pass key budget: tiny cap still yields exact top-k") {
+    val o = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val expect = plans.TopK.of(o, Seq("o_custkey"), "o_totalprice",
+      desc = true, k = 3, tiebreak = Seq("o_orderkey"))
+      .collect().map(_.toString).toSet
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "2")
+    try {
+      // with only 2 tracked keys/partition almost everything passes
+      // through unfiltered — the final pass must still produce the
+      // exact same per-key top-k
+      val got = plans.TopK.of(o, Seq("o_custkey"), "o_totalprice",
+        desc = true, k = 3, tiebreak = Seq("o_orderkey"))
+        .collect().map(_.toString).toSet
+      assert(got == expect && expect.nonEmpty)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
   }
 }

@@ -7,11 +7,27 @@ name and rows by all columns, and compares values exactly.
 
 Usage: check.py <sfDir> <outDir> [query ...]
 """
-import json, sys, math
+import json, re, sys, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+# The committed oracle SQL pins staged-fixture paths to the driver's
+# sf0.01 gate corpus (sources/Sources.scala, pipeline/Reference.scala).
+# When checking another scale factor locally, rewrite those paths to
+# the requested sfDir so we compare against that sf's fixtures.
+GATE_SF = "/root/testdata/sf0.01"
+
+
+def stage_dir(d):
+    # mirror of graft.sources.Sources.stageDir
+    return "/tmp/graft_export/" + re.sub(r"[^A-Za-z0-9.]", "_", d)
+
+
+def retarget(sql, sf_dir):
+    return (sql.replace(stage_dir(GATE_SF), stage_dir(sf_dir))
+               .replace(GATE_SF, sf_dir))
 
 
 def canon(df):
@@ -47,6 +63,7 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        sql = retarget(sql, sf_dir)
         try:
             want = canon(con.sql(sql).df())
         except Exception as e:
