@@ -179,6 +179,59 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** L2 (SimHash-64, banded): the scale shape the 32-bit variant's
+    * Scaladoc promises — a 64-bit signature searched at Hamming
+    * distance <= 3 via 4 exact-match bands of 16 bits (pigeonhole: a
+    * pair within distance 3 differs in at most 3 bands, so at least
+    * one band matches exactly and every qualifying pair is a
+    * candidate). Both the banding join and the verification are
+    * equi-joins on 16-bit values — never a cross join. The token hash
+    * is only ~30 bits (polynomial mod 1e9+7), so the 64 signature
+    * bits come from 64 affine rehashes (LSB of (h*a_j + b_j) mod P),
+    * which DuckDB reproduces in exact integer arithmetic.
+    * Signature = 4 x 16-bit band columns h0..h3; total Hamming =
+    * sum of per-band popcounts of XOR. */
+  /** The 4 x 16-bit signature relation (doc_id, h0..h3) backing
+    * [[dedupSimhash64]]; exposed for the recall-exactness spec. */
+  private[graft] def simhash64Sig(s: SparkSession, dir: String): DataFrame = {
+    val tokCnt = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", Text.polyHash(col("tok")))
+    val sumCols = (0 until 64).map { j =>
+      val bit = expr(s"((h * ${2 * j + 3} + ${97 * j + 31}) % $P) & 1")
+      sum(when(bit === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s$j")
+    }
+    val sums = tokCnt.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+    sums.select(col("doc_id") +: (0 until 4).map(b =>
+      (16 * b until 16 * (b + 1)).map(j =>
+        when(col(s"s$j") >= 0, lit(1L << (j - 16 * b))).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"h$b")): _*)
+  }
+
+  def dedupSimhash64(s: SparkSession, dir: String): DataFrame = {
+    val sig = simhash64Sig(s, dir)
+    val bandLong = sig.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), col(s"h$b").as("bh"))): _*)).as("x"))
+      .select(col("doc_id"), col("x.band"), col("x.bh"))
+    val cand = bandLong.as("l")
+      .join(bandLong.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(sig.as("a"), col("da") === col("a.doc_id"))
+      .join(sig.as("b"), col("db") === col("b.doc_id"))
+      .select(col("da"), col("db"),
+        (0 until 4).map(b =>
+          bit_count(col(s"a.h$b").bitwiseXOR(col(s"b.h$b"))))
+          .reduce(_ + _).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("da", "db")
+  }
+
   /** L2 (exact n-gram Jaccard): ground-truth near-dup pairs via the
     * shingle equi-join, jac >= 0.8 — the recall yardstick for the
     * minhash path. */
@@ -223,6 +276,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash64" -> dedupSimhash64,
     "dedup_ngram" -> dedupNgram,
     "dedup_embedding" -> dedupEmbedding,
   )
@@ -233,6 +287,18 @@ object Dedup {
     s"(m${2 * b} * 131 + m${2 * b + 1}) % 1000000007 AS b$b").mkString(", ")
   private val bandUnion = (0 until BANDS).map(b =>
     s"SELECT doc_id, $b AS band, b$b AS bh FROM banded").mkString(" UNION ALL ")
+
+  private val sim64Sums = (0 until 64).map(j =>
+    s"SUM(CASE WHEN (((h * ${2 * j + 3} + ${97 * j + 31}) % 1000000007) & 1) = 1" +
+      s" THEN cnt ELSE -cnt END) AS s$j").mkString(", ")
+  private val sim64Bands = (0 until 4).map(b =>
+    (16 * b until 16 * (b + 1)).map(j =>
+      s"CASE WHEN s$j >= 0 THEN CAST(${1L << (j - 16 * b)} AS BIGINT) ELSE 0 END")
+      .mkString(" + ") + s" AS h$b").mkString(", ")
+  private val sim64BandUnion = (0 until 4).map(b =>
+    s"SELECT doc_id, $b AS band, h$b AS bh FROM sig").mkString(" UNION ALL ")
+  private val sim64Ham = (0 until 4).map(b =>
+    s"bit_count(xor(a.h$b, b.h$b))").mkString(" + ")
 
   private val simhashSums = (0 until 32).map(j =>
     s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN cnt ELSE -cnt END) AS s$j").mkString(", ")
@@ -275,6 +341,24 @@ object Dedup {
          |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
          |FROM sig l JOIN sig r ON l.doc_id < r.doc_id
          |WHERE bit_count(xor(l.simhash, r.simhash)) <= 0
+         |ORDER BY da, db""".stripMargin,
+    "dedup_simhash64" ->
+      s"""WITH tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+         |    SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |th AS (SELECT doc_id, cnt, list_reduce(
+         |    list_concat([CAST(0 AS BIGINT)],
+         |      list_transform(string_split(tok,''), c -> CAST(unicode(c) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS h FROM tc),
+         |sums AS (SELECT doc_id, $sim64Sums FROM th GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $sim64Bands FROM sums),
+         |bl AS ($sim64BandUnion),
+         |cand AS (SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+         |         FROM bl l JOIN bl r ON l.band = r.band AND l.bh = r.bh
+         |           AND l.doc_id < r.doc_id)
+         |SELECT da, db, CAST($sim64Ham AS INT) AS hamming
+         |FROM cand JOIN sig a ON da = a.doc_id JOIN sig b ON db = b.doc_id
+         |WHERE $sim64Ham <= 3
          |ORDER BY da, db""".stripMargin,
     "dedup_ngram" ->
       s"""$shingleHashSql,

@@ -118,35 +118,42 @@ object Streaming {
     * open session; StreamingSpec pins a mapGroupsWithState variant).
     * All comparisons are on unix_micros (== DuckDB epoch_us exactly);
     * outputs are ids/counts only — no raw timestamps (ns vs us). */
+  /** The session walk itself, shared by the batch flatMapGroups
+    * spelling and the streaming flatMapGroupsWithState spelling
+    * (StreamingSpec): rows are (user_id, event_id, unix_micros),
+    * output is (user_id, session_idx, n_events, first_event,
+    * last_event). Group fits in memory at corpus scale (events per
+    * user); the streaming flavor bounds it by watermark + timeout. */
+  private[graft] def sessionWalk(uid: Long,
+      it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, Long, Long, Long)] = {
+    val gapUs = 30L * 60 * 1000000
+    val rows = it.toArray.sortBy(r => (r._3, r._2))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    var idx = -1L; var prev = Long.MinValue
+    var n = 0L; var first = Long.MaxValue; var last = Long.MinValue
+    rows.foreach { case (_, eid, t) =>
+      if (idx < 0L || t - prev > gapUs) {
+        if (idx >= 0L) out += ((uid, idx, n, first, last))
+        idx += 1; n = 0; first = Long.MaxValue; last = Long.MinValue
+      }
+      n += 1
+      if (eid < first) first = eid
+      if (eid > last) last = eid
+      prev = t
+    }
+    if (idx >= 0L) out += ((uid, idx, n, first, last))
+    out.iterator
+  }
+
   def streamUserSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val gapUs = 30L * 60 * 1000000
     Tables.events(s, dir)
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("tus"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long)]) =>
-        // group fits in memory at corpus scale (events per user); the
-        // streaming flavor bounds this by watermark + state timeout
-        val rows = it.toArray.sortBy(r => (r._3, r._2))
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(Long, Long, Long, Long, Long)]
-        var idx = -1L; var prev = Long.MinValue
-        var n = 0L; var first = Long.MaxValue; var last = Long.MinValue
-        rows.foreach { case (_, eid, t) =>
-          if (idx < 0L || t - prev > gapUs) {
-            if (idx >= 0L) out += ((uid, idx, n, first, last))
-            idx += 1; n = 0; first = Long.MaxValue; last = Long.MinValue
-          }
-          n += 1
-          if (eid < first) first = eid
-          if (eid > last) last = eid
-          prev = t
-        }
-        if (idx >= 0L) out += ((uid, idx, n, first, last))
-        out.iterator
-      }
+      .flatMapGroups(sessionWalk _)
       .toDF("user_id", "session_idx", "n_events", "first_event",
         "last_event")
       .orderBy("user_id", "session_idx")

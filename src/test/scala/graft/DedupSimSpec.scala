@@ -118,6 +118,23 @@ class DedupSimSpec extends SparkSpecBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("simhash64 banding is EXACT for hamming <= 3 (pigeonhole recall)") {
+    import org.apache.spark.sql.functions.bit_count
+    val sig = functions.Dedup.simhash64Sig(spark, sf)
+    // brute-force ground truth: every pair within hamming 3
+    val brute = sig.as("a").join(sig.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        (0 until 4).map(b =>
+          bit_count(col(s"a.h$b").bitwiseXOR(col(s"b.h$b"))))
+          .reduce(_ + _).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = functions.Dedup.dedupSimhash64(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute && brute.nonEmpty)
+  }
+
   test("langid: CJK text -> zh; stopword-heavy english -> en") {
     val df = Seq((0L, "the data of the table is big", "en"),
       (1L, "中文文档", "zh")).toDF("doc_id", "text", "lang")

@@ -93,6 +93,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("T7 streaming dedup: dropDuplicatesWithinWatermark keys == batch distinct") {
+    val dd = eventsStream.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val q = dd.writeStream.outputMode("append")
+      .format("memory").queryName("t7_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("t7_out").collect().map(_.toString).toSet
+      val batch = streaming.Streaming.dedupKeys(Tables.events(spark, sf))
+        .collect().map(_.toString).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("T8 sessionization: flatMapGroupsWithState == batch flatMapGroups walk") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ds = eventsStream
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .as[(Long, Long, Long)]
+    // single AvailableNow-style batch: each group sees all its rows in
+    // one invocation, so the stateful walk equals the batch walk; with
+    // multiple micro-batches the buffered state would carry rows across
+    val sess = ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[(Long, Long, Long)], (Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[Array[(Long, Long, Long)]]) =>
+          val buffered = state.getOption.getOrElse(Array.empty) ++ it
+          state.update(buffered)
+          streaming.Streaming.sessionWalk(uid, buffered.iterator)
+      }.toDF("user_id", "session_idx", "n_events", "first_event", "last_event")
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("t8_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("t8_out").collect().map(_.toString).toSet
+      val batch = streaming.Streaming.streamUserSessions(spark, sf)
+        .collect().map(_.toString).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("T6 stream-stream interval join (watermarked, append) == batch join") {
     val clicks = eventsStream.filter(col("event_type") === "click")
       .withWatermark("ts", "1 hour")
