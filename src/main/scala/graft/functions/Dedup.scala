@@ -152,11 +152,21 @@ object Dedup {
     * simhash over a ~30-word shared vocabulary is collision-prone, so
     * any nonzero threshold floods with false positives; the planted
     * near-dup pairs all land at distance 0). */
+  private val tokCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** (doc_id, tok, cnt, h) token-count+hash relation, shared by both
+    * simhash variants — memoized+persisted like [[shingleHashes]]. */
+  private def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    tokCache.getOrElseUpdate((s, dir),
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("h", Text.polyHash(col("tok")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val tokCnt = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", Text.polyHash(col("tok")))
+    val tokCnt = tokenCounts(s, dir)
     val sumCols = (0 until 32).map(j =>
       sum(when(expr(s"(h >> $j) & 1") === 1, col("cnt"))
         .otherwise(-col("cnt"))).as(s"s$j"))
@@ -193,21 +203,15 @@ object Dedup {
     * sum of per-band popcounts of XOR. */
   /** The 4 x 16-bit signature relation (doc_id, h0..h3) backing
     * [[dedupSimhash64]]; exposed for the recall-exactness spec. */
-  private[graft] def simhash64Sig(s: SparkSession, dir: String): DataFrame = {
-    val tokCnt = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", Text.polyHash(col("tok")))
-    val sumCols = (0 until 64).map { j =>
-      val bit = expr(s"((h * ${2 * j + 3} + ${97 * j + 31}) % $P) & 1")
-      sum(when(bit === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s$j")
-    }
-    val sums = tokCnt.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
-    sums.select(col("doc_id") +: (0 until 4).map(b =>
-      (16 * b until 16 * (b + 1)).map(j =>
-        when(col(s"s$j") >= 0, lit(1L << (j - 16 * b))).otherwise(lit(0L)))
-        .reduce(_ + _).as(s"h$b")): _*)
-  }
+  private[graft] def simhash64Sig(s: SparkSession, dir: String): DataFrame =
+    // signature built by the one-pass SimHash64Agg (k-weighted sums in
+    // a 64-slot buffer) — the equivalent 64-SUM-column plan spent its
+    // wall time in generated-code compilation, not data
+    tokenCounts(s, dir)
+      .groupBy("doc_id")
+      .agg(graft.plans.SimHash64Agg.simhash64(col("h"), col("cnt")).as("sig"))
+      .select(col("doc_id") +: (0 until 4).map(b =>
+        element_at(col("sig"), b + 1).as(s"h$b")): _*)
 
   def dedupSimhash64(s: SparkSession, dir: String): DataFrame = {
     val sig = simhash64Sig(s, dir)
@@ -264,7 +268,13 @@ object Dedup {
         col("embedding").cast("array<double>").as("emb"))
       .select(col("vec_id"), col("emb"),
         Similarity.norm2(col("emb")).as("nrm"))
-    e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
+    // the corpus parquet is one small file -> one input partition, so
+    // without an explicit spread the O(n^2) pair loop runs on a single
+    // core; hash-repartitioning the streamed side parallelizes it
+    // across the cluster while the broadcast side stays un-shuffled
+    e.repartition(col("vec_id"))
+      .as("l").join(broadcast(e).as("r"),
+        col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("da"), col("r.vec_id").as("db"),
         round(Similarity.dot(col("l.emb"), col("r.emb")) /
           (col("l.nrm") * col("r.nrm")), 4).as("cos"))

@@ -109,6 +109,37 @@ object Text {
         substring(sha2(col("text"), 256), 1, 16).as("fp_sha"))
       .orderBy("doc_id")
 
+  /** L4g: normalization-then-exact-dedup — the standard first dedup
+    * rung of a training pipeline: lowercase, strip punctuation,
+    * collapse whitespace, THEN content-hash group. Catches trivial
+    * variants (case, spacing, punctuation) that byte-exact dedup
+    * misses; one groupBy shuffle carrying (hash, min_id, count). */
+  def dedupNormalized(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("norm"))
+      .groupBy(sha2(col("norm"), 256).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_variants"))
+      .orderBy("keeper_doc_id")
+
+  /** L4h: PII masking — regex redaction of email-shaped and
+    * long-digit-run substrings before a corpus ships to training.
+    * Patterns kept RE2-compatible so DuckDB reproduces them. */
+  def textPiiMask(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+          "[0-9]{6,}", "<NUM>").as("masked"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"),
+            "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", ""))).as("n_email_chars"))
+      .orderBy("doc_id")
+
   /** L4e: corpus vocabulary — global token frequencies, top 50 by
     * count (wordcount + TakeOrderedAndProject; at 100 TB this is the
     * classic two-level partial-agg shape). */
@@ -151,6 +182,8 @@ object Text {
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_normalized" -> dedupNormalized,
+    "text_pii_mask" -> textPiiMask,
     "text_vocab" -> textVocab,
     "text_tfidf" -> textTfidf,
     "text_split_assign" -> textSplitAssign,
@@ -170,6 +203,20 @@ object Text {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_normalized" ->
+      """SELECT sha256(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g'))) AS norm_hash,
+        |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_variants
+        |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
+    "text_pii_mask" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS masked,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '', 'g')) AS INT) AS n_email_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_vocab" ->
       """SELECT token, COUNT(*) AS freq
         |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)

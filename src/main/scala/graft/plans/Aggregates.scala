@@ -98,3 +98,86 @@ object MinHashAgg {
     Bridge.toColumn(
       MinHashAgg(Bridge.toExpr(hashCol), k).toAggregateExpression())
 }
+
+/** One-pass 64-bit SimHash signature: per input (tokenHash, count),
+  * bit j of the token is the LSB of the affine rehash
+  * (h*(2j+3) + (97j+31)) mod P (same family as [[MinHashAgg]]); the
+  * buffer accumulates the 64 count-weighted sums, and eval emits the
+  * signature as 4 x 16-bit band values (sum of 1<<(j-16b) where
+  * s_j >= 0) — the layout Dedup's banded search joins on. Replaces a
+  * 64-SUM-column aggregate whose generated code dominated the query's
+  * wall time at corpus scale. Values are identical to the column
+  * formulation (pure integer arithmetic), so the DuckDB oracle is
+  * unchanged. */
+case class SimHash64Agg(hash: Expression, cnt: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private val P = PolyHash.P
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val hv = hash.eval(input)
+    val cv = cnt.eval(input)
+    if (hv != null && cv != null) {
+      val h = hv.asInstanceOf[Long]
+      val c = cv.asInstanceOf[Long]
+      var j = 0
+      while (j < 64) {
+        val bit = ((h * (2 * j + 3) + (97 * j + 31)) % P) & 1L
+        buf(j) += (if (bit == 1L) c else -c)
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < 64) { b1(j) += b2(j); j += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val bands = new Array[Long](4)
+    var j = 0
+    while (j < 64) {
+      if (buf(j) >= 0) bands(j / 16) |= (1L << (j % 16))
+      j += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * 64)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(hash, cnt)
+  override def withNewMutableAggBufferOffset(o: Int): SimHash64Agg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimHash64Agg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): SimHash64Agg =
+    copy(hash = c(0), cnt = c(1))
+  override def prettyName: String = "graft_simhash64"
+}
+
+object SimHash64Agg {
+  /** Column form: simhash64(hashCol, cntCol) -> array<long> of the
+    * 4 x 16-bit band values. */
+  def simhash64(hashCol: Column, cntCol: Column): Column =
+    Bridge.toColumn(
+      SimHash64Agg(Bridge.toExpr(hashCol), Bridge.toExpr(cntCol))
+        .toAggregateExpression())
+}
