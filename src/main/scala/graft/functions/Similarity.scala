@@ -47,7 +47,7 @@ object Similarity {
        |  (x, y) -> x + y)""".stripMargin
 
   val PLANES = 4 // 2^4 = 16 buckets per table
-  val TABLES = 8 // standard multi-table LSH: candidates = bucket-mates in ANY table
+  val TABLES = 16 // standard multi-table LSH: candidates = bucket-mates in ANY table
 
   /** Deterministic LCG plane weights in {-1,0,1} per (table, plane,
     * dim), identical to the SQL-side formula. */
@@ -102,7 +102,7 @@ object Similarity {
     * replaces the cross product at scale), then exact cosine rerank. */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val bk = buckets(s, dir)
-    // candidate pairs: same bucket in ANY of the 8 tables
+    // candidate pairs: same bucket in ANY of the TABLES tables
     val qbk = bk.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("t"), col("bucket"))
     val cand = bk.join(broadcast(qbk), Seq("t", "bucket"))
@@ -121,7 +121,7 @@ object Similarity {
         round(dot(col("qemb"), col("emb")) /
           (col("qnrm") * col("nrm")), 4).as("cos"))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= 5)
       .orderBy("qid", "rnk")
   }
 
@@ -164,7 +164,7 @@ object Similarity {
         round(dot(col("qemb"), col("emb")) /
           (col("qnrm") * col("nrm")), 4).as("cos"))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= 5)
       .orderBy("qid", "rnk")
   }
 
@@ -211,7 +211,7 @@ object Similarity {
          |    ORDER BY round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) DESC,
          |    e.vec_id ASC) AS INT) AS rnk
          |FROM e JOIN q ON e.cell = qcell AND e.vec_id <> qid
-         |QUALIFY rnk <= 3
+         |QUALIFY rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
     "sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding,
@@ -244,7 +244,7 @@ object Similarity {
          |    cand.vec_id ASC) AS INT) AS rnk
          |FROM cand JOIN e ON cand.vec_id = e.vec_id
          |JOIN q ON cand.qid = q.qid
-         |QUALIFY rnk <= 3
+         |QUALIFY rnk <= 5
          |ORDER BY cand.qid, rnk""".stripMargin,
   )
 }

@@ -89,10 +89,26 @@ object Sources {
         col("length").as("n_bytes"))
       .orderBy("file_name")
 
+  /** S8: binary-content source — the reference's video-byte reads
+    * (raw_to_samples.py:173-196,241-258) as a `binaryFile` scan WITH
+    * the content column materialized: per-file byte length plus the
+    * 4-byte magic header (the container-format probe, :302-307's
+    * metadata analog). Unlike scan_filter_paths, the content column is
+    * NOT pruned — this is the path real decode UDFs hang off. */
+  def scanBinary(s: SparkSession, dir: String): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet")
+      .load(dir)
+      .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+        length(col("content")).cast("long").as("n_bytes"),
+        upper(hex(substring(col("content"), 1, 4))).as("magic"))
+      .orderBy("file_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_csv_schema" -> scanCsvSchema,
     "scan_json_map" -> scanJsonMap,
     "scan_filter_paths" -> scanFilterPaths,
+    "scan_binary" -> scanBinary,
   )
 
   // Oracle SQL is a static string but the staged path depends on the
@@ -115,6 +131,12 @@ object Sources {
     "scan_filter_paths" ->
       s"""SELECT string_split(filename, '/')[-1] AS file_name,
          |  size AS n_bytes
+         |FROM read_blob('$gateSf/*.parquet')
+         |ORDER BY file_name""".stripMargin,
+    "scan_binary" ->
+      s"""SELECT string_split(filename, '/')[-1] AS file_name,
+         |  CAST(octet_length(content) AS BIGINT) AS n_bytes,
+         |  upper(substring(hex(content), 1, 8)) AS magic
          |FROM read_blob('$gateSf/*.parquet')
          |ORDER BY file_name""".stripMargin,
   )
