@@ -224,6 +224,24 @@ object Analytics {
         |LIMIT 20""".stripMargin)
   }
 
+  /** SQL subquery surface: a correlated scalar subquery (per-customer
+    * order count) and a correlated EXISTS filter in one statement —
+    * the shapes Catalyst decorrelates into aggregates + joins
+    * (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery), a
+    * lifecycle feature the DataFrame API spells as explicit joins. */
+  def sqlSubqueries(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT COUNT(*) FROM v_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM v_customer c
+        |WHERE EXISTS (SELECT 1 FROM v_orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Typed Dataset[T] pipeline — compile-time field checks through
     * case-class Encoders, ending back in a DataFrame for the contract.
     * (Dataset where type safety helps, DataFrame at the boundary —
@@ -271,6 +289,7 @@ object Analytics {
     "agg_corr" -> aggCorr,
     "typed_pipeline" -> typedPipeline,
     "sql_q3" -> sqlQ3,
+    "sql_subqueries" -> sqlSubqueries,
     "window_range_frame" -> windowRangeFrame,
     "window_value_fns" -> windowValueFns,
     "fn_null_handling" -> fnNullHandling,
@@ -288,6 +307,14 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_subqueries" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
     "agg_corr" ->
       """WITH m AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
