@@ -164,6 +164,23 @@ object Scalars {
       .orderBy("o_orderkey")
   }
 
+  /** F14: malformed-input tolerance — the dirty-web-data path every
+    * training pipeline needs: a deterministic fraction of the JSON
+    * column is truncated (simulating crawl corruption), and the parse
+    * degrades to NULL + a corrupt flag instead of failing the job
+    * (Spark's get_json_object returns NULL on malformed input; the
+    * oracle guards with json_valid). */
+  def fnJsonCorrupt(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        when(col("event_id") % 7 === 0,
+          expr("substring(props, 1, length(props) - 1)"))
+          .otherwise(col("props")).as("raw"))
+      .select(col("event_id"),
+        get_json_object(col("raw"), "$.k").cast("int").as("k"),
+        get_json_object(col("raw"), "$.k").isNull.as("corrupt"))
+      .orderBy("event_id")
+
   /** F13: bitwise scalar family — AND / OR / XOR / shifts / popcount,
     * all over BIGINT keys so both engines compute in 64-bit. */
   def fnBitwise(s: SparkSession, dir: String): DataFrame =
@@ -178,6 +195,7 @@ object Scalars {
       .orderBy("l_orderkey", "l_linenumber")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_json_corrupt" -> fnJsonCorrupt,
     "fn_bitwise" -> fnBitwise,
     "fn_higher_order" -> fnHigherOrder,
     "fn_struct_ops" -> fnStructOps,
@@ -192,6 +210,19 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_json_corrupt" ->
+      """WITH m AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 7 = 0
+        |         THEN substring(props, 1, length(props) - 1)
+        |         ELSE props END AS raw
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN json_valid(raw)
+        |       THEN CAST(raw->>'k' AS INTEGER) END AS k,
+        |  (CASE WHEN json_valid(raw)
+        |        THEN CAST(raw->>'k' AS INTEGER) END) IS NULL AS corrupt
+        |FROM m ORDER BY event_id""".stripMargin,
     "fn_bitwise" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_orderkey & l_partkey AS k_and,

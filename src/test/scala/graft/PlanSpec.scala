@@ -60,6 +60,31 @@ class PlanSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("stream_user_sessions: one group exchange + one output-order exchange") {
+    val p = plan(streaming.Streaming.streamUserSessions(spark, sf))
+    // the session walk itself must add no shuffle beyond its
+    // group-by-key; the second exchange is only the deterministic
+    // output ordering
+    assert("Exchange".r.findAllIn(p).size == 2, p)
+    assert(p.contains("MapGroups"), p)
+  }
+
+  test("sql_subqueries decorrelates EXISTS into a semi join") {
+    val p = plan(operators.Analytics.sqlSubqueries(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    // no per-row subquery execution survives in the physical plan
+    assert(!p.contains("Subquery"), p)
+  }
+
+  test("dedup_simhash64: signature subtree cached, equi-joins only") {
+    val p = plan(functions.Dedup.dedupSimhash64(spark, sf))
+    // token counts come from the shared persisted relation
+    assert(p.contains("InMemoryTableScan"), p)
+    // banding + verification are hash equi-joins, never a cross join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("approx_count_distinct stays within 15% of exact on the corpus") {
     import spark.implicits._
     val rows = operators.Aggregates.aggApproxDistinct(spark, sf)
