@@ -85,6 +85,32 @@ class PlanSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("runtime bloom filter injects on the probe side of a selective shuffle join") {
+    // the 100 TB lever: a selective dim filter becomes a bloom filter
+    // evaluated inside the fact scan, discarding rows BEFORE the
+    // shuffle. Size thresholds are tuned for clusters, so lower them
+    // to demonstrate the rewrite at corpus scale; broadcast is
+    // disabled because broadcast joins already prune at the probe.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val p = plan(fact.join(dim, col("l_orderkey") === col("o_orderkey")))
+      assert(p.contains("might_contain"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("approx_count_distinct stays within 15% of exact on the corpus") {
     import spark.implicits._
     val rows = operators.Aggregates.aggApproxDistinct(spark, sf)

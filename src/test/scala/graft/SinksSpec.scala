@@ -12,6 +12,30 @@ class SinksSpec extends SparkSpecBase {
   private def tmp(): String =
     Files.createTempDirectory("graft_sink").toString
 
+  test("S12 range-partitioned sorted parquet: file zone maps are disjoint") {
+    // the 100 TB data-layout story: repartitionByRange + sort-within
+    // clusters a sort key so every output file covers a disjoint key
+    // range — parquet min/max stats then let a key-range scan skip
+    // whole files. Verified here by reading each file's actual
+    // key range back and checking pairwise disjointness.
+    val out = tmp() + "/orders_ranged"
+    Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    val ranges = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("o_orderkey"), max("o_orderkey")).head
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    assert(ranges.length >= 2)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping file ranges: $hi >= $lo")
+    }
+  }
+
   test("S6 headered CSV sink round-trips (to_csv(index=False) analog)") {
     val d = tmp()
     val src = Tables.nation(spark, sf)
