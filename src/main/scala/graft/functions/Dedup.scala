@@ -70,15 +70,22 @@ object Dedup {
   private val shCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Library form: (doc_id, hs) shingle-hash relation of any corpus
+    * with (doc_id, text) columns. Persist (or checkpoint to parquet at
+    * 100 TB) before feeding it to the pair ops — they reference it
+    * several times. */
+  def shingleHashesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(shinglesOf("toks")).as("sh"))
+      .select(col("doc_id"), Text.polyHash(col("sh")).as("hs"))
+
   private def shingleHashes(s: SparkSession, dir: String): DataFrame =
     // memoized per (session, dir): dedup_minhash and dedup_ngram both
     // call this, and repeated catalog runs in one long-lived session
     // must not accumulate fresh MEMORY_AND_DISK entries per invocation
     shCache.getOrElseUpdate((s, dir),
-      Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .select(col("doc_id"), explode(shinglesOf("toks")).as("sh"))
-        .select(col("doc_id"), Text.polyHash(col("sh")).as("hs"))
+      shingleHashesOf(Tables.documents(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private val shingleHashSql =
@@ -95,17 +102,20 @@ object Dedup {
   /** L1: exact dedup by content hash — keeper = min doc id per sha256
     * of the text (dropDuplicates is nondeterministic about which row
     * survives; min-per-group is the reproducible form). */
-  def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def dedupExactOn(docs: DataFrame): DataFrame =
+    docs
       .groupBy(sha2(col("text"), 256).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))
       .orderBy("keeper_doc_id")
 
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    dedupExactOn(Tables.documents(s, dir))
+
   /** L2: MinHash + LSH banding, then exact-Jaccard verification of the
-    * banded candidates (jac >= 0.8). */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val hs = shingleHashes(s, dir)
+    * banded candidates (jac >= threshold), over a (doc_id, hs)
+    * shingle-hash relation (see [[shingleHashesOf]]). */
+  def dedupMinhashOn(hs: DataFrame, threshold: Double = 0.8): DataFrame = {
     // k min-hashes per doc in ONE pass via the custom
     // TypedImperativeAggregate (k-slot buffer), not K separate min()s;
     // same affine family, so the oracle SQL (K MIN columns) still
@@ -143,9 +153,12 @@ object Dedup {
       .select(col("da"), col("db"),
         (col("inter").cast("double") /
           (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
-      .filter(col("jac") >= 0.8)
+      .filter(col("jac") >= threshold)
       .orderBy("da", "db")
   }
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    dedupMinhashOn(shingleHashes(s, dir))
 
   /** L2 (SimHash): 32-bit signature from count-weighted token hashes;
     * near-dup pairs at Hamming distance 0 (32-bit
@@ -155,18 +168,22 @@ object Dedup {
   private val tokCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** (doc_id, tok, cnt, h) token-count+hash relation, shared by both
-    * simhash variants — memoized+persisted like [[shingleHashes]]. */
+  /** Library form: (doc_id, tok, cnt, h) token-count+hash relation of
+    * any (doc_id, text) corpus. */
+  def tokenCountsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", Text.polyHash(col("tok")))
+
+  /** Shared by both simhash variants — memoized+persisted like
+    * [[shingleHashes]]. */
   private def tokenCounts(s: SparkSession, dir: String): DataFrame =
     tokCache.getOrElseUpdate((s, dir),
-      Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-        .withColumn("h", Text.polyHash(col("tok")))
+      tokenCountsOf(Tables.documents(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val tokCnt = tokenCounts(s, dir)
+  def dedupSimhashOn(tokCnt: DataFrame): DataFrame = {
     val sumCols = (0 until 32).map(j =>
       sum(when(expr(s"(h >> $j) & 1") === 1, col("cnt"))
         .otherwise(-col("cnt"))).as(s"s$j"))
@@ -189,6 +206,9 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    dedupSimhashOn(tokenCounts(s, dir))
+
   /** L2 (SimHash-64, banded): the scale shape the 32-bit variant's
     * Scaladoc promises — a 64-bit signature searched at Hamming
     * distance <= 3 via 4 exact-match bands of 16 bits (pigeonhole: a
@@ -203,18 +223,22 @@ object Dedup {
     * sum of per-band popcounts of XOR. */
   /** The 4 x 16-bit signature relation (doc_id, h0..h3) backing
     * [[dedupSimhash64]]; exposed for the recall-exactness spec. */
-  private[graft] def simhash64Sig(s: SparkSession, dir: String): DataFrame =
-    // signature built by the one-pass SimHash64Agg (k-weighted sums in
-    // a 64-slot buffer) — the equivalent 64-SUM-column plan spent its
-    // wall time in generated-code compilation, not data
-    tokenCounts(s, dir)
+  /** Library form: 4 x 16-bit signature of a (doc_id, tok, cnt, h)
+    * relation — signature built by the one-pass SimHash64Agg
+    * (k-weighted sums in a 64-slot buffer); the equivalent
+    * 64-SUM-column plan spent its wall time in generated-code
+    * compilation, not data. */
+  def simhash64SigOf(tokCnt: DataFrame): DataFrame =
+    tokCnt
       .groupBy("doc_id")
       .agg(graft.plans.SimHash64Agg.simhash64(col("h"), col("cnt")).as("sig"))
       .select(col("doc_id") +: (0 until 4).map(b =>
         element_at(col("sig"), b + 1).as(s"h$b")): _*)
 
-  def dedupSimhash64(s: SparkSession, dir: String): DataFrame = {
-    val sig = simhash64Sig(s, dir)
+  private[graft] def simhash64Sig(s: SparkSession, dir: String): DataFrame =
+    simhash64SigOf(tokenCounts(s, dir))
+
+  def dedupSimhash64On(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
     val bandLong = sig.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), col(s"h$b").as("bh"))): _*)).as("x"))
@@ -232,15 +256,17 @@ object Dedup {
         (0 until 4).map(b =>
           bit_count(col(s"a.h$b").bitwiseXOR(col(s"b.h$b"))))
           .reduce(_ + _).as("hamming"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .orderBy("da", "db")
   }
 
+  def dedupSimhash64(s: SparkSession, dir: String): DataFrame =
+    dedupSimhash64On(simhash64Sig(s, dir))
+
   /** L2 (exact n-gram Jaccard): ground-truth near-dup pairs via the
-    * shingle equi-join, jac >= 0.8 — the recall yardstick for the
-    * minhash path. */
-  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val hs = shingleHashes(s, dir)
+    * shingle equi-join, jac >= threshold — the recall yardstick for
+    * the minhash path. Input: (doc_id, hs), see [[shingleHashesOf]]. */
+  def dedupNgramOn(hs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
     hs.as("a")
       .join(hs.as("b"),
@@ -252,18 +278,22 @@ object Dedup {
       .select(col("da"), col("db"),
         (col("inter").cast("double") /
           (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
-      .filter(col("jac") >= 0.8)
+      .filter(col("jac") >= threshold)
       .orderBy("da", "db")
   }
 
-  /** L2 (embedding near-dup): cosine >= 0.4 pairs, brute force at
-    * corpus scale (LSH-bucketed variant: Similarity.simAnnLsh).
+  def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    dedupNgramOn(shingleHashes(s, dir))
+
+  /** L2 (embedding near-dup): cosine >= threshold pairs, brute force
+    * at corpus scale (LSH-bucketed variant: Similarity.simAnnLsh).
     * Cosine rounded to 4 decimals so sub-ulp summation-order noise
-    * cannot flip the oracle compare. */
-  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    * cannot flip the oracle compare. Input: any (vec_id, embedding)
+    * relation. */
+  def dedupEmbeddingOn(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
     // cast to double ONCE per vector, not once per pair (the per-pair
     // cast allocation dominated this query's bench time)
-    val e = Tables.embeddings(s, dir)
+    val e = emb
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
       .select(col("vec_id"), col("emb"),
@@ -278,9 +308,12 @@ object Dedup {
       .select(col("l.vec_id").as("da"), col("r.vec_id").as("db"),
         round(Similarity.dot(col("l.emb"), col("r.emb")) /
           (col("l.nrm") * col("r.nrm")), 4).as("cos"))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= threshold)
       .orderBy("da", "db")
   }
+
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingOn(Tables.embeddings(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,

@@ -60,12 +60,17 @@ object Similarity {
   /** L3a: brute-force cosine top-k — 5 query vectors against the full
     * corpus, top 5 neighbors each. The tiny query side is broadcast,
     * so the corpus never shuffles. */
-  def simTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+  /** Library form: exact top-k cosine neighbors of each query vector
+    * against a (vec_id, embedding) corpus. The query side is
+    * broadcast, so the corpus never shuffles — at 100 TB the corpus
+    * side stays a map-only scan. `queries` needs (qid, embedding). */
+  def topkCosineOn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val e = corpus
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .select(col("vec_id"), col("emb"), norm2(col("emb")).as("nrm"))
-    val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"),
-      col("nrm").as("qnrm")).filter(col("qid") < 5)
+    val q = queries
+      .select(col("qid"), col("embedding").cast("array<double>").as("qemb"))
+      .select(col("qid"), col("qemb"), norm2(col("qemb")).as("qnrm"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -74,8 +79,14 @@ object Similarity {
         round(dot(col("qemb"), col("emb")) /
           (col("qnrm") * col("nrm")), 4).as("cos"))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
       .orderBy("qid", "rnk")
+  }
+
+  def simTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    topkCosineOn(emb,
+      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"), 5)
   }
 
   /** Per-vector LSH bucket ids, one per hash table: sign bits of 4

@@ -51,8 +51,8 @@ object Text {
 
   /** L4a: token counting — whitespace tokens + a BPE-ish sub-word
     * count (runs of letters/digits via regexp split). */
-  def textTokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def textTokensOn(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         size(toks(col("text"))).as("n_tokens"),
@@ -61,12 +61,15 @@ object Text {
         size(split(col("text"), "[^a-z0-9]+")).as("n_subtokens"))
       .orderBy("doc_id")
 
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    textTokensOn(Tables.documents(s, dir))
+
   /** L4b: quality scoring — length, mean token length, type-token
     * ratio, stopword ratio, and a composite keep/drop flag (the
     * C4-style heuristic filter shape). */
-  def textQuality(s: SparkSession, dir: String): DataFrame = {
+  def textQualityOn(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
-    Tables.documents(s, dir)
+    docs
       .select(
         col("doc_id"),
         size(t).as("n_tokens"),
@@ -78,13 +81,16 @@ object Text {
       .orderBy("doc_id")
   }
 
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    textQualityOn(Tables.documents(s, dir))
+
   /** L4c: language ID — stopword-hit scoring per language with a CJK
     * char check, fixed priority on ties (en > de > es > fr). */
-  def textLangid(s: SparkSession, dir: String): DataFrame = {
+  def textLangidOn(docs: DataFrame): DataFrame = {
     val t = toks(col("text"))
     val en = hits(t, enStop); val de = hits(t, deStop)
     val es = hits(t, esStop); val fr = hits(t, frStop)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"),
         col("text").rlike("[\\u4e00-\\u9fff]").as("has_cjk"))
@@ -99,23 +105,29 @@ object Text {
       .orderBy("doc_id")
   }
 
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    textLangidOn(Tables.documents(s, dir))
+
   /** L4d: document fingerprinting — polynomial rolling hash over the
     * full char stream + sha256 prefix (both content-addressed ids). */
-  def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def textFingerprintOn(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         polyHash(col("text")).as("fp_poly"),
         substring(sha2(col("text"), 256), 1, 16).as("fp_sha"))
       .orderBy("doc_id")
 
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    textFingerprintOn(Tables.documents(s, dir))
+
   /** L4g: normalization-then-exact-dedup — the standard first dedup
     * rung of a training pipeline: lowercase, strip punctuation,
     * collapse whitespace, THEN content-hash group. Catches trivial
     * variants (case, spacing, punctuation) that byte-exact dedup
     * misses; one groupBy shuffle carrying (hash, min_id, count). */
-  def dedupNormalized(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def dedupNormalizedOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
@@ -125,11 +137,14 @@ object Text {
         count(lit(1)).as("n_variants"))
       .orderBy("keeper_doc_id")
 
+  def dedupNormalized(s: SparkSession, dir: String): DataFrame =
+    dedupNormalizedOn(Tables.documents(s, dir))
+
   /** L4h: PII masking — regex redaction of email-shaped and
     * long-digit-run substrings before a corpus ships to training.
     * Patterns kept RE2-compatible so DuckDB reproduces them. */
-  def textPiiMask(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def textPiiMaskOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         regexp_replace(
           regexp_replace(col("text"),
@@ -139,6 +154,9 @@ object Text {
           length(regexp_replace(col("text"),
             "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", ""))).as("n_email_chars"))
       .orderBy("doc_id")
+
+  def textPiiMask(s: SparkSession, dir: String): DataFrame =
+    textPiiMaskOn(Tables.documents(s, dir))
 
   /** L4e: corpus vocabulary — global token frequencies, top 50 by
     * count (wordcount + TakeOrderedAndProject; at 100 TB this is the

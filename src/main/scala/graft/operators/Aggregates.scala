@@ -144,10 +144,25 @@ object Aggregates {
         bool_or(col("o_orderstatus") === "P").as("any_pending"))
       .orderBy("o_orderpriority")
 
+  /** A12: fixed-width histogram — floor-bucket (explicit floor(): a
+    * bare double->BIGINT cast truncates in Spark but rounds in
+    * DuckDB), count + per-bucket min/max. The one-shuffle distributed
+    * histogram shape (map-side partial per bucket). */
+  def aggHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") / 50000).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
     "agg_median_mode" -> aggMedianMode,
     "agg_boolean" -> aggBoolean,
+    "agg_histogram" -> aggHistogram,
     "agg_collect_list" -> aggCollectList,
     "agg_max_group" -> aggMaxGroup,
     "agg_ratio_having" -> aggRatioHaving,
@@ -160,6 +175,10 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "agg_median_mode" ->
       """SELECT l_returnflag, median(l_quantity) AS med_qty,
         |  mode(l_linenumber) AS mode_line, COUNT(*) AS n
