@@ -25,6 +25,28 @@ class CustomAggSpec extends SparkSpecBase {
     assert(bad == 0 && joined.count() > 0)
   }
 
+  test("SimHash64Agg one-pass signature == 64 explicit SUM columns") {
+    import graft.functions.{Dedup, Text}
+    val tokCnt = Dedup.tokenCountsOf(Tables.documents(spark, sf))
+    val viaAgg = Dedup.simhash64SigOf(tokCnt)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the column formulation the aggregate replaced
+    val P = Text.P
+    val sumCols = (0 until 64).map { j =>
+      val bit = expr(s"((h * ${2 * j + 3} + ${97 * j + 31}) % $P) & 1")
+      sum(when(bit === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s$j")
+    }
+    val sums = tokCnt.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+    val viaCols = sums.select(col("doc_id") +: (0 until 4).map(b =>
+        (16 * b until 16 * (b + 1)).map(j =>
+          when(col(s"s$j") >= 0, lit(1L << (j - 16 * b))).otherwise(lit(0L)))
+          .reduce(_ + _).as(s"h$b")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(viaAgg == viaCols && viaAgg.nonEmpty)
+  }
+
   test("ArgMax aggregator: max-value payload, ties to smaller id") {
     val argmax = udaf(new plans.ArgMax)
     val df = Seq(
