@@ -73,6 +73,24 @@ object SortsSets {
       .orderBy("o_custkey")
   }
 
+  /** O4e: bag-semantics set ops — INTERSECT ALL / EXCEPT ALL keep
+    * multiplicities (count-min per key), unlike the distinct forms
+    * above. Spark plans both as aggregate+join on (value, count) — no
+    * row-level materialization of the multiset. */
+  def setBagOps(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val a = li.filter(col("l_returnflag") === "R")
+      .select(col("l_suppkey").as("k"))
+    val b = li.filter(col("l_linestatus") === "F")
+      .select(col("l_suppkey").as("k"))
+    a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n_inter"))
+      .join(
+        a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_except")),
+        Seq("k"), "full_outer")
+      .na.fill(0L, Seq("n_inter", "n_except"))
+      .orderBy("k")
+  }
+
   /** O4d: grouped top-k through the custom bounded-heap operator
     * (graft.plans.TopKPerKey) — top 3 orders per customer by price.
     * Same result as the Window(row_number)+Filter spelling, pinned by
@@ -93,9 +111,22 @@ object SortsSets {
     "set_union" -> setUnion,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
+    "set_bag_ops" -> setBagOps,
   )
 
   val oracles: Map[String, String] = Map(
+    "set_bag_ops" ->
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+        |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F'),
+        |ia AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |       FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k),
+        |ea AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_except
+        |       FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k)
+        |SELECT COALESCE(ia.k, ea.k) AS k,
+        |  COALESCE(n_inter, 0) AS n_inter,
+        |  COALESCE(n_except, 0) AS n_except
+        |FROM ia FULL OUTER JOIN ea ON ia.k = ea.k
+        |ORDER BY k""".stripMargin,
     "topk_per_key" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
