@@ -158,6 +158,33 @@ object Text {
   def textPiiMask(s: SparkSession, dir: String): DataFrame =
     textPiiMaskOn(Tables.documents(s, dir))
 
+  /** L4i capstone: the corpus-cleaning pipeline a training-data prep
+    * job runs end-to-end, composed from the library ops as ONE lazy
+    * plan: (1) PII-mask the text, (2) quality-score the masked text
+    * and keep only passing docs, (3) normalized-hash dedup among the
+    * keepers (keeper = min doc_id per normalized content), (4) emit
+    * the surviving documents with their quality stats. Shuffles: one
+    * groupBy for the dedup + the output sort — masking and scoring
+    * are map-only. */
+  def corpusCleanOn(docs: DataFrame): DataFrame = {
+    val masked = textPiiMaskOn(docs)
+      .select(col("doc_id"), col("masked").as("text"))
+    val scored = textQualityOn(masked)
+    val kept = masked.join(
+      scored.filter(col("keep"))
+        .select(col("doc_id"), col("n_tokens"), col("stop_ratio")),
+      "doc_id")
+    val keepers = dedupNormalizedOn(kept)
+      .select(col("keeper_doc_id").as("doc_id"), col("n_variants"))
+    kept.join(keepers, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        col("n_variants"))
+      .orderBy("doc_id")
+  }
+
+  def corpusClean(s: SparkSession, dir: String): DataFrame =
+    corpusCleanOn(Tables.documents(s, dir))
+
   /** L4e: corpus vocabulary — global token frequencies, top 50 by
     * count (wordcount + TakeOrderedAndProject; at 100 TB this is the
     * classic two-level partial-agg shape). */
@@ -202,6 +229,7 @@ object Text {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_normalized" -> dedupNormalized,
     "text_pii_mask" -> textPiiMask,
+    "corpus_clean" -> corpusClean,
     "text_vocab" -> textVocab,
     "text_tfidf" -> textTfidf,
     "text_split_assign" -> textSplitAssign,
@@ -221,6 +249,36 @@ object Text {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_clean" ->
+      s"""WITH masked AS (
+         |  SELECT doc_id,
+         |    regexp_replace(
+         |      regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+         |      '[0-9]{6,}', '<NUM>', 'g') AS text
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+         |    CAST(${sqlHits(enStop)} AS DOUBLE)
+         |      / len(string_split(text,' ')) AS stop_ratio,
+         |    (len(string_split(text,' ')) >= 10
+         |     AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         |       / len(string_split(text,' ')) > 0.1
+         |     AND CAST(${sqlHits(enStop)} AS DOUBLE)
+         |       / len(string_split(text,' ')) > 0.0) AS keep
+         |  FROM masked),
+         |kept AS (SELECT * FROM scored WHERE keep),
+         |dedup AS (
+         |  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_variants
+         |  FROM (SELECT doc_id,
+         |      sha256(trim(regexp_replace(
+         |        regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+         |        ' +', ' ', 'g'))) AS nh
+         |    FROM kept)
+         |  GROUP BY nh)
+         |SELECT k.doc_id, k.n_tokens, k.stop_ratio, d.n_variants
+         |FROM kept k JOIN dedup d ON k.doc_id = d.doc_id
+         |ORDER BY k.doc_id""".stripMargin,
     "dedup_normalized" ->
       """SELECT sha256(trim(regexp_replace(
         |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
