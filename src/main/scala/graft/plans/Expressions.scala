@@ -99,12 +99,25 @@ object GraftFunctions {
       Bridge.toExpr(a.cast(ArrayType(DoubleType))),
       Bridge.toExpr(b.cast(ArrayType(DoubleType)))))
 
-  /** Register as SQL functions in a session (graft_poly_hash(s),
-    * graft_dot(a, b)). */
+  /** Register as SQL functions in a session: scalar graft_poly_hash(s)
+    * / graft_dot(a, b), and aggregate graft_minhash(h, k) /
+    * graft_simhash64(h, cnt) — the analyzer wraps raw
+    * AggregateFunctions returned from the registry itself. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    reg.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashAgg(exprs(0), exprs(1) match {
+        case Literal(k: Int, _) => k
+        case other => other.eval().toString.toInt // foldable literal
+      }), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash64",
+      exprs => SimHash64Agg(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -38,6 +38,38 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(d == 11.0)
   }
 
+  test("SQL aggregates: graft_minhash / graft_simhash64 == API forms") {
+    plans.GraftFunctions.register(spark)
+    functions.Dedup.tokenCountsOf(Tables.documents(spark, sf))
+      .createOrReplaceTempView("v_tok")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_simhash64(h, cnt) AS sig FROM v_tok GROUP BY doc_id")
+      .select(col("doc_id"), col("sig")(0), col("sig")(1), col("sig")(2), col("sig")(3))
+      .collect().map(_.toString).toSet
+    val viaApi = functions.Dedup.simhash64SigOf(
+        functions.Dedup.tokenCountsOf(Tables.documents(spark, sf)))
+      .collect().map(_.toString).toSet
+    assert(viaSql == viaApi && viaApi.nonEmpty)
+    val mh = spark.sql(
+      "SELECT graft_minhash(h, 8) AS sig FROM v_tok").head.getSeq[Long](0)
+    assert(mh.length == 8 && mh.forall(_ >= 0))
+  }
+
+  test("PolyHash iterates code points, not UTF-16 units (non-BMP parity)") {
+    // U+1F415 DOG is a surrogate pair in UTF-16; DuckDB's
+    // unicode(string_split(...)) folds over the single code point
+    // 128021, so the Spark side must too — one fold step, not two
+    val dog = new String(Character.toChars(0x1F415))
+    assert(plans.PolyHash.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(dog))
+      == 128021L % 1000000007L)
+    // mixed string: 'a' then the dog — (0*31+97)*31+128021 mod P
+    val mixed = "a" + dog
+    assert(plans.PolyHash.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(mixed))
+      == (97L * 31 + 128021L) % 1000000007L)
+  }
+
   test("PolyHash participates in whole-stage codegen (no fallback)") {
     val plan = Tables.documents(spark, sf)
       .select(functions.Text.polyHash(col("text")))
