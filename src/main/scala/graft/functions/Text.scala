@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines — SURVEY.md §2.11 L4.
@@ -204,8 +205,14 @@ object Text {
     val tf = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    tf.join(df, "token")
+    // df as a window count over tf (tf has one row per (doc, token),
+    // so rows-per-token == docs-per-token): the groupBy+join spelling
+    // re-ran tf's whole subtree — scan and explode included — as the
+    // join's build side; the window computes df from tf's own
+    // exchange, one corpus pass instead of two
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("token")))
+    withDf
       .crossJoin(broadcast(n))
       .filter(col("doc_id") < 20)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),

@@ -163,34 +163,38 @@ object Reference {
           count(lit(1))).as("dog_freq"),
         (max(col("x2") - col("x1")) + 10).as("tw"),
         (max(col("y2") - col("y1")) + 10).as("th"))
-    val qualifying = perSub
-      .filter(col("dog_freq") > 0.3 && col("n_frames") >= 8)
-    val success = qualifying.select(
-      col("video"), col("segment"), col("sub_id"),
-      lit("success").as("status"),
-      concat(lit("samples/v"), lpad(col("video").cast("string"), 3, "0"),
-        lit("/seg"), lpad(col("segment").cast("string"), 2, "0"),
-        lit("/sub"), col("sub_id"), lit(".mp4")).as("sample_path"),
-      col("n_det"), col("n_frames"), col("dog_freq"),
-      col("tw"), col("th"))
-    // every detection belongs to some sub_id, so perSub already holds
-    // every (video, segment) — deriving the segment universe from it
-    // (instead of det) lets the planner reuse perSub's aggregation
-    // exchange rather than re-running the whole inference subtree
-    val allSegs = perSub.select("video", "segment").distinct()
-    val errors = allSegs
-      .join(qualifying.select("video", "segment").distinct(),
-        Seq("video", "segment"), "left_anti")
-      .select(col("video"), col("segment"),
-        lit(null).cast("long").as("sub_id"),
-        lit("error").as("status"),
-        lit(null).cast("string").as("sample_path"),
-        lit(null).cast("long").as("n_det"),
-        lit(null).cast("long").as("n_frames"),
-        lit(null).cast("double").as("dog_freq"),
-        lit(null).cast("long").as("tw"),
-        lit(null).cast("long").as("th"))
-    success.unionByName(errors)
+    // True single-pass success+error emission — no union, ONE consumer
+    // of perSub, so the scan -> inference -> aggregation subtree
+    // appears exactly once in the plan. (Two union branches over a
+    // shared relation never share work here: column pruning gives each
+    // branch a different aggregate, so ReuseExchange can't fire and
+    // the inference subtree runs per branch — measured as a duplicate
+    // events scan.) Per segment, a window marks each subject's
+    // qualification and counts qualifiers; qualifying rows become
+    // success rows, and for segments with NO qualifiers the rank-1 row
+    // is kept as the one error row with its payload nulled.
+    val seg = Window.partitionBy("video", "segment")
+    val ok = col("dog_freq") > 0.3 && col("n_frames") >= 8
+    perSub
+      .withColumn("qualifies", ok)
+      .withColumn("n_qual",
+        sum(when(col("qualifies"), 1L).otherwise(0L)).over(seg))
+      .withColumn("rn", row_number().over(seg.orderBy("sub_id")))
+      .filter(col("qualifies") || (col("n_qual") === 0 && col("rn") === 1))
+      .select(
+        col("video"), col("segment"),
+        when(col("qualifies"), col("sub_id")).as("sub_id"),
+        when(col("qualifies"), lit("success")).otherwise(lit("error"))
+          .as("status"),
+        when(col("qualifies"),
+          concat(lit("samples/v"), lpad(col("video").cast("string"), 3, "0"),
+            lit("/seg"), lpad(col("segment").cast("string"), 2, "0"),
+            lit("/sub"), col("sub_id"), lit(".mp4"))).as("sample_path"),
+        when(col("qualifies"), col("n_det")).as("n_det"),
+        when(col("qualifies"), col("n_frames")).as("n_frames"),
+        when(col("qualifies"), col("dog_freq")).as("dog_freq"),
+        when(col("qualifies"), col("tw")).as("tw"),
+        when(col("qualifies"), col("th")).as("th"))
       .orderBy(col("video"), col("segment"),
         col("sub_id").asc_nulls_first)
   }
