@@ -70,4 +70,22 @@ class PipelineSpec extends SparkSpecBase {
     assert((empty.toSet -- allowedEmpty).isEmpty,
       s"queries with empty results: $empty")
   }
+
+  test("corpus_clean invariants: survivors pass quality AND are dedup keepers") {
+    import org.apache.spark.sql.functions._
+    val out = functions.Text.corpusClean(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val n = out.count()
+    assert(n > 0 && n <= docs.count())
+    // every survivor passed the quality gate on its masked text
+    val masked = functions.Text.textPiiMaskOn(docs)
+      .select(col("doc_id"), col("masked").as("text"))
+    val keepIds = functions.Text.textQualityOn(masked)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val outIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outIds.subsetOf(keepIds) && outIds.nonEmpty)
+    // a keeper represents at least itself
+    assert(out.filter(col("n_variants") < 1).count() == 0)
+  }
 }
