@@ -158,8 +158,26 @@ object Aggregates {
         max(col("o_totalprice")).as("hi"))
       .orderBy("bucket")
 
+  /** A13: approximate quantiles (Greenwald-Khanna sketch) beside the
+    * exact percentiles — the quantile to reach for at 100 TB, where
+    * exact percentile needs a full sort per group. Like
+    * agg_approx_distinct, sketch internals are implementation-specific
+    * so there is no SQL oracle (driver records a rows-only check);
+    * PlanSpec bounds the error against the exact percentile instead. */
+  def aggApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
+          .as("approx_p95"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
+    "agg_approx_quantile" -> aggApproxQuantile,
     "agg_median_mode" -> aggMedianMode,
     "agg_boolean" -> aggBoolean,
     "agg_histogram" -> aggHistogram,

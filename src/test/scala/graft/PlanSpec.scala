@@ -111,6 +111,26 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("approx quantiles stay within 2% of exact percentiles on the corpus") {
+    import spark.implicits._
+    val approx = operators.Aggregates.aggApproxQuantile(spark, sf)
+      .select(col("l_returnflag"), col("approx_p50"), col("approx_p95"))
+      .as[(String, Double, Double)].collect()
+      .map { case (k, a, b) => k -> (a, b) }.toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95D)").as("p95"))
+      .as[(String, Double, Double)].collect()
+      .map { case (k, a, b) => k -> (a, b) }.toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (k, (p50, p95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - p50) <= 0.02 * p50, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a95 - p95) <= 0.02 * p95, s"$k p95: $a95 vs $p95")
+    }
+  }
+
   test("approx_count_distinct stays within 15% of exact on the corpus") {
     import spark.implicits._
     val rows = operators.Aggregates.aggApproxDistinct(spark, sf)
