@@ -181,6 +181,23 @@ object Scalars {
         get_json_object(col("raw"), "$.k").isNull.as("corrupt"))
       .orderBy("event_id")
 
+  /** F15: binary codec family — base64 / md5 / hex over the UTF-8
+    * bytes of a text column, plus an encode->decode round-trip check
+    * (the content-addressing and wire-format tools a payload pipeline
+    * leans on). */
+  def fnCodec(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        // Spark's base64 is MIME-chunked (CRLF every 76 chars);
+        // strip the breaks to the canonical unchunked form
+        regexp_replace(base64(encode(col("text"), "UTF-8")),
+          "[\\r\\n]", "").as("b64"),
+        md5(encode(col("text"), "UTF-8")).as("md5_hex"),
+        upper(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("hex4"),
+        (decode(unbase64(base64(encode(col("text"), "UTF-8"))), "UTF-8")
+          === col("text")).as("roundtrip"))
+      .orderBy("doc_id")
+
   /** F13: bitwise scalar family — AND / OR / XOR / shifts / popcount,
     * all over BIGINT keys so both engines compute in 64-bit. */
   def fnBitwise(s: SparkSession, dir: String): DataFrame =
@@ -195,6 +212,7 @@ object Scalars {
       .orderBy("l_orderkey", "l_linenumber")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_codec" -> fnCodec,
     "fn_json_corrupt" -> fnJsonCorrupt,
     "fn_bitwise" -> fnBitwise,
     "fn_higher_order" -> fnHigherOrder,
@@ -210,6 +228,14 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_codec" ->
+      """SELECT doc_id,
+        |  base64(CAST(text AS BLOB)) AS b64,
+        |  md5(text) AS md5_hex,
+        |  upper(hex(CAST(substring(text, 1, 4) AS BLOB))) AS hex4,
+        |  CAST(from_base64(base64(CAST(text AS BLOB))) AS VARCHAR) = text
+        |    AS roundtrip
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_json_corrupt" ->
       """WITH m AS (
         |  SELECT event_id,
