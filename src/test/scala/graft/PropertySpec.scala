@@ -1,0 +1,93 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-based checks over the pure kernels — no SparkSession, so
+  * these run in milliseconds and explore the input space ScalaCheck
+  * generates rather than the fixed corpus. (scalacheck is driven
+  * directly; the scalatestplus bridge isn't on the offline
+  * classpath.) */
+class PropertySpec extends AnyFunSuite {
+
+  private val P = 1000000007L
+
+  /** Run a ScalaCheck property under ScalaTest. */
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(g) { a => f(a); true })
+    assert(res.passed, res.status.toString)
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb)) { case (a, b) => f(a, b) }
+
+  test("PolyHash: appending a char is one affine fold step") {
+    forAll(Gen.asciiPrintableStr, Gen.asciiPrintableChar) { (s: String, c: Char) =>
+      val h = plans.PolyHash.hash(UTF8String.fromString(s))
+      val h2 = plans.PolyHash.hash(UTF8String.fromString(s + c))
+      assert(h2 == (h * 31 + c.toLong) % P)
+    }
+  }
+
+  test("PolyHash: equal strings hash equal, range stays within [0, P)") {
+    forAll(Gen.asciiPrintableStr) { (s: String) =>
+      val h = plans.PolyHash.hash(UTF8String.fromString(s))
+      assert(h == plans.PolyHash.hash(UTF8String.fromString(s)))
+      assert(h >= 0 && h < P)
+    }
+  }
+
+  test("sessionWalk: sessions partition the events and respect the gap") {
+    val gapUs = 30L * 60 * 1000000
+    val evGen = Gen.listOf(Gen.zip(
+      Gen.choose(0L, 100000L), Gen.choose(0L, 10L * gapUs)))
+    forAll(evGen) { (raw: List[(Long, Long)]) =>
+      // unique event ids, arbitrary micro timestamps
+      val rows = raw.zipWithIndex.map { case ((_, t), i) => (7L, i.toLong, t) }
+      val sessions = streaming.Streaming.sessionWalk(7L, rows.iterator).toList
+      // counts partition the input
+      assert(sessions.map(_._3).sum == rows.length)
+      // session indexes are 0..n-1 in order
+      assert(sessions.map(_._2) == sessions.indices.map(_.toLong))
+      // within a session, consecutive (sorted) events are <= gap apart;
+      // across a boundary the gap is exceeded
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val cuts = sessions.map(_._3.toInt).scanLeft(0)(_ + _)
+      cuts.sliding(2).filter(_.size == 2).foreach { case Seq(lo, hi) =>
+        val seg = sorted.slice(lo, hi)
+        seg.sliding(2).filter(_.size == 2).foreach {
+          case Seq(a, b) => assert(b - a <= gapUs)
+        }
+        if (hi < sorted.length) assert(sorted(hi) - sorted(hi - 1) > gapUs)
+      }
+    }
+  }
+
+  test("SimHash64Agg buffers: merge is commutative and order-insensitive") {
+    val agg = plans.SimHash64Agg(null, null)
+    val inputGen = Gen.listOf(Gen.zip(
+      Gen.choose(0L, P - 1), Gen.choose(1L, 50L)))
+    forAll(inputGen) { (items: List[(Long, Long)]) =>
+      def bufOf(xs: Seq[(Long, Long)]): Array[Long] = {
+        val b = agg.createAggregationBuffer()
+        xs.foreach { case (h, c) =>
+          var j = 0
+          while (j < 64) {
+            val bit = ((h * (2 * j + 3) + (97 * j + 31)) % P) & 1L
+            b(j) += (if (bit == 1L) c else -c)
+            j += 1
+          }
+        }
+        b
+      }
+      val (l, r) = items.splitAt(items.length / 2)
+      val merged = agg.merge(bufOf(l), bufOf(r))
+      val direct = bufOf(items)
+      assert(merged.toSeq == direct.toSeq)
+      // serialization round-trips
+      assert(agg.deserialize(agg.serialize(direct)).toSeq == direct.toSeq)
+    }
+  }
+}
