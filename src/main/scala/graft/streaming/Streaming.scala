@@ -98,6 +98,31 @@ object Streaming {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** T6b (stream-stream LEFT OUTER): every click, with its in-window
+    * purchase when one exists and NULL otherwise — the outer-join
+    * flavor where, under readStream, the watermark decides when an
+    * unmatched left row can be emitted as null-padded (state cannot
+    * wait forever). Batch shadow below; the streaming flavor needs
+    * watermarks on BOTH sides plus the event-time range condition. */
+  def intervalJoinLeft(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.alias("c").join(purchases.alias("p"),
+      col("c.user_id") === col("p.user_id") &&
+        col("p.ts") >= col("c.ts") &&
+        col("p.ts") <= col("c.ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"))
+
+  def streamIntervalJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    intervalJoinLeft(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy(col("user_id"), col("click_id"),
+        col("purchase_id").asc_nulls_first)
+  }
+
   /** T7: streaming dedup — first-arrival key dedup, the streaming
     * spelling of exact dedup (dropDuplicatesWithinWatermark bounds the
     * key state by event time; StreamingSpec runs that flavor). Only
@@ -163,6 +188,7 @@ object Streaming {
     "stream_dedup" -> streamDedup,
     "stream_user_sessions" -> streamUserSessions,
     "stream_interval_join" -> streamIntervalJoin,
+    "stream_interval_join_left" -> streamIntervalJoinLeft,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -170,6 +196,15 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_interval_join_left" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
+        |ORDER BY user_id, click_id, purchase_id NULLS FIRST""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,

@@ -77,4 +77,11 @@ class ExpressionsSpec extends SparkSpecBase {
     // the "*(n)" prefix marks operators inside a WholeStageCodegen span
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_poly_hash.*"), plan)
   }
+
+  test("DotProduct participates in whole-stage codegen (no fallback)") {
+    val plan = Tables.embeddings(spark, sf)
+      .select(functions.Similarity.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_dot.*"), plan)
+  }
 }

@@ -157,6 +157,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("T6b stream-stream LEFT OUTER join: matches == batch; null-padding watermark-bounded") {
+    val clicks = eventsStream.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+    val purchases = eventsStream.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+    val q = streaming.Streaming.intervalJoinLeft(clicks, purchases)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t6b_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("t6b_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      val ev = Tables.events(spark, sf)
+      val batch = streaming.Streaming.intervalJoinLeft(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      // matched pairs must agree exactly
+      val sm = streamed.filter(_._3 >= 0); val bm = batch.filter(_._3 >= 0)
+      assert(sm == bm && bm.nonEmpty)
+      // null-padded rows: the stream may hold back clicks still inside
+      // the watermark (state can't give up on them yet) — what it did
+      // emit must be a subset of the batch's unmatched clicks
+      assert(streamed.filter(_._3 < 0).subsetOf(batch.filter(_._3 < 0)))
+    } finally q.stop()
+  }
+
   test("foreachBatch sink: micro-batches land as parquet equal to the batch input") {
     val outDir = Files.createTempDirectory("graft_fb").toString + "/out"
     val q = eventsStream.select("event_id", "user_id", "event_type")
