@@ -136,6 +136,39 @@ object Joins {
       .orderBy("purchase_id")
   }
 
+  /** J8b: FORWARD as-of with a tolerance — for every purchase, the
+    * user's next click at-or-after it, but only within 30 minutes
+    * (the direction+tolerance pair every practical as-of API exposes;
+    * pandas merge_asof(direction='forward', tolerance=...)'s shape).
+    * Same one-shuffle union+window form as [[joinAsof]], iterated in
+    * DESCENDING time so the running last is the nearest following
+    * click; clicks at the exact purchase timestamp count (at-or-after,
+    * mirroring the backward variant's at-or-before). */
+  def joinAsofForward(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tolUs = 30L * 60 * 1000000
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"), col("event_id"))
+    val tagged = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), lit(0).as("m"), col("event_id").as("id"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"), lit(1).as("m"), col("event_id").as("id")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus").desc, col("m").asc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("click_id",
+        last(when(col("m") === 0, col("id")), ignoreNulls = true).over(w))
+      .withColumn("click_tus",
+        last(when(col("m") === 0, col("tus")), ignoreNulls = true).over(w))
+      .filter(col("m") === 1 && col("click_id").isNotNull &&
+        col("click_tus") - col("tus") <= tolUs)
+      .select(col("user_id"), col("id").as("purchase_id"),
+        col("click_id"), (col("click_tus") - col("tus")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   /** Skew-mitigation pattern: the join key (event_type, 5 hot values
     * over the whole fact table) is salted 8 ways — the fact side gets
     * salt = pmod(event_id, 8), the dim side is replicated per salt, and
@@ -226,6 +259,7 @@ object Joins {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> joinAsof,
+    "join_asof_forward" -> joinAsofForward,
     "join_salted" -> joinSalted,
     "join_range_bucketed" -> joinRangeBucketed,
     "join_left_outer" -> joinLeftOuter,
@@ -291,6 +325,25 @@ object Joins {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT user_id, id AS purchase_id, click_id, tus - click_tus AS gap_us
         |FROM w WHERE m = 1 AND click_id IS NOT NULL
+        |ORDER BY purchase_id""".stripMargin,
+    "join_asof_forward" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, 0 AS m, event_id AS id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts) AS tus, 1 AS m, event_id AS id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT user_id, tus, m, id,
+        |    last_value(CASE WHEN m = 0 THEN id END IGNORE NULLS) OVER win AS click_id,
+        |    last_value(CASE WHEN m = 0 THEN tus END IGNORE NULLS) OVER win AS click_tus
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tus DESC, m ASC, id DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, id AS purchase_id, click_id,
+        |  click_tus - tus AS gap_us
+        |FROM w WHERE m = 1 AND click_id IS NOT NULL
+        |  AND click_tus - tus <= 1800000000
         |ORDER BY purchase_id""".stripMargin,
     "join_broadcast" ->
       """SELECT r_name, COUNT(*) AS n_customers,
