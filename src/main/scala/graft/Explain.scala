@@ -11,7 +11,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "q1_agg", "join_multiway", "flagship_pipeline", "topk_per_key",
-      "dedup_minhash", "sim_ann_lsh")
+      "dedup_minhash", "dedup_simhash64", "sim_ann_lsh",
+      "stream_user_sessions", "corpus_clean", "ref_ep3_full")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
