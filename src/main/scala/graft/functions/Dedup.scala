@@ -33,30 +33,18 @@ object Dedup {
   val BANDS = 4 // LSH bands (r = 2 rows per band)
 
   /** Distinct 3-word shingles over an already-tokenized array column
-    * (empty for <3 tokens). Tokenize ONCE into a column first — an
+    * (empty for <3 tokens). Native codegen expression
+    * ([[graft.plans.Shingles]]): the column formulation's
+    * transform/concat_ws lambdas evaluate interpreted, and tokenizing
+    * once into an array column first matters either way — an
     * element_at over split(text) re-splits the whole text per element,
-    * which measured O(tokens^2) per doc at bench time. */
-  def shinglesOf(toksCol: String): Column = expr(
-    s"""CASE WHEN size($toksCol) >= 3 THEN
-       |  array_distinct(transform(
-       |    sequence(0, size($toksCol) - 3),
-       |    i -> concat_ws(' ', element_at($toksCol, i + 1),
-       |                        element_at($toksCol, i + 2),
-       |                        element_at($toksCol, i + 3))))
-       |ELSE array() END""".stripMargin)
+    * measured O(tokens^2) per doc at bench time. */
+  def shinglesOf(toksCol: String): Column =
+    graft.plans.GraftFunctions.shingles(col(toksCol), 3)
 
   /** Shingles straight from a text column (spec convenience). */
-  def shingles(textCol: String): Column = {
-    val t = s"split($textCol, ' ')"
-    expr(
-      s"""CASE WHEN size($t) >= 3 THEN
-         |  array_distinct(transform(
-         |    sequence(0, size($t) - 3),
-         |    i -> concat_ws(' ', element_at($t, i + 1),
-         |                        element_at($t, i + 2),
-         |                        element_at($t, i + 3))))
-         |ELSE array() END""".stripMargin)
-  }
+  def shingles(textCol: String): Column =
+    graft.plans.GraftFunctions.shingles(split(col(textCol), " "), 3)
 
   /** (doc_id, shingle_hash) long form — the base relation for both
     * minhash signatures and exact Jaccard verification. Persisted:

@@ -87,11 +87,61 @@ object DotProduct {
   }
 }
 
+/** Distinct n-gram shingles of a token array, first-occurrence order —
+  * the native form of
+  * array_distinct(transform(sequence(...), i -> concat_ws(' ', ...)))
+  * whose lambdas evaluate interpreted (outside codegen) in the dedup
+  * staging path. Yields fewer than n tokens -> empty array, matching
+  * the CASE guard of the column formulation; values are identical
+  * (same join separator, same first-occurrence distinct), so the
+  * DuckDB oracles are unchanged. */
+case class Shingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles.shingle(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Shingles.shingle($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+object Shingles {
+  private val SEP = UTF8String.fromString(" ")
+
+  def shingle(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(SEP, parts: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
 
   def poly_hash(c: Column): Column = Bridge.toColumn(PolyHash(Bridge.toExpr(c)))
+
+  /** Distinct n-gram shingles of a token-array column. */
+  def shingles(c: Column, n: Int = 3): Column =
+    Bridge.toColumn(Shingles(Bridge.toExpr(c), n))
 
   /** Accepts float or double arrays; floats widen losslessly. */
   def dot(a: Column, b: Column): Column =

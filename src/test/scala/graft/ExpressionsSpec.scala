@@ -78,6 +78,29 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_poly_hash.*"), plan)
   }
 
+  test("Shingles == array_distinct/transform formulation on every document") {
+    val t = "split(text, ' ')"
+    val oldForm = expr(
+      s"""CASE WHEN size($t) >= 3 THEN
+         |  array_distinct(transform(
+         |    sequence(0, size($t) - 3),
+         |    i -> concat_ws(' ', element_at($t, i + 1),
+         |                        element_at($t, i + 2),
+         |                        element_at($t, i + 3))))
+         |ELSE array() END""".stripMargin)
+    val diff = Tables.documents(spark, sf)
+      .select(functions.Dedup.shingles("text").as("nat"), oldForm.as("old"))
+      .filter(col("nat") =!= col("old")).count()
+    assert(diff == 0)
+  }
+
+  test("Shingles participates in whole-stage codegen (no fallback)") {
+    val plan = Tables.documents(spark, sf)
+      .select(functions.Dedup.shingles("text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_shingles.*"), plan)
+  }
+
   test("DotProduct participates in whole-stage codegen (no fallback)") {
     val plan = Tables.embeddings(spark, sf)
       .select(functions.Similarity.dot(col("embedding"), col("embedding")))
