@@ -181,6 +181,25 @@ object Scalars {
         get_json_object(col("raw"), "$.k").isNull.as("corrupt"))
       .orderBy("event_id")
 
+  /** F16: edit distance — Levenshtein between each document's prefix
+    * and the next document's (fuzzy-matching primitive; bounded to a
+    * 40-char prefix because the full DP is O(len^2) per pair and the
+    * point is the operator, not a quadratic scan). */
+  def fnEditDistance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+      .withColumn("next_prefix", lead(col("prefix"), 1).over(w))
+      .filter(col("next_prefix").isNotNull)
+      .select(col("doc_id"),
+        levenshtein(col("prefix"), col("next_prefix")).as("edit_dist"),
+        (levenshtein(col("prefix"), col("next_prefix")).cast("double") /
+          greatest(length(col("prefix")), length(col("next_prefix"))))
+          .as("rel_dist"))
+      .orderBy("doc_id")
+  }
+
   /** F15: binary codec family — base64 / md5 / hex over the UTF-8
     * bytes of a text column, plus an encode->decode round-trip check
     * (the content-addressing and wire-format tools a payload pipeline
@@ -212,6 +231,7 @@ object Scalars {
       .orderBy("l_orderkey", "l_linenumber")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_edit_distance" -> fnEditDistance,
     "fn_codec" -> fnCodec,
     "fn_json_corrupt" -> fnJsonCorrupt,
     "fn_bitwise" -> fnBitwise,
@@ -228,6 +248,17 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_edit_distance" ->
+      """WITH p AS (
+        |  SELECT doc_id, substring(text, 1, 40) AS prefix,
+        |    lead(substring(text, 1, 40)) OVER (ORDER BY doc_id) AS next_prefix
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(levenshtein(prefix, next_prefix) AS INT) AS edit_dist,
+        |  CAST(levenshtein(prefix, next_prefix) AS DOUBLE) /
+        |    greatest(length(prefix), length(next_prefix)) AS rel_dist
+        |FROM p WHERE next_prefix IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "fn_codec" ->
       """SELECT doc_id,
         |  base64(CAST(text AS BLOB)) AS b64,
