@@ -187,9 +187,13 @@ object Scalars {
     * point is the operator, not a quadratic scan). */
   def fnEditDistance(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("doc_id")
+    // neighbor = next doc within the same language partition: keeps
+    // the window partitioned (a global ORDER BY window is the
+    // single-partition trap the engine otherwise avoids)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
     Tables.documents(s, dir)
-      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 40).as("prefix"))
       .withColumn("next_prefix", lead(col("prefix"), 1).over(w))
       .filter(col("next_prefix").isNotNull)
       .select(col("doc_id"),
@@ -251,7 +255,8 @@ object Scalars {
     "fn_edit_distance" ->
       """WITH p AS (
         |  SELECT doc_id, substring(text, 1, 40) AS prefix,
-        |    lead(substring(text, 1, 40)) OVER (ORDER BY doc_id) AS next_prefix
+        |    lead(substring(text, 1, 40))
+        |      OVER (PARTITION BY lang ORDER BY doc_id) AS next_prefix
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(levenshtein(prefix, next_prefix) AS INT) AS edit_dist,
