@@ -79,11 +79,13 @@ object Text {
         (hits(t, enStop).cast("double") / size(t)).as("stop_ratio"))
       .withColumn("keep",
         col("n_tokens") >= 10 && col("ttr") > 0.1 && col("stop_ratio") > 0.0)
-      .orderBy("doc_id")
+    // no orderBy here: the library form must stay streaming-legal
+    // (sort is unsupported on unaggregated streams); the catalog
+    // wrapper below adds the gate's total order
   }
 
   def textQuality(s: SparkSession, dir: String): DataFrame =
-    textQualityOn(Tables.documents(s, dir))
+    textQualityOn(Tables.documents(s, dir)).orderBy("doc_id")
 
   /** L4c: language ID — stopword-hit scoring per language with a CJK
     * char check, fixed priority on ties (en > de > es > fr). */
@@ -154,10 +156,10 @@ object Text {
         (length(col("text")) -
           length(regexp_replace(col("text"),
             "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", ""))).as("n_email_chars"))
-      .orderBy("doc_id")
+    // streaming-legal: no orderBy in the library form (see textQualityOn)
 
   def textPiiMask(s: SparkSession, dir: String): DataFrame =
-    textPiiMaskOn(Tables.documents(s, dir))
+    textPiiMaskOn(Tables.documents(s, dir)).orderBy("doc_id")
 
   /** L4i capstone: the corpus-cleaning pipeline a training-data prep
     * job runs end-to-end, composed from the library ops as ONE lazy

@@ -202,6 +202,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("library text ops run under readStream: mask+quality == batch") {
+    // the corpus-clean pipeline's map-only stages (PII mask, quality
+    // scoring + keep filter) are stateless DataFrame transforms, so
+    // the SAME library functions run under a documents file stream in
+    // append mode with no watermark needed
+    val d = Files.createTempDirectory("graft_docs_stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = Tables.documents(spark, sf).schema
+    val docsStream = spark.readStream.schema(schema).parquet(d.toString)
+    val cleaned = functions.Text.textQualityOn(
+        functions.Text.textPiiMaskOn(docsStream)
+          .select(col("doc_id"), col("masked").as("text")))
+      .filter(col("keep")).select("doc_id", "n_tokens")
+    val q = cleaned.writeStream.outputMode("append")
+      .format("memory").queryName("txt_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("txt_out").collect().map(_.toString).toSet
+      val batch = functions.Text.textQualityOn(
+          functions.Text.textPiiMaskOn(Tables.documents(spark, sf))
+            .select(col("doc_id"), col("masked").as("text")))
+        .filter(col("keep")).select("doc_id", "n_tokens")
+        .collect().map(_.toString).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("checkpoint restart: file sink resumes exactly-once across query restarts") {
     import org.apache.spark.sql.streaming.Trigger
     val base = Files.createTempDirectory("graft_ckpt")
