@@ -60,10 +60,9 @@ object Text {
         size(array_distinct(toks(col("text")))).as("n_unique"),
         length(col("text")).as("len_chars"),
         size(split(col("text"), "[^a-z0-9]+")).as("n_subtokens"))
-      .orderBy("doc_id")
 
   def textTokens(s: SparkSession, dir: String): DataFrame =
-    textTokensOn(Tables.documents(s, dir))
+    textTokensOn(Tables.documents(s, dir)).orderBy("doc_id")
 
   /** L4b: quality scoring — length, mean token length, type-token
     * ratio, stopword ratio, and a composite keep/drop flag (the
@@ -105,11 +104,10 @@ object Text {
           .when(col("es_hits") >= col("fr_hits"), "es")
           .otherwise("fr"))
       .drop("has_cjk")
-      .orderBy("doc_id")
   }
 
   def textLangid(s: SparkSession, dir: String): DataFrame =
-    textLangidOn(Tables.documents(s, dir))
+    textLangidOn(Tables.documents(s, dir)).orderBy("doc_id")
 
   /** L4d: document fingerprinting — polynomial rolling hash over the
     * full char stream + sha256 prefix (both content-addressed ids). */
@@ -119,10 +117,9 @@ object Text {
         col("doc_id"),
         polyHash(col("text")).as("fp_poly"),
         substring(sha2(col("text"), 256), 1, 16).as("fp_sha"))
-      .orderBy("doc_id")
 
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    textFingerprintOn(Tables.documents(s, dir))
+    textFingerprintOn(Tables.documents(s, dir)).orderBy("doc_id")
 
   /** L4g: normalization-then-exact-dedup — the standard first dedup
     * rung of a training pipeline: lowercase, strip punctuation,
