@@ -169,5 +169,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_simhash64",
       exprs => SimHash64Agg(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "graft_shingles",
+      exprs => Shingles(exprs(0), exprs.lift(1) match {
+        case Some(Literal(n: Int, _)) => n
+        case Some(other) => other.eval().toString.toInt
+        case None => 3
+      }), "scala_udf")
   }
 }

@@ -65,6 +65,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashAgg buffers: merge == single-pass update over the union") {
+    val agg = plans.MinHashAgg(null, 8)
+    val hGen = Gen.listOf(Gen.choose(0L, P - 1))
+    forAll(hGen) { (hs: List[Long]) =>
+      def bufOf(xs: Seq[Long]): Array[Long] = {
+        val b = agg.createAggregationBuffer()
+        xs.foreach { h =>
+          var i = 0
+          while (i < 8) {
+            val m = (h * (2 * i + 3) + (97 * i + 31)) % P
+            if (m < b(i)) b(i) = m
+            i += 1
+          }
+        }
+        b
+      }
+      val (l, r) = hs.splitAt(hs.length / 2)
+      assert(agg.merge(bufOf(l), bufOf(r)).toSeq == bufOf(hs).toSeq)
+      val direct = bufOf(hs)
+      assert(agg.deserialize(agg.serialize(direct)).toSeq == direct.toSeq)
+    }
+  }
+
+  test("Shingles: n-gram count, order, and distinctness invariants") {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "ab"))
+    forAll(tokGen) { (toks: List[String]) =>
+      val in: ArrayData = new GenericArrayData(
+        toks.map(UTF8String.fromString).toArray[Any])
+      val out = plans.Shingles.shingle(in, 3)
+      val got = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      val expect = toks.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toList.distinct
+      assert(got == expect)
+    }
+  }
+
   test("SimHash64Agg buffers: merge is commutative and order-insensitive") {
     val agg = plans.SimHash64Agg(null, null)
     val inputGen = Gen.listOf(Gen.zip(
