@@ -85,6 +85,49 @@ class PlanSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    // the automatic counterpart to join_salted's manual salting: with
+    // cluster-default thresholds scaled to corpus size, AQE detects
+    // the oversized event_type partition at runtime and splits it
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of rows share one hot key — the shape salting/AQE exist
+      // for. The input is spread over several map tasks first: AQE
+      // splits a skewed reduce partition at MAPPER boundaries, so a
+      // single-file (single-mapper) input is unsplittable no matter
+      // how skewed (exactly the situation at cluster scale, where
+      // inputs always have many mappers).
+      val skewed = Tables.events(spark, sf)
+        .repartition(8)
+        .select(col("event_id"),
+          when(col("event_id") % 10 === 0,
+            concat(lit("t"), col("event_id") % 5))
+            .otherwise(lit("hot")).as("k"))
+      // dim as a literal relation: an aggregate between the shuffle
+      // and the join would break the Sort-over-Shuffle pattern the
+      // skew rule rewrites
+      import spark.implicits._
+      val dim = (("hot", 3) +: (0 until 5).map(i => (s"t$i", 2)))
+        .toDF("k", "w")
+      val j = skewed.join(dim, "k")
+      j.collect() // AQE decides at runtime; read the SAME execution's final plan
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter injects on the probe side of a selective shuffle join") {
     // the 100 TB lever: a selective dim filter becomes a bloom filter
     // evaluated inside the fact scan, discarding rows BEFORE the
