@@ -181,6 +181,26 @@ object Scalars {
         get_json_object(col("raw"), "$.k").isNull.as("corrupt"))
       .orderBy("event_id")
 
+  /** F17: MapType surface — build a per-user event_type->count map
+    * (entries pre-sorted so construction is deterministic), then
+    * exercise lookup, size, keys, and a higher-order fold over the
+    * values. Output columns are all scalars, so the oracle reproduces
+    * the VALUES with plain SQL — map internals never cross the
+    * compare boundary. */
+  def fnMapOps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("cnt")))))
+        .as("m"))
+      .select(col("user_id"),
+        size(col("m")).as("n_types"),
+        element_at(col("m"), "click").as("clicks"),
+        array_join(map_keys(col("m")), ",").as("keys"),
+        aggregate(map_values(col("m")), lit(0L), _ + _).as("total"))
+      .orderBy("user_id")
+
   /** F16: edit distance — Levenshtein between each document's prefix
     * and the next document's (fuzzy-matching primitive; bounded to a
     * 40-char prefix because the full DP is O(len^2) per pair and the
@@ -249,9 +269,21 @@ object Scalars {
     "fn_datetime" -> fnDatetime,
     "fn_array_ops" -> fnArrayOps,
     "fn_map_explode" -> fnMapExplode,
+    "fn_map_ops" -> fnMapOps,
   )
 
   val oracles: Map[String, String] = Map(
+    "fn_map_ops" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS cnt
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS INT) AS n_types,
+        |  CAST(MAX(CASE WHEN event_type = 'click' THEN cnt END) AS BIGINT)
+        |    AS clicks,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS keys,
+        |  CAST(SUM(cnt) AS BIGINT) AS total
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
     "fn_edit_distance" ->
       """WITH p AS (
         |  SELECT doc_id, substring(text, 1, 40) AS prefix,
