@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Degenerate-input behavior of the library forms — an empty or
+  * near-empty corpus must flow through every pipeline without
+  * crashing (the shapes a library user hits first). */
+class RobustnessSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType))))
+
+  test("dedup family: empty corpus -> empty results, no crash") {
+    assert(functions.Dedup.dedupExactOn(emptyDocs).count() == 0)
+    val hs = functions.Dedup.shingleHashesOf(emptyDocs)
+    assert(functions.Dedup.dedupMinhashOn(hs).count() == 0)
+    assert(functions.Dedup.dedupNgramOn(hs).count() == 0)
+    val tc = functions.Dedup.tokenCountsOf(emptyDocs)
+    assert(functions.Dedup.dedupSimhashOn(tc).count() == 0)
+    assert(functions.Dedup.dedupSimhash64On(
+      functions.Dedup.simhash64SigOf(tc)).count() == 0)
+  }
+
+  test("text family + capstone: empty corpus -> empty results") {
+    assert(functions.Text.textQualityOn(emptyDocs).count() == 0)
+    assert(functions.Text.textLangidOn(emptyDocs).count() == 0)
+    assert(functions.Text.corpusCleanOn(emptyDocs).count() == 0)
+  }
+
+  test("single tiny doc survives the whole corpus_clean path deterministically") {
+    val one = Seq((1L, "the data of the table is big and the data is fast ok", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = functions.Text.corpusCleanOn(one).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
+  }
+
+  test("TopK.of with k larger than any group returns every row") {
+    val df = Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("k", "v")
+    val got = plans.TopK.of(df, Seq("k"), "v", desc = true, k = 100)
+      .collect().map(_.toString).toSet
+    assert(got == df.collect().map(_.toString).toSet)
+  }
+
+  test("sessionWalk on empty and single-event groups") {
+    assert(streaming.Streaming.sessionWalk(1L, Iterator.empty).isEmpty)
+    val one = streaming.Streaming.sessionWalk(1L,
+      Iterator((1L, 42L, 1000L))).toList
+    assert(one == List((1L, 0L, 1L, 42L, 42L)))
+  }
+
+  test("topkCosineOn with empty query side returns empty") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 0).withColumnRenamed("vec_id", "qid")
+    assert(functions.Similarity.topkCosineOn(e, q, 5).count() == 0)
+  }
+}
