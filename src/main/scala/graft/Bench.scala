@@ -64,10 +64,15 @@ object Bench {
     val fullJson = results.map { case (k, v) => s"\"$k\":$v" }
       .mkString(s"""{"metric":"total","value":$total,"unit":"sec","queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      new java.io.File("BENCH_FULL.json").getAbsolutePath)
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         (fullJson + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
     val budget = 1500
     val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
     val sb = new StringBuilder(header)

@@ -58,6 +58,18 @@ object Dedup {
   private val shCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Memoize `build` per (session, dir): synchronized so concurrent
+    * first calls can't double-persist, and entries of stopped
+    * sessions are evicted on access so a long-lived JVM that cycles
+    * sessions (the library-use pattern) doesn't pin dead object
+    * graphs forever. */
+  private def memo(cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    cache.synchronized {
+      cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      cache.getOrElseUpdate((s, dir), build)
+    }
+
   /** Library form: (doc_id, hs) shingle-hash relation of any corpus
     * with (doc_id, text) columns. Persist (or checkpoint to parquet at
     * 100 TB) before feeding it to the pair ops — they reference it
@@ -72,9 +84,10 @@ object Dedup {
     // memoized per (session, dir): dedup_minhash and dedup_ngram both
     // call this, and repeated catalog runs in one long-lived session
     // must not accumulate fresh MEMORY_AND_DISK entries per invocation
-    shCache.getOrElseUpdate((s, dir),
+    memo(shCache, s, dir) {
       shingleHashesOf(Tables.documents(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   private val shingleHashSql =
     """WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
@@ -167,9 +180,10 @@ object Dedup {
   /** Shared by both simhash variants — memoized+persisted like
     * [[shingleHashes]]. */
   private def tokenCounts(s: SparkSession, dir: String): DataFrame =
-    tokCache.getOrElseUpdate((s, dir),
+    memo(tokCache, s, dir) {
       tokenCountsOf(Tables.documents(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   def dedupSimhashOn(tokCnt: DataFrame): DataFrame = {
     val sumCols = (0 until 32).map(j =>

@@ -174,7 +174,7 @@ object Scalars {
     Tables.events(s, dir)
       .select(col("event_id"),
         when(col("event_id") % 7 === 0,
-          expr("substring(props, 1, length(props) - 1)"))
+          expr("substring(props, 1, greatest(length(props) - 1, 0))"))
           .otherwise(col("props")).as("raw"))
       .select(col("event_id"),
         get_json_object(col("raw"), "$.k").cast("int").as("k"),
@@ -252,7 +252,9 @@ object Scalars {
         shiftleft(col("l_linenumber").cast("long"), 3).as("line_shl"),
         shiftright(col("l_orderkey"), 2).as("key_shr"),
         bit_count(col("l_partkey")).as("part_bits"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in this corpus and
+      // the payload depends on l_partkey — k_xor completes the order
+      .orderBy("l_orderkey", "l_linenumber", "k_xor")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_edit_distance" -> fnEditDistance,
@@ -293,7 +295,7 @@ object Scalars {
         |SELECT doc_id,
         |  CAST(levenshtein(prefix, next_prefix) AS INT) AS edit_dist,
         |  CAST(levenshtein(prefix, next_prefix) AS DOUBLE) /
-        |    greatest(length(prefix), length(next_prefix)) AS rel_dist
+        |    NULLIF(greatest(length(prefix), length(next_prefix)), 0) AS rel_dist
         |FROM p WHERE next_prefix IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
     "fn_codec" ->
@@ -308,14 +310,14 @@ object Scalars {
       """WITH m AS (
         |  SELECT event_id,
         |    CASE WHEN event_id % 7 = 0
-        |         THEN substring(props, 1, length(props) - 1)
+        |         THEN substring(props, 1, greatest(length(props) - 1, 0))
         |         ELSE props END AS raw
         |  FROM events)
         |SELECT event_id,
         |  CASE WHEN json_valid(raw)
-        |       THEN CAST(raw->>'k' AS INTEGER) END AS k,
+        |       THEN TRY_CAST(raw->>'k' AS INTEGER) END AS k,
         |  (CASE WHEN json_valid(raw)
-        |        THEN CAST(raw->>'k' AS INTEGER) END) IS NULL AS corrupt
+        |        THEN TRY_CAST(raw->>'k' AS INTEGER) END) IS NULL AS corrupt
         |FROM m ORDER BY event_id""".stripMargin,
     "fn_bitwise" ->
       """SELECT l_orderkey, l_linenumber,
@@ -325,7 +327,7 @@ object Scalars {
         |  CAST(l_linenumber AS BIGINT) << 3 AS line_shl,
         |  l_orderkey >> 2 AS key_shr,
         |  CAST(bit_count(l_partkey) AS INT) AS part_bits
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, k_xor""".stripMargin,
     "fn_higher_order" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text,' '), t -> length(t) > 4)) AS INT) AS n_long,

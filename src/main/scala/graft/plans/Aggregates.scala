@@ -40,9 +40,13 @@ class ArgMax extends Aggregator[(Double, Long), (Double, Long), Long] {
   * family as Dedup's column formulation, in a single buffer. */
 case class MinHashAgg(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
   private val P = PolyHash.P
+
+  override def inputTypes: Seq[DataType] =
+    Seq(LongType)
 
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(k)(Long.MaxValue)
@@ -111,9 +115,15 @@ object MinHashAgg {
   * unchanged. */
 case class SimHash64Agg(hash: Expression, cnt: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
   private val P = PolyHash.P
+
+  // analysis-time type check (+ implicit int->long cast): without it a
+  // non-BIGINT column would ClassCastException mid-task instead
+  override def inputTypes: Seq[DataType] =
+    Seq(LongType, LongType)
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
 

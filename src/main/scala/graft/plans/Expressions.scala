@@ -139,9 +139,14 @@ object GraftFunctions {
 
   def poly_hash(c: Column): Column = Bridge.toColumn(PolyHash(Bridge.toExpr(c)))
 
-  /** Distinct n-gram shingles of a token-array column. */
+  /** Distinct n-gram shingles of a token-array column. Coalesced to
+    * an empty array on null input — the contract of the CASE-guarded
+    * column formulation this replaces (a bare null-intolerant
+    * expression would return NULL for a null doc). */
   def shingles(c: Column, n: Int = 3): Column =
-    Bridge.toColumn(Shingles(Bridge.toExpr(c), n))
+    org.apache.spark.sql.functions.coalesce(
+      Bridge.toColumn(Shingles(Bridge.toExpr(c), n)),
+      org.apache.spark.sql.functions.array())
 
   /** Accepts float or double arrays; floats widen losslessly. */
   def dot(a: Column, b: Column): Column =

@@ -98,7 +98,8 @@ class ExpressionsSpec extends SparkSpecBase {
     val plan = Tables.documents(spark, sf)
       .select(functions.Dedup.shingles("text"))
       .queryExecution.executedPlan.toString
-    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_shingles.*"), plan)
+    // null-coalesce wrapper sits outside the call in the plan string
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[.*graft_shingles.*"), plan)
   }
 
   test("DotProduct participates in whole-stage codegen (no fallback)") {
