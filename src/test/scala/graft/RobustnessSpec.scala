@@ -25,6 +25,16 @@ class RobustnessSpec extends SparkSpecBase {
       functions.Dedup.simhash64SigOf(tc)).count() == 0)
   }
 
+  test("null text: shingles coalesce to empty array, never NULL") {
+    val docs = Seq((1L, null.asInstanceOf[String], "en"),
+      (2L, "a b c d", "en")).toDF("doc_id", "text", "lang")
+    val got = docs
+      .select(col("doc_id"), functions.Dedup.shingles("text").as("sh"))
+      .orderBy("doc_id").collect()
+    assert(!got(0).isNullAt(1) && got(0).getSeq[String](1).isEmpty)
+    assert(got(1).getSeq[String](1) == Seq("a b c", "b c d"))
+  }
+
   test("text family + capstone: empty corpus -> empty results") {
     assert(functions.Text.textQualityOn(emptyDocs).count() == 0)
     assert(functions.Text.textLangidOn(emptyDocs).count() == 0)
