@@ -86,8 +86,27 @@ object Windows {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** W4d: centered moving average — a bounded ROWS frame (2 preceding
+    * .. 2 following) per customer's order history. The sum runs
+    * through DECIMAL and divides by the frame's row count once, so
+    * the double is a single exact-over-exact division in both
+    * engines. */
+  def windowMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(-2, 2)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double") /
+          count(lit(1)).over(w)).as("moving_avg"),
+        count(lit(1)).over(w).as("frame_n"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_ntile" -> windowNtile,
+    "window_moving_avg" -> windowMovingAvg,
     "window_row_number" -> windowRowNumber,
     "window_analytic_max" -> windowAnalyticMax,
     "window_rank" -> windowRank,
@@ -95,6 +114,16 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_moving_avg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w AS moving_avg,
+        |  COUNT(*) OVER w AS frame_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "window_ntile" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,
