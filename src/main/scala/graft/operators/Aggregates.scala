@@ -175,8 +175,21 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** A14: distinct-collection aggregate — collect_set is
+    * partition-order nondeterministic, so the set is sorted before the
+    * join (same reproducibility discipline as agg_collect_list). */
+  def aggCollectSet(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        array_join(sort_array(collect_set(col("event_type"))), ",")
+          .as("distinct_actions"),
+        countDistinct(col("event_type")).as("n_distinct"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
+    "agg_collect_set" -> aggCollectSet,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_median_mode" -> aggMedianMode,
     "agg_boolean" -> aggBoolean,
@@ -193,6 +206,12 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_collect_set" ->
+      """SELECT user_id,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+        |    AS distinct_actions,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
         |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi

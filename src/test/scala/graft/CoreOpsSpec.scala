@@ -101,4 +101,24 @@ class CoreOpsSpec extends SparkSpecBase {
     // dense ids, no collisions
     assert(out.select("file_index").distinct().count() == out.count())
   }
+
+  test("A14 collect_set dedups, sorts, and counts distinct per group") {
+    val rows = Seq((1, "b"), (1, "a"), (1, "b"), (2, "x"), (2, "x"))
+    val got = rows.toDF("user_id", "event_type")
+      .groupBy("user_id")
+      .agg(
+        array_join(sort_array(collect_set(col("event_type"))), ",")
+          .as("distinct_actions"),
+        countDistinct(col("event_type")).as("n_distinct"))
+      .orderBy("user_id")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a,b", 2L), (2, "x", 1L)))
+    // catalog form agrees with a direct distinct-count per group
+    val out = operators.Aggregates.aggCollectSet(spark, sf)
+    val direct = Tables.events(spark, sf)
+      .groupBy("user_id").agg(countDistinct(col("event_type")).as("d"))
+    val viol = out.join(direct, "user_id")
+      .filter(col("n_distinct") =!= col("d")).count()
+    assert(viol == 0 && out.count() > 0)
+  }
 }
