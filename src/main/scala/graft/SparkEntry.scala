@@ -26,6 +26,7 @@ object SparkEntry {
     (operators.Analytics.queries, operators.Analytics.oracles),
     (functions.Scalars.queries, functions.Scalars.oracles),
     (functions.Text.queries, functions.Text.oracles),
+    (functions.Corpus.queries, functions.Corpus.oracles),
     (functions.Dedup.queries, functions.Dedup.oracles),
     (functions.Similarity.queries, functions.Similarity.oracles),
     (streaming.Streaming.queries, streaming.Streaming.oracles),

@@ -1,0 +1,210 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines —
+  * SURVEY.md §2.11 (L-family extension): the steps between a cleaned
+  * document set and a training run — packing documents into fixed
+  * token budgets, rebalancing language mixes, reproducible stratified
+  * sampling, and a one-pass data profile.
+  *
+  * Determinism discipline matches functions.Text: integer arithmetic
+  * only (token counts, polynomial hashes, integer division), so the
+  * DuckDB oracle reproduces every value bit-exactly.
+  */
+object Corpus {
+
+  /** Tokens-per-pack budget for [[textPackSequencesOn]]. Small enough
+    * that the 500-doc test corpus produces many packs per language. */
+  val PackBudget = 512L
+
+  /** L6: sequence packing — the concatenate-and-fill step of LLM
+    * pretraining: documents are laid out in a deterministic order and
+    * cut into fixed token budgets; each document is assigned to the
+    * pack where it starts. Packing is PER LANGUAGE (a pack never mixes
+    * languages), which is also what makes it scale: the running token
+    * count is a window per lang partition, not a global order — at
+    * 100 TB each language shard packs independently in parallel
+    * (shard further by split/source for more parallelism; the shape
+    * is unchanged). Integer-only: `div` keeps the pack id exact where
+    * a double floor would lose precision past 2^53 cumulative tokens.
+    */
+  def textPackSequencesOn(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        expr(s"(cum_tokens - n_tokens) div $PackBudget"))
+      .withColumn("offset_in_pack",
+        col("cum_tokens") - col("n_tokens") - col("pack_id") * PackBudget)
+  }
+
+  def textPackSequences(s: SparkSession, dir: String): DataFrame =
+    textPackSequencesOn(Tables.documents(s, dir)).orderBy("lang", "doc_id")
+
+  /** Per-language keep-rate (percent) for [[sampleStratifiedOn]]:
+    * downsample the over-represented language (en is ~44% of the
+    * corpus), keep the rest — the mixture-rebalancing sample every
+    * multi-lingual training mix applies. */
+  val StratRates: Map[String, Int] =
+    Map("en" -> 25, "zh" -> 50).withDefaultValue(100)
+
+  /** L7: stratified deterministic sampling — per-stratum rates applied
+    * via content hash, never rand(): re-runs, retries, and
+    * late-arriving shards must select the SAME rows (the property that
+    * makes the sample reproducible across a 1000-executor cluster and
+    * across engine versions). Map-only — no shuffle, scales linearly.
+    */
+  def sampleStratifiedOn(docs: DataFrame): DataFrame = {
+    val rate = StratRates.foldLeft(lit(100)) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("lang"),
+        (Text.polyHash(col("text")) % 100).as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    sampleStratifiedOn(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** Integer inverse-weights for [[corpusMixOn]]: a language with
+    * inverse-weight k contributes every k-th slot of the interleaved
+    * order — en is spread 4x thinner than the rest (mirrors
+    * temperature-style mixture flattening). */
+  val MixInvWeight: Map[String, Int] = Map("en" -> 4).withDefaultValue(1)
+
+  /** L8: corpus mixture interleave — a deterministic epoch order that
+    * interleaves languages at fixed ratios: each doc gets a per-lang
+    * sequence number rn and a global position pos = rn * inv_weight;
+    * reading in (pos, lang, doc_id) order yields the mixed stream.
+    * Deliberately emits the position rather than a global
+    * row_number(): the total order is the semantics, and a sort range-
+    * partitions across the cluster where a global-order window would
+    * single-partition (cf. window_row_number's documented exception).
+    * One shuffle for the per-lang window, one range exchange for the
+    * sort. */
+  def corpusMixOn(docs: DataFrame): DataFrame = {
+    val iw = MixInvWeight.foldLeft(lit(1)) { case (acc, (l, k)) =>
+      when(col("lang") === l, k).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
+          .cast("long"))
+      .withColumn("pos", col("rn") * iw.cast("long"))
+  }
+
+  def corpusMix(s: SparkSession, dir: String): DataFrame =
+    corpusMixOn(Tables.documents(s, dir)).orderBy("pos", "lang", "doc_id")
+
+  /** L9: one-pass column profile — null count, exact distinct count,
+    * and min/max per column of the documents table; the data-quality
+    * sweep run before a corpus ships. One aggregate over one scan:
+    * the multi-column COUNT(DISTINCT) plans as a single Expand
+    * (rows x 5) + partial aggs — at 100 TB swap exact distinct for
+    * approx_count_distinct to drop the Expand (agg_approx_distinct
+    * covers that form); min/max cast AFTER aggregation so numeric
+    * columns compare numerically, not lexicographically. */
+  def profileStatsOn(docs: DataFrame): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = docs.agg(aggs.head, aggs.tail: _*)
+    // stack takes a FLAT argument list (n, then n x 5 values) — a
+    // parenthesized tuple would parse as a struct literal
+    val stacked = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
+      .mkString(", ")
+    one.select(expr(
+      s"stack(${cols.size}, $stacked) AS (column_name, n_nulls, n_distinct, min_val, max_val)"))
+  }
+
+  def profileStats(s: SparkSession, dir: String): DataFrame =
+    profileStatsOn(Tables.documents(s, dir)).orderBy("column_name")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack_sequences" -> textPackSequences,
+    "sample_stratified" -> sampleStratified,
+    "corpus_mix" -> corpusMix,
+    "profile_stats" -> profileStats,
+  )
+
+  private val polySql =
+    """list_reduce(
+      |  list_concat([CAST(0 AS BIGINT)],
+      |    list_transform(string_split(text,''), c -> CAST(unicode(c) AS BIGINT))),
+      |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_pack_sequences" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM base)
+         |SELECT doc_id, lang, n_tokens, cum_tokens,
+         |  (cum_tokens - n_tokens) // $PackBudget AS pack_id,
+         |  cum_tokens - n_tokens
+         |    - ((cum_tokens - n_tokens) // $PackBudget) * $PackBudget
+         |    AS offset_in_pack
+         |FROM cum ORDER BY lang, doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, $polySql % 100 AS bucket
+         |FROM documents
+         |WHERE $polySql % 100 <
+         |  CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 50 ELSE 100 END
+         |ORDER BY doc_id""".stripMargin,
+    "corpus_mix" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, rn,
+        |  rn * CAST(CASE lang WHEN 'en' THEN 4 ELSE 1 END AS BIGINT) AS pos
+        |FROM ranked ORDER BY pos, lang, doc_id""".stripMargin,
+    "profile_stats" ->
+      """WITH d AS (SELECT * FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'doc_id' AS column_name,
+        |    CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |    CAST(MIN(doc_id) AS VARCHAR) AS min_val,
+        |    CAST(MAX(doc_id) AS VARCHAR) AS max_val FROM d
+        |  UNION ALL
+        |  SELECT 'text', CAST(COUNT(*) - COUNT(text) AS BIGINT),
+        |    CAST(COUNT(DISTINCT text) AS BIGINT),
+        |    CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR) FROM d
+        |  UNION ALL
+        |  SELECT 'lang', CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT),
+        |    CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR) FROM d
+        |  UNION ALL
+        |  SELECT 'source', CAST(COUNT(*) - COUNT(source) AS BIGINT),
+        |    CAST(COUNT(DISTINCT source) AS BIGINT),
+        |    CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR) FROM d
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+        |    CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+        |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM d
+        |) ORDER BY column_name""".stripMargin,
+  )
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators (functions.Corpus): hand-computed
+  * fixtures + the scale properties each op claims. */
+class CorpusSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("L6 sequence packing fills budgets in order and never mixes langs") {
+    val out = functions.Corpus.textPackSequences(spark, sf)
+    // within each lang, pack_id is nondecreasing in doc order and each
+    // doc starts exactly at (cum - n_tokens)
+    val bad = out.filter(
+      col("pack_id") * functions.Corpus.PackBudget + col("offset_in_pack")
+        =!= col("cum_tokens") - col("n_tokens")).count()
+    assert(bad == 0)
+    // every pack holds at most budget tokens of starts: offset < budget
+    assert(out.filter(col("offset_in_pack") >= functions.Corpus.PackBudget)
+      .count() == 0)
+    // cum_tokens is a genuine per-lang running sum
+    val sums = out.groupBy("lang").agg(
+      sum("n_tokens").as("s"), max("cum_tokens").as("m"))
+      .filter(col("s") =!= col("m")).count()
+    assert(sums == 0)
+  }
+
+  test("L6 packing fixture: budget boundaries assign docs to the pack where they start") {
+    // tokens 300+300: second doc starts at 300 < 512 -> pack 0;
+    // third doc starts at 600 -> pack 1
+    val docs = Seq(
+      (1L, "a", "x " * 299 + "x"), (2L, "a", "y " * 299 + "y"),
+      (3L, "a", "z " * 299 + "z"))
+      .toDF("doc_id", "lang", "text")
+    val got = functions.Corpus.textPackSequencesOn(docs)
+      .orderBy("doc_id")
+      .select("pack_id", "offset_in_pack").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L), (0L, 300L), (1L, 600L - 512L)))
+  }
+
+  test("L7 stratified sample keeps per-lang rates and is idempotent") {
+    val out = functions.Corpus.sampleStratified(spark, sf)
+    // deterministic: re-running selects the identical row set
+    val again = functions.Corpus.sampleStratified(spark, sf)
+    assert(out.exceptAll(again).count() == 0 &&
+      again.exceptAll(out).count() == 0)
+    // every kept row satisfies its stratum threshold
+    val viol = out.filter(col("bucket") >=
+      when(col("lang") === "en", 25)
+        .when(col("lang") === "zh", 50).otherwise(100)).count()
+    assert(viol == 0)
+    // en is actually downsampled vs the corpus
+    val total = Tables.documents(spark, sf)
+      .filter(col("lang") === "en").count()
+    val kept = out.filter(col("lang") === "en").count()
+    assert(kept < total)
+  }
+
+  test("L7 stratified sample is map-only (no shuffle before the catalog sort)") {
+    val p = functions.Corpus.sampleStratifiedOn(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("L8 corpus mix interleaves en 4x thinner and covers all docs once") {
+    val out = functions.Corpus.corpusMix(spark, sf)
+    assert(out.count() == Tables.documents(spark, sf).count())
+    assert(out.select("doc_id").distinct().count() == out.count())
+    // in any position window of 0..4n, each non-en lang contributes ~4x
+    // the en docs: check via pos arithmetic — en pos values are all
+    // multiples of 4, others are dense 1..n
+    val enBad = out.filter(col("lang") === "en" && col("pos") % 4 =!= 0)
+      .count()
+    assert(enBad == 0)
+    val deMax = out.filter(col("lang") === "de").agg(max("pos"))
+      .as[Long].head()
+    val deCnt = out.filter(col("lang") === "de").count()
+    assert(deMax == deCnt) // inverse-weight 1: positions are dense
+  }
+
+  test("L9 profile emits one row per column with exact nulls/distincts") {
+    val out = functions.Corpus.profileStats(spark, sf)
+      .as[(String, Long, Long, String, String)].collect()
+    assert(out.map(_._1).toSeq ==
+      Seq("doc_id", "lang", "n_chars", "source", "text"))
+    val docs = Tables.documents(spark, sf)
+    val byName = out.map(r => r._1 -> r).toMap
+    assert(byName("doc_id")._2 == 0 &&
+      byName("doc_id")._3 == docs.count())
+    assert(byName("lang")._3 ==
+      docs.select("lang").distinct().count())
+    // min/max cast AFTER aggregation: numeric doc_id min is "0", not
+    // the lexicographic smallest string
+    assert(byName("doc_id")._4 == "0")
+  }
+}
