@@ -3,7 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at the given
-  * scale factor and prints one JSON line. */
+  * scale factor and prints one JSON line.
+  *
+  * Two timings per query:
+  *   - count: `df.count()` — the cross-round-comparable metric (r1/r2
+  *     benched this). Under column pruning a pure projection times as
+  *     a scan, which flatters map-only queries.
+  *   - noop:  `df.write.format("noop")` — full materialization of
+  *     every output column through the whole plan (sorts included),
+  *     the honest end-to-end cost.
+  * Reps run as round-robin PASSES over the whole catalog (pass 1 all
+  * queries, then pass 2, ...), min per query: back-to-back reps of one
+  * query land in the same host CPU-steal window, so their min carries
+  * the same noise — minutes-apart passes decorrelate it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,32 +50,59 @@ object Bench {
       else None
     }.filter(_ != "none")
     warmDir.foreach { wd =>
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, wd).count() catch { case _: Throwable => () }
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, wd).count() catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
       }
     }
-    // best-of-2 per query: host CPU-steal on the bench VM swings a
-    // single pass by 2-3x; the minimum of two passes is the stable
-    // engine-cost signal (REPS env overrides; 1 restores single-pass)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+    // timed(name)(action): elapsed seconds, or None if the action threw
+    // (a broken query must read as a FAILURE, not an implausibly fast
+    // error-path timing — the throwable goes to stderr)
+    def timed(name: String, what: String)(action: => Unit): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { action; Some((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name ($what) FAILED: $e")
+          None
+      }
     }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val counts = collection.mutable.Map[String, Double]()
+    val noops = collection.mutable.Map[String, Double]()
+    val failed = collection.mutable.Set[String]()
+    for (_ <- 1 to reps; (name, fn) <- catalog) {
+      timed(name, "count")(fn(spark, sfDir).count()) match {
+        case Some(t) =>
+          counts(name) = math.min(counts.getOrElse(name, t), t)
+        case None => failed += name
+      }
+      timed(name, "noop")(
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()) match {
+        case Some(t) => noops(name) = math.min(noops.getOrElse(name, t), t)
+        case None => failed += name
+      }
+    }
+    val results = catalog.map { case (name, _) =>
+      name -> (counts.getOrElse(name, -1.0), noops.getOrElse(name, -1.0))
+    }
+    def totalOf(sel: ((String, (Double, Double))) => Double): Double =
+      results.map(sel).filter(_ >= 0).sum
+    val total = totalOf(_._2._1)
+    val totalNoop = totalOf(_._2._2)
     def fmt(v: Double): String = f"$v%.3f"
     // Full per-query timings go to a repo file; stdout gets ONE compact
     // JSON line. The driver captures only the final ~2000 chars of
     // output, so a 100-entry map (~2.3 KB) gets truncated mid-line and
     // fails to parse (round-1 BENCH had parsed:null). Keep the printed
     // line under ~1500 chars: slowest queries first, rest summarized.
-    val fullJson = results.map { case (k, v) => s"\"$k\":$v" }
-      .mkString(s"""{"metric":"total","value":$total,"unit":"sec","queries":{""",
+    val fullJson = results.map { case (k, (c, n)) => s""""$k":{"count":$c,"noop":$n}""" }
+      .mkString(
+        s"""{"metric":"total","value":$total,"unit":"sec","total_noop":$totalNoop,""" +
+          s""""n_failed":${failed.size},"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       new java.io.File("BENCH_FULL.json").getAbsolutePath)
@@ -73,12 +113,12 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
-    val budget = 1500
-    val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
+    val budget = 1400
+    val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_noop":${fmt(totalNoop)},"n_queries":${results.size},"n_failed":${failed.size},"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
     val sb = new StringBuilder(header)
     var first = true
-    results.sortBy(-_._2).foreach { case (k, v) =>
-      val entry = (if (first) "" else ",") + s""""$k":${fmt(v)}"""
+    results.sortBy { case (_, (c, _)) => -c }.foreach { case (k, (c, _)) =>
+      val entry = (if (first) "" else ",") + s""""$k":${fmt(c)}"""
       if (sb.length + entry.length < budget) { sb.append(entry); first = false }
     }
     sb.append("}}")

@@ -154,6 +154,37 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("text map-only family: one scan, no shuffle beyond the output sort") {
+    // Round-2 bench showed these 3-7x slower than round 1, but the
+    // plans never changed: steady-state re-timing (REPS>=4) puts each
+    // back at round-1 cost; the inflation was the bench's back-to-back
+    // reps landing in the same CPU-steal window (fixed in Bench by
+    // round-robin passes). This pin is the plan-level evidence: each
+    // query is a single parquet scan + projections, and the ONLY
+    // exchange is the range partitioning for the deterministic output
+    // order — i.e. embarrassingly parallel at any scale.
+    val mapOnly = Seq[(String, DataFrame)](
+      "text_tokens" -> functions.Text.textTokens(spark, sf),
+      "text_quality" -> functions.Text.textQuality(spark, sf),
+      "text_langid" -> functions.Text.textLangid(spark, sf),
+      "text_fingerprint" -> functions.Text.textFingerprint(spark, sf),
+      "text_split_assign" -> functions.Text.textSplitAssign(spark, sf),
+      "text_pii_mask" -> functions.Text.textPiiMask(spark, sf))
+    mapOnly.foreach { case (name, df) =>
+      val p = plan(df)
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$name: $p")
+      assert("Exchange".r.findAllIn(p).size <= 1, s"$name: $p")
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$name: $p")
+    }
+  }
+
+  test("text_tfidf: single corpus scan (df via window over tf, not a self-join rescan)") {
+    val p = plan(functions.Text.textTfidf(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 2, p) // corpus + broadcast N
+    assert(p.contains("Window"), p)
+  }
+
   test("approx quantiles stay within 2% of exact percentiles on the corpus") {
     import spark.implicits._
     val approx = operators.Aggregates.aggApproxQuantile(spark, sf)
