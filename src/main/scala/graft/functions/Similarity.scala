@@ -51,11 +51,57 @@ object Similarity {
 
   /** Deterministic LCG plane weights in {-1,0,1} per (table, plane,
     * dim), identical to the SQL-side formula. */
-  def planeWeights: Seq[(Int, Int, Int, Long)] =
-    for (t <- 0 until TABLES; j <- 0 until PLANES; i <- 0 until 64) yield
+  def planeWeights: Seq[(Int, Int, Int, Long)] = planeWeightsFor(TABLES, PLANES)
+
+  def planeWeightsFor(tables: Int, planes: Int): Seq[(Int, Int, Int, Long)] =
+    for (t <- 0 until tables; j <- 0 until planes; i <- 0 until 64) yield
       (t, j, i,
-        ((1103515245L * ((t * PLANES + j) * 64 + i + 1) + 12345L)
+        ((1103515245L * ((t * planes + j) * 64 + i + 1) + 12345L)
           % 2147483647L) % 3 - 1)
+
+  /** Library form of the multi-table hyperplane bucketing: per-vector
+    * LSH bucket ids over any (vec_id, embedding) relation — sign bits
+    * of `planes` integer hyperplane projections per table over
+    * floor(x * 2^20)-quantized coordinates -> (vec_id, t, bucket).
+    *
+    * All-BIGINT math, so the DuckDB oracle reproduces buckets exactly
+    * ([[bucketSqlFor]]). The weight relation is a broadcast
+    * (tables x planes x 64 rows); the two aggregations partial-combine
+    * map-side, so the shuffle carries one row per (vector, table,
+    * plane). (A map-only respelling — 96 codegen'd dot products
+    * against literal weight arrays — measured 2x SLOWER than this
+    * join: the giant expression tree defeats whole-stage codegen.) */
+  def bucketsOf(emb: DataFrame, tables: Int, planes: Int): DataFrame = {
+    val s = emb.sparkSession
+    val qv = emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        floor(col("col").cast("double") * 1048576).cast("long").as("qv"))
+    val wdf = broadcast(
+      s.createDataFrame(planeWeightsFor(tables, planes)).toDF("t", "j", "i", "wt"))
+    qv.join(wdf, "i")
+      .groupBy("vec_id", "t", "j")
+      .agg(sum(col("qv") * col("wt")).as("sj"))
+      .groupBy("vec_id", "t")
+      .agg(sum(expr(
+        "CASE WHEN sj >= 0 THEN shiftleft(CAST(1 AS BIGINT), j) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("bucket"))
+  }
+
+  /** DuckDB mirror of [[bucketsOf]] (CTEs w/qv/sj/bk over a view named
+    * `embeddings`). */
+  def bucketSqlFor(tables: Int, planes: Int): String =
+    s"""w AS (SELECT tt.t, j, i,
+       |    ((1103515245 * ((tt.t * $planes + j) * 64 + i + 1) + 12345) % 2147483647) % 3 - 1 AS wt
+       |  FROM range(0, $tables) tt(t), range(0, $planes) p(j), range(0, 64) s(i)),
+       |qv AS (SELECT vec_id, i.i,
+       |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+       |  FROM embeddings, range(0, 64) i(i)),
+       |sj AS (SELECT qv.vec_id, w.t, w.j, SUM(qv.qv * w.wt) AS sj
+       |  FROM qv JOIN w ON qv.i = w.i GROUP BY 1, 2, 3),
+       |bk AS (SELECT vec_id, t,
+       |    SUM(CASE WHEN sj >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
+       |  FROM sj GROUP BY vec_id, t)""".stripMargin
 
   /** L3a: brute-force cosine top-k — 5 query vectors against the full
     * corpus, top 5 neighbors each. The tiny query side is broadcast,
@@ -63,8 +109,15 @@ object Similarity {
   /** Library form: exact top-k cosine neighbors of each query vector
     * against a (vec_id, embedding) corpus. The query side is
     * broadcast, so the corpus never shuffles — at 100 TB the corpus
-    * side stays a map-only scan. `queries` needs (qid, embedding). */
-  def topkCosineOn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * side stays a map-only scan. `queries` needs (qid, embedding).
+    *
+    * `excludeSelf` (default true) drops candidates whose vec_id equals
+    * the query's qid — correct when queries are drawn FROM the corpus
+    * (the catalog wrapper), but an external query frame whose qid
+    * space coincidentally overlaps corpus vec_ids would silently lose
+    * true neighbors: pass excludeSelf = false there. */
+  def topkCosineOn(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val e = corpus
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .select(col("vec_id"), col("emb"), norm2(col("emb")).as("nrm"))
@@ -92,21 +145,8 @@ object Similarity {
   /** Per-vector LSH bucket ids, one per hash table: sign bits of 4
     * integer hyperplane projections over floor(x * 2^20)-quantized
     * coordinates -> (vec_id, t, bucket). */
-  private def buckets(s: SparkSession, dir: String): DataFrame = {
-    val qv = Tables.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos").as("i"),
-        floor(col("col").cast("double") * 1048576).cast("long").as("qv"))
-    val wdf = broadcast(
-      s.createDataFrame(planeWeights).toDF("t", "j", "i", "wt"))
-    qv.join(wdf, "i")
-      .groupBy("vec_id", "t", "j")
-      .agg(sum(col("qv") * col("wt")).as("sj"))
-      .groupBy("vec_id", "t")
-      .agg(sum(expr(
-        "CASE WHEN sj >= 0 THEN shiftleft(CAST(1 AS BIGINT), j) " +
-          "ELSE CAST(0 AS BIGINT) END")).as("bucket"))
-  }
+  private def buckets(s: SparkSession, dir: String): DataFrame =
+    bucketsOf(Tables.embeddings(s, dir), TABLES, PLANES)
 
   /** L3b: LSH-bucketed approximate top-k — candidates are only the
     * query's bucket-mates (equi-join on bucket = the shuffle key that
@@ -185,18 +225,7 @@ object Similarity {
     "sim_ann_ivf" -> simAnnIvf,
   )
 
-  private val bucketSql =
-    s"""w AS (SELECT tt.t, j, i,
-       |    ((1103515245 * ((tt.t * $PLANES + j) * 64 + i + 1) + 12345) % 2147483647) % 3 - 1 AS wt
-       |  FROM range(0, $TABLES) tt(t), range(0, $PLANES) p(j), range(0, 64) s(i)),
-       |qv AS (SELECT vec_id, i.i,
-       |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
-       |  FROM embeddings, range(0, 64) i(i)),
-       |sj AS (SELECT qv.vec_id, w.t, w.j, SUM(qv.qv * w.wt) AS sj
-       |  FROM qv JOIN w ON qv.i = w.i GROUP BY 1, 2, 3),
-       |bk AS (SELECT vec_id, t,
-       |    SUM(CASE WHEN sj >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
-       |  FROM sj GROUP BY vec_id, t)""".stripMargin
+  private val bucketSql = bucketSqlFor(TABLES, PLANES)
 
   private val ivfSql =
     s"""qv AS (SELECT vec_id, i.i,

@@ -110,6 +110,60 @@ class DedupSimSpec extends SparkSpecBase {
     assert(ann.nonEmpty && recall >= 0.0)
   }
 
+  test("dedup_embedding block-pair join is exact: equals the plain all-pairs join") {
+    // the distributed block spelling must lose no pair to the grid
+    // routing (including pairs whose lower vec_id hashed to the
+    // HIGHER block — reachable only through the (hi, lo) grid cell)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"),
+        functions.Similarity.norm2(col("emb")).as("nrm"))
+    val plain = e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("da"), col("r.vec_id").as("db"),
+        round(functions.Similarity.dot(col("l.emb"), col("r.emb")) /
+          (col("l.nrm") * col("r.nrm")), 4).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    // a blocks count that does NOT divide the corpus evenly, to hit
+    // ragged blocks
+    val blocked = functions.Dedup.dedupEmbeddingOn(
+        Tables.embeddings(spark, sf), 0.4, blocks = 7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked == plain && plain.nonEmpty)
+  }
+
+  test("LSH embedding dedup: 100% recall on planted near-dups, with real pruning") {
+    // plant a perturbed copy of every corpus vector (cos >= 0.997 to
+    // its original; unit-norm corpus, max cross cosine ~0.5): at the
+    // 0.9 design threshold the ground truth is exactly the planted
+    // pairs, and a 16x6 hyperplane scheme catches a 4-degree pair in
+    // some table with probability 1 - 1e-14
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x + when(i % 7 === 0, 0.02).otherwise(-0.005)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val n = corpus.count()
+    val got = functions.Dedup.dedupEmbeddingLshOn(corpus, threshold = 0.9)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val want = base.select("vec_id").as[Long].collect()
+      .map(id => (id, id + 100000L)).toSet
+    assert(got == want, s"planted recall: got ${got.size} of ${want.size}")
+    // pruning: bucket-mate candidates must be well under the cross
+    // product (random pairs at ~90 deg rarely share a 6-bit bucket)
+    val bk = functions.Similarity.bucketsOf(corpus, 16, 6)
+    val nCand = bk.as("l")
+      .join(bk.as("r"),
+        col("l.t") === col("r.t") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select("l.vec_id", "r.vec_id").distinct().count()
+    val allPairs = n * (n - 1) / 2
+    assert(nCand < allPairs * 7 / 10,
+      s"candidates $nCand vs all pairs $allPairs — LSH is not pruning")
+  }
+
   test("bucketed range join == broadcast range join") {
     val a = operators.Joins.joinRange(spark, sf)
       .collect().map(_.toString).toSet

@@ -154,6 +154,16 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_embedding: the corpus is never broadcast (grid route + shuffle hash join)") {
+    // the round-2 spelling broadcast the whole embeddings side — dead
+    // at Spark's 8 GB broadcast ceiling. The block-pair shape keeps
+    // the corpus in shuffle land: its only BroadcastExchange is the
+    // G^2 block-pair grid (a few hundred ints).
+    val p = plan(functions.Dedup.dedupEmbedding(spark, sf))
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("text map-only family: one scan, no shuffle beyond the output sort") {
     // Round-2 bench showed these 3-7x slower than round 1, but the
     // plans never changed: steady-state re-timing (REPS>=4) puts each
