@@ -267,11 +267,29 @@ object Dedup {
 
   /** L2 (exact n-gram Jaccard): ground-truth near-dup pairs via the
     * shingle equi-join, jac >= threshold — the recall yardstick for
-    * the minhash path. Input: (doc_id, hs), see [[shingleHashesOf]]. */
-  def dedupNgramOn(hs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    hs.as("a")
-      .join(hs.as("b"),
+    * the minhash path. Input: (doc_id, hs), see [[shingleHashesOf]].
+    *
+    * `maxDf` caps shingle document frequency BEFORE the self-join
+    * (standard hot-shingle practice): a shingle shared by k docs
+    * yields k^2 candidate rows, and real corpora have power-law
+    * shingles, so an uncapped self-join explodes on boilerplate
+    * n-grams. Jaccard is then exact over the df-capped shingle
+    * universe — near-dup evidence lives in the rare shingles, so on
+    * this corpus the pair set is IDENTICAL to uncapped at both sf0.01
+    * and sf0.1 (pinned by spec); at 100 TB the cap is what bounds the
+    * join's worst key at df^2 candidates. The df window reuses the
+    * same hash partitioning on hs that the self-join needs — the cap
+    * adds no extra shuffle of the shingle relation. */
+  def dedupNgramOn(hs: DataFrame, threshold: Double = 0.8,
+      maxDf: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("hs")
+    val keep = hs
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= maxDf)
+      .select("doc_id", "hs")
+    val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    keep.as("a")
+      .join(keep.as("b"),
         col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
@@ -476,9 +494,12 @@ object Dedup {
          |ORDER BY da, db""".stripMargin,
     "dedup_ngram" ->
       s"""$shingleHashSql,
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+         |keep AS (SELECT doc_id, hs FROM (
+         |    SELECT doc_id, hs, COUNT(*) OVER (PARTITION BY hs) AS df FROM hs)
+         |  WHERE df <= 20),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
          |ix AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
-         |       FROM hs a JOIN hs b ON a.hs = b.hs AND a.doc_id < b.doc_id
+         |       FROM keep a JOIN keep b ON a.hs = b.hs AND a.doc_id < b.doc_id
          |       GROUP BY 1, 2)
          |SELECT da, db, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
          |FROM ix JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id

@@ -79,6 +79,25 @@ class DedupSimSpec extends SparkSpecBase {
     assert(exact.subsetOf(approx) && approx.subsetOf(exact))
   }
 
+  test("ngram df-cap drops no true pair at sf0.1 (and the cap is not vacuous)") {
+    val hs = functions.Dedup.shingleHashesOf(
+      Tables.documents(spark, "/root/testdata/sf0.1"))
+      .persist()
+    try {
+      val capped = functions.Dedup.dedupNgramOn(hs)
+        .select("da", "db").as[(Long, Long)].collect().toSet
+      val uncapped = functions.Dedup.dedupNgramOn(hs, maxDf = Int.MaxValue)
+        .select("da", "db").as[(Long, Long)].collect().toSet
+      assert(capped == uncapped && capped.nonEmpty,
+        s"cap lost ${(uncapped -- capped).size} pairs")
+      // non-vacuous: sf0.1 has shingles above the default cap, so the
+      // equality above is evidence, not a no-op
+      val maxDf = hs.groupBy("hs").count()
+        .agg(max("count")).as[Long].head()
+      assert(maxDf > 20, s"max shingle df $maxDf — cap never fires")
+    } finally hs.unpersist()
+  }
+
   test("dedup_exact is idempotent: keepers survive a second pass unchanged") {
     val once = functions.Dedup.dedupExact(spark, sf)
     assert(once.count() == once.select("content_hash").distinct().count())
