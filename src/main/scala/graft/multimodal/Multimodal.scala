@@ -28,10 +28,36 @@ object Multimodal {
   case class Detection(frame_id: Long, det_i: Int, sub_id: Long,
       cls: Long, x1: Long, y1: Long, x2: Long, y2: Long)
 
+  /** The decode/inference boundary (M1). A production deployment binds
+    * a codec-backed implementation (cv2 frame decode + tracker,
+    * raw_to_samples.py:173-196) by setting
+    * `spark.graft.media.detector` to its class name; this container
+    * has no media libs, so the default binding is the deterministic
+    * [[SurrogateDetector]]. Implementations need a no-arg constructor
+    * — they are instantiated ONCE PER PARTITION inside mapPartitions
+    * (model load amortizes over a partition, never per row). */
+  trait FrameDetector extends Serializable {
+    def detect(f: Long): Seq[Detection]
+  }
+
+  /** The transcode boundary (M3, preprocess_dataset.py:59-70): bytes
+    * in, container-tagged content out. Swap via
+    * `spark.graft.media.transcoder`. */
+  trait Transcoder extends Serializable {
+    def transcode(bytes: Array[Byte]): String
+  }
+
+  val DetectorConfKey = "spark.graft.media.detector"
+  val TranscoderConfKey = "spark.graft.media.transcoder"
+
+  private[multimodal] def instantiate[T](className: String): T =
+    Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[T]
+
   /** Deterministic surrogate for the YOLO tracker (M1, :170,187).
     * Construction is the expensive "model load" — done once per
     * partition inside mapPartitions, never per row. */
-  final class SurrogateDetector {
+  final class SurrogateDetector extends FrameDetector {
     def detect(f: Long): Seq[Detection] =
       (0L to f % 3).map { i =>
         val x1 = (f * 11 + i * 29) % 600
@@ -39,6 +65,14 @@ object Multimodal {
         Detection(f, i.toInt, (f * 7 + i) % 5, (f * 13 + i) % 20,
           x1, y1, x1 + f % 80 + 20, y1 + f % 60 + 20)
       }
+  }
+
+  /** Deterministic moviepy-re-encode stand-in: same byte-level
+    * plumbing as a real transcoder (binary in, tagged content out). */
+  final class SurrogateTranscoder extends Transcoder {
+    def transcode(bytes: Array[Byte]): String =
+      if (bytes == null) null
+      else "mp4:" + java.util.Base64.getEncoder.encodeToString(bytes)
   }
 
   /** M1: per-partition-initialized inference over frames (events as
@@ -53,11 +87,16 @@ object Multimodal {
     * exchange here would be two wasted shuffles inside their plans. */
   private[graft] def inferenceDet(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // resolve the binding on the driver, ship only the class NAME:
+    // the task closure must not capture a session, and the real
+    // detector (a loaded model) would not be serializable anyway
+    val detectorClass =
+      s.conf.get(DetectorConfKey, classOf[SurrogateDetector].getName)
     val frames: Dataset[FrameRow] = Tables.events(s, dir)
       .filter(col("event_id") < 1000)
       .select(col("event_id").as("frame_id")).as[FrameRow]
     frames.mapPartitions { it =>
-      val model = new SurrogateDetector // per-partition init (M1 :170)
+      val model = instantiate[FrameDetector](detectorClass) // per-partition init (M1 :170)
       it.flatMap(f => model.detect(f.frame_id))
     }.toDF()
   }
@@ -90,21 +129,35 @@ object Multimodal {
         col("frame_idx"))
       .orderBy("doc_id", "sample_i")
 
-  /** M3 (preprocess_dataset.py:59-70): transcode surrogate as a real
-    * Scala UDF over the binary payload — the moviepy re-encode stub:
-    * same byte-level plumbing (binary in, container-tagged content
-    * out), deterministic so the oracle can reproduce it. */
-  private val transcodeUdf = udf((bytes: Array[Byte]) =>
-    if (bytes == null) null
-    else "mp4:" + java.util.Base64.getEncoder.encodeToString(bytes))
-
-  def udfTranscode(s: SparkSession, dir: String): DataFrame =
+  /** M3 (preprocess_dataset.py:59-70): transcode through the
+    * [[Transcoder]] boundary as a Scala UDF over the binary payload —
+    * the moviepy re-encode is the swappable impl; the default
+    * surrogate keeps the same byte-level plumbing and is
+    * deterministic so the oracle can reproduce it. */
+  def udfTranscode(s: SparkSession, dir: String): DataFrame = {
+    val transcoderClass =
+      s.conf.get(TranscoderConfKey, classOf[SurrogateTranscoder].getName)
+    val transcodeUdf = udf { (bytes: Array[Byte]) =>
+      // lazy per-executor init via the thread-local-free holder: the
+      // closure ships the class name, not a codec instance
+      TranscoderCache.get(transcoderClass).transcode(bytes)
+    }
     Tables.documents(s, dir)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .select(col("doc_id"),
         transcodeUdf(col("payload")).as("transcoded"),
         length(col("payload")).as("src_bytes"))
       .orderBy("doc_id")
+  }
+
+  /** Executor-side memo so the UDF instantiates one transcoder per
+    * (executor, class), not per row. */
+  private[multimodal] object TranscoderCache {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[String, Transcoder]
+    def get(className: String): Transcoder =
+      cache.getOrElseUpdate(className, instantiate[Transcoder](className))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udf_inference" -> udfInference,
