@@ -272,6 +272,62 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.select("event_id").distinct().count() == 2 * n1)
   }
 
+  test("process-kill recovery: hard-killed stream resumes from checkpoint exactly-once") {
+    // phase 1 runs in a SEPARATE JVM that Runtime.halt()s itself after
+    // two committed micro-batches (no shutdown hooks, no graceful
+    // stop) — the real crash a checkpoint must survive, which an
+    // in-process stop() cannot simulate
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_recovery").toFile
+    val (inDir, ckDir, outDir) =
+      (s"$work/in", s"$work/ck", s"$work/out")
+    new java.io.File(inDir).mkdirs()
+    val nFiles = 10; val rowsPerFile = 100
+    (0 until nFiles).foreach { f =>
+      val rows = (0 until rowsPerFile)
+        .map(r => s"${f * rowsPerFile + r},${f * rowsPerFile + r}")
+      Files.write(java.nio.file.Paths.get(s"$inDir/f$f.csv"),
+        rows.mkString("\n").getBytes("UTF-8"))
+    }
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq("java", "-Xmx2g") ++ addOpens ++ Seq(
+      "-cp", sys.props("java.class.path"),
+      "graft.streaming.RecoveryJob", "crash", inDir, ckDir, outDir)
+    val log = new java.io.File(work, "crash.log")
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true)
+      .redirectOutput(log)
+      .start()
+    val done = proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+    if (!done) proc.destroyForcibly()
+    val logTail = new String(
+      Files.readAllBytes(log.toPath), "UTF-8").takeRight(500)
+    assert(done, s"crash phase did not terminate: $logTail")
+    assert(proc.exitValue() == 137, s"exit ${proc.exitValue()}: $logTail")
+    // committed output at the kill: some batches, not all (the sink
+    // metadata log hides any torn in-flight files from readers)
+    val partial = spark.read.parquet(outDir).count()
+    assert(partial > 0 && partial < nFiles.toLong * rowsPerFile,
+      s"crash not mid-stream: $partial rows committed")
+    // phase 2: resume from the SAME checkpoint in this JVM, drain the
+    // remaining files, and require exactly-once totals
+    val q = streaming.RecoveryJob.start(spark, inDir, ckDir, outDir,
+      availableNow = true)
+    try q.awaitTermination(120000) finally q.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == nFiles.toLong * rowsPerFile)
+    assert(out.select("id").distinct().count() == nFiles.toLong * rowsPerFile)
+    assert(out.filter(col("v2") =!= col("v") * 2).count() == 0)
+  }
+
   test("T5 streaming dedup by key emits one row per event_id") {
     val q = eventsStream.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
