@@ -224,6 +224,76 @@ object Analytics {
         |LIMIT 20""".stripMargin)
   }
 
+  /** SQL frontend, TPC-H Q5 shape: the 6-way star — fact lineitem
+    * against customer/orders/supplier/nation/region dims with the
+    * c_nationkey = s_nationkey "local supplier" twist — submitted as
+    * SQL text. The dims broadcast; Catalyst reorders the join tree and
+    * pushes the region/date filters below the joins. */
+  def sqlQ5(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+    Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+    Tables.region(s, dir).createOrReplaceTempView("v_region")
+    s.sql(
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM v_customer
+        |JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |JOIN v_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN v_nation ON s_nationkey = n_nationkey
+        |JOIN v_region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
+  /** SQL frontend, TPC-H Q18 shape: large-volume orders — an IN
+    * subquery whose inner query is itself a group-having over the
+    * fact table, then re-aggregation of the survivors. Catalyst plans
+    * the IN as a left-semi join on the aggregated subquery. */
+  def sqlQ18(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM v_customer
+        |JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM v_lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  /** SQL frontend, TPC-H Q20 shape: two levels of nested IN — parts by
+    * name prefix, inside a grouped-HAVING over lineitem (standing in
+    * for partsupp's availqty check), inside the supplier filter.
+    * Exercises nested subquery decorrelation into a semi-join chain. */
+  def sqlQ20(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("v_part")
+    s.sql(
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM v_supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM v_lineitem
+        |  WHERE l_partkey IN (
+        |    SELECT p_partkey FROM v_part WHERE p_name LIKE 'b%')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
   /** SQL subquery surface: a correlated scalar subquery (per-customer
     * order count) and a correlated EXISTS filter in one statement —
     * the shapes Catalyst decorrelates into aggregates + joins
@@ -289,6 +359,9 @@ object Analytics {
     "agg_corr" -> aggCorr,
     "typed_pipeline" -> typedPipeline,
     "sql_q3" -> sqlQ3,
+    "sql_q5" -> sqlQ5,
+    "sql_q18" -> sqlQ18,
+    "sql_q20" -> sqlQ20,
     "sql_subqueries" -> sqlSubqueries,
     "window_range_frame" -> windowRangeFrame,
     "window_value_fns" -> windowValueFns,
@@ -307,6 +380,42 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "sql_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "sql_q20" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (
+        |    SELECT p_partkey FROM part WHERE p_name LIKE 'b%')
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100)
+        |ORDER BY s_suppkey""".stripMargin,
     "sql_subqueries" ->
       """SELECT c_custkey, c_name,
         |  (SELECT COUNT(*) FROM orders o

@@ -69,6 +69,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("MapGroups"), p)
   }
 
+  test("sql_q5 star join: every dim broadcast, fact never shuffles for a join") {
+    val p = plan(operators.Analytics.sqlQ5(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 5, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("sql_q18 plans the IN-subquery as a semi join on the aggregated inner") {
+    val p = plan(operators.Analytics.sqlQ18(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("sql_subqueries decorrelates EXISTS into a semi join") {
     val p = plan(operators.Analytics.sqlSubqueries(spark, sf))
     assert(p.contains("LeftSemi"), p)
