@@ -48,6 +48,39 @@ class RobustnessSpec extends SparkSpecBase {
     assert(out.length == 1 && out.head.getLong(0) == 1L)
   }
 
+  test("sketch bounds hold at sf0.01 AND sf0.1 (scale evidence for the no_oracle ops)") {
+    // the two catalog entries with no DuckDB oracle carry error-bound
+    // specs instead; asserting the bounds at two scale factors shows
+    // the sketch error does not grow with the data (HLL++ and
+    // GK-quantile bounds are relative, not absolute)
+    import spark.implicits._
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val rows = operators.Aggregates.aggApproxDistinct(spark, dir)
+        .select("approx_users", "exact_users").as[(Long, Long)].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (approx, exact) =>
+        assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.15).toLong),
+          s"$dir approx=$approx exact=$exact")
+      }
+      val approxQ = operators.Aggregates.aggApproxQuantile(spark, dir)
+        .select(col("l_returnflag"), col("approx_p50"), col("approx_p95"))
+        .as[(String, Double, Double)].collect()
+        .map { case (k, a, b) => k -> (a, b) }.toMap
+      val exactQ = Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5D)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95D)").as("p95"))
+        .as[(String, Double, Double)].collect()
+        .map { case (k, a, b) => k -> (a, b) }.toMap
+      assert(exactQ.nonEmpty)
+      exactQ.foreach { case (k, (p50, p95)) =>
+        val (a50, a95) = approxQ(k)
+        assert(math.abs(a50 - p50) <= 0.02 * p50, s"$dir $k p50: $a50 vs $p50")
+        assert(math.abs(a95 - p95) <= 0.02 * p95, s"$dir $k p95: $a95 vs $p95")
+      }
+    }
+  }
+
   test("TopK.of with k larger than any group returns every row") {
     val df = Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("k", "v")
     val got = plans.TopK.of(df, Seq("k"), "v", desc = true, k = 100)
