@@ -376,7 +376,7 @@ object Dedup {
     * near-dup corpora. Probabilistic recall at the margin is the same
     * contract as dedup_minhash's banding; the planted-pair spec pins
     * 100% recall at the design point. */
-  def dedupEmbeddingLshOn(emb: DataFrame, threshold: Double = 0.5,
+  def dedupEmbeddingLshOn(emb: DataFrame, threshold: Double = 0.45,
       tables: Int = 16, planes: Int = 6): DataFrame = {
     val bk = Similarity.bucketsOf(emb, tables, planes)
     val cand = bk.as("l")
@@ -525,7 +525,7 @@ object Dedup {
          |SELECT da, db,
          |  round(${Similarity.sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cos
          |FROM cand JOIN e a ON da = a.vec_id JOIN e b ON db = b.vec_id
-         |WHERE round(${Similarity.sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) >= 0.5
+         |WHERE round(${Similarity.sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) >= 0.45
          |ORDER BY da, db""".stripMargin,
   )
 }
