@@ -135,11 +135,49 @@ object Corpus {
   def profileStats(s: SparkSession, dir: String): DataFrame =
     profileStatsOn(Tables.documents(s, dir)).orderBy("column_name")
 
+  /** L8: benchmark decontamination — flag corpus documents whose
+    * 3-gram shingles collide with an evaluation set's shingles above a
+    * ratio threshold: the n-gram contamination test every pretraining
+    * corpus runs before training (an eval example leaking into the
+    * training mix invalidates the benchmark).
+    *
+    * Inputs are (doc_id, hs) shingle-hash relations
+    * ([[Dedup.shingleHashesOf]]). The benchmark is tiny next to the
+    * corpus, so its distinct hashes BROADCAST and the corpus side
+    * stays an un-shuffled scan feeding one per-doc partial agg; if the
+    * benchmark ever outgrows the broadcast ceiling the same plan
+    * degrades gracefully to a shuffle equi-join on hs. */
+  def decontaminateOn(corpusHs: DataFrame, benchHs: DataFrame,
+      threshold: Double = 0.2): DataFrame = {
+    val sizes = corpusHs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = corpusHs
+      .join(broadcast(benchHs.select("hs").distinct()), "hs")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("hit_ratio",
+        round(col("n_hits").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated", col("hit_ratio") >= threshold)
+      .orderBy("doc_id")
+  }
+
+  /** Catalog wrapper: docs with doc_id % 40 == 7 stand in for the
+    * held-out benchmark; the rest are the training corpus. */
+  def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val hs = Dedup.shingleHashesOf(Tables.documents(s, dir))
+    decontaminateOn(
+      hs.filter(col("doc_id") % 40 =!= 7),
+      hs.filter(col("doc_id") % 40 === 7))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack_sequences" -> textPackSequences,
     "sample_stratified" -> sampleStratified,
     "corpus_mix" -> corpusMix,
     "profile_stats" -> profileStats,
+    "text_decontaminate" -> textDecontaminate,
   )
 
   private val polySql =
@@ -206,5 +244,28 @@ object Corpus {
         |    CAST(COUNT(DISTINCT n_chars) AS BIGINT),
         |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM d
         |) ORDER BY column_name""".stripMargin,
+    "text_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+        |       FROM tk, UNNEST(range(1, greatest(len(toks) - 1, 1))) AS r(i)),
+        |hs AS (SELECT doc_id, list_reduce(
+        |         list_concat([CAST(0 AS BIGINT)],
+        |           list_transform(string_split(sh,''), c -> CAST(unicode(c) AS BIGINT))),
+        |         (a, b) -> (a * 31 + b) % 1000000007) AS hs
+        |       FROM sh),
+        |bench AS (SELECT DISTINCT hs FROM hs WHERE doc_id % 40 = 7),
+        |corpus AS (SELECT * FROM hs WHERE doc_id % 40 <> 7),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_hits
+        |         FROM corpus JOIN bench USING (hs) GROUP BY doc_id)
+        |SELECT sz.doc_id, sz.n_shingles,
+        |  COALESCE(hits.n_hits, 0) AS n_hits,
+        |  round(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / sz.n_shingles, 6)
+        |    AS hit_ratio,
+        |  round(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / sz.n_shingles, 6)
+        |    >= 0.2 AS contaminated
+        |FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id
+        |ORDER BY sz.doc_id""".stripMargin,
   )
 }

@@ -232,7 +232,46 @@ object Text {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  /** L4j: repetition signals (the Gopher-style repetition filters):
+    * the fraction of a document's tokens taken by its most frequent
+    * token and by its most frequent word 2-gram — boilerplate and
+    * degenerate generations score high and get dropped before
+    * training. Two per-doc partial aggregations (unigram and bigram
+    * counts), each map-side combined — no all-pairs, no windows; at
+    * 100 TB this is two wordcount-shaped passes. */
+  def textRepetitionOn(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), toks(col("text")).as("t"))
+    val top1 = base
+      .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        explode(col("t")).as("tok"))
+      .groupBy("doc_id", "n_tokens", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens").agg(max(col("c")).as("top_tok_cnt"))
+    // word bigrams WITH multiplicity (the distinct-shingle expression
+    // would collapse repeats, which is exactly the signal here)
+    val top2 = base
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1)," +
+          " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))" +
+          " ELSE array() END")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_cnt"))
+    top1.join(top2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("top_tok_cnt"),
+        round(col("top_tok_cnt").cast("double") / col("n_tokens"), 6)
+          .as("top_tok_frac"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        round(coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") /
+          greatest(col("n_tokens") - 1, lit(1)), 6).as("top_bigram_frac"))
+      .withColumn("rep_ok",
+        col("top_tok_frac") < 0.2 && col("top_bigram_frac") < 0.2)
+      .orderBy("doc_id")
+  }
+
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    textRepetitionOn(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> textRepetition,
     "dedup_normalized" -> dedupNormalized,
     "text_pii_mask" -> textPiiMask,
     "corpus_clean" -> corpusClean,
@@ -255,6 +294,30 @@ object Text {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" ->
+      """WITH base AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+        |        unnest(t) AS tok FROM base),
+        |uc AS (SELECT doc_id, n_tokens, tok, COUNT(*) AS c
+        |       FROM uni GROUP BY 1, 2, 3),
+        |t1 AS (SELECT doc_id, n_tokens, MAX(c) AS top_tok_cnt
+        |       FROM uc GROUP BY 1, 2),
+        |bgs AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(t)),
+        |          i -> t[i] || ' ' || t[i+1])) AS bg FROM base),
+        |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, MAX(c) AS top_bigram_cnt FROM bc GROUP BY 1)
+        |SELECT t1.doc_id, t1.n_tokens, t1.top_tok_cnt,
+        |  round(CAST(t1.top_tok_cnt AS DOUBLE) / t1.n_tokens, 6)
+        |    AS top_tok_frac,
+        |  COALESCE(t2.top_bigram_cnt, 0) AS top_bigram_cnt,
+        |  round(CAST(COALESCE(t2.top_bigram_cnt, 0) AS DOUBLE)
+        |    / greatest(t1.n_tokens - 1, 1), 6) AS top_bigram_frac,
+        |  (round(CAST(t1.top_tok_cnt AS DOUBLE) / t1.n_tokens, 6) < 0.2
+        |   AND round(CAST(COALESCE(t2.top_bigram_cnt, 0) AS DOUBLE)
+        |     / greatest(t1.n_tokens - 1, 1), 6) < 0.2) AS rep_ok
+        |FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id
+        |ORDER BY t1.doc_id""".stripMargin,
     "corpus_clean" ->
       s"""WITH masked AS (
          |  SELECT doc_id,

@@ -93,4 +93,40 @@ class CorpusSpec extends SparkSpecBase {
     // the lexicographic smallest string
     assert(byName("doc_id")._4 == "0")
   }
+
+  test("decontaminate: eval-set leak flagged, clean doc untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"), // = bench doc
+      (1L, "completely different words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val rows = functions.Corpus.decontaminateOn(
+        functions.Dedup.shingleHashesOf(corpus),
+        functions.Dedup.shingleHashesOf(bench))
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 0 is verbatim in the benchmark: every shingle hits
+    assert(rows(0L)._3 == rows(0L)._2 && rows(0L)._5)
+    // doc 1 shares nothing: zero hits, not contaminated
+    assert(rows(1L)._3 == 0L && !rows(1L)._5)
+  }
+
+  test("repetition: hand-computed top token and bigram fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a a a b"), // top tok "a" 3/4; top bigram "a a" 2/3
+      (1L, "x"), // single token: no bigrams
+      (2L, "t u v w x y z")) // all distinct: top counts 1, both fracs < 0.2
+      .toDF("doc_id", "text")
+    val out = functions.Text.textRepetitionOn(docs)
+      .as[(Long, Int, Long, Double, Long, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, 4, 3L, 0.75, 2L, 0.666667, false)))
+    assert(out(1L)._3 == 1L && out(1L)._5 == 0L)
+    assert(out(2L)._3 == 1L && out(2L)._5 == 1L && out(2L)._7)
+  }
 }
