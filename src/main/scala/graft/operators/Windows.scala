@@ -27,6 +27,57 @@ object Windows {
         row_number().over(Window.orderBy("c_name")) + lit(999L))
       .orderBy("c_custkey")
 
+  /** W1 at scale: dense sequential ids WITHOUT the single-partition
+    * window — the textbook distributed spelling:
+    *
+    *  1. range-repartition on the order key (each partition owns a
+    *     contiguous key range, all partitions number in parallel);
+    *  2. row_number per PARTITION (window keyed by partition id — no
+    *     global collapse);
+    *  3. per-partition row counts form a tiny running-offset relation
+    *     (one row per partition) that broadcasts back;
+    *  4. id = partition offset + local row number.
+    *
+    * Values are IDENTICAL to `row_number() OVER (ORDER BY k)` — the
+    * oracle is the plain global form — but the plan's only global
+    * exchange is the range partitioning, which is how every sort
+    * already distributes. This is what replaces `windowRowNumber`'s
+    * quarantined single-partition form when density is required at
+    * 100 TB (`monotonically_increasing_id` when it is not).
+    *
+    * The order key must be a total order (ties across a partition
+    * boundary would make "dense and deterministic" ill-defined):
+    * c_name is unique in this corpus and the spec asserts the
+    * uniqueness assumption. */
+  def denseIdsOn(df: DataFrame, orderCol: String, parts: Int = 8,
+      base: Long = 0L): DataFrame = {
+    val ranged = df.repartitionByRange(parts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val local = ranged.withColumn("__rn",
+      row_number().over(
+        Window.partitionBy("__pid").orderBy(orderCol)))
+    val offsets = local.groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__offset")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("dense_id", col("__offset") + col("__rn") + lit(base))
+      .drop("__pid", "__rn", "__offset")
+  }
+
+  /** Catalog form of [[denseIdsOn]]: same values as
+    * `window_row_number` (base 999), scaled plan. */
+  def windowDenseIdsScaled(s: SparkSession, dir: String): DataFrame =
+    denseIdsOn(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+      "c_name", parts = 8, base = 999L)
+      .select(col("c_custkey"), col("c_name"),
+        col("dense_id").as("file_index"))
+      .orderBy("c_custkey")
+
   /** W2 (raw_to_samples.py:59-90): group-max broadcast back to every
     * row — the bbox "resize to group max" analytic. */
   def windowAnalyticMax(s: SparkSession, dir: String): DataFrame = {
@@ -108,6 +159,7 @@ object Windows {
     "window_ntile" -> windowNtile,
     "window_moving_avg" -> windowMovingAvg,
     "window_row_number" -> windowRowNumber,
+    "window_dense_ids_scaled" -> windowDenseIdsScaled,
     "window_analytic_max" -> windowAnalyticMax,
     "window_rank" -> windowRank,
     "window_lag_sum" -> windowLagSum,
@@ -134,6 +186,12 @@ object Windows {
         |             ORDER BY o_totalprice ASC, o_orderkey ASC)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "window_row_number" ->
+      """SELECT c_custkey, c_name,
+        |  row_number() OVER (ORDER BY c_name) + 999 AS file_index
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    // the scaled spelling produces byte-identical values to the global
+    // row_number — the oracle IS the global form
+    "window_dense_ids_scaled" ->
       """SELECT c_custkey, c_name,
         |  row_number() OVER (ORDER BY c_name) + 999 AS file_index
         |FROM customer ORDER BY c_custkey""".stripMargin,

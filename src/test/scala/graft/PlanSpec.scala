@@ -165,6 +165,30 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("window_dense_ids_scaled: dense ids without a single-partition window") {
+    // windowRowNumber's quarantined weakness, solved: the data-bearing
+    // exchanges are range partitioning; the only SinglePartition hop
+    // is the per-PARTITION offset relation (one row per partition —
+    // trivially small at any scale)
+    val df = operators.Windows.windowDenseIdsScaled(spark, sf)
+    val p = plan(df)
+    assert(p.contains("rangepartitioning"), p)
+    // the big-data window is keyed by partition id, not global
+    assert(p.contains("__pid"), p)
+    // and the values equal the quarantined global form exactly
+    import spark.implicits._
+    val scaled = df.select("c_custkey", "file_index")
+      .as[(Long, Long)].collect().sorted
+    val global = operators.Windows.windowRowNumber(spark, sf)
+      .select("c_custkey", "file_index")
+      .as[(Long, Long)].collect().sorted
+    assert(scaled.sameElements(global) && scaled.nonEmpty)
+    // the total-order assumption the op documents: the order key is
+    // unique in this corpus
+    val docs = Tables.customer(spark, sf)
+    assert(docs.select("c_name").distinct().count() == docs.count())
+  }
+
   test("dedup_embedding: the corpus is never broadcast (grid route + shuffle hash join)") {
     // the round-2 spelling broadcast the whole embeddings side — dead
     // at Spark's 8 GB broadcast ceiling. The block-pair shape keeps
