@@ -45,17 +45,18 @@ object Windows {
     * quarantined single-partition form when density is required at
     * 100 TB (`monotonically_increasing_id` when it is not).
     *
-    * The order key must be a total order (ties across a partition
-    * boundary would make "dense and deterministic" ill-defined):
-    * c_name is unique in this corpus and the spec asserts the
-    * uniqueness assumption. */
-  def denseIdsOn(df: DataFrame, orderCol: String, parts: Int = 8,
+    * The order key must be a TOTAL order: a tie group straddling a
+    * range-partition boundary would get renumbered relative to the
+    * global window (observed at sf0.1, where c_name alone has
+    * duplicates) — so callers pass enough columns to break every tie
+    * (the catalog form appends the primary key). */
+  def denseIdsOn(df: DataFrame, orderCols: Seq[String], parts: Int = 8,
       base: Long = 0L): DataFrame = {
-    val ranged = df.repartitionByRange(parts, col(orderCol))
+    val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
     val local = ranged.withColumn("__rn",
       row_number().over(
-        Window.partitionBy("__pid").orderBy(orderCol)))
+        Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)))
     val offsets = local.groupBy("__pid")
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset",
@@ -73,7 +74,7 @@ object Windows {
   def windowDenseIdsScaled(s: SparkSession, dir: String): DataFrame =
     denseIdsOn(
       Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
-      "c_name", parts = 8, base = 999L)
+      Seq("c_name", "c_custkey"), parts = 8, base = 999L)
       .select(col("c_custkey"), col("c_name"),
         col("dense_id").as("file_index"))
       .orderBy("c_custkey")
@@ -190,10 +191,11 @@ object Windows {
         |  row_number() OVER (ORDER BY c_name) + 999 AS file_index
         |FROM customer ORDER BY c_custkey""".stripMargin,
     // the scaled spelling produces byte-identical values to the global
-    // row_number — the oracle IS the global form
+    // row_number — the oracle IS the global form (tie-broken by the
+    // primary key, the total order the op requires)
     "window_dense_ids_scaled" ->
       """SELECT c_custkey, c_name,
-        |  row_number() OVER (ORDER BY c_name) + 999 AS file_index
+        |  row_number() OVER (ORDER BY c_name, c_custkey) + 999 AS file_index
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "window_analytic_max" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
