@@ -73,24 +73,27 @@ object Bench {
     }
     val counts = collection.mutable.Map[String, Double]()
     val noops = collection.mutable.Map[String, Double]()
-    val failed = collection.mutable.Set[String]()
     // ALL count passes complete before any noop pass: interleaving the
     // two metrics polluted the count timings (~+40% on unchanged
     // queries — the noop materializations churn page cache and heap
     // between a query's count reps)
     for (_ <- 1 to reps; (name, fn) <- catalog) {
-      timed(name, "count")(fn(spark, sfDir).count()) match {
-        case Some(t) =>
-          counts(name) = math.min(counts.getOrElse(name, t), t)
-        case None => failed += name
+      timed(name, "count")(fn(spark, sfDir).count()).foreach { t =>
+        counts(name) = math.min(counts.getOrElse(name, t), t)
       }
     }
     for (_ <- 1 to reps; (name, fn) <- catalog) {
       timed(name, "noop")(
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()) match {
-        case Some(t) => noops(name) = math.min(noops.getOrElse(name, t), t)
-        case None => failed += name
-      }
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        .foreach { t => noops(name) = math.min(noops.getOrElse(name, t), t) }
+    }
+    // a query is FAILED on a metric only if every rep of that metric
+    // threw (its sentinel stays -1 in the map); a transient single-rep
+    // failure keeps the surviving rep's timing and is visible only on
+    // stderr. failed lists "name:metric" so a consumer can locate it.
+    val failed = catalog.flatMap { case (name, _) =>
+      (if (counts.contains(name)) Nil else Seq(s"$name:count")) ++
+        (if (noops.contains(name)) Nil else Seq(s"$name:noop"))
     }
     val results = catalog.map { case (name, _) =>
       name -> (counts.getOrElse(name, -1.0), noops.getOrElse(name, -1.0))
@@ -105,10 +108,11 @@ object Bench {
     // output, so a 100-entry map (~2.3 KB) gets truncated mid-line and
     // fails to parse (round-1 BENCH had parsed:null). Keep the printed
     // line under ~1500 chars: slowest queries first, rest summarized.
+    val failedJson = failed.map(f => s""""$f"""").mkString("[", ",", "]")
     val fullJson = results.map { case (k, (c, n)) => s""""$k":{"count":$c,"noop":$n}""" }
       .mkString(
         s"""{"metric":"total","value":$total,"unit":"sec","total_noop":$totalNoop,""" +
-          s""""n_failed":${failed.size},"queries":{""",
+          s""""n_failed":${failed.size},"failed":$failedJson,"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       new java.io.File("BENCH_FULL.json").getAbsolutePath)

@@ -245,15 +245,11 @@ object Corpus {
         |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM d
         |) ORDER BY column_name""".stripMargin,
     "text_decontaminate" ->
-      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-        |       FROM tk, UNNEST(range(1, greatest(len(toks) - 1, 1))) AS r(i)),
-        |hs AS (SELECT doc_id, list_reduce(
-        |         list_concat([CAST(0 AS BIGINT)],
-        |           list_transform(string_split(sh,''), c -> CAST(unicode(c) AS BIGINT))),
-        |         (a, b) -> (a * 31 + b) % 1000000007) AS hs
-        |       FROM sh),
+      // single source of truth for the shingle+hash CTE chain: the
+      // Spark side is Dedup.shingleHashesOf, its SQL mirror is
+      // Dedup.shingleHashSql — re-inlining it here would silently
+      // diverge on the next shingle/hash change
+      s"""${Dedup.shingleHashSql},
         |bench AS (SELECT DISTINCT hs FROM hs WHERE doc_id % 40 = 7),
         |corpus AS (SELECT * FROM hs WHERE doc_id % 40 <> 7),
         |sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),

@@ -89,7 +89,7 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  private val shingleHashSql =
+  private[functions] val shingleHashSql =
     """WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
       |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
@@ -311,10 +311,11 @@ object Dedup {
     *
     *  - each vector gets a block id g = pmod(hash(vec_id), G);
     *  - the G x G grid of block pairs is a tiny broadcast relation;
-    *  - left vectors join the grid on g = gi (replication factor G),
-    *    then meet right vectors in a SHUFFLE hash join on gj = g, so
-    *    each reduce task verifies one (gi, gj) block pair of
-    *    (n/G)^2 candidates with only 2n/G vectors held in memory.
+    *  - BOTH sides replicate against the grid (left on g = gi, right
+    *    on g = gj) and meet in a SHUFFLE hash join keyed by the full
+    *    (gi, gj) cell: G^2-way parallelism, each reduce task verifying
+    *    one block pair of (n/G)^2 candidates with only 2n/G vectors
+    *    held in memory.
     *
     * No side is ever broadcast (the prior spelling broadcast the whole
     * corpus — dead at Spark's 8 GB broadcast ceiling, i.e. ~1M
@@ -348,13 +349,20 @@ object Dedup {
     val grid = broadcast(s.createDataFrame(
       for (i <- 0 until blocks; j <- 0 until blocks) yield (i, j))
       .toDF("gi", "gj"))
-    // hint forces the shuffle hash join: at corpus scale Spark would
-    // otherwise auto-broadcast the small right side — correct here,
-    // but the whole point is the shape that survives when the corpus
-    // does NOT fit in a broadcast
+    // BOTH sides replicate against the grid so the shuffle key is the
+    // full (gi, gj) cell — G^2 reduce tasks each verifying one block
+    // pair of 2n/G vectors. (Keying on gj alone would cap parallelism
+    // at G tasks, each streaming the whole left side.) The hint forces
+    // the shuffle hash join: at corpus scale Spark would otherwise
+    // auto-broadcast the small right side — correct here, but the
+    // whole point is the shape that survives when the corpus does NOT
+    // fit in a broadcast.
     e.as("l").join(grid, col("l.g") === col("gi"))
-      .join(e.as("r").hint("shuffle_hash"),
-        col("gj") === col("r.g") && col("l.vec_id") < col("r.vec_id"))
+      .join(
+        e.as("r").join(grid, col("r.g") === col("gj"))
+          .hint("shuffle_hash"),
+        Seq("gi", "gj"))
+      .filter(col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("da"), col("r.vec_id").as("db"),
         round(Similarity.dot(col("l.emb"), col("r.emb")) /
           (col("l.nrm") * col("r.nrm")), 4).as("cos"))

@@ -127,7 +127,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+    e.join(broadcast(q),
+        if (excludeSelf) col("vec_id") =!= col("qid") else lit(true))
       .select(col("qid"), col("vec_id"),
         round(dot(col("qemb"), col("emb")) /
           (col("qnrm") * col("nrm")), 4).as("cos"))

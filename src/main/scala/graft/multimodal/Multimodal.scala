@@ -50,9 +50,15 @@ object Multimodal {
   val DetectorConfKey = "spark.graft.media.detector"
   val TranscoderConfKey = "spark.graft.media.transcoder"
 
-  private[multimodal] def instantiate[T](className: String): T =
-    Class.forName(className).getDeclaredConstructor()
+  private[multimodal] def instantiate[T](className: String): T = {
+    // context classloader first: REPL/notebook-defined impls and
+    // runtime-added jars are visible there but not to this class's
+    // own loader
+    val loader = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(getClass.getClassLoader)
+    Class.forName(className, true, loader).getDeclaredConstructor()
       .newInstance().asInstanceOf[T]
+  }
 
   /** Deterministic surrogate for the YOLO tracker (M1, :170,187).
     * Construction is the expensive "model load" — done once per

@@ -52,21 +52,25 @@ object Windows {
     * (the catalog form appends the primary key). */
   def denseIdsOn(df: DataFrame, orderCols: Seq[String], parts: Int = 8,
       base: Long = 0L): DataFrame = {
-    val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-    val local = ranged.withColumn("__rn",
-      row_number().over(
-        Window.partitionBy("__pid").orderBy(orderCols.map(col): _*)))
-    val offsets = local.groupBy("__pid")
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__offset",
-        coalesce(sum(col("__cnt")).over(
-          Window.orderBy("__pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__offset")
-    local.join(broadcast(offsets), "__pid")
-      .withColumn("dense_id", col("__offset") + col("__rn") + lit(base))
-      .drop("__pid", "__rn", "__offset")
+    // drop to the RDD for the zip: zipWithIndex IS the per-partition
+    // two-pass (count partitions, then offset each row) — and at the
+    // RDD layer the range partitioner is instantiated ONCE in the
+    // lineage, so the count job and the map job see identical
+    // boundaries. The pure-DataFrame spelling (window per partition id
+    // + an offset self-aggregate) references its exchange from two
+    // subtrees: if exchange reuse doesn't fire, the range boundaries
+    // RESAMPLE per subtree (seeded by RDD id) and rows near a boundary
+    // silently duplicate or skip ids.
+    val sorted = df.repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "dense_id", org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L + base))
+    }
+    df.sparkSession.createDataFrame(rows, schema)
   }
 
   /** Catalog form of [[denseIdsOn]]: same values as

@@ -34,7 +34,12 @@ object RecoveryJob {
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", ckDir)
-    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    // crash mode throttles to ~1 batch/sec: progress events arrive on
+    // the async listener bus, and an unthrottled stream could commit
+    // every remaining batch before the halt fires, leaving the "killed
+    // MID-stream" assertion nothing to assert
+    (if (availableNow) w.trigger(Trigger.AvailableNow())
+     else w.trigger(Trigger.ProcessingTime("1 second"))).start()
   }
 
   def main(args: Array[String]): Unit = {

@@ -172,9 +172,11 @@ class PlanSpec extends SparkSpecBase {
     // trivially small at any scale)
     val df = operators.Windows.windowDenseIdsScaled(spark, sf)
     val p = plan(df)
-    assert(p.contains("rangepartitioning"), p)
-    // the big-data window is keyed by partition id, not global
-    assert(p.contains("__pid"), p)
+    // no single-partition collapse anywhere: the id assignment is an
+    // RDD zipWithIndex over range-partitioned sorted partitions, and
+    // the only exchange left in this plan is the output sort
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Window"), p)
     // and the values equal the quarantined global form exactly
     import spark.implicits._
     val scaled = df.select("c_custkey", "file_index")
@@ -195,8 +197,14 @@ class PlanSpec extends SparkSpecBase {
     // the corpus in shuffle land: its only BroadcastExchange is the
     // G^2 block-pair grid (a few hundred ints).
     val p = plan(functions.Dedup.dedupEmbedding(spark, sf))
-    assert(p.contains("ShuffledHashJoin"), p)
-    assert("BroadcastExchange".r.findAllIn(p).size == 1, p)
+    // the pair join is keyed by the FULL (gi, gj) cell — G^2-way
+    // parallelism, not G
+    assert(p.contains("ShuffledHashJoin [gi"), p)
+    // both sides broadcast only the literal grid (LocalTableScan);
+    // every BroadcastExchange in the plan is one of those
+    val nBroadcast = "BroadcastExchange".r.findAllIn(p).size
+    assert(nBroadcast == "LocalTableScan".r.findAllIn(p).size, p)
+    assert(nBroadcast <= 2, p)
   }
 
   test("text map-only family: one scan, no shuffle beyond the output sort") {
