@@ -149,14 +149,17 @@ object Corpus {
     * degrades gracefully to a shuffle equi-join on hs. */
   def decontaminateOn(corpusHs: DataFrame, benchHs: DataFrame,
       threshold: Double = 0.2): DataFrame = {
-    val sizes = corpusHs.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"))
-    val hits = corpusHs
-      .join(broadcast(benchHs.select("hs").distinct()), "hs")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    sizes.join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    // ONE corpus pass: the broadcast left-join marks each shingle,
+    // and a single per-doc aggregation counts total + hits together
+    // (the sizes-join-hits spelling scanned the corpus shingle
+    // relation twice — the round-2 duplicate-subtree lesson)
+    val bench = benchHs.select(col("hs")).distinct()
+      .withColumn("__hit", lit(1))
+    corpusHs
+      .join(broadcast(bench), Seq("hs"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_hits"))
       .withColumn("hit_ratio",
         round(col("n_hits").cast("double") / col("n_shingles"), 6))
       .withColumn("contaminated", col("hit_ratio") >= threshold)

@@ -165,6 +165,20 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("text_decontaminate: one corpus pass, benchmark broadcast, no cross join") {
+    val p = plan(functions.Corpus.textDecontaminate(spark, sf))
+    // corpus shingles scanned once, benchmark shingles once
+    assert("Scan parquet".r.findAllIn(p).size == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_embedding_lsh: bucket equi-joins only, never a cross product") {
+    val p = plan(functions.Dedup.dedupEmbeddingLsh(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("window_dense_ids_scaled: dense ids without a single-partition window") {
     // windowRowNumber's quarantined weakness, solved: the data-bearing
     // exchanges are range partitioning; the only SinglePartition hop
