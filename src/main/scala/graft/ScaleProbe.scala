@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe: times the data-bound operators on k x
+  * copies of the documents corpus (k = 1, 2, 4) and prints the growth
+  * ratio per doubling. Near 2 means linear — the shape that survives
+  * a 1000-executor cluster; near 4 means quadratic — the shape that
+  * does not.
+  *
+  * Copies are content-PERTURBED (every token prefixed with the copy
+  * index via a global regex), so no cross-copy near-duplicates exist
+  * and the planted dup structure stays constant per copy — a naive
+  * self-union would make every row a near-dup of k-1 others and
+  * measure an adversarial corpus no real pipeline has.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir]   (env REPS=n, default 2)
+  */
+object ScaleProbe {
+
+  def corpusTimes(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val base = Tables.documents(s, dir)
+    (0 until k)
+      .map { c =>
+        base.select(
+          (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+          (if (c == 0) col("text")
+           else regexp_replace(col("text"), "([a-z0-9]+)", s"c$c$$1"))
+            .as("text"),
+          col("lang"))
+      }
+      .reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // the probed ops, over an arbitrary (doc_id, text, lang) corpus
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "dedup_exact" -> functions.Dedup.dedupExactOn,
+      "dedup_minhash" -> (d =>
+        functions.Dedup.dedupMinhashOn(functions.Dedup.shingleHashesOf(d))),
+      "dedup_ngram" -> (d =>
+        functions.Dedup.dedupNgramOn(functions.Dedup.shingleHashesOf(d))),
+      "dedup_simhash64" -> (d =>
+        functions.Dedup.dedupSimhash64On(
+          functions.Dedup.simhash64SigOf(functions.Dedup.tokenCountsOf(d)))),
+      "corpus_clean" -> functions.Text.corpusCleanOn,
+      "text_quality" -> functions.Text.textQualityOn,
+      "text_repetition" -> functions.Text.textRepetitionOn,
+    )
+
+    val ks = Seq(1, 2, 4)
+    val times = collection.mutable.Map[(String, Int), Double]()
+    for (k <- ks; (name, fn) <- ops) {
+      val c = corpusTimes(spark, sfDir, k)
+      val t = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(c).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      times((name, k)) = t
+      println(f"PROBE $name%-18s k=$k%-2d rows=${c.count()}%-7d ${t}%.2f s")
+    }
+    println(f"\n${"op"}%-18s ${"k=1"}%8s ${"k=2"}%8s ${"k=4"}%8s  x per doubling")
+    ops.foreach { case (name, _) =>
+      val (t1, t2, t4) =
+        (times((name, 1)), times((name, 2)), times((name, 4)))
+      val g = math.sqrt(t4 / t1) // geometric mean growth per doubling
+      println(f"RATIO $name%-18s $t1%8.2f $t2%8.2f $t4%8.2f  ${g}%.2f")
+    }
+    spark.stop()
+  }
+}
