@@ -25,6 +25,38 @@ class RobustnessSpec extends SparkSpecBase {
       functions.Dedup.simhash64SigOf(tc)).count() == 0)
   }
 
+  test("round-3 ops: empty inputs -> empty results, no crash") {
+    import org.apache.spark.sql.functions.col
+    val emptyHs = functions.Dedup.shingleHashesOf(emptyDocs)
+    assert(functions.Corpus.decontaminateOn(emptyHs, emptyHs).count() == 0)
+    assert(functions.Text.textRepetitionOn(emptyDocs).count() == 0)
+    assert(operators.Windows.denseIdsOn(
+      emptyDocs, Seq("text", "doc_id")).count() == 0)
+    val emptyEmb = emptyDocs
+      .select(col("doc_id").as("vec_id"),
+        org.apache.spark.sql.functions.array().cast("array<float>")
+          .as("embedding"))
+      .limit(0)
+    assert(functions.Dedup.dedupEmbeddingOn(emptyEmb).count() == 0)
+    assert(functions.Dedup.dedupEmbeddingLshOn(emptyEmb).count() == 0)
+  }
+
+  test("denseIdsOn: dense permutation, monotone in the compound key, ragged parts") {
+    // scrambled insert order, heavy key duplication (50 distinct k for
+    // 1000 rows), a parts count that doesn't divide n — ids must still
+    // be exactly base+1..base+n and follow (k, pk) order
+    val n = 1000
+    val df = (0 until n).map(i => ((i * 7919) % n, s"k${(i * 104729) % 50}"))
+      .toDF("pk", "k")
+    val out = operators.Windows.denseIdsOn(df, Seq("k", "pk"), parts = 7,
+        base = 10L)
+      .select("k", "pk", "dense_id")
+      .as[(String, Int, Long)].collect()
+    assert(out.map(_._3).sorted.toSeq == (11L to (n + 10L)))
+    val byId = out.sortBy(_._3).map(r => (r._1, r._2)).toSeq
+    assert(byId == byId.sorted)
+  }
+
   test("null text: shingles coalesce to empty array, never NULL") {
     val docs = Seq((1L, null.asInstanceOf[String], "en"),
       (2L, "a b c d", "en")).toDF("doc_id", "text", "lang")
