@@ -46,6 +46,25 @@ class SinksSpec extends SparkSpecBase {
       src.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("ORC sink/source round-trips with predicate pushdown (columnar alternative)") {
+    // beyond the reference's formats: Spark ships the ORC datasource
+    // in-box, so a library user gets the second columnar format for
+    // free — verify the roundtrip AND that filters reach the ORC scan
+    val d = tmp()
+    val src = Tables.orders(spark, sf)
+    src.write.mode(SaveMode.Overwrite).orc(d)
+    val back = spark.read.orc(d)
+    assert(back.count() == src.count())
+    assert(back.orderBy("o_orderkey").collect().toSeq ==
+      src.orderBy("o_orderkey").collect().toSeq)
+    val filtered = back.filter(org.apache.spark.sql.functions
+      .col("o_totalprice") > 100000.0)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan"), p)
+    assert(filtered.count() ==
+      src.filter("o_totalprice > 100000.0").count())
+  }
+
   test("S5 JSON dict sink round-trips (json.dump analog)") {
     val d = tmp()
     val src = Seq(("a/b.mp4", "play"), ("c/d.mp4", "eat"))
