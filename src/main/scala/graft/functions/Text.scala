@@ -240,39 +240,27 @@ object Text {
     * counts), each map-side combined — no all-pairs, no windows; at
     * 100 TB this is two wordcount-shaped passes. */
   def textRepetitionOn(docs: DataFrame): DataFrame = {
-    // ONE corpus scan: unigrams and bigrams explode together as
-    // kind-tagged grams (bigrams WITH multiplicity — the
-    // distinct-shingle expression would collapse repeats, which is
-    // exactly the signal); per-kind tops come from one grouped count
-    // + a conditional-max pivot, no self-join. The bigram lambda
-    // over-generates one index for <2-token docs and filters the
-    // null gram out (sequence(1, 0) would produce a DESCENDING range,
-    // not an empty one).
-    val grams = docs
-      .select(col("doc_id"), toks(col("text")).as("t"))
+    val base = docs.select(col("doc_id"), toks(col("text")).as("t"))
+    val top1 = base
       .select(col("doc_id"), size(col("t")).as("n_tokens"),
-        explode(expr(
-          "concat(" +
-            " transform(t, x -> named_struct('kind', 'u', 'g', x))," +
-            " filter(transform(sequence(1, greatest(size(t) - 1, 1))," +
-            "   i -> named_struct('kind', 'b'," +
-            "     'g', concat(try_element_at(t, i), ' ', try_element_at(t, i + 1))))," +
-            "  s -> s.g IS NOT NULL))")).as("x"))
-      .select(col("doc_id"), col("n_tokens"),
-        col("x.kind").as("kind"), col("x.g").as("g"))
-    grams
-      .groupBy("doc_id", "n_tokens", "kind", "g")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "n_tokens")
-      .agg(
-        max(when(col("kind") === "u", col("c"))).as("top_tok_cnt"),
-        coalesce(max(when(col("kind") === "b", col("c"))), lit(0L))
-          .as("top_bigram_cnt"))
+        explode(col("t")).as("tok"))
+      .groupBy("doc_id", "n_tokens", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens").agg(max(col("c")).as("top_tok_cnt"))
+    // word bigrams WITH multiplicity (the distinct-shingle expression
+    // would collapse repeats, which is exactly the signal here)
+    val top2 = base
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1)," +
+          " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))" +
+          " ELSE array() END")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_cnt"))
+    top1.join(top2, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("top_tok_cnt"),
         round(col("top_tok_cnt").cast("double") / col("n_tokens"), 6)
           .as("top_tok_frac"),
-        col("top_bigram_cnt"),
-        round(col("top_bigram_cnt").cast("double") /
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        round(coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") /
           greatest(col("n_tokens") - 1, lit(1)), 6).as("top_bigram_frac"))
       .withColumn("rep_ok",
         col("top_tok_frac") < 0.2 && col("top_bigram_frac") < 0.2)
