@@ -28,6 +28,7 @@ object SparkEntry {
     (functions.Text.queries, functions.Text.oracles),
     (functions.Corpus.queries, functions.Corpus.oracles),
     (functions.Dedup.queries, functions.Dedup.oracles),
+    (functions.Clusters.queries, functions.Clusters.oracles),
     (functions.Similarity.queries, functions.Similarity.oracles),
     (streaming.Streaming.queries, streaming.Streaming.oracles),
   )

@@ -1,0 +1,123 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Near-duplicate cluster assignment — the rung a real dedup pipeline
+  * needs between "candidate pairs" ([[Dedup]]) and "keep one copy":
+  * connected components over the verified near-dup pair graph, with
+  * cluster id = min doc_id in the component and the canonical keeper
+  * flagged. (Pairs alone under-delete: if A~B and B~C but A!~C,
+  * pairwise keep-min drops B twice but keeps both A and C of a
+  * three-way group; the component {A,B,C} keeps exactly A.)
+  *
+  * Scale design: iterative min-label propagation, the Pregel form of
+  * GraphX's connectedComponents, as plain DataFrame joins — each
+  * iteration is one equi-join of the (symmetric) edge list against the
+  * current labels plus a groupBy(node) min, i.e. two shuffles keyed on
+  * node id, map-side combined. Rounds needed = graph diameter, and
+  * near-dup components are almost-cliques (diameter 2-3) regardless of
+  * corpus size, so the round count does not grow with data volume. For
+  * adversarial long-chain graphs the O(log n)-round alternating
+  * large-star/small-star algorithm (Kiveris et al., MapReduce CC) is
+  * the drop-in upgrade. Labels are re-materialized each round
+  * (localCheckpoint) so the plan stays constant-size instead of
+  * deepening by two joins per round; on a cluster this would be a
+  * checkpoint to reliable storage every few rounds.
+  *
+  * Reference behavior: the reference pipeline dedups per-episode by
+  * exact id (skip-if-exists, raw_to_samples.py:310-313); corpus-level
+  * near-dup grouping is the training-data generalization of that step.
+  */
+object Clusters {
+
+  /** Connected components of an undirected pair graph. Input: any
+    * two-column DataFrame of (node, node) edges; output: (node, lbl)
+    * with lbl = min node id in the component. Runs the label loop
+    * eagerly (iterative algorithms are driver-coordinated actions, as
+    * in GraphX); throws if `maxIter` rounds don't reach a fixpoint
+    * rather than returning partially-merged clusters. */
+  def connectedComponentsOn(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val Array(ca, cb) = pairs.columns.take(2)
+    val half = pairs.select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b"))
+    val edges = half
+      .union(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // min label among neighbors, one shuffle on the edge endpoint
+      val nbrMin = edges.as("e")
+        .join(labels.as("l"), col("e.b") === col("l.node"))
+        .groupBy(col("e.a")).agg(min(col("l.lbl")).as("nlbl"))
+        .withColumnRenamed("a", "nnode")
+      val step = labels.as("o")
+        .join(nbrMin, col("o.node") === col("nnode"), "left")
+        .select(col("o.node").as("node"), col("o.lbl").as("old"),
+          least(col("o.lbl"), coalesce(col("nlbl"), col("o.lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = step.filter(col("lbl") < col("old")).count()
+      val prev = labels
+      labels = step.select("node", "lbl").localCheckpoint(true)
+      step.unpersist()
+      prev.unpersist()
+      iter += 1
+    }
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds")
+    labels
+  }
+
+  /** Cluster assignment over any (doc_id-ish, doc_id-ish) pair frame:
+    * (doc_id, cluster_id, n_members, is_keeper), keeper = min id. */
+  def clustersOn(pairs: DataFrame): DataFrame = {
+    val cc = connectedComponentsOn(pairs)
+    val sizes = cc.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        col("n_members"), (col("node") === col("lbl")).as("is_keeper"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** Catalog form: components of the MinHash-verified near-dup pairs
+    * (jac >= 0.8), i.e. the full Dedup rung chain
+    * shingle -> minhash -> band -> verify -> cluster. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clustersOn(Dedup.dedupMinhash(s, dir).select("da", "db"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> dedupClusters,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // recursive reachability closure: fine for the oracle's corpus
+    // scale (component sizes are tiny), where the engine side runs the
+    // label-propagation loop instead
+    "dedup_clusters" ->
+      s"""${Dedup.minhashCoreSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT da, db
+         |  FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+         |pe AS (SELECT da AS a, db AS b FROM pairs
+         |       UNION SELECT db AS a, da AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM pe),
+         |rr(node, reach) AS (
+         |  SELECT node, node AS reach FROM nodes
+         |  UNION
+         |  SELECT pe.b AS node, rr.reach FROM rr JOIN pe ON pe.a = rr.node),
+         |lbl AS (SELECT node, MIN(reach) AS cluster_id FROM rr GROUP BY node),
+         |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM lbl GROUP BY cluster_id)
+         |SELECT l.node AS doc_id, l.cluster_id, s.n_members,
+         |  l.node = l.cluster_id AS is_keeper
+         |FROM lbl l JOIN sz s ON l.cluster_id = s.cluster_id
+         |ORDER BY l.cluster_id, doc_id""".stripMargin,
+  )
+}

@@ -450,23 +450,30 @@ object Dedup {
   private val simhashBits = (0 until 32).map(j =>
     s"CASE WHEN s$j >= 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END").mkString(" + ")
 
+  /** CTE chain shingles -> signatures -> banded candidates -> verified
+    * intersection counts; shared by the dedup_minhash oracle and the
+    * [[Clusters]] connected-components oracle (which consumes the
+    * verified pair set as its edge list). */
+  private[functions] val minhashCoreSql =
+    s"""$shingleHashSql,
+       |sig AS (SELECT doc_id, COUNT(*) AS n, $minhashMins FROM hs GROUP BY doc_id),
+       |banded AS (SELECT doc_id, $bandCols FROM sig),
+       |bl AS ($bandUnion),
+       |cand AS (SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+       |         FROM bl l JOIN bl r ON l.band = r.band AND l.bh = r.bh
+       |           AND l.doc_id < r.doc_id),
+       |ix AS (SELECT da, db, COUNT(*) AS inter
+       |       FROM cand JOIN hs a ON da = a.doc_id
+       |       JOIN hs b ON db = b.doc_id AND a.hs = b.hs
+       |       GROUP BY da, db)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keeper_doc_id""".stripMargin,
     "dedup_minhash" ->
-      s"""$shingleHashSql,
-         |sig AS (SELECT doc_id, COUNT(*) AS n, $minhashMins FROM hs GROUP BY doc_id),
-         |banded AS (SELECT doc_id, $bandCols FROM sig),
-         |bl AS ($bandUnion),
-         |cand AS (SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
-         |         FROM bl l JOIN bl r ON l.band = r.band AND l.bh = r.bh
-         |           AND l.doc_id < r.doc_id),
-         |ix AS (SELECT da, db, COUNT(*) AS inter
-         |       FROM cand JOIN hs a ON da = a.doc_id
-         |       JOIN hs b ON db = b.doc_id AND a.hs = b.hs
-         |       GROUP BY da, db)
+      s"""$minhashCoreSql
          |SELECT da, db,
          |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
          |FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id

@@ -270,7 +270,87 @@ object Text {
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     textRepetitionOn(Tables.documents(s, dir))
 
+  /** L4g: fixed-token-window chunking with overlap — long documents
+    * split into `window`-token chunks every `stride` tokens, the
+    * standard pre-tokenization step before sequence packing (cf.
+    * [[Corpus.packSequences]]). Map-only: per-row sequence + slice,
+    * no shuffle except the contract orderBy — embarrassingly parallel
+    * at 100 TB, and chunk counts grow with document length, not corpus
+    * size. */
+  def textChunkOn(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n"))
+      // last chunk index = ceil(max(n - window, 0) / stride); every
+      // token lands in some chunk, tail chunks may run short
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0L),
+          greatest(ceil((col("n") - lit(window)).cast("double") / lit(stride)),
+            lit(0L)))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("t"), (col("chunk_id") * stride + 1).cast("int"),
+            lit(window))).as("chunk_text"),
+        least(lit(window.toLong), col("n") - col("chunk_id") * stride)
+          .as("n_chunk_toks"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    textChunkOn(Tables.documents(s, dir))
+
+  /** L4h: corpus-LM quality score — average bigram log-likelihood of
+    * each document under an add-one-smoothed bigram model fitted on
+    * the corpus itself (the cheap stand-in for "perplexity under a
+    * small reference LM" that real pipelines filter on; gibberish and
+    * boilerplate both surface as outliers). Two wordcount-shaped
+    * aggregations (bigram + prefix counts) joined back to the bigram
+    * stream — all map-side-combinable shuffles on token keys; the
+    * model tables stay small (vocab-sized) and broadcast at scale.
+    *
+    * Cross-engine determinism: ln() on integers is IEEE-double in both
+    * engines; the per-doc sum folds in token order on both sides
+    * (sorted collect + left fold, not an unordered SUM) and the single
+    * round(4) boundary absorbs any last-ulp libm differences. */
+  def textLmScoreOn(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), toks(col("text")).as("t"))
+    val bg = base
+      .select(col("doc_id"), posexplode(expr(
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1)," +
+          " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))" +
+          " ELSE array() END")))
+      .select(col("doc_id"), col("pos"), col("col.w1").as("w1"),
+        col("col.w2").as("w2"))
+    val bigramCnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val prefixCnt = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = base
+      .select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = bg
+      .join(bigramCnt, Seq("w1", "w2"))
+      .join(prefixCnt, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("pos"),
+        (log(col("c12") + 1) - log(col("c1") + col("v"))).as("lp"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lp")))),
+            x => x("lp")),
+          lit(0.0), (acc, x) => acc + x).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_lp") / col("n_bigrams"), 4).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  def textLmScore(s: SparkSession, dir: String): DataFrame =
+    textLmScoreOn(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk" -> textChunk,
+    "text_lm_score" -> textLmScore,
     "text_repetition" -> textRepetition,
     "dedup_normalized" -> dedupNormalized,
     "text_pii_mask" -> textPiiMask,
@@ -294,6 +374,36 @@ object Text {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_chunk" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |c AS (SELECT doc_id, t, len(t) AS n,
+        |  unnest(range(0,
+        |    GREATEST(CAST(ceil((len(t) - 64) / 48.0) AS BIGINT), 0) + 1))
+        |    AS chunk_id
+        |  FROM tk)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(t[CAST(chunk_id*48+1 AS BIGINT) :
+        |    CAST(chunk_id*48+64 AS BIGINT)], ' ') AS chunk_text,
+        |  LEAST(64, n - chunk_id*48) AS n_chunk_toks
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_lm_score" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, i AS pos, t[i] AS w1, t[i+1] AS w2
+        |       FROM tk, UNNEST(range(1, len(t))) AS r(i)
+        |       WHERE len(t) >= 2),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        |uc AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+        |vc AS (SELECT COUNT(DISTINCT w) AS v FROM (
+        |       SELECT unnest(t) AS w FROM tk)),
+        |sc AS (SELECT doc_id, pos, ln(c12 + 1) - ln(c1 + v) AS lp
+        |       FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vc),
+        |per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |        list_reduce(
+        |          list_concat([CAST(0 AS DOUBLE)], list(lp ORDER BY pos)),
+        |          (a, b) -> a + b) AS sum_lp
+        |        FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, ROUND(sum_lp / n_bigrams, 4) AS avg_logprob
+        |FROM per ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |uni AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,

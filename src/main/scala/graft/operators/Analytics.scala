@@ -294,6 +294,37 @@ object Analytics {
         |ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** SQL frontend, TPC-H Q21 shape: suppliers who are the SOLE
+    * returned-flag supplier on a multi-supplier finished order — a
+    * correlated EXISTS (some other supplier on the order) plus a
+    * correlated NOT EXISTS (no other supplier also returned), the
+    * hardest decorrelation shape in the TPC-H suite: Catalyst plans
+    * the pair as a left-semi then left-anti join against the same
+    * fact table, both shuffle-keyed on the order key. (The testdata
+    * lineitem has no receipt/commit dates, so l_returnflag = 'R'
+    * stands in for "delivered late" with identical query structure —
+    * TPC-H Q21, "Suppliers Who Kept Orders Waiting".) */
+  def sqlQ21(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM v_supplier
+        |JOIN v_lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN v_orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM v_lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM v_lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin)
+  }
+
   /** SQL subquery surface: a correlated scalar subquery (per-customer
     * order count) and a correlated EXISTS filter in one statement —
     * the shapes Catalyst decorrelates into aggregates + joins
@@ -362,6 +393,7 @@ object Analytics {
     "sql_q5" -> sqlQ5,
     "sql_q18" -> sqlQ18,
     "sql_q20" -> sqlQ20,
+    "sql_q21" -> sqlQ21,
     "sql_subqueries" -> sqlSubqueries,
     "window_range_frame" -> windowRangeFrame,
     "window_value_fns" -> windowValueFns,
@@ -416,6 +448,21 @@ object Analytics {
         |  GROUP BY l_suppkey, l_partkey
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100)
         |ORDER BY s_suppkey""".stripMargin,
+    "sql_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     "sql_subqueries" ->
       """SELECT c_custkey, c_name,
         |  (SELECT COUNT(*) FROM orders o

@@ -257,7 +257,49 @@ object Joins {
         .select("o_orderstatus").distinct())
       .orderBy("r_name", "o_orderstatus")
 
+  /** J12: CDC-style MERGE/upsert — a change batch (updates to existing
+    * keys + brand-new keys) merged into a base table: matched rows take
+    * the source values, source-only rows insert, target-only rows
+    * carry through. Spelled as one FULL OUTER equi-join + coalesce
+    * (Spark has no MERGE INTO against plain parquet; this is the
+    * engine form of it, and the shape Delta/Iceberg MERGE lowers to).
+    * One shuffle on the merge key; at 100 TB the change batch is
+    * typically small relative to base, so AQE turns the join broadcast
+    * -- either way no cross product, no skew (keys unique both sides).
+    * The change batch is derived deterministically from the base table
+    * (every 7th key updated with +10.00 on the price, every 13th key
+    * re-keyed past the keyspace as an insert). */
+  def mergeUpsertOn(base: DataFrame, changes: DataFrame): DataFrame =
+    base.as("t")
+      .join(changes.as("s"), col("t.o_orderkey") === col("s.u_orderkey"),
+        "full_outer")
+      .select(
+        coalesce(col("s.u_orderkey"), col("t.o_orderkey")).as("o_orderkey"),
+        coalesce(col("s.u_totalprice"), col("t.o_totalprice"))
+          .as("o_totalprice"),
+        coalesce(col("s.u_status"), col("t.o_orderstatus"))
+          .as("o_orderstatus"),
+        when(col("t.o_orderkey").isNull, "insert")
+          .when(col("s.u_orderkey").isNull, "keep")
+          .otherwise("update").as("merge_op"))
+      .orderBy("o_orderkey")
+
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("u_orderkey"),
+        (col("o_totalprice") + 10.0).as("u_totalprice"),
+        lit("U").as("u_status"))
+    val inserts = base.filter(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + 100000000L).as("u_orderkey"),
+        col("o_totalprice").as("u_totalprice"),
+        lit("N").as("u_status"))
+    mergeUpsertOn(base, updates.union(inserts))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert" -> mergeUpsert,
     "join_asof" -> joinAsof,
     "join_asof_forward" -> joinAsofForward,
     "join_salted" -> joinSalted,
@@ -274,6 +316,23 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey AS u_orderkey, o_totalprice + 10.0 AS u_totalprice,
+        |    'U' AS u_status FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS u_orderkey,
+        |    o_totalprice AS u_totalprice, 'N' AS u_status
+        |  FROM base WHERE o_orderkey % 13 = 0)
+        |SELECT COALESCE(u_orderkey, o_orderkey) AS o_orderkey,
+        |  COALESCE(u_totalprice, o_totalprice) AS o_totalprice,
+        |  COALESCE(u_status, o_orderstatus) AS o_orderstatus,
+        |  CASE WHEN o_orderkey IS NULL THEN 'insert'
+        |       WHEN u_orderkey IS NULL THEN 'keep'
+        |       ELSE 'update' END AS merge_op
+        |FROM base FULL OUTER JOIN chg ON o_orderkey = u_orderkey
+        |ORDER BY COALESCE(u_orderkey, o_orderkey)""".stripMargin,
     "join_left_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
         |  CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

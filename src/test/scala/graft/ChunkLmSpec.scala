@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** text_chunk / text_lm_score properties: coverage and overlap of the
+  * chunking, and model-level sanity of the bigram LM score. */
+class ChunkLmSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("chunking covers every token: stride == window partitions exactly") {
+    val docs = Seq((1L, (1 to 150).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = functions.Text.textChunkOn(docs, window = 64, stride = 64)
+      .orderBy("chunk_id").collect()
+    assert(out.length == 3) // 64 + 64 + 22
+    val rebuilt = out.map(_.getString(2)).mkString(" ")
+    assert(rebuilt == (1 to 150).map(i => s"t$i").mkString(" "))
+    assert(out.map(_.getLong(3)).toSeq == Seq(64L, 64L, 22L))
+  }
+
+  test("overlapping chunks share exactly window - stride tokens") {
+    val docs = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = functions.Text.textChunkOn(docs, window = 64, stride = 48)
+      .orderBy("chunk_id").collect()
+    assert(out.length == 2)
+    val c0 = out(0).getString(2).split(" ")
+    val c1 = out(1).getString(2).split(" ")
+    assert(c0.takeRight(16).sameElements(c1.take(16)))
+    // every token appears in some chunk
+    assert((c0 ++ c1).distinct.length == 100)
+  }
+
+  test("short doc yields one short chunk; invalid stride rejected") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = functions.Text.textChunkOn(docs).collect()
+    assert(out.length == 1 && out(0).getString(2) == "a b c" &&
+      out(0).getLong(3) == 3L)
+    intercept[IllegalArgumentException] {
+      functions.Text.textChunkOn(docs, window = 8, stride = 9)
+    }
+  }
+
+  test("lm score: identical docs score identically; repetitive text beats " +
+    "unseen-transition text under the corpus model") {
+    val docs = Seq(
+      (1L, "the dog ran fast the dog ran fast the dog ran fast"),
+      (2L, "the dog ran fast the dog ran fast the dog ran fast"),
+      (3L, "fast the ran dog dog fast the ran")) // unseen transitions
+      .toDF("doc_id", "text")
+    val out = functions.Text.textLmScoreOn(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1) == out(2))
+    assert(out(1) > out(3)) // high-probability transitions score higher
+    assert(out.values.forall(v => v < 0.0 && !v.isNaN && !v.isInfinite))
+  }
+
+  test("lm score on the corpus: one row per >=2-token doc, all finite") {
+    val out = functions.Text.textLmScore(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(out.count() == nDocs)
+    assert(out.filter(col("avg_logprob").isNull ||
+      col("avg_logprob") >= 0.0).count() == 0)
+    out.unpersist()
+  }
+}

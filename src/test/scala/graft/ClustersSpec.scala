@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Connected-components cluster assignment (functions.Clusters):
+  * synthetic graphs with hand-checkable components, convergence
+  * behavior, and the corpus-level invariants of dedup_clusters. */
+class ClustersSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("transitive merge: A~B, B~C, D~E -> components {A,B,C}, {D,E}") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val got = functions.Clusters.clustersOn(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (10L, 10L, 2L, true), (11L, 10L, 2L, false)))
+  }
+
+  test("long chain converges to the chain min (diameter > 2 rounds)") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("da", "db")
+    val lbls = functions.Clusters.connectedComponentsOn(pairs)
+      .select("lbl").distinct().as[Long].collect()
+    assert(lbls.toSeq == Seq(1L))
+  }
+
+  test("maxIter too small for the diameter throws instead of under-merging") {
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("da", "db")
+    intercept[IllegalStateException] {
+      functions.Clusters.connectedComponentsOn(pairs, maxIter = 2)
+    }
+  }
+
+  test("pair order and duplicate edges don't change the components") {
+    val a = Seq((2L, 1L), (1L, 2L), (3L, 2L), (7L, 9L)).toDF("da", "db")
+    val b = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("da", "db")
+    val ca = functions.Clusters.clustersOn(a).collect().toSeq
+    val cb = functions.Clusters.clustersOn(b).collect().toSeq
+    assert(ca == cb)
+  }
+
+  test("dedup_clusters invariants: keepers = clusters, members >= 2, " +
+    "cluster id is the member min, pairs' nodes all covered") {
+    val out = functions.Clusters.dedupClusters(spark, sf).cache()
+    val pairs = functions.Dedup.dedupMinhash(spark, sf)
+    val nodes = pairs.select(col("da").as("n"))
+      .union(pairs.select(col("db").as("n"))).distinct()
+    assert(out.count() == nodes.count())
+    assert(out.filter(col("n_members") < 2).count() == 0)
+    val perCluster = out.groupBy("cluster_id")
+      .agg(min("doc_id").as("mn"), count(lit(1)).as("n"),
+        sum(col("is_keeper").cast("long")).as("k"),
+        max("n_members").as("n_members"))
+    assert(perCluster.filter(col("mn") =!= col("cluster_id")).count() == 0)
+    assert(perCluster.filter(col("k") =!= 1).count() == 0)
+    assert(perCluster.filter(col("n") =!= col("n_members")).count() == 0)
+    out.unpersist()
+  }
+}
