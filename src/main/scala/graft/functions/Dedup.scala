@@ -116,7 +116,15 @@ object Dedup {
   /** L2: MinHash + LSH banding, then exact-Jaccard verification of the
     * banded candidates (jac >= threshold), over a (doc_id, hs)
     * shingle-hash relation (see [[shingleHashesOf]]). */
-  def dedupMinhashOn(hs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def dedupMinhashOn(hs: DataFrame, threshold: Double = 0.8): DataFrame =
+    minhashVerified(hs, threshold, identity)
+
+  /** Shared minhash pipeline; `candFilter` prunes the banded candidate
+    * pair set BEFORE the exact-Jaccard verification join — the hook
+    * [[dedupIncrementalOn]] uses to skip verification work for pairs
+    * entirely inside the already-deduped corpus. */
+  private def minhashVerified(hs: DataFrame, threshold: Double,
+      candFilter: DataFrame => DataFrame): DataFrame = {
     // k min-hashes per doc in ONE pass via the custom
     // TypedImperativeAggregate (k-slot buffer), not K separate min()s;
     // same affine family, so the oracle SQL (K MIN columns) still
@@ -135,11 +143,11 @@ object Dedup {
         struct(lit(b).as("band"), col(s"b$b").as("bh"))): _*)).as("x"))
       .select(col("doc_id"), col("x.band"), col("x.bh"))
     // candidate pairs: docs sharing any band bucket.
-    val cand = bandLong.as("l")
+    val cand = candFilter(bandLong.as("l")
       .join(bandLong.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db")))
       .distinct()
     // verify: exact Jaccard over shingle hash sets.
     val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -160,6 +168,30 @@ object Dedup {
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     dedupMinhashOn(shingleHashes(s, dir))
+
+  /** L2 (incremental): dedup an incoming batch against the union of
+    * the existing corpus and the batch itself — the ingestion-time
+    * form of [[dedupMinhashOn]]. `isNew` marks batch membership by
+    * doc id. Candidate pairs are pruned to those touching at least one
+    * new doc BEFORE the exact-Jaccard verification join, so
+    * verification cost scales with the batch's candidates, never the
+    * full corpus pair set: at 100 TB the existing side's signatures
+    * and band buckets are read from the signature store of previous
+    * runs (here recomputed — the band join is the same either way),
+    * and old x old pairs are never generated past the band bucket.
+    * Output tags each surviving pair new_new / new_old. */
+  def dedupIncrementalOn(hs: DataFrame, isNew: Column => Column,
+      threshold: Double = 0.8): DataFrame =
+    minhashVerified(hs, threshold,
+      cand => cand.filter(isNew(col("da")) || isNew(col("db"))))
+      .withColumn("span",
+        when(isNew(col("da")) && isNew(col("db")), "new_new")
+          .otherwise("new_old"))
+      .orderBy("da", "db")
+
+  /** Catalog form: every 5th doc id plays the incoming batch. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+    dedupIncrementalOn(shingleHashes(s, dir), c => c % 5 === 0)
 
   /** L2 (SimHash): 32-bit signature from count-weighted token hashes;
     * near-dup pairs at Hamming distance 0 (32-bit
@@ -419,6 +451,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash64" -> dedupSimhash64,
     "dedup_ngram" -> dedupNgram,
@@ -478,6 +511,16 @@ object Dedup {
          |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
          |FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+         |ORDER BY da, db""".stripMargin,
+    "dedup_incremental" ->
+      s"""$minhashCoreSql
+         |SELECT da, db,
+         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac,
+         |  CASE WHEN da % 5 = 0 AND db % 5 = 0 THEN 'new_new'
+         |       ELSE 'new_old' END AS span
+         |FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+         |  AND (da % 5 = 0 OR db % 5 = 0)
          |ORDER BY da, db""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM (

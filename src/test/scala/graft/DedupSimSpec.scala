@@ -208,6 +208,21 @@ class DedupSimSpec extends SparkSpecBase {
     assert(banded == brute && brute.nonEmpty)
   }
 
+  test("incremental dedup == full minhash pairs filtered to batch-touching, " +
+    "with correct span tags") {
+    val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 0
+    val inc = functions.Dedup.dedupIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val full = functions.Dedup.dedupMinhash(spark, sf)
+      .filter(isNew(col("da")) || isNew(col("db")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(inc.map(t => (t._1, t._2)).toSeq == full.toSeq && full.nonEmpty)
+    inc.foreach { case (da, db, span) =>
+      val expect = if (da % 5 == 0 && db % 5 == 0) "new_new" else "new_old"
+      assert(span == expect, s"($da,$db)")
+    }
+  }
+
   test("langid: CJK text -> zh; stopword-heavy english -> en") {
     val df = Seq((0L, "the data of the table is big", "en"),
       (1L, "中文文档", "zh")).toDF("doc_id", "text", "lang")
