@@ -246,6 +246,51 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("text_chunk is map-only: one scan, no join/agg, only the output sort") {
+    val p = plan(functions.Text.textChunk(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
+  test("merge_upsert: one full-outer equi-join, no cartesian product") {
+    val p = plan(operators.Joins.mergeUpsert(spark, sf))
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+  }
+
+  test("text_lm_score: model joins are hash joins, vocab broadcast, no cartesian") {
+    val p = plan(functions.Text.textLmScore(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_incremental prunes candidates inside the join pipeline, " +
+    "not at the root") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val opt = functions.Dedup.dedupIncremental(spark, sf)
+      .queryExecution.optimizedPlan
+    // the batch-membership predicate must sit on the band join (either
+    // as a Filter directly over it or folded into a join condition),
+    // i.e. old x old candidates die before the verification joins
+    val inPipeline = opt.collect {
+      case f: Filter if f.condition.sql.contains("% 5") &&
+        f.child.isInstanceOf[Join] => f: Any
+      case j: Join if j.condition.exists(_.sql.contains("% 5")) => j: Any
+    }
+    assert(inPipeline.nonEmpty, opt.toString)
+  }
+
+  test("dedup_clusters output reads materialized labels, not a re-derivation " +
+    "of the whole pair pipeline") {
+    val p = plan(functions.Clusters.dedupClusters(spark, sf))
+    // converged labels are localCheckpoint-materialized: the output
+    // plan starts from the checkpointed RDD (constant size however
+    // many rounds ran) and never rescans the corpus
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+  }
+
   test("text_tfidf: single corpus scan (df via window over tf, not a self-join rescan)") {
     val p = plan(functions.Text.textTfidf(spark, sf))
     assert("Scan parquet".r.findAllIn(p).size == 2, p) // corpus + broadcast N
