@@ -143,6 +143,44 @@ object Similarity {
       emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"), 5)
   }
 
+  /** L3d: exact k-NN self-join — every vector's top-k cosine neighbors
+    * within the corpus, i.e. the k-NN graph that semantic dedup and
+    * embedding-cluster pruning build on (each node's edge list, not a
+    * handful of external queries like [[topkCosineOn]]). Pairs route
+    * through the same G x G block grid as Dedup.dedupEmbeddingOn —
+    * both sides shuffle on the (gi, gj) cell, G^2-way parallel, no
+    * broadcast of the corpus and no cross-join plan — then per-vector
+    * top-k via a row_number window partitioned by the query vector
+    * (shuffle key = vec_id; the per-partition TopKPerKey operator is
+    * the drop-in if k*|corpus| rows ever dominate). Exact by
+    * construction at any block count; the LSH/IVF paths are the
+    * approximate alternatives when n^2/G dot products is too many. */
+  def simKnnJoinOn(emb: DataFrame, k: Int = 3, blocks: Int = 8): DataFrame = {
+    val s = emb.sparkSession
+    val e = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"), norm2(col("emb")).as("nrm"))
+      .withColumn("g", pmod(hash(col("vec_id")), lit(blocks)))
+    val grid = broadcast(s.createDataFrame(
+      for (i <- 0 until blocks; j <- 0 until blocks) yield (i, j))
+      .toDF("gi", "gj"))
+    val pairs = e.as("l").join(grid, col("l.g") === col("gi"))
+      .join(
+        e.as("r").join(grid, col("r.g") === col("gj")).hint("shuffle_hash"),
+        Seq("gi", "gj"))
+      .filter(col("l.vec_id") =!= col("r.vec_id"))
+      .select(col("l.vec_id").as("qid"), col("r.vec_id").as("nid"),
+        round(dot(col("l.emb"), col("r.emb")) /
+          (col("l.nrm") * col("r.nrm")), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("qid", "rnk")
+  }
+
+  def simKnnJoin(s: SparkSession, dir: String): DataFrame =
+    simKnnJoinOn(Tables.embeddings(s, dir))
+
   /** Per-vector LSH bucket ids, one per hash table: sign bits of 4
     * integer hyperplane projections over floor(x * 2^20)-quantized
     * coordinates -> (vec_id, t, bucket). */
@@ -222,6 +260,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> simTopk,
+    "sim_knn_join" -> simKnnJoin,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
   )
@@ -239,6 +278,18 @@ object Similarity {
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+         |p AS (SELECT l.vec_id AS qid, r.vec_id AS nid,
+         |    round(${sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 4) AS cos
+         |  FROM e l JOIN e r ON l.vec_id <> r.vec_id),
+         |rk AS (SELECT qid, nid, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, nid ASC) AS INT) AS rnk
+         |  FROM p)
+         |SELECT qid, nid, cos, rnk FROM rk WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
     "sim_ann_ivf" ->
       s"""WITH $ivfSql,
          |e AS (SELECT e0.vec_id, e0.embedding,

@@ -223,6 +223,33 @@ class DedupSimSpec extends SparkSpecBase {
     }
   }
 
+  test("knn self-join: k rows per vector, ranks 1..k, cos non-increasing, " +
+    "and rows agree with the broadcast top-k path") {
+    val out = functions.Similarity.simKnnJoin(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.count() == n * 3)
+    val byQ = out.groupBy("qid").agg(
+      count(lit(1)).as("c"), min("rnk").as("lo"), max("rnk").as("hi"))
+    assert(byQ.filter(col("c") =!= 3 || col("lo") =!= 1 || col("hi") =!= 3)
+      .count() == 0)
+    // ordering within each qid: cos never increases as rnk grows
+    val disordered = out.as("a").join(out.as("b"),
+      col("a.qid") === col("b.qid") && col("a.rnk") < col("b.rnk") &&
+        col("a.cos") < col("b.cos"))
+    assert(disordered.count() == 0)
+    // cross-check a handful of vectors against the broadcast top-k form
+    val emb = Tables.embeddings(spark, sf)
+    val viaTopk = functions.Similarity.topkCosineOn(emb,
+        emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"), 3)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos"), col("rnk"))
+      .collect().map(_.toString).toSet
+    val viaKnn = out.filter(col("qid") < 5)
+      .select("qid", "nid", "cos", "rnk")
+      .collect().map(_.toString).toSet
+    assert(viaKnn == viaTopk && viaTopk.nonEmpty)
+    out.unpersist()
+  }
+
   test("langid: CJK text -> zh; stopword-heavy english -> en") {
     val df = Seq((0L, "the data of the table is big", "en"),
       (1L, "中文文档", "zh")).toDF("doc_id", "text", "lang")

@@ -291,6 +291,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Scan parquet"), p)
   }
 
+  test("sim_knn_join: corpus never broadcast, grid-cell shuffle join, " +
+    "no cross-join plan") {
+    val p = plan(functions.Similarity.simKnnJoin(spark, sf))
+    // the pair join must be the (gi, gj)-keyed shuffle hash join (the
+    // only broadcasts in the plan are the tiny grid relation sides)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("text_tfidf: single corpus scan (df via window over tf, not a self-join rescan)") {
     val p = plan(functions.Text.textTfidf(spark, sf))
     assert("Scan parquet".r.findAllIn(p).size == 2, p) // corpus + broadcast N
