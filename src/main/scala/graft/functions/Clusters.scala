@@ -93,8 +93,17 @@ object Clusters {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clustersOn(Dedup.dedupMinhash(s, dir).select("da", "db"))
 
+  /** Catalog form (SemDeDup shape): components of the exact embedding
+    * cosine pairs (cos >= 0.4) — semantic duplicate groups, one keeper
+    * per group. Same propagation loop; only the edge source differs
+    * (embedding-space neighbors instead of lexical shingle overlap). */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    clustersOn(Dedup.dedupEmbedding(s, dir).select("da", "db"))
+      .withColumnRenamed("doc_id", "vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
+    "dedup_semantic" -> dedupSemantic,
   )
 
   val oracles: Map[String, String] = Map(
@@ -119,5 +128,26 @@ object Clusters {
          |  l.node = l.cluster_id AS is_keeper
          |FROM lbl l JOIN sz s ON l.cluster_id = s.cluster_id
          |ORDER BY l.cluster_id, doc_id""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding,
+         |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |pairs AS (SELECT l.vec_id AS da, r.vec_id AS db
+         |  FROM e l JOIN e r ON l.vec_id < r.vec_id
+         |  WHERE round(${Similarity.sqlDot("l.embedding", "r.embedding")}
+         |    / (l.nrm * r.nrm), 4) >= 0.4),
+         |pe AS (SELECT da AS a, db AS b FROM pairs
+         |       UNION SELECT db AS a, da AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM pe),
+         |rr(node, reach) AS (
+         |  SELECT node, node AS reach FROM nodes
+         |  UNION
+         |  SELECT pe.b AS node, rr.reach FROM rr JOIN pe ON pe.a = rr.node),
+         |lbl AS (SELECT node, MIN(reach) AS cluster_id FROM rr GROUP BY node),
+         |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM lbl GROUP BY cluster_id)
+         |SELECT l.node AS vec_id, l.cluster_id, s.n_members,
+         |  l.node = l.cluster_id AS is_keeper
+         |FROM lbl l JOIN sz s ON l.cluster_id = s.cluster_id
+         |ORDER BY l.cluster_id, vec_id""".stripMargin,
   )
 }

@@ -39,6 +39,19 @@ class ClustersSpec extends SparkSpecBase {
     assert(ca == cb)
   }
 
+  test("dedup_semantic covers exactly the paired vectors, one keeper per " +
+    "cluster") {
+    val out = functions.Clusters.dedupSemantic(spark, sf).cache()
+    val pairs = functions.Dedup.dedupEmbedding(spark, sf)
+    val nodes = pairs.select(col("da").as("n"))
+      .union(pairs.select(col("db").as("n"))).distinct()
+    assert(out.count() == nodes.count() && nodes.count() > 0)
+    assert(out.groupBy("cluster_id")
+      .agg(sum(col("is_keeper").cast("long")).as("k"))
+      .filter(col("k") =!= 1).count() == 0)
+    out.unpersist()
+  }
+
   test("dedup_clusters invariants: keepers = clusters, members >= 2, " +
     "cluster id is the member min, pairs' nodes all covered") {
     val out = functions.Clusters.dedupClusters(spark, sf).cache()
