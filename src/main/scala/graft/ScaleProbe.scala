@@ -58,6 +58,15 @@ object ScaleProbe {
       "corpus_clean" -> functions.Text.corpusCleanOn,
       "text_quality" -> functions.Text.textQualityOn,
       "text_repetition" -> functions.Text.textRepetitionOn,
+      "text_chunk" -> (d => functions.Text.textChunkOn(d)),
+      "text_lm_score" -> (d => functions.Text.textLmScoreOn(d)),
+      "dedup_clusters" -> (d =>
+        functions.Clusters.clustersOn(
+          functions.Dedup.dedupMinhashOn(functions.Dedup.shingleHashesOf(d))
+            .select("da", "db"))),
+      "dedup_incremental" -> (d =>
+        functions.Dedup.dedupIncrementalOn(
+          functions.Dedup.shingleHashesOf(d), c => c % 5 === 0)),
     )
 
     val ks = Seq(1, 2, 4)

@@ -57,12 +57,29 @@ object Clusters {
         .join(labels.as("l"), col("e.b") === col("l.node"))
         .groupBy(col("e.a")).agg(min(col("l.lbl")).as("nlbl"))
         .withColumnRenamed("a", "nnode")
-      val step = labels.as("o")
+      val hop = labels.as("o")
         .join(nbrMin, col("o.node") === col("nnode"), "left")
         .select(col("o.node").as("node"), col("o.lbl").as("old"),
           least(col("o.lbl"), coalesce(col("nlbl"), col("o.lbl"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // pointer jumping: resolve each new label through the new label
+      // map itself — lbl(lbl(x)) <= lbl(x), so label distances compound
+      // per round and long chains collapse in O(log diameter) rounds
+      // instead of one hop per round (a chainy threshold graph measured
+      // 10x slower without this). Skipped in round 0: dup groups are
+      // usually near-cliques that converge by round 1, where the extra
+      // self-join is pure overhead; chains recoup it from round 1 on.
+      val jumped =
+        if (iter == 0) hop
+        else {
+          val hopMap = hop.select(col("node").as("pnode"), col("lbl").as("plbl"))
+          hop.join(hopMap, col("lbl") === col("pnode"), "left")
+            .select(col("node"), col("old"),
+              least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        }
+      val step = jumped.persist(StorageLevel.MEMORY_AND_DISK)
       changed = step.filter(col("lbl") < col("old")).count()
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(s"[cc] iter=$iter changed=$changed")
       val prev = labels
       labels = step.select("node", "lbl").localCheckpoint(true)
       step.unpersist()
@@ -94,11 +111,22 @@ object Clusters {
     clustersOn(Dedup.dedupMinhash(s, dir).select("da", "db"))
 
   /** Catalog form (SemDeDup shape): components of the exact embedding
-    * cosine pairs (cos >= 0.4) — semantic duplicate groups, one keeper
-    * per group. Same propagation loop; only the edge source differs
-    * (embedding-space neighbors instead of lexical shingle overlap). */
+    * cosine pairs at cos >= 0.45 — semantic duplicate groups, one
+    * keeper per group. Same propagation loop; only the edge source
+    * differs (embedding-space neighbors instead of lexical shingle
+    * overlap). Threshold note: at 0.4 this synthetic corpus's pair
+    * graph degenerates into one ~1000-node chain (random vectors just
+    * under the threshold everywhere) and min-label flooding needs ~11
+    * rounds even with pointer jumping; 0.45 — the dedup_embedding_lsh
+    * operating point — keeps the planted structure, converges in a
+    * handful of rounds, and stays non-empty at every test sf (sf0.001
+    * cosine ceiling is 0.479). Real semantic-dup graphs live at 0.9+
+    * and are cliques, where the loop is 2-3 rounds regardless of
+    * corpus size. */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame =
-    clustersOn(Dedup.dedupEmbedding(s, dir).select("da", "db"))
+    clustersOn(
+      Dedup.dedupEmbeddingOn(Tables.embeddings(s, dir), threshold = 0.45)
+        .select("da", "db"))
       .withColumnRenamed("doc_id", "vec_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -135,7 +163,7 @@ object Clusters {
          |pairs AS (SELECT l.vec_id AS da, r.vec_id AS db
          |  FROM e l JOIN e r ON l.vec_id < r.vec_id
          |  WHERE round(${Similarity.sqlDot("l.embedding", "r.embedding")}
-         |    / (l.nrm * r.nrm), 4) >= 0.4),
+         |    / (l.nrm * r.nrm), 4) >= 0.45),
          |pe AS (SELECT da AS a, db AS b FROM pairs
          |       UNION SELECT db AS a, da AS b FROM pairs),
          |nodes AS (SELECT DISTINCT a AS node FROM pe),

@@ -42,7 +42,8 @@ class ClustersSpec extends SparkSpecBase {
   test("dedup_semantic covers exactly the paired vectors, one keeper per " +
     "cluster") {
     val out = functions.Clusters.dedupSemantic(spark, sf).cache()
-    val pairs = functions.Dedup.dedupEmbedding(spark, sf)
+    val pairs = functions.Dedup.dedupEmbeddingOn(
+      Tables.embeddings(spark, sf), threshold = 0.45)
     val nodes = pairs.select(col("da").as("n"))
       .union(pairs.select(col("db").as("n"))).distinct()
     assert(out.count() == nodes.count() && nodes.count() > 0)
