@@ -181,6 +181,54 @@ object Similarity {
   def simKnnJoin(s: SparkSession, dir: String): DataFrame =
     simKnnJoinOn(Tables.embeddings(s, dir))
 
+  /** L3e: distributed k-means (Lloyd's algorithm, fixed iteration
+    * count) over the embedding corpus — the "trained centroids"
+    * upgrade of [[simAnnIvf]]'s static cells, and the building block
+    * of cluster-balanced corpus sampling. Each iteration is the
+    * canonical two-shuffle MapReduce step: assign (join against the
+    * broadcast-sized centroid relation + per-vector argmin) and
+    * update (groupBy cell, partial-aggregated means). Iteration count
+    * is FIXED (not convergence-tested): deterministic cost, unrollable
+    * by the SQL oracle, and standard practice for pipeline k-means.
+    *
+    * Cross-engine determinism: coordinates are quantized to BIGINT
+    * (floor(x * 2^20), the [[bucketsOf]] scheme), distances are exact
+    * integer sums, and centroid updates floor an exact-integer double
+    * division — no accumulation-order-dependent float math anywhere,
+    * so DuckDB replays every iteration bit-for-bit. Ties (equal d2)
+    * break to the lower cell id. */
+  def kmeansOn(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val qv = emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        floor(col("col").cast("double") * 1048576).cast("long").as("qv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cell").asc)
+    def assign(cent: DataFrame): DataFrame =
+      qv.join(broadcast(cent), "i")
+        .groupBy("vec_id", "cell")
+        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cell", "d2")
+    def update(asg: DataFrame): DataFrame =
+      qv.join(asg.select("vec_id", "cell"), "vec_id")
+        .groupBy("cell", "i")
+        .agg(floor(sum(col("qv")).cast("double") / count(lit(1)))
+          .cast("long").as("cv"))
+    val seed = qv.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("i"), col("qv").as("cv"))
+    var cent = seed
+    for (_ <- 1 to iters) cent = update(assign(cent))
+    val fin = assign(cent)
+    val sizes = fin.groupBy("cell").agg(count(lit(1)).as("n_members"))
+    fin.join(sizes, "cell")
+      .select(col("vec_id"), col("cell"), col("d2"), col("n_members"))
+      .orderBy("vec_id")
+  }
+
+  def clusterKmeans(s: SparkSession, dir: String): DataFrame =
+    kmeansOn(Tables.embeddings(s, dir))
+
   /** Per-vector LSH bucket ids, one per hash table: sign bits of 4
     * integer hyperplane projections over floor(x * 2^20)-quantized
     * coordinates -> (vec_id, t, bucket). */
@@ -263,7 +311,26 @@ object Similarity {
     "sim_knn_join" -> simKnnJoin,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
+    "cluster_kmeans" -> clusterKmeans,
   )
+
+  /** One unrolled k-means assignment step (DuckDB mirror of
+    * [[kmeansOn]]'s assign). */
+  private def kmAssign(name: String, cent: String): String =
+    s"""$name AS (SELECT vec_id, cell, d2 FROM (
+       |    SELECT qv.vec_id, $cent.cell,
+       |      CAST(SUM((qv.qv - $cent.cv) * (qv.qv - $cent.cv)) AS BIGINT) AS d2
+       |    FROM qv JOIN $cent ON qv.i = $cent.i
+       |    GROUP BY qv.vec_id, $cent.cell)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d2 ASC, cell ASC) = 1)""".stripMargin
+
+  /** One unrolled k-means centroid update (mirror of update). */
+  private def kmUpdate(name: String, asg: String): String =
+    s"""$name AS (SELECT $asg.cell, qv.i,
+       |    CAST(FLOOR(CAST(SUM(qv.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM qv JOIN $asg ON qv.vec_id = $asg.vec_id
+       |  GROUP BY $asg.cell, qv.i)""".stripMargin
 
   private val bucketSql = bucketSqlFor(TABLES, PLANES)
 
@@ -278,6 +345,21 @@ object Similarity {
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cluster_kmeans" ->
+      s"""WITH qv AS (SELECT vec_id, i.i,
+         |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+         |  FROM embeddings, range(0, 64) i(i)),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, i, qv AS cv
+         |       FROM qv WHERE vec_id < 8),
+         |${kmAssign("a0", "c0")},
+         |${kmUpdate("c1", "a0")},
+         |${kmAssign("a1", "c1")},
+         |${kmUpdate("c2", "a1")},
+         |${kmAssign("a2", "c2")},
+         |sz AS (SELECT cell, COUNT(*) AS n_members FROM a2 GROUP BY cell)
+         |SELECT a2.vec_id, a2.cell, a2.d2, sz.n_members
+         |FROM a2 JOIN sz ON a2.cell = sz.cell
+         |ORDER BY vec_id""".stripMargin,
     "sim_knn_join" ->
       s"""WITH e AS (SELECT vec_id, embedding,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),

@@ -250,6 +250,23 @@ class DedupSimSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("kmeans: unique assignment, member counts consistent, and Lloyd " +
+    "iterations reduce total within-cluster distance") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = functions.Similarity.kmeansOn(emb, k = 8, iters = 2).cache()
+    assert(out.count() == emb.count())
+    assert(out.select("vec_id").distinct().count() == emb.count())
+    val sz = out.groupBy("cell", "n_members").count()
+    assert(sz.filter(col("n_members") =!= col("count")).count() == 0)
+    assert(sz.count() <= 8)
+    val d2Seed = functions.Similarity.kmeansOn(emb, k = 8, iters = 0)
+      .agg(sum("d2")).head.getLong(0)
+    val d2Trained = out.agg(sum("d2")).head.getLong(0)
+    assert(d2Trained < d2Seed,
+      s"training did not reduce distortion: $d2Trained vs $d2Seed")
+    out.unpersist()
+  }
+
   test("langid: CJK text -> zh; stopword-heavy english -> en") {
     val df = Seq((0L, "the data of the table is big", "en"),
       (1L, "中文文档", "zh")).toDF("doc_id", "text", "lang")
