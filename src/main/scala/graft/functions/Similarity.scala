@@ -229,6 +229,28 @@ object Similarity {
   def clusterKmeans(s: SparkSession, dir: String): DataFrame =
     kmeansOn(Tables.embeddings(s, dir))
 
+  /** L3f: cluster-balanced subsampling — up to `perCell` vectors from
+    * each trained k-means cell, picked by a deterministic pseudo-random
+    * rank (a Knuth multiplicative hash of the id — rerun-stable, no
+    * RNG), i.e. diversity sampling: a size-N subset that preserves
+    * embedding-space coverage instead of mirroring cluster mass. The
+    * sample is one window over the assignment, partitioned by cell —
+    * at 100 TB the heavy lifting is the k-means itself; this adds a
+    * single cell-keyed shuffle. */
+  def sampleClusterBalancedOn(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      perCell: Int = 25): DataFrame = {
+    val w = Window.partitionBy("cell")
+      .orderBy(((col("vec_id") * 2654435761L) % Text.P).asc, col("vec_id").asc)
+    kmeansOn(emb, k, iters)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perCell)
+      .select("vec_id", "cell", "rk")
+      .orderBy("vec_id")
+  }
+
+  def sampleClusterBalanced(s: SparkSession, dir: String): DataFrame =
+    sampleClusterBalancedOn(Tables.embeddings(s, dir))
+
   /** Per-vector LSH bucket ids, one per hash table: sign bits of 4
     * integer hyperplane projections over floor(x * 2^20)-quantized
     * coordinates -> (vec_id, t, bucket). */
@@ -312,6 +334,7 @@ object Similarity {
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
     "cluster_kmeans" -> clusterKmeans,
+    "sample_cluster_balanced" -> sampleClusterBalanced,
   )
 
   /** One unrolled k-means assignment step (DuckDB mirror of
@@ -359,6 +382,25 @@ object Similarity {
          |sz AS (SELECT cell, COUNT(*) AS n_members FROM a2 GROUP BY cell)
          |SELECT a2.vec_id, a2.cell, a2.d2, sz.n_members
          |FROM a2 JOIN sz ON a2.cell = sz.cell
+         |ORDER BY vec_id""".stripMargin,
+    "sample_cluster_balanced" ->
+      s"""WITH qv AS (SELECT vec_id, i.i,
+         |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+         |  FROM embeddings, range(0, 64) i(i)),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, i, qv AS cv
+         |       FROM qv WHERE vec_id < 8),
+         |${kmAssign("a0", "c0")},
+         |${kmUpdate("c1", "a0")},
+         |${kmAssign("a1", "c1")},
+         |${kmUpdate("c2", "a1")},
+         |${kmAssign("a2", "c2")}
+         |SELECT vec_id, cell, rk FROM (
+         |  SELECT vec_id, cell,
+         |    CAST(row_number() OVER (PARTITION BY cell
+         |      ORDER BY (vec_id * 2654435761) % 1000000007 ASC, vec_id ASC)
+         |      AS INT) AS rk
+         |  FROM a2)
+         |WHERE rk <= 25
          |ORDER BY vec_id""".stripMargin,
     "sim_knn_join" ->
       s"""WITH e AS (SELECT vec_id, embedding,
