@@ -49,9 +49,11 @@ object ScaleProbe {
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "dedup_exact" -> functions.Dedup.dedupExactOn,
       "dedup_minhash" -> (d =>
-        functions.Dedup.dedupMinhashOn(functions.Dedup.shingleHashesOf(d))),
+        functions.Dedup.dedupMinhashOn(
+          functions.Dedup.shingleHashesOf(d).localCheckpoint(true))),
       "dedup_ngram" -> (d =>
-        functions.Dedup.dedupNgramOn(functions.Dedup.shingleHashesOf(d))),
+        functions.Dedup.dedupNgramOn(
+          functions.Dedup.shingleHashesOf(d).localCheckpoint(true))),
       "dedup_simhash64" -> (d =>
         functions.Dedup.dedupSimhash64On(
           functions.Dedup.simhash64SigOf(functions.Dedup.tokenCountsOf(d)))),
@@ -60,13 +62,18 @@ object ScaleProbe {
       "text_repetition" -> functions.Text.textRepetitionOn,
       "text_chunk" -> (d => functions.Text.textChunkOn(d)),
       "text_lm_score" -> (d => functions.Text.textLmScoreOn(d)),
+      // pair ops reference the shingle relation several times: honor
+      // Dedup's persist-before-use contract (localCheckpoint: measured
+      // work, then GC-able) so the probe times the op, not re-shingling
       "dedup_clusters" -> (d =>
         functions.Clusters.clustersOn(
-          functions.Dedup.dedupMinhashOn(functions.Dedup.shingleHashesOf(d))
+          functions.Dedup.dedupMinhashOn(
+            functions.Dedup.shingleHashesOf(d).localCheckpoint(true))
             .select("da", "db"))),
       "dedup_incremental" -> (d =>
         functions.Dedup.dedupIncrementalOn(
-          functions.Dedup.shingleHashesOf(d), c => c % 5 === 0)),
+          functions.Dedup.shingleHashesOf(d).localCheckpoint(true),
+          c => c % 5 === 0)),
     )
 
     val ks = Seq(1, 2, 4)

@@ -41,9 +41,16 @@ object Clusters {
     * rather than returning partially-merged clusters. */
   def connectedComponentsOn(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val Array(ca, cb) = pairs.columns.take(2)
-    val half = pairs.select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b"))
-    val edges = half
-      .union(half.select(col("b").as("a"), col("a").as("b")))
+    // symmetrize in ONE pass over the pair pipeline: a union of the
+    // two directions re-executes the (possibly expensive) upstream
+    // pair join per branch — ReuseExchange does not fire across
+    // union branches (the r2 double-scan trap; measured again here)
+    val edges = pairs
+      .select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b"))
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("a").as("node")).distinct()
@@ -51,7 +58,7 @@ object Clusters {
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    try while (changed > 0 && iter < maxIter) {
       // min label among neighbors, one shuffle on the edge endpoint
       val nbrMin = edges.as("e")
         .join(labels.as("l"), col("e.b") === col("l.node"))
@@ -85,8 +92,7 @@ object Clusters {
       step.unpersist()
       prev.unpersist()
       iter += 1
-    }
-    edges.unpersist()
+    } finally edges.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge within $maxIter rounds")
@@ -134,28 +140,32 @@ object Clusters {
     "dedup_semantic" -> dedupSemantic,
   )
 
+  /** Recursive reachability closure + cluster stats over a `pairs`
+    * CTE (da, db) — the shared oracle tail; fine at oracle corpus
+    * scale (component sizes are tiny), where the engine side runs the
+    * label-propagation loop instead. `idCol` names the output id. */
+  private def ccTailSql(idCol: String): String =
+    s"""pe AS (SELECT da AS a, db AS b FROM pairs
+       |       UNION SELECT db AS a, da AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS node FROM pe),
+       |rr(node, reach) AS (
+       |  SELECT node, node AS reach FROM nodes
+       |  UNION
+       |  SELECT pe.b AS node, rr.reach FROM rr JOIN pe ON pe.a = rr.node),
+       |lbl AS (SELECT node, MIN(reach) AS cluster_id FROM rr GROUP BY node),
+       |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM lbl GROUP BY cluster_id)
+       |SELECT l.node AS $idCol, l.cluster_id, s.n_members,
+       |  l.node = l.cluster_id AS is_keeper
+       |FROM lbl l JOIN sz s ON l.cluster_id = s.cluster_id
+       |ORDER BY l.cluster_id, $idCol""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // recursive reachability closure: fine for the oracle's corpus
-    // scale (component sizes are tiny), where the engine side runs the
-    // label-propagation loop instead
     "dedup_clusters" ->
       s"""${Dedup.minhashCoreSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |pairs AS (SELECT da, db
          |  FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
          |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-         |pe AS (SELECT da AS a, db AS b FROM pairs
-         |       UNION SELECT db AS a, da AS b FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS node FROM pe),
-         |rr(node, reach) AS (
-         |  SELECT node, node AS reach FROM nodes
-         |  UNION
-         |  SELECT pe.b AS node, rr.reach FROM rr JOIN pe ON pe.a = rr.node),
-         |lbl AS (SELECT node, MIN(reach) AS cluster_id FROM rr GROUP BY node),
-         |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM lbl GROUP BY cluster_id)
-         |SELECT l.node AS doc_id, l.cluster_id, s.n_members,
-         |  l.node = l.cluster_id AS is_keeper
-         |FROM lbl l JOIN sz s ON l.cluster_id = s.cluster_id
-         |ORDER BY l.cluster_id, doc_id""".stripMargin,
+         |${ccTailSql("doc_id")}""".stripMargin,
     "dedup_semantic" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id, embedding,
          |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm
@@ -164,18 +174,6 @@ object Clusters {
          |  FROM e l JOIN e r ON l.vec_id < r.vec_id
          |  WHERE round(${Similarity.sqlDot("l.embedding", "r.embedding")}
          |    / (l.nrm * r.nrm), 4) >= 0.45),
-         |pe AS (SELECT da AS a, db AS b FROM pairs
-         |       UNION SELECT db AS a, da AS b FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS node FROM pe),
-         |rr(node, reach) AS (
-         |  SELECT node, node AS reach FROM nodes
-         |  UNION
-         |  SELECT pe.b AS node, rr.reach FROM rr JOIN pe ON pe.a = rr.node),
-         |lbl AS (SELECT node, MIN(reach) AS cluster_id FROM rr GROUP BY node),
-         |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM lbl GROUP BY cluster_id)
-         |SELECT l.node AS vec_id, l.cluster_id, s.n_members,
-         |  l.node = l.cluster_id AS is_keeper
-         |FROM lbl l JOIN sz s ON l.cluster_id = s.cluster_id
-         |ORDER BY l.cluster_id, vec_id""".stripMargin,
+         |${ccTailSql("vec_id")}""".stripMargin,
   )
 }

@@ -365,42 +365,13 @@ object Dedup {
     * cannot flip the oracle compare. Input: any (vec_id, embedding)
     * relation. */
   def dedupEmbeddingOn(emb: DataFrame, threshold: Double = 0.4,
-      blocks: Int = 16): DataFrame = {
-    val s = emb.sparkSession
-    // cast to double ONCE per vector, not once per pair (the per-pair
-    // cast allocation dominated this query's bench time)
-    val e = emb
-      .select(col("vec_id"),
-        col("embedding").cast("array<double>").as("emb"))
-      .select(col("vec_id"), col("emb"),
-        Similarity.norm2(col("emb")).as("nrm"))
-      .withColumn("g", pmod(hash(col("vec_id")), lit(blocks)))
-    // the full ordered grid (gi, gj), not just gi <= gj: a pair whose
-    // lower vec_id landed in the higher block is only reachable
-    // through the (higher, lower) grid cell
-    val grid = broadcast(s.createDataFrame(
-      for (i <- 0 until blocks; j <- 0 until blocks) yield (i, j))
-      .toDF("gi", "gj"))
-    // BOTH sides replicate against the grid so the shuffle key is the
-    // full (gi, gj) cell — G^2 reduce tasks each verifying one block
-    // pair of 2n/G vectors. (Keying on gj alone would cap parallelism
-    // at G tasks, each streaming the whole left side.) The hint forces
-    // the shuffle hash join: at corpus scale Spark would otherwise
-    // auto-broadcast the small right side — correct here, but the
-    // whole point is the shape that survives when the corpus does NOT
-    // fit in a broadcast.
-    e.as("l").join(grid, col("l.g") === col("gi"))
-      .join(
-        e.as("r").join(grid, col("r.g") === col("gj"))
-          .hint("shuffle_hash"),
-        Seq("gi", "gj"))
-      .filter(col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("da"), col("r.vec_id").as("db"),
-        round(Similarity.dot(col("l.emb"), col("r.emb")) /
-          (col("l.nrm") * col("r.nrm")), 4).as("cos"))
+      blocks: Int = 16): DataFrame =
+    // grid mechanics (full ordered grid, shuffle_hash, once-per-vector
+    // cast) live in the shared Similarity.blockCosinePairsOn; da < db
+    // halves the compare work vs the k-NN join's da != db
+    Similarity.blockCosinePairsOn(emb, blocks, (l, r) => l < r)
       .filter(col("cos") >= threshold)
       .orderBy("da", "db")
-  }
 
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     dedupEmbeddingOn(Tables.embeddings(s, dir))

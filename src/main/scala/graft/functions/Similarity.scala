@@ -143,35 +143,56 @@ object Similarity {
       emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"), 5)
   }
 
-  /** L3d: exact k-NN self-join — every vector's top-k cosine neighbors
-    * within the corpus, i.e. the k-NN graph that semantic dedup and
-    * embedding-cluster pruning build on (each node's edge list, not a
-    * handful of external queries like [[topkCosineOn]]). Pairs route
-    * through the same G x G block grid as Dedup.dedupEmbeddingOn —
-    * both sides shuffle on the (gi, gj) cell, G^2-way parallel, no
-    * broadcast of the corpus and no cross-join plan — then per-vector
-    * top-k via a row_number window partitioned by the query vector
-    * (shuffle key = vec_id; the per-partition TopKPerKey operator is
-    * the drop-in if k*|corpus| rows ever dominate). Exact by
-    * construction at any block count; the LSH/IVF paths are the
-    * approximate alternatives when n^2/G dot products is too many. */
-  def simKnnJoinOn(emb: DataFrame, k: Int = 3, blocks: Int = 8): DataFrame = {
+  /** Exact cosine over every vector pair selected by `pairPred`,
+    * routed through a G x G block grid: BOTH sides replicate against
+    * the broadcast grid so the shuffle key is the full (gi, gj) cell —
+    * G^2 reduce tasks each verifying one block pair, no broadcast of
+    * the corpus, no cross-join plan. The shuffle_hash hint stops Spark
+    * auto-broadcasting the (small at test scale) right side: the whole
+    * point is the shape that survives when the corpus does NOT fit in
+    * a broadcast. (Keying on gj alone would cap parallelism at G tasks
+    * each streaming the whole left side — the r3 bench lesson.)
+    * Output: (da, db, cos), cos rounded at the contract boundary.
+    * Shared by Dedup.dedupEmbeddingOn (da < db halves the work) and
+    * [[simKnnJoinOn]] (da != db: each vector needs all neighbors). */
+  def blockCosinePairsOn(emb: DataFrame, blocks: Int,
+      pairPred: (Column, Column) => Column): DataFrame = {
     val s = emb.sparkSession
+    // cast to double ONCE per vector, not once per pair (the per-pair
+    // cast allocation dominated this query's bench time)
     val e = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .select(col("vec_id"), col("emb"), norm2(col("emb")).as("nrm"))
       .withColumn("g", pmod(hash(col("vec_id")), lit(blocks)))
+    // the full ordered grid (gi, gj), not just gi <= gj: a pair whose
+    // lower vec_id landed in the higher block is only reachable
+    // through the (higher, lower) grid cell
     val grid = broadcast(s.createDataFrame(
       for (i <- 0 until blocks; j <- 0 until blocks) yield (i, j))
       .toDF("gi", "gj"))
-    val pairs = e.as("l").join(grid, col("l.g") === col("gi"))
+    e.as("l").join(grid, col("l.g") === col("gi"))
       .join(
         e.as("r").join(grid, col("r.g") === col("gj")).hint("shuffle_hash"),
         Seq("gi", "gj"))
-      .filter(col("l.vec_id") =!= col("r.vec_id"))
-      .select(col("l.vec_id").as("qid"), col("r.vec_id").as("nid"),
+      .filter(pairPred(col("l.vec_id"), col("r.vec_id")))
+      .select(col("l.vec_id").as("da"), col("r.vec_id").as("db"),
         round(dot(col("l.emb"), col("r.emb")) /
           (col("l.nrm") * col("r.nrm")), 4).as("cos"))
+  }
+
+  /** L3d: exact k-NN self-join — every vector's top-k cosine neighbors
+    * within the corpus, i.e. the k-NN graph that semantic dedup and
+    * embedding-cluster pruning build on (each node's edge list, not a
+    * handful of external queries like [[topkCosineOn]]). Pairs route
+    * through [[blockCosinePairsOn]], then per-vector top-k via a
+    * row_number window partitioned by the query vector (shuffle key =
+    * vec_id; the per-partition TopKPerKey operator is the drop-in if
+    * k*|corpus| rows ever dominate). Exact by construction at any
+    * block count; the LSH/IVF paths are the approximate alternatives
+    * when n^2/G dot products is too many. */
+  def simKnnJoinOn(emb: DataFrame, k: Int = 3, blocks: Int = 8): DataFrame = {
+    val pairs = blockCosinePairsOn(emb, blocks, (l, r) => l =!= r)
+      .select(col("da").as("qid"), col("db").as("nid"), col("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     pairs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -198,10 +219,16 @@ object Similarity {
     * so DuckDB replays every iteration bit-for-bit. Ties (equal d2)
     * break to the lower cell id. */
   def kmeansOn(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    // the quantized relation feeds every assign and update of the
+    // unrolled plan (~8 subtrees): materialize it once (localCheckpoint
+    // rather than persist so the entry GCs with the last reference
+    // instead of pinning the cache manager; at 100 TB this staging
+    // relation would be written to parquet between stages)
     val qv = emb
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("i"),
         floor(col("col").cast("double") * 1048576).cast("long").as("qv"))
+      .localCheckpoint(true)
     val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cell").asc)
     def assign(cent: DataFrame): DataFrame =
       qv.join(broadcast(cent), "i")
