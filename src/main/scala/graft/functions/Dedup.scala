@@ -337,6 +337,66 @@ object Dedup {
   def dedupNgram(s: SparkSession, dir: String): DataFrame =
     dedupNgramOn(shingleHashes(s, dir))
 
+  /** L2 (exact repeated substrings): per-document maximal token spans
+    * whose every `window`-token run also occurs in at least one OTHER
+    * document — the ExactSubstr shape of "Deduplicating Training Data
+    * Makes Language Models Better" (Lee et al. 2022), which removes
+    * the duplicated SPAN rather than the whole document (cross-doc
+    * boilerplate, license headers, syndicated passages).
+    *
+    * Distributed spelling (the suffix-array of the paper is a
+    * single-machine structure; the fingerprint form shuffles on
+    * content keys instead):
+    *  1. map-only sliding `window`-gram fingerprints per doc (per-row
+    *     sequence+slice, like [[Text.textChunkOn]] — no shuffle, and
+    *     gram count grows with document length, not corpus size);
+    *  2. one groupBy on the gram hash marks grams seen in >= 2
+    *     distinct docs — map-side-combinable, and the surviving
+    *     duplicated-gram relation is tiny relative to the corpus, so
+    *     its join back to the gram stream broadcasts;
+    *  3. overlapping duplicated windows merge into maximal spans with
+    *     a per-doc window (classic gaps-and-islands: new span when the
+    *     gap to the previous hit exceeds the window length) — the only
+    *     other shuffle, keyed on doc_id.
+    * Within-doc repeats deliberately do NOT count (the >= 2 DISTINCT
+    * docs test): self-repetition is [[Text.textRepetitionOn]]'s job.
+    */
+  def dedupSubstringOn(docs: DataFrame, window: Int = 8): DataFrame = {
+    require(window >= 2, s"need window >= 2, got $window")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    // sequence(0, -1) yields a DESCENDING range, never an empty one —
+    // short docs need the explicit CASE guard (cf. textLmScoreOn)
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"CASE WHEN size(t) >= $window THEN" +
+          s" transform(sequence(0, size(t) - $window)," +
+          s" i -> concat_ws(' ', slice(t, i + 1, $window)))" +
+          " ELSE array() END")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        Text.polyHash(col("col")).as("gh"))
+    val dup = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gh")
+    grams.join(dup, "gh")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("ns",
+        (lag(col("pos"), 1).over(w).isNull ||
+          col("pos") > lag(col("pos"), 1).over(w) + window).cast("long"))
+      .withColumn("span_id", sum(col("ns")).over(w))
+      .groupBy("doc_id", "span_id")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + window).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .orderBy("doc_id", "span_start")
+  }
+
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    dedupSubstringOn(Tables.documents(s, dir))
+
   /** L2 (embedding near-dup, exact): every cosine >= threshold pair,
     * computed as a BLOCK-PAIR shuffle join — the distributed spelling
     * of the all-pairs loop:
@@ -426,6 +486,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash64" -> dedupSimhash64,
     "dedup_ngram" -> dedupNgram,
+    "dedup_substring" -> dedupSubstring,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
   )
@@ -539,6 +600,26 @@ object Dedup {
          |FROM ix JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
          |ORDER BY da, db""".stripMargin,
+    "dedup_substring" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |        list_reduce(list_concat([CAST(0 AS BIGINT)],
+        |          list_transform(string_split(array_to_string(t[i:i+7], ' '),''),
+        |            c -> CAST(unicode(c) AS BIGINT))),
+        |          (a, b) -> (a * 31 + b) % 1000000007) AS gh
+        |      FROM tk, UNNEST(range(1, len(t) - 6)) AS r(i)),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+        |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        |m AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |          OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |        THEN 1 ELSE 0 END AS ns FROM h),
+        |s AS (SELECT doc_id, pos,
+        |        CAST(SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
+        |      FROM m)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin,
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding,
          |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm

@@ -42,6 +42,26 @@ class DedupSimSpec extends SparkSpecBase {
     assert(sigs(0).getLong(1) != sigs(2).getLong(1)) // disjoint differs
   }
 
+  test("dedupSubstring: shared runs merge to maximal spans; within-doc repeats don't count") {
+    val w1 = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val w2 = "d1 d2 d3 d4 d5 d6 d7 d8"
+    val docs = Seq(
+      (0L, "a b c d e f g h X Y Z"), // shares only its first window with 1/3
+      (1L, "a b c d e f g h i j k l"), // full dup of 3 -> one 12-token span
+      (2L, "p q r s t u v w x y"), // no cross-doc window
+      (3L, "a b c d e f g h i j k l"),
+      (4L, "m n o p q r s t z1 z2 z3 z4 m n o p q r s t"), // repeat only within itself
+      (5L, s"$w1 e1 e2 e3 e4 e5 e6 e7 e8 e9 $w2"), // two shared runs, gap between
+      (6L, s"$w1 f1 f2 f3 f4 f5 f6 f7 f8 f9 $w2"))
+      .toDF("doc_id", "text")
+    val got = functions.Dedup.dedupSubstringOn(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 8L, 1L), (1L, 0L, 12L, 5L), (3L, 0L, 12L, 5L),
+      (5L, 0L, 8L, 1L), (5L, 17L, 25L, 1L),
+      (6L, 0L, 8L, 1L), (6L, 17L, 25L, 1L)))
+  }
+
   test("simhash of identical token multisets is identical") {
     // dedupSimhash over the corpus: planted dup pairs at hamming 0 have
     // jaccard-1.0 shingle sets; verify signatures equal for an exact pair
