@@ -175,11 +175,83 @@ object Corpus {
       hs.filter(col("doc_id") % 40 === 7))
   }
 
+  /** L9b: declarative constraint validation (the Deequ/expectations
+    * shape): every constraint is a counting aggregate over ONE scan —
+    * null rate, key uniqueness, numeric range, categorical domain,
+    * format prefix, date range — emitted long-form as
+    * (constraint_name, n_rows, n_violations, passed). All
+    * map-side-combinable except the exact COUNT(DISTINCT) uniqueness
+    * probe; at 100 TB swap that one for approx_count_distinct (the
+    * trade agg_approx_distinct demonstrates) and the whole audit is a
+    * single partial+final agg with no Expand. Null-safe: a NULL never
+    * silently passes a predicate constraint (explicit IS NULL arms).
+    */
+  def qualityAuditOn(orders: DataFrame): DataFrame = {
+    val n = count(lit(1))
+    val one = orders.agg(
+      n.as("n_rows"),
+      (n - count(col("o_orderkey"))).as("v_orderkey_not_null"),
+      (n - countDistinct(col("o_orderkey"))).as("v_orderkey_unique"),
+      count(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1))
+        .as("v_totalprice_positive"),
+      count(when(col("o_orderstatus").isNull ||
+        !col("o_orderstatus").isin("O", "F", "P"), 1))
+        .as("v_status_in_domain"),
+      count(when(col("o_orderpriority").isNull ||
+        !substring(col("o_orderpriority"), 1, 1)
+          .isin("1", "2", "3", "4", "5"), 1))
+        .as("v_priority_format"),
+      count(when(col("o_orderdate").isNull ||
+        year(col("o_orderdate")) < 1992 ||
+        year(col("o_orderdate")) > 1998, 1))
+        .as("v_orderdate_in_range"))
+    val checks = Seq("orderkey_not_null", "orderkey_unique",
+      "totalprice_positive", "status_in_domain", "priority_format",
+      "orderdate_in_range")
+    val stacked = checks.map(c => s"'$c', v_$c").mkString(", ")
+    one
+      .select(col("n_rows"), expr(
+        s"stack(${checks.size}, $stacked) AS (constraint_name, n_violations)"))
+      .select(col("constraint_name"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0).as("passed"))
+      .orderBy("constraint_name")
+  }
+
+  def qualityAudit(s: SparkSession, dir: String): DataFrame =
+    qualityAuditOn(Tables.orders(s, dir))
+
+  /** L7b: per-domain document cap (the CommonCrawl-style guard against
+    * a handful of domains dominating the corpus): keep at most `cap`
+    * docs per source, chosen by content-hash rank — deterministic
+    * across re-runs and engine versions, like [[sampleStratifiedOn]],
+    * never rand(). One row_number window keyed on source; domains
+    * sample independently in parallel. A mega-domain skewing its
+    * partition at 100 TB pre-filters in two phases: per (source,
+    * hash-bucket) local top-`cap`, then the global window over the
+    * <= buckets x cap survivors — same result, bounded partitions. */
+  def sampleDomainCapOn(docs: DataFrame, cap: Int = 10): DataFrame = {
+    require(cap > 0, s"need cap > 0, got $cap")
+    val w = Window.partitionBy("source")
+      .orderBy(col("hk"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        Text.polyHash(col("text")).as("hk"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .select("doc_id", "source", "rk")
+      .orderBy("source", "rk")
+  }
+
+  def sampleDomainCap(s: SparkSession, dir: String): DataFrame =
+    sampleDomainCapOn(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack_sequences" -> textPackSequences,
     "sample_stratified" -> sampleStratified,
+    "sample_domain_cap" -> sampleDomainCap,
     "corpus_mix" -> corpusMix,
     "profile_stats" -> profileStats,
+    "quality_audit" -> qualityAudit,
     "text_decontaminate" -> textDecontaminate,
   )
 
@@ -247,6 +319,40 @@ object Corpus {
         |    CAST(COUNT(DISTINCT n_chars) AS BIGINT),
         |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM d
         |) ORDER BY column_name""".stripMargin,
+    "quality_audit" ->
+      """WITH a AS (SELECT
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS v_orderkey_not_null,
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_orderkey_unique,
+        |  CAST(COUNT(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+        |    THEN 1 END) AS BIGINT) AS v_totalprice_positive,
+        |  CAST(COUNT(CASE WHEN o_orderstatus IS NULL
+        |    OR o_orderstatus NOT IN ('O','F','P')
+        |    THEN 1 END) AS BIGINT) AS v_status_in_domain,
+        |  CAST(COUNT(CASE WHEN o_orderpriority IS NULL
+        |    OR substring(o_orderpriority, 1, 1) NOT IN ('1','2','3','4','5')
+        |    THEN 1 END) AS BIGINT) AS v_priority_format,
+        |  CAST(COUNT(CASE WHEN o_orderdate IS NULL
+        |    OR year(o_orderdate) < 1992 OR year(o_orderdate) > 1998
+        |    THEN 1 END) AS BIGINT) AS v_orderdate_in_range
+        |  FROM orders)
+        |SELECT constraint_name, n_rows, n_violations,
+        |  n_violations = 0 AS passed FROM (
+        |  SELECT 'orderkey_not_null' AS constraint_name, n_rows,
+        |    v_orderkey_not_null AS n_violations FROM a
+        |  UNION ALL SELECT 'orderkey_unique', n_rows, v_orderkey_unique FROM a
+        |  UNION ALL SELECT 'totalprice_positive', n_rows, v_totalprice_positive FROM a
+        |  UNION ALL SELECT 'status_in_domain', n_rows, v_status_in_domain FROM a
+        |  UNION ALL SELECT 'priority_format', n_rows, v_priority_format FROM a
+        |  UNION ALL SELECT 'orderdate_in_range', n_rows, v_orderdate_in_range FROM a
+        |) ORDER BY constraint_name""".stripMargin,
+    "sample_domain_cap" ->
+      s"""WITH h AS (SELECT doc_id, source, $polySql AS hk FROM documents),
+         |r AS (SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY hk, doc_id)
+         |    AS BIGINT) AS rk FROM h)
+         |SELECT doc_id, source, rk FROM r WHERE rk <= 10
+         |ORDER BY source, rk""".stripMargin,
     "text_decontaminate" ->
       // single source of truth for the shingle+hash CTE chain: the
       // Spark side is Dedup.shingleHashesOf, its SQL mirror is

@@ -94,6 +94,49 @@ class CorpusSpec extends SparkSpecBase {
     assert(byName("doc_id")._4 == "0")
   }
 
+  test("L9b quality audit: planted violations counted, null never passes") {
+    import java.sql.Timestamp
+    val ts = (s: String) => Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (Some(1L), "O", Some(100.0), Some(ts("1995-06-01")), "1-URGENT"),
+      (Some(1L), "F", Some(50.0), Some(ts("1992-01-01")), "5-LOW"), // dup key
+      (Some(2L), "X", Some(-3.0), Some(ts("1999-02-01")), "9-BAD"), // 4 violations
+      (None, "P", None, None, "3-MEDIUM")) // null key, price, date
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority")
+    val got = functions.Corpus.qualityAuditOn(orders)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got("orderkey_not_null") == ((1L, false)))
+    assert(got("orderkey_unique") == ((2L, false))) // dup pair + the null row
+    assert(got("totalprice_positive") == ((2L, false))) // -3 and NULL
+    assert(got("status_in_domain") == ((1L, false))) // X
+    assert(got("priority_format") == ((1L, false))) // 9-BAD
+    assert(got("orderdate_in_range") == ((2L, false))) // 1999 and NULL
+    // all-clean frame: every constraint passes
+    val clean = functions.Corpus.qualityAuditOn(
+      Seq((Some(7L), "O", Some(1.0), Some(ts("1995-01-01")), "2-HIGH"))
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+          "o_orderpriority"))
+    assert(clean.filter(!col("passed")).count() == 0)
+  }
+
+  test("L7b domain cap keeps at most cap docs per source, deterministically") {
+    val docs = (0L until 30L).map(i =>
+      (i, s"doc text number $i", if (i < 25) "big.com" else "small.org"))
+      .toDF("doc_id", "text", "source")
+    val out = functions.Corpus.sampleDomainCapOn(docs, cap = 10)
+    val bySource = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource == Map("big.com" -> 10L, "small.org" -> 5L))
+    // rank is dense 1..k per source and re-runs pick the SAME rows
+    val a = out.as[(Long, String, Long)].collect().toSeq
+    val b = functions.Corpus.sampleDomainCapOn(docs, cap = 10)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.filter(_._2 == "small.org").map(_._3).sorted == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("decontaminate: eval-set leak flagged, clean doc untouched") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
