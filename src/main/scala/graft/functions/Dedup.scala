@@ -376,6 +376,13 @@ object Dedup {
           " ELSE array() END")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         Text.polyHash(col("col")).as("gh"))
+    // dup-mark via aggregate + join back rather than collecting each
+    // gram's occurrences into one array: a boilerplate gram shared by
+    // k docs streams k join rows instead of materializing a k-element
+    // array in a single reducer row (measured equal at corpus scale;
+    // the join is what survives power-law grams at 100 TB, where the
+    // gram relation would also be persisted between the two passes,
+    // cf. [[shingleHashesOf]])
     val dup = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)

@@ -301,6 +301,34 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Window"), p)
   }
 
+  test("dedup_substring: dup grams broadcast back, no cartesian, one span sort") {
+    val p = plan(functions.Dedup.dedupSubstring(spark, sf))
+    // two gram passes (documented: persist/checkpoint between them at
+    // 100 TB); the duplicated-gram relation is tiny -> broadcast join
+    assert("Scan parquet".r.findAllIn(p).size == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+  }
+
+  test("quality_audit: every constraint in ONE scan, partial+final agg, no Expand") {
+    val p = plan(functions.Corpus.qualityAudit(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join") && !p.contains("Expand"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("sample_domain_cap: rank limit pushed map-side (partial WindowGroupLimit " +
+    "before the source exchange)") {
+    val p = plan(functions.Corpus.sampleDomainCap(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    // Spark's rank-limit pushdown plans the cap as partial+final
+    // WindowGroupLimit: a mega-domain ships at most cap rows per input
+    // partition into the window shuffle — the two-phase shape the
+    // scaladoc's 100 TB note describes, enforced by the optimizer
+    assert("WindowGroupLimit".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("text_tfidf: single corpus scan (df via window over tf, not a self-join rescan)") {
     val p = plan(functions.Text.textTfidf(spark, sf))
     assert("Scan parquet".r.findAllIn(p).size == 2, p) // corpus + broadcast N
