@@ -74,6 +74,12 @@ object ScaleProbe {
         functions.Dedup.dedupIncrementalOn(
           functions.Dedup.shingleHashesOf(d).localCheckpoint(true),
           c => c % 5 === 0)),
+      "dedup_substring" -> (d => functions.Dedup.dedupSubstringOn(d)),
+      "sample_domain_cap" -> (d =>
+        functions.Corpus.sampleDomainCapOn(
+          // perturbed copies keep (doc_id, text, lang); derive a
+          // source from the language so every copy caps per domain
+          d.withColumn("source", col("lang")))),
     )
 
     val ks = Seq(1, 2, 4)
