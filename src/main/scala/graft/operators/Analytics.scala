@@ -386,7 +386,40 @@ object Analytics {
           .as("corr_qty_line"))
       .orderBy("l_returnflag")
 
+  /** Robust anomaly detection via median absolute deviation: an event
+    * is anomalous when its deviation from the per-type median exceeds
+    * 3 robust standard deviations (MAD x 1.4826, the normal-
+    * consistency constant) — the outlier filter that, unlike
+    * mean/stddev z-scores, is not itself dragged by the outliers it
+    * hunts. Two grouped EXACT medians (per-type median, then median
+    * of absolute deviations) with the tiny per-type model joined back
+    * broadcast. Exact median shuffles each type's full value set to
+    * one reducer — fine for bounded type cardinality; at 100 TB swap
+    * in approx_percentile (a mergeable sketch, map-side combined;
+    * agg_approx_quantile demonstrates the trade and its error bound).
+    */
+  def anomalyMadOn(events: DataFrame): DataFrame = {
+    val med = events.groupBy("event_type")
+      .agg(median(col("value")).as("med"))
+    val dev = events
+      .join(broadcast(med), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        abs(col("value") - col("med")).as("adev"))
+    val mad = dev.groupBy("event_type")
+      .agg(median(col("adev")).as("mad"))
+    dev
+      .join(broadcast(mad), "event_type")
+      .filter(col("adev") > lit(4.4478) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("adev") / (lit(1.4826) * col("mad")), 4).as("rz"))
+      .orderBy("event_id")
+  }
+
+  def anomalyMad(s: SparkSession, dir: String): DataFrame =
+    anomalyMadOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "anomaly_mad" -> anomalyMad,
     "agg_corr" -> aggCorr,
     "typed_pipeline" -> typedPipeline,
     "sql_q3" -> sqlQ3,
@@ -412,6 +445,19 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "anomaly_mad" ->
+      """WITH med AS (SELECT event_type, median(value) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (SELECT e.event_id, e.event_type, e.value,
+        |    abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, median(adev) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.value,
+        |  round(d.adev / (1.4826 * m.mad), 4) AS rz
+        |FROM dev d JOIN mad m USING (event_type)
+        |WHERE d.adev > 4.4478 * m.mad
+        |ORDER BY d.event_id""".stripMargin,
     "sql_q5" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -34,6 +34,19 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(operators.Analytics.aggUnpivot(spark, sf).count() == wide * 3)
   }
 
+  test("anomaly_mad: only the planted outlier flags; constant groups flag nothing") {
+    val events = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0),
+      (5L, "a", 100.0), // median 3, adev [2,1,0,1,97], mad 1 -> only this flags
+      (6L, "b", 7.0), (7L, "b", 7.0), (8L, "b", 7.0)) // mad 0, no deviation
+      .toDF("event_id", "event_type", "value")
+    val got = operators.Analytics.anomalyMadOn(events)
+      .as[(Long, String, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((5L, "a", 100.0)))
+    assert(got.head._4 == BigDecimal(97.0 / 1.4826)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("split assignment is ~80/10/10 and deterministic across runs") {
     val a = operators.Analytics.aggTypedArgmax(spark, sf) // warm unrelated
     val s1 = functions.Text.textSplitAssign(spark, sf)
