@@ -110,6 +110,70 @@ object Clusters {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** Fixed-iteration PageRank over a directed edge list, in EXACT
+    * integer arithmetic — the third member of the iterative family
+    * ([[connectedComponentsOn]] label propagation,
+    * [[Similarity.kmeansOn]] Lloyd's): importance scores for
+    * graph-shaped corpus metadata (link graphs, citation graphs,
+    * user-item interaction graphs) that data-curation pipelines use
+    * as quality priors.
+    *
+    * Ranks are integers scaled by 1e9; each round is
+    * r' = 0.15*SCALE + floor(0.85 * sum(floor(r_in / deg_in))) with
+    * every step a BIGINT floor-division — no accumulation-order float
+    * math, so the DuckDB oracle replays all rounds bit-for-bit (the
+    * [[Similarity.kmeansOn]] determinism recipe). Per round: one
+    * equi-join of the edge list against current ranks + one groupBy
+    * on the destination — two map-side-combinable shuffles keyed on
+    * node id, the textbook Pregel step as DataFrames. The node set is
+    * constant, so each round references the previous ranks exactly
+    * once and the unrolled plan stays LINEAR in iteration count.
+    *
+    * Contract: every node must appear as a source (outdeg >= 1) —
+    * feed sink nodes a self-loop or both directions of an undirected
+    * graph (the catalog form does the latter). Rank mass of a node
+    * is bounded by N*SCALE, so sums stay far inside BIGINT. */
+  def graphPagerankOn(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val Array(cs, cd) = edges.columns.take(2)
+    val e = edges.select(col(cs).cast("long").as("src"),
+      col(cd).cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src")
+    val nodes = deg.select(col("src").as("node"))
+    var r = nodes.withColumn("r", lit(1000000000L))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(r, col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      r = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000000L) +
+            expr("coalesce(s, CAST(0 AS BIGINT)) * 85 div 100")).as("r"))
+    }
+    r.select(col("node"), col("r").as("rank_scaled")).orderBy("node")
+  }
+
+  /** Catalog form: rank customers and suppliers on the undirected
+    * bipartite who-traded-with-whom graph (customer c bought a part
+    * supplied by s; supplier nodes offset by 1e6 into their own id
+    * space). Edge construction — the orders x lineitem join — runs
+    * once into a checkpoint; the rank loop never re-derives it. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
+      .distinct()
+    val both = e.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .localCheckpoint(true)
+    graphPagerankOn(both)
+  }
+
   /** Catalog form: components of the MinHash-verified near-dup pairs
     * (jac >= 0.8), i.e. the full Dedup rung chain
     * shingle -> minhash -> band -> verify -> cluster. */
@@ -138,7 +202,21 @@ object Clusters {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
     "dedup_semantic" -> dedupSemantic,
+    "graph_pagerank" -> graphPagerank,
   )
+
+  /** Unrolled PageRank rounds as CTEs — the oracle replays the exact
+    * integer recurrence of [[graphPagerankOn]] (cf. the kmeans oracle,
+    * which unrolls Lloyd's the same way). */
+  private val prIterSql = (1 to 3).map { i =>
+    val prev = if (i == 1) "r0" else s"r${i - 1}"
+    s"""c$i AS (SELECT eb.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+       |  FROM eb JOIN $prev r ON eb.src = r.node JOIN deg d ON eb.src = d.src
+       |  GROUP BY eb.dst),
+       |r$i AS (SELECT n.node,
+       |    CAST(150000000 + (COALESCE(c$i.s, 0) * 85) // 100 AS BIGINT) AS r
+       |  FROM r0 n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
+  }.mkString(",\n")
 
   /** Recursive reachability closure + cluster stats over a `pairs`
     * CTE (da, db) — the shared oracle tail; fine at oracle corpus
@@ -160,6 +238,17 @@ object Clusters {
        |ORDER BY l.cluster_id, $idCol""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+         |    l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |eb AS (SELECT src, dst FROM e
+         |       UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM eb GROUP BY src),
+         |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+         |$prIterSql
+         |SELECT node, r AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
     "dedup_clusters" ->
       s"""${Dedup.minhashCoreSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |pairs AS (SELECT da, db

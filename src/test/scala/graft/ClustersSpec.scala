@@ -70,4 +70,21 @@ class ClustersSpec extends SparkSpecBase {
     assert(perCluster.filter(col("n") =!= col("n_members")).count() == 0)
     out.unpersist()
   }
+
+  test("pagerank: 2-cycle is a fixpoint; star center outranks leaves (hand-unrolled)") {
+    // symmetric 2-cycle: contrib = 1e9 each round -> rank stays 1e9
+    val cycle = functions.Clusters.graphPagerankOn(
+      Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toSeq
+    assert(cycle == Seq((1L, 1000000000L), (2L, 1000000000L)))
+    // undirected star 1-3, 2-3: three rounds unrolled by hand
+    //   r1 = (575000000, 575000000, 1850000000)
+    //   r2 = (936250000, 936250000, 1127500000)
+    //   r3 = (629187500, 629187500, 1741625000)
+    val star = functions.Clusters.graphPagerankOn(
+      Seq((1L, 3L), (2L, 3L), (3L, 1L), (3L, 2L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toSeq
+    assert(star == Seq(
+      (1L, 629187500L), (2L, 629187500L), (3L, 1741625000L)))
+  }
 }
