@@ -24,6 +24,7 @@ object SparkEntry {
     (operators.Windows.queries, operators.Windows.oracles),
     (operators.SortsSets.queries, operators.SortsSets.oracles),
     (operators.Analytics.queries, operators.Analytics.oracles),
+    (operators.Events.queries, operators.Events.oracles),
     (functions.Scalars.queries, functions.Scalars.oracles),
     (functions.Text.queries, functions.Text.oracles),
     (functions.Corpus.queries, functions.Corpus.oracles),

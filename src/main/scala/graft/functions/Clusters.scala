@@ -174,6 +174,47 @@ object Clusters {
     graphPagerankOn(both)
   }
 
+  /** Per-node triangle counts over an undirected edge list — the
+    * local clustering signal (dense near-dup neighborhoods, community
+    * cores) that complements [[connectedComponentsOn]]'s reachability
+    * and [[graphPagerankOn]]'s centrality. Edges are canonicalized to
+    * a < b once, then each triangle a<b<c is enumerated EXACTLY ONCE
+    * by the ordered wedge join e1(a,b) |x| e2(b,c) |x| e3(a,c) — three
+    * equi-joins, no cross product; every node of the triangle then
+    * gets one count. The canonical edge list materializes eagerly
+    * (localCheckpoint) because the join tree references it three
+    * times. Scale: the classic MapReduce triangle enumeration; the
+    * a < b orientation can skew on hub nodes (a hub's wedge set is
+    * deg^2) — the degree-ordered orientation (edges point low-degree
+    * to high-degree; Suri & Vassilvitskii's "last reducer" fix) is the
+    * drop-in upgrade when a hubby graph makes one reduce task hot. */
+  def triangleCountOn(edges: DataFrame): DataFrame = {
+    val Array(ca, cb) = edges.columns.take(2)
+    val und = edges
+      .select(least(col(ca), col(cb)).cast("long").as("a"),
+        greatest(col(ca), col(cb)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("node")
+  }
+
+  /** Catalog form: triangles of the exact k-NN graph
+    * ([[Similarity.simKnnJoinOn]], k = 3) — mutual-neighbor density
+    * over the embedding corpus, the structure SemDeDup-style pruning
+    * reads as "this neighborhood is one semantic clump". */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    triangleCountOn(
+      Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
+        .select("qid", "nid"))
+
   /** Catalog form: components of the MinHash-verified near-dup pairs
     * (jac >= 0.8), i.e. the full Dedup rung chain
     * shingle -> minhash -> band -> verify -> cluster. */
@@ -203,6 +244,7 @@ object Clusters {
     "dedup_clusters" -> dedupClusters,
     "dedup_semantic" -> dedupSemantic,
     "graph_pagerank" -> graphPagerank,
+    "graph_triangles" -> graphTriangles,
   )
 
   /** Unrolled PageRank rounds as CTEs — the oracle replays the exact
@@ -238,6 +280,19 @@ object Clusters {
        |ORDER BY l.cluster_id, $idCol""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_triangles" ->
+      s"""WITH ${Similarity.knnCoreSql},
+         |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,
+         |    GREATEST(qid, nid) AS b FROM knn),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1
+         |  JOIN und e2 ON e1.b = e2.a
+         |  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
+         |n AS (SELECT x AS node FROM tri
+         |      UNION ALL SELECT y FROM tri
+         |      UNION ALL SELECT z FROM tri)
+         |SELECT node, COUNT(*) AS n_triangles FROM n
+         |GROUP BY node ORDER BY node""".stripMargin,
     "graph_pagerank" ->
       s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
          |    l_suppkey + 1000000 AS dst

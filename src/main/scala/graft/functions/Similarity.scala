@@ -364,6 +364,22 @@ object Similarity {
     "sample_cluster_balanced" -> sampleClusterBalanced,
   )
 
+  /** DuckDB mirror of [[simKnnJoinOn]] as a reusable CTE chain ending
+    * in `knn(qid, nid, cos, rnk)` — shared by the sim_knn_join oracle
+    * and the graph oracles that build on the k-NN graph
+    * ([[Clusters]] graph_triangles). */
+  val knnCoreSql: String =
+    s"""e AS (SELECT vec_id, embedding,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |p AS (SELECT l.vec_id AS qid, r.vec_id AS nid,
+       |    round(${sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 4) AS cos
+       |  FROM e l JOIN e r ON l.vec_id <> r.vec_id),
+       |rk AS (SELECT qid, nid, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid ASC) AS INT) AS rnk
+       |  FROM p),
+       |knn AS (SELECT qid, nid, cos, rnk FROM rk WHERE rnk <= 3)""".stripMargin
+
   /** One unrolled k-means assignment step (DuckDB mirror of
     * [[kmeansOn]]'s assign). */
   private def kmAssign(name: String, cent: String): String =
@@ -430,16 +446,8 @@ object Similarity {
          |WHERE rk <= 25
          |ORDER BY vec_id""".stripMargin,
     "sim_knn_join" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
-         |p AS (SELECT l.vec_id AS qid, r.vec_id AS nid,
-         |    round(${sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 4) AS cos
-         |  FROM e l JOIN e r ON l.vec_id <> r.vec_id),
-         |rk AS (SELECT qid, nid, cos,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
-         |      ORDER BY cos DESC, nid ASC) AS INT) AS rnk
-         |  FROM p)
-         |SELECT qid, nid, cos, rnk FROM rk WHERE rnk <= 3
+      s"""WITH $knnCoreSql
+         |SELECT qid, nid, cos, rnk FROM knn
          |ORDER BY qid, rnk""".stripMargin,
     "sim_ann_ivf" ->
       s"""WITH $ivfSql,

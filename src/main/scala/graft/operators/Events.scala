@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics — the warehouse-side operators a pipeline runs
+  * over its own telemetry (ingest logs, user events, job audit trails):
+  * cohort retention, ordered funnels, SCD2 change compression, and
+  * calendar gap-fill. The reference's event handling stops at error
+  * counting (raw_to_samples.py error lists); these are the standard
+  * generalizations every event table eventually needs.
+  *
+  * All four are pure declarative plans: grouped aggregates and windows
+  * keyed on user/event_type, so every shuffle is map-side combinable
+  * and partitions by a bounded-cardinality or well-distributed key.
+  */
+object Events {
+
+  /** Weekly cohort retention: users bucketed by first-activity date,
+    * counted once per (cohort, weeks-since-cohort) cell — the classic
+    * retention triangle. Three shuffles, all keyed on user_id or the
+    * tiny (cohort, week) pair: distinct activity days, per-user min
+    * (map-side combined), and the final count-distinct. At 100 TB the
+    * user dimension is the natural partition key throughout; no step
+    * sees more than one row per user-day. */
+  def eventRetentionOn(events: DataFrame): DataFrame = {
+    val acts = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val cohort = acts.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    acts.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        floor(datediff(col("d"), col("cohort_day")) / 7)
+          .cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
+  /** First-touch ordered funnel over `steps`: a user reaches step k
+    * when the first occurrences of steps 1..k are strictly increasing
+    * in time (the deterministic first-touch convention; a re-click
+    * after a later first view does not count). ONE grouped aggregate
+    * computes every per-user first-touch time in a single scan; the
+    * funnel itself reduces to a handful of global counters unpivoted
+    * into (step_idx, step, n_users, pct) rows. Scale: one shuffle on
+    * user_id, partial-aggregated; the final pass is a scalar agg. */
+  def eventFunnelOn(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val firsts = events.groupBy("user_id").agg(
+      min(when(col("event_type") === steps.head, col("ts"))).as("t0"),
+      steps.tail.zipWithIndex.map { case (st, i) =>
+        min(when(col("event_type") === st, col("ts"))).as(s"t${i + 1}")
+      }: _*)
+    // reached(k) = t0 < t1 < ... < tk (nulls fail every comparison)
+    val reached: Seq[Column] = steps.indices.map { k =>
+      (1 to k).map(i => col(s"t${i - 1}") < col(s"t$i"))
+        .foldLeft(col("t0").isNotNull)(_ && _)
+    }
+    val counts = firsts.agg(
+      count(when(reached.head, 1)).as("s0"),
+      reached.tail.zipWithIndex.map { case (c, i) =>
+        count(when(c, 1)).as(s"s${i + 1}")
+      }: _*)
+    counts.select(explode(array(steps.indices.map { k =>
+        struct(lit(k + 1).as("step_idx"), lit(steps(k)).as("step"),
+          col(s"s$k").as("n_users"),
+          round(col(s"s$k").cast("double") / col("s0"), 4).as("pct"))
+      }: _*)).as("f"))
+      .select(col("f.step_idx"), col("f.step"), col("f.n_users"), col("f.pct"))
+      .orderBy("step_idx")
+  }
+
+  /** SCD2 change compression: collapse each user's event stream into
+    * validity intervals of its event_type "state" — rows where the
+    * state differs from the previous row, with valid_to = next change
+    * (NULL = current). The standard slowly-changing-dimension build
+    * from a change log (the batch mirror of [[graft.functions.Corpus]]'
+    * merge_upsert CDC rung). Both windows share one partitioning
+    * (user_id), so the whole op is a single shuffle + two in-partition
+    * passes. */
+  def scd2IntervalsOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val w2 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  /** Calendar gap-fill + forward fill: one row per (event_type, day)
+    * over the full observed date span — missing days appear with n = 0
+    * and carry the last observed daily average forward. The date spine
+    * is `sequence(min, max)` exploded per type (never a driver-side
+    * loop); the fill is a `last(ignoreNulls)` running window per type.
+    * Daily averages go through exact cent-integer sums (values are
+    * 2-decimal) so both engines divide the same exact integers —
+    * no accumulation-order float drift. Scale: the spine is
+    * |types| x days (tiny vs the fact table); the single window
+    * partitions by event_type — swap in (type, month) range buckets if
+    * a type's spine ever outgrows one partition. */
+  def tsGapfillOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val span = events.agg(min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1"))
+    val spine = events.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    spine.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(round((col("cents") / 100.0) / col("n"), 4), ignoreNulls = true)
+          .over(w).as("avg_ff"))
+      .orderBy("event_type", "d")
+  }
+
+  def eventRetention(s: SparkSession, dir: String): DataFrame =
+    eventRetentionOn(Tables.events(s, dir))
+
+  def eventFunnel(s: SparkSession, dir: String): DataFrame =
+    eventFunnelOn(Tables.events(s, dir))
+
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame =
+    scd2IntervalsOn(Tables.events(s, dir))
+
+  def tsGapfill(s: SparkSession, dir: String): DataFrame =
+    tsGapfillOn(Tables.events(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_retention" -> eventRetention,
+    "event_funnel" -> eventFunnel,
+    "scd2_intervals" -> scd2Intervals,
+    "ts_gapfill" -> tsGapfill,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "event_retention" ->
+      """WITH acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |coh AS (SELECT user_id, MIN(d) AS cohort_day FROM acts
+        |  GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  CAST(FLOOR((a.d - c.cohort_day) / 7) AS INT) AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM acts a JOIN coh c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "event_funnel" ->
+      """WITH per AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+        |  FROM events GROUP BY user_id),
+        |f AS (SELECT
+        |    COUNT(CASE WHEN t0 IS NOT NULL THEN 1 END) AS s0,
+        |    COUNT(CASE WHEN t0 < t1 THEN 1 END) AS s1,
+        |    COUNT(CASE WHEN t0 < t1 AND t1 < t2 THEN 1 END) AS s2
+        |  FROM per)
+        |SELECT 1 AS step_idx, 'view' AS step, s0 AS n_users,
+        |  round(CAST(s0 AS DOUBLE) / s0, 4) AS pct FROM f
+        |UNION ALL SELECT 2, 'click', s1, round(CAST(s1 AS DOUBLE) / s0, 4) FROM f
+        |UNION ALL SELECT 3, 'purchase', s2, round(CAST(s2 AS DOUBLE) / s0, 4) FROM f
+        |ORDER BY step_idx""".stripMargin,
+    "scd2_intervals" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL AS is_current
+        |FROM ch
+        |ORDER BY user_id, valid_from""".stripMargin,
+    "ts_gapfill" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT MIN(CAST(ts AS DATE)) AS d0,
+        |    MAX(CAST(ts AS DATE)) AS d1 FROM events),
+        |spine AS (SELECT t.event_type,
+        |    unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY))::DATE AS d
+        |  FROM (SELECT DISTINCT event_type FROM events) t, span s)
+        |SELECT sp.event_type, sp.d,
+        |  COALESCE(dl.n, 0) AS n,
+        |  last_value(round((dl.cents / 100.0) / dl.n, 4) IGNORE NULLS)
+        |    OVER (PARTITION BY sp.event_type ORDER BY sp.d) AS avg_ff
+        |FROM spine sp LEFT JOIN daily dl
+        |  ON sp.event_type = dl.event_type AND sp.d = dl.d
+        |ORDER BY sp.event_type, sp.d""".stripMargin,
+  )
+}

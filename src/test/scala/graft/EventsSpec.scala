@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the event-analytics operators (each also
+  * has a DuckDB oracle; these pin the intended meaning directly). */
+class EventsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("event_funnel: strict first-touch ordering gates each step") {
+    // user 1 converts fully in order; user 2 clicked BEFORE first view
+    // (fails step 2 despite having both); user 3 only views
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "click", ts("2024-01-01 11:00:00")),
+      (3L, 1L, "purchase", ts("2024-01-01 12:00:00")),
+      (4L, 2L, "click", ts("2024-01-02 09:00:00")),
+      (5L, 2L, "view", ts("2024-01-02 10:00:00")),
+      (6L, 3L, "view", ts("2024-01-03 08:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = operators.Events.eventFunnelOn(ev)
+      .select("step", "n_users").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("view", 3L), ("click", 1L), ("purchase", 1L)))
+  }
+
+  test("scd2_intervals: intervals tile per user and only the last is open") {
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "a", ts("2024-01-01 11:00:00")), // no change: absorbed
+      (3L, 1L, "b", ts("2024-01-01 12:00:00")),
+      (4L, 1L, "a", ts("2024-01-01 13:00:00"))) // back to a: NEW interval
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = operators.Events.scd2IntervalsOn(ev)
+      .select("state", "valid_from", "valid_to", "is_current")
+      .as[(String, Timestamp, Option[Timestamp], Boolean)].collect().toSeq
+    assert(got.map(_._1) == Seq("a", "b", "a"))
+    // each interval closes exactly where the next opens
+    assert(got.init.zip(got.tail).forall { case (cur, nxt) =>
+      cur._3.contains(nxt._2)
+    })
+    assert(got.map(_._4) == Seq(false, false, true))
+  }
+
+  test("scd2_intervals covers every user's full span on the corpus") {
+    val iv = operators.Events.scd2Intervals(spark, sf)
+    assert(iv.filter(col("is_current")).groupBy("user_id").count()
+      .filter(col("count") =!= 1).count() == 0) // exactly one open row each
+    assert(iv.filter(col("valid_to") <= col("valid_from")).count() == 0)
+  }
+
+  test("ts_gapfill: full calendar spine, zero-filled counts conserve the total") {
+    val g = operators.Events.tsGapfill(spark, sf)
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    val days = g.select("d").distinct().count()
+    assert(g.count() == types * days) // dense spine
+    assert(g.agg(sum("n")).as[Long].head() ==
+      Tables.events(spark, sf).count()) // gap rows add 0, nothing lost
+    // forward fill: avg is non-null from each type's first observed day on
+    val bad = g.withColumn("seen",
+      max(when(col("n") > 0, col("d"))).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy("d")))
+      .filter(col("seen").isNotNull && col("avg_ff").isNull)
+    assert(bad.count() == 0)
+  }
+
+  test("event_retention: week 0 counts every user exactly once") {
+    val r = operators.Events.eventRetention(spark, sf)
+    val week0 = r.filter(col("week_offset") === 0)
+      .agg(sum("n_users")).as[Long].head()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(week0 == users) // everyone is active in their own cohort week
+    assert(r.filter(col("week_offset") < 0).count() == 0)
+  }
+
+  test("triangleCountOn: counts known triangles once, ignores squares and dups") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // triangle {1,2,3}
+      (2L, 1L),                     // reversed duplicate: collapsed
+      (3L, 4L),                     // dangling edge: no triangle
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L)) // 4-cycle, no diagonal
+      .toDF("a", "b")
+    val got = functions.Clusters.triangleCountOn(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}

@@ -329,6 +329,37 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("scd2_intervals: both windows share ONE user_id shuffle") {
+    val p = plan(operators.Events.scd2Intervals(spark, sf))
+    // lag-filter and lead-intervals use the same (user_id; ts,
+    // event_id) spec, so the planner must fuse them onto a single
+    // hash exchange — the only other exchange is the output ordering
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("event_funnel: one corpus scan, partial-aggregated user rollup") {
+    val p = plan(operators.Events.eventFunnel(spark, sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_min"), p) // first-touch mins combine map-side
+    assert(!p.contains("Join"), p)
+  }
+
+  test("event_retention / ts_gapfill / graph_triangles: equi-joins only, " +
+    "no cross product") {
+    Seq(operators.Events.eventRetention(spark, sf),
+      operators.Events.tsGapfill(spark, sf),
+      functions.Clusters.graphTriangles(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Cartesian"), p)
+    }
+    // the gap-fill spine cross join rides the broadcast 1-row span,
+    // never a shuffled product
+    val g = plan(operators.Events.tsGapfill(spark, sf))
+    assert(!g.contains("CartesianProduct"), g)
+    assert(g.contains("Window"), g)
+  }
+
   test("text_tfidf: single corpus scan (df via window over tf, not a self-join rescan)") {
     val p = plan(functions.Text.textTfidf(spark, sf))
     assert("Scan parquet".r.findAllIn(p).size == 2, p) // corpus + broadcast N
