@@ -195,6 +195,37 @@ object Text {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(50)
 
+  /** L4k: inverted-index (postings) construction — per token: document
+    * frequency, total term count, and a "doc:tf:first_pos" postings
+    * string sorted by doc id — the retrieval-side artifact curation
+    * pipelines build for exact decontamination lookups and corpus
+    * audit queries. Two-level aggregation: (token, doc) partials, then
+    * a per-token fold — both map-side combined, so the shuffle carries
+    * one row per (token, doc), never raw positions. The postings
+    * string assembles from an array_sort'd struct list, making output
+    * bytes deterministic under any partitioning. At 100 TB the
+    * per-token list is the skew axis: stopword-grade tokens are
+    * dropped by `maxDf` (the dedup_ngram df-cap lever) BEFORE the
+    * string materializes, bounding the largest aggregation state. */
+  def invertedIndexOn(docs: DataFrame, maxDf: Long = Long.MaxValue): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), posexplode(toks(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"), min(col("pos")).as("p0"))
+    perDoc.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+        collect_list(struct(col("doc_id"), col("tf"), col("p0"))).as("ps"))
+      .filter(col("df") <= maxDf)
+      .select(col("token"), col("df"), col("tf_total"),
+        concat_ws(",", transform(array_sort(col("ps")),
+          e => concat_ws(":", e("doc_id"), e("tf"), e("p0")))).as("postings"))
+      .orderBy("token")
+  }
+
+  def textInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    invertedIndexOn(Tables.documents(s, dir))
+
   /** L4f: TF-IDF — tf per (doc, token), df per token, idf = ln(N/df).
     * All counts integral; the one transcendental (ln) is rounded at
     * the boundary. The scalar N crosses via broadcast cross-join. */
@@ -356,6 +387,7 @@ object Text {
     "text_pii_mask" -> textPiiMask,
     "corpus_clean" -> corpusClean,
     "text_vocab" -> textVocab,
+    "text_inverted_index" -> textInvertedIndex,
     "text_tfidf" -> textTfidf,
     "text_split_assign" -> textSplitAssign,
     "text_tokens" -> textTokens,
@@ -374,6 +406,18 @@ object Text {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_inverted_index" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |p AS (SELECT doc_id, r.i - 1 AS pos, t[r.i] AS token
+        |  FROM tk, UNNEST(range(1, len(t) + 1)) AS r(i)),
+        |pd AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf,
+        |    MIN(pos) AS p0
+        |  FROM p GROUP BY 1, 2)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        |  CAST(SUM(tf) AS BIGINT) AS tf_total,
+        |  string_agg(doc_id || ':' || tf || ':' || p0, ','
+        |    ORDER BY doc_id) AS postings
+        |FROM pd GROUP BY token ORDER BY token""".stripMargin,
     "text_chunk" ->
       """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |c AS (SELECT doc_id, t, len(t) AS n,

@@ -172,4 +172,19 @@ class CorpusSpec extends SparkSpecBase {
     assert(out(1L)._3 == 1L && out(1L)._5 == 0L)
     assert(out(2L)._3 == 1L && out(2L)._5 == 1L && out(2L)._7)
   }
+
+  test("L4k inverted index conserves token mass; df matches posting length") {
+    import org.apache.spark.sql.functions._
+    val ix = functions.Text.textInvertedIndex(spark, sf)
+    val totalToks = Tables.documents(spark, sf)
+      .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    assert(ix.agg(sum("tf_total")).head().getLong(0) == totalToks)
+    assert(ix.filter(size(split(col("postings"), ",")) =!= col("df"))
+      .count() == 0)
+    // postings are doc-sorted: first entry's doc <= last entry's doc
+    assert(ix.filter(
+      split(element_at(split(col("postings"), ","), 1), ":")(0).cast("long") >
+      split(element_at(split(col("postings"), ","), -1), ":")(0).cast("long"))
+      .count() == 0)
+  }
 }
