@@ -20,17 +20,22 @@ object Events {
 
   /** Weekly cohort retention: users bucketed by first-activity date,
     * counted once per (cohort, weeks-since-cohort) cell — the classic
-    * retention triangle. Three shuffles, all keyed on user_id or the
-    * tiny (cohort, week) pair: distinct activity days, per-user min
-    * (map-side combined), and the final count-distinct. At 100 TB the
-    * user dimension is the natural partition key throughout; no step
-    * sees more than one row per user-day. */
+    * retention triangle. One fact scan; shuffles are keyed on user_id
+    * (distinct activity days, then the per-user cohort-min window) or
+    * the tiny (cohort, week) pair (final count-distinct). At 100 TB
+    * the user dimension is the natural partition key throughout; no
+    * step sees more than one row per user-day. */
   def eventRetentionOn(events: DataFrame): DataFrame = {
     val acts = events
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .distinct()
-    val cohort = acts.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
-    acts.join(cohort, "user_id")
+    // cohort via a window min over the distinct activity set, not a
+    // groupBy+self-join: the join spelling re-executes the whole
+    // distinct subtree (scan included) as its build side — the same
+    // duplicate-subtree trap text_tfidf hit in round 2
+    acts
+      .withColumn("cohort_day",
+        min(col("d")).over(Window.partitionBy("user_id")))
       .groupBy(col("cohort_day"),
         floor(datediff(col("d"), col("cohort_day")) / 7)
           .cast("int").as("week_offset"))
@@ -108,13 +113,16 @@ object Events {
     * partitions by event_type — swap in (type, month) range buckets if
     * a type's spine ever outgrows one partition. */
   def tsGapfillOn(events: DataFrame): DataFrame = {
+    // span and the type list both derive from the (tiny) daily
+    // aggregate, so the fact table is scanned exactly ONCE; daily is
+    // materialized because three plan branches read it
     val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
-    val span = events.agg(min(to_date(col("ts"))).as("d0"),
-      max(to_date(col("ts"))).as("d1"))
-    val spine = events.select("event_type").distinct()
+      .localCheckpoint(true)
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = daily.select("event_type").distinct()
       .crossJoin(broadcast(span))
       .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("d"))
     val w = Window.partitionBy("event_type").orderBy("d")

@@ -353,9 +353,15 @@ class PlanSpec extends SparkSpecBase {
       val p = plan(df)
       assert(!p.contains("Cartesian"), p)
     }
-    // the gap-fill spine cross join rides the broadcast 1-row span,
-    // never a shuffled product
+    // retention reads the fact table exactly once (cohort is a window
+    // min, not a groupBy+self-join that would re-execute the scan)
+    val r = plan(operators.Events.eventRetention(spark, sf))
+    assert("Scan parquet".r.findAllIn(r).size == 1, r)
+    // gap-fill's three consumers (daily/span/types) all read the
+    // pre-materialized daily aggregate — zero parquet rescans; the
+    // spine cross join rides the broadcast 1-row span
     val g = plan(operators.Events.tsGapfill(spark, sf))
+    assert("Scan parquet".r.findAllIn(g).size == 0, g)
     assert(!g.contains("CartesianProduct"), g)
     assert(g.contains("Window"), g)
   }
