@@ -28,6 +28,7 @@ object SparkEntry {
     (functions.Scalars.queries, functions.Scalars.oracles),
     (functions.Text.queries, functions.Text.oracles),
     (functions.Corpus.queries, functions.Corpus.oracles),
+    (functions.Signals.queries, functions.Signals.oracles),
     (functions.Dedup.queries, functions.Dedup.oracles),
     (functions.Clusters.queries, functions.Clusters.oracles),
     (functions.Similarity.queries, functions.Similarity.oracles),

@@ -325,6 +325,77 @@ object Analytics {
         |ORDER BY numwait DESC, s_name""".stripMargin)
   }
 
+  /** SQL frontend, TPC-H Q7 shape ("Volume Shipping"): revenue flow
+    * between two nations by ship year, in both directions — the
+    * classic two-role dimension pattern (nation joined twice, as
+    * supplier's and customer's) with an OR-of-ANDs pair filter.
+    * Catalyst broadcasts both nation sides; the fact scan keeps the
+    * ship-date range pushed down. Money through DECIMAL(18,2) with
+    * one double cast at the end (graft.Exact convention). */
+  def sqlQ7(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+    s.sql(
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  YEAR(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM v_supplier
+        |JOIN v_lineitem ON s_suppkey = l_suppkey
+        |JOIN v_orders ON o_orderkey = l_orderkey
+        |JOIN v_customer ON c_custkey = o_custkey
+        |JOIN v_nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN v_nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin)
+  }
+
+  /** SQL frontend, TPC-H Q14 shape ("Promotion Effect"): the share of
+    * one month's revenue attributable to promo parts — a conditional
+    * aggregate over a date-pruned fact-dim join, reduced to a single
+    * row. Both sums stay DECIMAL until the one percentage division. */
+  def sqlQ14(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("v_part")
+    s.sql(
+      """SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+        |  AS promo_revenue_pct
+        |FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin)
+  }
+
+  /** SQL frontend, TPC-H Q17 shape ("Small-Quantity-Order Revenue"):
+    * lineitems of one brand whose quantity is below 20% of that
+    * part's average — a correlated scalar subquery over the same fact
+    * table. Catalyst decorrelates it into a per-part aggregate joined
+    * back (RewriteCorrelatedScalarSubquery); at scale both sides
+    * shuffle on partkey, the brand filter prunes the probe side
+    * first. */
+  def sqlQ17(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("v_part")
+    s.sql(
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    / 7.0 AS DOUBLE), 2) AS avg_yearly
+        |FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * AVG(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FROM v_lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
   /** SQL subquery surface: a correlated scalar subquery (per-customer
     * order count) and a correlated EXISTS filter in one statement —
     * the shapes Catalyst decorrelates into aggregates + joins
@@ -424,6 +495,9 @@ object Analytics {
     "typed_pipeline" -> typedPipeline,
     "sql_q3" -> sqlQ3,
     "sql_q5" -> sqlQ5,
+    "sql_q7" -> sqlQ7,
+    "sql_q14" -> sqlQ14,
+    "sql_q17" -> sqlQ17,
     "sql_q18" -> sqlQ18,
     "sql_q20" -> sqlQ20,
     "sql_q21" -> sqlQ21,
@@ -494,6 +568,41 @@ object Analytics {
         |  GROUP BY l_suppkey, l_partkey
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100)
         |ORDER BY s_suppkey""".stripMargin,
+    "sql_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  YEAR(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM supplier
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "sql_q14" ->
+      """SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+        |  AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+    "sql_q17" ->
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    / 7.0 AS DOUBLE), 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * AVG(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "sql_q21" ->
       """SELECT s_name, COUNT(*) AS numwait
         |FROM supplier

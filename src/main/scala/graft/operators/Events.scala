@@ -134,8 +134,69 @@ object Events {
       .orderBy("event_type", "d")
   }
 
+  /** Last-touch attribution: each purchase is credited to the user's
+    * most recent preceding non-purchase touch within `lookbackDays`
+    * (calendar days, so both engines compare identical DATE integers);
+    * purchases with no in-window touch fall to the 'organic' bucket.
+    * One window pass — `last(ignoreNulls)` over rows up to 1 PRECEDING
+    * carries the latest touch alongside every event — then a tiny
+    * per-channel rollup. Revenue sums exact cents (2-decimal values)
+    * with a single division at the end. Scale: one shuffle on user_id
+    * for the window, then a partial-aggregated rollup onto ≤5 channel
+    * keys — the same user-keyed single-pass shape as [[scd2IntervalsOn]]. */
+  def eventAttributionOn(events: DataFrame, lookbackDays: Int = 7): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase",
+          struct(col("ts").as("t_ts"), col("event_type").as("t_type"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("touch").isNotNull &&
+          datediff(to_date(col("ts")), to_date(col("touch.t_ts")))
+            <= lookbackDays,
+          col("touch.t_type")).otherwise("organic").as("channel"),
+        col("value"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(round(col("value") * 100).cast("long")) / 100.0, 2)
+          .as("revenue"))
+      .orderBy("channel")
+  }
+
+  /** First-order Markov transition matrix of the event stream: counts
+    * and row-normalized probabilities of (event_type -> next
+    * event_type) steps per user timeline. `lead` over the user window
+    * forms the pairs in the same shuffle the SCD2 op uses; the count
+    * rollup lands on |types|^2 keys and the probability divides two
+    * exact counts once. The transition matrix is the standard session
+    * model input (next-action prediction, funnel leak detection). */
+  def eventTransitionsOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("p",
+        round(col("n") / sum(col("n")).over(Window.partitionBy("src")), 4))
+      .orderBy("src", "dst")
+  }
+
   def eventRetention(s: SparkSession, dir: String): DataFrame =
     eventRetentionOn(Tables.events(s, dir))
+
+  def eventAttribution(s: SparkSession, dir: String): DataFrame =
+    eventAttributionOn(Tables.events(s, dir))
+
+  def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    eventTransitionsOn(Tables.events(s, dir))
 
   def eventFunnel(s: SparkSession, dir: String): DataFrame =
     eventFunnelOn(Tables.events(s, dir))
@@ -151,6 +212,8 @@ object Events {
     "event_funnel" -> eventFunnel,
     "scd2_intervals" -> scd2Intervals,
     "ts_gapfill" -> tsGapfill,
+    "event_attribution" -> eventAttribution,
+    "event_transitions" -> eventTransitions,
   )
 
   val oracles: Map[String, String] = Map(
@@ -195,6 +258,32 @@ object Events {
         |    IS NULL AS is_current
         |FROM ch
         |ORDER BY user_id, valid_from""".stripMargin,
+    "event_attribution" ->
+      """WITH t AS (SELECT user_id, event_id, ts, event_type, value,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase'
+        |        THEN struct_pack(t_ts := ts, t_type := event_type) END
+        |      IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT CASE WHEN touch IS NOT NULL
+        |    AND CAST(ts AS DATE) - CAST(touch.t_ts AS DATE) <= 7
+        |    THEN touch.t_type ELSE 'organic' END AS channel,
+        |  COUNT(*) AS n_purchases,
+        |  ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+        |    AS revenue
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "event_transitions" ->
+      """WITH p AS (SELECT event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |c AS (SELECT src, dst, COUNT(*) AS n FROM p
+        |  WHERE dst IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, n,
+        |  ROUND(n / SUM(n) OVER (PARTITION BY src), 4) AS p
+        |FROM c ORDER BY src, dst""".stripMargin,
     "ts_gapfill" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    COUNT(*) AS n,

@@ -76,6 +76,47 @@ class EventsSpec extends SparkSpecBase {
     assert(r.filter(col("week_offset") < 0).count() == 0)
   }
 
+  test("event_attribution: last preceding touch wins, stale touches go organic") {
+    val ev = Seq(
+      // user 1: view then click then purchase -> credited to click (latest)
+      (1L, 1L, "view", ts("2024-01-01 10:00:00"), 10.0),
+      (2L, 1L, "click", ts("2024-01-02 10:00:00"), 0.0),
+      (3L, 1L, "purchase", ts("2024-01-03 10:00:00"), 25.0),
+      // user 2: only touch is 30 days before the purchase -> organic
+      (4L, 2L, "view", ts("2024-01-01 10:00:00"), 0.0),
+      (5L, 2L, "purchase", ts("2024-02-15 10:00:00"), 40.0),
+      // user 3: purchase with no preceding event at all -> organic
+      (6L, 3L, "purchase", ts("2024-01-05 10:00:00"), 5.0),
+      // user 4: a touch AFTER the purchase must not attribute backwards
+      (7L, 4L, "purchase", ts("2024-01-06 10:00:00"), 7.0),
+      (8L, 4L, "click", ts("2024-01-07 10:00:00"), 0.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = operators.Events.eventAttributionOn(ev)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("click", 1L, 25.0), ("organic", 3L, 52.0)))
+  }
+
+  test("event_attribution conserves purchases and revenue on the corpus") {
+    val a = operators.Events.eventAttribution(spark, sf)
+    val ev = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+    assert(a.agg(sum("n_purchases")).as[Long].head() == ev.count())
+    val cents = ev.agg(sum(round(col("value") * 100).cast("long"))).as[Long].head()
+    assert(a.agg(sum(round(col("revenue") * 100).cast("long"))).as[Long].head()
+      == cents)
+  }
+
+  test("event_transitions: rows normalize to 1 per source and count all steps") {
+    val t = operators.Events.eventTransitions(spark, sf)
+    // per-source probabilities sum to ~1 (round-4 residue at most 3e-4)
+    val sums = t.groupBy("src").agg(sum("p").as("sp"))
+      .filter(abs(col("sp") - 1.0) > 0.0003)
+    assert(sums.count() == 0, sums.collect().mkString(","))
+    // total transition count = events - one terminal step per user
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(t.agg(sum("n")).as[Long].head() == expected)
+  }
+
   test("triangleCountOn: counts known triangles once, ignores squares and dups") {
     val edges = Seq(
       (1L, 2L), (2L, 3L), (1L, 3L), // triangle {1,2,3}

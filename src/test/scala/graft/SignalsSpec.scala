@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the statistical-signal operators (each also
+  * has a DuckDB oracle; these pin the intended meaning directly). */
+class SignalsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("text_entropy: known closed-form values and corpus bounds") {
+    val docs = Seq(
+      (1L, "aaaa"),       // one symbol: H = 0
+      (2L, "abab"),       // two equiprobable symbols: H = 1 bit
+      (3L, "abcd"))       // four equiprobable symbols: H = 2 bits
+      .toDF("doc_id", "text")
+    val got = functions.Signals.textEntropyOn(docs)
+      .select("doc_id", "entropy_bits").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0))
+    // corpus-wide: 0 <= H <= log2(alphabet size)
+    val e = functions.Signals.textEntropy(spark, sf)
+    assert(e.filter(col("entropy_bits") < 0 ||
+      col("entropy_bits") > log2(col("n_distinct")) + 1e-9).count() == 0)
+  }
+
+  test("text_pmi: integer score is monotone in the true PMI on the corpus") {
+    val p = functions.Signals.textPmi(spark, sf).collect()
+    assert(p.length == 50)
+    // score_ppm = 1e6 * P(w1w2)/(P(w1)P(w2)); every top collocation
+    // should beat independence (score > 1e6 means positively associated)
+    // and the list must be sorted by score descending
+    val scores = p.map(_.getLong(3))
+    assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
+    // min-support honored
+    assert(p.forall(_.getLong(2) >= 5))
+  }
+
+  test("feat_scale: per-dimension outputs span exactly [0, 1e6] on the corpus") {
+    val sc = functions.Signals.featScale(spark, sf)
+      .select(col("vec_id"), split(col("scaled"), ",").cast("array<long>")
+        .as("v"))
+    val dims = sc.select(posexplode(col("v")))
+      .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
+    // min-max scaling pins each non-constant dimension's extremes
+    assert(dims.filter(col("mn") =!= 0L).count() == 0)
+    // integer floor division: max lands in [1e6 - 1, 1e6] ... exactly 1e6
+    // for the row that attains the max (ratio = 1 exactly)
+    assert(dims.filter(col("mx") =!= 1000000L).count() == 0)
+    // row count preserved, width preserved
+    assert(sc.count() == Tables.embeddings(spark, sf).count())
+    assert(sc.filter(size(col("v")) =!= 64).count() == 0)
+  }
+}
