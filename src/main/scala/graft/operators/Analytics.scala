@@ -325,13 +325,16 @@ object Analytics {
         |ORDER BY numwait DESC, s_name""".stripMargin)
   }
 
-  /** SQL frontend, TPC-H Q7 shape ("Volume Shipping"): revenue flow
-    * between two nations by ship year, in both directions — the
-    * classic two-role dimension pattern (nation joined twice, as
-    * supplier's and customer's) with an OR-of-ANDs pair filter.
-    * Catalyst broadcasts both nation sides; the fact scan keeps the
-    * ship-date range pushed down. Money through DECIMAL(18,2) with
-    * one double cast at the end (graft.Exact convention). */
+  /** SQL frontend, TPC-H Q7 shape ("Volume Shipping"): cross-border
+    * revenue flow by ship year, in both directions — the classic
+    * two-role dimension pattern (nation joined twice, as supplier's
+    * and customer's) with a directed pair filter. Nations are grouped
+    * into two trade blocs by nationkey parity so the filter keeps
+    * volume at every test sf (a single nation pair is empty at
+    * sf0.001). Catalyst broadcasts both nation sides; the fact scan
+    * keeps the ship-date range pushed down. Money through
+    * DECIMAL(18,2) with one double cast at the end (graft.Exact
+    * convention). */
   def sqlQ7(s: SparkSession, dir: String): DataFrame = {
     Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
     Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
@@ -339,7 +342,10 @@ object Analytics {
     Tables.customer(s, dir).createOrReplaceTempView("v_customer")
     Tables.nation(s, dir).createOrReplaceTempView("v_nation")
     s.sql(
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      """SELECT CASE WHEN n1.n_nationkey % 2 = 0 THEN 'BLOC_EVEN'
+        |    ELSE 'BLOC_ODD' END AS supp_bloc,
+        |  CASE WHEN n2.n_nationkey % 2 = 0 THEN 'BLOC_EVEN'
+        |    ELSE 'BLOC_ODD' END AS cust_bloc,
         |  YEAR(l_shipdate) AS l_year,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
@@ -349,8 +355,7 @@ object Analytics {
         |JOIN v_customer ON c_custkey = o_custkey
         |JOIN v_nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN v_nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |WHERE n1.n_nationkey % 2 <> n2.n_nationkey % 2
         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1, 2, 3
@@ -569,7 +574,10 @@ object Analytics {
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100)
         |ORDER BY s_suppkey""".stripMargin,
     "sql_q7" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      """SELECT CASE WHEN n1.n_nationkey % 2 = 0 THEN 'BLOC_EVEN'
+        |    ELSE 'BLOC_ODD' END AS supp_bloc,
+        |  CASE WHEN n2.n_nationkey % 2 = 0 THEN 'BLOC_EVEN'
+        |    ELSE 'BLOC_ODD' END AS cust_bloc,
         |  YEAR(l_shipdate) AS l_year,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
@@ -579,8 +587,7 @@ object Analytics {
         |JOIN customer ON c_custkey = o_custkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |WHERE n1.n_nationkey % 2 <> n2.n_nationkey % 2
         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1, 2, 3
