@@ -195,6 +195,45 @@ object Text {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(50)
 
+  /** L4l: corpus heavy hitters — every token whose frequency exceeds
+    * total/capacity, by the two-pass sketch-then-verify plan: pass 1
+    * folds the token stream into ONE [[graft.plans.MisraGriesAgg]]
+    * Misra-Gries sketch, so the shuffle carries at most `capacity`
+    * counter slots per partial aggregate instead of the vocabulary;
+    * pass 2 re-scans the corpus with the candidate list broadcast
+    * back, counts ONLY candidate tokens exactly, and keeps
+    * cnt * capacity > total. The MG under-count bound
+    * (< total/(capacity+1)) guarantees every true heavy hitter is in
+    * the candidate set, so the result equals the exact HAVING query
+    * the oracle runs — while at 100 TB the exact-groupBy spelling
+    * shuffles a web-scale power-law vocabulary and this plan shuffles
+    * `capacity` slots plus the candidate-only recount (the second
+    * scan's join is a broadcast semi-filter evaluated before any
+    * shuffle). CustomAggSpec proves the guarantee where it is under
+    * pressure: capacity far below the distinct-key count, skewed
+    * counts, and partition-order races. */
+  def heavyHittersOn(docs: DataFrame, capacity: Int = 200): DataFrame =
+    heavyHitterTokensOn(
+      docs.select(explode(toks(col("text"))).as("token")), capacity)
+
+  /** Token-stream form of [[heavyHittersOn]]: input is any
+    * single-string-column frame; both passes scan it. */
+  def heavyHitterTokensOn(tokens: DataFrame, capacity: Int): DataFrame = {
+    val tok = col(tokens.columns.head)
+    val cand = tokens
+      .agg(graft.plans.MisraGriesAgg.sketch(tok, capacity).as("s"))
+      .select(explode(col("s.cands")).as("token"), col("s.total").as("total"))
+    tokens.select(tok.as("token")).join(broadcast(cand), "token")
+      .groupBy("token", "total")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * capacity > col("total"))
+      .select(col("token"), col("cnt"))
+      .orderBy("token")
+  }
+
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHittersOn(Tables.documents(s, dir))
+
   /** L4k: inverted-index (postings) construction — per token: document
     * frequency, total term count, and a "doc:tf:first_pos" postings
     * string sorted by doc id — the retrieval-side artifact curation
@@ -387,6 +426,7 @@ object Text {
     "text_pii_mask" -> textPiiMask,
     "corpus_clean" -> corpusClean,
     "text_vocab" -> textVocab,
+    "text_heavy_hitters" -> heavyHitters,
     "text_inverted_index" -> textInvertedIndex,
     "text_tfidf" -> textTfidf,
     "text_split_assign" -> textSplitAssign,
@@ -520,6 +560,13 @@ object Text {
       """SELECT token, COUNT(*) AS freq
         |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin,
+    "text_heavy_hitters" ->
+      """WITH tk AS (SELECT unnest(string_split(text,' ')) AS token
+        |  FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tk)
+        |SELECT token, COUNT(*) AS cnt FROM tk, n
+        |GROUP BY token, n.total HAVING COUNT(*) * 200 > n.total
+        |ORDER BY token""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, token, COUNT(*) AS tf FROM (

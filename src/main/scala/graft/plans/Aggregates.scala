@@ -191,3 +191,129 @@ object SimHash64Agg {
       SimHash64Agg(Bridge.toExpr(hashCol), Bridge.toExpr(cntCol))
         .toAggregateExpression())
 }
+
+/** One-pass Misra-Gries heavy-hitter sketch: at most `k` (token,
+  * counter) slots; a stream item either increments its slot, claims a
+  * free slot, or decrements every slot (dropping zeros). Merging two
+  * sketches (Agarwal et al., "Mergeable Summaries", PODS 2012) sums
+  * slot counters and, when more than `k` survive, subtracts the
+  * (k+1)-th largest counter from all and drops the non-positive.
+  *
+  * Guarantee carried through update AND merge: a key's counter
+  * under-counts its true frequency by at most N/(k+1), so every key
+  * with true count > N/(k+1) — in particular every key with
+  * count*k > N — still holds a slot in the final sketch. The
+  * CANDIDATE SET beyond those survivors is arrival-order dependent
+  * (not deterministic under Spark's partition-race merges), so the
+  * sketch is only ever a first pass: [[graft.functions.Text.heavyHittersOn]]
+  * re-counts candidates exactly and filters, making the end-to-end
+  * result deterministic and oracle-checkable.
+  *
+  * Scale: the shuffle carries one k-slot map per partial aggregate
+  * instead of the full vocabulary — the reason this beats a vocab-wide
+  * groupBy at 100 TB, where a web-scale token vocabulary (10^9+ keys,
+  * power-law mass) makes the exact first pass the bottleneck.
+  * Output: struct(cands: sorted candidate keys, total: stream size).
+  */
+case class MisraGriesAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MisraGriesAgg.Buf]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  import MisraGriesAgg.Buf
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def createAggregationBuffer(): Buf =
+    new Buf(scala.collection.mutable.HashMap.empty, 0L)
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.n += 1
+      val key = v.toString
+      buf.counts.get(key) match {
+        case Some(c) => buf.counts.update(key, c + 1)
+        case None if buf.counts.size < k => buf.counts.update(key, 1L)
+        case None =>
+          buf.counts.mapValuesInPlace((_, c) => c - 1)
+          buf.counts.filterInPlace((_, c) => c > 0)
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    b2.counts.foreach { case (key, c) =>
+      b1.counts.update(key, b1.counts.getOrElse(key, 0L) + c)
+    }
+    b1.n += b2.n
+    if (b1.counts.size > k) {
+      val cut = b1.counts.values.toArray.sortInPlace()
+        .apply(b1.counts.size - k - 1)
+      b1.counts.mapValuesInPlace((_, c) => c - cut)
+      b1.counts.filterInPlace((_, c) => c > 0)
+    }
+    b1
+  }
+
+  override def eval(buf: Buf): Any = {
+    val cands = buf.counts.keysIterator.toArray.sortInPlace()
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString(_): AnyRef)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(cands), buf.n))
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeLong(buf.n)
+    out.writeInt(buf.counts.size)
+    buf.counts.foreach { case (key, c) =>
+      val kb = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(c)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readLong()
+    val size = in.readInt()
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < size) {
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      m.update(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
+    new Buf(m, n)
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cands", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("total", LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MisraGriesAgg = copy(child = c.head)
+  override def prettyName: String = "graft_misra_gries"
+}
+
+object MisraGriesAgg {
+  /** Mutable sketch state: key -> counter plus the stream size. */
+  final class Buf(val counts: scala.collection.mutable.HashMap[String, Long],
+      var n: Long)
+
+  /** Column form: sketch(tokenCol, k) ->
+    * struct(cands: array<string>, total: bigint). */
+  def sketch(tokenCol: Column, k: Int): Column =
+    Bridge.toColumn(
+      MisraGriesAgg(Bridge.toExpr(tokenCol), k).toAggregateExpression())
+}

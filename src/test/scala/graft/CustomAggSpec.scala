@@ -71,4 +71,47 @@ class CustomAggSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert(viaAgg == viaWindow && viaAgg.nonEmpty)
   }
+
+  test("MisraGries 2-pass heavy hitters == exact, capacity << distinct") {
+    // 5 hot keys (1000 occurrences each) hidden in ~2000 cold keys
+    // (1-3 each); capacity 16 forces constant decrement pressure and
+    // merge-side trims — the regime the MG bound has to survive.
+    val hot = spark.range(5)
+      .select(concat(lit("hot_"), col("id")).as("token"),
+        lit(1000L).as("m"))
+    val cold = spark.range(2000)
+      .select(concat(lit("cold_"), col("id")).as("token"),
+        (col("id") % 3 + 1).as("m"))
+    val tokens = hot.union(cold)
+      .select(col("token"), explode(sequence(lit(1L), col("m"))))
+      .select("token")
+    val exact = tokens.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val n = tokens.count()
+    val expect = exact.filter(col("cnt") * 16 > n)
+      .orderBy("token")
+      .as[(String, Long)].collect().toSeq
+    assert(expect.map(_._1) == Seq("hot_0", "hot_1", "hot_2", "hot_3", "hot_4"))
+    for (parts <- Seq(1, 13)) {
+      val got = functions.Text
+        .heavyHitterTokensOn(tokens.repartition(parts), 16)
+        .as[(String, Long)].collect().toSeq
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("MisraGries sketch: every true heavy hitter is a candidate") {
+    val tokens = spark.range(3)
+      .select(concat(lit("h"), col("id")).as("token"), lit(500L).as("m"))
+      .union(spark.range(900)
+        .select(concat(lit("c"), col("id")).as("token"), lit(2L).as("m")))
+      .select(col("token"), explode(sequence(lit(1L), col("m"))))
+      .select("token").repartition(7)
+    val row = tokens
+      .agg(plans.MisraGriesAgg.sketch(col("token"), 8).as("s"))
+      .select(col("s.cands").as("cands"), col("s.total").as("total"))
+      .as[(Seq[String], Long)].head()
+    assert(row._2 == 3 * 500L + 900 * 2L)
+    assert(row._1.size <= 8)
+    assert(Set("h0", "h1", "h2").subsetOf(row._1.toSet))
+  }
 }

@@ -401,4 +401,17 @@ class PlanSpec extends SparkSpecBase {
         s"approx=$approx exact=$exact")
     }
   }
+
+  test("text_heavy_hitters: sketch shuffles k slots; recount joins broadcast") {
+    val p = plan(functions.Text.heavyHitters(spark, sf))
+    // pass 1: the MG sketch is a partial+final ObjectHashAggregate —
+    // the shuffle carries one k-slot sketch per partition, never the
+    // vocabulary
+    assert(p.contains("graft_misra_gries"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    // pass 2: candidates come back as a broadcast; the recount's join
+    // must not shuffle the token stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
