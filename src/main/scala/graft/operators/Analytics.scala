@@ -325,6 +325,92 @@ object Analytics {
         |ORDER BY numwait DESC, s_name""".stripMargin)
   }
 
+  /** SQL frontend, TPC-H Q10 shape ("Returned Item Reporting"): top
+    * customers by revenue lost to returns in one half-year — a
+    * fact-dims join under a selective flag + date filter, grouped per
+    * customer, top 20 by revenue. Revenue stays DECIMAL until one
+    * final double cast; the revenue tie breaks by c_custkey so the
+    * LIMIT is a total order (TakeOrderedAndProject, never a global
+    * sort). */
+  def sqlQ10(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM v_customer
+        |JOIN v_orders ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |JOIN v_nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** SQL frontend, TPC-H Q16 shape ("Parts/Supplier Relationship"):
+    * distinct-supplier counts per (brand, type, size) combination,
+    * excluding one brand and a NOT-IN supplier subquery
+    * (below-average balance stands in for the complaints filter; the
+    * slim schema has no partsupp, so lineitem provides the
+    * part-supplier pairs). The average threshold is spelled as the
+    * exact cross-multiplied DECIMAL comparison bal*n < sum so both
+    * engines decide the boundary in exact arithmetic, and the NOT IN
+    * decorrelates to an anti join under COUNT(DISTINCT). */
+  def sqlQ16(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("v_part")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+    s.sql(
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM v_part JOIN v_lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'BRAND_1'
+        |  AND p_size IN (1, 2, 3, 4, 5, 10, 20, 30)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM v_supplier
+        |    WHERE CAST(s_acctbal AS DECIMAL(18,2))
+        |        * (SELECT COUNT(*) FROM v_supplier)
+        |      < (SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2)))
+        |         FROM v_supplier))
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** SQL frontend, TPC-H Q22 shape ("Global Sales Opportunity"):
+    * above-average-balance customers with no recent orders, bucketed
+    * by country code — a scalar-subquery threshold plus a correlated
+    * NOT EXISTS (anti join), aggregated per code. The slim schema has
+    * no phone column, so nationkey % 10 stands in for the country
+    * code and "dormant" means no order since 1999; the average
+    * threshold uses the same exact cross-multiplied DECIMAL
+    * comparison as [[sqlQ16]]. */
+  def sqlQ22(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode,
+        |  COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM v_customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+        |    * (SELECT COUNT(*) FROM v_customer WHERE c_acctbal > 0)
+        |  > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+        |     FROM v_customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM v_orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c_nationkey % 10
+        |ORDER BY cntrycode""".stripMargin)
+  }
+
   /** SQL frontend, TPC-H Q7 shape ("Volume Shipping"): cross-border
     * revenue flow by ship year, in both directions — the classic
     * two-role dimension pattern (nation joined twice, as supplier's
@@ -501,6 +587,9 @@ object Analytics {
     "sql_q3" -> sqlQ3,
     "sql_q5" -> sqlQ5,
     "sql_q7" -> sqlQ7,
+    "sql_q10" -> sqlQ10,
+    "sql_q16" -> sqlQ16,
+    "sql_q22" -> sqlQ22,
     "sql_q14" -> sqlQ14,
     "sql_q17" -> sqlQ17,
     "sql_q18" -> sqlQ18,
@@ -573,6 +662,50 @@ object Analytics {
         |  GROUP BY l_suppkey, l_partkey
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100)
         |ORDER BY s_suppkey""".stripMargin,
+    "sql_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "sql_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'BRAND_1'
+        |  AND p_size IN (1, 2, 3, 4, 5, 10, 20, 30)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier
+        |    WHERE CAST(s_acctbal AS DECIMAL(18,2))
+        |        * (SELECT COUNT(*) FROM supplier)
+        |      < (SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2)))
+        |         FROM supplier))
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "sql_q22" ->
+      """SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode,
+        |  COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+        |    * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+        |  > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+        |     FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c_nationkey % 10
+        |ORDER BY cntrycode""".stripMargin,
     "sql_q7" ->
       """SELECT CASE WHEN n1.n_nationkey % 2 = 0 THEN 'BLOC_EVEN'
         |    ELSE 'BLOC_ODD' END AS supp_bloc,
