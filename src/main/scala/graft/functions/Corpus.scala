@@ -74,6 +74,26 @@ object Corpus {
   def sampleStratified(s: SparkSession, dir: String): DataFrame =
     sampleStratifiedOn(Tables.documents(s, dir)).orderBy("doc_id")
 
+  /** L10: exact-k reproducible uniform sample — the k documents with
+    * the smallest affine-hash priority ((doc_id mod P) * A + B) mod P.
+    * P prime and A < P make the priority injective on ids below P, so
+    * there are no ties, and keeping the multiplier small bounds the
+    * product far inside BIGINT (ANSI-safe on both engines).
+    * Rate-based [[sampleStratifiedOn]] yields a size that floats with
+    * the corpus; bottom-k yields exactly k rows for "pull 64 docs for
+    * eval" jobs, deterministic under re-runs, retries, and
+    * repartitioning. Plan: TakeOrderedAndProject — each partition
+    * keeps a local k, the driver merges k*partitions candidates; no
+    * global sort, no full shuffle (the sort_topk scale shape). */
+  def sampleBottomkOn(docs: DataFrame, k: Int = 64): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        ((col("doc_id") % Text.P) * 912367L % Text.P + 40503L)
+          .%(Text.P).as("pri"))
+      .orderBy("pri").limit(k)
+
+  def sampleBottomk(s: SparkSession, dir: String): DataFrame =
+    sampleBottomkOn(Tables.documents(s, dir))
+
   /** Integer inverse-weights for [[corpusMixOn]]: a language with
     * inverse-weight k contributes every k-th slot of the interleaved
     * order — en is spread 4x thinner than the rest (mirrors
@@ -248,6 +268,7 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack_sequences" -> textPackSequences,
     "sample_stratified" -> sampleStratified,
+    "sample_bottomk" -> sampleBottomk,
     "sample_domain_cap" -> sampleDomainCap,
     "corpus_mix" -> corpusMix,
     "profile_stats" -> profileStats,
@@ -262,6 +283,11 @@ object Corpus {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sample_bottomk" ->
+      """SELECT doc_id, lang, source,
+        |  ((doc_id % 1000000007) * 912367 % 1000000007 + 40503)
+        |    % 1000000007 AS pri
+        |FROM documents ORDER BY pri LIMIT 64""".stripMargin,
     "text_pack_sequences" ->
       s"""WITH base AS (
          |  SELECT doc_id, lang,

@@ -187,4 +187,21 @@ class CorpusSpec extends SparkSpecBase {
       split(element_at(split(col("postings"), ","), -1), ":")(0).cast("long"))
       .count() == 0)
   }
+
+  test("L10 bottom-k sample: exactly k rows, repartition-invariant, top-k plan") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val a = functions.Corpus.sampleBottomkOn(docs, 64)
+      .select("doc_id").as[Long].collect().toSeq
+    val b = functions.Corpus.sampleBottomkOn(docs.repartition(13), 64)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b && a.size == 64 && a.distinct.size == 64)
+    // priorities injective => strictly increasing in the output order
+    val pri = functions.Corpus.sampleBottomkOn(docs, 64)
+      .select("pri").as[Long].collect().toSeq
+    assert(pri == pri.sorted && pri.distinct.size == pri.size)
+    val p = functions.Corpus.sampleBottomkOn(docs, 64)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
