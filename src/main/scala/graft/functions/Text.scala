@@ -234,6 +234,30 @@ object Text {
   def heavyHitters(s: SparkSession, dir: String): DataFrame =
     heavyHittersOn(Tables.documents(s, dir))
 
+  /** L4m: group-relative quality cut — keep documents strictly above
+    * their language's median length, the "top half per group" filter
+    * real curation pipelines apply so a verbose language's floor does
+    * not become a terse language's ceiling. Shape: tiny per-lang
+    * stats aggregate, broadcast back, map-side filter — the corpus is
+    * scanned twice but never shuffled by document (the feat_scale
+    * two-scan recipe). Exact `percentile` keeps the oracle bit-exact
+    * (medians of ints are k or k+0.5, both exact doubles); at 100 TB
+    * swap in approx_percentile — exact per-group percentile buffers
+    * each group's values, the same trade agg_approx_distinct
+    * documents for counts. */
+  def qualityFilterRelativeOn(docs: DataFrame): DataFrame = {
+    val cut = docs.groupBy("lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("median_chars"))
+    docs.join(broadcast(cut), "lang")
+      .filter(col("n_chars") > col("median_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("median_chars"))
+      .orderBy("doc_id")
+  }
+
+  def qualityFilterRelative(s: SparkSession, dir: String): DataFrame =
+    qualityFilterRelativeOn(Tables.documents(s, dir))
+
   /** L4k: inverted-index (postings) construction — per token: document
     * frequency, total term count, and a "doc:tf:first_pos" postings
     * string sorted by doc id — the retrieval-side artifact curation
@@ -427,6 +451,7 @@ object Text {
     "corpus_clean" -> corpusClean,
     "text_vocab" -> textVocab,
     "text_heavy_hitters" -> heavyHitters,
+    "quality_filter_relative" -> qualityFilterRelative,
     "text_inverted_index" -> textInvertedIndex,
     "text_tfidf" -> textTfidf,
     "text_split_assign" -> textSplitAssign,
@@ -560,6 +585,13 @@ object Text {
       """SELECT token, COUNT(*) AS freq
         |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 50""".stripMargin,
+    "quality_filter_relative" ->
+      """WITH cut AS (SELECT lang, median(n_chars) AS median_chars
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars, median_chars
+        |FROM documents d JOIN cut USING (lang)
+        |WHERE n_chars > median_chars
+        |ORDER BY doc_id""".stripMargin,
     "text_heavy_hitters" ->
       """WITH tk AS (SELECT unnest(string_split(text,' ')) AS token
         |  FROM documents),
