@@ -80,6 +80,10 @@ object ScaleProbe {
           // perturbed copies keep (doc_id, text, lang); derive a
           // source from the language so every copy caps per domain
           d.withColumn("source", col("lang")))),
+      // perturbed copies multiply the vocabulary k x as well as the
+      // stream — exactly the regime the MG sketch caps: its shuffle
+      // stays k-slot-sized however the vocabulary grows
+      "text_heavy_hitters" -> (d => functions.Text.heavyHittersOn(d)),
     )
 
     val ks = Seq(1, 2, 4)
