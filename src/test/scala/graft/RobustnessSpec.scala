@@ -132,4 +132,18 @@ class RobustnessSpec extends SparkSpecBase {
     val q = e.filter(col("vec_id") < 0).withColumnRenamed("vec_id", "qid")
     assert(functions.Similarity.topkCosineOn(e, q, 5).count() == 0)
   }
+
+  test("round-4 final ops: empty corpus -> empty results, no crash") {
+    val e = emptyDocs
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(0L))
+    // MG sketch over zero rows: empty candidate array, total 0
+    assert(functions.Text.heavyHittersOn(e).count() == 0)
+    assert(functions.Text.qualityFilterRelativeOn(e).count() == 0)
+    assert(functions.Corpus.sampleBottomkOn(e, 64).count() == 0)
+    // k beyond the corpus returns every row, still ordered by priority
+    val n = Tables.documents(spark, sf).count()
+    assert(functions.Corpus.sampleBottomkOn(
+      Tables.documents(spark, sf), 1000000).count() == n)
+  }
 }

@@ -260,6 +260,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("MG sketch aggregate runs under readStream: candidates cover exact HH") {
+    // the Misra-Gries TypedImperativeAggregate is mergeable, so it is
+    // legal as a streaming complete-mode global aggregate — the
+    // incremental micro-batch merges are the same merge() the batch
+    // shuffle uses. The candidate SET is arrival-order dependent, so
+    // the invariant proven here is the one the 2-pass operator relies
+    // on: candidates cover every exact heavy hitter, total is exact.
+    val d = Files.createTempDirectory("graft_hh_stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      d.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = Tables.documents(spark, sf).schema
+    val docsStream = spark.readStream.schema(schema).parquet(d.toString)
+    val sketch = docsStream
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(plans.MisraGriesAgg.sketch(col("token"), 200).as("s"))
+      .select(col("s.cands").as("cands"), col("s.total").as("total"))
+    val q = sketch.writeStream.outputMode("complete")
+      .format("memory").queryName("hh_sketch_out").start()
+    try {
+      q.processAllAvailable()
+      val row = spark.table("hh_sketch_out").collect().head
+      val cands = row.getSeq[String](0).toSet
+      val total = row.getLong(1)
+      val toks = Tables.documents(spark, sf)
+        .select(explode(split(col("text"), " ")).as("token"))
+      assert(total == toks.count())
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 200 > total)
+        .select("token").collect().map(_.getString(0)).toSet
+      assert(exact.nonEmpty && exact.subsetOf(cands))
+    } finally q.stop()
+  }
+
   test("checkpoint restart: file sink resumes exactly-once across query restarts") {
     import org.apache.spark.sql.streaming.Trigger
     val base = Files.createTempDirectory("graft_ckpt")
