@@ -89,7 +89,9 @@ object Corpus {
     docs.select(col("doc_id"), col("lang"), col("source"),
         ((col("doc_id") % Text.P) * 912367L % Text.P + 40503L)
           .%(Text.P).as("pri"))
-      .orderBy("pri").limit(k)
+      // doc_id tiebreak: ids differing by exactly P collide on pri;
+      // the sample must not then depend on partition arrival order
+      .orderBy("pri", "doc_id").limit(k)
 
   def sampleBottomk(s: SparkSession, dir: String): DataFrame =
     sampleBottomkOn(Tables.documents(s, dir))
@@ -287,7 +289,7 @@ object Corpus {
       """SELECT doc_id, lang, source,
         |  ((doc_id % 1000000007) * 912367 % 1000000007 + 40503)
         |    % 1000000007 AS pri
-        |FROM documents ORDER BY pri LIMIT 64""".stripMargin,
+        |FROM documents ORDER BY pri, doc_id LIMIT 64""".stripMargin,
     "text_pack_sequences" ->
       s"""WITH base AS (
          |  SELECT doc_id, lang,

@@ -338,8 +338,11 @@ object Dedup {
     dedupNgramOn(shingleHashes(s, dir))
 
   /** L2 (exact repeated substrings): per-document maximal token spans
-    * whose every `window`-token run also occurs in at least one OTHER
-    * document — the ExactSubstr shape of "Deduplicating Training Data
+    * built by merging overlapping-or-adjacent `window`-token runs
+    * that each occur in at least one OTHER document (a merged span may
+    * straddle two duplicated runs, so interior windows of the span
+    * need not themselves be cross-duplicated) — the ExactSubstr shape
+    * of "Deduplicating Training Data
     * Makes Language Models Better" (Lee et al. 2022), which removes
     * the duplicated SPAN rather than the whole document (cross-doc
     * boilerplate, license headers, syndicated passages).

@@ -64,10 +64,7 @@ object Signals {
   def textPmiOn(docs: DataFrame, minCount: Int = 5, topK: Int = 50): DataFrame = {
     val bc = docs
       .select(Text.toks(col("text")).as("t"))
-      .select(explode(expr(
-        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1)," +
-          " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))" +
-          " ELSE array() END")).as("b"))
+      .select(explode(Text.bigramStructs).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
       .localCheckpoint(true)

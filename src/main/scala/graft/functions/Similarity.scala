@@ -242,8 +242,15 @@ object Similarity {
         .groupBy("cell", "i")
         .agg(floor(sum(col("qv")).cast("double") / count(lit(1)))
           .cast("long").as("cv"))
-    val seed = qv.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cell"), col("i"), col("qv").as("cv"))
+    // seed from the k SMALLEST ids present (cell = their dense rank),
+    // not `vec_id < k`: an id space that starts above k — a filtered
+    // slice, an offset snapshot — must not silently collapse the
+    // centroid count. The rank window runs over k rows post-limit.
+    val seedIds = qv.select("vec_id").distinct().orderBy("vec_id").limit(k)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+    val seed = qv.join(broadcast(seedIds), "vec_id")
+      .select(col("cell"), col("i"), col("qv").as("cv"))
     var cent = seed
     for (_ <- 1 to iters) cent = update(assign(cent))
     val fin = assign(cent)
@@ -415,8 +422,12 @@ object Similarity {
       s"""WITH qv AS (SELECT vec_id, i.i,
          |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
          |  FROM embeddings, range(0, 64) i(i)),
-         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, i, qv AS cv
-         |       FROM qv WHERE vec_id < 8),
+         |sid AS (SELECT vec_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+         |  FROM (SELECT DISTINCT vec_id FROM embeddings
+         |        ORDER BY vec_id LIMIT 8)),
+         |c0 AS (SELECT s.cell, q.i, q.qv AS cv
+         |       FROM qv q JOIN sid s USING (vec_id)),
          |${kmAssign("a0", "c0")},
          |${kmUpdate("c1", "a0")},
          |${kmAssign("a1", "c1")},
@@ -430,8 +441,12 @@ object Similarity {
       s"""WITH qv AS (SELECT vec_id, i.i,
          |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
          |  FROM embeddings, range(0, 64) i(i)),
-         |c0 AS (SELECT CAST(vec_id AS INT) AS cell, i, qv AS cv
-         |       FROM qv WHERE vec_id < 8),
+         |sid AS (SELECT vec_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+         |  FROM (SELECT DISTINCT vec_id FROM embeddings
+         |        ORDER BY vec_id LIMIT 8)),
+         |c0 AS (SELECT s.cell, q.i, q.qv AS cv
+         |       FROM qv q JOIN sid s USING (vec_id)),
          |${kmAssign("a0", "c0")},
          |${kmUpdate("c1", "a0")},
          |${kmAssign("a1", "c1")},

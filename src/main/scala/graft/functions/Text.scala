@@ -23,6 +23,15 @@ object Text {
   /** Tokens of the space-separated text. */
   def toks(c: Column): Column = split(c, " ")
 
+  /** Adjacent-token (w1, w2) bigram structs of a token-array column
+    * named `t` — empty (never a descending sequence) on docs under
+    * two tokens. Shared by repetition scoring, the bigram LM, and PMI
+    * so bigram semantics cannot silently diverge between operators. */
+  def bigramStructs: Column = expr(
+    "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1)," +
+      " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))" +
+      " ELSE array() END")
+
   /** Polynomial rolling hash of a string column over char codes:
     * fold(acc*31 + code) mod P — the document-fingerprint primitive
     * (and the portable word-hash used by Dedup; sha-based hashing is
@@ -269,17 +278,24 @@ object Text {
     * bytes deterministic under any partitioning. At 100 TB the
     * per-token list is the skew axis: stopword-grade tokens are
     * dropped by `maxDf` (the dedup_ngram df-cap lever) BEFORE the
-    * string materializes, bounding the largest aggregation state. */
+    * string materializes, bounding the largest aggregation state —
+    * df comes from a window over the (token, doc) partials (one row
+    * per pair, so rows-per-token == df), whose token exchange is the
+    * same partitioning the final fold needs: the early filter costs
+    * no extra shuffle. */
   def invertedIndexOn(docs: DataFrame, maxDf: Long = Long.MaxValue): DataFrame = {
     val perDoc = docs
       .select(col("doc_id"), posexplode(toks(col("text"))))
       .select(col("doc_id"), col("pos"), col("col").as("token"))
       .groupBy("token", "doc_id")
       .agg(count(lit(1)).as("tf"), min(col("pos")).as("p0"))
-    perDoc.groupBy("token")
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
-        collect_list(struct(col("doc_id"), col("tf"), col("p0"))).as("ps"))
+    perDoc
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("token")))
       .filter(col("df") <= maxDf)
+      .groupBy("token")
+      .agg(max(col("df")).as("df"), sum(col("tf")).as("tf_total"),
+        collect_list(struct(col("doc_id"), col("tf"), col("p0"))).as("ps"))
       .select(col("token"), col("df"), col("tf_total"),
         concat_ws(",", transform(array_sort(col("ps")),
           e => concat_ws(":", e("doc_id"), e("tf"), e("p0")))).as("postings"))
@@ -343,10 +359,9 @@ object Text {
     // word bigrams WITH multiplicity (the distinct-shingle expression
     // would collapse repeats, which is exactly the signal here)
     val top2 = base
-      .select(col("doc_id"), explode(expr(
-        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1)," +
-          " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))" +
-          " ELSE array() END")).as("bg"))
+      .select(col("doc_id"), explode(bigramStructs).as("bgs"))
+      .select(col("doc_id"),
+        concat(col("bgs.w1"), lit(" "), col("bgs.w2")).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("top_bigram_cnt"))
     top1.join(top2, Seq("doc_id"), "left")
@@ -411,10 +426,7 @@ object Text {
   def textLmScoreOn(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), toks(col("text")).as("t"))
     val bg = base
-      .select(col("doc_id"), posexplode(expr(
-        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1)," +
-          " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))" +
-          " ELSE array() END")))
+      .select(col("doc_id"), posexplode(bigramStructs))
       .select(col("doc_id"), col("pos"), col("col.w1").as("w1"),
         col("col.w2").as("w2"))
     val bigramCnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))

@@ -571,7 +571,11 @@ object Analytics {
       .agg(median(col("adev")).as("mad"))
     dev
       .join(broadcast(mad), "event_type")
-      .filter(col("adev") > lit(4.4478) * col("mad"))
+      // mad = 0 (over half the group equals its median) is a
+      // degenerate scale: every deviation would flag and rz divides
+      // by zero — such groups are skipped, matching robust-stats
+      // practice of requiring a positive scale estimate
+      .filter(col("mad") > 0 && col("adev") > lit(4.4478) * col("mad"))
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("adev") / (lit(1.4826) * col("mad")), 4).as("rz"))
       .orderBy("event_id")
@@ -624,7 +628,7 @@ object Analytics {
         |SELECT d.event_id, d.event_type, d.value,
         |  round(d.adev / (1.4826 * m.mad), 4) AS rz
         |FROM dev d JOIN mad m USING (event_type)
-        |WHERE d.adev > 4.4478 * m.mad
+        |WHERE m.mad > 0 AND d.adev > 4.4478 * m.mad
         |ORDER BY d.event_id""".stripMargin,
     "sql_q5" ->
       """SELECT n_name,

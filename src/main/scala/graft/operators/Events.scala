@@ -92,9 +92,8 @@ object Events {
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-    val w2 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     changes
-      .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
       .select(col("user_id"), col("event_type").as("state"),
         col("ts").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))

@@ -299,4 +299,18 @@ class DedupSimSpec extends SparkSpecBase {
       .orderBy("doc_id").as[(Long, String)].collect()
     assert(out.toSeq == Seq((0L, "en"), (1L, "zh")))
   }
+
+  test("kmeansOn seeds from the smallest ids present, not ids below k") {
+    // an id space offset far above k (a filtered slice or snapshot)
+    // must still train k centroids, identical to the unshifted run
+    val emb = Tables.embeddings(spark, sf)
+    val shifted = emb.withColumn("vec_id", col("vec_id") + 100000L)
+    val base = functions.Similarity.kmeansOn(emb, 8, 2)
+      .select(col("vec_id"), col("cell"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val moved = functions.Similarity.kmeansOn(shifted, 8, 2)
+      .select(col("vec_id") - 100000L, col("cell"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(base == moved && base.map(_._2).size == 8)
+  }
 }
