@@ -128,4 +128,37 @@ class PropertySpec extends AnyFunSuite {
       assert(agg.deserialize(agg.serialize(direct)).toSeq == direct.toSeq)
     }
   }
+
+  test("MisraGries: merged sketches never lose a heavy hitter; n is exact") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+    import org.apache.spark.sql.types.StringType
+    val tokGen = Gen.frequency(
+      (8, Gen.oneOf("h0", "h1", "h2")),            // skewed head
+      (2, Gen.choose(0, 500).map(i => s"c$i")))    // long tail
+    val streamGen = Gen.zip(
+      Gen.listOfN(400, tokGen), Gen.choose(1, 5), Gen.choose(4, 12))
+    forAll(streamGen) { case (tokens, parts, k) =>
+      val agg = plans.MisraGriesAgg(
+        BoundReference(0, StringType, nullable = true), k)
+      // split the stream, fold each partition, merge (serialization
+      // roundtrip included — the path a real shuffle exercises)
+      val bufs = tokens.grouped(math.max(1, tokens.size / parts)).map { part =>
+        val b = agg.createAggregationBuffer()
+        part.foreach { t =>
+          agg.update(b,
+            new GenericInternalRow(Array[Any](UTF8String.fromString(t))))
+        }
+        agg.deserialize(agg.serialize(b))
+      }.toList
+      val merged = bufs.reduce(agg.merge)
+      assert(merged.n == tokens.size)
+      assert(merged.counts.size <= k)
+      val exact = tokens.groupBy(identity).view.mapValues(_.size)
+      exact.collect { case (t, c) if c.toLong * k > tokens.size => t }
+        .foreach { hh =>
+          assert(merged.counts.contains(hh),
+            s"lost heavy hitter $hh at k=$k parts=$parts")
+        }
+    }
+  }
 }
