@@ -202,6 +202,70 @@ object Similarity {
   def simKnnJoin(s: SparkSession, dir: String): DataFrame =
     simKnnJoinOn(Tables.embeddings(s, dir))
 
+  /** Cross-group block cosine: every (left, right) pair between two
+    * DISTINCT (id, embedding) relations, routed through the same
+    * G x G grid as [[blockCosinePairsOn]] — both sides replicate
+    * against the broadcast grid and shuffle on the full (gi, gj)
+    * cell, so parallelism is G^2 tasks and neither corpus broadcasts
+    * or cross-joins. */
+  def blockCosineCrossOn(left: DataFrame, right: DataFrame,
+      blocks: Int): DataFrame = {
+    val sess = left.sparkSession
+    val l = left
+      .select(col(left.columns.head).as("sid"),
+        col("embedding").cast("array<double>").as("lemb"))
+      .withColumn("lnrm", norm2(col("lemb")))
+      .withColumn("gi", pmod(hash(col("sid")), lit(blocks)))
+    val r = right
+      .select(col(right.columns.head).as("tid"),
+        col("embedding").cast("array<double>").as("remb"))
+      .withColumn("rnrm", norm2(col("remb")))
+      .withColumn("gj", pmod(hash(col("tid")), lit(blocks)))
+    val grid = broadcast(sess.createDataFrame(
+      for (i <- 0 until blocks; j <- 0 until blocks) yield (i, j))
+      .toDF("gi", "gj"))
+    l.join(grid, Seq("gi"))
+      .join(r.join(grid, Seq("gj")).hint("shuffle_hash"), Seq("gi", "gj"))
+      .select(col("sid"), col("tid"),
+        round(dot(col("lemb"), col("remb")) /
+          (col("lnrm") * col("rnrm")), 4).as("cos"))
+  }
+
+  /** L3g: bitext-style alignment — each source vector's best target
+    * match by cosine, scored with the margin criterion (best over
+    * second-best, the Artetxe & Schwenk 2019 mining rule): the
+    * embedding-space step that mines parallel pairs for multilingual
+    * training corpora. Pairs route through [[blockCosineCrossOn]]
+    * (G^2-cell shuffle, no cross-join plan, no corpus broadcast);
+    * per-source top-2 is one window keyed on the source id. A source
+    * with a single candidate keeps a NULL second/margin rather than
+    * inventing a score. Margin is the one float ratio, rounded at
+    * the contract boundary. */
+  def alignBitextOn(src: DataFrame, tgt: DataFrame,
+      blocks: Int = 8): DataFrame = {
+    val ranked = blockCosineCrossOn(src, tgt, blocks)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("sid").orderBy(col("cos").desc, col("tid").asc)))
+      .filter(col("rnk") <= 2)
+    val top1 = ranked.filter(col("rnk") === 1)
+      .select(col("sid"), col("tid"), col("cos").as("cos1"))
+    val top2 = ranked.filter(col("rnk") === 2)
+      .select(col("sid").as("sid2"), col("cos").as("cos2"))
+    top1.join(top2, col("sid") === col("sid2"), "left")
+      .select(col("sid"), col("tid"), col("cos1"), col("cos2"),
+        round(col("cos1") / col("cos2"), 4).as("margin"))
+      .orderBy("sid")
+  }
+
+  /** Catalog form: label-0 vectors mined against label-1 vectors —
+    * the two groups stand in for the two languages of a bitext run. */
+  def alignBitext(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    alignBitextOn(
+      e.filter(col("label") === 0).select("vec_id", "embedding"),
+      e.filter(col("label") === 1).select("vec_id", "embedding"))
+  }
+
   /** L3e: distributed k-means (Lloyd's algorithm, fixed iteration
     * count) over the embedding corpus — the "trained centroids"
     * upgrade of [[simAnnIvf]]'s static cells, and the building block
@@ -365,6 +429,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> simTopk,
     "sim_knn_join" -> simKnnJoin,
+    "align_bitext" -> alignBitext,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_ivf" -> simAnnIvf,
     "cluster_kmeans" -> clusterKmeans,
@@ -460,6 +525,25 @@ object Similarity {
          |  FROM a2)
          |WHERE rk <= 25
          |ORDER BY vec_id""".stripMargin,
+    "align_bitext" ->
+      s"""WITH s AS (SELECT vec_id AS sid, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings WHERE label = 0),
+         |t AS (SELECT vec_id AS tid, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings WHERE label = 1),
+         |p AS (SELECT sid, tid,
+         |    round(${sqlDot("s.embedding", "t.embedding")}
+         |      / (s.nrm * t.nrm), 4) AS cos
+         |  FROM s CROSS JOIN t),
+         |rk AS (SELECT sid, tid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY sid
+         |      ORDER BY cos DESC, tid ASC) AS rnk FROM p)
+         |SELECT r1.sid, r1.tid, r1.cos AS cos1, r2.cos AS cos2,
+         |  round(r1.cos / r2.cos, 4) AS margin
+         |FROM rk r1 LEFT JOIN rk r2 ON r1.sid = r2.sid AND r2.rnk = 2
+         |WHERE r1.rnk = 1
+         |ORDER BY r1.sid""".stripMargin,
     "sim_knn_join" ->
       s"""WITH $knnCoreSql
          |SELECT qid, nid, cos, rnk FROM knn

@@ -313,4 +313,18 @@ class DedupSimSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(base == moved && base.map(_._2).size == 8)
   }
+
+  test("align_bitext: block-grid best match == broadcast brute force") {
+    val e = Tables.embeddings(spark, sf)
+    val src = e.filter(col("label") === 0).select("vec_id", "embedding")
+    val tgt = e.filter(col("label") === 1).select("vec_id", "embedding")
+    val viaBlocks = functions.Similarity.alignBitextOn(src, tgt)
+      .select("sid", "tid", "cos1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = functions.Similarity.topkCosineOn(
+        tgt, src.withColumnRenamed("vec_id", "qid"), 1, excludeSelf = false)
+      .select("qid", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaBlocks == brute && viaBlocks.nonEmpty)
+  }
 }
