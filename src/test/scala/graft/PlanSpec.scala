@@ -414,4 +414,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("align_bitext: grid route, no cross join, corpus never broadcast") {
+    val p = plan(functions.Similarity.alignBitext(spark, sf))
+    // the source-target pair join is keyed by the full (gi, gj) cell
+    assert(p.contains("ShuffledHashJoin [gi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // only the literal grid broadcasts (LocalTableScan), never a side
+    val nBroadcast = "BroadcastExchange".r.findAllIn(p).size
+    assert(nBroadcast == "LocalTableScan".r.findAllIn(p).size, p)
+  }
 }
