@@ -327,4 +327,19 @@ class DedupSimSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(viaBlocks == brute && viaBlocks.nonEmpty)
   }
+
+  test("align_bitext fixture: hand-computed margins and tie-break (FIXTURES.md B.10)") {
+    import spark.implicits._
+    val src = Seq((10L, Seq(1f, 0f)), (11L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((20L, Seq(1f, 0f)), (21L, Seq(0.6f, 0.8f)),
+      (22L, Seq(-0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val got = functions.Similarity.alignBitextOn(src, tgt, blocks = 2)
+      .select("sid", "tid", "cos1", "cos2", "margin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (10L, 20L, 1.0, 0.6, 1.6667),
+      (11L, 21L, 0.8, 0.8, 1.0)))
+  }
 }
