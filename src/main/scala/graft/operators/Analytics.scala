@@ -85,6 +85,27 @@ object Analytics {
         col("source").rlike("^src1[0-9]$").as("is_teen_src"))
       .orderBy("doc_id")
 
+  /** F17: URL algebra — the host / path / query-parameter extraction
+    * every crawl-derived corpus pipeline runs before domain-level
+    * filtering ([[graft.functions.Corpus]] sample_domain_cap consumes
+    * exactly this host). URLs are constructed deterministically from
+    * the catalog columns (the testdata has no URL column), then parsed
+    * back with `parse_url` — a codegen'd built-in, never a UDF. The
+    * oracle mirrors with anchored regexes, which also pins that the
+    * parse is RFC-shaped rather than substring-lucky. */
+  def fnUrl(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("lang"), lit("/doc-"), col("doc_id"),
+          lit("?ref=crawl&page="), pmod(col("doc_id"), lit(7)))
+          .as("url"))
+      .select(col("doc_id"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("page")).as("page"))
+      .orderBy("doc_id")
+
   /** F14: conditional scalar functions — coalesce / nullif / least /
     * greatest over the error-prone columns. */
   def fnConditional(s: SparkSession, dir: String): DataFrame =
@@ -613,6 +634,7 @@ object Analytics {
     "agg_pivot" -> aggPivot,
     "agg_stats" -> aggStats,
     "fn_regex" -> fnRegex,
+    "fn_url" -> fnUrl,
     "fn_conditional" -> fnConditional,
   )
 
@@ -894,6 +916,16 @@ object Analytics {
         |  (SUM(l_quantity*l_quantity) - SUM(l_quantity)*SUM(l_quantity)/COUNT(*)) / (COUNT(*)-1) AS variance,
         |  sqrt((SUM(l_quantity*l_quantity) - SUM(l_quantity)*SUM(l_quantity)/COUNT(*)) / (COUNT(*)-1)) AS stddev
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "fn_url" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://' || source || '.example.com/' || lang || '/doc-'
+        |      || doc_id || '?ref=crawl&page=' || (doc_id % 7) AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page
+        |FROM u ORDER BY doc_id""".stripMargin,
     "fn_regex" ->
       """SELECT doc_id,
         |  regexp_extract(source, 'src([0-9]+)', 1) AS src_num,
