@@ -293,6 +293,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static join: batch-trained MAD model scores a stream == batch") {
+    // the lambda shape: the per-type robust model (median + MAD)
+    // trains in batch, then joins against a live event stream — a
+    // stream-static equi-join, stateless and watermark-free, so the
+    // SAME scoring expressions run on both paths
+    val d = Files.createTempDirectory("graft_anom_stream")
+    val schema = Tables.events(spark, sf).schema
+    val batchEvents = Tables.events(spark, sf)
+    val model = batchEvents.groupBy("event_type")
+      .agg(median(col("value")).as("med"))
+    // write the stream source as parquet WITHOUT the ns timestamp
+    // (readStream re-infers nanos otherwise); scoring needs no ts
+    batchEvents.drop("ts").write.parquet(d.resolve("src").toString)
+    val evStream = spark.readStream
+      .schema(batchEvents.drop("ts").schema)
+      .parquet(d.resolve("src").toString)
+    def score(ev: org.apache.spark.sql.DataFrame) = ev
+      .join(model, "event_type")
+      .select(col("event_id"), abs(col("value") - col("med")).as("adev"))
+    val q = score(evStream).writeStream.outputMode("append")
+      .format("memory").queryName("anom_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("anom_out")
+        .collect().map(_.toString).toSet
+      val batch = score(batchEvents.drop("ts"))
+        .collect().map(_.toString).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("checkpoint restart: file sink resumes exactly-once across query restarts") {
     import org.apache.spark.sql.streaming.Trigger
     val base = Files.createTempDirectory("graft_ckpt")
