@@ -85,6 +85,77 @@ object Analytics {
         col("source").rlike("^src1[0-9]$").as("is_teen_src"))
       .orderBy("doc_id")
 
+  /** SQL frontend, TPC-H Q4 shape ("Order Priority Checking"): order
+    * counts per priority for one quarter, kept only when a correlated
+    * EXISTS finds a returned line (stands in for the commit-vs-receipt
+    * lateness test; the slim schema has no commit/receipt dates) —
+    * decorrelates to a left-semi join. */
+  def sqlQ4(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM v_orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM v_lineitem l
+        |    WHERE l.l_orderkey = o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** SQL frontend, TPC-H Q6 shape ("Forecasting Revenue Change"): the
+    * fully-pushed-down scan-and-sum — every predicate reaches the
+    * parquet scan, the aggregate is one partial+final pair over zero
+    * joins. Money in DECIMAL end-to-end. */
+  def sqlQ6(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM v_lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** SQL frontend, TPC-H Q13 shape ("Customer Distribution"): the
+    * order-count histogram over customers — a LEFT JOIN with an
+    * extra join-condition filter (so no-order customers keep their
+    * zero bucket), then two levels of aggregation. */
+  def sqlQ13(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM v_customer LEFT JOIN v_orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  /** SQL frontend, TPC-H Q19 shape ("Discounted Revenue"): revenue
+    * under a disjunction of (brand, size-range, quantity-range)
+    * triples — the OR-of-ANDs filter that exercises predicate
+    * simplification across a fact-dim join (the shared p_partkey =
+    * l_partkey conjunct must still push into the join; the residual
+    * OR evaluates post-join). */
+  def sqlQ19(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("v_part")
+    s.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM v_lineitem JOIN v_part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 1 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+        |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin)
+  }
+
   /** SQL frontend: correlated LATERAL subquery — top-1 order per
     * customer with ORDER BY + LIMIT inside the lateral body, the
     * modern spelling of top-k-per-key in pure SQL (Spark 4
@@ -429,7 +500,7 @@ object Analytics {
       """SELECT p_brand, p_type, p_size,
         |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
         |FROM v_part JOIN v_lineitem ON p_partkey = l_partkey
-        |WHERE p_brand <> 'BRAND_1'
+        |WHERE p_brand <> 'Brand#1'
         |  AND p_size IN (1, 2, 3, 4, 5, 10, 20, 30)
         |  AND l_suppkey NOT IN (
         |    SELECT s_suppkey FROM v_supplier
@@ -673,6 +744,10 @@ object Analytics {
     "fn_regex" -> fnRegex,
     "fn_url" -> fnUrl,
     "sql_lateral" -> sqlLateral,
+    "sql_q4" -> sqlQ4,
+    "sql_q6" -> sqlQ6,
+    "sql_q13" -> sqlQ13,
+    "sql_q19" -> sqlQ19,
     "sql_recursive" -> sqlRecursive,
     "fn_conditional" -> fnConditional,
   )
@@ -746,7 +821,7 @@ object Analytics {
       """SELECT p_brand, p_type, p_size,
         |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
         |FROM part JOIN lineitem ON p_partkey = l_partkey
-        |WHERE p_brand <> 'BRAND_1'
+        |WHERE p_brand <> 'Brand#1'
         |  AND p_size IN (1, 2, 3, 4, 5, 10, 20, 30)
         |  AND l_suppkey NOT IN (
         |    SELECT s_suppkey FROM supplier
@@ -955,6 +1030,39 @@ object Analytics {
         |  (SUM(l_quantity*l_quantity) - SUM(l_quantity)*SUM(l_quantity)/COUNT(*)) / (COUNT(*)-1) AS variance,
         |  sqrt((SUM(l_quantity*l_quantity) - SUM(l_quantity)*SUM(l_quantity)/COUNT(*)) / (COUNT(*)-1)) AS stddev
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sql_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "sql_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "sql_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "sql_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 1 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+        |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
     "sql_lateral" ->
       """SELECT c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer, LATERAL (
