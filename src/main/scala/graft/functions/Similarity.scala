@@ -155,21 +155,32 @@ object Similarity {
     * Output: (da, db, cos), cos rounded at the contract boundary.
     * Shared by Dedup.dedupEmbeddingOn (da < db halves the work) and
     * [[simKnnJoinOn]] (da != db: each vector needs all neighbors). */
+  // the full ordered grid (gi, gj), not just gi <= gj: a pair whose
+  // lower vec_id landed in the higher block is only reachable
+  // through the (higher, lower) grid cell
+  private def gridOf(s: SparkSession, blocks: Int): DataFrame =
+    broadcast(s.createDataFrame(
+      for (i <- 0 until blocks; j <- 0 until blocks) yield (i, j))
+      .toDF("gi", "gj"))
+
+  // per-side prep shared by both block routes: cast to double ONCE
+  // per vector, not once per pair (the per-pair cast allocation
+  // dominated this query's bench time), norm once, bucket by id hash.
+  // POSITIONAL contract: the frame's FIRST column is the id; the
+  // embedding column is named `embedding`.
+  private def prepSide(df: DataFrame, id: String, emb: String,
+      nrm: String, g: String, blocks: Int): DataFrame = df
+    .select(col(df.columns.head).as(id),
+      col("embedding").cast("array<double>").as(emb))
+    .withColumn(nrm, norm2(col(emb)))
+    .withColumn(g, pmod(hash(col(id)), lit(blocks)))
+
   def blockCosinePairsOn(emb: DataFrame, blocks: Int,
       pairPred: (Column, Column) => Column): DataFrame = {
     val s = emb.sparkSession
-    // cast to double ONCE per vector, not once per pair (the per-pair
-    // cast allocation dominated this query's bench time)
-    val e = emb
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .select(col("vec_id"), col("emb"), norm2(col("emb")).as("nrm"))
-      .withColumn("g", pmod(hash(col("vec_id")), lit(blocks)))
-    // the full ordered grid (gi, gj), not just gi <= gj: a pair whose
-    // lower vec_id landed in the higher block is only reachable
-    // through the (higher, lower) grid cell
-    val grid = broadcast(s.createDataFrame(
-      for (i <- 0 until blocks; j <- 0 until blocks) yield (i, j))
-      .toDF("gi", "gj"))
+    val e = prepSide(emb.select("vec_id", "embedding"),
+      "vec_id", "emb", "nrm", "g", blocks)
+    val grid = gridOf(s, blocks)
     e.as("l").join(grid, col("l.g") === col("gi"))
       .join(
         e.as("r").join(grid, col("r.g") === col("gj")).hint("shuffle_hash"),
@@ -203,27 +214,20 @@ object Similarity {
     simKnnJoinOn(Tables.embeddings(s, dir))
 
   /** Cross-group block cosine: every (left, right) pair between two
-    * DISTINCT (id, embedding) relations, routed through the same
-    * G x G grid as [[blockCosinePairsOn]] — both sides replicate
-    * against the broadcast grid and shuffle on the full (gi, gj)
-    * cell, so parallelism is G^2 tasks and neither corpus broadcasts
-    * or cross-joins. */
+    * DISTINCT relations, routed through the same G x G grid as
+    * [[blockCosinePairsOn]] — both sides replicate against the
+    * broadcast grid and shuffle on the full (gi, gj) cell, so
+    * parallelism is G^2 tasks and neither corpus broadcasts or
+    * cross-joins. POSITIONAL input contract (unlike this module's
+    * named-column ops): each frame's FIRST column is its id and the
+    * embedding column is named `embedding` — pass
+    * `select(id, "embedding")` projections, nothing wider. */
   def blockCosineCrossOn(left: DataFrame, right: DataFrame,
       blocks: Int): DataFrame = {
     val sess = left.sparkSession
-    val l = left
-      .select(col(left.columns.head).as("sid"),
-        col("embedding").cast("array<double>").as("lemb"))
-      .withColumn("lnrm", norm2(col("lemb")))
-      .withColumn("gi", pmod(hash(col("sid")), lit(blocks)))
-    val r = right
-      .select(col(right.columns.head).as("tid"),
-        col("embedding").cast("array<double>").as("remb"))
-      .withColumn("rnrm", norm2(col("remb")))
-      .withColumn("gj", pmod(hash(col("tid")), lit(blocks)))
-    val grid = broadcast(sess.createDataFrame(
-      for (i <- 0 until blocks; j <- 0 until blocks) yield (i, j))
-      .toDF("gi", "gj"))
+    val l = prepSide(left, "sid", "lemb", "lnrm", "gi", blocks)
+    val r = prepSide(right, "tid", "remb", "rnrm", "gj", blocks)
+    val grid = gridOf(sess, blocks)
     l.join(grid, Seq("gi"))
       .join(r.join(grid, Seq("gj")).hint("shuffle_hash"), Seq("gi", "gj"))
       .select(col("sid"), col("tid"),
@@ -243,17 +247,20 @@ object Similarity {
     * the contract boundary. */
   def alignBitextOn(src: DataFrame, tgt: DataFrame,
       blocks: Int = 8): DataFrame = {
-    val ranked = blockCosineCrossOn(src, tgt, blocks)
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("sid").orderBy(col("cos").desc, col("tid").asc)))
-      .filter(col("rnk") <= 2)
-    val top1 = ranked.filter(col("rnk") === 1)
-      .select(col("sid"), col("tid"), col("cos").as("cos1"))
-    val top2 = ranked.filter(col("rnk") === 2)
-      .select(col("sid").as("sid2"), col("cos").as("cos2"))
-    top1.join(top2, col("sid") === col("sid2"), "left")
-      .select(col("sid"), col("tid"), col("cos1"), col("cos2"),
-        round(col("cos1") / col("cos2"), 4).as("margin"))
+    // one window pass: lead(cos) over the same per-source order IS
+    // the second-best — no rnk<=2 split + self-join (that spelling
+    // paid a second window sort and a join shuffle for nothing).
+    // Margin guards cos2 > 0: at or below zero the ratio is
+    // meaningless (and 0 would throw under ANSI division) — NULL
+    // instead, the anomaly_mad zero-scale rule applied here
+    val w = Window.partitionBy("sid").orderBy(col("cos").desc, col("tid").asc)
+    blockCosineCrossOn(src, tgt, blocks)
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cos2", lead(col("cos"), 1).over(w))
+      .filter(col("rnk") === 1)
+      .select(col("sid"), col("tid"), col("cos").as("cos1"), col("cos2"),
+        when(col("cos2") > 0,
+          round(col("cos") / col("cos2"), 4)).as("margin"))
       .orderBy("sid")
   }
 
@@ -540,7 +547,8 @@ object Similarity {
          |    ROW_NUMBER() OVER (PARTITION BY sid
          |      ORDER BY cos DESC, tid ASC) AS rnk FROM p)
          |SELECT r1.sid, r1.tid, r1.cos AS cos1, r2.cos AS cos2,
-         |  round(r1.cos / r2.cos, 4) AS margin
+         |  CASE WHEN r2.cos > 0
+         |       THEN round(r1.cos / r2.cos, 4) END AS margin
          |FROM rk r1 LEFT JOIN rk r2 ON r1.sid = r2.sid AND r2.rnk = 2
          |WHERE r1.rnk = 1
          |ORDER BY r1.sid""".stripMargin,

@@ -420,8 +420,11 @@ class PlanSpec extends SparkSpecBase {
     // the source-target pair join is keyed by the full (gi, gj) cell
     assert(p.contains("ShuffledHashJoin [gi"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // only the literal grid broadcasts (LocalTableScan), never a side
+    // only the literal grid broadcasts (LocalTableScan sources) —
+    // <= because the planner may reuse one grid broadcast for both
+    // sides; a corpus-side broadcast would exceed the grid count
     val nBroadcast = "BroadcastExchange".r.findAllIn(p).size
-    assert(nBroadcast == "LocalTableScan".r.findAllIn(p).size, p)
+    assert(nBroadcast <= "LocalTableScan".r.findAllIn(p).size, p)
+    assert(nBroadcast >= 1, p)
   }
 }
