@@ -64,7 +64,7 @@ object Signals {
   def textPmiOn(docs: DataFrame, minCount: Int = 5, topK: Int = 50): DataFrame = {
     val bc = docs
       .select(Text.toks(col("text")).as("t"))
-      .select(explode(Text.bigramStructs).as("b"))
+      .select(explode(Text.bigramStructs(col("t"))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c12"))
       .localCheckpoint(true)
@@ -147,7 +147,8 @@ object Signals {
         |tot AS (SELECT SUM(c12) AS n FROM bc),
         |pre AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY w1),
         |suf AS (SELECT w2, SUM(c12) AS c2 FROM bc GROUP BY w2)
-        |SELECT w1, w2, c12, c12 * n * 1000000 // (c1 * c2) AS score_ppm
+        |SELECT w1, w2, c12,
+        |  CAST(c12 * n * 1000000 // (c1 * c2) AS BIGINT) AS score_ppm
         |FROM bc JOIN pre USING (w1) JOIN suf USING (w2) CROSS JOIN tot
         |WHERE c12 >= 5
         |ORDER BY score_ppm DESC, w1, w2 LIMIT 50""".stripMargin,

@@ -167,13 +167,19 @@ object Similarity {
   // per vector, not once per pair (the per-pair cast allocation
   // dominated this query's bench time), norm once, bucket by id hash.
   // POSITIONAL contract: the frame's FIRST column is the id; the
-  // embedding column is named `embedding`.
+  // embedding column is named `embedding` — enforced eagerly so a
+  // wider projection or a reordered select fails at the call site
+  // instead of binding the wrong column as the id.
   private def prepSide(df: DataFrame, id: String, emb: String,
-      nrm: String, g: String, blocks: Int): DataFrame = df
-    .select(col(df.columns.head).as(id),
+      nrm: String, g: String, blocks: Int): DataFrame = {
+    require(df.columns.length == 2 && df.columns(1) == "embedding",
+      "prepSide expects a two-column (id, embedding) projection; got [" +
+        df.columns.mkString(", ") + "]")
+    df.select(col(df.columns.head).as(id),
       col("embedding").cast("array<double>").as(emb))
-    .withColumn(nrm, norm2(col(emb)))
-    .withColumn(g, pmod(hash(col(id)), lit(blocks)))
+      .withColumn(nrm, norm2(col(emb)))
+      .withColumn(g, pmod(hash(col(id)), lit(blocks)))
+  }
 
   def blockCosinePairsOn(emb: DataFrame, blocks: Int,
       pairPred: (Column, Column) => Column): DataFrame = {

@@ -23,14 +23,19 @@ object Text {
   /** Tokens of the space-separated text. */
   def toks(c: Column): Column = split(c, " ")
 
-  /** Adjacent-token (w1, w2) bigram structs of a token-array column
-    * named `t` — empty (never a descending sequence) on docs under
-    * two tokens. Shared by repetition scoring, the bigram LM, and PMI
-    * so bigram semantics cannot silently diverge between operators. */
-  def bigramStructs: Column = expr(
-    "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1)," +
-      " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))" +
-      " ELSE array() END")
+  /** Adjacent-token (w1, w2) bigram structs of the passed token-array
+    * column — empty (never a descending sequence) on docs under two
+    * tokens. Shared by repetition scoring, the bigram LM, and PMI so
+    * bigram semantics cannot silently diverge between operators.
+    * Takes the token column explicitly (not a by-name `t` coupling):
+    * a caller with a differently-aliased token array — or an unrelated
+    * column named `t` — fails at the call site instead of silently
+    * binding the wrong column. */
+  def bigramStructs(t: Column): Column =
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
 
   /** Polynomial rolling hash of a string column over char codes:
     * fold(acc*31 + code) mod P — the document-fingerprint primitive
@@ -359,7 +364,7 @@ object Text {
     // word bigrams WITH multiplicity (the distinct-shingle expression
     // would collapse repeats, which is exactly the signal here)
     val top2 = base
-      .select(col("doc_id"), explode(bigramStructs).as("bgs"))
+      .select(col("doc_id"), explode(bigramStructs(col("t"))).as("bgs"))
       .select(col("doc_id"),
         concat(col("bgs.w1"), lit(" "), col("bgs.w2")).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
@@ -426,7 +431,7 @@ object Text {
   def textLmScoreOn(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), toks(col("text")).as("t"))
     val bg = base
-      .select(col("doc_id"), posexplode(bigramStructs))
+      .select(col("doc_id"), posexplode(bigramStructs(col("t"))))
       .select(col("doc_id"), col("pos"), col("col.w1").as("w1"),
         col("col.w2").as("w2"))
     val bigramCnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))

@@ -490,8 +490,11 @@ object Analytics {
     * slim schema has no partsupp, so lineitem provides the
     * part-supplier pairs). The average threshold is spelled as the
     * exact cross-multiplied DECIMAL comparison bal*n < sum so both
-    * engines decide the boundary in exact arithmetic, and the NOT IN
-    * decorrelates to an anti join under COUNT(DISTINCT). */
+    * engines decide the boundary in exact arithmetic. The exclusion is
+    * a NOT EXISTS (not NOT IN): identical on non-null keys, but NOT IN
+    * has three-valued-logic semantics — one NULL key in the subquery
+    * empties the whole result — so the anti-join spelling is the
+    * fixture-proof form. */
   def sqlQ16(s: SparkSession, dir: String): DataFrame = {
     Tables.part(s, dir).createOrReplaceTempView("v_part")
     Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
@@ -502,9 +505,10 @@ object Analytics {
         |FROM v_part JOIN v_lineitem ON p_partkey = l_partkey
         |WHERE p_brand <> 'Brand#1'
         |  AND p_size IN (1, 2, 3, 4, 5, 10, 20, 30)
-        |  AND l_suppkey NOT IN (
-        |    SELECT s_suppkey FROM v_supplier
-        |    WHERE CAST(s_acctbal AS DECIMAL(18,2))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM v_supplier s
+        |    WHERE s.s_suppkey = l_suppkey
+        |      AND CAST(s.s_acctbal AS DECIMAL(18,2))
         |        * (SELECT COUNT(*) FROM v_supplier)
         |      < (SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2)))
         |         FROM v_supplier))
@@ -823,9 +827,10 @@ object Analytics {
         |FROM part JOIN lineitem ON p_partkey = l_partkey
         |WHERE p_brand <> 'Brand#1'
         |  AND p_size IN (1, 2, 3, 4, 5, 10, 20, 30)
-        |  AND l_suppkey NOT IN (
-        |    SELECT s_suppkey FROM supplier
-        |    WHERE CAST(s_acctbal AS DECIMAL(18,2))
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM supplier s
+        |    WHERE s.s_suppkey = l_suppkey
+        |      AND CAST(s.s_acctbal AS DECIMAL(18,2))
         |        * (SELECT COUNT(*) FROM supplier)
         |      < (SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2)))
         |         FROM supplier))
