@@ -240,9 +240,50 @@ object Clusters {
         .select("da", "db"))
       .withColumnRenamed("doc_id", "vec_id")
 
+  /** Candidate near-dup edges the SemDeDup way (Abbas et al. 2023):
+    * pair generation bounded INSIDE k-means cells — vectors are first
+    * clustered ([[Similarity.kmeansOn]]), then cosine runs only
+    * between same-cell vectors, so pair work is sum(cell^2) instead of
+    * the corpus-quadratic all-pairs grid of
+    * [[Dedup.dedupEmbeddingOn]]. The cell id is the equi-join key
+    * (one shuffle keyed on cell; the shuffle_hash hint keeps the
+    * scale-true shape instead of a test-size broadcast), so at 100 TB
+    * each reduce task verifies one cell's pairs and no task ever sees
+    * the whole corpus. Approximate by construction: a cross-cell
+    * near-dup pair is unseen — the recall trade SemDeDup accepts, and
+    * the spec quantifies on planted dups. Cell assignments come from
+    * one eager pass (the k-means loop is already driver-coordinated);
+    * the tiny (vec_id, cell) relation is checkpointed so the
+    * self-join's two branches don't re-run Lloyd's. */
+  def semanticPairsClusteredOn(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      threshold: Double = 0.45): DataFrame = {
+    val cells = Similarity.kmeansOn(emb, k, iters)
+      .select("vec_id", "cell").localCheckpoint(true)
+    val ev = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"), Similarity.norm2(col("emb")).as("nrm"))
+      .join(cells, "vec_id")
+    ev.as("l")
+      .join(ev.as("r").hint("shuffle_hash"),
+        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("da"), col("r.vec_id").as("db"),
+        round(Similarity.dot(col("l.emb"), col("r.emb")) /
+          (col("l.nrm") * col("r.nrm")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Catalog form (true SemDeDup): components over within-cell cosine
+    * pairs at the same 0.45 operating point as [[dedupSemantic]] —
+    * the subquadratic sibling whose edge source scales. */
+  def dedupSemanticClustered(s: SparkSession, dir: String): DataFrame =
+    clustersOn(
+      semanticPairsClusteredOn(Tables.embeddings(s, dir)).select("da", "db"))
+      .withColumnRenamed("doc_id", "vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_clustered" -> dedupSemanticClustered,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
   )
@@ -310,6 +351,18 @@ object Clusters {
          |  FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
          |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
          |${ccTailSql("doc_id")}""".stripMargin,
+    "dedup_semantic_clustered" ->
+      s"""WITH RECURSIVE ${Similarity.kmeansCoreSql},
+         |en AS (SELECT e.vec_id, e.embedding,
+         |    sqrt(${Similarity.sqlDot("e.embedding", "e.embedding")}) AS nrm,
+         |    a2.cell
+         |  FROM embeddings e JOIN a2 ON e.vec_id = a2.vec_id),
+         |pairs AS (SELECT l.vec_id AS da, r.vec_id AS db
+         |  FROM en l JOIN en r
+         |    ON l.cell = r.cell AND l.vec_id < r.vec_id
+         |  WHERE round(${Similarity.sqlDot("l.embedding", "r.embedding")}
+         |    / (l.nrm * r.nrm), 4) >= 0.45),
+         |${ccTailSql("vec_id")}""".stripMargin,
     "dedup_semantic" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id, embedding,
          |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm

@@ -483,6 +483,27 @@ object Similarity {
        |  FROM qv JOIN $asg ON qv.vec_id = $asg.vec_id
        |  GROUP BY $asg.cell, qv.i)""".stripMargin
 
+  /** DuckDB mirror of the full [[kmeansOn]] run (k = 8, iters = 2) as
+    * a reusable CTE chain ending in `a2(vec_id, cell, d2)` — shared by
+    * the cluster_kmeans / sample_cluster_balanced oracles and the
+    * [[Clusters]] dedup_semantic_clustered oracle that builds on the
+    * trained cells. */
+  val kmeansCoreSql: String =
+    s"""qv AS (SELECT vec_id, i.i,
+       |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+       |  FROM embeddings, range(0, 64) i(i)),
+       |sid AS (SELECT vec_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+       |  FROM (SELECT DISTINCT vec_id FROM embeddings
+       |        ORDER BY vec_id LIMIT 8)),
+       |c0 AS (SELECT s.cell, q.i, q.qv AS cv
+       |       FROM qv q JOIN sid s USING (vec_id)),
+       |${kmAssign("a0", "c0")},
+       |${kmUpdate("c1", "a0")},
+       |${kmAssign("a1", "c1")},
+       |${kmUpdate("c2", "a1")},
+       |${kmAssign("a2", "c2")}""".stripMargin
+
   private val bucketSql = bucketSqlFor(TABLES, PLANES)
 
   private val ivfSql =
@@ -497,39 +518,13 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "cluster_kmeans" ->
-      s"""WITH qv AS (SELECT vec_id, i.i,
-         |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
-         |  FROM embeddings, range(0, 64) i(i)),
-         |sid AS (SELECT vec_id,
-         |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
-         |  FROM (SELECT DISTINCT vec_id FROM embeddings
-         |        ORDER BY vec_id LIMIT 8)),
-         |c0 AS (SELECT s.cell, q.i, q.qv AS cv
-         |       FROM qv q JOIN sid s USING (vec_id)),
-         |${kmAssign("a0", "c0")},
-         |${kmUpdate("c1", "a0")},
-         |${kmAssign("a1", "c1")},
-         |${kmUpdate("c2", "a1")},
-         |${kmAssign("a2", "c2")},
+      s"""WITH $kmeansCoreSql,
          |sz AS (SELECT cell, COUNT(*) AS n_members FROM a2 GROUP BY cell)
          |SELECT a2.vec_id, a2.cell, a2.d2, sz.n_members
          |FROM a2 JOIN sz ON a2.cell = sz.cell
          |ORDER BY vec_id""".stripMargin,
     "sample_cluster_balanced" ->
-      s"""WITH qv AS (SELECT vec_id, i.i,
-         |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
-         |  FROM embeddings, range(0, 64) i(i)),
-         |sid AS (SELECT vec_id,
-         |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
-         |  FROM (SELECT DISTINCT vec_id FROM embeddings
-         |        ORDER BY vec_id LIMIT 8)),
-         |c0 AS (SELECT s.cell, q.i, q.qv AS cv
-         |       FROM qv q JOIN sid s USING (vec_id)),
-         |${kmAssign("a0", "c0")},
-         |${kmUpdate("c1", "a0")},
-         |${kmAssign("a1", "c1")},
-         |${kmUpdate("c2", "a1")},
-         |${kmAssign("a2", "c2")}
+      s"""WITH $kmeansCoreSql
          |SELECT vec_id, cell, rk FROM (
          |  SELECT vec_id, cell,
          |    CAST(row_number() OVER (PARTITION BY cell

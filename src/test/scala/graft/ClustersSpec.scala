@@ -53,6 +53,34 @@ class ClustersSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("semanticPairsClusteredOn recovers planted near-dups (SemDeDup recall)") {
+    // 40 well-separated deterministic base vectors + 10 planted
+    // near-identical copies: the clustered (within-cell) pair source
+    // must recover every planted pair — a near-identical copy lands in
+    // its original's k-means cell — and invent none at cos >= 0.99
+    val dim = 16
+    def base(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => (((i * 31 + j * 17) % 13) - 6) / 6.0f +
+        (if (j == i % dim) 3.0f else 0.0f))
+    val rows =
+      (0 until 40).map(i => (i.toLong, base(i))) ++
+      (0 until 10).map { i =>
+        val v = base(i).clone(); v(0) += 0.001f; (1000L + i, v)
+      }
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = functions.Clusters
+      .semanticPairsClusteredOn(emb, k = 4, iters = 2, threshold = 0.99)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val planted = (0 until 10).map(i => (i.toLong, 1000L + i)).toSet
+    assert(got == planted, s"got=$got")
+    // and the exact all-pairs source agrees at this operating point,
+    // i.e. restricting pairs to cells lost nothing here
+    val exact = functions.Dedup
+      .dedupEmbeddingOn(emb, threshold = 0.99)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(got == exact, s"clustered=$got exact=$exact")
+  }
+
   test("dedup_clusters invariants: keepers = clusters, members >= 2, " +
     "cluster id is the member min, pairs' nodes all covered") {
     val out = functions.Clusters.dedupClusters(spark, sf).cache()

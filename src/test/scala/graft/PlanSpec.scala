@@ -173,6 +173,18 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedup_semantic_clustered: cell equi-join pairs, no all-pairs plan") {
+    // the SemDeDup scale claim: pair generation is a hash equi-join on
+    // the k-means cell id — never a cartesian/nested-loop all-pairs
+    // product, and the (small) cell relation is not broadcast-joined
+    // against itself as a nested loop
+    val p = plan(functions.Clusters.semanticPairsClusteredOn(
+      Tables.embeddings(spark, sf)))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("dedup_embedding_lsh: bucket equi-joins only, never a cross product") {
     val p = plan(functions.Dedup.dedupEmbeddingLsh(spark, sf))
     assert(!p.contains("CartesianProduct") &&
