@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * self-union would make every row a near-dup of k-1 others and
   * measure an adversarial corpus no real pipeline has.
   *
-  * Usage: runMain graft.ScaleProbe [sfDir]   (env REPS=n, default 2)
+  * Usage: runMain graft.ScaleProbe [sfDir [op ...]]
+  * (env REPS=n, default 2; trailing args restrict to named ops)
   */
 object ScaleProbe {
 
@@ -84,11 +85,25 @@ object ScaleProbe {
       // stream — exactly the regime the MG sketch caps: its shuffle
       // stays k-slot-sized however the vocabulary grows
       "text_heavy_hitters" -> (d => functions.Text.heavyHittersOn(d)),
+      // a deliberately hubby fan graph (one hub wired to every doc,
+      // rim path closing a triangle per consecutive id pair): the
+      // hub's degree grows k x, so the naive a<b orientation would
+      // make its wedge set grow k^2 — the degree-ordered orientation
+      // keeps this near-linear per doubling
+      "graph_triangles" -> (d => {
+        val ids = d.select(col("doc_id").cast("long").as("i"))
+          .filter(col("i") > 0)
+        val hub = ids.select(lit(0L).as("a"), col("i").as("b"))
+        val rim = ids.select(col("i").as("a"), (col("i") + 1L).as("b"))
+        functions.Clusters.triangleCountOn(hub.unionByName(rim))
+      }),
     )
 
+    val only = args.drop(1).toSet
+    val picked = ops.filter { case (n, _) => only.isEmpty || only(n) }
     val ks = Seq(1, 2, 4)
     val times = collection.mutable.Map[(String, Int), Double]()
-    for (k <- ks; (name, fn) <- ops) {
+    for (k <- ks; (name, fn) <- picked) {
       val c = corpusTimes(spark, sfDir, k)
       val t = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -99,7 +114,7 @@ object ScaleProbe {
       println(f"PROBE $name%-18s k=$k%-2d rows=${c.count()}%-7d ${t}%.2f s")
     }
     println(f"\n${"op"}%-18s ${"k=1"}%8s ${"k=2"}%8s ${"k=4"}%8s  x per doubling")
-    ops.foreach { case (name, _) =>
+    picked.foreach { case (name, _) =>
       val (t1, t2, t4) =
         (times((name, 1)), times((name, 2)), times((name, 4)))
       val g = math.sqrt(t4 / t1) // geometric mean growth per doubling

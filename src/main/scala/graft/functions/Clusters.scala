@@ -177,17 +177,21 @@ object Clusters {
   /** Per-node triangle counts over an undirected edge list — the
     * local clustering signal (dense near-dup neighborhoods, community
     * cores) that complements [[connectedComponentsOn]]'s reachability
-    * and [[graphPagerankOn]]'s centrality. Edges are canonicalized to
-    * a < b once, then each triangle a<b<c is enumerated EXACTLY ONCE
-    * by the ordered wedge join e1(a,b) |x| e2(b,c) |x| e3(a,c) — three
-    * equi-joins, no cross product; every node of the triangle then
-    * gets one count. The canonical edge list materializes eagerly
-    * (localCheckpoint) because the join tree references it three
-    * times. Scale: the classic MapReduce triangle enumeration; the
-    * a < b orientation can skew on hub nodes (a hub's wedge set is
-    * deg^2) — the degree-ordered orientation (edges point low-degree
-    * to high-degree; Suri & Vassilvitskii's "last reducer" fix) is the
-    * drop-in upgrade when a hubby graph makes one reduce task hot. */
+    * and [[graphPagerankOn]]'s centrality. Edges are canonicalized
+    * and deduplicated once, then oriented low → high in the
+    * (degree, node) total order — the Suri & Vassilvitskii "last
+    * reducer" orientation (MapReduce triangle counting, WWW 2011):
+    * every out-degree is bounded by O(sqrt(m)), so a hub's wedge set
+    * is no longer deg² and no reduce task goes hot on a skewed graph.
+    * Each triangle u<v<w (in that order) is enumerated EXACTLY ONCE
+    * by the wedge join e1(u,v) |x| e2(u,w) |x| e3(v,w) — three equi-
+    * joins keyed on node ids, no cross product; every node of the
+    * triangle then gets one count. The oriented edge list
+    * materializes eagerly (localCheckpoint) because the join tree
+    * references it three times. The per-wedge (deg, node) comparison
+    * needs the DESTINATION degree carried on each oriented edge —
+    * one extra BIGINT per edge, the standard price of the
+    * orientation. */
   def triangleCountOn(edges: DataFrame): DataFrame = {
     val Array(ca, cb) = edges.columns.take(2)
     val und = edges
@@ -195,12 +199,26 @@ object Clusters {
         greatest(col(ca), col(cb)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ed = und
+      .join(deg.select(col("node").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("degb")), "b")
+      .select(when(
+        struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("degb").as("dv")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("v"), col("dega").as("dv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
       .localCheckpoint(true)
-    val tri = und.as("e1")
-      .join(und.as("e2"), col("e1.b") === col("e2.a"))
-      .join(und.as("e3"),
-        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tri = ed.as("e1")
+      .join(ed.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          struct(col("e1.dv"), col("e1.v")) < struct(col("e2.dv"), col("e2.v")))
+      .join(ed.as("e3"),
+        col("e1.v") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
       .orderBy("node")

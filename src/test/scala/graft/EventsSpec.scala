@@ -128,4 +128,20 @@ class EventsSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("triangleCountOn: hub fan graph counts right under the " +
+    "degree-ordered orientation") {
+    // hub 0 + rim path 1-2-...-20: one triangle (0, i, i+1) per rim
+    // edge. The hub is the highest-degree node, so the orientation
+    // gives it ZERO out-edges — the deg^2 wedge blowup the a<b
+    // orientation would concentrate on the hub's reduce task cannot
+    // exist — while the counts stay those of the undirected graph.
+    val edges = ((1 to 20).map(i => (0L, i.toLong)) ++
+      (1 until 20).map(i => (i.toLong, i.toLong + 1))).toDF("a", "b")
+    val got = functions.Clusters.triangleCountOn(edges)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(0L -> 19L) ++ (1 to 20).map(i =>
+      i.toLong -> (if (i == 1 || i == 20) 1L else 2L)).toMap
+    assert(got == want)
+  }
 }
