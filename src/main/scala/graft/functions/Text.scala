@@ -254,14 +254,22 @@ object Text {
     * not become a terse language's ceiling. Shape: tiny per-lang
     * stats aggregate, broadcast back, map-side filter — the corpus is
     * scanned twice but never shuffled by document (the feat_scale
-    * two-scan recipe). Exact `percentile` keeps the oracle bit-exact
-    * (medians of ints are k or k+0.5, both exact doubles); at 100 TB
-    * swap in approx_percentile — exact per-group percentile buffers
-    * each group's values, the same trade agg_approx_distinct
-    * documents for counts. */
-  def qualityFilterRelativeOn(docs: DataFrame): DataFrame = {
+    * two-scan recipe). The default exact `percentile` keeps the
+    * oracle bit-exact (medians of ints are k or k+0.5, both exact
+    * doubles) but buffers each group's values on one reducer;
+    * `approxAccuracy = Some(acc)` swaps in the percentile_approx
+    * Greenwald-Khanna sketch (mergeable, map-side combined) — the
+    * 100 TB operating mode, with its cut-set drift bounded by
+    * RobustnessSpec at two scale factors. */
+  def qualityFilterRelativeOn(docs: DataFrame,
+      approxAccuracy: Option[Int] = None): DataFrame = {
     val cut = docs.groupBy("lang")
-      .agg(expr("percentile(n_chars, 0.5)").as("median_chars"))
+      .agg(approxAccuracy match {
+        case Some(acc) =>
+          percentile_approx(col("n_chars"), lit(0.5), lit(acc))
+            .cast("double").as("median_chars")
+        case None => expr("percentile(n_chars, 0.5)").as("median_chars")
+      })
     docs.join(broadcast(cut), "lang")
       .filter(col("n_chars") > col("median_chars"))
       .select(col("doc_id"), col("lang"), col("n_chars"),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Exact, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -686,22 +686,39 @@ object Analytics {
     * 3 robust standard deviations (MAD x 1.4826, the normal-
     * consistency constant) — the outlier filter that, unlike
     * mean/stddev z-scores, is not itself dragged by the outliers it
-    * hunts. Two grouped EXACT medians (per-type median, then median
-    * of absolute deviations) with the tiny per-type model joined back
-    * broadcast. Exact median shuffles each type's full value set to
-    * one reducer — fine for bounded type cardinality; at 100 TB swap
-    * in approx_percentile (a mergeable sketch, map-side combined;
-    * agg_approx_quantile demonstrates the trade and its error bound).
-    */
-  def anomalyMadOn(events: DataFrame): DataFrame = {
-    val med = events.groupBy("event_type")
-      .agg(median(col("value")).as("med"))
+    * hunts. Two grouped medians (per-type median, then median of
+    * absolute deviations) with the tiny per-type model joined back
+    * broadcast. The default EXACT median shuffles each type's full
+    * value set to one reducer — fine for bounded type cardinality and
+    * required for the bit-exact oracle; `approxAccuracy = Some(acc)`
+    * swaps BOTH medians for the percentile_approx Greenwald-Khanna
+    * sketch (mergeable, map-side combined — no per-group value
+    * buffering), the 100 TB operating mode. RobustnessSpec bounds the
+    * approx model against the exact one at two scale factors. */
+  /** The per-type robust location/scale model behind [[anomalyMadOn]]
+    * — (event_type, med) and (event_type, mad) relations, exact by
+    * default, Greenwald-Khanna sketched when `approxAccuracy` is set.
+    * Exposed so the approx/exact error bound is testable directly. */
+  def madModelOn(events: DataFrame,
+      approxAccuracy: Option[Int] = None): (DataFrame, DataFrame) = {
+    def med(c: Column): Column = approxAccuracy match {
+      case Some(acc) => percentile_approx(c, lit(0.5), lit(acc))
+      case None => median(c)
+    }
+    val m = events.groupBy("event_type").agg(med(col("value")).as("med"))
+    val mad = events.join(broadcast(m), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("adev"))
+      .groupBy("event_type").agg(med(col("adev")).as("mad"))
+    (m, mad)
+  }
+
+  def anomalyMadOn(events: DataFrame,
+      approxAccuracy: Option[Int] = None): DataFrame = {
+    val (med, mad) = madModelOn(events, approxAccuracy)
     val dev = events
       .join(broadcast(med), "event_type")
       .select(col("event_id"), col("event_type"), col("value"),
         abs(col("value") - col("med")).as("adev"))
-    val mad = dev.groupBy("event_type")
-      .agg(median(col("adev")).as("mad"))
     dev
       .join(broadcast(mad), "event_type")
       // mad = 0 (over half the group equals its median) is a

@@ -113,6 +113,44 @@ class RobustnessSpec extends SparkSpecBase {
     }
   }
 
+  test("approx MAD model and relative-quality cut stay near exact at " +
+    "sf0.01 AND sf0.1") {
+    // the grouped-percentile ops' 100 TB mode: percentile_approx
+    // (mergeable GK sketch) instead of exact median's per-group value
+    // buffering. Bound the approx model against the exact one at two
+    // scale factors — like the agg_approx_* bounds, the sketch error
+    // is a rank guarantee, so it does not grow with the data.
+    import spark.implicits._
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val ev = Tables.events(spark, dir)
+      def model(acc: Option[Int]): Map[String, (Double, Double)] = {
+        val (me, ma) = operators.Analytics.madModelOn(ev, acc)
+        me.join(ma, "event_type").as[(String, Double, Double)]
+          .collect().map { case (k, m, d) => k -> (m, d) }.toMap
+      }
+      val exact = model(None)
+      val approx = model(Some(1000))
+      assert(exact.nonEmpty && exact.keySet == approx.keySet)
+      exact.foreach { case (k, (med, mad)) =>
+        val (am, ad) = approx(k)
+        assert(math.abs(am - med) <= math.max(0.02 * math.abs(med), 1e-9),
+          s"$dir $k med: approx=$am exact=$med")
+        assert(math.abs(ad - mad) <= math.max(0.05 * math.abs(mad), 1e-9),
+          s"$dir $k mad: approx=$ad exact=$mad")
+      }
+      // end-to-end: the approx cut keeps the relative-quality doc set
+      // within 1% (symmetric difference) of the exact cut's
+      val docs = Tables.documents(spark, dir)
+      val ex = functions.Text.qualityFilterRelativeOn(docs)
+        .select("doc_id").as[Long].collect().toSet
+      val ap = functions.Text.qualityFilterRelativeOn(docs, Some(1000))
+        .select("doc_id").as[Long].collect().toSet
+      val sym = (ex diff ap).size + (ap diff ex).size
+      assert(ex.nonEmpty && sym <= math.max(1, ex.size / 100),
+        s"$dir symmetric difference $sym of ${ex.size}")
+    }
+  }
+
   test("TopK.of with k larger than any group returns every row") {
     val df = Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("k", "v")
     val got = plans.TopK.of(df, Seq("k"), "v", desc = true, k = 100)
