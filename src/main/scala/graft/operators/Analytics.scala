@@ -620,6 +620,179 @@ object Analytics {
         |    FROM v_lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
   }
 
+  /** SQL frontend, TPC-H Q2 shape ("Minimum Cost Supplier"): for each
+    * qualifying part, the suppliers offering it at that part's MINIMUM
+    * cost — a correlated scalar-min subquery whose inner relation
+    * repeats the outer's join+filter chain. The slim schema has no
+    * partsupp, so supply cost = MIN(l_extendedprice) per (part,
+    * supplier) over lineitem, and the region restriction is the
+    * nationkey-parity bloc (the Q7 lesson: single-region supplier sets
+    * go empty at sf0.001 with 10 suppliers). Catalyst decorrelates the
+    * min into a per-part aggregate joined back; cost stays DECIMAL
+    * through the equality and casts to double only in the output. */
+  def sqlQ2(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("v_part")
+    Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+    s.sql(
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+        |  FROM v_lineitem JOIN v_supplier ON s_suppkey = l_suppkey
+        |  WHERE s_nationkey % 2 = 0
+        |  GROUP BY l_partkey, l_suppkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, s_suppkey,
+        |  CAST(supplycost AS DOUBLE) AS supplycost
+        |FROM v_part
+        |JOIN cost ON p_partkey = l_partkey
+        |JOIN v_supplier ON s_suppkey = l_suppkey
+        |JOIN v_nation ON s_nationkey = n_nationkey
+        |WHERE p_size <= 10 AND p_type = 'PROMO'
+        |  AND supplycost = (SELECT MIN(c2.supplycost) FROM cost c2
+        |                    WHERE c2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  /** SQL frontend, TPC-H Q8 shape ("National Market Share"): one
+    * bloc's share of a market's promo-part revenue per year — the
+    * conditional-sum-over-sum ratio with nation joined in BOTH roles
+    * (customer's nation picks the market region, supplier's nation
+    * picks the bloc). Both sums stay DECIMAL to one double division
+    * (the sql_q14 ratio recipe). */
+  def sqlQ8(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("v_part")
+    Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+    Tables.region(s, dir).createOrReplaceTempView("v_region")
+    s.sql(
+      """SELECT YEAR(o_orderdate) AS o_year,
+        |  round(CAST(SUM(CASE WHEN n2.n_nationkey % 2 = 0
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+        |    AS mkt_share
+        |FROM v_lineitem
+        |JOIN v_part ON p_partkey = l_partkey AND p_type = 'PROMO'
+        |JOIN v_supplier ON s_suppkey = l_suppkey
+        |JOIN v_orders ON o_orderkey = l_orderkey
+        |JOIN v_customer ON c_custkey = o_custkey
+        |JOIN v_nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN v_region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |JOIN v_nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY YEAR(o_orderdate)
+        |ORDER BY o_year""".stripMargin)
+  }
+
+  /** SQL frontend, TPC-H Q9 shape ("Product Type Profit"): profit by
+    * supplier nation and order year over parts matching a name
+    * pattern; the slim schema's p_retailprice stands in for
+    * ps_supplycost, so profit = revenue - retailprice*quantity, all
+    * DECIMAL until one final double cast. The LIKE filter pushes into
+    * the part scan; nation/supplier broadcast. */
+  def sqlQ9(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("v_part")
+    Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+    s.sql(
+      """SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM v_lineitem
+        |JOIN v_part ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
+        |JOIN v_supplier ON s_suppkey = l_suppkey
+        |JOIN v_nation ON s_nationkey = n_nationkey
+        |JOIN v_orders ON o_orderkey = l_orderkey
+        |GROUP BY n_name, YEAR(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin)
+  }
+
+  /** SQL frontend, TPC-H Q11 shape ("Important Stock Identification"):
+    * parts whose one-bloc inventory value exceeds 1.5x the average
+    * part's — a grouped aggregate filtered against scalar subqueries
+    * over ITS OWN relation (the view-reused-three-ways shape). The
+    * threshold is the exact cross-multiplied integer comparison
+    * value*n*2 > 3*total (the sql_q16/q22 convention): no float
+    * boundary, identical BIGINT/DECIMAL decisions in both engines.
+    * (TPC-H's fixed 0.0001 fraction is corpus-size-relative — a
+    * scale-invariant above-average multiple keeps the result non-empty
+    * at every test sf.) */
+  def sqlQ11(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """WITH val AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS value
+        |  FROM v_lineitem JOIN v_supplier ON s_suppkey = l_suppkey
+        |  WHERE s_nationkey % 2 = 0
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        |FROM val
+        |WHERE value * (SELECT COUNT(*) FROM val) * 2
+        |    > 3 * (SELECT SUM(value) FROM val)
+        |ORDER BY value DESC, l_partkey""".stripMargin)
+  }
+
+  /** SQL frontend, TPC-H Q12 shape ("Shipping Modes and Order
+    * Priority"): per line status (the schema's stand-in for shipmode),
+    * how many high- vs low-priority orders shipped late in one year —
+    * the two-way conditional count over a fact-dim join, with
+    * "shipped after the order date" standing in for the
+    * commit < receipt lateness predicate. */
+  def sqlQ12(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM v_orders JOIN v_lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin)
+  }
+
+  /** SQL frontend, TPC-H Q15 shape ("Top Supplier"): the revenue view
+    * consumed twice — once joined against supplier, once reduced to a
+    * scalar MAX the outer query filters on. Revenue stays DECIMAL
+    * through the equality (exact tie semantics: every supplier at the
+    * max survives), cast to double only in the output. */
+  def sqlQ15(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        |  FROM v_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE)
+        |    AS total_revenue
+        |FROM v_supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
   /** SQL subquery surface: a correlated scalar subquery (per-customer
     * order count) and a correlated EXISTS filter in one statement —
     * the shapes Catalyst decorrelates into aggregates + joins
@@ -747,6 +920,12 @@ object Analytics {
     "sql_q14" -> sqlQ14,
     "sql_q17" -> sqlQ17,
     "sql_q18" -> sqlQ18,
+    "sql_q2" -> sqlQ2,
+    "sql_q8" -> sqlQ8,
+    "sql_q9" -> sqlQ9,
+    "sql_q11" -> sqlQ11,
+    "sql_q12" -> sqlQ12,
+    "sql_q15" -> sqlQ15,
     "sql_q20" -> sqlQ20,
     "sql_q21" -> sqlQ21,
     "sql_subqueries" -> sqlSubqueries,
@@ -887,6 +1066,96 @@ object Analytics {
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+    "sql_q2" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE s_nationkey % 2 = 0
+        |  GROUP BY l_partkey, l_suppkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, s_suppkey,
+        |  CAST(supplycost AS DOUBLE) AS supplycost
+        |FROM part
+        |JOIN cost ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_size <= 10 AND p_type = 'PROMO'
+        |  AND supplycost = (SELECT MIN(c2.supplycost) FROM cost c2
+        |                    WHERE c2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin,
+    "sql_q8" ->
+      """SELECT YEAR(o_orderdate) AS o_year,
+        |  round(CAST(SUM(CASE WHEN n2.n_nationkey % 2 = 0
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+        |    AS mkt_share
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY YEAR(o_orderdate)
+        |ORDER BY o_year""".stripMargin,
+    "sql_q9" ->
+      """SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY n_name, YEAR(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "sql_q11" ->
+      """WITH val AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS value
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |  WHERE s_nationkey % 2 = 0
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+        |FROM val
+        |WHERE value * (SELECT COUNT(*) FROM val) * 2
+        |    > 3 * (SELECT SUM(value) FROM val)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "sql_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "sql_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE)
+        |    AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
     "sql_q14" ->
       """SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
         |    THEN CAST(l_extendedprice AS DECIMAL(18,2))

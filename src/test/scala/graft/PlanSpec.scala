@@ -173,6 +173,26 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("new TPC-H battery (q2/q8/q9/q11/q12/q15): equi-joins only, " +
+    "q2's correlated min decorrelated") {
+    val fns: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "q2" -> operators.Analytics.sqlQ2(spark, sf),
+      "q8" -> operators.Analytics.sqlQ8(spark, sf),
+      "q9" -> operators.Analytics.sqlQ9(spark, sf),
+      "q11" -> operators.Analytics.sqlQ11(spark, sf),
+      "q12" -> operators.Analytics.sqlQ12(spark, sf),
+      "q15" -> operators.Analytics.sqlQ15(spark, sf))
+    fns.foreach { case (n, df) =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n: $p")
+    }
+    // the correlated per-part MIN becomes an aggregate joined back,
+    // not a per-row subquery execution
+    assert(!plan(operators.Analytics.sqlQ2(spark, sf))
+      .contains("Subquery"), "q2 not decorrelated")
+  }
+
   test("dedup_semantic_clustered: cell equi-join pairs, no all-pairs plan") {
     // the SemDeDup scale claim: pair generation is a hash equi-join on
     // the k-means cell id — never a cartesian/nested-loop all-pairs
