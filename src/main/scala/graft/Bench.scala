@@ -49,8 +49,14 @@ object Bench {
       if (guess != sfDir && new java.io.File(guess).isDirectory) Some(guess)
       else None
     }.filter(_ != "none")
+    // optional args restrict the run to named queries (local
+    // re-timing); the driver's no-arg invocation is unchanged
+    val only = args.toSet
+    val catalog = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .sortBy(_._1)
     warmDir.foreach { wd =>
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      catalog.foreach { case (name, fn) =>
         try fn(spark, wd).count() catch {
           case e: Throwable =>
             System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
@@ -58,7 +64,6 @@ object Bench {
       }
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
     // timed(name)(action): elapsed seconds, or None if the action threw
     // (a broken query must read as a FAILURE, not an implausibly fast
     // error-path timing — the throwable goes to stderr)

@@ -300,6 +300,30 @@ class DedupSimSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((0L, "en"), (1L, "zh")))
   }
 
+  test("textLangidOn discriminates all four stopword languages plus CJK " +
+    "on a mixed fixture") {
+    // the synthetic corpus is english word-soup (every doc predicts
+    // 'en' there, correctly); this fixture gives each language's
+    // stopword table something to discriminate — the full operator
+    // must predict every language, including through the tie-priority
+    // chain (en > de > es > fr) when minor cross-language hits exist
+    // ('la'/'que' score in both es and fr)
+    val docs = Seq(
+      (0L, "the cat is in the house and the dog is of the garden", "en"),
+      (1L, "der hund ist nicht in die wohnung und das ist gut", "de"),
+      (2L, "el perro es de la casa y los gatos que son", "es"),
+      (3L, "le chien est dans les maisons et la vie est que", "fr"),
+      (4L, "中文文档 测试", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val got = functions.Text.textLangidOn(docs)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "en", 1L -> "de", 2L -> "es", 3L -> "fr",
+      4L -> "zh"), got.toString)
+    // and the labeled lang is recovered for every doc, i.e. at least
+    // two (here five) languages are actually predicted
+    assert(got.values.toSet.size == 5)
+  }
+
   test("kmeansOn seeds from the smallest ids present, not ids below k") {
     // an id space offset far above k (a filtered slice or snapshot)
     // must still train k centroids, identical to the unshifted run
