@@ -99,12 +99,93 @@ object Clusters {
     labels
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the O(log n)-round algorithm
+    * [[connectedComponentsOn]]'s scaladoc names for adversarial
+    * long-chain graphs, implemented rather than cited. Each round is
+    * two edge-set rewrites, each ONE groupBy-min plus one equi-join
+    * back (two node-keyed, map-side-combinable shuffles):
+    *
+    *  - large-star: per node u with m = min(N(u) ∪ u), rewire every
+    *    LARGER neighbor v > u to (m, v);
+    *  - small-star: per node u over its smaller-or-equal neighbors,
+    *    rewire all of them plus u itself to their minimum.
+    *
+    * The edge set monotonically contracts toward one star per
+    * component (root = component min); unlike plain min-label
+    * propagation — whose round count is the graph DIAMETER unless
+    * pointer jumping compounds — the star operations provably halve
+    * component height every round. Convergence = edge set unchanged,
+    * checked exactly (count equality + empty EXCEPT; at 100 TB the
+    * cheap check is a (count, xor of edge hashes) pair — one partial
+    * aggregate, no set op). Each round re-materializes
+    * (localCheckpoint) so the plan stays constant-size. Output
+    * contract matches [[connectedComponentsOn]]: (node, lbl) with
+    * lbl = component min, every input endpoint present. */
+  def connectedComponentsAltStarOn(pairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val Array(ca, cb) = pairs.columns.take(2)
+    val raw = pairs
+      .select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b"))
+    val nodes = raw.select(explode(array(col("a"), col("b"))).as("node"))
+      .distinct().localCheckpoint(true)
+    var edges = raw.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint(true)
+    // emitted pairs always carry m = min < v, so (a, b) stays the
+    // canonical (smaller, larger) orientation without re-sorting
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbr = e.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+      val mins = nbr.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      nbr.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // key every edge on its LARGER endpoint; v <= u by construction
+      val nbr = e.select(col("b").as("u"), col("a").as("v"))
+      val mins = nbr.groupBy("u").agg(min(col("v")).as("m"))
+      val rewired = nbr.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+      val self = mins.select(col("m").as("a"), col("u").as("b"))
+      rewired.unionByName(self).filter(col("a") =!= col("b")).distinct()
+    }
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"alternating star did not converge within $maxIter rounds")
+    nodes.join(edges.select(col("b").as("node"), col("a").as("plbl")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("plbl"), col("node")).as("lbl"))
+  }
+
   /** Cluster assignment over any (doc_id-ish, doc_id-ish) pair frame:
-    * (doc_id, cluster_id, n_members, is_keeper), keeper = min id. */
-  def clustersOn(pairs: DataFrame): DataFrame = {
-    val cc = connectedComponentsOn(pairs)
-    val sizes = cc.groupBy("lbl").agg(count(lit(1)).as("n_members"))
-    cc.join(sizes, "lbl")
+    * (doc_id, cluster_id, n_members, is_keeper), keeper = min id.
+    * `cc` picks the component algorithm (default: min-label
+    * propagation; [[connectedComponentsAltStarOn]] is the
+    * adversarial-chain alternative). */
+  def clustersOn(pairs: DataFrame,
+      cc: DataFrame => DataFrame = connectedComponentsOn(_)): DataFrame = {
+    val ccOut = cc(pairs)
+    val sizes = ccOut.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+    ccOut.join(sizes, "lbl")
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
         col("n_members"), (col("node") === col("lbl")).as("is_keeper"))
       .orderBy("cluster_id", "doc_id")
@@ -239,6 +320,14 @@ object Clusters {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clustersOn(Dedup.dedupMinhash(s, dir).select("da", "db"))
 
+  /** Catalog form: the same clustering through the alternating-star
+    * algorithm — identical output by construction (shared oracle),
+    * O(log n) rounds on graphs whose diameter would stretch label
+    * propagation. */
+  def dedupClustersAltStar(s: SparkSession, dir: String): DataFrame =
+    clustersOn(Dedup.dedupMinhash(s, dir).select("da", "db"),
+      connectedComponentsAltStarOn(_))
+
   /** Catalog form (SemDeDup shape): components of the exact embedding
     * cosine pairs at cos >= 0.45 — semantic duplicate groups, one
     * keeper per group. Same propagation loop; only the edge source
@@ -300,6 +389,7 @@ object Clusters {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> dedupClusters,
+    "dedup_clusters_altstar" -> dedupClustersAltStar,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_clustered" -> dedupSemanticClustered,
     "graph_pagerank" -> graphPagerank,
@@ -338,6 +428,13 @@ object Clusters {
        |FROM lbl l JOIN sz s ON l.cluster_id = s.cluster_id
        |ORDER BY l.cluster_id, $idCol""".stripMargin
 
+  private val dedupClustersOracle: String =
+    s"""${Dedup.minhashCoreSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pairs AS (SELECT da, db
+       |  FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+       |${ccTailSql("doc_id")}""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "graph_triangles" ->
       s"""WITH ${Similarity.knnCoreSql},
@@ -363,12 +460,10 @@ object Clusters {
          |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
          |$prIterSql
          |SELECT node, r AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
-    "dedup_clusters" ->
-      s"""${Dedup.minhashCoreSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |pairs AS (SELECT da, db
-         |  FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
-         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
-         |${ccTailSql("doc_id")}""".stripMargin,
+    "dedup_clusters" -> dedupClustersOracle,
+    // identical result contract to dedup_clusters — the oracle is the
+    // algorithm-independent reachability closure
+    "dedup_clusters_altstar" -> dedupClustersOracle,
     "dedup_semantic_clustered" ->
       s"""WITH RECURSIVE ${Similarity.kmeansCoreSql},
          |en AS (SELECT e.vec_id, e.embedding,

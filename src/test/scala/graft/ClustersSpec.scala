@@ -53,6 +53,38 @@ class ClustersSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("alternating-star components equal label propagation on chains, " +
+    "cliques, and the corpus pair graph") {
+    // the Kiveris et al. alternative must agree with the propagation
+    // loop everywhere: a long chain (its raison d'etre — diameter >>
+    // rounds), a clique + singleton-pair mix, and the real
+    // minhash-verified pair graph
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("da", "db")
+    val clique = (for (i <- 1 to 5; j <- (i + 1) to 5)
+      yield (i.toLong, j.toLong)).toDF("da", "db") unionByName
+      Seq((100L, 101L), (200L, 200L)).toDF("da", "db")
+    val corpus = functions.Dedup.dedupMinhash(spark, sf).select("da", "db")
+    Seq(chain, clique, corpus).foreach { pairs =>
+      val prop = functions.Clusters.connectedComponentsOn(pairs)
+        .as[(Long, Long)].collect().toSet
+      val star = functions.Clusters.connectedComponentsAltStarOn(pairs)
+        .as[(Long, Long)].collect().toSet
+      assert(star == prop, s"star=$star prop=$prop")
+    }
+  }
+
+  test("alternating star converges in few rounds on a long chain " +
+    "(maxIter far below the diameter suffices)") {
+    // 200-node chain, diameter 199: O(log n) rounds means maxIter 10
+    // is plenty — the same bound would throw on the propagation loop
+    // without pointer jumping
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("da", "db")
+    val lbls = functions.Clusters
+      .connectedComponentsAltStarOn(pairs, maxIter = 10)
+      .select("lbl").distinct().as[Long].collect()
+    assert(lbls.toSeq == Seq(1L))
+  }
+
   test("semanticPairsClusteredOn recovers planted near-dups (SemDeDup recall)") {
     // 40 well-separated deterministic base vectors + 10 planted
     // near-identical copies: the clustered (within-cell) pair source
