@@ -467,9 +467,61 @@ object Text {
   def textLmScore(s: SparkSession, dir: String): DataFrame =
     textLmScoreOn(Tables.documents(s, dir))
 
+  /** L4n: BPE-style tokenizer merge induction — the first `merges`
+    * byte-pair merges learned from the corpus (Sennrich et al. 2016,
+    * the standard subword-tokenizer training step a corpus pipeline
+    * runs before tokenizing). Each round is the canonical map-reduce
+    * shape: adjacent-pair counts over the word-symbol arrays (one
+    * wordcount-style shuffle, map-side combined), a global argmax
+    * (count desc, then lexicographic pair — a 1-row TakeOrdered, no
+    * global sort), and a map-only rebuild that replays the merge
+    * greedily left-to-right inside every word via a codegen'd
+    * `aggregate` fold with the 1-row winner broadcast — the corpus
+    * never shuffles for the rebuild. Rounds are driver-coordinated
+    * like [[Similarity.kmeansOn]]'s Lloyd's loop, with the word
+    * relation re-materialized per round so plans stay constant-size.
+    * All counts BIGINT, ties total-ordered: the DuckDB oracle unrolls
+    * every round bit-for-bit (same fold, verified greedy-equivalent:
+    * pair (a,a) on "aaaa" -> [aa][aa] in both engines). If a round
+    * has no remaining pair the surviving rounds are emitted and the
+    * rest degrade to zero rows — identically in the oracle. */
+  def textBpeMergesOn(docs: DataFrame, merges: Int = 3): DataFrame = {
+    require(merges >= 1, s"need merges >= 1, got $merges")
+    var words = docs
+      .select(explode(toks(col("text"))).as("w"))
+      .select(split(col("w"), "").as("cs"))
+    var out: DataFrame = null
+    for (r <- 1 to merges) {
+      val top = words
+        .select(explode(bigramStructs(col("cs"))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
+        .limit(1)
+        .localCheckpoint(true) // 1 row; feeds the output AND the rebuild
+      val ranked = top.select(lit(r).as("rank"), col("w1"), col("w2"),
+        col("cnt"))
+      out = if (out == null) ranked else out.unionByName(ranked)
+      if (r < merges)
+        words = words.crossJoin(broadcast(top.select("w1", "w2")))
+          .select(aggregate(col("cs"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === col("w1") && x === col("w2"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(col("w1"), col("w2")))))
+              .otherwise(concat(acc, array(x)))).as("cs"))
+          .localCheckpoint(true)
+    }
+    out.orderBy("rank")
+  }
+
+  def textBpeMerges(s: SparkSession, dir: String): DataFrame =
+    textBpeMergesOn(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_chunk" -> textChunk,
     "text_lm_score" -> textLmScore,
+    "text_bpe_merges" -> textBpeMerges,
     "text_repetition" -> textRepetition,
     "dedup_normalized" -> dedupNormalized,
     "text_pii_mask" -> textPiiMask,
@@ -495,7 +547,35 @@ object Text {
       |    list_transform(string_split(text,''), c -> CAST(unicode(c) AS BIGINT))),
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
+  /** One unrolled BPE round for the oracle: pair counts over `prev`,
+    * 1-row argmax, merged word relation. The fold mirrors
+    * [[textBpeMergesOn]]'s greedy left-to-right merge exactly. */
+  private def bpeRoundSql(i: Int, prev: String): String =
+    s"""p$i AS (SELECT cs[r.i] AS w1, cs[r.i + 1] AS w2,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM $prev, UNNEST(range(1, len(cs))) r(i) GROUP BY 1, 2),
+       |m$i AS (SELECT w1, w2, cnt FROM p$i
+       |  ORDER BY cnt DESC, w1, w2 LIMIT 1),
+       |w$i AS (SELECT list_reduce(
+       |    list_concat([CAST([] AS VARCHAR[])], list_transform(cs, c -> [c])),
+       |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.w1
+       |        AND x[1] = m$i.w2
+       |      THEN list_concat(acc[1:len(acc)-1], [m$i.w1 || m$i.w2])
+       |      ELSE list_concat(acc, x) END) AS cs
+       |  FROM $prev, m$i)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_merges" ->
+      s"""WITH w0 AS (SELECT string_split(w, '') AS cs
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+         |${bpeRoundSql(1, "w0")},
+         |${bpeRoundSql(2, "w1")},
+         |${bpeRoundSql(3, "w2")}
+         |SELECT * FROM (
+         |  SELECT 1 AS rank, w1, w2, cnt FROM m1
+         |  UNION ALL SELECT 2 AS rank, w1, w2, cnt FROM m2
+         |  UNION ALL SELECT 3 AS rank, w1, w2, cnt FROM m3)
+         |ORDER BY rank""".stripMargin,
     "text_inverted_index" ->
       """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |p AS (SELECT doc_id, r.i - 1 AS pos, t[r.i] AS token

@@ -1,4 +1,5 @@
 package graft
+// (BPE merge-induction specs live here with the other token-stream ops)
 
 import org.apache.spark.sql.functions._
 
@@ -53,6 +54,27 @@ class ChunkLmSpec extends SparkSpecBase {
     assert(out(1) == out(2))
     assert(out(1) > out(3)) // high-probability transitions score higher
     assert(out.values.forall(v => v < 0.0 && !v.isNaN && !v.isInfinite))
+  }
+
+  test("BPE merges: hand-checked rounds with lexicographic tie-break " +
+    "and greedy remerge") {
+    // 'low lower lowest': round 1 ties (l,o) and (o,w) at 3 — the
+    // (cnt desc, w1, w2) order picks (l,o); round 2 counts over the
+    // MERGED arrays pick (lo,w); round 3 (low,e)
+    val docs = Seq((0L, "low lower lowest")).toDF("doc_id", "text")
+    val got = functions.Text.textBpeMergesOn(docs)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "l", "o", 3L), (2, "lo", "w", 3L),
+      (3, "low", "e", 2L)), got.toString)
+  }
+
+  test("BPE merges: a round with no pairs left degrades to fewer rows") {
+    // after (a,a) then (a,b) every word is a single symbol — round 3
+    // has no pair and must emit nothing rather than fail
+    val docs = Seq((0L, "aa aa ab")).toDF("doc_id", "text")
+    val got = functions.Text.textBpeMergesOn(docs)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "a", 2L), (2, "a", "b", 1L)), got.toString)
   }
 
   test("lm score on the corpus: one row per >=2-token doc, all finite") {
