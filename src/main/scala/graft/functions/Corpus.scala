@@ -267,11 +267,43 @@ object Corpus {
   def sampleDomainCap(s: SparkSession, dir: String): DataFrame =
     sampleDomainCapOn(Tables.documents(s, dir))
 
+  /** L7c: nucleus-style coverage cap — per language, keep the
+    * most voluminous sources whose cumulative character mass stays
+    * under 90% of that language's total (each language always keeps
+    * its largest source): the "top-p" analogue of
+    * [[sampleDomainCapOn]]'s fixed per-domain cap, trimming the
+    * long tail of minor sources while preserving bulk coverage. Two
+    * shuffles total: one (lang, source) aggregation, then lang-keyed
+    * windows (rank + running sum) over the source-level relation —
+    * corpus-size-independent row counts after the first aggregate.
+    * Decisions are exact integer arithmetic ((cum - own) * 10 <
+    * 9 * total), never a float boundary. */
+  def corpusCoverageCapOn(docs: DataFrame): DataFrame = {
+    val src = docs.groupBy("lang", "source")
+      .agg(sum(col("n_chars").cast("long")).as("src_chars"))
+    val wRank = Window.partitionBy("lang")
+      .orderBy(col("src_chars").desc, col("source").asc)
+    val wAll = Window.partitionBy("lang")
+    src
+      .withColumn("total_chars", sum(col("src_chars")).over(wAll))
+      .withColumn("cum_chars", sum(col("src_chars")).over(
+        wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter((col("cum_chars") - col("src_chars")) * 10 <
+        col("total_chars") * 9)
+      .select(col("lang"), col("source"), col("src_chars"),
+        col("cum_chars"), col("total_chars"))
+      .orderBy("lang", "cum_chars", "source")
+  }
+
+  def corpusCoverageCap(s: SparkSession, dir: String): DataFrame =
+    corpusCoverageCapOn(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack_sequences" -> textPackSequences,
     "sample_stratified" -> sampleStratified,
     "sample_bottomk" -> sampleBottomk,
     "sample_domain_cap" -> sampleDomainCap,
+    "corpus_coverage_cap" -> corpusCoverageCap,
     "corpus_mix" -> corpusMix,
     "profile_stats" -> profileStats,
     "quality_audit" -> qualityAudit,
@@ -285,6 +317,22 @@ object Corpus {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_coverage_cap" ->
+      """WITH src AS (SELECT lang, source,
+        |    CAST(SUM(n_chars) AS BIGINT) AS src_chars
+        |  FROM documents GROUP BY lang, source),
+        |c AS (SELECT lang, source, src_chars,
+        |    CAST(SUM(src_chars) OVER (PARTITION BY lang) AS BIGINT)
+        |      AS total_chars,
+        |    CAST(SUM(src_chars) OVER (PARTITION BY lang
+        |      ORDER BY src_chars DESC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_chars
+        |  FROM src)
+        |SELECT lang, source, src_chars, cum_chars, total_chars
+        |FROM c
+        |WHERE (cum_chars - src_chars) * 10 < total_chars * 9
+        |ORDER BY lang, cum_chars, source""".stripMargin,
     "sample_bottomk" ->
       """SELECT doc_id, lang, source,
         |  ((doc_id % 1000000007) * 912367 % 1000000007 + 40503)

@@ -337,6 +337,61 @@ object Dedup {
   def dedupNgram(s: SparkSession, dir: String): DataFrame =
     dedupNgramOn(shingleHashes(s, dir))
 
+  /** L2 (prefix-filtered set-similarity join — Bayardo et al. WWW
+    * 2007 / PPJoin's prefix principle): the LOSSLESS candidate
+    * reduction for exact Jaccard joins. Each doc's shingles sort by
+    * global rarity (df asc, hash asc — one canonical order both
+    * engines agree on), and only the first |x| - ceil(t*|x|) + 1 of
+    * them (t = 4/5, the ceil spelled in exact BIGINT math) join as
+    * candidate keys: any pair with jac >= t MUST share a prefix
+    * shingle, so verification over the full sets returns exactly the
+    * ground-truth pair set — the oracle is the brute-force all-pairs
+    * Jaccard, and hash equality IS the completeness proof. Scale: the
+    * self-join key set shrinks from every shingle to the rare prefix
+    * (boilerplate high-df shingles sort LAST and never join), the
+    * principled alternative to [[dedupNgramOn]]'s df cap — that cap
+    * bounds the worst key by fiat and is empirically lossless here;
+    * the prefix bound is lossless by theorem at any corpus. The df
+    * window and the candidate join share the hs hash partitioning;
+    * the per-doc rank adds one doc-keyed window. */
+  def dedupPrefixFilterOn(hs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    require(threshold == 0.8,
+      "the exact-integer prefix bound is spelled for t = 4/5")
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy("hs")
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("hs").asc)
+    val prefix = hs
+      .withColumn("df", count(lit(1)).over(wdf))
+      .withColumn("pos", row_number().over(wdoc))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      // ceil(4n/5) = (4n + 4) div 5, all BIGINT
+      .filter(expr("pos <= n - ((4 * n + 4) div 5) + 1"))
+      .select("doc_id", "hs")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.hs") === col("b.hs") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(hs.as("fa"), col("da") === col("fa.doc_id"))
+      .join(hs.as("fb"),
+        col("db") === col("fb.doc_id") && col("fa.hs") === col("fb.hs"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        (col("inter").cast("double") /
+          (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+      .orderBy("da", "db")
+  }
+
+  def dedupPrefixFilter(s: SparkSession, dir: String): DataFrame =
+    dedupPrefixFilterOn(shingleHashes(s, dir))
+
   /** L2 (exact repeated substrings): per-document maximal token spans
     * built by merging overlapping-or-adjacent `window`-token runs
     * that each occur in at least one OTHER document (a merged span may
@@ -496,6 +551,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash64" -> dedupSimhash64,
     "dedup_ngram" -> dedupNgram,
+    "dedup_prefix_filter" -> dedupPrefixFilter,
     "dedup_substring" -> dedupSubstring,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
@@ -596,6 +652,19 @@ object Dedup {
          |SELECT da, db, CAST($sim64Ham AS INT) AS hamming
          |FROM cand JOIN sig a ON da = a.doc_id JOIN sig b ON db = b.doc_id
          |WHERE $sim64Ham <= 3
+         |ORDER BY da, db""".stripMargin,
+    // brute-force all-pairs exact Jaccard: prefix filtering is
+    // lossless by theorem, so the ground truth IS the oracle — the
+    // hash gate doubles as the completeness proof
+    "dedup_prefix_filter" ->
+      s"""$shingleHashSql,
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+         |ix AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+         |       FROM hs a JOIN hs b ON a.hs = b.hs AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT da, db, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+         |FROM ix JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
          |ORDER BY da, db""".stripMargin,
     "dedup_ngram" ->
       s"""$shingleHashSql,

@@ -204,4 +204,31 @@ class CorpusSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("L7c coverage cap: hand-checked nucleus boundary, largest source " +
+    "always kept, corpus invariants") {
+    import org.apache.spark.sql.functions._
+    // sources sized 50/30/15/5 of a 100-char language: the rule keeps
+    // a source iff mass BEFORE it is under 90 — so 50, 30, 15 stay
+    // (0, 50, 80 < 90) and the 5-char tail (before = 95) drops
+    val docs = Seq(
+      (1L, "x" * 50, "en", "s1", 50),
+      (2L, "x" * 30, "en", "s2", 30),
+      (3L, "x" * 15, "en", "s3", 15),
+      (4L, "x" * 5, "en", "s4", 5),
+      (5L, "x" * 7, "de", "s9", 7))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = functions.Corpus.corpusCoverageCapOn(docs)
+      .select("lang", "source").as[(String, String)].collect().toSet
+    assert(got == Set(("en", "s1"), ("en", "s2"), ("en", "s3"),
+      ("de", "s9")), got.toString)
+    // corpus invariants: every lang keeps its largest source; kept
+    // mass never starts at or past the 90% boundary
+    val out = functions.Corpus.corpusCoverageCap(spark, sf).cache()
+    val langs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(out.select("lang").distinct().count() == langs)
+    assert(out.filter((col("cum_chars") - col("src_chars")) * 10 >=
+      col("total_chars") * 9).count() == 0)
+    out.unpersist()
+  }
 }

@@ -300,6 +300,38 @@ class DedupSimSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((0L, "en"), (1L, "zh")))
   }
 
+  test("prefix-filtered similarity join equals uncapped exact Jaccard " +
+    "(lossless by theorem) with a smaller join key set") {
+    val hs = functions.Dedup.shingleHashesOf(Tables.documents(spark, sf))
+      .persist()
+    val ground = functions.Dedup
+      .dedupNgramOn(hs, threshold = 0.8, maxDf = Int.MaxValue)
+      .collect().map(_.toString).toSet
+    val pf = functions.Dedup.dedupPrefixFilterOn(hs)
+      .collect().map(_.toString).toSet
+    assert(pf == ground && pf.nonEmpty)
+    hs.unpersist()
+  }
+
+  test("prefix bound keeps every >=0.8 pair on an adversarial fixture " +
+    "where the rare-prefix shingles are the only overlap evidence") {
+    // two near-dup docs sharing all but one token + a decoy sharing
+    // only the COMMON (high-df) shingles: the prefix (rare-first)
+    // keys must still produce the true pair and exclude the decoy
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma kappa lambda"),
+      (4L, "mu nu xi omicron pi rho")).toDF("doc_id", "text")
+    val hs = functions.Dedup.shingleHashesOf(docs)
+    val got = functions.Dedup.dedupPrefixFilterOn(hs)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val ground = functions.Dedup
+      .dedupNgramOn(hs, threshold = 0.8, maxDf = Int.MaxValue)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(got == ground, s"got=$got ground=$ground")
+  }
+
   test("textLangidOn discriminates all four stopword languages plus CJK " +
     "on a mixed fixture") {
     // the synthetic corpus is english word-soup (every doc predicts
