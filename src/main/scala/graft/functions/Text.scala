@@ -470,16 +470,19 @@ object Text {
   /** L4n: BPE-style tokenizer merge induction — the first `merges`
     * byte-pair merges learned from the corpus (Sennrich et al. 2016,
     * the standard subword-tokenizer training step a corpus pipeline
-    * runs before tokenizing). Each round is the canonical map-reduce
-    * shape: adjacent-pair counts over the word-symbol arrays (one
-    * wordcount-style shuffle, map-side combined), a global argmax
-    * (count desc, then lexicographic pair — a 1-row TakeOrdered, no
-    * global sort), and a map-only rebuild that replays the merge
-    * greedily left-to-right inside every word via a codegen'd
-    * `aggregate` fold with the 1-row winner broadcast — the corpus
-    * never shuffles for the rebuild. Rounds are driver-coordinated
-    * like [[Similarity.kmeansOn]]'s Lloyd's loop, with the word
-    * relation re-materialized per round so plans stay constant-size.
+    * runs before tokenizing). The working set is the WORD-FREQUENCY
+    * table, the standard BPE trick: one initial wordcount collapses
+    * the token stream to (symbol-array, freq) vocabulary rows, and
+    * every later stage — pair counts (freq-weighted sums, identical
+    * totals to counting raw instances), the global argmax (count
+    * desc, then lexicographic pair — a 1-row TakeOrdered, no global
+    * sort), and the greedy left-to-right remerge (a codegen'd
+    * `aggregate` fold with the 1-row winner broadcast) — touches only
+    * vocabulary-sized data. At 100 TB the corpus is scanned ONCE;
+    * merge rounds cost vocabulary passes, not corpus passes. Rounds
+    * are driver-coordinated like [[Similarity.kmeansOn]]'s Lloyd's
+    * loop, with the word relation re-materialized per round so plans
+    * stay constant-size.
     * All counts BIGINT, ties total-ordered: the DuckDB oracle unrolls
     * every round bit-for-bit (same fold, verified greedy-equivalent:
     * pair (a,a) on "aaaa" -> [aa][aa] in both engines). If a round
@@ -489,13 +492,15 @@ object Text {
     require(merges >= 1, s"need merges >= 1, got $merges")
     var words = docs
       .select(explode(toks(col("text"))).as("w"))
-      .select(split(col("w"), "").as("cs"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("cs"), col("freq"))
+      .localCheckpoint(true)
     var out: DataFrame = null
     for (r <- 1 to merges) {
       val top = words
-        .select(explode(bigramStructs(col("cs"))).as("p"))
+        .select(col("freq"), explode(bigramStructs(col("cs"))).as("p"))
         .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("w1"), col("w2"))
         .limit(1)
         .localCheckpoint(true) // 1 row; feeds the output AND the rebuild
@@ -509,7 +514,7 @@ object Text {
                 element_at(acc, -1) === col("w1") && x === col("w2"),
               concat(slice(acc, lit(1), size(acc) - 1),
                 array(concat(col("w1"), col("w2")))))
-              .otherwise(concat(acc, array(x)))).as("cs"))
+              .otherwise(concat(acc, array(x)))).as("cs"), col("freq"))
           .localCheckpoint(true)
     }
     out.orderBy("rank")
