@@ -439,7 +439,39 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** L3c': IVF-Flat with TRAINED coarse centroids — [[simAnnIvf]]'s
+    * "at scale, a seeded k-means" note made real: the inverted lists
+    * are [[kmeansOn]]'s trained cells (k = 8, 2 Lloyd's iterations,
+    * the exact-integer recipe the oracle replays), then exact cosine
+    * rerank within the query's cell. Same plan skeleton as the static
+    * variant — tiny query side broadcast, cell equi-predicate, one
+    * qid-keyed window — with the (vec_id, cell) assignment
+    * checkpointed once so the probe and build sides don't re-run
+    * Lloyd's. */
+  def simAnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cells = kmeansOn(emb).select("vec_id", "cell").localCheckpoint(true)
+    val e = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"), norm2(col("emb")).as("nrm"))
+      .join(cells, "vec_id")
+    val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+      col("nrm").as("qnrm"), col("cell").as("qcell"))
+      .filter(col("qid") < 5)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"),
+        round(dot(col("qemb"), col("emb")) /
+          (col("qnrm") * col("nrm")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_ivf_trained" -> simAnnIvfTrained,
     "sim_topk" -> simTopk,
     "sim_knn_join" -> simKnnJoin,
     "align_bitext" -> alignBitext,
@@ -517,6 +549,21 @@ object Similarity {
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_ann_ivf_trained" ->
+      s"""WITH $kmeansCoreSql,
+         |e AS (SELECT e0.vec_id, e0.embedding,
+         |    sqrt(${sqlDot("e0.embedding", "e0.embedding")}) AS nrm, a2.cell
+         |  FROM embeddings e0 JOIN a2 ON e0.vec_id = a2.vec_id),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm,
+         |    cell AS qcell FROM e WHERE vec_id < 5)
+         |SELECT qid, e.vec_id, e.cell,
+         |  round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) AS cos,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) DESC,
+         |    e.vec_id ASC) AS INT) AS rnk
+         |FROM e JOIN q ON e.cell = qcell AND e.vec_id <> qid
+         |QUALIFY rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
     "cluster_kmeans" ->
       s"""WITH $kmeansCoreSql,
          |sz AS (SELECT cell, COUNT(*) AS n_members FROM a2 GROUP BY cell)
