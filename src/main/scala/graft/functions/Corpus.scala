@@ -96,6 +96,28 @@ object Corpus {
   def sampleBottomk(s: SparkSession, dir: String): DataFrame =
     sampleBottomkOn(Tables.documents(s, dir))
 
+  /** L10b: weight-biased exact-k sample — [[sampleBottomkOn]]'s
+    * affine-hash priority DIVIDED by the row's weight (n_chars), so
+    * heavier documents race with proportionally smaller keys and the
+    * bottom-k favors them; the "sample longer / higher-quality docs
+    * preferentially" job. Deterministic and integer-exact like every
+    * sampler here (u stays under P = 1e9+7, u * 1024 far inside
+    * BIGINT; never rand()): the bias is monotone in weight and
+    * rerun/repartition-stable — when exact proportional-odds sampling
+    * is required, the float A-ExpJ key (-ln u / w) is the textbook
+    * swap, at the cost of float determinism. Same
+    * TakeOrderedAndProject shape: local k per partition, driver
+    * merges, no global sort. */
+  def sampleWeightedOn(docs: DataFrame, k: Int = 64): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"),
+        expr(s"((doc_id % ${Text.P}) * 912367 % ${Text.P} + 40503)" +
+          s" % ${Text.P} * 1024 div greatest(n_chars, 1)").as("pri"))
+      .orderBy("pri", "doc_id").limit(k)
+
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    sampleWeightedOn(Tables.documents(s, dir))
+
   /** Integer inverse-weights for [[corpusMixOn]]: a language with
     * inverse-weight k contributes every k-th slot of the interleaved
     * order — en is spread 4x thinner than the rest (mirrors
@@ -302,6 +324,7 @@ object Corpus {
     "text_pack_sequences" -> textPackSequences,
     "sample_stratified" -> sampleStratified,
     "sample_bottomk" -> sampleBottomk,
+    "sample_weighted" -> sampleWeighted,
     "sample_domain_cap" -> sampleDomainCap,
     "corpus_coverage_cap" -> corpusCoverageCap,
     "corpus_mix" -> corpusMix,
@@ -337,6 +360,11 @@ object Corpus {
       """SELECT doc_id, lang, source,
         |  ((doc_id % 1000000007) * 912367 % 1000000007 + 40503)
         |    % 1000000007 AS pri
+        |FROM documents ORDER BY pri, doc_id LIMIT 64""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |  CAST(((doc_id % 1000000007) * 912367 % 1000000007 + 40503)
+        |    % 1000000007 * 1024 // greatest(n_chars, 1) AS BIGINT) AS pri
         |FROM documents ORDER BY pri, doc_id LIMIT 64""".stripMargin,
     "text_pack_sequences" ->
       s"""WITH base AS (

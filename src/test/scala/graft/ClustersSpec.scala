@@ -73,6 +73,22 @@ class ClustersSpec extends SparkSpecBase {
     }
   }
 
+  test("alternating star equals propagation on seeded random multigraphs " +
+    "(self-loops, duplicates, isolated pairs included)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 60
+      val edges = (1 to 120)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .toDF("da", "db")
+      val prop = functions.Clusters.connectedComponentsOn(edges)
+        .as[(Long, Long)].collect().toSet
+      val star = functions.Clusters.connectedComponentsAltStarOn(edges)
+        .as[(Long, Long)].collect().toSet
+      assert(star == prop)
+    }
+  }
+
   test("alternating star converges in few rounds on a long chain " +
     "(maxIter far below the diameter suffices)") {
     // 200-node chain, diameter 199: O(log n) rounds means maxIter 10

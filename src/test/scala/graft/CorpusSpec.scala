@@ -205,6 +205,25 @@ class CorpusSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("L10b weighted sample: k rows, repartition-invariant, biased " +
+    "toward heavy docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val a = functions.Corpus.sampleWeightedOn(docs, 64)
+      .select("doc_id").as[Long].collect().toSeq
+    val b = functions.Corpus.sampleWeightedOn(docs.repartition(13), 64)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b && a.size == 64 && a.distinct.size == 64)
+    // the weight bias is the point: the weighted sample's mean doc
+    // length must exceed the uniform sample's (same k, same corpus)
+    val wMean = functions.Corpus.sampleWeightedOn(docs, 64)
+      .agg(avg("n_chars")).as[Double].head()
+    val uMean = docs.join(
+        functions.Corpus.sampleBottomkOn(docs, 64).select("doc_id"), "doc_id")
+      .agg(avg("n_chars")).as[Double].head()
+    assert(wMean > uMean, s"weighted mean $wMean <= uniform mean $uMean")
+  }
+
   test("L7c coverage cap: hand-checked nucleus boundary, largest source " +
     "always kept, corpus invariants") {
     import org.apache.spark.sql.functions._

@@ -313,6 +313,26 @@ class DedupSimSpec extends SparkSpecBase {
     hs.unpersist()
   }
 
+  test("prefix filter equals brute force on seeded random word-soup " +
+    "corpora (small vocab forces shingle collisions)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    (1 to 3).foreach { _ =>
+      val docs = (0 until 30).map { i =>
+        val len = 4 + rnd.nextInt(8)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val hs = functions.Dedup.shingleHashesOf(docs).persist()
+      val ground = functions.Dedup
+        .dedupNgramOn(hs, threshold = 0.8, maxDf = Int.MaxValue)
+        .collect().map(_.toString).toSet
+      val pf = functions.Dedup.dedupPrefixFilterOn(hs)
+        .collect().map(_.toString).toSet
+      assert(pf == ground)
+      hs.unpersist()
+    }
+  }
+
   test("prefix bound keeps every >=0.8 pair on an adversarial fixture " +
     "where the rare-prefix shingles are the only overlap evidence") {
     // two near-dup docs sharing all but one token + a decoy sharing
