@@ -320,6 +320,36 @@ object Corpus {
   def corpusCoverageCap(s: SparkSession, dir: String): DataFrame =
     corpusCoverageCapOn(Tables.documents(s, dir))
 
+  /** L20: key-skew profiler — the pre-shuffle diagnostic a 100 TB
+    * join plan starts from: per-key frequencies of a prospective
+    * join/partition key, the top-k heaviest keys with their integer
+    * ppm share of the table. This is what decides between a plain
+    * shuffle join, salting ([[graft.operators.Joins.joinSalted]]),
+    * and AQE skew splitting. Shape: one map-side-combined hash agg
+    * over the key space, then `orderBy.limit(k)` which Spark plans as
+    * TakeOrderedAndProject (per-partition top-k + driver merge of
+    * k-row heads — never a global sort). The only window runs over
+    * the k survivors, and the grand total crosses as a broadcast
+    * 1-row relation — nothing driver-side, nothing key-space-sized
+    * past the first agg. share_ppm is integer `div` (never a float
+    * ratio) so the oracle replays bit-exactly. */
+  def profileSkewOn(df: DataFrame, key: String, topK: Int): DataFrame = {
+    require(topK > 0, s"need topK > 0, got $topK")
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+    val total = df.agg(count(lit(1)).as("total"))
+    // k rows only — the global window is bounded by topK, not by keys
+    val w = Window.orderBy(col("n_rows").desc, col(key).asc)
+    counts.orderBy(col("n_rows").desc, col(key).asc).limit(topK)
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col(key), col("n_rows"),
+        expr("CAST(n_rows * 1000000 div total AS BIGINT)").as("share_ppm"))
+      .orderBy("rnk")
+  }
+
+  def profileSkew(s: SparkSession, dir: String): DataFrame =
+    profileSkewOn(Tables.events(s, dir), "user_id", 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack_sequences" -> textPackSequences,
     "sample_stratified" -> sampleStratified,
@@ -329,6 +359,7 @@ object Corpus {
     "corpus_coverage_cap" -> corpusCoverageCap,
     "corpus_mix" -> corpusMix,
     "profile_stats" -> profileStats,
+    "profile_skew" -> profileSkew,
     "quality_audit" -> qualityAudit,
     "text_decontaminate" -> textDecontaminate,
   )
@@ -398,6 +429,18 @@ object Corpus {
         |SELECT doc_id, lang, rn,
         |  rn * CAST(CASE lang WHEN 'en' THEN 4 ELSE 1 END AS BIGINT) AS pos
         |FROM ranked ORDER BY pos, lang, doc_id""".stripMargin,
+    "profile_skew" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n_rows
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT COUNT(*) AS total FROM events),
+        |top AS (SELECT user_id, n_rows FROM c
+        |  ORDER BY n_rows DESC, user_id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, user_id)
+        |    AS INT) AS rnk,
+        |  user_id, n_rows,
+        |  CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm
+        |FROM top CROSS JOIN t
+        |ORDER BY rnk""".stripMargin,
     "profile_stats" ->
       """WITH d AS (SELECT * FROM documents)
         |SELECT * FROM (

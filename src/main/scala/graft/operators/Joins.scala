@@ -223,6 +223,47 @@ object Joins {
       .orderBy("band")
   }
 
+  /** J13: Bloom-pruned join — the runtime-filter pattern (Spark's
+    * `spark.sql.optimizer.runtimeFilter.bloomFilter` injects exactly
+    * this shape) spelled declaratively so the plan is visible and
+    * engine-portable. Build side: the filtered dim's keys are hashed
+    * by k=3 affine functions mod M=65536; the distinct set-bit
+    * positions (≤ 3·|dim| rows, tiny) stand in for the bit array.
+    * Probe side: the fact table computes the same 3 positions and
+    * must survive three broadcast LEFT SEMI joins — bloom-positive
+    * rows only then reach the exact join, which removes the false
+    * positives. At 100 TB the win is that the fact table is pruned
+    * map-side BEFORE any shuffle or join build: only
+    * |fact ∩ bloom-positive| rows ever carry the wide payload
+    * columns. The oracle is the plain exact join — the bloom stage is
+    * lossless by construction (no false negatives), so the hash gate
+    * doubles as the completeness proof, same trick as
+    * dedup_prefix_filter. */
+  def joinBloom(s: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    val M = 65536L
+    def pos(key: org.apache.spark.sql.Column, j: Int) =
+      pmod(pmod(key, lit(P)) * lit(2L * j + 3) + lit(97L * j + 31), lit(P)) % lit(M)
+    val dim = Tables.part(s, dir).filter(col("p_size") >= 45)
+      .select(col("p_partkey"), col("p_brand"))
+    val bits = (0 until 3)
+      .map(j => dim.select(pos(col("p_partkey"), j).as("bitpos")))
+      .reduce(_ union _).distinct()
+    val probed = (0 until 3).foldLeft(
+      Tables.lineitem(s, dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")) {
+      (df, j) =>
+        df.join(broadcast(bits), pos(col("l_partkey"), j) === col("bitpos"),
+          "left_semi")
+    }
+    probed.join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"),
+        Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+      .orderBy("p_brand")
+  }
+
   /** J9: LEFT OUTER — every customer with its order count (0 kept). */
   def joinLeftOuter(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -303,6 +344,7 @@ object Joins {
     "join_asof" -> joinAsof,
     "join_asof_forward" -> joinAsofForward,
     "join_salted" -> joinSalted,
+    "join_bloom" -> joinBloom,
     "join_range_bucketed" -> joinRangeBucketed,
     "join_left_outer" -> joinLeftOuter,
     "join_full_outer" -> joinFullOuter,
@@ -333,6 +375,12 @@ object Joins {
         |       ELSE 'update' END AS merge_op
         |FROM base FULL OUTER JOIN chg ON o_orderkey = u_orderkey
         |ORDER BY COALESCE(u_orderkey, o_orderkey)""".stripMargin,
+    "join_bloom" ->
+      """SELECT p_brand, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size >= 45
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "join_left_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
         |  CAST(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

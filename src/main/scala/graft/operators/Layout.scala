@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators — the write-side half of scan performance.
+  *
+  * At 100 TB the scan cost of every query in this catalog is decided
+  * before the query runs, by how rows were laid out into files: data
+  * skipping (parquet footer min/max, Delta/Iceberg file stats) can
+  * only prune a file whose value ranges are NARROW. These operators
+  * compute the layout assignment itself (Morton/Z-order interleave —
+  * the ORDER BY of a Delta `OPTIMIZE ZORDER BY` rewrite) and measure
+  * its effect (files touched by a predicate under each layout), all
+  * in exact integer arithmetic so the DuckDB oracle replays the
+  * values bit-for-bit.
+  *
+  * Everything is a plain aggregate over a map-side projection: the
+  * layout assignment is per-row arithmetic (no shuffle), the stats
+  * are one hash agg keyed by file id (bounded by the file count, not
+  * the row count).
+  */
+object Layout {
+
+  /** Rows per z-run mapped into one target file (64 codes ≈ 64 files
+    * over the 12-bit z space of the quantized lineitem dims). */
+  val ZFileWidth = 64L
+
+  /** Morton/Z-order interleave of two 8-bit codes: bit i of `x` lands
+    * at position 2i, bit i of `y` at 2i+1. Unrolled shift-and-mask —
+    * stays inside whole-stage codegen (pure integer ops, no UDF). */
+  def zval(x: Column, y: Column): Column =
+    (0 until 8).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  // quantized 2-D point per lineitem row: qx = whole-unit quantity
+  // (1..50), qy = discount in integer percent (0..10). floor() is
+  // spelled explicitly — a bare CAST(double AS BIGINT) truncates in
+  // Spark but rounds half-even in DuckDB.
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      floor(col("l_quantity")).cast("long").as("qx"),
+      floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("qy"))
+
+  /** L21a: Z-order layout assignment — every row gets its Morton code
+    * over (quantity, discount%) and a target file id (contiguous
+    * z-runs of [[ZFileWidth]] codes); output is the per-file stats
+    * relation a lakehouse manifest would record (row count, min/max
+    * of both dims). The tight per-file min/max ranges ARE the point:
+    * they are what lets a scan skip files for predicates on EITHER
+    * dimension. */
+  def layoutZorder(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir)
+      .withColumn("z", zval(col("qx"), col("qy")))
+      .select(col("qx"), col("qy"), expr(s"z div $ZFileWidth").as("file_id"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("qx").as("min_q"), max("qx").as("max_q"),
+        min("qy").as("min_d"), max("qy").as("max_d"))
+      .orderBy("file_id")
+
+  /** L21b: data-skipping effectiveness — the measurement that
+    * justifies [[layoutZorder]]: build per-file min/max stats under
+    * two layouts (z-order vs single-column clustering by quantity),
+    * then count how many files three canonical predicates touch
+    * (a quantity range, a discount range, and the 2-D box). A file is
+    * touched when its [min,max] interval overlaps the predicate —
+    * exactly the footer-stats pruning rule. Single-column layout
+    * prunes the quantity query and nothing else; z-order prunes
+    * both dimensions. Output is one row per layout. */
+  def layoutSkipping(s: SparkSession, dir: String): DataFrame = {
+    val pts = quantized(s, dir)
+    def stats(assigned: DataFrame, layout: String): DataFrame =
+      assigned.groupBy("file_id")
+        .agg(min("qx").as("min_q"), max("qx").as("max_q"),
+          min("qy").as("min_d"), max("qy").as("max_d"))
+        .select(lit(layout).as("layout"), col("min_q"), col("max_q"),
+          col("min_d"), col("max_d"))
+    val zed = stats(
+      pts.withColumn("z", zval(col("qx"), col("qy")))
+        .select(col("qx"), col("qy"),
+          expr(s"z div $ZFileWidth").as("file_id")),
+      "zorder")
+    val single = stats(pts.withColumn("file_id", col("qx")), "single")
+    val touchedQ = col("min_q") <= 20 && col("max_q") >= 10
+    val touchedD = col("min_d") <= 4 && col("max_d") >= 2
+    zed.unionByName(single)
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        count(when(touchedQ, 1)).as("files_q_range"),
+        count(when(touchedD, 1)).as("files_d_range"),
+        count(when(touchedQ && touchedD, 1)).as("files_box"))
+      .orderBy("layout")
+  }
+
+  // DuckDB mirror of [[zval]] over columns named qx/qy
+  private val zSql: String = (0 until 8).map { i =>
+    s"((qx >> $i) & 1) * ${1L << (2 * i)} + ((qy >> $i) & 1) * ${1L << (2 * i + 1)}"
+  }.mkString(" + ")
+
+  private val qSql: String =
+    """SELECT CAST(floor(l_quantity) AS BIGINT) AS qx,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS qy
+      |  FROM lineitem""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> layoutZorder,
+    "layout_skipping" -> layoutSkipping,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "layout_zorder" ->
+      s"""WITH q AS ($qSql),
+         |z AS (SELECT qx, qy,
+         |    CAST(($zSql) // $ZFileWidth AS BIGINT) AS file_id
+         |  FROM q)
+         |SELECT file_id, COUNT(*) AS n_rows,
+         |  MIN(qx) AS min_q, MAX(qx) AS max_q,
+         |  MIN(qy) AS min_d, MAX(qy) AS max_d
+         |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin,
+    "layout_skipping" ->
+      s"""WITH q AS ($qSql),
+         |zs AS (SELECT 'zorder' AS layout,
+         |    MIN(qx) AS min_q, MAX(qx) AS max_q,
+         |    MIN(qy) AS min_d, MAX(qy) AS max_d
+         |  FROM (SELECT qx, qy,
+         |      CAST(($zSql) // $ZFileWidth AS BIGINT) AS file_id FROM q)
+         |  GROUP BY file_id),
+         |ss AS (SELECT 'single' AS layout,
+         |    MIN(qx) AS min_q, MAX(qx) AS max_q,
+         |    MIN(qy) AS min_d, MAX(qy) AS max_d
+         |  FROM q GROUP BY qx),
+         |u AS (SELECT * FROM zs UNION ALL SELECT * FROM ss)
+         |SELECT layout, COUNT(*) AS n_files,
+         |  COUNT(CASE WHEN min_q <= 20 AND max_q >= 10 THEN 1 END)
+         |    AS files_q_range,
+         |  COUNT(CASE WHEN min_d <= 4 AND max_d >= 2 THEN 1 END)
+         |    AS files_d_range,
+         |  COUNT(CASE WHEN min_q <= 20 AND max_q >= 10
+         |    AND min_d <= 4 AND max_d >= 2 THEN 1 END) AS files_box
+         |FROM u GROUP BY layout ORDER BY layout""".stripMargin,
+  )
+}
