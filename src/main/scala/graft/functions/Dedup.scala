@@ -113,6 +113,51 @@ object Dedup {
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     dedupExactOn(Tables.documents(s, dir))
 
+  /** L1b: URL-canonicalization dedup — the cheapest dedup pass a
+    * crawl-derived corpus runs, BEFORE any content hashing: the same
+    * page fetched as http/https, with/without `www.`, with a trailing
+    * slash, or with tracking params is one document. Canonical form =
+    * strip scheme, strip `www.`, drop `utm_*` params, collapse the
+    * trailing slash; keeper = min doc_id per canonical URL. Map-only
+    * string normalization (anchored regex + literal replace, all
+    * codegen'd built-ins) feeding one hash agg — the same shape as
+    * [[dedupExactOn]], so it shards identically at 100 TB.
+    *
+    * The testdata has no URL column (same situation as
+    * [[graft.operators.Analytics.fnUrl]]), so the raw URLs are
+    * constructed deterministically from catalog columns with the
+    * noise injected by doc_id residues: scheme flips on %3, `www.` on
+    * %2, trailing slash on %7, a utm param on %5 — canonicalization
+    * must erase all four axes, and the group key (source, lang,
+    * doc_id%25) plants real duplicate classes for the gate to count.
+    */
+  def dedupUrlOn(urls: DataFrame): DataFrame =
+    urls
+      .withColumn("curl",
+        replace(
+          replace(
+            regexp_replace(
+              regexp_replace(col("url"), "^https?://", ""),
+              "^www\\.", ""),
+            lit("utm_source=feed&"), lit("")),
+          lit("/?"), lit("?")))
+      .groupBy("curl")
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("curl")
+
+  def dedupUrl(s: SparkSession, dir: String): DataFrame =
+    dedupUrlOn(Tables.documents(s, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 3 === 0, "http://").otherwise("https://"),
+        when(col("doc_id") % 2 === 0, "www.").otherwise(""),
+        col("source"), lit(".example.com/"), col("lang"), lit("/item-"),
+        pmod(col("doc_id"), lit(25)),
+        when(col("doc_id") % 7 === 0, "/").otherwise(""),
+        lit("?"),
+        when(col("doc_id") % 5 === 0, "utm_source=feed&").otherwise(""),
+        lit("ref=item"), pmod(col("doc_id"), lit(25))).as("url")))
+
   /** L2: MinHash + LSH banding, then exact-Jaccard verification of the
     * banded candidates (jac >= threshold), over a (doc_id, hs)
     * shingle-hash relation (see [[shingleHashesOf]]). */
@@ -546,6 +591,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_url" -> dedupUrl,
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
@@ -603,6 +649,23 @@ object Dedup {
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY keeper_doc_id""".stripMargin,
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+        |  source || '.example.com/' || lang || '/item-' || (doc_id % 25) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) || '?' ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN 'utm_source=feed&' ELSE '' END) ||
+        |  'ref=item' || (doc_id % 25) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  replace(replace(
+        |    regexp_replace(regexp_replace(url, '^https?://', ''),
+        |      '^www\.', ''),
+        |    'utm_source=feed&', ''), '/?', '?') AS curl
+        |  FROM u)
+        |SELECT curl, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+        |FROM c GROUP BY curl ORDER BY curl""".stripMargin,
     "dedup_minhash" ->
       s"""$minhashCoreSql
          |SELECT da, db,

@@ -143,6 +143,40 @@ object Similarity {
       emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"), 5)
   }
 
+  /** L3f: radius (range) search — ALL corpus neighbors within a
+    * cosine threshold of each query vector, the other half of the
+    * similarity-search API surface next to [[topkCosineOn]]'s fixed-k
+    * answer (retrieval wants top-k; dedup/contamination sweeps want
+    * "everything closer than τ"). Same scale shape as top-k: the
+    * query side broadcasts, the corpus stays a map-only scan — but
+    * with NO window at all, since radius needs no per-query ranking:
+    * filter replaces rank, so the whole probe is one codegen'd
+    * map stage. Cos is rounded at the contract boundary (4 dp) and
+    * the filter applies to the ROUNDED value, so the boundary set is
+    * identical in both engines. */
+  def rangeSearchOn(corpus: DataFrame, queries: DataFrame, tau: Double,
+      excludeSelf: Boolean = true): DataFrame = {
+    val e = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"), norm2(col("emb")).as("nrm"))
+    val q = queries
+      .select(col("qid"), col("embedding").cast("array<double>").as("qemb"))
+      .select(col("qid"), col("qemb"), norm2(col("qemb")).as("qnrm"))
+    e.join(broadcast(q),
+        if (excludeSelf) col("vec_id") =!= col("qid") else lit(true))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qemb"), col("emb")) /
+          (col("qnrm") * col("nrm")), 4).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy("qid", "vec_id")
+  }
+
+  def simRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    rangeSearchOn(emb,
+      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"), 0.2)
+  }
+
   /** Exact cosine over every vector pair selected by `pairPred`,
     * routed through a G x G block grid: BOTH sides replicate against
     * the broadcast grid so the shuffle key is the full (gi, gj) cell —
@@ -473,6 +507,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_ivf_trained" -> simAnnIvfTrained,
     "sim_topk" -> simTopk,
+    "sim_range_search" -> simRangeSearch,
     "sim_knn_join" -> simKnnJoin,
     "align_bitext" -> alignBitext,
     "sim_ann_lsh" -> simAnnLsh,
@@ -632,6 +667,16 @@ object Similarity {
          |FROM e JOIN q ON vec_id <> qid
          |QUALIFY rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+    "sim_range_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |      FROM e WHERE vec_id < 5)
+         |SELECT qid, vec_id,
+         |  round(${sqlDot("qemb", "embedding")} / (qnrm * nrm), 4) AS cos
+         |FROM e JOIN q ON vec_id <> qid
+         |WHERE round(${sqlDot("qemb", "embedding")} / (qnrm * nrm), 4) >= 0.2
+         |ORDER BY qid, vec_id""".stripMargin,
     "sim_ann_lsh" ->
       s"""WITH $bucketSql,
          |cand AS (SELECT DISTINCT qb.vec_id AS qid, bk.vec_id
