@@ -488,12 +488,18 @@ object Text {
     * pair (a,a) on "aaaa" -> [aa][aa] in both engines). If a round
     * has no remaining pair the surviving rounds are emitted and the
     * rest degrade to zero rows — identically in the oracle. */
-  def textBpeMergesOn(docs: DataFrame, merges: Int = 3): DataFrame = {
+  /** Shared BPE induction loop over the word-frequency table: returns
+    * (ranked merges, final word relation (w, cs, freq)). `remergeLast`
+    * skips the final vocabulary rebuild when only the merge LIST is
+    * needed ([[textBpeMergesOn]]); the encoder needs the rebuilt
+    * vocabulary after every round. */
+  private def bpeLoop(docs: DataFrame, merges: Int,
+      remergeLast: Boolean): (DataFrame, DataFrame) = {
     require(merges >= 1, s"need merges >= 1, got $merges")
     var words = docs
       .select(explode(toks(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(split(col("w"), "").as("cs"), col("freq"))
+      .select(col("w"), split(col("w"), "").as("cs"), col("freq"))
       .localCheckpoint(true)
     var out: DataFrame = null
     for (r <- 1 to merges) {
@@ -507,9 +513,9 @@ object Text {
       val ranked = top.select(lit(r).as("rank"), col("w1"), col("w2"),
         col("cnt"))
       out = if (out == null) ranked else out.unionByName(ranked)
-      if (r < merges)
+      if (r < merges || remergeLast)
         words = words.crossJoin(broadcast(top.select("w1", "w2")))
-          .select(aggregate(col("cs"), array().cast("array<string>"),
+          .select(col("w"), aggregate(col("cs"), array().cast("array<string>"),
             (acc, x) => when(size(acc) > 0 &&
                 element_at(acc, -1) === col("w1") && x === col("w2"),
               concat(slice(acc, lit(1), size(acc) - 1),
@@ -517,16 +523,44 @@ object Text {
               .otherwise(concat(acc, array(x)))).as("cs"), col("freq"))
           .localCheckpoint(true)
     }
-    out.orderBy("rank")
+    (out.orderBy("rank"), words)
   }
+
+  def textBpeMergesOn(docs: DataFrame, merges: Int = 3): DataFrame =
+    bpeLoop(docs, merges, remergeLast = false)._1
 
   def textBpeMerges(s: SparkSession, dir: String): DataFrame =
     textBpeMergesOn(Tables.documents(s, dir))
+
+  /** L4o: BPE tokenizer APPLY — encode every document with the merges
+    * [[textBpeMergesOn]] just induced, closing the tokenizer loop
+    * (train → encode → count): per doc, the whitespace token count
+    * and the subword-symbol count after the merge rounds. The apply
+    * is vocabulary-level — each UNIQUE word is encoded once (the
+    * merge fold runs over the word table, never the token stream),
+    * then the token stream joins the (word → n_sym) encode table and
+    * aggregates per doc. At 100 TB that join shuffles on the word —
+    * Zipf-skewed, but the encode side is one row per word and the
+    * stream side carries two longs, and AQE skew-split handles the
+    * hot words; the corpus text itself is scanned exactly once. */
+  def textBpeEncodeOn(docs: DataFrame, merges: Int = 3): DataFrame = {
+    val words = bpeLoop(docs, merges, remergeLast = true)._2
+    val enc = words.select(col("w"), size(col("cs")).cast("long").as("n_sym"))
+    docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .join(enc, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sym")).as("n_symbols"))
+      .orderBy("doc_id")
+  }
+
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame =
+    textBpeEncodeOn(Tables.documents(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_chunk" -> textChunk,
     "text_lm_score" -> textLmScore,
     "text_bpe_merges" -> textBpeMerges,
+    "text_bpe_encode" -> textBpeEncode,
     "text_repetition" -> textRepetition,
     "dedup_normalized" -> dedupNormalized,
     "text_pii_mask" -> textPiiMask,
@@ -569,7 +603,39 @@ object Text {
        |      ELSE list_concat(acc, x) END) AS cs
        |  FROM $prev, m$i)""".stripMargin
 
+  /** One unrolled VOCABULARY-level BPE round for the encode oracle:
+    * freq-weighted pair counts (identical totals to instance counts,
+    * so the same winner as [[bpeRoundSql]]), then the fold rebuilds
+    * every unique word — mirroring [[bpeLoop]] with remergeLast. */
+  private def bpeVocabRoundSql(i: Int, prev: String): String =
+    s"""p$i AS (SELECT cs[r.i] AS w1, cs[r.i + 1] AS w2,
+       |    CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM $prev, UNNEST(range(1, len(cs))) r(i) GROUP BY 1, 2),
+       |n$i AS (SELECT w1, w2 FROM p$i ORDER BY cnt DESC, w1, w2 LIMIT 1),
+       |v$i AS (SELECT w, list_reduce(
+       |    list_concat([CAST([] AS VARCHAR[])], list_transform(cs, c -> [c])),
+       |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = n$i.w1
+       |        AND x[1] = n$i.w2
+       |      THEN list_concat(acc[1:len(acc)-1], [n$i.w1 || n$i.w2])
+       |      ELSE list_concat(acc, x) END) AS cs, freq
+       |  FROM $prev, n$i)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_encode" ->
+      s"""WITH v0 AS (SELECT w, string_split(w, '') AS cs,
+         |    CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w),
+         |${bpeVocabRoundSql(1, "v0")},
+         |${bpeVocabRoundSql(2, "v1")},
+         |${bpeVocabRoundSql(3, "v2")},
+         |enc AS (SELECT w, CAST(len(cs) AS BIGINT) AS n_sym FROM v3),
+         |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_sym) AS BIGINT) AS n_symbols
+         |FROM t JOIN enc USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_bpe_merges" ->
       s"""WITH w0 AS (SELECT string_split(w, '') AS cs
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
