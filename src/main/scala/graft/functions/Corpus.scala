@@ -320,6 +320,35 @@ object Corpus {
   def corpusCoverageCap(s: SparkSession, dir: String): DataFrame =
     corpusCoverageCapOn(Tables.documents(s, dir))
 
+  /** L8b: curriculum quality binning — per-language quartiles of a
+    * quality signal (here n_chars, the same proxy
+    * [[sampleWeightedOn]] biases by), with per-bin mass stats: the
+    * bucketing step of curriculum schedules ("train on the top
+    * quartile first") and of quality-stratified mixes. NTILE runs in
+    * a per-language window — languages bin independently in
+    * parallel, so the sort is per-shard, never global. When even a
+    * per-language sort is too big (one language dominating 100 TB),
+    * the implemented swap is boundary-based bucketing via the
+    * GK-sketch percentile mode that
+    * [[graft.functions.Text.qualityFilterRelativeOn]] (approxAccuracy)
+    * already ships: compute 3 boundaries, bucket map-side. Exact
+    * NTILE is kept here because it is the oracle-replayable form. */
+  def corpusQualityBinsOn(docs: DataFrame, bins: Int = 4): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("bin", ntile(bins).over(w))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("lang", "bin")
+  }
+
+  def corpusQualityBins(s: SparkSession, dir: String): DataFrame =
+    corpusQualityBinsOn(Tables.documents(s, dir))
+
   /** L20: key-skew profiler — the pre-shuffle diagnostic a 100 TB
     * join plan starts from: per-key frequencies of a prospective
     * join/partition key, the top-k heaviest keys with their integer
@@ -357,6 +386,7 @@ object Corpus {
     "sample_weighted" -> sampleWeighted,
     "sample_domain_cap" -> sampleDomainCap,
     "corpus_coverage_cap" -> corpusCoverageCap,
+    "corpus_quality_bins" -> corpusQualityBins,
     "corpus_mix" -> corpusMix,
     "profile_stats" -> profileStats,
     "profile_skew" -> profileSkew,
@@ -429,6 +459,15 @@ object Corpus {
         |SELECT doc_id, lang, rn,
         |  rn * CAST(CASE lang WHEN 'en' THEN 4 ELSE 1 END AS BIGINT) AS pos
         |FROM ranked ORDER BY pos, lang, doc_id""".stripMargin,
+    "corpus_quality_bins" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars,
+        |    CAST(ntile(4) OVER (PARTITION BY lang
+        |      ORDER BY n_chars ASC, doc_id ASC) AS INT) AS bin
+        |  FROM documents)
+        |SELECT lang, bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
     "profile_skew" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS n_rows
         |  FROM events GROUP BY user_id),

@@ -430,6 +430,29 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** L3h: ANN recall evaluation — "measure, don't guess" applied to
+    * the engine's own approximate path: per query, how many of the
+    * exact top-k ([[simTopk]]) the LSH path ([[simAnnLsh]]) actually
+    * returned. This is the accept/reject gate every production ANN
+    * rollout runs before swapping exact search out; keeping it in the
+    * catalog means the bucket count / plane count tuning has a
+    * first-class measurement. Cost shape: both sides are the already-
+    * scale-safe query plans (broadcast query side); the eval adds one
+    * tiny (5·k rows) join + agg on top. recall_pct is integer
+    * arithmetic, never a float ratio. */
+  def simAnnRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val exact = simTopk(s, dir).select(col("qid"), col("vec_id"))
+    val ann = simAnnLsh(s, dir).select(col("qid"), col("vec_id"))
+    val hits = exact.join(ann, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left_outer")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        expr("CAST(n_hit * 100 div n_exact AS BIGINT)").as("recall_pct"))
+      .orderBy("qid")
+  }
+
   val CELLS = 16 // IVF coarse cells
 
   /** L3c: IVF-Flat — coarse quantization into CELLS inverted lists,
@@ -511,6 +534,7 @@ object Similarity {
     "sim_knn_join" -> simKnnJoin,
     "align_bitext" -> alignBitext,
     "sim_ann_lsh" -> simAnnLsh,
+    "sim_ann_recall_eval" -> simAnnRecallEval,
     "sim_ann_ivf" -> simAnnIvf,
     "cluster_kmeans" -> clusterKmeans,
     "sample_cluster_balanced" -> sampleClusterBalanced,
@@ -677,6 +701,42 @@ object Similarity {
          |FROM e JOIN q ON vec_id <> qid
          |WHERE round(${sqlDot("qemb", "embedding")} / (qnrm * nrm), 4) >= 0.2
          |ORDER BY qid, vec_id""".stripMargin,
+    "sim_ann_recall_eval" ->
+      s"""WITH $bucketSql,
+         |cand AS (SELECT DISTINCT qb.vec_id AS qid, bk.vec_id
+         |  FROM bk JOIN (SELECT * FROM bk WHERE vec_id < 5) qb
+         |    ON bk.t = qb.t AND bk.bucket = qb.bucket
+         |  WHERE bk.vec_id <> qb.vec_id),
+         |e AS (SELECT e0.vec_id, e0.embedding,
+         |    sqrt(${sqlDot("e0.embedding", "e0.embedding")}) AS nrm
+         |  FROM embeddings e0),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |  FROM e WHERE vec_id < 5),
+         |ann AS (SELECT qid, vec_id FROM (
+         |  SELECT cand.qid, cand.vec_id,
+         |    CAST(row_number() OVER (PARTITION BY cand.qid
+         |      ORDER BY round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) DESC,
+         |      cand.vec_id ASC) AS INT) AS rnk
+         |  FROM cand JOIN e ON cand.vec_id = e.vec_id
+         |  JOIN q ON cand.qid = q.qid)
+         |  WHERE rnk <= 5),
+         |exact AS (SELECT qid, vec_id FROM (
+         |  SELECT q.qid, e.vec_id,
+         |    CAST(row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) DESC,
+         |      e.vec_id ASC) AS INT) AS rnk
+         |  FROM e JOIN q ON e.vec_id <> q.qid)
+         |  WHERE rnk <= 5),
+         |hits AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM exact JOIN ann USING (qid, vec_id) GROUP BY qid),
+         |ex AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM exact GROUP BY qid)
+         |SELECT ex.qid, ex.n_exact,
+         |  CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(hits.n_hit, 0) * 100 // ex.n_exact AS BIGINT)
+         |    AS recall_pct
+         |FROM ex LEFT JOIN hits USING (qid)
+         |ORDER BY ex.qid""".stripMargin,
     "sim_ann_lsh" ->
       s"""WITH $bucketSql,
          |cand AS (SELECT DISTINCT qb.vec_id AS qid, bk.vec_id

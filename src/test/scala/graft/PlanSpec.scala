@@ -205,6 +205,27 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("join_bloom: three broadcast semi probes prune map-side, no cartesian") {
+    // the bloom stage must be broadcast semi joins (fact side never
+    // shuffles to be pruned) and the exact join a broadcast hash join
+    val p = plan(operators.Joins.joinBloom(spark, sf))
+    assert("LeftSemi".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("profile_skew: heavy-key top-k is TakeOrderedAndProject, window bounded by k") {
+    val p = plan(functions.Corpus.profileSkew(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("layout ops: pure map arithmetic + bounded aggs, no joins at all") {
+    val pz = plan(operators.Layout.layoutZorder(spark, sf))
+    assert(!pz.contains("Join"), pz)
+    val ps = plan(operators.Layout.layoutSkipping(spark, sf))
+    assert(!ps.contains("Join"), ps)
+  }
+
   test("dedup_embedding_lsh: bucket equi-joins only, never a cross product") {
     val p = plan(functions.Dedup.dedupEmbeddingLsh(spark, sf))
     assert(!p.contains("CartesianProduct") &&
