@@ -131,16 +131,22 @@ object Dedup {
     * must erase all four axes, and the group key (source, lang,
     * doc_id%25) plants real duplicate classes for the gate to count.
     */
+  /** Canonical form of a crawl URL: scheme and `www.` stripped,
+    * `utm_source` tracking param dropped, trailing slash collapsed.
+    * Idempotent (PropertySpec-pinned) — safe to re-apply on already
+    * canonical input, the property incremental crawl merges rely on. */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    replace(
+      replace(
+        regexp_replace(
+          regexp_replace(url, "^https?://", ""),
+          "^www\\.", ""),
+        lit("utm_source=feed&"), lit("")),
+      lit("/?"), lit("?"))
+
   def dedupUrlOn(urls: DataFrame): DataFrame =
     urls
-      .withColumn("curl",
-        replace(
-          replace(
-            regexp_replace(
-              regexp_replace(col("url"), "^https?://", ""),
-              "^www\\.", ""),
-            lit("utm_source=feed&"), lit("")),
-          lit("/?"), lit("?")))
+      .withColumn("curl", canonicalUrl(col("url")))
       .groupBy("curl")
       .agg(min(col("doc_id")).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))

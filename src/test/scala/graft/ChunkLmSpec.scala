@@ -77,6 +77,36 @@ class ChunkLmSpec extends SparkSpecBase {
     assert(got == Seq((1, "a", "a", 2L), (2, "a", "b", 1L)), got.toString)
   }
 
+  test("BPE encode: hand-checked symbol counts after the merge rounds") {
+    // merges on 'low lower lowest' are (l,o), (lo,w), (low,e) — and
+    // the encoder applies ALL three, including the last:
+    // low -> [low] (1), lower -> [lowe, r] (2),
+    // lowest -> [lowe, s, t] (3) => 3 tokens, 6 symbols
+    val docs = Seq((0L, "low lower lowest")).toDF("doc_id", "text")
+    val got = functions.Text.textBpeEncodeOn(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 6L)), got.toString)
+  }
+
+  test("BPE encode bounds: tokens <= symbols <= non-space chars, " +
+    "and more merges never grow the encoding") {
+    import org.apache.spark.sql.functions.{col, length, regexp_replace}
+    val docs = Tables.documents(spark, sf)
+    val chars = docs.select(col("doc_id"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_ch"))
+    val e3 = functions.Text.textBpeEncodeOn(docs)
+    val joined = e3.join(chars, "doc_id").collect()
+    joined.foreach { r =>
+      val (nTok, nSym, nCh) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nTok <= nSym && nSym <= nCh, r.toString)
+    }
+    val e1 = functions.Text.textBpeEncodeOn(docs, merges = 1)
+      .withColumnRenamed("n_symbols", "n_symbols_1")
+    val cmp = e3.join(e1.select("doc_id", "n_symbols_1"), "doc_id")
+      .filter(col("n_symbols") > col("n_symbols_1")).count()
+    assert(cmp == 0L, s"$cmp docs grew with more merges")
+  }
+
   test("lm score on the corpus: one row per >=2-token doc, all finite") {
     val out = functions.Text.textLmScore(spark, sf).cache()
     val nDocs = Tables.documents(spark, sf)

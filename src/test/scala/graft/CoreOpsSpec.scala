@@ -84,6 +84,31 @@ class CoreOpsSpec extends SparkSpecBase {
     assert(left == Seq("a", "c"))
   }
 
+  test("J13 bloom prune is lossless: join_bloom == the plain exact join") {
+    // the bloom stage admits false positives but never false
+    // negatives; the exact join removes the former, so the output
+    // must equal the un-pruned join bit-for-bit
+    val got = operators.Joins.joinBloom(spark, sf).collect().toSeq
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_size") >= 45),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"),
+        Exact.sumRevenue(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+      .orderBy("p_brand").collect().toSeq
+    assert(got == plain)
+  }
+
+  test("zval: Morton interleave is a bijection on the 8-bit x 8-bit grid") {
+    val grid = spark.range(256).select(col("id").as("x"))
+      .crossJoin(spark.range(256).select(col("id").as("y")))
+    val z = grid.select(operators.Layout.zval(col("x"), col("y")).as("z"))
+    assert(z.distinct().count() == 65536L)
+    val mm = z.agg(min("z"), max("z")).head()
+    assert(mm.getLong(0) == 0L && mm.getLong(1) == 65535L)
+  }
+
   test("J7 range join buckets every lineitem exactly once") {
     val n = Tables.lineitem(spark, sf).count()
     val bucketed = operators.Joins.joinRange(spark, sf)

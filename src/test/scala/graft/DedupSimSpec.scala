@@ -418,4 +418,36 @@ class DedupSimSpec extends SparkSpecBase {
       (10L, 20L, 1.0, 0.6, 1.6667),
       (11L, 21L, 0.8, 0.8, 1.0)))
   }
+
+  test("canonicalUrl erases all four noise axes and is idempotent") {
+    import org.apache.spark.sql.functions.col
+    // the same logical page under every combination the catalog
+    // query injects: scheme flip, www., trailing slash, utm param
+    val raw = Seq(
+      "https://www.src0.example.com/es/item-3/?utm_source=feed&ref=item3",
+      "http://src0.example.com/es/item-3?ref=item3",
+      "https://src0.example.com/es/item-3/?ref=item3",
+      "http://www.src0.example.com/es/item-3?utm_source=feed&ref=item3"
+    ).toDF("url")
+    val canon = raw
+      .select(functions.Dedup.canonicalUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(canon.forall(_ == "src0.example.com/es/item-3?ref=item3"), canon)
+    val twice = raw.select(functions.Dedup.canonicalUrl(
+      functions.Dedup.canonicalUrl(col("url"))).as("c"))
+      .as[String].collect().toSeq
+    assert(twice == canon)
+  }
+
+  test("dedup_url partitions the corpus: copies sum to the doc count") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val out = functions.Dedup.dedupUrl(spark, sf)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.agg(sum(col("n_copies"))).as[Long].head() == nDocs)
+    // planted classes: one canonical URL per (source, lang, id%25)
+    val classes = Tables.documents(spark, sf)
+      .select(col("source"), col("lang"), (col("doc_id") % 25).as("m"))
+      .distinct().count()
+    assert(out.count() == classes)
+  }
 }
