@@ -387,7 +387,59 @@ object Clusters {
       semanticPairsClusteredOn(Tables.embeddings(s, dir)).select("da", "db"))
       .withColumnRenamed("doc_id", "vec_id")
 
+  /** L10b: dedup APPLY — the corpus rewrite that consumes
+    * [[clustersOn]]'s verdicts: every document that is either unique
+    * (touched by no near-dup pair) or its cluster's keeper survives;
+    * non-keeper members drop. Output carries n_merged (how many
+    * originals each surviving row absorbs) so downstream mixing can
+    * reweight. Shapes: one left-anti join against the (small)
+    * non-keeper list + one left-outer join against the keeper list —
+    * both keyed on doc_id, both a fraction of the corpus, so the
+    * corpus itself crosses the wire once. This is the step that turns
+    * the pair/cluster analytics into the actual deduplicated
+    * training corpus. */
+  def dedupApplyOn(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val dropped = clusters.filter(!col("is_keeper")).select("doc_id")
+    val keepers = clusters.filter(col("is_keeper"))
+      .select(col("doc_id"), col("n_members"))
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .join(keepers, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("n_members"), lit(1L)).as("n_merged"),
+        when(col("n_members").isNotNull, "keeper").otherwise("unique")
+          .as("status"))
+      .orderBy("doc_id")
+  }
+
+  def dedupApply(s: SparkSession, dir: String): DataFrame =
+    dedupApplyOn(Tables.documents(s, dir), dedupClusters(s, dir))
+
+  /** L18b: degree distribution — the first diagnostic run on any
+    * corpus-derived graph (near-dup graphs, k-NN graphs, link
+    * graphs): node-degree histogram of the undirected edge set. Two
+    * chained map-side-combinable aggs (node -> deg, deg -> count):
+    * the histogram is degree-bounded, the per-node relation is
+    * node-bounded — both shard cleanly at any scale. Hub detection
+    * here is what decides between the plain and degree-ordered
+    * triangle paths ([[triangleCountOn]]). */
+  def graphDegreesOn(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("qid"), col("nid")).as("a"),
+      greatest(col("qid"), col("nid")).as("b")).distinct()
+    und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
+  }
+
+  def graphDegrees(s: SparkSession, dir: String): DataFrame =
+    graphDegreesOn(
+      Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
+        .select("qid", "nid"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_apply" -> dedupApply,
+    "graph_degrees" -> graphDegrees,
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_altstar" -> dedupClustersAltStar,
     "dedup_semantic" -> dedupSemantic,
@@ -413,16 +465,19 @@ object Clusters {
     * CTE (da, db) — the shared oracle tail; fine at oracle corpus
     * scale (component sizes are tiny), where the engine side runs the
     * label-propagation loop instead. `idCol` names the output id. */
+  private val ccCoreSql: String =
+    """pe AS (SELECT da AS a, db AS b FROM pairs
+      |       UNION SELECT db AS a, da AS b FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS node FROM pe),
+      |rr(node, reach) AS (
+      |  SELECT node, node AS reach FROM nodes
+      |  UNION
+      |  SELECT pe.b AS node, rr.reach FROM rr JOIN pe ON pe.a = rr.node),
+      |lbl AS (SELECT node, MIN(reach) AS cluster_id FROM rr GROUP BY node),
+      |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM lbl GROUP BY cluster_id)""".stripMargin
+
   private def ccTailSql(idCol: String): String =
-    s"""pe AS (SELECT da AS a, db AS b FROM pairs
-       |       UNION SELECT db AS a, da AS b FROM pairs),
-       |nodes AS (SELECT DISTINCT a AS node FROM pe),
-       |rr(node, reach) AS (
-       |  SELECT node, node AS reach FROM nodes
-       |  UNION
-       |  SELECT pe.b AS node, rr.reach FROM rr JOIN pe ON pe.a = rr.node),
-       |lbl AS (SELECT node, MIN(reach) AS cluster_id FROM rr GROUP BY node),
-       |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM lbl GROUP BY cluster_id)
+    s"""$ccCoreSql
        |SELECT l.node AS $idCol, l.cluster_id, s.n_members,
        |  l.node = l.cluster_id AS is_keeper
        |FROM lbl l JOIN sz s ON l.cluster_id = s.cluster_id
@@ -464,6 +519,30 @@ object Clusters {
     // identical result contract to dedup_clusters — the oracle is the
     // algorithm-independent reachability closure
     "dedup_clusters_altstar" -> dedupClustersOracle,
+    "dedup_apply" ->
+      s"""${Dedup.minhashCoreSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT da, db
+         |  FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+         |$ccCoreSql
+         |SELECT d.doc_id, d.lang, d.source,
+         |  CAST(CASE WHEN l.node IS NULL THEN 1 ELSE s.n_members END
+         |    AS BIGINT) AS n_merged,
+         |  CASE WHEN l.node IS NULL THEN 'unique' ELSE 'keeper' END AS status
+         |FROM documents d
+         |LEFT JOIN lbl l ON d.doc_id = l.node
+         |LEFT JOIN sz s ON l.cluster_id = s.cluster_id
+         |WHERE l.node IS NULL OR l.node = l.cluster_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "graph_degrees" ->
+      s"""WITH ${Similarity.knnCoreSql},
+         |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,
+         |    GREATEST(qid, nid) AS b FROM knn),
+         |n AS (SELECT a AS node FROM und UNION ALL SELECT b FROM und),
+         |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM n GROUP BY node)
+         |SELECT deg, COUNT(*) AS n_nodes FROM dg
+         |GROUP BY deg ORDER BY deg""".stripMargin,
     "dedup_semantic_clustered" ->
       s"""WITH RECURSIVE ${Similarity.kmeansCoreSql},
          |en AS (SELECT e.vec_id, e.embedding,
