@@ -85,6 +85,17 @@ object ScaleProbe {
       // stream — exactly the regime the MG sketch caps: its shuffle
       // stays k-slot-sized however the vocabulary grows
       "text_heavy_hitters" -> (d => functions.Text.heavyHittersOn(d)),
+      // BPE: induction + apply both work the word-frequency table;
+      // perturbed copies grow the vocabulary k x, so this probes the
+      // vocabulary-pass claim directly
+      "text_bpe_encode" -> (d => functions.Text.textBpeEncodeOn(d)),
+      "corpus_quality_bins" -> (d =>
+        functions.Corpus.corpusQualityBinsOn(
+          d.withColumn("n_chars", length(col("text")).cast("long")))),
+      "dedup_url" -> (d =>
+        functions.Dedup.dedupUrlOn(d.select(col("doc_id"),
+          concat(col("lang"), lit(".example.com/d/"),
+            pmod(col("doc_id"), lit(25))).as("url")))),
       // a deliberately hubby fan graph (one hub wired to every doc,
       // rim path closing a triangle per consecutive id pair): the
       // hub's degree grows k x, so the naive a<b orientation would
