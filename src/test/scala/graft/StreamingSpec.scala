@@ -422,6 +422,55 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.filter(col("v2") =!= col("v") * 2).count() == 0)
   }
 
+  test("T6 foreachBatch CDC: sequential micro-batch merges == one batch merge") {
+    import scala.jdk.CollectionConverters._
+    // the streaming half of merge_upsert: a change feed arrives in
+    // micro-batches and foreachBatch folds each into the base state
+    // with the SAME mergeUpsertOn the batch catalog query uses —
+    // the Delta/Iceberg MERGE streaming-sink pattern on plain parquet
+    val base = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("u_orderkey"),
+        (col("o_totalprice") + 10.0).as("u_totalprice"),
+        lit("U").as("u_status"))
+    val inserts = base.filter(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + 100000000L).as("u_orderkey"),
+        col("o_totalprice").as("u_totalprice"), lit("N").as("u_status"))
+    val work = Files.createTempDirectory("graft_cdc")
+    val feed = work.resolve("feed"); Files.createDirectory(feed)
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = work.resolve(name + "_tmp")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, feed.resolve(name + ".parquet"))
+    }
+    drop(updates, "b0"); drop(inserts, "b1")
+    base.write.parquet(work.resolve("state0").toString)
+    var cur = work.resolve("state0").toString
+    var step = 0
+    val q = spark.readStream.schema(updates.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed.toString)
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val next = work.resolve(s"state${step + 1}").toString
+          operators.Joins.mergeUpsertOn(spark.read.parquet(cur), batch)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.parquet(next)
+          cur = next; step += 1
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(step == 2, s"expected 2 micro-batches, got $step")
+    val streamed = spark.read.parquet(cur)
+      .collect().map(_.toString).toSet
+    val oneShot = operators.Joins
+      .mergeUpsertOn(base, updates.unionByName(inserts))
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .collect().map(_.toString).toSet
+    assert(streamed == oneShot && oneShot.nonEmpty)
+  }
+
   test("T5 streaming dedup by key emits one row per event_id") {
     val q = eventsStream.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
