@@ -174,8 +174,12 @@ object Dedup {
     * pair set BEFORE the exact-Jaccard verification join — the hook
     * [[dedupIncrementalOn]] uses to skip verification work for pairs
     * entirely inside the already-deduped corpus. */
-  private def minhashVerified(hs: DataFrame, threshold: Double,
-      candFilter: DataFrame => DataFrame): DataFrame = {
+  /** Shared signature + band + candidate chain: the (doc_id,
+    * n_shingles, m0..m{K-1}) signature relation and the distinct
+    * banded candidate pairs. Every minhash rung (verify, incremental
+    * prune, signature-only estimate) starts here. */
+  private def minhashSigCands(hs: DataFrame,
+      candFilter: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     // k min-hashes per doc in ONE pass via the custom
     // TypedImperativeAggregate (k-slot buffer), not K separate min()s;
     // same affine family, so the oracle SQL (K MIN columns) still
@@ -200,6 +204,12 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("da"), col("r.doc_id").as("db")))
       .distinct()
+    (sig, cand)
+  }
+
+  private def minhashVerified(hs: DataFrame, threshold: Double,
+      candFilter: DataFrame => DataFrame): DataFrame = {
+    val cand = minhashSigCands(hs, candFilter)._2
     // verify: exact Jaccard over shingle hash sets.
     val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
@@ -219,6 +229,46 @@ object Dedup {
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     dedupMinhashOn(shingleHashes(s, dir))
+
+  /** L2e: signature-only Jaccard ESTIMATE for the banded candidates —
+    * matching-slot fraction of the K minhashes, next to the exact
+    * verified Jaccard for the same pair. At 100 TB this is the rung
+    * that decides whether the verify join runs at all: the estimate
+    * touches only the K-slot signatures (already materialized for
+    * banding — no second corpus scan, no shingle-set join), so a
+    * pipeline that tolerates the K^-1/2 estimator error skips the
+    * most expensive join in the chain. Keeping both columns in one
+    * output makes the estimator's error measurable in-catalog
+    * (the [[Similarity.simAnnRecallEval]] pattern). Integer ppm both
+    * sides — no float ratios cross the gate. */
+  def dedupMinhashEstimateOn(hs: DataFrame): DataFrame = {
+    val (sig, cand) = minhashSigCands(hs, identity)
+    val sigArr = sig.select(col("doc_id"),
+      array((0 until K).map(i => col(s"m$i")): _*).as("sg"),
+      col("n_shingles"))
+    val est = cand
+      .join(sigArr.select(col("doc_id").as("da"), col("sg").as("sga"),
+        col("n_shingles").as("na")), "da")
+      .join(sigArr.select(col("doc_id").as("db"), col("sg").as("sgb"),
+        col("n_shingles").as("nb")), "db")
+      .select(col("da"), col("db"), col("na"), col("nb"),
+        size(filter(zip_with(col("sga"), col("sgb"), (x, y) => x === y),
+          b => b)).cast("long").as("slot_matches"))
+    val inter = cand.join(hs.as("a"), col("da") === col("a.doc_id"))
+      .join(hs.as("b"),
+        col("db") === col("b.doc_id") && col("a.hs") === col("b.hs"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("da", "db"), "left_outer")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("da"), col("db"), col("slot_matches"),
+        expr(s"CAST(slot_matches * 1000000 div $K AS BIGINT)").as("est_ppm"),
+        expr("CAST(inter * 1000000 div (na + nb - inter) AS BIGINT)")
+          .as("jac_ppm"))
+      .orderBy("da", "db")
+  }
+
+  def dedupMinhashEstimate(s: SparkSession, dir: String): DataFrame =
+    dedupMinhashEstimateOn(shingleHashes(s, dir))
 
   /** L2 (incremental): dedup an incoming batch against the union of
     * the existing corpus and the batch itself — the ingestion-time
@@ -598,6 +648,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_url" -> dedupUrl,
+    "dedup_minhash_estimate" -> dedupMinhashEstimate,
     "dedup_minhash" -> dedupMinhash,
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
@@ -678,6 +729,21 @@ object Dedup {
          |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
          |FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+         |ORDER BY da, db""".stripMargin,
+    "dedup_minhash_estimate" ->
+      s"""$minhashCoreSql
+         |SELECT da, db,
+         |  CAST((${(0 until K).map(i =>
+               s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+               .mkString(" + ")}) AS BIGINT) AS slot_matches,
+         |  CAST((${(0 until K).map(i =>
+               s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+               .mkString(" + ")}) * 1000000 // $K AS BIGINT) AS est_ppm,
+         |  CAST(COALESCE(ix.inter, 0) * 1000000
+         |    // (sa.n + sb.n - COALESCE(ix.inter, 0)) AS BIGINT) AS jac_ppm
+         |FROM cand
+         |JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+         |LEFT JOIN ix USING (da, db)
          |ORDER BY da, db""".stripMargin,
     "dedup_incremental" ->
       s"""$minhashCoreSql
