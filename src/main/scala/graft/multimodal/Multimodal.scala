@@ -165,7 +165,33 @@ object Multimodal {
       cache.getOrElseUpdate(className, instantiate[Transcoder](className))
   }
 
+  /** L5c: media shard packing — lay the (lang-partitioned) media rows
+    * into fixed byte-budget shards for distributed decode, the binary
+    * analogue of [[graft.functions.Corpus.textPackSequencesOn]]'s
+    * token packing: a media row is assigned to the shard where its
+    * payload starts. One window per lang partition (languages pack
+    * independently in parallel; shard further by source for more),
+    * integer `div` on cumulative bytes so shard ids stay exact past
+    * 2^53 cumulative bytes. */
+  def mmPackShards(s: SparkSession, dir: String): DataFrame = {
+    val budget = 4096L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      .withColumn("cum_bytes", sum(col("n_bytes")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_bytes"), col("cum_bytes"),
+        expr(s"(cum_bytes - n_bytes) div $budget").as("shard_id"),
+        expr(s"cum_bytes - n_bytes - ((cum_bytes - n_bytes) div $budget) * $budget")
+          .as("offset_in_shard"))
+      .orderBy("lang", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pack_shards" -> mmPackShards,
     "udf_inference" -> udfInference,
     "udf_transcode" -> udfTranscode,
     "mm_metadata" -> mmMetadata,
@@ -173,6 +199,20 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_pack_shards" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_bytes,
+        |    CAST(SUM(n_bytes) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_bytes
+        |  FROM b)
+        |SELECT doc_id, lang, n_bytes, cum_bytes,
+        |  (cum_bytes - n_bytes) // 4096 AS shard_id,
+        |  cum_bytes - n_bytes - ((cum_bytes - n_bytes) // 4096) * 4096
+        |    AS offset_in_shard
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
     "udf_transcode" ->
       """SELECT doc_id, 'mp4:' || to_base64(encode(text)) AS transcoded,
         |  CAST(octet_length(encode(text)) AS INT) AS src_bytes

@@ -854,6 +854,36 @@ object Analytics {
           .as("corr_qty_line"))
       .orderBy("l_returnflag")
 
+  /** A16: least-squares regression from exact integer moment sums —
+    * per-group slope/intercept of price-vs-quantity in ppm, the
+    * trend-line profiling step next to [[aggCorr]]'s correlation. x =
+    * whole-unit quantity, y = whole-dollar price (explicit floor, not
+    * a bare cast — DuckDB rounds casts): all five moments are BIGINT
+    * sums, and the closed forms run through DECIMAL(38,0) so
+    * n*Sxy never overflows; one integral DIV at the end. Both engines
+    * replay the identical integers (DuckDB reaches the same values in
+    * HUGEINT). Bound: exact while n*Sxy < 10^38 — effectively any
+    * per-group shard. */
+  def aggRegression(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity")).cast("long").as("x"),
+        floor(col("l_extendedprice")).cast("long").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+               |  * 1000000 DIV
+               |  (CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+               |  AS BIGINT)""".stripMargin).as("slope_ppm"))
+      .select(col("l_returnflag"), col("n"), col("slope_ppm"),
+        expr("CAST((sy * 1000000 - slope_ppm * sx) DIV n AS BIGINT)")
+          .as("intercept_ppm"))
+      .orderBy("l_returnflag")
+
   /** Robust anomaly detection via median absolute deviation: an event
     * is anomalous when its deviation from the per-type median exceeds
     * 3 robust standard deviations (MAD x 1.4826, the normal-
@@ -910,6 +940,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "anomaly_mad" -> anomalyMad,
     "agg_corr" -> aggCorr,
+    "agg_regression" -> aggRegression,
     "typed_pipeline" -> typedPipeline,
     "sql_q3" -> sqlQ3,
     "sql_q5" -> sqlQ5,
@@ -1197,6 +1228,23 @@ object Analytics {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
         |ORDER BY c_custkey""".stripMargin,
+    "agg_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM (SELECT l_returnflag,
+        |      CAST(floor(l_quantity) AS BIGINT) AS x,
+        |      CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |    FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+        |    AS BIGINT) AS slope_ppm,
+        |  CAST((sy * 1000000
+        |      - ((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)) * sx)
+        |    // n AS BIGINT) AS intercept_ppm
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_corr" ->
       """WITH m AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
