@@ -240,20 +240,63 @@ object Clusters {
     * supplied by s; supplier nodes offset by 1e6 into their own id
     * space). Edge construction — the orders x lineitem join — runs
     * once into a checkpoint; the rank loop never re-derives it. */
-  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    graphPagerankOn(bipartiteEdges(s, dir))
+
+  /** Symmetrized customer–supplier trade graph shared by the
+    * bipartite catalog forms ([[graphPagerank]], [[graphBfs]]):
+    * supplier nodes offset by 1e6 into their own id space. Edge
+    * construction — the orders x lineitem join — runs once into a
+    * checkpoint; the iterative loops never re-derive it. */
+  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + 1000000L).as("dst"))
       .distinct()
-    val both = e.select(explode(array(
+    e.select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .localCheckpoint(true)
-    graphPagerankOn(both)
   }
+
+  /** Single-source BFS hop distances — the reachability-with-depth
+    * primitive (lineage radius, contamination blast-radius, "how far
+    * is this doc from a flagged seed"). Pregel form as plain
+    * DataFrame ops: each round joins the current distance relation
+    * to the edge list and folds a per-node MIN — two shuffles per
+    * round, both keyed on node id and map-side combined, with
+    * localCheckpoint keeping the plan constant-size (the
+    * [[connectedComponentsOn]] discipline). Rounds = `maxHops`
+    * exactly (no convergence probe needed: dist values are final the
+    * round they first appear). Source = MIN node id, computed as a
+    * 1-row aggregate INSIDE the plan — no driver-side collect.
+    * At 100 TB the standard refinement is frontier-only expansion
+    * (join only the rows whose dist changed last round); the
+    * full-relation MIN spelling here trades that for plan simplicity
+    * and is exactly what the min-label CC loop already shards. */
+  def graphBfsOn(edges: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"need maxHops >= 1, got $maxHops")
+    val Array(cs, cd) = edges.columns.take(2)
+    val e = edges.select(col(cs).cast("long").as("src"),
+      col(cd).cast("long").as("dst"))
+    var dist = e.agg(min(col("src")).as("node"))
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val nxt = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.union(nxt)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.orderBy("node")
+  }
+
+  def graphBfs(s: SparkSession, dir: String): DataFrame =
+    graphBfsOn(bipartiteEdges(s, dir))
 
   /** Per-node triangle counts over an undirected edge list — the
     * local clustering signal (dense near-dup neighborhoods, community
@@ -445,8 +488,21 @@ object Clusters {
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_clustered" -> dedupSemanticClustered,
     "graph_pagerank" -> graphPagerank,
+    "graph_bfs" -> graphBfs,
     "graph_triangles" -> graphTriangles,
   )
+
+  /** Unrolled BFS rounds as CTEs — each round unions the frontier
+    * expansion onto the previous distance relation and folds MIN,
+    * replaying [[graphBfsOn]]'s recurrence exactly. */
+  private val bfsIterSql = (1 to 4).map { i =>
+    val prev = s"d${i - 1}"
+    s"""d$i AS (SELECT node, MIN(dist) AS dist FROM (
+       |    SELECT node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT eb.dst AS node, p.dist + 1 AS dist
+       |    FROM $prev p JOIN eb ON eb.src = p.node) GROUP BY node)""".stripMargin
+  }.mkString(",\n")
 
   /** Unrolled PageRank rounds as CTEs — the oracle replays the exact
     * integer recurrence of [[graphPagerankOn]] (cf. the kmeans oracle,
@@ -504,6 +560,15 @@ object Clusters {
          |      UNION ALL SELECT z FROM tri)
          |SELECT node, COUNT(*) AS n_triangles FROM n
          |GROUP BY node ORDER BY node""".stripMargin,
+    "graph_bfs" ->
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+         |    l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |eb AS (SELECT src, dst FROM e
+         |       UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |d0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist FROM eb),
+         |$bfsIterSql
+         |SELECT node, dist FROM d4 ORDER BY node""".stripMargin,
     "graph_pagerank" ->
       s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
          |    l_suppkey + 1000000 AS dst

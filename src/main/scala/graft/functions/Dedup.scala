@@ -208,9 +208,16 @@ object Dedup {
   }
 
   private def minhashVerified(hs: DataFrame, threshold: Double,
-      candFilter: DataFrame => DataFrame): DataFrame = {
-    val cand = minhashSigCands(hs, candFilter)._2
-    // verify: exact Jaccard over shingle hash sets.
+      candFilter: DataFrame => DataFrame): DataFrame =
+    jaccardVerify(minhashSigCands(hs, candFilter)._2, hs, threshold)
+
+  /** Exact-Jaccard verification of a (da, db) candidate pair relation
+    * against the (doc_id, hs) shingle sets — the shared verify rung
+    * of every lexical candidate generator (minhash bands, sorted
+    * neighborhood): intersection via the hs-keyed equi-join, sizes
+    * joined back, jac >= threshold kept. */
+  private def jaccardVerify(cand: DataFrame, hs: DataFrame,
+      threshold: Double): DataFrame = {
     val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(hs.as("a"), col("da") === col("a.doc_id"))
@@ -226,6 +233,48 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .orderBy("da", "db")
   }
+
+  /** L2 blocking alternative: sorted-neighborhood candidate
+    * generation (Hernandez & Stolfo 1995) — sort the corpus by a
+    * similarity-preserving key, slide a w-row window, verify only
+    * in-window pairs. The sort key is the FIRST minhash slot
+    * (min affine-hashed shingle): two docs agree on it with
+    * probability = their Jaccard, so near-dups land adjacent in the
+    * sort order for free, reusing machinery the minhash path already
+    * pins. Scale shape: ranks come from [[graft.operators.Windows
+    * .denseIdsOn]] (range partition + per-partition numbering — NO
+    * single-partition window), and the window join is an EQUI-join
+    * on rank = rank + k for k in 1..w-1, so candidates are exactly
+    * (w-1)*n pairs — linear by construction, the property that makes
+    * SNM the bounded-candidate fallback when band collisions skew
+    * (a hot LSH bucket generates quadratic candidates; a sort window
+    * never exceeds w-1 per row). Trade-off vs LSH: a cluster larger
+    * than w under-pairs (the classic SNM multi-pass caveat), which
+    * the downstream connected-components rung absorbs for dedup
+    * purposes (A~B and B~C merge {A,B,C} without the A~C pair). */
+  def dedupSortedNeighborhoodOn(hs: DataFrame, window: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    require(window >= 2, s"need window >= 2, got $window")
+    val skey = hs.groupBy("doc_id")
+      .agg(min((col("hs") * 3 + 31) % P).as("skey"))
+    val ranked = graft.operators.Windows.denseIdsOn(
+      skey, Seq("skey", "doc_id"))
+    // probe each row against the k rows after it: (w-1) shifted
+    // copies equi-joined on rank — pairs are distinct by
+    // construction (ranks are unique), no dedup step needed
+    val probes = ranked.select(col("doc_id").as("pa"),
+      explode(array((1 until window).map(k =>
+        col("dense_id") + k): _*)).as("rid"))
+    val cand = probes
+      .join(ranked.select(col("doc_id").as("pb"),
+        col("dense_id").as("rid")), "rid")
+      .select(least(col("pa"), col("pb")).as("da"),
+        greatest(col("pa"), col("pb")).as("db"))
+    jaccardVerify(cand, hs, threshold)
+  }
+
+  def dedupSortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    dedupSortedNeighborhoodOn(shingleHashes(s, dir))
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     dedupMinhashOn(shingleHashes(s, dir))
@@ -650,6 +699,7 @@ object Dedup {
     "dedup_url" -> dedupUrl,
     "dedup_minhash_estimate" -> dedupMinhashEstimate,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash64" -> dedupSimhash64,
@@ -723,6 +773,25 @@ object Dedup {
         |  FROM u)
         |SELECT curl, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         |FROM c GROUP BY curl ORDER BY curl""".stripMargin,
+    "dedup_sorted_neighborhood" ->
+      s"""$shingleHashSql,
+         |sk AS (SELECT doc_id, MIN((hs * 3 + 31) % 1000000007) AS skey,
+         |         COUNT(*) AS n FROM hs GROUP BY doc_id),
+         |rk AS (SELECT doc_id, n,
+         |         row_number() OVER (ORDER BY skey, doc_id) AS rid FROM sk),
+         |cand AS (SELECT least(l.doc_id, r.doc_id) AS da,
+         |           greatest(l.doc_id, r.doc_id) AS db
+         |         FROM rk l JOIN rk r
+         |           ON r.rid > l.rid AND r.rid <= l.rid + 3),
+         |ix AS (SELECT da, db, COUNT(*) AS inter
+         |       FROM cand JOIN hs a ON da = a.doc_id
+         |       JOIN hs b ON db = b.doc_id AND a.hs = b.hs
+         |       GROUP BY da, db)
+         |SELECT da, db,
+         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+         |FROM ix JOIN rk sa ON da = sa.doc_id JOIN rk sb ON db = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+         |ORDER BY da, db""".stripMargin,
     "dedup_minhash" ->
       s"""$minhashCoreSql
          |SELECT da, db,

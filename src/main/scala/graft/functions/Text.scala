@@ -248,6 +248,61 @@ object Text {
   def heavyHitters(s: SparkSession, dir: String): DataFrame =
     heavyHittersOn(Tables.documents(s, dir))
 
+  val CmsD = 3 // Count-Min hash rows
+  val CmsW = 16 // buckets per row — deliberately tiny so collisions occur
+
+  /** The D (d, bucket) cells a token hashes to, as an exploded array:
+    * bucket = affine(polyHash(tok)) mod W, same (2d+3, 97d+31) affine
+    * family as the minhash slots so every constant is already pinned
+    * by the dedup oracles. */
+  private def cmsCells(tok: Column): Column = {
+    val h = polyHash(tok)
+    explode(array((0 until CmsD).map(d =>
+      struct(lit(d).as("d"),
+        (((h * (2 * d + 3) + (97 * d + 31)) % P) % CmsW).as("bkt"))): _*))
+  }
+
+  /** L4n: Count-Min sketch (Cormode & Muthukrishnan 2005) — frequency
+    * estimates in FIXED memory, the companion to the Misra-Gries
+    * heavy-hitter sketch: MG answers "which tokens are frequent",
+    * CMS answers "how frequent is this token" for ANY token. Each
+    * partition folds its token stream into a D x W counter grid
+    * map-side (the cell aggregate is an ordinary sum, mergeable
+    * by +), so exactly D*W counters cross the shuffle regardless of
+    * corpus or vocabulary size — the property that makes the sketch
+    * the 100 TB tool where exact per-token counts shuffle a web-scale
+    * power-law vocabulary. Estimate = min over the D cells a token
+    * hashes to; always >= exact, over by at most the colliding mass
+    * in the best cell (<= total/W per row in expectation).
+    *
+    * W is deliberately small (16) so the synthetic vocabulary
+    * actually collides and the min-over-rows estimate is exercised
+    * (CustomAggSpec pins est >= exact and at least one true
+    * overestimate). The exact count beside the estimate exists to
+    * MEASURE the sketch at catalog scale — a real deployment ships
+    * only the D x W grid and skips the token-keyed shuffle entirely. */
+  def textCountminOn(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(explode(toks(col("text"))).as("tok"))
+    // the sketch proper: stream -> cells -> one D*W-key aggregate
+    val sketch = tokens
+      .select(cmsCells(col("tok")).as("x"))
+      .groupBy(col("x.d").as("d"), col("x.bkt").as("bkt"))
+      .agg(count(lit(1)).as("bc"))
+    // measurement side: exact vocabulary counts, probed against the
+    // (broadcast, D*W-row) grid the same way a reader would probe
+    val est = tokens.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .select(col("tok"), col("n_exact"), cmsCells(col("tok")).as("x"))
+      .select(col("tok"), col("n_exact"),
+        col("x.d").as("d"), col("x.bkt").as("bkt"))
+      .join(broadcast(sketch), Seq("d", "bkt"))
+      .groupBy("tok")
+      .agg(max(col("n_exact")).as("n_exact"), min(col("bc")).as("n_est"))
+    est.orderBy("tok")
+  }
+
+  def textCountmin(s: SparkSession, dir: String): DataFrame =
+    textCountminOn(Tables.documents(s, dir))
+
   /** L4m: group-relative quality cut — keep documents strictly above
     * their language's median length, the "top half per group" filter
     * real curation pipelines apply so a verbose language's floor does
@@ -567,6 +622,7 @@ object Text {
     "corpus_clean" -> corpusClean,
     "text_vocab" -> textVocab,
     "text_heavy_hitters" -> heavyHitters,
+    "text_countmin" -> textCountmin,
     "quality_filter_relative" -> qualityFilterRelative,
     "text_inverted_index" -> textInvertedIndex,
     "text_tfidf" -> textTfidf,
@@ -757,6 +813,22 @@ object Text {
         |  CAST(length(text) - length(regexp_replace(text,
         |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '', 'g')) AS INT) AS n_email_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_countmin" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |ex AS (SELECT tok, COUNT(*) AS n_exact FROM tok GROUP BY tok),
+        |hh AS (SELECT tok, n_exact, list_reduce(
+        |    list_concat([CAST(0 AS BIGINT)],
+        |      list_transform(string_split(tok,''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS h FROM ex),
+        |cells AS (SELECT tok, n_exact, d,
+        |    ((h * (2*d + 3) + (97*d + 31)) % 1000000007) % 16 AS bkt
+        |  FROM hh, UNNEST([0, 1, 2]) AS r(d)),
+        |sk AS (SELECT d, bkt, CAST(SUM(n_exact) AS BIGINT) AS bc
+        |  FROM cells GROUP BY d, bkt)
+        |SELECT cells.tok, MAX(cells.n_exact) AS n_exact, MIN(sk.bc) AS n_est
+        |FROM cells JOIN sk USING (d, bkt)
+        |GROUP BY cells.tok ORDER BY tok""".stripMargin,
     "text_vocab" ->
       """SELECT token, COUNT(*) AS freq
         |FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)

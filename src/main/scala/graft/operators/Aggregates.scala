@@ -158,6 +158,43 @@ object Aggregates {
         max(col("o_totalprice")).as("hi"))
       .orderBy("bucket")
 
+  /** A12b: equi-DEPTH histogram — bins hold equal row counts instead
+    * of equal value ranges (the histogram an optimizer or a data
+    * profiler actually wants on skewed money columns, where fixed
+    * width piles everything into two buckets). Spelled WITHOUT the
+    * single-partition global NTILE window: cut points are one exact
+    * percentile aggregate (one row) broadcast back over the scan, and
+    * bin assignment is a per-row comparison count — two scans, both
+    * fully parallel, shuffle only for the final 8-key rollup. At
+    * 100 TB swap the exact percentile for percentile_approx (the
+    * GK-sketch trade agg_approx_quantile demonstrates) and the first
+    * scan collapses into the same single pass.
+    *
+    * Money is quantized to integer cents via floor(x*100 + 0.5) —
+    * explicit floor, not round(): both engines agree on floor over
+    * IEEE doubles, while round()'s half-mode is engine-specific (the
+    * A12 truncate-vs-round lesson). Boundaries interpolate at exact
+    * eighths of integer cents, so the interpolated doubles are exact
+    * in both engines and the `cents > bound` bin test cannot straddle
+    * a ulp. Ties share a bin by construction (comparison against
+    * fixed cut points), unlike NTILE which splits ties arbitrarily. */
+  def aggHistogramEqdepth(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") * 100 + 0.5).as("cents"))
+    val bounds = cents.agg(
+      percentile(col("cents"),
+        array((1 to 7).map(k => lit(k / 8.0)): _*)).as("bs"))
+    cents.crossJoin(broadcast(bounds))
+      .select(col("cents"),
+        (1 to 7).map(j =>
+            when(col("cents") > element_at(col("bs"), j), 1).otherwise(0))
+          .reduce(_ + _).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
+        max(col("cents")).as("hi"), sum(col("cents")).as("total_cents"))
+      .orderBy("bin")
+  }
+
   /** A13: approximate quantiles (Greenwald-Khanna sketch) beside the
     * exact percentiles — the quantile to reach for at 100 TB, where
     * exact percentile needs a full sort per group. Like
@@ -194,6 +231,7 @@ object Aggregates {
     "agg_median_mode" -> aggMedianMode,
     "agg_boolean" -> aggBoolean,
     "agg_histogram" -> aggHistogram,
+    "agg_histogram_eqdepth" -> aggHistogramEqdepth,
     "agg_collect_list" -> aggCollectList,
     "agg_max_group" -> aggMaxGroup,
     "agg_ratio_having" -> aggRatioHaving,
@@ -216,6 +254,21 @@ object Aggregates {
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
         |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_histogram_eqdepth" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |             AS cents FROM orders),
+        |b AS (SELECT quantile_cont(cents,
+        |        [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs FROM c)
+        |SELECT CAST((CASE WHEN cents > bs[1] THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents > bs[2] THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents > bs[3] THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents > bs[4] THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents > bs[5] THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents > bs[6] THEN 1 ELSE 0 END)
+        |  + (CASE WHEN cents > bs[7] THEN 1 ELSE 0 END) AS BIGINT) AS bin,
+        |  COUNT(*) AS n, MIN(cents) AS lo, MAX(cents) AS hi,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM c, b GROUP BY 1 ORDER BY bin""".stripMargin,
     "agg_median_mode" ->
       """SELECT l_returnflag, median(l_quantity) AS med_qty,
         |  mode(l_linenumber) AS mode_line, COUNT(*) AS n

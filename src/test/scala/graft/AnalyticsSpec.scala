@@ -57,4 +57,24 @@ class AnalyticsSpec extends SparkSpecBase {
     val n = s1.values.sum.toDouble
     assert(s1("train") / n > 0.7 && s1("train") / n < 0.9)
   }
+
+  test("equi-depth histogram: 8 ordered non-overlapping bins that " +
+    "partition the rows near-evenly") {
+    import org.apache.spark.sql.functions.col
+    val h = operators.Aggregates.aggHistogramEqdepth(spark, sf)
+      .select("bin", "n", "lo", "hi")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(h.map(_._1).toSeq == (0L to 7L))
+    val total = Tables.orders(spark, sf).count()
+    assert(h.map(_._2).sum == total)
+    // value ranges are disjoint and increasing
+    h.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"bins ${a._1}/${b._1} overlap")
+    }
+    // equi-DEPTH: no bin strays far from total/8 (ties can nudge
+    // counts, but a fixed-width-style pile-up would blow this bound)
+    val expect = total / 8.0
+    assert(h.forall(r => r._2 > expect * 0.5 && r._2 < expect * 1.5),
+      h.map(_._2).mkString(","))
+  }
 }

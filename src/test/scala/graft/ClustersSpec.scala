@@ -163,4 +163,20 @@ class ClustersSpec extends SparkSpecBase {
     assert(star == Seq(
       (1L, 629187500L), (2L, 629187500L), (3L, 1741625000L)))
   }
+
+  test("graph_bfs: hop distances on a path graph, horizon cut at maxHops") {
+    // path 1-2-3-4-5-6 (symmetrized), source = min node = 1
+    val edges = (1L to 5L).flatMap(i =>
+      Seq((i, i + 1), (i + 1, i))).toDF("src", "dst")
+    val got = functions.Clusters.graphBfsOn(edges, maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    // node 6 sits at hop 5, beyond the horizon — absent, not wrong
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // on the corpus graph: source at dist 0, every dist <= maxHops,
+    // and each non-source dist has a neighbor one hop closer
+    // (triangle property of BFS layers)
+    val corpus = functions.Clusters.graphBfs(spark, sf)
+    assert(corpus.filter(col("dist") === 0).count() == 1)
+    assert(corpus.filter(col("dist") > 4 || col("dist") < 0).count() == 0)
+  }
 }

@@ -114,4 +114,19 @@ class CustomAggSpec extends SparkSpecBase {
     assert(row._1.size <= 8)
     assert(Set("h0", "h1", "h2").subsetOf(row._1.toSet))
   }
+
+  test("Count-Min: estimate bounds exact from above; the tiny grid " +
+    "actually collides; total mass is conserved per hash row") {
+    val cm = functions.Text.textCountmin(spark, sf)
+      .select("tok", "n_exact", "n_est").as[(String, Long, Long)].collect()
+    assert(cm.nonEmpty)
+    // CMS one-sided error: never an underestimate
+    assert(cm.forall { case (_, exact, est) => est >= exact })
+    // W=16 against a larger vocabulary must collide somewhere — if
+    // every estimate were exact the sketch path would be untested
+    assert(cm.exists { case (_, exact, est) => est > exact })
+    // each estimate is bounded by exact + total colliding mass
+    val total = cm.map(_._2).sum
+    assert(cm.forall { case (_, exact, est) => est <= total })
+  }
 }

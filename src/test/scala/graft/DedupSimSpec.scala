@@ -450,4 +450,29 @@ class DedupSimSpec extends SparkSpecBase {
       .distinct().count()
     assert(out.count() == classes)
   }
+
+  test("sorted neighborhood: exact duplicates are always adjacent in " +
+    "the sort order and every emitted pair verifies") {
+    import spark.implicits._
+    // identical docs share every shingle hash, hence the same sort
+    // key, hence adjacent ranks — w=2 suffices to pair them
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // dup of 1
+      (3L, "one two three four five six"),
+      (4L, "one two three four five six"),    // dup of 3
+      (5L, "totally unrelated words here now"))
+      .toDF("doc_id", "text")
+    val hs = functions.Dedup.shingleHashesOf(docs)
+    val pairs = functions.Dedup
+      .dedupSortedNeighborhoodOn(hs, window = 2, threshold = 0.8)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+    // corpus soundness: every emitted pair re-verifies >= threshold
+    // (the verify rung is shared with minhash, so this also pins the
+    // jac column itself)
+    val corpus = functions.Dedup.dedupSortedNeighborhood(spark, sf)
+    assert(corpus.filter(col("jac") < 0.8).count() == 0)
+    assert(corpus.count() > 0)
+  }
 }

@@ -49,4 +49,31 @@ class SignalsSpec extends SparkSpecBase {
     assert(sc.count() == Tables.embeddings(spark, sf).count())
     assert(sc.filter(size(col("v")) =!= 64).count() == 0)
   }
+
+  test("feat_project: closed-form signs on a unit vector; linearity " +
+    "of the projection on the corpus") {
+    import spark.implicits._
+    // one-dim embedding [1.0]: q = 2^20, and the sign of column j is
+    // the parity of 97j + 31 — odd constant, so signs alternate +,-
+    val one = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val row = functions.Signals.featProjectOn(one).collect()(0)
+    val q = 1048576L
+    (0 until functions.Signals.ProjDims).foreach { j =>
+      val want = if (j % 2 == 0) q else -q
+      assert(row.getLong(j + 1) == want, s"dim $j")
+    }
+    // linearity: project(2x) = 2 * project(x) exactly (integer dot
+    // products of exactly-representable quantized coordinates)
+    val x = Seq((1L, Seq(0.25f, -0.5f, 0.125f))).toDF("vec_id", "embedding")
+    val x2 = Seq((1L, Seq(0.5f, -1.0f, 0.25f))).toDF("vec_id", "embedding")
+    val px = functions.Signals.featProjectOn(x).collect()(0)
+    val px2 = functions.Signals.featProjectOn(x2).collect()(0)
+    (0 until functions.Signals.ProjDims).foreach { j =>
+      assert(px2.getLong(j + 1) == 2 * px.getLong(j + 1), s"dim $j")
+    }
+    // corpus shape: one row per vector, all 8 projection columns
+    val p = functions.Signals.featProject(spark, sf)
+    assert(p.columns.length == 1 + functions.Signals.ProjDims)
+    assert(p.count() == Tables.embeddings(spark, sf).count())
+  }
 }
