@@ -480,6 +480,56 @@ object Clusters {
       Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
         .select("qid", "nid"))
 
+  /** Neighbor-set Jaccard of node pairs — the classic link-prediction
+    * / role-similarity score: two nodes are alike when they touch the
+    * same neighbors, whether or not they touch each other. Candidate
+    * pairs come ONLY from wedges (pairs sharing at least one
+    * neighbor, enumerated by the center-keyed self-join) — never all
+    * pairs, so the work is sum-of-deg² like [[triangleCountOn]]'s
+    * wedge stage and shares its skew remedy (a hub's wedge set is the
+    * bottleneck; cap or degree-orient when the degree histogram
+    * [[graphDegreesOn]] says so). Intersection = wedge count per
+    * pair; union via the degree relation joined back — jac =
+    * common / (deg_u + deg_v - common), the [[Dedup]] jac spelling on
+    * adjacency sets instead of shingle sets. */
+  def graphNeighborJaccardOn(edges: DataFrame,
+      threshold: Double = 0.25): DataFrame = {
+    val Array(ca, cb) = edges.columns.take(2)
+    val und = edges
+      .select(least(col(ca), col(cb)).cast("long").as("a"),
+        greatest(col(ca), col(cb)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(explode(array(
+        struct(col("a").as("node"), col("b").as("nb")),
+        struct(col("b").as("node"), col("a").as("nb")))).as("p"))
+      .select(col("p.node").as("node"), col("p.nb").as("nb"))
+      .localCheckpoint(true)
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val common = adj.as("x")
+      .join(adj.as("y"),
+        col("x.nb") === col("y.nb") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("u"), col("y.node").as("v"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"),
+        (col("common").cast("double") /
+          (col("du") + col("dv") - col("common"))).as("jac"))
+      .filter(col("jac") >= threshold)
+      .orderBy("u", "v")
+  }
+
+  /** Catalog form: neighbor similarity on the exact k-NN graph —
+    * "these two vectors sit in the same semantic neighborhood", the
+    * relation SemDeDup-style pruning and cluster-balanced sampling
+    * both read. */
+  def graphNeighborJaccard(s: SparkSession, dir: String): DataFrame =
+    graphNeighborJaccardOn(
+      Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
+        .select("qid", "nid"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_apply" -> dedupApply,
     "graph_degrees" -> graphDegrees,
@@ -490,6 +540,7 @@ object Clusters {
     "graph_pagerank" -> graphPagerank,
     "graph_bfs" -> graphBfs,
     "graph_triangles" -> graphTriangles,
+    "graph_neighbor_jaccard" -> graphNeighborJaccard,
   )
 
   /** Unrolled BFS rounds as CTEs — each round unions the frontier
@@ -560,6 +611,23 @@ object Clusters {
          |      UNION ALL SELECT z FROM tri)
          |SELECT node, COUNT(*) AS n_triangles FROM n
          |GROUP BY node ORDER BY node""".stripMargin,
+    "graph_neighbor_jaccard" ->
+      s"""WITH ${Similarity.knnCoreSql},
+         |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,
+         |    GREATEST(qid, nid) AS b FROM knn WHERE qid <> nid),
+         |adj AS (SELECT a AS node, b AS nb FROM und
+         |        UNION ALL SELECT b AS node, a AS nb FROM und),
+         |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM adj GROUP BY node),
+         |cm AS (SELECT x.node AS u, y.node AS v,
+         |    CAST(COUNT(*) AS BIGINT) AS com
+         |  FROM adj x JOIN adj y ON x.nb = y.nb AND x.node < y.node
+         |  GROUP BY x.node, y.node)
+         |SELECT u, v,
+         |  CAST(com AS DOUBLE) / (du.deg + dv.deg - com) AS jac
+         |FROM cm JOIN dg du ON u = du.node JOIN dg dv ON v = dv.node
+         |WHERE CAST(com AS DOUBLE) / (du.deg + dv.deg - com) >= 0.25
+         |ORDER BY u, v""".stripMargin,
     "graph_bfs" ->
       s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
          |    l_suppkey + 1000000 AS dst

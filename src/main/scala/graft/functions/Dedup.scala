@@ -217,7 +217,17 @@ object Dedup {
     * neighborhood): intersection via the hs-keyed equi-join, sizes
     * joined back, jac >= threshold kept. */
   private def jaccardVerify(cand: DataFrame, hs: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    overlapVerify(cand, hs, threshold,
+      (inter, na, nb) => inter.cast("double") / (na + nb - inter), "jac")
+
+  /** Overlap scoring of candidate pairs against the shingle sets with
+    * a pluggable denominator — Jaccard and containment share the
+    * whole pipeline except the final ratio. */
+  private def overlapVerify(cand: DataFrame, hs: DataFrame,
+      threshold: Double,
+      score: (Column, Column, Column) => Column,
+      scoreName: String): DataFrame = {
     val sizes = hs.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(hs.as("a"), col("da") === col("a.doc_id"))
@@ -228,11 +238,32 @@ object Dedup {
       .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"),
-        (col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter"))).as("jac"))
-      .filter(col("jac") >= threshold)
+        score(col("inter"), col("sa.n"), col("sb.n")).as(scoreName))
+      .filter(col(scoreName) >= threshold)
       .orderBy("da", "db")
   }
+
+  /** L2c: containment verification of the banded candidates — the
+    * one-sided overlap |A ∩ B| / min(|A|, |B|), the measure that
+    * catches subset/superset near-dups (doc B = doc A plus appended
+    * boilerplate) whose symmetric Jaccard dilutes below any sane
+    * threshold as the size gap grows. Same bands, same intersection
+    * join, same sizes — ONLY the denominator changes (shared
+    * [[overlapVerify]] rung), so the scale story is exactly the
+    * minhash path's. containment >= jaccard always, so this relation
+    * is a superset of [[dedupMinhashOn]]'s at equal threshold — the
+    * delta IS the asymmetric-dup family. Candidate recall caveat:
+    * banding is tuned for Jaccard (band collision prob = jac^r), so
+    * extreme-size-ratio pairs may not band-collide; the full fix is
+    * the prefix-filter path over the smaller set's tokens
+    * ([[dedupPrefixFilterOn]]). */
+  def dedupContainmentOn(hs: DataFrame, threshold: Double = 0.8): DataFrame =
+    overlapVerify(minhashSigCands(hs, identity)._2, hs, threshold,
+      (inter, na, nb) => inter.cast("double") / least(na, nb),
+      "containment")
+
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    dedupContainmentOn(shingleHashes(s, dir))
 
   /** L2 blocking alternative: sorted-neighborhood candidate
     * generation (Hernandez & Stolfo 1995) — sort the corpus by a
@@ -700,6 +731,7 @@ object Dedup {
     "dedup_minhash_estimate" -> dedupMinhashEstimate,
     "dedup_minhash" -> dedupMinhash,
     "dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
+    "dedup_containment" -> dedupContainment,
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash64" -> dedupSimhash64,
@@ -773,6 +805,13 @@ object Dedup {
         |  FROM u)
         |SELECT curl, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
         |FROM c GROUP BY curl ORDER BY curl""".stripMargin,
+    "dedup_containment" ->
+      s"""$minhashCoreSql
+         |SELECT da, db,
+         |  CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment
+         |FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+         |ORDER BY da, db""".stripMargin,
     "dedup_sorted_neighborhood" ->
       s"""$shingleHashSql,
          |sk AS (SELECT doc_id, MIN((hs * 3 + 31) % 1000000007) AS skey,

@@ -97,6 +97,43 @@ object Layout {
   }
 
   // DuckDB mirror of [[zval]] over columns named qx/qy
+  /** Byte budget per compacted output file (small against every sf so
+    * multiple packs form per language at every scale). */
+  val CompactBudget = 4000L
+
+  /** L21c: small-file compaction planning — the maintenance pass
+    * every long-lived table needs: a streaming or per-batch writer
+    * leaves many small files, and scan cost (task scheduling, footer
+    * reads, open/close overhead) grows with file COUNT, not bytes.
+    * The planner runs over the file MANIFEST (one row per file — a
+    * relation bounded by file count, millions of rows for a 100 TB
+    * table, never the data itself), groups adjacent files of the
+    * same partition (here: language) into merge groups by cumulative
+    * byte budget — the [[graft.functions.Corpus.textPackSequencesOn]]
+    * running-sum next-fit, applied to files instead of sequences —
+    * and emits one row per planned output file. The per-partition
+    * window shards by partition key; executing the plan is then one
+    * `coalesce`-style rewrite per group. The manifest here is derived
+    * from the documents table ((lang, source) = one written file,
+    * bytes = its content size) since the catalog has no real table
+    * service; the planner itself never looks at the data. */
+  def layoutCompaction(s: SparkSession, dir: String): DataFrame = {
+    val manifest = Tables.documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(sum(col("n_chars")).as("bytes"), count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("source")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    manifest
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("pack_id", expr(s"(cum - bytes) div $CompactBudget"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
+        sum(col("n_docs")).as("n_docs"))
+      .orderBy("lang", "pack_id")
+  }
+
   private val zSql: String = (0 until 8).map { i =>
     s"((qx >> $i) & 1) * ${1L << (2 * i)} + ((qy >> $i) & 1) * ${1L << (2 * i + 1)}"
   }.mkString(" + ")
@@ -109,9 +146,25 @@ object Layout {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> layoutZorder,
     "layout_skipping" -> layoutSkipping,
+    "layout_compaction" -> layoutCompaction,
   )
 
   val oracles: Map[String, String] = Map(
+    "layout_compaction" ->
+      s"""WITH m AS (SELECT lang, source,
+         |    CAST(SUM(n_chars) AS BIGINT) AS bytes,
+         |    COUNT(*) AS n_docs
+         |  FROM documents GROUP BY lang, source),
+         |c AS (SELECT lang, source, bytes, n_docs,
+         |    CAST(SUM(bytes) OVER (PARTITION BY lang ORDER BY source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM m)
+         |SELECT lang,
+         |  CAST((cum - bytes) // $CompactBudget AS BIGINT) AS pack_id,
+         |  COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+         |  CAST(SUM(n_docs) AS BIGINT) AS n_docs
+         |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
     "layout_zorder" ->
       s"""WITH q AS ($qSql),
          |z AS (SELECT qx, qy,

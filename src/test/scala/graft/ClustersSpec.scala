@@ -179,4 +179,20 @@ class ClustersSpec extends SparkSpecBase {
     assert(corpus.filter(col("dist") === 0).count() == 1)
     assert(corpus.filter(col("dist") > 4 || col("dist") < 0).count() == 0)
   }
+
+  test("neighbor jaccard: opposite corners of a 4-cycle are perfect " +
+    "structural twins; adjacent nodes share nothing") {
+    // cycle 1-2-3-4-1: N(1) = {2,4} = N(3), N(2) = {1,3} = N(4);
+    // adjacent pairs have disjoint neighbor sets (no wedge) -> absent
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = functions.Clusters.graphNeighborJaccardOn(edges)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 1.0), (2L, 4L, 1.0)))
+    // corpus: scores live in (0, 1] and pairs are canonical u < v
+    val g = functions.Clusters.graphNeighborJaccard(spark, sf)
+    assert(g.filter(col("jac") <= 0 || col("jac") > 1).count() == 0)
+    assert(g.filter(col("u") >= col("v")).count() == 0)
+    assert(g.count() > 0)
+  }
 }

@@ -146,4 +146,29 @@ class CoreOpsSpec extends SparkSpecBase {
       .filter(col("n_distinct") =!= col("d")).count()
     assert(viol == 0 && out.count() > 0)
   }
+
+  test("layout_compaction: next-fit by start offset, byte conservation") {
+    import spark.implicits._
+    // file start offsets 0 / 3000 / 5000 against budget 4000:
+    // packs {f0, f1}, {f2} — a file PACKS where it STARTS (next-fit),
+    // so a pack may overflow the budget by at most one file
+    val plan = operators.Layout.layoutCompaction(spark, sf)
+    val manifest = Tables.documents(spark, sf)
+      .groupBy("lang", "source").count()
+    assert(plan.agg(sum(col("n_files"))).as[Long].head() == manifest.count())
+    assert(plan.agg(sum(col("n_docs"))).as[Long].head() ==
+      Tables.documents(spark, sf).count())
+    val totalBytes = Tables.documents(spark, sf)
+      .agg(sum(col("n_chars"))).as[Long].head()
+    assert(plan.agg(sum(col("total_bytes"))).as[Long].head() == totalBytes)
+    // a file packs where its START offset lands, so ids can skip past
+    // an oversized file but never go negative, and the plan cannot
+    // have more packs than files; the budget must actually split at
+    // least one language (otherwise the op is vacuous at this sf)
+    assert(plan.filter(col("pack_id") < 0).count() == 0)
+    val sizes = plan.groupBy("lang").agg(count(lit(1)).as("packs"),
+      sum(col("n_files")).as("files"))
+    assert(sizes.filter(col("packs") > col("files")).count() == 0)
+    assert(plan.filter(col("pack_id") > 0).count() > 0)
+  }
 }

@@ -475,4 +475,30 @@ class DedupSimSpec extends SparkSpecBase {
     assert(corpus.filter(col("jac") < 0.8).count() == 0)
     assert(corpus.count() > 0)
   }
+
+  test("containment: superset of the jaccard relation; an append-dup " +
+    "scores containment 1.0 while its jaccard dilutes") {
+    import spark.implicits._
+    // B = A + one appended token: every shingle of A survives in B,
+    // so containment(A,B) = 1.0 while jac = |A|/|B| < 1
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta extra"))
+      .toDF("doc_id", "text")
+    val hs = functions.Dedup.shingleHashesOf(docs)
+    val got = functions.Dedup.dedupContainmentOn(hs, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0)))
+    // corpus: every jaccard-verified pair reappears with
+    // containment >= its jac (containment dominates jaccard)
+    val jacPairs = functions.Dedup.dedupMinhash(spark, sf)
+      .select(col("da"), col("db"), col("jac"))
+    val contPairs = functions.Dedup.dedupContainment(spark, sf)
+      .select(col("da"), col("db"), col("containment"))
+    val missing = jacPairs.join(contPairs, Seq("da", "db"), "left_anti")
+    assert(missing.count() == 0)
+    val dominated = jacPairs.join(contPairs, Seq("da", "db"))
+      .filter(col("containment") < col("jac")).count()
+    assert(dominated == 0)
+  }
 }

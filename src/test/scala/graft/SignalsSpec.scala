@@ -76,4 +76,27 @@ class SignalsSpec extends SparkSpecBase {
     assert(p.columns.length == 1 + functions.Signals.ProjDims)
     assert(p.count() == Tables.embeddings(spark, sf).count())
   }
+
+  test("feat_winsorize: hand-computed sixteenth-percentile clamp on " +
+    "1..16; corpus clamp counts bounded by the tail mass") {
+    import spark.implicits._
+    // cents 100..1600: lo = 100*(1/16) + 200*(15/16) = 193.75,
+    // hi = 1500*(15/16) + 1600*(1/16) = 1506.25; one value clamps on
+    // each side and the winsorized sum is exactly 13600
+    val df = (1 to 16).map(i => ("A", i.toDouble)).toDF("g", "v")
+    val row = functions.Signals.featWinsorizeOn(df, "v", "g").collect()(0)
+    assert(row.getLong(1) == 16L)          // n
+    assert(row.getLong(2) == 1L)           // n_lo
+    assert(row.getLong(3) == 1L)           // n_hi
+    assert(row.getDouble(4) == 193.75)     // lo
+    assert(row.getDouble(5) == 1506.25)    // hi
+    assert(row.getDouble(6) == 13600.0)    // sum_w
+    // corpus: each group clamps ~1/16 of its rows per side — at most
+    // floor((n-1)/16) + 1 values sit strictly outside an interpolated
+    // sixteenth-quantile, i.e. n/16 + 1
+    val w = functions.Signals.featWinsorize(spark, sf)
+    assert(w.filter(col("n_lo") * 16 > col("n") + 16).count() == 0)
+    assert(w.filter(col("n_hi") * 16 > col("n") + 16).count() == 0)
+    assert(w.count() > 0)
+  }
 }
