@@ -530,6 +530,58 @@ object Clusters {
       Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
         .select("qid", "nid"))
 
+  /** Synchronous label propagation (Raghavan et al. 2007), `rounds`
+    * fixed rounds — community detection, the MIDDLE ground between
+    * [[connectedComponentsOn]] (pure reachability: one bridge edge
+    * merges two dense groups) and [[triangleCountOn]] (purely local
+    * density): labels flow to the neighbor-majority, so dense groups
+    * converge to one label while a single bridge edge cannot pull
+    * two communities together. Determinism (LPA is notoriously
+    * order-sensitive) is forced by two choices: SYNCHRONOUS rounds
+    * (all nodes update from the same previous labeling — no
+    * sequential drift) and an ordered argmax (max count, then min
+    * label — spelled max(struct(cnt, -lbl)), the exact mirror of the
+    * oracle's ORDER BY cnt DESC, lbl). Bounded rounds are the
+    * production spelling (GraphFrames' LPA caps maxIter the same
+    * way; the algorithm oscillates rather than converges on
+    * bipartite-ish graphs). Each round is one adjacency join + one
+    * (node, lbl) count + one per-node argmax — all keyed on node id,
+    * map-side combined, the same shuffle shape as every other rung
+    * here; localCheckpoint per round keeps the plan constant. */
+  def labelPropagationOn(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val Array(ca, cb) = edges.columns.take(2)
+    val und = edges
+      .select(least(col(ca), col(cb)).cast("long").as("a"),
+        greatest(col(ca), col(cb)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(explode(array(
+        struct(col("a").as("node"), col("b").as("nb")),
+        struct(col("b").as("node"), col("a").as("nb")))).as("p"))
+      .select(col("p.node").as("node"), col("p.nb").as("nb"))
+      .localCheckpoint(true)
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("node").as("nb"), col("lbl")), "nb")
+        .groupBy("node", "lbl").agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+      .orderBy("node")
+  }
+
+  def graphCommunities(s: SparkSession, dir: String): DataFrame =
+    labelPropagationOn(
+      Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
+        .select("qid", "nid"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_apply" -> dedupApply,
     "graph_degrees" -> graphDegrees,
@@ -541,7 +593,19 @@ object Clusters {
     "graph_bfs" -> graphBfs,
     "graph_triangles" -> graphTriangles,
     "graph_neighbor_jaccard" -> graphNeighborJaccard,
+    "graph_communities" -> graphCommunities,
   )
+
+  /** Unrolled synchronous LPA rounds — per round: neighbor-label
+    * counts, then the (cnt DESC, lbl) argmax per node via QUALIFY. */
+  private val lpaIterSql = (1 to 2).map { i =>
+    val prev = s"l${i - 1}"
+    s"""l$i AS (SELECT node, lbl FROM (
+       |    SELECT a.node AS node, p.lbl AS lbl, COUNT(*) AS cnt
+       |    FROM adj a JOIN $prev p ON a.nb = p.node GROUP BY 1, 2)
+       |  QUALIFY row_number() OVER (PARTITION BY node
+       |    ORDER BY cnt DESC, lbl) = 1)""".stripMargin
+  }.mkString(",\n")
 
   /** Unrolled BFS rounds as CTEs — each round unions the frontier
     * expansion onto the previous distance relation and folds MIN,
@@ -611,6 +675,16 @@ object Clusters {
          |      UNION ALL SELECT z FROM tri)
          |SELECT node, COUNT(*) AS n_triangles FROM n
          |GROUP BY node ORDER BY node""".stripMargin,
+    "graph_communities" ->
+      s"""WITH ${Similarity.knnCoreSql},
+         |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,
+         |    GREATEST(qid, nid) AS b FROM knn WHERE qid <> nid),
+         |adj AS (SELECT a AS node, b AS nb FROM und
+         |        UNION ALL SELECT b AS node, a AS nb FROM und),
+         |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+         |$lpaIterSql
+         |SELECT node, lbl AS community FROM l2
+         |ORDER BY node""".stripMargin,
     "graph_neighbor_jaccard" ->
       s"""WITH ${Similarity.knnCoreSql},
          |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,

@@ -255,7 +255,7 @@ object Text {
     * bucket = affine(polyHash(tok)) mod W, same (2d+3, 97d+31) affine
     * family as the minhash slots so every constant is already pinned
     * by the dedup oracles. */
-  private def cmsCells(tok: Column): Column = {
+  private[graft] def cmsCells(tok: Column): Column = {
     val h = polyHash(tok)
     explode(array((0 until CmsD).map(d =>
       struct(lit(d).as("d"),
@@ -376,7 +376,16 @@ object Text {
   /** L4f: TF-IDF — tf per (doc, token), df per token, idf = ln(N/df).
     * All counts integral; the one transcendental (ln) is rounded at
     * the boundary. The scalar N crosses via broadcast cross-join. */
-  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+  def textTfidf(s: SparkSession, dir: String): DataFrame =
+    tfidfScored(s, dir)
+      .filter(col("doc_id") < 20)
+      .select("doc_id", "token", "tf", "df", "tfidf")
+      .orderBy("doc_id", "token")
+
+  /** Shared TF-IDF scoring relation (one row per (doc, token)) —
+    * feeds both the sampled dump ([[textTfidf]]) and the per-doc
+    * keyword ranking ([[textKeywords]]). */
+  private def tfidfScored(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val tf = docs
@@ -391,12 +400,30 @@ object Text {
       count(lit(1)).over(Window.partitionBy("token")))
     withDf
       .crossJoin(broadcast(n))
-      .filter(col("doc_id") < 20)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
           .as("tfidf"))
-      .orderBy("doc_id", "token")
   }
+
+  /** L4f2: keyword extraction — the top-3 TF-IDF tokens per document,
+    * the per-doc summary a retrieval index or a topic labeler wants.
+    * Rank = row_number per doc over (tfidf DESC, token) — the tie
+    * break on the token string makes the cut deterministic where the
+    * synthetic corpus produces equal scores. The rank-then-filter
+    * shape optimizes to WindowGroupLimit (partial top-k BEFORE the
+    * shuffle, the sample_domain_cap plan pin), so at 100 TB each
+    * partition forwards at most 3 rows per doc rather than every
+    * (doc, token) pair. Ranking happens on the already-ROUNDED score
+    * (6 dp, the oracle boundary) so both engines order identical
+    * doubles. */
+  def textKeywords(s: SparkSession, dir: String): DataFrame =
+    tfidfScored(s, dir)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("token"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("tfidf"))
+      .orderBy("doc_id", "rk")
 
   /** L4g: deterministic train/val/test assignment by content hash —
     * the reproducible split every training pipeline needs (never
@@ -623,6 +650,7 @@ object Text {
     "text_vocab" -> textVocab,
     "text_heavy_hitters" -> heavyHitters,
     "text_countmin" -> textCountmin,
+    "text_keywords" -> textKeywords,
     "quality_filter_relative" -> qualityFilterRelative,
     "text_inverted_index" -> textInvertedIndex,
     "text_tfidf" -> textTfidf,
@@ -813,6 +841,22 @@ object Text {
         |  CAST(length(text) - length(regexp_replace(text,
         |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '', 'g')) AS INT) AS n_email_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS token
+        |    FROM documents) GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, tf.token AS token,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.token = df.token, n),
+        |rk AS (SELECT doc_id, token, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, token) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, token, tfidf FROM rk WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
     "text_countmin" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

@@ -184,7 +184,29 @@ object Streaming {
       .orderBy("user_id", "session_idx")
   }
 
+  /** T6: Count-Min grid per tumbling window — the sketch-in-streaming
+    * composition: per 2-minute window, fold the event-type stream
+    * into the D x W counter grid ([[graft.functions.Text.cmsCells]],
+    * same hash family as the batch sketch). The streaming state per
+    * window is EXACTLY D*W counters no matter the event rate — the
+    * bounded-state property that lets a watermarked stream keep
+    * frequency estimates forever where per-key counts grow with
+    * cardinality. Output is the grid itself (the mergeable sketch a
+    * downstream reader probes); batch/stream equivalence follows
+    * from the aggregate being a plain windowed count
+    * (StreamingSpec's tumbling machinery, same shape). */
+  def countminGrid(ev: DataFrame): DataFrame =
+    ev.select(window(col("ts"), "2 minutes").as("win"),
+        graft.functions.Text.cmsCells(col("event_type")).as("x"))
+      .groupBy(col("win.start").as("win_start"),
+        col("x.d").as("d"), col("x.bkt").as("bkt"))
+      .agg(count(lit(1)).as("bc"))
+
+  def streamCountmin(s: SparkSession, dir: String): DataFrame =
+    countminGrid(Tables.events(s, dir)).orderBy("win_start", "d", "bkt")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_countmin" -> streamCountmin,
     "stream_dedup" -> streamDedup,
     "stream_user_sessions" -> streamUserSessions,
     "stream_interval_join" -> streamIntervalJoin,
@@ -196,6 +218,20 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_countmin" ->
+      """WITH ec AS (SELECT time_bucket(INTERVAL 2 MINUTES, ts)
+        |      AS win_start,
+        |    list_reduce(
+        |      list_concat([CAST(0 AS BIGINT)],
+        |        list_transform(string_split(event_type,''),
+        |          ch -> CAST(unicode(ch) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM events),
+        |cells AS (SELECT win_start, d,
+        |    ((h * (2*d + 3) + (97*d + 31)) % 1000000007) % 16 AS bkt
+        |  FROM ec, UNNEST([0, 1, 2]) AS r(d))
+        |SELECT win_start, d, bkt, COUNT(*) AS bc
+        |FROM cells GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "stream_interval_join_left" ->
       """SELECT c.user_id AS user_id, c.event_id AS click_id,
         |  p.event_id AS purchase_id

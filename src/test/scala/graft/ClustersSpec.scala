@@ -195,4 +195,24 @@ class ClustersSpec extends SparkSpecBase {
     assert(g.filter(col("u") >= col("v")).count() == 0)
     assert(g.count() > 0)
   }
+
+  test("label propagation: two synchronous rounds on bridged " +
+    "triangles, replayed by hand") {
+    // triangles 1-2-3 and 4-5-6 bridged by 3-4; labels start at the
+    // node id, each round takes the neighbor-majority with min-label
+    // tie break, all nodes updating from the SAME previous labeling:
+    //   r1: 1->2, 2->1, 3->1, 4->3, 5->4, 6->4
+    //   r2: 1->1, 2->1, 3->1, 4->4, 5->3, 6->3
+    // triangle {1,2,3} has converged to community 1; the second
+    // triangle still oscillates — exactly why rounds are capped
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = functions.Clusters.labelPropagationOn(edges, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 3L, 6L -> 3L))
+    // corpus: labels actually merge (fewer communities than nodes)
+    val c = functions.Clusters.graphCommunities(spark, sf)
+    assert(c.select("community").distinct().count() < c.count())
+  }
 }

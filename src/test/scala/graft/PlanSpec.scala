@@ -425,6 +425,23 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Window"), p)
   }
 
+  test("text_keywords: rank-then-filter optimizes to WindowGroupLimit " +
+    "(partial top-3 per doc before the shuffle)") {
+    val p = plan(functions.Text.textKeywords(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+    // correctness of the cut: every doc contributes at most 3 rows,
+    // ranks are 1..k, and scores never increase within a doc
+    import spark.implicits._
+    val k = functions.Text.textKeywords(spark, sf)
+      .select("doc_id", "rk", "tfidf").as[(Long, Int, Double)].collect()
+    val perDoc = k.groupBy(_._1)
+    assert(perDoc.values.forall(_.length <= 3))
+    assert(perDoc.values.forall(rows =>
+      rows.sortBy(_._2).map(_._3).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true
+      }))
+  }
+
   test("approx quantiles stay within 2% of exact percentiles on the corpus") {
     import spark.implicits._
     val approx = operators.Aggregates.aggApproxQuantile(spark, sf)

@@ -483,4 +483,24 @@ class StreamingSpec extends SparkSpecBase {
       assert(n == Tables.events(spark, sf).count())
     } finally q.stop()
   }
+
+  test("T6 Count-Min grid per window: streaming == batch, and each " +
+    "window's grid row sums to its event count per hash row") {
+    val streamed = runToSet(
+      streaming.Streaming.countminGrid(
+        eventsStream.withWatermark("ts", "10 minutes")), "t6_out")
+    val batch = streaming.Streaming.countminGrid(Tables.events(spark, sf))
+    assert(streamed == batch.collect().map(_.toString).toSet)
+    // mass conservation: for every (window, hash row) the bucket
+    // counts sum to the window's event count — the sketch loses rank,
+    // never mass
+    val winCounts = streaming.Streaming
+      .tumbling(Tables.events(spark, sf))
+      .groupBy("win_start").agg(sum("n_events").as("n"))
+    val gridSums = batch.groupBy("win_start", "d")
+      .agg(sum("bc").as("mass"))
+    val bad = gridSums.join(winCounts, "win_start")
+      .filter(col("mass") =!= col("n")).count()
+    assert(bad == 0)
+  }
 }
