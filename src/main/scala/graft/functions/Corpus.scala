@@ -134,6 +134,37 @@ object Corpus {
     * single-partition (cf. window_row_number's documented exception).
     * One shuffle for the per-lang window, one range exchange for the
     * sort. */
+  /** L8b: temperature-scaled language mixing — the mT5/XLM-R
+    * allocation: language share ∝ mass^(1/T) with T = 2, upsampling
+    * low-resource languages relative to raw proportion without
+    * letting any language dominate. (T = 1 is proportional sampling,
+    * T → ∞ is uniform; √mass is the field's standard middle.)
+    * Determinism discipline: sqrt is the ONE transcendental and
+    * IEEE-754 requires it correctly rounded, so both engines agree
+    * bit-for-bit; the weight quantizes to BIGINT ppm immediately
+    * (floor(√n × 10^6)) and everything after — the weight total, the
+    * ppm share, the target doc count — is exact integer division.
+    * Shape: one lang-keyed count (map-side combined), a 1-row total
+    * broadcast back; the relation is language-bounded, irrelevant at
+    * any data scale. Consuming the allocation is [[corpusMixOn]]'s
+    * interleave with these targets as the weights. */
+  def corpusTemperatureOn(docs: DataFrame): DataFrame = {
+    val q = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("wq",
+        floor(sqrt(col("n_docs").cast("double")) * 1000000).cast("long"))
+    val tot = q.agg(sum(col("wq")).as("wsum"),
+      sum(col("n_docs")).as("n_total"))
+    q.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("wq"),
+        expr("wq * 1000000 div wsum").as("share_ppm"),
+        expr("(wq * 1000000 div wsum) * n_total div 1000000")
+          .as("target_docs"))
+      .orderBy("lang")
+  }
+
+  def corpusTemperature(s: SparkSession, dir: String): DataFrame =
+    corpusTemperatureOn(Tables.documents(s, dir))
+
   def corpusMixOn(docs: DataFrame): DataFrame = {
     val iw = MixInvWeight.foldLeft(lit(1)) { case (acc, (l, k)) =>
       when(col("lang") === l, k).otherwise(acc)
@@ -388,6 +419,7 @@ object Corpus {
     "corpus_coverage_cap" -> corpusCoverageCap,
     "corpus_quality_bins" -> corpusQualityBins,
     "corpus_mix" -> corpusMix,
+    "corpus_temperature" -> corpusTemperature,
     "profile_stats" -> profileStats,
     "profile_skew" -> profileSkew,
     "quality_audit" -> qualityAudit,
@@ -450,6 +482,20 @@ object Corpus {
          |WHERE $polySql % 100 <
          |  CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 50 ELSE 100 END
          |ORDER BY doc_id""".stripMargin,
+    "corpus_temperature" ->
+      """WITH s AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+        |  GROUP BY lang),
+        |q AS (SELECT lang, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS wq
+        |  FROM s),
+        |t AS (SELECT CAST(SUM(wq) AS BIGINT) AS wsum,
+        |    CAST(SUM(n_docs) AS BIGINT) AS n_total FROM q)
+        |SELECT lang, n_docs, wq,
+        |  CAST(wq * 1000000 // wsum AS BIGINT) AS share_ppm,
+        |  CAST((wq * 1000000 // wsum) * n_total // 1000000 AS BIGINT)
+        |    AS target_docs
+        |FROM q, t ORDER BY lang""".stripMargin,
     "corpus_mix" ->
       """WITH ranked AS (
         |  SELECT doc_id, lang,

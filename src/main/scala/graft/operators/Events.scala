@@ -197,6 +197,35 @@ object Events {
   def eventTransitions(s: SparkSession, dir: String): DataFrame =
     eventTransitionsOn(Tables.events(s, dir))
 
+  /** E8: path mining — the frequency table of each user's first
+    * `depth` event types in time order, the clickstream question
+    * ("what do journeys look like?") that transitions (pairwise
+    * Markov) can't answer because it forgets history. Depth-capping
+    * does two jobs: it bounds the path string (a power user's full
+    * history would make an unbounded group key) and it lets the
+    * per-user rank filter collapse to WindowGroupLimit (top-`depth`
+    * rows forwarded per user BEFORE the shuffle). The collected path
+    * is sorted by rank inside the row (the agg_collect_list
+    * discipline — collect_list alone is partition-order racy). Two
+    * shuffles total: user-keyed rank, path-keyed count. */
+  def eventPathsOn(events: DataFrame, depth: Int = 5): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val first = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= depth)
+    first.groupBy("user_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("rk"), col("event_type")))),
+          x => x("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
+  def eventPaths(s: SparkSession, dir: String): DataFrame =
+    eventPathsOn(Tables.events(s, dir))
+
   def eventFunnel(s: SparkSession, dir: String): DataFrame =
     eventFunnelOn(Tables.events(s, dir))
 
@@ -213,9 +242,20 @@ object Events {
     "ts_gapfill" -> tsGapfill,
     "event_attribution" -> eventAttribution,
     "event_transitions" -> eventTransitions,
+    "event_paths" -> eventPaths,
   )
 
   val oracles: Map[String, String] = Map(
+    "event_paths" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rk
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rk)
+        |    AS path
+        |  FROM o WHERE rk <= 5 GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_users FROM p
+        |GROUP BY path ORDER BY n_users DESC, path""".stripMargin,
     "event_retention" ->
       """WITH acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
         |  FROM events),

@@ -250,4 +250,26 @@ class CorpusSpec extends SparkSpecBase {
       col("total_chars") * 9).count() == 0)
     out.unpersist()
   }
+
+  test("corpus_temperature: T=2 compresses shares toward uniform — " +
+    "low-resource languages upsample, the head downsamples") {
+    val t = functions.Corpus.corpusTemperature(spark, sf)
+      .select("lang", "n_docs", "share_ppm")
+      .as[(String, Long, Long)].collect()
+    val total = t.map(_._2).sum
+    // shares form a (floor-truncated) distribution
+    val shareSum = t.map(_._3).sum
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - t.length)
+    t.foreach { case (lang, n, share) =>
+      val rawPpm = n * 1000000L / total
+      if (rawPpm < share) assert(rawPpm < 1000000L / t.length,
+        s"$lang upsampled despite being above uniform")
+      // sqrt flattening: temperature share sits between the raw
+      // share and the uniform share (inclusive, up to floor slack)
+      val lo = math.min(rawPpm, 1000000L / t.length) - 1
+      val hi = math.max(rawPpm, 1000000L / t.length) + 1
+      assert(share >= lo && share <= hi,
+        s"$lang share $share outside [$lo, $hi] (raw $rawPpm)")
+    }
+  }
 }

@@ -144,4 +144,25 @@ class EventsSpec extends SparkSpecBase {
       i.toLong -> (if (i == 1 || i == 20) 1L else 2L)).toMap
     assert(got == want)
   }
+
+  test("event_paths: depth cap keeps the first five events in time " +
+    "order; corpus paths partition the users") {
+    import java.sql.Timestamp
+    // user 1 has 7 events a..g — the path is a>b>c>d>e (first 5);
+    // user 2's two events arrive out of id order — ts wins
+    val ev = (
+      ('a' to 'g').zipWithIndex.map { case (c, i) =>
+        (1L, i.toLong, new Timestamp(1000L * (i + 1)), c.toString)
+      } ++ Seq(
+        (2L, 100L, new Timestamp(9000L), "x"),
+        (2L, 99L, new Timestamp(10000L), "y")))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = operators.Events.eventPathsOn(ev)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a>b>c>d>e" -> 1L, "x>y" -> 1L))
+    val corpus = operators.Events.eventPaths(spark, sf)
+    val users = Tables.events(spark, sf).select("user_id")
+      .distinct().count()
+    assert(corpus.agg(sum(col("n_users"))).as[Long].head() == users)
+  }
 }
