@@ -169,6 +169,51 @@ object Joins {
       .orderBy("purchase_id")
   }
 
+  /** J8c: NEAREST as-of — the third direction every practical as-of
+    * API exposes (pandas merge_asof(direction='nearest')): for every
+    * purchase, the user's closest click in EITHER direction, ties to
+    * the earlier (backward) side. Composed from the two directional
+    * passes over ONE tagged relation: both windows share the user_id
+    * hash partitioning (one shuffle — the second window only re-sorts
+    * within partitions), then a per-row argmin picks the smaller gap.
+    * Backward ties at equal timestamp resolve to the LATEST click id
+    * (the running last in ascending id order), forward ties to the
+    * earliest — both mirrored in the oracle's tie-break ordering. */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"), col("event_id"))
+    val tagged = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus"), lit(0).as("m"), col("event_id").as("id"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"), lit(1).as("m"), col("event_id").as("id")))
+    val wb = Window.partitionBy("user_id")
+      .orderBy(col("tus").asc, col("m").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id")
+      .orderBy(col("tus").desc, col("m").asc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val takeBack = col("f_id").isNull || (col("b_id").isNotNull &&
+      (col("tus") - col("b_tus")) <= (col("f_tus") - col("tus")))
+    tagged
+      .withColumn("b_id",
+        last(when(col("m") === 0, col("id")), ignoreNulls = true).over(wb))
+      .withColumn("b_tus",
+        last(when(col("m") === 0, col("tus")), ignoreNulls = true).over(wb))
+      .withColumn("f_id",
+        last(when(col("m") === 0, col("id")), ignoreNulls = true).over(wf))
+      .withColumn("f_tus",
+        last(when(col("m") === 0, col("tus")), ignoreNulls = true).over(wf))
+      .filter(col("m") === 1 &&
+        (col("b_id").isNotNull || col("f_id").isNotNull))
+      .select(col("user_id"), col("id").as("purchase_id"),
+        when(takeBack, col("b_id")).otherwise(col("f_id")).as("click_id"),
+        when(takeBack, col("tus") - col("b_tus"))
+          .otherwise(col("f_tus") - col("tus")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   /** Skew-mitigation pattern: the join key (event_type, 5 hot values
     * over the whole fact table) is salted 8 ways — the fact side gets
     * salt = pmod(event_id, 8), the dim side is replicated per salt, and
@@ -343,6 +388,7 @@ object Joins {
     "merge_upsert" -> mergeUpsert,
     "join_asof" -> joinAsof,
     "join_asof_forward" -> joinAsofForward,
+    "join_asof_nearest" -> joinAsofNearest,
     "join_salted" -> joinSalted,
     "join_bloom" -> joinBloom,
     "join_range_bucketed" -> joinRangeBucketed,
@@ -416,6 +462,22 @@ object Joins {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events JOIN dim USING (event_type)
         |GROUP BY category ORDER BY category""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |    epoch_us(ts) AS ctus
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |    epoch_us(ts) AS ptus
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.user_id AS user_id, purchase_id, click_id,
+        |    abs(ptus - ctus) AS gap,
+        |    CASE WHEN ctus <= ptus THEN 0 ELSE 1 END AS dirn
+        |  FROM p JOIN c ON p.user_id = c.user_id)
+        |SELECT user_id, purchase_id, click_id, gap AS gap_us
+        |FROM j QUALIFY row_number() OVER (PARTITION BY purchase_id
+        |  ORDER BY gap, dirn,
+        |    CASE WHEN dirn = 0 THEN -click_id ELSE click_id END) = 1
+        |ORDER BY purchase_id""".stripMargin,
     "join_asof" ->
       """WITH t AS (
         |  SELECT user_id, epoch_us(ts) AS tus, 0 AS m, event_id AS id

@@ -165,4 +165,18 @@ class EventsSpec extends SparkSpecBase {
       .distinct().count()
     assert(corpus.agg(sum(col("n_users"))).as[Long].head() == users)
   }
+
+  test("join_asof_nearest: never a larger gap than either directional " +
+    "variant, and covers every purchase they cover") {
+    val near = operators.Joins.joinAsofNearest(spark, sf)
+      .select(col("purchase_id"), col("gap_us").as("g"))
+    val back = operators.Joins.joinAsof(spark, sf)
+      .select(col("purchase_id"), col("gap_us").as("gb"))
+    assert(near.join(back, "purchase_id")
+      .filter(col("g") > col("gb")).count() == 0)
+    // nearest matches wherever backward does (superset coverage:
+    // a purchase with a preceding click always has SOME nearest)
+    assert(back.join(near, Seq("purchase_id"), "left_anti").count() == 0)
+    assert(near.count() >= back.count())
+  }
 }
