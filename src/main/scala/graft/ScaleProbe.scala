@@ -108,6 +108,14 @@ object ScaleProbe {
         val rim = ids.select(col("i").as("a"), (col("i") + 1L).as("b"))
         functions.Clusters.triangleCountOn(hub.unionByName(rim))
       }),
+      // perturbed copies grow the vocabulary k x; the CMS shuffle must
+      // stay D*W-sized regardless (the bounded-state claim)
+      "text_countmin" -> (d => functions.Text.textCountminOn(d)),
+      // SNM candidates are (w-1)*n by construction — the probe pins
+      // the linear-candidate claim against a doubling corpus
+      "dedup_sorted_neighborhood" -> (d =>
+        functions.Dedup.dedupSortedNeighborhoodOn(
+          functions.Dedup.shingleHashesOf(d).localCheckpoint(true))),
     )
 
     val only = args.drop(1).toSet

@@ -96,6 +96,27 @@ object Corpus {
   def sampleBottomk(s: SparkSession, dir: String): DataFrame =
     sampleBottomkOn(Tables.documents(s, dir))
 
+  /** L10d: systematic sampling — every `interval`-th row of a
+    * deterministically ordered frame (order key = content hash, so
+    * the spread is uniform over content, not insertion order): the
+    * evenly-spaced 1/m sample auditors and eval-set builders want,
+    * complementing bottom-k (fixed SIZE) and stratified (fixed
+    * residue classes) with fixed SPACING. Ranks come from
+    * [[graft.operators.Windows.denseIdsOn]] — range partition +
+    * per-partition numbering, no single-partition window — so the
+    * op is one range exchange at any scale. */
+  def sampleSystematicOn(docs: DataFrame, interval: Int = 20): DataFrame = {
+    require(interval >= 2, s"need interval >= 2, got $interval")
+    val keyed = docs.select(col("doc_id"), Text.polyHash(col("text")).as("h"))
+    graft.operators.Windows.denseIdsOn(keyed, Seq("h", "doc_id"))
+      .filter((col("dense_id") - 1) % interval === 0)
+      .select(col("doc_id"), col("h"), col("dense_id").as("rk"))
+      .orderBy("rk")
+  }
+
+  def sampleSystematic(s: SparkSession, dir: String): DataFrame =
+    sampleSystematicOn(Tables.documents(s, dir))
+
   /** L10b: weight-biased exact-k sample — [[sampleBottomkOn]]'s
     * affine-hash priority DIVIDED by the row's weight (n_chars), so
     * heavier documents race with proportionally smaller keys and the
@@ -414,6 +435,7 @@ object Corpus {
     "text_pack_sequences" -> textPackSequences,
     "sample_stratified" -> sampleStratified,
     "sample_bottomk" -> sampleBottomk,
+    "sample_systematic" -> sampleSystematic,
     "sample_weighted" -> sampleWeighted,
     "sample_domain_cap" -> sampleDomainCap,
     "corpus_coverage_cap" -> corpusCoverageCap,
@@ -454,6 +476,18 @@ object Corpus {
         |  ((doc_id % 1000000007) * 912367 % 1000000007 + 40503)
         |    % 1000000007 AS pri
         |FROM documents ORDER BY pri, doc_id LIMIT 64""".stripMargin,
+    "sample_systematic" ->
+      """WITH h AS (SELECT doc_id, list_reduce(
+        |    list_concat([CAST(0 AS BIGINT)],
+        |      list_transform(string_split(text,''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, h,
+        |    CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rk
+        |  FROM h)
+        |SELECT doc_id, h, rk FROM r
+        |WHERE (rk - 1) % 20 = 0 ORDER BY rk""".stripMargin,
     "sample_weighted" ->
       """SELECT doc_id, lang, source, n_chars,
         |  CAST(((doc_id % 1000000007) * 912367 % 1000000007 + 40503)

@@ -303,6 +303,45 @@ object Text {
   def textCountmin(s: SparkSession, dir: String): DataFrame =
     textCountminOn(Tables.documents(s, dir))
 
+  /** L4o: head-coverage curve — what fraction of the token MASS the
+    * top-k vocabulary types cover, at k = powers of two: the curve
+    * that sizes a tokenizer vocabulary or an embedding table ("32k
+    * types cover 99.5% of tokens; the tail is <unk>"). One
+    * token-keyed count (map-side combined), then rank + running mass
+    * on the VOCABULARY relation — a global window, but over a
+    * language-bounded relation that does not grow with corpus bytes
+    * (the same justification as the k-means seed window; the
+    * quarantined single-partition forms are the ROW-keyed ones).
+    * Ratios are integer ppm (mass sums are exact BIGINTs). */
+  def textCoverageCurveOn(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val ranked = vocab
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("rk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = vocab.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_types"))
+    val ks = Seq(1, 2, 4, 8, 16, 32, 64)
+    ranked.crossJoin(broadcast(tot))
+      .select(explode(array(ks.map(lit(_)): _*)).as("k"),
+        col("rk"), col("cum"), col("total"), col("n_types"))
+      .filter(col("rk") <= col("k"))
+      .groupBy("k")
+      .agg(max(col("rk")).as("n_types_used"),
+        max(col("cum")).as("mass"),
+        max(col("total")).as("total"))
+      .select(col("k"), col("n_types_used"),
+        expr("mass * 1000000 div total").as("coverage_ppm"))
+      .orderBy("k")
+  }
+
+  def textCoverageCurve(s: SparkSession, dir: String): DataFrame =
+    textCoverageCurveOn(Tables.documents(s, dir))
+
   /** L4m: group-relative quality cut — keep documents strictly above
     * their language's median length, the "top half per group" filter
     * real curation pipelines apply so a verbose language's floor does
@@ -651,6 +690,7 @@ object Text {
     "text_heavy_hitters" -> heavyHitters,
     "text_countmin" -> textCountmin,
     "text_keywords" -> textKeywords,
+    "text_coverage_curve" -> textCoverageCurve,
     "quality_filter_relative" -> qualityFilterRelative,
     "text_inverted_index" -> textInvertedIndex,
     "text_tfidf" -> textTfidf,
@@ -841,6 +881,24 @@ object Text {
         |  CAST(length(text) - length(regexp_replace(text,
         |    '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '', 'g')) AS INT) AS n_email_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_coverage_curve" ->
+      """WITH v AS (SELECT token, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text,' ')) AS token
+        |    FROM documents) GROUP BY token),
+        |rk0 AS (SELECT cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token)
+        |      AS INTEGER) AS rk
+        |  FROM v),
+        |r AS (SELECT rk, CAST(SUM(cnt) OVER (ORDER BY rk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum
+        |  FROM rk0),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v)
+        |SELECT k, MAX(rk) AS n_types_used,
+        |  CAST(MAX(cum) * 1000000 // MAX(total) AS BIGINT)
+        |    AS coverage_ppm
+        |FROM r, t, UNNEST([1, 2, 4, 8, 16, 32, 64]) AS u(k)
+        |WHERE rk <= k GROUP BY k ORDER BY k""".stripMargin,
     "text_keywords" ->
       """WITH tf AS (
         |  SELECT doc_id, token, COUNT(*) AS tf FROM (

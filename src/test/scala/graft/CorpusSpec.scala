@@ -251,6 +251,29 @@ class CorpusSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("sample_systematic: exact 1/20 spacing over the hash order, " +
+    "size = ceil(n/20)") {
+    val s = functions.Corpus.sampleSystematic(spark, sf)
+      .select("rk").as[Long].collect().sorted
+    val n = Tables.documents(spark, sf).count()
+    assert(s.length == (n + 19) / 20)
+    assert(s.toSeq == s.indices.map(i => 1L + 20L * i))
+  }
+
+  test("text_coverage_curve: coverage is monotone in k and saturates " +
+    "at the full vocabulary") {
+    val c = functions.Text.textCoverageCurve(spark, sf)
+      .select("k", "n_types_used", "coverage_ppm")
+      .as[(Int, Int, Long)].collect().sortBy(_._1)
+    assert(c.map(_._3).toSeq == c.map(_._3).sorted.toSeq)
+    // the synthetic vocabulary is far under 64 types, so the last
+    // point covers every token (floor division hits exactly 1e6)
+    assert(c.last._3 == 1000000L)
+    assert(c.last._2 < 64)
+    // n_types_used caps at min(k, vocab)
+    c.foreach { case (k, used, _) => assert(used <= k) }
+  }
+
   test("corpus_temperature: T=2 compresses shares toward uniform — " +
     "low-resource languages upsample, the head downsamples") {
     val t = functions.Corpus.corpusTemperature(spark, sf)
