@@ -582,6 +582,118 @@ object Clusters {
       Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
         .select("qid", "nid"))
 
+  /** k-core decomposition (the `k`-core): iteratively peel nodes of
+    * degree < k until a fixpoint — the standard "dense part of the
+    * graph" extraction (spam rings, tightly-coupled near-dup hubs,
+    * community cores survive; tendrils and chains peel away). A
+    * genuinely different iterative shape from the label loops: the
+    * state is the EDGE SET, shrinking monotonically, and a round is
+    * one degree count + two anti-joins against the weak-node set —
+    * all node-keyed, map-side combined. localCheckpoint per round
+    * keeps the plan constant; `maxIter` throws rather than returning
+    * a half-peeled graph (the [[connectedComponentsOn]] discipline).
+    * Peeling is idempotent at the fixpoint, so the oracle's fixed
+    * unroll of [[KcoreRounds]] rounds equals the engine's converged
+    * result whenever the engine converges within that many rounds —
+    * the throw enforces exactly that. Output: the surviving nodes
+    * with their degree INSIDE the core. */
+  def kcoreOn(edges: DataFrame, k: Int = KcoreK,
+      maxIter: Int = KcoreRounds): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val Array(ca, cb) = edges.columns.take(2)
+    var e = edges
+      .select(least(col(ca), col(cb)).cast("long").as("a"),
+        greatest(col(ca), col(cb)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var weakCount = 1L
+    while (weakCount > 0) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"k-core peel did not converge in $maxIter rounds")
+      iter += 1
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val weak = deg.filter(col("deg") < k).select("node")
+        .localCheckpoint(true)
+      weakCount = weak.count()
+      if (weakCount > 0)
+        e = e
+          .join(weak.select(col("node").as("a")), Seq("a"), "left_anti")
+          .join(weak.select(col("node").as("b")), Seq("b"), "left_anti")
+          .localCheckpoint(true)
+    }
+    e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+      .orderBy("node")
+  }
+
+  val KcoreRounds = 6
+
+  /** Core threshold for the catalog form. The kNN-3 graph is
+    * degenerate for coring — its degrees are so uniform that the
+    * 3-core keeps everything and the 4-core cascades to empty — so
+    * the catalog peels the bipartite trade graph instead, whose
+    * power-law-ish degrees give the peel an actual gradient. */
+  val KcoreK = 4
+
+  def graphKcore(s: SparkSession, dir: String): DataFrame =
+    kcoreOn(bipartiteEdges(s, dir))
+
+  /** Newman modularity decomposition of a labeling — the evaluation
+    * rung for [[labelPropagationOn]]: per community c, the intra-edge
+    * count e_c, the degree mass d_c, and the exact integer numerator
+    * 4·m·e_c − d_c² of its modularity contribution (the full score is
+    * Q = Σ_c (4·m·e_c − d_c²) / (4·m²), every term exact BIGINT).
+    * The DIVISION deliberately stays OUT of the relation: the
+    * numerator can be negative, and negative integer division
+    * truncates toward zero in Spark but floors in DuckDB — emitting
+    * the exact numerator sidesteps the one cross-engine semantic the
+    * repo cannot pin (same discipline as keeping raw ns timestamps
+    * out of outputs). At web scale swap BIGINT for DECIMAL(38,0):
+    * 4·m·e_c overflows 64 bits once m exceeds ~2^31 edges. Shape:
+    * two broadcast-scalar joins and two node-keyed aggregates. */
+  def modularityOn(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val Array(ca, cb) = edges.columns.take(2)
+    val und = edges
+      .select(least(col(ca), col(cb)).cast("long").as("a"),
+        greatest(col(ca), col(cb)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val Array(cn, cl) = labels.columns.take(2)
+    val lab = labels.select(col(cn).cast("long").as("node"),
+      col(cl).cast("long").as("community"))
+    val mRel = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dSum = lab.join(deg, "node")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val intra = und
+      .join(lab.select(col("node").as("a"), col("community").as("c1")), "a")
+      .join(lab.select(col("node").as("b"), col("community").as("c2")), "b")
+      .filter(col("c1") === col("c2"))
+      .groupBy(col("c1").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    dSum.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(mRel))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("deg_sum"),
+        (lit(4L) * col("m") * coalesce(col("intra_edges"), lit(0L)) -
+          col("deg_sum") * col("deg_sum")).as("contrib_num"))
+      .orderBy("community")
+  }
+
+  def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
+      .select("qid", "nid").localCheckpoint(true)
+    modularityOn(edges, labelPropagationOn(edges))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_apply" -> dedupApply,
     "graph_degrees" -> graphDegrees,
@@ -594,7 +706,29 @@ object Clusters {
     "graph_triangles" -> graphTriangles,
     "graph_neighbor_jaccard" -> graphNeighborJaccard,
     "graph_communities" -> graphCommunities,
+    "graph_kcore" -> graphKcore,
+    "graph_modularity" -> graphModularity,
   )
+
+  /** Unrolled peel rounds — each deletes edges touching nodes of
+    * degree < 3; idempotent once converged, so [[KcoreRounds]] rounds
+    * replay the engine's fixpoint exactly (the engine throws if it
+    * needs more). NOT EXISTS, not NOT IN — null-safe by discipline. */
+  private val kcoreIterSql = (1 to KcoreRounds).map { i =>
+    val prev = s"e${i - 1}"
+    // each round references its predecessor several times — without
+    // MATERIALIZED, DuckDB inlines the whole chain per reference and
+    // the expansion grows exponentially in rounds (observed as a
+    // too-many-open-files blowup on the base parquet)
+    s"""d$i AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+       |    SELECT a AS node FROM $prev
+       |    UNION ALL SELECT b FROM $prev) GROUP BY node),
+       |w$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg < $KcoreK),
+       |e$i AS MATERIALIZED (SELECT a, b FROM $prev
+       |  WHERE NOT EXISTS (SELECT 1 FROM w$i WHERE w$i.node = $prev.a)
+       |    AND NOT EXISTS (SELECT 1 FROM w$i WHERE w$i.node = $prev.b))"""
+      .stripMargin
+  }.mkString(",\n")
 
   /** Unrolled synchronous LPA rounds — per round: neighbor-label
     * counts, then the (cnt DESC, lbl) argmax per node via QUALIFY. */
@@ -675,6 +809,43 @@ object Clusters {
          |      UNION ALL SELECT z FROM tri)
          |SELECT node, COUNT(*) AS n_triangles FROM n
          |GROUP BY node ORDER BY node""".stripMargin,
+    "graph_kcore" ->
+      s"""WITH tr AS (SELECT DISTINCT o_custkey AS src,
+         |    l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e0 AS (SELECT DISTINCT LEAST(src, dst) AS a,
+         |    GREATEST(src, dst) AS b FROM tr WHERE src <> dst),
+         |$kcoreIterSql
+         |SELECT node, COUNT(*) AS core_deg FROM (
+         |  SELECT a AS node FROM e$KcoreRounds
+         |  UNION ALL SELECT b FROM e$KcoreRounds)
+         |GROUP BY node ORDER BY node""".stripMargin,
+    "graph_modularity" ->
+      s"""WITH ${Similarity.knnCoreSql},
+         |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,
+         |    GREATEST(qid, nid) AS b FROM knn WHERE qid <> nid),
+         |adj AS (SELECT a AS node, b AS nb FROM und
+         |        UNION ALL SELECT b AS node, a AS nb FROM und),
+         |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+         |$lpaIterSql,
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+         |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM adj GROUP BY node),
+         |ds AS (SELECT l.lbl AS community, COUNT(*) AS n_nodes,
+         |    CAST(SUM(dg.deg) AS BIGINT) AS deg_sum
+         |  FROM l2 l JOIN dg ON l.node = dg.node GROUP BY 1),
+         |ie AS (SELECT la.lbl AS community,
+         |    CAST(COUNT(*) AS BIGINT) AS intra_edges
+         |  FROM und JOIN l2 la ON und.a = la.node
+         |  JOIN l2 lb ON und.b = lb.node
+         |  WHERE la.lbl = lb.lbl GROUP BY 1)
+         |SELECT ds.community, ds.n_nodes,
+         |  COALESCE(ie.intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+         |  ds.deg_sum,
+         |  CAST(4 * mm.m * COALESCE(ie.intra_edges, 0)
+         |    - ds.deg_sum * ds.deg_sum AS BIGINT) AS contrib_num
+         |FROM ds LEFT JOIN ie ON ds.community = ie.community, mm
+         |ORDER BY 1""".stripMargin,
     "graph_communities" ->
       s"""WITH ${Similarity.knnCoreSql},
          |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,

@@ -215,4 +215,49 @@ class ClustersSpec extends SparkSpecBase {
     val c = functions.Clusters.graphCommunities(spark, sf)
     assert(c.select("community").distinct().count() < c.count())
   }
+
+  test("k-core: pendant peels off a clique, chains cascade to empty, " +
+    "and the corpus core honors the threshold") {
+    // 3-core of K4 + pendant: node 5 peels, the clique survives with
+    // in-core degree 3 everywhere
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val core = functions.Clusters.kcoreOn(k4, k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // 2-core of a path: endpoints peel, exposing new endpoints —
+    // the cascade empties the graph
+    val path = (1L to 5L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("a", "b")
+    assert(functions.Clusters.kcoreOn(path, k = 2).count() == 0)
+    // corpus core: every surviving degree meets the threshold
+    val g = functions.Clusters.graphKcore(spark, sf)
+    assert(g.filter(col("core_deg") < functions.Clusters.KcoreK)
+      .count() == 0)
+    assert(g.count() > 0)
+  }
+
+  test("modularity numerators: hand-computed on the bridged triangles " +
+    "under the LPA labeling; corpus conservation laws hold") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = functions.Clusters.labelPropagationOn(edges, rounds = 2)
+    // m=7; communities {1,2,3} (3 intra, deg 7), {4} (0 intra, deg 3),
+    // {5,6} (1 intra, deg 4) -> numerators 35, -9, 12
+    val got = functions.Clusters.modularityOn(edges, labels)
+      .select("community", "intra_edges", "deg_sum", "contrib_num")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 7L, 35L), (3L, 1L, 4L, 12L),
+      (4L, 0L, 3L, -9L)))
+    // conservation: degrees sum to 2m, intra edges never exceed m,
+    // every labeled node appears in exactly one community row
+    val m = functions.Clusters.graphModularity(spark, sf)
+    val und = functions.Similarity.simKnnJoinOn(Tables.embeddings(spark, sf))
+      .select(least(col("qid"), col("nid")).as("a"),
+        greatest(col("qid"), col("nid")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val mEdges = und.count()
+    assert(m.agg(sum(col("deg_sum"))).as[Long].head() == 2 * mEdges)
+    assert(m.agg(sum(col("intra_edges"))).as[Long].head() <= mEdges)
+  }
 }
