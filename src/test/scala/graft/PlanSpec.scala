@@ -497,4 +497,48 @@ class PlanSpec extends SparkSpecBase {
     assert(nBroadcast <= "LocalTableScan".r.findAllIn(p).size, p)
     assert(nBroadcast >= 1, p)
   }
+
+  test("feat_project is a pure scan: ZERO exchanges of any kind") {
+    // the LIBRARY form — the catalog wrapper's orderBy is the dump
+    // contract, not part of the operator
+    val p = plan(functions.Signals.featProjectOn(
+      Tables.embeddings(spark, sf)))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("agg_histogram_eqdepth bins without a window (no global NTILE)") {
+    val p = plan(operators.Aggregates.aggHistogramEqdepth(spark, sf))
+    assert(!p.contains("WindowExec"), p)
+    // the 1-row bounds relation reaches the scan as a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
+  test("sorted-neighborhood candidates: equi-join on rank, no " +
+    "cartesian, no quadratic self-join") {
+    val p = plan(functions.Dedup.dedupSortedNeighborhood(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("graph_neighbor_jaccard: wedge equi-join only, never all pairs") {
+    val p = plan(functions.Clusters.graphNeighborJaccard(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("text_countmin: the sketch aggregate is partial (map-side " +
+    "combine) so only the D*W grid crosses the shuffle") {
+    val cms = functions.Text.textCountminOn(
+      Tables.documents(spark, sf)).queryExecution.executedPlan.toString
+    // partial + final pairs: the cell aggregate must show both modes
+    assert("HashAggregate".r.findAllIn(cms).size >= 4, cms)
+    assert(!cms.contains("CartesianProduct"), cms)
+  }
+
+  test("event_paths: depth cap becomes WindowGroupLimit before the " +
+    "path shuffle") {
+    val p = plan(operators.Events.eventPaths(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
