@@ -89,6 +89,32 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** DuckDB mirror of [[dedupSubstringOn]]'s span find as a reusable
+    * CTE chain ending in `sp(doc_id, span_start, span_end, n_windows)`
+    * (with the token arrays still visible as `tk(doc_id, t)`) — shared
+    * by the dedup_substring oracle and the dedup_substring_apply
+    * rewrite oracle. */
+  private[functions] val substringSpanSql =
+    """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |g AS (SELECT doc_id, i - 1 AS pos,
+      |        list_reduce(list_concat([CAST(0 AS BIGINT)],
+      |          list_transform(string_split(array_to_string(t[i:i+7], ' '),''),
+      |            c -> CAST(unicode(c) AS BIGINT))),
+      |          (a, b) -> (a * 31 + b) % 1000000007) AS gh
+      |      FROM tk, UNNEST(range(1, len(t) - 6)) AS r(i)),
+      |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+      |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+      |m AS (SELECT doc_id, pos,
+      |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |          OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+      |        THEN 1 ELSE 0 END AS ns FROM h),
+      |s AS (SELECT doc_id, pos,
+      |        CAST(SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
+      |      FROM m),
+      |sp AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end,
+      |         CAST(COUNT(*) AS BIGINT) AS n_windows
+      |       FROM s GROUP BY doc_id, span_id)""".stripMargin
+
   private[functions] val shingleHashSql =
     """WITH tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
       |sh AS (SELECT DISTINCT doc_id,
@@ -643,6 +669,49 @@ object Dedup {
   def dedupSubstring(s: SparkSession, dir: String): DataFrame =
     dedupSubstringOn(Tables.documents(s, dir))
 
+  /** L2 (ExactSubstr, the APPLY half): rewrite the corpus with every
+    * duplicated span CUT — [[dedupSubstringOn]] finds the merged
+    * duplicate windows, this op removes those token ranges and
+    * reassembles the residual text, which is what Lee et al. 2022
+    * actually train on (the find step alone just reports spans).
+    * Aggressive mode: every occurrence of a duplicated span is cut,
+    * the deliberately order-free choice — keeping one canonical copy
+    * would need a global "first occurrence" tie-break joined back to
+    * every gram, one more corpus-wide shuffle for a policy the paper
+    * itself leaves open.
+    *
+    * Scale shape: tokens and spans are both doc-keyed, so after the
+    * span find (whose one corpus-wide shuffle is the gram-hash groupBy
+    * inside [[dedupSubstringOn]]) everything here is ONE doc-keyed
+    * join + groupBy — spans per doc are few, the per-doc token x span
+    * left join is bounded by doc length, and the rewrite never
+    * shuffles text twice. Reassembly sorts each doc's kept tokens by
+    * position INSIDE the row (array_sort over the collected structs,
+    * unique pos = total order), not via a global window. */
+  def dedupSubstringApplyOn(docs: DataFrame, window: Int = 8): DataFrame = {
+    val spans = dedupSubstringOn(docs, window)
+      .select("doc_id", "span_start", "span_end")
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+    toks.join(spans, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"), col("pos"), col("tok"))
+      .agg(max(when(col("span_start").isNotNull &&
+          col("pos") >= col("span_start") && col("pos") < col("span_end"), 1L)
+        .otherwise(0L)).as("cut"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cut")).as("n_removed"),
+        array_sort(collect_list(when(col("cut") === 0,
+          struct(col("pos"), col("tok"))))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        concat_ws(" ", expr("transform(kept, s -> s.tok)")).as("clean_text"))
+  }
+
+  def dedupSubstringApply(s: SparkSession, dir: String): DataFrame =
+    dedupSubstringApplyOn(Tables.documents(s, dir)).orderBy("doc_id")
+
   /** L2 (embedding near-dup, exact): every cosine >= threshold pair,
     * computed as a BLOCK-PAIR shuffle join — the distributed spelling
     * of the all-pairs loop:
@@ -738,6 +807,7 @@ object Dedup {
     "dedup_ngram" -> dedupNgram,
     "dedup_prefix_filter" -> dedupPrefixFilter,
     "dedup_substring" -> dedupSubstring,
+    "dedup_substring_apply" -> dedupSubstringApply,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
   )
@@ -923,25 +993,22 @@ object Dedup {
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
          |ORDER BY da, db""".stripMargin,
     "dedup_substring" ->
-      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-        |g AS (SELECT doc_id, i - 1 AS pos,
-        |        list_reduce(list_concat([CAST(0 AS BIGINT)],
-        |          list_transform(string_split(array_to_string(t[i:i+7], ' '),''),
-        |            c -> CAST(unicode(c) AS BIGINT))),
-        |          (a, b) -> (a * 31 + b) % 1000000007) AS gh
-        |      FROM tk, UNNEST(range(1, len(t) - 6)) AS r(i)),
-        |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
-        |h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
-        |m AS (SELECT doc_id, pos,
-        |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-        |          OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
-        |        THEN 1 ELSE 0 END AS ns FROM h),
-        |s AS (SELECT doc_id, pos,
-        |        CAST(SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS span_id
-        |      FROM m)
-        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end,
-        |  CAST(COUNT(*) AS BIGINT) AS n_windows
-        |FROM s GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin,
+      s"""$substringSpanSql
+        |SELECT doc_id, span_start, span_end, n_windows
+        |FROM sp ORDER BY doc_id, span_start""".stripMargin,
+    "dedup_substring_apply" ->
+      s"""$substringSpanSql,
+        |tok AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |        FROM tk, UNNEST(range(1, len(t) + 1)) AS r(i)),
+        |fl AS (SELECT doc_id, pos, tok,
+        |         max(CASE WHEN span_start IS NOT NULL
+        |             AND pos >= span_start AND pos < span_end
+        |           THEN 1 ELSE 0 END) AS cut
+        |       FROM tok LEFT JOIN sp USING (doc_id) GROUP BY doc_id, pos, tok)
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(cut) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN cut = 0 THEN tok END, ' ' ORDER BY pos), '')
+        |    AS clean_text
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding,
          |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm

@@ -177,6 +177,64 @@ object Similarity {
       emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"), 0.2)
   }
 
+  /** L3h: sparse cosine similarity join — all document pairs whose
+    * IDF-weighted trigram-shingle vectors have cosine >= 1/2, via an
+    * INVERTED-INDEX join (the sparse-feature counterpart of the dense
+    * embedding paths above, and the weighted counterpart of
+    * [[Dedup.dedupPrefixFilterOn]]'s set-overlap join): postings
+    * self-join on the shingle hash, so the only pairs that ever
+    * materialize share at least one feature — never an all-pairs plan.
+    *
+    * The scale lever is the df cap: a shingle kept by the filter
+    * appears in at most n/dfFrac documents, so one posting list fans
+    * out to at most (n/dfFrac)^2 candidate rows and the per-feature
+    * join stays bounded on a power-law corpus (the same cap that keeps
+    * [[graft.functions.Text.invertedIndexOn]] skew-safe; dropped
+    * high-df shingles are exactly the ones IDF sends toward zero
+    * weight, so the cap removes join work, not signal mass). Shingle
+    * tf is binary ([[Dedup.shingleHashesOf]] is per-doc DISTINCT), so
+    * the weight is the quantized IDF itself: one correctly-rounded ln
+    * at the boundary, then BIGINT everywhere — dot products and norms
+    * are exact integers the oracle replays bit-for-bit. The cosine
+    * threshold never divides or takes a square root: cos >= 1/2 is
+    * spelled as the cross-multiplied 4*dot^2 >= norm_a*norm_b in
+    * DECIMAL(38,0) (dot can reach ~4e9 so dot^2 overflows BIGINT;
+    * the comparison is filter-only, every emitted column stays
+    * BIGINT). */
+  def simSparseCosineOn(docs: DataFrame, dfFrac: Int = 20): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Dedup.shingleHashesOf(docs)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("hs")))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= 2 && col("df") * dfFrac <= col("n_docs"))
+      .select(col("doc_id"), col("hs"),
+        expr("CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000, 0) AS BIGINT)")
+          .as("w"))
+      // the weighted postings feed FOUR subtrees (both join sides +
+      // two norm lookups): materialize once (kmeansOn convention)
+      // instead of re-running the shingle scan + df window per branch
+      .localCheckpoint(true)
+    val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm"))
+    val pairs = w.select(col("doc_id").as("doc_a"), col("hs"), col("w").as("wa"))
+      .join(w.select(col("doc_id").as("doc_b"), col("hs"), col("w").as("wb")),
+        "hs")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+    val dec = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    pairs
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("norm_a")),
+        "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("norm_b")),
+        "doc_b")
+      .filter(dec(col("dot")) * dec(col("dot")) * 4 >=
+        dec(col("norm_a")) * dec(col("norm_b")))
+      .select("doc_a", "doc_b", "dot", "norm_a", "norm_b")
+  }
+
+  def simSparseCosine(s: SparkSession, dir: String): DataFrame =
+    simSparseCosineOn(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+
   /** Exact cosine over every vector pair selected by `pairPred`,
     * routed through a G x G block grid: BOTH sides replicate against
     * the broadcast grid so the shuffle key is the full (gi, gj) cell —
@@ -529,6 +587,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_ivf_trained" -> simAnnIvfTrained,
+    "sim_sparse_cosine" -> simSparseCosine,
     "sim_topk" -> simTopk,
     "sim_range_search" -> simRangeSearch,
     "sim_knn_join" -> simKnnJoin,
@@ -608,6 +667,23 @@ object Similarity {
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_sparse_cosine" ->
+      s"""${Dedup.shingleHashSql},
+         |nrel AS (SELECT count(*) AS n_docs FROM documents),
+         |dfr AS (SELECT hs, count(*) AS df FROM hs GROUP BY 1),
+         |w AS (SELECT h.doc_id, h.hs,
+         |    CAST(round(ln(CAST(n.n_docs AS DOUBLE) / d.df) * 1000, 0) AS BIGINT) AS w
+         |  FROM hs h JOIN dfr d USING (hs) CROSS JOIN nrel n
+         |  WHERE d.df >= 2 AND d.df * 20 <= n.n_docs),
+         |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nrm FROM w GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(sum(a.w * b.w) AS BIGINT) AS dot
+         |  FROM w a JOIN w b USING (hs) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, dot, na.nrm AS norm_a, nb.nrm AS norm_b
+         |FROM pairs p JOIN norms na ON p.doc_a = na.doc_id
+         |  JOIN norms nb ON p.doc_b = nb.doc_id
+         |WHERE 4 * (CAST(dot AS HUGEINT) * dot) >= CAST(na.nrm AS HUGEINT) * nb.nrm
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "sim_ann_ivf_trained" ->
       s"""WITH $kmeansCoreSql,
          |e AS (SELECT e0.vec_id, e0.embedding,

@@ -62,6 +62,59 @@ class DedupSimSpec extends SparkSpecBase {
       (6L, 0L, 8L, 1L), (6L, 17L, 25L, 1L)))
   }
 
+  test("dedupSubstringApply: flagged spans cut, untouched docs verbatim, counts add up") {
+    val w1 = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val w2 = "d1 d2 d3 d4 d5 d6 d7 d8"
+    val docs = Seq(
+      (0L, "a b c d e f g h X Y Z"),
+      (1L, "a b c d e f g h i j k l"), // full dup of 3 -> fully cut
+      (2L, "p q r s t u v w x y"), // no cross-doc window -> verbatim
+      (3L, "a b c d e f g h i j k l"),
+      (4L, "m n o p q r s t z1 z2 z3 z4 m n o p q r s t"), // within-doc only
+      (5L, s"$w1 e1 e2 e3 e4 e5 e6 e7 e8 e9 $w2"),
+      (6L, s"$w1 f1 f2 f3 f4 f5 f6 f7 f8 f9 $w2"))
+      .toDF("doc_id", "text")
+    val got = functions.Dedup.dedupSubstringApplyOn(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 11L, 8L, "X Y Z"),
+      (1L, 12L, 12L, ""),
+      (2L, 10L, 0L, "p q r s t u v w x y"),
+      (3L, 12L, 12L, ""),
+      (4L, 20L, 0L, "m n o p q r s t z1 z2 z3 z4 m n o p q r s t"),
+      (5L, 25L, 16L, "e1 e2 e3 e4 e5 e6 e7 e8 e9"),
+      (6L, 25L, 16L, "f1 f2 f3 f4 f5 f6 f7 f8 f9")))
+  }
+
+  test("simSparseCosine matches a driver-side brute force over the same IDF vectors") {
+    val docs = Tables.documents(spark, sf)
+    val got = functions.Similarity.simSparseCosine(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // independent reference: collect the distinct shingle hashes, build
+    // the same df-capped IDF vectors in plain Scala, test every pair
+    val post = functions.Dedup.shingleHashesOf(docs)
+      .as[(Long, Long)].collect()
+    val n = docs.count()
+    val df = post.groupBy(_._2).map { case (h, xs) => (h, xs.length.toLong) }
+    val kept = post.filter { case (_, h) => df(h) >= 2 && df(h) * 20 <= n }
+    val vecs = kept.groupBy(_._1).map { case (d, xs) =>
+      d -> xs.map { case (_, h) =>
+        h -> math.round(math.log(n.toDouble / df(h)) * 1000)
+      }.toMap
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val want = (for {
+      (a, i) <- ids.zipWithIndex; b <- ids.drop(i + 1)
+      va = vecs(a); vb = vecs(b)
+      dot = va.keysIterator.filter(vb.contains).map(h => va(h) * vb(h)).sum
+      na = va.valuesIterator.map(w => w * w).sum
+      nb = vb.valuesIterator.map(w => w * w).sum
+      if dot > 0 && BigInt(dot) * dot * 4 >= BigInt(na) * nb
+    } yield (a, b, dot, na, nb)).toSeq
+    assert(got == want)
+  }
+
   test("simhash of identical token multisets is identical") {
     // dedupSimhash over the corpus: planted dup pairs at hamming 0 have
     // jaccard-1.0 shingle sets; verify signatures equal for an exact pair

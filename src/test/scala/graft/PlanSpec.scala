@@ -363,6 +363,27 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
   }
 
+  test("sim_sparse_cosine: postings materialized once, hash joins only, no all-pairs") {
+    val p = plan(functions.Similarity.simSparseCosine(spark, sf))
+    // the four consumers (pair sides + two norm lookups) must read the
+    // checkpointed postings, not re-run the shingle scan per branch
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("Scan parquet"), p)
+    // inverted-index join: every join is keyed (hs or doc id) — a
+    // cartesian/nested-loop node would mean an all-pairs fallback
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    // pair aggregation is partial+final (map-side combine on doc pairs)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("dedup_substring_apply: doc-keyed rewrite, no cartesian, no global sort before agg") {
+    val p = plan(functions.Dedup.dedupSubstringApply(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    // the span find's orderBy must be eliminated under the join
+    // (EliminateSorts): exactly the final dump sort survives
+    assert("Sort \\[doc_id".r.findAllIn(p).size <= 2, p)
+  }
+
   test("quality_audit: every constraint in ONE scan, partial+final agg, no Expand") {
     val p = plan(functions.Corpus.qualityAudit(spark, sf))
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
