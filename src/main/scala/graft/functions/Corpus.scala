@@ -271,6 +271,74 @@ object Corpus {
       hs.filter(col("doc_id") % 40 === 7))
   }
 
+  /** L8c: DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") — pick
+    * the raw-corpus documents whose hashed-bigram distribution looks
+    * most like a small target domain. Per feature bucket f, the
+    * log-likelihood ratio llr(f) = ln p_target(f) - ln p_raw(f) under
+    * Laplace smoothing; a document's importance score is the sum of
+    * llr over its bigram OCCURRENCES (multiplicity counts, per the
+    * paper's unigram/bigram hash features); the top-N by score are
+    * the selected training subset.
+    *
+    * Scale shape: feature HASHING is the whole trick — both language
+    * models collapse to at most `buckets` rows regardless of corpus
+    * size, so the model relation broadcasts and scoring is a map-side
+    * join + one doc-keyed partial agg. Two corpus passes total (model
+    * build, scoring), both map-side combined; the final cut is
+    * TakeOrderedAndProject, never a global window. Determinism: the
+    * ONE transcendental (ln of the smoothed probability) quantizes to
+    * BIGINT millis immediately (tfidf/temperature convention);
+    * scores are exact integer sums after that. Docs under two tokens
+    * have no bigrams and are unscoreable by construction — they
+    * simply never enter the candidate set. */
+  def corpusDsirOn(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
+      topN: Int = 100): DataFrame = {
+    def feats(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"),
+        explode(Text.bigramStructs(Text.toks(col("text")))).as("bg"))
+      .select(col("doc_id"),
+        (Text.polyHash(concat_ws(" ", col("bg.w1"), col("bg.w2"))) % buckets)
+          .as("f"))
+    // the raw feature stream feeds both the source model and the
+    // scoring join: materialize the hashed occurrences once instead of
+    // re-running the bigram explode + string hash per consumer (at
+    // 100 TB this is the classic persist-vs-rescan call — the hashed
+    // stream is 2 BIGINTs/occurrence, far smaller than the text, and
+    // MEMORY_AND_DISK-style spill keeps it bounded; rescanning is the
+    // fallback when even that is too much state)
+    val rawFeats = feats(raw).localCheckpoint(true)
+    val tf = feats(target).groupBy("f").agg(count(lit(1)).as("ct"))
+    val rf = rawFeats.groupBy("f").agg(count(lit(1)).as("cs"))
+    val tTot = tf.agg(sum(col("ct")).as("t_total"))
+    val rTot = rf.agg(sum(col("cs")).as("s_total"))
+    // bucket-bounded model: raw buckets left-join target counts (a raw
+    // feature unseen in the target smooths to count 0), both totals
+    // cross the plan as broadcast scalars
+    val model = rf.join(tf, Seq("f"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("f"), (
+        expr(s"CAST(round(ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)" +
+          s" / (t_total + $buckets)) * 1000, 0) AS BIGINT)") -
+        expr(s"CAST(round(ln(CAST(cs + 1 AS DOUBLE)" +
+          s" / (s_total + $buckets)) * 1000, 0) AS BIGINT)")).as("llr"))
+    rawFeats.join(broadcast(model), "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("llr")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+
+  /** Catalog wrapper: the textDecontaminate held-out slice
+    * (doc_id % 40 == 7) stands in for the target domain; the rest is
+    * the raw pool being selected from. */
+  def corpusDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    corpusDsirOn(
+      docs.filter(col("doc_id") % 40 =!= 7),
+      docs.filter(col("doc_id") % 40 === 7))
+  }
+
   /** L9b: declarative constraint validation (the Deequ/expectations
     * shape): every constraint is a counting aggregate over ONE scan —
     * null rate, key uniqueness, numeric range, categorical domain,
@@ -446,6 +514,7 @@ object Corpus {
     "profile_skew" -> profileSkew,
     "quality_audit" -> qualityAudit,
     "text_decontaminate" -> textDecontaminate,
+    "corpus_dsir" -> corpusDsir,
   )
 
   private val polySql =
@@ -455,6 +524,31 @@ object Corpus {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_dsir" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bgall AS (SELECT doc_id,
+        |    list_reduce(list_concat([CAST(0 AS BIGINT)],
+        |      list_transform(string_split(t[i] || ' ' || t[i + 1], ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 4096 AS f
+        |  FROM tk, UNNEST(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
+        |tfb AS (SELECT f, COUNT(*) AS ct FROM bgall WHERE doc_id % 40 = 7
+        |        GROUP BY f),
+        |rfb AS (SELECT f, COUNT(*) AS cs FROM bgall WHERE doc_id % 40 <> 7
+        |        GROUP BY f),
+        |tt AS (SELECT SUM(ct) AS t_total FROM tfb),
+        |st AS (SELECT SUM(cs) AS s_total FROM rfb),
+        |model AS (SELECT r.f,
+        |    CAST(round(ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+        |      / (t_total + 4096)) * 1000, 0) AS BIGINT)
+        |  - CAST(round(ln(CAST(cs + 1 AS DOUBLE)
+        |      / (s_total + 4096)) * 1000, 0) AS BIGINT) AS llr
+        |  FROM rfb r LEFT JOIN tfb USING (f) CROSS JOIN tt CROSS JOIN st)
+        |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(llr) AS BIGINT) AS score
+        |FROM bgall b JOIN model m ON b.f = m.f
+        |WHERE b.doc_id % 40 <> 7
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
     "corpus_coverage_cap" ->
       """WITH src AS (SELECT lang, source,
         |    CAST(SUM(n_chars) AS BIGINT) AS src_chars

@@ -585,7 +585,77 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** L3i: product-quantization ANN (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search") — the memory-bound
+    * scale path the IVF/LSH variants don't cover: each vector is
+    * compressed to `subs` one-byte codes (here 4 subspaces x 16 dims,
+    * 8 centroids each), and search runs entirely against the CODES via
+    * asymmetric distance computation (ADC): per query, ONE tiny
+    * distance table (subs x k entries, the exact query-to-centroid
+    * distances) is built, then every corpus vector's approximate
+    * distance is just `subs` table lookups summed — no original
+    * vectors are ever touched at query time. At 100 TB that is the
+    * whole point: the encoded corpus is ~1/64th the raw size, the
+    * codebooks and distance tables are broadcast scalars, and the scan
+    * side is a map-only join + partial agg on (qid, vec_id).
+    *
+    * Training is one Lloyd round PER SUBSPACE over the same quantized
+    * integer grid as [[kmeansOn]] (seed = the k smallest vec_ids'
+    * subvectors, one update, re-assign to encode) — deterministic
+    * integer arithmetic end to end, so the DuckDB oracle replays the
+    * codebooks, codes, and ADC sums bit-for-bit. */
+  def pqAnnOn(emb: DataFrame, queries: DataFrame, subDim: Int = 16,
+      k: Int = 8, topK: Int = 5): DataFrame = {
+    def grid(df: DataFrame, id: String): DataFrame = df
+      .select(col(id), posexplode(col("embedding")))
+      .select(col(id), expr(s"CAST(pos div $subDim AS INT)").as("sub"),
+        col("pos").as("i"),
+        floor(col("col").cast("double") * 1048576).cast("long").as("qv"))
+    val qv = grid(emb, "vec_id").localCheckpoint(true)
+    val seedIds = qv.select("vec_id").distinct().orderBy("vec_id").limit(k)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+    val c0 = qv.join(broadcast(seedIds), "vec_id")
+      .select(col("sub"), col("cell"), col("i"), col("qv").as("cv"))
+    val w = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("d2").asc, col("cell").asc)
+    def assign(cent: DataFrame): DataFrame =
+      qv.join(broadcast(cent), Seq("sub", "i"))
+        .groupBy("vec_id", "sub", "cell")
+        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "sub", "cell")
+    def update(asg: DataFrame): DataFrame =
+      qv.join(asg, Seq("vec_id", "sub"))
+        .groupBy("sub", "cell", "i")
+        .agg(floor(sum(col("qv")).cast("double") / count(lit(1)))
+          .cast("long").as("cv"))
+    val c1 = update(assign(c0)).localCheckpoint(true)
+    val codes = assign(c1).withColumnRenamed("cell", "code")
+    // ADC: the per-query distance table is (queries x subs x k) rows —
+    // a broadcast no matter the corpus size
+    val dt = grid(queries, "qid").join(broadcast(c1), Seq("sub", "i"))
+      .groupBy("qid", "sub", "cell")
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("pd2"))
+      .select(col("qid"), col("sub"), col("cell").as("code"), col("pd2"))
+    codes.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy("qid", "vec_id").agg(sum(col("pd2")).as("ad2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ad2").asc, col("vec_id").asc)))
+      .filter(col("rnk") <= topK)
+  }
+
+  def simAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    pqAnnOn(emb,
+      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"))
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_pq" -> simAnnPq,
     "sim_ann_ivf_trained" -> simAnnIvfTrained,
     "sim_sparse_cosine" -> simSparseCosine,
     "sim_topk" -> simTopk,
@@ -654,6 +724,36 @@ object Similarity {
        |${kmUpdate("c2", "a1")},
        |${kmAssign("a2", "c2")}""".stripMargin
 
+  /** One unrolled per-subspace assignment (PQ mirror of [[kmAssign]]:
+    * nearest codebook cell per (vec_id, sub)). */
+  private def pqAssign(name: String, cent: String): String =
+    s"""$name AS (SELECT vec_id, sub, cell FROM (
+       |    SELECT qv.vec_id, qv.sub, $cent.cell,
+       |      CAST(SUM((qv.qv - $cent.cv) * (qv.qv - $cent.cv)) AS BIGINT) AS d2
+       |    FROM qv JOIN $cent ON qv.sub = $cent.sub AND qv.i = $cent.i
+       |    GROUP BY qv.vec_id, qv.sub, $cent.cell)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+       |    ORDER BY d2 ASC, cell ASC) = 1)""".stripMargin
+
+  /** DuckDB mirror of [[pqAnnOn]]'s training + encode: subspaced grid,
+    * seed codebooks, one Lloyd update, final codes in `a1`. */
+  private val pqCoreSql: String =
+    s"""qv AS (SELECT vec_id, CAST(i.i // 16 AS INT) AS sub, i.i AS i,
+       |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+       |  FROM embeddings, range(0, 64) i(i)),
+       |sid AS (SELECT vec_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+       |  FROM (SELECT DISTINCT vec_id FROM embeddings
+       |        ORDER BY vec_id LIMIT 8)),
+       |c0 AS (SELECT q.sub, s.cell, q.i, q.qv AS cv
+       |       FROM qv q JOIN sid s USING (vec_id)),
+       |${pqAssign("a0", "c0")},
+       |c1 AS (SELECT a0.sub, a0.cell, qv.i,
+       |    CAST(FLOOR(CAST(SUM(qv.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+       |  FROM qv JOIN a0 ON qv.vec_id = a0.vec_id AND qv.sub = a0.sub
+       |  GROUP BY a0.sub, a0.cell, qv.i),
+       |${pqAssign("a1", "c1")}""".stripMargin
+
   private val bucketSql = bucketSqlFor(TABLES, PLANES)
 
   private val ivfSql =
@@ -667,6 +767,20 @@ object Similarity {
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_ann_pq" ->
+      s"""WITH $pqCoreSql,
+         |q AS (SELECT vec_id AS qid, sub, i, qv FROM qv WHERE vec_id < 5),
+         |dt AS (SELECT q.qid, c1.sub, c1.cell AS code,
+         |    CAST(SUM((q.qv - c1.cv) * (q.qv - c1.cv)) AS BIGINT) AS pd2
+         |  FROM q JOIN c1 ON q.sub = c1.sub AND q.i = c1.i
+         |  GROUP BY q.qid, c1.sub, c1.cell),
+         |ad AS (SELECT dt.qid, a1.vec_id, CAST(SUM(dt.pd2) AS BIGINT) AS ad2
+         |  FROM a1 JOIN dt ON a1.sub = dt.sub AND a1.cell = dt.code
+         |  WHERE a1.vec_id <> dt.qid GROUP BY dt.qid, a1.vec_id)
+         |SELECT qid, vec_id, ad2,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY ad2 ASC, vec_id ASC) AS INT) AS rnk
+         |FROM ad QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "sim_sparse_cosine" ->
       s"""${Dedup.shingleHashSql},
          |nrel AS (SELECT count(*) AS n_docs FROM documents),

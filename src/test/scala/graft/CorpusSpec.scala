@@ -295,4 +295,25 @@ class CorpusSpec extends SparkSpecBase {
         s"$lang share $share outside [$lo, $hi] (raw $rawPpm)")
     }
   }
+
+  test("L8c DSIR: the raw doc that mimics the target distribution outscores " +
+    "disjoint docs; target-unseen features push scores down") {
+    val target = Seq(
+      (100L, "alpha beta alpha beta alpha beta gamma"),
+      (101L, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha beta gamma"), // target lookalike
+      (2L, "delta epsilon delta epsilon delta"), // disjoint, same length
+      (3L, "zeta eta theta iota kappa")) // disjoint, all-distinct bigrams
+      .toDF("doc_id", "text")
+    val got = functions.Corpus.corpusDsirOn(raw, target)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.size == 3 && got.head._1 == 1L, got.toString)
+    val byDoc = got.map(r => r._1 -> r._3).toMap
+    assert(byDoc(1L) > byDoc(2L) && byDoc(1L) > byDoc(3L),
+      s"lookalike must win: $byDoc")
+    // every bigram of docs 2/3 is target-unseen -> pure smoothing mass,
+    // so their scores must be negative (raw evidence against target)
+    assert(byDoc(2L) < 0 && byDoc(3L) < 0, s"$byDoc")
+  }
 }

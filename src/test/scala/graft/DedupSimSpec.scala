@@ -202,6 +202,27 @@ class DedupSimSpec extends SparkSpecBase {
     assert(ann.nonEmpty && recall >= 0.0)
   }
 
+  test("PQ ANN: valid ranked top-5 per query, deterministic, nonzero recall vs exact") {
+    val pq = functions.Similarity.simAnnPq(spark, sf)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    // exactly 5 neighbors per query, ranks 1..5, never the query itself
+    pq.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._4).sorted == Seq(1, 2, 3, 4, 5))
+      assert(!rows.exists(_._2 == qid))
+      // approximate distances are nondecreasing in rank
+      assert(rows.sortBy(_._4).map(_._3).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)))
+    }
+    val exact = functions.Similarity.simTopk(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val got = pq.map(r => (r._1, r._2)).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"PQ ADC recall vs exact top-5: $recall%.2f (${(got & exact).size}/${exact.size})")
+    // 8 centroids x 4 subspaces over near-orthogonal random vectors is
+    // a coarse code by design — recall is partial but must be real
+    assert(recall > 0.0)
+  }
+
   test("dedup_embedding block-pair join is exact: equals the plain all-pairs join") {
     // the distributed block spelling must lose no pair to the grid
     // routing (including pairs whose lower vec_id hashed to the

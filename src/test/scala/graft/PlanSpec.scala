@@ -384,6 +384,29 @@ class PlanSpec extends SparkSpecBase {
     assert("Sort \\[doc_id".r.findAllIn(p).size <= 2, p)
   }
 
+  test("corpus_dsir: bucket model broadcast back, top-N is TakeOrdered, no window") {
+    val p = plan(functions.Corpus.corpusDsir(spark, sf))
+    // scoring joins the bucket-bounded model as a broadcast; the final
+    // cut must be TakeOrderedAndProject, never a global-order window
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    // the only non-equi joins are the broadcast-of-scalar totals (the
+    // sanctioned 1-row cross pattern); a cartesian product would mean
+    // the model stopped being bucket-keyed
+    assert(!p.contains("Cartesian"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("sim_ann_pq: codes and distance tables broadcast, no raw-vector join at query time") {
+    val p = plan(functions.Similarity.simAnnPq(spark, sf))
+    // ADC scan side: codes join the broadcast distance table — the
+    // original embedding relation must not appear in the probe join
+    // (it is only read inside the checkpointed training subtrees)
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+  }
+
   test("quality_audit: every constraint in ONE scan, partial+final agg, no Expand") {
     val p = plan(functions.Corpus.qualityAudit(spark, sf))
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
