@@ -384,7 +384,58 @@ object Joins {
     mergeUpsertOn(base, updates.union(inserts))
   }
 
+  /** J7c: two-sided interval OVERLAP join — all (a, b) pairs whose
+    * intervals intersect, with NO equi-key at all (the harder sibling
+    * of [[joinRangeBucketed]]'s point-in-interval: both sides are
+    * intervals). Same bin-replication scheme — each interval
+    * replicates into every `width`-day bucket it touches and the join
+    * key is the bucket — plus the FIRST-SHARED-BIN trick that makes
+    * the output exactly-once without a distinct: an overlapping pair
+    * co-occurs in every bucket the overlap region touches, but is
+    * EMITTED only in the bucket of the overlap's start,
+    * g = max(alo, blo) div width (div is monotone, so that equals
+    * greatest of the per-side start buckets). No dedup shuffle, no
+    * cross product; replication factor is interval_len/width + 1
+    * (~1.3 here), and skew is bounded by how many intervals touch one
+    * bucket — width tunes that against replication. Day arithmetic is
+    * all BIGINT from one datediff; starts are non-negative so `div`
+    * floors identically in both engines. */
+  def joinIntervalOverlapOn(a: DataFrame, b: DataFrame,
+      width: Long = 64): DataFrame = {
+    val ar = a.withColumn("g",
+      explode(sequence(expr(s"alo div $width"), expr(s"ahi div $width"))))
+    val br = b.withColumn("g",
+      explode(sequence(expr(s"blo div $width"), expr(s"bhi div $width"))))
+    ar.join(br, Seq("g"))
+      .filter(col("alo") <= col("bhi") && col("blo") <= col("ahi") &&
+        col("g") === greatest(expr(s"alo div $width"),
+          expr(s"blo div $width")))
+      .withColumn("overlap_days",
+        least(col("ahi"), col("bhi")) - greatest(col("alo"), col("blo")) + 1)
+      .drop("g")
+  }
+
+  /** Catalog wrapper: sampled lineitem ship windows (length derived
+    * from quantity, 3..17 days) against sampled order prep windows
+    * (20 days). */
+  def joinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1992-01-01").cast("date")
+    val a = Tables.lineitem(s, dir).filter(col("l_orderkey") % 97 === 0)
+      .select(col("l_orderkey").as("akey"), col("l_linenumber").as("aline"),
+        datediff(col("l_shipdate"), epoch).cast("long").as("alo"),
+        (datediff(col("l_shipdate"), epoch).cast("long") +
+          col("l_quantity").cast("long") % 15 + 3).as("ahi"))
+    val b = Tables.orders(s, dir).filter(col("o_orderkey") % 89 === 0)
+      .select(col("o_orderkey").as("bkey"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("blo"),
+        (datediff(col("o_orderdate"), epoch).cast("long") + 20).as("bhi"))
+    joinIntervalOverlapOn(a, b)
+      .select("akey", "aline", "bkey", "overlap_days")
+      .orderBy("akey", "aline", "bkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_interval_overlap" -> joinIntervalOverlap,
     "merge_upsert" -> mergeUpsert,
     "join_asof" -> joinAsof,
     "join_asof_forward" -> joinAsofForward,
@@ -404,6 +455,23 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_interval_overlap" ->
+      """WITH a AS (SELECT l_orderkey AS akey, l_linenumber AS aline,
+        |    CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |      AS BIGINT) AS alo,
+        |    CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |      AS BIGINT) + CAST(l_quantity AS BIGINT) % 15 + 3 AS ahi
+        |  FROM lineitem WHERE l_orderkey % 97 = 0),
+        |b AS (SELECT o_orderkey AS bkey,
+        |    CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS blo,
+        |    CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) + 20 AS bhi
+        |  FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT akey, aline, bkey,
+        |  LEAST(ahi, bhi) - GREATEST(alo, blo) + 1 AS overlap_days
+        |FROM a JOIN b ON alo <= bhi AND blo <= ahi
+        |ORDER BY akey, aline, bkey""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
         |chg AS (

@@ -116,6 +116,33 @@ class CoreOpsSpec extends SparkSpecBase {
     assert(bucketed == n)
   }
 
+  test("J7c interval overlap: equals the brute-force non-equi join, exactly once " +
+    "(first-shared-bin dedup), including pairs spanning bucket boundaries") {
+    // hand fixture around a width-64 bucket edge: [60, 70] spans two
+    // buckets and overlaps both b-intervals; [0, 5] overlaps neither
+    val a = Seq((1L, 60L, 70L), (2L, 0L, 5L), (3L, 100L, 300L))
+      .toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 64L, 80L), (11L, 50L, 63L), (12L, 299L, 310L))
+      .toDF("bid", "blo", "bhi")
+    val got = operators.Joins.joinIntervalOverlapOn(a, b)
+      .select("aid", "bid", "overlap_days")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 10L, 7L), (1L, 11L, 4L), (3L, 12L, 2L)))
+    // catalog form == brute force on the same interval frames
+    val n = operators.Joins.joinIntervalOverlap(spark, sf).count()
+    val epoch = lit("1992-01-01").cast("date")
+    val af = Tables.lineitem(spark, sf).filter(col("l_orderkey") % 97 === 0)
+      .select(datediff(col("l_shipdate"), epoch).cast("long").as("alo"),
+        (datediff(col("l_shipdate"), epoch).cast("long") +
+          col("l_quantity").cast("long") % 15 + 3).as("ahi"))
+    val bf = Tables.orders(spark, sf).filter(col("o_orderkey") % 89 === 0)
+      .select(datediff(col("o_orderdate"), epoch).cast("long").as("blo"),
+        (datediff(col("o_orderdate"), epoch).cast("long") + 20).as("bhi"))
+    val brute = af.crossJoin(bf)
+      .filter(col("alo") <= col("bhi") && col("blo") <= col("ahi")).count()
+    assert(n == brute, s"bucketed $n vs brute $brute")
+  }
+
   test("W1 id continuation starts at the existing max + 1 (preprocessed_to_raw.py:39-46)") {
     val out = pipeline.Reference.refIdContinuation(spark, sf)
     val existingMax = out.filter(col("dataset") === "existing")

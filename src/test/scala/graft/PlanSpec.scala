@@ -407,6 +407,27 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
   }
 
+  test("feat_pca_scatter: map-only outer products, means broadcast, no row-keyed join") {
+    val p = plan(functions.Signals.featPcaScatter(spark, sf))
+    // per-row explode + partial agg: the only join is the 1-row means
+    // broadcast; a vec_id-keyed self-join would shuffle row data
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("Cartesian"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("Generate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("join_interval_overlap: bucket equi-join, no cartesian, no distinct for dedup") {
+    val p = plan(operators.Joins.joinIntervalOverlap(spark, sf))
+    // the non-equi overlap predicate rides on the bucket equi-join;
+    // exactly-once comes from the first-shared-bin filter, never a
+    // dedup aggregate
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    assert(!p.toLowerCase.contains("distinct"), p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("quality_audit: every constraint in ONE scan, partial+final agg, no Expand") {
     val p = plan(functions.Corpus.qualityAudit(spark, sf))
     assert("Scan parquet".r.findAllIn(p).size == 1, p)

@@ -99,4 +99,38 @@ class SignalsSpec extends SparkSpecBase {
     assert(w.filter(col("n_hi") * 16 > col("n") + 16).count() == 0)
     assert(w.count() > 0)
   }
+
+  test("feat_pca_scatter: valid scatter (PSD diagonal, Cauchy-Schwarz) and the " +
+    "driver-side power iteration finds the max-variance direction") {
+    val rows = functions.Signals.featPcaScatter(spark, sf)
+      .as[(Int, Int, Long)].collect()
+    val d = 64
+    assert(rows.length == d * (d + 1) / 2)
+    val s = Array.ofDim[Double](d, d)
+    rows.foreach { case (i, j, v) => s(i)(j) = v.toDouble; s(j)(i) = v.toDouble }
+    // diagonal = centered sum of squares: nonnegative, and every
+    // off-diagonal obeys |s_ij| <= sqrt(s_ii s_jj) (Cauchy-Schwarz)
+    for (i <- 0 until d) assert(s(i)(i) >= 0.0)
+    for (i <- 0 until d; j <- 0 until d)
+      assert(s(i)(j) * s(i)(j) <= s(i)(i) * s(j)(j) * (1 + 1e-12))
+    // the d x d eigensolve is driver-side by design: power-iterate
+    def matvec(u: Array[Double]) =
+      Array.tabulate(d)(i => (0 until d).map(j => s(i)(j) * u(j)).sum)
+    def rayleigh(u: Array[Double]) = {
+      val su = matvec(u)
+      (0 until d).map(i => u(i) * su(i)).sum /
+        (0 until d).map(i => u(i) * u(i)).sum
+    }
+    var u = Array.fill(d)(1.0)
+    for (_ <- 1 to 100) {
+      val y = matvec(u)
+      val n = math.sqrt(y.map(x => x * x).sum)
+      u = y.map(_ / n)
+    }
+    val lambda1 = rayleigh(u)
+    // the dominant direction beats every coordinate axis (whose
+    // Rayleigh quotient is exactly the diagonal entry)
+    for (i <- 0 until d) assert(lambda1 >= s(i)(i) - 1e-6,
+      s"lambda1 $lambda1 < s($i)($i) ${s(i)(i)}")
+  }
 }
