@@ -228,6 +228,55 @@ object Corpus {
       s"stack(${cols.size}, $stacked) AS (column_name, n_nulls, n_distinct, min_val, max_val)"))
   }
 
+  /** L9c: distribution drift between two corpus slices — the
+    * Population Stability Index per fixed-width bin of a numeric
+    * column, the monitor a production pipeline runs between snapshots
+    * (vendor feed changed? new scrape shifted the length profile?).
+    * PSI contribution per bin = (p_a - p_b) * ln(p_a / p_b) with
+    * Laplace-smoothed bin probabilities over the UNION of observed
+    * bins (a full outer join — a bin present in one slice only is
+    * exactly the drift signal, never dropped). Sum of psi_ppm over
+    * bins is the headline index (> 0.2e6 = major shift, the industry
+    * rule of thumb).
+    *
+    * Scale: the whole op collapses to two bin-keyed counting
+    * aggregates (map-side combined, bin domain bounded by the value
+    * range / width) + a bin-keyed outer join of two tiny relations —
+    * nothing row-keyed ever shuffles. Determinism: counts and totals
+    * are exact integers; the smoothed probabilities are single IEEE
+    * divisions, ln is correctly rounded, and the product quantizes to
+    * ppm immediately (the one-transcendental boundary convention). */
+  def profileDriftOn(a: DataFrame, b: DataFrame, valueCol: String,
+      width: Long = 50): DataFrame = {
+    def bins(df: DataFrame, cnt: String): DataFrame = df
+      .select(expr(s"$valueCol div $width").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(cnt))
+    val ca = bins(a, "ca")
+    val cb = bins(b, "cb")
+    val joined = ca.join(cb, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = joined.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("nbins"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("ca"), col("cb"),
+        expr("CAST(round((CAST(ca + 1 AS DOUBLE) / (na + nbins)" +
+          " - CAST(cb + 1 AS DOUBLE) / (nb + nbins))" +
+          " * ln((CAST(ca + 1 AS DOUBLE) / (na + nbins))" +
+          " / (CAST(cb + 1 AS DOUBLE) / (nb + nbins))) * 1000000, 0)" +
+          " AS BIGINT)").as("psi_ppm"))
+  }
+
+  /** Catalog wrapper: the src0 slice against the rest of the corpus,
+    * binned by document length. */
+  def profileDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    profileDriftOn(
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("source") =!= "src0"), "n_chars")
+      .orderBy("bin")
+  }
+
   def profileStats(s: SparkSession, dir: String): DataFrame =
     profileStatsOn(Tables.documents(s, dir)).orderBy("column_name")
 
@@ -515,6 +564,7 @@ object Corpus {
     "quality_audit" -> qualityAudit,
     "text_decontaminate" -> textDecontaminate,
     "corpus_dsir" -> corpusDsir,
+    "profile_drift" -> profileDrift,
   )
 
   private val polySql =
@@ -524,6 +574,23 @@ object Corpus {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "profile_drift" ->
+      """WITH ca AS (SELECT n_chars // 50 AS bin, COUNT(*) AS ca
+        |  FROM documents WHERE source = 'src0' GROUP BY 1),
+        |cb AS (SELECT n_chars // 50 AS bin, COUNT(*) AS cb
+        |  FROM documents WHERE source <> 'src0' GROUP BY 1),
+        |j AS (SELECT COALESCE(ca.bin, cb.bin) AS bin,
+        |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+        |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS nbins FROM j)
+        |SELECT bin, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+        |  CAST(round((CAST(ca + 1 AS DOUBLE) / (na + nbins)
+        |      - CAST(cb + 1 AS DOUBLE) / (nb + nbins))
+        |    * ln((CAST(ca + 1 AS DOUBLE) / (na + nbins))
+        |      / (CAST(cb + 1 AS DOUBLE) / (nb + nbins))) * 1000000, 0)
+        |    AS BIGINT) AS psi_ppm
+        |FROM j CROSS JOIN t
+        |ORDER BY bin""".stripMargin,
     "corpus_dsir" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |bgall AS (SELECT doc_id,

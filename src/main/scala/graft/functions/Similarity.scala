@@ -654,7 +654,54 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** L3j: MaxSim late-interaction scoring (the ColBERT retrieval
+    * primitive) — a MULTI-VECTOR query (one embedding per query
+    * token) against multi-vector documents: per query vector, take
+    * the max cosine over the document's vectors, then sum those
+    * maxima. Captures fine-grained term matching that single-vector
+    * cosine collapses away.
+    *
+    * Scale shape is the broadcast-probe scan ([[topkCosineOn]]'s):
+    * the query's vector set is small by construction (tokens in one
+    * query), so it broadcasts; the corpus makes ONE map-side pass,
+    * then two bounded aggregations — max per (doc, query-vector),
+    * sum per doc. Nothing doc-keyed ever shuffles except the
+    * (doc, qid) maxima, at most |q| rows per doc. Determinism: cos
+    * rounds to 4 dp at the boundary; max over rounded doubles is
+    * order-free, and the final sum runs in DECIMAL(14,4) so
+    * accumulation order cannot perturb bits (graft.Exact
+    * convention). */
+  def maxsimOn(corpus: DataFrame, qvecs: DataFrame): DataFrame = {
+    val e = corpus
+      .select(col("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .select(col("label"), col("vec_id"), col("emb"),
+        norm2(col("emb")).as("nrm"))
+    val q = qvecs
+      .select(col("qid"), col("embedding").cast("array<double>").as("qemb"))
+      .select(col("qid"), col("qemb"), norm2(col("qemb")).as("qnrm"))
+    e.join(broadcast(q), lit(true))
+      .select(col("label"), col("qid"),
+        round(dot(col("qemb"), col("emb")) /
+          (col("qnrm") * col("nrm")), 4).as("cos"))
+      .groupBy("label", "qid").agg(max(col("cos")).as("mx"))
+      .groupBy("label").agg(count(lit(1)).as("n_qvecs"),
+        sum(col("mx").cast("decimal(14,4)")).as("score"))
+  }
+
+  /** Catalog wrapper: label 0's vector set plays the multi-vector
+    * query; every label (itself included — its score is the
+    * self-match ceiling) is a multi-vector document. */
+  def simMaxsim(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    maxsimOn(emb,
+      emb.filter(col("label") === 0).select(col("vec_id").as("qid"),
+        col("embedding")))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_maxsim" -> simMaxsim,
     "sim_ann_pq" -> simAnnPq,
     "sim_ann_ivf_trained" -> simAnnIvfTrained,
     "sim_sparse_cosine" -> simSparseCosine,
@@ -767,6 +814,18 @@ object Similarity {
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_maxsim" ->
+      s"""WITH e AS (SELECT label, vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |      FROM e WHERE label = 0),
+         |c AS (SELECT e.label, q.qid,
+         |    round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) AS cos
+         |  FROM e CROSS JOIN q),
+         |m AS (SELECT label, qid, MAX(cos) AS mx FROM c GROUP BY label, qid)
+         |SELECT label, COUNT(*) AS n_qvecs,
+         |  CAST(SUM(CAST(mx AS DECIMAL(14, 4))) AS DECIMAL(14, 4)) AS score
+         |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "sim_ann_pq" ->
       s"""WITH $pqCoreSql,
          |q AS (SELECT vec_id AS qid, sub, i, qv FROM qv WHERE vec_id < 5),

@@ -316,4 +316,23 @@ class CorpusSpec extends SparkSpecBase {
     // so their scores must be negative (raw evidence against target)
     assert(byDoc(2L) < 0 && byDoc(3L) < 0, s"$byDoc")
   }
+
+  test("L9c PSI drift: identical slices score exactly zero, disjoint slices " +
+    "light up both bins, contributions are never negative") {
+    val a = (0L until 20L).map(i => Tuple1(i % 10)).toDF("v")
+    val same = functions.Corpus.profileDriftOn(a, a, "v", 50)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // same counts, same totals -> p_a == p_b bit-for-bit -> psi = 0
+    assert(same == Seq((0L, 20L, 20L, 0L)))
+    val b = (0L until 20L).map(i => Tuple1(100L + i % 10)).toDF("v")
+    val disj = functions.Corpus.profileDriftOn(a, b, "v", 50)
+      .orderBy("bin").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(disj.map(_._1) == Seq(0L, 2L))
+    assert(disj.forall(_._4 > 0), disj.toString)
+    // PSI contributions are (p_a - p_b) ln(p_a / p_b): both factors
+    // share sign, so every bin of the corpus query is >= 0 too
+    val corpus = functions.Corpus.profileDrift(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(corpus.nonEmpty && corpus.forall(_._4 >= 0))
+  }
 }

@@ -223,6 +223,31 @@ class DedupSimSpec extends SparkSpecBase {
     assert(recall > 0.0)
   }
 
+  test("MaxSim: hand-computed late-interaction scores; self-label is the ceiling") {
+    val vecs = Seq(
+      (0L, 0, Seq(1f, 0f, 0f, 0f)),
+      (1L, 0, Seq(0f, 1f, 0f, 0f)),
+      (2L, 1, Seq(1f, 0f, 0f, 0f)),
+      (3L, 2, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "label", "embedding")
+    val got = functions.Similarity.maxsimOn(vecs,
+        vecs.filter(col("label") === 0)
+          .select(col("vec_id").as("qid"), col("embedding")))
+      .orderBy("label")
+      .as[(Int, Long, BigDecimal)].collect().toSeq
+    // label 0 self-match: both qvecs hit themselves -> 1 + 1
+    // label 1 holds only (1,0,0,0): maxima are 1 (q0) and 0 (q1)
+    // label 2 is orthogonal to both qvecs
+    assert(got.map(r => (r._1, r._2, r._3.doubleValue)) ==
+      Seq((0, 2L, 2.0), (1, 2L, 1.0), (2, 2L, 0.0)))
+    // corpus: the query label's self-score is n_qvecs (every vector
+    // matches itself at cos 1) and no other label can exceed it
+    val corpus = functions.Similarity.simMaxsim(spark, sf)
+      .as[(Int, Long, BigDecimal)].collect()
+    val self = corpus.find(_._1 == 0).get
+    assert(self._3.doubleValue == self._2.toDouble)
+    assert(corpus.forall(r => r._3 <= self._3))
+  }
+
   test("dedup_embedding block-pair join is exact: equals the plain all-pairs join") {
     // the distributed block spelling must lose no pair to the grid
     // routing (including pairs whose lower vec_id hashed to the

@@ -428,6 +428,24 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("Generate"), p)
   }
 
+  test("sim_maxsim: query side broadcast, one corpus probe pass, bounded aggs") {
+    val p = plan(functions.Similarity.simMaxsim(spark, sf))
+    // the multi-vector query broadcasts (BNLJ with broadcast build is
+    // the sanctioned probe shape, cf. sim_topk); the corpus is never
+    // the build side and never cartesian-joined against itself
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Cartesian") && !p.contains("SortMergeJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("profile_drift: bin-keyed tiny relations only, no row-keyed shuffle join") {
+    val p = plan(functions.Corpus.profileDrift(spark, sf))
+    assert(!p.contains("Cartesian"), p)
+    // only the 1-row totals ride a broadcast nested loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("quality_audit: every constraint in ONE scan, partial+final agg, no Expand") {
     val p = plan(functions.Corpus.qualityAudit(spark, sf))
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
