@@ -694,7 +694,60 @@ object Clusters {
     modularityOn(edges, labelPropagationOn(edges))
   }
 
+  /** L16: end-to-end entity resolution — the composed record-linkage
+    * pipeline every MDM/dedup system runs, wired from rungs the
+    * library already ships: sorted-neighborhood BLOCKING (rank window
+    * over a similarity-preserving sort key, candidates linear in n —
+    * [[Dedup.dedupSortedNeighborhoodOn]]'s shape), pairwise VERIFY
+    * (same-group + edit-distance <= 1, evaluated only on in-window
+    * pairs), [[connectedComponentsOn]] transitive CLOSURE, and a
+    * SURVIVORSHIP rule (canonical id = min member, surviving balance
+    * = max over the cluster — the "best value wins" merge).
+    *
+    * Scale: blocking is the 100 TB lever — candidates are
+    * (window-1) * n EQUI-join rows on rank, never a name cross-join;
+    * ranks come from the range-partitioned dense-id helper (no
+    * single-partition window); the verify predicate runs map-side on
+    * each candidate row; CC rounds are bounded by entity diameter
+    * (near-clique, 2-3). Levenshtein cost is bounded by the window,
+    * not the corpus. Output: one row per RESOLVED entity (clusters
+    * of >= 2 records — singletons are already canonical). */
+  /** The blocking + verify stage of [[erResolveOn]], exposed so its
+    * plan shape (equi-join on rank, map-side levenshtein) is pinnable
+    * independently of the eager CC loop downstream. */
+  def erPairsOn(records: DataFrame, window: Int = 4): DataFrame = {
+    val ranked = graft.operators.Windows.denseIdsOn(
+      records.select("rid", "name", "grp"), Seq("name", "rid"))
+    val probes = ranked.select(col("rid").as("pa"), col("name").as("na"),
+      col("grp").as("ga"),
+      explode(array((1 until window).map(k =>
+        col("dense_id") + k): _*)).as("ridx"))
+    probes
+      .join(ranked.select(col("rid").as("pb"), col("name").as("nb"),
+        col("grp").as("gb"), col("dense_id").as("ridx")), "ridx")
+      .filter(col("ga") === col("gb") &&
+        levenshtein(col("na"), col("nb")) <= 1)
+      .select(least(col("pa"), col("pb")).as("da"),
+        greatest(col("pa"), col("pb")).as("db"))
+  }
+
+  def erResolveOn(records: DataFrame, window: Int = 4): DataFrame =
+    clustersOn(erPairsOn(records, window))
+      .join(records.select(col("rid").as("doc_id"), col("bal")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), max(col("bal")).as("surviving_bal"))
+
+  /** Catalog wrapper: customers as entity records — name as the match
+    * string, nation as the hard block, account balance as the
+    * survivorship value. */
+  def erPipeline(s: SparkSession, dir: String): DataFrame =
+    erResolveOn(Tables.customer(s, dir)
+      .select(col("c_custkey").as("rid"), col("c_name").as("name"),
+        col("c_nationkey").as("grp"), col("c_acctbal").as("bal")))
+      .orderBy("cluster_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_pipeline" -> erPipeline,
     "dedup_apply" -> dedupApply,
     "graph_degrees" -> graphDegrees,
     "dedup_clusters" -> dedupClusters,
@@ -796,6 +849,20 @@ object Clusters {
        |${ccTailSql("doc_id")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "er_pipeline" ->
+      s"""WITH RECURSIVE r AS (SELECT c_custkey AS rid, c_name AS name,
+         |    c_nationkey AS grp, c_acctbal AS bal FROM customer),
+         |rk AS (SELECT rid, name, grp,
+         |    CAST(row_number() OVER (ORDER BY name, rid) - 1 AS BIGINT) AS rnk
+         |  FROM r),
+         |pairs AS (SELECT LEAST(a.rid, b.rid) AS da, GREATEST(a.rid, b.rid) AS db
+         |  FROM rk a JOIN rk b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
+         |  WHERE a.grp = b.grp AND levenshtein(a.name, b.name) <= 1),
+         |$ccCoreSql
+         |SELECT l.cluster_id, COUNT(*) AS n_members,
+         |  MAX(r.bal) AS surviving_bal
+         |FROM lbl l JOIN r ON l.node = r.rid
+         |GROUP BY l.cluster_id ORDER BY cluster_id""".stripMargin,
     "graph_triangles" ->
       s"""WITH ${Similarity.knnCoreSql},
          |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,

@@ -336,6 +336,34 @@ object Dedup {
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     dedupMinhashOn(shingleHashes(s, dir))
 
+  /** L2g: candidate-generation agreement matrix — do the cheap and
+    * expensive dedup paths find the same pairs? For each pair of
+    * methods (minhash-LSH banding, exact df-capped n-gram join,
+    * sorted-neighborhood blocking) — all verified at the SAME Jaccard
+    * threshold, so any disagreement is pure candidate-generation
+    * coverage — emit |A|, |B|, |A ∩ B|. The curation dashboard query
+    * behind every "can we drop the exact pass yet?" decision; run on
+    * a sample at 100 TB (the three pair relations it compares are
+    * already the bounded outputs of their own scale-safe plans, and
+    * the memoized shingle relation is scanned once for all three).
+    * Intersections are equi-joins on the (da, db) pair key; the three
+    * count rows are 1-row aggregates crossed broadcast-style. */
+  def dedupMethodEval(s: SparkSession, dir: String): DataFrame = {
+    val mh = dedupMinhash(s, dir).select("da", "db")
+    val ng = dedupNgram(s, dir).select("da", "db")
+    val sn = dedupSortedNeighborhood(s, dir).select("da", "db")
+    def row(an: String, a: DataFrame, bn: String, b: DataFrame): DataFrame =
+      a.agg(count(lit(1)).as("n_a"))
+        .crossJoin(b.agg(count(lit(1)).as("n_b")))
+        .crossJoin(a.join(b, Seq("da", "db")).agg(count(lit(1)).as("n_both")))
+        .select(lit(an).as("method_a"), lit(bn).as("method_b"),
+          col("n_a"), col("n_b"), col("n_both"))
+    row("minhash", mh, "ngram", ng)
+      .unionByName(row("minhash", mh, "snm", sn))
+      .unionByName(row("ngram", ng, "snm", sn))
+      .orderBy("method_a", "method_b")
+  }
+
   /** L2e: signature-only Jaccard ESTIMATE for the banded candidates —
     * matching-slot fraction of the K minhashes, next to the exact
     * verified Jaccard for the same pair. At 100 TB this is the rung
@@ -808,6 +836,7 @@ object Dedup {
     "dedup_prefix_filter" -> dedupPrefixFilter,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_apply" -> dedupSubstringApply,
+    "dedup_method_eval" -> dedupMethodEval,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
   )
@@ -853,6 +882,51 @@ object Dedup {
        |       JOIN hs b ON db = b.doc_id AND a.hs = b.hs
        |       GROUP BY da, db)""".stripMargin
 
+  /** The three verified-pair oracles as standalone statements — each
+    * doubles as a subquery of the dedup_method_eval agreement matrix
+    * (DuckDB nests full WITH...SELECT blocks as derived tables). */
+  private val minhashVerifiedSql: String =
+    s"""$minhashCoreSql
+       |SELECT da, db,
+       |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+       |FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+       |ORDER BY da, db""".stripMargin
+
+  private val ngramVerifiedSql: String =
+    s"""$shingleHashSql,
+       |keep AS (SELECT doc_id, hs FROM (
+       |    SELECT doc_id, hs, COUNT(*) OVER (PARTITION BY hs) AS df FROM hs)
+       |  WHERE df <= 20),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
+       |ix AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+       |       FROM keep a JOIN keep b ON a.hs = b.hs AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT da, db, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+       |FROM ix JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+       |ORDER BY da, db""".stripMargin
+
+  private val snmVerifiedSql: String =
+    s"""$shingleHashSql,
+       |sk AS (SELECT doc_id, MIN((hs * 3 + 31) % 1000000007) AS skey,
+       |         COUNT(*) AS n FROM hs GROUP BY doc_id),
+       |rk AS (SELECT doc_id, n,
+       |         row_number() OVER (ORDER BY skey, doc_id) AS rid FROM sk),
+       |cand AS (SELECT least(l.doc_id, r.doc_id) AS da,
+       |           greatest(l.doc_id, r.doc_id) AS db
+       |         FROM rk l JOIN rk r
+       |           ON r.rid > l.rid AND r.rid <= l.rid + 3),
+       |ix AS (SELECT da, db, COUNT(*) AS inter
+       |       FROM cand JOIN hs a ON da = a.doc_id
+       |       JOIN hs b ON db = b.doc_id AND a.hs = b.hs
+       |       GROUP BY da, db)
+       |SELECT da, db,
+       |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+       |FROM ix JOIN rk sa ON da = sa.doc_id JOIN rk sb ON db = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+       |ORDER BY da, db""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
@@ -882,32 +956,23 @@ object Dedup {
          |FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8
          |ORDER BY da, db""".stripMargin,
-    "dedup_sorted_neighborhood" ->
-      s"""$shingleHashSql,
-         |sk AS (SELECT doc_id, MIN((hs * 3 + 31) % 1000000007) AS skey,
-         |         COUNT(*) AS n FROM hs GROUP BY doc_id),
-         |rk AS (SELECT doc_id, n,
-         |         row_number() OVER (ORDER BY skey, doc_id) AS rid FROM sk),
-         |cand AS (SELECT least(l.doc_id, r.doc_id) AS da,
-         |           greatest(l.doc_id, r.doc_id) AS db
-         |         FROM rk l JOIN rk r
-         |           ON r.rid > l.rid AND r.rid <= l.rid + 3),
-         |ix AS (SELECT da, db, COUNT(*) AS inter
-         |       FROM cand JOIN hs a ON da = a.doc_id
-         |       JOIN hs b ON db = b.doc_id AND a.hs = b.hs
-         |       GROUP BY da, db)
-         |SELECT da, db,
-         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
-         |FROM ix JOIN rk sa ON da = sa.doc_id JOIN rk sb ON db = sb.doc_id
-         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
-         |ORDER BY da, db""".stripMargin,
-    "dedup_minhash" ->
-      s"""$minhashCoreSql
-         |SELECT da, db,
-         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
-         |FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
-         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
-         |ORDER BY da, db""".stripMargin,
+    "dedup_sorted_neighborhood" -> snmVerifiedSql,
+    "dedup_minhash" -> minhashVerifiedSql,
+    "dedup_method_eval" -> {
+      def pairs(q: String) = s"(SELECT da, db FROM ($q))"
+      def row(an: String, a: String, bn: String, b: String) =
+        s"""SELECT '$an' AS method_a, '$bn' AS method_b,
+           |  (SELECT COUNT(*) FROM ${pairs(a)} pa) AS n_a,
+           |  (SELECT COUNT(*) FROM ${pairs(b)} pb) AS n_b,
+           |  (SELECT COUNT(*) FROM ${pairs(a)} pa
+           |     JOIN ${pairs(b)} pb USING (da, db)) AS n_both""".stripMargin
+      s"""${row("minhash", minhashVerifiedSql, "ngram", ngramVerifiedSql)}
+         |UNION ALL
+         |${row("minhash", minhashVerifiedSql, "snm", snmVerifiedSql)}
+         |UNION ALL
+         |${row("ngram", ngramVerifiedSql, "snm", snmVerifiedSql)}
+         |ORDER BY method_a, method_b""".stripMargin
+    },
     "dedup_minhash_estimate" ->
       s"""$minhashCoreSql
          |SELECT da, db,
@@ -979,19 +1044,7 @@ object Dedup {
          |FROM ix JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
          |ORDER BY da, db""".stripMargin,
-    "dedup_ngram" ->
-      s"""$shingleHashSql,
-         |keep AS (SELECT doc_id, hs FROM (
-         |    SELECT doc_id, hs, COUNT(*) OVER (PARTITION BY hs) AS df FROM hs)
-         |  WHERE df <= 20),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
-         |ix AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
-         |       FROM keep a JOIN keep b ON a.hs = b.hs AND a.doc_id < b.doc_id
-         |       GROUP BY 1, 2)
-         |SELECT da, db, CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
-         |FROM ix JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
-         |ORDER BY da, db""".stripMargin,
+    "dedup_ngram" -> ngramVerifiedSql,
     "dedup_substring" ->
       s"""$substringSpanSql
         |SELECT doc_id, span_start, span_end, n_windows

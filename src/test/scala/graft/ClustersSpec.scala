@@ -260,4 +260,24 @@ class ClustersSpec extends SparkSpecBase {
     assert(m.agg(sum(col("deg_sum"))).as[Long].head() == 2 * mEdges)
     assert(m.agg(sum(col("intra_edges"))).as[Long].head() <= mEdges)
   }
+
+  test("L16 ER pipeline: chained name variants resolve transitively, hard " +
+    "block stops cross-group merges, survivorship keeps the max balance") {
+    val recs = Seq(
+      (1L, "acct-001", 0L, 10.0), // 1~2~3 chain via 1-char edits
+      (2L, "acct-002", 0L, 30.0),
+      (3L, "acct-003", 0L, 20.0),
+      (4L, "acct-004", 1L, 99.0), // name-adjacent but different group
+      (5L, "zzz-9999", 0L, 50.0)) // no near name
+      .toDF("rid", "name", "grp", "bal")
+    val got = functions.Clusters.erResolveOn(recs)
+      .as[(Long, Long, Double)].collect().toSeq
+    // one resolved entity: {1,2,3}, canonical id 1, bal = max = 30;
+    // 4 is blocked out by grp, 5 by distance -> singletons, no row
+    assert(got == Seq((1L, 3L, 30.0)))
+    // corpus: members never exceed their cluster count, ids canonical
+    val corpus = functions.Clusters.erPipeline(spark, sf)
+    assert(corpus.count() > 0)
+    assert(corpus.filter(col("n_members") < 2).count() == 0)
+  }
 }

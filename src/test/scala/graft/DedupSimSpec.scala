@@ -248,6 +248,22 @@ class DedupSimSpec extends SparkSpecBase {
     assert(corpus.forall(r => r._3 <= self._3))
   }
 
+  test("dedup_method_eval: intersection bounded by both sides; the exhaustive " +
+    "ngram join dominates the windowed SNM blocking") {
+    val got = functions.Dedup.dedupMethodEval(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq(("minhash", "ngram"), ("minhash", "snm"), ("ngram", "snm")))
+    got.foreach { case (_, _, na, nb, nBoth) =>
+      assert(nBoth <= math.min(na, nb))
+      assert(na > 0 && nb > 0)
+    }
+    // SNM's w-row window can only under-generate vs the exhaustive
+    // shared-shingle join at the same threshold and feature set
+    val ns = got.find(r => r._1 == "ngram" && r._2 == "snm").get
+    assert(ns._4 <= ns._3, ns.toString)
+  }
+
   test("dedup_embedding block-pair join is exact: equals the plain all-pairs join") {
     // the distributed block spelling must lose no pair to the grid
     // routing (including pairs whose lower vec_id hashed to the

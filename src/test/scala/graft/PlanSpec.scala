@@ -446,6 +446,15 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("er_pipeline: rank-window blocking keeps every join equi-keyed; " +
+    "levenshtein runs map-side on candidates, never a name cross-join") {
+    val p = plan(functions.Clusters.erPairsOn(
+      Tables.customer(spark, sf).select(col("c_custkey").as("rid"),
+        col("c_name").as("name"), col("c_nationkey").as("grp"))))
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    assert(p.contains("levenshtein"), p)
+  }
+
   test("quality_audit: every constraint in ONE scan, partial+final agg, no Expand") {
     val p = plan(functions.Corpus.qualityAudit(spark, sf))
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
