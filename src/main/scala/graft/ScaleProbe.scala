@@ -116,6 +116,29 @@ object ScaleProbe {
       "dedup_sorted_neighborhood" -> (d =>
         functions.Dedup.dedupSortedNeighborhoodOn(
           functions.Dedup.shingleHashesOf(d).localCheckpoint(true))),
+      // perturbed copies keep shingle spaces disjoint, so posting-list
+      // df stays constant and the inverted-index pair work must grow
+      // linearly with corpus size — the df-cap claim measured
+      "sim_sparse_cosine" -> (d => functions.Similarity.simSparseCosineOn(d)),
+      "dedup_substring_apply" -> (d =>
+        functions.Dedup.dedupSubstringApplyOn(d)),
+      // the bucket models stay <= 4096 rows however the corpus grows;
+      // both passes are map-side — growth per doubling must be ~2
+      "corpus_dsir" -> (d => functions.Corpus.corpusDsirOn(
+        d.filter(col("doc_id") % 40 =!= 7), d.filter(col("doc_id") % 40 === 7))),
+      "profile_drift" -> (d => {
+        val v = d.withColumn("v", length(col("text")).cast("long"))
+        functions.Corpus.profileDriftOn(
+          v.filter(col("doc_id") % 2 === 0), v.filter(col("doc_id") % 2 === 1),
+          "v")
+      }),
+      // digit-run names chain within each perturbed copy; blocking is
+      // (w-1)*n candidates and CC rounds stay diameter-bounded
+      "er_pipeline" -> (d => functions.Clusters.erResolveOn(
+        d.select(col("doc_id").as("rid"),
+          format_string("rec#%09d", col("doc_id")).as("name"),
+          col("lang").as("grp"),
+          length(col("text")).cast("double").as("bal")))),
     )
 
     val only = args.drop(1).toSet
