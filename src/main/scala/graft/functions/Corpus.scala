@@ -186,6 +186,35 @@ object Corpus {
   def corpusTemperature(s: SparkSession, dir: String): DataFrame =
     corpusTemperatureOn(Tables.documents(s, dir))
 
+  /** L8d: epoch-repetition planning — turn [[corpusTemperatureOn]]'s
+    * per-language TARGET doc counts into a concrete per-document
+    * repeat factor (the "how many epochs does each shard see"
+    * manifest a training run consumes): every doc of a language
+    * repeats target div n times, and the target mod n remainder docs
+    * — chosen by the deterministic hash priority, never rand() —
+    * carry one extra epoch. Sum of n_repeats per language equals the
+    * target EXACTLY (div * n + mod identity), the invariant the spec
+    * pins. Scale: the allocation is a language-bounded broadcast;
+    * the only row-keyed work is one rank window per language
+    * partition (the sample_stratified shuffle shape). */
+  def corpusEpochsOn(docs: DataFrame): DataFrame = {
+    val alloc = corpusTemperatureOn(docs)
+      .select("lang", "n_docs", "target_docs")
+    val pr = Window.partitionBy("lang")
+      .orderBy(col("prio").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("lang"),
+        ((col("doc_id") * 2654435761L) % 1000000007L).as("prio"))
+      .join(broadcast(alloc), "lang")
+      .withColumn("rk", row_number().over(pr).cast("long"))
+      .select(col("doc_id"), col("lang"),
+        (expr("target_docs div n_docs") +
+          when(col("rk") <= expr("target_docs % n_docs"), 1L)
+            .otherwise(0L)).as("n_repeats"))
+  }
+
+  def corpusEpochs(s: SparkSession, dir: String): DataFrame =
+    corpusEpochsOn(Tables.documents(s, dir)).orderBy("doc_id")
+
   def corpusMixOn(docs: DataFrame): DataFrame = {
     val iw = MixInvWeight.foldLeft(lit(1)) { case (acc, (l, k)) =>
       when(col("lang") === l, k).otherwise(acc)
@@ -565,6 +594,7 @@ object Corpus {
     "text_decontaminate" -> textDecontaminate,
     "corpus_dsir" -> corpusDsir,
     "profile_drift" -> profileDrift,
+    "corpus_epochs" -> corpusEpochs,
   )
 
   private val polySql =
@@ -677,6 +707,30 @@ object Corpus {
          |WHERE $polySql % 100 <
          |  CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 50 ELSE 100 END
          |ORDER BY doc_id""".stripMargin,
+    "corpus_epochs" ->
+      """WITH s AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+        |  GROUP BY lang),
+        |q AS (SELECT lang, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS wq
+        |  FROM s),
+        |t AS (SELECT CAST(SUM(wq) AS BIGINT) AS wsum,
+        |    CAST(SUM(n_docs) AS BIGINT) AS n_total FROM q),
+        |alloc AS (SELECT lang, n_docs,
+        |    CAST((wq * 1000000 // wsum) * n_total // 1000000 AS BIGINT)
+        |      AS target_docs
+        |  FROM q, t),
+        |rk AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
+        |      AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT doc_id, rk.lang,
+        |  CAST(target_docs // n_docs
+        |    + CASE WHEN rk <= target_docs % n_docs THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_repeats
+        |FROM rk JOIN alloc ON rk.lang = alloc.lang
+        |ORDER BY doc_id""".stripMargin,
     "corpus_temperature" ->
       """WITH s AS (SELECT lang, COUNT(*) AS n_docs FROM documents
         |  GROUP BY lang),

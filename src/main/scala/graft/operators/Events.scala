@@ -235,7 +235,40 @@ object Events {
   def tsGapfill(s: SparkSession, dir: String): DataFrame =
     tsGapfillOn(Tables.events(s, dir))
 
+  /** L19g: CUSUM change detection over daily event counts — the
+    * sequential rate monitor (Page 1954) that flags sustained shifts
+    * a plain threshold misses. The textbook recursion
+    * s_t = max(0, s_{t-1} + (x_t - mean)) looks un-parallelizable,
+    * but the clamp REWRITES as prefix sums: with S_t the running sum
+    * of (x_t - mean), s_t = S_t - min(0, S_1..S_t) — two window
+    * passes (running sum, running min) over ONE type-keyed shuffle,
+    * fully distributed. All arithmetic is exact integers scaled by
+    * nd (days per type): x*nd - total replaces x - total/nd, so no
+    * float mean ever enters; the alarm fires when the scaled
+    * statistic exceeds 2*total — i.e. the accumulated excess over
+    * the mean reaches two average days' worth of events. */
+  def eventCusumOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy("event_type")
+      .agg(sum(col("x")).as("total"), count(lit(1)).as("nd"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("s", sum(col("x") * col("nd") - col("total")).over(w))
+      .withColumn("smin", min(col("s")).over(w))
+      .select(col("event_type"), col("d"), col("x"),
+        (col("s") - least(col("smin"), lit(0L))).as("cusum"),
+        ((col("s") - least(col("smin"), lit(0L))) > col("total") * 2)
+          .as("alarm"))
+  }
+
+  def eventCusum(s: SparkSession, dir: String): DataFrame =
+    eventCusumOn(Tables.events(s, dir)).orderBy("event_type", "d")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_cusum" -> eventCusum,
     "event_retention" -> eventRetention,
     "event_funnel" -> eventFunnel,
     "scd2_intervals" -> scd2Intervals,
@@ -246,6 +279,22 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "event_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    COUNT(*) AS x FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS total,
+        |    COUNT(*) AS nd FROM daily GROUP BY 1),
+        |sr AS (SELECT daily.event_type, d, x, total,
+        |    SUM(x * nd - total) OVER (PARTITION BY daily.event_type
+        |      ORDER BY d) AS s
+        |  FROM daily JOIN st USING (event_type)),
+        |m AS (SELECT event_type, d, x, total, s,
+        |    MIN(s) OVER (PARTITION BY event_type ORDER BY d) AS smin
+        |  FROM sr)
+        |SELECT event_type, d, CAST(x AS BIGINT) AS x,
+        |  CAST(s - LEAST(smin, 0) AS BIGINT) AS cusum,
+        |  (s - LEAST(smin, 0)) > total * 2 AS alarm
+        |FROM m ORDER BY event_type, d""".stripMargin,
     "event_paths" ->
       """WITH o AS (SELECT user_id, event_type,
         |    row_number() OVER (PARTITION BY user_id

@@ -335,4 +335,20 @@ class CorpusSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long)].collect()
     assert(corpus.nonEmpty && corpus.forall(_._4 >= 0))
   }
+
+  test("L8d epoch plan: per-language repeats sum EXACTLY to the temperature " +
+    "target and differ by at most one within a language") {
+    val plan = functions.Corpus.corpusEpochs(spark, sf)
+    val perLang = plan.groupBy("lang")
+      .agg(sum(col("n_repeats")).as("s"), min(col("n_repeats")).as("mn"),
+        max(col("n_repeats")).as("mx"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val targets = functions.Corpus.corpusTemperature(spark, sf)
+      .select("lang", "target_docs").as[(String, Long)].collect().toMap
+    assert(perLang.keySet == targets.keySet)
+    perLang.foreach { case (lang, (_, s, mn, mx)) =>
+      assert(s == targets(lang), s"$lang: planned $s != target ${targets(lang)}")
+      assert(mx - mn <= 1, s"$lang repeats not balanced: [$mn, $mx]")
+    }
+  }
 }

@@ -179,4 +179,43 @@ class EventsSpec extends SparkSpecBase {
     assert(back.join(near, Seq("purchase_id"), "left_anti").count() == 0)
     assert(near.count() >= back.count())
   }
+
+  test("L19g CUSUM: window spelling equals the clamped recursion on every " +
+    "corpus series, and a planted burst raises exactly the burst day") {
+    // corpus: per type, replay s_t = max(0, s_{t-1} + (x*nd - total))
+    // sequentially and compare against the two-window spelling
+    val rows = operators.Events.eventCusum(spark, sf)
+      .as[(String, java.sql.Date, Long, Long, Boolean)].collect()
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, series) =>
+      val sorted = series.sortBy(_._2.toString)
+      val nd = sorted.length.toLong
+      val total = sorted.map(_._3).sum
+      var s = 0L
+      sorted.foreach { case (_, _, x, cusum, alarm) =>
+        s = math.max(0L, s + (x * nd - total))
+        assert(s == cusum, s"recursion $s != window $cusum")
+        assert(alarm == (cusum > 2 * total))
+      }
+    }
+    // fixture: flat rate with one 5x day -> the burst day (and only
+    // days at-or-after it while the excess persists) can alarm
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = (0 until 10).flatMap { day =>
+      val n = if (day == 6) 50 else 10
+      (0 until n).map(i => (day * 100L + i,
+        new java.sql.Timestamp(base.getTime + day * 86400000L + i * 1000L),
+        "t"))
+    }.toDF("event_id", "ts", "event_type")
+    val got = operators.Events.eventCusumOn(ev)
+      .orderBy("d").as[(String, java.sql.Date, Long, Long, Boolean)]
+      .collect().toSeq
+    // mean 14/day, scaled by nd=10: normal days drift -40 (clamped by
+    // the running min), the burst adds +360 -> cusum 360, 320, 280,
+    // 240 from the burst on; threshold 2*total = 280 exceeded on the
+    // burst day and the one after, then the drift decays it back
+    assert(got.filter(_._5).map(_._2.toString) ==
+      Seq("2024-01-07", "2024-01-08"), got.toString)
+  }
 }
