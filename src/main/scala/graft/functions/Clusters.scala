@@ -262,6 +262,45 @@ object Clusters {
       .localCheckpoint(true)
   }
 
+  /** L18g: bipartite → unipartite projection with top-k partners —
+    * the market-basket / item-item collaborative-filtering step:
+    * entities that co-occur in the same group (suppliers in one
+    * order, tokens in one doc, items in one basket) become edges
+    * weighted by co-occurrence count; each entity keeps its top-k
+    * partners. The scale hazards and their levers, both explicit:
+    * (1) wedge blowup — pairs per group grow as group_degree², so
+    * the group-keyed self-join is bounded ONLY when per-group
+    * membership is bounded (orders hold ~7 suppliers; for power-law
+    * groups, cap or sample members first — the dedup_ngram df-cap
+    * move); (2) output size — the full projection is quadratic-ish
+    * in co-occurrence density, so the catalog emits the RANKED top-3
+    * per source (rank-then-filter collapses to WindowGroupLimit:
+    * partial top-k BEFORE the shuffle, the text_keywords plan pin).
+    * Both orientations rank, so every member gets partners. */
+  def graphProjectionOn(membership: DataFrame, topK: Int = 3): DataFrame = {
+    val e = membership.select(col("grp"), col("member")).distinct()
+    val pairs = e.select(col("grp"), col("member").as("sa"))
+      .join(e.select(col("grp"), col("member").as("sb")), "grp")
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("co"))
+    val sym = pairs.select(explode(array(
+        struct(col("sa").as("src"), col("sb").as("partner"), col("co")),
+        struct(col("sb").as("src"), col("sa").as("partner"), col("co"))))
+        .as("p"))
+      .select("p.src", "p.partner", "p.co")
+    sym
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("co").desc, col("partner").asc)))
+      .filter(col("rk") <= topK)
+  }
+
+  /** Catalog wrapper: suppliers co-occurring in an order. */
+  def graphProjection(s: SparkSession, dir: String): DataFrame =
+    graphProjectionOn(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("grp"), col("l_suppkey").as("member")))
+      .orderBy("src", "rk")
+
   /** Single-source BFS hop distances — the reachability-with-depth
     * primitive (lineage radius, contamination blast-radius, "how far
     * is this doc from a flagged seed"). Pregel form as plain
@@ -748,6 +787,7 @@ object Clusters {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_pipeline" -> erPipeline,
+    "graph_projection" -> graphProjection,
     "dedup_apply" -> dedupApply,
     "graph_degrees" -> graphDegrees,
     "dedup_clusters" -> dedupClusters,
@@ -849,6 +889,18 @@ object Clusters {
        |${ccTailSql("doc_id")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_projection" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS grp, l_suppkey AS member
+        |  FROM lineitem),
+        |p AS (SELECT a.member AS sa, b.member AS sb, COUNT(*) AS co
+        |  FROM e a JOIN e b ON a.grp = b.grp AND a.member < b.member
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT sa AS src, sb AS partner, co FROM p
+        |        UNION ALL SELECT sb AS src, sa AS partner, co FROM p)
+        |SELECT src, partner, CAST(co AS BIGINT) AS co,
+        |  CAST(row_number() OVER (PARTITION BY src
+        |    ORDER BY co DESC, partner ASC) AS INT) AS rk
+        |FROM sym QUALIFY rk <= 3 ORDER BY src, rk""".stripMargin,
     "er_pipeline" ->
       s"""WITH RECURSIVE r AS (SELECT c_custkey AS rid, c_name AS name,
          |    c_nationkey AS grp, c_acctbal AS bal FROM customer),

@@ -135,6 +135,31 @@ object Text {
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     textFingerprintOn(Tables.documents(s, dir)).orderBy("doc_id")
 
+  /** L4n: novelty scoring — what fraction of a document's trigram
+    * shingles appears in NO lower-numbered document (doc order = the
+    * corpus's ingest order, so this is "how much does each new doc
+    * add", the curriculum/acquisition-value signal next to
+    * [[textRepetitionOn]]'s within-doc redundancy). Ownership of a
+    * shingle goes to its minimal doc_id — one gram-keyed MIN
+    * aggregate (map-side combined, the dedup_substring shuffle) —
+    * and the per-doc rollup joins ownership back doc-keyed. A doc of
+    * entirely boilerplate scores 0; the corpus's first doc scores
+    * 1e6 by construction. Integer ppm, no float ratio crosses the
+    * gate. */
+  def textNoveltyOn(docs: DataFrame): DataFrame = {
+    val hs = Dedup.shingleHashesOf(docs)
+    val owner = hs.groupBy("hs").agg(min(col("doc_id")).as("first_doc"))
+    hs.join(owner, "hs")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000000 div n_shingles").as("novelty_ppm"))
+  }
+
+  def textNovelty(s: SparkSession, dir: String): DataFrame =
+    textNoveltyOn(Tables.documents(s, dir)).orderBy("doc_id")
+
   /** L4g: normalization-then-exact-dedup — the standard first dedup
     * rung of a training pipeline: lowercase, strip punctuation,
     * collapse whitespace, THEN content-hash group. Catches trivial
@@ -699,6 +724,7 @@ object Text {
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "text_novelty" -> textNovelty,
   )
 
   private def sqlHits(words: Seq[String]): String =
@@ -996,6 +1022,16 @@ object Text {
          |       WHEN ${sqlHits(esStop)} >= ${sqlHits(frStop)} THEN 'es'
          |       ELSE 'fr' END AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_novelty" ->
+      s"""${Dedup.shingleHashSql},
+         |own AS (SELECT hs, MIN(doc_id) AS first_doc FROM hs GROUP BY hs)
+         |SELECT doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+         |FROM hs JOIN own USING (hs)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

@@ -261,6 +261,21 @@ class ClustersSpec extends SparkSpecBase {
     assert(m.agg(sum(col("intra_edges"))).as[Long].head() <= mEdges)
   }
 
+  test("L18g projection: hand-checked co-occurrence counts, symmetric top-k, " +
+    "rank cut respects (co desc, partner asc)") {
+    // baskets: {1,2,3}, {1,2}, {2,3}, {4} -> co(1,2)=2, co(1,3)=1,
+    // co(2,3)=2; 4 co-occurs with nobody and must not appear
+    val m = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L), (11L, 2L),
+      (12L, 2L), (12L, 3L), (13L, 4L)).toDF("grp", "member")
+    val got = functions.Clusters.graphProjectionOn(m)
+      .orderBy("src", "rk")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1), (1L, 3L, 1L, 2),
+      (2L, 1L, 2L, 1), (2L, 3L, 2L, 2),
+      (3L, 2L, 2L, 1), (3L, 1L, 1L, 2)))
+  }
+
   test("L16 ER pipeline: chained name variants resolve transitively, hard " +
     "block stops cross-group merges, survivorship keeps the max balance") {
     val recs = Seq(

@@ -336,6 +336,27 @@ class CorpusSpec extends SparkSpecBase {
     assert(corpus.nonEmpty && corpus.forall(_._4 >= 0))
   }
 
+  test("L4n novelty: first doc scores 1e6, an exact dup scores 0, partial " +
+    "overlap scores the unshared fraction") {
+    val docs = Seq(
+      (0L, "a b c d e"), // 3 shingles, all first-seen
+      (1L, "a b c d e"), // exact dup -> nothing novel
+      (2L, "a b c x y z")) // shares only "a b c" -> 3 of 4 novel
+      .toDF("doc_id", "text")
+    val got = functions.Text.textNoveltyOn(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 3L, 1000000L),
+      (1L, 3L, 0L, 0L),
+      (2L, 4L, 3L, 750000L)))
+    // corpus invariants: ppm in [0, 1e6]; the minimal doc_id is fully
+    // novel by construction
+    val c = functions.Text.textNovelty(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(c.forall(r => r._4 >= 0 && r._4 <= 1000000))
+    assert(c.minBy(_._1)._4 == 1000000L)
+  }
+
   test("L8d epoch plan: per-language repeats sum EXACTLY to the temperature " +
     "target and differ by at most one within a language") {
     val plan = functions.Corpus.corpusEpochs(spark, sf)

@@ -455,6 +455,12 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("levenshtein"), p)
   }
 
+  test("graph_projection: rank cut collapses to WindowGroupLimit, wedge join equi-keyed") {
+    val p = plan(functions.Clusters.graphProjection(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+  }
+
   test("quality_audit: every constraint in ONE scan, partial+final agg, no Expand") {
     val p = plan(functions.Corpus.qualityAudit(spark, sf))
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
