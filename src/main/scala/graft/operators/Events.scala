@@ -267,7 +267,74 @@ object Events {
   def eventCusum(s: SparkSession, dir: String): DataFrame =
     eventCusumOn(Tables.events(s, dir)).orderBy("event_type", "d")
 
+  /** L19h: sequence-pattern matching over per-user event journeys —
+    * the MATCH_RECOGNIZE surrogate: each user's ordered event-type
+    * initials collapse to ONE journey string (in-row rank sort, the
+    * event_paths determinism recipe), and row-pattern predicates
+    * become plain regular expressions evaluated map-side on the
+    * aggregated row. Spark has no MATCH_RECOGNIZE; this is the
+    * standard rewrite, and it scales the same way sessionization
+    * does: one user-keyed shuffle, journey length bounded by events
+    * per user (cap with rk <= N for unbounded actors — the
+    * event_paths depth cut). Patterns: signup strictly before the
+    * first purchase; the view->click->purchase funnel with anything
+    * between; an error immediately followed by a purchase. */
+  def eventRegexOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        substring(col("event_type"), 1, 1).as("ch"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws("", expr(
+          "transform(array_sort(collect_list(struct(rk, ch))), x -> x.ch)"))
+          .as("journey"))
+      .select(col("user_id"), col("n_events"), col("journey"),
+        col("journey").rlike("^[^p]*s.*p").as("signup_before_purchase"),
+        col("journey").rlike("v.*c.*p").as("funnel_vcp"),
+        col("journey").rlike("ep").as("error_then_purchase"))
+  }
+
+  def eventRegex(s: SparkSession, dir: String): DataFrame =
+    eventRegexOn(Tables.events(s, dir)).orderBy("user_id")
+
+  /** L19i: temporal holdout split — the leakage-aware time-based
+    * train/test cut every forecasting/recommendation eval needs:
+    * the cutoff day is the FIRST day whose running event total
+    * reaches 80% of the corpus (computed on the day-bounded daily
+    * relation — one tiny window, broadcast back), train = strictly
+    * before, test = at-or-after. Emitted per user so the leakage
+    * question is first-class: a user with events on both sides is
+    * exactly the entity whose test rows a user-level model has
+    * already seen — `in_both` quantifies that, user-keyed and
+    * map-side combined. All arithmetic exact: counts, one
+    * cross-multiplied 80% threshold (5*run >= 4*total), dates. */
+  def sampleHoldoutTemporalOn(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(sum(col("n")).as("total"))
+    val cutoff = daily.crossJoin(broadcast(tot))
+      .withColumn("run", sum(col("n")).over(w))
+      .filter(col("run") * 5 >= col("total") * 4)
+      .agg(min(col("d")).as("cut"))
+    events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .crossJoin(broadcast(cutoff))
+      .groupBy("user_id")
+      .agg(count(when(col("d") < col("cut"), 1)).as("n_train"),
+        count(when(col("d") >= col("cut"), 1)).as("n_test"))
+      .withColumn("in_both", col("n_train") > 0 && col("n_test") > 0)
+  }
+
+  def sampleHoldoutTemporal(s: SparkSession, dir: String): DataFrame =
+    sampleHoldoutTemporalOn(Tables.events(s, dir)).orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_regex" -> eventRegex,
+    "sample_holdout_temporal" -> sampleHoldoutTemporal,
     "event_cusum" -> eventCusum,
     "event_retention" -> eventRetention,
     "event_funnel" -> eventFunnel,
@@ -279,6 +346,37 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "event_regex" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |    substring(event_type, 1, 1) AS ch,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rk
+        |  FROM events),
+        |j AS (SELECT user_id, COUNT(*) AS n_events,
+        |    string_agg(ch, '' ORDER BY rk) AS journey
+        |  FROM o GROUP BY user_id)
+        |SELECT user_id, n_events, journey,
+        |  regexp_matches(journey, '^[^p]*s.*p') AS signup_before_purchase,
+        |  regexp_matches(journey, 'v.*c.*p') AS funnel_vcp,
+        |  regexp_matches(journey, 'ep') AS error_then_purchase
+        |FROM j ORDER BY user_id""".stripMargin,
+    "sample_holdout_temporal" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM daily),
+        |r AS (SELECT d, SUM(n) OVER (ORDER BY d) AS run, total
+        |  FROM daily CROSS JOIN t),
+        |c AS (SELECT MIN(d) AS cut FROM r WHERE run * 5 >= total * 4)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN CAST(ts AS DATE) < cut THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_train,
+        |  CAST(SUM(CASE WHEN CAST(ts AS DATE) >= cut THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_test,
+        |  SUM(CASE WHEN CAST(ts AS DATE) < cut THEN 1 ELSE 0 END) > 0 AND
+        |  SUM(CASE WHEN CAST(ts AS DATE) >= cut THEN 1 ELSE 0 END) > 0
+        |    AS in_both
+        |FROM events CROSS JOIN c
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "event_cusum" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    COUNT(*) AS x FROM events GROUP BY 1, 2),

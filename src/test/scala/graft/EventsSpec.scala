@@ -218,4 +218,43 @@ class EventsSpec extends SparkSpecBase {
     assert(got.filter(_._5).map(_._2.toString) ==
       Seq("2024-01-07", "2024-01-08"), got.toString)
   }
+
+  test("L19h journey regex: hand-built journeys hit exactly the right patterns") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(uid: Long, seq: String) = seq.zipWithIndex.map { case (c, i) =>
+      val t = Map('v' -> "view", 'c' -> "click", 'p' -> "purchase",
+        's' -> "signup", 'e' -> "error")(c)
+      (uid * 1000 + i, new java.sql.Timestamp(base.getTime + i * 1000L),
+        uid, t)
+    }
+    val events = (ev(1, "svcp") ++ ev(2, "pvs") ++ ev(3, "vep") ++
+      ev(4, "vcep")).toDF("event_id", "ts", "user_id", "event_type")
+    val got = operators.Events.eventRegexOn(events).orderBy("user_id")
+      .as[(Long, Long, String, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq(
+      // signup->view->click->purchase: signup first, full funnel, no ep
+      (1L, 4L, "svcp", true, true, false),
+      // purchase BEFORE signup: anchored prefix must reject
+      (2L, 3L, "pvs", false, false, false),
+      // view->error->purchase: no signup, no click, error-then-purchase
+      (3L, 3L, "vep", false, false, true),
+      // view->click->error->purchase: funnel allows gaps, ep adjacent
+      (4L, 4L, "vcep", false, true, true)))
+  }
+
+  test("L19i temporal holdout: cutoff puts ~80% of events in train, split " +
+    "counts rebuild the corpus, leakage flag is consistent") {
+    val got = operators.Events.sampleHoldoutTemporal(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val train = got.map(_._2).sum
+    val test = got.map(_._3).sum
+    val total = train + test
+    // cutoff = FIRST day whose running total reaches 80%: everything
+    // strictly before it is under 80% by minimality, exactly
+    assert(train * 5 < total * 4, s"$train/$total")
+    assert(test > 0 && train > 0)
+    got.foreach { case (_, tr, te, both) =>
+      assert(both == (tr > 0 && te > 0))
+    }
+  }
 }
