@@ -117,6 +117,37 @@ object Corpus {
   def sampleSystematic(s: SparkSession, dir: String): DataFrame =
     sampleSystematicOn(Tables.documents(s, dir))
 
+  /** L10e: deterministic global shuffle → sharded training manifest.
+    * Training runs want the corpus in a pseudorandom order that is
+    * (a) reproducible per seed (elastic restarts, multi-host data
+    * loaders must agree), and (b) addressable as (shard, position)
+    * so each loader rank reads only its shards. The permutation key
+    * is the seed-mixed affine hash ((doc_id mod P)·A + seed) mod P —
+    * injective on ids below P (P prime, A < P), so the order is total
+    * with the doc_id tie-break only guarding the ids-P-apart collision
+    * class, and a NEW seed yields an unrelated order (epoch reshuffle
+    * = seed+1, zero extra state; the [[corpusEpochsOn]] manifest
+    * composes upstream). Shard = key mod nShards is uniform because
+    * the key is; position = row_number per SHARD — the window shuffles
+    * on the shard key and never collapses to one partition, so the
+    * whole op is one hash exchange at any scale (the global
+    * permutation is never materialized as a global sort). */
+  def corpusShuffleOn(docs: DataFrame, nShards: Int = 8,
+      seed: Long = 40503L): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    val w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    docs
+      .select(col("doc_id"), col("lang"),
+        ((col("doc_id") % Text.P) * 912367L % Text.P + seed)
+          .%(Text.P).as("hk"))
+      .withColumn("shard", col("hk") % nShards)
+      .withColumn("pos", row_number().over(w))
+      .orderBy("doc_id")
+  }
+
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame =
+    corpusShuffleOn(Tables.documents(s, dir))
+
   /** L10b: weight-biased exact-k sample — [[sampleBottomkOn]]'s
     * affine-hash priority DIVIDED by the row's weight (n_chars), so
     * heavier documents race with proportionally smaller keys and the
@@ -581,6 +612,7 @@ object Corpus {
     "text_pack_sequences" -> textPackSequences,
     "sample_stratified" -> sampleStratified,
     "sample_bottomk" -> sampleBottomk,
+    "corpus_shuffle" -> corpusShuffle,
     "sample_systematic" -> sampleSystematic,
     "sample_weighted" -> sampleWeighted,
     "sample_domain_cap" -> sampleDomainCap,
@@ -667,6 +699,15 @@ object Corpus {
         |  ((doc_id % 1000000007) * 912367 % 1000000007 + 40503)
         |    % 1000000007 AS pri
         |FROM documents ORDER BY pri, doc_id LIMIT 64""".stripMargin,
+    "corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    ((doc_id % 1000000007) * 912367 % 1000000007 + 40503)
+        |      % 1000000007 AS hk
+        |  FROM documents)
+        |SELECT doc_id, lang, hk, hk % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hk % 8
+        |    ORDER BY hk, doc_id) AS INT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
     "sample_systematic" ->
       """WITH h AS (SELECT doc_id, list_reduce(
         |    list_concat([CAST(0 AS BIGINT)],

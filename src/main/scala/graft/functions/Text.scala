@@ -437,6 +437,71 @@ object Text {
   def textInvertedIndex(s: SparkSession, dir: String): DataFrame =
     invertedIndexOn(Tables.documents(s, dir))
 
+  /** The catalog's fixed BM25 query set: (query_id, terms). Library
+    * callers pass their own. */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("spark", "join"),
+    1 -> Seq("filter", "window"),
+    2 -> Seq("hash", "merge", "batch"))
+
+  /** L4f2: BM25 ranked retrieval (Robertson & Zaragoza 2009; the
+    * Lucene `1 + (N - df + 0.5)/(df + 0.5)` inside the log, so idf is
+    * always positive) — the ranking function behind every "find the
+    * docs matching this contamination probe / eval query" lookup that
+    * tf-idf cosine under-serves because it ignores length
+    * normalization and tf saturation.
+    *
+    * Scale shape: the query term set is tiny and broadcast, so the
+    * token explode FILTERS to query terms before any shuffle — the
+    * corpus-sized aggregation is one map-side-combined (doc, term)
+    * count over matching tokens only. df/avgdl are term-count-sized
+    * and one-row relations crossing by broadcast. Per-(doc, term)
+    * contributions are per-row double math quantized to integer
+    * micro-units at the row boundary (floor(x·1e6 + ½)), so the
+    * per-doc score is an order-free BIGINT sum — the graph_modularity
+    * determinism recipe — and the top-k per query is one bounded
+    * window over docs that matched at least one term. */
+  def textBm25On(docs: DataFrame,
+      queries: Seq[(Int, Seq[String])] = Bm25Queries, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = queries.flatMap(_._2).distinct
+    val withDl = docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        size(col("t")).cast("long").as("dl"))
+    val st = withDl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val qRel = queries.flatMap { case (qid, ts) => ts.map((qid, _)) }
+      .toDF("query_id", "token")
+    val contrib = tf
+      .join(broadcast(dfRel), "token").join(broadcast(qRel), "token")
+      .crossJoin(broadcast(st))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("c_micro", floor(lit(1000000.0) * col("idf") *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl") * col("n").cast("double") /
+            col("total").cast("double"))) + lit(0.5)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    contrib
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("c_micro")).as("score_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
+  def textBm25(s: SparkSession, dir: String): DataFrame =
+    textBm25On(Tables.documents(s, dir))
+
   /** L4f: TF-IDF — tf per (doc, token), df per token, idf = ln(N/df).
     * All counts integral; the one transcendental (ln) is rounded at
     * the boundary. The scalar N crosses via broadcast cross-join. */
@@ -719,6 +784,7 @@ object Text {
     "quality_filter_relative" -> qualityFilterRelative,
     "text_inverted_index" -> textInvertedIndex,
     "text_tfidf" -> textTfidf,
+    "text_bm25" -> textBm25,
     "text_split_assign" -> textSplitAssign,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
@@ -975,6 +1041,40 @@ object Text {
         |SELECT token, COUNT(*) AS cnt FROM tk, n
         |GROUP BY token, n.total HAVING COUNT(*) * 200 > n.total
         |ORDER BY token""".stripMargin,
+    "text_bm25" ->
+      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tk),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dl) AS BIGINT) AS total FROM dl),
+        |tok AS (SELECT doc_id, unnest(t) AS token FROM tk),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok
+        |  WHERE token IN ('spark','join','filter','window','hash','merge','batch')
+        |  GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |q(query_id, token) AS (VALUES
+        |  (0, 'spark'), (0, 'join'), (1, 'filter'), (1, 'window'),
+        |  (2, 'hash'), (2, 'merge'), (2, 'batch')),
+        |c AS (SELECT q.query_id, tf.doc_id,
+        |    CAST(floor(1000000.0
+        |      * ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |      * (tf * 2.2)
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl.dl * CAST(n AS DOUBLE)
+        |          / CAST(total AS DOUBLE)))
+        |      + 0.5) AS BIGINT) AS c_micro
+        |  FROM tf JOIN df USING (token) JOIN q ON q.token = tf.token
+        |    JOIN dl ON dl.doc_id = tf.doc_id, st)
+        |SELECT query_id, doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(c_micro) AS BIGINT) AS score_micro,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY CAST(SUM(c_micro) AS BIGINT) DESC, doc_id) AS INT)
+        |    AS rnk
+        |FROM c GROUP BY query_id, doc_id
+        |QUALIFY rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, token, COUNT(*) AS tf FROM (

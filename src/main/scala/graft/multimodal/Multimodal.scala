@@ -190,7 +190,47 @@ object Multimodal {
       .orderBy("lang", "doc_id")
   }
 
+  /** L5d: image–caption alignment filter — the CLIP-score gate
+    * (DataComp / LAION curation): score every (image, caption) pair
+    * by embedding cosine, keep pairs above threshold, and report the
+    * score beside a kept flag so the threshold sweep is a filter over
+    * this output, not a recompute. The container has no image
+    * encoder, so the pairing is the surrogate: even vec_id = the
+    * image-tower embedding, odd vec_id = its caption-tower partner
+    * (the REAL deployment joins two embedding relations on a shared
+    * pair key — identical plan). Shape: the pair join is a self-join
+    * on the derived pair key, an equi-join that shuffles on pair_id
+    * only; cosine is per-row double math rounded at the boundary
+    * (round 4, the sim_topk convention), never summed across rows —
+    * map-side after the one join at any scale. */
+  def mmCaptionAlignOn(emb: DataFrame, threshold: Double = 0.25)
+      : DataFrame = {
+    import graft.functions.Similarity.{dot, norm2}
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), norm2(col("v")).as("nrm"))
+    val img = e.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") / 2).cast("long").as("pair_id"),
+        col("v").as("iv"), col("nrm").as("inrm"))
+    val cap = e.filter(col("vec_id") % 2 === 1)
+      .select(((col("vec_id") - 1) / 2).cast("long").as("pair_id"),
+        col("v").as("cv"), col("nrm").as("cnrm"))
+    img.join(cap, "pair_id")
+      .select(col("pair_id"),
+        round(dot(col("iv"), col("cv")) / (col("inrm") * col("cnrm")), 4)
+          .as("cos"))
+      // compare the ROUNDED double against the literal threshold:
+      // both engines hold the identical rounded value, so the flag
+      // cannot flip on an ulp (no double->int truncation anywhere)
+      .withColumn("kept", (col("cos") >= lit(threshold)).cast("int"))
+      .orderBy("pair_id")
+  }
+
+  def mmCaptionAlign(s: SparkSession, dir: String): DataFrame =
+    mmCaptionAlignOn(Tables.embeddings(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_caption_align" -> mmCaptionAlign,
     "mm_pack_shards" -> mmPackShards,
     "udf_inference" -> udfInference,
     "udf_transcode" -> udfTranscode,
@@ -199,6 +239,20 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_caption_align" -> {
+      val dot = graft.functions.Similarity.sqlDot("iv", "cv")
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    sqrt(${graft.functions.Similarity.sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |img AS (SELECT vec_id // 2 AS pair_id, embedding AS iv,
+         |    nrm AS inrm FROM e WHERE vec_id % 2 = 0),
+         |cap AS (SELECT (vec_id - 1) // 2 AS pair_id, embedding AS cv,
+         |    nrm AS cnrm FROM e WHERE vec_id % 2 = 1)
+         |SELECT pair_id, round($dot / (inrm * cnrm), 4) AS cos,
+         |  CAST(round($dot / (inrm * cnrm), 4) >= 0.25 AS INT) AS kept
+         |FROM img JOIN cap USING (pair_id)
+         |ORDER BY pair_id""".stripMargin
+    },
     "mm_pack_shards" ->
       """WITH b AS (SELECT doc_id, lang,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -160,7 +160,56 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** W4e: running COUNT(DISTINCT) over an ordered window — the window
+    * aggregate Spark (and most engines) refuse to evaluate directly.
+    * The distributed spelling is the first-occurrence-marker identity:
+    *
+    *   count_distinct(x) over (rows unbounded preceding)
+    *     == sum(is_first_occurrence(x)) over the same frame
+    *
+    * where `is_first_occurrence` is `row_number() = 1` over a window
+    * keyed by (partition, x) — a SECOND partitioned window, not a
+    * per-row set. Both windows shuffle on bounded keys ((cust, supp)
+    * then cust), every frame is a plain running sum, and nothing
+    * materializes a distinct-set per row — which is why this form
+    * survives 100 TB while a naive collect_set-over-window OOMs on
+    * the first hot customer. Demonstrated as "distinct suppliers a
+    * customer has bought from, as of each lineitem in order-date
+    * order". The synthetic lineitem duplicates full rows, so the
+    * running frame is RANGE (peers included): tied rows all read the
+    * end-of-tie-group value, and the marker may land on any physical
+    * duplicate without changing the output multiset. */
+  def windowCountDistinctOn(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rows = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_suppkey"))
+    // (orderkey, linenumber) is NOT unique in the synthetic lineitem;
+    // suppkey joins the order key so ties are only between rows that
+    // are identical in EVERY output column — the output multiset is
+    // then engine-independent even though the within-tie order isn't
+    val ord = Seq(col("o_orderdate").asc, col("l_orderkey").asc,
+      col("l_linenumber").asc, col("l_suppkey").asc)
+    val firstW = Window.partitionBy("o_custkey", "l_suppkey").orderBy(ord: _*)
+    // RANGE frame, not ROWS: duplicate rows are PEERS, so each sees
+    // the sum over its whole tie group — the running value cannot
+    // depend on which physical duplicate carried the marker
+    val runW = Window.partitionBy("o_custkey").orderBy(ord: _*)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    rows
+      .withColumn("first_seen",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn("n_distinct_supp", sum(col("first_seen")).over(runW))
+      .orderBy("o_custkey", "o_orderdate", "l_orderkey", "l_linenumber")
+  }
+
+  def windowCountDistinct(s: SparkSession, dir: String): DataFrame =
+    windowCountDistinctOn(
+      Tables.orders(s, dir).filter(col("o_custkey") % 10 === 0),
+      Tables.lineitem(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_count_distinct" -> windowCountDistinct,
     "window_ntile" -> windowNtile,
     "window_moving_avg" -> windowMovingAvg,
     "window_row_number" -> windowRowNumber,
@@ -171,6 +220,25 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_count_distinct" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, l_orderkey, l_linenumber, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey % 10 = 0),
+        |m AS (SELECT *,
+        |  CASE WHEN row_number() OVER (
+        |      PARTITION BY o_custkey, l_suppkey
+        |      ORDER BY o_orderdate, l_orderkey, l_linenumber, l_suppkey) = 1
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS first_seen
+        |  FROM r)
+        |SELECT o_custkey, o_orderdate, l_orderkey, l_linenumber, l_suppkey,
+        |  first_seen,
+        |  CAST(SUM(first_seen) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, l_orderkey, l_linenumber, l_suppkey
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_distinct_supp
+        |FROM m
+        |ORDER BY o_custkey, o_orderdate, l_orderkey, l_linenumber""".stripMargin,
     "window_moving_avg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -107,6 +107,42 @@ class ChunkLmSpec extends SparkSpecBase {
     assert(cmp == 0L, s"$cmp docs grew with more merges")
   }
 
+  test("bm25: saturation, length normalization, and idf ordering on a fixture") {
+    // q: one query, one term "x". Docs: d1 has x once in 4 tokens,
+    // d2 has x three times in 4 tokens, d3 has x once in 12 tokens.
+    val docs = Seq(
+      (1L, "x a b c"),
+      (2L, "x x x c"),
+      (3L, "x a b c d e f g h i j k")).toDF("doc_id", "text")
+    val out = functions.Text.textBm25On(docs, Seq(0 -> Seq("x")), k = 10)
+      .orderBy("rnk")
+      .select("doc_id", "score_micro").as[(Long, Long)].collect().toSeq
+    // tf wins over baseline, and the long doc is length-penalized
+    // below the short one at equal tf
+    assert(out.map(_._1) == Seq(2L, 1L, 3L), out.toString)
+    // saturation: tf=3 scores less than 3x the tf=1 score
+    val byDoc = out.toMap
+    assert(byDoc(2L) < 3 * byDoc(1L))
+  }
+
+  test("bm25 on the corpus: matched docs contain a query term, ranks dense") {
+    val out = functions.Text.textBm25(spark, sf).cache()
+    // every (query, rnk) pair unique and dense from 1
+    val perQ = out.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max(col("rnk")).as("mx"),
+        min(col("rnk")).as("mn"))
+    assert(perQ.filter(col("mx") =!= col("n") || col("mn") =!= 1).count() == 0)
+    // scores nonincreasing in rank within a query
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("rnk")
+    assert(out.withColumn("prev", lag(col("score_micro"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") < col("score_micro"))
+      .count() == 0)
+    // n_terms never exceeds the query's term count (max 3 in catalog)
+    assert(out.filter(col("n_terms") > 3).count() == 0)
+    out.unpersist()
+  }
+
   test("lm score on the corpus: one row per >=2-token doc, all finite") {
     val out = functions.Text.textLmScore(spark, sf).cache()
     val nDocs = Tables.documents(spark, sf)

@@ -198,4 +198,26 @@ class CoreOpsSpec extends SparkSpecBase {
     assert(sizes.filter(col("packs") > col("files")).count() == 0)
     assert(plan.filter(col("pack_id") > 0).count() > 0)
   }
+  test("window_count_distinct: running marker sum equals exact distinct counts") {
+    import spark.implicits._
+    val out = operators.Windows.windowCountDistinct(spark, sf).cache()
+    // final running value per customer == exact COUNT(DISTINCT supplier)
+    val fin = out.groupBy("o_custkey")
+      .agg(max(col("n_distinct_supp")).as("running_final"))
+    val exact = out.groupBy("o_custkey")
+      .agg(countDistinct(col("l_suppkey")).as("exact"))
+    assert(fin.join(exact, "o_custkey")
+      .filter(col("running_final") =!= col("exact")).count() == 0)
+    // markers partition the rows: sum(first_seen) == distinct pairs
+    val pairs = out.select("o_custkey", "l_suppkey").distinct().count()
+    assert(out.agg(sum(col("first_seen"))).as[Long].head() == pairs)
+    // the running count never decreases along the order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy("o_orderdate", "l_orderkey", "l_linenumber", "l_suppkey")
+    assert(out.withColumn("prev", lag(col("n_distinct_supp"), 1).over(w))
+      .filter(col("prev").isNotNull && col("n_distinct_supp") < col("prev"))
+      .count() == 0)
+    out.unpersist()
+  }
 }

@@ -372,4 +372,26 @@ class CorpusSpec extends SparkSpecBase {
       assert(mx - mn <= 1, s"$lang repeats not balanced: [$mn, $mx]")
     }
   }
+  test("L10e shuffle: a permutation into contiguous shard positions, seed-sensitive") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val out = functions.Corpus.corpusShuffleOn(docs).cache()
+    // every doc appears exactly once
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    // positions are dense 1..n per shard
+    val perShard = out.groupBy("shard").agg(
+      count(lit(1)).as("n"), min(col("pos")).as("mn"), max(col("pos")).as("mx"))
+    assert(perShard.filter(col("mn") =!= 1 || col("mx") =!= col("n")).count() == 0)
+    // reproducible under the same seed
+    val again = functions.Corpus.corpusShuffleOn(docs)
+    assert(out.exceptAll(again).count() == 0)
+    // a different seed reorders: at least one doc moves shard or pos
+    val reseeded = functions.Corpus.corpusShuffleOn(docs, seed = 41504L)
+      .select(col("doc_id"), col("shard").as("s2"), col("pos").as("p2"))
+    val moved = out.join(reseeded, "doc_id")
+      .filter(col("shard") =!= col("s2") || col("pos") =!= col("p2")).count()
+    assert(moved > 0)
+    out.unpersist()
+  }
 }

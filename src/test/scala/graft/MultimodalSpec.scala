@@ -37,6 +37,22 @@ class MultimodalSpec extends SparkSpecBase {
     val dflt = multimodal.Multimodal.udfTranscode(spark, sf)
     assert(dflt.filter(!col("transcoded").startsWith("mp4:")).count() == 0)
   }
+  test("L5d caption alignment: every even/odd pair scored once, flag matches threshold") {
+    import spark.implicits._
+    val out = multimodal.Multimodal.mmCaptionAlign(spark, sf).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.count() == n / 2)
+    assert(out.select("pair_id").distinct().count() == n / 2)
+    // cosine of same-space embeddings stays in [-1, 1] (round 4)
+    assert(out.filter(col("cos") < -1.0001 || col("cos") > 1.0001).count() == 0)
+    // kept is exactly the threshold predicate over the rounded score
+    assert(out.filter(
+      (col("cos") >= 0.25).cast("int") =!= col("kept")).count() == 0)
+    // threshold actually separates at this sf: both classes non-empty
+    assert(out.filter(col("kept") === 1).count() > 0)
+    assert(out.filter(col("kept") === 0).count() > 0)
+    out.unpersist()
+  }
 }
 
 /** Test-only detector standing in for a real codec-backed impl. */
