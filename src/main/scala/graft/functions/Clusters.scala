@@ -569,6 +569,52 @@ object Clusters {
       Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
         .select("qid", "nid"))
 
+  /** L18g: Adamic–Adar link prediction (Adamic & Adar 2003) — scores
+    * a non-adjacent pair by Σ 1/ln(deg(w)) over common neighbors w:
+    * [[graphNeighborJaccardOn]] weighted so a RARE shared neighbor
+    * counts more than a hub everyone touches (the standard
+    * link-prediction baseline that Jaccard's flat count misses).
+    * Same wedge self-join shape as Jaccard — the hub-degree cap
+    * lever applies identically at scale. A common neighbor has edges
+    * to both endpoints, so deg(w) >= 2 and ln is always positive;
+    * each wedge contributes floor(1e6/ln(deg) + ½) — per-row double
+    * math quantized at the row boundary — making the pair score an
+    * order-free BIGINT sum both engines replay exactly. */
+  def graphAdamicAdarOn(edges: DataFrame): DataFrame = {
+    val Array(ca, cb) = edges.columns.take(2)
+    val und = edges
+      .select(least(col(ca), col(cb)).cast("long").as("a"),
+        greatest(col(ca), col(cb)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(explode(array(
+        struct(col("a").as("node"), col("b").as("nb")),
+        struct(col("b").as("node"), col("a").as("nb")))).as("p"))
+      .select(col("p.node").as("node"), col("p.nb").as("nb"))
+      .localCheckpoint(true)
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    // deg-1 nodes cannot be common neighbors (a wedge needs edges to
+    // both endpoints) — drop them BEFORE the weight projection so
+    // ln(1) = 0 never reaches the division under ANSI mode
+    val wNb = deg.filter(col("deg") >= 2).select(col("node").as("nb"),
+      floor(lit(1000000.0) / log(col("deg").cast("double")) + lit(0.5))
+        .as("w_micro"))
+    adj.as("x")
+      .join(adj.as("y"),
+        col("x.nb") === col("y.nb") && col("x.node") < col("y.node"))
+      // node-keyed equi-join (NOT a broadcast: the degree relation is
+      // node-cardinality — AQE may still broadcast it when small)
+      .join(wNb, col("x.nb") === wNb("nb"))
+      .groupBy(col("x.node").as("u"), col("y.node").as("v"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w_micro")).as("aa_micro"))
+      .orderBy("u", "v")
+  }
+
+  def graphAdamicAdar(s: SparkSession, dir: String): DataFrame =
+    graphAdamicAdarOn(
+      Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
+        .select("qid", "nid"))
+
   /** Synchronous label propagation (Raghavan et al. 2007), `rounds`
     * fixed rounds — community detection, the MIDDLE ground between
     * [[connectedComponentsOn]] (pure reachability: one bridge edge
@@ -798,6 +844,7 @@ object Clusters {
     "graph_bfs" -> graphBfs,
     "graph_triangles" -> graphTriangles,
     "graph_neighbor_jaccard" -> graphNeighborJaccard,
+    "graph_adamic_adar" -> graphAdamicAdar,
     "graph_communities" -> graphCommunities,
     "graph_kcore" -> graphKcore,
     "graph_modularity" -> graphModularity,
@@ -991,6 +1038,23 @@ object Clusters {
          |  CAST(com AS DOUBLE) / (du.deg + dv.deg - com) AS jac
          |FROM cm JOIN dg du ON u = du.node JOIN dg dv ON v = dv.node
          |WHERE CAST(com AS DOUBLE) / (du.deg + dv.deg - com) >= 0.25
+         |ORDER BY u, v""".stripMargin,
+    "graph_adamic_adar" ->
+      s"""WITH ${Similarity.knnCoreSql},
+         |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,
+         |    GREATEST(qid, nid) AS b FROM knn WHERE qid <> nid),
+         |adj AS (SELECT a AS node, b AS nb FROM und
+         |        UNION ALL SELECT b AS node, a AS nb FROM und),
+         |dg AS (SELECT node AS nb,
+         |    CAST(FLOOR(1000000.0 / ln(CAST(COUNT(*) AS DOUBLE)) + 0.5)
+         |      AS BIGINT) AS w_micro
+         |  FROM adj GROUP BY node HAVING COUNT(*) >= 2)
+         |SELECT x.node AS u, y.node AS v,
+         |  CAST(COUNT(*) AS BIGINT) AS n_common,
+         |  CAST(SUM(w_micro) AS BIGINT) AS aa_micro
+         |FROM adj x JOIN adj y ON x.nb = y.nb AND x.node < y.node
+         |JOIN dg ON dg.nb = x.nb
+         |GROUP BY x.node, y.node
          |ORDER BY u, v""".stripMargin,
     "graph_bfs" ->
       s"""WITH e AS (SELECT DISTINCT o_custkey AS src,

@@ -605,7 +605,8 @@ object Similarity {
     * integer arithmetic end to end, so the DuckDB oracle replays the
     * codebooks, codes, and ADC sums bit-for-bit. */
   def pqAnnOn(emb: DataFrame, queries: DataFrame, subDim: Int = 16,
-      k: Int = 8, topK: Int = 5): DataFrame = {
+      k: Int = 8, topK: Int = 5,
+      coarseCells: Option[DataFrame] = None): DataFrame = {
     def grid(df: DataFrame, id: String): DataFrame = df
       .select(col(id), posexplode(col("embedding")))
       .select(col(id), expr(s"CAST(pos div $subDim AS INT)").as("sub"),
@@ -639,8 +640,21 @@ object Similarity {
       .groupBy("qid", "sub", "cell")
       .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("pd2"))
       .select(col("qid"), col("sub"), col("cell").as("code"), col("pd2"))
-    codes.join(broadcast(dt), Seq("sub", "code"))
-      .filter(col("qid") =!= col("vec_id"))
+    // optional IVF restriction (the FAISS IVFPQ compose): candidates
+    // must share the query's coarse cell, so the ADC scan touches
+    // only the query's inverted list — the cell predicate joins into
+    // the broadcast distance-table side and prunes BEFORE the sum
+    val (codeSide, dtSide) = coarseCells match {
+      case Some(cells) =>
+        val qc = cells.select(col("vec_id").as("qid"),
+          col("cell").as("qcell"))
+        (codes.join(cells, "vec_id"), dt.join(broadcast(qc), "qid"))
+      case None => (codes, dt)
+    }
+    codeSide.join(broadcast(dtSide), Seq("sub", "code"))
+      .filter(col("qid") =!= col("vec_id") &&
+        (if (coarseCells.isDefined) col("cell") === col("qcell")
+         else lit(true)))
       .groupBy("qid", "vec_id").agg(sum(col("pd2")).as("ad2"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("ad2").asc, col("vec_id").asc)))
@@ -651,6 +665,45 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
     pqAnnOn(emb,
       emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** The static coarse quantizer shared by [[simAnnIvf]] and the
+    * IVFPQ compose: quantized-L2 argmin against the first [[CELLS]]
+    * corpus vectors (at scale: [[kmeansOn]] over a sample — the
+    * trained variant is [[simAnnIvfTrained]]). */
+  private def coarseCellsOn(emb: DataFrame): DataFrame = {
+    val qv = emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        floor(col("col").cast("double") * 1048576).cast("long").as("qv"))
+    val cent = qv.filter(col("vec_id") < CELLS)
+      .select(col("vec_id").as("cid"), col("i"), col("qv").as("cv"))
+    val w0 = Window.partitionBy("vec_id")
+      .orderBy(col("d2").asc, col("cid").asc)
+    qv.join(broadcast(cent), "i")
+      .groupBy("vec_id", "cid")
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+      .withColumn("rn", row_number().over(w0))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
+  }
+
+  /** L3i': IVF + PQ — the FAISS-default index structure at billion
+    * scale (Jégou et al. 2011 §IV): a coarse quantizer routes each
+    * query to ONE inverted list, and within the list distances come
+    * from the PQ codes via ADC. Composes the engine's two existing
+    * pieces: [[coarseCellsOn]]'s static cells restrict the candidate
+    * set, [[pqAnnOn]]'s code scan scores it. At 100 TB the coarse
+    * restriction divides the scanned codes by the cell count and the
+    * PQ codes divide the scanned BYTES by ~64x — multiplicative with
+    * each other, which is why production ANN ships the compose, not
+    * either piece alone. Everything stays quantized-integer, so the
+    * oracle replays cells, codebooks, codes, and ADC sums exactly. */
+  def simAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    pqAnnOn(emb,
+      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"),
+      coarseCells = Some(coarseCellsOn(emb)))
       .orderBy("qid", "rnk")
   }
 
@@ -703,6 +756,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_maxsim" -> simMaxsim,
     "sim_ann_pq" -> simAnnPq,
+    "sim_ann_ivfpq" -> simAnnIvfPq,
     "sim_ann_ivf_trained" -> simAnnIvfTrained,
     "sim_sparse_cosine" -> simSparseCosine,
     "sim_topk" -> simTopk,
@@ -836,6 +890,34 @@ object Similarity {
          |ad AS (SELECT dt.qid, a1.vec_id, CAST(SUM(dt.pd2) AS BIGINT) AS ad2
          |  FROM a1 JOIN dt ON a1.sub = dt.sub AND a1.cell = dt.code
          |  WHERE a1.vec_id <> dt.qid GROUP BY dt.qid, a1.vec_id)
+         |SELECT qid, vec_id, ad2,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY ad2 ASC, vec_id ASC) AS INT) AS rnk
+         |FROM ad QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // IVFPQ = the PQ chain + the static coarse quantizer (cells over
+    // the full-dim grid derivable from the subspaced qv by dropping
+    // `sub`), with the candidate scan restricted to the query's cell
+    "sim_ann_ivfpq" ->
+      s"""WITH $pqCoreSql,
+         |cent AS (SELECT vec_id AS cid, i, qv AS cv FROM qv
+         |  WHERE vec_id < $CELLS),
+         |cd2 AS (SELECT qv.vec_id, cent.cid,
+         |    SUM((qv.qv - cent.cv) * (qv.qv - cent.cv)) AS d2
+         |  FROM qv JOIN cent ON qv.i = cent.i GROUP BY 1, 2),
+         |cells AS (SELECT vec_id, cid AS cell FROM cd2
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY d2 ASC, cid ASC) = 1),
+         |q AS (SELECT vec_id AS qid, sub, i, qv FROM qv WHERE vec_id < 5),
+         |dt AS (SELECT q.qid, c1.sub, c1.cell AS code,
+         |    CAST(SUM((q.qv - c1.cv) * (q.qv - c1.cv)) AS BIGINT) AS pd2
+         |  FROM q JOIN c1 ON q.sub = c1.sub AND q.i = c1.i
+         |  GROUP BY q.qid, c1.sub, c1.cell),
+         |ad AS (SELECT dt.qid, a1.vec_id, CAST(SUM(dt.pd2) AS BIGINT) AS ad2
+         |  FROM a1 JOIN dt ON a1.sub = dt.sub AND a1.cell = dt.code
+         |  JOIN cells cv ON cv.vec_id = a1.vec_id
+         |  JOIN cells cq ON cq.vec_id = dt.qid
+         |  WHERE a1.vec_id <> dt.qid AND cv.cell = cq.cell
+         |  GROUP BY dt.qid, a1.vec_id)
          |SELECT qid, vec_id, ad2,
          |  CAST(row_number() OVER (PARTITION BY qid
          |    ORDER BY ad2 ASC, vec_id ASC) AS INT) AS rnk

@@ -267,6 +267,44 @@ object Events {
   def eventCusum(s: SparkSession, dir: String): DataFrame =
     eventCusumOn(Tables.events(s, dir)).orderBy("event_type", "d")
 
+  /** L19i: exponentially decayed daily rate (the unnormalized EWMA
+    * recursion y_t = x_t + y_{t-1}/2, the smoothing monitoring
+    * dashboards run beside [[eventCusumOn]]'s shift detector),
+    * truncated to a `span`-day tail. The recursion unrolls to
+    * y_t = Σ x_i · 2^-(t-i); with α = 1/2 every weight is a power of
+    * two, so each term x_i · 2^-k is EXACT in a double (integer times
+    * a power of two) and with span ≤ 20 the sum's significand spread
+    * (count bits + 19) stays under 53 bits — the decayed sum is
+    * bit-exact and ORDER-FREE across engines and partitionings, no
+    * float-accumulation caveat. The truncation discards < 2^-span of
+    * the mass. Shape: one daily rollup, then a span-bounded band
+    * self-join on the (tiny, day-bounded) daily relation keyed by
+    * event_type — at 100 TB of raw events the fact table is touched
+    * once; the band join amplifies only the daily rows, by at most
+    * span x. */
+  def tsEwmaOn(events: DataFrame, span: Int = 20): DataFrame = {
+    require(span >= 1 && span <= 20,
+      s"span must be in [1, 20] to keep the dyadic sum exact, got $span")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("d")))
+      .localCheckpoint(true) // both band-join sides read it
+    val hist = daily.select(col("event_type").as("et"),
+      col("rn").as("ri"), col("x").as("xi"))
+    daily.join(hist,
+        col("event_type") === col("et") &&
+        col("ri") <= col("rn") && col("ri") > col("rn") - span)
+      .groupBy("event_type", "d", "x")
+      .agg(sum(col("xi") * pow(lit(0.5), col("rn") - col("ri")))
+        .as("decay_sum"))
+      .orderBy("event_type", "d")
+  }
+
+  def tsEwma(s: SparkSession, dir: String): DataFrame =
+    tsEwmaOn(Tables.events(s, dir))
+
   /** L19h: sequence-pattern matching over per-user event journeys —
     * the MATCH_RECOGNIZE surrogate: each user's ordered event-type
     * initials collapse to ONE journey string (in-row rank sort, the
@@ -336,6 +374,7 @@ object Events {
     "event_regex" -> eventRegex,
     "sample_holdout_temporal" -> sampleHoldoutTemporal,
     "event_cusum" -> eventCusum,
+    "ts_ewma" -> tsEwma,
     "event_retention" -> eventRetention,
     "event_funnel" -> eventFunnel,
     "scd2_intervals" -> scd2Intervals,
@@ -377,6 +416,18 @@ object Events {
         |    AS in_both
         |FROM events CROSS JOIN c
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ts_ewma" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, d, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        |  FROM daily)
+        |SELECT t.event_type, t.d, t.x,
+        |  SUM(h.x * power(0.5, t.rn - h.rn)) AS decay_sum
+        |FROM r t JOIN r h ON h.event_type = t.event_type
+        |  AND h.rn <= t.rn AND h.rn > t.rn - 20
+        |GROUP BY t.event_type, t.d, t.x
+        |ORDER BY t.event_type, t.d""".stripMargin,
     "event_cusum" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    COUNT(*) AS x FROM events GROUP BY 1, 2),

@@ -295,4 +295,29 @@ class ClustersSpec extends SparkSpecBase {
     assert(corpus.count() > 0)
     assert(corpus.filter(col("n_members") < 2).count() == 0)
   }
+  test("L18g Adamic-Adar: rare shared neighbors outscore hubs; path fixture exact") {
+    import spark.implicits._
+    // path a-b-c: (a,c) share b (deg 2) -> floor(1e6/ln2 + .5)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val gotPath = functions.Clusters.graphAdamicAdarOn(path)
+      .select("u", "v", "n_common", "aa_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(gotPath == Seq((1L, 3L, 1L, 1442695L)), gotPath.toString)
+    // star center 0 with leaves 1..4 (deg 4) plus an extra pair (5,6)
+    // sharing low-degree 7: the rare wedge outscores every hub wedge
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (5L, 7L), (6L, 7L)).toDF("a", "b")
+    val got = functions.Clusters.graphAdamicAdarOn(g).cache()
+    val hub = got.filter(col("u") === 1L && col("v") === 2L)
+      .select("aa_micro").as[Long].head()
+    val rare = got.filter(col("u") === 5L && col("v") === 6L)
+      .select("aa_micro").as[Long].head()
+    assert(rare > hub, s"rare $rare !> hub $hub")
+    assert(hub == math.floor(1e6 / math.log(4.0) + 0.5).toLong)
+    got.unpersist()
+    // corpus: scores positive, pairs canonical u < v
+    val corpus = functions.Clusters.graphAdamicAdar(spark, sf)
+    assert(corpus.filter(col("u") >= col("v")).count() == 0)
+    assert(corpus.filter(col("aa_micro") <= 0).count() == 0)
+  }
 }

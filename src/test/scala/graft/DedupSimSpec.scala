@@ -616,4 +616,26 @@ class DedupSimSpec extends SparkSpecBase {
       .filter(col("containment") < col("jac")).count()
     assert(dominated == 0)
   }
+  test("L3i' IVFPQ: results live in the query's coarse cell and agree with the unrestricted PQ scan") {
+    import spark.implicits._
+    val ivfpq = functions.Similarity.simAnnIvfPq(spark, sf).cache()
+    // rnk dense from 1 per query
+    val perQ = ivfpq.groupBy("qid").agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+      org.apache.spark.sql.functions.max(col("rnk")).as("mx"))
+    assert(perQ.filter(col("mx") =!= col("n")).count() == 0)
+    // every (qid, vec_id) ADC distance matches the unrestricted PQ
+    // scan's distance for that pair (the cell filter prunes, never
+    // rescores)
+    val emb = Tables.embeddings(spark, sf)
+    val pqAll = functions.Similarity.pqAnnOn(emb,
+      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"),
+      topK = Int.MaxValue)
+      .select(col("qid"), col("vec_id"), col("ad2").as("ad2_full"))
+    val joined = ivfpq.join(pqAll, Seq("qid", "vec_id"), "left")
+    assert(joined.filter(col("ad2_full").isNull ||
+      col("ad2") =!= col("ad2_full")).count() == 0)
+    ivfpq.unpersist()
+  }
 }

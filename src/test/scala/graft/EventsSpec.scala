@@ -257,4 +257,30 @@ class EventsSpec extends SparkSpecBase {
       assert(both == (tr > 0 && te > 0))
     }
   }
+  test("L19i EWMA: band-join spelling equals the decayed recursion; dyadic exactness") {
+    // corpus: per type, replay y_t = x_t + y_{t-1}/2 (truncation only
+    // drops mass below 2^-20 of a day's count, far under the 1e-9
+    // tolerance-free compare for series shorter than the span)
+    val rows = operators.Events.tsEwma(spark, sf)
+      .as[(String, java.sql.Date, Long, Double)].collect()
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, series) =>
+      val sorted = series.sortBy(_._2.toString)
+      var y = 0.0
+      sorted.zipWithIndex.foreach { case ((_, _, x, decay), t) =>
+        y = x + y / 2.0
+        if (t < 20) assert(y == decay, s"recursion $y != band $decay")
+        else assert(math.abs(y - decay) <= y * 1e-5)
+      }
+    }
+    // fixture: counts 1,1,1 per day -> exact 1, 1.5, 1.75
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = (0 until 3).map(day => (day.toLong,
+      new java.sql.Timestamp(base.getTime + day * 86400000L), "t"))
+      .toDF("event_id", "ts", "event_type")
+    val got = operators.Events.tsEwmaOn(ev).orderBy("d")
+      .select("decay_sum").as[Double].collect().toSeq
+    assert(got == Seq(1.0, 1.5, 1.75), got.toString)
+  }
 }

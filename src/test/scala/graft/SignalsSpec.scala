@@ -133,4 +133,31 @@ class SignalsSpec extends SparkSpecBase {
     for (i <- 0 until d) assert(lambda1 >= s(i)(i) - 1e-6,
       s"lambda1 $lambda1 < s($i)($i) ${s(i)(i)}")
   }
+  test("target encode: shrinkage pulls rare categories to the prior, m=0 is the raw mean") {
+    import spark.implicits._
+    // big category at mean 100.00, rare category at mean 500.00;
+    // global mean (100*10 + 500) / 11
+    val df = ((1 to 10).map(i => ("big", 100.0)) :+ ("rare", 500.0))
+      .toDF("k0", "y0")
+    val enc = functions.Signals.featTargetEncodeOn(df, "k0", "y0", m = 20L)
+      .select("k", "enc_cents").as[(String, Long)].collect().toMap
+    val raw = functions.Signals.featTargetEncodeOn(df, "k0", "y0", m = 0L)
+      .select("k", "enc_cents").as[(String, Long)].collect().toMap
+    assert(raw("big") == 10000L && raw("rare") == 50000L)
+    val prior = (10 * 10000L + 50000L) / 11
+    // both shrink toward the prior; the rare one lands much closer
+    assert(enc("big") > 10000L && enc("big") < prior)
+    assert(enc("rare") < 50000L && enc("rare") > prior)
+    assert((enc("rare") - prior).abs * 2 < (50000L - prior).abs)
+    // catalog form: 25 nations, encodings bracketed by min/max means
+    val cat = functions.Signals.featTargetEncode(spark, sf).cache()
+    assert(cat.count() == 25)
+    val mn = cat.agg(org.apache.spark.sql.functions.min(col("mean_cents")))
+      .as[Long].head()
+    val mx = cat.agg(org.apache.spark.sql.functions.max(col("mean_cents")))
+      .as[Long].head()
+    assert(cat.filter(col("enc_cents") < mn - 1 ||
+      col("enc_cents") > mx + 1).count() == 0)
+    cat.unpersist()
+  }
 }
