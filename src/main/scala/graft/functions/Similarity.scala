@@ -511,6 +511,31 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** L3h': the ANN recall MATRIX — [[simAnnRecallEval]] widened to
+    * every approximate path the engine ships (LSH, IVF-Flat, PQ-ADC,
+    * IVF+PQ), one dashboard row per method against the exact top-k:
+    * the "which index do we deploy" decision table, where recall
+    * trades against each method's scan cost. Each method's pairs are
+    * its OWN catalog plan (nothing re-derived), the exact side is
+    * [[simTopk]]'s broadcast-probe scan, and the per-method overlap
+    * is a k·queries-row join — the matrix costs one pass over each
+    * method it measures, nothing more. recall_pct stays integer. */
+  def simAnnRecallMatrix(s: SparkSession, dir: String): DataFrame = {
+    val exact = simTopk(s, dir).select(col("qid"), col("vec_id"))
+      .localCheckpoint(true) // probed by all four methods
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val methods = Seq(
+      "ivf" -> simAnnIvf(s, dir), "ivfpq" -> simAnnIvfPq(s, dir),
+      "lsh" -> simAnnLsh(s, dir), "pq" -> simAnnPq(s, dir))
+    methods.map { case (name, m) =>
+      exact.join(m.select("qid", "vec_id"), Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(ne))
+        .select(lit(name).as("method"), col("n_exact"), col("n_hit"),
+          expr("n_hit * 100 div n_exact").as("recall_pct"))
+    }.reduce(_ union _).orderBy("method")
+  }
+
   val CELLS = 16 // IVF coarse cells
 
   /** L3c: IVF-Flat — coarse quantization into CELLS inverted lists,
@@ -765,6 +790,7 @@ object Similarity {
     "align_bitext" -> alignBitext,
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_recall_eval" -> simAnnRecallEval,
+    "sim_ann_recall_matrix" -> simAnnRecallMatrix,
     "sim_ann_ivf" -> simAnnIvf,
     "cluster_kmeans" -> clusterKmeans,
     "sample_cluster_balanced" -> sampleClusterBalanced,
@@ -867,7 +893,7 @@ object Similarity {
        |cells AS (SELECT vec_id, cid AS cell FROM d2
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "sim_maxsim" ->
       s"""WITH e AS (SELECT label, vec_id, embedding,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
@@ -1089,4 +1115,29 @@ object Similarity {
          |QUALIFY rnk <= 5
          |ORDER BY cand.qid, rnk""".stripMargin,
   )
+
+  /** The recall matrix's oracle embeds each method oracle as a
+    * derived table, so the dashboard can never drift from the
+    * methods it measures. */
+  val oracles: Map[String, String] = oraclesBase +
+    ("sim_ann_recall_matrix" -> {
+      def hitSql(m: String) =
+        s"""(SELECT COUNT(*) AS n_hit FROM ex
+           |  JOIN (${oraclesBase(s"sim_ann_$m")}) m USING (qid, vec_id))"""
+          .stripMargin
+      s"""WITH ex AS (SELECT qid, vec_id FROM (${oraclesBase("sim_topk")})),
+         |ne AS (SELECT COUNT(*) AS n_exact FROM ex),
+         |hivf AS ${hitSql("ivf")},
+         |hivfpq AS ${hitSql("ivfpq")},
+         |hlsh AS ${hitSql("lsh")},
+         |hpq AS ${hitSql("pq")}
+         |SELECT method, n_exact, n_hit,
+         |  CAST(n_hit * 100 // n_exact AS BIGINT) AS recall_pct
+         |FROM (
+         |  SELECT 'ivf' AS method, n_exact, n_hit FROM hivf, ne
+         |  UNION ALL SELECT 'ivfpq', n_exact, n_hit FROM hivfpq, ne
+         |  UNION ALL SELECT 'lsh', n_exact, n_hit FROM hlsh, ne
+         |  UNION ALL SELECT 'pq', n_exact, n_hit FROM hpq, ne)
+         |ORDER BY method""".stripMargin
+    })
 }

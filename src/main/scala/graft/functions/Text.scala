@@ -100,6 +100,52 @@ object Text {
   def textQuality(s: SparkSession, dir: String): DataFrame =
     textQualityOn(Tables.documents(s, dir)).orderBy("doc_id")
 
+  /** L4b': the Gopher-style rule battery (Rae et al. 2021 §A1.1, the
+    * C4/Gopher document filters) as PER-RULE diagnostics — where
+    * [[textQualityOn]] emits one keep flag, this emits the full rule
+    * vector plus a reason bitmask, the artifact curation teams
+    * actually review ("what fraction failed WHICH rule") before
+    * committing a filter. Rules, all exact integer tests (ratios are
+    * cross-multiplied, never floats):
+    *   r_count — token count in [minTokens, maxTokens];
+    *   r_len   — mean token length in [2, 8] chars
+    *             (2n <= chars <= 8n; chars = len(text) - (n-1));
+    *   r_stop  — >= 2 stopword hits (the C4 "has real prose" proxy);
+    *   r_rep   — top token's frequency <= 1/4 of the doc
+    *             (4·c_max <= n, the repetition gate).
+    * c_max runs map-side as a distinct x occurrence lambda scan
+    * (O(n·distinct) per row — bounded by doc length, zero shuffle);
+    * the whole op is one embarrassingly parallel projection. */
+  def qualityGopherOn(docs: DataFrame, minTokens: Int = 10,
+      maxTokens: Int = 10000): DataFrame = {
+    val t = toks(col("text"))
+    docs
+      .select(col("doc_id"), t.as("t"),
+        size(t).cast("long").as("n_tokens"),
+        (length(col("text")) - size(t) + 1).cast("long").as("n_tok_chars"),
+        hits(t, enStop).cast("long").as("n_stop"))
+      .withColumn("c_max",
+        array_max(transform(array_distinct(col("t")),
+          w => size(filter(col("t"), x => x === w)))).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("c_max"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .as("r_count"),
+        (col("n_tok_chars") >= col("n_tokens") * 2 &&
+          col("n_tok_chars") <= col("n_tokens") * 8).as("r_len"),
+        (col("n_stop") >= 2).as("r_stop"),
+        (col("c_max") * 4 <= col("n_tokens")).as("r_rep"))
+      .withColumn("keep",
+        col("r_count") && col("r_len") && col("r_stop") && col("r_rep"))
+      .withColumn("reason_mask",
+        (when(col("r_count"), 0).otherwise(1) +
+         when(col("r_len"), 0).otherwise(2) +
+         when(col("r_stop"), 0).otherwise(4) +
+         when(col("r_rep"), 0).otherwise(8)).cast("int"))
+  }
+
+  def qualityGopher(s: SparkSession, dir: String): DataFrame =
+    qualityGopherOn(Tables.documents(s, dir)).orderBy("doc_id")
+
   /** L4c: language ID — stopword-hit scoring per language with a CJK
     * char check, fixed priority on ties (en > de > es > fr). */
   def textLangidOn(docs: DataFrame): DataFrame = {
@@ -785,6 +831,7 @@ object Text {
     "text_inverted_index" -> textInvertedIndex,
     "text_tfidf" -> textTfidf,
     "text_bm25" -> textBm25,
+    "quality_gopher" -> qualityGopher,
     "text_split_assign" -> textSplitAssign,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
@@ -1041,6 +1088,32 @@ object Text {
         |SELECT token, COUNT(*) AS cnt FROM tk, n
         |GROUP BY token, n.total HAVING COUNT(*) * 200 > n.total
         |ORDER BY token""".stripMargin,
+    "quality_gopher" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+         |    CAST(length(text) - len(string_split(text,' ')) + 1 AS BIGINT)
+         |      AS n_tok_chars,
+         |    CAST(${sqlHits(enStop)} AS BIGINT) AS n_stop,
+         |    CAST(list_max(list_transform(
+         |        list_distinct(string_split(text,' ')),
+         |        w -> len(list_filter(string_split(text,' '),
+         |          x -> x = w)))) AS BIGINT) AS c_max
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_tokens, n_stop, c_max,
+         |    (n_tokens >= 10 AND n_tokens <= 10000) AS r_count,
+         |    (n_tok_chars >= n_tokens * 2 AND n_tok_chars <= n_tokens * 8)
+         |      AS r_len,
+         |    (n_stop >= 2) AS r_stop,
+         |    (c_max * 4 <= n_tokens) AS r_rep
+         |  FROM b)
+         |SELECT doc_id, n_tokens, n_stop, c_max,
+         |  r_count, r_len, r_stop, r_rep,
+         |  (r_count AND r_len AND r_stop AND r_rep) AS keep,
+         |  CAST((CASE WHEN r_count THEN 0 ELSE 1 END)
+         |    + (CASE WHEN r_len THEN 0 ELSE 2 END)
+         |    + (CASE WHEN r_stop THEN 0 ELSE 4 END)
+         |    + (CASE WHEN r_rep THEN 0 ELSE 8 END) AS INT) AS reason_mask
+         |FROM r ORDER BY doc_id""".stripMargin,
     "text_bm25" ->
       """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t
         |  FROM documents),

@@ -305,6 +305,62 @@ object Events {
   def tsEwma(s: SparkSession, dir: String): DataFrame =
     tsEwmaOn(Tables.events(s, dir))
 
+  /** L19j: gaps-and-islands — each user's maximal runs of CONSECUTIVE
+    * active days (the engagement-streak metric; the integer-adjacency
+    * sibling of gap-threshold sessionization). The classic distributed
+    * spelling: rank active days per user, subtract the rank from the
+    * date — consecutive days collapse to one constant anchor date, so
+    * a single (user, anchor) aggregate yields each island's bounds.
+    * Two user-keyed shuffles (distinct + window share one), no
+    * iteration, no self-join — at 100 TB the cost is one exchange on
+    * user_id. */
+  def eventStreaksOn(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    days
+      .withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+      .groupBy("user_id", "anchor")
+      .agg(min(col("d")).as("streak_start"), max(col("d")).as("streak_end"),
+        count(lit(1)).as("streak_days"))
+      .select("user_id", "streak_start", "streak_end", "streak_days")
+      .orderBy("user_id", "streak_start")
+  }
+
+  def eventStreaks(s: SparkSession, dir: String): DataFrame =
+    eventStreaksOn(Tables.events(s, dir))
+
+  /** L19k: weekday-seasonal residuals — daily counts scored against
+    * the series' SAME-WEEKDAY baseline, the first-line seasonality
+    * control [[eventCusumOn]]'s flat-mean drift misses (a quiet
+    * Sunday is not an incident; a quiet Tuesday might be). Exact
+    * integer scaling throughout (the CUSUM x·nd − total recipe, here
+    * per weekday): resid_scaled = x·n_w − total_w where n_w/total_w
+    * count only the series' days on that ISO weekday; excess flags
+    * |resid| > total_w (i.e. more than double / under zero the
+    * weekday mean). The weekday stats relation is (types × 7)-sized —
+    * broadcast — and the daily rollup is the only corpus-scale
+    * aggregate. */
+  def eventSeasonalityOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dow", (weekday(col("d")) + 1).cast("int"))
+    val wk = daily.groupBy("event_type", "dow")
+      .agg(sum(col("x")).as("total_w"), count(lit(1)).as("n_w"))
+    daily.join(broadcast(wk), Seq("event_type", "dow"))
+      .select(col("event_type"), col("d"), col("dow"), col("x"),
+        col("n_w"), col("total_w"),
+        (col("x") * col("n_w") - col("total_w")).as("resid_scaled"))
+      .withColumn("excess",
+        abs(col("resid_scaled")) > col("total_w"))
+      .orderBy("event_type", "d")
+  }
+
+  def eventSeasonality(s: SparkSession, dir: String): DataFrame =
+    eventSeasonalityOn(Tables.events(s, dir))
+
   /** L19h: sequence-pattern matching over per-user event journeys —
     * the MATCH_RECOGNIZE surrogate: each user's ordered event-type
     * initials collapse to ONE journey string (in-row rank sort, the
@@ -375,6 +431,8 @@ object Events {
     "sample_holdout_temporal" -> sampleHoldoutTemporal,
     "event_cusum" -> eventCusum,
     "ts_ewma" -> tsEwma,
+    "event_streaks" -> eventStreaks,
+    "event_seasonality" -> eventSeasonality,
     "event_retention" -> eventRetention,
     "event_funnel" -> eventFunnel,
     "scd2_intervals" -> scd2Intervals,
@@ -416,6 +474,31 @@ object Events {
         |    AS in_both
         |FROM events CROSS JOIN c
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "event_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |a AS (SELECT user_id, d,
+        |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS INT) AS anchor
+        |  FROM days)
+        |SELECT user_id, MIN(d) AS streak_start, MAX(d) AS streak_end,
+        |  CAST(COUNT(*) AS BIGINT) AS streak_days
+        |FROM a GROUP BY user_id, anchor
+        |ORDER BY user_id, streak_start""".stripMargin,
+    "event_seasonality" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |dd AS (SELECT event_type, d, x, CAST(isodow(d) AS INT) AS dow
+        |  FROM daily),
+        |wk AS (SELECT event_type, dow, CAST(SUM(x) AS BIGINT) AS total_w,
+        |    CAST(COUNT(*) AS BIGINT) AS n_w
+        |  FROM dd GROUP BY 1, 2)
+        |SELECT dd.event_type, d, dd.dow, x, n_w, total_w,
+        |  CAST(x * n_w - total_w AS BIGINT) AS resid_scaled,
+        |  abs(x * n_w - total_w) > total_w AS excess
+        |FROM dd JOIN wk ON dd.event_type = wk.event_type
+        |  AND dd.dow = wk.dow
+        |ORDER BY dd.event_type, d""".stripMargin,
     "ts_ewma" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),

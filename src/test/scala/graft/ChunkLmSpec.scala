@@ -152,4 +152,30 @@ class ChunkLmSpec extends SparkSpecBase {
       col("avg_logprob") >= 0.0).count() == 0)
     out.unpersist()
   }
+  test("gopher rules: each rule fails alone on its crafted doc, mask encodes it") {
+    val docs = Seq(
+      // all four rules pass
+      (1L, "the cat and the dog ran to a house in town quickly"),
+      // too short -> r_count (mask 1); short docs also trip r_stop/r_rep
+      (2L, "hello world"),
+      // 12 long tokens, stopwords present but mean len > 8 -> r_len | ...
+      (3L, "the and " + (1 to 10).map(_ => "verylongtoken").mkString(" ")),
+      // no stopwords -> r_stop (mask 4)
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // repetition: c_max = 4 of 12, others pass -> r_rep (mask 8)
+      (5L, "xx xx xx xx the and aa bb cc dd ee ff"))
+      .toDF("doc_id", "text")
+    val got = functions.Text.qualityGopherOn(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "keep", "reason_mask").as[(Long, Boolean, Int)]
+      .collect().toSeq
+    assert(got(0) == ((1L, true, 0)), got(0).toString)
+    assert(!got(1)._2 && (got(1)._3 & 1) == 1)
+    assert(!got(2)._2 && (got(2)._3 & 2) == 2)
+    assert(got(3) == ((4L, false, 4)), got(3).toString)
+    assert(got(4) == ((5L, false, 8)), got(4).toString)
+    // corpus: keep iff mask == 0
+    val out = functions.Text.qualityGopher(spark, sf)
+    assert(out.filter(col("keep") =!= (col("reason_mask") === 0)).count() == 0)
+  }
 }

@@ -638,4 +638,19 @@ class DedupSimSpec extends SparkSpecBase {
       col("ad2") =!= col("ad2_full")).count() == 0)
     ivfpq.unpersist()
   }
+  test("recall matrix: one row per method, lsh row consistent with the per-query eval") {
+    import spark.implicits._
+    val m = functions.Similarity.simAnnRecallMatrix(spark, sf).cache()
+    assert(m.select("method").as[String].collect().sorted.toSeq ==
+      Seq("ivf", "ivfpq", "lsh", "pq"))
+    assert(m.filter(col("recall_pct") < 0 || col("recall_pct") > 100)
+      .count() == 0)
+    assert(m.filter(col("n_hit") > col("n_exact")).count() == 0)
+    val lshRow = m.filter(col("method") === "lsh")
+      .select("n_hit").as[Long].head()
+    val evalSum = functions.Similarity.simAnnRecallEval(spark, sf)
+      .agg(sum(col("n_hit"))).as[Long].head()
+    assert(lshRow == evalSum, s"matrix $lshRow != eval $evalSum")
+    m.unpersist()
+  }
 }

@@ -283,4 +283,51 @@ class EventsSpec extends SparkSpecBase {
       .select("decay_sum").as[Double].collect().toSeq
     assert(got == Seq(1.0, 1.5, 1.75), got.toString)
   }
+  test("L19j streaks: islands are maximal consecutive runs; days conserved") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(day: Int, id: Long) = (id,
+      new java.sql.Timestamp(base.getTime + day * 86400000L), 1L)
+    val fx = Seq(ev(0, 1), ev(1, 2), ev(2, 3), ev(4, 4), ev(5, 5), ev(9, 6))
+      .toDF("event_id", "ts", "user_id")
+    val got = operators.Events.eventStreaksOn(fx)
+      .select("streak_start", "streak_days").as[(java.sql.Date, Long)]
+      .collect().toSeq
+    assert(got.map(_._2) == Seq(3L, 2L, 1L), got.toString)
+    assert(got.map(_._1.toString) ==
+      Seq("2024-01-01", "2024-01-05", "2024-01-10"))
+    // corpus: per user, streak days partition the active-day set and
+    // consecutive streaks are separated by a genuine gap
+    val out = operators.Events.eventStreaks(spark, sf).cache()
+    val active = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("n_active"))
+    val viol = out.groupBy("user_id")
+      .agg(sum(col("streak_days")).as("s"))
+      .join(active, "user_id").filter(col("s") =!= col("n_active")).count()
+    assert(viol == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("streak_start")
+    assert(out.withColumn("prev_end", lag(col("streak_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        datediff(col("streak_start"), col("prev_end")) < 2).count() == 0)
+    out.unpersist()
+  }
+
+  test("L19k seasonality: weekday residuals sum to zero per (type, dow)") {
+    val out = operators.Events.eventSeasonality(spark, sf).cache()
+    // Σ(x·n_w − total_w) over a weekday group is algebraically 0
+    assert(out.groupBy("event_type", "dow")
+      .agg(sum(col("resid_scaled")).as("s"))
+      .filter(col("s") =!= 0L).count() == 0)
+    // excess is exactly the |resid| > total_w predicate
+    assert(out.filter(
+      (abs(col("resid_scaled")) > col("total_w")) =!= col("excess"))
+      .count() == 0)
+    // dow is ISO 1..7 and every daily row survived the join
+    assert(out.filter(col("dow") < 1 || col("dow") > 7).count() == 0)
+    val nDaily = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts"))).distinct().count()
+    assert(out.count() == nDaily)
+    out.unpersist()
+  }
 }
