@@ -146,6 +146,35 @@ object Text {
   def qualityGopher(s: SparkSession, dir: String): DataFrame =
     qualityGopherOn(Tables.documents(s, dir)).orderBy("doc_id")
 
+  /** L4p: template/boilerplate detection by shared document prefixes —
+    * web-crawl corpora are full of templated pages ("Welcome to …",
+    * cookie banners, listing skeletons) whose OPENINGS repeat across
+    * thousands of documents while the tails differ enough to slip
+    * past whole-document dedup. Flag: group by the first `k`-token
+    * prefix; any prefix shared by >= `minShare` docs marks its
+    * members as template candidates. One prefix-keyed aggregate
+    * (map-side combined; the prefix string is the shuffle key and is
+    * bounded at k tokens) joined back to the corpus — two scans, one
+    * bounded-key exchange at any corpus size. Prefix length trades
+    * precision for recall: shorter catches more templates and more
+    * false positives (catalog k = 3 suits the synthetic vocab). */
+  def textBoilerplateOn(docs: DataFrame, k: Int = 3,
+      minShare: Int = 2): DataFrame = {
+    require(k >= 1 && minShare >= 2,
+      s"need k >= 1 and minShare >= 2, got k=$k minShare=$minShare")
+    val withPrefix = docs.select(col("doc_id"),
+      concat_ws(" ", slice(toks(col("text")), 1, k)).as("prefix"))
+    val shared = withPrefix.groupBy("prefix")
+      .agg(count(lit(1)).as("n_sharing"))
+    withPrefix.join(shared, "prefix")
+      .select(col("doc_id"), col("prefix"), col("n_sharing"),
+        (col("n_sharing") >= minShare).as("is_template"))
+      .orderBy("doc_id")
+  }
+
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame =
+    textBoilerplateOn(Tables.documents(s, dir))
+
   /** L4c: language ID — stopword-hit scoring per language with a CJK
     * char check, fixed priority on ties (en > de > es > fr). */
   def textLangidOn(docs: DataFrame): DataFrame = {
@@ -832,6 +861,7 @@ object Text {
     "text_tfidf" -> textTfidf,
     "text_bm25" -> textBm25,
     "quality_gopher" -> qualityGopher,
+    "text_boilerplate" -> textBoilerplate,
     "text_split_assign" -> textSplitAssign,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
@@ -1088,6 +1118,16 @@ object Text {
         |SELECT token, COUNT(*) AS cnt FROM tk, n
         |GROUP BY token, n.total HAVING COUNT(*) * 200 > n.total
         |ORDER BY token""".stripMargin,
+    "text_boilerplate" ->
+      """WITH p AS (SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix
+        |  FROM documents),
+        |s AS (SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_sharing
+        |  FROM p GROUP BY prefix)
+        |SELECT doc_id, p.prefix, n_sharing,
+        |  n_sharing >= 2 AS is_template
+        |FROM p JOIN s ON p.prefix = s.prefix
+        |ORDER BY doc_id""".stripMargin,
     "quality_gopher" ->
       s"""WITH b AS (SELECT doc_id,
          |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,

@@ -224,8 +224,59 @@ object Aggregates {
         countDistinct(col("event_type")).as("n_distinct"))
       .orderBy("user_id")
 
+  /** A15: higher statistical moments — per-group skewness and excess
+    * kurtosis computed from exact integer POWER SUMS, not the
+    * engines' built-ins (Spark's `skewness` is population-g1,
+    * DuckDB's is sample-G1 — a definitional mismatch no tolerance
+    * fixes; raw sums sidestep it). Quantities are integral, so
+    * s_k = Σ x^k are exact BIGINTs that combine into the central
+    * forms by clearing denominators:
+    *   B2 = n·s2 − s1²                       (= n²·m2)
+    *   A3 = n²·s3 − 3n·s1·s2 + 2·s1³         (= n³·m3)
+    *   A4 = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3·s1⁴  (= n⁴·m4)
+    *   g1 = A3 / B2^{3/2},  g2 = A4 / B2² − 3
+    * The A/B combinations run in DECIMAL(38,0) (n³·s4 overflows
+    * BIGINT at catalog scale; 38 digits hold it to sf well past 1),
+    * then ONE double expression per statistic, spelled identically
+    * in the oracle — both engines divide the same exact integers.
+    * Shape: one map-side-combined aggregate; the moment sums are the
+    * only thing that crosses the shuffle (mergeable by +, the same
+    * property every distributed stats engine exploits). Constant
+    * groups (B2 = 0) yield NULL, not a division error. */
+  def aggMoments(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("q"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"),
+        sum(col("q") * col("q") * col("q")).as("s3"),
+        sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+      .withColumn("b2", expr(
+        s"CAST(n AS $d38) * s2 - CAST(s1 AS $d38) * s1"))
+      .withColumn("a3", expr(
+        s"CAST(n AS $d38) * n * s3 - 3 * (CAST(n AS $d38) * s1 * s2)" +
+          s" + 2 * (CAST(s1 AS $d38) * s1 * s1)"))
+      .withColumn("a4", expr(
+        s"CAST(n AS $d38) * n * n * s4" +
+          s" - 4 * (CAST(n AS $d38) * n * s1 * s3)" +
+          s" + 6 * (CAST(n AS $d38) * s1 * s1 * s2)" +
+          s" - 3 * (CAST(s1 AS $d38) * s1 * s1 * s1)"))
+      .select(col("l_returnflag"), col("n"), col("s1"), col("s2"),
+        col("s3"), col("s4"),
+        when(col("b2") > 0, round(expr(
+          "CAST(a3 AS DOUBLE) / (CAST(b2 AS DOUBLE) * sqrt(CAST(b2 AS DOUBLE)))"),
+          6)).as("skewness"),
+        when(col("b2") > 0, round(expr(
+          "CAST(a4 AS DOUBLE) / (CAST(b2 AS DOUBLE) * CAST(b2 AS DOUBLE)) - 3"),
+          6)).as("kurtosis_excess"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> q1Agg,
+    "agg_moments" -> aggMoments,
     "agg_collect_set" -> aggCollectSet,
     "agg_approx_quantile" -> aggApproxQuantile,
     "agg_median_mode" -> aggMedianMode,
@@ -244,6 +295,33 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_moments" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS q FROM lineitem),
+        |s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(q) AS BIGINT) AS s1,
+        |    CAST(SUM(q * q) AS BIGINT) AS s2,
+        |    CAST(SUM(q * q * q) AS BIGINT) AS s3,
+        |    CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+        |  FROM q GROUP BY l_returnflag),
+        |c AS (SELECT l_returnflag, n, s1, s2, s3, s4,
+        |    CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS b2,
+        |    CAST(n AS HUGEINT) * n * s3
+        |      - 3 * (CAST(n AS HUGEINT) * s1 * s2)
+        |      + 2 * (CAST(s1 AS HUGEINT) * s1 * s1) AS a3,
+        |    CAST(n AS HUGEINT) * n * n * s4
+        |      - 4 * (CAST(n AS HUGEINT) * n * s1 * s3)
+        |      + 6 * (CAST(n AS HUGEINT) * s1 * s1 * s2)
+        |      - 3 * (CAST(s1 AS HUGEINT) * s1 * s1 * s1) AS a4
+        |  FROM s)
+        |SELECT l_returnflag, n, s1, s2, s3, s4,
+        |  CASE WHEN b2 > 0 THEN round(CAST(a3 AS DOUBLE)
+        |    / (CAST(b2 AS DOUBLE) * sqrt(CAST(b2 AS DOUBLE))), 6) END
+        |    AS skewness,
+        |  CASE WHEN b2 > 0 THEN round(CAST(a4 AS DOUBLE)
+        |    / (CAST(b2 AS DOUBLE) * CAST(b2 AS DOUBLE)) - 3, 6) END
+        |    AS kurtosis_excess
+        |FROM c ORDER BY l_returnflag""".stripMargin,
     "agg_collect_set" ->
       """SELECT user_id,
         |  string_agg(DISTINCT event_type, ',' ORDER BY event_type)

@@ -361,6 +361,107 @@ object Events {
   def eventSeasonality(s: SparkSession, dir: String): DataFrame =
     eventSeasonalityOn(Tables.events(s, dir))
 
+  /** L19l: RFM segmentation — recency / frequency / monetary
+    * quintiles per purchasing user, the classic lifecycle-marketing
+    * cut ("511 = just arrived, 155 = whale gone quiet"). The
+    * interesting part at scale is the QUINTILE ranking: a naive
+    * ntile() over all users is a single-partition global window, so
+    * each metric ranks via [[graft.operators.Windows.denseIdsOn]]
+    * (range partition + per-partition numbering — values identical
+    * to the global rank, plan fully parallel), and the quintile is
+    * integer math on the dense rank: score = 1 + (rk−1)·5 div n.
+    * Monetary sums in exact cents; recency anchors to the corpus'
+    * max purchase day (data-derived, so reruns agree). Higher
+    * score = better (recent / frequent / high-spend). */
+  def eventRfmOn(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val anchor = p.agg(max(col("d")).as("d_max"))
+    val base = p.groupBy("user_id")
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        datediff(col("d_max"), col("last_d")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary_cents"),
+        (-col("frequency")).as("neg_f"), (-col("monetary_cents")).as("neg_m"))
+      .localCheckpoint(true) // three rank passes read it
+    val nRel = base.agg(count(lit(1)).as("n_total"))
+    def score(ranked: DataFrame, out: String): DataFrame = ranked
+      .crossJoin(broadcast(nRel))
+      .withColumn(out,
+        (lit(5) - expr("(dense_id - 1) * 5 div n_total")).cast("int"))
+      .drop("dense_id", "n_total")
+    val r = score(graft.operators.Windows.denseIdsOn(base,
+      Seq("recency_days", "user_id")), "r")
+    val f = score(graft.operators.Windows.denseIdsOn(
+      base.select("user_id", "neg_f"), Seq("neg_f", "user_id")), "f")
+      .select("user_id", "f")
+    val m = score(graft.operators.Windows.denseIdsOn(
+      base.select("user_id", "neg_m"), Seq("neg_m", "user_id")), "m")
+      .select("user_id", "m")
+    r.join(f, "user_id").join(m, "user_id")
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r"), col("f"), col("m"),
+        (col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+      .orderBy("user_id")
+  }
+
+  def eventRfm(s: SparkSession, dir: String): DataFrame =
+    eventRfmOn(Tables.events(s, dir))
+
+  /** L19m: linear gap interpolation — completes the [[tsGapfillOn]]
+    * family (zero-fill, forward-fill) with the straight-line
+    * estimate reporting pipelines chart through missing days:
+    * for a missing day i steps after the previous known point (gap g
+    * wide), value = (prev·(g−i) + next·i) / g. The ratio is emitted
+    * as exact integer MILLI-units ((prev·(g−i) + next·i)·1000 div g)
+    * so both engines agree bit-for-bit — counts are integers and g
+    * divides a scaled integer, never a float. Bracketing points come
+    * from two ignore-nulls window walks (last known before, first
+    * known after) over the per-type calendar spine — the same
+    * type-keyed shuffle gapfill already pays, no extra exchange.
+    * Series edges (nothing to bracket) stay NULL: an interpolation
+    * op that extrapolates is lying. */
+  def tsInterpolateOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    spine.join(daily, Seq("event_type", "d"), "left")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_n", last(col("n"), ignoreNulls = true).over(before))
+      .withColumn("prev_rn",
+        last(when(col("n").isNotNull, col("rn")), ignoreNulls = true)
+          .over(before))
+      .withColumn("next_n", first(col("n"), ignoreNulls = true).over(after))
+      .withColumn("next_rn",
+        first(when(col("n").isNotNull, col("rn")), ignoreNulls = true)
+          .over(after))
+      .select(col("event_type"), col("d"), col("n"),
+        col("n").isNull.as("is_interp"),
+        when(col("n").isNotNull, col("n") * 1000)
+          .otherwise(when(
+            col("prev_rn").isNotNull && col("next_rn").isNotNull,
+            expr("""(prev_n * (next_rn - rn) + next_n * (rn - prev_rn))
+                   | * 1000 div (next_rn - prev_rn)""".stripMargin)))
+          .as("n_milli"))
+      .orderBy("event_type", "d")
+  }
+
+  def tsInterpolate(s: SparkSession, dir: String): DataFrame =
+    tsInterpolateOn(Tables.events(s, dir))
+
   /** L19h: sequence-pattern matching over per-user event journeys —
     * the MATCH_RECOGNIZE surrogate: each user's ordered event-type
     * initials collapse to ONE journey string (in-row rank sort, the
@@ -433,6 +534,8 @@ object Events {
     "ts_ewma" -> tsEwma,
     "event_streaks" -> eventStreaks,
     "event_seasonality" -> eventSeasonality,
+    "event_rfm" -> eventRfm,
+    "ts_interpolate" -> tsInterpolate,
     "event_retention" -> eventRetention,
     "event_funnel" -> eventFunnel,
     "scd2_intervals" -> scd2Intervals,
@@ -474,6 +577,64 @@ object Events {
         |    AS in_both
         |FROM events CROSS JOIN c
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ts_interpolate" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+        |spine AS (SELECT t.event_type,
+        |    unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY))::DATE AS d
+        |  FROM (SELECT DISTINCT event_type FROM daily) t, span s),
+        |r0 AS (SELECT sp.event_type, sp.d, dl.n,
+        |    row_number() OVER (PARTITION BY sp.event_type ORDER BY sp.d)
+        |      AS rn
+        |  FROM spine sp LEFT JOIN daily dl
+        |    ON sp.event_type = dl.event_type AND sp.d = dl.d),
+        |j AS (SELECT event_type, d, n, rn,
+        |    last_value(n IGNORE NULLS) OVER
+        |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_n,
+        |    last_value(CASE WHEN n IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_rn,
+        |    first_value(n IGNORE NULLS) OVER
+        |      (w ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS next_n,
+        |    first_value(CASE WHEN n IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (w ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS next_rn
+        |  FROM r0
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY d))
+        |SELECT event_type, d, n, (n IS NULL) AS is_interp,
+        |  CAST(CASE WHEN n IS NOT NULL THEN n * 1000
+        |    WHEN prev_rn IS NOT NULL AND next_rn IS NOT NULL THEN
+        |      (prev_n * (next_rn - rn) + next_n * (rn - prev_rn))
+        |        * 1000 // (next_rn - prev_rn)
+        |    END AS BIGINT) AS n_milli
+        |FROM j ORDER BY event_type, d""".stripMargin,
+    "event_rfm" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT MAX(d) AS d_max FROM p),
+        |b AS (SELECT user_id,
+        |    CAST(date_diff('day', MAX(d), d_max) AS BIGINT) AS recency_days,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    CAST(SUM(cents) AS BIGINT) AS monetary_cents
+        |  FROM p, a GROUP BY user_id, d_max),
+        |n AS (SELECT COUNT(*) AS n_total FROM b),
+        |rk AS (SELECT user_id, recency_days, frequency, monetary_cents,
+        |    row_number() OVER (ORDER BY recency_days, user_id) AS rr,
+        |    row_number() OVER (ORDER BY frequency DESC, user_id) AS rf,
+        |    row_number() OVER (ORDER BY monetary_cents DESC, user_id) AS rm
+        |  FROM b)
+        |SELECT user_id, recency_days, frequency, monetary_cents,
+        |  CAST(5 - (rr - 1) * 5 // n_total AS INT) AS r,
+        |  CAST(5 - (rf - 1) * 5 // n_total AS INT) AS f,
+        |  CAST(5 - (rm - 1) * 5 // n_total AS INT) AS m,
+        |  CAST((5 - (rr - 1) * 5 // n_total) * 100
+        |    + (5 - (rf - 1) * 5 // n_total) * 10
+        |    + (5 - (rm - 1) * 5 // n_total) AS INT) AS segment
+        |FROM rk, n ORDER BY user_id""".stripMargin,
     "event_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
         |  FROM events),
