@@ -462,6 +462,191 @@ object Events {
   def tsInterpolate(s: SparkSession, dir: String): DataFrame =
     tsInterpolateOn(Tables.events(s, dir))
 
+  /** L20a: two-proportion experiment readout — the A/B-test gate every
+    * event pipeline eventually grows: users split into two arms by a
+    * deterministic id hash (user_id % 2 here; any stable bucketing
+    * works), outcome = converted (>= 1 purchase), and the arms compare
+    * through the pooled two-proportion z statistic. The entire
+    * computation after the per-user rollup is arithmetic on FOUR
+    * integers (n/x per arm), so the statistic is spelled exactly:
+    *   z² = n·(x0·n1 − x1·n0)² / (n0·n1·x·(n−x))
+    * in DECIMAL(38,0), emitted as z2_milli with one integral DIV —
+    * exact while n·(x0·n1 − x1·n0)² < 10^38 (any realistic corpus:
+    * the cross term is deviation-scaled, not n²-scaled, under a fair
+    * split). significant = z2_milli > 3841 (χ²₁ at α = 0.05, since
+    * z² ~ χ²₁). Shape: one user-keyed rollup (map-side combined),
+    * then a 2-row aggregate — nothing after the first shuffle sees
+    * more than one row per user. Degenerate gates (no conversions,
+    * or all users converted) yield NULL z² instead of dividing by
+    * zero. */
+  def eventAbTestOn(events: DataFrame): DataFrame = {
+    val users = events
+      .select(col("user_id"),
+        (col("event_type") === "purchase").cast("long").as("isp"))
+      .groupBy("user_id")
+      .agg(max(col("isp")).as("converted"))
+      .select((col("user_id") % 2).cast("int").as("variant"),
+        col("converted"))
+    val arms = users.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    val a = arms.filter(col("variant") === 0)
+      .select(col("n_users").as("n0"), col("n_conv").as("x0"))
+    val b = arms.filter(col("variant") === 1)
+      .select(col("n_users").as("n1"), col("n_conv").as("x1"))
+    a.crossJoin(b) // both sides are single-row reductions
+      .select(col("n0"), col("x0"), col("n1"), col("x1"),
+        expr("CAST(x0 * 1000000 DIV n0 AS BIGINT)").as("cr0_ppm"),
+        expr("CAST(x1 * 1000000 DIV n1 AS BIGINT)").as("cr1_ppm"),
+        expr("""CASE WHEN x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN
+               |  CAST((CAST(n0 AS DECIMAL(38,0)) + n1)
+               |    * ((CAST(x0 AS DECIMAL(38,0)) * n1
+               |        - CAST(x1 AS DECIMAL(38,0)) * n0)
+               |       * (CAST(x0 AS DECIMAL(38,0)) * n1
+               |          - CAST(x1 AS DECIMAL(38,0)) * n0))
+               |    * 1000 DIV (CAST(n0 AS DECIMAL(38,0)) * n1
+               |      * (CAST(x0 AS DECIMAL(38,0)) + x1)
+               |      * (CAST(n0 AS DECIMAL(38,0)) + n1 - x0 - x1))
+               |    AS BIGINT) END""".stripMargin).as("z2_milli"))
+      .withColumn("significant", col("z2_milli") > 3841L)
+  }
+
+  def eventAbTest(s: SparkSession, dir: String): DataFrame =
+    eventAbTestOn(Tables.events(s, dir))
+
+  /** L20b: chi-squared independence test between event type and ISO
+    * weekday — "does traffic mix shift by day of week?", the
+    * categorical sibling of [[eventSeasonalityOn]]'s per-series
+    * residuals. Expected counts clear denominators so every cell's
+    * contribution is exact: with o = observed, r/c = row/col totals,
+    * n = grand total,
+    *   contrib = (o − r·c/n)² / (r·c/n) = (o·n − r·c)² / (n·r·c)
+    * emitted as contrib_ppm via one integral DIV in DECIMAL(38,0)
+    * (numerator is non-negative, so Spark DIV and DuckDB // agree;
+    * exact while n⁴ < 10^38 — beyond that the same plan runs with the
+    * one closed-form expression in DOUBLE, the aggregation shape is
+    * unchanged). The statistic is the BIGINT sum of contrib_ppm over
+    * the (types × 7) cell relation — order-free, no float
+    * accumulation. Shape: one map-side-combined cell rollup; row/col/
+    * grand totals derive from the tiny cell relation and join back
+    * broadcast. e_milli (expected count, milli-units) rides along for
+    * inspection. */
+  def eventChi2On(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type"),
+        (weekday(to_date(col("ts"))) + 1).cast("int").as("dow"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // totals + output both read it
+    val rowT = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy("dow").agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    cells.join(broadcast(rowT), "event_type")
+      .join(broadcast(colT), "dow")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("dow"), col("o"),
+        expr("CAST(CAST(r AS DECIMAL(38,0)) * c * 1000 DIV n AS BIGINT)")
+          .as("e_milli"),
+        expr("""CAST((CAST(o AS DECIMAL(38,0)) * n
+               |      - CAST(r AS DECIMAL(38,0)) * c)
+               |  * (CAST(o AS DECIMAL(38,0)) * n
+               |     - CAST(r AS DECIMAL(38,0)) * c)
+               |  * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * r * c)
+               |  AS BIGINT)""".stripMargin).as("contrib_ppm"))
+      .orderBy("event_type", "dow")
+  }
+
+  def eventChi2(s: SparkSession, dir: String): DataFrame =
+    eventChi2On(Tables.events(s, dir))
+
+  /** L20c: Gini concentration of per-user purchase spend — the
+    * whale-curve summary ("what share of revenue rides on how few
+    * users"). The rank-sum identity G = (2·Σ rk·xₖ − (n+1)·Σx)
+    * / (n·Σx) over ascending-sorted values needs a GLOBAL rank — the
+    * classic single-partition trap — so ranks come from
+    * [[graft.operators.Windows.denseIdsOn]] (range partition +
+    * per-partition numbering, identical values, fully parallel).
+    * Ties sorted arbitrarily (by user_id here) do not move the sum:
+    * equal x contribute the same Σ rk·x under any tie order. Spend
+    * in exact cents; the numerator is non-negative by the sorted-rank
+    * construction, so the ppm DIV matches DuckDB //. One row out:
+    * n_users, total_cents, gini_ppm (0 = perfectly equal,
+    * → 1e6 = one user is the whole book). */
+  def eventGiniOn(events: DataFrame): DataFrame = {
+    val spend = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .as("cents"))
+    Windows.denseIdsOn(spend, Seq("cents", "user_id"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("total_cents"),
+        sum(col("dense_id") * col("cents")).as("rksum"))
+      .select(col("n_users"), col("total_cents"),
+        expr("""CAST((2 * CAST(rksum AS DECIMAL(38,0))
+               |      - (CAST(n_users AS DECIMAL(38,0)) + 1) * total_cents)
+               |  * 1000000 DIV (CAST(n_users AS DECIMAL(38,0)) * total_cents)
+               |  AS BIGINT)""".stripMargin).as("gini_ppm"))
+  }
+
+  def eventGini(s: SparkSession, dir: String): DataFrame =
+    eventGiniOn(Tables.events(s, dir))
+
+  /** L20d: lag-k autocorrelation of the daily series per event type —
+    * the ACF profile that tells a forecaster whether the series is
+    * weekly-seasonal (peak at lag 7), trending (slow decay), or noise.
+    * The series is the ZERO-FILLED calendar spine (a gap is a real 0,
+    * not a missing observation — lags must align on calendar days),
+    * with days as integer epoch indices so each lag is an EQUI-join:
+    * prev.i = cur.i − k, never a theta join. All five moment sums per
+    * (type, lag) are exact BIGINTs; Pearson r then needs one sqrt, so
+    * both engines evaluate the IDENTICAL double expression over
+    * identical integers and round to 6 places — the agg_moments
+    * recipe. Zero-variance windows yield NULL. Shape: the spine is
+    * |types|·days rows (tiny next to the event scan); the lag join is
+    * keyed on (type, day-index); the moment rollup is map-side
+    * combined. At 100 TB the daily rollup IS the reduction — nothing
+    * downstream exceeds types × days × maxLag rows. */
+  def tsAutocorrOn(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val y = spine.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"),
+        datediff(col("d"), to_date(lit("1970-01-01"))).cast("long").as("i"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint(true) // both sides of the lag join read it
+    val ks = y.sparkSession.range(1)
+      .select(explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"))
+    val cur = y.crossJoin(broadcast(ks))
+      .select(col("event_type"), col("lag"), col("i"), col("x"))
+    val prev = y.select(col("event_type"), col("i").as("pi"),
+      col("x").as("px"))
+    cur.join(prev,
+        cur("event_type") === prev("event_type") &&
+          prev("pi") === cur("i") - cur("lag"))
+      .groupBy(cur("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("px")).as("sy"), sum(col("x") * col("px")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("px") * col("px")).as("syy"))
+      .withColumn("vx", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("vy", expr(
+        "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .select(col("event_type"), col("lag"), col("n"),
+        when(col("vx") > 0 && col("vy") > 0, round(expr(
+          """CAST(CAST(n AS DECIMAL(38,0)) * sxy
+            |  - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+            |/ (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))"""
+            .stripMargin), 6)).as("r_acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  def tsAutocorr(s: SparkSession, dir: String): DataFrame =
+    tsAutocorrOn(Tables.events(s, dir))
+
   /** L19h: sequence-pattern matching over per-user event journeys —
     * the MATCH_RECOGNIZE surrogate: each user's ordered event-type
     * initials collapse to ONE journey string (in-row rank sort, the
@@ -536,6 +721,10 @@ object Events {
     "event_seasonality" -> eventSeasonality,
     "event_rfm" -> eventRfm,
     "ts_interpolate" -> tsInterpolate,
+    "event_ab_test" -> eventAbTest,
+    "event_chi2" -> eventChi2,
+    "event_gini" -> eventGini,
+    "ts_autocorr" -> tsAutocorr,
     "event_retention" -> eventRetention,
     "event_funnel" -> eventFunnel,
     "scd2_intervals" -> scd2Intervals,
@@ -577,6 +766,106 @@ object Events {
         |    AS in_both
         |FROM events CROSS JOIN c
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "event_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |arms AS (SELECT CAST(user_id % 2 AS INT) AS variant,
+        |    CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(converted) AS BIGINT) AS n_conv
+        |  FROM u GROUP BY 1),
+        |ab AS (SELECT
+        |    (SELECT n_users FROM arms WHERE variant = 0) AS n0,
+        |    (SELECT n_conv FROM arms WHERE variant = 0) AS x0,
+        |    (SELECT n_users FROM arms WHERE variant = 1) AS n1,
+        |    (SELECT n_conv FROM arms WHERE variant = 1) AS x1)
+        |SELECT n0, x0, n1, x1,
+        |  CAST(x0 * 1000000 // n0 AS BIGINT) AS cr0_ppm,
+        |  CAST(x1 * 1000000 // n1 AS BIGINT) AS cr1_ppm,
+        |  CAST(CASE WHEN x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN
+        |    (CAST(n0 AS HUGEINT) + n1)
+        |      * ((CAST(x0 AS HUGEINT) * n1 - CAST(x1 AS HUGEINT) * n0)
+        |         * (CAST(x0 AS HUGEINT) * n1 - CAST(x1 AS HUGEINT) * n0))
+        |      * 1000 // (CAST(n0 AS HUGEINT) * n1
+        |        * (CAST(x0 AS HUGEINT) + x1)
+        |        * (CAST(n0 AS HUGEINT) + n1 - x0 - x1))
+        |    END AS BIGINT) AS z2_milli,
+        |  CASE WHEN x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN
+        |    (CAST(n0 AS HUGEINT) + n1)
+        |      * ((CAST(x0 AS HUGEINT) * n1 - CAST(x1 AS HUGEINT) * n0)
+        |         * (CAST(x0 AS HUGEINT) * n1 - CAST(x1 AS HUGEINT) * n0))
+        |      * 1000 // (CAST(n0 AS HUGEINT) * n1
+        |        * (CAST(x0 AS HUGEINT) + x1)
+        |        * (CAST(n0 AS HUGEINT) + n1 - x0 - x1)) > 3841
+        |    END AS significant
+        |FROM ab""".stripMargin,
+    "event_chi2" ->
+      """WITH cells AS (SELECT event_type,
+        |    CAST(isodow(CAST(ts AS DATE)) AS INT) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r
+        |  FROM cells GROUP BY event_type),
+        |ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c
+        |  FROM cells GROUP BY dow),
+        |tt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+        |SELECT event_type, dow, o,
+        |  CAST(CAST(r AS HUGEINT) * c * 1000 // n AS BIGINT) AS e_milli,
+        |  CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |    * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |    * 1000000 // (CAST(n AS HUGEINT) * r * c) AS BIGINT)
+        |    AS contrib_ppm
+        |FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+        |CROSS JOIN tt
+        |ORDER BY event_type, dow""".stripMargin,
+    "event_gini" ->
+      """WITH p AS (SELECT user_id,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |r AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, user_id) AS rk FROM p)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |  CAST((2 * SUM(CAST(rk AS HUGEINT) * cents)
+        |      - (CAST(COUNT(*) AS HUGEINT) + 1) * SUM(cents))
+        |    * 1000000 // (CAST(COUNT(*) AS HUGEINT) * SUM(cents))
+        |    AS BIGINT) AS gini_ppm
+        |FROM r""".stripMargin,
+    "ts_autocorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+        |spine AS (SELECT t.event_type,
+        |    unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY))::DATE AS d
+        |  FROM (SELECT DISTINCT event_type FROM daily) t, span s),
+        |y AS (SELECT sp.event_type,
+        |    CAST(sp.d - DATE '1970-01-01' AS BIGINT) AS i,
+        |    COALESCE(dl.x, 0) AS x
+        |  FROM spine sp LEFT JOIN daily dl
+        |    ON sp.event_type = dl.event_type AND sp.d = dl.d),
+        |ks AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+        |pr AS (SELECT c.event_type, k.lag, c.x AS xc, p.x AS xp
+        |  FROM y c CROSS JOIN ks k
+        |  JOIN y p ON p.event_type = c.event_type AND p.i = c.i - k.lag),
+        |m AS (SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(xp) AS BIGINT) AS sy,
+        |    CAST(SUM(xc * xp) AS BIGINT) AS sxy,
+        |    CAST(SUM(xc * xc) AS BIGINT) AS sxx,
+        |    CAST(SUM(xp * xp) AS BIGINT) AS syy
+        |  FROM pr GROUP BY 1, 2),
+        |v AS (SELECT event_type, lag, n, sx, sy, sxy,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vx,
+        |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vy
+        |  FROM m)
+        |SELECT event_type, lag, n,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    round(CAST(CAST(n AS HUGEINT) * sxy
+        |        - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |      / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))), 6)
+        |    END AS r_acf
+        |FROM v ORDER BY event_type, lag""".stripMargin,
     "ts_interpolate" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),

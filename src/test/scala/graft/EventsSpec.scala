@@ -330,4 +330,71 @@ class EventsSpec extends SparkSpecBase {
     assert(out.count() == nDaily)
     out.unpersist()
   }
+
+  test("L20a ab test: planted lift is significant, balanced arms are not, " +
+      "degenerate gates go NULL") {
+    def users(evenConv: Int, oddConv: Int, perArm: Int) =
+      (0 until perArm).flatMap { i =>
+        Seq((2L * i, if (i < evenConv) "purchase" else "view"),
+          (2L * i + 1, if (i < oddConv) "purchase" else "view"))
+      }.toDF("user_id", "event_type")
+    val planted = operators.Events.eventAbTestOn(users(10, 40, 50)).head()
+    assert(planted.getAs[Long]("n0") == 50 && planted.getAs[Long]("x0") == 10)
+    assert(planted.getAs[Long]("x1") == 40)
+    assert(planted.getAs[Boolean]("significant"))
+    // z² for 10/50 vs 40/50: pooled p = .5, z² = 100·(.6)²/(.5·.5·(2/50)) = 36
+    assert(planted.getAs[Long]("z2_milli") == 36000L)
+    val flat = operators.Events.eventAbTestOn(users(20, 20, 50)).head()
+    assert(flat.getAs[Long]("z2_milli") == 0L)
+    assert(!flat.getAs[Boolean]("significant"))
+    val allConv = operators.Events.eventAbTestOn(users(50, 50, 50)).head()
+    assert(allConv.isNullAt(allConv.fieldIndex("z2_milli")))
+  }
+
+  test("L20b chi2: exact independence fixture scores zero everywhere; " +
+      "corpus cells conserve the grand total") {
+    // counts = rowfactor x colfactor -> o = r*c/n exactly in every cell
+    // (2024-01-01 is a Monday)
+    val fx = (for {
+      (t, rf) <- Seq(("A", 2), ("B", 1))
+      (day, cf) <- Seq(0, 1).zip(Seq(3, 5))
+      k <- 0 until rf * cf
+    } yield (t, ts(s"2024-01-0${day + 1} 00:00:00"))).toDF("event_type", "ts")
+    val z = operators.Events.eventChi2On(fx)
+    assert(z.filter(col("contrib_ppm") =!= 0L).count() == 0)
+    val out = operators.Events.eventChi2(spark, sf).cache()
+    assert(out.filter(col("contrib_ppm") < 0L || col("e_milli") <= 0L)
+      .count() == 0)
+    assert(out.agg(sum(col("o"))).head().getLong(0) ==
+      Tables.events(spark, sf).count())
+    out.unpersist()
+  }
+
+  test("L20c gini: equal spends score 0, planted whale matches the " +
+      "closed form") {
+    def evs(spends: Seq[Long]) = spends.zipWithIndex.map { case (s, i) =>
+      (i.toLong, "purchase", s.toDouble)
+    }.toDF("user_id", "event_type", "value")
+    assert(operators.Events.eventGiniOn(evs(Seq(7, 7, 7, 7))).head()
+      .getAs[Long]("gini_ppm") == 0L)
+    // spends (1,1,1,97): rksum = 1+2+3+4*97 = 394 over total 100 cents*100
+    // gini = (2*394*100 - 5*100*100) / (4*100*100) = 28800/40000 = .72
+    val whale = operators.Events.eventGiniOn(evs(Seq(1, 1, 1, 97))).head()
+    assert(whale.getAs[Long]("n_users") == 4L)
+    assert(whale.getAs[Long]("gini_ppm") == 720000L)
+  }
+
+  test("L20d autocorr: exact alternating series hits -1 at lag 1 and +1 " +
+      "at lag 2 through the zero-filled spine") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 10 events on even days 0..18, NOTHING on odd days: the spine must
+    // supply the zeros or the lags misalign
+    val fx = (for (d <- 0 until 20 by 2; k <- 0 until 10)
+      yield ("blink", new java.sql.Timestamp(base.getTime + d * 86400000L)))
+      .toDF("event_type", "ts")
+    val acf = operators.Events.tsAutocorrOn(fx)
+      .select("lag", "r_acf").as[(Long, Double)].collect().toMap
+    assert(acf(1L) == -1.0 && acf(2L) == 1.0)
+    assert(acf(3L) == -1.0 && acf(4L) == 1.0)
+  }
 }
