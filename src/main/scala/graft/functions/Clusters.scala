@@ -243,6 +243,55 @@ object Clusters {
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
     graphPagerankOn(bipartiteEdges(s, dir))
 
+  /** L18i: HITS hubs & authorities (Kleinberg 1999) on a DIRECTED
+    * graph: hubs are sources that point at many strong authorities;
+    * authorities are destinations pointed at by many strong hubs.
+    * `iters` mutual-reinforcement rounds in exact integer arithmetic:
+    * the classical per-round L2 normalization only RESCALES scores,
+    * so the ranking is identical without it and the un-normalized
+    * scores stay exact BIGINTs both engines replay — bounded by
+    * maxdeg^(2·iters)·n (document-checked for the catalog graph; at
+    * deeper iteration swap the running sums to DECIMAL(38,0), the
+    * plan is unchanged). Each half-round is ONE adjacency equi-join +
+    * ONE key-grouped sum (map-side combined) — the two-shuffle Pregel
+    * shape of [[graphPagerankOn]]; the edge relation is checkpointed
+    * once and read by all 2·iters joins. */
+  def graphHitsOn(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val Array(cs, cd) = edges.columns.take(2)
+    val e = edges.select(col(cs).cast("long").as("src"),
+        col(cd).cast("long").as("dst"))
+      .localCheckpoint(true)
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1L))
+    var a = h.select(col("node").as("dst"), col("h").as("a")).limit(0)
+    for (_ <- 1 to iters) {
+      a = e.join(h, col("src") === col("node"))
+        .groupBy("dst").agg(sum(col("h")).as("a"))
+      h = e.join(a.select(col("dst").as("dn"), col("a")),
+          col("dst") === col("dn"))
+        .groupBy("src").agg(sum(col("a")).as("h"))
+        .select(col("src").as("node"), col("h"))
+    }
+    h.select(col("node"), lit("hub").as("role"), col("h").as("score"))
+      .unionByName(a.select(col("dst").as("node"),
+        lit("authority").as("role"), col("a").as("score")))
+      .orderBy("node")
+  }
+
+  /** Catalog form: the directed customer → supplier trade graph (who
+    * buys from whom; supplier ids offset by 1e6) — hub customers buy
+    * across the strong-supplier pool, authority suppliers serve the
+    * strong-buyer pool. */
+  def graphHits(s: SparkSession, dir: String): DataFrame =
+    graphHitsOn(
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct())
+
   /** Symmetrized customer–supplier trade graph shared by the
     * bipartite catalog forms ([[graphPagerank]], [[graphBfs]]):
     * supplier nodes offset by 1e6 into their own id space. Edge
@@ -841,6 +890,7 @@ object Clusters {
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_clustered" -> dedupSemanticClustered,
     "graph_pagerank" -> graphPagerank,
+    "graph_hits" -> graphHits,
     "graph_bfs" -> graphBfs,
     "graph_triangles" -> graphTriangles,
     "graph_neighbor_jaccard" -> graphNeighborJaccard,
@@ -1076,6 +1126,24 @@ object Clusters {
          |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
          |$prIterSql
          |SELECT node, r AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
+    "graph_hits" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
+        |    l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+        |    CAST(1 AS BIGINT) AS h FROM e),
+        |a1 AS MATERIALIZED (SELECT dst, CAST(SUM(h) AS BIGINT) AS a
+        |  FROM e JOIN h0 ON src = node GROUP BY dst),
+        |h1 AS MATERIALIZED (SELECT src AS node, CAST(SUM(a) AS BIGINT) AS h
+        |  FROM e JOIN a1 USING (dst) GROUP BY src),
+        |a2 AS MATERIALIZED (SELECT dst, CAST(SUM(h) AS BIGINT) AS a
+        |  FROM e JOIN h1 ON src = node GROUP BY dst),
+        |h2 AS MATERIALIZED (SELECT src AS node, CAST(SUM(a) AS BIGINT) AS h
+        |  FROM e JOIN a2 USING (dst) GROUP BY src)
+        |SELECT node, 'hub' AS role, h AS score FROM h2
+        |UNION ALL
+        |SELECT dst AS node, 'authority' AS role, a AS score FROM a2
+        |ORDER BY node""".stripMargin,
     "dedup_clusters" -> dedupClustersOracle,
     // identical result contract to dedup_clusters — the oracle is the
     // algorithm-independent reachability closure

@@ -647,6 +647,133 @@ object Events {
   def tsAutocorr(s: SparkSession, dir: String): DataFrame =
     tsAutocorrOn(Tables.events(s, dir))
 
+  /** L20e: cohort LTV curves — cumulative purchase revenue per cohort
+    * member by weeks-since-cohort, the revenue companion of
+    * [[eventRetentionOn]] (same cohort convention: first activity
+    * day). The heavy work is two fact passes — the distinct-day
+    * cohort rollup and the purchase rollup — both user-keyed and
+    * map-side combinable; everything after lives on the tiny
+    * (cohort × week) cell relation, where the running sum is a
+    * cohort-keyed window (bounded partitions) and the cohort-size
+    * divisor joins back broadcast. Revenue in exact cents;
+    * ltv_milli = cum_cents·1000 div cohort_n (non-negative, so both
+    * engines' integral division agrees). Weeks with zero purchases
+    * simply have no cell — the curve is reported at observed points. */
+  def eventCohortLtvOn(events: DataFrame): DataFrame = {
+    val cohorts = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+      .localCheckpoint(true) // size rollup + revenue join both read it
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_n"))
+    val rev = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        floor(datediff(col("d"), col("cohort_day")) / 7)
+          .cast("int").as("week_offset"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy("cohort_day").orderBy("week_offset")
+    rev.withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("week_offset"), col("rev_cents"),
+        col("cum_cents"), col("cohort_n"),
+        expr("CAST(cum_cents * 1000 DIV cohort_n AS BIGINT)")
+          .as("ltv_milli"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
+  def eventCohortLtv(s: SparkSession, dir: String): DataFrame =
+    eventCohortLtvOn(Tables.events(s, dir))
+
+  /** L20f: forecast backtest — seasonal-naive (yhat = the value 7
+    * days earlier) against lag-1 persistence, scored per event type
+    * by mean absolute error over every day both models can forecast.
+    * The baseline every forecasting effort must beat; run over the
+    * ZERO-FILLED calendar spine so a silent day counts as an error,
+    * not a skipped row. All error sums are exact BIGINTs; MAE is the
+    * non-negative sae·1000 div n; the signed bias is emitted as its
+    * raw numerator (se7) because signed integral division is the one
+    * operation the engines round differently. One type-keyed window
+    * pass over the spine (types × days rows), then a map-side
+    * combined rollup — nothing here scales with the raw event count
+    * beyond the daily rollup itself. */
+  def tsForecastNaiveOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    spine.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .withColumn("f7", lag(col("x"), 7).over(w))
+      .withColumn("f1", lag(col("x"), 1).over(w))
+      .filter(col("f7").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("x") - col("f7"))).as("sae7"),
+        sum(col("x") - col("f7")).as("se7"),
+        sum(abs(col("x") - col("f1"))).as("sae1"))
+      .select(col("event_type"), col("n_scored"), col("sae7"), col("se7"),
+        col("sae1"),
+        expr("CAST(sae7 * 1000 DIV n_scored AS BIGINT)").as("mae7_milli"),
+        expr("CAST(sae1 * 1000 DIV n_scored AS BIGINT)").as("mae1_milli"))
+      .orderBy("event_type")
+  }
+
+  def tsForecastNaive(s: SparkSession, dir: String): DataFrame =
+    tsForecastNaiveOn(Tables.events(s, dir))
+
+  /** L20g: Poisson bootstrap of total purchase revenue — THE
+    * distributed bootstrap (resampling n-of-n is impossible when no
+    * worker sees all n rows; Poisson(1) draw counts per row are
+    * independent of n and embarrassingly parallel — Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams", Google 2012).
+    * Each (row, replicate) pair draws k ~ Poisson(1) DETERMINISTICALLY:
+    * TWO rounds of the repo's mod-P mixing hash map (event_id, b) to
+    * a uniform u in [0, P), and k = #{thresholds <= u} against the
+    * Poisson(1) inverse CDF pre-scaled by P = 1e9+7 (truncated at
+    * k = 8, P(K > 8) < 1.2e-6 — documented). The second multiply
+    * round is LOAD-BEARING: after one round, b's contribution
+    * (b·514229 < 2e7) only nudges the low 2% of u, leaving all
+    * replicates nearly identical — re-multiplying lifts the b-delta
+    * into the high bits (empirically: replicate sd of n_drawn goes
+    * from ~3 to sqrt(n), the Poisson truth). Replicates cross in from
+    * a broadcast literal range, so the plan is ONE map pass over
+    * purchases and a reps-keyed rollup (map-side combined; `reps`
+    * groups total). Downstream, the spread of total_cents across
+    * replicates IS the sampling distribution of the corpus total. */
+  def sampleBootstrapOn(events: DataFrame, reps: Int = 32): DataFrame = {
+    require(reps >= 1, s"need reps >= 1, got $reps")
+    val P = 1000000007L
+    val thresholds = Seq(367879443L, 735758887L, 919698609L, 981011849L,
+      996340160L, 999405822L, 999916765L, 999989757L)
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val rs = p.sparkSession.range(1)
+      .select(explode(sequence(lit(1L), lit(reps.toLong))).as("b"))
+    p.crossJoin(broadcast(rs))
+      .withColumn("m1",
+        ((col("event_id") % P) * 912367L + col("b") * 514229L + 40503L) % P)
+      .withColumn("u", (col("m1") * 912367L + 40503L) % P)
+      .withColumn("k",
+        thresholds.map(t => (col("u") >= t).cast("long")).reduce(_ + _))
+      .groupBy("b")
+      .agg(sum(col("k")).as("n_drawn"),
+        sum(col("k") * col("cents")).as("total_cents"))
+      .orderBy("b")
+  }
+
+  def sampleBootstrap(s: SparkSession, dir: String): DataFrame =
+    sampleBootstrapOn(Tables.events(s, dir))
+
   /** L19h: sequence-pattern matching over per-user event journeys —
     * the MATCH_RECOGNIZE surrogate: each user's ordered event-type
     * initials collapse to ONE journey string (in-row rank sort, the
@@ -732,6 +859,9 @@ object Events {
     "event_attribution" -> eventAttribution,
     "event_transitions" -> eventTransitions,
     "event_paths" -> eventPaths,
+    "event_cohort_ltv" -> eventCohortLtv,
+    "ts_forecast_naive" -> tsForecastNaive,
+    "sample_bootstrap" -> sampleBootstrap,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1071,5 +1201,75 @@ object Events {
         |FROM spine sp LEFT JOIN daily dl
         |  ON sp.event_type = dl.event_type AND sp.d = dl.d
         |ORDER BY sp.event_type, sp.d""".stripMargin,
+    "event_cohort_ltv" ->
+      """WITH coh AS MATERIALIZED (SELECT user_id,
+        |    MIN(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_n
+        |  FROM coh GROUP BY cohort_day),
+        |rev AS (SELECT c.cohort_day,
+        |    CAST(date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) // 7
+        |      AS INT) AS week_offset,
+        |    CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM events e JOIN coh c USING (user_id)
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (SELECT cohort_day, week_offset, rev_cents,
+        |    CAST(SUM(rev_cents) OVER (PARTITION BY cohort_day
+        |      ORDER BY week_offset) AS BIGINT) AS cum_cents
+        |  FROM rev)
+        |SELECT m.cohort_day, m.week_offset, m.rev_cents, m.cum_cents,
+        |  s.cohort_n,
+        |  CAST(m.cum_cents * 1000 // s.cohort_n AS BIGINT) AS ltv_milli
+        |FROM cum m JOIN sz s USING (cohort_day)
+        |ORDER BY cohort_day, week_offset""".stripMargin,
+    "ts_forecast_naive" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+        |spine AS (SELECT t.event_type, g.d
+        |  FROM (SELECT DISTINCT event_type FROM daily) t
+        |  CROSS JOIN (SELECT UNNEST(generate_series(d0, d1,
+        |    INTERVAL 1 DAY))::DATE AS d FROM span) g),
+        |z AS (SELECT s.event_type, s.d, CAST(COALESCE(dl.x, 0) AS BIGINT)
+        |    AS x
+        |  FROM spine s LEFT JOIN daily dl
+        |    ON s.event_type = dl.event_type AND s.d = dl.d),
+        |l AS (SELECT event_type, x,
+        |    lag(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS f7,
+        |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS f1
+        |  FROM z),
+        |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |    CAST(SUM(abs(x - f7)) AS BIGINT) AS sae7,
+        |    CAST(SUM(x - f7) AS BIGINT) AS se7,
+        |    CAST(SUM(abs(x - f1)) AS BIGINT) AS sae1
+        |  FROM l WHERE f7 IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_scored, sae7, se7, sae1,
+        |  CAST(sae7 * 1000 // n_scored AS BIGINT) AS mae7_milli,
+        |  CAST(sae1 * 1000 // n_scored AS BIGINT) AS mae1_milli
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "sample_bootstrap" ->
+      """WITH p AS (SELECT event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |rs AS (SELECT UNNEST(range(1, 33))::BIGINT AS b),
+        |m AS (SELECT p.cents, rs.b,
+        |    ((p.event_id % 1000000007) * 912367 + rs.b * 514229 + 40503)
+        |      % 1000000007 AS m1
+        |  FROM p CROSS JOIN rs),
+        |u AS (SELECT cents, b,
+        |    (m1 * 912367 + 40503) % 1000000007 AS u FROM m),
+        |k AS (SELECT b, cents,
+        |    CAST(u >= 367879443 AS BIGINT) + CAST(u >= 735758887 AS BIGINT)
+        |    + CAST(u >= 919698609 AS BIGINT)
+        |    + CAST(u >= 981011849 AS BIGINT)
+        |    + CAST(u >= 996340160 AS BIGINT)
+        |    + CAST(u >= 999405822 AS BIGINT)
+        |    + CAST(u >= 999916765 AS BIGINT)
+        |    + CAST(u >= 999989757 AS BIGINT) AS k
+        |  FROM u)
+        |SELECT b, CAST(SUM(k) AS BIGINT) AS n_drawn,
+        |  CAST(SUM(k * cents) AS BIGINT) AS total_cents
+        |FROM k GROUP BY b ORDER BY b""".stripMargin,
   )
 }

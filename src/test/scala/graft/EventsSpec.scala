@@ -397,4 +397,74 @@ class EventsSpec extends SparkSpecBase {
     assert(acf(1L) == -1.0 && acf(2L) == 1.0)
     assert(acf(3L) == -1.0 && acf(4L) == 1.0)
   }
+
+  test("L20e cohort ltv: running revenue divides by FULL cohort size, " +
+      "non-purchasers included; second cohort stays separate") {
+    // users 1,2 both first seen Jan 1 (cohort of TWO even though only
+    // user 1 ever buys); user 3 opens a second cohort Jan 5
+    val ev = Seq(
+      (1L, "purchase", ts("2024-01-01 10:00:00"), 1.0),
+      (2L, "view", ts("2024-01-01 11:00:00"), 0.0),
+      (1L, "purchase", ts("2024-01-10 09:00:00"), 2.0), // day 9 -> week 1
+      (3L, "purchase", ts("2024-01-05 12:00:00"), 3.0))
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = operators.Events.eventCohortLtvOn(ev)
+      .select("cohort_day", "week_offset", "rev_cents", "cum_cents",
+        "cohort_n", "ltv_milli")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0, 100L, 100L, 2L, 50000L),
+      ("2024-01-01", 1, 200L, 300L, 2L, 150000L),
+      ("2024-01-05", 0, 300L, 300L, 1L, 300000L)))
+  }
+
+  test("L20f forecast backtest: period-7 series has ZERO seasonal-naive " +
+      "error only because the spine zero-fills silent days") {
+    val base = ts("2024-01-01 00:00:00")
+    // counts by day over 14 days: 2,1,1,0,1,1,1 repeated twice — days 3
+    // and 10 have NO rows at all; without the zero-filled spine the
+    // lag-7 pairs misalign and sae7 would not be zero
+    val counts = Seq(2, 1, 1, 0, 1, 1, 1, 2, 1, 1, 0, 1, 1, 1)
+    val ev = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(("e", new Timestamp(base.getTime + d * 86400000L)))
+    }.toDF("event_type", "ts")
+    val r = operators.Events.tsForecastNaiveOn(ev).head()
+    assert(r.getAs[Long]("n_scored") == 7L)
+    assert(r.getAs[Long]("sae7") == 0L && r.getAs[Long]("se7") == 0L)
+    // lag-1 persistence errors over days 7..13: |2-1|, |1-2|, 0,
+    // |0-1|, |1-0|, 0, 0 — the zero days hurt the lag-1 model too
+    assert(r.getAs[Long]("sae1") == 4L)
+    assert(r.getAs[Long]("mae7_milli") == 0L)
+    assert(r.getAs[Long]("mae1_milli") == 571L) // 4000 div 7
+  }
+
+  test("L20g poisson bootstrap: deterministic replay, mean-one draw " +
+      "counts, and replicate totals bracketing the true total") {
+    val out = operators.Events.sampleBootstrap(spark, sf).cache()
+    assert(out.select("b").as[Long].collect().toSeq == (1L to 32L))
+    val p = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+      .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .cache()
+    val n = p.count()
+    val total = p.agg(sum("cents")).head().getLong(0)
+    // each replicate draws Poisson(1) per row: E[n_drawn] = n, and the
+    // replicate spread estimates the sampling error of the corpus total
+    val bad = out.filter(col("n_drawn") < n * 7 / 10 ||
+      col("n_drawn") > n * 13 / 10).count()
+    assert(bad == 0, s"n_drawn outside ±30% of $n")
+    // unbiasedness where the law of large numbers actually has room:
+    // 32·n pair draws of mean 1 — the pooled mean is within 5% of n
+    val meanDrawn = out.agg(avg("n_drawn")).head().getDouble(0)
+    assert(math.abs(meanDrawn - n) < 0.05 * n)
+    // replicate totals bracket the truth loosely: a whale purchase's
+    // 32-replicate mean draw count still carries ~1/sqrt(32) noise
+    val meanTotal = out.agg(avg("total_cents")).head().getDouble(0)
+    assert(math.abs(meanTotal - total) < 0.35 * total)
+    // pure hash arithmetic: a second run replays bit-identically
+    val again = operators.Events.sampleBootstrap(spark, sf)
+    assert(out.exceptAll(again).count() == 0 &&
+      again.exceptAll(out).count() == 0)
+    p.unpersist(); out.unpersist()
+  }
 }
