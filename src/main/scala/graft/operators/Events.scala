@@ -774,6 +774,183 @@ object Events {
   def sampleBootstrap(s: SparkSession, dir: String): DataFrame =
     sampleBootstrapOn(Tables.events(s, dir))
 
+  /** L20h: Mann-Whitney U rank-sum test — does the purchase-amount
+    * DISTRIBUTION differ between the two user arms (arm = user_id
+    * parity, the [[eventAbTestOn]] convention)? The nonparametric
+    * sibling of the two-proportion z-test: no normality assumption,
+    * whale-robust. Everything is exact integer arithmetic: ranks are
+    * midranks over tied cents values, kept integral as DOUBLED rank
+    * sums (2·midrank = 2·c_before + t + 1 is always an integer), so
+    * r1_x2 = 2·R1 and u1_x2 = 2·U1. The normal-approximation z² with
+    * the tie correction is one DECIMAL(38,0) expression,
+    *   z² = 3·(2U1 − n0·n1)²·n·(n−1)
+    *        / (n0·n1·((n+1)·n·(n−1) − Σ(t³−t)))
+    * emitted as z2_milli (exact while the numerator < 10^38 — holds
+    * through ~10^5.5 pooled purchases; beyond that the same plan runs
+    * the one closed form in DOUBLE). Scale shape: one map-side
+    * combinable groupBy collapses the stream to DISTINCT cents values
+    * (bounded price domain), the rank window runs over THAT collapsed
+    * relation — never the raw rows — and the final reduce is scalar. */
+  def eventMannwhitneyOn(events: DataFrame): DataFrame = {
+    val byV = events.filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).cast("int").as("variant"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("cents")
+      .agg(count(lit(1)).as("t"),
+        sum((col("variant") === 1).cast("long")).as("t1"))
+    val w = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byV
+      .withColumn("cb", coalesce(sum(col("t")).over(w), lit(0L)))
+      .agg(sum(col("t") - col("t1")).as("n0"), sum(col("t1")).as("n1"),
+        sum(col("t1") * (lit(2L) * col("cb") + col("t") + lit(1L)))
+          .as("r1_x2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie_cube"))
+      .select(col("n0"), col("n1"), col("r1_x2"),
+        (col("r1_x2") - col("n1") * (col("n1") + lit(1L))).as("u1_x2"),
+        col("tie_cube"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN n0 > 0 AND n1 > 0
+          |    AND (n0 + n1 + 1) * (n0 + n1) * (n0 + n1 - 1) > tie_cube
+          |  THEN CAST(
+          |    CAST(3000 AS DECIMAL(38,0))
+          |      * (CAST(u1_x2 AS DECIMAL(38,0)) - CAST(n0 AS DECIMAL(38,0)) * n1)
+          |      * (CAST(u1_x2 AS DECIMAL(38,0)) - CAST(n0 AS DECIMAL(38,0)) * n1)
+          |      * (CAST(n0 AS DECIMAL(38,0)) + n1)
+          |      * (CAST(n0 AS DECIMAL(38,0)) + n1 - 1)
+          |    DIV (CAST(n0 AS DECIMAL(38,0)) * n1
+          |      * ((CAST(n0 AS DECIMAL(38,0)) + n1 + 1)
+          |          * (CAST(n0 AS DECIMAL(38,0)) + n1)
+          |          * (CAST(n0 AS DECIMAL(38,0)) + n1 - 1)
+          |        - tie_cube))
+          |    AS BIGINT) END""".stripMargin))
+      .withColumn("significant", col("z2_milli") > 3841L)
+  }
+
+  def eventMannwhitney(s: SparkSession, dir: String): DataFrame =
+    eventMannwhitneyOn(Tables.events(s, dir))
+
+  /** L20i: two-sample Kolmogorov–Smirnov test on the same two arms —
+    * the max ECDF gap, sensitive to ANY distributional difference
+    * (location, spread, shape), completing the test family
+    * ([[eventAbTestOn]] rates, [[eventMannwhitneyOn]] ranks, KS
+    * shapes). Exact by cross-multiplication: at each distinct cents
+    * value, |F0 − F1| = |c0·n1 − c1·n0| / (n0·n1), so the sup is the
+    * BIGINT max of the numerator (≤ n0·n1 ~ 10^11 at sf1 — safe) and
+    * d_ppm divides once at the end. The α = 0.05 rejection uses the
+    * asymptotic threshold c = 1.358·sqrt((n0+n1)/(n0·n1)) squared to
+    * clear the root: 10000·d_num² > 18442·(n0+n1)·n0·n1 in
+    * DECIMAL(38,0) (18442 = ceil(10^4·1.358²), conservative by
+    * < 0.002%). Same scale shape as the rank test: groupBy to
+    * distinct values, ECDFs via ONE window over the collapsed
+    * relation, scalar reduce. */
+  def eventKsOn(events: DataFrame): DataFrame = {
+    val byV = events.filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).cast("int").as("variant"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("cents")
+      .agg(sum((col("variant") === 0).cast("long")).as("v0"),
+        sum((col("variant") === 1).cast("long")).as("v1"))
+    val w = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.orderBy("cents").rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    byV
+      .withColumn("c0", sum(col("v0")).over(w))
+      .withColumn("c1", sum(col("v1")).over(w))
+      .withColumn("t0", sum(col("v0")).over(wtot))
+      .withColumn("t1", sum(col("v1")).over(wtot))
+      .agg(max(col("t0")).as("n0"), max(col("t1")).as("n1"),
+        max(abs(col("c0") * col("t1") - col("c1") * col("t0")))
+          .as("d_num"))
+      .select(col("n0"), col("n1"), col("d_num"),
+        expr("CAST(d_num * 1000000 DIV (n0 * n1) AS BIGINT)").as("d_ppm"),
+        expr(
+          """CAST(10000 AS DECIMAL(38,0)) * d_num * d_num
+            |  > CAST(18442 AS DECIMAL(38,0)) * (n0 + n1) * n0 * n1"""
+            .stripMargin).as("significant"))
+  }
+
+  def eventKs(s: SparkSession, dir: String): DataFrame =
+    eventKsOn(Tables.events(s, dir))
+
+  /** L20j: OHLC bar resampling — the market-data shape of downsampling
+    * a point stream: per (event_type, day), the value at the bucket's
+    * first and last instant (open/close), the extremes (high/low), and
+    * the turnover (volume, n). First/last are decided by the TOTAL
+    * order (microsecond timestamp, event_id) — event_id breaks
+    * sub-microsecond ties so both engines pick the identical row (the
+    * repo's ns-parquet rule: compare the micros integer, never raw
+    * ts). One bucket-partitioned window pass tags the boundary rows,
+    * then a map-side combinable rollup; bars ≡ (types × days), so
+    * everything after the window is tiny. At 100 TB the window
+    * partitions by bucket — parallel across the calendar, no global
+    * sort. */
+  def tsOhlcOn(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_type"), to_date(col("ts")).as("d"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val wa = Window.partitionBy("event_type", "d")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val wd = Window.partitionBy("event_type", "d")
+      .orderBy(col("us").desc, col("event_id").desc)
+    base
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rd", row_number().over(wd))
+      .groupBy("event_type", "d")
+      .agg(max(when(col("ra") === 1, col("cents"))).as("open"),
+        max(col("cents")).as("high"), min(col("cents")).as("low"),
+        max(when(col("rd") === 1, col("cents"))).as("close"),
+        sum(col("cents")).as("volume"), count(lit(1)).as("n"))
+      .orderBy("event_type", "d")
+  }
+
+  def tsOhlc(s: SparkSession, dir: String): DataFrame =
+    tsOhlcOn(Tables.events(s, dir))
+
+  /** L20k: Kaplan–Meier at-risk table — right-censored churn
+    * analysis. A user's duration is datediff(last activity, first
+    * activity); the churn EVENT is observed only when the user has
+    * been silent for more than `graceDays` before the corpus horizon
+    * (max activity day) — users active near the horizon are CENSORED,
+    * the defining feature survival analysis adds over a naive
+    * duration histogram. Emits the KM risk table at every duration
+    * with mass: n_at_risk(t) = #{duration ≥ t} (suffix cumsum),
+    * d_events / n_censored at t, and the discrete hazard
+    * d·10^6 div n_at_risk (the per-step KM factor's exact numerator;
+    * the cumulative survival PRODUCT is intentionally left to the
+    * caller — it is irrational in general and belongs in float
+    * space). Scale shape: one user-keyed fact rollup, then the whole
+    * table lives on distinct durations (≤ calendar span), where the
+    * suffix window is bounded. */
+  def eventSurvivalOn(events: DataFrame, graceDays: Int = 7): DataFrame = {
+    val perUser = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val horizon = perUser.agg(max(col("d1")).as("m"))
+    val byT = perUser.crossJoin(broadcast(horizon))
+      .select(datediff(col("d1"), col("d0")).cast("long").as("t"),
+        (datediff(col("m"), col("d1")) > graceDays).cast("long")
+          .as("churned"))
+      .groupBy("t")
+      .agg(sum(col("churned")).as("d_events"),
+        sum(lit(1L) - col("churned")).as("n_censored"))
+    val wsuf = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_at_risk",
+        sum(col("d_events") + col("n_censored")).over(wsuf))
+      .select(col("t"), col("n_at_risk"), col("d_events"),
+        col("n_censored"),
+        expr("CAST(d_events * 1000000 DIV n_at_risk AS BIGINT)")
+          .as("hazard_ppm"))
+      .orderBy("t")
+  }
+
+  def eventSurvival(s: SparkSession, dir: String): DataFrame =
+    eventSurvivalOn(Tables.events(s, dir))
+
   /** L19h: sequence-pattern matching over per-user event journeys —
     * the MATCH_RECOGNIZE surrogate: each user's ordered event-type
     * initials collapse to ONE journey string (in-row rank sort, the
@@ -862,6 +1039,10 @@ object Events {
     "event_cohort_ltv" -> eventCohortLtv,
     "ts_forecast_naive" -> tsForecastNaive,
     "sample_bootstrap" -> sampleBootstrap,
+    "event_mannwhitney" -> eventMannwhitney,
+    "event_ks" -> eventKs,
+    "ts_ohlc" -> tsOhlc,
+    "event_survival" -> eventSurvival,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1271,5 +1452,96 @@ object Events {
         |SELECT b, CAST(SUM(k) AS BIGINT) AS n_drawn,
         |  CAST(SUM(k * cents) AS BIGINT) AS total_cents
         |FROM k GROUP BY b ORDER BY b""".stripMargin,
+    "event_mannwhitney" ->
+      """WITH p AS (SELECT (user_id % 2)::INT AS variant,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS t,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t1
+        |  FROM p GROUP BY cents),
+        |r AS (SELECT t, t1, CAST(COALESCE(SUM(t) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cb
+        |  FROM v),
+        |a AS (SELECT CAST(SUM(t - t1) AS BIGINT) AS n0,
+        |    CAST(SUM(t1) AS BIGINT) AS n1,
+        |    CAST(SUM(t1 * (2 * cb + t + 1)) AS BIGINT) AS r1_x2,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cube
+        |  FROM r),
+        |b AS (SELECT n0, n1, r1_x2, r1_x2 - n1 * (n1 + 1) AS u1_x2,
+        |    tie_cube FROM a),
+        |z AS (SELECT n0, n1, r1_x2, u1_x2, tie_cube,
+        |  CASE WHEN n0 > 0 AND n1 > 0
+        |      AND (n0 + n1 + 1) * (n0 + n1) * (n0 + n1 - 1) > tie_cube
+        |    THEN CAST(CAST(3000 AS HUGEINT)
+        |      * (u1_x2 - CAST(n0 AS HUGEINT) * n1)
+        |      * (u1_x2 - CAST(n0 AS HUGEINT) * n1)
+        |      * (n0 + n1) * (n0 + n1 - 1)
+        |      // (CAST(n0 AS HUGEINT) * n1 * ((CAST(n0 AS HUGEINT) + n1 + 1)
+        |        * (n0 + n1) * (n0 + n1 - 1) - tie_cube))
+        |      AS BIGINT) END AS z2_milli
+        |  FROM b)
+        |SELECT n0, n1, r1_x2, u1_x2, tie_cube, z2_milli,
+        |  z2_milli > 3841 AS significant FROM z""".stripMargin,
+    "event_ks" ->
+      """WITH p AS (SELECT (user_id % 2)::INT AS variant,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT cents,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v0,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v1
+        |  FROM p GROUP BY cents),
+        |c AS (SELECT SUM(v0) OVER (ORDER BY cents) AS c0,
+        |    SUM(v1) OVER (ORDER BY cents) AS c1,
+        |    SUM(v0) OVER () AS t0, SUM(v1) OVER () AS t1
+        |  FROM v),
+        |a AS (SELECT CAST(MAX(t0) AS BIGINT) AS n0,
+        |    CAST(MAX(t1) AS BIGINT) AS n1,
+        |    CAST(MAX(abs(c0 * t1 - c1 * t0)) AS BIGINT) AS d_num FROM c)
+        |SELECT n0, n1, d_num,
+        |  CAST(d_num * 1000000 // (n0 * n1) AS BIGINT) AS d_ppm,
+        |  CAST(10000 AS HUGEINT) * d_num * d_num
+        |    > CAST(18442 AS HUGEINT) * (n0 + n1) * n0 * n1 AS significant
+        |FROM a""".stripMargin,
+    "ts_ohlc" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    epoch_us(ts) AS us, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type, d
+        |      ORDER BY us, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, d
+        |      ORDER BY us DESC, event_id DESC) AS rd
+        |  FROM b)
+        |SELECT event_type, d,
+        |  CAST(MAX(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS open,
+        |  CAST(MAX(cents) AS BIGINT) AS high,
+        |  CAST(MIN(cents) AS BIGINT) AS low,
+        |  CAST(MAX(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS close,
+        |  CAST(SUM(cents) AS BIGINT) AS volume,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM r GROUP BY event_type, d ORDER BY event_type, d""".stripMargin,
+    "event_survival" ->
+      """WITH u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,
+        |    MAX(CAST(ts AS DATE)) AS d1 FROM events GROUP BY user_id),
+        |h AS (SELECT MAX(d1) AS m FROM u),
+        |t AS (SELECT CAST(date_diff('day', d0, d1) AS BIGINT) AS t,
+        |    CASE WHEN date_diff('day', d1, m) > 7 THEN 1 ELSE 0 END
+        |      AS churned
+        |  FROM u CROSS JOIN h),
+        |bt AS (SELECT t, CAST(SUM(churned) AS BIGINT) AS d_events,
+        |    CAST(SUM(1 - churned) AS BIGINT) AS n_censored
+        |  FROM t GROUP BY t),
+        |k AS (SELECT t, d_events, n_censored,
+        |    CAST(SUM(d_events + n_censored) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_at_risk
+        |  FROM bt)
+        |SELECT t, n_at_risk, d_events, n_censored,
+        |  CAST(d_events * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
+        |FROM k ORDER BY t""".stripMargin,
   )
 }

@@ -467,4 +467,83 @@ class EventsSpec extends SparkSpecBase {
       again.exceptAll(out).count() == 0)
     p.unpersist(); out.unpersist()
   }
+
+  private def purchases(pairs: Seq[(Long, Double)]) =
+    pairs.map { case (u, v) => (u, "purchase", v) }
+      .toDF("user_id", "event_type", "value")
+
+  test("L20h mann-whitney: 3v3 complete separation lands exactly on " +
+      "the z2 = 3.857 textbook value; full ties gate to NULL") {
+    // odd user_ids (arm 1) hold {10,20,30}, even (arm 0) {1,2,3}:
+    // pooled ranks 1..6, R1 = 15, U1 = 9 = n0*n1 (max separation),
+    // z2 = 3*(18-9)^2*6*5 / (9*(7*6*5)) = 7290/1890 = 3.857...
+    val sep = operators.Events.eventMannwhitneyOn(purchases(Seq(
+      (0L, 1.0), (2L, 2.0), (4L, 3.0),
+      (1L, 10.0), (3L, 20.0), (5L, 30.0)))).head()
+    assert(sep.getAs[Long]("n0") == 3L && sep.getAs[Long]("n1") == 3L)
+    assert(sep.getAs[Long]("r1_x2") == 30L)
+    assert(sep.getAs[Long]("u1_x2") == 18L)
+    assert(sep.getAs[Long]("tie_cube") == 0L)
+    assert(sep.getAs[Long]("z2_milli") == 3857L)
+    assert(sep.getAs[Boolean]("significant")) // just past chi2(1) 3.841
+    // every value identical: tie correction kills the variance -> NULL
+    val tied = operators.Events.eventMannwhitneyOn(purchases(Seq(
+      (0L, 5.0), (2L, 5.0), (1L, 5.0), (3L, 5.0)))).head()
+    assert(tied.getAs[Long]("tie_cube") == 60L)
+    assert(tied.isNullAt(tied.fieldIndex("z2_milli")))
+  }
+
+  test("L20i ks test: disjoint supports hit D = 1 exactly; identical " +
+      "samples score zero") {
+    val sep = operators.Events.eventKsOn(purchases(Seq(
+      (0L, 1.0), (2L, 2.0), (4L, 3.0), (6L, 4.0),
+      (1L, 11.0), (3L, 12.0), (5L, 13.0), (7L, 14.0)))).head()
+    assert(sep.getAs[Long]("d_num") == 16L) // = n0*n1 at the gap
+    assert(sep.getAs[Long]("d_ppm") == 1000000L)
+    assert(sep.getAs[Boolean]("significant"))
+    val same = operators.Events.eventKsOn(purchases(Seq(
+      (0L, 1.0), (2L, 2.0), (1L, 1.0), (3L, 2.0)))).head()
+    assert(same.getAs[Long]("d_num") == 0L)
+    assert(!same.getAs[Boolean]("significant"))
+  }
+
+  test("L20j ohlc: boundary rows picked by (micros, event_id) total " +
+      "order — sub-microsecond ties fall to the id") {
+    val ev = Seq(
+      (1L, "trade", ts("2024-01-01 00:00:00"), 5.0),
+      (2L, "trade", ts("2024-01-01 12:00:00"), 1.0),
+      (3L, "trade", ts("2024-01-01 23:59:59"), 3.0),
+      // day 2: both rows share ONE timestamp; ids order open/close
+      (4L, "trade", ts("2024-01-02 09:00:00"), 2.0),
+      (5L, "trade", ts("2024-01-02 09:00:00"), 7.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = operators.Events.tsOhlcOn(ev)
+      .select("d", "open", "high", "low", "close", "volume", "n")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 500L, 500L, 100L, 300L, 900L, 3L),
+      ("2024-01-02", 200L, 700L, 200L, 700L, 900L, 2L)))
+  }
+
+  test("L20k survival: censoring splits from churn at the grace " +
+      "boundary and the at-risk suffix counts every longer duration") {
+    // horizon = day 30. user 1 spans 0..30 (censored, t=30); user 2
+    // spans 0..10 (silent 20d -> churned, t=10); user 3 one-shot on
+    // day 5 (churned, t=0); user 4 spans 2..28 (silent 2d -> censored)
+    val base = ts("2024-01-01 00:00:00")
+    def at(day: Int) = new Timestamp(base.getTime + day * 86400000L)
+    val ev = Seq((1L, at(0)), (1L, at(30)), (2L, at(0)), (2L, at(10)),
+      (3L, at(5)), (4L, at(2)), (4L, at(28)))
+      .toDF("user_id", "ts")
+    val got = operators.Events.eventSurvivalOn(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, 4L, 1L, 0L, 250000L),
+      (10L, 3L, 1L, 0L, 333333L),
+      (26L, 2L, 0L, 1L, 0L),
+      (30L, 1L, 0L, 1L, 0L)))
+  }
 }
