@@ -292,6 +292,54 @@ object Clusters {
           (col("l_suppkey") + 1000000L).as("dst"))
         .distinct())
 
+  /** L18j: degree assortativity (Newman 2002) — do high-degree nodes
+    * attach to other high-degree nodes (r > 0, social networks) or to
+    * leaves (r < 0, hub-and-spoke)? Over the SYMMETRIZED edge list the
+    * x/y marginals coincide, so Pearson's r collapses to the exact
+    * rational (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) — no square root, no
+    * floats. The raw BIGINT moments ship alongside r_milli so any
+    * downstream precision policy can recompute; r_milli itself is one
+    * DECIMAL(38,0) division spelled sign-first (negate, divide
+    * non-negative, re-negate) because Spark DIV truncates toward zero
+    * while DuckDB // floors — they only agree on non-negative
+    * operands. Scale shape: one degree rollup + two node-keyed joins
+    * decorate each edge endpoint — shuffles on node id only, never a
+    * pairs blow-up. */
+  def graphAssortativityOn(edges: DataFrame): DataFrame = {
+    val Array(cs, cd) = edges.columns.take(2)
+    val e = edges.select(col(cs).cast("long").as("src"),
+      col(cd).cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    e.join(deg, "src")
+      .select(col("dst"), col("deg").as("x"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("y")), "dst")
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"))
+      .select(col("m"), col("sx"), col("sxy"), col("sx2"),
+        expr(
+          """CASE WHEN CAST(m AS DECIMAL(38,0)) * sx2
+            |       - CAST(sx AS DECIMAL(38,0)) * sx > 0 THEN
+            |  CAST(CASE WHEN CAST(m AS DECIMAL(38,0)) * sxy
+            |        - CAST(sx AS DECIMAL(38,0)) * sx < 0
+            |    THEN -((CAST(sx AS DECIMAL(38,0)) * sx
+            |        - CAST(m AS DECIMAL(38,0)) * sxy) * 1000
+            |      DIV (CAST(m AS DECIMAL(38,0)) * sx2
+            |        - CAST(sx AS DECIMAL(38,0)) * sx))
+            |    ELSE (CAST(m AS DECIMAL(38,0)) * sxy
+            |        - CAST(sx AS DECIMAL(38,0)) * sx) * 1000
+            |      DIV (CAST(m AS DECIMAL(38,0)) * sx2
+            |        - CAST(sx AS DECIMAL(38,0)) * sx) END
+            |    AS BIGINT) END""".stripMargin).as("r_milli"))
+  }
+
+  /** Catalog form: the symmetrized trade graph — bipartite, so
+    * high-degree hubs necessarily attach to the opposite (sparser)
+    * side and r comes out negative (disassortative), the classic
+    * bipartite signature. */
+  def graphAssortativity(s: SparkSession, dir: String): DataFrame =
+    graphAssortativityOn(bipartiteEdges(s, dir))
+
   /** Symmetrized customer–supplier trade graph shared by the
     * bipartite catalog forms ([[graphPagerank]], [[graphBfs]]):
     * supplier nodes offset by 1e6 into their own id space. Edge
@@ -891,6 +939,7 @@ object Clusters {
     "dedup_semantic_clustered" -> dedupSemanticClustered,
     "graph_pagerank" -> graphPagerank,
     "graph_hits" -> graphHits,
+    "graph_assortativity" -> graphAssortativity,
     "graph_bfs" -> graphBfs,
     "graph_triangles" -> graphTriangles,
     "graph_neighbor_jaccard" -> graphNeighborJaccard,
@@ -1144,6 +1193,30 @@ object Clusters {
         |UNION ALL
         |SELECT dst AS node, 'authority' AS role, a AS score FROM a2
         |ORDER BY node""".stripMargin,
+    "graph_assortativity" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+        |    l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0
+        |  UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM e GROUP BY src),
+        |xy AS (SELECT dx.deg AS x, dy.deg AS y
+        |  FROM e JOIN deg dx ON e.src = dx.src
+        |  JOIN deg dy ON e.dst = dy.src),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sx2 FROM xy),
+        |n AS (SELECT m, sx, sxy, sx2,
+        |    CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx AS num,
+        |    CAST(m AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx AS den
+        |  FROM a)
+        |SELECT m, sx, sxy, sx2,
+        |  CASE WHEN den > 0 THEN CAST(CASE WHEN num < 0
+        |    THEN -((-num) * 1000 // den)
+        |    ELSE num * 1000 // den END AS BIGINT) END AS r_milli
+        |FROM n""".stripMargin,
     "dedup_clusters" -> dedupClustersOracle,
     // identical result contract to dedup_clusters — the oracle is the
     // algorithm-independent reachability closure

@@ -78,6 +78,32 @@ object Text {
   def textTokens(s: SparkSession, dir: String): DataFrame =
     textTokensOn(Tables.documents(s, dir)).orderBy("doc_id")
 
+  /** L4f: readability scoring — the Automated Readability Index
+    * (Senter & Smith 1967), the one classic readability formula with
+    * no syllable counting, so it stays exact: 4.71·chars/word +
+    * 0.5·words/sentence − 21.43, emitted in milli with each term as
+    * ONE non-negative integral division (deterministic in both
+    * engines; the two-term sum is defined as the sum of the truncated
+    * terms). Characters count alphanumerics only, sentences count
+    * terminator characters clamped to ≥ 1 — so punctuation-free
+    * corpora (this one) degrade gracefully to a one-sentence document
+    * rather than dividing by zero; the spec exercises real sentence
+    * structure. Pure per-row map work: no shuffle at any scale beyond
+    * the dump-contract sort. */
+  def textReadabilityOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        length(regexp_replace(col("text"), "[^A-Za-z0-9]", ""))
+          .cast("long").as("n_alnum"),
+        size(toks(col("text"))).cast("long").as("n_words"),
+        greatest(length(regexp_replace(col("text"), "[^.!?]", ""))
+          .cast("long"), lit(1L)).as("n_sent"))
+      .withColumn("ari_milli", expr(
+        "4710 * n_alnum DIV n_words + 500 * n_words DIV n_sent - 21430"))
+
+  def textReadability(s: SparkSession, dir: String): DataFrame =
+    textReadabilityOn(Tables.documents(s, dir)).orderBy("doc_id")
+
   /** L4b: quality scoring — length, mean token length, type-token
     * ratio, stopword ratio, and a composite keep/drop flag (the
     * C4-style heuristic filter shape). */
@@ -864,6 +890,7 @@ object Text {
     "text_boilerplate" -> textBoilerplate,
     "text_split_assign" -> textSplitAssign,
     "text_tokens" -> textTokens,
+    "text_readability" -> textReadability,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
@@ -1213,6 +1240,18 @@ object Text {
         |  CAST(length(text) AS INT) AS len_chars,
         |  CAST(len(string_split_regex(text,'[^a-z0-9]+')) AS INT) AS n_subtokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+        |      AS BIGINT) AS n_alnum,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    greatest(CAST(length(regexp_replace(text, '[^.!?]', '', 'g'))
+        |      AS BIGINT), 1) AS n_sent
+        |  FROM documents)
+        |SELECT doc_id, n_alnum, n_words, n_sent,
+        |  4710 * n_alnum // n_words + 500 * n_words // n_sent - 21430
+        |    AS ari_milli
+        |FROM t ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,

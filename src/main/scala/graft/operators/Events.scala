@@ -951,6 +951,43 @@ object Events {
   def eventSurvival(s: SparkSession, dir: String): DataFrame =
     eventSurvivalOn(Tables.events(s, dir))
 
+  /** L20l: time-to-convert — the latency distribution from a user's
+    * FIRST view to their first purchase strictly after it (first-touch
+    * convention shared with [[eventFunnelOn]]). Latencies are exact
+    * integer seconds ((p_us − v_us) div 10^6 on the micros pair —
+    * non-negative by the strict filter, so both engines truncate
+    * identically); the p50/p90 summary uses linear-interpolation
+    * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, the
+    * established [[graft.operators.Analytics]] agg_percentile
+    * pairing). Scale shape: two user-keyed fact rollups and one
+    * user-keyed join — all shuffles on user_id; the percentile
+    * reduce sees one latency per converting user, and at extreme
+    * user counts the same plan swaps in approx_percentile unchanged. */
+  def eventTimeToConvertOn(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val fv = base.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("v_us"))
+    val conv = base.filter(col("event_type") === "purchase")
+      .join(fv, "user_id").filter(col("us") > col("v_us"))
+      .groupBy("user_id", "v_us").agg(min(col("us")).as("p_us"))
+      .select(expr("(p_us - v_us) DIV 1000000").as("lat_sec"))
+    val nv = fv.agg(count(lit(1)).as("n_view_users"))
+    conv
+      .agg(count(lit(1)).as("n_converted"),
+        expr("percentile(lat_sec, 0.5)").as("p50_sec"),
+        expr("percentile(lat_sec, 0.9)").as("p90_sec"),
+        max(col("lat_sec")).as("max_sec"))
+      .crossJoin(broadcast(nv)) // single-row reduction
+      .select(col("n_view_users"), col("n_converted"),
+        expr("CAST(n_converted * 1000000 DIV n_view_users AS BIGINT)")
+          .as("cr_ppm"),
+        col("p50_sec"), col("p90_sec"), col("max_sec"))
+  }
+
+  def eventTimeToConvert(s: SparkSession, dir: String): DataFrame =
+    eventTimeToConvertOn(Tables.events(s, dir))
+
   /** L19h: sequence-pattern matching over per-user event journeys —
     * the MATCH_RECOGNIZE surrogate: each user's ordered event-type
     * initials collapse to ONE journey string (in-row rank sort, the
@@ -1043,6 +1080,7 @@ object Events {
     "event_ks" -> eventKs,
     "ts_ohlc" -> tsOhlc,
     "event_survival" -> eventSurvival,
+    "event_time_to_convert" -> eventTimeToConvert,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1543,5 +1581,25 @@ object Events {
         |SELECT t, n_at_risk, d_events, n_censored,
         |  CAST(d_events * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
         |FROM k ORDER BY t""".stripMargin,
+    "event_time_to_convert" ->
+      """WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |fv AS (SELECT user_id, MIN(us) AS v_us FROM b
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |conv AS (SELECT b.user_id, fv.v_us, MIN(b.us) AS p_us
+        |  FROM b JOIN fv USING (user_id)
+        |  WHERE b.event_type = 'purchase' AND b.us > fv.v_us
+        |  GROUP BY b.user_id, fv.v_us),
+        |lat AS (SELECT (p_us - v_us) // 1000000 AS lat_sec FROM conv),
+        |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_view_users FROM fv),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |    quantile_cont(lat_sec, 0.5) AS p50_sec,
+        |    quantile_cont(lat_sec, 0.9) AS p90_sec,
+        |    CAST(MAX(lat_sec) AS BIGINT) AS max_sec
+        |  FROM lat)
+        |SELECT n_view_users, n_converted,
+        |  CAST(n_converted * 1000000 // n_view_users AS BIGINT) AS cr_ppm,
+        |  p50_sec, p90_sec, max_sec
+        |FROM a CROSS JOIN nv""".stripMargin,
   )
 }

@@ -49,6 +49,45 @@ object Sources {
     base
   }
 
+  /** Stage the two-generation parquet layout for S13: v1 files carry
+    * (doc_id, lang), v2 files add n_chars — the add-a-column schema
+    * evolution every long-lived lake table goes through. Separate
+    * marker from [[ensureStaged]] so corpora staged by earlier
+    * sessions pick up the new fixture. */
+  def ensureStagedEvolution(s: SparkSession, dir: String): String = {
+    val base = stageDir(dir)
+    val done = new java.io.File(s"$base/_staged_evo")
+    if (!done.exists()) {
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/evo_v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$base/evo_v2")
+      done.getParentFile.mkdirs()
+      done.createNewFile()
+    }
+    base
+  }
+
+  /** S13: schema-evolution scan — one read over BOTH parquet
+    * generations with `mergeSchema`, the Spark reader's footer-union:
+    * v1 rows surface n_chars as NULL, v2 rows carry it, and the
+    * merged schema is the union without rewriting a single old file.
+    * (At lake scale this is exactly how a 100 TB table absorbs a new
+    * column; the alternative — backfill-rewriting every historical
+    * file — is the anti-pattern this op exists to avoid.) */
+  def scanSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureStagedEvolution(s, dir)
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$base/evo_v1", s"$base/evo_v2")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val customerCsvSchema: StructType = StructType(Seq(
     StructField("c_custkey", LongType), StructField("c_name", StringType),
     StructField("c_nationkey", IntegerType),
@@ -109,6 +148,7 @@ object Sources {
     "scan_json_map" -> scanJsonMap,
     "scan_filter_paths" -> scanFilterPaths,
     "scan_binary" -> scanBinary,
+    "scan_schema_evolution" -> scanSchemaEvolution,
   )
 
   // Oracle SQL is a static string but the staged path depends on the
@@ -139,5 +179,11 @@ object Sources {
          |  upper(substring(hex(content), 1, 8)) AS magic
          |FROM read_blob('$gateSf/*.parquet')
          |ORDER BY file_name""".stripMargin,
+    "scan_schema_evolution" ->
+      s"""SELECT doc_id, lang, n_chars
+         |FROM read_parquet(
+         |  ['$gateBase/evo_v1/*.parquet', '$gateBase/evo_v2/*.parquet'],
+         |  union_by_name = true)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

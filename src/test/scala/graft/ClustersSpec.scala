@@ -342,4 +342,27 @@ class ClustersSpec extends SparkSpecBase {
     assert(roles("hub") > 0 && roles("authority") > 0)
     corpus.unpersist()
   }
+
+  test("L18j assortativity: star is exactly -1, path-4 exactly -1/2, " +
+      "bipartite corpus comes out disassortative") {
+    def sym(pairs: Seq[(Long, Long)]) = pairs.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)) }.toDF("src", "dst")
+    // star 0-{1,2,3}: every edge joins deg 3 to deg 1 -> r = -1
+    val star = functions.Clusters.graphAssortativityOn(
+      sym(Seq((0L, 1L), (0L, 2L), (0L, 3L)))).head()
+    assert(star.getAs[Long]("m") == 6L)
+    assert(star.getAs[Long]("r_milli") == -1000L)
+    // path 1-2-3-4: m=6, sx=10, sxy=16, sx2=18 ->
+    //   r = (96-100)/(108-100) = -1/2 (truncation exact: 4000/8)
+    val path = functions.Clusters.graphAssortativityOn(
+      sym(Seq((1L, 2L), (2L, 3L), (3L, 4L)))).head()
+    assert((path.getAs[Long]("m"), path.getAs[Long]("sx"),
+      path.getAs[Long]("sxy"), path.getAs[Long]("sx2")) ==
+      ((6L, 10L, 16L, 18L)))
+    assert(path.getAs[Long]("r_milli") == -500L)
+    // the trade graph is bipartite: hubs can only attach across to
+    // the sparser side -> negative by structure
+    val corpus = functions.Clusters.graphAssortativity(spark, sf).head()
+    assert(corpus.getAs[Long]("r_milli") < 0L)
+  }
 }

@@ -394,4 +394,20 @@ class CorpusSpec extends SparkSpecBase {
     assert(moved > 0)
     out.unpersist()
   }
+
+  test("L4f readability: ARI terms hand-computed on a real sentence " +
+      "pair; punctuation-free text clamps to one sentence") {
+    val docs = Seq(
+      (1L, "The cat sat on the mat. It was fat!"),
+      (2L, "aa bb")).toDF("doc_id", "text")
+    val got = functions.Text.textReadabilityOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // doc 1: 25 alnum chars, 9 space tokens, 2 terminators:
+    //   4710*25 div 9 + 500*9 div 2 - 21430 = 13083 + 2250 - 21430
+    // doc 2: no terminator -> n_sent clamps to 1
+    assert(got == Seq(
+      (1L, 25L, 9L, 2L, -6097L),
+      (2L, 4L, 2L, 1L, -11010L)))
+  }
 }

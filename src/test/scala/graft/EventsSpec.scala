@@ -546,4 +546,24 @@ class EventsSpec extends SparkSpecBase {
       (26L, 2L, 0L, 1L, 0L),
       (30L, 1L, 0L, 1L, 0L)))
   }
+
+  test("L20l time-to-convert: strictly-after first-touch pairing; " +
+      "pre-view purchases and view-only users dilute the rate only") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "purchase", ts("2024-01-01 10:01:30")), // converts, 90s
+      (1L, "purchase", ts("2024-01-01 12:00:00")), // later buy ignored
+      (2L, "purchase", ts("2024-01-02 09:00:00")), // buys BEFORE view
+      (2L, "view", ts("2024-01-02 10:00:00")),
+      (3L, "view", ts("2024-01-03 08:00:00")), // never buys
+      (4L, "purchase", ts("2024-01-04 07:00:00"))) // no view at all
+      .toDF("user_id", "event_type", "ts")
+    val r = operators.Events.eventTimeToConvertOn(ev).head()
+    assert(r.getAs[Long]("n_view_users") == 3L)
+    assert(r.getAs[Long]("n_converted") == 1L)
+    assert(r.getAs[Long]("cr_ppm") == 333333L)
+    assert(r.getAs[Double]("p50_sec") == 90.0)
+    assert(r.getAs[Double]("p90_sec") == 90.0)
+    assert(r.getAs[Long]("max_sec") == 90L)
+  }
 }

@@ -109,4 +109,20 @@ class SinksSpec extends SparkSpecBase {
     assert(df.schema == sources.Sources.customerCsvSchema)
     assert(df.count() == Tables.customer(spark, sf).count())
   }
+
+  test("S13 schema evolution: v1 rows surface the added column as " +
+      "NULL, v2 rows carry the true value, nothing is lost") {
+    val docs = Tables.documents(spark, sf).cache()
+    val merged = sources.Sources.scanSchemaEvolution(spark, sf).cache()
+    assert(merged.count() == docs.count())
+    // every even (v1-generation) doc: NULL n_chars; odd: exact value
+    assert(merged.filter(col("doc_id") % 2 === 0)
+      .filter(col("n_chars").isNotNull).count() == 0)
+    val mismatch = merged.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("n_chars").as("got"))
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .filter(col("got") =!= col("n_chars") || col("got").isNull)
+    assert(mismatch.count() == 0)
+    merged.unpersist(); docs.unpersist()
+  }
 }
