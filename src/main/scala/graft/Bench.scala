@@ -33,10 +33,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen and the parquet footers once so the first
     // timed query doesn't absorb session startup (~5s of JIT).
-    // events goes through its loader (ns-timestamp conversion).
+    // events goes through its loader (ts-encoding adaptation).
+    // Per-table try/catch: one broken loader must cost only its own
+    // queries (they fail in `timed` and count toward n_failed), never
+    // the whole bench JVM — r5's bench died here on a corpus reshape.
     Tables.names.foreach { n =>
-      (if (n == "events") Tables.events(spark, sfDir)
-       else Tables.load(spark, sfDir, n)).count()
+      try {
+        (if (n == "events") Tables.events(spark, sfDir)
+         else Tables.load(spark, sfDir, n)).count()
+      } catch {
+        case e: Exception =>
+          System.err.println(s"warmup: table $n failed: ${e.getMessage}")
+      }
     }
     // Per-query warmup at the smallest scale factor: a first execution
     // pays Janino compilation + JIT of that query's generated code

@@ -273,9 +273,38 @@ object Similarity {
       .withColumn(g, pmod(hash(col(id)), lit(blocks)))
   }
 
+  /** Guard rail for the exact all-pairs baselines (dedup_embedding,
+    * sim_knn_join, dedup_semantic): their compare work is inherently
+    * O(n^2), kept in the catalog as oracle ground truth next to the
+    * subquadratic production siblings (dedupEmbeddingLshOn, IVF/PQ,
+    * dedupSemanticClusteredOn). On a 100x corpus the exact form must
+    * be a DELIBERATE choice, not an accident of running the same
+    * catalog — so the entry point counts its input (metadata-only on
+    * a parquet scan) and refuses above `spark.graft.exact.maxRows`
+    * (default 1,000,000 vectors ~ 10^12 raw pairs, already a
+    * full-cluster job). Raise the cap or set it to -1 to force the
+    * exact form; sample/cluster first otherwise. */
+  private def exactAllPairsGate(emb: DataFrame, op: String,
+      sibling: String): Unit = {
+    val cap = emb.sparkSession.conf
+      .getOption("spark.graft.exact.maxRows").map(_.toLong)
+      .getOrElse(1000000L)
+    if (cap >= 0) {
+      val n = emb.count()
+      if (n > cap) throw new IllegalStateException(
+        s"$op is the exact O(n^2) all-pairs baseline and its input has " +
+          s"$n rows > spark.graft.exact.maxRows=$cap. At this scale use " +
+          s"$sibling; raise the cap (or set -1) only to force the exact " +
+          "form deliberately.")
+    }
+  }
+
   def blockCosinePairsOn(emb: DataFrame, blocks: Int,
       pairPred: (Column, Column) => Column): DataFrame = {
     val s = emb.sparkSession
+    exactAllPairsGate(emb, "blockCosinePairsOn (dedup_embedding / " +
+      "sim_knn_join / dedup_semantic)",
+      "dedupEmbeddingLshOn / simAnnIvfPq / dedupSemanticClusteredOn")
     val e = prepSide(emb.select("vec_id", "embedding"),
       "vec_id", "emb", "nrm", "g", blocks)
     val grid = gridOf(s, blocks)
@@ -746,9 +775,12 @@ object Similarity {
     * sum per doc. Nothing doc-keyed ever shuffles except the
     * (doc, qid) maxima, at most |q| rows per doc. Determinism: cos
     * rounds to 4 dp at the boundary; max over rounded doubles is
-    * order-free, and the final sum runs in DECIMAL(14,4) so
-    * accumulation order cannot perturb bits (graft.Exact
-    * convention). */
+    * order-free, and the final score sums SCALED INTEGERS
+    * (`score_x10k` = sum of round(max_cos * 10^4) as BIGINT) so
+    * accumulation order cannot perturb bits AND the on-disk
+    * representation is hash-stable across engines — r5's driver
+    * flagged the DECIMAL(14,4) spelling on encoding alone while every
+    * value compared equal (graft.Exact convention). */
   def maxsimOn(corpus: DataFrame, qvecs: DataFrame): DataFrame = {
     val e = corpus
       .select(col("label"), col("vec_id"),
@@ -764,7 +796,7 @@ object Similarity {
           (col("qnrm") * col("nrm")), 4).as("cos"))
       .groupBy("label", "qid").agg(max(col("cos")).as("mx"))
       .groupBy("label").agg(count(lit(1)).as("n_qvecs"),
-        sum(col("mx").cast("decimal(14,4)")).as("score"))
+        sum(round(col("mx") * 10000, 0).cast("long")).as("score_x10k"))
   }
 
   /** Catalog wrapper: label 0's vector set plays the multi-vector
@@ -904,7 +936,7 @@ object Similarity {
          |  FROM e CROSS JOIN q),
          |m AS (SELECT label, qid, MAX(cos) AS mx FROM c GROUP BY label, qid)
          |SELECT label, COUNT(*) AS n_qvecs,
-         |  CAST(SUM(CAST(mx AS DECIMAL(14, 4))) AS DECIMAL(14, 4)) AS score
+         |  CAST(SUM(CAST(ROUND(mx * 10000, 0) AS BIGINT)) AS BIGINT) AS score_x10k
          |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "sim_ann_pq" ->
       s"""WITH $pqCoreSql,

@@ -233,18 +233,17 @@ class DedupSimSpec extends SparkSpecBase {
         vecs.filter(col("label") === 0)
           .select(col("vec_id").as("qid"), col("embedding")))
       .orderBy("label")
-      .as[(Int, Long, BigDecimal)].collect().toSeq
-    // label 0 self-match: both qvecs hit themselves -> 1 + 1
+      .as[(Int, Long, Long)].collect().toSeq
+    // label 0 self-match: both qvecs hit themselves -> 1 + 1 (x10k)
     // label 1 holds only (1,0,0,0): maxima are 1 (q0) and 0 (q1)
     // label 2 is orthogonal to both qvecs
-    assert(got.map(r => (r._1, r._2, r._3.doubleValue)) ==
-      Seq((0, 2L, 2.0), (1, 2L, 1.0), (2, 2L, 0.0)))
+    assert(got == Seq((0, 2L, 20000L), (1, 2L, 10000L), (2, 2L, 0L)))
     // corpus: the query label's self-score is n_qvecs (every vector
     // matches itself at cos 1) and no other label can exceed it
     val corpus = functions.Similarity.simMaxsim(spark, sf)
-      .as[(Int, Long, BigDecimal)].collect()
+      .as[(Int, Long, Long)].collect()
     val self = corpus.find(_._1 == 0).get
-    assert(self._3.doubleValue == self._2.toDouble)
+    assert(self._3 == self._2 * 10000L)
     assert(corpus.forall(r => r._3 <= self._3))
   }
 

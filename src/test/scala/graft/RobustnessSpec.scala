@@ -184,4 +184,28 @@ class RobustnessSpec extends SparkSpecBase {
     assert(functions.Corpus.sampleBottomkOn(
       Tables.documents(spark, sf), 1000000).count() == n)
   }
+
+  test("exact all-pairs gate: oversize corpus refuses with the sibling named; " +
+    "cap lever and -1 force-through both work") {
+    val emb = Tables.embeddings(spark, sf)
+    val key = "spark.graft.exact.maxRows"
+    try {
+      // cap below the corpus: every exact all-pairs entry point throws
+      spark.conf.set(key, "10")
+      for (op <- Seq(
+          () => functions.Dedup.dedupEmbeddingOn(emb),
+          () => functions.Similarity.simKnnJoinOn(emb),
+          () => functions.Clusters.dedupSemantic(spark, sf))) {
+        val e = intercept[IllegalStateException](op())
+        assert(e.getMessage.contains("O(n^2)") &&
+          e.getMessage.contains("spark.graft.exact.maxRows") &&
+          e.getMessage.contains("Lsh"), e.getMessage)
+      }
+      // -1 disables the gate (deliberate force-through)
+      spark.conf.set(key, "-1")
+      assert(functions.Similarity.simKnnJoinOn(emb, k = 1).limit(1).count() == 1)
+    } finally spark.conf.unset(key)
+    // default cap (1M) admits the test corpus
+    assert(functions.Dedup.dedupEmbeddingOn(emb).limit(1).count() == 1)
+  }
 }

@@ -18,16 +18,22 @@ class StreamingSpec extends SparkSpecBase {
     d.toString
   }
 
-  /** events under readStream, with the same ns->micros conversion the
-    * batch loader applies (Tables.events). */
+  /** events under readStream, with the same ts-encoding adaptation the
+    * batch loader applies (Tables.events): readStream needs an explicit
+    * schema, so probe the file's batch schema once and mirror whichever
+    * encoding (INT64 nanos vs timestamp[us]) this corpus shipped. */
   private def eventsStream = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(streamDir).schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.readStream.schema(schema).parquet(streamDir)
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   private def runToSet(streamingDf: org.apache.spark.sql.DataFrame,
