@@ -48,4 +48,35 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   val oracleSql: Map[String, String] =
     modules.map(_._2).reduce(_ ++ _)
+
+  /** Bounds-mode oracle contract (ORACLES.md) for the two sketch ops
+    * whose outputs are sketch-state-dependent and therefore can NEVER
+    * hash-match a DuckDB replay — by design, not omission. Each entry
+    * is a JSON object: `oracle_sql` computes the EXACT aggregate for
+    * the same grouping; `join_on` keys the per-row compare; `bounds`
+    * are SQL predicates over `s` (spark output) and `o` (oracle) that
+    * every joined row must satisfy. The bounds come from the sketches'
+    * published guarantees, not tuning: HLL++ standard error is
+    * 1.04/sqrt(m) (15% ~ 3 sigma at Spark's default relativeSD 0.05);
+    * GK rank error <= n/accuracy (2% value error at accuracy=1000 on
+    * these distributions — the bound RobustnessSpec asserts at two
+    * sfs). Dumped by Verify as oracle_bounds.json; tools/check.py
+    * evaluates it, and the driver can adopt the same contract to close
+    * its two permanent no_oracle rows. */
+  val oracleBounds: Map[String, String] = Map(
+    "agg_approx_distinct" ->
+      """{"mode": "bounds",
+        |"oracle_sql": "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users FROM events GROUP BY event_type",
+        |"join_on": ["event_type"],
+        |"bounds": [
+        |  "abs(s.approx_users - o.exact_users) <= greatest(1, 0.15 * o.exact_users)",
+        |  "s.exact_users = o.exact_users"]}""".stripMargin,
+    "agg_approx_quantile" ->
+      """{"mode": "bounds",
+        |"oracle_sql": "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50, quantile_cont(l_extendedprice, 0.95) AS exact_p95, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag",
+        |"join_on": ["l_returnflag"],
+        |"bounds": [
+        |  "abs(s.approx_p50 - o.exact_p50) <= 0.02 * o.exact_p50",
+        |  "abs(s.approx_p95 - o.exact_p95) <= 0.02 * o.exact_p95",
+        |  "s.n = o.n"]}""".stripMargin)
 }

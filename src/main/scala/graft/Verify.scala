@@ -42,6 +42,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Bounds-mode contract for the sketch ops (ORACLES.md): values are
+    // already JSON objects, so only the keys need escaping.
+    val bounds = SparkEntry.oracleBounds
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_bounds.json"), bounds)
     spark.stop()
   }
 }

@@ -51,6 +51,31 @@ def cell_eq(a, b):
     return a == b
 
 
+def check_bounds(con, out_dir, name, spec):
+    """Bounds-mode gate (ORACLES.md): the oracle is an EXACT aggregate
+    for the same grouping; every joined row must satisfy each declared
+    bound predicate (s = spark output, o = oracle). Returns error or
+    None."""
+    con.execute("CREATE OR REPLACE VIEW o_exact AS " + spec["oracle_sql"])
+    con.execute(f"CREATE OR REPLACE VIEW s_out AS "
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+    n_s = con.sql("SELECT count(*) FROM s_out").fetchone()[0]
+    n_o = con.sql("SELECT count(*) FROM o_exact").fetchone()[0]
+    if n_s != n_o:
+        return f"rows want={n_o} got={n_s}"
+    on = " AND ".join(f"s.{k} = o.{k}" for k in spec["join_on"])
+    n_j = con.sql(f"SELECT count(*) FROM s_out s JOIN o_exact o ON {on}"
+                  ).fetchone()[0]
+    if n_j != n_o:
+        return f"join keys mismatch: {n_j} of {n_o} rows matched"
+    for b in spec["bounds"]:
+        n_viol = con.sql(f"SELECT count(*) FROM s_out s JOIN o_exact o "
+                         f"ON {on} WHERE NOT ({b})").fetchone()[0]
+        if n_viol:
+            return f"bound violated on {n_viol} rows: {b}"
+    return None
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -60,6 +85,23 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    try:
+        bounds_specs = json.load(open(f"{out_dir}/oracle_bounds.json"))
+    except FileNotFoundError:
+        bounds_specs = {}
+    for name, spec in sorted(bounds_specs.items()):
+        if only and name not in only:
+            continue
+        try:
+            err = check_bounds(con, out_dir, name, spec)
+        except Exception as e:
+            err = f"bounds check error: {e}"
+        if err:
+            print(f"FAIL {name} [bounds]: {err}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} [bounds]")
+            n_ok += 1
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
