@@ -86,66 +86,81 @@ object Bench {
     }
     val counts = collection.mutable.Map[String, Double]()
     val noops = collection.mutable.Map[String, Double]()
-    // ALL count passes complete before any noop pass: interleaving the
-    // two metrics polluted the count timings (~+40% on unchanged
-    // queries — the noop materializations churn page cache and heap
-    // between a query's count reps)
-    for (_ <- 1 to reps; (name, fn) <- catalog) {
-      timed(name, "count")(fn(spark, sfDir).count()).foreach { t =>
-        counts(name) = math.min(counts.getOrElse(name, t), t)
-      }
-    }
-    for (_ <- 1 to reps; (name, fn) <- catalog) {
-      timed(name, "noop")(
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-        .foreach { t => noops(name) = math.min(noops.getOrElse(name, t), t) }
-    }
+
     // a query is FAILED on a metric only if every rep of that metric
-    // threw (its sentinel stays -1 in the map); a transient single-rep
-    // failure keeps the surviving rep's timing and is visible only on
-    // stderr. failed lists "name:metric" so a consumer can locate it.
-    val failed = catalog.flatMap { case (name, _) =>
+    // threw (no entry in the map); a transient single-rep failure
+    // keeps the surviving rep's timing and is visible only on stderr.
+    // failed lists "name:metric" so a consumer can locate it.
+    def failedNow: Seq[String] = catalog.flatMap { case (name, _) =>
       (if (counts.contains(name)) Nil else Seq(s"$name:count")) ++
         (if (noops.contains(name)) Nil else Seq(s"$name:noop"))
     }
-    val results = catalog.map { case (name, _) =>
-      name -> (counts.getOrElse(name, -1.0), noops.getOrElse(name, -1.0))
-    }
-    def totalOf(sel: ((String, (Double, Double))) => Double): Double =
-      results.map(sel).filter(_ >= 0).sum
-    val total = totalOf(_._2._1)
-    val totalNoop = totalOf(_._2._2)
     def fmt(v: Double): String = f"$v%.3f"
-    // Full per-query timings go to a repo file; stdout gets ONE compact
-    // JSON line. The driver captures only the final ~2000 chars of
-    // output, so a 100-entry map (~2.3 KB) gets truncated mid-line and
-    // fails to parse (round-1 BENCH had parsed:null). Keep the printed
-    // line under ~1500 chars: slowest queries first, rest summarized.
-    val failedJson = failed.map(f => s""""$f"""").mkString("[", ",", "]")
-    val fullJson = results.map { case (k, (c, n)) => s""""$k":{"count":$c,"noop":$n}""" }
-      .mkString(
-        s"""{"metric":"total","value":$total,"unit":"sec","total_noop":$totalNoop,""" +
-          s""""n_failed":${failed.size},"failed":$failedJson,"queries":{""",
-        ",", s"""},"sf":"$sfDir"}""")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       new java.io.File("BENCH_FULL.json").getAbsolutePath)
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
-        (fullJson + "\n").getBytes("UTF-8"))
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+
+    // Emit the CURRENT state: rewrite the full per-query file and print
+    // one SHORT self-contained summary line. Called after every
+    // completed pass, not just at the end — the catalog is large enough
+    // (~271 queries x 2 metrics x 2 reps ~ half an hour) that an
+    // external timeout killing the JVM mid-run must still leave (a) a
+    // parseable BENCH_FULL.json on disk and (b) a complete summary line
+    // in the tail of stdout. Each line carries full totals, so whichever
+    // line survives last is valid on its own. The line stays under ~700
+    // chars (top-8 slowest only): the driver keeps the final ~2000
+    // chars of output, and r1-r5's ~1500-char line + sbt footer
+    // overflowed that window every single round (parsed:null) — the
+    // full map lives in BENCH_FULL.json, not stdout.
+    def emit(pass: Int): Unit = {
+      val results = catalog.map { case (name, _) =>
+        name -> (counts.getOrElse(name, -1.0), noops.getOrElse(name, -1.0))
+      }
+      def totalOf(sel: ((String, (Double, Double))) => Double): Double =
+        results.map(sel).filter(_ >= 0).sum
+      val total = totalOf(_._2._1)
+      val totalNoop = totalOf(_._2._2)
+      val failed = failedNow
+      val failedJson = failed.map(f => s""""$f"""").mkString("[", ",", "]")
+      val fullJson = results
+        .map { case (k, (c, n)) => s""""$k":{"count":$c,"noop":$n}""" }
+        .mkString(
+          s"""{"metric":"total","value":$total,"unit":"sec","total_noop":$totalNoop,""" +
+            s""""n_failed":${failed.size},"failed":$failedJson,"pass":$pass,"queries":{""",
+          ",", s"""},"sf":"$sfDir"}""")
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+          (fullJson + "\n").getBytes("UTF-8"))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+      }
+      val top = results.sortBy { case (_, (c, _)) => -c }.take(8)
+        .map { case (k, (c, _)) => s""""$k":${fmt(c)}""" }.mkString(",")
+      println(
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_noop":${fmt(totalNoop)},""" +
+          s""""n_queries":${results.size},"n_failed":${failed.size},"pass":$pass,""" +
+          s""""full":"BENCH_FULL.json","sf":"$sfDir","queries":{$top}}""")
     }
-    val budget = 1400
-    val header = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_noop":${fmt(totalNoop)},"n_queries":${results.size},"n_failed":${failed.size},"full":"BENCH_FULL.json","sf":"$sfDir","queries":{"""
-    val sb = new StringBuilder(header)
-    var first = true
-    results.sortBy { case (_, (c, _)) => -c }.foreach { case (k, (c, _)) =>
-      val entry = (if (first) "" else ",") + s""""$k":${fmt(c)}"""
-      if (sb.length + entry.length < budget) { sb.append(entry); first = false }
+
+    // Pass order: a full count pass, then a full noop pass, then emit —
+    // repeat. Within a pass one metric never interleaves with the other
+    // (noop materializations churn page cache/heap and polluted count
+    // timings ~+40% when adjacent); the min for each metric still gets
+    // a clean first pass right after warmup, so cross-pass pollution
+    // can only make the min PESSIMISTIC, never flattering.
+    for (rep <- 1 to reps) {
+      for ((name, fn) <- catalog) {
+        timed(name, "count")(fn(spark, sfDir).count()).foreach { t =>
+          counts(name) = math.min(counts.getOrElse(name, t), t)
+        }
+      }
+      for ((name, fn) <- catalog) {
+        timed(name, "noop")(
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          .foreach { t => noops(name) = math.min(noops.getOrElse(name, t), t) }
+      }
+      emit(rep)
     }
-    sb.append("}}")
-    println(sb.toString)
     spark.stop()
   }
 }
