@@ -608,6 +608,49 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  val NPROBE = 4 // cells each query probes in the multi-probe variant
+
+  /** L3c'': multi-probe IVF — the production recall lever single-cell
+    * IVF lacks (FAISS `nprobe`; Jégou et al. 2011 §V): the true
+    * nearest neighbor of a query near a cell boundary often lives in
+    * the SECOND- or third-closest inverted list, so each query scans
+    * its NPROBE closest cells instead of one. Data vectors keep their
+    * single rn=1 list assignment (the index is unchanged — only probe
+    * fan-out grows), so scanned candidates grow ~linearly in nprobe
+    * while recall climbs toward exact. Plan shape is [[simAnnIvf]]'s:
+    * the probe relation is (queries x NPROBE) rows — still a
+    * broadcast — the corpus side makes one pass joined on the cell
+    * equi-key, and each candidate matches AT MOST ONE probe row per
+    * query (probe cells are distinct), so no dedup is needed before
+    * the per-query top-k window. The recall gain is pinned by spec
+    * against the single-probe variant on the same corpus. */
+  def simAnnIvfMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val ranked = coarseCellRanksOn(emb)
+    val cells = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val qprobe = ranked.filter(col("vec_id") < 5 && col("rn") <= NPROBE)
+      .select(col("vec_id").as("qid"), col("cid").as("qcell"))
+    val e = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"), norm2(col("emb")).as("nrm"))
+      .join(cells, "vec_id")
+    val q = e.select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"))
+      .filter(col("qid") < 5)
+      .join(qprobe, "qid")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cell"),
+        round(dot(col("qemb"), col("emb")) /
+          (col("qnrm") * col("nrm")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy("qid", "rnk")
+  }
+
   /** L3c': IVF-Flat with TRAINED coarse centroids — [[simAnnIvf]]'s
     * "at scale, a seeded k-means" note made real: the inverted lists
     * are [[kmeansOn]]'s trained cells (k = 8, 2 Lloyd's iterations,
@@ -726,7 +769,11 @@ object Similarity {
     * IVFPQ compose: quantized-L2 argmin against the first [[CELLS]]
     * corpus vectors (at scale: [[kmeansOn]] over a sample — the
     * trained variant is [[simAnnIvfTrained]]). */
-  private def coarseCellsOn(emb: DataFrame): DataFrame = {
+  /** Quantized-L2 distance rank of every (vector, coarse cell) pair —
+    * rn = 1 is the vector's inverted-list assignment; rn <= nprobe is
+    * a query's probe set. Shared by [[coarseCellsOn]] (single-assign)
+    * and [[simAnnIvfMultiprobe]] (multi-probe queries). */
+  private def coarseCellRanksOn(emb: DataFrame): DataFrame = {
     val qv = emb
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("i"),
@@ -739,8 +786,11 @@ object Similarity {
       .groupBy("vec_id", "cid")
       .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
       .withColumn("rn", row_number().over(w0))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
   }
+
+  private def coarseCellsOn(emb: DataFrame): DataFrame =
+    coarseCellRanksOn(emb)
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
 
   /** L3i': IVF + PQ — the FAISS-default index structure at billion
     * scale (Jégou et al. 2011 §IV): a coarse quantizer routes each
@@ -824,6 +874,7 @@ object Similarity {
     "sim_ann_recall_eval" -> simAnnRecallEval,
     "sim_ann_recall_matrix" -> simAnnRecallMatrix,
     "sim_ann_ivf" -> simAnnIvf,
+    "sim_ann_ivf_multiprobe" -> simAnnIvfMultiprobe,
     "cluster_kmeans" -> clusterKmeans,
     "sample_cluster_balanced" -> sampleClusterBalanced,
   )
@@ -922,8 +973,10 @@ object Similarity {
        |cent AS (SELECT vec_id AS cid, i, qv AS cv FROM qv WHERE vec_id < $CELLS),
        |d2 AS (SELECT qv.vec_id, cent.cid, SUM((qv.qv - cent.cv) * (qv.qv - cent.cv)) AS d2
        |  FROM qv JOIN cent ON qv.i = cent.i GROUP BY 1, 2),
-       |cells AS (SELECT vec_id, cid AS cell FROM d2
-       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1)""".stripMargin
+       |cellrank AS (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+       |  FROM d2),
+       |cells AS (SELECT vec_id, cid AS cell FROM cellrank WHERE rn = 1)""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
     "sim_maxsim" ->
@@ -1065,6 +1118,24 @@ object Similarity {
          |    ORDER BY round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) DESC,
          |    e.vec_id ASC) AS INT) AS rnk
          |FROM e JOIN q ON e.cell = qcell AND e.vec_id <> qid
+         |QUALIFY rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+    "sim_ann_ivf_multiprobe" ->
+      s"""WITH $ivfSql,
+         |qprobe AS (SELECT vec_id AS qid, cid AS qcell FROM cellrank
+         |  WHERE vec_id < 5 AND rn <= $NPROBE),
+         |e AS (SELECT e0.vec_id, e0.embedding,
+         |    sqrt(${sqlDot("e0.embedding", "e0.embedding")}) AS nrm, cells.cell
+         |  FROM embeddings e0 JOIN cells ON e0.vec_id = cells.vec_id),
+         |q AS (SELECT e.vec_id AS qid, e.embedding AS qemb, e.nrm AS qnrm,
+         |    qprobe.qcell
+         |  FROM e JOIN qprobe ON e.vec_id = qprobe.qid WHERE e.vec_id < 5)
+         |SELECT qid, e.vec_id, e.cell,
+         |  round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) AS cos,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) DESC,
+         |    e.vec_id ASC) AS INT) AS rnk
+         |FROM e JOIN q ON e.cell = q.qcell AND e.vec_id <> qid
          |QUALIFY rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
     "sim_topk" ->

@@ -202,6 +202,26 @@ class DedupSimSpec extends SparkSpecBase {
     assert(ann.nonEmpty && recall >= 0.0)
   }
 
+  test("multi-probe IVF: recall >= single-probe, candidates a superset, ranked top-5") {
+    val exact = functions.Similarity.simTopk(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val single = functions.Similarity.simAnnIvf(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val multi = functions.Similarity.simAnnIvfMultiprobe(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val rs = (single & exact).size.toDouble / exact.size
+    val rm = (multi & exact).size.toDouble / exact.size
+    info(f"IVF recall vs exact top-5: nprobe=1 $rs%.2f -> nprobe=4 $rm%.2f")
+    // probing more cells can only widen the candidate pool, so the
+    // top-5 from the wider pool can never lose an exact hit the
+    // narrow pool found (cos ranking is identical on shared rows)
+    assert(rm >= rs)
+    // per-query results stay a valid ranked top-5
+    val counts = functions.Similarity.simAnnIvfMultiprobe(spark, sf)
+      .groupBy("qid").count().as[(Long, Long)].collect()
+    assert(counts.length == 5 && counts.forall(_._2 <= 5))
+  }
+
   test("PQ ANN: valid ranked top-5 per query, deterministic, nonzero recall vs exact") {
     val pq = functions.Similarity.simAnnPq(spark, sf)
       .as[(Long, Long, Long, Int)].collect().toSeq
