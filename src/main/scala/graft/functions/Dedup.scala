@@ -404,6 +404,49 @@ object Dedup {
   def dedupMinhashEstimate(s: SparkSession, dir: String): DataFrame =
     dedupMinhashEstimateOn(shingleHashes(s, dir))
 
+  /** L2e': b-BIT minhash estimate (Li & König 2010, "b-Bit Minwise
+    * Hashing") — store only the lowest `b` bits of each minhash slot
+    * and correct the match rate for accidental collisions:
+    * E[match] = C + (1 - C)·J with C = 2^-b, so
+    * J_hat = (M - C) / (1 - C). At b=2 the signature shrinks 16x
+    * (2 bits vs a 32-bit slot) for a ~sqrt((1+C)/(1-C)) variance
+    * price — the storage rung BELOW [[dedupMinhashEstimateOn]] on the
+    * 100 TB ladder, where the signature store itself (not the corpus)
+    * is what no longer fits. Both estimators are emitted side by side
+    * on the SAME banded candidates, so the compression's accuracy
+    * cost is measurable in-catalog (the recall-eval pattern).
+    * Arithmetic is all integer ppm; the bbit estimator clamps its
+    * numerator at zero BEFORE the division (M < C happens on true
+    * non-dups) — keeping the integer division non-negative, which is
+    * the portability rule ORACLES.md records (Spark div truncates
+    * toward zero, DuckDB // floors; they only agree >= 0). */
+  def dedupMinhashBbitOn(hs: DataFrame, b: Int = 2): DataFrame = {
+    require(b >= 1 && b <= 16, s"b=$b out of range")
+    val base = 1 << b
+    val (sig, cand) = minhashSigCands(hs, identity)
+    val sigArr = sig.select(col("doc_id"),
+      array((0 until K).map(i => col(s"m$i")): _*).as("sg"),
+      array((0 until K).map(i => pmod(col(s"m$i"), lit(base))): _*).as("bb"))
+    cand
+      .join(sigArr.select(col("doc_id").as("da"), col("sg").as("sga"),
+        col("bb").as("bba")), "da")
+      .join(sigArr.select(col("doc_id").as("db"), col("sg").as("sgb"),
+        col("bb").as("bbb")), "db")
+      .select(col("da"), col("db"),
+        size(filter(zip_with(col("sga"), col("sgb"), (x, y) => x === y),
+          m => m)).cast("long").as("slot_matches"),
+        size(filter(zip_with(col("bba"), col("bbb"), (x, y) => x === y),
+          m => m)).cast("long").as("bbit_matches"))
+      .select(col("da"), col("db"), col("slot_matches"), col("bbit_matches"),
+        expr(s"CAST(slot_matches * 1000000 div $K AS BIGINT)").as("est_ppm"),
+        expr(s"CAST(greatest(bbit_matches * $base - $K, 0) * 1000000" +
+          s" div (${K * (base - 1)}) AS BIGINT)").as("est_bbit_ppm"))
+      .orderBy("da", "db")
+  }
+
+  def dedupMinhashBbit(s: SparkSession, dir: String): DataFrame =
+    dedupMinhashBbitOn(shingleHashes(s, dir))
+
   /** L2 (incremental): dedup an incoming batch against the union of
     * the existing corpus and the batch itself — the ingestion-time
     * form of [[dedupMinhashOn]]. `isNew` marks batch membership by
@@ -826,6 +869,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_url" -> dedupUrl,
     "dedup_minhash_estimate" -> dedupMinhashEstimate,
+    "dedup_minhash_bbit" -> dedupMinhashBbit,
     "dedup_minhash" -> dedupMinhash,
     "dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
     "dedup_containment" -> dedupContainment,
@@ -972,6 +1016,24 @@ object Dedup {
          |UNION ALL
          |${row("ngram", ngramVerifiedSql, "snm", snmVerifiedSql)}
          |ORDER BY method_a, method_b""".stripMargin
+    },
+    "dedup_minhash_bbit" -> {
+      val base = 4 // 2^b at the default b = 2
+      val full = (0 until K).map(i =>
+        s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      val bbit = (0 until K).map(i =>
+        s"CASE WHEN sa.m$i % $base = sb.m$i % $base THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$minhashCoreSql
+         |SELECT da, db,
+         |  CAST(($full) AS BIGINT) AS slot_matches,
+         |  CAST(($bbit) AS BIGINT) AS bbit_matches,
+         |  CAST(($full) * 1000000 // $K AS BIGINT) AS est_ppm,
+         |  CAST(GREATEST(($bbit) * $base - $K, 0) * 1000000
+         |    // ${K * (base - 1)} AS BIGINT) AS est_bbit_ppm
+         |FROM cand
+         |JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+         |ORDER BY da, db""".stripMargin
     },
     "dedup_minhash_estimate" ->
       s"""$minhashCoreSql

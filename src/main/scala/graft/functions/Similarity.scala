@@ -541,8 +541,9 @@ object Similarity {
   }
 
   /** L3h': the ANN recall MATRIX — [[simAnnRecallEval]] widened to
-    * every approximate path the engine ships (LSH, IVF-Flat, PQ-ADC,
-    * IVF+PQ), one dashboard row per method against the exact top-k:
+    * every approximate path the engine ships (LSH, IVF-Flat,
+    * multi-probe IVF, PQ-ADC, IVF+PQ), one dashboard row per method
+    * against the exact top-k:
     * the "which index do we deploy" decision table, where recall
     * trades against each method's scan cost. Each method's pairs are
     * its OWN catalog plan (nothing re-derived), the exact side is
@@ -554,7 +555,8 @@ object Similarity {
       .localCheckpoint(true) // probed by all four methods
     val ne = exact.agg(count(lit(1)).as("n_exact"))
     val methods = Seq(
-      "ivf" -> simAnnIvf(s, dir), "ivfpq" -> simAnnIvfPq(s, dir),
+      "ivf" -> simAnnIvf(s, dir), "ivf_mp" -> simAnnIvfMultiprobe(s, dir),
+      "ivfpq" -> simAnnIvfPq(s, dir),
       "lsh" -> simAnnLsh(s, dir), "pq" -> simAnnPq(s, dir))
     methods.map { case (name, m) =>
       exact.join(m.select("qid", "vec_id"), Seq("qid", "vec_id"))
@@ -1231,6 +1233,7 @@ object Similarity {
       s"""WITH ex AS (SELECT qid, vec_id FROM (${oraclesBase("sim_topk")})),
          |ne AS (SELECT COUNT(*) AS n_exact FROM ex),
          |hivf AS ${hitSql("ivf")},
+         |hivfmp AS ${hitSql("ivf_multiprobe")},
          |hivfpq AS ${hitSql("ivfpq")},
          |hlsh AS ${hitSql("lsh")},
          |hpq AS ${hitSql("pq")}
@@ -1238,6 +1241,7 @@ object Similarity {
          |  CAST(n_hit * 100 // n_exact AS BIGINT) AS recall_pct
          |FROM (
          |  SELECT 'ivf' AS method, n_exact, n_hit FROM hivf, ne
+         |  UNION ALL SELECT 'ivf_mp', n_exact, n_hit FROM hivfmp, ne
          |  UNION ALL SELECT 'ivfpq', n_exact, n_hit FROM hivfpq, ne
          |  UNION ALL SELECT 'lsh', n_exact, n_hit FROM hlsh, ne
          |  UNION ALL SELECT 'pq', n_exact, n_hit FROM hpq, ne)

