@@ -143,6 +143,85 @@ object Similarity {
       emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"), 5)
   }
 
+  /** L3k: MMR re-ranking (Carbonell & Goldstein 1998, "Maximal
+    * Marginal Relevance") — diversity-aware selection over a
+    * retrieved pool: greedily pick the candidate maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked, so the
+    * final k trades redundancy for coverage (the re-rank every RAG
+    * retriever and diverse-sampling curation pass runs on top of
+    * plain top-k). λ = 0.7 here, scaled to integers (7·rel − 3·red)
+    * so the argmax is exact in both engines.
+    *
+    * Scale shape: the probe scan is [[topkCosineOn]]'s (corpus
+    * map-only, query side broadcast); everything after operates on
+    * the POOL — `pool` rows per query, so the pairwise-sim relation
+    * is pool² per query and the k greedy rounds are k bounded
+    * DataFrame steps over ≤ |Q|·pool rows: linear in queries,
+    * constant in corpus size. Pool and selected sets are
+    * localCheckpointed (tiny) so each round's plan stays flat
+    * instead of re-deriving the probe scan k times. Scores use
+    * floor(x·10⁴ + 0.5) on already-4dp-rounded cosines — the
+    * engine-portable half-up (ORACLES.md's A12 rule). */
+  def mmrRerankOn(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      pool: Int = 20, lambda10: Int = 7): DataFrame = {
+    val cands = topkCosineOn(corpus, queries, pool)
+      .select(col("qid"), col("vec_id"),
+        expr("CAST(floor(cos * 10000 + 0.5) AS BIGINT)").as("rel_x10k"))
+      .localCheckpoint(true)
+    val e = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"), norm2(col("emb")).as("nrm"))
+    val simsScaled = cands.select(col("qid"), col("vec_id").as("va"))
+      .join(cands.select(col("qid"), col("vec_id").as("vb")), "qid")
+      .filter(col("va") =!= col("vb"))
+      .join(e.select(col("vec_id").as("va"), col("emb").as("ea"),
+        col("nrm").as("na")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("emb").as("eb"),
+        col("nrm").as("nb")), "vb")
+      .select(col("qid"), col("va"), col("vb"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("simr"))
+      .select(col("qid"), col("va"), col("vb"),
+        expr("CAST(floor(simr * 10000 + 0.5) AS BIGINT)").as("sim"))
+      .localCheckpoint(true)
+    val wSel = Window.partitionBy("qid")
+      .orderBy(col("rel_x10k").desc, col("vec_id").asc)
+    var selected = cands.withColumn("rn", row_number().over(wSel))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("vec_id"), col("rel_x10k"),
+        lit(1).cast("int").as("rank"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val red = simsScaled
+        .join(selected.select(col("qid"), col("vec_id").as("vb")),
+          Seq("qid", "vb"))
+        .groupBy(col("qid"), col("va").as("vec_id"))
+        .agg(max(col("sim")).as("red"))
+      val wPick = Window.partitionBy("qid").orderBy(
+        (lit(lambda10) * col("rel_x10k") - lit(10 - lambda10) * col("red"))
+          .desc, col("vec_id").asc)
+      val next = cands
+        .join(selected.select("qid", "vec_id"), Seq("qid", "vec_id"),
+          "left_anti")
+        .join(red, Seq("qid", "vec_id"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("vec_id"), col("rel_x10k"),
+          lit(r).cast("int").as("rank"))
+      selected = selected.unionByName(next).localCheckpoint(true)
+    }
+    selected.select("qid", "rank", "vec_id", "rel_x10k")
+      .orderBy("qid", "rank")
+  }
+
+  /** Catalog wrapper: the 5 standard probe queries re-ranked for
+    * diversity out of their top-20 pool. */
+  def simRerankMmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    mmrRerankOn(emb,
+      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"))
+  }
+
   /** L3f: radius (range) search — ALL corpus neighbors within a
     * cosine threshold of each query vector, the other half of the
     * similarity-search API surface next to [[topkCosineOn]]'s fixed-k
@@ -877,6 +956,7 @@ object Similarity {
     "sim_ann_recall_matrix" -> simAnnRecallMatrix,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_multiprobe" -> simAnnIvfMultiprobe,
+    "sim_rerank_mmr" -> simRerankMmr,
     "cluster_kmeans" -> clusterKmeans,
     "sample_cluster_balanced" -> sampleClusterBalanced,
   )
@@ -1122,6 +1202,50 @@ object Similarity {
          |FROM e JOIN q ON e.cell = qcell AND e.vec_id <> qid
          |QUALIFY rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
+    // MMR: the greedy rounds unroll as MATERIALIZED CTEs (each round
+    // references its predecessor >1 time — the ORACLES.md inline-
+    // explosion rule). Round r: redundancy = max sim to sel_{r-1},
+    // pick argmax(7·rel − 3·red) among unpicked pool members.
+    "sim_rerank_mmr" -> {
+      def round(r: Int): String =
+        s"""red$r AS MATERIALIZED (SELECT s.qid, s.va AS vec_id,
+           |    MAX(s.sim) AS red
+           |  FROM sims s JOIN sel${r - 1} ON s.qid = sel${r - 1}.qid
+           |    AND s.vb = sel${r - 1}.vec_id
+           |  GROUP BY s.qid, s.va),
+           |pick$r AS MATERIALIZED (SELECT p.qid, p.vec_id, p.rel, $r AS rank
+           |  FROM pool p JOIN red$r USING (qid, vec_id)
+           |  LEFT JOIN sel${r - 1} sl ON p.qid = sl.qid AND p.vec_id = sl.vec_id
+           |  WHERE sl.vec_id IS NULL
+           |  QUALIFY row_number() OVER (PARTITION BY p.qid
+           |    ORDER BY 7 * p.rel - 3 * red$r.red DESC, p.vec_id ASC) = 1),
+           |sel$r AS MATERIALIZED (
+           |  SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)"""
+          .stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb, nrm AS qnrm
+         |      FROM e WHERE vec_id < 5),
+         |pool AS MATERIALIZED (SELECT qid, vec_id,
+         |    CAST(FLOOR(cosr * 10000 + 0.5) AS BIGINT) AS rel
+         |  FROM (SELECT qid, vec_id,
+         |      round(${sqlDot("qemb", "embedding")} / (qnrm * nrm), 4) AS cosr
+         |    FROM e JOIN q ON vec_id <> qid)
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosr DESC, vec_id ASC) <= 20),
+         |sims AS MATERIALIZED (SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+         |    CAST(FLOOR(round(${sqlDot("ea.embedding", "eb.embedding")}
+         |      / (ea.nrm * eb.nrm), 4) * 10000 + 0.5) AS BIGINT) AS sim
+         |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+         |  JOIN e ea ON a.vec_id = ea.vec_id
+         |  JOIN e eb ON b.vec_id = eb.vec_id),
+         |sel1 AS MATERIALIZED (SELECT qid, vec_id, rel, 1 AS rank FROM pool
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY rel DESC, vec_id ASC) = 1),
+         |${(2 to 5).map(round).mkString(",\n")}
+         |SELECT qid, CAST(rank AS INT) AS rank, vec_id, rel AS rel_x10k
+         |FROM sel5 ORDER BY qid, rank""".stripMargin
+    },
     "sim_ann_ivf_multiprobe" ->
       s"""WITH $ivfSql,
          |qprobe AS (SELECT vec_id AS qid, cid AS qcell FROM cellrank

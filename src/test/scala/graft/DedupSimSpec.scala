@@ -230,6 +230,38 @@ class DedupSimSpec extends SparkSpecBase {
     assert(ann.nonEmpty && recall >= 0.0)
   }
 
+  test("MMR re-rank: hand-computed diversity pick; corpus output is 5 distinct " +
+    "ranked picks per query starting from the relevance top-1") {
+    // query q = e1; A = (0.8, 0.6) at rel 0.8, B a near-dup of A
+    // (sim_AB ~ 0.9996, rel 0.7996), C = (0.6, -0.8) ORTHOGONAL to A
+    // at rel 0.6. Plain top-2 = {A, B}; MMR round 2:
+    //   score(B) = 7*7996 - 3*9996 = 25984
+    //   score(C) = 7*6000 - 3*0    = 42000  -> C jumps the near-dup
+    val vecs = Seq(
+      (100L, Seq(1f, 0f, 0f, 0f)),           // query
+      (1L, Seq(0.8f, 0.6f, 0f, 0f)),         // A: rel 0.8
+      (2L, Seq(0.8f, 0.6f, 0.03f, 0f)),      // B: near-dup of A
+      (3L, Seq(0.6f, -0.8f, 0f, 0f)))        // C: orthogonal to A/B
+      .toDF("vec_id", "embedding")
+    val got = functions.Similarity.mmrRerankOn(vecs,
+        vecs.filter(col("vec_id") === 100L).withColumnRenamed("vec_id", "qid"),
+        k = 3, pool = 3)
+      .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(_._2)
+    // rank 1 = relevance argmax A, rank 2 = the diversity pick C
+    assert(got.map(_._3) == Seq(1L, 3L, 2L),
+      s"expected diversity pick order 1,3,2 got $got")
+    // corpus: 5 distinct picks per query, rank 1 = relevance argmax
+    val corpus = functions.Similarity.simRerankMmr(spark, sf)
+      .as[(Long, Int, Long, Long)].collect()
+    val perQ = corpus.groupBy(_._1)
+    assert(perQ.size == 5 && perQ.values.forall(g =>
+      g.length == 5 && g.map(_._3).distinct.length == 5))
+    val top1 = functions.Similarity.simTopk(spark, sf)
+      .filter(col("rnk") === 1).select("qid", "vec_id")
+      .as[(Long, Long)].collect().toMap
+    assert(corpus.filter(_._2 == 1).forall(r => top1(r._1) == r._3))
+  }
+
   test("multi-probe IVF: recall >= single-probe, candidates a superset, ranked top-5") {
     val exact = functions.Similarity.simTopk(spark, sf)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
