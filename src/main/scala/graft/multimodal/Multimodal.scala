@@ -229,7 +229,73 @@ object Multimodal {
   def mmCaptionAlign(s: SparkSession, dir: String): DataFrame =
     mmCaptionAlignOn(Tables.embeddings(s, dir))
 
+  /** L5f: perceptual-hash near-duplicate detection over the media
+    * column — the image-dedup rung of the multimodal family (aHash /
+    * pHash family, as in every image-corpus curation stack): decode
+    * to a fixed pixel grid, threshold each pixel against the grid
+    * mean into a 60-bit signature, band the signature for candidate
+    * generation, verify candidates by Hamming distance. The DECODE is
+    * the container-stubbed surrogate (per the media-boundary
+    * convention above: pixel i = the codepoint of the character at
+    * position 1 + i·(n−1) div 59 of the payload text standing in for
+    * a sampled grayscale); everything downstream — grid schema, mean
+    * threshold, banding, the bounded Hamming verify join — is the
+    * real distributed shape an image pipeline runs after a real
+    * decoder is plugged in.
+    *
+    * Scale: pixels are doc-keyed (60 rows/doc, one narrow shuffle to
+    * the mean and back); banding is the simhash-banding candidate
+    * bound (4 x 15-bit bands — a pair must agree on one full band, so
+    * random signatures almost never collide); the verify join touches
+    * only candidates x 60 bit rows. All arithmetic is integer
+    * div/mod + exact power-of-two doubles — no engine-specific bit
+    * ops or rounding anywhere (ORACLES.md portability rules). */
+  val PhashPix = 60
+  val PhashBandBits = 15
+  val PhashHamMax = 8
+
+  def mmPhashDedupOn(docs: DataFrame): DataFrame = {
+    val pix = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .select(col("doc_id"), col("text"), col("n"),
+        posexplode(sequence(lit(0), lit(PhashPix - 1))))
+      .select(col("doc_id"), col("pos").as("i"),
+        expr(s"ascii(substring(text, CAST(1 + (pos * (n - 1)) div ${PhashPix - 1} AS INT), 1))")
+          .cast("long").as("p"))
+    val mean = pix.groupBy("doc_id")
+      .agg(expr(s"sum(p) div $PhashPix").as("avgp"))
+    val bits = pix.join(mean, "doc_id")
+      .select(col("doc_id"), col("i"),
+        when(col("p") > col("avgp"), 1L).otherwise(0L).as("bit"))
+      .localCheckpoint(true) // probed by banding AND the verify join
+    val bands = bits
+      .select(col("doc_id"), expr(s"i div $PhashBandBits").as("band"),
+        (col("bit") *
+          expr(s"CAST(power(2, i % $PhashBandBits) AS BIGINT)")).as("bv1"))
+      .groupBy("doc_id", "band").agg(sum(col("bv1")).as("bv"))
+    val cand = bands.as("l")
+      .join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(bits.select(col("doc_id").as("da"), col("i"),
+        col("bit").as("ba")), "da")
+      .join(bits.select(col("doc_id").as("db"), col("i"),
+        col("bit").as("bb")), Seq("db", "i"))
+      .groupBy("da", "db")
+      .agg(sum(when(col("ba") =!= col("bb"), 1L).otherwise(0L))
+        .as("hamming"))
+      .filter(col("hamming") <= PhashHamMax)
+      .orderBy("da", "db")
+  }
+
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame =
+    mmPhashDedupOn(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_dedup" -> mmPhashDedup,
     "mm_caption_align" -> mmCaptionAlign,
     "mm_pack_shards" -> mmPackShards,
     "udf_inference" -> udfInference,
@@ -239,6 +305,31 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_phash_dedup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE length(text) >= 1),
+        |pix AS MATERIALIZED (SELECT doc_id, r.i AS i,
+        |    CAST(ascii(substr(text, CAST(1 + (r.i * (n - 1)) // 59 AS INT), 1))
+        |      AS BIGINT) AS p
+        |  FROM d, UNNEST(range(0, 60)) AS r(i)),
+        |m AS (SELECT doc_id, SUM(p) // 60 AS avgp FROM pix GROUP BY doc_id),
+        |bits AS MATERIALIZED (SELECT pix.doc_id, i,
+        |    CASE WHEN p > avgp THEN 1 ELSE 0 END AS bit
+        |  FROM pix JOIN m ON pix.doc_id = m.doc_id),
+        |bands AS (SELECT doc_id, i // 15 AS band,
+        |    CAST(SUM(bit * CAST(power(2, i % 15) AS BIGINT)) AS BIGINT) AS bv
+        |  FROM bits GROUP BY doc_id, i // 15),
+        |cand AS (SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+        |  FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
+        |    AND l.doc_id < r.doc_id)
+        |SELECT da, db,
+        |  CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS hamming
+        |FROM cand JOIN bits ba ON da = ba.doc_id
+        |JOIN bits bb ON db = bb.doc_id AND ba.i = bb.i
+        |GROUP BY da, db
+        |HAVING SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) <= 8
+        |ORDER BY da, db""".stripMargin,
     "mm_caption_align" -> {
       val dot = graft.functions.Similarity.sqlDot("iv", "cv")
       s"""WITH e AS (SELECT vec_id, embedding,

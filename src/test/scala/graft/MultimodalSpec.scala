@@ -53,6 +53,30 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.filter(col("kept") === 0).count() > 0)
     out.unpersist()
   }
+
+  test("L5f phash dedup: identical payloads at hamming 0, one-pixel " +
+    "perturbation within threshold, unrelated payloads not candidates") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                          // exact payload dup
+      (3L, base.dropRight(1) + "Z"),       // tail perturbation
+      (4L, "completely different content with other words entirely " * 5))
+      .toDF("doc_id", "text")
+    val got = multimodal.Multimodal.mmPhashDedupOn(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    val asMap = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(asMap((1L, 2L)) == 0L, s"identical payloads must hash equal: $got")
+    // the perturbed copy shares at least one band and lands within the
+    // hamming threshold
+    assert(asMap.contains((1L, 3L)) && asMap((1L, 3L)) <= 8L, got.toString)
+    // nothing pairs the unrelated doc
+    assert(!got.exists(r => r._1 == 4L || r._2 == 4L), got.toString)
+    // corpus run: pairs are ordered, hamming bounded by the threshold
+    val corpus = multimodal.Multimodal.mmPhashDedup(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(corpus.forall(r => r._1 < r._2 && r._3 >= 0 && r._3 <= 8))
+  }
 }
 
 /** Test-only detector standing in for a real codec-backed impl. */
