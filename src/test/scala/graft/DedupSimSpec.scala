@@ -721,10 +721,13 @@ class DedupSimSpec extends SparkSpecBase {
     import spark.implicits._
     val m = functions.Similarity.simAnnRecallMatrix(spark, sf).cache()
     assert(m.select("method").as[String].collect().sorted.toSeq ==
-      Seq("ivf", "ivfpq", "lsh", "pq"))
+      Seq("ivf", "ivf_mp", "ivfpq", "lsh", "pq"))
     assert(m.filter(col("recall_pct") < 0 || col("recall_pct") > 100)
       .count() == 0)
     assert(m.filter(col("n_hit") > col("n_exact")).count() == 0)
+    // multi-probe dominates single-probe (superset-monotonicity)
+    val byM = m.select("method", "n_hit").as[(String, Long)].collect().toMap
+    assert(byM("ivf_mp") >= byM("ivf"))
     val lshRow = m.filter(col("method") === "lsh")
       .select("n_hit").as[Long].head()
     val evalSum = functions.Similarity.simAnnRecallEval(spark, sf)
