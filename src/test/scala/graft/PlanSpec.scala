@@ -639,4 +639,33 @@ class PlanSpec extends SparkSpecBase {
     val p = plan(operators.Events.eventPaths(spark, sf))
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("sim_ann_ivf_multiprobe: probe relation broadcasts, cell equi-join, " +
+    "no cartesian") {
+    val p = plan(functions.Similarity.simAnnIvfMultiprobe(spark, sf))
+    // the (query x NPROBE) probe side is the broadcast build; the
+    // corpus joins it on the cell equi-key — never a cross product
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("mm_phash_dedup: banding candidates come from an equi-join, the " +
+    "verify join is (pair, bit)-keyed — no cartesian anywhere") {
+    val p = plan(multimodal.Multimodal.mmPhashDedup(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // signature banding and hamming verification are hash equi-joins
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)".r
+      .findAllIn(p).nonEmpty, p)
+  }
+
+  test("sim_rerank_mmr: greedy rounds operate on checkpointed pool-sized " +
+    "relations — the corpus probe scan appears ONCE, not once per round") {
+    val df = functions.Similarity.simRerankMmr(spark, sf)
+    val p = plan(df)
+    // after the pool/sims localCheckpoints, the final plan must not
+    // re-derive the embeddings parquet scan per greedy round: at most
+    // one residual scan of the embeddings table may survive
+    assert("embeddings" .r.findAllIn(p.toLowerCase).size <= 1, p)
+    assert(!p.contains("Cartesian"), p)
+  }
 }
