@@ -178,4 +178,25 @@ class ChunkLmSpec extends SparkSpecBase {
     val out = functions.Text.qualityGopher(spark, sf)
     assert(out.filter(col("keep") =!= (col("reason_mask") === 0)).count() == 0)
   }
+
+  test("quality_logreg: 8-step distilled classifier beats majority class by a " +
+    "wide margin and is bit-deterministic across runs") {
+    import spark.implicits._
+    val out = functions.Text.qualityLogreg(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val n = out.length.toDouble
+    val acc = out.count(r => r._2 == r._4) / n
+    val majority = math.max(out.count(_._2 == 1L), out.count(_._2 == 0L)) / n
+    info(f"logreg accuracy $acc%.3f vs majority $majority%.3f over ${n.toInt} docs")
+    assert(acc >= 0.95 && acc > majority + 0.2,
+      f"distilled classifier failed to learn: acc $acc%.3f majority $majority%.3f")
+    // probabilities are valid ppm and the threshold defines pred
+    assert(out.forall(r => r._3 >= 0 && r._3 <= 1000000 &&
+      (r._4 == 1L) == (r._3 >= 500000)))
+    // the whole train+score chain is deterministic: a second run is
+    // bit-identical (quantized gradients + integer weights)
+    val again = functions.Text.qualityLogreg(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
 }
