@@ -28,6 +28,7 @@ object SparkEntry {
     (operators.Layout.queries, operators.Layout.oracles),
     (functions.Scalars.queries, functions.Scalars.oracles),
     (functions.Text.queries, functions.Text.oracles),
+    (functions.Lm.queries, functions.Lm.oracles),
     (functions.Corpus.queries, functions.Corpus.oracles),
     (functions.Signals.queries, functions.Signals.oracles),
     (functions.Dedup.queries, functions.Dedup.oracles),

@@ -1,0 +1,251 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed count-based n-gram language modeling — the classic
+  * web-scale MapReduce workload (Brants et al., EMNLP 2007, "Large
+  * Language Models in Machine Translation": 2-trillion-token corpora,
+  * counts sharded by n-gram hash) re-expressed as Spark relations —
+  * and the corpus-quality filter built on top of it (Wenzek et al.,
+  * LREC 2020, CCNet: rank documents by LM score per language, keep
+  * the head/middle, drop the tail).
+  *
+  * Everything is counts, equi-joins and integer arithmetic:
+  *
+  *  - n-gram extraction is a map-only array transform inside the scan
+  *    projection (no shuffle, no window);
+  *  - the count tables are plain hash aggregates keyed by the n-gram
+  *    — exactly the relations Brants shards across machines; at
+  *    100 TB they'd be written to parquet bucketed by n-gram hash and
+  *    pruned with a min-count threshold before serving;
+  *  - scoring is LEFT equi-joins from the test trigram stream into
+  *    the three count relations — the same join the "distributed
+  *    backoff lookup" performs, with Spark free to broadcast
+  *    whichever count table fits;
+  *  - "stupid backoff" (Brants §4) replaces normalized smoothing
+  *    with a fixed 0.4 back-off factor precisely so scores need NO
+  *    global normalization pass — the property that made it the
+  *    first LM to train on trillions of tokens, and the property
+  *    that keeps this whole query shuffle-minimal.
+  *
+  * Per-trigram scores are quantized to integer micro-units
+  * (floor(1e6·S)) BEFORE the per-document sum, the repo's Exact
+  * convention: integer sums are associative, so the result is
+  * bit-identical across partitionings and engines.
+  *
+  * Reference tie-in: the reference pipeline has no LM stage (it is a
+  * vision pipeline); this family belongs to the LLM-data-pipeline
+  * extension surface (SURVEY.md §2.11), next to text_lm_score's
+  * self-scored add-one bigram model — which this generalizes with a
+  * train/score split, trigram order, and backoff-level accounting.
+  */
+object Lm {
+
+  /** Back-off multiplier α = 0.4 (Brants et al. 2007 §4). */
+  val Alpha = 0.4
+
+  /** Train fraction of the hash split — same `polyHash(text) % 100`
+    * rule as text_split_assign, so "train" means the same rows
+    * everywhere in the catalog. */
+  val TrainPct = 80
+
+  private def withBucket(docs: DataFrame): DataFrame =
+    docs.withColumn("bucket", Text.polyHash(col("text")) % 100)
+
+  /** (doc_id, t) token arrays with ≥ `n` tokens. The size guard
+    * matters on the Spark side: `sequence(0, size-3)` DESCENDS when
+    * size < 3 (Spark generates descending sequences), which would
+    * fabricate out-of-range trigrams instead of none. */
+  private def tokArrays(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), Text.toks(col("text")).as("t"))
+      .where(size(col("t")) >= n)
+
+  /** Map-only n-gram stream: one row per position, struct-free wide
+    * columns (w1..wn). Stays inside whole-stage codegen — the array
+    * transform + posexplode is evaluated in the scan stage. */
+  private def ngrams(docs: DataFrame, n: Int): DataFrame = {
+    val fields = (1 to n).map(k => s"'w$k', t[i + ${k - 1}]").mkString(", ")
+    tokArrays(docs, n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(t) - $n), i -> named_struct($fields))"))
+          .as("g"))
+      .select(col("doc_id") +: (1 to n).map(k => col(s"g.w$k").as(s"w$k")): _*)
+  }
+
+  /** L14a: trigram stupid-backoff scoring of the held-out split.
+    *
+    * Counts (trigram, bigram, unigram, N) come from the TRAIN rows of
+    * `docs` (`isTrain`); every trigram of the TEST rows (`!isTrain`)
+    * is scored with
+    *
+    *   S(w3|w1 w2) = c(w1w2w3)/c(w1w2)            if c(w1w2w3) > 0
+    *               = α · c(w2w3)/c(w2)            else if c(w2w3) > 0
+    *               = α² · c(w3)/N                 else if c(w3) > 0
+    *               = 0                            else (OOV)
+    *
+    * and the per-doc output records how often each back-off level
+    * fired (`n_hit3/2/1` — OOV is the remainder) beside the
+    * micro-unit score sum. The level histogram is the standard LM
+    * coverage diagnostic: at corpus scale it tells you whether the
+    * count tables are big enough before you spend a cluster-day
+    * scoring with them. */
+  def lmNgramBackoffOn(docs: DataFrame, isTrain: Column): DataFrame = {
+    val train = docs.where(isTrain)
+    val test = docs.where(!isTrain)
+
+    val c3 = ngrams(train, 3).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123"))
+    val c2 = ngrams(train, 2).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+    val c1 = ngrams(train, 1).groupBy("w1")
+      .agg(count(lit(1)).as("cw"))
+    val n = ngrams(train, 1).agg(count(lit(1)).as("n"))
+
+    val scored = ngrams(test, 3)
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c12").as("c23")), Seq("w2", "w3"), "left")
+      .join(c1.select(col("w1").as("w2"), col("cw").as("cw2")), Seq("w2"), "left")
+      .join(c1.select(col("w1").as("w3"), col("cw").as("cw3")), Seq("w3"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        when(col("c123").isNotNull, lit(3))
+          .when(col("c23").isNotNull, lit(2))
+          .when(col("cw3").isNotNull, lit(1))
+          .otherwise(lit(0)).as("lvl"),
+        // per-trigram micro-unit quantization BEFORE the sum: the
+        // double divisions are IEEE-identical in any engine, the
+        // floor makes them integers, integer sums are order-free.
+        floor(lit(1000000.0) *
+          when(col("c123").isNotNull, col("c123") / col("c12"))
+            .when(col("c23").isNotNull, lit(Alpha) * col("c23") / col("cw2"))
+            .when(col("cw3").isNotNull, lit(Alpha * Alpha) * col("cw3") / col("n"))
+            .otherwise(lit(0.0))).cast("long").as("su"))
+
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_hit3"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_hit2"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_hit1"),
+        sum(col("su")).as("score_micro"))
+      .orderBy("doc_id")
+  }
+
+  def lmNgramBackoff(s: SparkSession, dir: String): DataFrame =
+    lmNgramBackoffOn(withBucket(Tables.documents(s, dir)),
+      col("bucket") < TrainPct)
+
+  /** L14b: CCNet perplexity filter (Wenzek et al. 2020 §4.3) — rank
+    * each language's held-out documents by average LM score and cut
+    * into head/middle/tail terciles. CCNet keeps head+middle as
+    * training data and drops the tail; the output here is the audit
+    * relation (per lang × bucket: doc/trigram counts and the score
+    * range) a pipeline would inspect before committing the cut.
+    *
+    * The ntile window partitions by LANGUAGE — CCNet's own design
+    * (one KenLM per language) — so no single partition ever holds
+    * more than one language's documents; within a language the order
+    * is (avg desc, doc_id), a deterministic total order. */
+  def lmPerplexityFilterOn(docs: DataFrame, isTrain: Column): DataFrame = {
+    val perDoc = lmNgramBackoffOn(docs, isTrain)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tri"),
+        expr("score_micro div n_tri").as("avg_micro"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_micro").desc, col("doc_id").asc)
+    perDoc
+      .withColumn("bin", ntile(3).over(w))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tri")).as("n_trigrams"),
+        min(col("avg_micro")).as("min_avg_micro"),
+        max(col("avg_micro")).as("max_avg_micro"))
+      .select(col("lang"),
+        when(col("bin") === 1, "head").when(col("bin") === 2, "middle")
+          .otherwise("tail").as("quality_bucket"),
+        col("n_docs"), col("n_trigrams"),
+        col("min_avg_micro"), col("max_avg_micro"))
+      .orderBy("lang", "quality_bucket")
+  }
+
+  def lmPerplexityFilter(s: SparkSession, dir: String): DataFrame =
+    lmPerplexityFilterOn(withBucket(Tables.documents(s, dir)),
+      col("bucket") < TrainPct)
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Shared DuckDB CTE chain ending in `sc(doc_id, lvl, su)` — the
+    * per-test-trigram level + micro-score relation both oracles
+    * aggregate. Mirrors [[lmNgramBackoffOn]] term for term; the
+    * double arithmetic is spelled with explicit DOUBLE casts because
+    * a bare `0.4` parses as DECIMAL in DuckDB and would change the
+    * rounding. */
+  private val scoreCoreSql =
+    s"""tk AS (SELECT doc_id, lang, string_split(text,' ') AS t,
+       |    ${Text.polySql} % 100 AS b FROM documents),
+       |tri_tr AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+       |  FROM tk, UNNEST(range(1, len(t) - 1)) r(i) WHERE b < $TrainPct),
+       |c3 AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri_tr GROUP BY 1, 2, 3),
+       |bg_tr AS (SELECT t[i] AS w1, t[i+1] AS w2
+       |  FROM tk, UNNEST(range(1, len(t))) r(i) WHERE b < $TrainPct),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg_tr GROUP BY 1, 2),
+       |c1 AS (SELECT t[i] AS w, COUNT(*) AS cw
+       |  FROM tk, UNNEST(range(1, len(t) + 1)) r(i) WHERE b < $TrainPct GROUP BY 1),
+       |nn AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM c1),
+       |tri_te AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+       |  FROM tk, UNNEST(range(1, len(t) - 1)) r(i) WHERE b >= $TrainPct),
+       |sc AS (SELECT doc_id,
+       |    CASE WHEN g3.c123 IS NOT NULL THEN 3
+       |         WHEN p23.c12 IS NOT NULL THEN 2
+       |         WHEN u3.cw IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+       |    CAST(floor(CAST(1000000.0 AS DOUBLE) *
+       |      CASE WHEN g3.c123 IS NOT NULL THEN g3.c123 / g12.c12
+       |           WHEN p23.c12 IS NOT NULL THEN CAST($Alpha AS DOUBLE) * p23.c12 / u2.cw
+       |           WHEN u3.cw IS NOT NULL THEN CAST(${Alpha * Alpha} AS DOUBLE) * u3.cw / nn.n
+       |           ELSE CAST(0.0 AS DOUBLE) END) AS BIGINT) AS su
+       |  FROM tri_te
+       |  LEFT JOIN c3 g3 ON tri_te.w1 = g3.w1 AND tri_te.w2 = g3.w2 AND tri_te.w3 = g3.w3
+       |  LEFT JOIN c2 g12 ON tri_te.w1 = g12.w1 AND tri_te.w2 = g12.w2
+       |  LEFT JOIN c2 p23 ON tri_te.w2 = p23.w1 AND tri_te.w3 = p23.w2
+       |  LEFT JOIN c1 u2 ON tri_te.w2 = u2.w
+       |  LEFT JOIN c1 u3 ON tri_te.w3 = u3.w
+       |  CROSS JOIN nn)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_ngram_backoff" -> lmNgramBackoff,
+    "lm_perplexity_filter" -> lmPerplexityFilter,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "lm_ngram_backoff" ->
+      s"""WITH $scoreCoreSql
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tri,
+         |  CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+         |  CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit2,
+         |  CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
+         |  CAST(SUM(su) AS BIGINT) AS score_micro
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "lm_perplexity_filter" ->
+      s"""WITH $scoreCoreSql,
+         |d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+         |    CAST(SUM(su) AS BIGINT) AS sm FROM sc GROUP BY doc_id),
+         |av AS (SELECT d.doc_id, tk.lang, d.n_tri, d.sm // d.n_tri AS avg_micro
+         |  FROM d JOIN tk ON d.doc_id = tk.doc_id),
+         |nt AS (SELECT lang, n_tri, avg_micro,
+         |    NTILE(3) OVER (PARTITION BY lang
+         |      ORDER BY avg_micro DESC, doc_id ASC) AS bin FROM av)
+         |SELECT lang,
+         |  CASE WHEN bin = 1 THEN 'head' WHEN bin = 2 THEN 'middle'
+         |       ELSE 'tail' END AS quality_bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tri) AS BIGINT) AS n_trigrams,
+         |  CAST(MIN(avg_micro) AS BIGINT) AS min_avg_micro,
+         |  CAST(MAX(avg_micro) AS BIGINT) AS max_avg_micro
+         |FROM nt GROUP BY 1, 2 ORDER BY lang, quality_bucket""".stripMargin,
+  )
+}

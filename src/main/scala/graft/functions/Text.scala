@@ -980,7 +980,7 @@ object Text {
   private def sqlHits(words: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
 
-  private val polySql =
+  private[functions] val polySql =
     """list_reduce(
       |  list_concat([CAST(0 AS BIGINT)],
       |    list_transform(string_split(text,''), c -> CAST(unicode(c) AS BIGINT))),
