@@ -865,7 +865,66 @@ object Dedup {
   def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
     dedupEmbeddingLshOn(Tables.embeddings(s, dir), tables = 8)
 
+  /** Paragraph-granular width of [[dedupParagraphOn]]: with no
+    * newline structure in the synthetic corpus, a "paragraph" is a
+    * non-overlapping 16-token chunk (documented surrogate; a real
+    * corpus splits on `\n\n` in the same relation shape). */
+  val ParaTokens = 16
+
+  /** L1p: paragraph-level exact dedup — CCNet's first stage (Wenzek
+    * et al., LREC 2020 §4.1: hash every paragraph, drop repeats
+    * keeping the FIRST occurrence corpus-wide) — the step that strips
+    * boilerplate headers/footers shared across pages before any
+    * document-level dedup runs.
+    *
+    * Shape, and why it scales:
+    *  - paragraph extraction is a map-only array slice inside the
+    *    scan projection (chunk_id = pos div [[ParaTokens]] — stride
+    *    equals width, so a chunk is just 16 consecutive tokens);
+    *  - first-occurrence election is ONE window keyed by the
+    *    paragraph hash (row_number over (hash; doc_id, chunk_id)) —
+    *    partitioned by real data, no global order, the same shape
+    *    CCNet runs as a shard-and-elect MapReduce;
+    *  - the rewrite is the per-doc regroup that reassembles kept
+    *    paragraphs in position order (order restored inside the
+    *    aggregate via array_sort, so the groupBy needs no sort).
+    *
+    * Output is the audit + apply relation: per doc, paragraph counts
+    * before/after and the rewritten text (empty when every paragraph
+    * already appeared earlier in the corpus — exact-duplicate docs
+    * collapse to their first copy, subsuming doc-level exact dedup). */
+  def dedupParagraphOn(docs: DataFrame, width: Int = ParaTokens): DataFrame = {
+    require(width > 0, s"need width > 0, got $width")
+    val paras = docs
+      .select(col("doc_id"), Text.toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), expr(s"(n - 1) div $width"))).as("chunk_id"),
+        col("t"))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(col("t"),
+          (col("chunk_id") * width + 1).cast("int"), lit(width))).as("chunk_text"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        Text.polyHash(col("chunk_text")).as("h"))
+    val firstSeen = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+    paras
+      .withColumn("keep", row_number().over(firstSeen) === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("chunk_id"), col("chunk_text"))))),
+          x => x("chunk_text"))).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  def dedupParagraph(s: SparkSession, dir: String): DataFrame =
+    dedupParagraphOn(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_paragraph" -> dedupParagraph,
     "dedup_exact" -> dedupExact,
     "dedup_url" -> dedupUrl,
     "dedup_minhash_estimate" -> dedupMinhashEstimate,
@@ -972,6 +1031,27 @@ object Dedup {
        |ORDER BY da, db""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_paragraph" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |p AS (SELECT doc_id,
+         |    unnest(range(0, (len(t) - 1) // $ParaTokens + 1)) AS chunk_id, t
+         |  FROM tk),
+         |c AS (SELECT doc_id, chunk_id,
+         |    array_to_string(t[CAST(chunk_id * $ParaTokens + 1 AS BIGINT) :
+         |      CAST(chunk_id * $ParaTokens + $ParaTokens AS BIGINT)], ' ')
+         |      AS chunk_text
+         |  FROM p),
+         |h AS (SELECT doc_id, chunk_id, chunk_text,
+         |    ${Text.polySqlOf("chunk_text")} AS h FROM c),
+         |k AS (SELECT doc_id, chunk_id, chunk_text,
+         |    ROW_NUMBER() OVER (PARTITION BY h
+         |      ORDER BY doc_id ASC, chunk_id ASC) = 1 AS keep FROM h)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+         |    ORDER BY chunk_id), '') AS kept_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
         |  COUNT(*) AS n_copies

@@ -980,11 +980,15 @@ object Text {
   private def sqlHits(words: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
 
-  private[functions] val polySql =
-    """list_reduce(
-      |  list_concat([CAST(0 AS BIGINT)],
-      |    list_transform(string_split(text,''), c -> CAST(unicode(c) AS BIGINT))),
-      |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+  /** DuckDB mirror of [[polyHash]] over an arbitrary string SQL
+    * expression (shared across module oracles). */
+  private[functions] def polySqlOf(e: String): String =
+    s"""list_reduce(
+       |  list_concat([CAST(0 AS BIGINT)],
+       |    list_transform(string_split($e,''), c -> CAST(unicode(c) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  private[functions] val polySql = polySqlOf("text")
 
   /** One unrolled BPE round for the oracle: pair counts over `prev`,
     * 1-row argmax, merged word relation. The fold mirrors

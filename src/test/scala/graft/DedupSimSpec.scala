@@ -735,4 +735,37 @@ class DedupSimSpec extends SparkSpecBase {
     assert(lshRow == evalSum, s"matrix $lshRow != eval $evalSum")
     m.unpersist()
   }
+
+  test("paragraph dedup: first occurrence wins corpus-wide, rewrite drops repeats in place") {
+    import spark.implicits._
+    val p1 = (1 to 16).map(i => s"a$i").mkString(" ")
+    val p2 = (1 to 16).map(i => s"b$i").mkString(" ")
+    val tail8 = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p1 $p2 $tail8"),            // 3 paragraphs, all first
+      (2L, s"$p1 $p2 $tail8"),            // exact copy -> all dropped
+      (3L, s"$p2 ${(1 to 16).map(i => s"d$i").mkString(" ")}"), // 1 dup + 1 new
+    ).toDF("doc_id", "text")
+    val out = functions.Dedup.dedupParagraphOn(docs)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 3L), (2L, 3L, 0L), (3L, 2L, 1L)))
+    assert(out(0).getString(3) == s"$p1 $p2 $tail8")
+    assert(out(1).getString(3) == "")
+    assert(out(2).getString(3) == (1 to 16).map(i => s"d$i").mkString(" "))
+  }
+
+  test("paragraph dedup on the corpus: kept fraction sane, duplicate docs collapse") {
+    import spark.implicits._
+    val out = functions.Dedup.dedupParagraph(spark, sf).cache()
+    assert(out.filter(col("n_kept") > col("n_paras")).count() == 0)
+    // repeated word-soup chunks exist -> some paragraphs get dropped
+    val (paras, kept) = out
+      .agg(sum("n_paras"), sum("n_kept")).as[(Long, Long)].head()
+    assert(kept < paras, s"expected drops: kept $kept of $paras")
+    // first doc of the corpus keeps everything
+    assert(out.orderBy("doc_id").first().getLong(2) ==
+      out.orderBy("doc_id").first().getLong(1))
+    out.unpersist()
+  }
 }
