@@ -941,7 +941,111 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** L3m: ANN-mined hard negatives — the contrastive-training miner
+    * (Xiong et al. 2021 ANCE; Karpukhin et al. 2020 DPR §5.2): for
+    * each query vector, the top-k most-similar vectors whose label
+    * DIFFERS — near-misses the embedding model must learn to push
+    * away. Same broadcast-probe scan as [[topkCosineOn]] with the
+    * label disequality folded into the join predicate, so negatives
+    * are filtered BEFORE the per-query top-k window; at cluster scale
+    * the window becomes the partial-TopK plan (graft.plans.TopK) the
+    * topk_per_key query pins. Scores ship as half-up-scaled BIGINT
+    * (`rel_x10k`, ORACLES.md A12). */
+  def simHardNegativesOn(corpus: DataFrame, queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val e = corpus
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("label"), col("emb"), norm2(col("emb")).as("nrm"))
+    val q = queries
+      .select(col("qid"), col("qlabel"),
+        col("embedding").cast("array<double>").as("qemb"))
+      .select(col("qid"), col("qlabel"), col("qemb"), norm2(col("qemb")).as("qnrm"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(q), col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("label").as("neg_label"),
+        round(dot(col("qemb"), col("emb")) /
+          (col("qnrm") * col("nrm")), 4).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("neg_label"),
+        expr("CAST(floor(cos * 10000 + 0.5) AS BIGINT)").as("rel_x10k"))
+      .orderBy("qid", "rank")
+  }
+
+  def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    simHardNegativesOn(emb,
+      emb.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+        col("label").as("qlabel"), col("embedding")))
+  }
+
+  /** Johnson–Lindenstrauss output width of [[simRandomProjection]]:
+    * 64 → 16 dims (4× compression). */
+  val RpDim = 16
+
+  /** Deterministic ±1 sign for input dim `d` (1-based), output dim
+    * `j` (0-based) — a fixed seeded sign matrix, the Achlioptas 2003
+    * database-friendly JL variant (entries ±1, no gaussians). The
+    * multiply-then-mod mixes parity so no two output dims share a
+    * sign pattern; all-integer, so both engines agree bit-for-bit. */
+  private def rpSignSql(d: String, j: String): String =
+    s"CASE WHEN (($d * 131 + $j * 31 + 7) * 2654435761) % 1000000007 % 2 = 0 " +
+      s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+
+  /** Spark-side projection: emb (any dim) → [[RpDim]] doubles. The
+    * j-th output is a fixed-order left fold over the input dims —
+    * the same fold order as the DuckDB mirror, so the float sums are
+    * IEEE-identical. Pure higher-order built-ins: the whole
+    * projection runs inside whole-stage codegen in the scan stage. */
+  private def rpProject(emb: String): Column =
+    expr(s"""transform(sequence(0, ${RpDim - 1}), j ->
+      aggregate(sequence(1, size($emb)), CAST(0.0 AS DOUBLE),
+        (acc, d) -> acc + element_at($emb, d) * ${rpSignSql("d", "j")}))""")
+
+  /** L3n: random-projection (JL) top-k with in-catalog recall — the
+    * cheapest ANN rung: project corpus and queries through the fixed
+    * ±1 matrix (map-only, 4× narrower vectors), run the same
+    * broadcast-probe top-k in the projected space, and report per
+    * query how many of the exact top-k survive. One dashboard row per
+    * query, same schema as sim_ann_recall_eval — slotting JL into the
+    * "which index do we deploy" table next to LSH/IVF/PQ. At 100 TB
+    * the projected corpus is what you'd persist: the full-width scan
+    * happens once at projection time, every later search touches 1/4
+    * the bytes. */
+  def simRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), rpProject("emb").as("p"))
+      .select(col("vec_id"), col("p"), norm2(col("p")).as("nrm"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("p").as("qp"), col("nrm").as("qnrm"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val proj = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qp"), col("p")) /
+          (col("qnrm") * col("nrm")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "vec_id")
+    val exact = simTopk(s, dir).select(col("qid"), col("vec_id"))
+    val hits = exact.join(proj, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left_outer")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("qid"), col("n_exact"), col("n_hit"),
+        expr("CAST(n_hit * 100 div n_exact AS BIGINT)").as("recall_pct"))
+      .orderBy("qid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hard_negatives" -> simHardNegatives,
+    "sim_random_projection" -> simRandomProjection,
     "sim_maxsim" -> simMaxsim,
     "sim_ann_pq" -> simAnnPq,
     "sim_ann_ivfpq" -> simAnnIvfPq,
@@ -1060,7 +1164,30 @@ object Similarity {
        |  FROM d2),
        |cells AS (SELECT vec_id, cid AS cell FROM cellrank WHERE rn = 1)""".stripMargin
 
+  /** DuckDB mirror of [[rpProject]]: same sign rule, same ascending
+    * left fold per output dim. */
+  private val rpProjectSql: String =
+    s"""list_transform(range(0, $RpDim), j ->
+       |  list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |    list_transform(range(1, len(embedding) + 1),
+       |      d -> CAST(embedding[d] AS DOUBLE) * ${rpSignSql("d", "j")})),
+       |    (x, y) -> x + y))""".stripMargin
+
   private val oraclesBase: Map[String, String] = Map(
+    "sim_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+         |q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qemb,
+         |    nrm AS qnrm FROM e WHERE vec_id < 10),
+         |p AS (SELECT qid, e.vec_id, e.label AS neg_label,
+         |    round(${sqlDot("qemb", "e.embedding")} / (qnrm * e.nrm), 4) AS cos
+         |  FROM e JOIN q ON e.label <> q.qlabel),
+         |r AS (SELECT qid, vec_id, neg_label, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id ASC) AS rnk FROM p)
+         |SELECT qid, CAST(rnk AS INT) AS rank, vec_id, neg_label,
+         |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS rel_x10k
+         |FROM r WHERE rnk <= 10 ORDER BY qid, rank""".stripMargin,
     "sim_maxsim" ->
       s"""WITH e AS (SELECT label, vec_id, embedding,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
@@ -1349,6 +1476,24 @@ object Similarity {
     * derived table, so the dashboard can never drift from the
     * methods it measures. */
   val oracles: Map[String, String] = oraclesBase +
+    ("sim_random_projection" ->
+      s"""WITH pe AS (SELECT vec_id, $rpProjectSql AS p FROM embeddings),
+         |pn AS (SELECT vec_id, p, sqrt(${sqlDot("p", "p")}) AS nrm FROM pe),
+         |pq AS (SELECT vec_id AS qid, p AS qp, nrm AS qnrm
+         |  FROM pn WHERE vec_id < 5),
+         |pp AS (SELECT qid, pn.vec_id,
+         |    round(${sqlDot("qp", "pn.p")} / (qnrm * pn.nrm), 4) AS cos
+         |  FROM pn JOIN pq ON pn.vec_id <> pq.qid),
+         |pr AS (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS rnk FROM pp),
+         |ap AS (SELECT qid, vec_id FROM pr WHERE rnk <= 5),
+         |ex AS (SELECT qid, vec_id FROM (${oraclesBase("sim_topk")})),
+         |h AS (SELECT qid, COUNT(*) AS n_hit FROM ex
+         |  JOIN ap USING (qid, vec_id) GROUP BY qid),
+         |ne AS (SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY qid)
+         |SELECT ne.qid, n_exact, COALESCE(n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(n_hit, 0) * 100 // n_exact AS BIGINT) AS recall_pct
+         |FROM ne LEFT JOIN h ON ne.qid = h.qid ORDER BY ne.qid""".stripMargin) +
     ("sim_ann_recall_matrix" -> {
       def hitSql(m: String) =
         s"""(SELECT COUNT(*) AS n_hit FROM ex

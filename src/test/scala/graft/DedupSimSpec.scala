@@ -736,6 +736,54 @@ class DedupSimSpec extends SparkSpecBase {
     m.unpersist()
   }
 
+  test("hard negatives: never the query's own label, ranked by descending cosine") {
+    import spark.implicits._
+    val out = functions.Similarity.simHardNegatives(spark, sf).cache()
+    // label disequality holds for every mined negative
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+    assert(out.join(emb, "qid").filter(col("neg_label") === col("qlabel"))
+      .count() == 0)
+    // per query: ranks are 1..k and scores are non-increasing
+    val byQ = out.select("qid", "rank", "rel_x10k")
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true })
+    }
+    out.unpersist()
+  }
+
+  test("hard negatives fixture: nearest cross-label vector wins, same-label near-miss excluded") {
+    import spark.implicits._
+    val mk = (id: Long, lab: Int, v: Seq[Float]) => (id, v, lab)
+    val corpus = Seq(
+      mk(0L, 0, Seq(1f, 0f)),   // the query
+      mk(1L, 0, Seq(0.99f, 0.14f)), // same label: must NOT appear
+      mk(2L, 1, Seq(0.8f, 0.6f)),   // cross label, cos 0.8
+      mk(3L, 1, Seq(0f, 1f)),       // cross label, cos 0
+    ).toDF("vec_id", "embedding", "label")
+    val q = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding"))
+    val out = functions.Similarity.simHardNegativesOn(corpus, q, k = 2)
+      .select("rank", "vec_id", "rel_x10k").as[(Int, Long, Long)].collect()
+    assert(out.toSeq == Seq((1, 2L, 8000L), (2, 3L, 0L)))
+  }
+
+  test("random projection recall row: 5 queries, recall_pct consistent with n_hit") {
+    import spark.implicits._
+    val out = functions.Similarity.simRandomProjection(spark, sf)
+      .select("qid", "n_exact", "n_hit", "recall_pct")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 5)
+    out.foreach { case (_, ne, nh, rp) =>
+      assert(ne == 5L && nh >= 0L && nh <= 5L && rp == nh * 100 / ne)
+    }
+  }
+
   test("paragraph dedup: first occurrence wins corpus-wide, rewrite drops repeats in place") {
     import spark.implicits._
     val p1 = (1 to 16).map(i => s"a$i").mkString(" ")
