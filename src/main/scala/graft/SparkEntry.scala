@@ -29,6 +29,7 @@ object SparkEntry {
     (functions.Scalars.queries, functions.Scalars.oracles),
     (functions.Text.queries, functions.Text.oracles),
     (functions.Lm.queries, functions.Lm.oracles),
+    (functions.Privacy.queries, functions.Privacy.oracles),
     (functions.Corpus.queries, functions.Corpus.oracles),
     (functions.Signals.queries, functions.Signals.oracles),
     (functions.Dedup.queries, functions.Dedup.oracles),

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** privacy_kanon: generalization-ladder fixture covering publish /
+  * generalize / suppress, plus corpus invariants. */
+class PrivacySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def cust(rows: Seq[(Long, Int, Double, String)]) =
+    rows.toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  test("ladder fixture: level 0 publishes, level 1 merges, level 2 suppresses") {
+    val rows =
+      // 5 rows in one fine bucket (bal 100..199) -> level 0
+      (1L to 5L).map(i => (i, (i % 3).toInt, 150.0, "A")) ++
+      // 5 rows spread over fine buckets of the SAME coarse bucket
+      // (bal 1000..1900 step 200) -> each fine group of 1 -> level 1
+      (11L to 15L).map(i => (i, (i % 2).toInt, 1000.0 + (i - 11) * 200, "A")) ++
+      // 2 isolated rows in their own coarse bucket -> suppressed
+      Seq((21L, 0, 5000.0, "A"), (22L, 1, 5100.0, "A"))
+    val out = functions.Privacy.privacyKanonOn(cust(rows))
+      .select("segment", "bucket", "level", "n_rows", "l_div")
+      .as[(String, String, Int, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("A", "h1", 0, 5L, 3L),   // floor(150/100)=1
+      ("A", "k1", 1, 5L, 2L),   // floor(1000..1800/1000)=1
+      ("A", "*", 2, 2L, 2L)))
+  }
+
+  test("published groups meet k; suppressed rows are counted, never bucketed") {
+    val out = functions.Privacy.privacyKanon(spark, sf).cache()
+    assert(out.filter(col("level") < 2 && col("n_rows") < functions.Privacy.K)
+      .count() == 0)
+    assert(out.filter(col("level") === 2 && col("bucket") =!= "*").count() == 0)
+    // total rows conserved
+    val total = out.agg(sum("n_rows")).as[Long].head()
+    assert(total == Tables.customer(spark, sf).count())
+    out.unpersist()
+  }
+}
