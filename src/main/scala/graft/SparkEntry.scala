@@ -30,6 +30,7 @@ object SparkEntry {
     (functions.Text.queries, functions.Text.oracles),
     (functions.Lm.queries, functions.Lm.oracles),
     (functions.Privacy.queries, functions.Privacy.oracles),
+    (functions.Sketches.queries, functions.Sketches.oracles),
     (functions.Corpus.queries, functions.Corpus.oracles),
     (functions.Signals.queries, functions.Signals.oracles),
     (functions.Dedup.queries, functions.Dedup.oracles),

@@ -1,0 +1,149 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable set sketches beyond single-stream distinct counts — the
+  * KMV/theta family (Bar-Yossef et al. 2002 "Counting distinct
+  * elements in a data stream"; Dasgupta et al. 2016, the Theta Sketch
+  * Framework behind Apache DataSketches), which answers what HLL
+  * cannot: cardinalities of UNIONS and INTERSECTIONS across many
+  * overlapping segments — the "how many users did both A and B"
+  * question every audience/overlap dashboard asks at 100 TB, where
+  * the exact distinct-join is the query you must never run.
+  *
+  * The sketch of a set is its k smallest hash values; sketches merge
+  * by union-then-rekeep-k (associative, commutative — the mergeable-
+  * summaries property that lets every partition sketch locally and a
+  * tiny reduce combine them). The estimator is (k-1)/θ with θ = the
+  * k-th smallest hash as a fraction of the hash space — spelled here
+  * in pure integer arithmetic ((k-1)·P div h_k), so the whole
+  * operator is hash/sort/count: bit-identical in any engine, no
+  * floats anywhere.
+  *
+  * Unlike agg_approx_distinct (HLL++, bounds-mode oracle), this
+  * sketch is DETERMINISTIC given the seeded hash — the DuckDB oracle
+  * replays it exactly; and the output carries its own accuracy eval
+  * (exact intersection + signed error) per the catalog's
+  * "measure, don't guess" convention (sim_ann_recall_matrix).
+  */
+object Sketches {
+
+  /** Sketch size: 32 keeps the estimator honest (types hold ~150+
+    * distinct users at the gate sf, so θ < 1 and estimation is real
+    * work, not a pass-through). Relative error ~ 1/√(k−2) ≈ 18%. */
+  val SketchK = 32
+
+  private val P = 1000000007L
+
+  /** L17a: theta-sketch audience overlap — per event-type pair, the
+    * KMV estimates of each audience, their union (merged sketch) and
+    * their intersection (inclusion–exclusion, clamped at 0), beside
+    * the exact intersection and the signed error (estimate − exact,
+    * plain integer subtraction — engine-portable, unlike a ratio).
+    *
+    * Shapes: one distinct-shuffle to hash the (type, user) pairs,
+    * one keyed window per type to keep the k smallest (at cluster
+    * scale: partial per-partition top-k then merge — the mergeable
+    * property), a 10-row pair join, and a pair-keyed window over
+    * ≤ 2k rows per pair for the merged sketch. The exact column is
+    * a second distinct-shuffle — affordable here, and exactly the
+    * pass the sketch exists to replace at 100×; it stays in the
+    * output as the in-catalog accuracy eval. */
+  def sketchThetaOn(events: DataFrame, k: Int = SketchK): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val hashes = events
+      .select(col("event_type"),
+        expr(s"(user_id * 2654435761 + 12345) % $P").as("h"))
+      .distinct()
+    val wt = Window.partitionBy("event_type").orderBy(col("h").asc)
+    val sk = hashes.withColumn("rn", row_number().over(wt))
+      .filter(col("rn") <= k)
+    // a type with fewer than k distinct users has no k-th value and
+    // drops out here (inner join) — at that size you count exactly
+    val kth = sk.filter(col("rn") === k)
+      .select(col("event_type"), col("h").as("kth"))
+    val pairs = kth.select(col("event_type").as("type_a"), col("kth").as("kth_a"))
+      .join(kth.select(col("event_type").as("type_b"), col("kth").as("kth_b")),
+        col("type_a") < col("type_b"))
+    val ua = pairs.join(sk, col("event_type") === col("type_a"))
+      .select(col("type_a"), col("type_b"), col("h"))
+    val ub = pairs.join(sk, col("event_type") === col("type_b"))
+      .select(col("type_a"), col("type_b"), col("h"))
+    val wp = Window.partitionBy("type_a", "type_b").orderBy(col("h").asc)
+    val kthU = ua.union(ub).distinct()
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === k)
+      .select(col("type_a"), col("type_b"), col("h").as("kth_u"))
+    // exact distinct intersection — the eval column
+    val users = events.select(col("event_type"), col("user_id")).distinct()
+    val exact = users.select(col("event_type").as("type_a"), col("user_id"))
+      .join(users.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("exact_inter"))
+    pairs.join(kthU, Seq("type_a", "type_b"))
+      .join(exact, Seq("type_a", "type_b"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .select(col("type_a"), col("type_b"),
+        expr(s"${(k - 1) * P}L div kth_a").as("est_a"),
+        expr(s"${(k - 1) * P}L div kth_b").as("est_b"),
+        expr(s"${(k - 1) * P}L div kth_u").as("est_union"),
+        col("exact_inter"))
+      .withColumn("est_inter",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .withColumn("err", col("est_inter") - col("exact_inter"))
+      .select("type_a", "type_b", "est_a", "est_b", "est_union",
+        "est_inter", "exact_inter", "err")
+      .orderBy("type_a", "type_b")
+  }
+
+  def sketchTheta(s: SparkSession, dir: String): DataFrame =
+    sketchThetaOn(Tables.events(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_theta" -> sketchTheta,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sketch_theta" ->
+      s"""WITH hs AS (SELECT DISTINCT event_type,
+         |    (user_id * 2654435761 + 12345) % $P AS h FROM events),
+         |sk AS (SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+         |  FROM hs QUALIFY rn <= $SketchK),
+         |kth AS (SELECT event_type, h AS kth FROM sk WHERE rn = $SketchK),
+         |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    a.kth AS kth_a, b.kth AS kth_b
+         |  FROM kth a JOIN kth b ON a.event_type < b.event_type),
+         |pu AS (SELECT type_a, type_b, h FROM pairs
+         |    JOIN sk ON sk.event_type = pairs.type_a
+         |  UNION
+         |  SELECT type_a, type_b, h FROM pairs
+         |    JOIN sk ON sk.event_type = pairs.type_b),
+         |ku AS (SELECT type_a, type_b, h AS kth_u FROM (SELECT type_a, type_b, h,
+         |    ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h ASC) AS rn
+         |  FROM pu) WHERE rn = $SketchK),
+         |us AS (SELECT DISTINCT event_type, user_id FROM events),
+         |ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    CAST(COUNT(*) AS BIGINT) AS exact_inter
+         |  FROM us a JOIN us b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |est AS (SELECT pairs.type_a, pairs.type_b,
+         |    ${(SketchK - 1) * P} // kth_a AS est_a,
+         |    ${(SketchK - 1) * P} // kth_b AS est_b,
+         |    ${(SketchK - 1) * P} // kth_u AS est_union,
+         |    COALESCE(exact_inter, 0) AS exact_inter
+         |  FROM pairs JOIN ku USING (type_a, type_b)
+         |  LEFT JOIN ex USING (type_a, type_b))
+         |SELECT type_a, type_b, est_a, est_b, est_union,
+         |  GREATEST(0, est_a + est_b - est_union) AS est_inter,
+         |  exact_inter,
+         |  GREATEST(0, est_a + est_b - est_union) - exact_inter AS err
+         |FROM est ORDER BY type_a, type_b""".stripMargin,
+  )
+}

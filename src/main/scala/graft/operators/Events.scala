@@ -1053,7 +1053,53 @@ object Events {
   def sampleHoldoutTemporal(s: SparkSession, dir: String): DataFrame =
     sampleHoldoutTemporalOn(Tables.events(s, dir)).orderBy("user_id")
 
+  /** L20m: classical additive seasonal decomposition (the X-11 /
+    * `decompose()` shape: Y = trend + seasonal + residual) of the
+    * daily revenue series —
+    *
+    *  - trend: centered 7-day moving average, emitted only where the
+    *    frame is complete (the classical edge rule);
+    *  - seasonal: per-weekday mean of the detrended series (weekday
+    *    spelled as days-since-a-fixed-Monday mod 7 — engine-portable,
+    *    unlike dayofweek()'s engine-specific numbering);
+    *  - residual: what's left.
+    *
+    * All integer cents; the two divisions are signed TRUNCATING
+    * integer division (Spark `div` ≡ DuckDB `//`, both toward zero —
+    * verified on negatives), so no float enters the pipeline.
+    *
+    * Scale shape: one day-keyed rollup shuffles the facts; everything
+    * after lives on the DAY relation (bounded by the calendar span,
+    * the day-spine precedent) — the global-order window is over that
+    * bounded series, and the weekday aggregate is a 7-row hash agg. */
+  def tsDecomposeOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(to_date(col("ts")).as("d"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("d").agg(sum(col("cents")).as("v_cents"))
+      .withColumn("dow",
+        (datediff(col("d"), lit("1970-01-05")) % 7).cast("int"))
+    val w7 = Window.orderBy(col("d").asc).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("s7", sum(col("v_cents")).over(w7))
+      .withColumn("trend_cents", when(col("n7") === 7, expr("s7 div 7")))
+      .withColumn("detr", col("v_cents") - col("trend_cents"))
+    val seasonal = trended.where(col("detr").isNotNull)
+      .groupBy("dow")
+      .agg(expr("sum(detr) div count(1)").as("seasonal_cents"))
+    trended.join(broadcast(seasonal), Seq("dow"), "left")
+      .select(col("d"), col("dow"), col("v_cents"), col("trend_cents"),
+        col("seasonal_cents"),
+        (col("detr") - col("seasonal_cents")).as("resid_cents"))
+      .orderBy("d")
+  }
+
+  def tsDecompose(s: SparkSession, dir: String): DataFrame =
+    tsDecomposeOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_decompose" -> tsDecompose,
     "event_regex" -> eventRegex,
     "sample_holdout_temporal" -> sampleHoldoutTemporal,
     "event_cusum" -> eventCusum,
@@ -1084,6 +1130,31 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_decompose" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS v_cents
+        |  FROM events GROUP BY 1),
+        |dw AS (SELECT d, v_cents,
+        |    CAST(datediff('day', DATE '1970-01-05', d) % 7 AS INT) AS dow,
+        |    COUNT(*) OVER (ORDER BY d ASC
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+        |    SUM(v_cents) OVER (ORDER BY d ASC
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7
+        |  FROM daily),
+        |tr AS (SELECT d, dow, v_cents,
+        |    CASE WHEN n7 = 7 THEN s7 // 7 END AS trend_cents,
+        |    v_cents - (CASE WHEN n7 = 7 THEN s7 // 7 END) AS detr
+        |  FROM dw),
+        |se AS (SELECT dow,
+        |    CAST(SUM(detr) // COUNT(*) AS BIGINT) AS seasonal_cents
+        |  FROM tr WHERE detr IS NOT NULL GROUP BY dow)
+        |SELECT tr.d, tr.dow, tr.v_cents,
+        |  CAST(tr.trend_cents AS BIGINT) AS trend_cents,
+        |  se.seasonal_cents,
+        |  CAST(tr.detr - se.seasonal_cents AS BIGINT) AS resid_cents
+        |FROM tr LEFT JOIN se ON tr.dow = se.dow
+        |ORDER BY tr.d""".stripMargin,
     "event_regex" ->
       """WITH o AS (SELECT user_id, event_id, ts,
         |    substring(event_type, 1, 1) AS ch,

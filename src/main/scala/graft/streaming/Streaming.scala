@@ -205,7 +205,45 @@ object Streaming {
   def streamCountmin(s: SparkSession, dir: String): DataFrame =
     countminGrid(Tables.events(s, dir)).orderBy("win_start", "d", "bkt")
 
+  /** T9: CDC log replay — materialize the LATEST state of every
+    * entity from a change log carrying upserts and tombstones
+    * (Debezium/Delta CDF semantics: last writer wins by change time,
+    * a trailing delete removes the key). The synthetic log reads
+    * every event as a change on its user_id — 'error' rows are
+    * tombstones, anything else upserts the cents value.
+    *
+    * Batch spelling (below): one change-time-descending row_number
+    * per key over the SAME partitioning that carries the per-key
+    * change count — one shuffle total — then keep rank-1 rows that
+    * are not tombstones. Streaming spelling: the per-key "latest
+    * (ts, op, value)" is exactly a mapGroupsWithState fold (the
+    * foreachBatch CDC test in StreamingSpec pins the sequential-
+    * micro-batch == one-batch-merge equivalence this relies on).
+    * Keys whose last change is a delete appear in NEITHER output —
+    * that asymmetry (vs merge_upsert's keep-everything full outer)
+    * is what makes tombstones tombstones. */
+  def cdcReplay(ev: DataFrame): DataFrame = {
+    val log = ev.select(col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("event_id"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+        .as("op"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("tus").desc, col("event_id").desc)
+    log
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(wk))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"), col("cents").as("latest_cents"),
+        col("n_changes"))
+  }
+
+  def streamCdcReplay(s: SparkSession, dir: String): DataFrame =
+    cdcReplay(Tables.events(s, dir)).orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc_replay" -> streamCdcReplay,
     "stream_countmin" -> streamCountmin,
     "stream_dedup" -> streamDedup,
     "stream_user_sessions" -> streamUserSessions,
@@ -218,6 +256,18 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_cdc_replay" ->
+      """WITH log AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |rk AS (SELECT user_id, op, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY tus DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM log)
+        |SELECT user_id, cents AS latest_cents, n_changes
+        |FROM rk WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin,
     "stream_countmin" ->
       """WITH ec AS (SELECT time_bucket(INTERVAL 2 MINUTES, ts)
         |      AS win_start,

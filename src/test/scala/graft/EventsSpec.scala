@@ -566,4 +566,40 @@ class EventsSpec extends SparkSpecBase {
     assert(r.getAs[Double]("p90_sec") == 90.0)
     assert(r.getAs[Long]("max_sec") == 90L)
   }
+
+  test("L20m decompose: periodic series over constant trend zeroes the residual") {
+    import spark.implicits._
+    // 14 daily points starting Monday 2024-01-01: v_i = 7.00 + 0.07*(i%7)
+    // -> any 7-day window sums to 5047 cents -> trend 721 everywhere
+    // interior, seasonal(dow) = 7*dow - 21, residual exactly 0
+    val rows = (0 until 14).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+          .atTime(12, 0).toString.replace('T', ' ') + ":00"),
+        1L, "view", 7.0 + 0.07 * (i % 7), "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.Events.tsDecomposeOn(rows)
+      .select("dow", "v_cents", "trend_cents", "seasonal_cents", "resid_cents")
+      .collect()
+    assert(out.length == 14)
+    val interior = out.filter(!_.isNullAt(2))
+    assert(interior.length == 8) // days 3..10 have a complete frame
+    interior.foreach { r =>
+      assert(r.getLong(2) == 721L)
+      assert(r.getLong(3) == 7L * r.getInt(0) - 21L)
+      assert(r.getLong(4) == 0L)
+    }
+  }
+
+  test("L20m decompose on the corpus: identity holds, edges untrended") {
+    val out = operators.Events.tsDecompose(spark, sf).cache()
+    // Y = trend + seasonal + residual wherever all parts exist
+    assert(out.filter(col("trend_cents").isNotNull &&
+      col("v_cents") =!= col("trend_cents") + col("seasonal_cents") +
+        col("resid_cents")).count() == 0)
+    // first and last 3 days never get a trend (incomplete frame)
+    val n = out.count()
+    assert(out.filter(col("trend_cents").isNull).count() >= 6 || n < 7)
+    out.unpersist()
+  }
 }

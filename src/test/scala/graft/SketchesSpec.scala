@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** sketch_theta: planted identical/disjoint audiences + corpus
+  * invariants. */
+class SketchesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ev(rows: Seq[(String, Long)]) =
+    rows.zipWithIndex.map { case ((t, u), i) =>
+      (i.toLong, new Timestamp(1700000000000L + i * 1000L), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("identical audiences: sketches coincide, intersection estimate equals the set estimate") {
+    // types X and Y share exactly the same 40 users; Z is disjoint
+    val users = (1L to 40L)
+    val rows = users.flatMap(u => Seq(("X", u), ("Y", u))) ++
+      users.map(u => ("Z", u + 1000L))
+    val out = functions.Sketches.sketchThetaOn(ev(rows))
+      .select("type_a", "type_b", "est_a", "est_b", "est_union",
+        "est_inter", "exact_inter", "err")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val xy = out(("X", "Y"))
+    // same set -> same sketch -> union sketch == each sketch
+    assert(xy._3 == xy._4 && xy._4 == xy._5 && xy._6 == xy._3)
+    assert(xy._7 == 40L && xy._8 == xy._6 - 40L)
+    val xz = out(("X", "Z"))
+    assert(xz._7 == 0L && xz._6 >= 0L)
+    // disjoint union must estimate at least the larger single set
+    assert(xz._5 >= math.max(xz._3, xz._4))
+  }
+
+  test("corpus run: 10 pairs, union dominates both sides, err column consistent") {
+    // test sf holds 15 distinct users per type -> k=8 keeps estimation
+    // real here; the catalog query's k=32 works against the gate sf's
+    // 150+ users per type
+    val out = functions.Sketches
+      .sketchThetaOn(Tables.events(spark, sf), k = 8).cache()
+    assert(out.count() == 10) // C(5,2) event-type pairs
+    assert(out.filter(col("est_union") < greatest(col("est_a"), col("est_b")))
+      .count() == 0)
+    assert(out.filter(col("err") =!= col("est_inter") - col("exact_inter"))
+      .count() == 0)
+    assert(out.filter(col("est_inter") < 0).count() == 0)
+    out.unpersist()
+  }
+}

@@ -509,4 +509,26 @@ class StreamingSpec extends SparkSpecBase {
       .filter(col("mass") =!= col("n")).count()
     assert(bad == 0)
   }
+
+  test("T9 CDC replay: last writer wins by change time, trailing tombstone deletes the key") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val mk = (eid: Long, uid: Long, typ: String, tsOff: Long, v: Double) =>
+      (eid, new java.sql.Timestamp(t0 + tsOff * 1000), uid, typ, v, "{}")
+    val log = Seq(
+      // user 1: U(10.00), U(20.00), D  -> deleted
+      mk(1, 1L, "view", 10, 10.0), mk(2, 1L, "click", 20, 20.0),
+      mk(3, 1L, "error", 30, 0.0),
+      // user 2: U(5.00), D, U(30.00)   -> survives at 30.00
+      mk(4, 2L, "view", 10, 5.0), mk(5, 2L, "error", 20, 0.0),
+      mk(6, 2L, "purchase", 30, 30.0),
+      // user 3: out-of-order arrival — the LATER ts wins even though
+      // it appears first in the log
+      mk(7, 3L, "view", 50, 77.0), mk(8, 3L, "view", 10, 1.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = streaming.Streaming.cdcReplay(log)
+      .select("user_id", "latest_cents", "n_changes")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((2L, 3000L, 3L), (3L, 7700L, 2L)))
+  }
 }
