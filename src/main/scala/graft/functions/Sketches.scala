@@ -2,7 +2,6 @@ package graft.functions
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable set sketches beyond single-stream distinct counts — the
@@ -44,39 +43,42 @@ object Sketches {
     * the exact intersection and the signed error (estimate − exact,
     * plain integer subtraction — engine-portable, unlike a ratio).
     *
-    * Shapes: one distinct-shuffle to hash the (type, user) pairs,
-    * one keyed window per type to keep the k smallest (at cluster
-    * scale: partial per-partition top-k then merge — the mergeable
-    * property), a 10-row pair join, and a pair-keyed window over
-    * ≤ 2k rows per pair for the merged sketch. The exact column is
-    * a second distinct-shuffle — affordable here, and exactly the
+    * Shapes: ONE aggregation over the raw fact stream builds every
+    * per-type sketch through the mergeable [[graft.plans.KmvAgg]]
+    * buffer (map-side partials of ≤ k longs, merged exactly), the
+    * pair relation is |types|² rows of pure array arithmetic, and
+    * the union sketch never touches the facts again. The exact
+    * column is a distinct-shuffle — affordable here, and exactly the
     * pass the sketch exists to replace at 100×; it stays in the
     * output as the in-catalog accuracy eval. */
   def sketchThetaOn(events: DataFrame, k: Int = SketchK): DataFrame = {
     require(k >= 2, s"need k >= 2, got $k")
-    val hashes = events
+    // ONE aggregation builds every sketch: the mergeable KmvAgg
+    // buffer ([[graft.plans.KmvAgg]]) holds the k smallest distinct
+    // hashes, so partitions sketch locally and the shuffle carries
+    // <= k longs per (partition, type) — no distinct-shuffle of the
+    // full hash stream, the property that makes theta sketches THE
+    // overlap tool at 100 TB.
+    // a type with fewer than k distinct users has no k-th value and
+    // drops out here (size filter) — at that size you count exactly
+    val sk = events
       .select(col("event_type"),
         expr(s"(user_id * 2654435761 + 12345) % $P").as("h"))
-      .distinct()
-    val wt = Window.partitionBy("event_type").orderBy(col("h").asc)
-    val sk = hashes.withColumn("rn", row_number().over(wt))
-      .filter(col("rn") <= k)
-    // a type with fewer than k distinct users has no k-th value and
-    // drops out here (inner join) — at that size you count exactly
-    val kth = sk.filter(col("rn") === k)
-      .select(col("event_type"), col("h").as("kth"))
-    val pairs = kth.select(col("event_type").as("type_a"), col("kth").as("kth_a"))
-      .join(kth.select(col("event_type").as("type_b"), col("kth").as("kth_b")),
-        col("type_a") < col("type_b"))
-    val ua = pairs.join(sk, col("event_type") === col("type_a"))
-      .select(col("type_a"), col("type_b"), col("h"))
-    val ub = pairs.join(sk, col("event_type") === col("type_b"))
-      .select(col("type_a"), col("type_b"), col("h"))
-    val wp = Window.partitionBy("type_a", "type_b").orderBy(col("h").asc)
-    val kthU = ua.union(ub).distinct()
-      .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") === k)
-      .select(col("type_a"), col("type_b"), col("h").as("kth_u"))
+      .groupBy("event_type")
+      .agg(graft.plans.KmvAgg.kmv(col("h"), k).as("sk"))
+      .where(size(col("sk")) === k)
+      .select(col("event_type"), col("sk"),
+        element_at(col("sk"), k).as("kth"))
+    // pair relation: tiny (|types|^2); the merged sketch is pure
+    // array arithmetic on the two k-arrays — union, resort, recap
+    val pairs = sk
+      .select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+        col("kth").as("kth_a"))
+      .join(sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
+        col("kth").as("kth_b")), col("type_a") < col("type_b"))
+      .withColumn("kth_u",
+        element_at(slice(array_sort(array_union(col("sk_a"), col("sk_b"))),
+          1, k), k))
     // exact distinct intersection — the eval column
     val users = events.select(col("event_type"), col("user_id")).distinct()
     val exact = users.select(col("event_type").as("type_a"), col("user_id"))
@@ -85,7 +87,7 @@ object Sketches {
       .filter(col("type_a") < col("type_b"))
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("exact_inter"))
-    pairs.join(kthU, Seq("type_a", "type_b"))
+    pairs
       .join(exact, Seq("type_a", "type_b"), "left")
       .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
       .select(col("type_a"), col("type_b"),

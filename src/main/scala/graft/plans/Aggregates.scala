@@ -103,6 +103,83 @@ object MinHashAgg {
       MinHashAgg(Bridge.toExpr(hashCol), k).toAggregateExpression())
 }
 
+/** KMV (k-minimum-values) sketch buffer: the k smallest DISTINCT
+  * hash values seen (Bar-Yossef et al. 2002; the Theta Sketch
+  * Framework's QuickSelect sketch). The buffer is a capped ordered
+  * set — update inserts only when the hash beats the current k-th
+  * smallest, merge is set-union-then-recap: associative and
+  * commutative, so partial sketches built map-side combine into the
+  * exact same k values any evaluation order produces. This is the
+  * shape that replaces a distinct-shuffle of EVERY hash with partial
+  * buffers of ≤ k longs per partition ([[graft.functions.Sketches]]).
+  * Eval emits the ascending array (deterministic — the DuckDB oracle
+  * replays it with a plain window). */
+case class KmvAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.TreeSet[Long]]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+
+  override def createAggregationBuffer(): scala.collection.mutable.TreeSet[Long] =
+    scala.collection.mutable.TreeSet.empty[Long]
+
+  private def insert(buf: scala.collection.mutable.TreeSet[Long], h: Long): Unit =
+    if (buf.size < k) buf += h
+    else if (h < buf.last && !buf.contains(h)) { buf += h; buf -= buf.last }
+
+  override def update(buf: scala.collection.mutable.TreeSet[Long],
+      input: InternalRow): scala.collection.mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: scala.collection.mutable.TreeSet[Long],
+      b2: scala.collection.mutable.TreeSet[Long]): scala.collection.mutable.TreeSet[Long] = {
+    b2.foreach(insert(b1, _))
+    b1
+  }
+
+  override def eval(buf: scala.collection.mutable.TreeSet[Long]): Any =
+    new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: scala.collection.mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.TreeSet[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = scala.collection.mutable.TreeSet.empty[Long]
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): KmvAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): KmvAgg = copy(child = c.head)
+  override def prettyName: String = "graft_kmv"
+}
+
+object KmvAgg {
+  /** Column form: kmv(hashCol, k) -> ascending array of the k
+    * smallest distinct hashes (shorter when the set is smaller). */
+  def kmv(hashCol: Column, k: Int): Column =
+    Bridge.toColumn(
+      KmvAgg(Bridge.toExpr(hashCol), k).toAggregateExpression())
+}
+
 /** One-pass 64-bit SimHash signature: per input (tokenHash, count),
   * bit j of the token is the LSB of the affine rehash
   * (h*(2j+3) + (97j+31)) mod P (same family as [[MinHashAgg]]); the

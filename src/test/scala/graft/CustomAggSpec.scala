@@ -129,4 +129,23 @@ class CustomAggSpec extends SparkSpecBase {
     val total = cm.map(_._2).sum
     assert(cm.forall { case (_, exact, est) => est <= total })
   }
+
+  test("KmvAgg: k smallest distinct across any partitioning, short sets pass through") {
+    import spark.implicits._
+    // 100 values with duplicates, shuffled deterministically
+    val vals = ((1L to 50L) ++ (1L to 50L) ++ (30L to 79L))
+      .map(v => (v * 7919) % 1009)
+    val expected = vals.distinct.sorted.take(8)
+    for (parts <- Seq(1, 3, 7)) {
+      val got = vals.toDF("h").repartition(parts)
+        .agg(plans.KmvAgg.kmv(col("h"), 8).as("sk"))
+        .select(explode(col("sk"))).as[Long].collect().toSeq
+      assert(got == expected, s"parts=$parts")
+    }
+    // fewer distinct values than k: the whole distinct set, ascending
+    val small = Seq(5L, 3L, 5L, 9L).toDF("h")
+      .agg(plans.KmvAgg.kmv(col("h"), 8).as("sk"))
+      .select(explode(col("sk"))).as[Long].collect().toSeq
+    assert(small == Seq(3L, 5L, 9L))
+  }
 }
