@@ -294,7 +294,56 @@ object Multimodal {
   def mmPhashDedup(s: SparkSession, dir: String): DataFrame =
     mmPhashDedupOn(Tables.documents(s, dir))
 
+  /** Scene-cut luma threshold: neighbor frames whose surrogate luma
+    * differs by more than this start a new segment. */
+  val SceneCutThreshold = 25L
+
+  /** L5d: video scene-cut detection — the shot-segmentation pass a
+    * video-training pipeline runs before sampling frames per SCENE
+    * instead of per fixed stride (PySceneDetect's content-detector
+    * shape: per-frame feature, neighbor delta, threshold, segment
+    * rollup).
+    *
+    * The decode is the usual surrogate behind the media boundary
+    * (frame count from payload length — mm_frame_sample's rule; luma
+    * a seeded integer hash, piecewise-constant over 8-frame runs so
+    * segments have realistic variable lengths). Everything downstream
+    * of the luma column is the REAL distributed shape: frames
+    * generated map-only in the scan projection, ONE doc-keyed window
+    * for the lag-delta + running cut count (two window functions,
+    * same partitioning, one shuffle), one hash aggregate per segment.
+    * At 100 TB the per-video frame relation shards by doc_id and
+    * nothing crosses videos. */
+  def mmSceneCutsOn(docs: DataFrame): DataFrame = {
+    val frames = docs
+      .select(col("doc_id"), (length(col("text")) % 50 + 10).as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("f"))
+      .withColumn("luma",
+        expr("((doc_id * 7919 + (f div 8) * 104729) % 1000000007) % 256"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("f").asc)
+    frames
+      .withColumn("prev", lag(col("luma"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNull ||
+          abs(col("luma") - col("prev")) > SceneCutThreshold, 1L)
+          .otherwise(0L))
+      .withColumn("seg",
+        sum(col("cut")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)) - 1)
+      .groupBy("doc_id", "seg")
+      .agg(min(col("f")).as("start_frame"), max(col("f")).as("end_frame"),
+        count(lit(1)).as("n_frames"), min(col("luma")).as("luma"))
+      .orderBy("doc_id", "seg")
+  }
+
+  def mmSceneCuts(s: SparkSession, dir: String): DataFrame =
+    mmSceneCutsOn(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_scene_cuts" -> mmSceneCuts,
     "mm_phash_dedup" -> mmPhashDedup,
     "mm_caption_align" -> mmCaptionAlign,
     "mm_pack_shards" -> mmPackShards,
@@ -305,6 +354,28 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_scene_cuts" ->
+      s"""WITH fr AS (SELECT doc_id, length(text) % 50 + 10 AS n_frames
+         |  FROM documents),
+         |f AS (SELECT doc_id, unnest(range(0, n_frames)) AS f FROM fr),
+         |l AS (SELECT doc_id, f,
+         |    ((doc_id * 7919 + (f // 8) * 104729) % 1000000007) % 256 AS luma
+         |  FROM f),
+         |c AS (SELECT doc_id, f, luma,
+         |    CASE WHEN lag(luma) OVER w IS NULL
+         |      OR abs(luma - lag(luma) OVER w) > $SceneCutThreshold
+         |      THEN 1 ELSE 0 END AS cut
+         |  FROM l WINDOW w AS (PARTITION BY doc_id ORDER BY f ASC)),
+         |sg AS (SELECT doc_id, f, luma,
+         |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY f ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS seg
+         |  FROM c)
+         |SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+         |  CAST(MIN(f) AS INT) AS start_frame,
+         |  CAST(MAX(f) AS INT) AS end_frame,
+         |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |  CAST(MIN(luma) AS BIGINT) AS luma
+         |FROM sg GROUP BY doc_id, seg ORDER BY doc_id, seg""".stripMargin,
     "mm_phash_dedup" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
         |  WHERE length(text) >= 1),

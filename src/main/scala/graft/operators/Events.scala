@@ -1098,7 +1098,66 @@ object Events {
   def tsDecompose(s: SparkSession, dir: String): DataFrame =
     tsDecomposeOn(Tables.events(s, dir))
 
+  /** L20n: Markov-chain stationary distribution of the event-type
+    * transition matrix — the steady-state "where do journeys spend
+    * their time" summary on top of [[eventTransitionsOn]]'s pairwise
+    * counts (the same power-iteration-to-fixpoint shape PageRank
+    * runs on the web graph, here on the tiny behavioral chain).
+    *
+    * Eight unrolled multiplication rounds (the quality_logreg
+    * precedent: fixed iteration count, every round a plan stage, the
+    * oracle replays each as a CTE), all in integer ppm: each term
+    * πᵢ·c(i,j) div r(i) truncates BEFORE the order-free integer sum,
+    * so engines agree bit-for-bit; the ppm lost to truncation per
+    * round is the documented price (Σπ drifts a few ppm under 10⁶,
+    * never over). The transition relation is |types|² rows — every
+    * join is a broadcast; the ONE fact-sized shuffle is the lead()
+    * window building the pairs, shared with event_transitions.
+    *
+    * The chain is restricted to states with outgoing transitions
+    * (mass flowing to a sink-only state would vanish next round);
+    * on the gate corpus all five types transition both ways. The
+    * empirical visit share (emp_ppm) rides along — stationary vs
+    * empirical is the "is the chain mixing" diagnostic. */
+  def eventMarkovStationaryOn(events: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val t = trans
+      .join(trans.groupBy("src").agg(sum(col("n")).as("r")), "src")
+      .localCheckpoint(true) // referenced every round: keep plans flat
+    val states = t.select(col("src").as("state")).distinct()
+    var pi = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("ns"))))
+      .select(col("state"), expr("1000000L div ns").as("pi_ppm"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      pi = t.join(pi, col("src") === col("state"))
+        .select(col("dst"), expr("(pi_ppm * n) div r").as("m"))
+        .groupBy("dst").agg(sum(col("m")).as("pi_ppm"))
+        .withColumnRenamed("dst", "state")
+        .localCheckpoint(true)
+    }
+    val total = events.agg(count(lit(1)).as("tot"))
+    val emp = events.groupBy(col("event_type").as("state"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("state"), expr("(cnt * 1000000L) div tot").as("emp_ppm"))
+    pi.join(emp, Seq("state"))
+      .select(col("state"), col("pi_ppm"), col("emp_ppm"))
+      .orderBy("state")
+  }
+
+  def eventMarkovStationary(s: SparkSession, dir: String): DataFrame =
+    eventMarkovStationaryOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_markov_stationary" -> eventMarkovStationary,
     "ts_decompose" -> tsDecompose,
     "event_regex" -> eventRegex,
     "sample_holdout_temporal" -> sampleHoldoutTemporal,
@@ -1129,7 +1188,33 @@ object Events {
     "event_time_to_convert" -> eventTimeToConvert,
   )
 
+  private def markovRoundSql(i: Int): String =
+    s"""p$i AS (SELECT tm.dst AS state,
+       |    CAST(SUM((p${i - 1}.pi * tm.n) // tm.r) AS BIGINT) AS pi
+       |  FROM tm JOIN p${i - 1} ON tm.src = p${i - 1}.state GROUP BY 1)"""
+      .stripMargin
+
   val oracles: Map[String, String] = Map(
+    "event_markov_stationary" ->
+      s"""WITH tp AS (SELECT user_id, event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS dst
+         |  FROM events),
+         |t AS (SELECT event_type AS src, dst, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tp WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |r AS (SELECT src, CAST(SUM(n) AS BIGINT) AS r FROM t GROUP BY 1),
+         |tm AS (SELECT t.src, t.dst, t.n, r.r FROM t JOIN r USING (src)),
+         |st AS (SELECT DISTINCT src AS state FROM t),
+         |ns AS (SELECT COUNT(*) AS ns FROM st),
+         |p0 AS (SELECT state, 1000000 // ns AS pi FROM st, ns),
+         |${(1 to 8).map(markovRoundSql).mkString(",\n")},
+         |tot AS (SELECT COUNT(*) AS tot FROM events),
+         |emp AS (SELECT event_type AS state,
+         |    (COUNT(*) * 1000000) // (SELECT tot FROM tot) AS emp_ppm
+         |  FROM events GROUP BY 1)
+         |SELECT p8.state, p8.pi AS pi_ppm,
+         |  CAST(emp.emp_ppm AS BIGINT) AS emp_ppm
+         |FROM p8 JOIN emp USING (state) ORDER BY state""".stripMargin,
     "ts_decompose" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
         |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)

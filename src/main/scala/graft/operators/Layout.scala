@@ -134,6 +134,59 @@ object Layout {
       .orderBy("lang", "pack_id")
   }
 
+  /** L21d: Hilbert-curve layout — [[layoutZorder]]'s sibling with the
+    * space-filling curve real lakehouse engines moved to (Delta's
+    * `OPTIMIZE ... BY HILBERT`, Iceberg's hilbert ordering): unlike
+    * Morton's interleave, consecutive Hilbert codes are ALWAYS
+    * Manhattan-adjacent cells (no "z-jumps" across the plane), so
+    * contiguous code runs map to tighter min/max boxes — directly
+    * smaller files-touched counts under box predicates. Same output
+    * schema as layout_zorder: one manifest row per target file with
+    * the stats a scan would prune on.
+    *
+    * The index is the standard iterative xy2d walk (8 bit-levels over
+    * the 256×256 space, quadrant bit + rotate/reflect), fully
+    * UNROLLED into per-level integer column updates — stays inside
+    * whole-stage codegen, no UDF, and the DuckDB oracle replays the
+    * identical 8 rounds as CTEs. HilbertSpec proves the defining
+    * adjacency invariant over the complete 256×256 grid (every
+    * consecutive code pair is Manhattan distance 1 — the property
+    * Morton lacks and the reason the min/max boxes tighten). */
+  def hilbertOn(pts: DataFrame): DataFrame = {
+    var out = pts
+      .withColumn("hx", col("qx")).withColumn("hy", col("qy"))
+      .withColumn("hd", lit(0L))
+    for (k <- 7 to 0 by -1) {
+      val s = 1L << k
+      out = out
+        .withColumn("rx",
+          when(col("hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("ry",
+          when(col("hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("hd", col("hd") +
+          lit(s * s) * (lit(3L) * col("rx")).bitwiseXOR(col("ry")))
+        .withColumn("nx",
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(s - 1) - col("hy"))
+              .otherwise(col("hy"))).otherwise(col("hx")))
+        .withColumn("ny",
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(s - 1) - col("hx"))
+              .otherwise(col("hx"))).otherwise(col("hy")))
+        .withColumn("hx", col("nx")).withColumn("hy", col("ny"))
+    }
+    out.select(col("qx"), col("qy"), col("hd"))
+  }
+
+  def layoutHilbert(s: SparkSession, dir: String): DataFrame =
+    hilbertOn(quantized(s, dir))
+      .select(col("qx"), col("qy"), expr(s"hd div $ZFileWidth").as("file_id"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("qx").as("min_q"), max("qx").as("max_q"),
+        min("qy").as("min_d"), max("qy").as("max_d"))
+      .orderBy("file_id")
+
   private val zSql: String = (0 until 8).map { i =>
     s"((qx >> $i) & 1) * ${1L << (2 * i)} + ((qy >> $i) & 1) * ${1L << (2 * i + 1)}"
   }.mkString(" + ")
@@ -145,9 +198,37 @@ object Layout {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> layoutZorder,
+    "layout_hilbert" -> layoutHilbert,
     "layout_skipping" -> layoutSkipping,
     "layout_compaction" -> layoutCompaction,
   )
+
+  // DuckDB mirror of one [[hilbertOn]] bit-level: quadrant bits from
+  // the CURRENT hx/hy, code increment, rotate/reflect for the next
+  private def hilbertRoundSql(k: Int, prev: String): String = {
+    val s = 1L << k
+    s"""r$k AS (SELECT qx, qy, hd, hx, hy,
+       |    CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+       |    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+       |  FROM $prev),
+       |h$k AS (SELECT qx, qy,
+       |    hd + ${s * s} * xor(3 * rx, ry) AS hd,
+       |    CASE WHEN ry = 0 THEN
+       |      (CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END)
+       |      ELSE hx END AS hx,
+       |    CASE WHEN ry = 0 THEN
+       |      (CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END)
+       |      ELSE hy END AS hy
+       |  FROM r$k)""".stripMargin
+  }
+
+  private val hilbertChainSql: String = {
+    val base = "h8 AS (SELECT qx, qy, qx AS hx, qy AS hy,\n" +
+      "    CAST(0 AS BIGINT) AS hd FROM q)"
+    val rounds = (7 to 0 by -1)
+      .map(k => hilbertRoundSql(k, s"h${k + 1}")).mkString(",\n")
+    s"$base,\n$rounds"
+  }
 
   val oracles: Map[String, String] = Map(
     "layout_compaction" ->
@@ -165,6 +246,14 @@ object Layout {
          |  COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
          |  CAST(SUM(n_docs) AS BIGINT) AS n_docs
          |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
+    "layout_hilbert" ->
+      s"""WITH q AS ($qSql),
+         |$hilbertChainSql,
+         |z AS (SELECT qx, qy, hd // $ZFileWidth AS file_id FROM h0)
+         |SELECT CAST(file_id AS BIGINT) AS file_id, COUNT(*) AS n_rows,
+         |  MIN(qx) AS min_q, MAX(qx) AS max_q,
+         |  MIN(qy) AS min_d, MAX(qy) AS max_d
+         |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin,
     "layout_zorder" ->
       s"""WITH q AS ($qSql),
          |z AS (SELECT qx, qy,

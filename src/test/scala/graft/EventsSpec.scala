@@ -567,6 +567,38 @@ class EventsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("max_sec") == 90L)
   }
 
+  test("L20n markov: integer power iteration matches an independent replay of the recurrence") {
+    import spark.implicits._
+    // Eulerian path B B B A A A A B A -> transitions AA:3 AB:1 BA:2 BB:2
+    val seq = Seq("B", "B", "B", "A", "A", "A", "A", "B", "A")
+    val ev = seq.zipWithIndex.map { case (t, i) =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        1L, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.Events.eventMarkovStationaryOn(ev)
+      .select("state", "pi_ppm", "emp_ppm").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // independent replay of the truncating integer recurrence
+    var (pa, pb) = (500000L, 500000L)
+    for (_ <- 1 to 8) {
+      val na = (pa * 3) / 4 + (pb * 2) / 4
+      val nb = (pa * 1) / 4 + (pb * 2) / 4
+      pa = na; pb = nb
+    }
+    assert(out("A") == (pa, 5L * 1000000 / 9))
+    assert(out("B") == (pb, 4L * 1000000 / 9))
+  }
+
+  test("L20n markov on the corpus: mass conserved within truncation, all states present") {
+    import spark.implicits._
+    val out = operators.Events.eventMarkovStationary(spark, sf)
+      .select("state", "pi_ppm").as[(String, Long)].collect()
+    assert(out.length == 5)
+    val mass = out.map(_._2).sum
+    // each of 8 rounds loses < |types|^2 ppm to truncation
+    assert(mass <= 1000000L && mass > 1000000L - 8 * 25)
+  }
+
   test("L20m decompose: periodic series over constant trend zeroes the residual") {
     import spark.implicits._
     // 14 daily points starting Monday 2024-01-01: v_i = 7.00 + 0.07*(i%7)

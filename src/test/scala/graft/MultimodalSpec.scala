@@ -77,6 +77,35 @@ class MultimodalSpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect()
     assert(corpus.forall(r => r._1 < r._2 && r._3 >= 0 && r._3 <= 8))
   }
+
+  test("L5d scene cuts: segments tile each video, boundaries and interiors obey the threshold") {
+    import spark.implicits._
+    def luma(doc: Long, f: Long): Long =
+      ((doc * 7919 + (f / 8) * 104729) % 1000000007L) % 256
+    val out = multimodal.Multimodal.mmSceneCuts(spark, sf)
+      .select("doc_id", "seg", "start_frame", "end_frame", "n_frames")
+      .as[(Long, Long, Int, Int, Long)].collect()
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), (length(col("text")) % 50 + 10).as("nf"))
+      .as[(Long, Int)].collect().toMap
+    out.groupBy(_._1).foreach { case (doc, segs) =>
+      val s = segs.sortBy(_._2)
+      // contiguous tiling of [0, n_frames)
+      assert(s.head._3 == 0 && s.last._4 == expected(doc) - 1)
+      assert(s.sliding(2).forall {
+        case Array(a, b) => b._3 == a._4 + 1; case _ => true })
+      assert(s.map(_._5).sum == expected(doc))
+      // independently recomputed luma: every boundary jumps > 25,
+      // every within-segment neighbor stays <= 25
+      s.foreach { case (_, _, st, en, _) =>
+        if (st > 0)
+          assert(math.abs(luma(doc, st) - luma(doc, st - 1)) > 25)
+        (st + 1 to en).foreach { f =>
+          assert(math.abs(luma(doc, f) - luma(doc, f - 1)) <= 25)
+        }
+      }
+    }
+  }
 }
 
 /** Test-only detector standing in for a real codec-backed impl. */
