@@ -1043,7 +1043,74 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Rounds of greedy k-center selection in [[sampleKcenter]]. */
+  val KcenterK = 5
+
+  /** Portable squared-L2 between two double arrays: fixed ascending
+    * fold, mirrored by [[sqlD2]]. */
+  private def d2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def sqlD2(a: String, b: String): String =
+    s"""list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |  list_transform(range(1, len($a) + 1),
+       |    i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) *
+       |         (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  /** L7c: greedy k-center coreset (Gonzalez 1985 farthest-point
+    * traversal, the 2-approximation): seed with the smallest vec_id,
+    * then k−1 rounds each picking the vector FARTHEST from the
+    * selected set — the diversity-maximal coreset a curation pass
+    * uses to cover an embedding space with a fixed label/inspection
+    * budget (complementary to [[sampleClusterBalancedOn]], which
+    * balances a given clustering; k-center BUILDS the cover and
+    * reports its radius).
+    *
+    * Each round is one corpus pass: distance to the ONE new center
+    * (broadcast single row), a `least` against the running min, and
+    * a 1-row TakeOrdered argmax (the BPE-argmax precedent — never a
+    * global sort). k bounded rounds, localCheckpointed so round r's
+    * plan does not re-derive rounds 1..r−1. Distances are 4dp-rounded
+    * before the argmax, ties to the lower vec_id — deterministic in
+    * both engines; the oracle unrolls the same rounds as CTEs.
+    * Output: selection order, the chosen centers, and the shrinking
+    * coverage radius (max-min distance at pick time — the k-vs-radius
+    * curve that says when the budget is enough). */
+  def sampleKcenterOn(corpus: DataFrame, k: Int = KcenterK): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val e = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val seed = e.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id"), col("emb"), lit(0.0).as("md"))
+      .localCheckpoint(true)
+    var picked = Seq(seed)
+    var mind = e.crossJoin(broadcast(seed.select(col("emb").as("cemb"))))
+      .select(col("vec_id"), col("emb"),
+        round(d2(col("emb"), col("cemb")), 4).as("md"))
+      .localCheckpoint(true)
+    for (_ <- 2 to k) {
+      val next = mind.orderBy(col("md").desc, col("vec_id").asc).limit(1)
+        .localCheckpoint(true)
+      picked = picked :+ next
+      mind = mind
+        .crossJoin(broadcast(next.select(col("emb").as("cemb"))))
+        .select(col("vec_id"), col("emb"),
+          least(col("md"), round(d2(col("emb"), col("cemb")), 4)).as("md"))
+        .localCheckpoint(true)
+    }
+    picked.zipWithIndex.map { case (c, i) =>
+      c.select(lit(i + 1).as("pick"), col("vec_id"),
+        expr("CAST(floor(md * 10000 + 0.5) AS BIGINT)").as("radius_x10k"))
+    }.reduce(_ unionByName _).orderBy("pick")
+  }
+
+  def sampleKcenter(s: SparkSession, dir: String): DataFrame =
+    sampleKcenterOn(Tables.embeddings(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_kcenter" -> sampleKcenter,
     "sim_hard_negatives" -> simHardNegatives,
     "sim_random_projection" -> simRandomProjection,
     "sim_maxsim" -> simMaxsim,
@@ -1173,7 +1240,34 @@ object Similarity {
        |      d -> CAST(embedding[d] AS DOUBLE) * ${rpSignSql("d", "j")})),
        |    (x, y) -> x + y))""".stripMargin
 
+  private val kcenterChainSql: String = {
+    val base =
+      s"""e AS (SELECT vec_id, embedding FROM embeddings),
+         |c1 AS (SELECT vec_id, embedding, CAST(0.0 AS DOUBLE) AS md
+         |  FROM e ORDER BY vec_id ASC LIMIT 1),
+         |m1 AS (SELECT e.vec_id, e.embedding,
+         |    round(${sqlD2("e.embedding", "c1.embedding")}, 4) AS md
+         |  FROM e, c1)""".stripMargin
+    val rounds = (2 to KcenterK).map { r =>
+      val p = r - 1
+      s"""c$r AS (SELECT vec_id, embedding, md FROM m$p
+         |  ORDER BY md DESC, vec_id ASC LIMIT 1),
+         |m$r AS (SELECT m$p.vec_id, m$p.embedding,
+         |    LEAST(m$p.md,
+         |      round(${sqlD2(s"m$p.embedding", s"c$r.embedding")}, 4)) AS md
+         |  FROM m$p, c$r)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$rounds"
+  }
+
   private val oraclesBase: Map[String, String] = Map(
+    "sample_kcenter" -> {
+      val picks = (1 to KcenterK).map(r =>
+        s"""SELECT $r AS pick, vec_id,
+           |  CAST(floor(md * 10000 + 0.5) AS BIGINT) AS radius_x10k
+           |FROM c$r""".stripMargin).mkString("\nUNION ALL\n")
+      s"WITH $kcenterChainSql\n$picks\nORDER BY pick"
+    },
     "sim_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, label, embedding,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),

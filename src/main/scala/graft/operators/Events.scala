@@ -1098,6 +1098,35 @@ object Events {
   def tsDecompose(s: SparkSession, dir: String): DataFrame =
     tsDecomposeOn(Tables.events(s, dir))
 
+  /** L20m': seasonal-aware anomaly detection — [[anomalyMadOn]]'s
+    * robust MAD flag applied to [[tsDecomposeOn]]'s RESIDUAL instead
+    * of the raw series (the STL-anomaly recipe: a Friday spike is
+    * normal seasonality, a Tuesday at Friday's level is the anomaly
+    * the raw-value z-score misses). Residuals are integer cents; the
+    * two medians run on the bounded day relation; thresholds reuse
+    * the 3·1.4826 normal-consistency convention and the mad > 0
+    * degenerate-scale guard; the gate is 2.5 robust σ (3.7065·MAD) —
+    * tighter than anomaly_mad's raw-value 3σ because the residual is
+    * already de-trended and de-seasonalized, so surviving deviations
+    * carry more signal. */
+  def tsAnomalyDecomposedOn(events: DataFrame): DataFrame = {
+    val dec = tsDecomposeOn(events).where(col("resid_cents").isNotNull)
+    val med = dec.agg(median(col("resid_cents")).as("med"))
+    val wm = dec.crossJoin(broadcast(med))
+    val mad = wm.select(abs(col("resid_cents") - col("med")).as("adev"))
+      .agg(median(col("adev")).as("mad"))
+    wm.crossJoin(broadcast(mad))
+      .filter(col("mad") > 0 &&
+        abs(col("resid_cents") - col("med")) > lit(3.7065) * col("mad"))
+      .select(col("d"), col("v_cents"), col("resid_cents"),
+        round(abs(col("resid_cents") - col("med")) /
+          (lit(1.4826) * col("mad")), 4).as("rz"))
+      .orderBy("d")
+  }
+
+  def tsAnomalyDecomposed(s: SparkSession, dir: String): DataFrame =
+    tsAnomalyDecomposedOn(Tables.events(s, dir))
+
   /** L20n: Markov-chain stationary distribution of the event-type
     * transition matrix — the steady-state "where do journeys spend
     * their time" summary on top of [[eventTransitionsOn]]'s pairwise
@@ -1157,6 +1186,7 @@ object Events {
     eventMarkovStationaryOn(Tables.events(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_anomaly_decomposed" -> tsAnomalyDecomposed,
     "event_markov_stationary" -> eventMarkovStationary,
     "ts_decompose" -> tsDecompose,
     "event_regex" -> eventRegex,
@@ -1194,7 +1224,45 @@ object Events {
        |  FROM tm JOIN p${i - 1} ON tm.src = p${i - 1}.state GROUP BY 1)"""
       .stripMargin
 
+  /** Shared DuckDB CTE chain of [[tsDecomposeOn]] ending in
+    * `tr(d, dow, v_cents, trend_cents, detr)` and
+    * `se(dow, seasonal_cents)` — used by the ts_decompose oracle and
+    * the residual-MAD anomaly oracle on top of it. */
+  private val decomposeCoreSql =
+    """daily AS (SELECT CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS v_cents
+      |  FROM events GROUP BY 1),
+      |dw AS (SELECT d, v_cents,
+      |    CAST(datediff('day', DATE '1970-01-05', d) % 7 AS INT) AS dow,
+      |    COUNT(*) OVER (ORDER BY d ASC
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
+      |    SUM(v_cents) OVER (ORDER BY d ASC
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7
+      |  FROM daily),
+      |tr AS (SELECT d, dow, v_cents,
+      |    CASE WHEN n7 = 7 THEN s7 // 7 END AS trend_cents,
+      |    v_cents - (CASE WHEN n7 = 7 THEN s7 // 7 END) AS detr
+      |  FROM dw),
+      |se AS (SELECT dow,
+      |    CAST(SUM(detr) // COUNT(*) AS BIGINT) AS seasonal_cents
+      |  FROM tr WHERE detr IS NOT NULL GROUP BY dow)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ts_anomaly_decomposed" ->
+      s"""WITH $decomposeCoreSql,
+         |rs AS (SELECT tr.d, tr.v_cents,
+         |    CAST(tr.detr - se.seasonal_cents AS BIGINT) AS resid_cents
+         |  FROM tr JOIN se ON tr.dow = se.dow
+         |  WHERE tr.detr IS NOT NULL),
+         |med AS (SELECT median(resid_cents) AS med FROM rs),
+         |mad AS (SELECT median(abs(resid_cents - med)) AS mad
+         |  FROM rs, med)
+         |SELECT d, v_cents, resid_cents,
+         |  round(abs(resid_cents - med) / (1.4826 * mad), 4) AS rz
+         |FROM rs, med, mad
+         |WHERE mad > 0 AND abs(resid_cents - med) > 3.7065 * mad
+         |ORDER BY d""".stripMargin,
     "event_markov_stationary" ->
       s"""WITH tp AS (SELECT user_id, event_type,
          |    lead(event_type) OVER (PARTITION BY user_id
@@ -1216,30 +1284,13 @@ object Events {
          |  CAST(emp.emp_ppm AS BIGINT) AS emp_ppm
          |FROM p8 JOIN emp USING (state) ORDER BY state""".stripMargin,
     "ts_decompose" ->
-      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
-        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-        |      AS v_cents
-        |  FROM events GROUP BY 1),
-        |dw AS (SELECT d, v_cents,
-        |    CAST(datediff('day', DATE '1970-01-05', d) % 7 AS INT) AS dow,
-        |    COUNT(*) OVER (ORDER BY d ASC
-        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7,
-        |    SUM(v_cents) OVER (ORDER BY d ASC
-        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7
-        |  FROM daily),
-        |tr AS (SELECT d, dow, v_cents,
-        |    CASE WHEN n7 = 7 THEN s7 // 7 END AS trend_cents,
-        |    v_cents - (CASE WHEN n7 = 7 THEN s7 // 7 END) AS detr
-        |  FROM dw),
-        |se AS (SELECT dow,
-        |    CAST(SUM(detr) // COUNT(*) AS BIGINT) AS seasonal_cents
-        |  FROM tr WHERE detr IS NOT NULL GROUP BY dow)
-        |SELECT tr.d, tr.dow, tr.v_cents,
-        |  CAST(tr.trend_cents AS BIGINT) AS trend_cents,
-        |  se.seasonal_cents,
-        |  CAST(tr.detr - se.seasonal_cents AS BIGINT) AS resid_cents
-        |FROM tr LEFT JOIN se ON tr.dow = se.dow
-        |ORDER BY tr.d""".stripMargin,
+      s"""WITH $decomposeCoreSql
+         |SELECT tr.d, tr.dow, tr.v_cents,
+         |  CAST(tr.trend_cents AS BIGINT) AS trend_cents,
+         |  se.seasonal_cents,
+         |  CAST(tr.detr - se.seasonal_cents AS BIGINT) AS resid_cents
+         |FROM tr LEFT JOIN se ON tr.dow = se.dow
+         |ORDER BY tr.d""".stripMargin,
     "event_regex" ->
       """WITH o AS (SELECT user_id, event_id, ts,
         |    substring(event_type, 1, 1) AS ch,

@@ -784,6 +784,30 @@ class DedupSimSpec extends SparkSpecBase {
     }
   }
 
+  test("k-center fixture: farthest-point order and radii hand-checked on the line") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(0f)), (1L, Seq(1f)), (2L, Seq(10f)), (3L, Seq(5f)),
+      (4L, Seq(2f)),
+    ).toDF("vec_id", "embedding")
+    val out = functions.Similarity.sampleKcenterOn(corpus)
+      .select("pick", "vec_id", "radius_x10k")
+      .as[(Int, Long, Long)].collect().toSeq
+    // seed 0 (pos 0); then pos 10 (d2 100), pos 5 (25), pos 2 (4), pos 1 (1)
+    assert(out == Seq((1, 0L, 0L), (2, 2L, 1000000L), (3, 3L, 250000L),
+      (4, 4L, 40000L), (5, 1L, 10000L)))
+  }
+
+  test("k-center on the corpus: distinct picks, radius non-increasing after the seed") {
+    import spark.implicits._
+    val out = functions.Similarity.sampleKcenter(spark, sf)
+      .select("pick", "vec_id", "radius_x10k")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).distinct.length == out.length)
+    assert(out.drop(1).sliding(2).forall {
+      case Array(a, b) => b._3 <= a._3; case _ => true })
+  }
+
   test("paragraph dedup: first occurrence wins corpus-wide, rewrite drops repeats in place") {
     import spark.implicits._
     val p1 = (1 to 16).map(i => s"a$i").mkString(" ")

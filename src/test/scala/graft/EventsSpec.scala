@@ -623,6 +623,25 @@ class EventsSpec extends SparkSpecBase {
     }
   }
 
+  test("L20m' decomposed anomaly flags equal an independent Scala replay of the MAD rule") {
+    import spark.implicits._
+    val resid = operators.Events.tsDecompose(spark, sf)
+      .where(col("resid_cents").isNotNull)
+      .select("d", "resid_cents").as[(java.sql.Date, Long)].collect()
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val m = med(resid.map(_._2.toDouble).toSeq)
+    val mad = med(resid.map(r => math.abs(r._2 - m)).toSeq)
+    val expected = resid.filter(r =>
+      mad > 0 && math.abs(r._2 - m) > 3.7065 * mad).map(_._1.toString).toSet
+    val got = operators.Events.tsAnomalyDecomposed(spark, sf)
+      .select("d").as[java.sql.Date].collect().map(_.toString).toSet
+    assert(got == expected)
+  }
+
   test("L20m decompose on the corpus: identity holds, edges untrended") {
     val out = operators.Events.tsDecompose(spark, sf).cache()
     // Y = trend + seasonal + residual wherever all parts exist
