@@ -668,4 +668,90 @@ class PlanSpec extends SparkSpecBase {
     assert("embeddings" .r.findAllIn(p.toLowerCase).size <= 1, p)
     assert(!p.contains("Cartesian"), p)
   }
+
+  // ---- round-7 shapes ----
+
+  test("lm_ngram_backoff: count lookups are equi-joins; only the 1-row N " +
+    "relation crosses as a broadcast") {
+    val p = plan(functions.Lm.lmNgramBackoff(spark, sf))
+    // five count-table lookups, all hash equi-joins
+    assert(!p.contains("Cartesian"), p)
+    // the single BNLJ-able relation is the broadcast 1-row token total
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)".r
+      .findAllIn(p).nonEmpty, p)
+  }
+
+  test("dedup_paragraph: chunking is map-only (no shuffle before the " +
+    "hash-keyed first-occurrence window)") {
+    val p = plan(functions.Dedup.dedupParagraph(spark, sf))
+    // one window over h, one per-doc aggregate: exactly the exchanges
+    // keyed by real data — and no join anywhere (election is a window)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("sketch_theta: the KMV aggregate is partial (map-side sketch " +
+    "buffers), merged — never a distinct-shuffle of raw hashes") {
+    val p = plan(functions.Sketches.sketchTheta(spark, sf))
+    assert(p.contains("graft_kmv"), p)
+    // partial + final aggregate pair for the sketch build
+    assert("partial_graft_kmv|partial".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("Cartesian"), p)
+  }
+
+  test("sim_hard_negatives: label filter rides the broadcast probe join, " +
+    "before the per-query top-k window") {
+    val p = plan(functions.Similarity.simHardNegatives(spark, sf))
+    // broadcast nested loop IS the probe scan (disequality predicate);
+    // the top-k is a window with running WindowGroupLimit, not a sort+limit
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p)
+  }
+
+  test("privacy_kanon: both ladder levels share the segment-prefixed " +
+    "shuffle keys; no join anywhere") {
+    val p = plan(functions.Privacy.privacyKanon(spark, sf))
+    assert(!p.contains("Join"), p)
+    assert("Window".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("event_markov_stationary: every power-iteration round joins the " +
+    "checkpointed 25-row matrix — no fact re-scan per round") {
+    val p = plan(operators.Events.eventMarkovStationary(spark, sf))
+    // after localCheckpoints only the emp-share branch may scan events
+    assert("events\\.parquet".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("Cartesian"), p)
+  }
+
+  test("mm_scene_cuts: lag, cut flag and running segment id share ONE " +
+    "doc-keyed window partitioning") {
+    val p = plan(multimodal.Multimodal.mmSceneCuts(spark, sf))
+    // both window functions hang off the same hashpartitioning(doc_id)
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("layout_hilbert: the 8 unrolled bit-levels are map-side — only " +
+    "the stats aggregate and the output sort exchange") {
+    val p = plan(operators.Layout.layoutHilbert(spark, sf))
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // map-only curve math: file-keyed agg + output range sort, nothing else
+    assert("Exchange".r.findAllIn(p).size == 2, p)
+    assert(p.contains("partial_count"), p) // map-side combine survives
+  }
+
+  test("stream_cdc_replay: rank and change count share one user_id " +
+    "shuffle — a single exchange in the whole plan") {
+    val p = plan(streaming.Streaming.streamCdcReplay(spark, sf))
+    // one hashpartitioning(user_id) exchange + the output sort
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("sample_kcenter: rounds run on checkpointed relations — the " +
+    "embeddings scan does not multiply with k") {
+    val p = plan(functions.Similarity.sampleKcenter(spark, sf))
+    assert("embeddings".r.findAllIn(p.toLowerCase).size <= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
