@@ -919,6 +919,49 @@ object Clusters {
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"), max(col("bal")).as("surviving_bal"))
 
+  /** L16b: golden-record construction — the full per-ATTRIBUTE
+    * survivorship pass MDM systems run after [[erResolveOn]]'s
+    * clustering (er_pipeline keeps one "best value"; real survivorship
+    * applies a rule per column): canonical id = min member id, name =
+    * longest-then-lexicographic (completeness rule), group = mode with
+    * ties to the smaller key (consensus rule), balance = max (recency/
+    * best-value rule). Each rule is a window or aggregate keyed by
+    * cluster_id — one member-keyed shuffle feeds them all; every rule
+    * picks an EXISTING value (no arithmetic), so doubles pass through
+    * bit-identical and the oracle replays exactly. */
+  def erGoldenRecordOn(records: DataFrame, window: Int = 4): DataFrame = {
+    val mem = clustersOn(erPairsOn(records, window))
+      .join(records.select(col("rid").as("doc_id"), col("name"),
+        col("grp"), col("bal")), "doc_id")
+      .localCheckpoint(true) // feeds three survivorship branches
+    val wName = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(length(col("name")).desc, col("name").asc)
+    val nm = mem.withColumn("rk", row_number().over(wName))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("name").as("surviving_name"))
+    val wMode = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("cnt").desc, col("grp").asc)
+    val gm = mem.groupBy("cluster_id", "grp").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wMode))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("grp").as("surviving_grp"))
+    mem.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("canonical_id"),
+        max(col("bal")).as("surviving_bal"))
+      .join(nm, "cluster_id").join(gm, "cluster_id")
+      .select("cluster_id", "n_members", "canonical_id", "surviving_name",
+        "surviving_grp", "surviving_bal")
+      .orderBy("cluster_id")
+  }
+
+  def erGoldenRecord(s: SparkSession, dir: String): DataFrame =
+    erGoldenRecordOn(Tables.customer(s, dir)
+      .select(col("c_custkey").as("rid"), col("c_name").as("name"),
+        col("c_nationkey").as("grp"), col("c_acctbal").as("bal")))
+
   /** Catalog wrapper: customers as entity records — name as the match
     * string, nation as the hard block, account balance as the
     * survivorship value. */
@@ -929,6 +972,7 @@ object Clusters {
       .orderBy("cluster_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_golden_record" -> erGoldenRecord,
     "er_pipeline" -> erPipeline,
     "graph_projection" -> graphProjection,
     "dedup_apply" -> dedupApply,
@@ -1034,6 +1078,19 @@ object Clusters {
        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
        |${ccTailSql("doc_id")}""".stripMargin
 
+  /** Shared DuckDB chain of the ER pipeline (records -> rank ->
+    * blocked+verified pairs -> connected components as `lbl`). */
+  private val erChainSql: String =
+    s"""r AS (SELECT c_custkey AS rid, c_name AS name,
+       |    c_nationkey AS grp, c_acctbal AS bal FROM customer),
+       |rk AS (SELECT rid, name, grp,
+       |    CAST(row_number() OVER (ORDER BY name, rid) - 1 AS BIGINT) AS rnk
+       |  FROM r),
+       |pairs AS (SELECT LEAST(a.rid, b.rid) AS da, GREATEST(a.rid, b.rid) AS db
+       |  FROM rk a JOIN rk b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
+       |  WHERE a.grp = b.grp AND levenshtein(a.name, b.name) <= 1),
+       |$ccCoreSql""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "graph_projection" ->
       """WITH e AS (SELECT DISTINCT l_orderkey AS grp, l_suppkey AS member
@@ -1048,19 +1105,31 @@ object Clusters {
         |    ORDER BY co DESC, partner ASC) AS INT) AS rk
         |FROM sym QUALIFY rk <= 3 ORDER BY src, rk""".stripMargin,
     "er_pipeline" ->
-      s"""WITH RECURSIVE r AS (SELECT c_custkey AS rid, c_name AS name,
-         |    c_nationkey AS grp, c_acctbal AS bal FROM customer),
-         |rk AS (SELECT rid, name, grp,
-         |    CAST(row_number() OVER (ORDER BY name, rid) - 1 AS BIGINT) AS rnk
-         |  FROM r),
-         |pairs AS (SELECT LEAST(a.rid, b.rid) AS da, GREATEST(a.rid, b.rid) AS db
-         |  FROM rk a JOIN rk b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
-         |  WHERE a.grp = b.grp AND levenshtein(a.name, b.name) <= 1),
-         |$ccCoreSql
+      s"""WITH RECURSIVE $erChainSql
          |SELECT l.cluster_id, COUNT(*) AS n_members,
          |  MAX(r.bal) AS surviving_bal
          |FROM lbl l JOIN r ON l.node = r.rid
          |GROUP BY l.cluster_id ORDER BY cluster_id""".stripMargin,
+    "er_golden_record" ->
+      s"""WITH RECURSIVE $erChainSql,
+         |mem AS (SELECT l.cluster_id, r.rid, r.name, r.grp, r.bal
+         |  FROM lbl l JOIN r ON l.node = r.rid),
+         |nm AS (SELECT cluster_id, name FROM (SELECT cluster_id, name,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY length(name) DESC, name ASC) AS rk FROM mem)
+         |  WHERE rk = 1),
+         |gm AS (SELECT cluster_id, grp FROM (SELECT cluster_id, grp,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY COUNT(*) DESC, grp ASC) AS rk
+         |  FROM mem GROUP BY cluster_id, grp) WHERE rk = 1),
+         |ag AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    MIN(rid) AS canonical_id, MAX(bal) AS surviving_bal
+         |  FROM mem GROUP BY 1)
+         |SELECT ag.cluster_id, ag.n_members, ag.canonical_id,
+         |  nm.name AS surviving_name, CAST(gm.grp AS INT) AS surviving_grp,
+         |  ag.surviving_bal
+         |FROM ag JOIN nm USING (cluster_id) JOIN gm USING (cluster_id)
+         |ORDER BY ag.cluster_id""".stripMargin,
     "graph_triangles" ->
       s"""WITH ${Similarity.knnCoreSql},
          |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,

@@ -274,7 +274,42 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** A13: exact weighted median — the "median price per unit SOLD"
+    * question (each row weighted by its quantity) that the plain
+    * median answers wrongly when row sizes vary. Discrete rule, no
+    * interpolation: the smallest value whose cumulative weight
+    * reaches half the total (2·cum ≥ total — all integer, so both
+    * engines agree bit-for-bit; intra-value row order cannot change
+    * the winning VALUE). One value-ordered window per group plus the
+    * group total — the same keyed-shuffle shape as any grouped
+    * median, but mergeable-friendly: at 100 TB the cumulative scan
+    * runs per partition-range (value-bucketed pre-agg first, the
+    * histogram trick, since equal values collapse before the scan). */
+  def aggWeightedMedianOn(lineitem: DataFrame): DataFrame = {
+    val rows = lineitem.select(col("l_returnflag"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"),
+      floor(col("l_quantity")).cast("long").as("wt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy(col("cents").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+    rows
+      .withColumn("cum", sum(col("wt")).over(w))
+      .withColumn("tot", sum(col("wt")).over(wg))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min(col("cents")).as("wmedian_cents"),
+        max(col("tot")).as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  def aggWeightedMedian(s: SparkSession, dir: String): DataFrame =
+    aggWeightedMedianOn(Tables.lineitem(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_median" -> aggWeightedMedian,
     "q1_agg" -> q1Agg,
     "agg_moments" -> aggMoments,
     "agg_collect_set" -> aggCollectSet,
@@ -295,6 +330,19 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_weighted_median" ->
+      """WITH rws AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(floor(l_quantity) AS BIGINT) AS wt
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, cents,
+        |    SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY cents ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM rws)
+        |SELECT l_returnflag, CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+        |  CAST(MAX(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_moments" ->
       """WITH q AS (SELECT l_returnflag,
         |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS q FROM lineitem),

@@ -1127,6 +1127,39 @@ object Events {
   def tsAnomalyDecomposed(s: SparkSession, dir: String): DataFrame =
     tsAnomalyDecomposedOn(Tables.events(s, dir))
 
+  /** Events allowed per (user, 2-minute window) before throttling. */
+  val RateLimitN = 3
+
+  /** L20o: rate-limit audit — the abuse/bot-throttle pass every event
+    * pipeline runs before counting anything downstream: within each
+    * (user, 2-minute window), the first [[RateLimitN]] events by
+    * (ts, event_id) are allowed, the rest are throttled. The decision
+    * is one row_number over the (user, window) key — in a stream this
+    * exact shape is the flatMapGroupsWithState counter with window
+    * eviction; the batch shadow here audits it per user: windows
+    * touched, events seen, events a limiter would have dropped.
+    * Window starts come from the same 2-minute bucketing the
+    * streaming family uses (time_bucket ≡ Spark window().start). */
+  def eventRateLimitOn(events: DataFrame, limit: Int = RateLimitN): DataFrame = {
+    require(limit >= 1, s"need limit >= 1, got $limit")
+    val w = Window
+      .partitionBy(col("user_id"), col("win"))
+      .orderBy(col("tus").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"),
+        window(col("ts"), "2 minutes").getField("start").as("win"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("user_id")
+      .agg(countDistinct(col("win")).as("n_windows"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("rn") > limit, 1L).otherwise(0L)).as("n_throttled"))
+      .orderBy("user_id")
+  }
+
+  def eventRateLimit(s: SparkSession, dir: String): DataFrame =
+    eventRateLimitOn(Tables.events(s, dir))
+
   /** L20n: Markov-chain stationary distribution of the event-type
     * transition matrix — the steady-state "where do journeys spend
     * their time" summary on top of [[eventTransitionsOn]]'s pairwise
@@ -1186,6 +1219,7 @@ object Events {
     eventMarkovStationaryOn(Tables.events(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_rate_limit" -> eventRateLimit,
     "ts_anomaly_decomposed" -> tsAnomalyDecomposed,
     "event_markov_stationary" -> eventMarkovStationary,
     "ts_decompose" -> tsDecompose,
@@ -1249,6 +1283,20 @@ object Events {
       |  FROM tr WHERE detr IS NOT NULL GROUP BY dow)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "event_rate_limit" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    time_bucket(INTERVAL 2 MINUTES, ts) AS win
+        |  FROM events),
+        |r AS (SELECT user_id, win,
+        |    row_number() OVER (PARTITION BY user_id, win
+        |      ORDER BY tus ASC, event_id ASC) AS rn
+        |  FROM b)
+        |SELECT user_id,
+        |  CAST(COUNT(DISTINCT win) AS BIGINT) AS n_windows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_throttled
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ts_anomaly_decomposed" ->
       s"""WITH $decomposeCoreSql,
          |rs AS (SELECT tr.d, tr.v_cents,

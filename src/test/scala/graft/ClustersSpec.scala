@@ -365,4 +365,27 @@ class ClustersSpec extends SparkSpecBase {
     val corpus = functions.Clusters.graphAssortativity(spark, sf).head()
     assert(corpus.getAs[Long]("r_milli") < 0L)
   }
+
+  test("L16b golden record: per-attribute survivorship rules on a hand cluster") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "alpha", 1, 5.0), (2L, "alphb", 1, 9.0), (3L, "alpha", 1, 7.0),
+      (9L, "zzzzz", 1, 1.0), // singleton: no golden record row
+    ).toDF("rid", "name", "grp", "bal")
+    val out = functions.Clusters.erGoldenRecordOn(recs)
+      .select("n_members", "canonical_id", "surviving_name",
+        "surviving_grp", "surviving_bal")
+      .as[(Long, Long, String, Int, Double)].collect()
+    assert(out.toSeq == Seq((3L, 1L, "alpha", 1, 9.0)))
+  }
+
+  test("L16b golden record on the corpus: agrees with er_pipeline's clusters") {
+    import spark.implicits._
+    val gr = functions.Clusters.erGoldenRecord(spark, sf)
+      .select("cluster_id", "n_members", "surviving_bal")
+    val er = functions.Clusters.erPipeline(spark, sf)
+      .select("cluster_id", "n_members", "surviving_bal")
+    // same clusters, same member counts, same max-bal survivor
+    assert(gr.exceptAll(er).count() == 0 && er.exceptAll(gr).count() == 0)
+  }
 }

@@ -567,6 +567,38 @@ class EventsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("max_sec") == 90L)
   }
 
+  test("A13 weighted median: weight shifts the median off the row median") {
+    import spark.implicits._
+    val li = Seq(
+      ("A", 1.0, 4.0), ("A", 2.0, 1.0), ("A", 3.0, 1.0),
+    ).toDF("l_returnflag", "l_extendedprice", "l_quantity")
+    val out = operators.Aggregates.aggWeightedMedianOn(li)
+      .select("l_returnflag", "wmedian_cents", "total_weight")
+      .as[(String, Long, Long)].collect()
+    // row median of prices is 2.00; weight 4 on 1.00 drags it down
+    assert(out.toSeq == Seq(("A", 100L, 6L)))
+  }
+
+  test("L20o rate limit: first N by time pass, later events in the window throttle") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val ev = Seq(
+      // user 1: five events inside one 2-min window (ids shuffled to
+      // prove ordering is by ts), two in a later window
+      (10L, 1L, 0L), (11L, 1L, 5L), (12L, 1L, 10L), (13L, 1L, 15L),
+      (14L, 1L, 20L),
+      (15L, 1L, 300L), (16L, 1L, 305L),
+      // user 2: exactly the limit
+      (20L, 2L, 0L), (21L, 2L, 5L), (22L, 2L, 10L),
+    ).map { case (eid, uid, off) =>
+      (eid, new java.sql.Timestamp(t0 + off * 1000), uid, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.Events.eventRateLimitOn(ev)
+      .select("user_id", "n_windows", "n_events", "n_throttled")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, 7L, 2L), (2L, 1L, 3L, 0L)))
+  }
+
   test("L20n markov: integer power iteration matches an independent replay of the recurrence") {
     import spark.implicits._
     // Eulerian path B B B A A A A B A -> transitions AA:3 AB:1 BA:2 BB:2
