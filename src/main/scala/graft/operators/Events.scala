@@ -1160,6 +1160,63 @@ object Events {
   def eventRateLimit(s: SparkSession, dir: String): DataFrame =
     eventRateLimitOn(Tables.events(s, dir))
 
+  /** L20p: position-based (U-shaped) multi-touch attribution — the
+    * 40/20/40 rule marketing stacks run beside first/last-touch
+    * ([[eventAttributionOn]] is last-touch): each purchase's credit
+    * spreads over the touches since the user's previous purchase —
+    * 40% to the first touch, 40% to the last, 20% split over the
+    * middles (100% / 50-50 for 1- and 2-touch paths); purchases with
+    * no preceding touch stay 'organic'.
+    *
+    * Credits are integer ppm (the middle split truncates — a path
+    * loses < (n−2) ppm, never gains). Conversion paths are carved by
+    * a purchases-before running count over the ONE user-keyed
+    * shuffle; the per-path rank/size windows share the (user, conv)
+    * partitioning. Every window is keyed by real data — the 100 TB
+    * shape is the same as sessionization. */
+  def eventAttributionPositionOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus").asc, col("event_id").asc)
+    val marked = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      .withColumn("p_before",
+        coalesce(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    val touches = marked.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), (col("p_before") + 1).as("conv"),
+        col("tus"), col("event_id"), col("event_type"))
+    val purchases = marked.filter(col("event_type") === "purchase")
+      .select(col("user_id"), (col("p_before") + 1).as("conv"))
+    val wt = Window.partitionBy("user_id", "conv")
+      .orderBy(col("tus").asc, col("event_id").asc)
+    val wn = Window.partitionBy("user_id", "conv")
+    val credited = touches.join(purchases, Seq("user_id", "conv"))
+      .withColumn("t_rn", row_number().over(wt))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("credit_ppm",
+        when(col("n") === 1, 1000000L)
+          .when(col("n") === 2, 500000L)
+          .when(col("t_rn") === 1 || col("t_rn") === col("n"), 400000L)
+          .otherwise(expr("200000L div (n - 2)")))
+    val attributed = credited.groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_contribs"),
+        sum(col("credit_ppm")).as("credit_ppm"))
+    val organic = purchases
+      .join(touches.select("user_id", "conv").distinct(),
+        Seq("user_id", "conv"), "left_anti")
+      .agg(count(lit(1)).as("n_contribs"),
+        (count(lit(1)) * 1000000L).as("credit_ppm"))
+      .select(lit("organic").as("channel"), col("n_contribs"),
+        col("credit_ppm"))
+    attributed.unionByName(organic)
+      .filter(col("n_contribs") > 0).orderBy("channel")
+  }
+
+  def eventAttributionPosition(s: SparkSession, dir: String): DataFrame =
+    eventAttributionPositionOn(Tables.events(s, dir))
+
   /** L20n: Markov-chain stationary distribution of the event-type
     * transition matrix — the steady-state "where do journeys spend
     * their time" summary on top of [[eventTransitionsOn]]'s pairwise
@@ -1219,6 +1276,7 @@ object Events {
     eventMarkovStationaryOn(Tables.events(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_attribution_position" -> eventAttributionPosition,
     "event_rate_limit" -> eventRateLimit,
     "ts_anomaly_decomposed" -> tsAnomalyDecomposed,
     "event_markov_stationary" -> eventMarkovStationary,
@@ -1283,6 +1341,39 @@ object Events {
       |  FROM tr WHERE detr IS NOT NULL GROUP BY dow)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "event_attribution_position" ->
+      """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS p_before
+        |  FROM events),
+        |t AS (SELECT user_id, p_before + 1 AS conv, tus, event_id, event_type
+        |  FROM m WHERE event_type <> 'purchase'),
+        |p AS (SELECT user_id, p_before + 1 AS conv FROM m
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT t.user_id, t.conv, t.event_type,
+        |    row_number() OVER (PARTITION BY t.user_id, t.conv
+        |      ORDER BY t.tus ASC, t.event_id ASC) AS t_rn,
+        |    COUNT(*) OVER (PARTITION BY t.user_id, t.conv) AS n
+        |  FROM t JOIN p ON t.user_id = p.user_id AND t.conv = p.conv),
+        |a AS (SELECT event_type AS channel,
+        |    CAST(COUNT(*) AS BIGINT) AS n_contribs,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1000000
+        |      WHEN n = 2 THEN 500000
+        |      WHEN t_rn = 1 OR t_rn = n THEN 400000
+        |      ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_ppm
+        |  FROM c GROUP BY 1),
+        |o AS (SELECT 'organic' AS channel,
+        |    CAST(COUNT(*) AS BIGINT) AS n_contribs,
+        |    CAST(COUNT(*) * 1000000 AS BIGINT) AS credit_ppm
+        |  FROM p LEFT JOIN (SELECT DISTINCT user_id, conv FROM t) tc
+        |    ON p.user_id = tc.user_id AND p.conv = tc.conv
+        |  WHERE tc.user_id IS NULL)
+        |SELECT channel, n_contribs, credit_ppm FROM a
+        |UNION ALL SELECT channel, n_contribs, credit_ppm FROM o
+        |  WHERE n_contribs > 0
+        |ORDER BY channel""".stripMargin,
     "event_rate_limit" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
         |    time_bucket(INTERVAL 2 MINUTES, ts) AS win

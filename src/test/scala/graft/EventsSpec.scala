@@ -567,6 +567,31 @@ class EventsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("max_sec") == 90L)
   }
 
+  test("L20p position attribution: 40/20/40 on a hand path, organic for untouched purchases") {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val mk = (eid: Long, uid: Long, typ: String, off: Long) =>
+      (eid, new java.sql.Timestamp(t0 + off * 1000), uid, typ, 1.0, "{}")
+    val ev = Seq(
+      // user 1: view, click, view, signup -> purchase (4-touch path)
+      mk(1, 1L, "view", 0), mk(2, 1L, "click", 10), mk(3, 1L, "view", 20),
+      mk(4, 1L, "signup", 30), mk(5, 1L, "purchase", 40),
+      // user 2: purchase with no touches -> organic
+      mk(6, 2L, "purchase", 0),
+      // user 2 again: one touch then purchase -> 100%
+      mk(7, 2L, "click", 10), mk(8, 2L, "purchase", 20),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.Events.eventAttributionPositionOn(ev)
+      .select("channel", "n_contribs", "credit_ppm")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // 4-touch: first view 400000, click 100000, middle view 100000,
+    // signup (last) 400000; plus user 2's solo click 1000000
+    assert(out("view") == (2L, 500000L))
+    assert(out("click") == (2L, 1100000L))
+    assert(out("signup") == (1L, 400000L))
+    assert(out("organic") == (1L, 1000000L))
+  }
+
   test("A13 weighted median: weight shifts the median off the row median") {
     import spark.implicits._
     val li = Seq(
