@@ -59,16 +59,16 @@ object Sketches {
     // <= k longs per (partition, type) — no distinct-shuffle of the
     // full hash stream, the property that makes theta sketches THE
     // overlap tool at 100 TB.
-    // a type with fewer than k distinct users has no k-th value and
-    // drops out here (size filter) — at that size you count exactly
+    // a set with fewer than k distinct hashes is in EXACT MODE
+    // (DataSketches semantics): the sketch IS the whole distinct set,
+    // the estimate is its size, no k-th value involved
     val sk = events
       .select(col("event_type"),
         expr(s"(user_id * 2654435761 + 12345) % $P").as("h"))
       .groupBy("event_type")
       .agg(graft.plans.KmvAgg.kmv(col("h"), k).as("sk"))
-      .where(size(col("sk")) === k)
       .select(col("event_type"), col("sk"),
-        element_at(col("sk"), k).as("kth"))
+        when(size(col("sk")) === k, element_at(col("sk"), k)).as("kth"))
     // pair relation: tiny (|types|^2); the merged sketch is pure
     // array arithmetic on the two k-arrays — union, resort, recap
     val pairs = sk
@@ -76,9 +76,9 @@ object Sketches {
         col("kth").as("kth_a"))
       .join(sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
         col("kth").as("kth_b")), col("type_a") < col("type_b"))
+      .withColumn("mu", array_sort(array_union(col("sk_a"), col("sk_b"))))
       .withColumn("kth_u",
-        element_at(slice(array_sort(array_union(col("sk_a"), col("sk_b"))),
-          1, k), k))
+        when(size(col("mu")) >= k, element_at(col("mu"), k)))
     // exact distinct intersection — the eval column
     val users = events.select(col("event_type"), col("user_id")).distinct()
     val exact = users.select(col("event_type").as("type_a"), col("user_id"))
@@ -91,9 +91,12 @@ object Sketches {
       .join(exact, Seq("type_a", "type_b"), "left")
       .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
       .select(col("type_a"), col("type_b"),
-        expr(s"${(k - 1) * P}L div kth_a").as("est_a"),
-        expr(s"${(k - 1) * P}L div kth_b").as("est_b"),
-        expr(s"${(k - 1) * P}L div kth_u").as("est_union"),
+        coalesce(expr(s"${(k - 1) * P}L div kth_a"),
+          size(col("sk_a")).cast("long")).as("est_a"),
+        coalesce(expr(s"${(k - 1) * P}L div kth_b"),
+          size(col("sk_b")).cast("long")).as("est_b"),
+        coalesce(expr(s"${(k - 1) * P}L div kth_u"),
+          size(col("mu")).cast("long")).as("est_union"),
         col("exact_inter"))
       .withColumn("est_inter",
         greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
@@ -117,18 +120,23 @@ object Sketches {
          |sk AS (SELECT event_type, h,
          |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
          |  FROM hs QUALIFY rn <= $SketchK),
-         |kth AS (SELECT event_type, h AS kth FROM sk WHERE rn = $SketchK),
+         |kth AS (SELECT event_type, COUNT(*) AS n_sk,
+         |    MAX(CASE WHEN rn = $SketchK THEN h END) AS kth
+         |  FROM sk GROUP BY event_type),
          |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
-         |    a.kth AS kth_a, b.kth AS kth_b
+         |    a.kth AS kth_a, b.kth AS kth_b, a.n_sk AS n_a, b.n_sk AS n_b
          |  FROM kth a JOIN kth b ON a.event_type < b.event_type),
          |pu AS (SELECT type_a, type_b, h FROM pairs
          |    JOIN sk ON sk.event_type = pairs.type_a
          |  UNION
          |  SELECT type_a, type_b, h FROM pairs
          |    JOIN sk ON sk.event_type = pairs.type_b),
-         |ku AS (SELECT type_a, type_b, h AS kth_u FROM (SELECT type_a, type_b, h,
+         |ku AS (SELECT type_a, type_b,
+         |    MAX(CASE WHEN rn = $SketchK THEN h END) AS kth_u,
+         |    COUNT(*) AS n_u
+         |  FROM (SELECT type_a, type_b, h,
          |    ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h ASC) AS rn
-         |  FROM pu) WHERE rn = $SketchK),
+         |  FROM pu) WHERE rn <= $SketchK GROUP BY type_a, type_b),
          |us AS (SELECT DISTINCT event_type, user_id FROM events),
          |ex AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
          |    CAST(COUNT(*) AS BIGINT) AS exact_inter
@@ -136,9 +144,9 @@ object Sketches {
          |    ON a.user_id = b.user_id AND a.event_type < b.event_type
          |  GROUP BY 1, 2),
          |est AS (SELECT pairs.type_a, pairs.type_b,
-         |    ${(SketchK - 1) * P} // kth_a AS est_a,
-         |    ${(SketchK - 1) * P} // kth_b AS est_b,
-         |    ${(SketchK - 1) * P} // kth_u AS est_union,
+         |    COALESCE(${(SketchK - 1) * P} // kth_a, n_a) AS est_a,
+         |    COALESCE(${(SketchK - 1) * P} // kth_b, n_b) AS est_b,
+         |    COALESCE(${(SketchK - 1) * P} // kth_u, n_u) AS est_union,
          |    COALESCE(exact_inter, 0) AS exact_inter
          |  FROM pairs JOIN ku USING (type_a, type_b)
          |  LEFT JOIN ex USING (type_a, type_b))

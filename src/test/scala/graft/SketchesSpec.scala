@@ -33,6 +33,19 @@ class SketchesSpec extends SparkSpecBase {
     assert(xz._5 >= math.max(xz._3, xz._4))
   }
 
+  test("exact mode below k: estimates equal true cardinalities, err is zero") {
+    // 10 users per type < k=32 -> every sketch holds its whole set
+    val users = (1L to 10L)
+    val rows = users.flatMap(u => Seq(("X", u), ("Y", u + 5))) // overlap 5
+    val out = functions.Sketches.sketchThetaOn(ev(rows))
+      .select("est_a", "est_b", "est_union", "est_inter", "exact_inter", "err")
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((0 to 4).map(r.getLong).toSeq == Seq(10L, 10L, 15L, 5L, 5L))
+    assert(r.getLong(5) == 0L)
+  }
+
   test("corpus run: 10 pairs, union dominates both sides, err column consistent") {
     // test sf holds 15 distinct users per type -> k=8 keeps estimation
     // real here; the catalog query's k=32 works against the gate sf's
