@@ -919,6 +919,75 @@ object Clusters {
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"), max(col("bal")).as("surviving_bal"))
 
+  /** L15c: one synchronous Louvain refinement round (the parallel
+    * variant of Louvain's inner loop — Blondel et al. 2008; Staudt &
+    * Meyerhenke 2016 for the synchronous-moves form) on top of the
+    * LPA communities: every node evaluates, against the CURRENT
+    * labeling, the modularity gain of joining each neighboring
+    * community and takes the argmax when it is strictly positive.
+    *
+    * The gain is kept as the exact INTEGER numerator of ΔQ·4m²'s
+    * node-relevant part, 2m·k_in(c) − k_i·Σ'_tot(c) (Σ' excludes the
+    * node itself when c is its own community) — no floats, ties break
+    * to the smaller community label, both engines replay bit-for-bit.
+    * The "stay" option is always a candidate (k_in possibly 0), so a
+    * node never moves on a negative gain differential.
+    *
+    * Shapes: neighbor-community tallies are one (node, community)
+    * hash aggregate over the adjacency; Σ_tot is a community-keyed
+    * aggregate joined back broadcast-sized; the argmax is one window
+    * over each node's ≤ degree candidates. One synchronous round =
+    * one pass over the edges — the unit Louvain repeats until quiet;
+    * emitting the per-node gain makes the convergence measurable
+    * in-catalog. */
+  def graphLouvainMoveOn(edges: DataFrame): DataFrame = {
+    val Array(ca, cb) = edges.columns.take(2)
+    val und = edges
+      .select(least(col(ca), col(cb)).cast("long").as("a"),
+        greatest(col(ca), col(cb)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val adj = und.select(explode(array(
+        struct(col("a").as("node"), col("b").as("nb")),
+        struct(col("b").as("node"), col("a").as("nb")))).as("p"))
+      .select(col("p.node").as("node"), col("p.nb").as("nb"))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("k"))
+    val mRel = und.agg(count(lit(1)).as("m"))
+    val lab = labelPropagationOn(und).select(col("node"),
+      col("community").as("own"))
+      .localCheckpoint(true)
+    val kin = adj
+      .join(lab.select(col("node").as("nb"), col("own").as("c")), "nb")
+      .groupBy("node", "c").agg(count(lit(1)).as("k_in"))
+    val sigma = lab.join(deg, "node")
+      .groupBy(col("own").as("c")).agg(sum(col("k")).as("sigma_tot"))
+    // candidates = neighbor communities ∪ the stay option (k_in 0)
+    val cand = kin
+      .unionByName(lab.select(col("node"), col("own").as("c"),
+        lit(0L).as("k_in")))
+      .groupBy("node", "c").agg(max(col("k_in")).as("k_in"))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("gain_num").desc, col("c").asc)
+    cand
+      .join(lab, "node").join(deg, "node")
+      .join(sigma, "c").crossJoin(broadcast(mRel))
+      .select(col("node"), col("own"), col("c"),
+        (lit(2L) * col("m") * col("k_in") - col("k") *
+          (col("sigma_tot") -
+            when(col("c") === col("own"), col("k")).otherwise(lit(0L))))
+          .as("gain_num"))
+      .withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("node"), col("own").as("old_label"),
+        col("c").as("new_label"), col("gain_num"))
+      .orderBy("node")
+  }
+
+  def graphLouvainMove(s: SparkSession, dir: String): DataFrame =
+    graphLouvainMoveOn(Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
+      .select("qid", "nid"))
+
   /** L16b: golden-record construction — the full per-ATTRIBUTE
     * survivorship pass MDM systems run after [[erResolveOn]]'s
     * clustering (er_pipeline keeps one "best value"; real survivorship
@@ -972,6 +1041,7 @@ object Clusters {
       .orderBy("cluster_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_louvain_move" -> graphLouvainMove,
     "er_golden_record" -> erGoldenRecord,
     "er_pipeline" -> erPipeline,
     "graph_projection" -> graphProjection,
@@ -1110,6 +1180,35 @@ object Clusters {
          |  MAX(r.bal) AS surviving_bal
          |FROM lbl l JOIN r ON l.node = r.rid
          |GROUP BY l.cluster_id ORDER BY cluster_id""".stripMargin,
+    "graph_louvain_move" ->
+      s"""WITH ${Similarity.knnCoreSql},
+         |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,
+         |    GREATEST(qid, nid) AS b FROM knn WHERE qid <> nid),
+         |adj AS (SELECT a AS node, b AS nb FROM und
+         |        UNION ALL SELECT b AS node, a AS nb FROM und),
+         |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+         |$lpaIterSql,
+         |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM adj GROUP BY node),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+         |kin AS (SELECT a.node, p.lbl AS c, CAST(COUNT(*) AS BIGINT) AS k_in
+         |  FROM adj a JOIN l2 p ON a.nb = p.node GROUP BY 1, 2),
+         |st AS (SELECT node, lbl AS c, CAST(0 AS BIGINT) AS k_in FROM l2),
+         |cand AS (SELECT node, c, MAX(k_in) AS k_in FROM
+         |  (SELECT * FROM kin UNION ALL SELECT * FROM st) GROUP BY 1, 2),
+         |sg AS (SELECT l.lbl AS c, CAST(SUM(dg.k) AS BIGINT) AS sigma_tot
+         |  FROM l2 l JOIN dg ON l.node = dg.node GROUP BY 1),
+         |g AS (SELECT cand.node, l2.lbl AS own, cand.c,
+         |    2 * mm.m * cand.k_in - dg.k * (sg.sigma_tot -
+         |      CASE WHEN cand.c = l2.lbl THEN dg.k ELSE 0 END) AS gain_num
+         |  FROM cand JOIN l2 ON cand.node = l2.node
+         |  JOIN dg ON cand.node = dg.node
+         |  JOIN sg ON cand.c = sg.c, mm)
+         |SELECT node, own AS old_label, c AS new_label,
+         |  CAST(gain_num AS BIGINT) AS gain_num
+         |FROM (SELECT *, row_number() OVER (PARTITION BY node
+         |    ORDER BY gain_num DESC, c ASC) AS rk FROM g)
+         |WHERE rk = 1 ORDER BY node""".stripMargin,
     "er_golden_record" ->
       s"""WITH RECURSIVE $erChainSql,
          |mem AS (SELECT l.cluster_id, r.rid, r.name, r.grp, r.bal

@@ -366,6 +366,61 @@ class ClustersSpec extends SparkSpecBase {
     assert(corpus.getAs[Long]("r_milli") < 0L)
   }
 
+  test("L15c louvain move: hand-computed gains on the two-triangle barbell") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4; LPA(2) labels
+    // {1,2,3}->1, {4}->4, {5,6}->3; m=7
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val out = functions.Clusters.graphLouvainMoveOn(edges)
+      .select("node", "old_label", "new_label", "gain_num")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // bridge node 4 joins the {5,6} community: 2m*k_in - k*sigma =
+    // 28 - 12 = 16, beating both staying (0) and the left triangle (-7)
+    assert(out(4L) == (4L, 3L, 16L))
+    // node 5 stays: own-community gain 14 - 2*(4-2) = 10 beats moving (8)
+    assert(out(5L) == (3L, 3L, 10L))
+    // node 3 stays in the triangle: 28 - 3*(7-3) = 16
+    assert(out(3L) == (1L, 1L, 16L))
+  }
+
+  test("L15c louvain move on the corpus: picks dominate the stay option") {
+    import spark.implicits._
+    // independent replay: the chosen gain must be >= the stay gain
+    // computed from the same labeling (never a forced move)
+    val edges = functions.Similarity.simKnnJoinOn(
+      Tables.embeddings(spark, sf)).select("qid", "nid")
+    val moves = functions.Clusters.graphLouvainMoveOn(edges)
+    val lab = functions.Clusters.labelPropagationOn(edges)
+    val und = edges.select(least(col("qid"), col("nid")).as("a"),
+        greatest(col("qid"), col("nid")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = und.select(explode(array(
+        struct(col("a").as("node"), col("b").as("nb")),
+        struct(col("b").as("node"), col("a").as("nb")))).as("p"))
+      .select("p.node", "p.nb")
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("k"))
+    val m = und.count()
+    val sigma = lab.join(deg, "node").groupBy(col("community"))
+      .agg(sum(col("k")).as("sigma_tot"))
+    val kinOwn = adj
+      .join(lab.select(col("node").as("nb"), col("community").as("c")), "nb")
+      .join(lab.withColumnRenamed("community", "own"), "node")
+      .filter(col("c") === col("own"))
+      .groupBy("node", "own").agg(count(lit(1)).as("k_in_own"))
+    val stay = lab.withColumnRenamed("community", "own")
+      .join(kinOwn, Seq("node", "own"), "left")
+      .join(deg, "node")
+      .join(sigma.withColumnRenamed("community", "own"), "own")
+      .select(col("node"),
+        (lit(2L * m) * coalesce(col("k_in_own"), lit(0L)) -
+          col("k") * (col("sigma_tot") - col("k"))).as("stay_gain"))
+    val bad = moves.join(stay, "node")
+      .filter(col("gain_num") < col("stay_gain")).count()
+    assert(bad == 0)
+  }
+
   test("L16b golden record: per-attribute survivorship rules on a hand cluster") {
     import spark.implicits._
     val recs = Seq(
