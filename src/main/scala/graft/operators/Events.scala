@@ -1275,7 +1275,156 @@ object Events {
   def eventMarkovStationary(s: SparkSession, dir: String): DataFrame =
     eventMarkovStationaryOn(Tables.events(s, dir))
 
+  /** L20m: Welch's unequal-variance t-test on per-user total spend
+    * between the two deterministic id-hash arms — the continuous-
+    * outcome sibling of [[eventAbTestOn]]'s two-proportion z. After
+    * the per-user rollup the whole statistic is arithmetic on SIX
+    * integers (n, S=Σspend, Q=Σspend² per arm), so it is spelled
+    * exactly: with A = S₀n₁ − S₁n₀ and Uᵢ = nᵢQᵢ − Sᵢ² (both
+    * non-negative by Cauchy-Schwarz),
+    *   t² = A²(n₀−1)(n₁−1) / [U₀n₁²(n₁−1) + U₁n₀²(n₀−1)]
+    * emitted as t2_milli via one integral DIV in DECIMAL(38,0) —
+    * exact while A²·n² < 10^38 (holds through sf10; at true 100 TB
+    * the identical plan runs the closed form in DOUBLE, the two-
+    * shuffle shape is unchanged). significant = t2_milli > 3841
+    * (t² ~ χ²₁ at these df). Degenerate gates (an arm with < 2 users
+    * or both variances zero) yield NULL. Shape: one map-side-combined
+    * user rollup, a 2-row arm aggregate, then single-row arithmetic —
+    * identical scaling story to the z-test. */
+  def eventTtestWelchOn(events: DataFrame): DataFrame = {
+    val users = events
+      .select(col("user_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(sum(col("cents")).as("spend"))
+      .select((col("user_id") % 2).cast("int").as("variant"), col("spend"))
+    val arms = users.groupBy("variant").agg(
+      count(lit(1)).as("n"),
+      sum(col("spend")).cast("decimal(38,0)").as("s"),
+      sum(col("spend").cast("decimal(38,0)") * col("spend"))
+        .cast("decimal(38,0)").as("q"))
+    val a = arms.filter(col("variant") === 0)
+      .select(col("n").as("n0"), col("s").as("s0"), col("q").as("q0"))
+    val b = arms.filter(col("variant") === 1)
+      .select(col("n").as("n1"), col("s").as("s1"), col("q").as("q1"))
+    a.crossJoin(b) // both sides are single-row reductions
+      .select(col("n0"), col("n1"),
+        expr("CAST(s0 AS BIGINT)").as("spend0"),
+        expr("CAST(s1 AS BIGINT)").as("spend1"),
+        expr("CAST(s0 * 1000 DIV n0 AS BIGINT)").as("mean0_milli"),
+        expr("CAST(s1 * 1000 DIV n1 AS BIGINT)").as("mean1_milli"),
+        expr("""CASE WHEN n0 >= 2 AND n1 >= 2
+               |  AND (n0 * q0 - s0 * s0) * n1 * n1 * (n1 - 1)
+               |    + (n1 * q1 - s1 * s1) * n0 * n0 * (n0 - 1) > 0
+               |THEN CAST(
+               |  (s0 * n1 - s1 * n0) * (s0 * n1 - s1 * n0)
+               |    * (n0 - 1) * (n1 - 1) * 1000
+               |  DIV ((n0 * q0 - s0 * s0) * n1 * n1 * (n1 - 1)
+               |     + (n1 * q1 - s1 * s1) * n0 * n0 * (n0 - 1))
+               |  AS BIGINT) END""".stripMargin).as("t2_milli"))
+      .withColumn("significant", col("t2_milli") > 3841L)
+  }
+
+  def eventTtestWelch(s: SparkSession, dir: String): DataFrame =
+    eventTtestWelchOn(Tables.events(s, dir))
+
+  /** L20n: one-way ANOVA across event types on per-event value — "do
+    * the k categories differ in mean?", the k-group generalization of
+    * [[eventTtestWelchOn]]. The sums of squares are spelled in exact
+    * cents² with one integral DIV per term (every numerator is
+    * nᵢQᵢ − Sᵢ² ≥ 0, so Spark DIV and DuckDB // agree):
+    *   SSW = Σᵢ (nᵢQᵢ − Sᵢ²) div nᵢ,   SST = (nQ − S²) div n,
+    *   SSB = SST − SSW,   F = [SSB/(k−1)] / [SSW/(n−k)]
+    * with F emitted as f_milli through DECIMAL(38,0) (exact while
+    * SSB·n < 10^35; past that the closed form runs in DOUBLE on the
+    * same two-level aggregation). Truncation is applied identically
+    * on both engines, so the ≤1-cent²-per-group floor loss is part of
+    * the pinned semantics, not error. Shape: one map-side-combined
+    * per-type rollup (k rows), then single-row arithmetic over the k
+    * partials — the global n/S/Q are the SUMS of the per-type ones,
+    * not a second fact scan. */
+  def eventAnovaOn(events: DataFrame): DataFrame = {
+    val groups = events
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).cast("decimal(38,0)").as("s"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents"))
+          .cast("decimal(38,0)").as("q"))
+    groups.agg(
+        count(lit(1)).cast("long").as("k"),
+        sum(col("n")).as("n"),
+        sum(col("s")).cast("decimal(38,0)").as("st"),
+        sum(col("q")).cast("decimal(38,0)").as("qt"),
+        sum(expr("(n * q - s * s) DIV n")).cast("decimal(38,0)").as("ssw"))
+      .select(col("k"), col("n"),
+        expr("CAST(ssw AS BIGINT)").as("ssw_cents2"),
+        expr("CAST((n * qt - st * st) DIV n - ssw AS BIGINT)")
+          .as("ssb_cents2"))
+      .withColumn("f_milli",
+        expr("""CASE WHEN ssw_cents2 > 0 AND n > k AND k > 1 THEN
+               |  CAST(CAST(ssb_cents2 AS DECIMAL(38,0)) * (n - k) * 1000
+               |    DIV (CAST(ssw_cents2 AS DECIMAL(38,0)) * (k - 1))
+               |    AS BIGINT) END""".stripMargin))
+  }
+
+  def eventAnova(s: SparkSession, dir: String): DataFrame =
+    eventAnovaOn(Tables.events(s, dir))
+
+  /** L20o: difference-in-differences readout — the quasi-experimental
+    * design for a treatment that switches ON at a known date: arms by
+    * the deterministic id hash, periods split at the corpus midpoint
+    * (2024-01-16, pinned constant — a real deployment passes its
+    * launch date), outcome = purchase conversion among users ACTIVE
+    * in the cell. The 2×2 cell table is four (n, x) integer pairs;
+    * each conversion rate is an exact ppm DIV and
+    *   did_ppm = (crₜ,post − crₜ,pre) − (cr꜀,post − cr꜀,pre)
+    * is plain BIGINT subtraction — no float anywhere. Parallel-trends
+    * diagnostics (the pre-period gap) ship in the same row. Shape:
+    * one user×period rollup (map-side combined), a 4-row cell
+    * aggregate, then single-row arithmetic — the same collapse
+    * pattern as the other experiment readouts. */
+  def eventDidOn(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("user_id"),
+        (col("ts") >= lit("2024-01-16").cast("timestamp")).cast("int")
+          .as("post"),
+        (col("event_type") === "purchase").cast("long").as("isp"))
+      .groupBy("user_id", "post")
+      .agg(max(col("isp")).as("converted"))
+      .select((col("user_id") % 2).cast("int").as("treated"),
+        col("post"), col("converted"))
+      .groupBy("treated", "post")
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+    val wide = cells.agg(
+      sum(when(col("treated") === 1 && col("post") === 0, col("n"))).as("n_t_pre"),
+      sum(when(col("treated") === 1 && col("post") === 0, col("x"))).as("x_t_pre"),
+      sum(when(col("treated") === 1 && col("post") === 1, col("n"))).as("n_t_post"),
+      sum(when(col("treated") === 1 && col("post") === 1, col("x"))).as("x_t_post"),
+      sum(when(col("treated") === 0 && col("post") === 0, col("n"))).as("n_c_pre"),
+      sum(when(col("treated") === 0 && col("post") === 0, col("x"))).as("x_c_pre"),
+      sum(when(col("treated") === 0 && col("post") === 1, col("n"))).as("n_c_post"),
+      sum(when(col("treated") === 0 && col("post") === 1, col("x"))).as("x_c_post"))
+    wide.select(col("*"),
+        expr("CAST(x_t_pre * 1000000 DIV n_t_pre AS BIGINT)").as("cr_t_pre_ppm"),
+        expr("CAST(x_t_post * 1000000 DIV n_t_post AS BIGINT)").as("cr_t_post_ppm"),
+        expr("CAST(x_c_pre * 1000000 DIV n_c_pre AS BIGINT)").as("cr_c_pre_ppm"),
+        expr("CAST(x_c_post * 1000000 DIV n_c_post AS BIGINT)").as("cr_c_post_ppm"))
+      .withColumn("pretrend_gap_ppm",
+        col("cr_t_pre_ppm") - col("cr_c_pre_ppm"))
+      .withColumn("did_ppm",
+        (col("cr_t_post_ppm") - col("cr_t_pre_ppm"))
+          - (col("cr_c_post_ppm") - col("cr_c_pre_ppm")))
+  }
+
+  def eventDid(s: SparkSession, dir: String): DataFrame =
+    eventDidOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_ttest_welch" -> eventTtestWelch,
+    "event_anova" -> eventAnova,
+    "event_did" -> eventDid,
     "event_attribution_position" -> eventAttributionPosition,
     "event_rate_limit" -> eventRateLimit,
     "ts_anomaly_decomposed" -> tsAnomalyDecomposed,
@@ -1341,6 +1490,99 @@ object Events {
       |  FROM tr WHERE detr IS NOT NULL GROUP BY dow)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "event_ttest_welch" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS spend
+        |  FROM events GROUP BY user_id),
+        |arms AS (SELECT CAST(user_id % 2 AS INT) AS variant,
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(spend) AS HUGEINT) AS s,
+        |    CAST(SUM(CAST(spend AS HUGEINT) * spend) AS HUGEINT) AS q
+        |  FROM u GROUP BY 1),
+        |ab AS (SELECT
+        |    (SELECT n FROM arms WHERE variant = 0) AS n0,
+        |    (SELECT s FROM arms WHERE variant = 0) AS s0,
+        |    (SELECT q FROM arms WHERE variant = 0) AS q0,
+        |    (SELECT n FROM arms WHERE variant = 1) AS n1,
+        |    (SELECT s FROM arms WHERE variant = 1) AS s1,
+        |    (SELECT q FROM arms WHERE variant = 1) AS q1)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(s0 AS BIGINT) AS spend0, CAST(s1 AS BIGINT) AS spend1,
+        |  CAST(s0 * 1000 // n0 AS BIGINT) AS mean0_milli,
+        |  CAST(s1 * 1000 // n1 AS BIGINT) AS mean1_milli,
+        |  CAST(CASE WHEN n0 >= 2 AND n1 >= 2
+        |    AND (n0 * q0 - s0 * s0) * n1 * n1 * (n1 - 1)
+        |      + (n1 * q1 - s1 * s1) * n0 * n0 * (n0 - 1) > 0
+        |  THEN (s0 * n1 - s1 * n0) * (s0 * n1 - s1 * n0)
+        |      * (n0 - 1) * (n1 - 1) * 1000
+        |    // ((n0 * q0 - s0 * s0) * n1 * n1 * (n1 - 1)
+        |       + (n1 * q1 - s1 * s1) * n0 * n0 * (n0 - 1))
+        |  END AS BIGINT) AS t2_milli,
+        |  CASE WHEN n0 >= 2 AND n1 >= 2
+        |    AND (n0 * q0 - s0 * s0) * n1 * n1 * (n1 - 1)
+        |      + (n1 * q1 - s1 * s1) * n0 * n0 * (n0 - 1) > 0
+        |  THEN (s0 * n1 - s1 * n0) * (s0 * n1 - s1 * n0)
+        |      * (n0 - 1) * (n1 - 1) * 1000
+        |    // ((n0 * q0 - s0 * s0) * n1 * n1 * (n1 - 1)
+        |       + (n1 * q1 - s1 * s1) * n0 * n0 * (n0 - 1)) > 3841
+        |  END AS significant
+        |FROM ab""".stripMargin,
+    "event_anova" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS HUGEINT)
+        |      AS s,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS HUGEINT)
+        |             * CAST(floor(value * 100 + 0.5) AS HUGEINT))
+        |      AS HUGEINT) AS q
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n) AS HUGEINT) AS n,
+        |    CAST(SUM(s) AS HUGEINT) AS st,
+        |    CAST(SUM(q) AS HUGEINT) AS qt,
+        |    CAST(SUM((n * q - s * s) // n) AS HUGEINT) AS ssw
+        |  FROM g)
+        |SELECT k, CAST(n AS BIGINT) AS n,
+        |  CAST(ssw AS BIGINT) AS ssw_cents2,
+        |  CAST((n * qt - st * st) // n - ssw AS BIGINT) AS ssb_cents2,
+        |  CAST(CASE WHEN ssw > 0 AND n > k AND k > 1 THEN
+        |    ((n * qt - st * st) // n - ssw) * (n - k) * 1000
+        |      // (ssw * (k - 1)) END AS BIGINT) AS f_milli
+        |FROM tot""".stripMargin,
+    "event_did" ->
+      """WITH up AS (SELECT user_id,
+        |    CAST(ts >= TIMESTAMP '2024-01-16' AS INT) AS post,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS converted
+        |  FROM events GROUP BY 1, 2),
+        |cells AS (SELECT CAST(user_id % 2 AS INT) AS treated, post,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(converted) AS BIGINT) AS x
+        |  FROM up GROUP BY 1, 2),
+        |w AS (SELECT
+        |  SUM(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_t_pre,
+        |  SUM(CASE WHEN treated = 1 AND post = 0 THEN x END) AS x_t_pre,
+        |  SUM(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t_post,
+        |  SUM(CASE WHEN treated = 1 AND post = 1 THEN x END) AS x_t_post,
+        |  SUM(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_c_pre,
+        |  SUM(CASE WHEN treated = 0 AND post = 0 THEN x END) AS x_c_pre,
+        |  SUM(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c_post,
+        |  SUM(CASE WHEN treated = 0 AND post = 1 THEN x END) AS x_c_post
+        |  FROM cells)
+        |SELECT n_t_pre, x_t_pre, n_t_post, x_t_post,
+        |  n_c_pre, x_c_pre, n_c_post, x_c_post,
+        |  CAST(x_t_pre * 1000000 // n_t_pre AS BIGINT) AS cr_t_pre_ppm,
+        |  CAST(x_t_post * 1000000 // n_t_post AS BIGINT) AS cr_t_post_ppm,
+        |  CAST(x_c_pre * 1000000 // n_c_pre AS BIGINT) AS cr_c_pre_ppm,
+        |  CAST(x_c_post * 1000000 // n_c_post AS BIGINT) AS cr_c_post_ppm,
+        |  CAST(x_t_pre * 1000000 // n_t_pre AS BIGINT)
+        |    - CAST(x_c_pre * 1000000 // n_c_pre AS BIGINT)
+        |    AS pretrend_gap_ppm,
+        |  (CAST(x_t_post * 1000000 // n_t_post AS BIGINT)
+        |    - CAST(x_t_pre * 1000000 // n_t_pre AS BIGINT))
+        |  - (CAST(x_c_post * 1000000 // n_c_post AS BIGINT)
+        |    - CAST(x_c_pre * 1000000 // n_c_pre AS BIGINT)) AS did_ppm
+        |FROM w""".stripMargin,
     "event_attribution_position" ->
       """WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
         |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

