@@ -1421,7 +1421,42 @@ object Events {
   def eventDid(s: SparkSession, dir: String): DataFrame =
     eventDidOn(Tables.events(s, dir))
 
+  /** L14c: snapshot diff — classify every entity's state change
+    * between two cut times (the table-diff a CDC pipeline publishes
+    * when it has snapshots, not a log; complements
+    * `stream_cdc_replay`'s log-apply direction). State at a cut = the
+    * entity's LAST event_type at or before it, tie-broken by
+    * event_id via one lexicographic struct max — so BOTH snapshots
+    * come out of a single per-user aggregate over one scan
+    * (`max(when(ts <= t1, struct))` and `max(struct)`), no window,
+    * no self-join. insert = absent at t1; update/unchanged by state
+    * compare; deletes can't occur in an append-only log (a real
+    * deployment feeds tombstones through the same classify). Scale:
+    * one map-side-combined shuffle on user_id — the two struct maxes
+    * combine per-partition, so the shuffle carries 2 small structs
+    * per user regardless of corpus size. */
+  def cdcSnapshotDiffOn(events: DataFrame, t1: Column, t2: Column): DataFrame =
+    events.filter(col("ts") <= t2)
+      .groupBy("user_id")
+      .agg(
+        max(when(col("ts") <= t1,
+          struct(col("ts"), col("event_id"), col("event_type")))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("n"))
+      .select(col("user_id"),
+        col("o.event_type").as("old_state"),
+        col("n.event_type").as("new_state"))
+      .withColumn("change_type",
+        when(col("old_state").isNull, "insert")
+          .when(col("old_state") === col("new_state"), "unchanged")
+          .otherwise("update"))
+      .orderBy("user_id")
+
+  def cdcSnapshotDiff(s: SparkSession, dir: String): DataFrame =
+    cdcSnapshotDiffOn(Tables.events(s, dir),
+      lit("2024-01-10").cast("timestamp"), lit("2024-01-20").cast("timestamp"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_snapshot_diff" -> cdcSnapshotDiff,
     "event_ttest_welch" -> eventTtestWelch,
     "event_anova" -> eventAnova,
     "event_did" -> eventDid,
@@ -1490,6 +1525,23 @@ object Events {
       |  FROM tr WHERE detr IS NOT NULL GROUP BY dow)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_snapshot_diff" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-20'),
+        |new_s AS (SELECT user_id, event_type AS new_state FROM (
+        |    SELECT user_id, event_type, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |old_s AS (SELECT user_id, event_type AS old_state FROM (
+        |    SELECT user_id, event_type, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e WHERE ts <= TIMESTAMP '2024-01-10') WHERE rn = 1)
+        |SELECT n.user_id, o.old_state, n.new_state,
+        |  CASE WHEN o.old_state IS NULL THEN 'insert'
+        |       WHEN o.old_state = n.new_state THEN 'unchanged'
+        |       ELSE 'update' END AS change_type
+        |FROM new_s n LEFT JOIN old_s o USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "event_ttest_welch" ->
       """WITH u AS (SELECT user_id,
         |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)

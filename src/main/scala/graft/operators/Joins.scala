@@ -434,7 +434,54 @@ object Joins {
       .orderBy("akey", "aline", "bkey")
   }
 
+  /** J8: referential-integrity audit across the whole star schema —
+    * the cross-table completion of `quality_audit`'s single-table
+    * constraints (the Deequ `isContainedIn`/foreign-key shape). Each
+    * FK check counts child rows whose key has no parent: the child is
+    * FIRST collapsed to (key, row_count) — so the join input shrinks
+    * from |child| rows to |distinct keys| — then left-joined to the
+    * parent's distinct key set and the misses' counts are summed.
+    * Strict mode: a NULL child key can never match and therefore
+    * counts as an orphan (documented; SQL's FK semantics would skip
+    * it — flip with a filter). Scale: every parent key set here is
+    * dimension-sized (broadcast); the one big parent (orders) joins
+    * key-to-key after the collapse, so the shuffle carries one row
+    * per distinct orderkey, not per lineitem. The seven checks are
+    * independent single-pass aggregates unioned into the report. */
+  def dqReferentialOn(
+      checks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one FK check")
+    checks.map { case (name, child, childKey, parent, parentKey) =>
+      val keys = child.groupBy(col(childKey).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val pk = parent.select(col(parentKey).as("k")).distinct()
+        .withColumn("hit", lit(1))
+      keys.join(pk, Seq("k"), "left")
+        .agg(sum(col("cnt")).as("n_child_rows"),
+          coalesce(sum(when(col("hit").isNull, col("cnt"))), lit(0L))
+            .as("n_orphans"))
+        .select(lit(name).as("fk_name"), col("n_child_rows"),
+          col("n_orphans"), (col("n_orphans") === 0).as("passed"))
+    }.reduce(_ unionByName _).orderBy("fk_name")
+  }
+
+  /** Catalog wrapper: the seven FK edges of the TPC-H-ish star. */
+  def dqReferential(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val na = Tables.nation(s, dir)
+    dqReferentialOn(Seq(
+      ("lineitem_orders", li, "l_orderkey", Tables.orders(s, dir), "o_orderkey"),
+      ("lineitem_part", li, "l_partkey", Tables.part(s, dir), "p_partkey"),
+      ("lineitem_supplier", li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey"),
+      ("orders_customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"),
+      ("customer_nation", Tables.customer(s, dir), "c_nationkey", na, "n_nationkey"),
+      ("supplier_nation", Tables.supplier(s, dir), "s_nationkey", na, "n_nationkey"),
+      ("nation_region", na, "n_regionkey", Tables.region(s, dir), "r_regionkey")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_referential" -> dqReferential,
     "join_interval_overlap" -> joinIntervalOverlap,
     "merge_upsert" -> mergeUpsert,
     "join_asof" -> joinAsof,
@@ -454,7 +501,27 @@ object Joins {
     "join_range" -> joinRange,
   )
 
+  private def fkOracle(name: String, child: String, ck: String,
+      parent: String, pk: String): String =
+    s"""SELECT '$name' AS fk_name,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_child_rows,
+       |  CAST(COALESCE(SUM(CASE WHEN p.k IS NULL THEN cnt END), 0)
+       |    AS BIGINT) AS n_orphans,
+       |  COALESCE(SUM(CASE WHEN p.k IS NULL THEN cnt END), 0) = 0 AS passed
+       |FROM (SELECT $ck AS k, COUNT(*) AS cnt FROM $child GROUP BY 1) c
+       |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p ON c.k = p.k"""
+      .stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dq_referential" -> (Seq(
+      fkOracle("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      fkOracle("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      fkOracle("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      fkOracle("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      fkOracle("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      fkOracle("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      fkOracle("nation_region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk_name")),
     "join_interval_overlap" ->
       """WITH a AS (SELECT l_orderkey AS akey, l_linenumber AS aline,
         |    CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))

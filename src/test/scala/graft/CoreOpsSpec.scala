@@ -220,4 +220,54 @@ class CoreOpsSpec extends SparkSpecBase {
       .count() == 0)
     out.unpersist()
   }
+
+  test("dq_referential: orphan and NULL child keys are counted per row; " +
+      "the corpus star has intact FKs") {
+    import spark.implicits._
+    // child rows: two hit parent 10, one orphan key 99 (twice), one NULL
+    val child = Seq(Some(10L), Some(10L), Some(99L), Some(99L), None)
+      .toDF("ck")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val r = operators.Joins.dqReferentialOn(
+      Seq(("t", child, "ck", parent, "pk"))).head()
+    assert(r.getAs[Long]("n_child_rows") == 5L)
+    assert(r.getAs[Long]("n_orphans") == 3L) // 2x key-99 + the NULL
+    assert(!r.getAs[Boolean]("passed"))
+    // the driver corpus: all seven FK edges intact, row counts real
+    val c = operators.Joins.dqReferential(spark, sf).cache()
+    assert(c.count() == 7)
+    assert(c.filter(!col("passed")).count() == 0)
+    val liRows = Tables.lineitem(spark, sf).count()
+    assert(c.filter(col("fk_name") === "lineitem_orders")
+      .head().getAs[Long]("n_child_rows") == liRows)
+    c.unpersist()
+  }
+
+  test("cdc_snapshot_diff: insert/update/unchanged classified from one " +
+      "aggregate; ties break by event_id") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: state a at t1, b at t2 -> update
+      (1L, 1L, "a", ts("2024-01-05 10:00:00")),
+      (2L, 1L, "b", ts("2024-01-15 10:00:00")),
+      // u2: only post-t1 activity -> insert
+      (3L, 2L, "c", ts("2024-01-12 10:00:00")),
+      // u3: same state both cuts -> unchanged
+      (4L, 3L, "d", ts("2024-01-06 10:00:00")),
+      // u4: two events at the SAME ts before t1; event_id 6 wins
+      (5L, 4L, "x", ts("2024-01-07 09:00:00")),
+      (6L, 4L, "y", ts("2024-01-07 09:00:00")),
+      // post-t2 noise must be invisible
+      (7L, 1L, "z", ts("2024-01-25 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = operators.Events.cdcSnapshotDiffOn(ev,
+        lit("2024-01-10").cast("timestamp"), lit("2024-01-20").cast("timestamp"))
+      .as[(Long, Option[String], String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("a"), "b", "update"),
+      (2L, None, "c", "insert"),
+      (3L, Some("d"), "d", "unchanged"),
+      (4L, Some("y"), "y", "unchanged")))
+  }
 }
