@@ -1109,7 +1109,62 @@ object Similarity {
   def sampleKcenter(s: SparkSession, dir: String): DataFrame =
     sampleKcenterOn(Tables.embeddings(s, dir))
 
+  /** L3m: scalar-quantization ANN (SQ8, the FAISS `SQ8`/Milvus
+    * `IVF_SQ8` compression tier): each dimension is affinely mapped
+    * to an 8-bit code between the corpus-wide per-dimension min and
+    * max, cutting vector storage 4x vs float32 (16x vs the 2^20
+    * integer grid) while — unlike PQ's codebook cells — keeping every
+    * dimension independently addressable. Search is asymmetric: the
+    * query stays at full precision and scores against each code's
+    * reconstruction (cell floor), so the only error is one
+    * quantization cell per dimension. All arithmetic stays on the
+    * floor(x·2^20) BIGINT grid with single non-negative DIVs
+    * (code = (qv−mn)·255 div (mx−mn), recon = mn + code·(mx−mn) div
+    * 255), so DuckDB replays the ranking bit-for-bit.
+    *
+    * Scale: training is one 64-row min/max aggregate (broadcast
+    * back); encoding is a map-side join against that 64-row frame;
+    * scoring joins the broadcast query coordinates on dimension and
+    * the (qid, vec_id) distance aggregate partial-combines map-side,
+    * so the one real shuffle carries |Q| rows per corpus vector. The
+    * IVF row of the recall matrix is the routing complement: compose
+    * as IVF_SQ8 by swapping PQ's codes for these in the ivfpq
+    * pipeline. */
+  def simAnnSqOn(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val qv = corpus
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        floor(col("col").cast("double") * 1048576).cast("long").as("qv"))
+    val mm = broadcast(
+      qv.groupBy("i").agg(min(col("qv")).as("mn"), max(col("qv")).as("mx")))
+    val recon = qv.join(mm, "i")
+      .select(col("vec_id"), col("i"),
+        expr("""mn + (CASE WHEN mx > mn
+               |  THEN (qv - mn) * 255 DIV (mx - mn) ELSE 0 END)
+               |  * (mx - mn) DIV 255""".stripMargin).as("recon"))
+    val qq = broadcast(queries
+      .select(col("qid"), posexplode(col("embedding")))
+      .select(col("qid"), col("pos").as("i"),
+        floor(col("col").cast("double") * 1048576).cast("long").as("q")))
+    val d = recon.join(qq, "i")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(expr("(q - recon) * (q - recon)")).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)
+    d.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "adist")
+      .orderBy("qid", "rnk")
+  }
+
+  def simAnnSq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    simAnnSqOn(emb,
+      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_sq" -> simAnnSq,
     "sample_kcenter" -> sampleKcenter,
     "sim_hard_negatives" -> simHardNegatives,
     "sim_random_projection" -> simRandomProjection,
@@ -1261,6 +1316,25 @@ object Similarity {
   }
 
   private val oraclesBase: Map[String, String] = Map(
+    "sim_ann_sq" ->
+      """WITH qv AS (SELECT vec_id, i.i,
+        |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS qv
+        |  FROM embeddings, range(0, 64) i(i)),
+        |mm AS (SELECT i, MIN(qv) AS mn, MAX(qv) AS mx FROM qv GROUP BY i),
+        |rec AS (SELECT vec_id, qv.i,
+        |    mn + (CASE WHEN mx > mn THEN (qv - mn) * 255 // (mx - mn)
+        |          ELSE 0 END) * (mx - mn) // 255 AS recon
+        |  FROM qv JOIN mm ON qv.i = mm.i),
+        |q AS (SELECT vec_id AS qid, i, qv AS q FROM qv WHERE vec_id < 5),
+        |d AS (SELECT q.qid, r.vec_id,
+        |    CAST(SUM((q.q - r.recon) * (q.q - r.recon)) AS BIGINT) AS adist
+        |  FROM rec r JOIN q ON r.i = q.i WHERE r.vec_id <> q.qid
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT qid, vec_id, adist, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY adist ASC, vec_id ASC) AS rnk FROM d)
+        |SELECT qid, CAST(rnk AS INT) AS rnk, vec_id, adist
+        |FROM rk WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "sample_kcenter" -> {
       val picks = (1 to KcenterK).map(r =>
         s"""SELECT $r AS pick, vec_id,

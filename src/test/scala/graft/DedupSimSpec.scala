@@ -303,6 +303,42 @@ class DedupSimSpec extends SparkSpecBase {
     assert(recall > 0.0)
   }
 
+  test("SQ8 ANN: hand 1-d codes round-trip exactly; corpus recall vs " +
+      "exact grid L2 is near-lossless") {
+    // 1-dim corpus {0.0, 1.0, 0.51}: grid 0/1048576/534773, codes
+    // 0/255/130, recon 0/1048576/534568 (cell floor, recon <= qv)
+    val tiny = Seq((0L, Seq(0.0f)), (1L, Seq(1.0f)), (2L, Seq(0.51f)))
+      .toDF("vec_id", "embedding")
+    val got = functions.Similarity.simAnnSqOn(tiny,
+        tiny.filter(col("vec_id") === 0).withColumnRenamed("vec_id", "qid"),
+        k = 2)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1, 2L, 534568L * 534568L),
+      (0L, 2, 1L, 1048576L * 1048576L)))
+    // corpus: ranked shape + recall vs EXACT L2 on the same 2^20 grid
+    val sq = functions.Similarity.simAnnSq(spark, sf)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    sq.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted == Seq(1, 2, 3, 4, 5))
+      assert(!rows.exists(_._3 == qid))
+    }
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, e) => (id, e.map(x => math.floor(x * 1048576).toLong)) }
+    val exact = emb.filter(_._1 < 5).flatMap { case (qid, q) =>
+      emb.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (qid, id, q.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy(r => (r._3, r._2)).take(5).map(r => (r._1, r._2))
+    }.toSet
+    val gotPairs = sq.map(r => (r._1, r._3)).toSet
+    val recall = (gotPairs & exact).size.toDouble / exact.size
+    info(f"SQ8 recall vs exact grid-L2 top-5: $recall%.2f")
+    assert(recall >= 0.6, f"SQ8 recall degraded: $recall%.2f")
+  }
+
   test("MaxSim: hand-computed late-interaction scores; self-label is the ceiling") {
     val vecs = Seq(
       (0L, 0, Seq(1f, 0f, 0f, 0f)),
