@@ -243,6 +243,63 @@ object Clusters {
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
     graphPagerankOn(bipartiteEdges(s, dir))
 
+  /** L18m: personalized PageRank (Haveliwala 2002; the random-walk-
+    * with-restart scorer behind "related items", seed-expansion
+    * community detection, and graph-based retrieval): identical
+    * Pregel loop to [[graphPagerankOn]], but ALL teleport mass
+    * returns to the `seeds` set, so scores measure proximity to the
+    * seeds instead of global importance. Exact integer arithmetic
+    * throughout: the per-seed teleport is 0.15·SCALE·N div |S|
+    * (floors shared with the oracle), r₀ = the teleport vector, and
+    * each round is r' = tele + floor(0.85·Σ floor(r_in/deg_in)) in
+    * BIGINT. The N/|S| scalar rides in on a broadcast single-row
+    * aggregate — no driver-side collect. Same two-shuffle round and
+    * same contract as pagerank (every node needs outdeg ≥ 1; seeds
+    * must be non-empty and present in the graph, else ranks gate to
+    * NULL via the div-by-zero rather than silently uniformizing). */
+  def graphPprOn(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val Array(cs, cd) = edges.columns.take(2)
+    val e = edges.select(col(cs).cast("long").as("src"),
+      col(cd).cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src")
+    val sd = seeds.select(col(seeds.columns.head).cast("long").as("node"))
+      .distinct().withColumn("seed_hit", lit(true))
+    val nodes = deg.select(col("src").as("node"))
+      .join(sd, Seq("node"), "left")
+      .withColumn("is_seed", coalesce(col("seed_hit"), lit(false)))
+      .drop("seed_hit")
+    val scal = broadcast(nodes.agg(count(lit(1)).as("nn"),
+      sum(when(col("is_seed"), lit(1L)).otherwise(0L)).as("ns")))
+    val base = nodes.crossJoin(scal) // scalar side: one broadcast row
+      .withColumn("tele", when(col("is_seed"),
+        expr("150000000 * nn div ns")).otherwise(lit(0L)))
+      .select("node", "is_seed", "tele")
+      .localCheckpoint(true)
+    var r = base.withColumn("r", col("tele"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(r.select(col("node"), col("r")),
+          col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      r = base.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), col("is_seed"), col("tele"),
+          (col("tele") +
+            expr("coalesce(s, CAST(0 AS BIGINT)) * 85 div 100")).as("r"))
+    }
+    r.select(col("node"), col("is_seed"), col("r").as("rank_scaled"))
+      .orderBy("node")
+  }
+
+  /** Catalog form: proximity to the first nine customers on the
+    * bipartite trade graph. */
+  def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    val edges = bipartiteEdges(s, dir)
+    graphPprOn(edges, edges.select(col("src")).filter(col("src") < 10))
+  }
+
   /** L18i: HITS hubs & authorities (Kleinberg 1999) on a DIRECTED
     * graph: hubs are sources that point at many strong authorities;
     * authorities are destinations pointed at by many strong hubs.
@@ -1052,6 +1109,7 @@ object Clusters {
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_clustered" -> dedupSemanticClustered,
     "graph_pagerank" -> graphPagerank,
+    "graph_ppr" -> graphPpr,
     "graph_hits" -> graphHits,
     "graph_assortativity" -> graphAssortativity,
     "graph_bfs" -> graphBfs,
@@ -1117,6 +1175,16 @@ object Clusters {
        |r$i AS (SELECT n.node,
        |    CAST(150000000 + (COALESCE(c$i.s, 0) * 85) // 100 AS BIGINT) AS r
        |  FROM r0 n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
+  }.mkString(",\n")
+
+  private val pprIterSql = (1 to 3).map { i =>
+    val prev = if (i == 1) "p0" else s"p${i - 1}"
+    s"""pc$i AS (SELECT eb.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS s
+       |  FROM eb JOIN $prev r ON eb.src = r.node JOIN deg d ON eb.src = d.src
+       |  GROUP BY eb.dst),
+       |p$i AS (SELECT b.node, b.is_seed, b.tele,
+       |    CAST(b.tele + (COALESCE(pc$i.s, 0) * 85) // 100 AS BIGINT) AS r
+       |  FROM base b LEFT JOIN pc$i ON b.node = pc$i.node)""".stripMargin
   }.mkString(",\n")
 
   /** Recursive reachability closure + cluster stats over a `pairs`
@@ -1343,6 +1411,25 @@ object Clusters {
          |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
          |$prIterSql
          |SELECT node, r AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
+    "graph_ppr" ->
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+         |    l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |eb AS (SELECT src, dst FROM e
+         |       UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM eb GROUP BY src),
+         |sd AS (SELECT DISTINCT src AS node FROM eb WHERE src < 10),
+         |sc AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS nn,
+         |              (SELECT CAST(COUNT(*) AS BIGINT) FROM sd) AS ns),
+         |base AS (SELECT d.src AS node, sd.node IS NOT NULL AS is_seed,
+         |    CAST(CASE WHEN sd.node IS NOT NULL
+         |      THEN 150000000 * nn // ns ELSE 0 END AS BIGINT) AS tele
+         |  FROM deg d LEFT JOIN sd ON d.src = sd.node CROSS JOIN sc),
+         |p0 AS (SELECT node, is_seed, tele, tele AS r FROM base),
+         |$pprIterSql
+         |SELECT node, is_seed, r AS rank_scaled FROM p3
+         |ORDER BY node""".stripMargin,
     "graph_hits" ->
       """WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
         |    l_suppkey + 1000000 AS dst

@@ -443,4 +443,30 @@ class ClustersSpec extends SparkSpecBase {
     // same clusters, same member counts, same max-bal survivor
     assert(gr.exceptAll(er).count() == 0 && er.exceptAll(gr).count() == 0)
   }
+
+  test("L18m personalized pagerank: proximity decays with distance from " +
+      "the seed; deterministic replay") {
+    import spark.implicits._
+    // undirected path 1-2-3-4, seed {1}: rank strictly decays along it
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val r = functions.Clusters.graphPprOn(und, Seq(1L).toDF("node"))
+      .as[(Long, Boolean, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(r.map(_._2) == Seq(true, false, false, false))
+    val ranks = r.map(_._3)
+    assert(ranks.sliding(2).forall(p => p(0) > p(1)),
+      s"expected decay along the path, got $ranks")
+    // corpus: seeds outrank the non-seed average, replay is identical
+    val c = functions.Clusters.graphPpr(spark, sf).cache()
+    val seedMin = c.filter(col("is_seed")).agg(min("rank_scaled"))
+      .as[Long].head()
+    val otherAvg = c.filter(!col("is_seed")).agg(avg("rank_scaled"))
+      .as[Double].head()
+    assert(seedMin > otherAvg,
+      s"seed floor $seedMin should exceed non-seed mean $otherAvg")
+    val again = functions.Clusters.graphPpr(spark, sf)
+    assert(c.exceptAll(again).count() == 0 && again.exceptAll(c).count() == 0)
+    c.unpersist()
+  }
 }
