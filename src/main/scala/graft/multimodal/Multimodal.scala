@@ -342,7 +342,61 @@ object Multimodal {
   def mmSceneCuts(s: SparkSession, dir: String): DataFrame =
     mmSceneCutsOn(Tables.documents(s, dir))
 
+  /** L5g: interleaved image–text document assembly — the MMC4 / OBELICS
+    * construction step that turns (text, candidate images) into ONE
+    * token-ordered multimodal sequence per document: text is split
+    * into fixed non-overlapping chunks, each image is assigned a slot
+    * between chunks, and the result is the per-document interleaved
+    * row stream with sequence position and running token offset — the
+    * exact frame a multimodal tokenizer consumes. The IMAGE-TO-SLOT
+    * scorer is the container's stubbed boundary (MMC4 uses CLIP
+    * chunk-image cosine; here the slot is a deterministic
+    * multiplicative hash of the image id, and the host page mapping
+    * is vec_id mod `hostMod`) — the assembly relation around it
+    * (chunking, slotting, interleave numbering, offset accumulation)
+    * is the real, tested plumbing, like the detector/transcoder
+    * surrogates above. Images are costed at `imageTokens` vision
+    * tokens so offsets mean "position in the training sequence".
+    *
+    * Shape: chunking is map-side (one split per doc); the chunk-count
+    * join and the interleave window both key on doc_id, so every
+    * shuffle is per-document and documents assemble independently in
+    * parallel — embarrassingly partitionable at 100 TB. Images whose
+    * host page left the corpus drop out in the equi-join (retention
+    * filtering upstream composes for free). */
+  def mmInterleaveOn(docs: DataFrame, images: DataFrame,
+      hostMod: Long = 500, chunkTokens: Int = 16,
+      imageTokens: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = graft.functions.Text
+      .textChunkOn(docs, chunkTokens, chunkTokens)
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_toks"))
+    val nch = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val img = images
+      .select(col("vec_id"), (col("vec_id") % hostMod).as("doc_id"))
+      .join(nch, "doc_id")
+      .select(col("doc_id"),
+        expr("pmod(vec_id * 2654435761, n_chunks) * 2").as("pos_key"),
+        lit("image").as("kind"), col("vec_id").as("ref_id"),
+        lit(imageTokens.toLong).as("n_toks"))
+    val txt = chunks.select(col("doc_id"),
+      (col("chunk_id") * 2 + 1).as("pos_key"), lit("text").as("kind"),
+      col("chunk_id").as("ref_id"), col("n_chunk_toks").as("n_toks"))
+    val w = Window.partitionBy("doc_id").orderBy("pos_key", "ref_id")
+    txt.unionByName(img)
+      .withColumn("seq_i", row_number().over(w))
+      .withColumn("tok_offset", coalesce(
+        sum(col("n_toks")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("doc_id", "seq_i", "kind", "ref_id", "n_toks", "tok_offset")
+      .orderBy("doc_id", "seq_i")
+  }
+
+  def mmInterleave(s: SparkSession, dir: String): DataFrame =
+    mmInterleaveOn(Tables.documents(s, dir), Tables.embeddings(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_interleave" -> mmInterleave,
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_phash_dedup" -> mmPhashDedup,
     "mm_caption_align" -> mmCaptionAlign,
@@ -354,6 +408,38 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_interleave" ->
+      """WITH tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |ch AS (SELECT doc_id, n, unnest(range(0,
+        |    GREATEST(CAST(ceil((n - 16) / 16.0) AS BIGINT), 0) + 1))
+        |    AS chunk_id
+        |  FROM tk),
+        |chn AS (SELECT doc_id, chunk_id,
+        |    CAST(LEAST(16, n - chunk_id * 16) AS BIGINT) AS n_toks
+        |  FROM ch),
+        |nch AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+        |  FROM chn GROUP BY doc_id),
+        |img AS (SELECT e.vec_id, nch.doc_id,
+        |    ((e.vec_id * 2654435761) % n_chunks) * 2 AS pos_key
+        |  FROM embeddings e JOIN nch ON nch.doc_id = e.vec_id % 500),
+        |rws AS (
+        |  SELECT doc_id, chunk_id * 2 + 1 AS pos_key, 'text' AS kind,
+        |    chunk_id AS ref_id, n_toks FROM chn
+        |  UNION ALL
+        |  SELECT doc_id, pos_key, 'image' AS kind, vec_id AS ref_id,
+        |    CAST(64 AS BIGINT) AS n_toks FROM img),
+        |seq AS (SELECT doc_id, kind, ref_id, n_toks,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY pos_key, ref_id) AS seq_i,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY doc_id
+        |      ORDER BY pos_key, ref_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tok_offset
+        |  FROM rws)
+        |SELECT doc_id, CAST(seq_i AS INT) AS seq_i, kind, ref_id, n_toks,
+        |  CAST(tok_offset AS BIGINT) AS tok_offset
+        |FROM seq ORDER BY doc_id, seq_i""".stripMargin,
     "mm_scene_cuts" ->
       s"""WITH fr AS (SELECT doc_id, length(text) % 50 + 10 AS n_frames
          |  FROM documents),

@@ -106,6 +106,46 @@ class MultimodalSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("L5g interleave: images land at their hashed slots, offsets " +
+      "accumulate text and vision tokens") {
+    import spark.implicits._
+    // doc 0: 33 tokens -> chunks of 16/16/1; doc 1: 5 tokens -> 1 chunk
+    val docs = Seq(
+      (0L, (1 to 33).map(i => s"w$i").mkString(" ")),
+      (1L, (1 to 5).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // vec 0 -> doc 0 slot pmod(0,3)=0 (before chunk 0); vec 500 ->
+    // doc 0 slot pmod(500*2654435761,3)=2 (before chunk 2); vec 7 has
+    // no host page (doc 7 absent) and must drop out
+    val imgs = Seq(0L, 500L, 7L).toDF("vec_id")
+      .withColumn("embedding", array(lit(0.0f)))
+    val got = multimodal.Multimodal.mmInterleaveOn(docs, imgs)
+      .as[(Long, Int, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1, "image", 0L, 64L, 0L),      // slot 0 image first
+      (0L, 2, "text", 0L, 16L, 64L),
+      (0L, 3, "text", 1L, 16L, 80L),
+      (0L, 4, "image", 500L, 64L, 96L),   // slot 2 image before chunk 2
+      (0L, 5, "text", 2L, 1L, 160L),
+      (1L, 1, "text", 0L, 5L, 0L)))
+    // corpus invariants: dense seq per doc, offsets monotone, image
+    // token cost constant
+    val c = multimodal.Multimodal.mmInterleave(spark, sf).cache()
+    val perDoc = c.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max(col("seq_i")).as("mx"))
+    assert(perDoc.filter(col("n") =!= col("mx")).count() == 0)
+    assert(c.filter(col("kind") === "image" && col("n_toks") =!= 64)
+      .count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("seq_i")
+    assert(c.withColumn("prev",
+        lag(col("tok_offset") + col("n_toks"), 1).over(w))
+      .filter(col("prev").isNotNull && col("tok_offset") =!= col("prev"))
+      .count() == 0)
+    assert(c.filter(col("kind") === "image").count() > 0)
+    c.unpersist()
+  }
 }
 
 /** Test-only detector standing in for a real codec-backed impl. */
