@@ -109,11 +109,104 @@ object Sketches {
   def sketchTheta(s: SparkSession, dir: String): DataFrame =
     sketchThetaOn(Tables.events(s, dir))
 
+  /** L17b: mergeable quantile sketch by bottom-k-by-hash sampling —
+    * the rank-statistics sibling of [[sketchThetaOn]], built on
+    * [[graft.plans.KmvPairAgg]]: each group keeps the `k`
+    * lexicographically smallest distinct (rowhash, value) pairs, a
+    * deterministic uniform sample that merges associatively (Agarwal
+    * et al., PODS 2012: random samples ARE mergeable summaries — this
+    * one derandomized by the seeded row hash, so the DuckDB oracle
+    * replays it exactly, unlike GK/KLL whose compaction is
+    * state-path-dependent). Quantile estimates are rank picks in the
+    * sorted sample under the pinned rule idx = (m−1)·q_ppm div 10⁶ +
+    * 1; sampling error ~1/√k in rank (k=256 → ~6%). Below k distinct
+    * pairs the sample is the whole group — exact mode. The output
+    * carries the exact quantiles (full sort-rank pass — precisely the
+    * cost the sketch replaces at 100×) and signed errors as the
+    * in-catalog accuracy eval. Shapes: the sketch is ONE map-side-
+    * combined aggregation shipping ≤ k pairs per partition-group; the
+    * eval columns are one window rank over the fact scan. */
+  def sketchQuantileOn(lineitem: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"need k >= 2, got $k")
+    val rows = lineitem.select(
+      col("l_returnflag"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"),
+      expr(s"((l_orderkey * 31 + l_linenumber) % $P * 2654435761) % $P")
+        .as("h"))
+    val sk = rows.groupBy("l_returnflag").agg(
+        graft.plans.KmvPairAgg.kmvSample(col("h"), col("cents"), k).as("vals"))
+      .withColumn("sv", array_sort(col("vals")))
+      .withColumn("m", size(col("sv")).cast("long"))
+      .select(col("l_returnflag"), col("m"),
+        element_at(col("sv"),
+          expr("CAST((m - 1) * 500000 div 1000000 + 1 AS INT)"))
+          .as("p50_cents"),
+        element_at(col("sv"),
+          expr("CAST((m - 1) * 950000 div 1000000 + 1 AS INT)"))
+          .as("p95_cents"))
+    // exact rank picks under the identical rule — the accuracy eval
+    val wr = Window.partitionBy("l_returnflag").orderBy("cents", "h")
+    val exact = rows
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .groupBy("l_returnflag").agg(
+        max(col("n")).as("n"),
+        max(when(expr("rn = (n - 1) * 500000 div 1000000 + 1"),
+          col("cents"))).as("exact_p50"),
+        max(when(expr("rn = (n - 1) * 950000 div 1000000 + 1"),
+          col("cents"))).as("exact_p95"))
+    sk.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n"), col("m"),
+        col("p50_cents"), col("p95_cents"),
+        col("exact_p50"), col("exact_p95"),
+        (col("p50_cents") - col("exact_p50")).as("err_p50"),
+        (col("p95_cents") - col("exact_p95")).as("err_p95"))
+      .orderBy("l_returnflag")
+  }
+
+  def sketchQuantile(s: SparkSession, dir: String): DataFrame =
+    sketchQuantileOn(Tables.lineitem(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_theta" -> sketchTheta,
+    "sketch_quantile" -> sketchQuantile,
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_quantile" ->
+      s"""WITH r AS (SELECT l_returnflag,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         |    ((l_orderkey * 31 + l_linenumber) % $P * 2654435761) % $P AS h
+         |  FROM lineitem),
+         |dp AS (SELECT DISTINCT l_returnflag, h, cents FROM r),
+         |sk AS (SELECT l_returnflag, cents, ROW_NUMBER() OVER (
+         |    PARTITION BY l_returnflag ORDER BY h, cents) AS rn FROM dp),
+         |sq AS (SELECT l_returnflag, cents, ROW_NUMBER() OVER (
+         |      PARTITION BY l_returnflag ORDER BY cents) AS vr,
+         |    COUNT(*) OVER (PARTITION BY l_returnflag) AS m
+         |  FROM sk WHERE rn <= 256),
+         |est AS (SELECT l_returnflag, CAST(MAX(m) AS BIGINT) AS m,
+         |    MAX(CASE WHEN vr = (m - 1) * 500000 // 1000000 + 1
+         |        THEN cents END) AS p50_cents,
+         |    MAX(CASE WHEN vr = (m - 1) * 950000 // 1000000 + 1
+         |        THEN cents END) AS p95_cents
+         |  FROM sq GROUP BY l_returnflag),
+         |ex AS (SELECT l_returnflag, cents, ROW_NUMBER() OVER (
+         |      PARTITION BY l_returnflag ORDER BY cents, h) AS rn,
+         |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM r),
+         |exq AS (SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+         |    MAX(CASE WHEN rn = (n - 1) * 500000 // 1000000 + 1
+         |        THEN cents END) AS exact_p50,
+         |    MAX(CASE WHEN rn = (n - 1) * 950000 // 1000000 + 1
+         |        THEN cents END) AS exact_p95
+         |  FROM ex GROUP BY l_returnflag)
+         |SELECT est.l_returnflag, n, m, p50_cents, p95_cents,
+         |  exact_p50, exact_p95,
+         |  p50_cents - exact_p50 AS err_p50,
+         |  p95_cents - exact_p95 AS err_p95
+         |FROM est JOIN exq USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
     "sketch_theta" ->
       s"""WITH hs AS (SELECT DISTINCT event_type,
          |    (user_id * 2654435761 + 12345) % $P AS h FROM events),

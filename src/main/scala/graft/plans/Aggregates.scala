@@ -180,6 +180,95 @@ object KmvAgg {
       KmvAgg(Bridge.toExpr(hashCol), k).toAggregateExpression())
 }
 
+/** Mergeable bottom-k-by-hash SAMPLE carrying a payload value: the
+  * buffer keeps the k lexicographically smallest distinct (hash,
+  * value) pairs, so eval returns a deterministic uniform sample of
+  * the group's values — the mergeable-summaries sampling primitive
+  * (Agarwal et al., PODS 2012 §3) that [[KmvAgg]] is the
+  * cardinality-only cousin of. Below k distinct pairs the sample IS
+  * the group (exact mode, like the theta sketch). Map-side partials
+  * carry <= k pairs per (partition, group); merge is insert-fold —
+  * associative and commutative, so any combine tree yields the same
+  * sample and a DuckDB `DISTINCT -> ROW_NUMBER() OVER (ORDER BY h,
+  * v) <= k` replays it exactly. */
+case class KmvPairAgg(hash: Expression, value: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.TreeSet[(Long, Long)]]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+
+  override def createAggregationBuffer()
+      : scala.collection.mutable.TreeSet[(Long, Long)] =
+    scala.collection.mutable.TreeSet.empty[(Long, Long)]
+
+  private def insert(buf: scala.collection.mutable.TreeSet[(Long, Long)],
+      p: (Long, Long)): Unit =
+    if (buf.size < k) buf += p
+    else if (implicitly[Ordering[(Long, Long)]].lt(p, buf.last) &&
+        !buf.contains(p)) { buf += p; buf -= buf.last }
+
+  override def update(buf: scala.collection.mutable.TreeSet[(Long, Long)],
+      input: InternalRow): scala.collection.mutable.TreeSet[(Long, Long)] = {
+    val h = hash.eval(input)
+    val v = value.eval(input)
+    if (h != null && v != null)
+      insert(buf, (h.asInstanceOf[Long], v.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(b1: scala.collection.mutable.TreeSet[(Long, Long)],
+      b2: scala.collection.mutable.TreeSet[(Long, Long)])
+      : scala.collection.mutable.TreeSet[(Long, Long)] = {
+    b2.foreach(insert(b1, _))
+    b1
+  }
+
+  /** Values in (hash, value) order — the sample; re-sort by value for
+    * rank statistics. */
+  override def eval(buf: scala.collection.mutable.TreeSet[(Long, Long)]): Any =
+    new GenericArrayData(buf.toArray.map(_._2))
+
+  override def serialize(
+      buf: scala.collection.mutable.TreeSet[(Long, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach { case (h, v) => bb.putLong(h); bb.putLong(v) }
+    bb.array()
+  }
+
+  override def deserialize(
+      bytes: Array[Byte]): scala.collection.mutable.TreeSet[(Long, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+    var i = 0
+    while (i < n) { buf += ((bb.getLong, bb.getLong)); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(hash, value)
+  override def withNewMutableAggBufferOffset(o: Int): KmvPairAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvPairAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): KmvPairAgg =
+    copy(hash = c.head, value = c(1))
+  override def prettyName: String = "graft_kmv_sample"
+}
+
+object KmvPairAgg {
+  /** Column form: kmvSample(hashCol, valueCol, k) -> values of the k
+    * lexicographically smallest distinct (hash, value) pairs. */
+  def kmvSample(hashCol: Column, valueCol: Column, k: Int): Column =
+    Bridge.toColumn(
+      KmvPairAgg(Bridge.toExpr(hashCol), Bridge.toExpr(valueCol), k)
+        .toAggregateExpression())
+}
+
 /** One-pass 64-bit SimHash signature: per input (tokenHash, count),
   * bit j of the token is the LSB of the affine rehash
   * (h*(2j+3) + (97j+31)) mod P (same family as [[MinHashAgg]]); the

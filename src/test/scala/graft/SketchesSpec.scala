@@ -60,4 +60,36 @@ class SketchesSpec extends SparkSpecBase {
     assert(out.filter(col("est_inter") < 0).count() == 0)
     out.unpersist()
   }
+
+  private def li(rows: Seq[(Long, Int, String, Double)]) =
+    rows.toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+
+  test("quantile sketch: exact mode below k reproduces the exact rank " +
+      "picks; partitioning never changes the sample") {
+    // 9 rows, one group, k=256 >> 9: sample == group, errors == 0
+    val rows = (1L to 9L).map(o => (o, 1, "A", o * 10.0))
+    val out = functions.Sketches.sketchQuantileOn(li(rows)).head()
+    assert(out.getAs[Long]("n") == 9L && out.getAs[Long]("m") == 9L)
+    // rank rule: p50 idx = (9-1)*0.5+1 = 5 -> 50.00; p95 idx = 8.6->8+1...
+    assert(out.getAs[Long]("p50_cents") == 5000L)
+    assert(out.getAs[Long]("exact_p50") == 5000L)
+    assert(out.getAs[Long]("err_p50") == 0L && out.getAs[Long]("err_p95") == 0L)
+    // mergeability: 1-partition and 8-partition runs agree exactly
+    val base = li((1L to 500L).map(o => (o, 1, (o % 3).toString, o * 1.0)))
+    val one = functions.Sketches.sketchQuantileOn(base.repartition(1))
+    val many = functions.Sketches.sketchQuantileOn(base.repartition(8))
+    assert(one.exceptAll(many).count() == 0 && many.exceptAll(one).count() == 0)
+  }
+
+  test("quantile sketch on the corpus: real estimation with bounded error") {
+    val c = functions.Sketches.sketchQuantile(spark, sf).cache()
+    // every returnflag group is far beyond k -> sample saturates at 256
+    assert(c.filter(col("n") <= 256 || col("m") =!= 256).count() == 0)
+    // sampling error stays inside ~4/sqrt(k) of the value scale
+    val bad = c.filter(
+      abs(col("err_p50")) > col("exact_p50") * 0.25 ||
+      abs(col("err_p95")) > col("exact_p95") * 0.25).count()
+    assert(bad == 0, "quantile estimate outside 25% of exact")
+    c.unpersist()
+  }
 }
