@@ -923,7 +923,60 @@ object Dedup {
   def dedupParagraph(s: SparkSession, dir: String): DataFrame =
     dedupParagraphOn(Tables.documents(s, dir))
 
+  /** L11b: bloom-filter membership gate for incremental dedup — the
+    * constant-space alternative to [[dedupIncrementalOn]]'s exact
+    * anti-join when the seen-corpus is 100 TB and the incoming batch
+    * is small: the corpus publishes a bit SET (k=3 affine positions
+    * per content hash over an m=2^16 space — the join_bloom family,
+    * same affine rehash (h·(2j+3)+97j+31) mod P), the batch probes it
+    * with three broadcast semi-probes, and only maybe-members pay any
+    * exact follow-up. Guarantee: NO false negatives (every true dup
+    * is flagged); false positives occur at ~(1−e^(−kn/m))^k and are
+    * AUDITED in the output — each batch row carries maybe_dup,
+    * exact-hash membership, and the false_positive flag, so the
+    * filter's precision is measured in-catalog, not assumed.
+    * "Exact" membership is polynomial-hash equality (the module's
+    * documented ~30-bit identity convention). Scale: the bit relation
+    * is ≤ m rows regardless of corpus size (broadcastable forever);
+    * the corpus is scanned once to build it; the exact audit column
+    * is the piece you drop at 100× — leaving the pure
+    * constant-memory gate. */
+  def dedupBloomOn(corpus: DataFrame, batch: DataFrame,
+      bitsLog2: Int = 16, k: Int = 3): DataFrame = {
+    require(bitsLog2 >= 4 && bitsLog2 <= 30, s"bad bitsLog2 $bitsLog2")
+    val m = 1L << bitsLog2
+    def pos(h: Column, j: Int): Column =
+      pmod(h * lit(2L * j + 3) + lit(97L * j + 31), lit(P)) % lit(m)
+    val ch = corpus.select(Text.polyHash(col("text")).as("h"))
+    val bits = (0 until k)
+      .map(j => ch.select(pos(col("h"), j).as("bitpos")))
+      .reduce(_ union _).distinct()
+    val bh = batch.select(col("doc_id"), Text.polyHash(col("text")).as("h"))
+    val flagged = (0 until k).foldLeft(bh) { (df, j) =>
+      df.join(broadcast(bits.withColumnRenamed("bitpos", s"bp$j")),
+        pos(col("h"), j) === col(s"bp$j"), "left")
+    }.withColumn("maybe_dup",
+        (0 until k).map(j => col(s"bp$j").isNotNull).reduce(_ && _))
+      .select("doc_id", "h", "maybe_dup")
+    val exact = ch.distinct()
+      .select(col("h").as("eh")).withColumn("hit", lit(1))
+    flagged.join(exact, col("h") === col("eh"), "left")
+      .select(col("doc_id"), col("maybe_dup"),
+        col("hit").isNotNull.as("is_dup_exact"),
+        (col("maybe_dup") && col("hit").isNull).as("false_positive"))
+      .orderBy("doc_id")
+  }
+
+  /** Catalog form: every tenth doc is the incoming batch, the rest is
+    * the seen corpus. */
+  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    dedupBloomOn(docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bloom" -> dedupBloom,
     "dedup_paragraph" -> dedupParagraph,
     "dedup_exact" -> dedupExact,
     "dedup_url" -> dedupUrl,
@@ -1031,6 +1084,27 @@ object Dedup {
        |ORDER BY da, db""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_bloom" ->
+      s"""WITH ch AS (SELECT ${Text.polySqlOf("text")} AS h
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |bits AS (SELECT DISTINCT (h * (2 * j + 3) + 97 * j + 31)
+         |    % 1000000007 % 65536 AS bitpos
+         |  FROM ch, range(0, 3) r(j)),
+         |bh AS (SELECT doc_id, ${Text.polySqlOf("text")} AS h
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |fl AS (SELECT doc_id, h,
+         |    (h * 3 + 31) % 1000000007 % 65536
+         |      IN (SELECT bitpos FROM bits)
+         |    AND (h * 5 + 128) % 1000000007 % 65536
+         |      IN (SELECT bitpos FROM bits)
+         |    AND (h * 7 + 225) % 1000000007 % 65536
+         |      IN (SELECT bitpos FROM bits) AS maybe_dup
+         |  FROM bh),
+         |ex AS (SELECT DISTINCT h FROM ch)
+         |SELECT doc_id, maybe_dup, ex.h IS NOT NULL AS is_dup_exact,
+         |  maybe_dup AND ex.h IS NULL AS false_positive
+         |FROM fl LEFT JOIN ex ON fl.h = ex.h
+         |ORDER BY doc_id""".stripMargin,
     "dedup_paragraph" ->
       s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
          |p AS (SELECT doc_id,

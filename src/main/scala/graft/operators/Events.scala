@@ -1455,8 +1455,99 @@ object Events {
     cdcSnapshotDiffOn(Tables.events(s, dir),
       lit("2024-01-10").cast("timestamp"), lit("2024-01-20").cast("timestamp"))
 
+  /** L20p: time-boxed funnel — [[eventFunnelOn]]'s first-touch chain
+    * with a CONVERSION WINDOW: step k counts only when its first
+    * qualifying event lands strictly after step k−1's time and within
+    * `windowDays` of it (the "clicked within 3 days of the view"
+    * semantics every growth dashboard defaults to; the plain funnel
+    * is the windowDays=∞ limit and always an upper bound). Each step
+    * is ONE filtered per-user min-aggregate chained by an equi-join
+    * on user_id — k map-side-combined shuffles all keyed on the same
+    * column (co-partitioned end to end at scale); the readout
+    * collapses to k single-row counts unpivoted with exact ppm
+    * conversion. Timestamps compare raw (µs both engines) and the
+    * window bound is a calendar INTERVAL — no epoch arithmetic. */
+  def eventFunnelWindowOn(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      windowDays: Int = 3): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val s0 = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(col("ts")).as("t"))
+    val times = steps.tail.foldLeft(Seq(s0)) { (acc, st) =>
+      val prev = acc.last.select(col("user_id"), col("t").as("tp"))
+      acc :+ events.filter(col("event_type") === st)
+        .join(prev, "user_id")
+        .filter(col("ts") > col("tp") &&
+          col("ts") <= col("tp") + expr(s"INTERVAL $windowDays DAYS"))
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+    }
+    val counts = times.zip(steps).zipWithIndex.map { case ((df, st), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(st).as("step"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+    val first = counts.filter(col("step_idx") === 1)
+      .select(col("n_users").as("n_first"))
+    counts.crossJoin(broadcast(first)) // single-row scalar side
+      .select(col("step_idx"), col("step"), col("n_users"),
+        when(col("n_first") > 0,
+          expr("n_users * 1000000 DIV n_first")).as("pct_ppm"))
+      .orderBy("step_idx")
+  }
+
+  def eventFunnelWindow(s: SparkSession, dir: String): DataFrame =
+    eventFunnelWindowOn(Tables.events(s, dir))
+
+  /** L20q: uplift-by-segment readout with a Qini-style cumulative
+    * curve (Radcliffe 2007): segments (a stable id-hash decile family
+    * independent of the arm hash) each report treated/control
+    * conversion and uplift_ppm = crₜ − cr꜀ (exact ppm DIVs), then
+    * segments rank by uplift and accumulate the incremental-
+    * conversions numerator incr_milli = (xₜn꜀ − x꜀nₜ)·1000 div n꜀ —
+    * the curve a targeting policy reads to decide how deep to treat.
+    * All integer; the per-segment relation is k rows, so the ranking
+    * window is bounded and the only real shuffle is the one user
+    * rollup. Segment key (user div 2) mod 5 stays orthogonal to the
+    * user mod 2 arm split, so every cell is populated. */
+  def eventUpliftOn(events: DataFrame): DataFrame = {
+    val users = events
+      .select(col("user_id"),
+        (col("event_type") === "purchase").cast("long").as("isp"))
+      .groupBy("user_id").agg(max(col("isp")).as("converted"))
+      .select((expr("user_id div 2") % 5).cast("int").as("segment"),
+        (col("user_id") % 2).cast("int").as("treated"), col("converted"))
+    val cells = users.groupBy("segment").agg(
+      sum(when(col("treated") === 1, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("treated") === 1, col("converted"))).as("x_t"),
+      sum(when(col("treated") === 0, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("treated") === 0, col("converted"))).as("x_c"))
+    val w = Window.orderBy(
+      expr("CASE WHEN n_t > 0 AND n_c > 0 THEN " +
+        "x_t * 1000000 DIV n_t - x_c * 1000000 DIV n_c END").desc_nulls_last,
+      col("segment").asc)
+    cells
+      .withColumn("uplift_ppm",
+        expr("""CASE WHEN n_t > 0 AND n_c > 0 THEN
+               |  x_t * 1000000 DIV n_t - x_c * 1000000 DIV n_c
+               |END""".stripMargin))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("incr_milli",
+        expr("CASE WHEN n_c > 0 THEN (x_t * n_c - x_c * n_t) * 1000 DIV n_c END"))
+      .withColumn("cum_incr_milli",
+        sum(col("incr_milli")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select("segment", "n_t", "x_t", "n_c", "x_c", "uplift_ppm", "rnk",
+        "incr_milli", "cum_incr_milli")
+      .orderBy("rnk")
+  }
+
+  def eventUplift(s: SparkSession, dir: String): DataFrame =
+    eventUpliftOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
+    "event_funnel_window" -> eventFunnelWindow,
+    "event_uplift" -> eventUplift,
     "event_ttest_welch" -> eventTtestWelch,
     "event_anova" -> eventAnova,
     "event_did" -> eventDid,
@@ -1525,6 +1616,62 @@ object Events {
       |  FROM tr WHERE detr IS NOT NULL GROUP BY dow)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "event_funnel_window" ->
+      """WITH t0 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t1 AS (SELECT e.user_id, MIN(e.ts) AS t
+        |  FROM events e JOIN t0 ON e.user_id = t0.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t0.t
+        |    AND e.ts <= t0.t + INTERVAL 3 DAY GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(e.ts) AS t
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t1.t
+        |    AND e.ts <= t1.t + INTERVAL 3 DAY GROUP BY 1),
+        |n AS (SELECT 1 AS step_idx, 'view' AS step,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM t0) AS n_users
+        |  UNION ALL SELECT 2, 'click',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM t1)
+        |  UNION ALL SELECT 3, 'purchase',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM t2))
+        |SELECT step_idx, step, n_users,
+        |  CASE WHEN (SELECT n_users FROM n WHERE step_idx = 1) > 0 THEN
+        |    CAST(n_users * 1000000
+        |      // (SELECT n_users FROM n WHERE step_idx = 1) AS BIGINT)
+        |  END AS pct_ppm
+        |FROM n ORDER BY step_idx""".stripMargin,
+    "event_uplift" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS converted
+        |  FROM events GROUP BY user_id),
+        |cells AS (SELECT CAST((user_id // 2) % 5 AS INT) AS segment,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN converted END)
+        |      AS BIGINT) AS x_t,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN converted END)
+        |      AS BIGINT) AS x_c
+        |  FROM u GROUP BY 1),
+        |r AS (SELECT segment, n_t, x_t, n_c, x_c,
+        |    CAST(CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |      x_t * 1000000 // n_t - x_c * 1000000 // n_c END AS BIGINT)
+        |      AS uplift_ppm,
+        |    CAST(CASE WHEN n_c > 0 THEN
+        |      (x_t * n_c - x_c * n_t) * 1000 // n_c END AS BIGINT)
+        |      AS incr_milli,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY
+        |      CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |        x_t * 1000000 // n_t - x_c * 1000000 // n_c END
+        |        DESC NULLS LAST,
+        |      segment ASC) AS INT) AS rnk
+        |  FROM cells)
+        |SELECT segment, n_t, x_t, n_c, x_c, uplift_ppm, rnk, incr_milli,
+        |  CAST(SUM(incr_milli) OVER (ORDER BY rnk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_incr_milli
+        |FROM r ORDER BY rnk""".stripMargin,
     "cdc_snapshot_diff" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type
         |  FROM events WHERE ts <= TIMESTAMP '2024-01-20'),

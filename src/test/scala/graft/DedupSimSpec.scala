@@ -303,6 +303,32 @@ class DedupSimSpec extends SparkSpecBase {
     assert(recall > 0.0)
   }
 
+  test("bloom dedup gate: zero false negatives by construction; " +
+      "false positives are audited, not hidden") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta"), (20L, "zeta eta"))
+      .toDF("doc_id", "text")
+    val got = functions.Dedup.dedupBloomOn(corpus, batch)
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(10L)._2 && got(10L)._3 && !got(10L)._4) // true dup flagged
+    assert(!got(20L)._3) // fresh text is not an exact member
+    // the invariant: exact membership ALWAYS implies a bloom hit
+    assert(got.values.forall(r => !r._3 || r._2))
+    // corpus: no false negatives anywhere; fp flag is consistent and
+    // the gate keeps most of the batch cheap (fp rate under half)
+    val c = functions.Dedup.dedupBloom(spark, sf).cache()
+    assert(c.filter(col("is_dup_exact") && !col("maybe_dup")).count() == 0)
+    assert(c.filter(col("false_positive") =!=
+      (col("maybe_dup") && !col("is_dup_exact"))).count() == 0)
+    val n = c.count()
+    val fp = c.filter(col("false_positive")).count()
+    info(s"bloom gate: $n batch docs, $fp false positives")
+    assert(fp * 2 <= n, s"false-positive rate too high: $fp/$n")
+    c.unpersist()
+  }
+
   test("SQ8 ANN: hand 1-d codes round-trip exactly; corpus recall vs " +
       "exact grid L2 is near-lossless") {
     // 1-dim corpus {0.0, 1.0, 0.51}: grid 0/1048576/534773, codes

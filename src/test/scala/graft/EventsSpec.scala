@@ -785,4 +785,74 @@ class EventsSpec extends SparkSpecBase {
     val c = operators.Events.eventDid(spark, sf)
     assert(c.count() == 1)
   }
+
+  test("L20p windowed funnel: late steps fall out of the conversion " +
+      "window; wider windows only grow each step") {
+    // u1 completes all in-window; u2's click is 9 days late; u3's
+    // purchase is 17 days after the click; u4 never views
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "click", ts("2024-01-02 10:00:00")),
+      (3L, 1L, "purchase", ts("2024-01-03 10:00:00")),
+      (4L, 2L, "view", ts("2024-01-01 10:00:00")),
+      (5L, 2L, "click", ts("2024-01-10 10:00:00")),
+      (6L, 3L, "view", ts("2024-01-01 10:00:00")),
+      (7L, 3L, "click", ts("2024-01-02 10:00:00")),
+      (8L, 3L, "purchase", ts("2024-01-19 10:00:00")),
+      (9L, 4L, "click", ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = operators.Events.eventFunnelWindowOn(ev)
+      .select("step", "n_users", "pct_ppm")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("view", 3L, 1000000L), ("click", 2L, 666666L),
+      ("purchase", 1L, 333333L)))
+    // corpus: tightening the window can only shrink each step (the
+    // 30-day window spans the whole corpus = the sequential funnel;
+    // note this funnel is SEQUENTIAL — each step chains off the
+    // previous qualifying event, so it is not bounded by the stricter
+    // first-touch eventFunnel)
+    val wf = operators.Events.eventFunnelWindowOn(
+        Tables.events(spark, sf))
+      .select("step", "n_users").as[(String, Long)].collect().toMap
+    val wide = operators.Events.eventFunnelWindowOn(
+        Tables.events(spark, sf), windowDays = 30)
+      .select("step", "n_users").as[(String, Long)].collect().toMap
+    wf.foreach { case (step, n) => assert(n <= wide(step),
+      s"3-day $step=$n exceeds 30-day ${wide(step)}") }
+    assert(wf("view") == wide("view"))
+  }
+
+  test("L20q uplift: planted segment effect ranks first with the right " +
+      "qini increment; corpus cells partition the users") {
+    // seg0 (users 0,1,10,11): both treated convert, controls don't;
+    // seg1 (users 2,3,12,13): nobody converts
+    val ev = Seq(
+      (1L, 1L, "purchase", ts("2024-01-02 10:00:00")),
+      (2L, 11L, "purchase", ts("2024-01-03 10:00:00")),
+      (3L, 0L, "view", ts("2024-01-02 10:00:00")),
+      (4L, 10L, "view", ts("2024-01-02 10:00:00")),
+      (5L, 2L, "view", ts("2024-01-02 10:00:00")),
+      (6L, 3L, "view", ts("2024-01-02 10:00:00")),
+      (7L, 12L, "view", ts("2024-01-02 10:00:00")),
+      (8L, 13L, "view", ts("2024-01-02 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = operators.Events.eventUpliftOn(ev).collect()
+    val top = got.head
+    assert(top.getAs[Int]("segment") == 0 && top.getAs[Int]("rnk") == 1)
+    assert(top.getAs[Long]("uplift_ppm") == 1000000L)
+    assert(top.getAs[Long]("incr_milli") == 2000L) // 2 incremental convs
+    assert(got.last.getAs[Long]("cum_incr_milli") ==
+      got.map(_.getAs[Long]("incr_milli")).sum)
+    // corpus: 5 segments, cells partition all active users, ranking
+    // follows uplift descending
+    val c = operators.Events.eventUplift(spark, sf).collect()
+    assert(c.length == 5)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(c.map(r => r.getAs[Long]("n_t") + r.getAs[Long]("n_c")).sum
+      == users)
+    val ups = c.sortBy(_.getAs[Int]("rnk")).map(r =>
+      if (r.isNullAt(r.fieldIndex("uplift_ppm"))) Long.MinValue
+      else r.getAs[Long]("uplift_ppm"))
+    assert(ups.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
 }
