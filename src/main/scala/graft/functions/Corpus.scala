@@ -74,6 +74,67 @@ object Corpus {
   def sampleStratified(s: SparkSession, dir: String): DataFrame =
     sampleStratifiedOn(Tables.documents(s, dir)).orderBy("doc_id")
 
+  /** L10e: Neyman-allocation stratified sampling (Neyman 1934) — the
+    * survey-statistics upgrade over proportional strata: a fixed
+    * budget `n` is allocated n_h ∝ N_h·S_h (stratum size × stratum
+    * std of the target variable, here n_chars), so high-variance
+    * strata get more rows and the estimator variance is minimized.
+    * Everything is pinned integer-deterministic: N_h·S_h is the
+    * integer sqrt floor(√(N_h·U_h div (N_h−1))) with U_h = N_h·Q_h −
+    * S_h² ≥ 0 (inputs < 2^52, so the IEEE sqrt is exact-rounded in
+    * both engines before the shared floor); seats assign by
+    * largest-remainder (Hamilton) — floor quotas n·w_h div W, the
+    * leftover seats to the largest remainders n·w_h mod W (ties to
+    * lang asc); the per-stratum draw is the bottom-n_h by the
+    * content-hash priority (the [[sampleBottomkOn]] determinism
+    * recipe, per stratum). Single-member / zero-variance strata get
+    * w_h = 0 and can still win seats only through the remainder rank.
+    * Shapes: one stats rollup (map-side combined), the allocation is
+    * a |strata|-row window, the draw one lang-keyed rank window —
+    * strata sample independently in parallel at any scale. */
+  def sampleNeymanOn(docs: DataFrame, n: Int = 100): DataFrame = {
+    require(n > 0, s"need n > 0, got $n")
+    val stats = docs
+      .select(col("lang"), col("n_chars"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("nh"),
+        sum(col("n_chars")).cast("decimal(38,0)").as("sh"),
+        sum(col("n_chars").cast("decimal(38,0)") * col("n_chars"))
+          .cast("decimal(38,0)").as("qh"))
+      .select(col("lang"), col("nh"),
+        // w = floor(N_h·S_h) via sqrt(N_h·U_h/(N_h−1)) = N_h·S_h;
+        // operands < 2^52 so the IEEE divide+sqrt round identically
+        // in both engines before the shared floor
+        expr("""CASE WHEN nh >= 2 THEN CAST(floor(sqrt(
+               |  CAST(nh * (nh * qh - sh * sh) AS DOUBLE) /
+               |  CAST(nh - 1 AS DOUBLE))) AS BIGINT) ELSE 0 END"""
+          .stripMargin).as("w"))
+    val tot = stats.agg(sum(col("w")).as("tw"))
+    val alloc = stats.crossJoin(broadcast(tot)) // 1-row scalar side
+      .withColumn("base", expr(s"CASE WHEN tw > 0 THEN $n * w DIV tw ELSE 0 END"))
+      .withColumn("rem", expr(s"CASE WHEN tw > 0 THEN $n * w % tw ELSE 0 END"))
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang").asc)))
+    val leftover = alloc.agg((lit(n) - sum(col("base"))).as("spare"))
+    val seats = alloc.crossJoin(broadcast(leftover))
+      .withColumn("n_h",
+        col("base") + when(col("rr") <= col("spare"), 1L).otherwise(0L))
+      .select(col("lang"), col("nh").as("stratum_size"), col("w").as("nsd"),
+        col("n_h"))
+    val pri = docs.select(col("doc_id"), col("lang"),
+      ((col("doc_id") % Text.P) * 912367L % Text.P + 40503L).%(Text.P)
+        .as("pri"))
+    val rkw = Window.partitionBy("lang").orderBy("pri", "doc_id")
+    pri.withColumn("rk", row_number().over(rkw))
+      .join(seats, "lang")
+      .filter(col("rk") <= col("n_h"))
+      .select("doc_id", "lang", "stratum_size", "nsd", "n_h")
+      .orderBy("doc_id")
+  }
+
+  def sampleNeyman(s: SparkSession, dir: String): DataFrame =
+    sampleNeymanOn(Tables.documents(s, dir))
+
   /** L10: exact-k reproducible uniform sample — the k documents with
     * the smallest affine-hash priority ((doc_id mod P) * A + B) mod P.
     * P prime and A < P make the priority injective on ids below P, so
@@ -611,6 +672,7 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pack_sequences" -> textPackSequences,
     "sample_stratified" -> sampleStratified,
+    "sample_neyman" -> sampleNeyman,
     "sample_bottomk" -> sampleBottomk,
     "corpus_shuffle" -> corpusShuffle,
     "sample_systematic" -> sampleSystematic,
@@ -636,6 +698,40 @@ object Corpus {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sample_neyman" ->
+      """WITH st AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS nh,
+        |    CAST(SUM(n_chars) AS HUGEINT) AS sh,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS qh
+        |  FROM documents GROUP BY lang),
+        |ws AS (SELECT lang, nh,
+        |    CASE WHEN nh >= 2 THEN CAST(floor(sqrt(
+        |      CAST(nh * (nh * qh - sh * sh) AS DOUBLE) /
+        |      CAST(nh - 1 AS DOUBLE))) AS BIGINT) ELSE 0 END AS w
+        |  FROM st),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM ws),
+        |al AS (SELECT lang, nh, w,
+        |    CASE WHEN tw > 0 THEN 100 * w // tw ELSE 0 END AS base,
+        |    CASE WHEN tw > 0 THEN 100 * w % tw ELSE 0 END AS rem
+        |  FROM ws CROSS JOIN tot),
+        |rr AS (SELECT lang, nh, w, base,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rr,
+        |    (SELECT 100 - SUM(base) FROM al) AS spare
+        |  FROM al),
+        |seats AS (SELECT lang, CAST(nh AS BIGINT) AS stratum_size,
+        |    w AS nsd,
+        |    CAST(base + CASE WHEN rr <= spare THEN 1 ELSE 0 END
+        |      AS BIGINT) AS n_h
+        |  FROM rr),
+        |pri AS (SELECT doc_id, lang,
+        |    ((doc_id % 1000000007) * 912367 % 1000000007 + 40503)
+        |      % 1000000007 AS pri,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+        |      ((doc_id % 1000000007) * 912367 % 1000000007 + 40503)
+        |        % 1000000007 ASC, doc_id ASC) AS rk
+        |  FROM documents)
+        |SELECT doc_id, pri.lang, stratum_size, nsd, n_h
+        |FROM pri JOIN seats ON pri.lang = seats.lang
+        |WHERE rk <= n_h ORDER BY doc_id""".stripMargin,
     "profile_drift" ->
       """WITH ca AS (SELECT n_chars // 50 AS bin, COUNT(*) AS ca
         |  FROM documents WHERE source = 'src0' GROUP BY 1),

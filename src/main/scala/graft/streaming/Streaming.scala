@@ -242,7 +242,37 @@ object Streaming {
   def streamCdcReplay(s: SparkSession, dir: String): DataFrame =
     cdcReplay(Tables.events(s, dir)).orderBy("user_id")
 
+  /** T10a: the streamable half of windowed top-k — a plain tumbling
+    * count aggregate (complete/update modes both legal). */
+  def windowCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "2 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"))
+
+  /** T10b: the rank finisher — row_number per window, NOT streamable
+    * as a continuous operator (Spark rejects non-time windows on a
+    * streaming aggregate), so under readStream it runs inside
+    * foreachBatch / on the sink table per micro-batch — the standard
+    * "aggregate in the engine, rank at the sink" split every
+    * streaming leaderboard uses (StreamingSpec pins the parity). The
+    * rank window partitions by win_start over a per-window relation
+    * bounded by |event types| — never a global sort. */
+  def rankTopk(counts: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_start")
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
+  /** T10: per-window top-k leaderboard (batch spelling of the
+    * streaming pair above). */
+  def streamTopk(s: SparkSession, dir: String): DataFrame =
+    rankTopk(windowCounts(Tables.events(s, dir)))
+      .orderBy("win_start", "rnk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_topk" -> streamTopk,
     "stream_cdc_replay" -> streamCdcReplay,
     "stream_countmin" -> streamCountmin,
     "stream_dedup" -> streamDedup,
@@ -318,6 +348,18 @@ object Streaming {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTES
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    "stream_topk" ->
+      """WITH wc AS (SELECT time_bucket(INTERVAL 2 MINUTES, ts)
+        |    AS win_start, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT win_start, event_type, n_events,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY win_start
+        |      ORDER BY n_events DESC, event_type ASC) AS INT) AS rnk
+        |  FROM wc)
+        |SELECT win_start, event_type, n_events, rnk
+        |FROM rk WHERE rnk <= 3
+        |ORDER BY win_start, rnk""".stripMargin,
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL 2 MINUTES, ts) AS win_start, event_type,
         |  COUNT(*) AS n_events,

@@ -410,4 +410,36 @@ class CorpusSpec extends SparkSpecBase {
       (1L, 25L, 9L, 2L, -6097L),
       (2L, 4L, 2L, 1L, -11010L)))
   }
+
+  test("L10e neyman allocation: variance attracts the budget; seats " +
+      "sum to n; draws truncate at stratum size") {
+    import spark.implicits._
+    // lang a: zero variance (w=0); lang b: spread -> b takes every
+    // seat, then truncates to its 4 members at the draw
+    val docs = (
+      (1L to 5L).map(i => (i, "a", 100L)) ++
+      Seq((11L, "b", 100L), (12L, "b", 200L), (13L, "b", 300L),
+        (14L, "b", 400L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = functions.Corpus.sampleNeymanOn(docs).collect()
+    assert(out.forall(_.getAs[String]("lang") == "b"))
+    assert(out.length == 4) // n_h = 100 truncated by the 4-doc stratum
+    assert(out.head.getAs[Long]("n_h") == 100L)
+    // corpus: the seat vector sums exactly to the budget, and each
+    // stratum yields min(n_h, stratum docs) rows
+    val c = functions.Corpus.sampleNeyman(spark, sf).cache()
+    val seats = c.select("lang", "n_h", "stratum_size").distinct()
+      .as[(String, Long, Long)].collect()
+    assert(seats.map(_._2).sum == 100L)
+    val perLang = c.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    seats.foreach { case (lang, nh, size) =>
+      assert(perLang.getOrElse(lang, 0L) == math.min(nh, size),
+        s"$lang drew ${perLang.getOrElse(lang, 0L)} of min($nh, $size)")
+    }
+    // deterministic replay
+    val again = functions.Corpus.sampleNeyman(spark, sf)
+    assert(c.exceptAll(again).count() == 0 && again.exceptAll(c).count() == 0)
+    c.unpersist()
+  }
 }

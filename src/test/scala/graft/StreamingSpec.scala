@@ -531,4 +531,34 @@ class StreamingSpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((2L, 3000L, 3L), (3L, 7700L, 2L)))
   }
+
+  test("T10 windowed top-k: streaming counts + sink-side rank == batch " +
+      "leaderboard") {
+    // the aggregate streams in complete mode; the rank finisher runs
+    // on the sink table (the foreachBatch position)
+    val q = streaming.Streaming.windowCounts(
+        eventsStream.withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("t10_counts").start()
+    val streamed = try {
+      q.processAllAvailable()
+      streaming.Streaming.rankTopk(spark.table("t10_counts"))
+        .collect().map(_.toString).toSet
+    } finally q.stop()
+    val batch = streaming.Streaming.streamTopk(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // leaderboard shape: ranks 1..<=3 per window, counts nonincreasing
+    val rows = streaming.Streaming.streamTopk(spark, sf)
+      .select("win_start", "rnk", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.values.foreach { g =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to byRank.length))
+      assert(byRank.length <= 3)
+      assert(byRank.map(_._3).sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1)))
+    }
+  }
 }
