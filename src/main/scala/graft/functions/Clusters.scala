@@ -491,6 +491,53 @@ object Clusters {
   def graphBfs(s: SparkSession, dir: String): DataFrame =
     graphBfsOn(bipartiteEdges(s, dir))
 
+  /** L18n: k-hop harmonic centrality for a seed set (Marchiori &
+    * Latora 2000; Boldi & Vigna's preferred centrality for
+    * disconnected graphs, since unreachable nodes contribute 0
+    * instead of poisoning the mean): H(s) = Σ_{v≠s, d(v,s)≤k} 1/d.
+    * Multi-source [[graphBfsOn]] — the distance relation carries a
+    * seed column, so ALL seeds expand in the same `maxHops` Pregel
+    * rounds (one edge join + one (seed, node)-keyed MIN fold per
+    * round, both map-side combined; state is |seeds|·|reached|
+    * rows — the standard multi-source trick that beats |S| separate
+    * sweeps). The k-hop cutoff is pinned semantics, not error: this
+    * is "4-hop harmonic centrality", the form HyperBall-style systems
+    * compute at scale; per-term 1e6 div d is exact in both engines
+    * and summed order-free. */
+  def graphHarmonicOn(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"need maxHops >= 1, got $maxHops")
+    val Array(cs, cd) = edges.columns.take(2)
+    val e = edges.select(col(cs).cast("long").as("src"),
+      col(cd).cast("long").as("dst")).localCheckpoint(true)
+    var dist = seeds
+      .select(col(seeds.columns.head).cast("long").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"))
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val nxt = dist.join(e, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node"),
+          (col("dist") + 1).as("dist"))
+      dist = dist.union(nxt)
+        .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.filter(col("node") =!= col("seed"))
+      .groupBy("seed").agg(
+        count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).as("harmonic_micro"),
+        max(col("dist")).as("max_dist"))
+      .orderBy("seed")
+  }
+
+  /** Catalog form: the first nine customers on the trade graph (the
+    * graph_ppr seed set — the two centralities read side by side). */
+  def graphHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val edges = bipartiteEdges(s, dir)
+    graphHarmonicOn(edges, edges.select(col("src")).filter(col("src") < 10))
+  }
+
   /** Per-node triangle counts over an undirected edge list — the
     * local clustering signal (dense near-dup neighborhoods, community
     * cores) that complements [[connectedComponentsOn]]'s reachability
@@ -1110,6 +1157,7 @@ object Clusters {
     "dedup_semantic_clustered" -> dedupSemanticClustered,
     "graph_pagerank" -> graphPagerank,
     "graph_ppr" -> graphPpr,
+    "graph_harmonic" -> graphHarmonic,
     "graph_hits" -> graphHits,
     "graph_assortativity" -> graphAssortativity,
     "graph_bfs" -> graphBfs,
@@ -1175,6 +1223,16 @@ object Clusters {
        |r$i AS (SELECT n.node,
        |    CAST(150000000 + (COALESCE(c$i.s, 0) * 85) // 100 AS BIGINT) AS r
        |  FROM r0 n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
+  }.mkString(",\n")
+
+  private val harmIterSql = (1 to 4).map { i =>
+    val prev = s"h${i - 1}"
+    s"""h$i AS (SELECT seed, node, MIN(dist) AS dist FROM (
+       |    SELECT seed, node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT p.seed, eb.dst AS node, p.dist + 1 AS dist
+       |    FROM $prev p JOIN eb ON eb.src = p.node) GROUP BY seed, node)"""
+      .stripMargin
   }.mkString(",\n")
 
   private val pprIterSql = (1 to 3).map { i =>
@@ -1411,6 +1469,20 @@ object Clusters {
          |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
          |$prIterSql
          |SELECT node, r AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
+    "graph_harmonic" ->
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+         |    l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |eb AS (SELECT src, dst FROM e
+         |       UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |h0 AS (SELECT DISTINCT src AS seed, src AS node,
+         |    CAST(0 AS BIGINT) AS dist FROM eb WHERE src < 10),
+         |$harmIterSql
+         |SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |  CAST(SUM(1000000 // dist) AS BIGINT) AS harmonic_micro,
+         |  CAST(MAX(dist) AS BIGINT) AS max_dist
+         |FROM h4 WHERE node <> seed GROUP BY seed
+         |ORDER BY seed""".stripMargin,
     "graph_ppr" ->
       s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
          |    l_suppkey + 1000000 AS dst

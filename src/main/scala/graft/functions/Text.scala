@@ -947,7 +947,35 @@ object Text {
   def textBpeEncode(s: SparkSession, dir: String): DataFrame =
     textBpeEncodeOn(Tables.documents(s, dir))
 
+  /** L4m: feature hashing (the "hashing trick", Weinberger et al.
+    * 2009 — the HashingVectorizer / Vowpal Wabbit featurizer): tokens
+    * map to a FIXED 2^b feature space by hash, with a second hash bit
+    * choosing ±1 so collisions cancel in expectation instead of
+    * biasing upward; per-doc features are the signed counts, zeros
+    * dropped. The point at 100 TB: the feature space needs NO
+    * vocabulary pass, no dictionary broadcast, and never grows — the
+    * one-scan, bounded-schema featurizer for streaming/incremental
+    * corpora, vs text_tfidf's two-pass vocabulary shape. One
+    * map-side-combined (doc, bucket) rollup; long-form output is the
+    * sparse-matrix exchange format the trainer consumes. */
+  def textHashedFeaturesOn(docs: DataFrame, bitsLog2: Int = 8): DataFrame = {
+    require(bitsLog2 >= 1 && bitsLog2 <= 24, s"bad bitsLog2 $bitsLog2")
+    val m = 1L << bitsLog2
+    docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), polyHash(col("tok")).as("h"))
+      .select(col("doc_id"), (col("h") % m).as("bucket"),
+        when(expr(s"(h div $m) % 2") === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy("doc_id", "bucket").agg(sum(col("sgn")).as("w"))
+      .filter(col("w") =!= 0)
+      .orderBy("doc_id", "bucket")
+  }
+
+  def textHashedFeatures(s: SparkSession, dir: String): DataFrame =
+    textHashedFeaturesOn(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hashed_features" -> textHashedFeatures,
     "text_chunk" -> textChunk,
     "text_lm_score" -> textLmScore,
     "text_bpe_merges" -> textBpeMerges,
@@ -1025,6 +1053,16 @@ object Text {
        |  FROM $prev, n$i)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_hashed_features" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |hh AS (SELECT doc_id, ${polySqlOf("tok")} AS h FROM tk),
+         |f AS (SELECT doc_id, h % 256 AS bucket,
+         |    CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM hh)
+         |SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS w
+         |FROM f GROUP BY 1, 2 HAVING SUM(sgn) <> 0
+         |ORDER BY doc_id, bucket""".stripMargin,
     "text_bpe_encode" ->
       s"""WITH v0 AS (SELECT w, string_split(w, '') AS cs,
          |    CAST(COUNT(*) AS BIGINT) AS freq

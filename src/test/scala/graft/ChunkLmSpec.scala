@@ -199,4 +199,25 @@ class ChunkLmSpec extends SparkSpecBase {
       .as[(Long, Long, Long, Long)].collect()
     assert(out.toSeq == again.toSeq)
   }
+
+  test("L4m feature hashing: hand buckets/signs; mass bounded by token " +
+      "count; fixed space at corpus scale") {
+    // polyHash('a') = 97, bucket 97, sign bit (97 div 256)%2 = 0 -> +1
+    val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val got = functions.Text.textHashedFeaturesOn(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 97L, 2L), (1L, 98L, 1L)))
+    // corpus: buckets bounded to 2^8, |w| mass never exceeds tokens,
+    // and the featurization is partitioning-invariant
+    val c = functions.Text.textHashedFeatures(spark, sf).cache()
+    assert(c.filter(col("bucket") < 0 || col("bucket") >= 256).count() == 0)
+    val mass = c.agg(sum(abs(col("w")))).as[Long].head()
+    val toks = functions.Text.textTokens(spark, sf)
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(mass <= toks && mass > 0)
+    val again = functions.Text.textHashedFeaturesOn(
+      Tables.documents(spark, sf).repartition(7))
+    assert(c.exceptAll(again).count() == 0 && again.exceptAll(c).count() == 0)
+    c.unpersist()
+  }
 }

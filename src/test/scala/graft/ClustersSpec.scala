@@ -444,6 +444,26 @@ class ClustersSpec extends SparkSpecBase {
     assert(gr.exceptAll(er).count() == 0 && er.exceptAll(gr).count() == 0)
   }
 
+  test("L18n harmonic centrality: exact hand values on the path graph; " +
+      "center beats endpoint") {
+    import spark.implicits._
+    // path 1-2-3-4: H(1) = 1/1+1/2+1/3 = 1833333 micro over 3 nodes;
+    // H(2) = 1+1+1/2 = 2500000 (center reaches everyone in <= 2)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val got = functions.Clusters.graphHarmonicOn(und,
+        Seq(1L, 2L).toDF("node"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1833333L, 3L),
+      (2L, 3L, 2500000L, 2L)))
+    // corpus: every seed reaches a real neighborhood, and no distance
+    // exceeds the 4-hop cutoff
+    val c = functions.Clusters.graphHarmonic(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(c.nonEmpty && c.forall(r => r._2 > 0 && r._4 <= 4))
+  }
+
   test("L18m personalized pagerank: proximity decays with distance from " +
       "the seed; deterministic replay") {
     import spark.implicits._
