@@ -1544,10 +1544,84 @@ object Events {
   def eventUplift(s: SparkSession, dir: String): DataFrame =
     eventUpliftOn(Tables.events(s, dir))
 
+  /** L20r: adstock / geometric carryover (Broadbent 1979, the
+    * marketing-mix decay every media-effect model starts from):
+    * today's effective exposure = Σ_{k=0..7} spend_{t−k}·λᵏ with
+    * λ = ½, spelled EXACTLY as integer weights 2^(7−k) (so the
+    * output is adstock × 2⁷ — no float decay chain, no recursion).
+    * The recursive form y_t = x_t + λy_{t−1} is sequential; this
+    * window-truncated closed form is its scale spelling: each daily
+    * row EXPLODES into its ≤ 8 future carryover contributions
+    * (map-side ×8) and ONE (type, day)-keyed sum folds them —
+    * carryover-only days materialize automatically, no spine join.
+    * Truncation error vs the infinite chain is ≤ λ⁸ < 0.4%. */
+  def eventAdstockOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("event_type", "d").agg(sum(col("cents")).as("cents"))
+    daily
+      .select(col("event_type"), col("d"), col("cents"),
+        explode(sequence(lit(0), lit(7))).as("k"))
+      .select(col("event_type"), date_add(col("d"), col("k")).as("d"),
+        (col("cents") * expr("shiftleft(CAST(1 AS BIGINT), 7 - k)"))
+          .as("contrib"),
+        when(col("k") === 0, col("cents")).otherwise(0L).as("raw"))
+      .groupBy("event_type", "d")
+      .agg(sum(col("contrib")).as("adstock_x128"),
+        sum(col("raw")).as("cents_raw"))
+      .orderBy("event_type", "d")
+  }
+
+  def eventAdstock(s: SparkSession, dir: String): DataFrame =
+    eventAdstockOn(Tables.events(s, dir))
+
+  /** L20s: moving-average crossover signals (the golden/death-cross
+    * trading rule, here as the generic trend-shift detector for any
+    * daily series): short (3-day) vs long (7-day) trailing means in
+    * exact scaled integers — sums over COMPLETE row frames only
+    * (first 6 days emit no signal), means kept as sum×lcm-scaled
+    * integers so the comparison s·7 vs l·3 needs no division at all.
+    * cross_up fires when short−long flips ≤0 → >0 between
+    * consecutive days. One day-spine-free window chain per
+    * event_type; at scale each series windows independently. */
+  def tsSmaCrossOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("event_type", "d").agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val s3 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-2, 0)
+    val s7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sum3", sum(col("cents")).over(s3))
+      .withColumn("sum7", sum(col("cents")).over(s7))
+      // diff in cents·21 units: sum3/3 − sum7/7 = (7·sum3 − 3·sum7)/21
+      .withColumn("diff_x21",
+        when(col("rn") >= 7, col("sum3") * 7 - col("sum7") * 3))
+      .withColumn("prev_diff_x21", lag(col("diff_x21"), 1).over(w))
+      .withColumn("cross_up",
+        col("diff_x21") > 0 &&
+          coalesce(col("prev_diff_x21") <= 0, lit(false)))
+      .withColumn("cross_down",
+        col("diff_x21") <= 0 &&
+          coalesce(col("prev_diff_x21") > 0, lit(false)))
+      .filter(col("diff_x21").isNotNull)
+      .select("event_type", "d", "cents", "diff_x21",
+        "cross_up", "cross_down")
+      .orderBy("event_type", "d")
+  }
+
+  def tsSmaCross(s: SparkSession, dir: String): DataFrame =
+    tsSmaCrossOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
     "event_funnel_window" -> eventFunnelWindow,
     "event_uplift" -> eventUplift,
+    "event_adstock" -> eventAdstock,
+    "ts_sma_cross" -> tsSmaCross,
     "event_ttest_welch" -> eventTtestWelch,
     "event_anova" -> eventAnova,
     "event_did" -> eventDid,
@@ -1616,6 +1690,44 @@ object Events {
       |  FROM tr WHERE detr IS NOT NULL GROUP BY dow)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "event_adstock" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |ex AS (SELECT event_type, d + CAST(k.k AS INT) AS d,
+        |    cents * (CAST(1 AS BIGINT) << (7 - k.k)) AS contrib,
+        |    CASE WHEN k.k = 0 THEN cents ELSE 0 END AS raw
+        |  FROM daily, range(0, 8) k(k))
+        |SELECT event_type, d,
+        |  CAST(SUM(contrib) AS BIGINT) AS adstock_x128,
+        |  CAST(SUM(raw) AS BIGINT) AS cents_raw
+        |FROM ex GROUP BY 1, 2
+        |ORDER BY event_type, d""".stripMargin,
+    "ts_sma_cross" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, d, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+        |    SUM(cents) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sum3,
+        |    SUM(cents) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sum7
+        |  FROM daily),
+        |dd AS (SELECT event_type, d, cents,
+        |    CASE WHEN rn >= 7 THEN sum3 * 7 - sum7 * 3 END AS diff_x21
+        |  FROM w),
+        |lg AS (SELECT event_type, d, cents, diff_x21,
+        |    LAG(diff_x21, 1) OVER (PARTITION BY event_type ORDER BY d)
+        |      AS prev_diff
+        |  FROM dd)
+        |SELECT event_type, d, cents, CAST(diff_x21 AS BIGINT) AS diff_x21,
+        |  diff_x21 > 0 AND COALESCE(prev_diff <= 0, FALSE) AS cross_up,
+        |  diff_x21 <= 0 AND COALESCE(prev_diff > 0, FALSE) AS cross_down
+        |FROM lg WHERE diff_x21 IS NOT NULL
+        |ORDER BY event_type, d""".stripMargin,
     "event_funnel_window" ->
       """WITH t0 AS (SELECT user_id, MIN(ts) AS t FROM events
         |  WHERE event_type = 'view' GROUP BY 1),

@@ -822,6 +822,57 @@ class EventsSpec extends SparkSpecBase {
     assert(wf("view") == wide("view"))
   }
 
+  test("L20r adstock: a single spike decays through exact powers of " +
+      "two over its 8-day tail") {
+    val ev = Seq((1L, 1L, "ad", 1.0, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val got = operators.Events.eventAdstockOn(ev)
+      .select("d", "adstock_x128", "cents_raw")
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(12800L, 6400L, 3200L, 1600L, 800L,
+      400L, 200L, 100L)) // 100 cents x 2^(7-k)
+    assert(got.map(_._3) == (Seq(100L) ++ Seq.fill(7)(0L)))
+    assert(got.map(_._1.toString) ==
+      (1 to 8).map(i => f"2024-01-$i%02d"))
+    // corpus: the raw series is conserved (k=0 terms) and adstock
+    // dominates 128x raw only when there is no carryover
+    val c = operators.Events.eventAdstock(spark, sf).cache()
+    val rawSum = c.agg(sum("cents_raw")).as[Long].head()
+    val direct = Tables.events(spark, sf)
+      .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .agg(sum("c")).as[Long].head()
+    assert(rawSum == direct)
+    assert(c.filter(col("adstock_x128") < col("cents_raw") * 128).count() == 0)
+    c.unpersist()
+  }
+
+  test("L20s sma crossover: flat series never signals; a spike fires " +
+      "exactly one up-cross") {
+    val days = (1 to 9).map { i =>
+      val v = if (i == 8) 100.0 else if (i == 9) 0.01 else 0.10
+      (i.toLong, 1L, "a", v, ts(f"2024-01-$i%02d 10:00:00"))
+    }
+    val ev = days.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val got = operators.Events.tsSmaCrossOn(ev)
+      .select("d", "diff_x21", "cross_up", "cross_down")
+      .as[(java.sql.Date, Long, Boolean, Boolean)].collect().toSeq
+    assert(got.map(_._2) == Seq(0L, 39960L, 39924L))
+    assert(got.map(_._3) == Seq(false, true, false))
+    assert(got.forall(!_._4))
+    // corpus: signals only fire on actual sign flips of the diff
+    val c = operators.Events.tsSmaCross(spark, sf).collect()
+    c.groupBy(_.getAs[String]("event_type")).values.foreach { g =>
+      val s = g.sortBy(_.getAs[java.sql.Date]("d").toString)
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          val flipUp = b.getAs[Long]("diff_x21") > 0 &&
+            a.getAs[Long]("diff_x21") <= 0
+          assert(b.getAs[Boolean]("cross_up") == flipUp)
+        case _ =>
+      }
+    }
+  }
+
   test("L20q uplift: planted segment effect ranks first with the right " +
       "qini increment; corpus cells partition the users") {
     // seg0 (users 0,1,10,11): both treated convert, controls don't;
