@@ -1616,12 +1616,125 @@ object Events {
   def tsSmaCross(s: SparkSession, dir: String): DataFrame =
     tsSmaCrossOn(Tables.events(s, dir))
 
+  /** L20t: maximum drawdown — the peak-to-trough statistic on the
+    * DAILY level series (the largest decline from any prior peak —
+    * "how far below its best day has this stream fallen"): peak_t =
+    * running max of daily cents, dd_t = cents_t − peak_t ≤ 0, answer
+    * = min dd with its date (earliest day wins ties — pinned by the
+    * (dd, d) rank). One ordered window chain per series + a 1-row
+    * argmin — exact BIGINT cents end to end. (On a cumulative
+    * non-negative revenue total the drawdown is identically 0; the
+    * level series is the one with risk in it.) */
+  def tsDrawdownOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("event_type", "d").agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = daily
+      .withColumn("peak", max(col("cents")).over(w))
+      .withColumn("dd", col("cents") - col("peak"))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(col("dd").asc, col("d").asc)
+    dd.withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("d").as("trough_day"),
+        col("peak").as("peak_cents"), col("cents").as("trough_cents"),
+        col("dd").as("max_drawdown_cents"))
+      .orderBy("event_type")
+  }
+
+  def tsDrawdown(s: SparkSession, dir: String): DataFrame =
+    tsDrawdownOn(Tables.events(s, dir))
+
+  /** L20u: inter-arrival statistics per series — the burstiness /
+    * health profile of an event stream (uniform? bursty? dying?):
+    * consecutive gaps by (ts, event_id) order in exact microseconds
+    * (unix_micros lag diff), summarized as count, mean (one integral
+    * DIV), and p50/p90 under the catalog's pinned rank rule
+    * idx = (m−1)·q_ppm div 10⁶ + 1. Two windows per series (the gap
+    * lag and the gap rank) — series profile independently in
+    * parallel at any scale. */
+  def tsInterarrivalOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+    val gaps = events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    val rk = Window.partitionBy("event_type").orderBy("gap_us", "event_id")
+    gaps
+      .withColumn("rn", row_number().over(rk))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type").agg(
+        max(col("m")).as("n_gaps"),
+        expr("sum(gap_us) DIV count(1)").as("mean_gap_us"),
+        max(when(expr("rn = (m - 1) * 500000 div 1000000 + 1"),
+          col("gap_us"))).as("p50_gap_us"),
+        max(when(expr("rn = (m - 1) * 900000 div 1000000 + 1"),
+          col("gap_us"))).as("p90_gap_us"))
+      .orderBy("event_type")
+  }
+
+  def tsInterarrival(s: SparkSession, dir: String): DataFrame =
+    tsInterarrivalOn(Tables.events(s, dir))
+
+  /** L20v: Theil–Sen robust trend (Theil 1950; Sen 1968) — the median
+    * of all pairwise slopes, the trend line one outlier day cannot
+    * bend (vs agg_regression's OLS, where a single spike drags the
+    * fit). Slopes are exact integers:
+    * slope_micro = Δcents·10⁶ div Δdays (denominator positive by
+    * x2 > x1; both engines truncate toward zero identically); the
+    * median is the pinned rank pick over the per-series pair
+    * relation. Pairs are day-grid pairs — n·(n−1)/2 per series with
+    * n ≤ days-in-corpus, so the self-join is calendar-bounded, not
+    * data-bounded (435 pairs per series on a 30-day corpus; at any
+    * corpus scale the per-series pair count stays O(days²) — sample
+    * days for multi-year spans). */
+  def tsTheilsenOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("event_type", "d").agg(sum(col("cents")).as("cents"))
+      .select(col("event_type"),
+        datediff(col("d"), lit("2024-01-01").cast("date")).cast("long")
+          .as("x"),
+        col("cents").as("y"))
+    val a = daily.select(col("event_type"), col("x").as("x1"),
+      col("y").as("y1"))
+    val b = daily.select(col("event_type"), col("x").as("x2"),
+      col("y").as("y2"))
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("x2") > col("x1"))
+      .select(col("event_type"),
+        expr("(y2 - y1) * 1000000 DIV (x2 - x1)").as("slope_micro"),
+        col("x1"), col("x2"))
+    val rk = Window.partitionBy("event_type")
+      .orderBy("slope_micro", "x1", "x2")
+    slopes
+      .withColumn("rn", row_number().over(rk))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type").agg(
+        max(col("m")).as("n_pairs"),
+        max(when(expr("rn = (m - 1) * 500000 div 1000000 + 1"),
+          col("slope_micro"))).as("slope_micro"))
+      .withColumn("rising", col("slope_micro") > 0)
+      .orderBy("event_type")
+  }
+
+  def tsTheilsen(s: SparkSession, dir: String): DataFrame =
+    tsTheilsenOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
     "event_funnel_window" -> eventFunnelWindow,
     "event_uplift" -> eventUplift,
     "event_adstock" -> eventAdstock,
     "ts_sma_cross" -> tsSmaCross,
+    "ts_drawdown" -> tsDrawdown,
+    "ts_interarrival" -> tsInterarrival,
+    "ts_theilsen" -> tsTheilsen,
     "event_ttest_welch" -> eventTtestWelch,
     "event_anova" -> eventAnova,
     "event_did" -> eventDid,
@@ -1690,6 +1803,64 @@ object Events {
       |  FROM tr WHERE detr IS NOT NULL GROUP BY dow)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_drawdown" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, d, cents,
+        |    MAX(cents) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM daily),
+        |r AS (SELECT event_type, d, cents, peak, cents - peak AS dd,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY cents - peak ASC, d ASC) AS rk
+        |  FROM p)
+        |SELECT event_type, d AS trough_day, peak AS peak_cents,
+        |  cents AS trough_cents, dd AS max_drawdown_cents
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "ts_interarrival" ->
+      """WITH g0 AS (SELECT event_type, event_id, epoch_us(ts) AS tus
+        |  FROM events),
+        |g1 AS (SELECT event_type, event_id,
+        |    tus - LAG(tus, 1) OVER (PARTITION BY event_type
+        |      ORDER BY tus, event_id) AS gap_us
+        |  FROM g0),
+        |g AS (SELECT event_type, event_id, gap_us,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY gap_us, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS m
+        |  FROM g1 WHERE gap_us IS NOT NULL)
+        |SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_gaps,
+        |  CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS mean_gap_us,
+        |  CAST(MAX(CASE WHEN rn = (m - 1) * 500000 // 1000000 + 1
+        |    THEN gap_us END) AS BIGINT) AS p50_gap_us,
+        |  CAST(MAX(CASE WHEN rn = (m - 1) * 900000 // 1000000 + 1
+        |    THEN gap_us END) AS BIGINT) AS p90_gap_us
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_theilsen" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (SELECT a.event_type,
+        |    (b.y - a.y) * 1000000 // (b.x - a.x) AS slope_micro,
+        |    a.x AS x1, b.x AS x2
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.x > a.x),
+        |r AS (SELECT event_type, slope_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY slope_micro, x1, x2) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS m
+        |  FROM sl)
+        |SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_pairs,
+        |  CAST(MAX(CASE WHEN rn = (m - 1) * 500000 // 1000000 + 1
+        |    THEN slope_micro END) AS BIGINT) AS slope_micro,
+        |  MAX(CASE WHEN rn = (m - 1) * 500000 // 1000000 + 1
+        |    THEN slope_micro END) > 0 AS rising
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "event_adstock" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)

@@ -873,6 +873,61 @@ class EventsSpec extends SparkSpecBase {
     }
   }
 
+  test("L20t drawdown: trough below the running peak found with its " +
+      "date; tie goes to the earliest day") {
+    val ev = Seq(1.00, 3.00, 2.00, 0.50, 2.50).zipWithIndex.map {
+      case (v, i) => (i.toLong, 1L, "a", v,
+        ts(f"2024-01-${i + 1}%02d 10:00:00"))
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val r = operators.Events.tsDrawdownOn(ev).head()
+    assert(r.getAs[java.sql.Date]("trough_day").toString == "2024-01-04")
+    assert(r.getAs[Long]("peak_cents") == 300L)
+    assert(r.getAs[Long]("trough_cents") == 50L)
+    assert(r.getAs[Long]("max_drawdown_cents") == -250L)
+    // corpus: drawdown is never positive, and the trough day is real
+    val c = operators.Events.tsDrawdown(spark, sf)
+    assert(c.filter(col("max_drawdown_cents") > 0).count() == 0)
+    assert(c.count() ==
+      Tables.events(spark, sf).select("event_type").distinct().count())
+  }
+
+  test("L20u interarrival: hand gaps give the pinned mean and rank " +
+      "percentiles") {
+    val ev = Seq(0, 10, 40, 100).zipWithIndex.map { case (sec, i) =>
+      (i.toLong, 1L, "a", new Timestamp(1704100000000L + sec * 1000L))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val r = operators.Events.tsInterarrivalOn(ev).head()
+    assert(r.getAs[Long]("n_gaps") == 3L)
+    assert(r.getAs[Long]("mean_gap_us") == 33333333L)
+    assert(r.getAs[Long]("p50_gap_us") == 30000000L)
+    assert(r.getAs[Long]("p90_gap_us") == 30000000L)
+    // corpus: p50 <= p90 everywhere, gaps non-negative
+    val c = operators.Events.tsInterarrival(spark, sf)
+    assert(c.filter(col("p50_gap_us") > col("p90_gap_us")).count() == 0)
+    assert(c.filter(col("mean_gap_us") < 0).count() == 0)
+  }
+
+  test("L20v theil-sen: one outlier day cannot bend the median slope") {
+    val ev = Seq(1.0, 2.0, 3.0, 100.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1L, "a", v, ts(f"2024-01-${i + 1}%02d 10:00:00"))
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val r = operators.Events.tsTheilsenOn(ev).head()
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    // clean 100 cents/day despite the 100x final-day outlier
+    assert(r.getAs[Long]("slope_micro") == 100000000L)
+    assert(r.getAs[Boolean]("rising"))
+    // corpus: every series yields days*(days-1)/2 pairs
+    val c = operators.Events.tsTheilsen(spark, sf).collect()
+    val days = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("event_type").count().collect()
+      .map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+    c.foreach { row =>
+      val n = days(row.getAs[String]("event_type"))
+      assert(row.getAs[Long]("n_pairs") == n * (n - 1) / 2)
+    }
+  }
+
   test("L20q uplift: planted segment effect ranks first with the right " +
       "qini increment; corpus cells partition the users") {
     // seg0 (users 0,1,10,11): both treated convert, controls don't;
