@@ -135,6 +135,57 @@ object Corpus {
   def sampleNeyman(s: SparkSession, dir: String): DataFrame =
     sampleNeymanOn(Tables.documents(s, dir))
 
+  /** L8b: UniMax-style language budgeting by water-filling (Chung et
+    * al. 2023, "UniMax: Fairer and More Effective Language Sampling"):
+    * spend a fixed document budget B as UNIFORMLY as possible across
+    * languages — small languages keep everything, large ones cap at a
+    * shared water level t = the largest level the budget affords.
+    * Closed-form distributed spelling of the sequential fill: sort
+    * languages by size ascending (a |langs|-row window), find the
+    * FIRST index where N_i exceeds its fair share
+    * (B − pre_{i−1}) div (L−i+1) — that share IS the level t — then
+    * a_l = min(N_l, t), with the (B − Σa) mod R leftover seats going
+    * +1 each to the smallest-lang-name capped languages (every one of
+    * which sits at t, so any choice is fair; the rule is pinned).
+    * When the budget covers the corpus, nobody caps, every language
+    * keeps its full count, and the surplus stays unspent (visible as
+    * B − Σ alloc). All integer; the fact scan is
+    * one count rollup — everything after runs on the |langs|-row
+    * relation. */
+  def corpusUnimaxOn(docs: DataFrame, budget: Long = 2000L): DataFrame = {
+    require(budget > 0, s"need budget > 0, got $budget")
+    val stats = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("n", "lang") // |langs| rows, bounded
+    val lv = stats
+      .withColumn("i", row_number().over(w))
+      .withColumn("pre",
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .crossJoin(broadcast(stats.agg(count(lit(1)).as("nl"))))
+      .withColumn("fair",
+        expr(s"($budget - (pre - n)) div (nl - i + 1)"))
+      .localCheckpoint(true)
+    val t = lv.filter(col("n") > col("fair"))
+      .orderBy("i").limit(1).select(col("fair").as("t"))
+    val alloc = lv.join(broadcast(t), lit(true), "left")
+      .withColumn("t", coalesce(col("t"), lit(Long.MaxValue)))
+      .withColumn("alloc0", least(col("n"), col("t")))
+      .withColumn("capped", col("n") > col("t"))
+    val spare = alloc.agg((lit(budget) - sum(col("alloc0"))).as("spare"))
+    alloc.crossJoin(broadcast(spare))
+      .withColumn("rr", row_number().over(
+        Window.partitionBy("capped").orderBy("lang")))
+      .withColumn("alloc",
+        col("alloc0") + when(col("capped") && col("rr") <= col("spare") &&
+          col("spare") > 0, 1L).otherwise(0L))
+      .select(col("lang"), col("n").as("n_docs"), col("capped"),
+        col("alloc"))
+      .orderBy("lang")
+  }
+
+  def corpusUnimax(s: SparkSession, dir: String): DataFrame =
+    corpusUnimaxOn(Tables.documents(s, dir), 300L)
+
   /** L10: exact-k reproducible uniform sample — the k documents with
     * the smallest affine-hash priority ((doc_id mod P) * A + B) mod P.
     * P prime and A < P make the priority injective on ids below P, so
@@ -673,6 +724,7 @@ object Corpus {
     "text_pack_sequences" -> textPackSequences,
     "sample_stratified" -> sampleStratified,
     "sample_neyman" -> sampleNeyman,
+    "corpus_unimax" -> corpusUnimax,
     "sample_bottomk" -> sampleBottomk,
     "corpus_shuffle" -> corpusShuffle,
     "sample_systematic" -> sampleSystematic,
@@ -698,6 +750,35 @@ object Corpus {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_unimax" ->
+      """WITH st AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |lv AS (SELECT lang, n,
+        |    ROW_NUMBER() OVER (ORDER BY n, lang) AS i,
+        |    SUM(n) OVER (ORDER BY n, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+        |    (SELECT COUNT(*) FROM st) AS nl
+        |  FROM st),
+        |fv AS (SELECT lang, n, i, pre, nl,
+        |    (300 - (pre - n)) // (nl - i + 1) AS fair
+        |  FROM lv),
+        |tl AS (SELECT fair AS t FROM fv WHERE n > fair
+        |  ORDER BY i LIMIT 1),
+        |al AS (SELECT lang, n,
+        |    LEAST(n, COALESCE((SELECT t FROM tl), 9223372036854775807))
+        |      AS alloc0,
+        |    n > COALESCE((SELECT t FROM tl), 9223372036854775807)
+        |      AS capped
+        |  FROM fv),
+        |sp AS (SELECT 300 - SUM(alloc0) AS spare FROM al),
+        |rr AS (SELECT lang, n, alloc0, capped,
+        |    ROW_NUMBER() OVER (PARTITION BY capped ORDER BY lang) AS rr,
+        |    (SELECT spare FROM sp) AS spare
+        |  FROM al)
+        |SELECT lang, n AS n_docs, capped,
+        |  CAST(alloc0 + CASE WHEN capped AND rr <= spare AND spare > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM rr ORDER BY lang""".stripMargin,
     "sample_neyman" ->
       """WITH st AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS nh,
         |    CAST(SUM(n_chars) AS HUGEINT) AS sh,

@@ -139,6 +139,27 @@ object Dedup {
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     dedupExactOn(Tables.documents(s, dir))
 
+  /** L1e: token-sort dedup (the rapidfuzz token_sort_ratio == 100
+    * blocking rule): documents whose token MULTISETS coincide are one
+    * document — catches shuffled boilerplate, reordered CSV-ish
+    * fields, and template paraphrase that exact hashing misses, while
+    * staying a pure equi-join (no pairwise fuzz). Canonical key = the
+    * space-joined sorted token array (array_sort is a total order on
+    * strings in both engines); same group/keeper output shape as
+    * [[dedupExactOn]], one map-side-combined hash-groupBy at any
+    * scale. Subsumes exact dedup: equal texts sort equal. */
+  def dedupTokenSortOn(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(array_join(array_sort(Text.toks(col("text"))), " ")
+        .as("sorted_key"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .select("keeper_doc_id", "n_copies")
+      .orderBy("keeper_doc_id")
+
+  def dedupTokenSort(s: SparkSession, dir: String): DataFrame =
+    dedupTokenSortOn(Tables.documents(s, dir))
+
   /** L1b: URL-canonicalization dedup — the cheapest dedup pass a
     * crawl-derived corpus runs, BEFORE any content hashing: the same
     * page fetched as http/https, with/without `www.`, with a trailing
@@ -977,6 +998,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_bloom" -> dedupBloom,
+    "dedup_token_sort" -> dedupTokenSort,
     "dedup_paragraph" -> dedupParagraph,
     "dedup_exact" -> dedupExact,
     "dedup_url" -> dedupUrl,
@@ -1084,6 +1106,15 @@ object Dedup {
        |ORDER BY da, db""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_token_sort" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM (SELECT doc_id,
+        |    array_to_string(list_sort(string_split(text, ' ')), ' ')
+        |      AS sorted_key
+        |  FROM documents)
+        |GROUP BY sorted_key
+        |ORDER BY keeper_doc_id""".stripMargin,
     "dedup_bloom" ->
       s"""WITH ch AS (SELECT ${Text.polySqlOf("text")} AS h
          |  FROM documents WHERE doc_id % 10 <> 0),

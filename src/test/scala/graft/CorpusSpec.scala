@@ -411,6 +411,30 @@ class CorpusSpec extends SparkSpecBase {
       (2L, 4L, 2L, 1L, -11010L)))
   }
 
+  test("L8b unimax water-filling: small languages keep everything, " +
+      "big ones cap at the shared level; budget spent exactly") {
+    import spark.implicits._
+    // langs a=2, b=5, c=50 docs, budget 10: level t = 4 -> 2/4/4
+    val docs = ((1 to 2).map(i => (i.toLong, "a")) ++
+      (11 to 15).map(i => (i.toLong, "b")) ++
+      (21 to 70).map(i => (i.toLong, "c"))).toDF("doc_id", "lang")
+    val got = functions.Corpus.corpusUnimaxOn(docs, budget = 10L)
+      .as[(String, Long, Boolean, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L, false, 2L), ("b", 5L, true, 4L),
+      ("c", 50L, true, 4L)))
+    // budget beyond the corpus: everyone keeps everything, no caps
+    val full = functions.Corpus.corpusUnimaxOn(docs, budget = 100L)
+      .as[(String, Long, Boolean, Long)].collect()
+    assert(full.forall(r => r._4 == r._2 && !r._3))
+    // corpus: the 300-doc budget is spent exactly (corpus is larger),
+    // and no language exceeds its own size
+    val c = functions.Corpus.corpusUnimax(spark, sf)
+      .as[(String, Long, Boolean, Long)].collect()
+    assert(c.map(_._4).sum == 300L)
+    assert(c.forall(r => r._4 <= r._2))
+    assert(c.filter(!_._3).forall(r => r._4 == r._2)) // uncapped = full
+  }
+
   test("L10e neyman allocation: variance attracts the budget; seats " +
       "sum to n; draws truncate at stratum size") {
     import spark.implicits._

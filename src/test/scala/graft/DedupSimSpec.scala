@@ -303,6 +303,19 @@ class DedupSimSpec extends SparkSpecBase {
     assert(recall > 0.0)
   }
 
+  test("token-sort dedup: shuffled token multisets collapse; subsumes " +
+      "exact dedup on the corpus") {
+    val docs = Seq((1L, "b a"), (2L, "a b"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = functions.Dedup.dedupTokenSortOn(docs)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+    // fewer-or-equal groups than exact dedup (equal texts sort equal)
+    val ts = functions.Dedup.dedupTokenSort(spark, sf).count()
+    val ex = functions.Dedup.dedupExact(spark, sf).count()
+    assert(ts <= ex && ts > 0)
+  }
+
   test("bloom dedup gate: zero false negatives by construction; " +
       "false positives are audited, not hidden") {
     val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"))
