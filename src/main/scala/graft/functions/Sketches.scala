@@ -168,12 +168,73 @@ object Sketches {
   def sketchQuantile(s: SparkSession, dir: String): DataFrame =
     sketchQuantileOn(Tables.lineitem(s, dir))
 
+  /** L17c: theta-sketch ROLLUP — the dashboard move the mergeable-
+    * summaries property exists for: per-segment sketches built once
+    * (here per event type, by the same [[graft.plans.KmvAgg]] pass as
+    * [[sketchThetaOn]]) merge into the ALL-segments audience without
+    * touching the fact stream again — union = pool the ≤ k·|types|
+    * hashes, re-keep the k smallest (exact mode below k). At 100 TB
+    * this is the difference between re-scanning the corpus per rollup
+    * cell and merging |cells| tiny arrays. The exact global distinct
+    * (the shuffle the sketch replaces) ships beside the estimate with
+    * the signed error, per the in-catalog-eval convention. The
+    * pooled-hash rank window is bounded by k·|types| rows — never
+    * data-sized. */
+  def sketchThetaRollupOn(events: DataFrame, k: Int = SketchK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"need k >= 2, got $k")
+    val sk = events
+      .select(col("event_type"),
+        expr(s"(user_id * 2654435761 + 12345) % $P").as("h"))
+      .groupBy("event_type")
+      .agg(graft.plans.KmvAgg.kmv(col("h"), k).as("sk"))
+    val types = sk.agg(count(lit(1)).as("n_types"))
+    val pooled = sk.select(explode(col("sk")).as("h")).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy("h")))
+      .filter(col("rn") <= k)
+      .agg(count(lit(1)).as("m"),
+        max(when(col("rn") === k, col("h"))).as("kth"))
+    val exact = events.agg(countDistinct(col("user_id")).as("exact_users"))
+    pooled.crossJoin(broadcast(types)).crossJoin(broadcast(exact))
+      .select(col("n_types"),
+        coalesce(expr(s"${(k - 1) * P}L div kth"), col("m")).as("est_users"),
+        col("exact_users"))
+      .withColumn("err", col("est_users") - col("exact_users"))
+  }
+
+  def sketchThetaRollup(s: SparkSession, dir: String): DataFrame =
+    sketchThetaRollupOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_theta" -> sketchTheta,
     "sketch_quantile" -> sketchQuantile,
+    "sketch_theta_rollup" -> sketchThetaRollup,
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_theta_rollup" ->
+      s"""WITH hs AS (SELECT DISTINCT event_type,
+         |    (user_id * 2654435761 + 12345) % $P AS h FROM events),
+         |sk AS (SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC)
+         |      AS rn
+         |  FROM hs QUALIFY rn <= $SketchK),
+         |nt AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT)
+         |    AS n_types FROM sk),
+         |pool AS (SELECT DISTINCT h FROM sk),
+         |pr AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS rn
+         |  FROM pool QUALIFY rn <= $SketchK),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |    MAX(CASE WHEN rn = $SketchK THEN h END) AS kth FROM pr),
+         |ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+         |    AS exact_users FROM events)
+         |SELECT n_types,
+         |  CAST(COALESCE(${(SketchK - 1) * P} // kth, m) AS BIGINT)
+         |    AS est_users,
+         |  exact_users,
+         |  CAST(COALESCE(${(SketchK - 1) * P} // kth, m) - exact_users
+         |    AS BIGINT) AS err
+         |FROM agg CROSS JOIN nt CROSS JOIN ex""".stripMargin,
     "sketch_quantile" ->
       s"""WITH r AS (SELECT l_returnflag,
          |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,

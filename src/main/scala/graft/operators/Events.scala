@@ -1726,6 +1726,41 @@ object Events {
   def tsTheilsen(s: SparkSession, dir: String): DataFrame =
     tsTheilsenOn(Tables.events(s, dir))
 
+  /** L20w: Benford first-digit audit (Benford 1938; Nigrini's fraud
+    * screen) — natural multi-scale amounts put digit d first with
+    * probability log₁₀(1+1/d); fabricated or truncated data breaks
+    * the curve, so the deviation profile is a standard data-quality /
+    * fraud alarm. The expected shares ride in as SHARED ppm literals
+    * (both engines compare against the identical integer table — no
+    * runtime log10), observed shares are exact ppm DIVs, and the
+    * signed per-digit deviation is plain subtraction. Zero-cent rows
+    * have no first significant digit and are excluded by definition.
+    * One map-side-combined 9-row rollup; the digit is substring(1,1)
+    * of the decimal string — exact at any magnitude. */
+  def eventBenfordOn(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    val expected = s.createDataFrame(Seq(
+      ("1", 301030L), ("2", 176091L), ("3", 124939L), ("4", 96910L),
+      ("5", 79181L), ("6", 66947L), ("7", 57992L), ("8", 51153L),
+      ("9", 45757L))).toDF("digit", "exp_ppm")
+    val obs = events
+      .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("n"))
+    broadcast(expected).join(obs, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(tot)) // 1-row scalar side
+      .withColumn("obs_ppm", expr("n_obs * 1000000 DIV n"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .select("digit", "n_obs", "obs_ppm", "exp_ppm", "dev_ppm")
+      .orderBy("digit")
+  }
+
+  def eventBenford(s: SparkSession, dir: String): DataFrame =
+    eventBenfordOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
     "event_funnel_window" -> eventFunnelWindow,
@@ -1735,6 +1770,7 @@ object Events {
     "ts_drawdown" -> tsDrawdown,
     "ts_interarrival" -> tsInterarrival,
     "ts_theilsen" -> tsTheilsen,
+    "event_benford" -> eventBenford,
     "event_ttest_welch" -> eventTtestWelch,
     "event_anova" -> eventAnova,
     "event_did" -> eventDid,
@@ -1803,6 +1839,23 @@ object Events {
       |  FROM tr WHERE detr IS NOT NULL GROUP BY dow)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "event_benford" ->
+      """WITH exp_t(digit, exp_ppm) AS (VALUES
+        |  ('1', 301030), ('2', 176091), ('3', 124939), ('4', 96910),
+        |  ('5', 79181), ('6', 66947), ('7', 57992), ('8', 51153),
+        |  ('9', 45757)),
+        |obs AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
+        |    CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |        FROM events) WHERE cents > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+        |SELECT e.digit, COALESCE(n_obs, 0) AS n_obs,
+        |  CAST(COALESCE(n_obs, 0) * 1000000 // n AS BIGINT) AS obs_ppm,
+        |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+        |  CAST(COALESCE(n_obs, 0) * 1000000 // n - exp_ppm AS BIGINT)
+        |    AS dev_ppm
+        |FROM exp_t e LEFT JOIN obs ON e.digit = obs.digit CROSS JOIN tot
+        |ORDER BY e.digit""".stripMargin,
     "ts_drawdown" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)

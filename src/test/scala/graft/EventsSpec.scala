@@ -873,6 +873,28 @@ class EventsSpec extends SparkSpecBase {
     }
   }
 
+  test("L20w benford: hand digit counts hit exact ppm shares; zero " +
+      "amounts are excluded; all nine digits always present") {
+    val ev = Seq(1.00, 0.25, 2.50, 0.09, 0.00).zipWithIndex.map {
+      case (v, i) => (i.toLong, 1L, "a", v, ts("2024-01-01 10:00:00"))
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val got = operators.Events.eventBenfordOn(ev)
+      .select("digit", "n_obs", "obs_ppm", "dev_ppm")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => r._1 -> r._2).toMap ==
+      Map("1" -> 1L, "2" -> 2L, "3" -> 0L, "4" -> 0L, "5" -> 0L,
+        "6" -> 0L, "7" -> 0L, "8" -> 0L, "9" -> 1L))
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m("1")._3 == 250000L && m("2")._3 == 500000L)
+    assert(m("2")._4 == 500000L - 176091L)
+    assert(m("3")._4 == -124939L) // absent digit: minus expected
+    // corpus: shares sum to ~1e6 (floor loss < 9 ppm)
+    val c = operators.Events.eventBenford(spark, sf)
+    val total = c.agg(sum("obs_ppm")).as[Long].head()
+    assert(total > 999991L && total <= 1000000L)
+    assert(c.count() == 9)
+  }
+
   test("L20t drawdown: trough below the running peak found with its " +
       "date; tie goes to the earliest day") {
     val ev = Seq(1.00, 3.00, 2.00, 0.50, 2.50).zipWithIndex.map {

@@ -61,6 +61,29 @@ class SketchesSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("theta rollup: merging per-type sketches of one shared audience " +
+      "reproduces the single-set estimate; corpus error is bounded") {
+    // X and Y hold the SAME 40 users: the merged union sketch must
+    // equal each per-type sketch, so the rollup estimate matches the
+    // pairwise op's est_a exactly
+    val users = (1L to 40L)
+    val rows = users.flatMap(u => Seq(("X", u), ("Y", u)))
+    val roll = functions.Sketches.sketchThetaRollupOn(ev(rows)).head()
+    val pair = functions.Sketches.sketchThetaOn(ev(rows)).head()
+    assert(roll.getAs[Long]("n_types") == 2L)
+    assert(roll.getAs[Long]("est_users") == pair.getAs[Long]("est_a"))
+    assert(roll.getAs[Long]("exact_users") == 40L)
+    // corpus: estimate within the sketch's coarse band, same under
+    // repartitioning (mergeability)
+    val c = functions.Sketches.sketchThetaRollup(spark, sf).head()
+    val exact = c.getAs[Long]("exact_users")
+    assert(math.abs(c.getAs[Long]("err")) < exact,
+      s"rollup err ${c.getAs[Long]("err")} vs exact $exact")
+    val again = functions.Sketches.sketchThetaRollupOn(
+      Tables.events(spark, sf).repartition(13)).head()
+    assert(again.getAs[Long]("est_users") == c.getAs[Long]("est_users"))
+  }
+
   private def li(rows: Seq[(Long, Int, String, Double)]) =
     rows.toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
 
