@@ -308,7 +308,52 @@ object Aggregates {
   def aggWeightedMedian(s: SparkSession, dir: String): DataFrame =
     aggWeightedMedianOn(Tables.lineitem(s, dir))
 
+  /** A11: winsorization — clamp each group's values into its own
+    * [p05, p95] band (the standard outlier-robust preprocessing for
+    * metrics feeding averages or models; trimming DELETES tails,
+    * winsorizing pins them to the fence, preserving row count). The
+    * fences are rank picks under the catalog's pinned rule
+    * idx = (m−1)·q_ppm div 10⁶ + 1 (sketch_quantile's convention),
+    * computed in one windowed pass and broadcast back as a
+    * |groups|-row bounds relation; the clamp + before/after audit is
+    * a second map-side-combined rollup. All exact BIGINT cents: the
+    * output carries the fences, clamp counts per side, and raw vs
+    * winsorized sums so the distortion is measured in-band. */
+  def aggWinsorizeOn(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = lineitem.select(col("l_returnflag"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+        .as("cents"))
+    val rk = Window.partitionBy("l_returnflag").orderBy("cents")
+    val bounds = rows
+      .withColumn("rn", row_number().over(rk))
+      .withColumn("m",
+        count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .groupBy("l_returnflag").agg(
+        max(when(expr("rn = (m - 1) * 50000 div 1000000 + 1"),
+          col("cents"))).as("lo_cents"),
+        max(when(expr("rn = (m - 1) * 950000 div 1000000 + 1"),
+          col("cents"))).as("hi_cents"))
+    rows.join(broadcast(bounds), "l_returnflag")
+      .groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        max(col("lo_cents")).as("lo_cents"),
+        max(col("hi_cents")).as("hi_cents"),
+        sum(when(col("cents") < col("lo_cents"), 1L).otherwise(0L))
+          .as("n_clamped_low"),
+        sum(when(col("cents") > col("hi_cents"), 1L).otherwise(0L))
+          .as("n_clamped_high"),
+        sum(col("cents")).as("sum_raw_cents"),
+        sum(greatest(col("lo_cents"), least(col("hi_cents"), col("cents"))))
+          .as("sum_winsorized_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  def aggWinsorize(s: SparkSession, dir: String): DataFrame =
+    aggWinsorizeOn(Tables.lineitem(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_winsorize" -> aggWinsorize,
     "agg_weighted_median" -> aggWeightedMedian,
     "q1_agg" -> q1Agg,
     "agg_moments" -> aggMoments,
@@ -330,6 +375,32 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_winsorize" ->
+      """WITH r AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |rk AS (SELECT l_returnflag, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cents) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS m
+        |  FROM r),
+        |b AS (SELECT l_returnflag,
+        |    MAX(CASE WHEN rn = (m - 1) * 50000 // 1000000 + 1
+        |      THEN cents END) AS lo_cents,
+        |    MAX(CASE WHEN rn = (m - 1) * 950000 // 1000000 + 1
+        |      THEN cents END) AS hi_cents
+        |  FROM rk GROUP BY l_returnflag)
+        |SELECT r.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MAX(lo_cents) AS lo_cents, MAX(hi_cents) AS hi_cents,
+        |  CAST(SUM(CASE WHEN cents < lo_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clamped_low,
+        |  CAST(SUM(CASE WHEN cents > hi_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clamped_high,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_raw_cents,
+        |  CAST(SUM(GREATEST(lo_cents, LEAST(hi_cents, cents)))
+        |    AS BIGINT) AS sum_winsorized_cents
+        |FROM r JOIN b USING (l_returnflag)
+        |GROUP BY r.l_returnflag ORDER BY r.l_returnflag""".stripMargin,
     "agg_weighted_median" ->
       """WITH rws AS (SELECT l_returnflag,
         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,

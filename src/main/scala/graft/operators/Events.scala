@@ -1761,6 +1761,41 @@ object Events {
   def eventBenford(s: SparkSession, dir: String): DataFrame =
     eventBenfordOn(Tables.events(s, dir))
 
+  /** L20x: state-machine conformance audit — validate the observed
+    * per-user event transitions against a declared whitelist (the
+    * process-mining "conformance checking" step; instrumentation
+    * regressions and bot traffic both surface as illegal edges).
+    * Transitions come from the same one-window lag shape as
+    * event_transitions; the whitelist is a broadcast literal
+    * relation, so the audit is one map-side-combined pair rollup +
+    * one broadcast probe at any scale. Output: every observed edge
+    * with its count and allowed flag, illegal edges first (the
+    * triage ordering), then by volume. */
+  def eventTransitionAuditOn(events: DataFrame,
+      allowed: Seq[(String, String)] = Seq(
+        ("signup", "view"), ("view", "view"), ("view", "click"),
+        ("view", "error"), ("click", "view"), ("click", "purchase"),
+        ("click", "click"), ("purchase", "view"), ("error", "view")))
+      : DataFrame = {
+    val s = events.sparkSession
+    val wl = broadcast(s.createDataFrame(allowed)
+      .toDF("src", "dst").withColumn("ok", lit(true)))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("dst"))
+      .withColumn("src", lag(col("dst"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .join(wl, Seq("src", "dst"), "left")
+      .withColumn("allowed", coalesce(col("ok"), lit(false)))
+      .select("src", "dst", "n", "allowed")
+      .orderBy(col("allowed").asc, col("n").desc, col("src"), col("dst"))
+  }
+
+  def eventTransitionAudit(s: SparkSession, dir: String): DataFrame =
+    eventTransitionAuditOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
     "event_funnel_window" -> eventFunnelWindow,
@@ -1771,6 +1806,7 @@ object Events {
     "ts_interarrival" -> tsInterarrival,
     "ts_theilsen" -> tsTheilsen,
     "event_benford" -> eventBenford,
+    "event_transition_audit" -> eventTransitionAudit,
     "event_ttest_welch" -> eventTtestWelch,
     "event_anova" -> eventAnova,
     "event_did" -> eventDid,
@@ -1839,6 +1875,21 @@ object Events {
       |  FROM tr WHERE detr IS NOT NULL GROUP BY dow)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "event_transition_audit" ->
+      """WITH wl(src, dst) AS (VALUES
+        |  ('signup', 'view'), ('view', 'view'), ('view', 'click'),
+        |  ('view', 'error'), ('click', 'view'), ('click', 'purchase'),
+        |  ('click', 'click'), ('purchase', 'view'), ('error', 'view')),
+        |tr AS (SELECT user_id, event_type AS dst,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS src
+        |  FROM events),
+        |agg AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tr WHERE src IS NOT NULL GROUP BY 1, 2)
+        |SELECT agg.src, agg.dst, n,
+        |  wl.src IS NOT NULL AS allowed
+        |FROM agg LEFT JOIN wl ON agg.src = wl.src AND agg.dst = wl.dst
+        |ORDER BY allowed ASC, n DESC, agg.src, agg.dst""".stripMargin,
     "event_benford" ->
       """WITH exp_t(digit, exp_ppm) AS (VALUES
         |  ('1', 301030), ('2', 176091), ('3', 124939), ('4', 96910),

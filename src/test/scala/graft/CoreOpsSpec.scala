@@ -221,6 +221,29 @@ class CoreOpsSpec extends SparkSpecBase {
     out.unpersist()
   }
 
+  test("A11 winsorize: hand fences clamp exactly one row per side; " +
+      "row count and order stats preserved") {
+    import spark.implicits._
+    // 21 values: 100..2000 cents + a 1000.00 outlier; p05 fence =
+    // 2nd smallest (200), p95 = 20th (2000)
+    val li = ((1 to 20).map(i => (i.toLong, i, "A", i * 1.0)) :+
+      (21L, 21, "A", 1000.0))
+      .toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    val r = operators.Aggregates.aggWinsorizeOn(li).head()
+    assert(r.getAs[Long]("n") == 21L)
+    assert(r.getAs[Long]("lo_cents") == 200L)
+    assert(r.getAs[Long]("hi_cents") == 2000L)
+    assert(r.getAs[Long]("n_clamped_low") == 1L)
+    assert(r.getAs[Long]("n_clamped_high") == 1L)
+    assert(r.getAs[Long]("sum_raw_cents") == 121000L)
+    assert(r.getAs[Long]("sum_winsorized_cents") == 23100L)
+    // corpus: clamping never increases the spread-driven sum gap sign
+    val c = operators.Aggregates.aggWinsorize(spark, sf)
+    assert(c.filter(col("lo_cents") > col("hi_cents")).count() == 0)
+    assert(c.filter(col("n_clamped_low") + col("n_clamped_high") >
+      col("n")).count() == 0)
+  }
+
   test("dq_referential: orphan and NULL child keys are counted per row; " +
       "the corpus star has intact FKs") {
     import spark.implicits._

@@ -873,6 +873,29 @@ class EventsSpec extends SparkSpecBase {
     }
   }
 
+  test("L20x transition audit: illegal edges surface first with exact " +
+      "counts; whitelist edges pass") {
+    val ev = Seq(
+      (1L, 1L, "signup", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "view", ts("2024-01-01 10:01:00")),
+      (3L, 1L, "click", ts("2024-01-01 10:02:00")),
+      (4L, 1L, "purchase", ts("2024-01-01 10:03:00")),
+      (5L, 2L, "purchase", ts("2024-01-02 10:00:00")),
+      (6L, 2L, "purchase", ts("2024-01-02 10:01:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = operators.Events.eventTransitionAuditOn(ev)
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(got.head == ("purchase", "purchase", 1L, false))
+    assert(got.tail.forall(_._4))
+    assert(got.map(_._3).sum == 4L) // every consecutive pair audited
+    // corpus: edge counts conserve the lag relation
+    val c = operators.Events.eventTransitionAudit(spark, sf)
+    val nEdges = c.agg(sum("n")).as[Long].head()
+    val users = Tables.events(spark, sf).groupBy("user_id").count()
+    val expected = users.agg(sum(col("count") - 1)).as[Long].head()
+    assert(nEdges == expected)
+  }
+
   test("L20w benford: hand digit counts hit exact ppm shares; zero " +
       "amounts are excluded; all nine digits always present") {
     val ev = Seq(1.00, 0.25, 2.50, 0.09, 0.00).zipWithIndex.map {
