@@ -25,6 +25,7 @@ object SparkEntry {
     (operators.SortsSets.queries, operators.SortsSets.oracles),
     (operators.Analytics.queries, operators.Analytics.oracles),
     (operators.Events.queries, operators.Events.oracles),
+    (operators.Inference.queries, operators.Inference.oracles),
     (operators.Layout.queries, operators.Layout.oracles),
     (functions.Scalars.queries, functions.Scalars.oracles),
     (functions.Text.queries, functions.Text.oracles),

@@ -1,0 +1,599 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical-inference readouts and feature-engineering operators —
+  * the second tier of warehouse statistics on top of Events.scala's
+  * test battery: rank correlations (Spearman, Kendall tau-b) over the
+  * calendar-bounded daily series, effect size (Cramer's V) beside the
+  * chi-squared it summarizes, multiple-testing control (Benjamini-
+  * Hochberg FDR), offline changepoint location (binary segmentation),
+  * leave-one-out target encoding (the feature-store staple), a Pareto
+  * skyline over document quality/length, and a deterministic
+  * geometric-mechanism DP count release.
+  *
+  * House arithmetic rules throughout (ORACLES.md): sums quantized to
+  * exact integers (cents/ppm/milli) BEFORE aggregation so every
+  * corpus-wide aggregate is an order-free integer sum; `DIV`/`//`
+  * only on non-negative operands; doubles appear only in final
+  * sqrt/ratio readouts computed from exact integer moments (IEEE
+  * sqrt is correctly rounded, so both engines produce the identical
+  * bits — the agg_corr precedent).
+  *
+  * Scale notes: the rank/pair relations (`ts_spearman`, `ts_kendall`,
+  * `ts_changepoint`) live on the per-(event_type, day) grid — rows
+  * bounded by series x calendar, NOT by corpus size, the same
+  * argument as ts_theilsen; their windows partition by event_type.
+  * Everything else is one fact scan plus broadcast-sized reductions.
+  */
+object Inference {
+
+  private def dailyCents(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .as("cents"))
+
+  /** Spearman rank correlation between calendar day and daily summed
+    * value per event_type — the nonparametric "is this series
+    * monotonically trending?" readout (the rank sibling of
+    * ts_theilsen's median slope). Average ranks for ties, carried as
+    * DOUBLED integers (2*avgrank = 2*rank + ties - 1) so the rank
+    * vectors stay exact; rho is then Pearson over the doubled ranks,
+    * one double division at the end. Day ranks are dense (days are
+    * distinct within a series); value ranks use min-rank + tie count
+    * from two partitioned windows. At 100 TB the daily grid per
+    * series is calendar-bounded, so the windows see ≤ a few thousand
+    * rows per event_type regardless of corpus size. */
+  def tsSpearmanOn(events: DataFrame): DataFrame = {
+    val daily = dailyCents(events)
+    val wd = Window.partitionBy("event_type").orderBy("d")
+    val wy = Window.partitionBy("event_type").orderBy("cents")
+    val ranked = daily
+      .withColumn("dx", row_number().over(wd).cast("long") * 2)
+      .withColumn("dy", rank().over(wy).cast("long") * 2
+        + count(lit(1)).over(Window.partitionBy("event_type", "cents"))
+        - 1)
+    ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("event_type"), col("n_days"),
+        expr("""CASE WHEN n_days * sxx - sx * sx > 0
+               |       AND n_days * syy - sy * sy > 0 THEN
+               |  (n_days * sxy - sx * sy) /
+               |    sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+               |         * (n_days * syy - sy * sy)) END""".stripMargin)
+          .as("rho_spearman"))
+      .orderBy("event_type")
+  }
+
+  def tsSpearman(s: SparkSession, dir: String): DataFrame =
+    tsSpearmanOn(Tables.events(s, dir))
+
+  /** Kendall tau-b between day order and daily value per event_type.
+    * Days are strictly increasing, so over the pair relation (i < j)
+    * concordant = value rose, discordant = fell, tie = equal; tau-b's
+    * tie correction uses the tied-value groups on the value axis only
+    * (the day axis has no ties). The pair self-join is on the
+    * calendar-bounded daily grid — the ts_theilsen shape — so pair
+    * count is days², independent of corpus size. Exact integer
+    * concordance counts; tau is the one final double ratio. */
+  def tsKendallOn(events: DataFrame): DataFrame = {
+    val daily = dailyCents(events).localCheckpoint(true)
+    val a = daily.select(col("event_type"), col("d").as("d1"),
+      col("cents").as("y1"))
+    val b = daily.select(col("event_type"), col("d").as("d2"),
+      col("cents").as("y2"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("d2") > col("d1"))
+      .groupBy("event_type")
+      .agg(sum(when(col("y2") > col("y1"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("y2") < col("y1"), 1L).otherwise(0L)).as("nd"),
+        sum(when(col("y2") === col("y1"), 1L).otherwise(0L)).as("nt"))
+    val n = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    pairs.join(n, "event_type")
+      .select(col("event_type"), col("n_days"), col("nc"), col("nd"),
+        col("nt").as("n_tied"),
+        expr("""CASE WHEN n_days >= 2
+               |       AND n_days * (n_days - 1) DIV 2 > nt THEN
+               |  (nc - nd) /
+               |    sqrt(CAST(n_days * (n_days - 1) DIV 2 AS DOUBLE)
+               |         * (n_days * (n_days - 1) DIV 2 - nt))
+               |  END""".stripMargin).as("tau_b"))
+      .orderBy("event_type")
+  }
+
+  def tsKendall(s: SparkSession, dir: String): DataFrame =
+    tsKendallOn(Tables.events(s, dir))
+
+  /** Cramer's V effect size for the event_type x ISO-weekday
+    * contingency table — the "how strong is the association the
+    * chi-squared just declared significant?" companion of
+    * event_chi2. Same exact-integer cell algebra as event_chi2
+    * ((o*n - r*c)^2 * 1e6 DIV (n*r*c) per cell, DECIMAL(38,0)
+    * intermediates), summed to an exact chi2_ppm; V =
+    * sqrt(chi2 / (n * (min(r,c)-1))) is the single double readout.
+    * One fact scan; every join side is a broadcast-sized total. */
+  def eventCramersVOn(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type"),
+        (weekday(to_date(col("ts"))) + 1).cast("int").as("dow"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // feeds totals and the cell sum
+    val rowT = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy("dow").agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("event_type")).as("n_rows"),
+      countDistinct(col("dow")).as("n_cols"))
+    cells.join(broadcast(rowT), "event_type")
+      .join(broadcast(colT), "dow")
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        expr("""CAST((CAST(o AS DECIMAL(38,0)) * n
+               |      - CAST(r AS DECIMAL(38,0)) * c)
+               |  * (CAST(o AS DECIMAL(38,0)) * n
+               |     - CAST(r AS DECIMAL(38,0)) * c)
+               |  * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * r * c)
+               |  AS BIGINT)""".stripMargin).as("contrib_ppm"))
+      .groupBy("n", "n_rows", "n_cols")
+      .agg(sum(col("contrib_ppm")).as("chi2_ppm"))
+      .select(col("n"), col("n_rows"), col("n_cols"), col("chi2_ppm"),
+        expr("""CASE WHEN least(n_rows, n_cols) > 1 THEN
+               |  sqrt(chi2_ppm /
+               |    (CAST(n AS DOUBLE) * (least(n_rows, n_cols) - 1)
+               |     * 1000000)) END""".stripMargin).as("v_cramer"))
+  }
+
+  def eventCramersV(s: SparkSession, dir: String): DataFrame =
+    eventCramersVOn(Tables.events(s, dir))
+
+  /** Benjamini-Hochberg FDR control (step-up, q = 0.05) over the
+    * per-event-type "is this type's weekend share different from the
+    * rest of the corpus?" two-proportion z-test family — the
+    * standard guard against reading 1-in-20 noise as signal when a
+    * dashboard fans one test out across many segments.
+    *
+    * z² per type is the pooled two-proportion statistic in exact
+    * milli (the event_ab_test algebra, type vs rest). The p-value is
+    * a PINNED step-function lookup: a 14-row chi-squared(1) tail
+    * ladder in (z2_milli threshold → p_ppm), identical literal table
+    * in engine and oracle, so no engine evaluates a CDF. BH then
+    * sorts the family by p (tie-broken by event_type), marks
+    * candidates with p_ppm * m <= rank * 50000 (q in ppm), and
+    * rejects every test at or below the LARGEST candidate rank —
+    * integer arithmetic end to end. The family relation is
+    * |event types| rows — collapsed and broadcast-sized; the one
+    * fact scan feeds it. */
+  def eventFdrBhOn(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val byType = events
+      .select(col("event_type"),
+        ((weekday(to_date(col("ts"))) + 1) >= 6).cast("long").as("we"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n0"), sum(col("we")).as("x0"))
+      .localCheckpoint(true)
+    val tot = byType.agg(sum(col("n0")).as("nt"), sum(col("x0")).as("xt"))
+    val z = byType.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n0"), col("x0"),
+        (col("nt") - col("n0")).as("n1"), (col("xt") - col("x0")).as("x1"))
+      .select(col("event_type"), col("n0"), col("x0"), col("n1"), col("x1"),
+        expr("""CASE WHEN x0 + x1 > 0 AND x0 + x1 < n0 + n1
+               |       AND n0 > 0 AND n1 > 0 THEN
+               |  CAST((CAST(n0 AS DECIMAL(38,0)) + n1)
+               |    * ((CAST(x0 AS DECIMAL(38,0)) * n1
+               |        - CAST(x1 AS DECIMAL(38,0)) * n0)
+               |       * (CAST(x0 AS DECIMAL(38,0)) * n1
+               |          - CAST(x1 AS DECIMAL(38,0)) * n0))
+               |    * 1000 DIV (CAST(n0 AS DECIMAL(38,0)) * n1
+               |      * (CAST(x0 AS DECIMAL(38,0)) + x1)
+               |      * (CAST(n0 AS DECIMAL(38,0)) + n1 - x0 - x1))
+               |    AS BIGINT) ELSE 0 END""".stripMargin).as("z2_milli"))
+    val ladder = chi2Ladder.toDF("thr_milli", "p_ppm")
+    val withP = z.join(broadcast(ladder),
+        col("z2_milli") >= col("thr_milli"), "left")
+      .groupBy("event_type", "z2_milli")
+      .agg(min(col("p_ppm")).as("p_ppm"))
+    val m = Window.partitionBy(lit(1))
+    val ranked = withP
+      .withColumn("rk",
+        row_number().over(m.orderBy(col("p_ppm"), col("event_type")))
+          .cast("long"))
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("cand",
+        col("p_ppm") * col("m") <= col("rk") * lit(50000L))
+      .withColumn("k_star",
+        max(when(col("cand"), col("rk")).otherwise(0L)).over(m))
+    ranked
+      .select(col("event_type"), col("z2_milli"), col("p_ppm"),
+        col("rk"), col("m"), (col("rk") <= col("k_star")).as("reject"))
+      .orderBy("rk")
+  }
+
+  /** chi-squared(1) upper-tail ladder: p first drops below each
+    * published critical value; shared literal with the oracle SQL. */
+  private val chi2Ladder: Seq[(Long, Long)] = Seq(
+    0L -> 1000000L, 455L -> 500000L, 1000L -> 317300L,
+    1323L -> 250000L, 1642L -> 200000L, 2072L -> 150000L,
+    2706L -> 100000L, 3841L -> 50000L, 5024L -> 25000L,
+    6635L -> 10000L, 7879L -> 5000L, 10828L -> 1000L,
+    12116L -> 500L, 15137L -> 100L)
+
+  private def chi2LadderSql: String =
+    chi2Ladder.map { case (t, p) => s"($t, $p)" }.mkString(", ")
+
+  def eventFdrBh(s: SparkSession, dir: String): DataFrame =
+    eventFdrBhOn(Tables.events(s, dir))
+
+  /** Offline changepoint: the single best binary-segmentation split
+    * of each event_type's daily series — the location CUSUM only
+    * alarms on. For every split position the between-segment score
+    * (n_r*S_l - n_l*S_r)^2 / (n_l*n_r) is evaluated in DECIMAL(38,0)
+    * (the squared term overflows BIGINT at corpus scale) from the
+    * running prefix sums of one partitioned window pass; the argmax
+    * row (earliest day pins ties) is the changepoint. Output keeps
+    * the exact per-side means in cents and their signed gap —
+    * readout columns stay in BIGINT range regardless of score
+    * magnitude. Windows partition by event_type over the calendar-
+    * bounded daily grid. */
+  def tsChangepointOn(events: DataFrame): DataFrame = {
+    val daily = dailyCents(events)
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val wAll = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("sl", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("st", sum(col("cents")).over(wAll))
+      .filter(col("rn") < col("n"))
+      .withColumn("score", expr(
+        """((CAST(n - rn AS DECIMAL(38,0)) * sl
+          |  - CAST(rn AS DECIMAL(38,0)) * (st - sl))
+          | * (CAST(n - rn AS DECIMAL(38,0)) * sl
+          |    - CAST(rn AS DECIMAL(38,0)) * (st - sl)))
+          | DIV (CAST(rn AS DECIMAL(38,0)) * (n - rn))""".stripMargin))
+    scored
+      .withColumn("pick", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("score").desc, col("d").asc)))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("d").as("split_day"),
+        col("rn").as("n_left"), (col("n") - col("rn")).as("n_right"),
+        expr("sl DIV rn").as("mean_left_cents"),
+        expr("(st - sl) DIV (n - rn)").as("mean_right_cents"),
+        (expr("(st - sl) DIV (n - rn)") - expr("sl DIV rn"))
+          .as("gap_cents"))
+      .orderBy("event_type")
+  }
+
+  def tsChangepoint(s: SparkSession, dir: String): DataFrame =
+    tsChangepointOn(Tables.events(s, dir))
+
+  /** Leave-one-out target encoding of the customer's nation by order
+    * total — the feature-store encoding that replaces a categorical
+    * with "what does the target average for everyone ELSE in my
+    * group?", leak-free by construction (the row's own target is
+    * subtracted before the division). Beside it the m-estimate
+    * smoothed encoding ((S + m*prior) / (n + m), m = 10) that keeps
+    * rare categories near the global prior. All sums in exact order
+    * cents; every division has non-negative operands (DIV == //).
+    * Scale: one orders scan, broadcast of the 25-row nation sums and
+    * the 1-row global prior — no per-row window, no self-join. */
+  def featureTargetEncodeOn(orders: DataFrame,
+      customer: DataFrame): DataFrame = {
+    val withNation = orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+          .as("cents"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .localCheckpoint(true) // scanned for group sums and the encode pass
+    val groups = withNation.groupBy("c_nationkey")
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("ng"))
+    val prior = withNation
+      .agg(expr("CAST(sum(cents) DIV count(1) AS BIGINT)").as("gmean"))
+    withNation
+      .join(broadcast(groups), "c_nationkey")
+      .crossJoin(broadcast(prior))
+      .select(col("o_orderkey"), col("c_nationkey"), col("cents"),
+        expr("CASE WHEN ng >= 2 THEN (s - cents) DIV (ng - 1) END")
+          .as("loo_cents"),
+        expr("(s + 10 * gmean) DIV (ng + 10)").as("smooth_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  def featureTargetEncode(s: SparkSession, dir: String): DataFrame =
+    featureTargetEncodeOn(Tables.orders(s, dir), Tables.customer(s, dir))
+
+  /** Pareto skyline of the documents table on (length, lexical
+    * diversity): the docs no other doc beats on BOTH token count and
+    * type-token ratio (ties survive; strict in at least one axis to
+    * dominate) — the "which documents are on the quality/length
+    * frontier" selection a curation pipeline runs before trading off
+    * axes. Two-phase distributed skyline: (1) bucket the x axis into
+    * 64 ranges off the broadcast global max, take per-bucket max y,
+    * and prune every row strictly under the running max of HIGHER
+    * buckets (any such row is dominated by a strictly-longer doc
+    * with >= diversity); (2) the surviving candidates — per-bucket
+    * frontier contenders, a tiny fraction of the corpus — pass
+    * through the exact pairwise dominance anti-join. Phase 1 is one
+    * scan + a 64-row broadcast; phase 2's non-equi join only ever
+    * sees candidates. The suffix-max window runs on the collapsed
+    * 64-row bucket relation. */
+  def corpusSkylineOn(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val d = docs
+      .select(col("doc_id"), size(t).as("n_tokens"),
+        size(array_distinct(t)).as("nd"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        expr("CAST(nd * 1000000 DIV n_tokens AS BIGINT)").as("ttr_ppm"))
+      .localCheckpoint(true) // feeds max, bucket maxima, and both passes
+    val xmax = d.agg(max(col("n_tokens")).as("xmax"))
+    val bucketed = d.crossJoin(broadcast(xmax))
+      .withColumn("b",
+        least(expr("n_tokens * 64 DIV (xmax + 1)"), lit(63L)))
+    val bmax = bucketed.groupBy("b").agg(max(col("ttr_ppm")).as("by"))
+      .withColumn("hmax", max(col("by")).over(
+        Window.orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("b", "hmax")
+    val cand = bucketed.join(broadcast(bmax), "b")
+      .filter(col("hmax").isNull || col("ttr_ppm") >= col("hmax"))
+      .select("doc_id", "n_tokens", "ttr_ppm")
+      .localCheckpoint(true) // both sides of the exact dominance pass
+    val other = cand.select(col("n_tokens").as("ox"),
+      col("ttr_ppm").as("oy"))
+    cand.join(other,
+        col("ox") >= col("n_tokens") && col("oy") >= col("ttr_ppm") &&
+          (col("ox") > col("n_tokens") || col("oy") > col("ttr_ppm")),
+        "left_anti")
+      .orderBy("doc_id")
+  }
+
+  def corpusSkyline(s: SparkSession, dir: String): DataFrame =
+    corpusSkylineOn(Tables.documents(s, dir))
+
+  /** Differentially-private release of per-event-type distinct-user
+    * counts under the (truncated) geometric mechanism at eps = ln 2:
+    * two-sided geometric noise P(k) ∝ 2^(-|k|) truncated at |k| <= 8,
+    * realized EXACTLY by an inverse-CDF band ladder over a uniform
+    * draw u in [0, 766) — the dyadic mass table (256 for 0, 128 each
+    * for ±1, ... 1 each for ±8) sums to exactly 766, so no float ever
+    * appears. The draw is the house affine hash (Knuth multiplicative
+    * over a code-point seed of the key), which makes the release
+    * DETERMINISTIC — that is the oracle/test seeding boundary, stated
+    * per the surrogate convention: a production deployment swaps the
+    * hash for a real RNG and drops the audit columns (true count and
+    * noise) that this query keeps for verification. Released counts
+    * clamp at zero. One scan, one tiny grouped aggregate. */
+  def privacyDpCountsOn(events: DataFrame): DataFrame = {
+    val counts = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_true"))
+    counts
+      .withColumn("seed",
+        expr("""ascii(substr(event_type, 1, 1)) * 961
+               | + ascii(substr(event_type, 2, 1)) * 31
+               | + length(event_type)""".stripMargin))
+      .withColumn("u", expr("(seed * 2654435761 + 12345) % 766"))
+      .withColumn("noise", expr(
+        """CASE WHEN u < 256 THEN 0
+          | WHEN u < 384 THEN 1 WHEN u < 512 THEN -1
+          | WHEN u < 576 THEN 2 WHEN u < 640 THEN -2
+          | WHEN u < 672 THEN 3 WHEN u < 704 THEN -3
+          | WHEN u < 720 THEN 4 WHEN u < 736 THEN -4
+          | WHEN u < 744 THEN 5 WHEN u < 752 THEN -5
+          | WHEN u < 756 THEN 6 WHEN u < 760 THEN -6
+          | WHEN u < 762 THEN 7 WHEN u < 764 THEN -7
+          | WHEN u < 765 THEN 8 ELSE -8 END""".stripMargin).cast("long"))
+      .select(col("event_type"), col("n_true"), col("noise"),
+        greatest(col("n_true") + col("noise"), lit(0L)).as("n_released"),
+        lit(693L).as("epsilon_milli"))
+      .orderBy("event_type")
+  }
+
+  def privacyDpCounts(s: SparkSession, dir: String): DataFrame =
+    privacyDpCountsOn(Tables.events(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_spearman" -> tsSpearman,
+    "ts_kendall" -> tsKendall,
+    "event_cramers_v" -> eventCramersV,
+    "event_fdr_bh" -> eventFdrBh,
+    "ts_changepoint" -> tsChangepoint,
+    "feature_target_encode" -> featureTargetEncode,
+    "corpus_skyline" -> corpusSkyline,
+    "privacy_dp_counts" -> privacyDpCounts,
+  )
+
+  private val dailySql =
+    """daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ts_spearman" ->
+      s"""WITH $dailySql,
+        |r AS (SELECT event_type,
+        |    2 * ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS dx,
+        |    2 * RANK() OVER (PARTITION BY event_type ORDER BY cents)
+        |      + COUNT(*) OVER (PARTITION BY event_type, cents) - 1 AS dy
+        |  FROM daily),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    SUM(dx) AS sx, SUM(dy) AS sy, SUM(dx * dy) AS sxy,
+        |    SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CASE WHEN n_days * sxx - sx * sx > 0
+        |        AND n_days * syy - sy * sy > 0 THEN
+        |    (n_days * sxy - sx * sy) /
+        |      sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE)
+        |           * (n_days * syy - sy * sy)) END AS rho_spearman
+        |FROM m ORDER BY event_type""".stripMargin,
+    "ts_kendall" ->
+      s"""WITH $dailySql,
+        |p AS (SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nd,
+        |    CAST(SUM(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nt
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.d > a.d
+        |  GROUP BY 1),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT p.event_type, n_days, nc, nd, nt AS n_tied,
+        |  CASE WHEN n_days >= 2
+        |        AND n_days * (n_days - 1) // 2 > nt THEN
+        |    (nc - nd) /
+        |      sqrt(CAST(n_days * (n_days - 1) // 2 AS DOUBLE)
+        |           * (n_days * (n_days - 1) // 2 - nt)) END AS tau_b
+        |FROM p JOIN n ON p.event_type = n.event_type
+        |ORDER BY p.event_type""".stripMargin,
+    "event_cramers_v" ->
+      """WITH cells AS (SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT dow, SUM(o) AS c FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_cols
+        |  FROM cells),
+        |s AS (SELECT n, n_rows, n_cols,
+        |    CAST(SUM((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |      * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |      * 1000000 // (CAST(n AS HUGEINT) * r * c)) AS BIGINT)
+        |      AS chi2_ppm
+        |  FROM cells JOIN rt ON cells.event_type = rt.event_type
+        |    JOIN ct ON cells.dow = ct.dow CROSS JOIN t
+        |  GROUP BY 1, 2, 3)
+        |SELECT n, n_rows, n_cols, chi2_ppm,
+        |  CASE WHEN least(n_rows, n_cols) > 1 THEN
+        |    sqrt(chi2_ppm /
+        |      (CAST(n AS DOUBLE) * (least(n_rows, n_cols) - 1)
+        |       * 1000000)) END AS v_cramer
+        |FROM s""".stripMargin,
+    "event_fdr_bh" ->
+      s"""WITH bt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x0
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT SUM(n0) AS nt, SUM(x0) AS xt FROM bt),
+        |z AS (SELECT event_type, n0, x0, nt - n0 AS n1, xt - x0 AS x1,
+        |    CASE WHEN x0 + (xt - x0) > 0 AND xt < nt
+        |          AND n0 > 0 AND nt - n0 > 0 THEN
+        |      CAST((CAST(n0 AS HUGEINT) + (nt - n0))
+        |        * ((CAST(x0 AS HUGEINT) * (nt - n0)
+        |            - CAST(xt - x0 AS HUGEINT) * n0)
+        |           * (CAST(x0 AS HUGEINT) * (nt - n0)
+        |              - CAST(xt - x0 AS HUGEINT) * n0))
+        |        * 1000 // (CAST(n0 AS HUGEINT) * (nt - n0)
+        |          * (CAST(x0 AS HUGEINT) + (xt - x0))
+        |          * (CAST(n0 AS HUGEINT) + (nt - n0) - xt))
+        |        AS BIGINT) ELSE 0 END AS z2_milli
+        |  FROM bt CROSS JOIN t),
+        |ladder(thr_milli, p_ppm) AS (VALUES ${chi2LadderSql}),
+        |wp AS (SELECT event_type, z2_milli,
+        |    CAST(MIN(p_ppm) AS BIGINT) AS p_ppm
+        |  FROM z JOIN ladder ON z2_milli >= thr_milli GROUP BY 1, 2),
+        |rk AS (SELECT event_type, z2_milli, p_ppm,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY p_ppm, event_type)
+        |      AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+        |  FROM wp),
+        |ks AS (SELECT MAX(CASE WHEN p_ppm * m <= rk * 50000
+        |    THEN rk ELSE 0 END) AS k_star FROM rk)
+        |SELECT event_type, z2_milli, p_ppm, rk, m,
+        |  rk <= k_star AS reject
+        |FROM rk CROSS JOIN ks ORDER BY rk""".stripMargin,
+    "ts_changepoint" ->
+      s"""WITH $dailySql,
+        |w AS (SELECT event_type, d,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+        |      AS BIGINT) AS rn,
+        |    SUM(cents) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    SUM(cents) OVER (PARTITION BY event_type) AS st
+        |  FROM daily),
+        |sc AS (SELECT event_type, d, rn, sl, n, st,
+        |    ((CAST(n - rn AS HUGEINT) * sl
+        |      - CAST(rn AS HUGEINT) * (st - sl))
+        |     * (CAST(n - rn AS HUGEINT) * sl
+        |        - CAST(rn AS HUGEINT) * (st - sl)))
+        |     // (CAST(rn AS HUGEINT) * (n - rn)) AS score
+        |  FROM w WHERE rn < n),
+        |pk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY score DESC, d ASC) AS pick FROM sc)
+        |SELECT event_type, d AS split_day, rn AS n_left,
+        |  n - rn AS n_right,
+        |  CAST(sl // rn AS BIGINT) AS mean_left_cents,
+        |  CAST((st - sl) // (n - rn) AS BIGINT) AS mean_right_cents,
+        |  CAST((st - sl) // (n - rn) - sl // rn AS BIGINT) AS gap_cents
+        |FROM pk WHERE pick = 1 ORDER BY event_type""".stripMargin,
+    "feature_target_encode" ->
+      """WITH wn AS (SELECT o_orderkey, c_nationkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT c_nationkey, CAST(SUM(cents) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS ng
+        |  FROM wn GROUP BY 1),
+        |p AS (SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS gmean
+        |  FROM wn)
+        |SELECT o_orderkey, wn.c_nationkey, cents,
+        |  CASE WHEN ng >= 2
+        |    THEN CAST((s - cents) // (ng - 1) AS BIGINT) END AS loo_cents,
+        |  CAST((s + 10 * gmean) // (ng + 10) AS BIGINT) AS smooth_cents
+        |FROM wn JOIN g ON wn.c_nationkey = g.c_nationkey CROSS JOIN p
+        |ORDER BY o_orderkey""".stripMargin,
+    "corpus_skyline" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) * 1000000
+        |      // len(string_split(text, ' ')) AS BIGINT) AS ttr_ppm
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0)
+        |SELECT doc_id, n_tokens, ttr_ppm FROM d a
+        |WHERE NOT EXISTS (SELECT 1 FROM d b
+        |  WHERE b.n_tokens >= a.n_tokens AND b.ttr_ppm >= a.ttr_ppm
+        |    AND (b.n_tokens > a.n_tokens OR b.ttr_ppm > a.ttr_ppm))
+        |ORDER BY doc_id""".stripMargin,
+    "privacy_dp_counts" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT event_type, n_true,
+        |    (CAST(ascii(substr(event_type, 1, 1)) AS BIGINT) * 961
+        |     + ascii(substr(event_type, 2, 1)) * 31
+        |     + length(event_type)) AS seed
+        |  FROM c),
+        |u AS (SELECT event_type, n_true,
+        |    (seed * 2654435761 + 12345) % 766 AS u FROM s),
+        |nz AS (SELECT event_type, n_true, CAST(CASE
+        |    WHEN u < 256 THEN 0
+        |    WHEN u < 384 THEN 1 WHEN u < 512 THEN -1
+        |    WHEN u < 576 THEN 2 WHEN u < 640 THEN -2
+        |    WHEN u < 672 THEN 3 WHEN u < 704 THEN -3
+        |    WHEN u < 720 THEN 4 WHEN u < 736 THEN -4
+        |    WHEN u < 744 THEN 5 WHEN u < 752 THEN -5
+        |    WHEN u < 756 THEN 6 WHEN u < 760 THEN -6
+        |    WHEN u < 762 THEN 7 WHEN u < 764 THEN -7
+        |    WHEN u < 765 THEN 8 ELSE -8 END AS BIGINT) AS noise
+        |  FROM u)
+        |SELECT event_type, n_true, noise,
+        |  greatest(n_true + noise, 0) AS n_released,
+        |  CAST(693 AS BIGINT) AS epsilon_milli
+        |FROM nz ORDER BY event_type""".stripMargin,
+  )
+}
