@@ -36,6 +36,8 @@ object SparkEntry {
     (functions.Signals.queries, functions.Signals.oracles),
     (functions.Dedup.queries, functions.Dedup.oracles),
     (functions.Clusters.queries, functions.Clusters.oracles),
+    (functions.Spanning.queries, functions.Spanning.oracles),
+    (functions.Fuzzy.queries, functions.Fuzzy.oracles),
     (functions.Similarity.queries, functions.Similarity.oracles),
     (streaming.Streaming.queries, streaming.Streaming.oracles),
   )
