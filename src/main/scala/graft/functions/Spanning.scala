@@ -136,8 +136,144 @@ object Spanning {
       .orderBy("src", "dst")
   }
 
+  /** Reachability closure of a directed edge relation by log-
+    * doubling (R ← R ∪ R∘R): fixpoint in ⌈log₂ diameter⌉ rounds,
+    * each one self-equi-join + distinct. The closure is O(n²) rows,
+    * so this spelling is for BOUNDED, COLLAPSED relations (dimension
+    * graphs, state machines, category DAGs — the ts_theilsen
+    * bounded-domain argument); on corpus-node-scale graphs run
+    * FW-BW/coloring instead and say so. Convergence checked by row
+    * count (monotone growing set), throws past maxRounds. */
+  def transitiveClosureOn(edges: DataFrame, maxRounds: Int = 12): DataFrame = {
+    var r = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .distinct().localCheckpoint(true)
+    var n = r.count()
+    var grew = true
+    var iter = 0
+    while (grew && iter < maxRounds) {
+      val step = r.union(
+          r.select(col("u"), col("v").as("m"))
+            .join(r.select(col("u").as("m"), col("v")), "m")
+            .select("u", "v"))
+        .distinct().localCheckpoint(true)
+      val n2 = step.count()
+      grew = n2 > n
+      n = n2
+      r = step
+      iter += 1
+    }
+    if (grew) throw new IllegalStateException(
+      s"closure did not converge within $maxRounds doubling rounds")
+    r
+  }
+
+  /** Strongly connected components of the DIRECTED nation trade
+    * graph (a → b: customers of nation a bought from suppliers of
+    * nation b): scc(v) = min over {v} ∪ {u : u⇝v ∧ v⇝u} on the
+    * reachability closure — mutual reachability IS the SCC relation,
+    * stated declaratively on both engines (the DuckDB oracle builds
+    * the same closure with a recursive CTE). The trade digraph is a
+    * collapsed 25-node dimension relation, which is what licenses
+    * the closure spelling (see [[transitiveClosureOn]]). */
+  def graphSccOn(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().localCheckpoint(true)
+    val r = transitiveClosureOn(e)
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct()
+    val mutual = r.select(col("u"), col("v"))
+      .join(r.select(col("v").as("u"), col("u").as("v")), Seq("u", "v"))
+    nodes
+      .join(mutual.select(col("v").as("node"), col("u").as("m")),
+        Seq("node"), "left")
+      .groupBy("node")
+      .agg(least(min(col("m")), first(col("node"))).as("scc"))
+      .select(col("node"),
+        coalesce(col("scc"), col("node")).as("scc"))
+      .orderBy("node")
+  }
+
+  /** Directed nation trade edges (distinct pairs, self-loops
+    * dropped): customer nation → supplier nation. */
+  private def tradeDirected(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .distinct()
+
+  def graphScc(s: SparkSession, dir: String): DataFrame =
+    graphSccOn(tradeDirected(s, dir))
+
+  /** Per-component bipartiteness (2-colorability) of an undirected
+    * graph, decided on the DOUBLE COVER: lift each edge (u,v) to
+    * (u,p)→(v,1−p) states and close reachability from every node at
+    * parity 0 (the closure runs once over the lifted edge relation,
+    * reusing [[transitiveClosureOn]] with packed state ids
+    * node·2+parity). A component is bipartite iff NO node is
+    * reachable from its component root at BOTH parities — the odd-
+    * cycle witness. Components come from the same closure (parity
+    * ignored), root = min node. Output: one row per component with
+    * its size and the count of odd-parity witnesses. */
+  def graphBipartiteOn(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src").cast("long").as("a"),
+        col("dst").cast("long").as("b"))
+      .select(explode(array(struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct().localCheckpoint(true)
+    // double-cover edges on packed states: (a,p) -> (b, 1-p)
+    val lifted = und.select(explode(array(
+        struct((col("a") * 2).as("src"), (col("b") * 2 + 1).as("dst")),
+        struct((col("a") * 2 + 1).as("src"), (col("b") * 2).as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val closure = transitiveClosureOn(lifted) // state u reaches state v
+    // node-level reachability (either parity) gives components
+    val reach = closure
+      .select(expr("u DIV 2").as("nu"), expr("v DIV 2").as("nv"))
+      .distinct()
+    val comp = und.select(col("a").as("nu")).distinct()
+      .join(reach.select(col("nv").as("nu"), col("nu").as("m")),
+        Seq("nu"), "left")
+      .groupBy(col("nu").as("node"))
+      .agg(least(min(col("m")), first(col("nu"))).as("root"))
+      .select(col("node"), coalesce(col("root"), col("node")).as("root"))
+    // odd witness: root@even reaches node at BOTH parities
+    val fromRootEven = closure
+      .select(expr("u DIV 2").as("root"), col("u").as("us"),
+        expr("v DIV 2").as("node"), expr("v % 2").as("parity"))
+      .filter(expr("u % 2 = 0"))
+      .select("root", "node", "parity").distinct()
+    val odd = fromRootEven.groupBy("root", "node")
+      .agg(countDistinct(col("parity")).as("np"))
+      .filter(col("np") === 2)
+      .groupBy("root").agg(count(lit(1)).as("n_odd_nodes"))
+    comp.groupBy("root").agg(count(lit(1)).as("n_nodes"))
+      .join(odd.select(col("root").as("r2"), col("n_odd_nodes")),
+        col("root") === col("r2"), "left")
+      .select(col("root").as("component"), col("n_nodes"),
+        coalesce(col("n_odd_nodes"), lit(0L)).as("n_odd_nodes"),
+        (coalesce(col("n_odd_nodes"), lit(0L)) === 0).as("bipartite"))
+      .orderBy("component")
+  }
+
+  def graphBipartite(s: SparkSession, dir: String): DataFrame =
+    graphBipartiteOn(tradeDirected(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_mst" -> graphMst,
+    "graph_scc" -> graphScc,
+    "graph_bipartite" -> graphBipartite,
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,5 +309,62 @@ object Spanning {
         |WHERE NOT EXISTS (SELECT 1 FROM r
         |  WHERE r.eid = e.w AND r.node = e.dst)
         |ORDER BY src, dst""".stripMargin,
+    // SCC = mutual reachability on the transitive closure, min label
+    // per equivalence class — the declarative statement the engine's
+    // log-doubling closure must reproduce.
+    "graph_scc" ->
+      s"""WITH RECURSIVE
+        |e AS ($tradeDirectedSql),
+        |r(u, v) AS (SELECT src, dst FROM e
+        |  UNION SELECT r.u, e.dst FROM r JOIN e ON e.src = r.v),
+        |nodes AS (SELECT DISTINCT src AS n FROM e
+        |  UNION SELECT DISTINCT dst FROM e),
+        |mut AS (SELECT a.u, a.v FROM r a
+        |  JOIN r b ON a.u = b.v AND a.v = b.u)
+        |SELECT n AS node,
+        |  CAST(least(n, coalesce(MIN(m.u), n)) AS BIGINT) AS scc
+        |FROM nodes LEFT JOIN mut m ON m.v = n
+        |GROUP BY n ORDER BY node""".stripMargin,
+    // Bipartiteness on the double cover: lift (u,v) to parity-
+    // flipping state edges, close reachability once, and call a
+    // component odd iff its root reaches any node at both parities.
+    "graph_bipartite" ->
+      s"""WITH RECURSIVE
+        |e0 AS ($tradeDirectedSql),
+        |und AS (SELECT src AS a, dst AS b FROM e0
+        |  UNION SELECT dst, src FROM e0),
+        |lift AS (SELECT a * 2 AS src, b * 2 + 1 AS dst FROM und
+        |  UNION ALL SELECT a * 2 + 1, b * 2 FROM und),
+        |r(u, v) AS (SELECT src, dst FROM lift
+        |  UNION SELECT r.u, lift.dst FROM r JOIN lift ON lift.src = r.v),
+        |reach AS (SELECT DISTINCT u // 2 AS nu, v // 2 AS nv FROM r),
+        |nodes AS (SELECT DISTINCT a AS n FROM und),
+        |comp AS (SELECT n AS node,
+        |    least(n, coalesce(MIN(reach.nu), n)) AS root
+        |  FROM nodes LEFT JOIN reach ON reach.nv = n GROUP BY n),
+        |fre AS (SELECT DISTINCT u // 2 AS root, v // 2 AS node,
+        |    v % 2 AS parity FROM r WHERE u % 2 = 0),
+        |odd AS (SELECT root, CAST(COUNT(*) AS BIGINT) AS n_odd FROM (
+        |    SELECT root, node FROM fre GROUP BY 1, 2
+        |    HAVING COUNT(DISTINCT parity) = 2) GROUP BY root),
+        |cs AS (SELECT root, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |  FROM comp GROUP BY root)
+        |SELECT CAST(cs.root AS BIGINT) AS component, n_nodes,
+        |  CAST(coalesce(n_odd, 0) AS BIGINT) AS n_odd_nodes,
+        |  coalesce(n_odd, 0) = 0 AS bipartite
+        |FROM cs LEFT JOIN odd ON cs.root = odd.root
+        |ORDER BY component""".stripMargin,
   )
+
+  /** Shared directed-edge CTE body (customer nation → supplier
+    * nation, distinct, self-loops dropped) for the scc/bipartite
+    * oracles. */
+  private def tradeDirectedSql: String =
+    """SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS src,
+      |    CAST(s_nationkey AS BIGINT) AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey <> s_nationkey""".stripMargin
 }

@@ -1796,7 +1796,47 @@ object Events {
   def eventTransitionAudit(s: SparkSession, dir: String): DataFrame =
     eventTransitionAuditOn(Tables.events(s, dir))
 
+  /** Sequential pattern match with negation — the MATCH_RECOGNIZE /
+    * CEP shape "signup, then FIRST purchase within 7 days, with NO
+    * error in between", decided per user in exact epoch-microseconds.
+    * Three chained window aggregates over ONE user-partitioned sort
+    * (each refers to the previous column, all share the partitioning,
+    * so Spark stacks WindowExecs on a single exchange): first-signup
+    * time, first qualifying purchase inside the window, then the
+    * negation witness strictly between them. One fact scan, one
+    * shuffle on user_id; the 7-day bound is closed on the right
+    * (ts ≤ s + 7d), the negation open on both sides — pinned so both
+    * engines agree on boundary events. */
+  def eventPatternMatchOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val d = events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("s",
+        min(when(col("event_type") === "signup", col("tus"))).over(w))
+      .withColumn("p",
+        min(when(col("event_type") === "purchase" &&
+          col("tus") > col("s") &&
+          col("tus") <= col("s") + lit(604800000000L), col("tus"))).over(w))
+      .withColumn("bad",
+        max(when(col("event_type") === "error" &&
+          col("tus") > col("s") && col("tus") < col("p"), 1L)
+          .otherwise(0L)).over(w))
+    d.groupBy("user_id")
+      .agg(max(col("s")).as("s"), max(col("p")).as("p"),
+        max(col("bad")).as("bad"))
+      .filter(col("s").isNotNull && col("p").isNotNull && col("bad") === 0)
+      .select(col("user_id"), col("s").as("ts_signup_us"),
+        col("p").as("ts_purchase_us"),
+        expr("(p - s) DIV 60000000").as("lag_min"))
+      .orderBy("user_id")
+  }
+
+  def eventPatternMatch(s: SparkSession, dir: String): DataFrame =
+    eventPatternMatchOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_pattern_match" -> eventPatternMatch,
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
     "event_funnel_window" -> eventFunnelWindow,
     "event_uplift" -> eventUplift,
@@ -1875,6 +1915,28 @@ object Events {
       |  FROM tr WHERE detr IS NOT NULL GROUP BY dow)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "event_pattern_match" ->
+      """WITH ue AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |sg AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN tus END) AS s
+        |  FROM ue GROUP BY 1),
+        |pu AS (SELECT ue.user_id,
+        |    MIN(CASE WHEN event_type = 'purchase' AND tus > sg.s
+        |      AND tus <= sg.s + 604800000000 THEN tus END) AS p
+        |  FROM ue JOIN sg ON ue.user_id = sg.user_id GROUP BY 1),
+        |bd AS (SELECT ue.user_id,
+        |    MAX(CASE WHEN event_type = 'error' AND tus > sg.s
+        |      AND tus < pu.p THEN 1 ELSE 0 END) AS bad
+        |  FROM ue JOIN sg ON ue.user_id = sg.user_id
+        |    JOIN pu ON ue.user_id = pu.user_id GROUP BY 1)
+        |SELECT sg.user_id, CAST(sg.s AS BIGINT) AS ts_signup_us,
+        |  CAST(pu.p AS BIGINT) AS ts_purchase_us,
+        |  CAST((pu.p - sg.s) // 60000000 AS BIGINT) AS lag_min
+        |FROM sg JOIN pu ON sg.user_id = pu.user_id
+        |  JOIN bd ON sg.user_id = bd.user_id
+        |WHERE sg.s IS NOT NULL AND pu.p IS NOT NULL AND bd.bad = 0
+        |ORDER BY sg.user_id""".stripMargin,
     "event_transition_audit" ->
       """WITH wl(src, dst) AS (VALUES
         |  ('signup', 'view'), ('view', 'view'), ('view', 'click'),

@@ -114,4 +114,69 @@ class SpanningFuzzySpec extends SparkSpecBase {
     assert(r.forall(_.getString(1).nonEmpty))
     assert(r.map(_.getLong(0)).toSet === Set(2L))
   }
+
+  test("scc: a 3-cycle collapses to one component, a tail stays singleton") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = Spanning.graphSccOn(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)))
+  }
+
+  test("scc: two cycles bridged one-way stay separate components") {
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    val got = Spanning.graphSccOn(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("bipartite: even cycle passes, odd cycle is caught") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), // C4
+      (5L, 6L), (6L, 7L), (7L, 5L)) // triangle
+      .toDF("src", "dst")
+    val got = Spanning.graphBipartiteOn(e)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got.length === 2)
+    assert(got(0) === ((1L, 4L, 0L, true)))
+    assert(got(1)._1 === 5L)
+    assert(got(1)._2 === 3L)
+    assert(!got(1)._4)
+    assert(got(1)._3 > 0L)
+  }
+
+  test("pattern match: window bound closed, negation strict, order enforced") {
+    import java.sql.Timestamp
+    def t(day: Int, hour: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    val rows = Seq(
+      // u1: clean signup -> purchase 3 days later
+      (1L, "signup", t(1)), (1L, "purchase", t(4)),
+      // u2: error strictly between -> excluded
+      (2L, "signup", t(1)), (2L, "error", t(2)), (2L, "purchase", t(3)),
+      // u3: purchase 8 days later -> outside window
+      (3L, "signup", t(1)), (3L, "purchase", t(9)),
+      // u4: purchase BEFORE signup only -> no qualifying purchase
+      (4L, "purchase", t(1)), (4L, "signup", t(2)),
+      // u5: purchase exactly at the 7-day boundary -> included (closed)
+      (5L, "signup", t(1)), (5L, "purchase", t(8)),
+      // u6: error at exactly the purchase instant -> NOT between (strict)
+      (6L, "signup", t(1)), (6L, "error", t(4)), (6L, "purchase", t(4)))
+      .map { case (u, et, ts) => (u * 100, ts, u, et, 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Events.eventPatternMatchOn(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got.keySet === Set(1L, 5L, 6L))
+    assert(got(1L) === 3L * 24 * 60)
+    assert(got(5L) === 7L * 24 * 60)
+  }
+
+  test("transitive closure: chain reaches all descendants, converges") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val r = Spanning.transitiveClosureOn(e)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r === (for (a <- 1 to 5; b <- a + 1 to 5)
+      yield (a.toLong, b.toLong)).toSet)
+  }
 }
