@@ -38,6 +38,7 @@ object SparkEntry {
     (functions.Clusters.queries, functions.Clusters.oracles),
     (functions.Spanning.queries, functions.Spanning.oracles),
     (functions.Fuzzy.queries, functions.Fuzzy.oracles),
+    (functions.Chunks.queries, functions.Chunks.oracles),
     (functions.Similarity.queries, functions.Similarity.oracles),
     (streaming.Streaming.queries, streaming.Streaming.oracles),
   )
