@@ -270,10 +270,74 @@ object Spanning {
   def graphBipartite(s: SparkSession, dir: String): DataFrame =
     graphBipartiteOn(tradeDirected(s, dir))
 
+  /** All-pairs shortest-path distances of an UNDIRECTED unweighted
+    * graph by min-plus doubling: D ← min(D, D⊕D) with d₁+d₂ hops,
+    * seeded with the edge relation at distance 1 and (v,v,0). Like
+    * [[transitiveClosureOn]] the O(n²) distance relation restricts
+    * this spelling to bounded collapsed graphs; convergence is the
+    * exact monotone pair (row count non-decreasing, Σd non-
+    * increasing) going stable. */
+  def minPlusClosureOn(edges: DataFrame, maxRounds: Int = 12): DataFrame = {
+    val sym = edges.select(col("src").cast("long").as("u"),
+        col("dst").cast("long").as("v"))
+      .select(explode(array(struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .distinct()
+    var d = sym.withColumn("d", lit(1L))
+      .union(sym.select(explode(array(col("u"), col("v"))).as("u"))
+        .distinct().select(col("u"), col("u").as("v"), lit(0L).as("d")))
+      .groupBy("u", "v").agg(min(col("d")).as("d"))
+      .localCheckpoint(true)
+    var sig = (-1L, -1L)
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxRounds) {
+      val step = d.union(
+          d.select(col("u"), col("v").as("m"), col("d").as("d1"))
+            .join(d.select(col("u").as("m"), col("v"), col("d").as("d2")),
+              "m")
+            .select(col("u"), col("v"), (col("d1") + col("d2")).as("d")))
+        .groupBy("u", "v").agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+      val row = step.agg(count(lit(1)), sum(col("d"))).head()
+      val next = (row.getLong(0), row.getLong(1))
+      stable = next == sig
+      sig = next
+      d = step
+      iter += 1
+    }
+    if (!stable) throw new IllegalStateException(
+      s"min-plus closure did not converge within $maxRounds rounds")
+    d
+  }
+
+  /** Per-node eccentricity plus per-component diameter and radius of
+    * the undirected nation trade graph — the "how stretched is this
+    * network" readout (peripheral vs central nations). ecc(u) =
+    * max_v dist(u,v) within u's component (component = min reachable
+    * node, from the same closure); diameter/radius fold the bounded
+    * per-component node set through one more grouped aggregate. */
+  def graphEccentricityOn(edges: DataFrame): DataFrame = {
+    val d = minPlusClosureOn(edges).localCheckpoint(true)
+    val ecc = d.groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("component"), max(col("d")).as("ecc"))
+    val comp = ecc.groupBy("component")
+      .agg(max(col("ecc")).as("diameter"), min(col("ecc")).as("radius"))
+    ecc.join(broadcast(comp), "component")
+      .select(col("node"), col("component"), col("ecc"),
+        col("diameter"), col("radius"))
+      .orderBy("node")
+  }
+
+  def graphEccentricity(s: SparkSession, dir: String): DataFrame =
+    graphEccentricityOn(tradeDirected(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_mst" -> graphMst,
     "graph_scc" -> graphScc,
     "graph_bipartite" -> graphBipartite,
+    "graph_eccentricity" -> graphEccentricity,
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,6 +418,32 @@ object Spanning {
         |  coalesce(n_odd, 0) = 0 AS bipartite
         |FROM cs LEFT JOIN odd ON cs.root = odd.root
         |ORDER BY component""".stripMargin,
+    // BFS distances via a depth-bounded recursive CTE (d < 30 guards
+    // cycle laps; the graph has 25 nodes so every shortest path fits),
+    // then MIN(d) per pair — the same distances the engine's min-plus
+    // doubling closure must reproduce.
+    "graph_eccentricity" ->
+      s"""WITH RECURSIVE
+        |e0 AS ($tradeDirectedSql),
+        |und AS (SELECT src AS a, dst AS b FROM e0
+        |  UNION SELECT dst, src FROM e0),
+        |r(u, v, d) AS (
+        |  SELECT DISTINCT a, a, CAST(0 AS BIGINT) FROM und
+        |  UNION
+        |  SELECT r.u, und.b, r.d + 1 FROM r
+        |    JOIN und ON und.a = r.v WHERE r.d < 30),
+        |dist AS (SELECT u, v, CAST(MIN(d) AS BIGINT) AS d
+        |  FROM r GROUP BY 1, 2),
+        |ecc AS (SELECT u AS node, MIN(v) AS component,
+        |    CAST(MAX(d) AS BIGINT) AS ecc
+        |  FROM dist GROUP BY 1),
+        |cm AS (SELECT component, MAX(ecc) AS diameter,
+        |    MIN(ecc) AS radius FROM ecc GROUP BY 1)
+        |SELECT node, CAST(ecc.component AS BIGINT) AS component, ecc,
+        |  CAST(diameter AS BIGINT) AS diameter,
+        |  CAST(radius AS BIGINT) AS radius
+        |FROM ecc JOIN cm ON ecc.component = cm.component
+        |ORDER BY node""".stripMargin,
   )
 
   /** Shared directed-edge CTE body (customer nation → supplier

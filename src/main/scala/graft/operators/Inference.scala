@@ -402,7 +402,54 @@ object Inference {
   def privacyDpCounts(s: SparkSession, dir: String): DataFrame =
     privacyDpCountsOn(Tables.events(s, dir))
 
+  /** Propensity-style nearest-neighbor matching (the observational
+    * causal-inference workhorse): every TREATED user (id-hash arm 1)
+    * is matched to the control whose propensity score — here the
+    * user's activity count, an exact integer — is nearest, and the
+    * per-pair outcome gap (purchase cents) is the ATT evidence
+    * table. Matching semantics pinned: nearest by |Δscore|, ties
+    * prefer the backward (≤) side then the smaller control score;
+    * WITH REPLACEMENT; one representative control per score (min
+    * user_id via struct-min) so matching runs against the COLLAPSED
+    * score relation — the score domain is bounded (activity counts),
+    * which is what makes the broadcast nested-loop nearest-join a
+    * map-side op at any corpus size (the bounded-domain argument;
+    * continuous scores would first quantize, as every PSM caliper
+    * implementation does). */
+  def eventPsmAttOn(events: DataFrame): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(count(lit(1)).as("score"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))), lit(0L))
+          .as("out_cents"))
+      .localCheckpoint(true) // treated and control sides
+    val ctrl = users.filter(col("user_id") % 2 === 0)
+      .groupBy("score")
+      .agg(min(struct(col("user_id"), col("out_cents"))).as("m"))
+      .select(col("score").as("score_c"),
+        col("m.user_id").as("ctrl_user"), col("m.out_cents").as("out_c"))
+    val treated = users.filter(col("user_id") % 2 === 1)
+    treated.join(broadcast(ctrl),
+        lit(true), "inner") // nearest is decided by the rank below
+      .withColumn("gap", abs(col("score") - col("score_c")))
+      .withColumn("dirn",
+        when(col("score_c") <= col("score"), 0L).otherwise(1L))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("gap"), col("dirn"), col("score_c"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id").as("treated_user"),
+        col("score").as("score_t"), col("ctrl_user"), col("score_c"),
+        col("out_cents").as("out_t_cents"), col("out_c").as("out_c_cents"),
+        (col("out_cents") - col("out_c")).as("diff_cents"))
+      .orderBy("treated_user")
+  }
+
+  def eventPsmAtt(s: SparkSession, dir: String): DataFrame =
+    eventPsmAttOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_psm_att" -> eventPsmAtt,
     "ts_spearman" -> tsSpearman,
     "ts_kendall" -> tsKendall,
     "event_cramers_v" -> eventCramersV,
@@ -420,6 +467,28 @@ object Inference {
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "event_psm_att" ->
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+        |      AS BIGINT) AS out_cents
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT score AS score_c, MIN(user_id) AS ctrl_user
+        |  FROM u WHERE user_id % 2 = 0 GROUP BY 1),
+        |co AS (SELECT score_c, c.ctrl_user, u.out_cents AS out_c
+        |  FROM c JOIN u ON c.ctrl_user = u.user_id),
+        |t AS (SELECT * FROM u WHERE user_id % 2 = 1),
+        |j AS (SELECT t.user_id AS treated_user, t.score AS score_t,
+        |    co.ctrl_user, co.score_c, t.out_cents AS out_t_cents,
+        |    co.out_c AS out_c_cents,
+        |    abs(t.score - co.score_c) AS gap,
+        |    CASE WHEN co.score_c <= t.score THEN 0 ELSE 1 END AS dirn
+        |  FROM t CROSS JOIN co)
+        |SELECT treated_user, score_t, ctrl_user, score_c, out_t_cents,
+        |  out_c_cents, out_t_cents - out_c_cents AS diff_cents
+        |FROM j QUALIFY row_number() OVER (PARTITION BY treated_user
+        |  ORDER BY gap, dirn, score_c) = 1
+        |ORDER BY treated_user""".stripMargin,
     "ts_spearman" ->
       s"""WITH $dailySql,
         |r AS (SELECT event_type,

@@ -179,4 +179,62 @@ class SpanningFuzzySpec extends SparkSpecBase {
     assert(r === (for (a <- 1 to 5; b <- a + 1 to 5)
       yield (a.toLong, b.toLong)).toSet)
   }
+
+  test("eccentricity: path P4 has diameter 3, radius 2; components split") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), // P4
+      (10L, 11L)) // K2 in its own component
+      .toDF("src", "dst")
+    val r = Spanning.graphEccentricityOn(e)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).sortBy(_._1)
+    assert(r.map(t => t._1 -> t._3).toMap ===
+      Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 3L, 10L -> 1L, 11L -> 1L))
+    assert(r.filter(_._2 === 1L).forall(t => t._4 === 3L && t._5 === 2L))
+    assert(r.filter(_._2 === 10L).forall(t => t._4 === 1L && t._5 === 1L))
+  }
+
+  test("min-plus closure: C4 opposite corners at distance 2") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val d = Spanning.minPlusClosureOn(e)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2)))
+      .toMap
+    assert(d((1L, 3L)) === 2L)
+    assert(d((1L, 2L)) === 1L)
+    assert(d((1L, 1L)) === 0L)
+  }
+
+  test("psm: nearest match with backward tie-break, with replacement") {
+    import java.sql.Timestamp
+    // treated users (odd) with activity scores 3 and 5;
+    // controls (even) with scores 2 and 6.
+    // score 3: gaps 1 vs 3 -> control 2. score 5: gaps 3 vs 1 -> control 6.
+    def rows(u: Long, n: Int, spend: Double) =
+      (1 to n).map(i => (u * 100 + i, Timestamp.valueOf(
+        f"2024-01-${i}%02d 00:00:00"), u,
+        if (i == 1) "purchase" else "view",
+        if (i == 1) spend else 0.0))
+    val e = (rows(1L, 3, 10.0) ++ rows(3L, 5, 20.0) ++
+      rows(2L, 2, 1.0) ++ rows(4L, 6, 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.operators.Inference.eventPsmAttOn(e)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(6))).sortBy(_._1)
+    // treated 1 (out 1000c) -> ctrl 2 (100c): diff 900
+    // treated 3 (out 2000c) -> ctrl 4 (200c): diff 1800
+    assert(r.toSeq === Seq((1L, 2L, 900L), (3L, 4L, 1800L)))
+  }
+
+  test("psm: equidistant controls pin to the backward (lower-score) side") {
+    import java.sql.Timestamp
+    def rows(u: Long, n: Int) = (1 to n).map(i =>
+      (u * 100 + i, Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00"),
+        u, "view", 0.0))
+    // treated score 4; controls at scores 3 and 5 (both gap 1)
+    val e = (rows(1L, 4) ++ rows(2L, 3) ++ rows(4L, 5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.operators.Inference.eventPsmAttOn(e).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(2) === 2L) // the score-3 control
+  }
 }
