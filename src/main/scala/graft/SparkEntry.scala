@@ -39,6 +39,7 @@ object SparkEntry {
     (functions.Spanning.queries, functions.Spanning.oracles),
     (functions.Fuzzy.queries, functions.Fuzzy.oracles),
     (functions.Chunks.queries, functions.Chunks.oracles),
+    (functions.Curation.queries, functions.Curation.oracles),
     (functions.Similarity.queries, functions.Similarity.oracles),
     (streaming.Streaming.queries, streaming.Streaming.oracles),
   )

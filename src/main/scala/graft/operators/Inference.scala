@@ -448,8 +448,62 @@ object Inference {
   def eventPsmAtt(s: SparkSession, dir: String): DataFrame =
     eventPsmAttOn(Tables.events(s, dir))
 
+  /** CUPED variance reduction (Deng et al., WSDM 2013): adjust each
+    * user's experiment-period outcome Y by their PRE-period covariate
+    * X — adj = Y − θ(X − E[X]) — so arm means keep their expectation
+    * but shed the variance X explains. The pre/post cut is the pinned
+    * corpus midpoint (Jan 16); arms are the id-hash. θ is the pooled
+    * cov(X,Y)/var(X), QUANTIZED to milli by the exact moment sums
+    * (θ_milli = (n·Sxy − Sx·Sy)·1000 DIV (n·Sxx − Sx²), DECIMAL(38,0)
+    * intermediates; signed DIV — truncation toward zero matches //
+    * on both engines, verified) and E[X] to whole cents — a pinned
+    * quantized CUPED, stated in the contract rather than hidden in
+    * float noise. Per-user adjustment and arm means are then exact
+    * integer arithmetic end to end: one fact scan, one user-keyed
+    * aggregate, broadcast 1-row moments. */
+  def eventCupedOn(events: DataFrame): DataFrame = {
+    val users = events
+      .select(col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        (to_date(col("ts")) < lit("2024-01-16").cast("date"))
+          .as("pre"))
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(col("pre"), col("cents"))), lit(0L)).as("x"),
+        coalesce(sum(when(!col("pre"), col("cents"))), lit(0L)).as("y"))
+      .localCheckpoint(true) // moments + the adjusted pass
+    val mom = users.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+    val withTheta = users.crossJoin(broadcast(mom))
+      .withColumn("theta_milli", expr(
+        """CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx
+          |       - CAST(sx AS DECIMAL(38,0)) * sx > 0 THEN
+          |  CAST((CAST(n AS DECIMAL(38,0)) * sxy
+          |        - CAST(sx AS DECIMAL(38,0)) * sy) * 1000
+          |    DIV (CAST(n AS DECIMAL(38,0)) * sxx
+          |         - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)
+          |ELSE 0 END""".stripMargin))
+      .withColumn("gx", expr("sx DIV n"))
+      .withColumn("adj_milli",
+        col("y") * 1000 - col("theta_milli") * (col("x") - col("gx")))
+    withTheta
+      .groupBy((col("user_id") % 2).cast("int").as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        expr("CAST(sum(y) * 1000 DIV count(1) AS BIGINT)")
+          .as("mean_raw_milli"),
+        expr("CAST(sum(adj_milli) DIV count(1) AS BIGINT)")
+          .as("mean_adj_milli"),
+        max(col("theta_milli")).as("theta_milli"))
+      .orderBy("variant")
+  }
+
+  def eventCuped(s: SparkSession, dir: String): DataFrame =
+    eventCupedOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_psm_att" -> eventPsmAtt,
+    "event_cuped" -> eventCuped,
     "ts_spearman" -> tsSpearman,
     "ts_kendall" -> tsKendall,
     "event_cramers_v" -> eventCramersV,
@@ -467,6 +521,39 @@ object Inference {
       |  FROM events GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "event_cuped" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(COALESCE(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+        |      AS BIGINT) AS x,
+        |    CAST(COALESCE(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM u),
+        |t AS (SELECT n, sx,
+        |    CASE WHEN CAST(n AS HUGEINT) * sxx
+        |           - CAST(sx AS HUGEINT) * sx > 0 THEN
+        |      CAST((CAST(n AS HUGEINT) * sxy
+        |            - CAST(sx AS HUGEINT) * sy) * 1000
+        |        // (CAST(n AS HUGEINT) * sxx
+        |           - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+        |    ELSE 0 END AS theta_milli,
+        |    sx // n AS gx
+        |  FROM m),
+        |adj AS (SELECT user_id, y, theta_milli,
+        |    y * 1000 - theta_milli * (x - gx) AS adj_milli
+        |  FROM u CROSS JOIN t)
+        |SELECT CAST(user_id % 2 AS INT) AS variant,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(y) * 1000 // COUNT(*) AS BIGINT) AS mean_raw_milli,
+        |  CAST(SUM(adj_milli) // COUNT(*) AS BIGINT) AS mean_adj_milli,
+        |  CAST(MAX(theta_milli) AS BIGINT) AS theta_milli
+        |FROM adj GROUP BY 1 ORDER BY variant""".stripMargin,
     "event_psm_att" ->
       """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score,
         |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
