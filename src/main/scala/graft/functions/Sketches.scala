@@ -168,6 +168,76 @@ object Sketches {
   def sketchQuantile(s: SparkSession, dir: String): DataFrame =
     sketchQuantileOn(Tables.lineitem(s, dir))
 
+  /** Relative-error quantile sketch on LOG buckets — the DDSketch
+    * idea (Masson et al., VLDB 2019) at γ = 2: every positive value
+    * collapses to bucket ⌊log₂ v⌋, computed EXACTLY as
+    * length(bin(v)) − 1 (both engines print minimal binary — no
+    * float log anywhere), so the per-group sketch state is a ≤ 64-row
+    * (bucket, count) histogram — trivially mergeable, constant-size,
+    * the 100 TB shape. Quantile readout walks the collapsed
+    * histogram's cumulative counts under the house rank rule and
+    * answers the bucket MIDPOINT 3·2^(b−1) (b = 0 → 1), guaranteed
+    * within ×1.5 of any value in the bucket; the in-catalog eval
+    * joins the exact rank picks beside the estimates with signed
+    * errors and a within-×2 flag, per the sketch-eval convention.
+    * γ = 2 trades DDSketch's usual 1–2% for a zero-float contract;
+    * tighter γ needs log buckets only a float log can index — the
+    * documented boundary. */
+  def sketchLogHistogramOn(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = lineitem.select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+          .as("cents"))
+      .filter(col("cents") > 0)
+      .withColumn("b", (length(bin(col("cents"))) - 1).cast("long"))
+      .localCheckpoint(true) // sketch + exact eval both read it
+    val hist = rows.groupBy("l_returnflag", "b")
+      .agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy("l_returnflag").orderBy("b")
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy("l_returnflag")))
+    val est = cum.groupBy("l_returnflag")
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n - 1) * 500000 DIV 1000000 + 1"),
+          col("b"))).as("b50"),
+        min(when(col("cum") >= expr("(n - 1) * 950000 DIV 1000000 + 1"),
+          col("b"))).as("b95"))
+      .select(col("l_returnflag"), col("n"),
+        expr("""CASE WHEN b50 = 0 THEN CAST(1 AS BIGINT)
+               |ELSE shiftleft(CAST(3 AS BIGINT), CAST(b50 - 1 AS INT))
+               |END""".stripMargin).as("p50_est"),
+        expr("""CASE WHEN b95 = 0 THEN CAST(1 AS BIGINT)
+               |ELSE shiftleft(CAST(3 AS BIGINT), CAST(b95 - 1 AS INT))
+               |END""".stripMargin).as("p95_est"))
+    val wr = Window.partitionBy("l_returnflag").orderBy("cents")
+    val exact = rows
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("l_returnflag")))
+      .groupBy("l_returnflag").agg(
+        max(when(expr("rn = (n - 1) * 500000 DIV 1000000 + 1"),
+          col("cents"))).as("exact_p50"),
+        max(when(expr("rn = (n - 1) * 950000 DIV 1000000 + 1"),
+          col("cents"))).as("exact_p95"))
+    est.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n"),
+        col("p50_est"), col("p95_est"),
+        col("exact_p50"), col("exact_p95"),
+        (col("p50_est") - col("exact_p50")).as("err_p50"),
+        (col("p95_est") - col("exact_p95")).as("err_p95"),
+        (col("p50_est") <= col("exact_p50") * 2 &&
+          col("exact_p50") <= col("p50_est") * 2 &&
+          col("p95_est") <= col("exact_p95") * 2 &&
+          col("exact_p95") <= col("p95_est") * 2).as("within_2x"))
+      .orderBy("l_returnflag")
+  }
+
+  def sketchLogHistogram(s: SparkSession, dir: String): DataFrame =
+    sketchLogHistogramOn(Tables.lineitem(s, dir))
+
   /** L17c: theta-sketch ROLLUP — the dashboard move the mergeable-
     * summaries property exists for: per-segment sketches built once
     * (here per event type, by the same [[graft.plans.KmvAgg]] pass as
@@ -209,9 +279,54 @@ object Sketches {
     "sketch_theta" -> sketchTheta,
     "sketch_quantile" -> sketchQuantile,
     "sketch_theta_rollup" -> sketchThetaRollup,
+    "sketch_log_histogram" -> sketchLogHistogram,
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_log_histogram" ->
+      """WITH r AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem WHERE floor(l_extendedprice * 100 + 0.5) > 0),
+        |bk AS (SELECT l_returnflag, cents,
+        |    CAST(length(bin(cents)) - 1 AS BIGINT) AS b FROM r),
+        |h AS (SELECT l_returnflag, b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM bk GROUP BY 1, 2),
+        |cu AS (SELECT l_returnflag, b, c,
+        |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY l_returnflag) AS n FROM h),
+        |e AS (SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+        |    MIN(CASE WHEN cum >= (n - 1) * 500000 // 1000000 + 1
+        |      THEN b END) AS b50,
+        |    MIN(CASE WHEN cum >= (n - 1) * 950000 // 1000000 + 1
+        |      THEN b END) AS b95
+        |  FROM cu GROUP BY 1),
+        |es AS (SELECT l_returnflag, n,
+        |    CASE WHEN b50 = 0 THEN CAST(1 AS BIGINT)
+        |      ELSE 3 * (CAST(1 AS BIGINT) << CAST(b50 - 1 AS INT))
+        |    END AS p50_est,
+        |    CASE WHEN b95 = 0 THEN CAST(1 AS BIGINT)
+        |      ELSE 3 * (CAST(1 AS BIGINT) << CAST(b95 - 1 AS INT))
+        |    END AS p95_est
+        |  FROM e),
+        |ex AS (SELECT l_returnflag,
+        |    MAX(CASE WHEN rn = (n - 1) * 500000 // 1000000 + 1
+        |      THEN cents END) AS exact_p50,
+        |    MAX(CASE WHEN rn = (n - 1) * 950000 // 1000000 + 1
+        |      THEN cents END) AS exact_p95
+        |  FROM (SELECT l_returnflag, cents,
+        |      ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |        ORDER BY cents) AS rn,
+        |      COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM bk)
+        |  GROUP BY 1)
+        |SELECT es.l_returnflag, n, p50_est, p95_est,
+        |  exact_p50, exact_p95,
+        |  p50_est - exact_p50 AS err_p50, p95_est - exact_p95 AS err_p95,
+        |  (p50_est <= exact_p50 * 2 AND exact_p50 <= p50_est * 2
+        |   AND p95_est <= exact_p95 * 2 AND exact_p95 <= p95_est * 2)
+        |    AS within_2x
+        |FROM es JOIN ex ON es.l_returnflag = ex.l_returnflag
+        |ORDER BY es.l_returnflag""".stripMargin,
     "sketch_theta_rollup" ->
       s"""WITH hs AS (SELECT DISTINCT event_type,
          |    (user_id * 2654435761 + 12345) % $P AS h FROM events),

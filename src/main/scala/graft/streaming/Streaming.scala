@@ -184,6 +184,50 @@ object Streaming {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Sequential-pattern walk shared by the batch flatMapGroups
+    * spelling below and a streaming flatMapGroupsWithState variant
+    * (state = the (s, p, bad) triple; watermark + timeout bound it):
+    * same contract as [[graft.operators.Events.eventPatternMatchOn]]
+    * — first signup, first purchase in (s, s+7d], no error STRICTLY
+    * between — decided by three passes over the time-sorted group so
+    * the boundary pins (right-closed window, strict negation, equal-
+    * timestamp events never count as "between") are explicit rather
+    * than walk-order accidents. */
+  private[graft] def patternWalk(uid: Long,
+      it: Iterator[(Long, String, Long)]): Iterator[(Long, Long, Long, Long)] = {
+    val win = 604800000000L
+    val rows = it.toArray.sortBy(r => (r._3, r._1))
+    val s = rows.collectFirst { case (_, "signup", t) => t }
+    val p = s.flatMap(sv => rows.collectFirst {
+      case (_, "purchase", t) if t > sv && t <= sv + win => t })
+    val bad = (s, p) match {
+      case (Some(sv), Some(pv)) =>
+        rows.exists { case (_, et, t) => et == "error" && t > sv && t < pv }
+      case _ => true
+    }
+    if (!bad) Iterator((uid, s.get, p.get, (p.get - s.get) / 60000000L))
+    else Iterator.empty
+  }
+
+  /** T9: the CEP pattern in the typed Dataset tier — groupByKey +
+    * flatMapGroups over (user_id, event_type, unix_micros), the
+    * execution shape that becomes flatMapGroupsWithState under
+    * readStream. Same oracle as event_pattern_match: three
+    * implementations (declarative windows, imperative group walk,
+    * DuckDB SQL), one answer. */
+  def streamPatternMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("user_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._4)
+      .flatMapGroups((uid: Long, it: Iterator[(Long, String, Long, Long)]) =>
+        patternWalk(uid, it.map(r => (r._1, r._2, r._3))))
+      .toDF("user_id", "ts_signup_us", "ts_purchase_us", "lag_min")
+      .orderBy("user_id")
+  }
+
   /** T6: Count-Min grid per tumbling window — the sketch-in-streaming
     * composition: per 2-minute window, fold the event-type stream
     * into the D x W counter grid ([[graft.functions.Text.cmsCells]],
@@ -277,6 +321,7 @@ object Streaming {
     "stream_countmin" -> streamCountmin,
     "stream_dedup" -> streamDedup,
     "stream_user_sessions" -> streamUserSessions,
+    "stream_pattern_match" -> streamPatternMatch,
     "stream_interval_join" -> streamIntervalJoin,
     "stream_interval_join_left" -> streamIntervalJoinLeft,
     "stream_tumbling" -> streamTumbling,
@@ -324,6 +369,30 @@ object Streaming {
     "stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    // same contract as the declarative event_pattern_match oracle —
+    // the group-walk implementation must land on the identical rows
+    "stream_pattern_match" ->
+      """WITH ue AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |sg AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN tus END) AS s
+        |  FROM ue GROUP BY 1),
+        |pu AS (SELECT ue.user_id,
+        |    MIN(CASE WHEN event_type = 'purchase' AND tus > sg.s
+        |      AND tus <= sg.s + 604800000000 THEN tus END) AS p
+        |  FROM ue JOIN sg ON ue.user_id = sg.user_id GROUP BY 1),
+        |bd AS (SELECT ue.user_id,
+        |    MAX(CASE WHEN event_type = 'error' AND tus > sg.s
+        |      AND tus < pu.p THEN 1 ELSE 0 END) AS bad
+        |  FROM ue JOIN sg ON ue.user_id = sg.user_id
+        |    JOIN pu ON ue.user_id = pu.user_id GROUP BY 1)
+        |SELECT sg.user_id, CAST(sg.s AS BIGINT) AS ts_signup_us,
+        |  CAST(pu.p AS BIGINT) AS ts_purchase_us,
+        |  CAST((pu.p - sg.s) // 60000000 AS BIGINT) AS lag_min
+        |FROM sg JOIN pu ON sg.user_id = pu.user_id
+        |  JOIN bd ON sg.user_id = bd.user_id
+        |WHERE sg.s IS NOT NULL AND pu.p IS NOT NULL AND bd.bad = 0
+        |ORDER BY sg.user_id""".stripMargin,
     "stream_user_sessions" ->
       """WITH o AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus,

@@ -754,4 +754,56 @@ class PlanSpec extends SparkSpecBase {
     assert("embeddings".r.findAllIn(p.toLowerCase).size <= 1, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("join_fuzzy: deletion-variant blocking is an equi-join — no " +
+    "cartesian levenshtein scan in the plan") {
+    val p = plan(functions.Fuzzy.joinFuzzy(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("text_rake: top-3 rank collapses to WindowGroupLimit; word " +
+    "scores broadcast back over the phrase rows") {
+    val p = plan(functions.Fuzzy.textRake(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("feature_target_encode: group sums and prior join as broadcasts, " +
+    "one orders scan in the encode pass") {
+    val p = plan(operators.Inference.featureTargetEncode(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("event_pattern_match: three chained windows share ONE user_id " +
+    "exchange — no per-window reshuffle") {
+    val p = plan(operators.Events.eventPatternMatch(spark, sf))
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("event_psm_att: nearest-join is the documented broadcast " +
+    "nested-loop over the COLLAPSED score relation") {
+    val p = plan(operators.Inference.eventPsmAtt(spark, sf))
+    assert(p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("join_scd2_pit: versions and facts share the user_id exchange; " +
+    "the interval probe is user-keyed, never a cross join") {
+    val p = plan(functions.Curation.joinScd2Pit(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("corpus_skyline: the exact dominance pass is a broadcast " +
+    "nested-loop ANTI join over checkpointed candidates only") {
+    // the grid-prune stage sits behind the candidate localCheckpoint;
+    // the visible plan is exactly the candidate-vs-candidate anti join
+    val p = plan(operators.Inference.corpusSkyline(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, LeftAnti"), p)
+  }
 }

@@ -561,4 +561,15 @@ class StreamingSpec extends SparkSpecBase {
         p.length < 2 || p(0) >= p(1)))
     }
   }
+
+  test("T9 pattern match: imperative group walk == declarative window spelling") {
+    val walk = streaming.Streaming.streamPatternMatch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val decl = operators.Events.eventPatternMatch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(walk === decl)
+    assert(walk.nonEmpty)
+  }
 }
