@@ -139,6 +139,25 @@ object ScaleProbe {
           format_string("rec#%09d", col("doc_id")).as("name"),
           col("lang").as("grp"),
           length(col("text")).cast("double").as("bal")))),
+      // word scores are vocabulary-keyed (grows k x under perturbed
+      // copies) and phrase windows are per-doc — both linear claims
+      "text_rake" -> (d => functions.Fuzzy.textRakeOn(d)),
+      // chunk aggregation shuffles on chunk text; perturbed copies
+      // keep chunk spaces disjoint so duplicated-chunk groups stay
+      // per-copy — growth must be ~2 per doubling
+      "dedup_cdc_chunks" -> (d => functions.Chunks.dedupCdcChunksOn(d)),
+      // boundary keys are disjoint across perturbed copies, so the
+      // equi-join candidate set cannot grow quadratically
+      "dedup_boundary_overlap" -> (d =>
+        functions.Chunks.dedupBoundaryOverlapOn(d, k = 3)),
+      // the exact pass must stay candidate-bounded as the corpus
+      // doubles — the grid-prune claim measured
+      "corpus_skyline" -> (d =>
+        operators.Inference.corpusSkylineOn(d)),
+      // two rank windows partitioned by source (derived per copy) +
+      // a groups*k^2 join — linear in corpus, constant per group
+      "corpus_dpo_pairs" -> (d => functions.Curation.corpusDpoPairsOn(
+        d.withColumn("source", col("lang")))),
     )
 
     val only = args.drop(1).toSet
