@@ -117,9 +117,76 @@ object Fuzzy {
   def textRake(s: SparkSession, dir: String): DataFrame =
     textRakeOn(Tables.documents(s, dir))
 
+  /** Suffix-stripping stemmer — the Porter step-1 core as a PINNED
+    * first-match CASE ladder (sses→ss, ies→i, ss kept, plural -s,
+    * -ing, -ed with minimum-stem-length guards), spelled with
+    * endswith/substr only so both engines run the identical rules
+    * with no regex-engine variance. The catalog row is the stemmed
+    * vocabulary: per stem, how many surface forms collapsed into it
+    * and the total occurrences — the vocabulary-compression readout
+    * a tokenizer-budget analysis starts from. One scan, one
+    * vocabulary-keyed aggregate. */
+  def stemOf(c: Column): Column = expr(
+    s"""CASE
+       | WHEN ${c.toString} LIKE '%sses'
+       |   THEN substr(${c.toString}, 1, length(${c.toString}) - 2)
+       | WHEN ${c.toString} LIKE '%ies'
+       |   THEN concat(substr(${c.toString}, 1, length(${c.toString}) - 3), 'i')
+       | WHEN ${c.toString} LIKE '%ss' THEN ${c.toString}
+       | WHEN ${c.toString} LIKE '%s' AND length(${c.toString}) > 3
+       |   THEN substr(${c.toString}, 1, length(${c.toString}) - 1)
+       | WHEN ${c.toString} LIKE '%ing' AND length(${c.toString}) > 5
+       |   THEN substr(${c.toString}, 1, length(${c.toString}) - 3)
+       | WHEN ${c.toString} LIKE '%ed' AND length(${c.toString}) > 4
+       |   THEN substr(${c.toString}, 1, length(${c.toString}) - 2)
+       | ELSE ${c.toString} END""".stripMargin)
+
+  def textStemOn(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("tok"), stemOf(col("tok")).as("stem"))
+      .groupBy("stem")
+      .agg(countDistinct(col("tok")).as("n_forms"),
+        count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("stem").asc)
+
+  def textStem(s: SparkSession, dir: String): DataFrame =
+    textStemOn(Tables.documents(s, dir))
+
+  /** Zipf rank-frequency audit over the corpus vocabulary: rank·count
+    * should be roughly constant under Zipf's law, so each of the top
+    * 50 tokens reports its exact rank·count product and its ppm ratio
+    * to the rank-1 product — the whole audit in integers (the
+    * log-log-regression exponent fit is the float sibling this
+    * deliberately avoids). The rank window runs on the COLLAPSED
+    * vocabulary relation (the house bounded-domain window), and the
+    * top-50 cut is rank-then-filter. */
+  def textZipfAuditOn(docs: DataFrame, topK: Int = 50): DataFrame = {
+    val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val ranked = vocab.withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok").asc))
+          .cast("long"))
+      .filter(col("rank") <= topK)
+      .withColumn("rc_product", col("rank") * col("cnt"))
+    val c1 = ranked.filter(col("rank") === 1)
+      .select(col("rc_product").as("c1"))
+    ranked.crossJoin(broadcast(c1))
+      .select(col("rank"), col("tok"), col("cnt"), col("rc_product"),
+        expr("CAST(rc_product * 1000000 DIV c1 AS BIGINT)")
+          .as("ratio_ppm"))
+      .orderBy("rank")
+  }
+
+  def textZipfAudit(s: SparkSession, dir: String): DataFrame =
+    textZipfAuditOn(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_fuzzy" -> joinFuzzy,
     "text_rake" -> textRake,
+    "text_stem" -> textStem,
+    "text_zipf_audit" -> textZipfAudit,
   )
 
   private def probesSql: String =
@@ -138,6 +205,39 @@ object Fuzzy {
         |  CAST(levenshtein(probe, term) AS BIGINT) AS dist
         |FROM probes JOIN dict ON levenshtein(probe, term) <= 1
         |ORDER BY probe, term""".stripMargin,
+    "text_stem" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |s AS (SELECT tok, CASE
+        |    WHEN tok LIKE '%sses' THEN substr(tok, 1, length(tok) - 2)
+        |    WHEN tok LIKE '%ies'
+        |      THEN concat(substr(tok, 1, length(tok) - 3), 'i')
+        |    WHEN tok LIKE '%ss' THEN tok
+        |    WHEN tok LIKE '%s' AND length(tok) > 3
+        |      THEN substr(tok, 1, length(tok) - 1)
+        |    WHEN tok LIKE '%ing' AND length(tok) > 5
+        |      THEN substr(tok, 1, length(tok) - 3)
+        |    WHEN tok LIKE '%ed' AND length(tok) > 4
+        |      THEN substr(tok, 1, length(tok) - 2)
+        |    ELSE tok END AS stem
+        |  FROM t WHERE length(tok) > 0)
+        |SELECT stem, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_forms,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ
+        |FROM s GROUP BY stem ORDER BY n_occ DESC, stem ASC""".stripMargin,
+    "text_zipf_audit" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM t WHERE length(tok) > 0 GROUP BY tok),
+        |r AS (SELECT tok, cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC)
+        |      AS BIGINT) AS rank
+        |  FROM v QUALIFY rank <= 50),
+        |rc AS (SELECT rank, tok, cnt, rank * cnt AS rc_product FROM r),
+        |c1 AS (SELECT rc_product AS c1 FROM rc WHERE rank = 1)
+        |SELECT rank, tok, cnt, rc_product,
+        |  CAST(rc_product * 1000000 // c1 AS BIGINT) AS ratio_ppm
+        |FROM rc CROSS JOIN c1 ORDER BY rank""".stripMargin,
     "text_rake" ->
       s"""WITH stop(sw) AS (VALUES $stopSql),
         |base AS (SELECT doc_id, string_split(text, ' ') AS t

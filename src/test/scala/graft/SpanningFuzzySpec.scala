@@ -225,6 +225,36 @@ class SpanningFuzzySpec extends SparkSpecBase {
     assert(r.toSeq === Seq((1L, 2L, 900L), (3L, 4L, 1800L)))
   }
 
+  test("stem: each ladder rule and its length guard (hand cases)") {
+    val docs = Seq((1L,
+      "glasses ponies class cats is running doing played bed"))
+      .toDF("doc_id", "text")
+    val got = graft.functions.Fuzzy.textStemOn(docs)
+      .collect().map(r => r.getString(0)).toSet
+    assert(got === Set("glass", "poni", "class", "cat", "is",
+      "runn", "doing", "play", "bed"))
+  }
+
+  test("stem: surface forms collapse and counts add up") {
+    val docs = Seq((1L, "cat cats cats running runs")).toDF("doc_id", "text")
+    // "cat"+"cats" -> stem cat (2 forms, 3 occ); runs -> run; running -> runn
+    val m = graft.functions.Fuzzy.textStemOn(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m("cat") === ((2L, 3L)))
+    assert(m("run") === ((1L, 1L)))
+    assert(m("runn") === ((1L, 1L)))
+  }
+
+  test("zipf audit: rank-1 ratio is exactly 1e6, products exact") {
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val r = graft.functions.Fuzzy.textZipfAuditOn(docs)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(3),
+        x.getLong(4)))
+    assert(r(0) === ((1L, "a", 4L, 1000000L)))
+    assert(r(1) === ((2L, "b", 4L, 1000000L))) // 2*2 = 4 -> exactly Zipf
+    assert(r(2) === ((3L, "c", 3L, 750000L)))
+  }
+
   test("psm: equidistant controls pin to the backward (lower-score) side") {
     import java.sql.Timestamp
     def rows(u: Long, n: Int) = (1 to n).map(i =>
