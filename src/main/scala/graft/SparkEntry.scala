@@ -26,6 +26,7 @@ object SparkEntry {
     (operators.Analytics.queries, operators.Analytics.oracles),
     (operators.Events.queries, operators.Events.oracles),
     (operators.Inference.queries, operators.Inference.oracles),
+    (operators.Planning.queries, operators.Planning.oracles),
     (operators.Layout.queries, operators.Layout.oracles),
     (functions.Scalars.queries, functions.Scalars.oracles),
     (functions.Text.queries, functions.Text.oracles),

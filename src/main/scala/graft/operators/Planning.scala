@@ -1,0 +1,326 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Capacity and experiment planning over the event stream — the
+  * readouts an operations/growth team derives from the same events
+  * table the analytics battery (Events.scala) reads: peak-concurrency
+  * sweeps for capacity sizing, lead-lag cross-correlation for
+  * campaign/response alignment, and two-proportion power analysis for
+  * experiment sizing (the planning sibling of event_ab_test).
+  *
+  * House arithmetic (ORACLES.md): timestamps as epoch microseconds
+  * (BIGINT), counts/deltas as BIGINT, rates in ppm with integral DIV
+  * on non-negative operands; the one double readout (Pearson r) comes
+  * from exact integer moment sums through the agg_corr formula, so
+  * both engines produce identical bits.
+  *
+  * Reference tie-in: none — the reference's pipeline is batch images;
+  * this family belongs to the engine-added event-analytics surface
+  * (SURVEY.md §2.11).
+  */
+object Planning {
+
+  /** Session gap: two events of one user more than this many minutes
+    * apart belong to different sessions (industry-standard 30). */
+  val SessionGapMin = 30
+
+  /** L21a: peak concurrent sessions per day — the capacity-planning
+    * sweep ("how many sessions were open at the busiest instant?").
+    * Classic interval stabbing via the +1/−1 boundary sweep:
+    *
+    *  1. sessionize per user (gap > [[SessionGapMin]] starts a new
+    *     session) — one user-keyed window;
+    *  2. split each session interval at midnight so the sweep key is
+    *     the calendar day (sessions are gap-bounded, so the explode
+    *     emits ≤ 2 segments in practice and is provably bounded by
+    *     session span);
+    *  3. per segment emit (+1, start) and (−1, end) boundary rows,
+    *     ties resolved start-before-end (delta DESC) so touching
+    *     sessions count as concurrent, then by (user_id, sid) so the
+    *     order is total and both engines agree;
+    *  4. running-sum the deltas and take the per-day max.
+    *
+    * The sweep is spelled as a TWO-PHASE prefix sum — the scalable
+    * form: a per-(day, hour) local running sum (bounded partitions),
+    * plus an hour-offset relation (≤ 24 rows per day) carrying the
+    * cross-bucket carry-in, joined back by (day, hour). No global or
+    * whole-day single-partition window anywhere, so the plan survives
+    * a day with billions of boundaries; the oracle replays the
+    * equivalent single-window spelling and the results are equal by
+    * prefix-sum associativity. */
+  def eventConcurrencyOn(events: DataFrame,
+      gapMin: Int = SessionGapMin): DataFrame = {
+    require(gapMin >= 1, s"need gapMin >= 1, got $gapMin")
+    val gapUs = gapMin.toLong * 60L * 1000000L
+    val wU = Window.partitionBy("user_id").orderBy("us")
+    val sess = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(wU))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(wU))
+      .groupBy("user_id", "sid")
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+    // midnight split: one row per calendar day the session touches,
+    // clamped to that day's [00:00:00.000000, 23:59:59.999999]
+    val segs = sess
+      .withColumn("d", explode(sequence(
+        to_date(timestamp_micros(col("s"))),
+        to_date(timestamp_micros(col("e"))))))
+      .withColumn("d0", unix_micros(col("d").cast("timestamp")))
+      .select(col("user_id"), col("sid"), col("d"),
+        greatest(col("s"), col("d0")).as("t0"),
+        least(col("e"), col("d0") + 86399999999L).as("t1"))
+    val bounds = segs.select(col("d"), col("user_id"), col("sid"),
+        explode(array(
+          struct(col("t0").as("t"), lit(1L).as("delta")),
+          struct(col("t1").as("t"), lit(-1L).as("delta")))).as("b"))
+      .select(col("d"), col("user_id"), col("sid"),
+        col("b.t").as("t"), col("b.delta").as("delta"))
+      .withColumn("h", expr("(t % 86400000000) div 3600000000"))
+      .localCheckpoint(true) // read by both sweep phases
+    val wLocal = Window.partitionBy("d", "h")
+      .orderBy(col("t").asc, col("delta").desc,
+        col("user_id").asc, col("sid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bounds.withColumn("run_local", sum(col("delta")).over(wLocal))
+    val wOff = Window.partitionBy("d").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bounds.groupBy("d", "h")
+      .agg(sum(col("delta")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select("d", "h", "off")
+    local.join(offsets, Seq("d", "h"))
+      .groupBy("d")
+      .agg(max(col("run_local") + col("off")).as("peak_concurrency"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("n_segments"))
+      .orderBy("d")
+  }
+
+  def eventConcurrency(s: SparkSession, dir: String): DataFrame =
+    eventConcurrencyOn(Tables.events(s, dir))
+
+  /** L21b: lead-lag cross-correlation between two daily event series
+    * — "do clicks on day d predict purchases on day d+k?", the
+    * two-series sibling of ts_autocorr (same spine-filled calendar
+    * grid, same exact-moment Pearson). For each lag k in
+    * [−maxLag, maxLag], pairs (x(d), y(d+k)) over the overlapping
+    * days; r computed from BIGINT moment sums through DECIMAL(38,0)
+    * with one double sqrt at the end (agg_corr precedent), rounded to
+    * 6 places. The lag join is an equi-join on the day index — the
+    * non-equi "d+k" folds into the join key arithmetic; the series
+    * relation is calendar-bounded (days × 2 rows), so every window
+    * and join here is independent of corpus size — the fact pass is
+    * the one daily rollup. */
+  def tsXcorrOn(events: DataFrame, xType: String = "click",
+      yType: String = "purchase", maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val daily = events
+      .filter(col("event_type").isin(xType, yType))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = daily.sparkSession.range(1).crossJoin(broadcast(span))
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      .select(datediff(col("d"), to_date(lit("1970-01-01")))
+        .cast("long").as("i"))
+    def series(t: String) = spine
+      .join(daily.filter(col("event_type") === t)
+          .select(datediff(col("d"), to_date(lit("1970-01-01")))
+            .cast("long").as("i"), col("c")),
+        Seq("i"), "left")
+      .select(col("i"), coalesce(col("c"), lit(0L)).as("c"))
+    val xs = series(xType).select(col("i"), col("c").as("x"))
+      .localCheckpoint(true)
+    val ys = series(yType).select(col("i").as("yi"), col("c").as("y"))
+      .localCheckpoint(true)
+    val ks = xs.sparkSession.range(1).select(explode(
+      sequence(lit(-maxLag.toLong), lit(maxLag.toLong))).as("k"))
+    xs.crossJoin(broadcast(ks))
+      .join(ys, col("yi") === col("i") + col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("vx", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("vy", expr(
+        "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      .select(col("k"), col("n"),
+        when(col("vx") > 0 && col("vy") > 0, round(expr(
+          """CAST(CAST(n AS DECIMAL(38,0)) * sxy
+            |  - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+            |/ (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))"""
+            .stripMargin), 6)).as("r_xcorr"))
+      .orderBy("k")
+  }
+
+  def tsXcorr(s: SparkSession, dir: String): DataFrame =
+    tsXcorrOn(Tables.events(s, dir))
+
+  /** (zα/2 + zβ)² for α = 0.05 two-sided, power = 0.8 —
+    * (1.959964 + 0.841621)², pinned in micro-units so the sizing
+    * formula is pure integer arithmetic. */
+  val PowerKMicro = 7848886L
+
+  /** L21c: two-proportion experiment sizing — "how many users per arm
+    * would the NEXT experiment need to detect the effect we just
+    * observed?" (Lehr/standard normal-approximation sample size,
+    * planning sibling of [[Events.eventAbTestOn]] which tests the
+    * CURRENT one). Same arm assignment and per-user conversion rollup
+    * as the test; then
+    *   n_per_arm = K · (p0(1−p0) + p1(1−p1)) / (p1−p0)²
+    * spelled exactly: rates in ppm, variance term v in ppm² (≤ 5·10¹¹),
+    * K in micro-units, one integral DIV in DECIMAL(38,0):
+    *   n = (K_micro · v) DIV (δ_ppm² · 10⁶)
+    * — all operands non-negative, so Spark DIV and DuckDB // agree
+    * bit-for-bit. δ = 0 (or an empty arm) gates to NULL rather than
+    * dividing by zero. Shape: one user-keyed map-side-combined
+    * rollup, then arithmetic on a 1-row relation. */
+  def eventPowerOn(events: DataFrame): DataFrame = {
+    val users = events
+      .select(col("user_id"),
+        (col("event_type") === "purchase").cast("long").as("isp"))
+      .groupBy("user_id")
+      .agg(max(col("isp")).as("converted"))
+      .select((col("user_id") % 2).cast("int").as("variant"),
+        col("converted"))
+    val arms = users.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    val a = arms.filter(col("variant") === 0)
+      .select(col("n_users").as("n0"), col("n_conv").as("x0"))
+    val b = arms.filter(col("variant") === 1)
+      .select(col("n_users").as("n1"), col("n_conv").as("x1"))
+    a.crossJoin(b) // both sides are single-row reductions
+      .select(col("n0"), col("x0"), col("n1"), col("x1"),
+        expr("CAST(x0 * 1000000 DIV n0 AS BIGINT)").as("p0_ppm"),
+        expr("CAST(x1 * 1000000 DIV n1 AS BIGINT)").as("p1_ppm"))
+      .withColumn("delta_ppm", col("p1_ppm") - col("p0_ppm"))
+      .withColumn("n_per_arm", expr(
+        s"""CASE WHEN delta_ppm <> 0 THEN
+           |  CAST($PowerKMicro
+           |    * (CAST(p0_ppm AS DECIMAL(38,0)) * (1000000 - p0_ppm)
+           |       + CAST(p1_ppm AS DECIMAL(38,0)) * (1000000 - p1_ppm))
+           |    DIV (CAST(delta_ppm AS DECIMAL(38,0)) * delta_ppm
+           |         * 1000000) AS BIGINT) END""".stripMargin))
+  }
+
+  def eventPower(s: SparkSession, dir: String): DataFrame =
+    eventPowerOn(Tables.events(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_concurrency" -> eventConcurrency,
+    "ts_xcorr" -> tsXcorr,
+    "event_power" -> eventPower,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "event_concurrency" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |lagd AS (SELECT user_id, us,
+         |    LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+         |  FROM ev),
+         |marked AS (SELECT user_id, us,
+         |    CASE WHEN prev IS NULL OR us - prev > ${SessionGapMin}*60*1000000
+         |      THEN 1 ELSE 0 END AS new_s
+         |  FROM lagd),
+         |sids AS (SELECT user_id, us,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked),
+         |sess AS (SELECT user_id, sid, MIN(us) AS s, MAX(us) AS e
+         |  FROM sids GROUP BY user_id, sid),
+         |segs AS (SELECT user_id, sid, CAST(g.dt AS DATE) AS d,
+         |    GREATEST(s, epoch_us(g.dt)) AS t0,
+         |    LEAST(e, epoch_us(g.dt) + 86399999999) AS t1
+         |  FROM sess, UNNEST(generate_series(
+         |    date_trunc('day', make_timestamp(s)),
+         |    date_trunc('day', make_timestamp(e)),
+         |    INTERVAL 1 DAY)) AS g(dt)),
+         |bounds AS (
+         |  SELECT d, user_id, sid, t0 AS t, CAST(1 AS BIGINT) AS delta
+         |    FROM segs
+         |  UNION ALL
+         |  SELECT d, user_id, sid, t1 AS t, CAST(-1 AS BIGINT) AS delta
+         |    FROM segs),
+         |run AS (SELECT d, delta,
+         |    SUM(delta) OVER (PARTITION BY d
+         |      ORDER BY t ASC, delta DESC, user_id ASC, sid ASC
+         |      ROWS UNBOUNDED PRECEDING) AS r
+         |  FROM bounds)
+         |SELECT d, MAX(r) AS peak_concurrency,
+         |  CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_segments
+         |FROM run GROUP BY d ORDER BY d""".stripMargin,
+    "ts_xcorr" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+        |spine AS (SELECT CAST(CAST(g.dt AS DATE) - DATE '1970-01-01'
+        |      AS BIGINT) AS i
+        |  FROM span, UNNEST(generate_series(
+        |    CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS g(dt)),
+        |dl AS (SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS i,
+        |    event_type, c
+        |  FROM daily),
+        |xs AS (SELECT spine.i, COALESCE(dl.c, 0) AS x
+        |  FROM spine LEFT JOIN dl
+        |    ON dl.i = spine.i AND dl.event_type = 'click'),
+        |ys AS (SELECT spine.i AS yi, COALESCE(dl.c, 0) AS y
+        |  FROM spine LEFT JOIN dl
+        |    ON dl.i = spine.i AND dl.event_type = 'purchase'),
+        |ks AS (SELECT CAST(kk AS BIGINT) AS k
+        |  FROM UNNEST(generate_series(-7, 7)) AS t(kk)),
+        |m AS (SELECT k, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM xs CROSS JOIN ks JOIN ys ON yi = i + k
+        |  GROUP BY k),
+        |v AS (SELECT k, n, sx, sy, sxy, sxx, syy,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS vx,
+        |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vy
+        |  FROM m)
+        |SELECT k, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    ROUND(CAST(CAST(n AS HUGEINT) * sxy
+        |        - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |      / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))), 6)
+        |  END AS r_xcorr
+        |FROM v ORDER BY k""".stripMargin,
+    "event_power" ->
+      s"""WITH u AS (SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS converted
+         |  FROM events GROUP BY user_id),
+         |arms AS (SELECT CAST(user_id % 2 AS INT) AS variant,
+         |    CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    CAST(SUM(converted) AS BIGINT) AS n_conv
+         |  FROM u GROUP BY 1),
+         |ab AS (SELECT
+         |    (SELECT n_users FROM arms WHERE variant = 0) AS n0,
+         |    (SELECT n_conv FROM arms WHERE variant = 0) AS x0,
+         |    (SELECT n_users FROM arms WHERE variant = 1) AS n1,
+         |    (SELECT n_conv FROM arms WHERE variant = 1) AS x1),
+         |r AS (SELECT n0, x0, n1, x1,
+         |    CAST(x0 * 1000000 // n0 AS BIGINT) AS p0_ppm,
+         |    CAST(x1 * 1000000 // n1 AS BIGINT) AS p1_ppm
+         |  FROM ab)
+         |SELECT n0, x0, n1, x1, p0_ppm, p1_ppm,
+         |  p1_ppm - p0_ppm AS delta_ppm,
+         |  CAST(CASE WHEN p1_ppm - p0_ppm <> 0 THEN
+         |    $PowerKMicro
+         |      * (CAST(p0_ppm AS HUGEINT) * (1000000 - p0_ppm)
+         |         + CAST(p1_ppm AS HUGEINT) * (1000000 - p1_ppm))
+         |      // (CAST(p1_ppm - p0_ppm AS HUGEINT) * (p1_ppm - p0_ppm)
+         |          * 1000000) END AS BIGINT) AS n_per_arm
+         |FROM r""".stripMargin,
+  )
+}

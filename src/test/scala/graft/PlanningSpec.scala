@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import graft.operators.Planning
+
+/** Hand-computable fixtures for the capacity/experiment-planning
+  * operators (operators/Planning.scala): the interval-sweep peak
+  * concurrency, lead-lag cross-correlation, and two-proportion
+  * sample-size planning. Each also has a DuckDB oracle; these pin
+  * the intended semantics directly. */
+class PlanningSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String)*): DataFrame =
+    rows.zipWithIndex.map { case ((uid, et, t), i) =>
+      (i.toLong, ts(t), uid, et, 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("concurrency: overlapping sessions of two users peak at 2") {
+    // u1 active 10:00-10:20, u2 active 10:10-10:30 -> overlap 10:10-10:20
+    val e = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 10:20:00"),
+      (2L, "view", "2024-01-01 10:10:00"),
+      (2L, "view", "2024-01-01 10:30:00"))
+    val r = Planning.eventConcurrencyOn(e).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 2L) // peak
+    assert(r(0).getLong(2) === 2L) // two session segments that day
+  }
+
+  test("concurrency: a >30min gap splits one user into two sessions, peak stays 1") {
+    val e = ev(
+      (1L, "view", "2024-01-01 09:00:00"),
+      (1L, "view", "2024-01-01 09:10:00"),
+      (1L, "view", "2024-01-01 11:00:00")) // 110min after: new session
+    val r = Planning.eventConcurrencyOn(e).collect()
+    assert(r(0).getLong(1) === 1L)
+    assert(r(0).getLong(2) === 2L)
+  }
+
+  test("concurrency: touching end/start instants count as concurrent (start-before-end tie rule)") {
+    // u2's session starts at the exact microsecond u1's ends
+    val e = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 10:10:00"),
+      (2L, "view", "2024-01-01 10:10:00"),
+      (2L, "view", "2024-01-01 10:15:00"))
+    assert(Planning.eventConcurrencyOn(e).collect()(0).getLong(1) === 2L)
+  }
+
+  test("concurrency: a midnight-crossing session is split and counted on both days") {
+    val e = ev(
+      (1L, "view", "2024-01-01 23:50:00"),
+      (1L, "view", "2024-01-02 00:10:00"))
+    val r = Planning.eventConcurrencyOn(e)
+      .select("d", "peak_concurrency", "n_segments")
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    assert(r.map(_._1.toString) === Seq("2024-01-01", "2024-01-02"))
+    assert(r.map(_._2) === Seq(1L, 1L))
+    assert(r.map(_._3) === Seq(1L, 1L))
+  }
+
+  test("xcorr: purchases = clicks shifted by 2 days -> r exactly 1 at k=2") {
+    // clicks on days 1-4 with counts 1,2,3,4; purchases identical on
+    // days 3-6: at k=2 the overlapping pairs are (1,1),(2,2),(3,3),(4,4)
+    val rows = for {
+      (day, n, et) <- Seq(("01", 1, "click"), ("02", 2, "click"),
+        ("03", 3, "click"), ("04", 4, "click"),
+        ("03", 1, "purchase"), ("04", 2, "purchase"),
+        ("05", 3, "purchase"), ("06", 4, "purchase"))
+      j <- 1 to n
+    } yield (j.toLong, s"2024-01-$day 0$j:00:00")
+    val e = ev(rows.zip(rows.indices).map { case ((u, t), i) =>
+      (u, if (i < 10) "click" else "purchase", t)
+    }: _*)
+    // rebuild with correct event types: first 10 rows are the click
+    // days (1+2+3+4), the rest the purchase days
+    val r = Planning.tsXcorrOn(e, maxLag = 3)
+      .select("k", "r_xcorr").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(r(2L) === Some(1.0))
+    assert(r(0L).exists(_ < 1.0)) // unshifted series are not identical
+  }
+
+  test("power: n0=n1=5, x0=1, x1=2 -> n_per_arm = 78 (hand-checked)") {
+    // p0=0.2, p1=0.4 -> v = 2e5*8e5 + 4e5*6e5 = 4.0e11 ppm^2,
+    // delta = 2e5 ppm -> n = 7848886 * 4e11 div (4e10 * 1e6) = 78
+    val rows = (0L to 9L).map { u =>
+      (u, if (u == 0L || u == 1L || u == 3L) "purchase" else "view",
+        s"2024-01-01 0${u % 10}:00:00")
+    }
+    val e = ev(rows: _*)
+    val r = Planning.eventPowerOn(e).collect()(0)
+    assert(r.getAs[Long]("n0") === 5L)
+    assert(r.getAs[Long]("x0") === 1L)
+    assert(r.getAs[Long]("x1") === 2L)
+    assert(r.getAs[Long]("delta_ppm") === 200000L)
+    assert(r.getAs[Long]("n_per_arm") === 78L)
+  }
+
+  test("power: equal conversion rates gate to NULL instead of dividing by zero") {
+    val e = ev(
+      (0L, "purchase", "2024-01-01 01:00:00"),
+      (1L, "purchase", "2024-01-01 02:00:00"))
+    assert(Planning.eventPowerOn(e).collect()(0)
+      .isNullAt(Planning.eventPowerOn(e).columns.indexOf("n_per_arm")))
+  }
+}
