@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -1144,7 +1145,65 @@ object Clusters {
         col("c_nationkey").as("grp"), col("c_acctbal").as("bal")))
       .orderBy("cluster_id")
 
+  /** Walk length for [[graphRandomWalkOn]] — bounded and unrolled, so
+    * the plan is linear in it (DeepWalk uses 40+; 4 keeps the oracle
+    * replay tractable while exercising the full join shape). */
+  val WalkSteps = 4
+
+  /** L18n: deterministic DeepWalk-style walk corpus (Perozzi et al.,
+    * KDD 2014) — the graph-embedding training-data generator: one
+    * walk per node, each step moving to a pseudo-randomly chosen
+    * neighbor. "Random" is a derandomized LCG draw
+    *   r(w, k) = (w·1103515245 + k·12345 + 6789) mod 2³¹,
+    * next = neighbor ranked r mod degree — the dedup_minhash seeding
+    * discipline: both engines replay the identical walk, no RNG state.
+    *
+    * Scale shape: the neighbor relation carries a per-source dense
+    * rank (one keyed window), degrees are a slim (src, deg) rollup,
+    * and each of the [[WalkSteps]] unrolled rounds is TWO equi-joins —
+    * frontier⋈degs on the node to form the rank draw, then
+    * frontier⋈neighbors on (node, rank) to move. Nothing ever
+    * materializes a hub's full adjacency against the frontier: the
+    * (node, rank) key selects exactly ONE neighbor row per walk per
+    * step, so a power-law hub costs the same as a leaf. Frontier size
+    * is constant (|V|), rounds are bounded — the classic bounded-
+    * iteration Pregel shape, same tier as [[graphPagerankOn]]. */
+  def graphRandomWalkOn(edges: DataFrame, steps: Int = WalkSteps): DataFrame = {
+    require(steps >= 1, s"need steps >= 1, got $steps")
+    val Array(cs, cd) = edges.columns.take(2)
+    val e = edges.select(col(cs).cast("long").as("src"),
+      col(cd).cast("long").as("dst")).distinct()
+    val wN = Window.partitionBy("src").orderBy("dst")
+    val nbrs = e
+      .withColumn("rn", row_number().over(wN).cast("long") - 1)
+      .localCheckpoint(true) // read once per unrolled step
+    val degs = nbrs.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var frontier = degs.select(col("src").as("walk_id"))
+      .withColumn("node", col("walk_id"))
+    var out = frontier.withColumn("step", lit(0L))
+    for (k <- 1 to steps) {
+      val draw = frontier
+        .join(degs, frontier("node") === degs("src"))
+        .select(col("walk_id"), col("node"),
+          expr(s"((walk_id * 1103515245 + $k * 12345 + 6789) " +
+            "% 2147483648) % deg").as("rnk"))
+      frontier = draw.join(nbrs,
+          draw("node") === nbrs("src") && draw("rnk") === nbrs("rn"))
+        .select(col("walk_id"), col("dst").as("node"))
+      out = out.union(frontier.withColumn("step", lit(k.toLong)))
+    }
+    out.select("walk_id", "step", "node").orderBy("walk_id", "step")
+  }
+
+  /** Catalog form: walks over the undirected customer–supplier trade
+    * graph (same edge relation as [[graphPagerank]]; every node has
+    * degree ≥ 1 in it, so walks never dead-end). */
+  def graphRandomWalk(s: SparkSession, dir: String): DataFrame =
+    graphRandomWalkOn(bipartiteEdges(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_random_walk" -> graphRandomWalk,
     "graph_louvain_move" -> graphLouvainMove,
     "er_golden_record" -> erGoldenRecord,
     "er_pipeline" -> erPipeline,
@@ -1287,7 +1346,38 @@ object Clusters {
        |  WHERE a.grp = b.grp AND levenshtein(a.name, b.name) <= 1),
        |$ccCoreSql""".stripMargin
 
+  /** Unrolled walk steps — each wk CTE replays the engine's LCG draw
+    * and (node, rank) neighbor selection for step k exactly. */
+  private val walkIterSql = (1 to WalkSteps).map { k =>
+    val prev = s"w${k - 1}"
+    s"""w$k AS MATERIALIZED (SELECT w.walk_id, nb.dst AS node
+       |  FROM $prev w JOIN deg d ON w.node = d.src
+       |  JOIN nb ON nb.src = w.node
+       |    AND nb.rn = ((w.walk_id * 1103515245 + $k * 12345 + 6789)
+       |                 % 2147483648) % d.deg)""".stripMargin
+  }.mkString(",\n")
+
+  private val walkUnionSql = (0 to WalkSteps).map { k =>
+    s"SELECT walk_id, CAST($k AS BIGINT) AS step, node FROM w$k"
+  }.mkString("\nUNION ALL ")
+
   val oracles: Map[String, String] = Map(
+    "graph_random_walk" ->
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
+         |    l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |eb AS (SELECT src, dst FROM e
+         |       UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |nb AS MATERIALIZED (SELECT src, dst,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+         |      AS BIGINT) - 1 AS rn
+         |  FROM eb),
+         |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM nb GROUP BY src),
+         |w0 AS (SELECT src AS walk_id, src AS node FROM deg),
+         |$walkIterSql
+         |$walkUnionSql
+         |ORDER BY walk_id, step""".stripMargin,
     "graph_projection" ->
       """WITH e AS (SELECT DISTINCT l_orderkey AS grp, l_suppkey AS member
         |  FROM lineitem),

@@ -720,7 +720,69 @@ object Corpus {
   def profileSkew(s: SparkSession, dir: String): DataFrame =
     profileSkewOn(Tables.events(s, dir), "user_id", 10)
 
+  /** Budget denominator for [[corpusTokenBudget]]: keep the top-N-th
+    * of the corpus by tokens (B = total div 5 → a 20% token budget). */
+  val BudgetDiv = 5L
+
+  /** L8b: greedy token-budget selection — "fill a 20%-of-corpus token
+    * budget with the highest-quality documents first", the curation
+    * step that turns a quality score plus a compute budget into a
+    * training set (the budget sibling of corpus_quality_bins's
+    * reporting). Quality = type-token ratio in milli (distinct
+    * whitespace tokens ·1000 div tokens — exact integers), priority
+    * order (ttr_milli DESC, doc_id ASC), and a doc is kept iff the
+    * running token total up to and including it fits the budget (a
+    * PREFIX cut: the first overflowing doc stops the take).
+    *
+    * The prefix sum is spelled in the scalable two-phase form (the
+    * event_concurrency discipline): per-score local running sums
+    * (windows partitioned by the bounded ttr_milli domain, ≤ 1001
+    * values), plus a cumulative carry-in per score computed on the
+    * ≤ 1001-row score histogram — never a corpus-wide single-
+    * partition window. The budget itself crosses as a broadcast
+    * 1-row total. A pathological corpus where one score bucket
+    * dominates re-buckets by (score, doc_id range) with one more
+    * offset level — same trick, noted here, not needed at any
+    * realistic score granularity. The oracle replays the equivalent
+    * single-window prefix rule; equality is prefix-sum
+    * associativity. */
+  def corpusTokenBudgetOn(docs: DataFrame,
+      budgetDiv: Long = BudgetDiv): DataFrame = {
+    require(budgetDiv >= 1, s"need budgetDiv >= 1, got $budgetDiv")
+    val scored = docs.select(col("doc_id"),
+        split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("toks"),
+        size(array_distinct(col("tk"))).cast("long").as("dtoks"))
+      .select(col("doc_id"), col("toks"),
+        expr("dtoks * 1000 div toks").as("ttr_milli"))
+      .localCheckpoint(true) // read by the histogram and the take
+    val budget = scored.agg(expr(s"sum(toks) div $budgetDiv").as("b"))
+    // carry-in per score: total tokens of all STRICTLY better scores
+    val wAbove = Window.orderBy(col("ttr_milli").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = scored.groupBy("ttr_milli")
+      .agg(sum(col("toks")).as("st"))
+      .withColumn("above", coalesce(sum(col("st")).over(wAbove), lit(0L)))
+      .select("ttr_milli", "above")
+    val wIn = Window.partitionBy("ttr_milli")
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_in", sum(col("toks")).over(wIn))
+      .join(hist, Seq("ttr_milli"))
+      .crossJoin(broadcast(budget))
+      .filter(col("above") + col("cum_in") <= col("b"))
+      .select(col("doc_id"), col("ttr_milli"), col("toks"),
+        (col("above") + col("cum_in")).as("cum_toks"))
+      .orderBy("doc_id")
+  }
+
+  def corpusTokenBudget(s: SparkSession, dir: String): DataFrame =
+    corpusTokenBudgetOn(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_token_budget" -> corpusTokenBudget,
     "text_pack_sequences" -> textPackSequences,
     "sample_stratified" -> sampleStratified,
     "sample_neyman" -> sampleNeyman,
@@ -750,6 +812,21 @@ object Corpus {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_token_budget" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         |    CAST(len(list_distinct(string_split(text, ' ')))
+         |      AS BIGINT) * 1000
+         |      // CAST(len(string_split(text, ' ')) AS BIGINT)
+         |      AS ttr_milli
+         |  FROM documents),
+         |b AS (SELECT SUM(toks) // $BudgetDiv AS bt FROM sc),
+         |run AS (SELECT doc_id, ttr_milli, toks,
+         |    SUM(toks) OVER (ORDER BY ttr_milli DESC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum_toks
+         |  FROM sc)
+         |SELECT doc_id, ttr_milli, toks, cum_toks
+         |FROM run, b WHERE cum_toks <= bt ORDER BY doc_id""".stripMargin,
     "corpus_unimax" ->
       """WITH st AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
         |  FROM documents GROUP BY lang),
