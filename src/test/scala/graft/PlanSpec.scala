@@ -806,4 +806,43 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastNestedLoopJoin BuildRight, LeftAnti"), p)
   }
+
+  test("event_concurrency: the sweep is the two-phase prefix sum — " +
+    "no single-partition exchange anywhere in the plan") {
+    val p = plan(operators.Planning.eventConcurrency(spark, sf))
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // local sweep runs under the (d, h) bucket key
+    assert(p.contains("hashpartitioning(d"), p)
+  }
+
+  test("ts_xcorr: the lag fan-out is a broadcast over the calendar-" +
+    "bounded series — no cartesian product, no shuffle of the spine " +
+    "per lag") {
+    val p = plan(operators.Planning.tsXcorr(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("event_power: after the user rollup everything is single-row " +
+    "broadcast algebra — no cartesian product") {
+    val p = plan(operators.Planning.eventPower(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_random_walk: every step is (node, rank) equi-join " +
+    "algebra — no nested-loop or cartesian expansion of adjacency") {
+    val p = plan(functions.Clusters.graphRandomWalk(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("corpus_token_budget: single-partition exchanges are only the " +
+    "score histogram and the 1-row budget total; the in-bin take is " +
+    "keyed by score") {
+    // both allowed single-partition spans are bounded relations: the
+    // <=1001-row ttr histogram and the scalar sum(toks) reduction
+    val p = plan(functions.Corpus.corpusTokenBudget(spark, sf))
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("hashpartitioning(ttr_milli"), p)
+  }
 }
