@@ -1202,8 +1202,80 @@ object Clusters {
   def graphRandomWalk(s: SparkSession, dir: String): DataFrame =
     graphRandomWalkOn(bipartiteEdges(s, dir))
 
+  /** Integer node2vec weights for [[graphNode2vecWalkOn]] —
+    * return/common/forward = 1/2/4, i.e. p = 2, q = 1/2 in node2vec
+    * terms (explore-leaning), kept as exact integers so the
+    * cumulative-weight draw needs no float normalization. */
+  val N2vReturnW = 1L
+  val N2vCommonW = 2L
+  val N2vForwardW = 4L
+
+  /** L18o: node2vec second-order biased walks (Grover & Leskovec, KDD
+    * 2016) — the walk corpus with the return/explore dial: a step
+    * from `cur` (having arrived from `prev`) weights each neighbor x
+    * by its distance to prev — 1 for going back (x = prev), 2 for
+    * staying in the triangle (edge prev–x exists), 4 for leaving the
+    * neighborhood. The draw is the same derandomized LCG as
+    * [[graphRandomWalkOn]], landed on the CUMULATIVE weight line:
+    * next = the unique candidate with cumw − w ≤ r mod Σw < cumw.
+    *
+    * Scale shape per unrolled step: frontier⋈neighbors on the current
+    * node (this one, unlike the uniform walk, DOES materialize the
+    * frontier's adjacency — inherent to second-order bias, the same
+    * cost node2vec's alias tables pay in preprocessing), a LEFT
+    * equi-join against the edge set on (prev, x) to classify, and
+    * one walk-keyed window for the cumulative line — candidate rows
+    * per step are Σ deg(cur), bounded by |E|, never deg². The first
+    * step has prev = start, so every candidate classifies as
+    * "common" and the draw is uniform — no special case. */
+  def graphNode2vecWalkOn(edges: DataFrame, steps: Int = 3): DataFrame = {
+    require(steps >= 1, s"need steps >= 1, got $steps")
+    val Array(cs, cd) = edges.columns.take(2)
+    val e = edges.select(col(cs).cast("long").as("src"),
+      col(cd).cast("long").as("dst")).distinct()
+      .localCheckpoint(true) // read by every step's move and classify
+    var frontier = e.select(col("src").as("walk_id")).distinct()
+      .select(col("walk_id"), col("walk_id").as("prev"),
+        col("walk_id").as("cur"))
+    var out = frontier.select(col("walk_id"), lit(0L).as("step"),
+      col("cur").as("node"))
+    val wW = Window.partitionBy("walk_id")
+    val wC = Window.partitionBy("walk_id").orderBy("dst")
+    for (k <- 1 to steps) {
+      val cand = frontier
+        .join(e, frontier("cur") === e("src"))
+        .select(col("walk_id"), col("prev"), col("cur"), col("dst"))
+      val ep = e.select(col("src").as("p_src"), col("dst").as("p_dst"))
+      val weighted = cand
+        .join(ep, cand("prev") === ep("p_src") &&
+          cand("dst") === ep("p_dst"), "left")
+        .select(col("walk_id"), col("cur"), col("dst"),
+          when(col("dst") === col("prev"), lit(N2vReturnW))
+            .when(col("p_src").isNotNull, lit(N2vCommonW))
+            .otherwise(lit(N2vForwardW)).as("w"))
+      val drawn = weighted
+        .withColumn("cumw", sum(col("w"))
+          .over(wC.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("w")).over(wW))
+        .withColumn("r", expr(
+          s"((walk_id * 1103515245 + $k * 12345 + 6789) % 2147483648) % tot"))
+        .filter(col("cumw") > col("r") && col("cumw") - col("w") <= col("r"))
+      frontier = drawn.select(col("walk_id"), col("cur").as("prev"),
+        col("dst").as("cur"))
+      out = out.union(frontier.select(col("walk_id"),
+        lit(k.toLong).as("step"), col("cur").as("node")))
+    }
+    out.orderBy("walk_id", "step")
+  }
+
+  /** Catalog form: biased walks over the same trade graph as
+    * [[graphRandomWalk]]. */
+  def graphNode2vecWalk(s: SparkSession, dir: String): DataFrame =
+    graphNode2vecWalkOn(bipartiteEdges(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_random_walk" -> graphRandomWalk,
+    "graph_node2vec_walk" -> graphNode2vecWalk,
     "graph_louvain_move" -> graphLouvainMove,
     "er_golden_record" -> erGoldenRecord,
     "er_pipeline" -> erPipeline,
@@ -1361,7 +1433,45 @@ object Clusters {
     s"SELECT walk_id, CAST($k AS BIGINT) AS step, node FROM w$k"
   }.mkString("\nUNION ALL ")
 
+  /** Unrolled node2vec steps — each fk CTE replays classify (1/2/4
+    * weights), the cumulative-weight line, and the LCG landing. */
+  private val n2vIterSql = (1 to 3).map { k =>
+    val prev = s"f${k - 1}"
+    s"""c$k AS (SELECT f.walk_id, f.prev, f.cur, nb.dst,
+       |    CASE WHEN nb.dst = f.prev THEN $N2vReturnW
+       |         WHEN ep.src IS NOT NULL THEN $N2vCommonW
+       |         ELSE $N2vForwardW END AS w
+       |  FROM $prev f JOIN eb nb ON nb.src = f.cur
+       |  LEFT JOIN eb ep ON ep.src = f.prev AND ep.dst = nb.dst),
+       |d$k AS (SELECT walk_id, cur, dst, w,
+       |    SUM(w) OVER (PARTITION BY walk_id ORDER BY dst
+       |      ROWS UNBOUNDED PRECEDING) AS cumw,
+       |    SUM(w) OVER (PARTITION BY walk_id) AS tot
+       |  FROM c$k),
+       |f$k AS MATERIALIZED (SELECT walk_id, cur AS prev, dst AS cur
+       |  FROM d$k
+       |  WHERE cumw > ((walk_id * 1103515245 + $k * 12345 + 6789)
+       |                % 2147483648) % tot
+       |    AND cumw - w <= ((walk_id * 1103515245 + $k * 12345 + 6789)
+       |                     % 2147483648) % tot)""".stripMargin
+  }.mkString(",\n")
+
+  private val n2vUnionSql = (0 to 3).map { k =>
+    s"SELECT walk_id, CAST($k AS BIGINT) AS step, cur AS node FROM f$k"
+  }.mkString("\nUNION ALL ")
+
   val oracles: Map[String, String] = Map(
+    "graph_node2vec_walk" ->
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
+         |    l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |eb AS MATERIALIZED (SELECT src, dst FROM e
+         |       UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |f0 AS (SELECT DISTINCT src AS walk_id, src AS prev, src AS cur
+         |  FROM eb),
+         |$n2vIterSql
+         |$n2vUnionSql
+         |ORDER BY walk_id, step""".stripMargin,
     "graph_random_walk" ->
       s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
          |    l_suppkey + 1000000 AS dst

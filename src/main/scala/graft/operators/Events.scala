@@ -1217,6 +1217,70 @@ object Events {
   def eventAttributionPosition(s: SparkSession, dir: String): DataFrame =
     eventAttributionPositionOn(Tables.events(s, dir))
 
+  /** Half-life for [[eventAttributionDecayOn]], in whole days. */
+  val DecayHalflifeDays = 3L
+
+  /** L20s: exponential time-decay multi-touch attribution — the third
+    * credit model beside last-touch ([[eventAttributionOn]]) and
+    * U-shaped ([[eventAttributionPositionOn]]): a touch's credit
+    * halves for every [[DecayHalflifeDays]] days between it and the
+    * conversion, so recent touches dominate without zeroing the
+    * early-funnel ones. Same journey model as the U-shaped op (a
+    * journey = the touches between consecutive purchases, keyed by
+    * the running purchase count).
+    *
+    * Decay is quantized to WHOLE half-lives so the weights stay exact
+    * integers: w_micro = 10⁶ >> (age_days div H) — a floor division
+    * by a power of two that both engines replay bit-for-bit (the
+    * dyadic-EWMA discipline, no float pow). Credit normalizes per
+    * journey: credit_ppm = w·10⁶ div Σw, integral DIV on non-negative
+    * operands; a journey whose touches have ALL decayed to zero
+    * weight credits nothing (gated, no division by zero). Shape: the
+    * same two user-keyed windows and one (user, conv) equi-join as
+    * the position model — nothing new crosses the wire. */
+  def eventAttributionDecayOn(events: DataFrame,
+      halflifeDays: Long = DecayHalflifeDays): DataFrame = {
+    require(halflifeDays >= 1, s"need halflifeDays >= 1, got $halflifeDays")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus").asc, col("event_id").asc)
+    val marked = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      .withColumn("p_before",
+        coalesce(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    val touches = marked.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), (col("p_before") + 1).as("conv"),
+        col("tus"), col("event_id"), col("event_type"))
+    val purchases = marked.filter(col("event_type") === "purchase")
+      .select(col("user_id"), (col("p_before") + 1).as("conv"),
+        col("tus").as("p_tus"))
+    val wn = Window.partitionBy("user_id", "conv")
+    val credited = touches.join(purchases, Seq("user_id", "conv"))
+      .withColumn("age_days", expr("(p_tus - tus) div 86400000000"))
+      .withColumn("w_micro", expr(
+        s"shiftright(1000000L, CAST(least(age_days div $halflifeDays, 62) AS INT))"))
+      .withColumn("tot", sum(col("w_micro")).over(wn))
+      .filter(col("tot") > 0)
+      .withColumn("credit_ppm", expr("w_micro * 1000000 div tot"))
+    val attributed = credited.groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_contribs"),
+        sum(col("credit_ppm")).as("credit_ppm"))
+    val organic = purchases
+      .join(touches.select("user_id", "conv").distinct(),
+        Seq("user_id", "conv"), "left_anti")
+      .agg(count(lit(1)).as("n_contribs"),
+        (count(lit(1)) * 1000000L).as("credit_ppm"))
+      .select(lit("organic").as("channel"), col("n_contribs"),
+        col("credit_ppm"))
+    attributed.unionByName(organic)
+      .filter(col("n_contribs") > 0).orderBy("channel")
+  }
+
+  def eventAttributionDecay(s: SparkSession, dir: String): DataFrame =
+    eventAttributionDecayOn(Tables.events(s, dir))
+
   /** L20n: Markov-chain stationary distribution of the event-type
     * transition matrix — the steady-state "where do journeys spend
     * their time" summary on top of [[eventTransitionsOn]]'s pairwise
@@ -1851,6 +1915,7 @@ object Events {
     "event_anova" -> eventAnova,
     "event_did" -> eventDid,
     "event_attribution_position" -> eventAttributionPosition,
+    "event_attribution_decay" -> eventAttributionDecay,
     "event_rate_limit" -> eventRateLimit,
     "ts_anomaly_decomposed" -> tsAnomalyDecomposed,
     "event_markov_stationary" -> eventMarkovStationary,
@@ -2264,6 +2329,39 @@ object Events {
         |UNION ALL SELECT channel, n_contribs, credit_ppm FROM o
         |  WHERE n_contribs > 0
         |ORDER BY channel""".stripMargin,
+    "event_attribution_decay" ->
+      s"""WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+         |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS p_before
+         |  FROM events),
+         |t AS (SELECT user_id, p_before + 1 AS conv, tus, event_id, event_type
+         |  FROM m WHERE event_type <> 'purchase'),
+         |p AS (SELECT user_id, p_before + 1 AS conv, tus AS p_tus FROM m
+         |  WHERE event_type = 'purchase'),
+         |c AS (SELECT t.user_id, t.conv, t.event_type,
+         |    1000000 // (CAST(1 AS BIGINT) << CAST(LEAST(
+         |      ((p.p_tus - t.tus) // 86400000000) // $DecayHalflifeDays,
+         |      62) AS INT)) AS w_micro
+         |  FROM t JOIN p ON t.user_id = p.user_id AND t.conv = p.conv),
+         |n AS (SELECT user_id, conv, event_type, w_micro,
+         |    SUM(w_micro) OVER (PARTITION BY user_id, conv) AS tot
+         |  FROM c),
+         |a AS (SELECT event_type AS channel,
+         |    CAST(COUNT(*) AS BIGINT) AS n_contribs,
+         |    CAST(SUM(w_micro * 1000000 // tot) AS BIGINT) AS credit_ppm
+         |  FROM n WHERE tot > 0 GROUP BY 1),
+         |o AS (SELECT 'organic' AS channel,
+         |    CAST(COUNT(*) AS BIGINT) AS n_contribs,
+         |    CAST(COUNT(*) * 1000000 AS BIGINT) AS credit_ppm
+         |  FROM p LEFT JOIN (SELECT DISTINCT user_id, conv FROM t) tc
+         |    ON p.user_id = tc.user_id AND p.conv = tc.conv
+         |  WHERE tc.user_id IS NULL)
+         |SELECT channel, n_contribs, credit_ppm FROM a
+         |UNION ALL SELECT channel, n_contribs, credit_ppm FROM o
+         |  WHERE n_contribs > 0
+         |ORDER BY channel""".stripMargin,
     "event_rate_limit" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
         |    time_bucket(INTERVAL 2 MINUTES, ts) AS win

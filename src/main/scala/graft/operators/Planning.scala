@@ -52,12 +52,14 @@ object Planning {
     * a day with billions of boundaries; the oracle replays the
     * equivalent single-window spelling and the results are equal by
     * prefix-sum associativity. */
-  def eventConcurrencyOn(events: DataFrame,
-      gapMin: Int = SessionGapMin): DataFrame = {
+  /** Gap-threshold sessionization — one user-keyed window, shared by
+    * the sweep and the bounce readout: (user_id, sid, s, e, n_events)
+    * with s/e in epoch micros. */
+  private def sessionsOf(events: DataFrame, gapMin: Int): DataFrame = {
     require(gapMin >= 1, s"need gapMin >= 1, got $gapMin")
     val gapUs = gapMin.toLong * 60L * 1000000L
     val wU = Window.partitionBy("user_id").orderBy("us")
-    val sess = events
+    events
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
       .withColumn("prev", lag(col("us"), 1).over(wU))
       .withColumn("new_s",
@@ -65,7 +67,13 @@ object Planning {
           .otherwise(0L))
       .withColumn("sid", sum(col("new_s")).over(wU))
       .groupBy("user_id", "sid")
-      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"),
+        count(lit(1)).as("n_events"))
+  }
+
+  def eventConcurrencyOn(events: DataFrame,
+      gapMin: Int = SessionGapMin): DataFrame = {
+    val sess = sessionsOf(events, gapMin)
     // midnight split: one row per calendar day the session touches,
     // clamped to that day's [00:00:00.000000, 23:59:59.999999]
     val segs = sess
@@ -104,6 +112,31 @@ object Planning {
 
   def eventConcurrency(s: SparkSession, dir: String): DataFrame =
     eventConcurrencyOn(Tables.events(s, dir))
+
+  /** L21d: daily bounce rate and session depth — the engagement
+    * readout on the same sessionization as the sweep: per session-
+    * START day, how many sessions opened, what share were bounces
+    * (single-event sessions), and the mean events per session.
+    * Rates in exact ppm/milli (integral DIV, non-negative), so the
+    * oracle replays bit-for-bit. Shape: the sessionize window plus
+    * one day-keyed rollup — nothing else. */
+  def eventBounceOn(events: DataFrame,
+      gapMin: Int = SessionGapMin): DataFrame =
+    sessionsOf(events, gapMin)
+      .select(to_date(timestamp_micros(col("s"))).as("d"),
+        col("n_events"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+          .as("n_bounces"),
+        sum(col("n_events")).as("n_events"))
+      .select(col("d"), col("n_sessions"), col("n_bounces"),
+        expr("n_bounces * 1000000 div n_sessions").as("bounce_ppm"),
+        expr("n_events * 1000 div n_sessions").as("depth_milli"))
+      .orderBy("d")
+
+  def eventBounce(s: SparkSession, dir: String): DataFrame =
+    eventBounceOn(Tables.events(s, dir))
 
   /** L21b: lead-lag cross-correlation between two daily event series
     * — "do clicks on day d predict purchases on day d+k?", the
@@ -216,6 +249,7 @@ object Planning {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_concurrency" -> eventConcurrency,
+    "event_bounce" -> eventBounce,
     "ts_xcorr" -> tsXcorr,
     "event_power" -> eventPower,
   )
@@ -258,6 +292,31 @@ object Planning {
          |  CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_segments
          |FROM run GROUP BY d ORDER BY d""".stripMargin,
+    "event_bounce" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |lagd AS (SELECT user_id, us,
+         |    LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+         |  FROM ev),
+         |marked AS (SELECT user_id, us,
+         |    CASE WHEN prev IS NULL OR us - prev > ${SessionGapMin}*60*1000000
+         |      THEN 1 ELSE 0 END AS new_s
+         |  FROM lagd),
+         |sids AS (SELECT user_id, us,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked),
+         |sess AS (SELECT user_id, sid, MIN(us) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS n_events
+         |  FROM sids GROUP BY user_id, sid),
+         |byday AS (SELECT CAST(make_timestamp(s) AS DATE) AS d,
+         |    n_events FROM sess)
+         |SELECT d, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_bounces,
+         |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS bounce_ppm,
+         |  CAST(SUM(n_events) * 1000 // COUNT(*) AS BIGINT) AS depth_milli
+         |FROM byday GROUP BY d ORDER BY d""".stripMargin,
     "ts_xcorr" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    CAST(COUNT(*) AS BIGINT) AS c

@@ -592,6 +592,27 @@ class EventsSpec extends SparkSpecBase {
     assert(out("organic") == (1L, 1000000L))
   }
 
+  test("L20s decay attribution: whole-half-life halving on a hand path, organic preserved") {
+    import spark.implicits._
+    val day = 86400000L // ms
+    val mk = (eid: Long, uid: Long, typ: String, offMs: Long) =>
+      (eid, new java.sql.Timestamp(1700000000000L + offMs), uid, typ, 1.0, "{}")
+    val ev = Seq(
+      // user 1: click 4 days before purchase (1 half-life at H=3 ->
+      // w 500000), view same day (w 1000000): credits 333333/666666
+      mk(1, 1L, "click", 0), mk(2, 1L, "view", 4 * day),
+      mk(3, 1L, "purchase", 4 * day + 1000),
+      // user 2: untouched purchase -> organic
+      mk(4, 2L, "purchase", 0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = operators.Events.eventAttributionDecayOn(ev)
+      .select("channel", "n_contribs", "credit_ppm")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("click") == (1L, 333333L))
+    assert(out("view") == (1L, 666666L))
+    assert(out("organic") == (1L, 1000000L))
+  }
+
   test("A13 weighted median: weight shifts the median off the row median") {
     import spark.implicits._
     val li = Seq(

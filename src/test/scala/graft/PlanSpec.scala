@@ -836,6 +836,14 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("graph_node2vec_walk: classify is a LEFT equi-join on " +
+    "(prev, dst) and the draw is window algebra — no nested-loop " +
+    "or cartesian step") {
+    val p = plan(functions.Clusters.graphNode2vecWalk(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("corpus_token_budget: single-partition exchanges are only the " +
     "score histogram and the 1-row budget total; the in-bin take is " +
     "keyed by score") {

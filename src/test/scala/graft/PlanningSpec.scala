@@ -102,6 +102,28 @@ class PlanningSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_per_arm") === 78L)
   }
 
+  test("bounce: single-event session counts as a bounce; depth averages exactly") {
+    // u1: one 2-event session; u2: one 1-event session (bounce)
+    val e = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-01 10:10:00"),
+      (2L, "view", "2024-01-01 12:00:00"))
+    val r = Planning.eventBounceOn(e).collect()(0)
+    assert(r.getAs[Long]("n_sessions") === 2L)
+    assert(r.getAs[Long]("n_bounces") === 1L)
+    assert(r.getAs[Long]("bounce_ppm") === 500000L)
+    assert(r.getAs[Long]("depth_milli") === 1500L)
+  }
+
+  test("bounce: sessions land on their START day") {
+    val e = ev(
+      (1L, "view", "2024-01-01 23:50:00"),
+      (1L, "view", "2024-01-02 00:05:00")) // same session, starts Jan 1
+    val r = Planning.eventBounceOn(e)
+      .select("d").as[java.sql.Date].collect().toSeq
+    assert(r.map(_.toString) === Seq("2024-01-01"))
+  }
+
   test("power: equal conversion rates gate to NULL instead of dividing by zero") {
     val e = ev(
       (0L, "purchase", "2024-01-01 01:00:00"),

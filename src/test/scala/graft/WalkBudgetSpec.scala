@@ -41,6 +41,36 @@ class WalkBudgetSpec extends SparkSpecBase {
     }
   }
 
+  test("node2vec: biased draw replays by hand (triangle + pendant)") {
+    // graph 1-2,1-3,2-3,3-4; walk 2:
+    //  k=1 prev=2: both nbrs classify "common" (w=2), r%4=0 -> 1
+    //  k=2 prev=2 cur=1: return w=1 (dst 2), common w=2 (dst 3),
+    //      r%3=1 lands on dst 3
+    //  k=3 prev=1 cur=3: return 1 (dst1), common 2 (dst2), forward 4
+    //      (dst4), r%7=2 lands on dst 2
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val w2 = Clusters.graphNode2vecWalkOn(e)
+      .filter($"walk_id" === 2L).orderBy("step")
+      .select("node").as[Long].collect().toSeq
+    assert(w2 === Seq(2L, 1L, 3L, 2L))
+  }
+
+  test("node2vec: every step follows an edge and walks have full length") {
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val byWalk = Clusters.graphNode2vecWalkOn(e, steps = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val edgeSet = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byWalk.keySet === Set(1L, 2L, 3L, 4L))
+    byWalk.foreach { case (start, path) =>
+      assert(path.length === 4)
+      assert(path.head === start)
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(edgeSet.contains((a, b)), s"($a,$b) not an edge")
+      }
+    }
+  }
+
   test("walk: deterministic across runs") {
     val e = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     val a = Clusters.graphRandomWalkOn(e).collect().toSeq
