@@ -1273,9 +1273,37 @@ object Clusters {
   def graphNode2vecWalk(s: SparkSession, dir: String): DataFrame =
     graphNode2vecWalkOn(bipartiteEdges(s, dir))
 
+  /** L18p: skip-gram pair extraction — the step that turns a walk
+    * corpus into word2vec/DeepWalk TRAINING PAIRS: for every walk
+    * position, each node within `window` steps becomes a (center,
+    * context) example; pairs aggregate to (center, context, n_pairs)
+    * counts (the co-occurrence matrix word2vec's negative-sampling
+    * objective factorizes — Levy & Goldberg 2014). Shape: one
+    * walk_id-keyed self-join whose per-key fan-out is (steps+1)², a
+    * CONSTANT (25 here) — so the pair relation is linear in walk
+    * count — then one map-side-combinable rollup on the pair key. */
+  def graphSkipgramPairsOn(walks: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
+    val a = walks.select(col("walk_id"), col("step").as("ci"),
+      col("node").as("center"))
+    val b = walks.select(col("walk_id"), col("step").as("oi"),
+      col("node").as("context"))
+    a.join(b, Seq("walk_id"))
+      .filter(col("oi") =!= col("ci") &&
+        abs(col("oi") - col("ci")) <= window)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("center", "context")
+  }
+
+  /** Catalog form: skip-gram pairs of the uniform walk corpus. */
+  def graphSkipgramPairs(s: SparkSession, dir: String): DataFrame =
+    graphSkipgramPairsOn(graphRandomWalk(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_random_walk" -> graphRandomWalk,
     "graph_node2vec_walk" -> graphNode2vecWalk,
+    "graph_skipgram_pairs" -> graphSkipgramPairs,
     "graph_louvain_move" -> graphLouvainMove,
     "er_golden_record" -> erGoldenRecord,
     "er_pipeline" -> erPipeline,
@@ -1488,6 +1516,26 @@ object Clusters {
          |$walkIterSql
          |$walkUnionSql
          |ORDER BY walk_id, step""".stripMargin,
+    "graph_skipgram_pairs" ->
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
+         |    l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |eb AS (SELECT src, dst FROM e
+         |       UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |nb AS MATERIALIZED (SELECT src, dst,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+         |      AS BIGINT) - 1 AS rn
+         |  FROM eb),
+         |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM nb GROUP BY src),
+         |w0 AS (SELECT src AS walk_id, src AS node FROM deg),
+         |$walkIterSql,
+         |walks AS ($walkUnionSql)
+         |SELECT a.node AS center, b.node AS context,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+         |WHERE b.step <> a.step AND ABS(b.step - a.step) <= 2
+         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin,
     "graph_projection" ->
       """WITH e AS (SELECT DISTINCT l_orderkey AS grp, l_suppkey AS member
         |  FROM lineitem),

@@ -138,6 +138,30 @@ object Planning {
   def eventBounce(s: SparkSession, dir: String): DataFrame =
     eventBounceOn(Tables.events(s, dir))
 
+  /** L21f: pipeline freshness audit — per event stream, when did we
+    * last see data and how far does it lag the corpus watermark (the
+    * max event time across all streams)? The SLA check an ingestion
+    * pipeline runs before promoting a snapshot: a stream lagging the
+    * watermark by more than a day is flagged stale. Lag in whole
+    * hours by integral DIV on non-negative micros. Shape: one
+    * map-side-combined rollup per stream; the watermark re-reduces
+    * the tiny per-stream relation and rides back on a broadcast
+    * single-row cross. */
+  def dqFreshnessOn(events: DataFrame): DataFrame = {
+    val per = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    val wm = per.agg(max(col("last_us")).as("corpus_us"))
+    per.crossJoin(broadcast(wm))
+      .select(col("event_type"), col("n_events"), col("last_us"),
+        expr("(corpus_us - last_us) div 3600000000").as("lag_hours"),
+        (col("corpus_us") - col("last_us") > 86400000000L).as("is_stale"))
+      .orderBy("event_type")
+  }
+
+  def dqFreshness(s: SparkSession, dir: String): DataFrame =
+    dqFreshnessOn(Tables.events(s, dir))
+
   /** L21b: lead-lag cross-correlation between two daily event series
     * — "do clicks on day d predict purchases on day d+k?", the
     * two-series sibling of ts_autocorr (same spine-filled calendar
@@ -252,6 +276,7 @@ object Planning {
     "event_bounce" -> eventBounce,
     "ts_xcorr" -> tsXcorr,
     "event_power" -> eventPower,
+    "dq_freshness" -> dqFreshness,
   )
 
   val oracles: Map[String, String] = Map(
@@ -354,6 +379,16 @@ object Planning {
         |      / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))), 6)
         |  END AS r_xcorr
         |FROM v ORDER BY k""".stripMargin,
+    "dq_freshness" ->
+      """WITH per AS (SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+        |  FROM events GROUP BY event_type),
+        |wm AS (SELECT MAX(last_us) AS corpus_us FROM per)
+        |SELECT event_type, n_events, last_us,
+        |  CAST((corpus_us - last_us) // 3600000000 AS BIGINT) AS lag_hours,
+        |  corpus_us - last_us > 86400000000 AS is_stale
+        |FROM per, wm ORDER BY event_type""".stripMargin,
     "event_power" ->
       s"""WITH u AS (SELECT user_id,
          |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

@@ -124,6 +124,18 @@ class PlanningSpec extends SparkSpecBase {
     assert(r.map(_.toString) === Seq("2024-01-01"))
   }
 
+  test("freshness: a stream lagging the corpus watermark by >24h flags stale") {
+    val e = ev(
+      (1L, "click", "2024-01-03 12:00:00"),
+      (2L, "error", "2024-01-02 10:00:00")) // 26h behind the watermark
+    val byType = Planning.dqFreshnessOn(e)
+      .select("event_type", "lag_hours", "is_stale")
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byType("click") === ((0L, false)))
+    assert(byType("error") === ((26L, true)))
+  }
+
   test("power: equal conversion rates gate to NULL instead of dividing by zero") {
     val e = ev(
       (0L, "purchase", "2024-01-01 01:00:00"),

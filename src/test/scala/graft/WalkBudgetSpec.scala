@@ -78,6 +78,27 @@ class WalkBudgetSpec extends SparkSpecBase {
     assert(a === b)
   }
 
+  test("skipgram: window bounds the pair fan-out; counts aggregate") {
+    val walks = Seq((10L, 0L, 1L), (10L, 1L, 2L), (10L, 2L, 3L))
+      .toDF("walk_id", "step", "node")
+    val w2 = Clusters.graphSkipgramPairsOn(walks, window = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(w2 === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 1L),
+      (2L, 3L, 1L), (3L, 1L, 1L), (3L, 2L, 1L)))
+    val w1 = Clusters.graphSkipgramPairsOn(walks, window = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(w1 === Set((1L, 2L, 1L), (2L, 1L, 1L),
+      (2L, 3L, 1L), (3L, 2L, 1L)))
+  }
+
+  test("skipgram: repeated co-occurrences across walks sum into n_pairs") {
+    val walks = Seq((1L, 0L, 7L), (1L, 1L, 8L), (2L, 0L, 7L), (2L, 1L, 8L))
+      .toDF("walk_id", "step", "node")
+    val got = Clusters.graphSkipgramPairsOn(walks, window = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((7L, 8L, 2L), (8L, 7L, 2L)))
+  }
+
   private def docs(rows: (Long, String)*): DataFrame =
     rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
