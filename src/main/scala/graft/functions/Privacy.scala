@@ -81,8 +81,75 @@ object Privacy {
   def privacyKanon(s: SparkSession, dir: String): DataFrame =
     privacyKanonOn(Tables.customer(s, dir))
 
+  /** Keep-probability for [[privacyLdpFrequencyOn]], in milli (750 =
+    * report the true value 75% of the time — ε = ln(3·(K−1)) for the
+    * K-ary mechanism). */
+  val LdpKeepMilli = 750L
+
+  /** L16b: local-DP frequency estimation — k-ary randomized response
+    * (Warner 1965; the RAPPOR/Apple-style collection shape): each
+    * user reports their true category with probability p, else a
+    * uniformly drawn category; the collector sees only the noisy
+    * reports and inverts the mechanism,
+    *   t̂_c = (K·o_c − (1−p)·N) / (K·p),
+    * recovering unbiased counts WITHOUT ever storing a true value.
+    * The catalog row carries the true counts beside the estimate
+    * (est/err eval columns — the sketch_theta discipline), so the
+    * mechanism's accuracy is measured in-catalog.
+    *
+    * The per-user coin is the derandomized LCG draw (the walk-corpus
+    * discipline): r = (uid·1103515245 + 12345) mod 2³¹, keep iff
+    * r mod 1000 < p_milli, else report the category ranked
+    * (r div 1000) mod K — both engines replay the identical noise,
+    * so the oracle is exact. Estimator arithmetic is pure integer
+    * milli with the numerator clipped at 0 (sampling noise can push
+    * it negative; DIV stays on non-negative operands). Shape: one
+    * row-level draw against the broadcast K-row category rank, one
+    * category rollup, 1-row N broadcast. */
+  def privacyLdpFrequencyOn(users: DataFrame,
+      keepMilli: Long = LdpKeepMilli): DataFrame = {
+    require(keepMilli >= 1 && keepMilli <= 1000,
+      s"need keepMilli in [1,1000], got $keepMilli")
+    val base = users.select(col("c_custkey").cast("long").as("uid"),
+      col("c_mktsegment").as("seg"))
+    val wK = Window.orderBy("seg") // K-row relation only
+    val cats = base.select("seg").distinct()
+      .withColumn("k_idx", row_number().over(wK).cast("long") - 1)
+      .localCheckpoint(true) // tiny; read by draw, rollup and readout
+    val kCount = cats.agg(count(lit(1)).as("kk"))
+    val reported = base
+      .withColumn("r", expr("(uid * 1103515245 + 12345) % 2147483648"))
+      .crossJoin(broadcast(kCount))
+      .withColumn("keep", expr(s"r % 1000 < $keepMilli"))
+      .withColumn("noise_idx", expr("(r div 1000) % kk"))
+      .join(broadcast(cats.select(col("k_idx").as("noise_idx"),
+        col("seg").as("noise_seg"))), Seq("noise_idx"))
+      .select(col("uid"), col("seg").as("true_seg"),
+        when(col("keep"), col("seg")).otherwise(col("noise_seg"))
+          .as("rep_seg"))
+    val obs = reported.groupBy(col("rep_seg").as("seg"))
+      .agg(count(lit(1)).as("n_reported"))
+    val truth = reported.groupBy(col("true_seg").as("seg"))
+      .agg(count(lit(1)).as("n_true"))
+    val n = reported.agg(count(lit(1)).as("nn"))
+    obs.join(truth, Seq("seg"), "full_outer")
+      .na.fill(0L, Seq("n_reported", "n_true"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(kCount))
+      .withColumn("t_hat_milli", expr(
+        s"""greatest(kk * n_reported * 1000 - (1000 - $keepMilli) * nn, 0)
+           | * 1000 div (kk * $keepMilli)""".stripMargin))
+      .select(col("seg"), col("n_reported"), col("n_true"),
+        col("t_hat_milli"),
+        (col("t_hat_milli") - col("n_true") * 1000L).as("err_milli"))
+      .orderBy("seg")
+  }
+
+  def privacyLdpFrequency(s: SparkSession, dir: String): DataFrame =
+    privacyLdpFrequencyOn(Tables.customer(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "privacy_kanon" -> privacyKanon,
+    "privacy_ldp_frequency" -> privacyLdpFrequency,
   )
 
   val oracles: Map[String, String] = Map(
