@@ -825,7 +825,7 @@ object Corpus {
          |    SUM(toks) OVER (ORDER BY ttr_milli DESC, doc_id ASC
          |      ROWS UNBOUNDED PRECEDING) AS cum_toks
          |  FROM sc)
-         |SELECT doc_id, ttr_milli, toks, cum_toks
+         |SELECT doc_id, ttr_milli, toks, CAST(cum_toks AS BIGINT) AS cum_toks
          |FROM run, b WHERE cum_toks <= bt ORDER BY doc_id""".stripMargin,
     "corpus_unimax" ->
       """WITH st AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n

@@ -174,5 +174,39 @@ object Privacy {
          |  CAST(COUNT(*) AS BIGINT) AS n_rows,
          |  CAST(COUNT(DISTINCT nation) AS BIGINT) AS l_div
          |FROM lab GROUP BY 1, 2, 3 ORDER BY segment, bucket""".stripMargin,
+    // Replays the derandomized LCG coin and the integer-milli estimator
+    // bit-for-bit (same discipline as the walk-corpus oracles).
+    "privacy_ldp_frequency" ->
+      s"""WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS uid,
+         |    c_mktsegment AS seg FROM customer),
+         |cats AS (SELECT seg,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY seg) AS BIGINT) - 1 AS k_idx
+         |  FROM (SELECT DISTINCT seg FROM base)),
+         |kc AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk FROM cats),
+         |draw AS (SELECT uid, seg,
+         |    (uid * 1103515245 + 12345) % 2147483648 AS r FROM base),
+         |rep AS (SELECT d.seg AS true_seg,
+         |    CASE WHEN d.r % 1000 < $LdpKeepMilli THEN d.seg ELSE c.seg END
+         |      AS rep_seg
+         |  FROM draw d CROSS JOIN kc JOIN cats c
+         |    ON c.k_idx = (d.r // 1000) % kc.kk),
+         |obs AS (SELECT rep_seg AS seg, CAST(COUNT(*) AS BIGINT)
+         |    AS n_reported FROM rep GROUP BY 1),
+         |tru AS (SELECT true_seg AS seg, CAST(COUNT(*) AS BIGINT)
+         |    AS n_true FROM rep GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM rep)
+         |SELECT seg,
+         |  COALESCE(n_reported, CAST(0 AS BIGINT)) AS n_reported,
+         |  COALESCE(n_true, CAST(0 AS BIGINT)) AS n_true,
+         |  CAST(GREATEST(kk * COALESCE(n_reported, 0) * 1000
+         |      - (1000 - $LdpKeepMilli) * nn, 0)
+         |    * 1000 // (kk * $LdpKeepMilli) AS BIGINT) AS t_hat_milli,
+         |  CAST(GREATEST(kk * COALESCE(n_reported, 0) * 1000
+         |      - (1000 - $LdpKeepMilli) * nn, 0)
+         |    * 1000 // (kk * $LdpKeepMilli)
+         |    - COALESCE(n_true, 0) * 1000 AS BIGINT) AS err_milli
+         |FROM obs FULL OUTER JOIN tru USING (seg)
+         |CROSS JOIN tot CROSS JOIN kc
+         |ORDER BY seg""".stripMargin,
   )
 }

@@ -2273,14 +2273,14 @@ object Events {
         |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(converted) AS BIGINT) AS x
         |  FROM up GROUP BY 1, 2),
         |w AS (SELECT
-        |  SUM(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_t_pre,
-        |  SUM(CASE WHEN treated = 1 AND post = 0 THEN x END) AS x_t_pre,
-        |  SUM(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t_post,
-        |  SUM(CASE WHEN treated = 1 AND post = 1 THEN x END) AS x_t_post,
-        |  SUM(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_c_pre,
-        |  SUM(CASE WHEN treated = 0 AND post = 0 THEN x END) AS x_c_pre,
-        |  SUM(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c_post,
-        |  SUM(CASE WHEN treated = 0 AND post = 1 THEN x END) AS x_c_post
+        |  CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN n END) AS BIGINT) AS n_t_pre,
+        |  CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN x END) AS BIGINT) AS x_t_pre,
+        |  CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN n END) AS BIGINT) AS n_t_post,
+        |  CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN x END) AS BIGINT) AS x_t_post,
+        |  CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN n END) AS BIGINT) AS n_c_pre,
+        |  CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN x END) AS BIGINT) AS x_c_pre,
+        |  CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN n END) AS BIGINT) AS n_c_post,
+        |  CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN x END) AS BIGINT) AS x_c_post
         |  FROM cells)
         |SELECT n_t_pre, x_t_pre, n_t_post, x_t_post,
         |  n_c_pre, x_c_pre, n_c_post, x_c_post,

@@ -313,7 +313,7 @@ object Planning {
          |      ORDER BY t ASC, delta DESC, user_id ASC, sid ASC
          |      ROWS UNBOUNDED PRECEDING) AS r
          |  FROM bounds)
-         |SELECT d, MAX(r) AS peak_concurrency,
+         |SELECT d, CAST(MAX(r) AS BIGINT) AS peak_concurrency,
          |  CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_segments
          |FROM run GROUP BY d ORDER BY d""".stripMargin,

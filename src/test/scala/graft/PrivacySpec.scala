@@ -28,6 +28,45 @@ class PrivacySpec extends SparkSpecBase {
       ("A", "*", 2, 2L, 2L)))
   }
 
+  test("ldp: keepMilli=1000 degenerates to exact counts with zero error") {
+    val rows = (1L to 40L).map(i => (i, 0, 0.0, s"S${i % 4}"))
+    val out = functions.Privacy.privacyLdpFrequencyOn(cust(rows), 1000L)
+      .select("seg", "n_reported", "n_true", "t_hat_milli", "err_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.length == 4)
+    out.foreach { case (_, nRep, nTrue, tHat, err) =>
+      assert(nRep == nTrue); assert(tHat == nTrue * 1000L); assert(err == 0L)
+    }
+  }
+
+  test("ldp: estimator matches an independent replay of the planted coin") {
+    val keep = 600L
+    val rows = (1L to 60L).map(i => (i, 0, 0.0, s"S${i % 3}"))
+    // independent Scala replay of the derandomized mechanism
+    val cats = rows.map(_._4).distinct.sorted
+    val kk = cats.length.toLong
+    val rep = rows.map { case (uid, _, _, seg) =>
+      val r = (uid * 1103515245L + 12345L) % 2147483648L
+      val repSeg =
+        if (r % 1000L < keep) seg else cats(((r / 1000L) % kk).toInt)
+      (seg, repSeg)
+    }
+    val nn = rep.size.toLong
+    val expected = cats.map { s =>
+      val nRep = rep.count(_._2 == s).toLong
+      val nTrue = rep.count(_._1 == s).toLong
+      val tHat = math.max(kk * nRep * 1000L - (1000L - keep) * nn, 0L) *
+        1000L / (kk * keep)
+      (s, nRep, nTrue, tHat, tHat - nTrue * 1000L)
+    }.toSet
+    val out = functions.Privacy.privacyLdpFrequencyOn(cust(rows), keep)
+      .select("seg", "n_reported", "n_true", "t_hat_milli", "err_milli")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == expected)
+    // reports are conserved: every user reports exactly one category
+    assert(expected.toSeq.map(_._2).sum == nn)
+  }
+
   test("published groups meet k; suppressed rows are counted, never bucketed") {
     val out = functions.Privacy.privacyKanon(spark, sf).cache()
     assert(out.filter(col("level") < 2 && col("n_rows") < functions.Privacy.K)

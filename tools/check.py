@@ -128,6 +128,18 @@ def main():
             print(f"FAIL {name}: rows want={len(want)} got={len(got)}")
             n_bad += 1
             continue
+        # dtype-strict: the driver hashes TYPED values, so an
+        # int64-vs-float64 mismatch (the DuckDB HUGEINT trap,
+        # ORACLES.md) fails there even when every cell compares
+        # equal. Mirror that here instead of letting cell_eq coerce.
+        dt_bad = [(c, str(want[c].dtype), str(got[c].dtype))
+                  for c in want.columns if want[c].dtype != got[c].dtype]
+        if dt_bad:
+            c, wd, gd = dt_bad[0]
+            print(f"FAIL {name}: dtype mismatch col={c} "
+                  f"oracle={wd} spark={gd} (HUGEINT trap? see ORACLES.md)")
+            n_bad += 1
+            continue
         bad = None
         for c in want.columns:
             wv, gv = want[c].tolist(), got[c].tolist()
