@@ -1018,8 +1018,14 @@ object Clusters {
         greatest(col("pa"), col("pb")).as("db"))
   }
 
+  /** Closure runs on the O(log n)-round alternating-star CC: ER
+    * components are near-cliques, but the generated name distribution
+    * makes min-label propagation's round count bimodal (PERF.md:
+    * 1.8-9.5 s across rounds); the star contraction bounds rounds
+    * deterministically. Labels are identical (component min) — see
+    * the equality spec in ClustersSpec. */
   def erResolveOn(records: DataFrame, window: Int = 4): DataFrame =
-    clustersOn(erPairsOn(records, window))
+    clustersOn(erPairsOn(records, window), connectedComponentsAltStarOn(_))
       .join(records.select(col("rid").as("doc_id"), col("bal")), "doc_id")
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"), max(col("bal")).as("surviving_bal"))
@@ -1104,7 +1110,8 @@ object Clusters {
     * picks an EXISTING value (no arithmetic), so doubles pass through
     * bit-identical and the oracle replays exactly. */
   def erGoldenRecordOn(records: DataFrame, window: Int = 4): DataFrame = {
-    val mem = clustersOn(erPairsOn(records, window))
+    val mem = clustersOn(erPairsOn(records, window),
+        connectedComponentsAltStarOn(_)) // O(log n) rounds, same labels
       .join(records.select(col("rid").as("doc_id"), col("name"),
         col("grp"), col("bal")), "doc_id")
       .localCheckpoint(true) // feeds three survivorship branches
@@ -1296,9 +1303,13 @@ object Clusters {
       .orderBy("center", "context")
   }
 
-  /** Catalog form: skip-gram pairs of the uniform walk corpus. */
+  /** Catalog form: skip-gram pairs of the uniform walk corpus. The
+    * walk relation is materialized (localCheckpoint) before the
+    * self-join — otherwise each join side re-derives the entire
+    * unrolled walk subtree (2x the walk cost for a corpus that is
+    * n*(steps+1) small rows). */
   def graphSkipgramPairs(s: SparkSession, dir: String): DataFrame =
-    graphSkipgramPairsOn(graphRandomWalk(s, dir))
+    graphSkipgramPairsOn(graphRandomWalk(s, dir).localCheckpoint(true))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_random_walk" -> graphRandomWalk,

@@ -55,20 +55,21 @@ object Lm {
   private def withBucket(docs: DataFrame): DataFrame =
     docs.withColumn("bucket", Text.polyHash(col("text")) % 100)
 
-  /** (doc_id, t) token arrays with ≥ `n` tokens. The size guard
-    * matters on the Spark side: `sequence(0, size-3)` DESCENDS when
-    * size < 3 (Spark generates descending sequences), which would
-    * fabricate out-of-range trigrams instead of none. */
-  private def tokArrays(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), Text.toks(col("text")).as("t"))
-      .where(size(col("t")) >= n)
-
   /** Map-only n-gram stream: one row per position, struct-free wide
     * columns (w1..wn). Stays inside whole-stage codegen — the array
     * transform + posexplode is evaluated in the scan stage. */
-  private def ngrams(docs: DataFrame, n: Int): DataFrame = {
+  private def ngrams(docs: DataFrame, n: Int): DataFrame =
+    ngramsOf(docs.select(col("doc_id"), Text.toks(col("text")).as("t")), n)
+
+  /** Same stream over an ALREADY-tokenized (doc_id, t) relation — the
+    * shared-scan form: the backoff counts need 3 different n over the
+    * same train split, so the caller tokenizes once and fans out. */
+  private def ngramsOf(tok: DataFrame, n: Int): DataFrame = {
     val fields = (1 to n).map(k => s"'w$k', t[i + ${k - 1}]").mkString(", ")
-    tokArrays(docs, n)
+    // size guard: `sequence(0, size-n)` DESCENDS when size < n (Spark
+    // generates descending sequences), which would fabricate
+    // out-of-range n-grams instead of none.
+    tok.where(size(col("t")) >= n)
       .select(col("doc_id"),
         explode(expr(s"transform(sequence(0, size(t) - $n), i -> named_struct($fields))"))
           .as("g"))
@@ -93,16 +94,26 @@ object Lm {
     * count tables are big enough before you spend a cluster-day
     * scoring with them. */
   def lmNgramBackoffOn(docs: DataFrame, isTrain: Column): DataFrame = {
-    val train = docs.where(isTrain)
     val test = docs.where(!isTrain)
 
-    val c3 = ngrams(train, 3).groupBy("w1", "w2", "w3")
+    // Shared scan: tokenize the train split ONCE and fan the three
+    // n-gram orders out of the materialized (doc_id, t) relation —
+    // without this the count tables re-scan + re-tokenize the corpus
+    // 4x (c3, c2, c1, N), which PERF.md flagged as the
+    // lm_perplexity_filter hotspot.
+    val trainTok = docs.where(isTrain)
+      .select(col("doc_id"), Text.toks(col("text")).as("t"))
+      .localCheckpoint(true)
+    val c3 = ngramsOf(trainTok, 3).groupBy("w1", "w2", "w3")
       .agg(count(lit(1)).as("c123"))
-    val c2 = ngrams(train, 2).groupBy("w1", "w2")
-      .agg(count(lit(1)).as("c12"))
-    val c1 = ngrams(train, 1).groupBy("w1")
-      .agg(count(lit(1)).as("cw"))
-    val n = ngrams(train, 1).agg(count(lit(1)).as("n"))
+    // c2 and c1 each feed TWO joins below (c12/c23, cw2/cw3):
+    // materialize so the vocabulary-bounded count tables are built once.
+    val c2 = ngramsOf(trainTok, 2).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12")).localCheckpoint(true)
+    val c1 = ngramsOf(trainTok, 1).groupBy("w1")
+      .agg(count(lit(1)).as("cw")).localCheckpoint(true)
+    // N = total train tokens = sum of the unigram table — no 4th scan.
+    val n = c1.agg(sum(col("cw")).as("n"))
 
     val scored = ngrams(test, 3)
       .join(c3, Seq("w1", "w2", "w3"), "left")

@@ -565,7 +565,7 @@ object Analytics {
         |    ELSE 'BLOC_ODD' END AS supp_bloc,
         |  CASE WHEN n2.n_nationkey % 2 = 0 THEN 'BLOC_EVEN'
         |    ELSE 'BLOC_ODD' END AS cust_bloc,
-        |  YEAR(l_shipdate) AS l_year,
+        |  CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM v_supplier
@@ -670,7 +670,7 @@ object Analytics {
     Tables.nation(s, dir).createOrReplaceTempView("v_nation")
     Tables.region(s, dir).createOrReplaceTempView("v_region")
     s.sql(
-      """SELECT YEAR(o_orderdate) AS o_year,
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
         |  round(CAST(SUM(CASE WHEN n2.n_nationkey % 2 = 0
         |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
         |        * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
@@ -704,7 +704,7 @@ object Analytics {
     Tables.orders(s, dir).createOrReplaceTempView("v_orders")
     Tables.nation(s, dir).createOrReplaceTempView("v_nation")
     s.sql(
-      """SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+      """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
         |    - CAST(p_retailprice AS DECIMAL(18,2))
@@ -1083,7 +1083,7 @@ object Analytics {
         |    ELSE 'BLOC_ODD' END AS supp_bloc,
         |  CASE WHEN n2.n_nationkey % 2 = 0 THEN 'BLOC_EVEN'
         |    ELSE 'BLOC_ODD' END AS cust_bloc,
-        |  YEAR(l_shipdate) AS l_year,
+        |  CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM supplier
@@ -1116,7 +1116,7 @@ object Analytics {
         |ORDER BY s_acctbal DESC, p_partkey, s_suppkey
         |LIMIT 100""".stripMargin,
     "sql_q8" ->
-      """SELECT YEAR(o_orderdate) AS o_year,
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
         |  round(CAST(SUM(CASE WHEN n2.n_nationkey % 2 = 0
         |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
         |        * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
@@ -1136,7 +1136,7 @@ object Analytics {
         |GROUP BY YEAR(o_orderdate)
         |ORDER BY o_year""".stripMargin,
     "sql_q9" ->
-      """SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+      """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
         |    - CAST(p_retailprice AS DECIMAL(18,2))

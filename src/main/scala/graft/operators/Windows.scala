@@ -104,8 +104,8 @@ object Windows {
     Tables.customer(s, dir)
       .select(
         col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
-        rank().over(w).as("bal_rank"),
-        dense_rank().over(w).as("bal_dense_rank"))
+        rank().over(w).cast("long").as("bal_rank"),
+        dense_rank().over(w).cast("long").as("bal_dense_rank"))
       .filter(col("bal_rank") <= 5)
       .orderBy("c_nationkey", "bal_rank")
   }

@@ -295,6 +295,19 @@ class ClustersSpec extends SparkSpecBase {
     assert(corpus.count() > 0)
     assert(corpus.filter(col("n_members") < 2).count() == 0)
   }
+  test("L16 ER closure: alt-star CC (the wired path) labels exactly as " +
+    "min-label propagation on the corpus blocking pairs") {
+    val recs = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("rid"), col("c_name").as("name"),
+        col("c_nationkey").as("grp"), col("c_acctbal").as("bal"))
+    val pairs = functions.Clusters.erPairsOn(recs).localCheckpoint(true)
+    val star = functions.Clusters
+      .clustersOn(pairs, functions.Clusters.connectedComponentsAltStarOn(_))
+    val prop = functions.Clusters
+      .clustersOn(pairs, functions.Clusters.connectedComponentsOn(_))
+    assert(star.exceptAll(prop).isEmpty && prop.exceptAll(star).isEmpty)
+  }
+
   test("L18g Adamic-Adar: rare shared neighbors outscore hubs; path fixture exact") {
     import spark.implicits._
     // path a-b-c: (a,c) share b (deg 2) -> floor(1e6/ln2 + .5)

@@ -103,7 +103,8 @@ class SignalsSpec extends SparkSpecBase {
   test("feat_pca_scatter: valid scatter (PSD diagonal, Cauchy-Schwarz) and the " +
     "driver-side power iteration finds the max-variance direction") {
     val rows = functions.Signals.featPcaScatter(spark, sf)
-      .as[(Int, Int, Long)].collect()
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, j, v) => (i.toInt, j.toInt, v) }
     val d = 64
     assert(rows.length == d * (d + 1) / 2)
     val s = Array.ofDim[Double](d, d)
