@@ -789,8 +789,55 @@ object Events {
     * through ~10^5.5 pooled purchases; beyond that the same plan runs
     * the one closed form in DOUBLE). Scale shape: one map-side
     * combinable groupBy collapses the stream to DISTINCT cents values
-    * (bounded price domain), the rank window runs over THAT collapsed
-    * relation — never the raw rows — and the final reduce is scalar. */
+    * (bounded price domain), rank prefixes come from the bucketed
+    * [[prefixByCents]] sweep — never a global sort, not even over the
+    * collapsed relation — and the final reduce is scalar. */
+  /** EXCLUSIVE prefix sums of `vals` over a distinct-`cents` relation,
+    * with NO single-partition sort anywhere (the event_concurrency
+    * (day,hour) discipline, pushed to a value domain): the sweep is
+    * bucketed three-level —
+    *   1. within-bucket (cents div 2^10) prefix: a bucket-PARTITIONED
+    *      window, parallel across the price domain;
+    *   2. bucket offsets within a super-bucket (cents div 2^20):
+    *      a super-bucket-partitioned window over ≤ 1024 bucket rows;
+    *   3. super-bucket offsets: a triangular join against the
+    *      BROADCAST super relation (≤ domain/2^20 rows — ≤ 2048 even
+    *      for a 2^31-cent domain), never a global window.
+    * Buckets use floor division so the key is monotone in cents even
+    * for negative values. Output: input columns + cum_<c> per value
+    * column. */
+  private def prefixByCents(byV0: DataFrame, vals: Seq[String]): DataFrame = {
+    val byV = byV0
+      .withColumn("bk", expr("CAST(floor(cents / 1024.0) AS BIGINT)"))
+      .withColumn("sbk", expr("CAST(floor(cents / 1048576.0) AS BIGINT)"))
+      .localCheckpoint(true) // read by all three sweep phases
+    val wL = Window.partitionBy("bk").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = vals.foldLeft(byV)((d, c) =>
+      d.withColumn(s"pre_$c", coalesce(sum(col(c)).over(wL), lit(0L))))
+    val wB = Window.partitionBy("sbk").orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aggB = vals.map(c => sum(col(c)).as(s"bt_$c"))
+    val boff0 = byV.groupBy("sbk", "bk").agg(aggB.head, aggB.tail: _*)
+    val boff = vals.foldLeft(boff0)((d, c) =>
+        d.withColumn(s"boff_$c",
+          coalesce(sum(col(s"bt_$c")).over(wB), lit(0L))))
+      .select(col("bk") +: vals.map(c => col(s"boff_$c")): _*)
+    val aggS = vals.map(c => sum(col(c)).as(s"st_$c"))
+    val stot = byV.groupBy("sbk").agg(aggS.head, aggS.tail: _*)
+      .localCheckpoint(true) // tiny; both sides of the triangular join
+    val rhs = stot.select(col("sbk").as("b_sbk") +:
+      vals.map(c => col(s"st_$c").as(s"b_$c")): _*)
+    val aggT = vals.map(c =>
+      coalesce(sum(col(s"b_$c")), lit(0L)).as(s"soff_$c"))
+    val soff = stot.select("sbk")
+      .join(broadcast(rhs), col("b_sbk") < col("sbk"), "left")
+      .groupBy("sbk").agg(aggT.head, aggT.tail: _*)
+    vals.foldLeft(local.join(boff, "bk").join(soff, "sbk"))((d, c) =>
+      d.withColumn(s"cum_$c",
+        col(s"pre_$c") + col(s"boff_$c") + col(s"soff_$c")))
+  }
+
   def eventMannwhitneyOn(events: DataFrame): DataFrame = {
     val byV = events.filter(col("event_type") === "purchase")
       .select((col("user_id") % 2).cast("int").as("variant"),
@@ -798,10 +845,8 @@ object Events {
       .groupBy("cents")
       .agg(count(lit(1)).as("t"),
         sum((col("variant") === 1).cast("long")).as("t1"))
-    val w = Window.orderBy("cents")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    byV
-      .withColumn("cb", coalesce(sum(col("t")).over(w), lit(0L)))
+    prefixByCents(byV, Seq("t"))
+      .withColumn("cb", col("cum_t"))
       .agg(sum(col("t") - col("t1")).as("n0"), sum(col("t1")).as("n1"),
         sum(col("t1") * (lit(2L) * col("cb") + col("t") + lit(1L)))
           .as("r1_x2"),
@@ -842,8 +887,8 @@ object Events {
     * clear the root: 10000·d_num² > 18442·(n0+n1)·n0·n1 in
     * DECIMAL(38,0) (18442 = ceil(10^4·1.358²), conservative by
     * < 0.002%). Same scale shape as the rank test: groupBy to
-    * distinct values, ECDFs via ONE window over the collapsed
-    * relation, scalar reduce. */
+    * distinct values, ECDFs via the bucketed [[prefixByCents]] sweep
+    * (totals ride a broadcast 1-row relation), scalar reduce. */
   def eventKsOn(events: DataFrame): DataFrame = {
     val byV = events.filter(col("event_type") === "purchase")
       .select((col("user_id") % 2).cast("int").as("variant"),
@@ -851,15 +896,11 @@ object Events {
       .groupBy("cents")
       .agg(sum((col("variant") === 0).cast("long")).as("v0"),
         sum((col("variant") === 1).cast("long")).as("v1"))
-    val w = Window.orderBy("cents")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wtot = Window.orderBy("cents").rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    byV
-      .withColumn("c0", sum(col("v0")).over(w))
-      .withColumn("c1", sum(col("v1")).over(w))
-      .withColumn("t0", sum(col("v0")).over(wtot))
-      .withColumn("t1", sum(col("v1")).over(wtot))
+    val pref = prefixByCents(byV, Seq("v0", "v1"))
+    val tot = pref.agg(sum(col("v0")).as("t0"), sum(col("v1")).as("t1"))
+    pref.crossJoin(broadcast(tot))
+      .withColumn("c0", col("cum_v0") + col("v0"))
+      .withColumn("c1", col("cum_v1") + col("v1"))
       .agg(max(col("t0")).as("n0"), max(col("t1")).as("n1"),
         max(abs(col("c0") * col("t1") - col("c1") * col("t0")))
           .as("d_num"))

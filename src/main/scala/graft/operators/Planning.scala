@@ -248,13 +248,16 @@ object Planning {
       .agg(max(col("isp")).as("converted"))
       .select((col("user_id") % 2).cast("int").as("variant"),
         col("converted"))
-    val arms = users.groupBy("variant")
-      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
-    val a = arms.filter(col("variant") === 0)
-      .select(col("n_users").as("n0"), col("n_conv").as("x0"))
-    val b = arms.filter(col("variant") === 1)
-      .select(col("n_users").as("n1"), col("n_conv").as("x1"))
-    a.crossJoin(b) // both sides are single-row reductions
+    // ONE global conditional aggregate, not per-arm reductions joined:
+    // with an empty arm a crossJoin of filtered 1-row relations yields
+    // 0 rows while the oracle's scalar subqueries yield 1 row of NULLs
+    // — sum(when(...)) over no matching rows is NULL, matching the
+    // oracle's gate exactly (and dropping a join from the plan).
+    users.agg(
+        sum(when(col("variant") === 0, 1L)).as("n0"),
+        sum(when(col("variant") === 0, col("converted"))).as("x0"),
+        sum(when(col("variant") === 1, 1L)).as("n1"),
+        sum(when(col("variant") === 1, col("converted"))).as("x1"))
       .select(col("n0"), col("x0"), col("n1"), col("x1"),
         expr("CAST(x0 * 1000000 DIV n0 AS BIGINT)").as("p0_ppm"),
         expr("CAST(x1 * 1000000 DIV n1 AS BIGINT)").as("p1_ppm"))

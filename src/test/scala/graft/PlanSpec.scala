@@ -671,6 +671,26 @@ class PlanSpec extends SparkSpecBase {
 
   // ---- round-7 shapes ----
 
+  test("event_mannwhitney / event_ks: the cents-domain prefix sweep is " +
+    "bucketed — the only single-partition exchange is the final scalar " +
+    "reduce (partial agg child), never a sort or window") {
+    for (df <- Seq(operators.Events.eventMannwhitney(spark, sf),
+        operators.Events.eventKs(spark, sf))) {
+      val p = plan(df)
+      val lines = p.split("\n")
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          assert(i + 1 < lines.length && lines(i + 1).contains("partial_"),
+            s"SinglePartition exchange not a scalar reduce at line $i:\n$p")
+        }
+      assert(!p.contains("Cartesian"), p)
+      // every window is partitioned (bk / sbk) — no global sort
+      lines.filter(_.trim.startsWith("Window ")).foreach { l =>
+        assert(l.contains("bk#"), s"unpartitioned window: $l")
+      }
+    }
+  }
+
   test("lm_ngram_backoff: count lookups are equi-joins; only the 1-row N " +
     "relation crosses as a broadcast") {
     val p = plan(functions.Lm.lmNgramBackoff(spark, sf))

@@ -143,4 +143,20 @@ class PlanningSpec extends SparkSpecBase {
     assert(Planning.eventPowerOn(e).collect()(0)
       .isNullAt(Planning.eventPowerOn(e).columns.indexOf("n_per_arm")))
   }
+
+  test("power: an EMPTY arm still yields one row, NULL-gated (the oracle's " +
+    "scalar-subquery semantics), never zero rows") {
+    // only odd user ids -> arm 0 is empty
+    val e = ev(
+      (1L, "purchase", "2024-01-01 01:00:00"),
+      (3L, "view", "2024-01-01 02:00:00"))
+    val out = Planning.eventPowerOn(e).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val cols = Planning.eventPowerOn(e).columns
+    for (c <- Seq("n0", "x0", "p0_ppm", "delta_ppm", "n_per_arm"))
+      assert(r.isNullAt(cols.indexOf(c)), s"$c should be NULL")
+    assert(r.getAs[Long]("n1") === 2L)
+    assert(r.getAs[Long]("x1") === 1L)
+  }
 }
