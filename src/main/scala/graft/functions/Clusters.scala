@@ -398,12 +398,44 @@ object Clusters {
   def graphAssortativity(s: SparkSession, dir: String): DataFrame =
     graphAssortativityOn(bipartiteEdges(s, dir))
 
+  private val bipCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private val knnCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Memoize per (session, dir) — the [[Dedup]] shingle-cache
+    * discipline: synchronized first-build, stopped-session eviction. */
+  private def memo(cache: scala.collection.concurrent.TrieMap[
+      (SparkSession, String), DataFrame],
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    cache.synchronized {
+      cache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped }
+      cache.getOrElseUpdate((s, dir), build)
+    }
+
+  /** kNN similarity edges over the embedding corpus — SEVEN graph
+    * catalog wrappers (triangles, degrees, neighbor-jaccard,
+    * adamic-adar, communities, modularity, louvain) consume this
+    * exact relation; memoized per (session, dir) so a catalog run
+    * derives the brute-force kNN join once, not per query (the
+    * r6 bench charged each of them ~1.5-2 s for the same edges). */
+  private[graft] def knnEdges(s: SparkSession, dir: String): DataFrame =
+    memo(knnCache, s, dir) {
+      Similarity.simKnnJoinCached(s, dir)
+        .localCheckpoint(true)
+    }
+
   /** Symmetrized customer–supplier trade graph shared by the
     * bipartite catalog forms ([[graphPagerank]], [[graphBfs]]):
     * supplier nodes offset by 1e6 into their own id space. Edge
     * construction — the orders x lineitem join — runs once into a
-    * checkpoint; the iterative loops never re-derive it. */
-  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame = {
+    * checkpoint, memoized per (session, dir) across the NINE
+    * consuming catalog wrappers. */
+  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
+    memo(bipCache, s, dir) { bipartiteEdgesBuild(s, dir) }
+
+  private def bipartiteEdgesBuild(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
@@ -595,7 +627,7 @@ object Clusters {
     * reads as "this neighborhood is one semantic clump". */
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     triangleCountOn(
-      Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
+      knnEdges(s, dir)
         .select("qid", "nid"))
 
   /** Catalog form: components of the MinHash-verified near-dup pairs
@@ -718,7 +750,7 @@ object Clusters {
 
   def graphDegrees(s: SparkSession, dir: String): DataFrame =
     graphDegreesOn(
-      Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
+      knnEdges(s, dir)
         .select("qid", "nid"))
 
   /** Neighbor-set Jaccard of node pairs — the classic link-prediction
@@ -768,7 +800,7 @@ object Clusters {
     * both read. */
   def graphNeighborJaccard(s: SparkSession, dir: String): DataFrame =
     graphNeighborJaccardOn(
-      Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
+      knnEdges(s, dir)
         .select("qid", "nid"))
 
   /** L18g: Adamic–Adar link prediction (Adamic & Adar 2003) — scores
@@ -814,7 +846,7 @@ object Clusters {
 
   def graphAdamicAdar(s: SparkSession, dir: String): DataFrame =
     graphAdamicAdarOn(
-      Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
+      knnEdges(s, dir)
         .select("qid", "nid"))
 
   /** Synchronous label propagation (Raghavan et al. 2007), `rounds`
@@ -866,7 +898,7 @@ object Clusters {
 
   def graphCommunities(s: SparkSession, dir: String): DataFrame =
     labelPropagationOn(
-      Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
+      knnEdges(s, dir)
         .select("qid", "nid"))
 
   /** k-core decomposition (the `k`-core): iteratively peel nodes of
@@ -976,7 +1008,7 @@ object Clusters {
   }
 
   def graphModularity(s: SparkSession, dir: String): DataFrame = {
-    val edges = Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
+    val edges = knnEdges(s, dir)
       .select("qid", "nid").localCheckpoint(true)
     modularityOn(edges, labelPropagationOn(edges))
   }
@@ -1096,7 +1128,7 @@ object Clusters {
   }
 
   def graphLouvainMove(s: SparkSession, dir: String): DataFrame =
-    graphLouvainMoveOn(Similarity.simKnnJoinOn(Tables.embeddings(s, dir))
+    graphLouvainMoveOn(knnEdges(s, dir)
       .select("qid", "nid"))
 
   /** L16b: golden-record construction — the full per-ATTRIBUTE
@@ -1200,14 +1232,16 @@ object Clusters {
         .select(col("walk_id"), col("dst").as("node"))
       out = out.union(frontier.withColumn("step", lit(k.toLong)))
     }
-    out.select("walk_id", "step", "node").orderBy("walk_id", "step")
+    out.select("walk_id", "step", "node")
   }
 
   /** Catalog form: walks over the undirected customer–supplier trade
     * graph (same edge relation as [[graphPagerank]]; every node has
-    * degree ≥ 1 in it, so walks never dead-end). */
+    * degree ≥ 1 in it, so walks never dead-end). The dump orderBy
+    * lives HERE, not in the library form — consumers like
+    * [[graphSkipgramPairs]] feed the sort-free relation to joins. */
   def graphRandomWalk(s: SparkSession, dir: String): DataFrame =
-    graphRandomWalkOn(bipartiteEdges(s, dir))
+    graphRandomWalkOn(bipartiteEdges(s, dir)).orderBy("walk_id", "step")
 
   /** Integer node2vec weights for [[graphNode2vecWalkOn]] —
     * return/common/forward = 1/2/4, i.e. p = 2, q = 1/2 in node2vec
@@ -1309,7 +1343,8 @@ object Clusters {
     * unrolled walk subtree (2x the walk cost for a corpus that is
     * n*(steps+1) small rows). */
   def graphSkipgramPairs(s: SparkSession, dir: String): DataFrame =
-    graphSkipgramPairsOn(graphRandomWalk(s, dir).localCheckpoint(true))
+    graphSkipgramPairsOn(
+      graphRandomWalkOn(bipartiteEdges(s, dir)).localCheckpoint(true))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_random_walk" -> graphRandomWalk,

