@@ -187,6 +187,111 @@ object Lm {
     lmPerplexityFilterOn(withBucket(Tables.documents(s, dir)),
       col("bucket") < TrainPct)
 
+  // ------------------------------------------------- Kneser-Ney (L14c)
+
+  /** Absolute discount D = 0.75 (Chen & Goodman 1998's fixed-discount
+    * variant), spelled as an exact double so both engines parse the
+    * identical literal (a bare 0.75 is DECIMAL in both dialects). */
+  private val DSql = "(CAST(750 AS DOUBLE) / CAST(1000 AS DOUBLE))"
+
+  /** The interpolated-KN score formula over the joined count columns
+    * (c123, c12, t12, cc23, m2, t2, cb3, bt) — ONE string evaluated
+    * verbatim by BOTH engines (Spark expr and DuckDB SQL), so the
+    * IEEE double tree is identical by construction:
+    *
+    *   P(w3|w1w2) = max(c123−D,0)/c12 + D·N1+(w1w2·)/c12 · P(w3|w2)
+    *   P(w3|w2)   = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+    *                + D·N1+(w2·)/N1+(·w2·) · P(w3)
+    *   P(w3)      = N1+(·w3) / N1+(··)        (continuation unigram)
+    *
+    * with CASE fallbacks mirroring unseen contexts: unseen (w1,w2)
+    * bigram → bigram model; w2 never a trigram middle → continuation
+    * unigram (this also guards the rare "bigram exists but only
+    * doc-final" divide-by-null). All continuation counts are COUNT(*)
+    * over the c3/c2 TYPE tables. */
+  private val knP1Sql =
+    "(CAST(COALESCE(cb3, 0) AS DOUBLE) / CAST(bt AS DOUBLE))"
+  private val knP2Sql =
+    s"""((GREATEST(CAST(COALESCE(cc23, 0) AS DOUBLE) - $DSql,
+       | CAST(0 AS DOUBLE)) / CAST(m2 AS DOUBLE))
+       | + (($DSql * CAST(t2 AS DOUBLE)) / CAST(m2 AS DOUBLE))
+       |   * $knP1Sql)""".stripMargin.replace("\n", "")
+  private val knP2SafeSql =
+    s"(CASE WHEN m2 IS NOT NULL THEN $knP2Sql ELSE $knP1Sql END)"
+  private val knScoreSql =
+    s"""(CASE WHEN c12 IS NOT NULL THEN
+       | ((GREATEST(CAST(COALESCE(c123, 0) AS DOUBLE) - $DSql,
+       |  CAST(0 AS DOUBLE)) / CAST(c12 AS DOUBLE))
+       |  + (($DSql * CAST(COALESCE(t12, 0) AS DOUBLE))
+       |     / CAST(c12 AS DOUBLE)) * $knP2SafeSql)
+       | ELSE $knP2SafeSql END)""".stripMargin.replace("\n", "")
+  private val knSuSql =
+    s"CAST(FLOOR(CAST(1000000.0 AS DOUBLE) * $knScoreSql) AS BIGINT)"
+  private val knLvlSql =
+    """(CASE WHEN c123 IS NOT NULL THEN 3
+      | WHEN cc23 IS NOT NULL THEN 2
+      | WHEN cb3 IS NOT NULL THEN 1 ELSE 0 END)"""
+      .stripMargin.replace("\n", "")
+
+  /** L14c: interpolated Kneser-Ney trigram scoring of the held-out
+    * split — the smoothing that actually ships in count-based LMs
+    * (Chen & Goodman 1998; KenLM's default), completing the family
+    * beside [[lmNgramBackoffOn]]'s stupid backoff: instead of scaled
+    * raw frequencies, lower orders carry CONTINUATION probability
+    * (how many distinct contexts a word completes), which is what
+    * makes "Francisco" rare outside "San Francisco".
+    *
+    * All five continuation tables (N1+(w1w2·), N1+(·w2w3), N1+(·w2·),
+    * N1+(w2·), N1+(·w3), N1+(··)) are COUNT(*) rollups of the c3/c2
+    * TYPE tables — vocabulary-bounded, map-side combinable; the test
+    * stream LEFT-joins them exactly like the backoff path, and the
+    * per-trigram double formula ([[knScoreSql]], one shared string
+    * for both engines) quantizes to micro BEFORE the order-free
+    * integer sum. Same scale shape as backoff: shared-scan train
+    * tokenization, count relations, broadcast 1-row N1+(··). */
+  def lmKneserNeyOn(docs: DataFrame, isTrain: Column): DataFrame = {
+    val test = docs.where(!isTrain)
+    val trainTok = docs.where(isTrain)
+      .select(col("doc_id"), Text.toks(col("text")).as("t"))
+      .localCheckpoint(true)
+    val c3 = ngramsOf(trainTok, 3).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123"))
+      .localCheckpoint(true) // feeds the lookup + 3 continuation rollups
+    val c2 = ngramsOf(trainTok, 2).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true) // feeds the lookup + 2 rollups + the total
+    val t12 = c3.groupBy("w1", "w2").agg(count(lit(1)).as("t12"))
+    val cc23 = c3.groupBy("w2", "w3").agg(count(lit(1)).as("cc23"))
+    val m2 = c3.groupBy("w2").agg(count(lit(1)).as("m2"))
+    val t2 = c2.groupBy("w1").agg(count(lit(1)).as("t2"))
+      .select(col("w1").as("w2"), col("t2"))
+    val cb3 = c2.groupBy("w2").agg(count(lit(1)).as("cb3"))
+      .select(col("w2").as("w3"), col("cb3"))
+    val bt = c2.agg(count(lit(1)).as("bt"))
+    ngramsOf(test.select(col("doc_id"), Text.toks(col("text")).as("t")), 3)
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(t12, Seq("w1", "w2"), "left")
+      .join(cc23, Seq("w2", "w3"), "left")
+      .join(m2, Seq("w2"), "left")
+      .join(t2, Seq("w2"), "left")
+      .join(cb3, Seq("w3"), "left")
+      .crossJoin(broadcast(bt))
+      .select(col("doc_id"), expr(knLvlSql).as("lvl"),
+        expr(knSuSql).as("su"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_hit3"),
+        sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_hit2"),
+        sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_hit1"),
+        sum(col("su")).as("score_micro"))
+      .orderBy("doc_id")
+  }
+
+  def lmKneserNey(s: SparkSession, dir: String): DataFrame =
+    lmKneserNeyOn(withBucket(Tables.documents(s, dir)),
+      col("bucket") < TrainPct)
+
   // ---------------------------------------------------------------- oracle
 
   /** Shared DuckDB CTE chain ending in `sc(doc_id, lvl, su)` — the
@@ -195,7 +300,10 @@ object Lm {
     * double arithmetic is spelled with explicit DOUBLE casts because
     * a bare `0.4` parses as DECIMAL in DuckDB and would change the
     * rounding. */
-  private val scoreCoreSql =
+  /** Train-count + test-trigram CTEs shared by the backoff and
+    * Kneser-Ney oracles: tk, c3 (trigram counts), c2 (bigram counts),
+    * tri_te (test trigrams). */
+  private val countsCoreSql =
     s"""tk AS (SELECT doc_id, lang, string_split(text,' ') AS t,
        |    ${Text.polySql} % 100 AS b FROM documents),
        |tri_tr AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
@@ -204,11 +312,15 @@ object Lm {
        |bg_tr AS (SELECT t[i] AS w1, t[i+1] AS w2
        |  FROM tk, UNNEST(range(1, len(t))) r(i) WHERE b < $TrainPct),
        |c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg_tr GROUP BY 1, 2),
+       |tri_te AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+       |  FROM tk, UNNEST(range(1, len(t) - 1)) r(i) WHERE b >= $TrainPct)"""
+      .stripMargin
+
+  private val scoreCoreSql =
+    s"""$countsCoreSql,
        |c1 AS (SELECT t[i] AS w, COUNT(*) AS cw
        |  FROM tk, UNNEST(range(1, len(t) + 1)) r(i) WHERE b < $TrainPct GROUP BY 1),
        |nn AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM c1),
-       |tri_te AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
-       |  FROM tk, UNNEST(range(1, len(t) - 1)) r(i) WHERE b >= $TrainPct),
        |sc AS (SELECT doc_id,
        |    CASE WHEN g3.c123 IS NOT NULL THEN 3
        |         WHEN p23.c12 IS NOT NULL THEN 2
@@ -229,6 +341,7 @@ object Lm {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_ngram_backoff" -> lmNgramBackoff,
     "lm_perplexity_filter" -> lmPerplexityFilter,
+    "lm_kneser_ney" -> lmKneserNey,
   )
 
   val oracles: Map[String, String] = Map(
@@ -258,5 +371,33 @@ object Lm {
          |  CAST(MIN(avg_micro) AS BIGINT) AS min_avg_micro,
          |  CAST(MAX(avg_micro) AS BIGINT) AS max_avg_micro
          |FROM nt GROUP BY 1, 2 ORDER BY lang, quality_bucket""".stripMargin,
+    // continuation tables are COUNT(*) rollups of the c3/c2 TYPE
+    // tables; the score formula is the SAME string the Spark side
+    // evaluates (knScoreSql), so the double trees are identical.
+    "lm_kneser_ney" ->
+      s"""WITH $countsCoreSql,
+         |t12r AS (SELECT w1, w2, COUNT(*) AS t12 FROM c3 GROUP BY 1, 2),
+         |cc23r AS (SELECT w2, w3, COUNT(*) AS cc23 FROM c3 GROUP BY 1, 2),
+         |m2r AS (SELECT w2, COUNT(*) AS m2 FROM c3 GROUP BY 1),
+         |t2r AS (SELECT w1 AS w2, COUNT(*) AS t2 FROM c2 GROUP BY 1),
+         |cb3r AS (SELECT w2 AS w3, COUNT(*) AS cb3 FROM c2 GROUP BY 1),
+         |btr AS (SELECT COUNT(*) AS bt FROM c2),
+         |sck AS (SELECT doc_id, $knLvlSql AS lvl, $knSuSql AS su
+         |  FROM tri_te
+         |  LEFT JOIN c3 USING (w1, w2, w3)
+         |  LEFT JOIN c2 USING (w1, w2)
+         |  LEFT JOIN t12r USING (w1, w2)
+         |  LEFT JOIN cc23r USING (w2, w3)
+         |  LEFT JOIN m2r USING (w2)
+         |  LEFT JOIN t2r USING (w2)
+         |  LEFT JOIN cb3r USING (w3)
+         |  CROSS JOIN btr)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tri,
+         |  CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+         |  CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit2,
+         |  CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
+         |  CAST(SUM(su) AS BIGINT) AS score_micro
+         |FROM sck GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -57,4 +57,49 @@ class LmSpec extends SparkSpecBase {
         assert(h >= t) // head min avg >= tail min avg
     }
   }
+
+  test("kneser-ney: hand-computed interpolated score on a seen trigram") {
+    // train: "a b c", "a b d"
+    //   c3: (a,b,c)=1 (a,b,d)=1; c2: (a,b)=2 (b,c)=1 (b,d)=1; bt=3
+    //   t12(a,b)=2; cc23(b,c)=1; m2(b)=2; t2(b)=2; cb3(c)=1
+    // test "a b c": P1 = 1/3
+    //   P2 = max(1-.75,0)/2 + (.75*2/2)*(1/3) = .125 + .25 = .375
+    //   P3 = max(1-.75,0)/2 + (.75*2/2)*.375  = .125 + .28125 = .40625
+    val d = Seq((1L, "a b c", "en"), (2L, "a b d", "en"),
+      (10L, "a b c", "en")).toDF("doc_id", "text", "lang")
+    val out = functions.Lm.lmKneserNeyOn(d, col("doc_id") < 10L).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 1L) // n_tri
+    assert(r.getLong(2) == 1L) // lvl 3
+    assert(r.getLong(5) == 406250L)
+  }
+
+  test("kneser-ney: unseen context backs off to the continuation chain") {
+    // train as above; test "x b c": (x,b,c) has no (x,b) bigram ->
+    // score = P2 = .375; lvl = 2 (cc23(b,c) exists)
+    val d = Seq((1L, "a b c", "en"), (2L, "a b d", "en"),
+      (10L, "x b c", "en")).toDF("doc_id", "text", "lang")
+    val r = functions.Lm.lmKneserNeyOn(d, col("doc_id") < 10L).collect()(0)
+    assert(r.getLong(3) == 1L) // n_hit2
+    assert(r.getLong(5) == 375000L)
+    // fully OOV tail word: only the (never-seen) continuation mass -> 0
+    val d2 = Seq((1L, "a b c", "en"), (2L, "a b d", "en"),
+      (10L, "a b z", "en")).toDF("doc_id", "text", "lang")
+    val r2 = functions.Lm.lmKneserNeyOn(d2, col("doc_id") < 10L).collect()(0)
+    // P3 = .125/2-part: max(0-.75,0)/2 + (.75*2/2)*P2(z)
+    //   P2(z) = max(0-.75,0)/2 + (.75*2/2)*(0/3) = 0 -> score = 0
+    assert(r2.getLong(2) == 0L)
+    assert(r2.getLong(5) == 0L)
+  }
+
+  test("kneser-ney corpus run: probabilities stay in [0, 1e6] per trigram " +
+    "and levels partition n_tri") {
+    val out = functions.Lm.lmKneserNey(spark, sf)
+    val bad = out.where(
+      col("n_hit3") + col("n_hit2") + col("n_hit1") > col("n_tri") ||
+      col("score_micro") > col("n_tri") * 1000000L || col("score_micro") < 0L)
+    assert(bad.count() == 0)
+    assert(out.count() > 0)
+  }
 }
