@@ -659,7 +659,7 @@ object Clusters {
     * corpus size. */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame =
     clustersOn(
-      Dedup.dedupEmbeddingOn(Tables.embeddings(s, dir), threshold = 0.45)
+      Dedup.dedupEmbeddingCached(s, dir, threshold = 0.45)
         .select("da", "db"))
       .withColumnRenamed("doc_id", "vec_id")
 

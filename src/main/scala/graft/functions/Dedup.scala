@@ -840,8 +840,20 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .orderBy("da", "db")
 
+  /** Catalog forms ride [[Similarity.cosPairsCached]] — the memoized
+    * all-pairs cosine relation shared with the k-NN graph family —
+    * filtered to da < db (values identical: the cached relation holds
+    * both orientations of every pair with the same commutative dot).
+    * The On-form above stays the library path for arbitrary inputs. */
+  def dedupEmbeddingCached(s: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame =
+    Similarity.cosPairsCached(s, dir)
+      .select(col("qid").as("da"), col("nid").as("db"), col("cos"))
+      .filter(col("da") < col("db") && col("cos") >= threshold)
+      .orderBy("da", "db")
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    dedupEmbeddingOn(Tables.embeddings(s, dir))
+    dedupEmbeddingCached(s, dir)
 
   /** L2 (embedding near-dup, LSH-bucketed): candidate pairs are
     * bucket-mates in ANY of `tables` hyperplane hash tables
