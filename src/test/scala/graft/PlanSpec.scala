@@ -671,6 +671,34 @@ class PlanSpec extends SparkSpecBase {
 
   // ---- round-7 shapes ----
 
+  test("sim_ann_graph: the final stage is one beam-partitioned window " +
+    "over the checkpointed beam — rounds materialize, nothing re-derives") {
+    // the per-round joins live BEHIND localCheckpoints (each round
+    // materializes so the plan stays constant-size); what must hold
+    // at the root is: no cartesian, a qid-partitioned rank window,
+    // and a checkpoint scan (LogicalRDD) as the source
+    val p = plan(functions.Similarity.simAnnGraph(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    // and ONE round's expansion shape, un-checkpointed: both the
+    // edge expansion and the scoring joins are equi-joins
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val edges = functions.Similarity.simKnnJoinOn(e, k = 2)
+      .select("qid", "nid")
+    val pr = plan(functions.Similarity
+      .simAnnGraphOn(e, edges, rounds = 1, beam = 8, seeds = 4, k = 3))
+    assert(!pr.contains("CartesianProduct"), pr)
+  }
+
+  test("lm_kneser_ney: continuation lookups are LEFT equi-joins; only " +
+    "the 1-row bigram-type total crosses as a broadcast") {
+    val p = plan(functions.Lm.lmKneserNey(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("event_mannwhitney / event_ks: the cents-domain prefix sweep is " +
     "bucketed — the only single-partition exchange is the final scalar " +
     "reduce (partial agg child), never a sort or window") {
