@@ -1280,7 +1280,10 @@ object Clusters {
         col("walk_id").as("cur"))
     var out = frontier.select(col("walk_id"), lit(0L).as("step"),
       col("cur").as("node"))
-    val wW = Window.partitionBy("walk_id")
+    // ONE window spec (partition+order shared) so cumw and tot land
+    // in the SAME WindowExec pass — tot's frame is unbounded-both,
+    // order-insensitive, and a separate orderless spec would cost a
+    // second window operator over the candidate relation per step
     val wC = Window.partitionBy("walk_id").orderBy("dst")
     for (k <- 1 to steps) {
       val cand = frontier
@@ -1297,7 +1300,8 @@ object Clusters {
       val drawn = weighted
         .withColumn("cumw", sum(col("w"))
           .over(wC.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("tot", sum(col("w")).over(wW))
+        .withColumn("tot", sum(col("w")).over(wC.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
         .withColumn("r", expr(
           s"((walk_id * 1103515245 + $k * 12345 + 6789) % 2147483648) % tot"))
         .filter(col("cumw") > col("r") && col("cumw") - col("w") <= col("r"))
