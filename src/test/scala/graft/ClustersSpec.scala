@@ -308,6 +308,23 @@ class ClustersSpec extends SparkSpecBase {
     assert(star.exceptAll(prop).isEmpty && prop.exceptAll(star).isEmpty)
   }
 
+  test("memoized relations are keyed by (session, dir): same key returns " +
+    "the same instance, a different dir a different one") {
+    val sfB = "/root/testdata/sf0.01" // the spec default sf is sf0.001
+    assert(functions.Clusters.knnEdges(spark, sf) eq
+      functions.Clusters.knnEdges(spark, sf))
+    assert(functions.Similarity.cosPairsCached(spark, sf) eq
+      functions.Similarity.cosPairsCached(spark, sf))
+    assert(!(functions.Clusters.knnEdges(spark, sf) eq
+      functions.Clusters.knnEdges(spark, sfB)))
+    // and the two dirs' relations really are different data
+    val a = functions.Clusters.knnEdges(spark, sf)
+      .agg(sum(col("cos"))).head().getDouble(0)
+    val b = functions.Clusters.knnEdges(spark, sfB)
+      .agg(sum(col("cos"))).head().getDouble(0)
+    assert(a != b)
+  }
+
   test("L18g Adamic-Adar: rare shared neighbors outscore hubs; path fixture exact") {
     import spark.implicits._
     // path a-b-c: (a,c) share b (deg 2) -> floor(1e6/ln2 + .5)
