@@ -427,7 +427,14 @@ object Similarity {
     * family via [[Clusters.knnEdges]], k=$GraphAnnDegree for the
     * graph-ANN search layer) are one window over THIS relation, so a
     * catalog run pays the n²/G block join once. */
-  private[graft] def cosPairsCached(s: SparkSession, dir: String): DataFrame =
+  private[graft] def cosPairsCached(s: SparkSession, dir: String): DataFrame = {
+    // the O(n^2) gate must fire on EVERY entry point, cached or not —
+    // memoization must not let an oversize-corpus refusal silently
+    // disappear after the first build (RobustnessSpec pins the
+    // refusal through this path)
+    exactAllPairsGate(Tables.embeddings(s, dir),
+      "cosPairsCached (dedup_embedding / sim_knn_join / dedup_semantic)",
+      "dedupEmbeddingLshOn / simAnnIvfPq / dedupSemanticClusteredOn")
     pairCache.synchronized {
       pairCache.filterInPlace { case ((sess, _), _) =>
         !sess.sparkContext.isStopped }
@@ -436,6 +443,7 @@ object Similarity {
           .select(col("da").as("qid"), col("db").as("nid"), col("cos"))
           .localCheckpoint(true))
     }
+  }
 
   /** [[simKnnJoinOn]] over the memoized pair relation. */
   private[graft] def simKnnJoinCached(s: SparkSession, dir: String,

@@ -263,7 +263,9 @@ class PlanSpec extends SparkSpecBase {
     // at Spark's 8 GB broadcast ceiling. The block-pair shape keeps
     // the corpus in shuffle land: its only BroadcastExchange is the
     // G^2 block-pair grid (a few hundred ints).
-    val p = plan(functions.Dedup.dedupEmbedding(spark, sf))
+    // the library form carries the grid join shape...
+    val p = plan(functions.Dedup.dedupEmbeddingOn(
+      Tables.embeddings(spark, sf)))
     // the pair join is keyed by the FULL (gi, gj) cell — G^2-way
     // parallelism, not G
     assert(p.contains("ShuffledHashJoin [gi"), p)
@@ -272,6 +274,11 @@ class PlanSpec extends SparkSpecBase {
     val nBroadcast = "BroadcastExchange".r.findAllIn(p).size
     assert(nBroadcast == "LocalTableScan".r.findAllIn(p).size, p)
     assert(nBroadcast <= 2, p)
+    // ...and the catalog form is a pure filter over the memoized
+    // checkpointed pair relation: no join, no broadcast at all
+    val pc = plan(functions.Dedup.dedupEmbedding(spark, sf))
+    assert(pc.contains("Scan ExistingRDD"), pc)
+    assert(!pc.contains("BroadcastExchange") && !pc.contains("Join"), pc)
   }
 
   test("text map-only family: one scan, no shuffle beyond the output sort") {
