@@ -315,6 +315,45 @@ object Text {
   def qualityLogreg(s: SparkSession, dir: String): DataFrame =
     qualityLogregOn(Tables.documents(s, dir))
 
+  /** L4q': AUC of the trained quality classifier — the accept metric
+    * a production filter rollout actually reports (accuracy lies
+    * under class imbalance; ranking quality is what the keep-
+    * threshold sweep consumes). Exact, no floats: AUC is the
+    * Mann-Whitney U statistic over (score, label) — rank positives
+    * among all docs with midrank tie handling — computed on the
+    * DISTINCT-score relation (p_ppm domain, ≤ 1e6 values) with
+    * DOUBLED rank sums so midranks stay integral (the
+    * [[graft.operators.Events.eventMannwhitneyOn]] discipline), and
+    * the rank prefix comes from the bucketed
+    * [[graft.operators.Events.prefixByCents]] sweep — no
+    * single-partition sort even on the collapsed relation. Output:
+    * one row (n_pos, n_neg, auc_ppm, gini_pm), NULL-gated when a
+    * class is absent. */
+  def qualityAucOn(scored: DataFrame): DataFrame = {
+    val byV = scored
+      .select(col("p_ppm").as("cents"), col("y"))
+      .groupBy("cents")
+      .agg(count(lit(1)).as("t"), sum(col("y")).as("t1"))
+    graft.operators.Events.prefixByCents(byV, Seq("t"))
+      .withColumn("cb", col("cum_t"))
+      .agg(sum(col("t") - col("t1")).as("n_neg"), sum(col("t1")).as("n_pos"),
+        sum(col("t1") * (lit(2L) * col("cb") + col("t") + lit(1L)))
+          .as("r1_x2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("r1_x2") - col("n_pos") * (col("n_pos") + lit(1L)))
+          .as("u1_x2"))
+      .withColumn("auc_ppm", expr(
+        """CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          |  CAST(CAST(u1_x2 AS DECIMAL(38,0)) * 1000000
+          |    DIV (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("gini_pm", col("auc_ppm") * 2 - lit(1000000L))
+      .select("n_pos", "n_neg", "u1_x2", "auc_ppm", "gini_pm")
+  }
+
+  def qualityAuc(s: SparkSession, dir: String): DataFrame =
+    qualityAucOn(qualityLogregOn(Tables.documents(s, dir)))
+
   /** L4n: novelty scoring — what fraction of a document's trigram
     * shingles appears in NO lower-numbered document (doc order = the
     * corpus's ingest order, so this is "how much does each new doc
@@ -1003,6 +1042,7 @@ object Text {
     "text_fingerprint" -> textFingerprint,
     "text_novelty" -> textNovelty,
     "quality_logreg" -> qualityLogreg,
+    "quality_auc" -> qualityAuc,
   )
 
   private def sqlHits(words: Seq[String]): String =
@@ -1051,6 +1091,39 @@ object Text {
        |      THEN list_concat(acc[1:len(acc)-1], [n$i.w1 || n$i.w2])
        |      ELSE list_concat(acc, x) END) AS cs, freq
        |  FROM $prev, n$i)""".stripMargin
+
+  /** DuckDB mirror of [[qualityLogregOn]]'s training + scoring as a
+    * reusable CTE chain ending in `scored(doc_id, y, p_ppm)` — shared
+    * by the quality_logreg and quality_auc oracles. */
+  private lazy val logregCoreSql: String = {
+    val sig = "round(1.0/(1.0+exp(-((w.w0 + w.w1*x1 + w.w2*x2)" +
+      "/1000000.0))), 9)"
+    def stepSql(k: Int, prev: String): String =
+      s"""p$k AS (SELECT y, x1, x2, w.w0, w.w1, w.w2, $sig AS p
+         |  FROM feat, $prev w),
+         |s$k AS MATERIALIZED (SELECT
+         |    MAX(w0) + CAST(FLOOR(4.0 * SUM(CAST(FLOOR((y-p)*1000000+0.5)
+         |      AS BIGINT)) / COUNT(*)) AS BIGINT) AS w0,
+         |    MAX(w1) + CAST(FLOOR(4.0 * SUM(CAST(FLOOR((y-p)*x1*1000000+0.5)
+         |      AS BIGINT)) / COUNT(*)) AS BIGINT) AS w1,
+         |    MAX(w2) + CAST(FLOOR(4.0 * SUM(CAST(FLOOR((y-p)*x2*1000000+0.5)
+         |      AS BIGINT)) / COUNT(*)) AS BIGINT) AS w2
+         |  FROM p$k)""".stripMargin
+    s"""feat AS MATERIALIZED (SELECT doc_id,
+       |    CAST(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+       |      / len(string_split(text,' ')) > 0.46 AS BIGINT) AS y,
+       |    (CAST(${sqlHits(enStop)} AS DOUBLE)
+       |      / len(string_split(text,' ')) - 0.0625) * 10 AS x1,
+       |    (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+       |      / len(string_split(text,' ')) - 0.46) * 10 AS x2
+       |  FROM documents WHERE len(string_split(text,' ')) > 0),
+       |s0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+       |    CAST(0 AS BIGINT) AS w2),
+       |${(1 to 8).map(k => stepSql(k, s"s${k - 1}")).mkString(",\n")},
+       |scored AS (SELECT doc_id, y,
+       |    CAST(FLOOR(p*1000000+0.5) AS BIGINT) AS p_ppm
+       |  FROM (SELECT doc_id, y, $sig AS p FROM feat, s8 w))""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "text_hashed_features" ->
@@ -1374,38 +1447,33 @@ object Text {
         |  4710 * n_alnum // n_words + 500 * n_words // n_sent - 21430
         |    AS ari_milli
         |FROM t ORDER BY doc_id""".stripMargin,
-    "quality_logreg" -> {
-      val sig = "round(1.0/(1.0+exp(-((w.w0 + w.w1*x1 + w.w2*x2)" +
-        "/1000000.0))), 9)"
-      def stepSql(k: Int, prev: String): String =
-        s"""p$k AS (SELECT y, x1, x2, w.w0, w.w1, w.w2, $sig AS p
-           |  FROM feat, $prev w),
-           |s$k AS MATERIALIZED (SELECT
-           |    MAX(w0) + CAST(FLOOR(4.0 * SUM(CAST(FLOOR((y-p)*1000000+0.5)
-           |      AS BIGINT)) / COUNT(*)) AS BIGINT) AS w0,
-           |    MAX(w1) + CAST(FLOOR(4.0 * SUM(CAST(FLOOR((y-p)*x1*1000000+0.5)
-           |      AS BIGINT)) / COUNT(*)) AS BIGINT) AS w1,
-           |    MAX(w2) + CAST(FLOOR(4.0 * SUM(CAST(FLOOR((y-p)*x2*1000000+0.5)
-           |      AS BIGINT)) / COUNT(*)) AS BIGINT) AS w2
-           |  FROM p$k)""".stripMargin
-      s"""WITH feat AS MATERIALIZED (SELECT doc_id,
-         |    CAST(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-         |      / len(string_split(text,' ')) > 0.46 AS BIGINT) AS y,
-         |    (CAST(${sqlHits(enStop)} AS DOUBLE)
-         |      / len(string_split(text,' ')) - 0.0625) * 10 AS x1,
-         |    (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-         |      / len(string_split(text,' ')) - 0.46) * 10 AS x2
-         |  FROM documents WHERE len(string_split(text,' ')) > 0),
-         |s0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
-         |    CAST(0 AS BIGINT) AS w2),
-         |${(1 to 8).map(k => stepSql(k, s"s${k - 1}")).mkString(",\n")}
-         |SELECT doc_id, y,
-         |  CAST(FLOOR(p*1000000+0.5) AS BIGINT) AS p_ppm,
-         |  CAST(CAST(FLOOR(p*1000000+0.5) AS BIGINT) >= 500000 AS BIGINT)
-         |    AS pred
-         |FROM (SELECT doc_id, y, $sig AS p FROM feat, s8 w)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "quality_logreg" ->
+      s"""WITH $logregCoreSql
+         |SELECT doc_id, y, p_ppm,
+         |  CAST(p_ppm >= 500000 AS BIGINT) AS pred
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    // AUC = Mann-Whitney U over (p_ppm, y) with midrank ties, exact
+    // integers (doubled rank sums); mirrors qualityAucOn term for term.
+    "quality_auc" ->
+      s"""WITH $logregCoreSql,
+         |g AS (SELECT p_ppm AS cents, CAST(COUNT(*) AS BIGINT) AS t,
+         |    CAST(SUM(y) AS BIGINT) AS t1 FROM scored GROUP BY 1),
+         |run AS (SELECT t, t1, CAST(COALESCE(SUM(t) OVER (ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS cb FROM g),
+         |ag AS (SELECT CAST(SUM(t - t1) AS BIGINT) AS n_neg,
+         |    CAST(SUM(t1) AS BIGINT) AS n_pos,
+         |    CAST(SUM(t1 * (2 * cb + t + 1)) AS BIGINT) AS r1_x2 FROM run),
+         |pre AS (SELECT n_pos, n_neg,
+         |    CAST(r1_x2 - n_pos * (n_pos + 1) AS BIGINT) AS u1_x2 FROM ag),
+         |fin AS (SELECT n_pos, n_neg, u1_x2,
+         |    CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |      CAST(CAST(u1_x2 AS HUGEINT) * 1000000
+         |        // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT)
+         |    END AS auc_ppm FROM pre)
+         |SELECT n_pos, n_neg, u1_x2, auc_ppm,
+         |  CAST(auc_ppm * 2 - 1000000 AS BIGINT) AS gini_pm
+         |FROM fin""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,

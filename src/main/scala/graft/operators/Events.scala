@@ -806,7 +806,8 @@ object Events {
     * Buckets use floor division so the key is monotone in cents even
     * for negative values. Output: input columns + cum_<c> per value
     * column. */
-  private def prefixByCents(byV0: DataFrame, vals: Seq[String]): DataFrame = {
+  private[graft] def prefixByCents(byV0: DataFrame,
+      vals: Seq[String]): DataFrame = {
     val byV = byV0
       .withColumn("bk", expr("CAST(floor(cents / 1024.0) AS BIGINT)"))
       .withColumn("sbk", expr("CAST(floor(cents / 1048576.0) AS BIGINT)"))

@@ -200,6 +200,32 @@ class ChunkLmSpec extends SparkSpecBase {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("quality_auc: midrank tie handling replayed by hand; perfect and " +
+    "inverted rankings hit the endpoints; one-class gates to NULL") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Long)]): org.apache.spark.sql.Row =
+      functions.Text.qualityAucOn(
+        rows.toDF("p_ppm", "y")).collect()(0)
+    // scores 10,20,20,30 / labels 0,0,1,1: positive midranks 2.5 + 4
+    // -> U1 = 3.5 of 4 -> AUC .875, gini .75
+    val r = auc(Seq((10L, 0L), (20L, 0L), (20L, 1L), (30L, 1L)))
+    assert(r.getAs[Long]("u1_x2") == 7L)
+    assert(r.getAs[Long]("auc_ppm") == 875000L)
+    assert(r.getAs[Long]("gini_pm") == 750000L)
+    // perfect separation -> 1e6; inverted -> 0
+    assert(auc(Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+      .getAs[Long]("auc_ppm") == 1000000L)
+    assert(auc(Seq((3L, 0L), (2L, 0L), (1L, 1L)))
+      .getAs[Long]("auc_ppm") == 0L)
+    // a single class present -> NULL gate, never a division by zero
+    val one = auc(Seq((1L, 1L), (2L, 1L)))
+    assert(one.isNullAt(one.fieldIndex("auc_ppm")))
+    // corpus: the distilled classifier's ranking quality is near-perfect
+    // (documented 0.99 accuracy on a separable teacher rule)
+    val c = functions.Text.qualityAuc(spark, sf).collect()(0)
+    assert(c.getAs[Long]("auc_ppm") >= 900000L)
+  }
+
   test("L4m feature hashing: hand buckets/signs; mass bounded by token " +
       "count; fixed space at corpus scale") {
     // polyHash('a') = 97, bucket 97, sign bit (97 div 256)%2 = 0 -> +1
