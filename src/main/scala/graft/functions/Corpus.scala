@@ -358,6 +358,53 @@ object Corpus {
   def corpusEpochs(s: SparkSession, dir: String): DataFrame =
     corpusEpochsOn(Tables.documents(s, dir)).orderBy("doc_id")
 
+  /** L13m: DoReMi-style domain reweighting (Xie et al., NeurIPS 2023)
+    * — one derandomized multiplicative-weights (Group-DRO) update:
+    * per-domain excess loss over the easiest domain drives
+    * w_i ∝ ref_i · exp(excess_i), so the sampler upweights domains
+    * the proxy model finds HARD, exactly the DoReMi inner step with
+    * the bigram LM ([[Text.textLmScoreOn]]) standing in for the proxy.
+    *
+    * Determinism discipline: per-doc avg log-prob quantizes to
+    * NEGATED micro units (non-negative, so integer `div` agrees
+    * across engines) BEFORE the domain mean; exp() passes the
+    * round(·,9) contract boundary (the quality_logreg sigmoid rule);
+    * the normalizer is an integer sum of quantized numerators —
+    * no float accumulates across rows anywhere. Shapes: one doc-keyed
+    * join, one lang rollup, 1-row min/total broadcasts — the domain
+    * relation is vocabulary-of-langs small at any corpus scale. */
+  def corpusDoremiOn(docs: DataFrame): DataFrame = {
+    val per = Text.textLmScoreOn(docs)
+      .select(col("doc_id"),
+        expr("CAST(FLOOR(-avg_logprob * 1000000 + 0.5) AS BIGINT)")
+          .as("nll_micro"))
+    val dom = per.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nll_micro")).as("s"))
+      .select(col("lang"), col("n_docs"),
+        expr("s div n_docs").as("loss_micro")) // non-negative div
+      .localCheckpoint(true) // tiny; feeds min/total + the update
+    val mn = dom.agg(min(col("loss_micro")).as("mn"),
+      sum(col("n_docs")).as("nn"))
+    val upd = dom.crossJoin(broadcast(mn))
+      .withColumn("excess_micro", col("loss_micro") - col("mn"))
+      .withColumn("num", expr(
+        "CAST(FLOOR(n_docs * round(exp(CAST(excess_micro AS DOUBLE)" +
+          " / 1000000.0), 9) * 1000000 + 0.5) AS BIGINT)"))
+    val tot = upd.agg(sum(col("num")).as("tot"))
+    upd.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("loss_micro"),
+        col("excess_micro"),
+        expr("CAST(n_docs * 1000000 div nn AS BIGINT)").as("ref_ppm"),
+        expr("CAST(CAST(num AS DECIMAL(38,0)) * 1000000 DIV tot AS BIGINT)")
+          .as("w_ppm"))
+      .withColumn("delta_ppm", col("w_ppm") - col("ref_ppm"))
+      .orderBy("lang")
+  }
+
+  def corpusDoremi(s: SparkSession, dir: String): DataFrame =
+    corpusDoremiOn(Tables.documents(s, dir))
+
   def corpusMixOn(docs: DataFrame): DataFrame = {
     val iw = MixInvWeight.foldLeft(lit(1)) { case (acc, (l, k)) =>
       when(col("lang") === l, k).otherwise(acc)
@@ -803,6 +850,7 @@ object Corpus {
     "corpus_dsir" -> corpusDsir,
     "profile_drift" -> profileDrift,
     "corpus_epochs" -> corpusEpochs,
+    "corpus_doremi" -> corpusDoremi,
   )
 
   private val polySql =
@@ -1026,6 +1074,34 @@ object Corpus {
         |    AS BIGINT) AS n_repeats
         |FROM rk JOIN alloc ON rk.lang = alloc.lang
         |ORDER BY doc_id""".stripMargin,
+    // mirrors corpusDoremiOn: quantize-then-aggregate, exp through the
+    // round(,9) boundary, integer normalizer (no cross-row floats)
+    "corpus_doremi" ->
+      s"""WITH ${Text.lmScoreCoreSql},
+         |d AS (SELECT doc_id, CAST(FLOOR(
+         |    -(ROUND(sum_lp / n_bigrams, 4)) * 1000000 + 0.5) AS BIGINT)
+         |    AS nll_micro FROM per),
+         |dm AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(nll_micro) AS BIGINT) AS s
+         |  FROM d JOIN documents USING (doc_id) GROUP BY lang),
+         |l AS (SELECT lang, n_docs,
+         |    CAST(s // n_docs AS BIGINT) AS loss_micro FROM dm),
+         |m AS (SELECT MIN(loss_micro) AS mn,
+         |    CAST(SUM(n_docs) AS BIGINT) AS nn FROM l),
+         |e AS (SELECT lang, n_docs, loss_micro,
+         |    CAST(loss_micro - mn AS BIGINT) AS excess_micro, nn
+         |  FROM l CROSS JOIN m),
+         |x AS (SELECT lang, n_docs, loss_micro, excess_micro, nn,
+         |    CAST(FLOOR(n_docs * round(exp(CAST(excess_micro AS DOUBLE)
+         |      / 1000000.0), 9) * 1000000 + 0.5) AS BIGINT) AS num
+         |  FROM e),
+         |t AS (SELECT CAST(SUM(num) AS BIGINT) AS tot FROM x)
+         |SELECT lang, n_docs, loss_micro, excess_micro,
+         |  CAST(n_docs * 1000000 // nn AS BIGINT) AS ref_ppm,
+         |  CAST(CAST(num AS HUGEINT) * 1000000 // tot AS BIGINT) AS w_ppm,
+         |  CAST(CAST(num AS HUGEINT) * 1000000 // tot
+         |    - n_docs * 1000000 // nn AS BIGINT) AS delta_ppm
+         |FROM x CROSS JOIN t ORDER BY lang""".stripMargin,
     "corpus_temperature" ->
       """WITH s AS (SELECT lang, COUNT(*) AS n_docs FROM documents
         |  GROUP BY lang),

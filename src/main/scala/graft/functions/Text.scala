@@ -1092,6 +1092,26 @@ object Text {
        |      ELSE list_concat(acc, x) END) AS cs, freq
        |  FROM $prev, n$i)""".stripMargin
 
+  /** DuckDB mirror of [[textLmScoreOn]] as a reusable CTE chain ending
+    * in `per(doc_id, n_bigrams, sum_lp)` — shared by the text_lm_score
+    * oracle and [[Corpus]]'s corpus_doremi oracle. */
+  private[graft] val lmScoreCoreSql: String =
+    """tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, i AS pos, t[i] AS w1, t[i+1] AS w2
+      |       FROM tk, UNNEST(range(1, len(t))) AS r(i)
+      |       WHERE len(t) >= 2),
+      |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+      |uc AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      |vc AS (SELECT COUNT(DISTINCT w) AS v FROM (
+      |       SELECT unnest(t) AS w FROM tk)),
+      |sc AS (SELECT doc_id, pos, ln(c12 + 1) - ln(c1 + v) AS lp
+      |       FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vc),
+      |per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |        list_reduce(
+      |          list_concat([CAST(0 AS DOUBLE)], list(lp ORDER BY pos)),
+      |          (a, b) -> a + b) AS sum_lp
+      |        FROM sc GROUP BY doc_id)""".stripMargin
+
   /** DuckDB mirror of [[qualityLogregOn]]'s training + scoring as a
     * reusable CTE chain ending in `scored(doc_id, y, p_ppm)` — shared
     * by the quality_logreg and quality_auc oracles. */
@@ -1187,23 +1207,9 @@ object Text {
         |  LEAST(64, n - chunk_id*48) AS n_chunk_toks
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_lm_score" ->
-      """WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-        |bg AS (SELECT doc_id, i AS pos, t[i] AS w1, t[i+1] AS w2
-        |       FROM tk, UNNEST(range(1, len(t))) AS r(i)
-        |       WHERE len(t) >= 2),
-        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
-        |uc AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
-        |vc AS (SELECT COUNT(DISTINCT w) AS v FROM (
-        |       SELECT unnest(t) AS w FROM tk)),
-        |sc AS (SELECT doc_id, pos, ln(c12 + 1) - ln(c1 + v) AS lp
-        |       FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vc),
-        |per AS (SELECT doc_id, COUNT(*) AS n_bigrams,
-        |        list_reduce(
-        |          list_concat([CAST(0 AS DOUBLE)], list(lp ORDER BY pos)),
-        |          (a, b) -> a + b) AS sum_lp
-        |        FROM sc GROUP BY doc_id)
-        |SELECT doc_id, n_bigrams, ROUND(sum_lp / n_bigrams, 4) AS avg_logprob
-        |FROM per ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmScoreCoreSql
+         |SELECT doc_id, n_bigrams, ROUND(sum_lp / n_bigrams, 4) AS avg_logprob
+         |FROM per ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |uni AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,

@@ -466,4 +466,32 @@ class CorpusSpec extends SparkSpecBase {
     assert(c.exceptAll(again).count() == 0 && again.exceptAll(c).count() == 0)
     c.unpersist()
   }
+
+  test("doremi: the hard domain gains weight over its reference share, " +
+    "the easy one loses; weights renormalize; easiest domain has zero excess") {
+    import spark.implicits._
+    // lang A: maximally predictable bigrams (one repeated token);
+    // lang B: every bigram rare (rotating vocabulary) -> higher NLL
+    val docs = ((1L to 6L).map(i => (i, "a a a a a a a a", "aa")) ++
+      (11L to 16L).map(i => (i,
+        s"w${i}x y${i} q${i} z${i} r${i} s${i} t${i} u$i", "bb")))
+      .toDF("doc_id", "text", "lang")
+    val out = functions.Corpus.corpusDoremiOn(docs)
+      .select("lang", "excess_micro", "ref_ppm", "w_ppm", "delta_ppm")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("aa")._2 == 0L)            // easiest domain: zero excess
+    assert(out("bb")._2 > 0L)
+    assert(out("bb")._5 > 0L, s"hard domain not upweighted: $out")
+    assert(out("aa")._5 < 0L)
+    // weights form a distribution up to per-domain floor rounding
+    val sumW = out.values.map(_._4).sum
+    assert(math.abs(sumW - 1000000L) <= out.size, s"sum w_ppm = $sumW")
+
+    // corpus: same invariants across the real lang mix
+    val c = functions.Corpus.corpusDoremi(spark, sf)
+      .select("excess_micro", "w_ppm").as[(Long, Long)].collect()
+    assert(c.exists(_._1 == 0L))
+    assert(math.abs(c.map(_._2).sum - 1000000L) <= c.length)
+  }
 }
