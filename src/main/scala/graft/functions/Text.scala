@@ -313,7 +313,26 @@ object Text {
   }
 
   def qualityLogreg(s: SparkSession, dir: String): DataFrame =
-    qualityLogregOn(Tables.documents(s, dir))
+    qualityScored(s, dir)
+
+  /** The trained-and-scored relation, memoized per (session, dir)
+    * under the [[Dedup]] shingle-cache discipline: quality_logreg,
+    * quality_auc, quality_ece, and quality_threshold_sweep all
+    * consume the same 8-step training chain, and a long-lived session
+    * running the catalog must train it ONCE (the r6-verdict
+    * shared-subtree rule). Entries of stopped sessions evict on
+    * access. */
+  private val scoredCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def qualityScored(s: SparkSession, dir: String): DataFrame =
+    scoredCache.synchronized {
+      scoredCache.filterInPlace {
+        case ((sess, _), _) => !sess.sparkContext.isStopped }
+      scoredCache.getOrElseUpdate((s, dir),
+        qualityLogregOn(Tables.documents(s, dir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** L4q': AUC of the trained quality classifier — the accept metric
     * a production filter rollout actually reports (accuracy lies
@@ -352,7 +371,84 @@ object Text {
   }
 
   def qualityAuc(s: SparkSession, dir: String): DataFrame =
-    qualityAucOn(qualityLogregOn(Tables.documents(s, dir)))
+    qualityAucOn(qualityScored(s, dir))
+
+  /** L4q''': expected calibration error of the trained quality
+    * classifier — the reliability audit a production keep-gate needs
+    * before its scores can drive a THRESHOLD (AUC says the ranking is
+    * right; ECE says the probabilities mean what they claim —
+    * Guo et al., ICML 2017). Ten equal-width probability bins over
+    * p_ppm; per bin the mean predicted probability is compared to the
+    * empirical positive rate, and ECE is the kept-mass-weighted mean
+    * absolute gap (MCE the max). Exact integers end to end: bin ids
+    * and both per-bin rates are floor divisions of ppm sums, so no
+    * float crosses an aggregation boundary. Shape: one pass over the
+    * scored relation into a ≤10-row map-side-combinable rollup; the
+    * two scalars ride the sanctioned 1-row broadcast crossJoin back
+    * onto the bin rows. At 100 TB: one scan, 10 groups, no window. */
+  def qualityEceOn(scored: DataFrame): DataFrame = {
+    val byBin = scored
+      .select(expr("CAST(least(p_ppm DIV 100000, 9) AS BIGINT)").as("bin"),
+        col("p_ppm"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p_ppm")).as("sp"),
+        sum(col("y")).as("s1"))
+      .select(col("bin"), col("n"),
+        expr("sp DIV n").as("mean_p_ppm"),
+        expr("(s1 * 1000000) DIV n").as("frac_pos_ppm"))
+      .withColumn("gap_ppm", abs(col("mean_p_ppm") - col("frac_pos_ppm")))
+    val ece = byBin.agg(
+      expr("CAST(sum(n * gap_ppm) DIV sum(n) AS BIGINT)").as("ece_ppm"),
+      max(col("gap_ppm")).as("mce_ppm"))
+    byBin.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("mean_p_ppm"),
+        col("frac_pos_ppm"), col("gap_ppm"), col("ece_ppm"), col("mce_ppm"))
+      .orderBy("bin")
+  }
+
+  def qualityEce(s: SparkSession, dir: String): DataFrame =
+    qualityEceOn(qualityScored(s, dir))
+
+  /** L4q'''': keep-threshold sweep — the operating-curve table the
+    * AUC scaladoc promises: for every DISTINCT classifier score,
+    * the kept-document count, true positives, precision, recall, and
+    * F1 of the gate "keep iff p_ppm ≥ thr". This is what turns a
+    * trained filter into a DEPLOYED one: the curator picks the
+    * threshold off this relation (target kept-mass or target
+    * precision), not off the raw scores. Exact integers: suffix
+    * counts come from the bucketed [[graft.operators.Events
+    * .prefixByCents]] sweep over the distinct-score relation (≤1e6
+    * rows by the ppm domain, no single-partition sort), totals ride
+    * the 1-row broadcast, and all three rates are floor divisions.
+    * `kept` ≥ 1 at every emitted threshold (the threshold is a
+    * present score), so precision never divides by zero; recall and
+    * F1 NULL-gate when a class is absent. */
+  def qualityThresholdSweepOn(scored: DataFrame): DataFrame = {
+    val byV = scored.select(col("p_ppm").as("cents"), col("y"))
+      .groupBy("cents")
+      .agg(count(lit(1)).as("t"), sum(col("y")).as("t1"))
+    val tot = byV.agg(sum(col("t")).as("n_all"), sum(col("t1")).as("n_pos"))
+    graft.operators.Events.prefixByCents(byV, Seq("t", "t1"))
+      .crossJoin(broadcast(tot))
+      .select(col("cents").as("thr_ppm"),
+        (col("n_all") - col("cum_t")).as("kept"),
+        (col("n_pos") - col("cum_t1")).as("tp"),
+        col("n_pos"))
+      .withColumn("precision_ppm", expr("(tp * 1000000) DIV kept"))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN n_pos > 0 THEN (tp * 1000000) DIV n_pos END"))
+      .withColumn("f1_ppm", expr(
+        """CASE WHEN precision_ppm + recall_ppm > 0 THEN
+          |  (2 * precision_ppm * recall_ppm)
+          |    DIV (precision_ppm + recall_ppm) END""".stripMargin))
+      .select("thr_ppm", "kept", "tp", "n_pos",
+        "precision_ppm", "recall_ppm", "f1_ppm")
+      .orderBy("thr_ppm")
+  }
+
+  def qualityThresholdSweep(s: SparkSession, dir: String): DataFrame =
+    qualityThresholdSweepOn(qualityScored(s, dir))
 
   /** L4n: novelty scoring — what fraction of a document's trigram
     * shingles appears in NO lower-numbered document (doc order = the
@@ -1043,6 +1139,8 @@ object Text {
     "text_novelty" -> textNovelty,
     "quality_logreg" -> qualityLogreg,
     "quality_auc" -> qualityAuc,
+    "quality_ece" -> qualityEce,
+    "quality_threshold_sweep" -> qualityThresholdSweep,
   )
 
   private def sqlHits(words: Seq[String]): String =
@@ -1480,6 +1578,51 @@ object Text {
          |SELECT n_pos, n_neg, u1_x2, auc_ppm,
          |  CAST(auc_ppm * 2 - 1000000 AS BIGINT) AS gini_pm
          |FROM fin""".stripMargin,
+    // Reliability bins + ECE/MCE; mirrors qualityEceOn term for term
+    // (floor divisions on non-negative integers on both engines).
+    "quality_ece" ->
+      s"""WITH $logregCoreSql,
+         |b AS (SELECT CAST(LEAST(p_ppm // 100000, 9) AS BIGINT) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(p_ppm) AS BIGINT) AS sp,
+         |    CAST(SUM(y) AS BIGINT) AS s1
+         |  FROM scored GROUP BY 1),
+         |r AS (SELECT bin, n, sp // n AS mean_p_ppm,
+         |    (s1 * 1000000) // n AS frac_pos_ppm FROM b),
+         |g AS (SELECT bin, n, mean_p_ppm, frac_pos_ppm,
+         |    abs(mean_p_ppm - frac_pos_ppm) AS gap_ppm FROM r),
+         |e AS (SELECT CAST(SUM(n * gap_ppm) // SUM(n) AS BIGINT)
+         |      AS ece_ppm,
+         |    CAST(MAX(gap_ppm) AS BIGINT) AS mce_ppm FROM g)
+         |SELECT bin, n, mean_p_ppm, frac_pos_ppm, gap_ppm,
+         |  ece_ppm, mce_ppm
+         |FROM g, e ORDER BY bin""".stripMargin,
+    // Operating curve at every distinct score; suffix counts via the
+    // strictly-before window prefix (kept >= 1 at present scores).
+    "quality_threshold_sweep" ->
+      s"""WITH $logregCoreSql,
+         |g AS (SELECT p_ppm AS thr_ppm, CAST(COUNT(*) AS BIGINT) AS t,
+         |    CAST(SUM(y) AS BIGINT) AS t1 FROM scored GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n_all,
+         |    CAST(SUM(t1) AS BIGINT) AS n_pos FROM g),
+         |run AS (SELECT thr_ppm,
+         |    CAST(COALESCE(SUM(t) OVER (ORDER BY thr_ppm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cb,
+         |    CAST(COALESCE(SUM(t1) OVER (ORDER BY thr_ppm
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cb1 FROM g),
+         |k AS (SELECT thr_ppm, n_all - cb AS kept, n_pos - cb1 AS tp,
+         |    n_pos FROM run, tot),
+         |p AS (SELECT thr_ppm, kept, tp, n_pos,
+         |    (tp * 1000000) // kept AS precision_ppm,
+         |    CASE WHEN n_pos > 0 THEN (tp * 1000000) // n_pos END
+         |      AS recall_ppm FROM k)
+         |SELECT thr_ppm, kept, tp, n_pos, precision_ppm, recall_ppm,
+         |  CASE WHEN precision_ppm + recall_ppm > 0 THEN
+         |    (2 * precision_ppm * recall_ppm)
+         |      // (precision_ppm + recall_ppm) END AS f1_ppm
+         |FROM p ORDER BY thr_ppm""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,

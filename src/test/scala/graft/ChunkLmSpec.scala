@@ -226,6 +226,68 @@ class ChunkLmSpec extends SparkSpecBase {
     assert(c.getAs[Long]("auc_ppm") >= 900000L)
   }
 
+  test("quality_ece: reliability bins replayed by hand; p=1e6 caps into " +
+    "bin 9; corpus bins bounded and deterministic") {
+    import spark.implicits._
+    // calibrated bin (4 rows at p=.25, one positive) + anti-calibrated
+    // bin (2 rows at p=.9, zero positives): ece = (4*0 + 2*900000)/6
+    val r = functions.Text.qualityEceOn(Seq(
+        (250000L, 1L), (250000L, 0L), (250000L, 0L), (250000L, 0L),
+        (900000L, 0L), (900000L, 0L)).toDF("p_ppm", "y"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (2L, 4L, 250000L, 250000L, 0L, 300000L, 900000L),
+      (9L, 2L, 900000L, 0L, 900000L, 300000L, 900000L)))
+    // the p_ppm = 1e6 endpoint folds into bin 9, not a bin 10
+    val cap = functions.Text.qualityEceOn(Seq((1000000L, 1L))
+        .toDF("p_ppm", "y")).collect()(0)
+    assert(cap.getAs[Long]("bin") == 9L &&
+      cap.getAs[Long]("gap_ppm") == 0L)
+    // corpus: <= 10 bins, every rate a valid ppm, mass adds up, and
+    // the memoized scored relation makes a second run bit-identical
+    val c = functions.Text.qualityEce(spark, sf).cache()
+    val rows = c.collect()
+    assert(rows.length <= 10 && rows.forall(x =>
+      x.getAs[Long]("bin") >= 0 && x.getAs[Long]("bin") <= 9 &&
+      x.getAs[Long]("mean_p_ppm") >= 0 &&
+      x.getAs[Long]("mean_p_ppm") <= 1000000 &&
+      x.getAs[Long]("frac_pos_ppm") >= 0 &&
+      x.getAs[Long]("frac_pos_ppm") <= 1000000 &&
+      x.getAs[Long]("ece_ppm") >= 0 &&
+      x.getAs[Long]("ece_ppm") <= x.getAs[Long]("mce_ppm")))
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == functions.Text.qualityLogreg(spark, sf).count())
+  }
+
+  test("quality_threshold_sweep: operating points replayed by hand; " +
+    "one-class gates recall/F1 to NULL; corpus curve is monotone") {
+    import spark.implicits._
+    val r = functions.Text.qualityThresholdSweepOn(Seq(
+        (10L, 0L), (20L, 0L), (20L, 1L), (30L, 1L)).toDF("p_ppm", "y"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // thr 20 F1: 2*666666*1e6 / 1666666 floors to 799999
+    assert(r == Seq(
+      (10L, 4L, 2L, 2L, 500000L, 1000000L, 666666L),
+      (20L, 3L, 2L, 2L, 666666L, 1000000L, 799999L),
+      (30L, 1L, 1L, 2L, 1000000L, 500000L, 666666L)))
+    // no positives anywhere: precision 0, recall/F1 NULL-gated
+    val none = functions.Text.qualityThresholdSweepOn(Seq(
+        (10L, 0L), (20L, 0L)).toDF("p_ppm", "y")).collect()
+    assert(none.forall(x => x.getAs[Long]("precision_ppm") == 0L &&
+      x.isNullAt(x.fieldIndex("recall_ppm")) &&
+      x.isNullAt(x.fieldIndex("f1_ppm"))))
+    // corpus: kept/tp/recall are non-increasing in the threshold and
+    // the lowest threshold keeps everything (recall 1e6)
+    val c = functions.Text.qualityThresholdSweep(spark, sf)
+      .orderBy("thr_ppm").collect()
+    assert(c.nonEmpty)
+    val kept = c.map(_.getAs[Long]("kept"))
+    val tp = c.map(_.getAs[Long]("tp"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b })
+    assert(tp.zip(tp.tail).forall { case (a, b) => a >= b })
+    assert(c.head.getAs[Long]("recall_ppm") == 1000000L)
+  }
+
   test("L4m feature hashing: hand buckets/signs; mass bounded by token " +
       "count; fixed space at corpus scale") {
     // polyHash('a') = 97, bucket 97, sign bit (97 div 256)%2 = 0 -> +1
