@@ -342,6 +342,68 @@ object Multimodal {
   def mmSceneCuts(s: SparkSession, dir: String): DataFrame =
     mmSceneCutsOn(Tables.documents(s, dir))
 
+  /** Energy floor (0–99 surrogate scale) above which a frame counts
+    * as speech, the silence-run length (frames) a voiced segment may
+    * bridge (the VAD "hangover"), and the minimum speech-frame count
+    * for a segment to survive. */
+  val VadEnergyThreshold = 40L
+  val VadMaxGapFrames = 2L
+  val VadMinSpeechFrames = 3L
+
+  /** L5h: audio voice-activity segmentation — the pass a speech-
+    * training pipeline runs before transcription to cut raw audio
+    * into voiced utterances (WebRTC-VAD / Silero shape: per-frame
+    * energy, threshold, hangover merge, min-duration filter). Audio
+    * is the fourth modality next to the video (scene cuts), image
+    * (phash), and image–text (caption align) ops.
+    *
+    * The decode is the usual surrogate behind the media boundary
+    * (frame count from payload length, energy a seeded integer hash
+    * piecewise-constant over 4-frame runs so speech/silence arrive
+    * in realistic bursts). Downstream of the energy column the shape
+    * is REAL and distributed: the speech-frame filter happens in the
+    * scan projection (only voiced frames reach the shuffle), ONE
+    * doc-keyed window does the lag-gap + running segment count (the
+    * event-sessionization discipline on the decode boundary — a
+    * silence run longer than [[VadMaxGapFrames]] breaks the
+    * segment), one hash aggregate rolls segments up, and segments
+    * shorter than [[VadMinSpeechFrames]] speech frames drop. At
+    * 100 TB the frame relation shards by doc_id and nothing crosses
+    * clips. */
+  def mmAudioVadOn(docs: DataFrame): DataFrame = {
+    val speech = docs
+      .select(col("doc_id"), (length(col("text")) % 80 + 20).as("n_frames"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames").cast("long") - 1)).as("f"))
+      .withColumn("energy",
+        expr("((doc_id * 104729 + (f div 4) * 7919) % 1000000007) % 100"))
+      .filter(col("energy") >= VadEnergyThreshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("f").asc)
+    speech
+      .withColumn("prev_f", lag(col("f"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_f").isNull ||
+          col("f") - col("prev_f") > VadMaxGapFrames + 1, 1L)
+          .otherwise(0L))
+      .withColumn("seg",
+        sum(col("brk")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)) - 1)
+      .groupBy("doc_id", "seg")
+      .agg(min(col("f")).as("start_frame"), max(col("f")).as("end_frame"),
+        count(lit(1)).as("n_speech"))
+      .filter(col("n_speech") >= VadMinSpeechFrames)
+      .withColumn("bridged_frames",
+        col("end_frame") - col("start_frame") + 1 - col("n_speech"))
+      .select("doc_id", "seg", "start_frame", "end_frame",
+        "n_speech", "bridged_frames")
+      .orderBy("doc_id", "seg")
+  }
+
+  def mmAudioVad(s: SparkSession, dir: String): DataFrame =
+    mmAudioVadOn(Tables.documents(s, dir))
+
   /** L5g: interleaved image–text document assembly — the MMC4 / OBELICS
     * construction step that turns (text, candidate images) into ONE
     * token-ordered multimodal sequence per document: text is split
@@ -398,6 +460,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_interleave" -> mmInterleave,
     "mm_scene_cuts" -> mmSceneCuts,
+    "mm_audio_vad" -> mmAudioVad,
     "mm_phash_dedup" -> mmPhashDedup,
     "mm_caption_align" -> mmCaptionAlign,
     "mm_pack_shards" -> mmPackShards,
@@ -462,6 +525,35 @@ object Multimodal {
          |  CAST(COUNT(*) AS BIGINT) AS n_frames,
          |  CAST(MIN(luma) AS BIGINT) AS luma
          |FROM sg GROUP BY doc_id, seg ORDER BY doc_id, seg""".stripMargin,
+    "mm_audio_vad" ->
+      s"""WITH fr AS (SELECT doc_id, length(text) % 80 + 20 AS n_frames
+         |  FROM documents),
+         |f AS (SELECT doc_id, unnest(range(0, n_frames)) AS f FROM fr),
+         |e AS (SELECT doc_id, f,
+         |    ((doc_id * 104729 + (f // 4) * 7919) % 1000000007) % 100
+         |      AS energy
+         |  FROM f),
+         |sp AS (SELECT doc_id, f FROM e
+         |  WHERE energy >= $VadEnergyThreshold),
+         |m AS (SELECT doc_id, f,
+         |    CASE WHEN lag(f) OVER w IS NULL
+         |      OR f - lag(f) OVER w > ${VadMaxGapFrames + 1}
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM sp WINDOW w AS (PARTITION BY doc_id ORDER BY f ASC)),
+         |sg AS (SELECT doc_id, f,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY f ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+         |      AS seg
+         |  FROM m),
+         |ag AS (SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+         |    CAST(MIN(f) AS BIGINT) AS start_frame,
+         |    CAST(MAX(f) AS BIGINT) AS end_frame,
+         |    CAST(COUNT(*) AS BIGINT) AS n_speech
+         |  FROM sg GROUP BY doc_id, seg)
+         |SELECT doc_id, seg, start_frame, end_frame, n_speech,
+         |  end_frame - start_frame + 1 - n_speech AS bridged_frames
+         |FROM ag WHERE n_speech >= $VadMinSpeechFrames
+         |ORDER BY doc_id, seg""".stripMargin,
     "mm_phash_dedup" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
         |  WHERE length(text) >= 1),

@@ -107,6 +107,44 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("L5h audio VAD: segments replay the hangover merge exactly; " +
+    "every survivor meets the min-duration floor with bridges <= max gap") {
+    import spark.implicits._
+    def energy(doc: Long, f: Long): Long =
+      ((doc * 104729 + (f / 4) * 7919) % 1000000007L) % 100
+    val out = multimodal.Multimodal.mmAudioVad(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val nf = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (length(col("text")) % 80 + 20).cast("long").as("nf"))
+      .as[(Long, Long)].collect().toMap
+    // independent imperative replay: threshold filter, break on a
+    // silence run longer than the hangover, drop short segments;
+    // seg ids count RAW segments (dropped ones keep their slot)
+    val expected = nf.toSeq.flatMap { case (doc, n) =>
+      val speech = (0L until n).filter(energy(doc, _) >= 40)
+      if (speech.isEmpty) Seq.empty
+      else {
+        val segs = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer(speech.head))
+        speech.sliding(2).foreach {
+          case Seq(a, b) =>
+            if (b - a > 3) segs += scala.collection.mutable.ArrayBuffer(b)
+            else segs.last += b
+          case _ => ()
+        }
+        segs.zipWithIndex.collect { case (fs, i) if fs.length >= 3 =>
+          (doc, i.toLong, fs.head, fs.last, fs.length.toLong,
+            fs.last - fs.head + 1 - fs.length)
+        }
+      }
+    }.toSet
+    assert(out.nonEmpty && out.toSet == expected)
+    // survivors meet the floor; bridged silence never exceeds what
+    // the hangover permits per inter-speech gap
+    assert(out.forall(r => r._5 >= 3 && r._6 >= 0))
+  }
+
   test("L5g interleave: images land at their hashed slots, offsets " +
       "accumulate text and vision tokens") {
     import spark.implicits._
