@@ -908,4 +908,39 @@ class PlanSpec extends SparkSpecBase {
     assert("Exchange SinglePartition".r.findAllIn(p).size <= 2, p)
     assert(p.contains("hashpartitioning(ttr_milli"), p)
   }
+
+  test("mm_audio_vad: the speech filter runs before the hangover " +
+    "window's doc_id exchange — only voiced frames shuffle — and " +
+    "the whole op is one window pass plus one rollup") {
+    val p = plan(multimodal.Multimodal.mmAudioVad(spark, sf))
+    assert(p.contains("hashpartitioning(doc_id"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // two Window operators max (lag's [-1,-1] frame and the running
+    // sum can't share one WindowExec) but they share the exchange
+    assert("(?m)^.*Window \\[".r.findAllIn(p).size <= 2, p)
+    // the energy threshold is evaluated pre-shuffle: the >= 40 filter
+    // sits BELOW (deeper than) the doc_id exchange in the plan text
+    val ex = p.indexOf("Exchange hashpartitioning(doc_id")
+    val fi = p.indexOf(">= 40")
+    assert(ex >= 0 && fi > ex, p)
+  }
+
+  test("quality_threshold_sweep: suffix counts ride the bucketed " +
+    "prefix sweep — the only single-partition hops are the 1-row " +
+    "totals broadcast and the bounded super-bucket relations") {
+    val p = plan(functions.Text.qualityThresholdSweep(spark, sf))
+    // distinct-score relation is bucketed by the sweep keys, never
+    // globally sorted on one partition
+    assert(p.contains("hashpartitioning(bk") ||
+      p.contains("hashpartitioning(cents"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quality_ece: one scan into a <=10-row rollup; the ECE scalar " +
+    "rides a broadcast, not a cartesian product") {
+    val p = plan(functions.Text.qualityEce(spark, sf))
+    assert(p.contains("hashpartitioning(bin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }
