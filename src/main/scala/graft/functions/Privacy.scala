@@ -147,9 +147,91 @@ object Privacy {
   def privacyLdpFrequency(s: SparkSession, dir: String): DataFrame =
     privacyLdpFrequencyOn(Tables.customer(s, dir))
 
+  /** ε in milli (100 = ε 0.1) and target quantile in milli (500 =
+    * median) for [[privacyDpQuantileOn]]. */
+  val DpQuantEpsMilli = 100L
+  val DpQuantQMilli = 500L
+
+  /** The exponential-mechanism weight of a candidate at milli-rank
+    * distance `d` — ONE string evaluated verbatim by both engines
+    * (the lm_kneser_ney discipline): exp crosses the round(,9)
+    * contract boundary before the micro-unit floor, and the 1-floor
+    * keeps every candidate drawable so the cumulative line has no
+    * zero-width gaps. */
+  private def dpqWeightSql(epsMilli: Long): String =
+    s"greatest(1, CAST(floor(round(exp(-($epsMilli / 1000.0) * d" +
+      " / 4000.0), 9) * 1000000) AS BIGINT))"
+
+  /** L16c: DP quantile release via the exponential mechanism
+    * (McSherry & Talwar, FOCS 2007; Smith 2011's quantile
+    * instantiation) — the third DP primitive beside the central
+    * Laplace counts (privacy_dp_counts) and local randomized
+    * response (privacy_ldp_frequency): SELECTION. Publishing an
+    * exact median leaks; the mechanism instead draws a candidate
+    * value with probability ∝ exp(ε·u/2) where u is minus the rank
+    * distance to the target quantile — utility degrades smoothly, so
+    * no single record changes any candidate's weight by more than
+    * the sensitivity.
+    *
+    * Derandomized end to end: weights are integer micro-units (the
+    * exp passes the round(,9) boundary, then floors, then a 1-floor
+    * so every candidate stays drawable), the cumulative-weight line
+    * comes from the bucketed [[graft.operators.Events.prefixByCents]]
+    * sweep (value-domain relation, NO single-partition sort), and
+    * the draw is the walk-corpus LCG landed on that line exactly as
+    * [[graft.functions.Clusters.graphNode2vecWalkOn]] lands its
+    * neighbor draw: the unique candidate with cw ≤ r < cw + w. The
+    * true quantile (the 2·cum ≥ 2·q·n rule — the agg_weighted_median
+    * discipline) rides along so the mechanism's rank error is
+    * measured in-catalog (the sketch_theta est/err convention).
+    *
+    * Shape at 100 TB: one scan to the distinct-cents relation, two
+    * bucketed sweeps over it, three 1-row broadcasts, one filter.
+    * Output: ONE row. */
+  def privacyDpQuantileOn(rows: DataFrame,
+      epsMilli: Long = DpQuantEpsMilli,
+      qMilli: Long = DpQuantQMilli): DataFrame = {
+    require(epsMilli >= 1, s"need epsMilli >= 1, got $epsMilli")
+    require(qMilli >= 1 && qMilli <= 999,
+      s"need qMilli in [1,999], got $qMilli")
+    val byV = rows
+      .select(floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+        .as("cents"))
+      .groupBy("cents").agg(count(lit(1)).as("t"))
+    val tot = byV.agg(sum(col("t")).as("n"))
+    val ranked = graft.operators.Events.prefixByCents(byV, Seq("t"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", col("cum_t") + col("t")) // # of rows <= v
+      .withColumn("d",
+        abs(lit(2000L) * col("cum") - lit(2L) * lit(qMilli) * col("n")))
+      .withColumn("w", expr(dpqWeightSql(epsMilli)))
+      .select("cents", "t", "cum", "d", "w", "n")
+    // true quantile: minimal v with 1000·cum >= q·n
+    val trueQ = ranked
+      .filter(lit(1000L) * col("cum") >= lit(qMilli) * col("n"))
+      .agg(min(col("cents")).as("true_q_cents"))
+    val totW = ranked.agg(sum(col("w")).as("tw"), max(col("n")).as("n2"))
+    graft.operators.Events.prefixByCents(ranked, Seq("w"))
+      .crossJoin(broadcast(totW))
+      .withColumn("r",
+        expr("((n2 * 1103515245 + 12345) % 2147483648) % tw"))
+      .filter(col("cum_w") <= col("r") &&
+        col("r") < col("cum_w") + col("w"))
+      .crossJoin(broadcast(trueQ))
+      .select(col("n"), col("cents").as("dp_q_cents"),
+        col("d").as("rank_dist_milli_x2"), col("w").as("w_sel"),
+        col("tw").as("tot_w"), col("true_q_cents"),
+        (col("cents") - col("true_q_cents")).as("err_cents"))
+      .orderBy("dp_q_cents")
+  }
+
+  def privacyDpQuantile(s: SparkSession, dir: String): DataFrame =
+    privacyDpQuantileOn(Tables.customer(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "privacy_kanon" -> privacyKanon,
     "privacy_ldp_frequency" -> privacyLdpFrequency,
+    "privacy_dp_quantile" -> privacyDpQuantile,
   )
 
   val oracles: Map[String, String] = Map(
@@ -208,5 +290,38 @@ object Privacy {
          |FROM obs FULL OUTER JOIN tru USING (seg)
          |CROSS JOIN tot CROSS JOIN kc
          |ORDER BY seg""".stripMargin,
+    // Replays the exponential mechanism exactly: same weight string
+    // (round(,9) boundary + micro floor + 1-floor), same LCG landing
+    // on the cumulative-weight line.
+    "privacy_dp_quantile" ->
+      s"""WITH v AS (SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+         |    AS cents FROM customer),
+         |g AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS t
+         |  FROM v GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n FROM g),
+         |c AS (SELECT cents, t, CAST(SUM(t) OVER (ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum FROM g),
+         |dd AS (SELECT cents, t, cum,
+         |    abs(2000 * cum - 2 * $DpQuantQMilli * n) AS d, n
+         |  FROM c, tot),
+         |w AS (SELECT cents, cum, d, n,
+         |    ${dpqWeightSql(DpQuantEpsMilli)} AS w
+         |  FROM dd),
+         |cw AS (SELECT cents, d, w, n,
+         |    CAST(COALESCE(SUM(w) OVER (ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cw,
+         |    CAST(SUM(w) OVER () AS BIGINT) AS tw
+         |  FROM w),
+         |sel AS (SELECT * FROM cw
+         |  WHERE cw <= ((n * 1103515245 + 12345) % 2147483648) % tw
+         |    AND ((n * 1103515245 + 12345) % 2147483648) % tw < cw + w),
+         |tq AS (SELECT MIN(cents) AS true_q_cents FROM w
+         |  WHERE 1000 * cum >= $DpQuantQMilli * n)
+         |SELECT n, sel.cents AS dp_q_cents, d AS rank_dist_milli_x2,
+         |  w AS w_sel, tw AS tot_w, true_q_cents,
+         |  sel.cents - true_q_cents AS err_cents
+         |FROM sel, tq ORDER BY dp_q_cents""".stripMargin,
   )
 }

@@ -67,6 +67,60 @@ class PrivacySpec extends SparkSpecBase {
     assert(expected.toSeq.map(_._2).sum == nn)
   }
 
+  test("dp quantile: two-candidate fixture replays the weight table and " +
+    "the LCG landing by hand; corpus run replays imperatively and the " +
+    "released value stays in the data's domain") {
+    import spark.implicits._
+    // cents 100 (cum 1, d 0, w 1e6) and 300 (cum 2, d 2000, w
+    // floor(round(exp(-0.05),9)*1e6) = 951229); tw 1951229,
+    // r = (2*1103515245+12345) % 2^31 % tw = 1022317 >= 1e6 -> 300
+    val fx = functions.Privacy.privacyDpQuantileOn(cust(Seq(
+      (1L, 0, 1.0, "A"), (2L, 1, 3.0, "A")))).collect()
+    assert(fx.length == 1)
+    val r0 = fx(0)
+    assert(r0.getAs[Long]("dp_q_cents") == 300L &&
+      r0.getAs[Long]("w_sel") == 951229L &&
+      r0.getAs[Long]("tot_w") == 1951229L &&
+      r0.getAs[Long]("true_q_cents") == 100L &&
+      r0.getAs[Long]("err_cents") == 200L)
+    // corpus: exactly one released row; independent imperative replay
+    // of weights + landing agrees; release is a value present in the
+    // data (the mechanism can only select candidates)
+    val cents = Tables.customer(spark, sf)
+      .select(floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+        .as("c")).as[Long].collect().sorted
+    val n = cents.length.toLong
+    val grouped = cents.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    def replay(epsMilli: Long): Long = {
+      def weight(d: Long): Long = {
+        val x = math.exp(-(epsMilli / 1000.0) * d / 4000.0)
+        math.max(1L, math.floor(BigDecimal(x)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+          .toLong)
+      }
+      var cum = 0L
+      val wts = grouped.map { case (v, t) =>
+        cum += t; (v, weight(math.abs(2000L * cum - 1000L * n)))
+      }
+      val tw = wts.map(_._2).sum
+      val r = ((n * 1103515245L + 12345L) % 2147483648L) % tw
+      var acc = 0L
+      wts.find { case (_, w) =>
+        val hit = acc <= r && r < acc + w; acc += w; hit }.get._1
+    }
+    val out = functions.Privacy.privacyDpQuantile(spark, sf).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("dp_q_cents") == replay(100L))
+    assert(out(0).getAs[Long]("n") == n)
+    assert(cents.contains(out(0).getAs[Long]("dp_q_cents")))
+    // a sharper epsilon is replayed the same way and lands at least
+    // as close to the target rank (concentration)
+    val sharp = functions.Privacy.privacyDpQuantileOn(
+      Tables.customer(spark, sf), epsMilli = 8000L).collect()(0)
+    assert(sharp.getAs[Long]("dp_q_cents") == replay(8000L))
+  }
+
   test("published groups meet k; suppressed rows are counted, never bucketed") {
     val out = functions.Privacy.privacyKanon(spark, sf).cache()
     assert(out.filter(col("level") < 2 && col("n_rows") < functions.Privacy.K)
