@@ -571,6 +571,108 @@ object Clusters {
     graphHarmonicOn(edges, edges.select(col("src")).filter(col("src") < 10))
   }
 
+  /** L18q: seed-sampled betweenness centrality, Brandes' algorithm
+    * (Brandes 2001) with the pivot-sampling estimator of Brandes &
+    * Pich 2007 and a k-hop horizon — the standard way betweenness is
+    * actually computed at scale (exact all-pairs is O(V·E) and
+    * unsampled betweenness on 100 TB is off the table; a seed sample
+    * with bounded depth is what HyperBall-era systems report).
+    *
+    * Forward: multi-source BFS carrying the shortest-PATH-COUNT σ —
+    * per level one edge join + one (seed, node) rollup summing σ
+    * over predecessors, with an anti-join keeping only first-reached
+    * nodes (the [[graphHarmonicOn]] multi-source trick, plus σ).
+    * The shortest-path DAG then materializes once: reached(u) ⋈ E ⋈
+    * reached(v) with dist(v) = dist(u)+1, carrying σ_u and σ_v.
+    * Backward: Brandes' dependency accumulation δ(u) = Σ_succ
+    * σ_u/σ_v·(1+δ(v)) unrolled from the horizon down, δ in integer
+    * MICRO units with the per-term floor division BEFORE the
+    * order-free sum (the harmonic/logreg quantization convention —
+    * both engines replay bit-for-bit). Betweenness of a node is its
+    * δ summed over seeds, seeds themselves excluded (Brandes sums
+    * over sources s ≠ v).
+    *
+    * Shape per round (forward and backward both): one equi-join +
+    * one map-side-combinable rollup, state |seeds|·|reached| rows,
+    * every relation localCheckpointed so plans stay constant-size.
+    * No window, no single-partition hop. */
+  def graphBetweennessOn(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 2, s"need maxHops >= 2, got $maxHops")
+    val Array(cs, cd) = edges.columns.take(2)
+    val e = edges.select(col(cs).cast("long").as("src"),
+      col(cd).cast("long").as("dst")).distinct()
+      .localCheckpoint(true) // read by every forward round + the DAG
+    var reached = seeds
+      .select(col(seeds.columns.head).cast("long").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"))
+      .withColumn("dist", lit(0L)).withColumn("sigma", lit(1L))
+      .localCheckpoint(true)
+    for (l <- 1 to maxHops) {
+      val cand = reached.filter(col("dist") === (l - 1))
+        .join(e, col("node") === col("src"))
+        .groupBy(col("seed"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+      val fresh = cand
+        .join(reached.select(col("seed"), col("node").as("dst")),
+          Seq("seed", "dst"), "left_anti")
+        .select(col("seed"), col("dst").as("node"),
+          lit(l.toLong).as("dist"), col("sigma"))
+      reached = reached.union(fresh).localCheckpoint(true)
+    }
+    // shortest-path DAG with both endpoint path counts: equi-join on
+    // (seed, successor) so no per-seed fan-out ever materializes
+    val rv = reached.select(col("seed").as("vseed"),
+      col("node").as("v"), col("dist").as("dvd"), col("sigma").as("sv"))
+    val dag = reached
+      .select(col("seed"), col("node").as("u"), col("dist").as("du"),
+        col("sigma").as("su"))
+      .join(e, col("u") === col("src"))
+      .join(rv, col("seed") === col("vseed") &&
+        col("dst") === col("v") && col("dvd") === col("du") + 1)
+      .select("seed", "u", "du", "su", "v", "sv")
+      .localCheckpoint(true)
+    var delta = reached.filter(col("dist") === maxHops)
+      .select(col("seed"), col("node"))
+      .withColumn("delta_micro", lit(0L))
+      .localCheckpoint(true)
+    var acc = delta
+    for (l <- (maxHops - 1) to 1 by -1) {
+      val contrib = dag.filter(col("du") === l)
+        .join(delta.select(col("seed"), col("node").as("v"),
+          col("delta_micro").as("dv")), Seq("seed", "v"), "left")
+        .na.fill(0L, Seq("dv"))
+        .select(col("seed"), col("u"),
+          expr("su * (1000000 + dv) div sv").as("term"))
+        .groupBy(col("seed"), col("u"))
+        .agg(sum(col("term")).as("d"))
+      delta = reached.filter(col("dist") === l)
+        .select(col("seed"), col("node"))
+        .join(contrib.select(col("seed"), col("u").as("node"),
+          col("d")), Seq("seed", "node"), "left")
+        .na.fill(0L, Seq("d"))
+        .select(col("seed"), col("node"), col("d").as("delta_micro"))
+        .localCheckpoint(true)
+      acc = acc.union(delta)
+    }
+    acc
+      .join(reached.filter(col("dist") === 0)
+        .select(col("node")).distinct(), Seq("node"), "left_anti")
+      .groupBy("node")
+      .agg(sum(col("delta_micro")).as("bc_micro"),
+        sum(when(col("delta_micro") > 0, 1L).otherwise(0L))
+          .as("n_seeds_pos"))
+      .orderBy("node")
+  }
+
+  /** Catalog form: the graph_ppr/graph_harmonic seed set on the
+    * trade graph — the three centralities read side by side. */
+  def graphBetweenness(s: SparkSession, dir: String): DataFrame = {
+    val edges = bipartiteEdges(s, dir)
+    graphBetweennessOn(edges,
+      edges.select(col("src")).filter(col("src") < 10))
+  }
+
   /** Per-node triangle counts over an undirected edge list — the
     * local clustering signal (dense near-dup neighborhoods, community
     * cores) that complements [[connectedComponentsOn]]'s reachability
@@ -1367,6 +1469,7 @@ object Clusters {
     "graph_pagerank" -> graphPagerank,
     "graph_ppr" -> graphPpr,
     "graph_harmonic" -> graphHarmonic,
+    "graph_betweenness" -> graphBetweenness,
     "graph_hits" -> graphHits,
     "graph_assortativity" -> graphAssortativity,
     "graph_bfs" -> graphBfs,
@@ -1442,6 +1545,43 @@ object Clusters {
        |    SELECT p.seed, eb.dst AS node, p.dist + 1 AS dist
        |    FROM $prev p JOIN eb ON eb.src = p.node) GROUP BY seed, node)"""
       .stripMargin
+  }.mkString(",\n")
+
+  /** Unrolled Brandes forward rounds — candidates from the previous
+    * FRONTIER only (dist = i−1), σ summed over predecessors, NOT
+    * EXISTS keeping first-reached nodes (mirrors the engine's
+    * left_anti). MATERIALIZED per round: each r$i is referenced by
+    * the next round, the DAG, and the backward pass. */
+  private val btwFwdSql = (1 to 4).map { i =>
+    val prev = s"r${i - 1}"
+    s"""c$i AS (SELECT p.seed, eb.dst,
+       |    CAST(SUM(p.sigma) AS BIGINT) AS sigma
+       |  FROM $prev p JOIN eb ON eb.src = p.node
+       |  WHERE p.dist = ${i - 1} GROUP BY p.seed, eb.dst),
+       |f$i AS (SELECT seed, dst AS node, CAST($i AS BIGINT) AS dist,
+       |    sigma FROM c$i
+       |  WHERE NOT EXISTS (SELECT 1 FROM $prev
+       |    WHERE $prev.seed = c$i.seed AND $prev.node = c$i.dst)),
+       |r$i AS MATERIALIZED (SELECT * FROM $prev
+       |  UNION ALL SELECT * FROM f$i)""".stripMargin
+  }.mkString(",\n")
+
+  /** Unrolled Brandes backward rounds, horizon down to level 1 —
+    * per-term floor division BEFORE the order-free sum, exactly the
+    * engine's quantization. */
+  private val btwBwdSql = (3 to 1 by -1).map { l =>
+    val succ = s"d${l + 1}"
+    s"""ct$l AS (SELECT g.seed, g.u,
+       |    CAST(SUM(g.su * (1000000 + COALESCE(d.delta, 0)) // g.sv)
+       |      AS BIGINT) AS d
+       |  FROM dag g LEFT JOIN $succ d
+       |    ON d.seed = g.seed AND d.node = g.v
+       |  WHERE g.du = $l GROUP BY g.seed, g.u),
+       |d$l AS MATERIALIZED (SELECT r.seed, r.node,
+       |    CAST(COALESCE(ct.d, 0) AS BIGINT) AS delta
+       |  FROM r4 r LEFT JOIN ct$l ct
+       |    ON ct.seed = r.seed AND ct.u = r.node
+       |  WHERE r.dist = $l)""".stripMargin
   }.mkString(",\n")
 
   private val pprIterSql = (1 to 3).map { i =>
@@ -1781,6 +1921,35 @@ object Clusters {
          |  CAST(MAX(dist) AS BIGINT) AS max_dist
          |FROM h4 WHERE node <> seed GROUP BY seed
          |ORDER BY seed""".stripMargin,
+    // Replays Brandes forward sigma + backward dependency with the
+    // identical per-term floor quantization.
+    "graph_betweenness" ->
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+         |    l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |eb AS (SELECT src, dst FROM e
+         |       UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |r0 AS MATERIALIZED (SELECT DISTINCT src AS seed, src AS node,
+         |    CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma
+         |  FROM eb WHERE src < 10),
+         |$btwFwdSql,
+         |dag AS MATERIALIZED (SELECT u.seed, u.node AS u,
+         |    u.dist AS du, u.sigma AS su, v.node AS v, v.sigma AS sv
+         |  FROM r4 u JOIN eb ON eb.src = u.node
+         |  JOIN r4 v ON v.seed = u.seed AND v.node = eb.dst
+         |    AND v.dist = u.dist + 1),
+         |d4 AS MATERIALIZED (SELECT seed, node,
+         |    CAST(0 AS BIGINT) AS delta FROM r4 WHERE dist = 4),
+         |$btwBwdSql,
+         |alld AS (SELECT * FROM d4 UNION ALL SELECT * FROM d3
+         |  UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d1)
+         |SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_micro,
+         |  CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_seeds_pos
+         |FROM alld
+         |WHERE NOT EXISTS (SELECT 1 FROM r0
+         |  WHERE r0.node = alld.node)
+         |GROUP BY node ORDER BY node""".stripMargin,
     "graph_ppr" ->
       s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
          |    l_suppkey + 1000000 AS dst

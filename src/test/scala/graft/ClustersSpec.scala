@@ -494,6 +494,37 @@ class ClustersSpec extends SparkSpecBase {
     assert(c.nonEmpty && c.forall(r => r._2 > 0 && r._4 <= 4))
   }
 
+  test("L18q betweenness: path graph puts all dependency on the bridge " +
+      "nodes; diamond splits sigma exactly in half; seeds never appear") {
+    import spark.implicits._
+    // path 1-2-3-4-5, seed {1}: delta(2)=3e6, delta(3)=2e6,
+    // delta(4)=1e6, delta(5)=0 (Brandes backward sums, sigma all 1)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val got = functions.Clusters.graphBetweennessOn(path,
+        Seq(1L).toDF("node"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (2L, 3000000L, 1L), (3L, 2000000L, 1L),
+      (4L, 1000000L, 1L), (5L, 0L, 0L)))
+    // diamond 1-{2,3}-4, seed {1}: two shortest paths to 4 (sigma 2),
+    // each middle node carries exactly half the unit dependency
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val d = functions.Clusters.graphBetweennessOn(diamond,
+        Seq(1L).toDF("node"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(d == Seq((2L, 500000L, 1L), (3L, 500000L, 1L), (4L, 0L, 0L)))
+    // corpus: deterministic repeat, seeds excluded, dependencies
+    // non-negative
+    val c = functions.Clusters.graphBetweenness(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(c.nonEmpty && c.forall(r => r._1 >= 10 && r._2 >= 0))
+    val again = functions.Clusters.graphBetweenness(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(c == again)
+  }
+
   test("L18m personalized pagerank: proximity decays with distance from " +
       "the seed; deterministic replay") {
     import spark.implicits._

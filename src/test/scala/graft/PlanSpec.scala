@@ -936,6 +936,14 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("graph_betweenness: forward sigma rounds and the shortest-path " +
+    "DAG are equi-joins — no cartesian or nested-loop step anywhere") {
+    val p = plan(functions.Clusters.graphBetweenness(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("quality_ece: one scan into a <=10-row rollup; the ECE scalar " +
     "rides a broadcast, not a cartesian product") {
     val p = plan(functions.Text.qualityEce(spark, sf))
