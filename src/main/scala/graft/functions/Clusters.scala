@@ -593,8 +593,10 @@ object Clusters {
     * over sources s ≠ v).
     *
     * Shape per round (forward and backward both): one equi-join +
-    * one map-side-combinable rollup, state |seeds|·|reached| rows,
-    * every relation localCheckpointed so plans stay constant-size.
+    * one map-side-combinable rollup, state |seeds|·|reached| rows.
+    * Each LEVEL's frontier checkpoints once and `reached` is the
+    * lazy union of those checkpoints — materializing the growing
+    * union per round would rewrite level 0..l−1 O(maxHops) times.
     * No window, no single-partition hop. */
   def graphBetweennessOn(edges: DataFrame, seeds: DataFrame,
       maxHops: Int = 4): DataFrame = {
@@ -603,42 +605,59 @@ object Clusters {
     val e = edges.select(col(cs).cast("long").as("src"),
       col(cd).cast("long").as("dst")).distinct()
       .localCheckpoint(true) // read by every forward round + the DAG
-    var reached = seeds
+    // one checkpoint PER LEVEL (the frontier), never the growing
+    // union — re-materializing levels 0..l−1 every round would write
+    // the same rows O(maxHops) times; `reached` stays a lazy union
+    // of the checkpointed frontiers
+    val f0 = seeds
       .select(col(seeds.columns.head).cast("long").as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"))
       .withColumn("dist", lit(0L)).withColumn("sigma", lit(1L))
       .localCheckpoint(true)
+    val frontiers = scala.collection.mutable.ArrayBuffer(f0)
+    // per-level slice of the shortest-path DAG, built INSIDE the
+    // forward loop off the same checkpointed expansion that feeds the
+    // σ rollup — a separate reached⋈E⋈reached pass afterwards would
+    // re-derive every expansion a second time (measured ~1/3 of the
+    // op's cost before this fusion)
+    val dagAt = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var reached = f0
     for (l <- 1 to maxHops) {
-      val cand = reached.filter(col("dist") === (l - 1))
-        .join(e, col("node") === col("src"))
-        .groupBy(col("seed"), col("dst"))
-        .agg(sum(col("sigma")).as("sigma"))
+      // NOT checkpointed: the σ rollup reads it now; the DAG slice
+      // recomputes it lazily IF the backward pass reads that level
+      // (dagAt(0) never is — edges into level 1 only feed the seeds'
+      // own δ, which Brandes drops). Re-deriving a frontier⋈E join
+      // on demand measured cheaper than eagerly materializing every
+      // Σdeg-row expansion.
+      val expand = frontiers(l - 1)
+        .select(col("seed"), col("node").as("u"), col("sigma").as("su"))
+        .join(e, col("u") === col("src"))
+        .select(col("seed"), col("u"), col("su"), col("dst"))
+      val cand = expand.groupBy(col("seed"), col("dst"))
+        .agg(sum(col("su")).as("sigma"))
       val fresh = cand
         .join(reached.select(col("seed"), col("node").as("dst")),
           Seq("seed", "dst"), "left_anti")
         .select(col("seed"), col("dst").as("node"),
           lit(l.toLong).as("dist"), col("sigma"))
-      reached = reached.union(fresh).localCheckpoint(true)
+        .localCheckpoint(true)
+      frontiers += fresh
+      reached = reached.union(fresh)
+      // DAG edges ending at level l: expansion rows whose target was
+      // FIRST reached at l (equi-join on (seed, dst) — a successor's
+      // dist is always its predecessor's + 1, no filter needed)
+      dagAt += expand
+        .join(fresh.select(col("seed"), col("node").as("dst"),
+          col("sigma").as("sv")), Seq("seed", "dst"))
+        .select(col("seed"), col("u"), col("su"),
+          col("dst").as("v"), col("sv"))
     }
-    // shortest-path DAG with both endpoint path counts: equi-join on
-    // (seed, successor) so no per-seed fan-out ever materializes
-    val rv = reached.select(col("seed").as("vseed"),
-      col("node").as("v"), col("dist").as("dvd"), col("sigma").as("sv"))
-    val dag = reached
-      .select(col("seed"), col("node").as("u"), col("dist").as("du"),
-        col("sigma").as("su"))
-      .join(e, col("u") === col("src"))
-      .join(rv, col("seed") === col("vseed") &&
-        col("dst") === col("v") && col("dvd") === col("du") + 1)
-      .select("seed", "u", "du", "su", "v", "sv")
-      .localCheckpoint(true)
-    var delta = reached.filter(col("dist") === maxHops)
+    var delta = frontiers(maxHops)
       .select(col("seed"), col("node"))
       .withColumn("delta_micro", lit(0L))
-      .localCheckpoint(true)
     var acc = delta
     for (l <- (maxHops - 1) to 1 by -1) {
-      val contrib = dag.filter(col("du") === l)
+      val contrib = dagAt(l) // edges u@l -> v@l+1 (0-indexed buffer)
         .join(delta.select(col("seed"), col("node").as("v"),
           col("delta_micro").as("dv")), Seq("seed", "v"), "left")
         .na.fill(0L, Seq("dv"))
@@ -646,7 +665,7 @@ object Clusters {
           expr("su * (1000000 + dv) div sv").as("term"))
         .groupBy(col("seed"), col("u"))
         .agg(sum(col("term")).as("d"))
-      delta = reached.filter(col("dist") === l)
+      delta = frontiers(l)
         .select(col("seed"), col("node"))
         .join(contrib.select(col("seed"), col("u").as("node"),
           col("d")), Seq("seed", "node"), "left")
@@ -656,8 +675,7 @@ object Clusters {
       acc = acc.union(delta)
     }
     acc
-      .join(reached.filter(col("dist") === 0)
-        .select(col("node")).distinct(), Seq("node"), "left_anti")
+      .join(f0.select(col("node")).distinct(), Seq("node"), "left_anti")
       .groupBy("node")
       .agg(sum(col("delta_micro")).as("bc_micro"),
         sum(when(col("delta_micro") > 0, 1L).otherwise(0L))
