@@ -1427,6 +1427,8 @@ object Clusters {
         .filter(col("cumw") > col("r") && col("cumw") - col("w") <= col("r"))
       frontier = drawn.select(col("walk_id"), col("cur").as("prev"),
         col("dst").as("cur"))
+        .localCheckpoint(true) // each union branch would otherwise
+        // re-derive every earlier step's candidate/window chain
       out = out.union(frontier.select(col("walk_id"),
         lit(k.toLong).as("step"), col("cur").as("node")))
     }
