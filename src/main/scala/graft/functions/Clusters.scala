@@ -1350,6 +1350,8 @@ object Clusters {
       frontier = draw.join(nbrs,
           draw("node") === nbrs("src") && draw("rnk") === nbrs("rn"))
         .select(col("walk_id"), col("dst").as("node"))
+        .localCheckpoint(true) // each union branch would otherwise
+        // re-derive every earlier step's draw chain
       out = out.union(frontier.withColumn("step", lit(k.toLong)))
     }
     out.select("walk_id", "step", "node")
