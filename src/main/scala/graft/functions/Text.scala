@@ -224,6 +224,45 @@ object Text {
   def textLangid(s: SparkSession, dir: String): DataFrame =
     textLangidOn(Tables.documents(s, dir)).orderBy("doc_id")
 
+  /** L4c': language-ID evaluation — the in-catalog accuracy audit the
+    * langid family was missing (the ANN family measures its recall,
+    * dedup its method qualities, the quality classifier its AUC/ECE;
+    * an UNMEASURED classifier is not a production gate). Output: the
+    * row/column-normalized confusion matrix — one row per (labeled,
+    * predicted) cell with its count, both marginals, the cell's share
+    * of its labeled row (= per-language recall on the diagonal) and
+    * of its predicted column (= per-language precision on the
+    * diagonal), plus global accuracy on the 1-row broadcast. All
+    * floor divisions of counts — exact in both engines. Shape: one
+    * pass to the ≤|langs|² cell relation, two marginal rollups of it,
+    * broadcast joins only. */
+  def textLangidEvalOn(scored: DataFrame): DataFrame = {
+    val cells = scored.groupBy("labeled_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // tiny; read by both marginals + accuracy
+    val rows = cells.groupBy("labeled_lang")
+      .agg(sum(col("n")).as("row_total"))
+    val cols = cells.groupBy("pred_lang")
+      .agg(sum(col("n")).as("col_total"))
+    val accu = cells.agg(expr(
+      """CAST(sum(CASE WHEN labeled_lang = pred_lang THEN n ELSE 0 END)
+        | * 1000000 DIV sum(n) AS BIGINT)""".stripMargin)
+      .as("accuracy_ppm"))
+    cells
+      .join(broadcast(rows), Seq("labeled_lang"))
+      .join(broadcast(cols), Seq("pred_lang"))
+      .crossJoin(broadcast(accu))
+      .select(col("labeled_lang"), col("pred_lang"), col("n"),
+        col("row_total"), col("col_total"),
+        expr("(n * 1000000) DIV row_total").as("recall_share_ppm"),
+        expr("(n * 1000000) DIV col_total").as("precision_share_ppm"),
+        col("accuracy_ppm"))
+      .orderBy("labeled_lang", "pred_lang")
+  }
+
+  def textLangidEval(s: SparkSession, dir: String): DataFrame =
+    textLangidEvalOn(textLangidOn(Tables.documents(s, dir)))
+
   /** L4d: document fingerprinting — polynomial rolling hash over the
     * full char stream + sha256 prefix (both content-addressed ids). */
   def textFingerprintOn(docs: DataFrame): DataFrame =
@@ -1135,6 +1174,7 @@ object Text {
     "text_readability" -> textReadability,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
+    "text_langid_eval" -> textLangidEval,
     "text_fingerprint" -> textFingerprint,
     "text_novelty" -> textNovelty,
     "quality_logreg" -> qualityLogreg,
@@ -1145,6 +1185,15 @@ object Text {
 
   private def sqlHits(words: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  /** The langid decision CASE, shared by the text_langid and
+    * text_langid_eval oracles (mirrors [[textLangidOn]]'s rule). */
+  private lazy val langidPredSql: String =
+    s"""CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       |       WHEN ${sqlHits(enStop)} >= GREATEST(${sqlHits(deStop)}, ${sqlHits(esStop)}, ${sqlHits(frStop)}) THEN 'en'
+       |       WHEN ${sqlHits(deStop)} >= GREATEST(${sqlHits(esStop)}, ${sqlHits(frStop)}) THEN 'de'
+       |       WHEN ${sqlHits(esStop)} >= ${sqlHits(frStop)} THEN 'es'
+       |       ELSE 'fr' END""".stripMargin
 
   /** DuckDB mirror of [[polyHash]] over an arbitrary string SQL
     * expression (shared across module oracles). */
@@ -1639,12 +1688,29 @@ object Text {
          |  CAST(${sqlHits(deStop)} AS INT) AS de_hits,
          |  CAST(${sqlHits(esStop)} AS INT) AS es_hits,
          |  CAST(${sqlHits(frStop)} AS INT) AS fr_hits,
-         |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
-         |       WHEN ${sqlHits(enStop)} >= GREATEST(${sqlHits(deStop)}, ${sqlHits(esStop)}, ${sqlHits(frStop)}) THEN 'en'
-         |       WHEN ${sqlHits(deStop)} >= GREATEST(${sqlHits(esStop)}, ${sqlHits(frStop)}) THEN 'de'
-         |       WHEN ${sqlHits(esStop)} >= ${sqlHits(frStop)} THEN 'es'
-         |       ELSE 'fr' END AS pred_lang
+         |  $langidPredSql AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // Normalized confusion matrix of the langid rule vs the labeled
+    // lang column; shares the prediction CASE with text_langid.
+    "text_langid_eval" ->
+      s"""WITH p AS (SELECT lang AS labeled_lang,
+         |    $langidPredSql AS pred_lang FROM documents),
+         |c AS (SELECT labeled_lang, pred_lang,
+         |    CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+         |r AS (SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS row_total
+         |  FROM c GROUP BY 1),
+         |k AS (SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS col_total
+         |  FROM c GROUP BY 1),
+         |a AS (SELECT CAST(SUM(CASE WHEN labeled_lang = pred_lang
+         |      THEN n ELSE 0 END) * 1000000 // SUM(n) AS BIGINT)
+         |    AS accuracy_ppm FROM c)
+         |SELECT labeled_lang, pred_lang, n, row_total, col_total,
+         |  (n * 1000000) // row_total AS recall_share_ppm,
+         |  (n * 1000000) // col_total AS precision_share_ppm,
+         |  accuracy_ppm
+         |FROM c JOIN r USING (labeled_lang) JOIN k USING (pred_lang)
+         |CROSS JOIN a
+         |ORDER BY labeled_lang, pred_lang""".stripMargin,
     "text_novelty" ->
       s"""${Dedup.shingleHashSql},
          |own AS (SELECT hs, MIN(doc_id) AS first_doc FROM hs GROUP BY hs)

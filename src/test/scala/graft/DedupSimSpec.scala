@@ -569,6 +569,33 @@ class DedupSimSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((0L, "en"), (1L, "zh")))
   }
 
+  test("langid eval: hand confusion matrix with marginals and shares; " +
+    "corpus cells conserve the doc count and accuracy matches the diagonal") {
+    // en text labeled en (hit), de text labeled de (hit), en text
+    // mislabeled de (miss): accuracy 2/3
+    val docs = Seq(
+      (0L, "the data of the table", "en"),
+      (1L, "der hund und die katze", "de"),
+      (2L, "the cat and the dog", "de")).toDF("doc_id", "text", "lang")
+    val got = functions.Text.textLangidEvalOn(
+        functions.Text.textLangidOn(docs))
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("de", "de", 1L, 2L, 1L, 500000L, 1000000L, 666666L),
+      ("de", "en", 1L, 2L, 2L, 500000L, 500000L, 666666L),
+      ("en", "en", 1L, 1L, 2L, 1000000L, 500000L, 666666L)))
+    // corpus: cells conserve the corpus size; every share a valid
+    // ppm; accuracy equals the diagonal mass over the total
+    val c = functions.Text.textLangidEval(spark, sf).collect()
+    val total = c.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.documents(spark, sf).count())
+    val diag = c.filter(r => r.getAs[String]("labeled_lang") ==
+      r.getAs[String]("pred_lang")).map(_.getAs[Long]("n")).sum
+    assert(c.forall(_.getAs[Long]("accuracy_ppm") ==
+      diag * 1000000L / total))
+  }
+
   test("prefix-filtered similarity join equals uncapped exact Jaccard " +
     "(lossless by theorem) with a smaller join key set") {
     val hs = functions.Dedup.shingleHashesOf(Tables.documents(spark, sf))
