@@ -936,6 +936,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("privacy_dp_quantile: both sweeps ride the bucketed prefix — " +
+    "the only single-partition hops are bounded (1-row totals and " +
+    "the super-bucket relations), draw and totals broadcast") {
+    val p = plan(functions.Privacy.privacyDpQuantile(spark, sf))
+    assert(p.contains("hashpartitioning(bk") ||
+      p.contains("hashpartitioning(cents"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("graph_betweenness: forward sigma rounds and the shortest-path " +
     "DAG are equi-joins — no cartesian or nested-loop step anywhere") {
     val p = plan(functions.Clusters.graphBetweenness(spark, sf))
