@@ -208,4 +208,38 @@ class RobustnessSpec extends SparkSpecBase {
     // default cap (1M) admits the test corpus
     assert(functions.Dedup.dedupEmbeddingOn(emb).limit(1).count() == 1)
   }
+
+  test("round-7 close ops: empty inputs -> empty results, no crash; " +
+    "parameter guards throw early") {
+    // quality family on an empty scored relation
+    val emptyScored = Seq.empty[(Long, Long)].toDF("p_ppm", "y")
+    assert(functions.Text.qualityEceOn(emptyScored).count() == 0)
+    assert(functions.Text.qualityThresholdSweepOn(emptyScored)
+      .count() == 0)
+    // VAD and langid eval on an empty corpus
+    assert(multimodal.Multimodal.mmAudioVadOn(emptyDocs).count() == 0)
+    assert(functions.Text.textLangidEvalOn(
+      functions.Text.textLangidOn(emptyDocs)).count() == 0)
+    // betweenness: empty seed set and empty edges both drain through
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val someEdges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(functions.Clusters.graphBetweennessOn(someEdges,
+      Seq.empty[Long].toDF("node")).count() == 0)
+    assert(functions.Clusters.graphBetweennessOn(noEdges,
+      Seq(1L).toDF("node")).count() == 0)
+    // DP quantile: a single-value relation releases that value with
+    // zero rank error; parameter guards reject out-of-range inputs
+    val one = Seq((1L, 0, 5.0, "A"))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val r = functions.Privacy.privacyDpQuantileOn(one).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("dp_q_cents") == 500L &&
+      r(0).getAs[Long]("err_cents") == 0L)
+    intercept[IllegalArgumentException](
+      functions.Privacy.privacyDpQuantileOn(one, epsMilli = 0L))
+    intercept[IllegalArgumentException](
+      functions.Privacy.privacyDpQuantileOn(one, qMilli = 1000L))
+    intercept[IllegalArgumentException](
+      functions.Clusters.graphBetweennessOn(someEdges,
+        Seq(1L).toDF("node"), maxHops = 1))
+  }
 }
