@@ -750,6 +750,45 @@ object Clusters {
       knnEdges(s, dir)
         .select("qid", "nid"))
 
+  /** L18r: local clustering coefficient (Watts & Strogatz 1998) —
+    * the per-node closure ratio CC(v) = 2T(v) / deg(v)(deg(v)−1)
+    * that turns the triangle counts into the standard
+    * neighborhood-density metric (the small-world signal; on the
+    * k-NN graph it reads "how clique-like is this embedding
+    * neighborhood"). Rides [[triangleCountOn]]'s skew-proof oriented
+    * wedge join unchanged; degrees come from the same deduplicated
+    * undirected edge relation; nodes with deg < 2 NULL-gate (no
+    * wedge to close). The graph-wide mean over gated nodes rides the
+    * 1-row broadcast. Exact integer milli end to end. */
+  def clusteringCoeffOn(edges: DataFrame): DataFrame = {
+    val Array(ca, cb) = edges.columns.take(2)
+    val und = edges
+      .select(least(col(ca), col(cb)).cast("long").as("a"),
+        greatest(col(ca), col(cb)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val cc = deg
+      .join(triangleCountOn(edges), Seq("node"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .withColumn("cc_milli", expr(
+        """CASE WHEN deg >= 2
+          |  THEN (2000 * n_triangles) DIV (deg * (deg - 1)) END"""
+          .stripMargin))
+    val avg = cc.filter(col("deg") >= 2)
+      .agg(expr("CAST(sum(cc_milli) DIV count(1) AS BIGINT)")
+        .as("avg_cc_milli"))
+    cc.crossJoin(broadcast(avg))
+      .select("node", "deg", "n_triangles", "cc_milli", "avg_cc_milli")
+      .orderBy("node")
+  }
+
+  /** Catalog form: the same k-NN graph as [[graphTriangles]] — the
+    * two relations read side by side. */
+  def graphClusteringCoeff(s: SparkSession, dir: String): DataFrame =
+    clusteringCoeffOn(knnEdges(s, dir).select("qid", "nid"))
+
   /** Catalog form: components of the MinHash-verified near-dup pairs
     * (jac >= 0.8), i.e. the full Dedup rung chain
     * shingle -> minhash -> band -> verify -> cluster. */
@@ -1496,6 +1535,7 @@ object Clusters {
     "graph_assortativity" -> graphAssortativity,
     "graph_bfs" -> graphBfs,
     "graph_triangles" -> graphTriangles,
+    "graph_clustering_coeff" -> graphClusteringCoeff,
     "graph_neighbor_jaccard" -> graphNeighborJaccard,
     "graph_adamic_adar" -> graphAdamicAdar,
     "graph_communities" -> graphCommunities,
@@ -1828,6 +1868,33 @@ object Clusters {
          |      UNION ALL SELECT z FROM tri)
          |SELECT node, COUNT(*) AS n_triangles FROM n
          |GROUP BY node ORDER BY node""".stripMargin,
+    // CC = 2T / deg(deg-1) in exact milli over the same knn graph;
+    // deg<2 NULL-gates, graph mean over gated nodes rides along.
+    "graph_clustering_coeff" ->
+      s"""WITH ${Similarity.knnCoreSql},
+         |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,
+         |    GREATEST(qid, nid) AS b FROM knn WHERE qid <> nid),
+         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY node),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1
+         |  JOIN und e2 ON e1.b = e2.a
+         |  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
+         |tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |  FROM (SELECT x AS node FROM tri
+         |        UNION ALL SELECT y FROM tri
+         |        UNION ALL SELECT z FROM tri) GROUP BY node),
+         |cc AS (SELECT d.node, d.deg,
+         |    CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |    CASE WHEN d.deg >= 2 THEN
+         |      (2000 * COALESCE(t.n_triangles, 0)) // (d.deg * (d.deg - 1))
+         |    END AS cc_milli
+         |  FROM deg d LEFT JOIN tc t ON t.node = d.node),
+         |av AS (SELECT CAST(SUM(cc_milli) // COUNT(*) AS BIGINT)
+         |    AS avg_cc_milli FROM cc WHERE deg >= 2)
+         |SELECT node, deg, n_triangles, cc_milli, avg_cc_milli
+         |FROM cc CROSS JOIN av ORDER BY node""".stripMargin,
     "graph_kcore" ->
       s"""WITH tr AS (SELECT DISTINCT o_custkey AS src,
          |    l_suppkey + 1000000 AS dst

@@ -494,6 +494,27 @@ class ClustersSpec extends SparkSpecBase {
     assert(c.nonEmpty && c.forall(r => r._2 > 0 && r._4 <= 4))
   }
 
+  test("L18r clustering coefficient: triangle+pendant hand values; " +
+      "pendant NULL-gates; corpus ccs valid milli and mean matches") {
+    import spark.implicits._
+    // triangle 1-2-3 with pendant 4 on node 3
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = functions.Clusters.clusteringCoeffOn(g).collect()
+    val by = got.map(r => r.getAs[Long]("node") -> r).toMap
+    assert(by(1L).getAs[Long]("cc_milli") == 1000L &&
+      by(2L).getAs[Long]("cc_milli") == 1000L &&
+      by(3L).getAs[Long]("cc_milli") == 333L)
+    assert(by(4L).isNullAt(by(4L).fieldIndex("cc_milli")))
+    assert(got.forall(_.getAs[Long]("avg_cc_milli") == 777L))
+    // corpus: every gated cc a valid milli; mean equals the integer
+    // mean of the gated column recomputed independently
+    val c = functions.Clusters.graphClusteringCoeff(spark, sf).collect()
+    val gated = c.filter(!_.isNullAt(3)).map(_.getAs[Long]("cc_milli"))
+    assert(gated.forall(x => x >= 0 && x <= 1000))
+    assert(c.head.getAs[Long]("avg_cc_milli") ==
+      gated.sum / gated.length)
+  }
+
   test("L18q betweenness: path graph puts all dependency on the bridge " +
       "nodes; diamond splits sigma exactly in half; seeds never appear") {
     import spark.implicits._
