@@ -1307,7 +1307,65 @@ object Similarity {
       emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"))
   }
 
+  /** L11y: embedding-distribution drift between two vector slices —
+    * the [[graft.functions.Corpus.profileDriftOn]] monitor for the
+    * VECTOR column (embedding-model version bumped? new scrape
+    * shifted the semantic mix? an index rebuild is due?): per
+    * dimension, the micro-quantized means of both slices and their
+    * absolute shift; corpus-wide, the L1 mean shift and the cosine
+    * between the two mean vectors (1e6 = identical direction).
+    *
+    * Exact discipline: each component quantizes to integer micro
+    * BEFORE the sum (order-free — the logreg convention), per-dim
+    * means FLOOR a double quotient (negative sums: div/`//` disagree
+    * across engines, ORACLES.md rule), and the one cosine crosses
+    * the round(,9) transcendental boundary. Shape: one posexplode →
+    * dim-keyed rollup per slice (map-side combined, |dims| groups),
+    * a dim join of two |dims|-row relations, scalars on the 1-row
+    * broadcast. Nothing row-keyed shuffles. */
+  def simEmbeddingDriftOn(a: DataFrame, b: DataFrame): DataFrame = {
+    def dimMeans(df: DataFrame, tag: String): DataFrame = df
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("CAST(floor(x * 1000000 + 0.5) AS BIGINT)").as("xm"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("xm")).as("s"))
+      .select(col("dim"),
+        expr("CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT)")
+          .as(s"mean_${tag}_micro"))
+    val joined = dimMeans(a, "a").join(dimMeans(b, "b"), Seq("dim"))
+      .withColumn("shift_micro",
+        abs(col("mean_a_micro") - col("mean_b_micro")))
+      .localCheckpoint(true) // |dims| rows; read by scalars + output
+    val tot = joined.agg(
+      sum(col("shift_micro")).as("l1_shift_micro"),
+      sum(col("mean_a_micro") * col("mean_b_micro")).as("dot"),
+      sum(col("mean_a_micro") * col("mean_a_micro")).as("na2"),
+      sum(col("mean_b_micro") * col("mean_b_micro")).as("nb2"))
+      .select(col("l1_shift_micro"), expr(
+        """CASE WHEN na2 > 0 AND nb2 > 0 THEN
+          |  CAST(floor(round(CAST(dot AS DOUBLE)
+          |    / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))),
+          |    9) * 1000000) AS BIGINT) END""".stripMargin)
+        .as("cos_ppm"))
+    joined.crossJoin(broadcast(tot))
+      .select("dim", "mean_a_micro", "mean_b_micro", "shift_micro",
+        "l1_shift_micro", "cos_ppm")
+      .orderBy("dim")
+  }
+
+  /** Catalog form: even vs odd vec_id halves of the embedding corpus
+    * (the stand-in for "last snapshot vs this snapshot"). */
+  def simEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    simEmbeddingDriftOn(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_embedding_drift" -> simEmbeddingDrift,
     "sim_ann_sq" -> simAnnSq,
     "sample_kcenter" -> sampleKcenter,
     "sim_hard_negatives" -> simHardNegatives,
@@ -1461,6 +1519,40 @@ object Similarity {
   }
 
   private val oraclesBase: Map[String, String] = Map(
+    // Mirrors simEmbeddingDriftOn: micro quantize before sum, FLOOR
+    // double quotients, cosine through the round(,9) boundary.
+    "sim_embedding_drift" ->
+      """WITH xa AS (SELECT i.i AS dim,
+        |    CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000
+        |      + 0.5) AS BIGINT) AS xm
+        |  FROM embeddings, range(0, 64) i(i) WHERE vec_id % 2 = 0),
+        |xb AS (SELECT i.i AS dim,
+        |    CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000
+        |      + 0.5) AS BIGINT) AS xm
+        |  FROM embeddings, range(0, 64) i(i) WHERE vec_id % 2 = 1),
+        |ma AS (SELECT dim, CAST(FLOOR(CAST(SUM(xm) AS DOUBLE)
+        |    / COUNT(*)) AS BIGINT) AS mean_a_micro
+        |  FROM xa GROUP BY dim),
+        |mb AS (SELECT dim, CAST(FLOOR(CAST(SUM(xm) AS DOUBLE)
+        |    / COUNT(*)) AS BIGINT) AS mean_b_micro
+        |  FROM xb GROUP BY dim),
+        |j AS (SELECT dim, mean_a_micro, mean_b_micro,
+        |    abs(mean_a_micro - mean_b_micro) AS shift_micro
+        |  FROM ma JOIN mb USING (dim)),
+        |t AS (SELECT CAST(SUM(shift_micro) AS BIGINT) AS l1_shift_micro,
+        |    CAST(SUM(mean_a_micro * mean_b_micro) AS BIGINT) AS dot,
+        |    CAST(SUM(mean_a_micro * mean_a_micro) AS BIGINT) AS na2,
+        |    CAST(SUM(mean_b_micro * mean_b_micro) AS BIGINT) AS nb2
+        |  FROM j),
+        |s AS (SELECT l1_shift_micro,
+        |    CASE WHEN na2 > 0 AND nb2 > 0 THEN
+        |      CAST(floor(round(CAST(dot AS DOUBLE)
+        |        / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))),
+        |        9) * 1000000) AS BIGINT) END AS cos_ppm
+        |  FROM t)
+        |SELECT dim, mean_a_micro, mean_b_micro, shift_micro,
+        |  l1_shift_micro, cos_ppm
+        |FROM j CROSS JOIN s ORDER BY dim""".stripMargin,
     "sim_ann_sq" ->
       """WITH qv AS (SELECT vec_id, i.i,
         |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576)

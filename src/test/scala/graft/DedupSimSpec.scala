@@ -569,6 +569,32 @@ class DedupSimSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((0L, "en"), (1L, "zh")))
   }
 
+  test("embedding drift: orthogonal slices read cos 0 with full shift; " +
+    "identical slices read cos 1e6 with zero shift; corpus L1 conserves") {
+    def emb(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+    // slice means (1,0) vs (0,1): shift 1e6 on both dims, cosine 0
+    val ortho = functions.Similarity.simEmbeddingDriftOn(
+      emb(Seq((0L, Seq(1.0f, 0.0f)))), emb(Seq((1L, Seq(0.0f, 1.0f)))))
+      .collect()
+    assert(ortho.map(_.getAs[Long]("shift_micro")).toSeq ==
+      Seq(1000000L, 1000000L))
+    assert(ortho.forall(r => r.getAs[Long]("l1_shift_micro") == 2000000L
+      && r.getAs[Long]("cos_ppm") == 0L))
+    // identical slices: zero shift, perfectly aligned means
+    val same = functions.Similarity.simEmbeddingDriftOn(
+      emb(Seq((0L, Seq(0.5f, -0.25f)))), emb(Seq((1L, Seq(0.5f, -0.25f)))))
+      .collect()
+    assert(same.forall(r => r.getAs[Long]("shift_micro") == 0L &&
+      r.getAs[Long]("cos_ppm") == 1000000L))
+    // corpus: 64 dims, cosine a valid signed ppm, L1 = sum of shifts
+    val c = functions.Similarity.simEmbeddingDrift(spark, sf).collect()
+    assert(c.length == 64)
+    assert(c.forall(r => math.abs(r.getAs[Long]("cos_ppm")) <= 1000000L))
+    assert(c.head.getAs[Long]("l1_shift_micro") ==
+      c.map(_.getAs[Long]("shift_micro")).sum)
+  }
+
   test("langid eval: hand confusion matrix with marginals and shares; " +
     "corpus cells conserve the doc count and accuracy matches the diagonal") {
     // en text labeled en (hit), de text labeled de (hit), en text
