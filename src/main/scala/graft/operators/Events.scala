@@ -1941,7 +1941,115 @@ object Events {
   def eventPatternMatch(s: SparkSession, dir: String): DataFrame =
     eventPatternMatchOn(Tables.events(s, dir))
 
+  /** Shapley-value channel attribution (Shapley 1953; Zhao et al.
+    * 2018, "Shapley Value Methods for Attribution Modeling in Online
+    * Advertising"): each channel's conversion credit is its average
+    * marginal contribution over all orderings of the channel set —
+    * the game-theoretic answer to last-touch's recency bias. The
+    * coalition value v(S) is the observed conversion rate (ppm) of
+    * users whose EXACT distinct exposure set is S (the paper's
+    * simplified data model); unobserved coalitions and the empty set
+    * take v = 0 (users with no non-purchase exposure are excluded by
+    * construction). The closed form runs on the full 2^n mask
+    * lattice:
+    *   phi_num(i) = SUM over S with i not in S of
+    *     |S|! * (n-1-|S|)! * (v_ppm(S+i) - v_ppm(S))
+    *   phi_ppm(i) = phi_num(i) DIV n!   (signed; Spark DIV and
+    *     DuckDB // both truncate toward zero — the event_uplift
+    *     convention, re-verified on negative quotients)
+    * Efficiency — SUM_i phi_num(i) = n! * (v(full) - v(empty)) — is
+    * the spec's conservation check.
+    *
+    * Scale: ONE user-keyed shuffle builds the coalition masks (sum
+    * of distinct channel bits + converted flag per user); the
+    * coalition rollup lands on <= 2^n keys. Everything downstream —
+    * the mask lattice, the bit map, the factorial table — is
+    * vocabulary-bounded (n <= 8 enforced => <= 256 rows) and
+    * broadcast, so no row-keyed work survives the first aggregate.
+    * |S| is spelled as a lattice-x-channels membership join, not an
+    * engine bit_count, so both engines run the identical program. */
+  def eventShapleyOn(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    val chW = Window.orderBy("channel") // vocabulary-bounded (<= 8 rows)
+    val channels = events
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("channel")).distinct()
+      .withColumn("rn", row_number().over(chW).cast("long"))
+      .select(col("channel"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(rn - 1 AS INT))").as("bit"))
+      .localCheckpoint(true) // <= 8 rows; reused by four consumers
+    val nCh = channels.count()
+    if (nCh < 1 || nCh > 8) throw new IllegalStateException(
+      s"event_shapley needs 1..8 non-purchase channels, got $nCh: the " +
+        "2^n coalition lattice is only tractable over a bounded channel " +
+        "vocabulary; bucket channels upstream first.")
+    val bits = events
+      .filter(col("event_type") =!= "purchase")
+      .join(broadcast(channels), col("event_type") === col("channel"))
+      .select(col("user_id"), col("bit")).distinct()
+    val convs = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+      .withColumn("conv", lit(1L))
+    val coal = bits
+      .groupBy("user_id").agg(sum(col("bit")).as("mask"))
+      .join(convs, Seq("user_id"), "left")
+      .na.fill(0L, Seq("conv"))
+      .groupBy("mask")
+      .agg(count(lit(1)).as("users"), sum(col("conv")).as("convs"))
+    val nDf = channels.agg(count(lit(1)).as("n")) // 1 row
+    val lattice = nDf
+      .select(explode(sequence(lit(0L),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(n AS INT)) - 1"))).as("mask"))
+      .join(coal, Seq("mask"), "left")
+      .withColumn("v_ppm",
+        coalesce(expr("convs * 1000000 DIV users"), lit(0L)))
+      .select("mask", "v_ppm", "users", "convs")
+      .localCheckpoint(true) // <= 2^n rows; both term sides + exposure
+    val sizes = lattice.select(col("mask").as("s_mask"))
+      .join(broadcast(channels.select(col("bit").as("szbit"))),
+        expr("(s_mask & szbit) != 0"), "left")
+      .groupBy("s_mask").agg(count(col("szbit")).as("sz"))
+    val fact = s.createDataFrame(Seq(
+      (0L, 1L), (1L, 1L), (2L, 2L), (3L, 6L), (4L, 24L),
+      (5L, 120L), (6L, 720L), (7L, 5040L), (8L, 40320L)))
+      .toDF("k", "f")
+    val terms = lattice.select(col("mask").as("s_mask"), col("v_ppm").as("v_s"))
+      .join(broadcast(channels), expr("(s_mask & bit) = 0"))
+      .join(broadcast(lattice.select(col("mask").as("w_mask"),
+        col("v_ppm").as("v_w"))), expr("w_mask = s_mask + bit"))
+      .join(broadcast(sizes), Seq("s_mask"))
+      .crossJoin(broadcast(nDf))
+      .join(broadcast(fact.select(col("k").as("k_s"), col("f").as("f_s"))),
+        col("k_s") === col("sz"))
+      .join(broadcast(fact.select(col("k").as("k_t"), col("f").as("f_t"))),
+        expr("k_t = n - 1 - sz"))
+      .groupBy("channel", "bit")
+      .agg(sum(expr("f_s * f_t * (v_w - v_s)")).as("phi_num"))
+    val exposure = lattice
+      .join(broadcast(channels.select(col("channel").as("xch"),
+        col("bit").as("xbit"))), expr("(mask & xbit) != 0"))
+      .select(col("xch").as("channel"), col("users"), col("convs"))
+      .groupBy("channel")
+      .agg(coalesce(sum(col("users")), lit(0L)).as("exposed_users"),
+        coalesce(sum(col("convs")), lit(0L)).as("conv_users"))
+    val nfactDf = nDf.join(fact, col("k") === col("n"))
+      .select(col("f").as("nfact"))
+    terms
+      .join(exposure, Seq("channel"), "left")
+      .na.fill(0L, Seq("exposed_users", "conv_users"))
+      .crossJoin(broadcast(nfactDf))
+      .withColumn("phi_ppm", expr("phi_num DIV nfact"))
+      .select("channel", "exposed_users", "conv_users", "phi_num",
+        "nfact", "phi_ppm")
+      .orderBy("channel")
+  }
+
+  def eventShapley(s: SparkSession, dir: String): DataFrame =
+    eventShapleyOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_shapley" -> eventShapley,
     "event_pattern_match" -> eventPatternMatch,
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
     "event_funnel_window" -> eventFunnelWindow,
@@ -2022,6 +2130,64 @@ object Events {
       |  FROM tr WHERE detr IS NOT NULL GROUP BY dow)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mirrors eventShapleyOn: alphabetical bit map, exact-set
+    // coalitions, 2^n lattice with v=0 fill, membership-join popcount,
+    // factorial VALUES table, signed phi_num DIV n! (// truncates
+    // toward zero in DuckDB, same as Spark DIV — verified).
+    "event_shapley" ->
+      """WITH ch AS (SELECT channel,
+        |    (CAST(1 AS BIGINT) << CAST(ROW_NUMBER()
+        |      OVER (ORDER BY channel) - 1 AS INT)) AS bit
+        |  FROM (SELECT DISTINCT event_type AS channel FROM events
+        |        WHERE event_type <> 'purchase')),
+        |n AS (SELECT COUNT(*) AS n FROM ch),
+        |bits AS (SELECT DISTINCT e.user_id, c.bit
+        |  FROM events e JOIN ch c ON e.event_type = c.channel),
+        |convs AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |uc AS (SELECT b.user_id, SUM(b.bit) AS mask,
+        |    MAX(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM bits b LEFT JOIN convs cv ON b.user_id = cv.user_id
+        |  GROUP BY b.user_id),
+        |coal AS (SELECT mask, COUNT(*) AS users,
+        |    CAST(SUM(conv) AS BIGINT) AS convs FROM uc GROUP BY mask),
+        |masks AS (SELECT r.range AS mask FROM range(0, 256) r CROSS JOIN n
+        |  WHERE r.range < (CAST(1 AS BIGINT) << CAST(n.n AS INT))),
+        |lat AS (SELECT m.mask,
+        |    COALESCE(c.convs * 1000000 // c.users, 0) AS v_ppm,
+        |    c.users, c.convs
+        |  FROM masks m LEFT JOIN coal c ON c.mask = m.mask),
+        |sz AS (SELECT l.mask AS s_mask, COUNT(c.bit) AS sz
+        |  FROM lat l LEFT JOIN ch c ON (l.mask & c.bit) <> 0
+        |  GROUP BY l.mask),
+        |f AS (SELECT * FROM (VALUES (0, 1), (1, 1), (2, 2), (3, 6),
+        |    (4, 24), (5, 120), (6, 720), (7, 5040), (8, 40320))
+        |  AS t(k, fct)),
+        |terms AS (SELECT c.channel,
+        |    CAST(SUM(CAST(fs.fct AS BIGINT) * ft.fct
+        |      * (lw.v_ppm - ls.v_ppm)) AS BIGINT) AS phi_num
+        |  FROM lat ls JOIN ch c ON (ls.mask & c.bit) = 0
+        |  JOIN lat lw ON lw.mask = ls.mask + c.bit
+        |  JOIN sz ON sz.s_mask = ls.mask
+        |  CROSS JOIN n
+        |  JOIN f fs ON fs.k = sz.sz
+        |  JOIN f ft ON ft.k = n.n - 1 - sz.sz
+        |  GROUP BY c.channel),
+        |exposure AS (SELECT c.channel,
+        |    CAST(COALESCE(SUM(l.users), 0) AS BIGINT) AS exposed_users,
+        |    CAST(COALESCE(SUM(l.convs), 0) AS BIGINT) AS conv_users
+        |  FROM lat l JOIN ch c ON (l.mask & c.bit) <> 0
+        |  GROUP BY c.channel),
+        |nf AS (SELECT CAST(f.fct AS BIGINT) AS nfact
+        |  FROM n JOIN f ON f.k = n.n)
+        |SELECT t.channel,
+        |  COALESCE(x.exposed_users, 0) AS exposed_users,
+        |  COALESCE(x.conv_users, 0) AS conv_users,
+        |  t.phi_num, nf.nfact, t.phi_num // nf.nfact AS phi_ppm
+        |FROM terms t LEFT JOIN exposure x ON t.channel = x.channel
+        |CROSS JOIN nf
+        |ORDER BY t.channel""".stripMargin,
     "event_pattern_match" ->
       """WITH ue AS (SELECT user_id, event_type, epoch_us(ts) AS tus
         |  FROM events),

@@ -1027,4 +1027,55 @@ class EventsSpec extends SparkSpecBase {
       else r.getAs[Long]("uplift_ppm"))
     assert(ups.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
+
+  test("event_shapley: hand lattice — full credit to the carrying " +
+    "channel, zero to the free rider; signed truncation pinned; " +
+    "corpus efficiency conserves n! * v(full)") {
+    def ev(rows: Seq[(Long, String)]) = rows.zipWithIndex.map {
+      case ((u, t), i) => (i.toLong, u, t, ts("2024-01-01 10:00:00"))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    // u1 click->buy (v{click}=1e6), u2 click+view->buy (v{full}=1e6),
+    // u3 view only (v{view}=0): click carries everything, view rides
+    val h = operators.Events.eventShapleyOn(ev(Seq(
+      (1L, "click"), (1L, "purchase"),
+      (2L, "click"), (2L, "view"), (2L, "purchase"),
+      (3L, "view"))))
+      .select("channel", "exposed_users", "conv_users", "phi_num",
+        "nfact", "phi_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(h == Seq(
+      ("click", 2L, 2L, 2000000L, 2L, 1000000L),
+      ("view", 2L, 1L, 0L, 2L, 0L)))
+    // negative marginal with an inexact quotient: -333333 DIV 2 must
+    // truncate toward zero (-166666) in BOTH engines, not floor
+    val neg = operators.Events.eventShapleyOn(ev(Seq(
+      (1L, "click"), (1L, "purchase"), // 1 of 3 click-only users buys
+      (2L, "click"), (3L, "click"),
+      (4L, "click"), (4L, "view")))) // click+view user does NOT buy
+      .select("channel", "phi_num", "phi_ppm")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(neg == Seq(
+      ("click", 333333L, 166666L),
+      ("view", -333333L, -166666L)))
+    // > 8 channels refuses: the 2^n lattice must stay bounded
+    val wide = ev((1 to 9).map(i => (1L, s"ch$i")) :+ ((1L, "purchase")))
+    intercept[IllegalStateException] {
+      operators.Events.eventShapleyOn(wide).collect()
+    }
+    // corpus: efficiency sum(phi_num) = n! * (v(full) - v(empty))
+    val events = Tables.events(spark, sf)
+    val c = operators.Events.eventShapleyOn(events).collect()
+    val nfact = c.head.getAs[Long]("nfact")
+    val chans = events.filter(col("event_type") =!= "purchase")
+      .select("event_type").distinct().count()
+    val full = events.groupBy("user_id")
+      .agg(countDistinct(when(col("event_type") =!= "purchase",
+        col("event_type"))).as("nch"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      .filter(col("nch") === chans)
+      .agg(count(lit(1)).as("u"), sum("conv").as("cv"))
+      .select(expr("cv * 1000000 DIV u")).as[Long].head()
+    assert(c.map(_.getAs[Long]("phi_num")).sum == nfact * full)
+  }
 }

@@ -961,4 +961,15 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("event_shapley: the user-keyed rollup is materialized behind " +
+    "the lattice checkpoint; downstream the lattice algebra rides " +
+    "broadcasts only — no cartesian, no row-keyed exchange") {
+    val p = plan(operators.Events.eventShapley(spark, sf))
+    // both term sides + exposure read the checkpointed <=2^n lattice
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("hashpartitioning(user_id"), p)
+  }
 }
