@@ -937,7 +937,57 @@ object Analytics {
   def anomalyMad(s: SparkSession, dir: String): DataFrame =
     anomalyMadOn(Tables.events(s, dir))
 
+  /** Interval-union coverage per key — the sweep-line "merge
+    * overlapping intervals" aggregate (distinct covered days, merged
+    * segment count, raw-vs-covered overlap factor). The classic form
+    * of de-overlapping reservations / outages / in-transit windows
+    * before summing durations: naive SUM(length) double-counts
+    * whenever intervals overlap. Intervals here are each lineitem's
+    * in-transit window [shipdate, shipdate + quantity-derived transit
+    * days] per supplier (transit = quantity mod 7 + 1, deterministic
+    * from the row).
+    *
+    * The sweep is ONE supplier-keyed window pass (the SCD2 shape):
+    * sorted by (start, end), each row's newly-covered days are
+    * e - max(s-1, running-max-end-so-far) clamped at 0, so the sum IS
+    * |union| without materializing day atoms (no explode — a 90-day
+    * interval costs one row, not 90). Segment starts are gap events
+    * (s > pmax + 1 in day units, adjacency merges). Tie order within
+    * equal starts shifts per-row contributions but never the per-key
+    * sums, so the aggregate is deterministic. Scale: one shuffle on
+    * the supplier key; day arithmetic is all BIGINT; the final ppm
+    * ratio is one non-negative DIV. */
+  def aggIntervalUnionOn(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_suppkey").orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    lineitem
+      .select(col("l_suppkey"),
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01')" +
+          " AS BIGINT)").as("s"),
+        expr("CAST(l_quantity AS BIGINT) % 7 + 1").as("transit"))
+      .withColumn("e", col("s") + col("transit"))
+      .withColumn("pmax", max(col("e")).over(w))
+      .withColumn("contrib", greatest(lit(0L),
+        col("e") - greatest(col("s") - 1,
+          coalesce(col("pmax"), col("s") - 1))))
+      .withColumn("new_seg",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1L)
+          .otherwise(0L))
+      .groupBy("l_suppkey")
+      .agg(sum(col("contrib")).as("covered_days"),
+        sum(col("new_seg")).as("n_segments"),
+        sum(col("e") - col("s") + 1).as("raw_days"),
+        min(col("s")).as("first_day"), max(col("e")).as("last_day"))
+      .withColumn("overlap_ppm",
+        expr("raw_days * 1000000 DIV covered_days"))
+      .orderBy("l_suppkey")
+  }
+
+  def aggIntervalUnion(s: SparkSession, dir: String): DataFrame =
+    aggIntervalUnionOn(Tables.lineitem(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_interval_union" -> aggIntervalUnion,
     "anomaly_mad" -> anomalyMad,
     "agg_corr" -> aggCorr,
     "agg_regression" -> aggRegression,
@@ -984,6 +1034,32 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors aggIntervalUnionOn: same day grid, same running-max
+    // sweep; per-row contributions are tie-order-local but the
+    // per-supplier sums are invariant, so the compare is exact.
+    "agg_interval_union" ->
+      """WITH iv AS (SELECT l_suppkey,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01'
+        |      AS BIGINT) AS s,
+        |    CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01'
+        |      AS BIGINT) + CAST(l_quantity AS BIGINT) % 7 + 1 AS e
+        |  FROM lineitem),
+        |sw AS (SELECT l_suppkey, s, e,
+        |    MAX(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |agg AS (SELECT l_suppkey,
+        |    CAST(SUM(GREATEST(0, e - GREATEST(s - 1,
+        |      COALESCE(pmax, s - 1)))) AS BIGINT) AS covered_days,
+        |    CAST(SUM(CASE WHEN pmax IS NULL OR s > pmax + 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+        |    CAST(SUM(e - s + 1) AS BIGINT) AS raw_days,
+        |    MIN(s) AS first_day, MAX(e) AS last_day
+        |  FROM sw GROUP BY l_suppkey)
+        |SELECT l_suppkey, covered_days, n_segments, raw_days,
+        |  first_day, last_day,
+        |  raw_days * 1000000 // covered_days AS overlap_ppm
+        |FROM agg ORDER BY l_suppkey""".stripMargin,
     "anomaly_mad" ->
       """WITH med AS (SELECT event_type, median(value) AS med
         |  FROM events GROUP BY event_type),

@@ -77,4 +77,34 @@ class AnalyticsSpec extends SparkSpecBase {
     assert(h.forall(r => r._2 > expect * 0.5 && r._2 < expect * 1.5),
       h.map(_._2).mkString(","))
   }
+  test("agg_interval_union: overlapping intervals merge, adjacency " +
+    "joins a segment, duplicates add nothing, disjoint gaps split") {
+    import java.sql.Timestamp
+    def li(rows: Seq[(Long, String, Double)]) = rows.map { case (k, d, q) =>
+      (k, Timestamp.valueOf(d + " 00:00:00"), q)
+    }.toDF("l_suppkey", "l_shipdate", "l_quantity")
+    // supplier 1: quantity 2 -> transit 3 days; intervals (day grid
+    // from 1992-01-01): [0,3] and [1,4] overlap -> covered [0,4]=5;
+    // duplicate [1,4] adds 0; [5,8] is ADJACENT (s=5=pmax+1): same
+    // segment, covered 9; [12,15] after a gap: second segment
+    val got = operators.Analytics.aggIntervalUnionOn(li(Seq(
+      (1L, "1992-01-01", 2.0), (1L, "1992-01-02", 2.0),
+      (1L, "1992-01-02", 2.0), (1L, "1992-01-06", 2.0),
+      (1L, "1992-01-13", 2.0))))
+      .select("l_suppkey", "covered_days", "n_segments", "raw_days",
+        "first_day", "last_day", "overlap_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 13L, 2L, 20L, 0L, 15L, 1538461L)))
+    // corpus invariants: union <= raw, union <= calendar span,
+    // segments >= 1, overlap factor >= 1e6 (raw double-counts)
+    val c = operators.Analytics.aggIntervalUnion(spark, sf).collect()
+    assert(c.nonEmpty)
+    assert(c.forall { r =>
+      val cov = r.getAs[Long]("covered_days")
+      val raw = r.getAs[Long]("raw_days")
+      val span = r.getAs[Long]("last_day") - r.getAs[Long]("first_day") + 1
+      cov <= raw && cov <= span && r.getAs[Long]("n_segments") >= 1L &&
+        r.getAs[Long]("overlap_ppm") >= 1000000L
+    })
+  }
 }
