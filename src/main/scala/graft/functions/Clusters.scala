@@ -1513,7 +1513,87 @@ object Clusters {
     graphSkipgramPairsOn(
       graphRandomWalkOn(bipartiteEdges(s, dir)).localCheckpoint(true))
 
+  /** Grid-bucketed DBSCAN (Ester et al. KDD 1996; the cell-partition
+    * parallelization of He et al.'s MR-DBSCAN): density clustering
+    * over the first two embedding dimensions on the exact micro
+    * integer grid. eps-neighborhoods come from a 3x3 NEIGHBOR-CELL
+    * equi-join with cell side = eps — every true neighbor is inside
+    * the 9-cell stencil by construction, so the bucketed form equals
+    * the all-pairs definition while each point only meets its cell
+    * neighborhood (the oracle IS the all-pairs spelling, proving the
+    * equivalence per row). Core points (|N_eps| >= minPts, self
+    * included) connect into clusters via the O(log n)-round
+    * alternating-star CC on core-core eps-edges; border points take
+    * the MIN cluster label among their core neighbors (the pinned
+    * deterministic tie rule — plain DBSCAN is order-dependent here);
+    * the rest is noise. Labels are component minima, so the output
+    * is fully deterministic.
+    *
+    * Scale: the quadratic blow-up is confined to within-stencil
+    * candidate pairs (density-bounded, the MR-DBSCAN contract), the
+    * only row-keyed shuffles are cell/qid-keyed, and CC rounds are
+    * logarithmic with constant-size checkpointed plans. Coordinates
+    * are offset non-negative before the cell DIV so floor semantics
+    * never meet a negative operand. */
+  def clusterDbscanOn(emb: DataFrame, epsMicro: Long = 20000L,
+      minPts: Long = 4L): DataFrame = {
+    val eps2 = epsMicro * epsMicro
+    val pts = emb.select(col("vec_id"),
+        expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000 + 0.5) " +
+          "AS BIGINT)").as("x"),
+        expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) " +
+          "AS BIGINT)").as("y"))
+      .withColumn("cx", expr(s"(x + 2000000) DIV $epsMicro"))
+      .withColumn("cy", expr(s"(y + 2000000) DIV $epsMicro"))
+      .localCheckpoint(true) // probe side + build side + final spine
+    val probe = pts
+      .select(col("vec_id").as("qid"), col("x").as("qx"),
+        col("y").as("qy"), col("cx"), col("cy"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("qid"), col("qx"), col("qy"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val nbrs = probe.join(pts, Seq("cx", "cy"))
+      .filter(expr(s"(qx - x) * (qx - x) + (qy - y) * (qy - y) <= $eps2"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .localCheckpoint(true) // degree + core edges + border assign
+    val deg = nbrs.groupBy("qid").agg(count(lit(1)).as("n_nb"))
+      .localCheckpoint(true)
+    val coreSet = deg.filter(col("n_nb") >= minPts).select("qid")
+    val coreEdges = nbrs
+      .join(coreSet, "qid")
+      .join(coreSet.select(col("qid").as("nid")), "nid")
+      .filter(col("qid") < col("nid"))
+      .select(col("qid").as("a"), col("nid").as("b"))
+    val cc = connectedComponentsAltStarOn(coreEdges)
+    val coreLbl = coreSet
+      .join(cc.select(col("node").as("qid"), col("lbl")), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("lbl"), col("qid")).as("cluster")) // isolated core
+      .localCheckpoint(true)
+    val borderLbl = nbrs
+      .join(deg.filter(col("n_nb") < minPts).select("qid"), "qid")
+      .join(coreLbl.select(col("qid").as("nid"), col("cluster")), "nid")
+      .groupBy("qid").agg(min(col("cluster")).as("cluster"))
+    pts.select(col("vec_id"))
+      .join(deg.select(col("qid").as("vec_id"), col("n_nb")), "vec_id")
+      .join(coreLbl.select(col("qid").as("vec_id"),
+        col("cluster").as("core_cluster")), Seq("vec_id"), "left")
+      .join(borderLbl.select(col("qid").as("vec_id"),
+        col("cluster").as("border_cluster")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("n_nb"),
+        when(col("core_cluster").isNotNull, lit("core"))
+          .when(col("border_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("core_cluster"), col("border_cluster")).as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  def clusterDbscan(s: SparkSession, dir: String): DataFrame =
+    clusterDbscanOn(Tables.embeddings(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_dbscan" -> clusterDbscan,
     "graph_random_walk" -> graphRandomWalk,
     "graph_node2vec_walk" -> graphNode2vecWalk,
     "graph_skipgram_pairs" -> graphSkipgramPairs,
@@ -1741,6 +1821,45 @@ object Clusters {
   }.mkString("\nUNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // Mirrors clusterDbscanOn SEMANTICS via the all-pairs definition
+    // (no grid): the equality proves the 9-cell stencil is lossless.
+    // Components by recursive reachability, labels = component min.
+    "cluster_dbscan" ->
+      """WITH RECURSIVE pts AS (SELECT vec_id,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS x,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS y
+        |  FROM embeddings),
+        |nbrs AS (SELECT a.vec_id AS qid, b.vec_id AS nid
+        |  FROM pts a JOIN pts b
+        |  ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |     <= 400000000),
+        |deg AS (SELECT qid, COUNT(*) AS n_nb FROM nbrs GROUP BY qid),
+        |cores AS (SELECT qid FROM deg WHERE n_nb >= 4),
+        |pe AS (SELECT n.qid AS a, n.nid AS b FROM nbrs n
+        |  JOIN cores ca ON ca.qid = n.qid
+        |  JOIN cores cb ON cb.qid = n.nid
+        |  WHERE n.qid <> n.nid),
+        |rr(node, reach) AS (
+        |  SELECT qid, qid FROM cores
+        |  UNION
+        |  SELECT pe.b, rr.reach FROM rr JOIN pe ON pe.a = rr.node),
+        |corelbl AS (SELECT node AS qid, MIN(reach) AS cluster
+        |  FROM rr GROUP BY node),
+        |borderlbl AS (SELECT n.qid, MIN(cl.cluster) AS cluster
+        |  FROM nbrs n JOIN deg d ON d.qid = n.qid AND d.n_nb < 4
+        |  JOIN corelbl cl ON cl.qid = n.nid
+        |  GROUP BY n.qid)
+        |SELECT p.vec_id, d.n_nb,
+        |  CASE WHEN c.cluster IS NOT NULL THEN 'core'
+        |       WHEN b.cluster IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  COALESCE(c.cluster, b.cluster) AS cluster
+        |FROM pts p JOIN deg d ON d.qid = p.vec_id
+        |LEFT JOIN corelbl c ON c.qid = p.vec_id
+        |LEFT JOIN borderlbl b ON b.qid = p.vec_id
+        |ORDER BY p.vec_id""".stripMargin,
     "graph_node2vec_walk" ->
       s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
          |    l_suppkey + 1000000 AS dst

@@ -571,4 +571,45 @@ class ClustersSpec extends SparkSpecBase {
     assert(c.exceptAll(again).count() == 0 && again.exceptAll(c).count() == 0)
     c.unpersist()
   }
+
+  test("cluster_dbscan: hand grid — dense blobs are cores with the " +
+    "component-min label, the thin satellite is border, the isolate " +
+    "is noise; exact-eps distance is inclusive; corpus labels are " +
+    "component minima") {
+    def emb(rows: Seq[(Long, Float, Float)]) = rows.map { case (i, a, b) =>
+      (i, Seq(a, b))
+    }.toDF("vec_id", "embedding")
+    // blob 1 (ids 0-3): pairwise < eps=0.02 -> 4 cores, label 0
+    // E (id 4): within eps of B and D only (n_nb=3 < minPts) -> border
+    // blob 2 (ids 5-8): includes an EXACT-eps pair (G-H at 0.02) -> cores
+    // F (id 9): isolated -> noise
+    val got = functions.Clusters.clusterDbscanOn(emb(Seq(
+      (0L, 0.000f, 0.000f), (1L, 0.010f, 0.000f),
+      (2L, 0.000f, 0.010f), (3L, 0.010f, 0.010f),
+      (4L, 0.025f, 0.000f),
+      (5L, -0.100f, -0.100f), (6L, -0.080f, -0.100f),
+      (7L, -0.090f, -0.110f), (8L, -0.090f, -0.090f),
+      (9L, 0.200f, 0.200f))))
+      .select("vec_id", "n_nb", "role", "cluster")
+      .as[(Long, Long, String, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (0L, 4L, "core", Some(0L)), (1L, 5L, "core", Some(0L)),
+      (2L, 4L, "core", Some(0L)), (3L, 5L, "core", Some(0L)),
+      (4L, 3L, "border", Some(0L)),
+      (5L, 4L, "core", Some(5L)), (6L, 4L, "core", Some(5L)),
+      (7L, 4L, "core", Some(5L)), (8L, 4L, "core", Some(5L)),
+      (9L, 1L, "noise", None)), got.mkString(","))
+    // corpus: labels are component minima, border labels come from
+    // the core label set, noise is unlabeled
+    val c = functions.Clusters.clusterDbscan(spark, sf).collect()
+    val coreLbls = c.filter(_.getAs[String]("role") == "core")
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("vec_id")))
+    val mins = coreLbls.groupBy(_._1).map { case (l, m) => (l, m.map(_._2).min) }
+    assert(mins.forall { case (l, m) => l == m }, mins)
+    val coreSet = coreLbls.map(_._1).toSet
+    assert(c.filter(_.getAs[String]("role") == "border")
+      .forall(r => coreSet.contains(r.getAs[Long]("cluster"))))
+    assert(c.filter(_.getAs[String]("role") == "noise")
+      .forall(r => r.isNullAt(r.fieldIndex("cluster"))))
+  }
 }

@@ -962,6 +962,16 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("cluster_dbscan: no cartesian anywhere — the neighbor join is " +
+    "cell-keyed behind its checkpoint and the final spine joins are " +
+    "vec_id equi-joins") {
+    val p = plan(functions.Clusters.clusterDbscan(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("vec_id"), p)
+  }
+
   test("event_shapley: the user-keyed rollup is materialized behind " +
     "the lattice checkpoint; downstream the lattice algebra rides " +
     "broadcasts only — no cartesian, no row-keyed exchange") {
