@@ -730,6 +730,68 @@ object Events {
   def tsForecastNaive(s: SparkSession, dir: String): DataFrame =
     tsForecastNaiveOn(Tables.events(s, dir))
 
+  /** L20o: Holt double exponential smoothing (Holt 1957) — the
+    * level+trend forecaster [[tsForecastNaiveOn]]'s backtest exists
+    * to beat and [[tsEwmaOn]]'s level-only recursion cannot express.
+    * With alpha = beta = 1/2 both updates are a HALVING, so the whole
+    * recursion is exact dyadic integer math: l_t = floor((x_t + l_tm1
+    * + b_tm1)/2), b_t = floor((l_t - l_tm1 + b_tm1)/2), seeded l_1 =
+    * x_1, b_1 = 0 (pinned). Halving is spelled `shiftright(·, 1)` —
+    * ARITHMETIC shift, i.e. floor division even on negative trend
+    * values — and the oracle spells the identical floor as
+    * floor(·/2.0) (exact: magnitudes are day-sums, far below 2^52);
+    * signed truncating DIV never appears (the engines disagree on
+    * it). The fold runs over the ZERO-FILLED calendar spine (a silent
+    * day must pull the level down, not vanish), scored by one-step
+    * SSE (yhat_t = l_tm1 + b_tm1, t >= 2), and forecasts h steps out
+    * along the trend line fc_h = l + h*b.
+    *
+    * Scale: the recursion is inherently sequential PER SERIES, so it
+    * folds a sort_array(collect_list) via the `aggregate` HOF — the
+    * collected series is DAY-DOMAIN bounded (|days| rows per type,
+    * ~365/year regardless of raw event count), the same boundedness
+    * license as the cents-domain sweeps; the only corpus-scale work
+    * is the daily rollup, one map-side-combined type-keyed exchange. */
+  def tsHoltOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // span + type list + fold all read it
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+    val lNext = "shiftright(e.x + a.l + a.b, 1)"
+    spine.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("s"))
+      .withColumn("acc", expr(
+        s"""aggregate(s,
+           |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+           |    'sse', CAST(0 AS BIGINT), 'i', CAST(0 AS BIGINT)),
+           |  (a, e) -> CASE WHEN a.i = 0
+           |    THEN named_struct('l', e.x, 'b', CAST(0 AS BIGINT),
+           |      'sse', CAST(0 AS BIGINT), 'i', CAST(1 AS BIGINT))
+           |    ELSE named_struct(
+           |      'l', $lNext,
+           |      'b', shiftright($lNext - a.l + a.b, 1),
+           |      'sse', a.sse
+           |        + (e.x - a.l - a.b) * (e.x - a.l - a.b),
+           |      'i', a.i + 1) END)""".stripMargin))
+      .select(col("event_type"), col("acc.i").as("n_days"),
+        col("acc.l").as("level"), col("acc.b").as("trend"),
+        col("acc.sse").as("sse"),
+        (col("acc.l") + col("acc.b")).as("fc_1"),
+        (col("acc.l") + lit(7L) * col("acc.b")).as("fc_7"))
+      .orderBy("event_type")
+  }
+
+  def tsHolt(s: SparkSession, dir: String): DataFrame =
+    tsHoltOn(Tables.events(s, dir))
+
   /** L20g: Poisson bootstrap of total purchase revenue — THE
     * distributed bootstrap (resampling n-of-n is impossible when no
     * worker sees all n rows; Poisson(1) draw counts per row are
@@ -2091,6 +2153,7 @@ object Events {
     "event_paths" -> eventPaths,
     "event_cohort_ltv" -> eventCohortLtv,
     "ts_forecast_naive" -> tsForecastNaive,
+    "ts_holt" -> tsHolt,
     "sample_bootstrap" -> sampleBootstrap,
     "event_mannwhitney" -> eventMannwhitney,
     "event_ks" -> eventKs,
@@ -3009,6 +3072,40 @@ object Events {
         |  CAST(sae7 * 1000 // n_scored AS BIGINT) AS mae7_milli,
         |  CAST(sae1 * 1000 // n_scored AS BIGINT) AS mae1_milli
         |FROM agg ORDER BY event_type""".stripMargin,
+    // Mirrors tsHoltOn: the dyadic recursion replayed row-by-row by a
+    // recursive CTE; floor(·/2.0) is the oracle's spelling of the
+    // Spark side's arithmetic shiftright(·, 1) (exact, < 2^52).
+    "ts_holt" ->
+      """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+        |spine AS (SELECT t.event_type, g.d
+        |  FROM (SELECT DISTINCT event_type FROM daily) t
+        |  CROSS JOIN (SELECT UNNEST(generate_series(d0, d1,
+        |    INTERVAL 1 DAY))::DATE AS d FROM span) g),
+        |z AS (SELECT s.event_type, s.d,
+        |    CAST(COALESCE(dl.x, 0) AS BIGINT) AS x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
+        |      ORDER BY s.d) AS BIGINT) AS rn
+        |  FROM spine s LEFT JOIN daily dl
+        |    ON s.event_type = dl.event_type AND s.d = dl.d),
+        |h(event_type, rn, l, b, sse) AS (
+        |  SELECT event_type, rn, x, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM z WHERE rn = 1
+        |  UNION ALL
+        |  SELECT z.event_type, z.rn,
+        |    CAST(floor((z.x + h.l + h.b) / 2.0) AS BIGINT),
+        |    CAST(floor((CAST(floor((z.x + h.l + h.b) / 2.0) AS BIGINT)
+        |      - h.l + h.b) / 2.0) AS BIGINT),
+        |    h.sse + (z.x - h.l - h.b) * (z.x - h.l - h.b)
+        |  FROM h JOIN z ON z.event_type = h.event_type
+        |    AND z.rn = h.rn + 1),
+        |last AS (SELECT event_type, MAX(rn) AS rn FROM h GROUP BY 1)
+        |SELECT h.event_type, h.rn AS n_days, h.l AS level, h.b AS trend,
+        |  h.sse, h.l + h.b AS fc_1, h.l + 7 * h.b AS fc_7
+        |FROM h JOIN last ON last.event_type = h.event_type
+        |  AND last.rn = h.rn
+        |ORDER BY h.event_type""".stripMargin,
     "sample_bootstrap" ->
       """WITH p AS (SELECT event_id,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -439,6 +439,33 @@ class EventsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("mae1_milli") == 571L) // 4000 div 7
   }
 
+  test("L20o holt: dyadic recursion replayed imperatively with " +
+      "Math.floorDiv; the declining series drives the trend NEGATIVE " +
+      "(arithmetic-shift floor, where truncation would differ); the " +
+      "silent day zero-fills into the fold") {
+    val base = ts("2024-01-01 00:00:00")
+    // counts by day: 9,7,5,0,1 — day 4 has NO rows (spine must
+    // zero-fill it) and the decline forces b < 0 at the first update
+    val counts = Seq(9, 7, 5, 0, 1)
+    val ev = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(("e", new Timestamp(base.getTime + d * 86400000L)))
+    }.toDF("event_type", "ts")
+    var l = 9L; var b = 0L; var sse = 0L
+    for (x <- Seq(7L, 5L, 0L, 1L)) {
+      sse += (x - l - b) * (x - l - b)
+      val lN = Math.floorDiv(x + l + b, 2)
+      b = Math.floorDiv(lN - l + b, 2)
+      l = lN
+    }
+    assert(b < 0) // the replay itself must exercise the negative floor
+    val r = operators.Events.tsHoltOn(ev).head()
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Long]("level") == l && r.getAs[Long]("trend") == b)
+    assert(r.getAs[Long]("sse") == sse)
+    assert(r.getAs[Long]("fc_1") == l + b)
+    assert(r.getAs[Long]("fc_7") == l + 7 * b)
+  }
+
   test("L20g poisson bootstrap: deterministic replay, mean-one draw " +
       "counts, and replicate totals bracketing the true total") {
     val out = operators.Events.sampleBootstrap(spark, sf).cache()

@@ -972,6 +972,16 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("vec_id"), p)
   }
 
+  test("ts_holt: the daily rollup is pre-materialized (zero parquet " +
+    "rescans); the spine cross join rides the broadcast 1-row span; " +
+    "the fold is a type-keyed sort_array(collect_list) — no " +
+    "cartesian, no row-count-scaled window") {
+    val p = plan(operators.Events.tsHolt(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p) // daily pre-materialized
+    assert(p.contains("collect_list"), p)
+  }
+
   test("event_shapley: the user-keyed rollup is materialized behind " +
     "the lattice checkpoint; downstream the lattice algebra rides " +
     "broadcasts only — no cartesian, no row-keyed exchange") {
