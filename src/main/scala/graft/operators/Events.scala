@@ -792,6 +792,62 @@ object Events {
   def tsHolt(s: SparkSession, dir: String): DataFrame =
     tsHoltOn(Tables.events(s, dir))
 
+  /** L20p: sequential-pattern support (the GSP/PrefixSpan counting
+    * core — Agrawal-Srikant 1996, Pei 2001): for every ordered
+    * length-2 and length-3 event-type pattern, how many users contain
+    * it as a (not necessarily contiguous) SUBSEQUENCE. Containment
+    * uses the classic greedy earliest-occurrence argument — a>b>c is
+    * contained iff scanning for the FIRST a, then the first b AFTER
+    * it, then any c after THAT succeeds; greedy-earliest is complete
+    * (any witness can be shifted left), so three bounded rollups
+    * decide it exactly: t_a = min ts(a); t_ab = min ts(b) > t_a;
+    * contained iff max ts(c) > t_ab. Repeats (a=a=a) are allowed and
+    * need strictly increasing ts — two occurrences in the same
+    * microsecond collapse (pinned tie rule; Spark truncates parquet
+    * ns to micros so sub-micro order is not comparable anyway).
+    *
+    * Scale: no per-user sequence is ever materialized (THE PrefixSpan
+    * scale trap — a user's full ordered history in one row). The
+    * t_ab relation is |users|·vocab² at most, built by ONE user-keyed
+    * equi-join whose fanout is the type VOCABULARY (not the event
+    * count); pattern supports are map-side-combined rollups to
+    * vocab²+vocab³ rows. Every shuffle is user-keyed or
+    * vocabulary-sized. */
+  def eventSeqPatternsOn(events: DataFrame): DataFrame = {
+    val occ = events.select(col("user_id"), col("event_type").as("t"),
+      col("ts")).localCheckpoint(true) // firstA + pair probe + lastC
+    val nRel = occ.agg(count_distinct(col("user_id")).as("n_users"))
+    val firstA = occ.groupBy(col("user_id"), col("t").as("a"))
+      .agg(min(col("ts")).as("ta"))
+    val lastC = occ.groupBy(col("user_id"), col("t").as("c"))
+      .agg(max(col("ts")).as("tc"))
+    val tab = occ.join(firstA, "user_id")
+      .filter(col("ts") > col("ta"))
+      .groupBy(col("user_id"), col("a"), col("t").as("b"))
+      .agg(min(col("ts")).as("tab"))
+      .localCheckpoint(true) // pair rollup + triple probe
+    val pairs = tab.groupBy("a", "b")
+      .agg(count(lit(1)).as("support"))
+      .select(lit(2L).as("len"),
+        concat_ws(">", col("a"), col("b")).as("pattern"), col("support"))
+    val triples = tab.join(lastC, "user_id")
+      .filter(col("tc") > col("tab"))
+      .groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("support"))
+      .select(lit(3L).as("len"),
+        concat_ws(">", col("a"), col("b"), col("c")).as("pattern"),
+        col("support"))
+    pairs.unionByName(triples)
+      .crossJoin(broadcast(nRel))
+      .select(col("len"), col("pattern"), col("support"),
+        expr("CAST(support * 1000000 DIV n_users AS BIGINT)")
+          .as("support_ppm"))
+      .orderBy("len", "pattern")
+  }
+
+  def eventSeqPatterns(s: SparkSession, dir: String): DataFrame =
+    eventSeqPatternsOn(Tables.events(s, dir))
+
   /** L20g: Poisson bootstrap of total purchase revenue — THE
     * distributed bootstrap (resampling n-of-n is impossible when no
     * worker sees all n rows; Poisson(1) draw counts per row are
@@ -2154,6 +2210,7 @@ object Events {
     "event_cohort_ltv" -> eventCohortLtv,
     "ts_forecast_naive" -> tsForecastNaive,
     "ts_holt" -> tsHolt,
+    "event_seq_patterns" -> eventSeqPatterns,
     "sample_bootstrap" -> sampleBootstrap,
     "event_mannwhitney" -> eventMannwhitney,
     "event_ks" -> eventKs,
@@ -3106,6 +3163,33 @@ object Events {
         |FROM h JOIN last ON last.event_type = h.event_type
         |  AND last.rn = h.rn
         |ORDER BY h.event_type""".stripMargin,
+    // Mirrors eventSeqPatternsOn: greedy earliest-occurrence
+    // subsequence containment decided by three bounded rollups.
+    "event_seq_patterns" ->
+      """WITH occ AS (SELECT user_id, event_type AS t, ts FROM events),
+        |n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM occ),
+        |fa AS (SELECT user_id, t AS a, MIN(ts) AS ta FROM occ
+        |  GROUP BY 1, 2),
+        |lc AS (SELECT user_id, t AS c, MAX(ts) AS tc FROM occ
+        |  GROUP BY 1, 2),
+        |tab AS (SELECT o.user_id, fa.a, o.t AS b, MIN(o.ts) AS tab
+        |  FROM occ o JOIN fa ON fa.user_id = o.user_id
+        |  WHERE o.ts > fa.ta GROUP BY 1, 2, 3),
+        |pairs AS (SELECT CAST(2 AS BIGINT) AS len,
+        |    concat_ws('>', a, b) AS pattern,
+        |    CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM tab GROUP BY 2),
+        |triples AS (SELECT CAST(3 AS BIGINT) AS len,
+        |    concat_ws('>', tab.a, tab.b, lc.c) AS pattern,
+        |    CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM tab JOIN lc ON lc.user_id = tab.user_id
+        |  WHERE lc.tc > tab.tab GROUP BY 2),
+        |u AS (SELECT * FROM pairs UNION ALL SELECT * FROM triples)
+        |SELECT len, pattern, support,
+        |  CAST(support * 1000000 // n.n_users AS BIGINT) AS support_ppm
+        |FROM u CROSS JOIN n
+        |ORDER BY len, pattern""".stripMargin,
     "sample_bootstrap" ->
       """WITH p AS (SELECT event_id,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -466,6 +466,42 @@ class EventsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("fc_7") == l + 7 * b)
   }
 
+  test("L20p seq patterns: greedy earliest-occurrence containment — " +
+      "the b AFTER the first a is found even when an earlier b " +
+      "precedes it; order gates pairs; repeats need strictly later " +
+      "ts; one count per user regardless of witness multiplicity") {
+    val ev = Seq(
+      // user 1: view click view purchase — rich in patterns
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "view", ts("2024-01-01 12:00:00")),
+      (1L, "purchase", ts("2024-01-01 13:00:00")),
+      // user 2: purchase BEFORE view — view>purchase must NOT count
+      (2L, "purchase", ts("2024-01-02 10:00:00")),
+      (2L, "view", ts("2024-01-02 11:00:00")),
+      // user 3: lone view — view>view needs a strictly later second
+      (3L, "view", ts("2024-01-03 10:00:00")),
+      // user 4: click view click purchase — view>click>purchase only
+      // matches via the click AFTER the first view (the greedy step;
+      // the global first click is too early)
+      (4L, "click", ts("2024-01-04 10:00:00")),
+      (4L, "view", ts("2024-01-04 11:00:00")),
+      (4L, "click", ts("2024-01-04 12:00:00")),
+      (4L, "purchase", ts("2024-01-04 13:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = operators.Events.eventSeqPatternsOn(ev)
+      .select("len", "pattern", "support", "support_ppm")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._2 -> (r._1, r._3, r._4)).toMap
+    assert(got("view>purchase") == (2L, 2L, 500000L)) // 1+4; user 2 gated
+    assert(!got.contains("purchase>click"))
+    assert(got("view>click>purchase") == (3L, 2L, 500000L)) // users 1+4
+    assert(got("view>view>purchase") == (3L, 1L, 250000L)) // user 1 only
+    assert(got("click>view>click") == (3L, 1L, 250000L)) // user 4 greedy
+    assert(!got.contains("view>view>view")) // no third view anywhere
+    assert(got("purchase>view") == (2L, 1L, 250000L)) // user 2 only
+  }
+
   test("L20g poisson bootstrap: deterministic replay, mean-one draw " +
       "counts, and replicate totals bracketing the true total") {
     val out = operators.Events.sampleBootstrap(spark, sf).cache()

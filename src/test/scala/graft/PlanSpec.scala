@@ -982,6 +982,15 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("collect_list"), p)
   }
 
+  test("event_seq_patterns: occurrence relation pre-materialized " +
+    "(zero parquet rescans), user-keyed equi-joins only, the n_users " +
+    "scalar rides a broadcast — no cartesian blow-up") {
+    val p = plan(operators.Events.eventSeqPatterns(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(p.contains("user_id"), p)
+  }
+
   test("event_shapley: the user-keyed rollup is materialized behind " +
     "the lattice checkpoint; downstream the lattice algebra rides " +
     "broadcasts only — no cartesian, no row-keyed exchange") {
