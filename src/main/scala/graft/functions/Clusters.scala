@@ -1592,7 +1592,103 @@ object Clusters {
   def clusterDbscan(s: SparkSession, dir: String): DataFrame =
     clusterDbscanOn(Tables.embeddings(s, dir))
 
+  /** Eps-bounded Local Outlier Factor (Breunig et al. SIGMOD 2000)
+    * over [[clusterDbscanOn]]'s micro-integer grid: where DBSCAN
+    * labels regions, LOF SCORES each point by how much sparser its
+    * neighborhood is than its neighbors' neighborhoods — the density
+    * RATIO that catches outliers sitting next to a dense cluster,
+    * which a global distance threshold misses. Same provably-lossless
+    * 3x3 stencil (cell side = eps; the oracle is the all-pairs
+    * spelling); self excluded. The eps bound is the scale
+    * contract — candidate search stays density-bounded instead of
+    * global k-NN — and induces two pinned deviations from the
+    * textbook: (1) a point with fewer than k eps-neighbors is
+    * role='sparse', unscored (it IS the extreme outlier tier); (2) a
+    * sparse neighbor o contributes reach2(p,o) = d2 (its k-distance
+    * is undefined) and is excluded from the lrd average, whose
+    * divisor counts scored neighbors only. All squared-distance
+    * integer math: kdist2 = the rank-k d2 (ties broken by nid, N_k
+    * includes ALL d2 <= kdist2 ties), lrd_e12 = |N_k|·10^12 DIV
+    * Σreach2 (min eps-bounded lrd is 10^12/eps2 = 2500 > 0, so no
+    * zero-divide at the default eps; both guards spelled anyway),
+    * lof_milli = Σlrd(o)·1000 DIV (n_sc·lrd(p)) — ~1000 in uniform
+    * density, > 1500 flags the outlier. Every shuffle is cell- or
+    * qid-keyed; the stencil fanout is the 9-cell constant. */
+  def anomalyLofOn(emb: DataFrame, epsMicro: Long = 20000L,
+      k: Int = 4): DataFrame = {
+    val eps2 = epsMicro * epsMicro
+    val pts = emb.select(col("vec_id"),
+        expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000 + 0.5) " +
+          "AS BIGINT)").as("x"),
+        expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) " +
+          "AS BIGINT)").as("y"))
+      .withColumn("cx", expr(s"(x + 2000000) DIV $epsMicro"))
+      .withColumn("cy", expr(s"(y + 2000000) DIV $epsMicro"))
+      .localCheckpoint(true) // probe side + build side + final spine
+    val probe = pts
+      .select(col("vec_id").as("qid"), col("x").as("qx"),
+        col("y").as("qy"), col("cx"), col("cy"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("qid"), col("qx"), col("qy"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val nbrs = probe.join(pts, Seq("cx", "cy"))
+      .filter(col("qid") =!= col("vec_id") && expr(
+        s"(qx - x) * (qx - x) + (qy - y) * (qy - y) <= $eps2"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        expr("(qx - x) * (qx - x) + (qy - y) * (qy - y)").as("d2"))
+      .localCheckpoint(true) // degree + kdist + N_k + lrd + lof passes
+    val deg = nbrs.groupBy("qid").agg(count(lit(1)).as("n_nb"))
+    val kd = nbrs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy("d2", "nid")))
+      .filter(col("rn") === k).select(col("qid"), col("d2").as("kdist2"))
+      .localCheckpoint(true) // own side + neighbor side + final spine
+    val nk = nbrs.join(kd, "qid").filter(col("d2") <= col("kdist2"))
+      .select("qid", "nid", "d2")
+      .localCheckpoint(true) // reach pass + lof pass
+    val lrd = nk
+      .join(kd.select(col("qid").as("nid"), col("kdist2").as("kdist2_o")),
+        Seq("nid"), "left")
+      .withColumn("reach2",
+        greatest(col("d2"), coalesce(col("kdist2_o"), col("d2"))))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_k"), sum(col("reach2")).as("sreach"))
+      .select(col("qid"), expr(
+        "CASE WHEN sreach > 0 THEN CAST(n_k * 1000000000000 DIV sreach " +
+          "AS BIGINT) END").as("lrd_e12"))
+      .localCheckpoint(true) // own score + neighbor average
+    val lof = nk
+      .join(lrd.select(col("qid").as("nid"), col("lrd_e12").as("lrd_o")),
+        Seq("nid"), "left")
+      .groupBy("qid")
+      .agg(sum(when(col("lrd_o").isNotNull, 1L).otherwise(0L)).as("n_sc"),
+        sum(col("lrd_o")).as("s_lrd"))
+    pts.select("vec_id")
+      .join(deg.select(col("qid").as("vec_id"), col("n_nb")),
+        Seq("vec_id"), "left")
+      .join(kd.select(col("qid").as("vec_id"), col("kdist2")),
+        Seq("vec_id"), "left")
+      .join(lrd.select(col("qid").as("vec_id"), col("lrd_e12")),
+        Seq("vec_id"), "left")
+      .join(lof.select(col("qid").as("vec_id"), col("n_sc"), col("s_lrd")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n_nb"), lit(0L)).as("n_nb"),
+        when(coalesce(col("n_nb"), lit(0L)) >= k, lit("scored"))
+          .otherwise(lit("sparse")).as("role"),
+        col("kdist2"), col("lrd_e12"),
+        expr("CASE WHEN lrd_e12 IS NOT NULL AND lrd_e12 > 0 AND n_sc > 0 " +
+          "THEN CAST(s_lrd * 1000 DIV (n_sc * lrd_e12) AS BIGINT) END")
+          .as("lof_milli"))
+      .withColumn("is_outlier", col("lof_milli") > 1500L)
+      .orderBy("vec_id")
+  }
+
+  def anomalyLof(s: SparkSession, dir: String): DataFrame =
+    anomalyLofOn(Tables.embeddings(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "anomaly_lof" -> anomalyLof,
     "cluster_dbscan" -> clusterDbscan,
     "graph_random_walk" -> graphRandomWalk,
     "graph_node2vec_walk" -> graphNode2vecWalk,
@@ -1821,6 +1917,57 @@ object Clusters {
   }.mkString("\nUNION ALL ")
 
   val oracles: Map[String, String] = Map(
+    // Mirrors anomalyLofOn SEMANTICS via the all-pairs definition (no
+    // grid): equality proves the 9-cell stencil finds every
+    // eps-neighbor. Same pinned sparse-neighbor rules.
+    "anomaly_lof" ->
+      """WITH pts AS (SELECT vec_id,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS x,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS y
+        |  FROM embeddings),
+        |nbrs AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        |  FROM pts a JOIN pts b ON a.vec_id <> b.vec_id
+        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    <= 400000000),
+        |deg AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_nb FROM nbrs
+        |  GROUP BY qid),
+        |kd AS (SELECT qid, d2 AS kdist2 FROM (SELECT qid, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+        |  FROM nbrs) WHERE rn = 4),
+        |nk AS (SELECT n.qid, n.nid, n.d2 FROM nbrs n
+        |  JOIN kd ON kd.qid = n.qid WHERE n.d2 <= kd.kdist2),
+        |lrd AS (SELECT r.qid, CASE WHEN SUM(r.reach2) > 0 THEN
+        |    CAST(COUNT(*) * 1000000000000 // SUM(r.reach2) AS BIGINT)
+        |    END AS lrd_e12
+        |  FROM (SELECT nk.qid,
+        |      GREATEST(nk.d2, COALESCE(ko.kdist2, nk.d2)) AS reach2
+        |    FROM nk LEFT JOIN kd ko ON ko.qid = nk.nid) r
+        |  GROUP BY r.qid),
+        |lof AS (SELECT nk.qid,
+        |    CAST(SUM(CASE WHEN lo.lrd_e12 IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_sc,
+        |    SUM(lo.lrd_e12) AS s_lrd
+        |  FROM nk LEFT JOIN lrd lo ON lo.qid = nk.nid GROUP BY nk.qid)
+        |SELECT p.vec_id, COALESCE(d.n_nb, 0) AS n_nb,
+        |  CASE WHEN COALESCE(d.n_nb, 0) >= 4 THEN 'scored'
+        |       ELSE 'sparse' END AS role,
+        |  kd.kdist2, l.lrd_e12,
+        |  CASE WHEN l.lrd_e12 IS NOT NULL AND l.lrd_e12 > 0
+        |      AND f.n_sc > 0 THEN
+        |    CAST(f.s_lrd * 1000 // (f.n_sc * l.lrd_e12) AS BIGINT)
+        |  END AS lof_milli,
+        |  CASE WHEN l.lrd_e12 IS NOT NULL AND l.lrd_e12 > 0
+        |      AND f.n_sc > 0 THEN
+        |    CAST(f.s_lrd * 1000 // (f.n_sc * l.lrd_e12) AS BIGINT) > 1500
+        |  END AS is_outlier
+        |FROM pts p LEFT JOIN deg d ON d.qid = p.vec_id
+        |LEFT JOIN kd ON kd.qid = p.vec_id
+        |LEFT JOIN lrd l ON l.qid = p.vec_id
+        |LEFT JOIN lof f ON f.qid = p.vec_id
+        |ORDER BY p.vec_id""".stripMargin,
     // Mirrors clusterDbscanOn SEMANTICS via the all-pairs definition
     // (no grid): the equality proves the 9-cell stencil is lossless.
     // Components by recursive reachability, labels = component min.

@@ -572,6 +572,69 @@ class ClustersSpec extends SparkSpecBase {
     c.unpersist()
   }
 
+  test("anomaly_lof: imperative all-pairs replay equals the grid " +
+    "operator on a fixture forcing every pinned rule — the outlier " +
+    "beside the dense blob scores > 1.5, a scored point whose N_k " +
+    "holds TWO sparse neighbors uses their raw d2 as reach and " +
+    "excludes them from the lrd average, the isolate is sparse") {
+    // blob ids 0-4 (mutually within eps), F id 5 = the blob-adjacent
+    // outlier; cross p id 6 with arms 7,8 (scored), 9 (sparse, 3
+    // nbrs) and far arm f id 10 (sparse, 3 nbrs) BOTH inside p's N_k;
+    // isolate id 11
+    val raw = Seq(
+      (0L, 0.000f, 0.000f), (1L, 0.002f, 0.000f), (2L, 0.000f, 0.002f),
+      (3L, 0.002f, 0.002f), (4L, 0.001f, 0.001f),
+      (5L, 0.015f, 0.001f),
+      (6L, 0.050f, 0.050f), (7L, 0.055f, 0.050f), (8L, 0.050f, 0.055f),
+      (9L, 0.045f, 0.050f), (10L, 0.063f, 0.063f),
+      (11L, 0.200f, 0.200f))
+    val got = functions.Clusters.anomalyLofOn(
+      raw.map { case (i, a, b) => (i, Seq(a, b)) }
+        .toDF("vec_id", "embedding"))
+      .select("vec_id", "n_nb", "role", "kdist2", "lrd_e12", "lof_milli")
+      .as[(Long, Long, String, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    // all-pairs imperative replay of the pinned formulas
+    val m = raw.map { case (i, a, b) =>
+      i -> (math.floor(a * 1e6 + 0.5).toLong, math.floor(b * 1e6 + 0.5).toLong)
+    }.toMap
+    def d2(i: Long, j: Long) = {
+      val (xi, yi) = m(i); val (xj, yj) = m(j)
+      (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj)
+    }
+    val ids = raw.map(_._1)
+    val nbrs = ids.map(i => i ->
+      ids.filter(j => j != i && d2(i, j) <= 400000000L)).toMap
+    val kd = nbrs.collect { case (i, ns) if ns.size >= 4 =>
+      i -> ns.map(j => (d2(i, j), j)).sorted.apply(3)._1
+    }
+    val nk = kd.map { case (i, kdist) =>
+      i -> nbrs(i).filter(j => d2(i, j) <= kdist) }
+    val lrd = nk.map { case (i, ns) =>
+      val sreach = ns.map(j =>
+        math.max(d2(i, j), kd.getOrElse(j, d2(i, j)))).sum
+      i -> (if (sreach > 0) Some(ns.size * 1000000000000L / sreach)
+            else None)
+    }
+    val want = ids.map { i =>
+      val scoredNbrLrds =
+        nk.get(i).toSeq.flatten.flatMap(j => lrd.getOrElse(j, None))
+      val lof = for {
+        lp <- lrd.getOrElse(i, None) if lp > 0 && scoredNbrLrds.nonEmpty
+      } yield scoredNbrLrds.sum * 1000L / (scoredNbrLrds.size * lp)
+      (i, nbrs(i).size.toLong,
+        if (nbrs(i).size >= 4) "scored" else "sparse",
+        kd.get(i), lrd.getOrElse(i, None), lof)
+    }
+    assert(got == want, s"\ngot  $got\nwant $want")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(5L)._6.exists(_ > 1500L)) // blob-adjacent outlier fires
+    assert((0L to 4L).forall(i => byId(i)._6.exists(_ <= 1500L)))
+    assert(byId(9L)._3 == "sparse" && byId(10L)._3 == "sparse")
+    assert(byId(6L)._3 == "scored") // N_k = {7,8,9,10}: two sparse in it
+    assert(byId(11L)._3 == "sparse" && byId(11L)._4.isEmpty)
+  }
+
   test("cluster_dbscan: hand grid — dense blobs are cores with the " +
     "component-min label, the thin satellite is border, the isolate " +
     "is noise; exact-eps distance is inclusive; corpus labels are " +

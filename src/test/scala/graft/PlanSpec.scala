@@ -962,6 +962,15 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("anomaly_lof: no cartesian anywhere — the neighbor join is " +
+    "cell-keyed behind its checkpoint, every downstream pass is a " +
+    "qid/nid equi-join on the checkpointed eps-edge relation") {
+    val p = plan(functions.Clusters.anomalyLof(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("cluster_dbscan: no cartesian anywhere — the neighbor join is " +
     "cell-keyed behind its checkpoint and the final spine joins are " +
     "vec_id equi-joins") {
