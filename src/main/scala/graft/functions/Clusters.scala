@@ -1687,9 +1687,83 @@ object Clusters {
   def anomalyLof(s: SparkSession, dir: String): DataFrame =
     anomalyLofOn(Tables.embeddings(s, dir))
 
+  /** Single-linkage dendrogram ladder (SLINK semantics, Sibson 1973;
+    * the distributed cut-at-height form): at each rung eps of a fixed
+    * height ladder, the single-linkage clustering at merge height eps
+    * IS the connected components of the eps-threshold graph — so the
+    * ladder of component censuses (cluster count, clustered mass,
+    * largest cluster, singleton count) is the dendrogram summary
+    * without ever building the O(n²) merge tree. The eps-edge
+    * relation is built ONCE at the TOP rung via the
+    * [[clusterDbscanOn]] 3×3 stencil (cell side = max eps, provably
+    * lossless; the oracle is the all-pairs spelling) and each rung
+    * just filters it by d2 <= eps² before the O(log n) alternating-
+    * star CC. Census rules pinned: a cluster is a component of size
+    * >= 2; max_cluster_size floors at 1 (an all-singleton rung);
+    * pct_clustered_ppm divides once at the end. Monotonicity is the
+    * spec's invariant: clustered mass and max size never DECREASE up
+    * the ladder, cluster count can move either way (merges vs
+    * newly-paired singletons).
+    *
+    * Scale: |rungs| is a constant (4), so the whole op is 4 CC runs
+    * on density-bounded edge subsets of ONE stencil join — each CC
+    * logarithmic-round with checkpointed constant-size plans; the
+    * census rollups are label-keyed map-side combines. */
+  def clusterLinkageLadderOn(emb: DataFrame,
+      rungsMicro: Seq[Long] = Seq(5000L, 10000L, 20000L, 40000L))
+      : DataFrame = {
+    require(rungsMicro.nonEmpty && rungsMicro.size <= 8,
+      s"the rung ladder must be a small constant, got $rungsMicro")
+    val epsMax = rungsMicro.max
+    val pts = emb.select(col("vec_id"),
+        expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000 + 0.5) " +
+          "AS BIGINT)").as("x"),
+        expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) " +
+          "AS BIGINT)").as("y"))
+      .withColumn("cx", expr(s"(x + 2000000) DIV $epsMax"))
+      .withColumn("cy", expr(s"(y + 2000000) DIV $epsMax"))
+      .localCheckpoint(true) // probe + build + the n_points scalar
+    val probe = pts
+      .select(col("vec_id").as("qid"), col("x").as("qx"),
+        col("y").as("qy"), col("cx"), col("cy"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("qid"), col("qx"), col("qy"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val edges = probe.join(pts, Seq("cx", "cy"))
+      .filter(col("qid") < col("vec_id") && expr(
+        s"(qx - x) * (qx - x) + (qy - y) * (qy - y) <= $epsMax * $epsMax"))
+      .select(col("qid").as("a"), col("vec_id").as("b"),
+        expr("(qx - x) * (qx - x) + (qy - y) * (qy - y)").as("d2"))
+      .localCheckpoint(true) // one rung-filter pass per ladder step
+    val nRel = pts.agg(count(lit(1)).as("n_points"))
+    val perRung = rungsMicro.sorted.map { eps =>
+      val cc = connectedComponentsAltStarOn(
+        edges.filter(col("d2") <= eps * eps).select("a", "b"))
+      cc.groupBy("lbl").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          coalesce(sum(col("sz")), lit(0L)).as("n_clustered"),
+          coalesce(max(col("sz")), lit(1L)).as("max_cluster_size"))
+        .withColumn("eps_micro", lit(eps))
+    }
+    perRung.reduce(_ unionByName _)
+      .crossJoin(broadcast(nRel))
+      .select(col("eps_micro"), col("n_points"), col("n_clusters"),
+        col("n_clustered"),
+        (col("n_points") - col("n_clustered")).as("n_singletons"),
+        col("max_cluster_size"),
+        expr("CAST(n_clustered * 1000000 DIV n_points AS BIGINT)")
+          .as("pct_clustered_ppm"))
+      .orderBy("eps_micro")
+  }
+
+  def clusterLinkageLadder(s: SparkSession, dir: String): DataFrame =
+    clusterLinkageLadderOn(Tables.embeddings(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "anomaly_lof" -> anomalyLof,
     "cluster_dbscan" -> clusterDbscan,
+    "cluster_linkage_ladder" -> clusterLinkageLadder,
     "graph_random_walk" -> graphRandomWalk,
     "graph_node2vec_walk" -> graphNode2vecWalk,
     "graph_skipgram_pairs" -> graphSkipgramPairs,
@@ -1968,6 +2042,46 @@ object Clusters {
         |LEFT JOIN lrd l ON l.qid = p.vec_id
         |LEFT JOIN lof f ON f.qid = p.vec_id
         |ORDER BY p.vec_id""".stripMargin,
+    // Mirrors clusterLinkageLadderOn via the all-pairs eps-graphs:
+    // components by recursive reachability with the rung riding the
+    // recursion state; census rules identical (clusters are size>=2
+    // components, max floors at 1 via MAX over all sizes).
+    "cluster_linkage_ladder" ->
+      """WITH RECURSIVE pts AS (SELECT vec_id,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS x,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS y
+        |  FROM embeddings),
+        |rungs AS (SELECT UNNEST([5000, 10000, 20000, 40000])::BIGINT
+        |    AS eps),
+        |pe AS (SELECT r.eps, a.vec_id AS a, b.vec_id AS b
+        |  FROM pts a JOIN pts b ON a.vec_id <> b.vec_id
+        |  JOIN rungs r
+        |    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |       <= r.eps * r.eps),
+        |rr(eps, node, reach) AS (
+        |  SELECT r.eps, p.vec_id, p.vec_id FROM rungs r CROSS JOIN pts p
+        |  UNION
+        |  SELECT pe.eps, pe.b, rr.reach FROM rr
+        |  JOIN pe ON pe.eps = rr.eps AND pe.a = rr.node),
+        |lbl AS (SELECT eps, node, MIN(reach) AS l FROM rr GROUP BY 1, 2),
+        |sz AS (SELECT eps, l, CAST(COUNT(*) AS BIGINT) AS sz FROM lbl
+        |  GROUP BY 1, 2),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM pts),
+        |cen AS (SELECT eps,
+        |    CAST(COUNT(CASE WHEN sz >= 2 THEN 1 END) AS BIGINT)
+        |      AS n_clusters,
+        |    CAST(COALESCE(SUM(CASE WHEN sz >= 2 THEN sz END), 0)
+        |      AS BIGINT) AS n_clustered,
+        |    CAST(MAX(sz) AS BIGINT) AS max_cluster_size
+        |  FROM sz GROUP BY 1)
+        |SELECT c.eps AS eps_micro, n.n_points, c.n_clusters,
+        |  c.n_clustered, n.n_points - c.n_clustered AS n_singletons,
+        |  c.max_cluster_size,
+        |  CAST(c.n_clustered * 1000000 // n.n_points AS BIGINT)
+        |    AS pct_clustered_ppm
+        |FROM cen c CROSS JOIN n ORDER BY eps_micro""".stripMargin,
     // Mirrors clusterDbscanOn SEMANTICS via the all-pairs definition
     // (no grid): the equality proves the 9-cell stencil is lossless.
     // Components by recursive reachability, labels = component min.

@@ -572,6 +572,35 @@ class ClustersSpec extends SparkSpecBase {
     c.unpersist()
   }
 
+  test("cluster_linkage_ladder: two pairs merge exactly at their " +
+    "single-linkage height, the isolate never joins; corpus ladder " +
+    "is monotone in clustered mass and max size") {
+    // A-B at 4000, C-D at 4000, B-C gap 16000, E far away:
+    // dendrogram heights — pairs form by rung 5000, the 4-cluster
+    // at 20000, E singleton throughout
+    val got = functions.Clusters.clusterLinkageLadderOn(Seq(
+        (0L, 0.000f, 0.000f), (1L, 0.004f, 0.000f),
+        (2L, 0.020f, 0.000f), (3L, 0.024f, 0.000f),
+        (4L, 0.100f, 0.100f))
+      .map { case (i, a, b) => (i, Seq(a, b)) }.toDF("vec_id", "embedding"))
+      .select("eps_micro", "n_points", "n_clusters", "n_clustered",
+        "n_singletons", "max_cluster_size", "pct_clustered_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (5000L, 5L, 2L, 4L, 1L, 2L, 800000L),
+      (10000L, 5L, 2L, 4L, 1L, 2L, 800000L),
+      (20000L, 5L, 1L, 4L, 1L, 4L, 800000L),
+      (40000L, 5L, 1L, 4L, 1L, 4L, 800000L)), got.mkString(","))
+    val c = functions.Clusters.clusterLinkageLadder(spark, sf)
+      .select("eps_micro", "n_points", "n_clustered", "n_singletons",
+        "max_cluster_size")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(c.map(_._2).distinct.size == 1) // n_points constant
+    assert(c.forall { case (_, n, cl, s, _) => cl + s == n })
+    assert(c.sliding(2).forall { case Seq(lo, hi) =>
+      lo._3 <= hi._3 && lo._5 <= hi._5 }) // dendrogram monotonicity
+  }
+
   test("anomaly_lof: imperative all-pairs replay equals the grid " +
     "operator on a fixture forcing every pinned rule — the outlier " +
     "beside the dense blob scores > 1.5, a scored point whose N_k " +

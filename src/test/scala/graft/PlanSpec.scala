@@ -962,6 +962,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("cluster_linkage_ladder: the rung census rides the ONE " +
+    "checkpointed stencil edge relation — no cartesian beyond the " +
+    "broadcast 1-row n_points scalar") {
+    val p = plan(functions.Clusters.clusterLinkageLadder(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("anomaly_lof: no cartesian anywhere — the neighbor join is " +
     "cell-keyed behind its checkpoint, every downstream pass is a " +
     "qid/nid equi-join on the checkpointed eps-edge relation") {
