@@ -162,6 +162,46 @@ object Planning {
   def dqFreshness(s: SparkSession, dir: String): DataFrame =
     dqFreshnessOn(Tables.events(s, dir))
 
+  /** L21g: per-column completeness + uniqueness audit — the dbt-test
+    * / Deequ-shape contract check a pipeline runs before promoting a
+    * table, completing the dq family (freshness = is it current,
+    * referential = do the keys resolve, completeness = are the cells
+    * there): for every column, row count, nulls, blanks (string
+    * columns only: trimmed-empty), distinct non-null values, the
+    * populated share in ppm, and the primary-key predicate
+    * "distinct = non-null rows" (exactly one column should pass it).
+    * Shape: ONE pass over the table — a single global aggregate
+    * carrying all per-column counters (count_distinct per column
+    * expands the aggregate |columns|-fold map-side, a COLUMN-bounded
+    * constant, never row-scaled), unpivoted to |columns| rows via a
+    * literal stack. */
+  def dqCompletenessOn(docs: DataFrame): DataFrame = {
+    val strCols = Set("text", "lang", "source")
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(sum(col(c).isNull.cast("long")).as(s"null_$c"),
+        (if (strCols(c)) sum((trim(col(c)) === "").cast("long"))
+         else lit(0L)).as(s"blank_$c"),
+        count_distinct(col(c)).as(s"dist_$c"))
+    }
+    val one = docs.agg(aggs.head, aggs.tail: _*)
+    one.select(col("n_rows"), expr(
+        s"explode(array(${cols.map(c => s"named_struct('column_name', " +
+          s"'$c', 'n_null', null_$c, 'n_blank', coalesce(blank_$c, " +
+          s"CAST(0 AS BIGINT)), 'n_distinct', dist_$c)").mkString(", ")}))")
+        .as("r"))
+      .select(col("r.column_name"), col("n_rows"), col("r.n_null"),
+        col("r.n_blank"), col("r.n_distinct"),
+        expr("CAST((n_rows - r.n_null - r.n_blank) * 1000000 DIV n_rows " +
+          "AS BIGINT)").as("populated_ppm"),
+        (col("r.n_distinct") === col("n_rows") - col("r.n_null"))
+          .as("is_unique"))
+      .orderBy("column_name")
+  }
+
+  def dqCompleteness(s: SparkSession, dir: String): DataFrame =
+    dqCompletenessOn(Tables.documents(s, dir))
+
   /** L21b: lead-lag cross-correlation between two daily event series
     * — "do clicks on day d predict purchases on day d+k?", the
     * two-series sibling of ts_autocorr (same spine-filled calendar
@@ -280,6 +320,7 @@ object Planning {
     "ts_xcorr" -> tsXcorr,
     "event_power" -> eventPower,
     "dq_freshness" -> dqFreshness,
+    "dq_completeness" -> dqCompleteness,
   )
 
   val oracles: Map[String, String] = Map(
@@ -392,6 +433,49 @@ object Planning {
         |  CAST((corpus_us - last_us) // 3600000000 AS BIGINT) AS lag_hours,
         |  corpus_us - last_us > 86400000000 AS is_stale
         |FROM per, wm ORDER BY event_type""".stripMargin,
+    // Mirrors dqCompletenessOn: one global aggregate unpivoted to a
+    // row per column; blanks counted on string columns only.
+    "dq_completeness" ->
+      """WITH one AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_doc_id,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dist_doc_id,
+        |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_lang,
+        |  CAST(SUM(CASE WHEN trim(lang) = '' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS blank_lang,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS dist_lang,
+        |  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_n_chars,
+        |  CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS dist_n_chars,
+        |  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_source,
+        |  CAST(SUM(CASE WHEN trim(source) = '' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS blank_source,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS dist_source,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_text,
+        |  CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS blank_text,
+        |  CAST(COUNT(DISTINCT text) AS BIGINT) AS dist_text
+        |  FROM documents),
+        |u AS (
+        |  SELECT 'doc_id' AS column_name, n_rows, null_doc_id AS n_null,
+        |    CAST(0 AS BIGINT) AS n_blank, dist_doc_id AS n_distinct
+        |    FROM one
+        |  UNION ALL SELECT 'lang', n_rows, null_lang, blank_lang,
+        |    dist_lang FROM one
+        |  UNION ALL SELECT 'n_chars', n_rows, null_n_chars,
+        |    CAST(0 AS BIGINT), dist_n_chars FROM one
+        |  UNION ALL SELECT 'source', n_rows, null_source, blank_source,
+        |    dist_source FROM one
+        |  UNION ALL SELECT 'text', n_rows, null_text, blank_text,
+        |    dist_text FROM one)
+        |SELECT column_name, n_rows, n_null, n_blank, n_distinct,
+        |  CAST((n_rows - n_null - n_blank) * 1000000 // n_rows AS BIGINT)
+        |    AS populated_ppm,
+        |  n_distinct = n_rows - n_null AS is_unique
+        |FROM u ORDER BY column_name""".stripMargin,
     "event_power" ->
       s"""WITH u AS (SELECT user_id,
          |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

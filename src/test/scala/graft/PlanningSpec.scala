@@ -144,6 +144,29 @@ class PlanningSpec extends SparkSpecBase {
       .isNullAt(Planning.eventPowerOn(e).columns.indexOf("n_per_arm")))
   }
 
+  test("dq_completeness: nulls and whitespace-only blanks both drain " +
+    "populated_ppm; a duplicate key flips is_unique; blanks only " +
+    "count on string columns") {
+    import spark.implicits._
+    val docs = Seq(
+      (Some(1L), Some("hello"), Some("en"), Some("s1"), Some(5L)),
+      (Some(1L), Some("   "), Some("en"), Some("s2"), Some(3L)), // dup id, blank text
+      (Some(2L), None, None, Some("s1"), None))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Planning.dqCompletenessOn(docs)
+      .select("column_name", "n_rows", "n_null", "n_blank", "n_distinct",
+        "populated_ppm", "is_unique")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("doc_id", 3L, 0L, 0L, 2L, 1000000L, false), // dup key caught
+      ("lang", 3L, 1L, 0L, 1L, 666666L, false),
+      ("n_chars", 3L, 1L, 0L, 2L, 666666L, true), // 2 distinct = 2 non-null
+      ("source", 3L, 0L, 0L, 2L, 1000000L, false),
+      // unique-among-non-null: the blank IS a distinct value
+      ("text", 3L, 1L, 1L, 2L, 333333L, true)), got.mkString(","))
+  }
+
   test("power: an EMPTY arm still yields one row, NULL-gated (the oracle's " +
     "scalar-subquery semantics), never zero rows") {
     // only odd user ids -> arm 0 is empty
