@@ -1760,10 +1760,91 @@ object Clusters {
   def clusterLinkageLadder(s: SparkSession, dir: String): DataFrame =
     clusterLinkageLadderOn(Tables.embeddings(s, dir))
 
+  /** Incremental connected components by LABEL CONTRACTION (the
+    * union-find-on-summaries idiom of incremental graph systems, cf.
+    * Stefani et al.; [[Dedup.dedupIncremental]]'s graph sibling): a
+    * nightly pipeline holds CC labels for its BASE edge set and a
+    * day's DELTA of new edges arrives — recomputing from scratch
+    * re-shuffles every edge ever seen, but merges can only happen
+    * ALONG delta edges, so it suffices to (1) map each delta
+    * endpoint through its base label (identity for unseen nodes),
+    * (2) run CC on that contracted label graph — DELTA-sized, not
+    * corpus-sized, and (3) compose. Labels are component minima at
+    * every stage, so composed minima = batch minima EXACTLY — and
+    * the oracle IS the batch spelling over base ∪ delta, making the
+    * incremental-equals-batch theorem a checked row, not a comment.
+    * Graph: the eps=5000 embedding stencil graph (small components —
+    * see [[clusterLinkageLadderOn]] rung 5000 — keeping the oracle's
+    * closure cheap); the base/delta split is a deterministic mixing
+    * hash on the edge (8:2). Output per node: lbl_base (its label
+    * seen only base edges, itself if delta-only), lbl (final), and
+    * changed — the audit column an incremental promotion gate reads.
+    *
+    * Scale: THE point — the second CC runs on a relation bounded by
+    * |delta| + touched labels, so the nightly cost tracks the day's
+    * arrivals; the base CC is the one-time backfill. Both CCs are
+    * the O(log n) alternating-star; everything else is node-keyed
+    * equi-joins off checkpointed relations. */
+  def graphCcIncrementalOn(emb: DataFrame, epsMicro: Long = 5000L)
+      : DataFrame = {
+    val pts = emb.select(col("vec_id"),
+        expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000 + 0.5) " +
+          "AS BIGINT)").as("x"),
+        expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) " +
+          "AS BIGINT)").as("y"))
+      .withColumn("cx", expr(s"(x + 2000000) DIV $epsMicro"))
+      .withColumn("cy", expr(s"(y + 2000000) DIV $epsMicro"))
+      .localCheckpoint(true)
+    val probe = pts
+      .select(col("vec_id").as("qid"), col("x").as("qx"),
+        col("y").as("qy"), col("cx"), col("cy"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("qid"), col("qx"), col("qy"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val edges = probe.join(pts, Seq("cx", "cy"))
+      .filter(col("qid") < col("vec_id") && expr(
+        s"(qx - x) * (qx - x) + (qy - y) * (qy - y) " +
+          s"<= $epsMicro * $epsMicro"))
+      .select(col("qid").as("a"), col("vec_id").as("b"))
+      .withColumn("h", expr("(a * 912367 + b * 514229) % 10"))
+      .localCheckpoint(true) // base CC + delta contraction + node spine
+    graphCcIncrementalCompose(edges)
+  }
+
+  /** The contraction core, parameterized by the hash-split edge
+    * relation (columns a, b, h) so the spec can drive a hand graph. */
+  def graphCcIncrementalCompose(edges: DataFrame): DataFrame = {
+    val ccB = connectedComponentsAltStarOn(
+        edges.filter(col("h") < 8).select("a", "b"))
+      .localCheckpoint(true) // delta relabel ×2 + final spine
+    val contracted = edges.filter(col("h") >= 8)
+      .join(ccB.select(col("node").as("a"), col("lbl").as("la")),
+        Seq("a"), "left")
+      .join(ccB.select(col("node").as("b"), col("lbl").as("lb")),
+        Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("x"),
+        coalesce(col("lb"), col("b")).as("y"))
+    val cc2 = connectedComponentsAltStarOn(contracted)
+    edges.select(explode(array(col("a"), col("b"))).as("node")).distinct()
+      .join(ccB, Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl_base"))
+      .join(cc2.select(col("node").as("lbl_base"), col("lbl").as("l2")),
+        Seq("lbl_base"), "left")
+      .select(col("node"), col("lbl_base"),
+        coalesce(col("l2"), col("lbl_base")).as("lbl"))
+      .withColumn("changed", col("lbl") =!= col("lbl_base"))
+      .orderBy("node")
+  }
+
+  def graphCcIncremental(s: SparkSession, dir: String): DataFrame =
+    graphCcIncrementalOn(Tables.embeddings(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "anomaly_lof" -> anomalyLof,
     "cluster_dbscan" -> clusterDbscan,
     "cluster_linkage_ladder" -> clusterLinkageLadder,
+    "graph_cc_incremental" -> graphCcIncremental,
     "graph_random_walk" -> graphRandomWalk,
     "graph_node2vec_walk" -> graphNode2vecWalk,
     "graph_skipgram_pairs" -> graphSkipgramPairs,
@@ -2042,6 +2123,42 @@ object Clusters {
         |LEFT JOIN lrd l ON l.qid = p.vec_id
         |LEFT JOIN lof f ON f.qid = p.vec_id
         |ORDER BY p.vec_id""".stripMargin,
+    // Mirrors graphCcIncrementalOn with the BATCH spelling over
+    // base ∪ delta — equality is the incremental-equals-batch proof.
+    // lbl = closure over ALL edges; lbl_base = closure over the
+    // h<8 subset only, identity for delta-only nodes.
+    "graph_cc_incremental" ->
+      """WITH RECURSIVE pts AS (SELECT vec_id,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS x,
+        |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS y
+        |  FROM embeddings),
+        |e AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |    (a.vec_id * 912367 + b.vec_id * 514229) % 10 AS h
+        |  FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    <= 25000000),
+        |pe AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |peb AS (SELECT a, b FROM e WHERE h < 8
+        |  UNION SELECT b, a FROM e WHERE h < 8),
+        |nodes AS (SELECT DISTINCT a AS node FROM pe),
+        |rr(node, reach) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT pe.b, rr.reach FROM rr JOIN pe ON pe.a = rr.node),
+        |lbl AS (SELECT node, MIN(reach) AS lbl FROM rr GROUP BY node),
+        |nb AS (SELECT DISTINCT a AS node FROM peb),
+        |rrb(node, reach) AS (
+        |  SELECT node, node FROM nb
+        |  UNION
+        |  SELECT peb.b, rrb.reach FROM rrb JOIN peb ON peb.a = rrb.node),
+        |lblb AS (SELECT node, MIN(reach) AS lb FROM rrb GROUP BY node)
+        |SELECT n.node, COALESCE(bb.lb, n.node) AS lbl_base, l.lbl,
+        |  l.lbl <> COALESCE(bb.lb, n.node) AS changed
+        |FROM nodes n JOIN lbl l ON l.node = n.node
+        |LEFT JOIN lblb bb ON bb.node = n.node
+        |ORDER BY n.node""".stripMargin,
     // Mirrors clusterLinkageLadderOn via the all-pairs eps-graphs:
     // components by recursive reachability with the rung riding the
     // recursion state; census rules identical (clusters are size>=2

@@ -572,6 +572,34 @@ class ClustersSpec extends SparkSpecBase {
     c.unpersist()
   }
 
+  test("graph_cc_incremental: hand graph — a delta edge merges two " +
+    "base components (both sides relabel to the joint min), " +
+    "delta-only nodes enter as self-labeled and merge, an untouched " +
+    "base component never changes; corpus labels are component minima") {
+    val edges = Seq(
+      (1L, 2L, 0L), (3L, 4L, 0L), (5L, 6L, 0L), // base
+      (2L, 3L, 9L), (7L, 8L, 9L), (6L, 9L, 9L)) // delta
+      .toDF("a", "b", "h")
+    val got = functions.Clusters.graphCcIncrementalCompose(edges)
+      .select("node", "lbl_base", "lbl", "changed")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, false), (2L, 1L, 1L, false),
+      (3L, 3L, 1L, true), (4L, 3L, 1L, true),
+      (5L, 5L, 5L, false), (6L, 5L, 5L, false),
+      (7L, 7L, 7L, false), (8L, 8L, 7L, true),
+      (9L, 9L, 5L, true)), got.mkString(","))
+    // corpus: composed labels are component MINIMA (lbl = min node
+    // among its members — the batch-CC contract; full batch equality
+    // is the DuckDB oracle's job) and the delta actually merged
+    val c = functions.Clusters.graphCcIncremental(spark, sf)
+      .select("node", "lbl", "changed")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    val mins = c.groupBy(_._2).map { case (l, m) => (l, m.map(_._1).min) }
+    assert(mins.forall { case (l, m) => l == m }, mins)
+    assert(c.exists(_._3)) // at least one delta-driven relabel
+  }
+
   test("cluster_linkage_ladder: two pairs merge exactly at their " +
     "single-linkage height, the isolate never joins; corpus ladder " +
     "is monotone in clustered mass and max size") {

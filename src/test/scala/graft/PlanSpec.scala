@@ -962,6 +962,14 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("graph_cc_incremental: both CC passes and the contraction are " +
+    "equi-joins off checkpointed relations — no cartesian") {
+    val p = plan(functions.Clusters.graphCcIncremental(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
   test("cluster_linkage_ladder: the rung census rides the ONE " +
     "checkpointed stencil edge relation — no cartesian beyond the " +
     "broadcast 1-row n_points scalar") {
