@@ -81,6 +81,62 @@ object Privacy {
   def privacyKanon(s: SparkSession, dir: String): DataFrame =
     privacyKanonOn(Tables.customer(s, dir))
 
+  /** L16d: t-closeness audit (Li, Li & Venkatasubramanian, ICDE
+    * 2007) — the rung ABOVE [[privacyKanonOn]]'s k/l ladder: a group
+    * can be k-anonymous and l-diverse yet still leak when its
+    * sensitive-value DISTRIBUTION diverges from the table's (the
+    * classic "this ZIP is 90% one diagnosis" leak). For the
+    * categorical sensitive attribute (nation) the t-distance is the
+    * variational distance t = ½·Σ_v |p_class(v) − p_global(v)|,
+    * spelled EXACTLY in integers by clearing both denominators:
+    * Σ_v |n_cv·N − n_c·N_v| over present values plus the absent-value
+    * residual n_c·(N − Σ_present N_v), then ONE division
+    * t_ppm = 10⁶·num DIV (2·n_c·N) (all operands non-negative).
+    * meets_t flags t_ppm <= 200000 (t = 0.2, the paper's working
+    * example). QI classes = (segment, 1000s balance bucket) — the
+    * kanon level-1 lattice cell, so the two audits read together.
+    *
+    * Shape: three map-side-combined rollups (class, class×value,
+    * value) off one pass; the per-value join fans each class row out
+    * by its PRESENT sensitive values only (≤ |nations| = 25,
+    * vocabulary-bounded); global totals ride a broadcast. At 100 TB
+    * nothing here scales past the class×value rollup. */
+  def privacyTclosenessOn(rows: DataFrame): DataFrame = {
+    val b = rows.select(col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bucket"),
+      col("c_nationkey").as("nation"))
+    val cv = b.groupBy("segment", "bucket", "nation")
+      .agg(count(lit(1)).as("n_cv"))
+      .localCheckpoint(true) // class rollup + per-value join
+    val cls = cv.groupBy("segment", "bucket")
+      .agg(sum(col("n_cv")).as("n_c"))
+    val gv = cv.groupBy("nation").agg(sum(col("n_cv")).as("n_v"))
+    val tot = gv.agg(sum(col("n_v")).as("n_total"))
+    val present = cv.join(broadcast(gv), "nation")
+      .groupBy("segment", "bucket")
+      .agg(sum(col("n_v")).as("n_v_present"))
+    cv.join(broadcast(gv), "nation")
+      .crossJoin(broadcast(tot))
+      .join(cls, Seq("segment", "bucket"))
+      .groupBy("segment", "bucket", "n_c", "n_total")
+      .agg(sum(abs(col("n_cv") * col("n_total") - col("n_c") * col("n_v")))
+        .as("num_present"))
+      .join(present, Seq("segment", "bucket"))
+      .select(col("segment"), col("bucket"), col("n_c").as("n_rows"),
+        (col("num_present")
+          + col("n_c") * (col("n_total") - col("n_v_present")))
+          .as("t_num"),
+        col("n_total"))
+      .select(col("segment"), col("bucket"), col("n_rows"),
+        expr("CAST(t_num * 1000000 DIV (2 * n_rows * n_total) AS BIGINT)")
+          .as("t_ppm"))
+      .withColumn("meets_t", col("t_ppm") <= 200000L)
+      .orderBy("segment", "bucket")
+  }
+
+  def privacyTcloseness(s: SparkSession, dir: String): DataFrame =
+    privacyTclosenessOn(Tables.customer(s, dir))
+
   /** Keep-probability for [[privacyLdpFrequencyOn]], in milli (750 =
     * report the true value 75% of the time — ε = ln(3·(K−1)) for the
     * K-ary mechanism). */
@@ -232,9 +288,43 @@ object Privacy {
     "privacy_kanon" -> privacyKanon,
     "privacy_ldp_frequency" -> privacyLdpFrequency,
     "privacy_dp_quantile" -> privacyDpQuantile,
+    "privacy_tcloseness" -> privacyTcloseness,
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors privacyTclosenessOn: variational distance with both
+    // denominators cleared; absent sensitive values enter via the
+    // n_c·(N − Σ_present N_v) residual.
+    "privacy_tcloseness" ->
+      """WITH b AS (SELECT c_mktsegment AS segment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket,
+        |    c_nationkey AS nation FROM customer),
+        |cv AS (SELECT segment, bucket, nation,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cv
+        |  FROM b GROUP BY 1, 2, 3),
+        |cls AS (SELECT segment, bucket, CAST(SUM(n_cv) AS BIGINT) AS n_c
+        |  FROM cv GROUP BY 1, 2),
+        |gv AS (SELECT nation, CAST(SUM(n_cv) AS BIGINT) AS n_v
+        |  FROM cv GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n_total FROM gv),
+        |agg AS (SELECT cv.segment, cv.bucket,
+        |    CAST(SUM(abs(cv.n_cv * tot.n_total - cls.n_c * gv.n_v))
+        |      AS BIGINT) AS num_present,
+        |    CAST(SUM(gv.n_v) AS BIGINT) AS n_v_present
+        |  FROM cv JOIN gv ON gv.nation = cv.nation
+        |  CROSS JOIN tot
+        |  JOIN cls ON cls.segment = cv.segment AND cls.bucket = cv.bucket
+        |  GROUP BY 1, 2)
+        |SELECT a.segment, a.bucket, c.n_c AS n_rows,
+        |  CAST((a.num_present + c.n_c * (t.n_total - a.n_v_present))
+        |    * 1000000 // (2 * c.n_c * t.n_total) AS BIGINT) AS t_ppm,
+        |  CAST((a.num_present + c.n_c * (t.n_total - a.n_v_present))
+        |    * 1000000 // (2 * c.n_c * t.n_total) AS BIGINT) <= 200000
+        |    AS meets_t
+        |FROM agg a
+        |JOIN cls c ON c.segment = a.segment AND c.bucket = a.bucket
+        |CROSS JOIN tot t
+        |ORDER BY a.segment, a.bucket""".stripMargin,
     "privacy_kanon" ->
       s"""WITH b AS (SELECT c_mktsegment AS segment, c_nationkey AS nation,
          |    CAST(floor(c_acctbal / 100) AS BIGINT) AS b0,

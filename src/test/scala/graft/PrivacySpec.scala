@@ -121,6 +121,28 @@ class PrivacySpec extends SparkSpecBase {
     assert(sharp.getAs[Long]("dp_q_cents") == replay(8000L))
   }
 
+  test("t-closeness: hand distribution — the all-one-nation classes " +
+      "fail t=0.2 (absent values enter via the residual term), the " +
+      "near-global-mix class passes; exact variational ppm") {
+    import spark.implicits._
+    // N=7: nation0×4, nation1×3. Class X (bucket 0): {0,0} — skewed.
+    // Class Z (bucket 1): {0,0,1} — near the global 4:3 mix.
+    // Class W (bucket 2): {1,1} — skewed, nation0 ABSENT (residual).
+    val rows = Seq(
+      ("S", 100.0, 0L), ("S", 200.0, 0L),
+      ("S", 1100.0, 0L), ("S", 1200.0, 0L), ("S", 1300.0, 1L),
+      ("S", 2100.0, 1L), ("S", 2200.0, 1L))
+      .toDF("c_mktsegment", "c_acctbal", "c_nationkey")
+    val got = functions.Privacy.privacyTclosenessOn(rows)
+      .select("segment", "bucket", "n_rows", "t_ppm", "meets_t")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    // t(X) = ½(|1−4/7|+|0−3/7|) = 3/7; t(Z) = 2/21; t(W) = 4/7
+    assert(got == Seq(
+      ("S", 0L, 2L, 428571L, false),
+      ("S", 1L, 3L, 95238L, true),
+      ("S", 2L, 2L, 571428L, false)), got.mkString(","))
+  }
+
   test("published groups meet k; suppressed rows are counted, never bucketed") {
     val out = functions.Privacy.privacyKanon(spark, sf).cache()
     assert(out.filter(col("level") < 2 && col("n_rows") < functions.Privacy.K)
