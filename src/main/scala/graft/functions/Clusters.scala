@@ -1513,6 +1513,52 @@ object Clusters {
     graphSkipgramPairsOn(
       graphRandomWalkOn(bipartiteEdges(s, dir)).localCheckpoint(true))
 
+  /** Directed micro-grid eps-pairs (qid, nid, d2) over the first two
+    * embedding dims, SELF-PAIRS INCLUDED, complete for every pair
+    * within `cellMicro` distance (3×3 stencil with cell side =
+    * cellMicro — provably lossless at radius <= cell side). The
+    * SHARED substrate of the four density/graph ops below
+    * ([[clusterDbscanOnPairs]] eps=20000, [[anomalyLofOnPairs]]
+    * eps=20000, [[clusterLinkageLadderOnPairs]] rungs <= 40000,
+    * [[graphCcIncrementalOn]] eps=5000): each consumes a d2-filtered
+    * subset, so the memoized [[gridPairs]] build at cell side 40000
+    * runs the stencil join ONCE per (session, dir) — the knnEdges /
+    * bipartiteEdges cross-query discipline applied to the grid. */
+  private def gridPairsBuild(emb: DataFrame, cellMicro: Long): DataFrame = {
+    val pts = emb.select(col("vec_id"),
+        expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000 + 0.5) " +
+          "AS BIGINT)").as("x"),
+        expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) " +
+          "AS BIGINT)").as("y"))
+      .withColumn("cx", expr(s"(x + 2000000) DIV $cellMicro"))
+      .withColumn("cy", expr(s"(y + 2000000) DIV $cellMicro"))
+      .localCheckpoint(true) // probe + build sides of the stencil join
+    val probe = pts
+      .select(col("vec_id").as("qid"), col("x").as("qx"),
+        col("y").as("qy"), col("cx"), col("cy"))
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("qid"), col("qx"), col("qy"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    probe.join(pts, Seq("cx", "cy"))
+      .filter(expr(
+        s"(qx - x) * (qx - x) + (qy - y) * (qy - y) " +
+          s"<= $cellMicro * $cellMicro"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        expr("(qx - x) * (qx - x) + (qy - y) * (qy - y)").as("d2"))
+  }
+
+  private val gridCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The shared eps<=40000 pair relation, one stencil join per
+    * (session, dir) across the four grid consumers. */
+  private[graft] def gridPairs(s: SparkSession, dir: String): DataFrame =
+    memo(gridCache, s, dir) {
+      gridPairsBuild(Tables.embeddings(s, dir), 40000L)
+        .localCheckpoint(true)
+    }
+
   /** Grid-bucketed DBSCAN (Ester et al. KDD 1996; the cell-partition
     * parallelization of He et al.'s MR-DBSCAN): density clustering
     * over the first two embedding dimensions on the exact micro
@@ -1536,26 +1582,19 @@ object Clusters {
     * are offset non-negative before the cell DIV so floor semantics
     * never meet a negative operand. */
   def clusterDbscanOn(emb: DataFrame, epsMicro: Long = 20000L,
+      minPts: Long = 4L): DataFrame =
+    clusterDbscanOnPairs(
+      gridPairsBuild(emb, epsMicro).localCheckpoint(true),
+      epsMicro, minPts)
+
+  /** Core over a (qid, nid, d2) pair relation that must contain every
+    * directed pair within epsMicro INCLUDING self-pairs — either this
+    * op's own stencil or the shared [[gridPairs]] superset. */
+  def clusterDbscanOnPairs(pairs: DataFrame, epsMicro: Long = 20000L,
       minPts: Long = 4L): DataFrame = {
     val eps2 = epsMicro * epsMicro
-    val pts = emb.select(col("vec_id"),
-        expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000 + 0.5) " +
-          "AS BIGINT)").as("x"),
-        expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) " +
-          "AS BIGINT)").as("y"))
-      .withColumn("cx", expr(s"(x + 2000000) DIV $epsMicro"))
-      .withColumn("cy", expr(s"(y + 2000000) DIV $epsMicro"))
-      .localCheckpoint(true) // probe side + build side + final spine
-    val probe = pts
-      .select(col("vec_id").as("qid"), col("x").as("qx"),
-        col("y").as("qy"), col("cx"), col("cy"))
-      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .select(col("qid"), col("qx"), col("qy"),
-        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
-    val nbrs = probe.join(pts, Seq("cx", "cy"))
-      .filter(expr(s"(qx - x) * (qx - x) + (qy - y) * (qy - y) <= $eps2"))
-      .select(col("qid"), col("vec_id").as("nid"))
+    val nbrs = pairs.filter(col("d2") <= eps2)
+      .select(col("qid"), col("nid"))
       .localCheckpoint(true) // degree + core edges + border assign
     val deg = nbrs.groupBy("qid").agg(count(lit(1)).as("n_nb"))
       .localCheckpoint(true)
@@ -1575,7 +1614,8 @@ object Clusters {
       .join(deg.filter(col("n_nb") < minPts).select("qid"), "qid")
       .join(coreLbl.select(col("qid").as("nid"), col("cluster")), "nid")
       .groupBy("qid").agg(min(col("cluster")).as("cluster"))
-    pts.select(col("vec_id"))
+    pairs.filter(col("qid") === col("nid")) // self-pairs = the spine
+      .select(col("qid").as("vec_id"))
       .join(deg.select(col("qid").as("vec_id"), col("n_nb")), "vec_id")
       .join(coreLbl.select(col("qid").as("vec_id"),
         col("cluster").as("core_cluster")), Seq("vec_id"), "left")
@@ -1590,7 +1630,7 @@ object Clusters {
   }
 
   def clusterDbscan(s: SparkSession, dir: String): DataFrame =
-    clusterDbscanOn(Tables.embeddings(s, dir))
+    clusterDbscanOnPairs(gridPairs(s, dir))
 
   /** Eps-bounded Local Outlier Factor (Breunig et al. SIGMOD 2000)
     * over [[clusterDbscanOn]]'s micro-integer grid: where DBSCAN
@@ -1615,28 +1655,18 @@ object Clusters {
     * density, > 1500 flags the outlier. Every shuffle is cell- or
     * qid-keyed; the stencil fanout is the 9-cell constant. */
   def anomalyLofOn(emb: DataFrame, epsMicro: Long = 20000L,
+      k: Int = 4): DataFrame =
+    anomalyLofOnPairs(
+      gridPairsBuild(emb, epsMicro).localCheckpoint(true), epsMicro, k)
+
+  /** Core over a (qid, nid, d2) pair relation complete within
+    * epsMicro with self-pairs (see [[clusterDbscanOnPairs]]). */
+  def anomalyLofOnPairs(pairs: DataFrame, epsMicro: Long = 20000L,
       k: Int = 4): DataFrame = {
     val eps2 = epsMicro * epsMicro
-    val pts = emb.select(col("vec_id"),
-        expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000 + 0.5) " +
-          "AS BIGINT)").as("x"),
-        expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) " +
-          "AS BIGINT)").as("y"))
-      .withColumn("cx", expr(s"(x + 2000000) DIV $epsMicro"))
-      .withColumn("cy", expr(s"(y + 2000000) DIV $epsMicro"))
-      .localCheckpoint(true) // probe side + build side + final spine
-    val probe = pts
-      .select(col("vec_id").as("qid"), col("x").as("qx"),
-        col("y").as("qy"), col("cx"), col("cy"))
-      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .select(col("qid"), col("qx"), col("qy"),
-        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
-    val nbrs = probe.join(pts, Seq("cx", "cy"))
-      .filter(col("qid") =!= col("vec_id") && expr(
-        s"(qx - x) * (qx - x) + (qy - y) * (qy - y) <= $eps2"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        expr("(qx - x) * (qx - x) + (qy - y) * (qy - y)").as("d2"))
+    val nbrs = pairs
+      .filter(col("qid") =!= col("nid") && col("d2") <= eps2)
+      .select("qid", "nid", "d2")
       .localCheckpoint(true) // degree + kdist + N_k + lrd + lof passes
     val deg = nbrs.groupBy("qid").agg(count(lit(1)).as("n_nb"))
     val kd = nbrs
@@ -1664,7 +1694,8 @@ object Clusters {
       .groupBy("qid")
       .agg(sum(when(col("lrd_o").isNotNull, 1L).otherwise(0L)).as("n_sc"),
         sum(col("lrd_o")).as("s_lrd"))
-    pts.select("vec_id")
+    pairs.filter(col("qid") === col("nid")) // self-pairs = the spine
+      .select(col("qid").as("vec_id"))
       .join(deg.select(col("qid").as("vec_id"), col("n_nb")),
         Seq("vec_id"), "left")
       .join(kd.select(col("qid").as("vec_id"), col("kdist2")),
@@ -1685,7 +1716,7 @@ object Clusters {
   }
 
   def anomalyLof(s: SparkSession, dir: String): DataFrame =
-    anomalyLofOn(Tables.embeddings(s, dir))
+    anomalyLofOnPairs(gridPairs(s, dir))
 
   /** Single-linkage dendrogram ladder (SLINK semantics, Sibson 1973;
     * the distributed cut-at-height form): at each rung eps of a fixed
@@ -1711,32 +1742,26 @@ object Clusters {
     * census rollups are label-keyed map-side combines. */
   def clusterLinkageLadderOn(emb: DataFrame,
       rungsMicro: Seq[Long] = Seq(5000L, 10000L, 20000L, 40000L))
+      : DataFrame =
+    clusterLinkageLadderOnPairs(
+      gridPairsBuild(emb, rungsMicro.max).localCheckpoint(true),
+      rungsMicro)
+
+  /** Core over a (qid, nid, d2) pair relation complete within
+    * rungsMicro.max with self-pairs (see [[clusterDbscanOnPairs]]). */
+  def clusterLinkageLadderOnPairs(pairs: DataFrame,
+      rungsMicro: Seq[Long] = Seq(5000L, 10000L, 20000L, 40000L))
       : DataFrame = {
     require(rungsMicro.nonEmpty && rungsMicro.size <= 8,
       s"the rung ladder must be a small constant, got $rungsMicro")
     val epsMax = rungsMicro.max
-    val pts = emb.select(col("vec_id"),
-        expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000 + 0.5) " +
-          "AS BIGINT)").as("x"),
-        expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) " +
-          "AS BIGINT)").as("y"))
-      .withColumn("cx", expr(s"(x + 2000000) DIV $epsMax"))
-      .withColumn("cy", expr(s"(y + 2000000) DIV $epsMax"))
-      .localCheckpoint(true) // probe + build + the n_points scalar
-    val probe = pts
-      .select(col("vec_id").as("qid"), col("x").as("qx"),
-        col("y").as("qy"), col("cx"), col("cy"))
-      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .select(col("qid"), col("qx"), col("qy"),
-        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
-    val edges = probe.join(pts, Seq("cx", "cy"))
-      .filter(col("qid") < col("vec_id") && expr(
-        s"(qx - x) * (qx - x) + (qy - y) * (qy - y) <= $epsMax * $epsMax"))
-      .select(col("qid").as("a"), col("vec_id").as("b"),
-        expr("(qx - x) * (qx - x) + (qy - y) * (qy - y)").as("d2"))
+    val edges = pairs
+      .filter(col("qid") < col("nid") &&
+        col("d2") <= lit(epsMax) * lit(epsMax))
+      .select(col("qid").as("a"), col("nid").as("b"), col("d2"))
       .localCheckpoint(true) // one rung-filter pass per ladder step
-    val nRel = pts.agg(count(lit(1)).as("n_points"))
+    val nRel = pairs.filter(col("qid") === col("nid"))
+      .agg(count(lit(1)).as("n_points"))
     val perRung = rungsMicro.sorted.map { eps =>
       val cc = connectedComponentsAltStarOn(
         edges.filter(col("d2") <= eps * eps).select("a", "b"))
@@ -1758,7 +1783,7 @@ object Clusters {
   }
 
   def clusterLinkageLadder(s: SparkSession, dir: String): DataFrame =
-    clusterLinkageLadderOn(Tables.embeddings(s, dir))
+    clusterLinkageLadderOnPairs(gridPairs(s, dir))
 
   /** Incremental connected components by LABEL CONTRACTION (the
     * union-find-on-summaries idiom of incremental graph systems, cf.
@@ -1786,31 +1811,20 @@ object Clusters {
     * the O(log n) alternating-star; everything else is node-keyed
     * equi-joins off checkpointed relations. */
   def graphCcIncrementalOn(emb: DataFrame, epsMicro: Long = 5000L)
-      : DataFrame = {
-    val pts = emb.select(col("vec_id"),
-        expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000 + 0.5) " +
-          "AS BIGINT)").as("x"),
-        expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) " +
-          "AS BIGINT)").as("y"))
-      .withColumn("cx", expr(s"(x + 2000000) DIV $epsMicro"))
-      .withColumn("cy", expr(s"(y + 2000000) DIV $epsMicro"))
-      .localCheckpoint(true)
-    val probe = pts
-      .select(col("vec_id").as("qid"), col("x").as("qx"),
-        col("y").as("qy"), col("cx"), col("cy"))
-      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .select(col("qid"), col("qx"), col("qy"),
-        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
-    val edges = probe.join(pts, Seq("cx", "cy"))
-      .filter(col("qid") < col("vec_id") && expr(
-        s"(qx - x) * (qx - x) + (qy - y) * (qy - y) " +
-          s"<= $epsMicro * $epsMicro"))
-      .select(col("qid").as("a"), col("vec_id").as("b"))
+      : DataFrame =
+    graphCcIncrementalOnPairs(
+      gridPairsBuild(emb, epsMicro).localCheckpoint(true), epsMicro)
+
+  /** Edge derivation over a (qid, nid, d2) pair relation complete
+    * within epsMicro (see [[clusterDbscanOnPairs]]). */
+  def graphCcIncrementalOnPairs(pairs: DataFrame,
+      epsMicro: Long = 5000L): DataFrame =
+    graphCcIncrementalCompose(pairs
+      .filter(col("qid") < col("nid") &&
+        col("d2") <= lit(epsMicro) * lit(epsMicro))
+      .select(col("qid").as("a"), col("nid").as("b"))
       .withColumn("h", expr("(a * 912367 + b * 514229) % 10"))
-      .localCheckpoint(true) // base CC + delta contraction + node spine
-    graphCcIncrementalCompose(edges)
-  }
+      .localCheckpoint(true)) // base CC + delta contraction + node spine
 
   /** The contraction core, parameterized by the hash-split edge
     * relation (columns a, b, h) so the spec can drive a hand graph. */
@@ -1838,7 +1852,7 @@ object Clusters {
   }
 
   def graphCcIncremental(s: SparkSession, dir: String): DataFrame =
-    graphCcIncrementalOn(Tables.embeddings(s, dir))
+    graphCcIncrementalOnPairs(gridPairs(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "anomaly_lof" -> anomalyLof,
