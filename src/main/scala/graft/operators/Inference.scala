@@ -171,6 +171,28 @@ object Inference {
     * |event types| rows — collapsed and broadcast-sized; the one
     * fact scan feeds it. */
   def eventFdrBhOn(events: DataFrame): DataFrame = {
+    val m = Window.partitionBy(lit(1))
+    val ranked = pValuesByType(events)
+      .withColumn("rk",
+        row_number().over(m.orderBy(col("p_ppm"), col("event_type")))
+          .cast("long"))
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("cand",
+        col("p_ppm") * col("m") <= col("rk") * lit(50000L))
+      .withColumn("k_star",
+        max(when(col("cand"), col("rk")).otherwise(0L)).over(m))
+    ranked
+      .select(col("event_type"), col("z2_milli"), col("p_ppm"),
+        col("rk"), col("m"), (col("rk") <= col("k_star")).as("reject"))
+      .orderBy("rk")
+  }
+
+  /** The per-type p-value family — the shared front half of the two
+    * multiple-testing procedures ([[eventFdrBhOn]] / [[eventHolmOn]]):
+    * pooled two-proportion z² in exact milli for each type's
+    * weekend-share contrast, mapped to p_ppm through the pinned
+    * [[chi2Ladder]]. |event types| rows. */
+  private def pValuesByType(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
     val byType = events
@@ -196,25 +218,48 @@ object Inference {
                |      * (CAST(n0 AS DECIMAL(38,0)) + n1 - x0 - x1))
                |    AS BIGINT) ELSE 0 END""".stripMargin).as("z2_milli"))
     val ladder = chi2Ladder.toDF("thr_milli", "p_ppm")
-    val withP = z.join(broadcast(ladder),
+    z.join(broadcast(ladder),
         col("z2_milli") >= col("thr_milli"), "left")
       .groupBy("event_type", "z2_milli")
       .agg(min(col("p_ppm")).as("p_ppm"))
+  }
+
+  /** Holm–Bonferroni step-down control of the familywise error rate
+    * (Holm 1979) — the FWER sibling of [[eventFdrBhOn]]'s FDR on the
+    * SAME p-value family: sort p ascending and compare each to
+    * α/(m−rank+1); the procedure STOPS at the first failure, so a
+    * hypothesis is rejected iff every rank at or below it passes.
+    * Spelled division-free as holm_stat_ppm = p_ppm·(m−rank+1) ≤ α_ppm
+    * and first_fail = min failing rank (NULL-coalesced past m when
+    * all pass) — integer end to end. Uniformly more powerful than
+    * plain Bonferroni, never rejects more than BH; running both over
+    * one shared family relation is the standard dashboard pairing.
+    * The family is |event types| rows off one fact scan — the
+    * single-partition window is k-row bounded, licensed as in BH. */
+  def eventHolmOn(events: DataFrame, alphaPpm: Long = 50000L)
+      : DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000,
+      s"need alphaPpm in [1, 1000000], got $alphaPpm")
     val m = Window.partitionBy(lit(1))
-    val ranked = withP
+    val ranked = pValuesByType(events)
       .withColumn("rk",
         row_number().over(m.orderBy(col("p_ppm"), col("event_type")))
           .cast("long"))
       .withColumn("m", count(lit(1)).over(m))
-      .withColumn("cand",
-        col("p_ppm") * col("m") <= col("rk") * lit(50000L))
-      .withColumn("k_star",
-        max(when(col("cand"), col("rk")).otherwise(0L)).over(m))
+      .withColumn("holm_stat_ppm",
+        col("p_ppm") * (col("m") - col("rk") + 1L))
+      .withColumn("first_fail",
+        min(when(col("holm_stat_ppm") > alphaPpm, col("rk"))).over(m))
     ranked
       .select(col("event_type"), col("z2_milli"), col("p_ppm"),
-        col("rk"), col("m"), (col("rk") <= col("k_star")).as("reject"))
+        col("rk"), col("m"), col("holm_stat_ppm"),
+        (col("rk") < coalesce(col("first_fail"), col("m") + 1L))
+          .as("reject"))
       .orderBy("rk")
   }
+
+  def eventHolm(s: SparkSession, dir: String): DataFrame =
+    eventHolmOn(Tables.events(s, dir))
 
   /** chi-squared(1) upper-tail ladder: p first drops below each
     * published critical value; shared literal with the oracle SQL. */
@@ -501,6 +546,48 @@ object Inference {
   def eventCuped(s: SparkSession, dir: String): DataFrame =
     eventCupedOn(Tables.events(s, dir))
 
+  /** Trailing frame length for [[tsRsiOn]] (Wilder's classic 14). */
+  val RsiPeriod = 14
+
+  /** Relative Strength Index (Wilder 1978) in the simple-moving-
+    * average (Cutler) form — the equal-weight variant whose trailing
+    * sums are exact integers, where Wilder's own recursive smoothing
+    * would compound a division each day: per event_type daily cents
+    * series, gain = max(Δ,0) / loss = max(−Δ,0) from the lagged day,
+    * 14-day trailing sums G and L over a COMPLETE frame only (first
+    * emission at day period+1, matching the sma-cross discipline),
+    * and RSI = 100·G/(G+L) carried exactly as one division,
+    * rsi_ppm = 10⁶·G DIV (G+L); flat windows (G+L=0, RSI undefined)
+    * emit nothing. >700000 is the classic overbought readout,
+    * <300000 oversold. Day-1 deltas are pinned to 0 on BOTH engines
+    * (no NULL-propagation ambiguity in GREATEST). One partitioned
+    * window chain on the calendar-bounded daily grid — each series
+    * windows independently at any scale. */
+  def tsRsiOn(events: DataFrame, period: Int = RsiPeriod): DataFrame = {
+    require(period >= 2, s"need period >= 2, got $period")
+    val daily = dailyCents(events)
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val wp = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(-(period - 1), 0)
+    daily
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("gain", when(col("prev").isNull, 0L)
+        .otherwise(greatest(col("cents") - col("prev"), lit(0L))))
+      .withColumn("loss", when(col("prev").isNull, 0L)
+        .otherwise(greatest(col("prev") - col("cents"), lit(0L))))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("g", sum(col("gain")).over(wp))
+      .withColumn("l", sum(col("loss")).over(wp))
+      .filter(col("rn") >= period + 1 && col("g") + col("l") > 0)
+      .select(col("event_type"), col("d"), col("cents"),
+        col("g").as("gain_sum"), col("l").as("loss_sum"),
+        expr("CAST(g * 1000000 DIV (g + l) AS BIGINT)").as("rsi_ppm"))
+      .orderBy("event_type", "d")
+  }
+
+  def tsRsi(s: SparkSession, dir: String): DataFrame =
+    tsRsiOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_psm_att" -> eventPsmAtt,
     "event_cuped" -> eventCuped,
@@ -508,7 +595,9 @@ object Inference {
     "ts_kendall" -> tsKendall,
     "event_cramers_v" -> eventCramersV,
     "event_fdr_bh" -> eventFdrBh,
+    "event_holm" -> eventHolm,
     "ts_changepoint" -> tsChangepoint,
+    "ts_rsi" -> tsRsi,
     "feature_target_encode" -> featureTargetEncode,
     "corpus_skyline" -> corpusSkyline,
     "privacy_dp_counts" -> privacyDpCounts,
@@ -519,6 +608,37 @@ object Inference {
       |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
       |      AS cents
       |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** Shared oracle prefix mirroring [[pValuesByType]] + the p-sorted
+    * rank relation: the family both multiple-testing oracles consume. */
+  private def pValueCoreSql: String =
+    s"""bt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n0,
+       |    CAST(SUM(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS x0
+       |  FROM events GROUP BY 1),
+       |t AS (SELECT SUM(n0) AS nt, SUM(x0) AS xt FROM bt),
+       |z AS (SELECT event_type, n0, x0, nt - n0 AS n1, xt - x0 AS x1,
+       |    CASE WHEN x0 + (xt - x0) > 0 AND xt < nt
+       |          AND n0 > 0 AND nt - n0 > 0 THEN
+       |      CAST((CAST(n0 AS HUGEINT) + (nt - n0))
+       |        * ((CAST(x0 AS HUGEINT) * (nt - n0)
+       |            - CAST(xt - x0 AS HUGEINT) * n0)
+       |           * (CAST(x0 AS HUGEINT) * (nt - n0)
+       |              - CAST(xt - x0 AS HUGEINT) * n0))
+       |        * 1000 // (CAST(n0 AS HUGEINT) * (nt - n0)
+       |          * (CAST(x0 AS HUGEINT) + (xt - x0))
+       |          * (CAST(n0 AS HUGEINT) + (nt - n0) - xt))
+       |        AS BIGINT) ELSE 0 END AS z2_milli
+       |  FROM bt CROSS JOIN t),
+       |ladder(thr_milli, p_ppm) AS (VALUES ${chi2LadderSql}),
+       |wp AS (SELECT event_type, z2_milli,
+       |    CAST(MIN(p_ppm) AS BIGINT) AS p_ppm
+       |  FROM z JOIN ladder ON z2_milli >= thr_milli GROUP BY 1, 2),
+       |rk AS (SELECT event_type, z2_milli, p_ppm,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY p_ppm, event_type)
+       |      AS BIGINT) AS rk,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+       |  FROM wp)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "event_cuped" ->
@@ -642,38 +762,50 @@ object Inference {
         |       * 1000000)) END AS v_cramer
         |FROM s""".stripMargin,
     "event_fdr_bh" ->
-      s"""WITH bt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n0,
-        |    CAST(SUM(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS x0
-        |  FROM events GROUP BY 1),
-        |t AS (SELECT SUM(n0) AS nt, SUM(x0) AS xt FROM bt),
-        |z AS (SELECT event_type, n0, x0, nt - n0 AS n1, xt - x0 AS x1,
-        |    CASE WHEN x0 + (xt - x0) > 0 AND xt < nt
-        |          AND n0 > 0 AND nt - n0 > 0 THEN
-        |      CAST((CAST(n0 AS HUGEINT) + (nt - n0))
-        |        * ((CAST(x0 AS HUGEINT) * (nt - n0)
-        |            - CAST(xt - x0 AS HUGEINT) * n0)
-        |           * (CAST(x0 AS HUGEINT) * (nt - n0)
-        |              - CAST(xt - x0 AS HUGEINT) * n0))
-        |        * 1000 // (CAST(n0 AS HUGEINT) * (nt - n0)
-        |          * (CAST(x0 AS HUGEINT) + (xt - x0))
-        |          * (CAST(n0 AS HUGEINT) + (nt - n0) - xt))
-        |        AS BIGINT) ELSE 0 END AS z2_milli
-        |  FROM bt CROSS JOIN t),
-        |ladder(thr_milli, p_ppm) AS (VALUES ${chi2LadderSql}),
-        |wp AS (SELECT event_type, z2_milli,
-        |    CAST(MIN(p_ppm) AS BIGINT) AS p_ppm
-        |  FROM z JOIN ladder ON z2_milli >= thr_milli GROUP BY 1, 2),
-        |rk AS (SELECT event_type, z2_milli, p_ppm,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY p_ppm, event_type)
-        |      AS BIGINT) AS rk,
-        |    CAST(COUNT(*) OVER () AS BIGINT) AS m
-        |  FROM wp),
+      s"""WITH $pValueCoreSql,
         |ks AS (SELECT MAX(CASE WHEN p_ppm * m <= rk * 50000
         |    THEN rk ELSE 0 END) AS k_star FROM rk)
         |SELECT event_type, z2_milli, p_ppm, rk, m,
         |  rk <= k_star AS reject
         |FROM rk CROSS JOIN ks ORDER BY rk""".stripMargin,
+    // Mirrors eventHolmOn: step-down over the shared p family, reject
+    // strictly below the first failing rank (all m+1 when none fail).
+    "event_holm" ->
+      s"""WITH $pValueCoreSql,
+        |ff AS (SELECT MIN(CASE WHEN p_ppm * (m - rk + 1) > 50000
+        |    THEN rk END) AS first_fail FROM rk)
+        |SELECT event_type, z2_milli, p_ppm, rk, m,
+        |  CAST(p_ppm * (m - rk + 1) AS BIGINT) AS holm_stat_ppm,
+        |  rk < COALESCE(first_fail, m + 1) AS reject
+        |FROM rk CROSS JOIN ff ORDER BY rk""".stripMargin,
+    // Mirrors tsRsiOn: day-1 deltas pinned to 0, complete frames only,
+    // flat windows dropped before the single division.
+    "ts_rsi" ->
+      s"""WITH $dailySql,
+        |lagd AS (SELECT event_type, d, cents,
+        |    LAG(cents, 1) OVER (PARTITION BY event_type ORDER BY d)
+        |      AS prev
+        |  FROM daily),
+        |gl AS (SELECT event_type, d, cents,
+        |    CASE WHEN prev IS NULL THEN 0
+        |      ELSE GREATEST(cents - prev, 0) END AS gain,
+        |    CASE WHEN prev IS NULL THEN 0
+        |      ELSE GREATEST(prev - cents, 0) END AS loss,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        |  FROM lagd),
+        |s AS (SELECT event_type, d, cents, rn,
+        |    SUM(gain) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN ${RsiPeriod - 1} PRECEDING AND CURRENT ROW)
+        |      AS g,
+        |    SUM(loss) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN ${RsiPeriod - 1} PRECEDING AND CURRENT ROW)
+        |      AS l
+        |  FROM gl)
+        |SELECT event_type, d, cents, CAST(g AS BIGINT) AS gain_sum,
+        |  CAST(l AS BIGINT) AS loss_sum,
+        |  CAST(g * 1000000 // (g + l) AS BIGINT) AS rsi_ppm
+        |FROM s WHERE rn >= ${RsiPeriod + 1} AND g + l > 0
+        |ORDER BY event_type, d""".stripMargin,
     "ts_changepoint" ->
       s"""WITH $dailySql,
         |w AS (SELECT event_type, d,

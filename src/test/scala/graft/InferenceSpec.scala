@@ -178,4 +178,55 @@ class InferenceSpec extends SparkSpecBase {
     assert(corpus.forall(x =>
       x.getLong(3) === math.max(x.getLong(1) + x.getLong(2), 0L)))
   }
+
+  test("holm: step-down stops at the first failing rank") {
+    // a: 20 weekday-only rows -> z2_milli 15000 -> p 500 ppm;
+    // b, c: 10 weekday + 10 weekend each -> z2_milli 3750 -> p 100000
+    val rows = Seq.fill(20)(("a", "2024-01-01", 1.0)) ++
+      Seq.fill(10)(("b", "2024-01-01", 1.0)) ++
+      Seq.fill(10)(("b", "2024-01-06", 1.0)) ++
+      Seq.fill(10)(("c", "2024-01-01", 1.0)) ++
+      Seq.fill(10)(("c", "2024-01-06", 1.0))
+    val r = Inference.eventHolmOn(ev(rows: _*)).collect()
+    assert(r.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    assert(r.map(_.getLong(2)).toSeq === Seq(500L, 100000L, 100000L))
+    // holm_stat = p * (m - rk + 1): 1500, 200000, 100000
+    assert(r.map(_.getLong(5)).toSeq === Seq(1500L, 200000L, 100000L))
+    // rank 2 is the first failure -> only rank 1 rejected (rank 3
+    // would pass its own threshold but the step-down already stopped)
+    assert(r.map(_.getBoolean(6)).toSeq === Seq(true, false, false))
+  }
+
+  test("holm: flat family (all p = 1) rejects nothing") {
+    val rows = Seq.fill(10)(("a", "2024-01-01", 1.0)) ++
+      Seq.fill(10)(("a", "2024-01-06", 1.0)) ++
+      Seq.fill(10)(("b", "2024-01-01", 1.0)) ++
+      Seq.fill(10)(("b", "2024-01-06", 1.0))
+    val r = Inference.eventHolmOn(ev(rows: _*)).collect()
+    assert(r.forall(_.getLong(2) === 1000000L))
+    assert(r.forall(!_.getBoolean(6)))
+  }
+
+  test("rsi: hand series, complete frames only, exact integer ratio") {
+    val e = ev(("a", "2024-01-01", 1.0), ("a", "2024-01-02", 2.0),
+      ("a", "2024-01-03", 1.5), ("a", "2024-01-04", 3.0),
+      ("a", "2024-01-05", 2.5))
+    val r = Inference.tsRsiOn(e, period = 3).collect()
+    // first emission at rn=4: gains 100+0+150, losses 0+50+0
+    assert(r.length === 2)
+    assert((r(0).getLong(3), r(0).getLong(4)) === ((250L, 50L)))
+    assert(r(0).getLong(5) === 250L * 1000000 / 300) // 833333
+    assert((r(1).getLong(3), r(1).getLong(4)) === ((150L, 100L)))
+    assert(r(1).getLong(5) === 600000L)
+  }
+
+  test("rsi: flat series emits nothing; rising-only pins at 10^6") {
+    val flat = ev(("a", "2024-01-01", 5.0), ("a", "2024-01-02", 5.0),
+      ("a", "2024-01-03", 5.0), ("a", "2024-01-04", 5.0))
+    assert(Inference.tsRsiOn(flat, period = 3).collect().isEmpty)
+    val rise = ev(("a", "2024-01-01", 1.0), ("a", "2024-01-02", 2.0),
+      ("a", "2024-01-03", 3.0), ("a", "2024-01-04", 4.0))
+    val r = Inference.tsRsiOn(rise, period = 3).collect()
+    assert(r.length === 1 && r(0).getLong(5) === 1000000L)
+  }
 }
