@@ -314,6 +314,72 @@ object Planning {
   def eventPower(s: SparkSession, dir: String): DataFrame =
     eventPowerOn(Tables.events(s, dir))
 
+  /** The row-level constraint suite for [[dqRulesOn]], each rule one
+    * engine-portable SQL predicate over a lineitem row. ONE string per
+    * rule evaluated verbatim by both engines (the chi2Ladder / LCG
+    * discipline), so the suites cannot drift. Numbered names pin the
+    * output order. */
+  val DqRowRules: Seq[(String, String)] = Seq(
+    "01_orderkey_not_null" -> "l_orderkey IS NOT NULL",
+    "02_quantity_in_1_50" -> "l_quantity BETWEEN 1 AND 50",
+    "03_discount_in_0_10pct" -> "l_discount BETWEEN 0.0 AND 0.1",
+    "04_tax_in_0_8pct" -> "l_tax BETWEEN 0.0 AND 0.08",
+    "05_returnflag_in_set" -> "l_returnflag IN ('A', 'N', 'R')",
+    "06_linestatus_in_set" -> "l_linestatus IN ('F', 'O')",
+    "07_price_positive" -> "l_extendedprice > 0")
+
+  /** L21e: declarative data-quality rule suite — the Deequ /
+    * Great-Expectations shape (Schelter et al., VLDB 2018: "Automating
+    * large-scale data quality verification"): a CONSTRAINT LIST is
+    * evaluated against a relation and the report is one row per rule
+    * with its violation count, rate, and verdict — the contract gate a
+    * pipeline runs before promoting a batch.
+    *
+    * The Deequ insight this keeps at 100 TB: every ROW-LEVEL rule
+    * folds into the SAME single aggregate pass — each predicate
+    * becomes a summed CASE indicator (NULL-hostile: a NULL predicate
+    * counts as a violation, so a null discount fails the domain rule
+    * rather than slipping through), so 7 rules cost one scan, not 7.
+    * Only the two whole-relation rules need more: key uniqueness
+    * (distinct count of the candidate key over non-null keys — rule
+    * 01 guards the null case, the Deequ convention) and referential
+    * integrity into orders (LEFT join against the distinct key
+    * relation, null-probe count — shuffles on the join key, no
+    * broadcast assumption at fact-vs-fact scale). The three 1-row
+    * summaries meet on broadcast crossJoins and explode into the
+    * per-rule report. */
+  def dqRulesOn(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      (DqRowRules.map { case (name, pred) =>
+        sum(expr(s"CASE WHEN $pred THEN 0 ELSE 1 END")).as(s"v_$name")
+      } :+
+        countDistinct(col("l_orderkey"), col("l_linenumber"))
+          .as("pk_distinct"))
+    val rowAgg = lineitem.agg(aggs.head, aggs.tail: _*)
+    val fkAgg = lineitem.select(col("l_orderkey"))
+      .join(orders.select(col("o_orderkey")).distinct(),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+        .as("v_fk"))
+    val ruleStructs = DqRowRules.map { case (name, _) =>
+      s"named_struct('rule', '$name', 'v', v_$name)"
+    } ++ Seq(
+      "named_struct('rule', '08_pk_unique', 'v', n_rows - pk_distinct)",
+      "named_struct('rule', '09_fk_orders_exists', 'v', v_fk)")
+    rowAgg.crossJoin(broadcast(fkAgg))
+      .select(col("n_rows"),
+        expr(s"explode(array(${ruleStructs.mkString(", ")}))").as("r"))
+      .select(col("r.rule"), col("n_rows").as("n_checked"),
+        col("r.v").as("n_violations"),
+        expr("CAST(r.v * 1000000 DIV n_rows AS BIGINT)")
+          .as("violation_ppm"),
+        (col("r.v") === 0L).as("pass"))
+      .orderBy("rule")
+  }
+
+  def dqRules(s: SparkSession, dir: String): DataFrame =
+    dqRulesOn(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_concurrency" -> eventConcurrency,
     "event_bounce" -> eventBounce,
@@ -321,9 +387,44 @@ object Planning {
     "event_power" -> eventPower,
     "dq_freshness" -> dqFreshness,
     "dq_completeness" -> dqCompleteness,
+    "dq_rules" -> dqRules,
   )
 
   val oracles: Map[String, String] = Map(
+    // Generated from the same DqRowRules literals the engine sums, so
+    // the two suites cannot drift; pk/fk CTEs mirror dqRulesOn.
+    "dq_rules" -> {
+      val vSums = DqRowRules.map { case (n, p) =>
+        s"CAST(SUM(CASE WHEN $p THEN 0 ELSE 1 END) AS BIGINT) AS v_$n"
+      }.mkString(",\n    ")
+      val unions = DqRowRules.map { case (n, _) =>
+        s"UNION ALL SELECT '$n', n_rows, v_$n FROM r"
+      }.mkString("\n  ")
+      s"""WITH r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    $vSums,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |      (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+         |       WHERE l_orderkey IS NOT NULL
+         |         AND l_linenumber IS NOT NULL)) AS pk_distinct
+         |  FROM lineitem),
+         |fk AS (SELECT CAST(SUM(CASE WHEN o.o_orderkey IS NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS v_fk
+         |  FROM lineitem l
+         |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+         |    ON l.l_orderkey = o.o_orderkey),
+         |u AS (SELECT '00' AS rule, CAST(0 AS BIGINT) AS n_rows,
+         |    CAST(0 AS BIGINT) AS v WHERE 1 = 0
+         |  $unions
+         |  UNION ALL SELECT '08_pk_unique', n_rows,
+         |    n_rows - pk_distinct FROM r
+         |  UNION ALL SELECT '09_fk_orders_exists', n_rows, v_fk
+         |    FROM r, fk)
+         |SELECT rule, n_rows AS n_checked, CAST(v AS BIGINT)
+         |    AS n_violations,
+         |  CAST(v * 1000000 // n_rows AS BIGINT) AS violation_ppm,
+         |  v = 0 AS pass
+         |FROM u ORDER BY rule""".stripMargin
+    },
     "event_concurrency" ->
       s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
          |lagd AS (SELECT user_id, us,

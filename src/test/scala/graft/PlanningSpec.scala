@@ -182,4 +182,54 @@ class PlanningSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n1") === 2L)
     assert(r.getAs[Long]("x1") === 1L)
   }
+
+  test("dq rules: NULL predicates violate; dup keys and fk orphans counted") {
+    val li = Seq(
+      // (okey, lineno, qty, price, disc, tax, rflag, lstatus)
+      (Some(1L), 1, 10.0, 100.0, 0.05, 0.02, "A", "F"),  // clean
+      (Some(1L), 1, 10.0, 100.0, 0.05, 0.02, "A", "F"),  // dup key
+      (Some(2L), 1, 99.0, -5.0, 0.50, 0.99, "X", "Z"),   // 5 row violations
+      (None, 2, Double.NaN, 100.0, 0.05, 0.02, "N", "O"), // null key
+      (Some(9L), 1, 10.0, 100.0, 0.05, 0.02, "R", "O"))  // fk orphan
+      .map { case (ok, ln, q, p, d, t, rf, ls) =>
+        (ok, ln, Option(q).filterNot(_.isNaN), p, d, t, rf, ls)
+      }
+      .toDF("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus")
+    val ord = Seq(1L, 2L).toDF("o_orderkey")
+    val r = Planning.dqRulesOn(li, ord).collect()
+      .map(x => (x.getString(0), x.getLong(2), x.getBoolean(4)))
+    assert(r.map(_._1).toSeq === Seq(
+      "01_orderkey_not_null", "02_quantity_in_1_50",
+      "03_discount_in_0_10pct", "04_tax_in_0_8pct",
+      "05_returnflag_in_set", "06_linestatus_in_set",
+      "07_price_positive", "08_pk_unique", "09_fk_orders_exists"))
+    val v = r.map(x => x._1 -> x._2).toMap
+    assert(v("01_orderkey_not_null") === 1L)  // the null-key row
+    assert(v("02_quantity_in_1_50") === 2L)   // 99 + NULL qty
+    assert(v("03_discount_in_0_10pct") === 1L)
+    assert(v("04_tax_in_0_8pct") === 1L)
+    assert(v("05_returnflag_in_set") === 1L)
+    assert(v("06_linestatus_in_set") === 1L)
+    assert(v("07_price_positive") === 1L)
+    // 5 rows - 3 distinct non-null keys {1/1, 2/1, 9/1}: the dup AND
+    // the null-key row are key violations (a NULL key can't be unique)
+    assert(v("08_pk_unique") === 2L)
+    assert(v("09_fk_orders_exists") === 2L)   // orphan 9 + null key
+    assert(r.forall(x => !x._3 || x._2 === 0L))
+  }
+
+  test("dq rules: clean relation passes every rule") {
+    val li = Seq((1L, 1, 10.0, 100.0, 0.05, 0.02, "A", "F"),
+      (1L, 2, 20.0, 50.0, 0.0, 0.0, "N", "O"))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus")
+    val ord = Seq(1L).toDF("o_orderkey")
+    val r = Planning.dqRulesOn(li, ord).collect()
+    assert(r.length === 9)
+    assert(r.forall(_.getBoolean(4)))
+    assert(r.forall(_.getLong(3) === 0L))
+  }
 }
