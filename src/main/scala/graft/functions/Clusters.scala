@@ -1120,6 +1120,99 @@ object Clusters {
   def graphKcore(s: SparkSession, dir: String): DataFrame =
     kcoreOn(bipartiteEdges(s, dir))
 
+  val TrussRounds = 6
+  val TrussK = 3
+
+  /** k-truss decomposition (Cohen 2008; the triangle-support sibling
+    * of [[kcoreOn]]'s degree peel): iteratively delete edges whose
+    * SUPPORT — the number of triangles they close — is below k−2,
+    * until a fixpoint. Where the k-core keeps "nodes with enough
+    * neighbors", the truss keeps "edges with enough MUTUAL neighbors"
+    * — the standard cohesive-subgraph extraction one tier stronger
+    * than coring (every k-truss is inside the (k−1)-core but not vice
+    * versa); on the kNN graph it isolates neighborhoods that are
+    * mutually-confirming semantic clumps rather than hub spokes.
+    *
+    * Per round: one degree-oriented triangle enumeration (the
+    * [[triangleCountOn]] low-to-high orientation, so wedge fanout is
+    * O(sqrt m) per node on skewed graphs, not deg²), an edge-keyed
+    * support rollup (each triangle charges its three normalized
+    * edges), and one inner join that keeps qualifying edges. The
+    * state is the shrinking EDGE SET, localCheckpointed per round for
+    * a constant-size plan; `maxIter` throws rather than returning a
+    * half-peeled graph, which also licenses the oracle's fixed
+    * [[TrussRounds]]-round unroll (peeling is idempotent at the
+    * fixpoint — the kcore discipline). Output: surviving edges with
+    * their support inside the truss. */
+  def trussOn(edges: DataFrame, k: Int = TrussK,
+      maxIter: Int = TrussRounds): DataFrame = {
+    require(k >= 3, s"need k >= 3, got $k")
+    val Array(ca, cb) = edges.columns.take(2)
+    def supportOf(e: DataFrame): DataFrame = {
+      val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val ed = e
+        .join(deg.select(col("node").as("a"), col("deg").as("dega")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("degb")), "b")
+        .select(when(
+          struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("degb").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            col("dega").as("dv"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"),
+          col("e.dv").as("dv"))
+        .localCheckpoint(true) // referenced three times by the wedge join
+      ed.as("e1")
+        .join(ed.as("e2"), col("e1.u") === col("e2.u") &&
+          struct(col("e1.dv"), col("e1.v"))
+            < struct(col("e2.dv"), col("e2.v")))
+        .join(ed.as("e3"),
+          col("e1.v") === col("e3.u") && col("e2.v") === col("e3.v"))
+        .select(col("e1.u").as("x"), col("e1.v").as("y"),
+          col("e2.v").as("z"))
+        .select(explode(array(
+          struct(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b")),
+          struct(least(col("x"), col("z")).as("a"),
+            greatest(col("x"), col("z")).as("b")),
+          struct(least(col("y"), col("z")).as("a"),
+            greatest(col("y"), col("z")).as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+    }
+    var e = edges
+      .select(least(col(ca), col(cb)).cast("long").as("a"),
+        greatest(col(ca), col(cb)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var n = e.count()
+    var iter = 0
+    var removed = 1L
+    while (removed > 0 && n > 0) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"k-truss peel did not converge in $maxIter rounds")
+      iter += 1
+      val kept = e.join(supportOf(e), Seq("a", "b"))
+        .filter(col("sup") >= k - 2)
+        .select("a", "b")
+        .localCheckpoint(true)
+      val keptN = kept.count()
+      removed = n - keptN
+      n = keptN
+      e = kept
+    }
+    // fixpoint support readout (all surviving edges qualify by
+    // construction, so the join keeps every row)
+    e.join(supportOf(e), Seq("a", "b"))
+      .select(col("a"), col("b"), col("sup"))
+      .orderBy("a", "b")
+  }
+
+  def graphTruss(s: SparkSession, dir: String): DataFrame =
+    trussOn(knnEdges(s, dir).select("qid", "nid"))
+
   /** Newman modularity decomposition of a labeling — the evaluation
     * rung for [[labelPropagationOn]]: per community c, the intra-edge
     * count e_c, the degree mass d_c, and the exact integer numerator
@@ -1885,6 +1978,7 @@ object Clusters {
     "graph_adamic_adar" -> graphAdamicAdar,
     "graph_communities" -> graphCommunities,
     "graph_kcore" -> graphKcore,
+    "graph_truss" -> graphTruss,
     "graph_modularity" -> graphModularity,
   )
 
@@ -1906,6 +2000,25 @@ object Clusters {
        |  WHERE NOT EXISTS (SELECT 1 FROM w$i WHERE w$i.node = $prev.a)
        |    AND NOT EXISTS (SELECT 1 FROM w$i WHERE w$i.node = $prev.b))"""
       .stripMargin
+  }.mkString(",\n")
+
+  /** Unrolled k-truss peel rounds — per round: id-oriented triangle
+    * enumeration (same triangle SET as the engine's degree-oriented
+    * wedge join; orientation only affects skew, not the result), the
+    * three-edge support rollup, and the keep-join. MATERIALIZED for
+    * the same chain-inlining reason as [[kcoreIterSql]]. */
+  private val trussIterSql = (1 to TrussRounds).map { i =>
+    val prev = s"e${i - 1}"
+    s"""t$i AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM $prev e1 JOIN $prev e2 ON e1.a = e2.a AND e1.b < e2.b
+       |  JOIN $prev e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |s$i AS MATERIALIZED (SELECT a, b, COUNT(*) AS sup FROM (
+       |    SELECT x AS a, y AS b FROM t$i
+       |    UNION ALL SELECT x, z FROM t$i
+       |    UNION ALL SELECT y, z FROM t$i) GROUP BY 1, 2),
+       |e$i AS MATERIALIZED (SELECT e.a, e.b FROM $prev e
+       |  JOIN s$i s ON s.a = e.a AND s.b = e.b
+       |  WHERE s.sup >= ${TrussK - 2})""".stripMargin
   }.mkString(",\n")
 
   /** Unrolled synchronous LPA rounds — per round: neighbor-label
@@ -2366,6 +2479,24 @@ object Clusters {
          |  ag.surviving_bal
          |FROM ag JOIN nm USING (cluster_id) JOIN gm USING (cluster_id)
          |ORDER BY ag.cluster_id""".stripMargin,
+    // Mirrors trussOn: TrussRounds unrolled peel rounds, fixpoint
+    // support readout from the surviving edge set.
+    "graph_truss" ->
+      s"""WITH ${Similarity.knnCoreSql},
+         |e0 AS (SELECT DISTINCT LEAST(qid, nid) AS a,
+         |    GREATEST(qid, nid) AS b FROM knn WHERE qid <> nid),
+         |$trussIterSql,
+         |tf AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e$TrussRounds e1
+         |  JOIN e$TrussRounds e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  JOIN e$TrussRounds e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |sf AS (SELECT a, b, COUNT(*) AS sup FROM (
+         |    SELECT x AS a, y AS b FROM tf
+         |    UNION ALL SELECT x, z FROM tf
+         |    UNION ALL SELECT y, z FROM tf) GROUP BY 1, 2)
+         |SELECT e.a, e.b, CAST(sf.sup AS BIGINT) AS sup
+         |FROM e$TrussRounds e JOIN sf ON sf.a = e.a AND sf.b = e.b
+         |ORDER BY e.a, e.b""".stripMargin,
     "graph_triangles" ->
       s"""WITH ${Similarity.knnCoreSql},
          |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,

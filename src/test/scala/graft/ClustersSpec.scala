@@ -216,6 +216,38 @@ class ClustersSpec extends SparkSpecBase {
     assert(c.select("community").distinct().count() < c.count())
   }
 
+  test("k-truss: supports hand-checked, pendant edge peels, cascades " +
+    "run to the fixpoint, non-convergence throws") {
+    // K4 (every edge closes 2 triangles) + pendant triangle {5,6,7}
+    // (support 1 each) + tail 7-8 (support 0)
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L)).toDF("a", "b")
+    val t3 = functions.Clusters.trussOn(g, k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t3 == Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L),
+      (5L, 6L, 1L), (5L, 7L, 1L), (6L, 7L, 1L)))
+    // k=4 drops the pendant triangle, keeps the clique
+    assert(functions.Clusters.trussOn(g, k = 4)
+      .as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+        (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+    // two bridged triangles sharing edge 1-3: at k=4 round 1 removes
+    // every support-1 edge, exposing 1-3 as support-0 -> round 2
+    // empties the graph; a 1-round budget must throw instead
+    val bridged = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("a", "b")
+    assert(functions.Clusters.trussOn(bridged, k = 4).count() == 0)
+    intercept[IllegalStateException] {
+      functions.Clusters.trussOn(bridged, k = 4, maxIter = 1).count()
+    }
+    // corpus truss: every surviving edge meets the support threshold
+    val corpus = functions.Clusters.graphTruss(spark, sf)
+    assert(corpus.filter(col("sup") < functions.Clusters.TrussK - 2)
+      .count() == 0)
+    assert(corpus.count() > 0)
+  }
+
   test("k-core: pendant peels off a clique, chains cascade to empty, " +
     "and the corpus core honors the threshold") {
     // 3-core of K4 + pendant: node 5 peels, the clique survives with
