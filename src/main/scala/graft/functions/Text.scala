@@ -412,6 +412,55 @@ object Text {
   def qualityAuc(s: SparkSession, dir: String): DataFrame =
     qualityAucOn(qualityScored(s, dir))
 
+  /** The two deterministic annotators for [[qualityKappaOn]] — ONE
+    * SQL string each, evaluated verbatim by both engines (the
+    * DqRowRules / chi2Ladder discipline): a length-domain keep rule
+    * and a whitespace-token-count keep rule, the classic pair of
+    * cheap quality gates whose agreement a curation team audits. */
+  val KappaRuleA = "n_chars BETWEEN 200 AND 2000"
+  val KappaRuleB =
+    "length(text) - length(replace(text, ' ', '')) + 1 >= 40"
+
+  /** L4q'''': inter-annotator agreement via Cohen's kappa (Cohen
+    * 1960) between two deterministic keep/drop labelers — the
+    * agreement audit run before trusting any label source (two rule
+    * filters, two model versions, model vs human sample): raw
+    * agreement po overstates consensus when the base rate is skewed,
+    * so kappa discounts the chance agreement pe implied by the two
+    * marginals.
+    *
+    * Exact integer spelling: po − pe and 1 − pe are carried as the
+    * cleared-denominator pair kappa_num = n·agree − (a₁b₁ + a₀b₀)
+    * and kappa_den = n² − (a₁b₁ + a₀b₀); the one double division at
+    * the end is a single correctly-rounded IEEE op on exact integers
+    * (the agg_corr precedent), NULL-gated when pe = 1 (degenerate
+    * all-one-cell marginals). kappa_num may be negative (worse than
+    * chance), which is why the division is double, not DIV — the
+    * graph_modularity negative-integer-division discipline. BIGINT
+    * holds to n ~ 2³¹ rows; swap DECIMAL(38,0) beyond. Shape: one
+    * scan, one 1-row aggregate — embarrassingly scalable. */
+  def qualityKappaOn(docs: DataFrame): DataFrame =
+    docs
+      .select(expr(KappaRuleA).as("a"), expr(KappaRuleB).as("b"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("n_keep_a"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("n_keep_b"))
+      .withColumn("chance",
+        col("n_keep_a") * col("n_keep_b")
+          + (col("n_docs") - col("n_keep_a"))
+          * (col("n_docs") - col("n_keep_b")))
+      .select(col("n_docs"), col("n_agree"), col("n_keep_a"),
+        col("n_keep_b"),
+        (col("n_agree") * col("n_docs") - col("chance")).as("kappa_num"),
+        (col("n_docs") * col("n_docs") - col("chance")).as("kappa_den"))
+      .withColumn("kappa",
+        when(col("kappa_den") > 0,
+          col("kappa_num").cast("double") / col("kappa_den")))
+
+  def qualityKappa(s: SparkSession, dir: String): DataFrame =
+    qualityKappaOn(Tables.documents(s, dir))
+
   /** L4q''': expected calibration error of the trained quality
     * classifier — the reliability audit a production keep-gate needs
     * before its scores can drive a THRESHOLD (AUC says the ranking is
@@ -1181,6 +1230,7 @@ object Text {
     "quality_auc" -> qualityAuc,
     "quality_ece" -> qualityEce,
     "quality_threshold_sweep" -> qualityThresholdSweep,
+    "quality_kappa" -> qualityKappa,
   )
 
   private def sqlHits(words: Seq[String]): String =
@@ -1293,6 +1343,29 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    // Interpolates the same two annotator rule literals the engine
+    // evaluates; one double division on exact integers at the end.
+    "quality_kappa" ->
+      s"""WITH lab AS (SELECT $KappaRuleA AS a, $KappaRuleB AS b
+         |  FROM documents),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_agree,
+         |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_keep_a,
+         |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_keep_b
+         |  FROM lab),
+         |c AS (SELECT *, n_keep_a * n_keep_b
+         |    + (n_docs - n_keep_a) * (n_docs - n_keep_b) AS chance
+         |  FROM m)
+         |SELECT n_docs, n_agree, n_keep_a, n_keep_b,
+         |  CAST(n_agree * n_docs - chance AS BIGINT) AS kappa_num,
+         |  CAST(n_docs * n_docs - chance AS BIGINT) AS kappa_den,
+         |  CASE WHEN n_docs * n_docs - chance > 0 THEN
+         |    CAST(n_agree * n_docs - chance AS DOUBLE)
+         |      / (n_docs * n_docs - chance) END AS kappa
+         |FROM c""".stripMargin,
     "text_hashed_features" ->
       s"""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |  FROM documents),

@@ -308,4 +308,24 @@ class ChunkLmSpec extends SparkSpecBase {
     assert(c.exceptAll(again).count() == 0 && again.exceptAll(c).count() == 0)
     c.unpersist()
   }
+
+  test("quality kappa: chance-level, perfect, inverse and degenerate " +
+    "confusion matrices hit 0, 1, -1 and NULL") {
+    def doc(id: Long, nChars: Long, nToks: Int) =
+      (id, Seq.fill(nToks)("w").mkString(" "), nChars)
+    def kap(rows: (Long, String, Long)*) =
+      functions.Text.qualityKappaOn(
+        rows.toDF("doc_id", "text", "n_chars")).collect()(0)
+    // one doc per confusion cell -> agreement exactly at chance
+    val r0 = kap(doc(1, 500, 50), doc(2, 300, 2),
+      doc(3, 100, 45), doc(4, 50, 1))
+    assert((r0.getLong(0), r0.getLong(1)) === ((4L, 2L)))
+    assert((r0.getLong(4), r0.getLong(5)) === ((0L, 8L)))
+    assert(r0.getDouble(6) === 0.0)
+    // perfect agreement -> 1; perfect disagreement -> -1
+    assert(kap(doc(1, 500, 50), doc(4, 50, 1)).getDouble(6) === 1.0)
+    assert(kap(doc(2, 300, 2), doc(3, 100, 45)).getDouble(6) === -1.0)
+    // both annotators constant -> pe = 1 -> NULL gate
+    assert(kap(doc(1, 500, 50), doc(5, 600, 60)).isNullAt(6))
+  }
 }
