@@ -571,8 +571,20 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  private val kmCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The trained catalog k-means assignment (vec_id, cell, d2,
+    * n_members), memoized per (session, dir) — the cosPairsCached /
+    * knnEdges discipline: THREE catalog consumers (cluster_kmeans,
+    * sample_cluster_balanced, cluster_purity_eval) read this exact
+    * relation, so a catalog run pays Lloyd's iterations once. */
+  private[graft] def kmeansCached(s: SparkSession, dir: String): DataFrame =
+    kmCache.getOrElseUpdate((s, dir),
+      kmeansOn(Tables.embeddings(s, dir)).localCheckpoint(true))
+
   def clusterKmeans(s: SparkSession, dir: String): DataFrame =
-    kmeansOn(Tables.embeddings(s, dir))
+    kmeansCached(s, dir).orderBy("vec_id")
 
   /** L3f: cluster-balanced subsampling — up to `perCell` vectors from
     * each trained k-means cell, picked by a deterministic pseudo-random
@@ -582,19 +594,56 @@ object Similarity {
     * sample is one window over the assignment, partitioned by cell —
     * at 100 TB the heavy lifting is the k-means itself; this adds a
     * single cell-keyed shuffle. */
-  def sampleClusterBalancedOn(emb: DataFrame, k: Int = 8, iters: Int = 2,
-      perCell: Int = 25): DataFrame = {
+  private def clusterBalancedPick(asg: DataFrame,
+      perCell: Int): DataFrame = {
     val w = Window.partitionBy("cell")
       .orderBy(((col("vec_id") * 2654435761L) % Text.P).asc, col("vec_id").asc)
-    kmeansOn(emb, k, iters)
+    asg
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= perCell)
       .select("vec_id", "cell", "rk")
       .orderBy("vec_id")
   }
 
+  def sampleClusterBalancedOn(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      perCell: Int = 25): DataFrame =
+    clusterBalancedPick(kmeansOn(emb, k, iters), perCell)
+
   def sampleClusterBalanced(s: SparkSession, dir: String): DataFrame =
-    sampleClusterBalancedOn(Tables.embeddings(s, dir))
+    clusterBalancedPick(kmeansCached(s, dir), 25)
+
+  /** L3n: cluster purity — the external-label evaluation of the
+    * trained k-means partition (the standard clustering-quality
+    * readout when ground-truth classes exist; Manning et al.,
+    * "Introduction to IR" §16.3): per cell, the majority label and
+    * its exact ppm share of the cell. High purity = cells align with
+    * classes; a cell near 1/|labels| is noise. The eval a curation
+    * pipeline runs before trusting cluster-balanced sampling or
+    * SemDeDup cells as semantic strata. Ties break to the smallest
+    * label (pinned on both engines). Shape: one cell×label rollup
+    * off the memoized assignment (map-side combined; at most
+    * k·|labels| rows shuffle), then a k-row window. */
+  def clusterPurityEvalOn(asg: DataFrame, emb: DataFrame): DataFrame = {
+    val cl = asg.select("vec_id", "cell")
+      .join(emb.select(col("vec_id"),
+        col("label").cast("long").as("label")), "vec_id")
+      .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("cell")
+      .orderBy(col("n").desc, col("label").asc)
+    cl
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members",
+        sum(col("n")).over(Window.partitionBy("cell")))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("n_members"),
+        col("label").as("top_label"), col("n").as("n_top"),
+        expr("CAST(n * 1000000 DIV n_members AS BIGINT)")
+          .as("purity_ppm"))
+      .orderBy("cell")
+  }
+
+  def clusterPurityEval(s: SparkSession, dir: String): DataFrame =
+    clusterPurityEvalOn(kmeansCached(s, dir), Tables.embeddings(s, dir))
 
   /** Per-vector LSH bucket ids, one per hash table: sign bits of 4
     * integer hyperplane projections over floor(x * 2^20)-quantized
@@ -1387,6 +1436,7 @@ object Similarity {
     "sim_ann_ivf_multiprobe" -> simAnnIvfMultiprobe,
     "sim_rerank_mmr" -> simRerankMmr,
     "cluster_kmeans" -> clusterKmeans,
+    "cluster_purity_eval" -> clusterPurityEval,
     "sample_cluster_balanced" -> sampleClusterBalanced,
   )
 
@@ -1685,6 +1735,22 @@ object Similarity {
          |SELECT a2.vec_id, a2.cell, a2.d2, sz.n_members
          |FROM a2 JOIN sz ON a2.cell = sz.cell
          |ORDER BY vec_id""".stripMargin,
+    // Mirrors clusterPurityEvalOn over the same trained assignment;
+    // majority ties break to the smallest label.
+    "cluster_purity_eval" ->
+      s"""WITH $kmeansCoreSql,
+         |cl AS (SELECT a2.cell, CAST(e.label AS BIGINT) AS label,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM a2 JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+         |tot AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_members
+         |  FROM cl GROUP BY cell),
+         |top AS (SELECT cell, label, n FROM cl
+         |  QUALIFY row_number() OVER (PARTITION BY cell
+         |    ORDER BY n DESC, label ASC) = 1)
+         |SELECT t.cell, tot.n_members, t.label AS top_label,
+         |  t.n AS n_top,
+         |  CAST(t.n * 1000000 // tot.n_members AS BIGINT) AS purity_ppm
+         |FROM top t JOIN tot USING (cell) ORDER BY t.cell""".stripMargin,
     "sample_cluster_balanced" ->
       s"""WITH $kmeansCoreSql
          |SELECT vec_id, cell, rk FROM (

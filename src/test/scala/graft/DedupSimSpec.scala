@@ -1021,4 +1021,27 @@ class DedupSimSpec extends SparkSpecBase {
       out.orderBy("doc_id").first().getLong(1))
     out.unpersist()
   }
+
+  test("cluster purity: majority share per cell is exact ppm, ties " +
+    "break to the smallest label") {
+    val asg = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1),
+      (6L, 2), (7L, 2)).toDF("vec_id", "cell")
+    val emb = Seq((1L, 7), (2L, 7), (3L, 8), (4L, 9), (5L, 9),
+      (6L, 5), (7L, 3)).toDF("vec_id", "label")
+    val r = functions.Similarity.clusterPurityEvalOn(asg, emb)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    assert(r.toSeq === Seq(
+      (0, 3L, 7L, 2L, 666666L),   // 2 of 3 are label 7
+      (1, 2L, 9L, 2L, 1000000L),  // pure cell
+      (2, 2L, 3L, 1L, 500000L)))  // 1-1 tie -> smallest label 3
+  }
+
+  test("cluster purity: corpus cells cover every vector once") {
+    val p = functions.Similarity.clusterPurityEval(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(p.agg(sum("n_members")).as[Long].head() === n)
+    assert(p.filter(col("n_top") > col("n_members")).count() === 0)
+    assert(p.filter(col("purity_ppm") > 1000000L).count() === 0)
+  }
 }
