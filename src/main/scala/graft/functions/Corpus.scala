@@ -828,8 +828,60 @@ object Corpus {
   def corpusTokenBudget(s: SparkSession, dir: String): DataFrame =
     corpusTokenBudgetOn(Tables.documents(s, dir))
 
+  /** Phase count for [[corpusCurriculumOn]]'s competence schedule. */
+  val CurriculumPhases = 4
+
+  /** L8e: competence-based curriculum assignment (Platanios et al.,
+    * NAACL 2019) — order training data easy-to-hard: each document
+    * gets an exact difficulty percentile (its CDF rank by token
+    * count, short = easy — the paper's sentence-length difficulty),
+    * and phase p of a P-phase schedule admits documents whose
+    * difficulty is within competence p/P; the emitted phase is the
+    * FIRST phase that admits the doc, so phases partition the corpus
+    * into difficulty shells a trainer consumes cumulatively.
+    *
+    * The percentile is the two-phase prefix rank (the
+    * corpus_token_budget / event_concurrency discipline): a per-toks
+    * local row_number plus a strictly-below carry from the bounded
+    * token-count histogram — no corpus-wide window at any scale;
+    * ties break by doc_id so the rank is total. All integer:
+    * difficulty_milli = rank·1000 DIV n, phase =
+    * clamp(ceil(difficulty_milli·P / 1000), 1, P). */
+  def corpusCurriculumOn(docs: DataFrame,
+      phases: Int = CurriculumPhases): DataFrame = {
+    require(phases >= 2 && phases <= 1000,
+      s"need phases in [2, 1000], got $phases")
+    val scored = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .localCheckpoint(true) // histogram + the rank join
+    val n = scored.agg(count(lit(1)).as("n"))
+    val wBelow = Window.orderBy(col("toks").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = scored.groupBy("toks").agg(count(lit(1)).as("ct"))
+      .withColumn("below",
+        coalesce(sum(col("ct")).over(wBelow), lit(0L)))
+      .select("toks", "below")
+    val wIn = Window.partitionBy("toks").orderBy(col("doc_id").asc)
+    scored
+      .withColumn("rk_in", row_number().over(wIn).cast("long"))
+      .join(hist, Seq("toks"))
+      .crossJoin(broadcast(n))
+      .withColumn("difficulty_milli",
+        expr("(below + rk_in) * 1000 DIV n"))
+      .withColumn("phase", expr(
+        s"""CAST(greatest(1, least(
+           |  (difficulty_milli * $phases + 999) DIV 1000,
+           |  $phases)) AS INT)""".stripMargin))
+      .select("doc_id", "toks", "difficulty_milli", "phase")
+      .orderBy("doc_id")
+  }
+
+  def corpusCurriculum(s: SparkSession, dir: String): DataFrame =
+    corpusCurriculumOn(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_token_budget" -> corpusTokenBudget,
+    "corpus_curriculum" -> corpusCurriculum,
     "text_pack_sequences" -> textPackSequences,
     "sample_stratified" -> sampleStratified,
     "sample_neyman" -> sampleNeyman,
@@ -860,6 +912,26 @@ object Corpus {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mirrors corpusCurriculumOn: single-window total rank (equality
+    // with the engine's two-phase spelling is prefix-sum
+    // associativity), same ceil-clamp phase arithmetic.
+    "corpus_curriculum" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+         |r AS (SELECT doc_id, toks,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY toks ASC, doc_id ASC)
+         |      AS BIGINT) AS rk
+         |  FROM sc),
+         |d AS (SELECT doc_id, toks,
+         |    CAST(rk * 1000 // n AS BIGINT) AS difficulty_milli
+         |  FROM r, n)
+         |SELECT doc_id, toks, difficulty_milli,
+         |  CAST(GREATEST(1, LEAST(
+         |    (difficulty_milli * $CurriculumPhases + 999) // 1000,
+         |    $CurriculumPhases)) AS INT) AS phase
+         |FROM d ORDER BY doc_id""".stripMargin,
     "corpus_token_budget" ->
       s"""WITH sc AS (SELECT doc_id,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,

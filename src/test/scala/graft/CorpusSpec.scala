@@ -494,4 +494,26 @@ class CorpusSpec extends SparkSpecBase {
     assert(c.exists(_._1 == 0L))
     assert(math.abs(c.map(_._2).sum - 1000000L) <= c.length)
   }
+
+  test("curriculum: exact CDF ranks, ceil-clamped phases, ties by doc_id") {
+    val docs = Seq((1L, "a"), (2L, "a b"), (3L, "c d"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val r = functions.Corpus.corpusCurriculumOn(docs, phases = 2)
+      .collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getLong(2), x.getInt(3)))
+    assert(r.toSeq === Seq(
+      (1L, 1L, 250L, 1), (2L, 2L, 500L, 1),
+      (3L, 2L, 750L, 2), (4L, 4L, 1000L, 2)))
+    // corpus: phases are monotone in difficulty and partition all docs
+    val corpus = functions.Corpus.corpusCurriculum(spark, sf)
+    assert(corpus.count() === Tables.documents(spark, sf).count())
+    val byPhase = corpus.groupBy("phase")
+      .agg(min("difficulty_milli").as("lo"), max("difficulty_milli").as("hi"))
+      .orderBy("phase")
+      .select("lo", "hi").as[(Long, Long)].collect()
+    assert(byPhase.sliding(2).forall {
+      case Array(a, b) => a._2 <= b._1
+      case _ => true
+    })
+  }
 }
