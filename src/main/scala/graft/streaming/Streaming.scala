@@ -123,6 +123,33 @@ object Streaming {
         col("purchase_id").asc_nulls_first)
   }
 
+  /** T9: stream-static enrichment join — the canonical streaming
+    * dimension lookup (Spark's stream-static join: the static side is
+    * a batch relation planned as a broadcast per micro-batch, no
+    * state store, no watermark needed on the dim): each event joins
+    * its user's segment from the customer dimension, unmatched users
+    * land in the '(none)' bucket (LEFT join — a missing dim row must
+    * not drop fact rows), then a per-segment rollup. Written as a
+    * pure transform so the same function runs under read and
+    * readStream; StreamingSpec proves the equivalence with a memory
+    * stream in complete mode. At 100 TB the dim side stays broadcast
+    * when it fits (the hint below) and the rollup is a k-row
+    * map-side-combined aggregate — the fact stream is never
+    * shuffled by the join. */
+  def staticEnrich(ev: DataFrame, dim: DataFrame): DataFrame =
+    ev.join(
+        broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        ev("user_id") === col("c_custkey"), "left")
+      .select(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"),
+        col("value"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumD(col("value")).as("total_value"))
+
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame =
+    staticEnrich(Tables.events(s, dir), Tables.customer(s, dir))
+      .orderBy("segment")
+
   /** T7: streaming dedup — first-arrival key dedup, the streaming
     * spelling of exact dedup (dropDuplicatesWithinWatermark bounds the
     * key state by event time; StreamingSpec runs that flavor). Only
@@ -328,9 +355,19 @@ object Streaming {
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
     "stream_late_filter" -> streamLateFilter,
+    "stream_static_join" -> streamStaticJoin,
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors staticEnrich: LEFT dim lookup, '(none)' bucket, exact
+    // DECIMAL(18,2) value sum (the Exact.sumD contract).
+    "stream_static_join" ->
+      """SELECT COALESCE(c_mktsegment, '(none)') AS segment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
     "stream_cdc_replay" ->
       """WITH log AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
         |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,

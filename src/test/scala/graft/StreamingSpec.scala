@@ -73,6 +73,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("T9 stream-static enrichment join: streaming (complete) == batch; " +
+    "unmatched users land in the (none) bucket") {
+    val dim = Tables.customer(spark, sf)
+    val streamed = runToSet(
+      streaming.Streaming.staticEnrich(eventsStream, dim), "t9_out")
+    val batch = streaming.Streaming.staticEnrich(
+        Tables.events(spark, sf), dim)
+      .collect().map(_.toString).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // the LEFT semantics: a fact row with no dim match must survive
+    import spark.implicits._
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+        999999L, "view", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val none = streaming.Streaming.staticEnrich(ev, dim).collect()
+    assert(none.length === 1 && none(0).getString(0) === "(none)")
+    assert(none(0).getLong(1) === 1L && none(0).getDouble(2) === 2.0)
+  }
+
   test("custom state: flatMapGroupsWithState running per-user counts == batch groupBy") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
