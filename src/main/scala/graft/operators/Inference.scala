@@ -447,6 +447,60 @@ object Inference {
   def privacyDpCounts(s: SparkSession, dir: String): DataFrame =
     privacyDpCountsOn(Tables.events(s, dir))
 
+  /** Two-sided geometric noise ladder for [[privacyDpTopkOn]] — the
+    * privacy_dp_counts table (p = 2/3 ≈ ε 0.693 per draw) on an
+    * INDEPENDENT pinned coin (different LCG constants), one string
+    * evaluated verbatim by both engines. */
+  private val dpTopkNoiseSql: String =
+    """CASE WHEN u < 256 THEN 0
+      | WHEN u < 384 THEN 1 WHEN u < 512 THEN -1
+      | WHEN u < 576 THEN 2 WHEN u < 640 THEN -2
+      | WHEN u < 672 THEN 3 WHEN u < 704 THEN -3
+      | WHEN u < 720 THEN 4 WHEN u < 736 THEN -4
+      | WHEN u < 744 THEN 5 WHEN u < 752 THEN -5
+      | WHEN u < 756 THEN 6 WHEN u < 760 THEN -6
+      | WHEN u < 762 THEN 7 WHEN u < 764 THEN -7
+      | WHEN u < 765 THEN 8 ELSE -8 END""".stripMargin
+
+  /** L16e: DP top-k selection by one-shot noisy counts (Durfee &
+    * Rogers, NeurIPS 2019: adding independent noise to every count
+    * and releasing the top-k ORDER is the practical top-k mechanism;
+    * the iterated report-noisy-max peel is equivalent in
+    * distribution): each per-type distinct-user count gets an
+    * independent pinned two-sided geometric draw (the
+    * privacy_dp_counts mechanism on a fresh coin), and the released
+    * relation is the k best by noisy count — the NOISY rank and
+    * count only; the true count and true rank ride along as the
+    * est/err eval columns (sketch_theta discipline), measuring the
+    * mechanism's rank fidelity in-catalog. Ranking windows run over
+    * the |event types|-row collapsed relation — k-row bounded,
+    * licensed as in event_fdr_bh. */
+  def privacyDpTopkOn(events: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val counts = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_true"))
+    val wN = Window.orderBy(col("n_noisy").desc, col("event_type").asc)
+    val wT = Window.orderBy(col("n_true").desc, col("event_type").asc)
+    counts
+      .withColumn("seed",
+        expr("""ascii(substr(event_type, 1, 1)) * 961
+               | + ascii(substr(event_type, 2, 1)) * 31
+               | + length(event_type)""".stripMargin))
+      .withColumn("u",
+        expr("(CAST(seed AS BIGINT) * 1103515245 + 54321) % 766"))
+      .withColumn("noise", expr(dpTopkNoiseSql).cast("long"))
+      .withColumn("n_noisy", col("n_true") + col("noise"))
+      .withColumn("noisy_rank", row_number().over(wN).cast("long"))
+      .withColumn("true_rank", row_number().over(wT).cast("long"))
+      .filter(col("noisy_rank") <= k)
+      .select("noisy_rank", "event_type", "n_noisy", "n_true",
+        "true_rank")
+      .orderBy("noisy_rank")
+  }
+
+  def privacyDpTopk(s: SparkSession, dir: String): DataFrame =
+    privacyDpTopkOn(Tables.events(s, dir))
+
   /** Propensity-style nearest-neighbor matching (the observational
     * causal-inference workhorse): every TREATED user (id-hash arm 1)
     * is matched to the control whose propensity score — here the
@@ -546,6 +600,41 @@ object Inference {
   def eventCuped(s: SparkSession, dir: String): DataFrame =
     eventCupedOn(Tables.events(s, dir))
 
+  /** L22: sample-ratio-mismatch alarm (Fabijan et al., KDD 2019 —
+    * "Diagnosing sample ratio mismatch in A/B testing"): before ANY
+    * experiment readout is trusted, check that the realized split
+    * matches the designed 50/50 — a skewed split means broken
+    * assignment/logging and invalidates every downstream metric. The
+    * statistic is the 1-df chi-squared on the two arm sizes against
+    * equal expectation, exact in milli:
+    * z² = (n₀−n₁)²/(n₀+n₁) → z2_milli = 1000·(n₀−n₁)² DIV n, mapped
+    * to p_ppm through the same pinned [[chi2Ladder]] the test battery
+    * uses; the alarm fires at p < 0.001 (the industry SRM threshold —
+    * deliberately far stricter than the usual 0.05, because the null
+    * here is "the infrastructure works"). One user rollup, a 2-row
+    * reduction, broadcast ladder lookup. */
+  def eventSrmOn(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val arms = events
+      .select(col("user_id")).distinct()
+      .select((col("user_id") % 2).cast("int").as("variant"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"))
+      .withColumn("z2_milli", expr(
+        "CAST((n0 - n1) * (n0 - n1) * 1000 DIV (n0 + n1) AS BIGINT)"))
+    val ladder = chi2Ladder.toDF("thr_milli", "p_ppm")
+    arms.join(broadcast(ladder),
+        col("z2_milli") >= col("thr_milli"), "left")
+      .groupBy("n0", "n1", "z2_milli")
+      .agg(min(col("p_ppm")).as("p_ppm"))
+      .withColumn("srm_alarm", col("p_ppm") < 1000L)
+      .select("n0", "n1", "z2_milli", "p_ppm", "srm_alarm")
+  }
+
+  def eventSrm(s: SparkSession, dir: String): DataFrame =
+    eventSrmOn(Tables.events(s, dir))
+
   /** Trailing frame length for [[tsRsiOn]] (Wilder's classic 14). */
   val RsiPeriod = 14
 
@@ -596,11 +685,13 @@ object Inference {
     "event_cramers_v" -> eventCramersV,
     "event_fdr_bh" -> eventFdrBh,
     "event_holm" -> eventHolm,
+    "event_srm" -> eventSrm,
     "ts_changepoint" -> tsChangepoint,
     "ts_rsi" -> tsRsi,
     "feature_target_encode" -> featureTargetEncode,
     "corpus_skyline" -> corpusSkyline,
     "privacy_dp_counts" -> privacyDpCounts,
+    "privacy_dp_topk" -> privacyDpTopk,
   )
 
   private val dailySql =
@@ -768,6 +859,51 @@ object Inference {
         |SELECT event_type, z2_milli, p_ppm, rk, m,
         |  rk <= k_star AS reject
         |FROM rk CROSS JOIN ks ORDER BY rk""".stripMargin,
+    // Mirrors privacyDpTopkOn: same seed, same fresh LCG coin, same
+    // noise ladder string, k = 3 released ranks with eval columns.
+    "privacy_dp_topk" ->
+      s"""WITH c AS (SELECT event_type,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_true
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT event_type, n_true,
+        |    (ascii(substr(event_type, 1, 1)) * 961
+        |     + ascii(substr(event_type, 2, 1)) * 31
+        |     + length(event_type)) AS seed
+        |  FROM c),
+        |nz AS (SELECT event_type, n_true,
+        |    (CAST(seed AS BIGINT) * 1103515245 + 54321) % 766 AS u
+        |  FROM s),
+        |nn AS (SELECT event_type, n_true,
+        |    n_true + CAST($dpTopkNoiseSql AS BIGINT) AS n_noisy
+        |  FROM nz),
+        |r AS (SELECT event_type, n_true, n_noisy,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_noisy DESC,
+        |      event_type ASC) AS BIGINT) AS noisy_rank,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_true DESC,
+        |      event_type ASC) AS BIGINT) AS true_rank
+        |  FROM nn)
+        |SELECT noisy_rank, event_type, n_noisy, n_true, true_rank
+        |FROM r WHERE noisy_rank <= 3 ORDER BY noisy_rank""".stripMargin,
+    // Mirrors eventSrmOn: distinct users, 50/50 chi-squared in milli,
+    // pinned ladder lookup, p < 0.001 alarm.
+    "event_srm" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1
+        |  FROM u),
+        |z AS (SELECT n0, n1,
+        |    CAST((n0 - n1) * (n0 - n1) * 1000 // (n0 + n1) AS BIGINT)
+        |      AS z2_milli
+        |  FROM a),
+        |ladder(thr_milli, p_ppm) AS (VALUES ${chi2LadderSql})
+        |SELECT n0, n1, z2_milli,
+        |  CAST(MIN(p_ppm) AS BIGINT) AS p_ppm,
+        |  CAST(MIN(p_ppm) AS BIGINT) < 1000 AS srm_alarm
+        |FROM z JOIN ladder ON z2_milli >= thr_milli
+        |GROUP BY n0, n1, z2_milli""".stripMargin,
     // Mirrors eventHolmOn: step-down over the shared p family, reject
     // strictly below the first failing rank (all m+1 when none fail).
     "event_holm" ->

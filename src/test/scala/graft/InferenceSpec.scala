@@ -207,6 +207,36 @@ class InferenceSpec extends SparkSpecBase {
     assert(r.forall(!_.getBoolean(6)))
   }
 
+  test("srm: balanced split stays quiet, a broken split alarms") {
+    // users 0..9 -> 5/5 -> z2 = 0 -> p = 1, no alarm
+    val ok = ev((0 until 20).map(i =>
+      ("a", "2024-01-0" + (1 + i % 5), 1.0)): _*)
+    val r = Inference.eventSrmOn(ok).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 3L)))
+    // ev() assigns user_id = i % 7 -> users 0..6 -> 4 even, 3 odd:
+    // z2_milli = 1*1000/7 = 142 -> p = 1e6, quiet
+    assert(r.getLong(3) === 1000000L && !r.getBoolean(4))
+    // broken assignment: 40 users, all even -> z2 = 40000 milli ->
+    // p = 100 ppm -> alarm
+    val broken = (0 until 40).map(i => (i.toLong * 2,
+        Timestamp.valueOf("2024-01-01 12:00:00"), "a", 1.0))
+      .map { case (u, t, et, v) => (u, t, u, et, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val b = Inference.eventSrmOn(broken).collect()(0)
+    assert(b.getLong(0) === 40L && b.getLong(1) === 0L)
+    assert(b.getBoolean(4))
+  }
+
+  test("dp topk: pinned noise, released ranks carry true-rank eval") {
+    val r = Inference.privacyDpTopk(spark, sf).collect()
+    assert(r.length === 3)
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // mechanism invariant: noisy = true + noise with |noise| <= 8
+    assert(r.forall(x => math.abs(x.getLong(2) - x.getLong(3)) <= 8))
+    // ranks are a permutation readout, both sides positive
+    assert(r.forall(x => x.getLong(4) >= 1L))
+  }
+
   test("rsi: hand series, complete frames only, exact integer ratio") {
     val e = ev(("a", "2024-01-01", 1.0), ("a", "2024-01-02", 2.0),
       ("a", "2024-01-03", 1.5), ("a", "2024-01-04", 3.0),
