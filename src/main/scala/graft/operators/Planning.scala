@@ -314,6 +314,52 @@ object Planning {
   def eventPower(s: SparkSession, dir: String): DataFrame =
     eventPowerOn(Tables.events(s, dir))
 
+  /** L22b: market-basket association rules over event types (the
+    * Agrawal-Srikant support/confidence/lift readout, here on the
+    * user×event-type incidence): for every unordered type pair, how
+    * many users did both, and is the co-occurrence above or below
+    * independence? support_ppm = c_ab/n, the two directed
+    * confidences c_ab/c_a and c_ab/c_b, and lift_milli =
+    * 1000·n·c_ab / (c_a·c_b) — all exact integer divisions on
+    * non-negative operands.
+    *
+    * Shape at 100 TB: the incidence relation is one distinct rollup
+    * off the fact scan; pair enumeration is a user-keyed self-join
+    * whose per-user fanout is C(|types|, 2) — vocabulary-bounded
+    * (10 pairs at 5 types), never row-squared; the per-type singles
+    * and the 1-row n cross in as broadcasts. */
+  def eventMarketBasketOn(events: DataFrame): DataFrame = {
+    val u = events.select(col("user_id"), col("event_type").as("t"))
+      .distinct()
+      .localCheckpoint(true) // pairs + singles + n off one relation
+    val n = u.select("user_id").distinct().agg(count(lit(1)).as("n"))
+    val singles = u.groupBy("t").agg(count(lit(1)).as("c"))
+    val pairs = u.as("x").join(u.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("t_a"), col("y.t").as("t_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(broadcast(singles.select(col("t").as("t_a"),
+        col("c").as("c_a"))), "t_a")
+      .join(broadcast(singles.select(col("t").as("t_b"),
+        col("c").as("c_b"))), "t_b")
+      .crossJoin(broadcast(n))
+      .select(col("t_a"), col("t_b"), col("c_a"), col("c_b"),
+        col("c_ab"),
+        expr("CAST(c_ab * 1000000 DIV n AS BIGINT)").as("support_ppm"),
+        expr("CAST(c_ab * 1000000 DIV c_a AS BIGINT)")
+          .as("conf_a_to_b_ppm"),
+        expr("CAST(c_ab * 1000000 DIV c_b AS BIGINT)")
+          .as("conf_b_to_a_ppm"),
+        expr("CAST(c_ab * n * 1000 DIV (c_a * c_b) AS BIGINT)")
+          .as("lift_milli"))
+      .orderBy("t_a", "t_b")
+  }
+
+  def eventMarketBasket(s: SparkSession, dir: String): DataFrame =
+    eventMarketBasketOn(Tables.events(s, dir))
+
   /** The row-level constraint suite for [[dqRulesOn]], each rule one
     * engine-portable SQL predicate over a lineitem row. ONE string per
     * rule evaluated verbatim by both engines (the chi2Ladder / LCG
@@ -388,9 +434,31 @@ object Planning {
     "dq_freshness" -> dqFreshness,
     "dq_completeness" -> dqCompleteness,
     "dq_rules" -> dqRules,
+    "event_market_basket" -> eventMarketBasket,
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors eventMarketBasketOn: distinct incidence, ordered-pair
+    // self-join, singles + n joined in, exact integer ratios.
+    "event_market_basket" ->
+      """WITH u AS (SELECT DISTINCT user_id, event_type AS t
+        |  FROM events),
+        |n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+        |  FROM u),
+        |s AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM u
+        |  GROUP BY 1),
+        |p AS (SELECT x.t AS t_a, y.t AS t_b,
+        |    CAST(COUNT(*) AS BIGINT) AS c_ab
+        |  FROM u x JOIN u y ON x.user_id = y.user_id AND x.t < y.t
+        |  GROUP BY 1, 2)
+        |SELECT p.t_a, p.t_b, sa.c AS c_a, sb.c AS c_b, p.c_ab,
+        |  CAST(p.c_ab * 1000000 // n.n AS BIGINT) AS support_ppm,
+        |  CAST(p.c_ab * 1000000 // sa.c AS BIGINT) AS conf_a_to_b_ppm,
+        |  CAST(p.c_ab * 1000000 // sb.c AS BIGINT) AS conf_b_to_a_ppm,
+        |  CAST(p.c_ab * n.n * 1000 // (sa.c * sb.c) AS BIGINT)
+        |    AS lift_milli
+        |FROM p JOIN s sa ON sa.t = p.t_a JOIN s sb ON sb.t = p.t_b
+        |CROSS JOIN n ORDER BY t_a, t_b""".stripMargin,
     // Generated from the same DqRowRules literals the engine sums, so
     // the two suites cannot drift; pk/fk CTEs mirror dqRulesOn.
     "dq_rules" -> {

@@ -220,6 +220,25 @@ class PlanningSpec extends SparkSpecBase {
     assert(r.forall(x => !x._3 || x._2 === 0L))
   }
 
+  test("market basket: hand incidence gives exact support/confidence/lift") {
+    // users: 1 {a,b}, 2 {a,b}, 3 {a}, 4 {b,c} -> n=4
+    // pair (a,b): c_ab=2, c_a=3, c_b=3 -> lift = 1000*4*2/9 = 888
+    // pair (b,c): c_ab=1, c_b=3, c_c=1 -> lift = 4000/3 = 1333
+    val e = ev(
+      (1L, "a", "2024-01-01 10:00:00"), (1L, "b", "2024-01-01 10:01:00"),
+      (1L, "a", "2024-01-01 10:02:00"), // duplicate incidence collapses
+      (2L, "a", "2024-01-01 10:00:00"), (2L, "b", "2024-01-01 10:01:00"),
+      (3L, "a", "2024-01-01 10:00:00"),
+      (4L, "b", "2024-01-01 10:00:00"), (4L, "c", "2024-01-01 10:01:00"))
+    val r = Planning.eventMarketBasketOn(e).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6),
+        x.getLong(7), x.getLong(8)))
+    assert(r.toSeq === Seq(
+      ("a", "b", 3L, 3L, 2L, 500000L, 666666L, 666666L, 888L),
+      ("b", "c", 3L, 1L, 1L, 250000L, 333333L, 1000000L, 1333L)))
+  }
+
   test("dq rules: clean relation passes every rule") {
     val li = Seq((1L, 1, 10.0, 100.0, 0.05, 0.02, "A", "F"),
       (1L, 2, 20.0, 50.0, 0.0, 0.0, "N", "O"))
