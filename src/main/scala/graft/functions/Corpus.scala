@@ -879,9 +879,39 @@ object Corpus {
   def corpusCurriculum(s: SparkSession, dir: String): DataFrame =
     corpusCurriculumOn(Tables.documents(s, dir))
 
+  /** L8f: random undersampling to the minority class — the classic
+    * imbalance fix (the downsampling half of SMOTE-era practice;
+    * He & Garcia 2009 survey): every language keeps exactly
+    * min-class-count documents, picked by the deterministic Knuth
+    * multiplicative hash rank (rerun-stable, no RNG — the
+    * sample_cluster_balanced draw), so the output is a perfectly
+    * balanced corpus slice. The minority count crosses as a
+    * broadcast 1-row min; the pick is one lang-partitioned window
+    * over hash order — each class ranks independently in parallel at
+    * any scale. */
+  def sampleUndersampleOn(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"))
+      .localCheckpoint(true) // class histogram + the ranked pick
+    val m = base.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("m"))
+    val w = Window.partitionBy("lang")
+      .orderBy(((col("doc_id") * 2654435761L) % Text.P).asc,
+        col("doc_id").asc)
+    base
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(m))
+      .filter(col("rk") <= col("m"))
+      .select("doc_id", "lang", "rk")
+      .orderBy("doc_id")
+  }
+
+  def sampleUndersample(s: SparkSession, dir: String): DataFrame =
+    sampleUndersampleOn(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_token_budget" -> corpusTokenBudget,
     "corpus_curriculum" -> corpusCurriculum,
+    "sample_undersample" -> sampleUndersample,
     "text_pack_sequences" -> textPackSequences,
     "sample_stratified" -> sampleStratified,
     "sample_neyman" -> sampleNeyman,
@@ -912,6 +942,19 @@ object Corpus {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mirrors sampleUndersampleOn: same Knuth hash rank, minority
+    // count as a scalar subquery.
+    "sample_undersample" ->
+      s"""WITH m AS (SELECT MIN(c) AS m FROM (
+         |    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents
+         |    GROUP BY lang)),
+         |r AS (SELECT doc_id, lang,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY (doc_id * 2654435761) % ${Text.P} ASC,
+         |        doc_id ASC) AS BIGINT) AS rk
+         |  FROM documents)
+         |SELECT doc_id, lang, rk FROM r, m WHERE rk <= m
+         |ORDER BY doc_id""".stripMargin,
     // Mirrors corpusCurriculumOn: single-window total rank (equality
     // with the engine's two-phase spelling is prefix-sum
     // associativity), same ceil-clamp phase arithmetic.

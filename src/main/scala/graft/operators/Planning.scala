@@ -314,6 +314,42 @@ object Planning {
   def eventPower(s: SparkSession, dir: String): DataFrame =
     eventPowerOn(Tables.events(s, dir))
 
+  /** L22c: DAU/MAU stickiness (the standard product-engagement
+    * ratio): per calendar day, distinct daily actives over distinct
+    * trailing-30-day actives, exact in ppm. The trailing-window
+    * DISTINCT is the interesting distributed bit — a sliding
+    * count-distinct window cannot partial-aggregate, so the scalable
+    * spelling expands the COLLAPSED (user, day) incidence 30× (each
+    * active day contributes the user to the next 30 MAU days),
+    * dedups, and counts — calendar-bounded fanout on the collapsed
+    * relation, never on raw events; both rollups are day-keyed
+    * map-side combines. Days come from the DAU side (inner join), so
+    * trailing ghost days past the corpus end never emit. */
+  def eventStickinessOn(events: DataFrame, windowDays: Int = 30)
+      : DataFrame = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    val inc = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .localCheckpoint(true) // dau + the 30x expansion
+    val dau = inc.groupBy("d").agg(count(lit(1)).as("dau"))
+    val mau = inc
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("k"),
+        col("d"))
+      .select(col("user_id"), date_add(col("d"), col("k")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("mau"))
+    dau.join(mau, dau("d") === mau("day"))
+      .select(col("d"), col("dau"), col("mau"),
+        expr("CAST(dau * 1000000 DIV mau AS BIGINT)")
+          .as("stickiness_ppm"))
+      .orderBy("d")
+  }
+
+  def eventStickiness(s: SparkSession, dir: String): DataFrame =
+    eventStickinessOn(Tables.events(s, dir))
+
   /** L22b: market-basket association rules over event types (the
     * Agrawal-Srikant support/confidence/lift readout, here on the
     * user×event-type incidence): for every unordered type pair, how
@@ -435,9 +471,27 @@ object Planning {
     "dq_completeness" -> dqCompleteness,
     "dq_rules" -> dqRules,
     "event_market_basket" -> eventMarketBasket,
+    "event_stickiness" -> eventStickiness,
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors eventStickinessOn: collapsed incidence, 30x expansion
+    // with dedup for the trailing distinct, DAU-side inner join.
+    "event_stickiness" ->
+      """WITH inc AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM inc
+        |  GROUP BY 1),
+        |ex AS (SELECT DISTINCT user_id,
+        |    d + CAST(k.k AS INT) AS day
+        |  FROM inc, range(0, 30) k(k)),
+        |mau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS mau FROM ex
+        |  GROUP BY 1)
+        |SELECT dau.d, dau.dau, mau.mau,
+        |  CAST(dau.dau * 1000000 // mau.mau AS BIGINT)
+        |    AS stickiness_ppm
+        |FROM dau JOIN mau ON mau.day = dau.d
+        |ORDER BY d""".stripMargin,
     // Mirrors eventMarketBasketOn: distinct incidence, ordered-pair
     // self-join, singles + n joined in, exact integer ratios.
     "event_market_basket" ->

@@ -495,6 +495,22 @@ class CorpusSpec extends SparkSpecBase {
     assert(math.abs(c.map(_._2).sum - 1000000L) <= c.length)
   }
 
+  test("undersample: every class trimmed to the minority count by " +
+    "the deterministic hash rank") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      .map { case (id, l) => (id, "t", l) }
+      .toDF("doc_id", "text", "lang")
+    val r = functions.Corpus.sampleUndersampleOn(docs).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    // minority (b) has 1 doc; lang a keeps the smallest Knuth-hash id
+    // (h(2) < h(1) < h(3)) -> exactly {2, 4}, both at rank 1
+    assert(r.toSeq === Seq((2L, "a", 1L), (4L, "b", 1L)))
+    // corpus: per-lang counts all equal the global minimum
+    val c = functions.Corpus.sampleUndersample(spark, sf)
+      .groupBy("lang").count().select("count").as[Long].collect()
+    assert(c.toSet.size === 1)
+  }
+
   test("curriculum: exact CDF ranks, ceil-clamped phases, ties by doc_id") {
     val docs = Seq((1L, "a"), (2L, "a b"), (3L, "c d"), (4L, "a b c d"))
       .toDF("doc_id", "text")

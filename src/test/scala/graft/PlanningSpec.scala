@@ -239,6 +239,21 @@ class PlanningSpec extends SparkSpecBase {
       ("b", "c", 3L, 1L, 1L, 250000L, 333333L, 1000000L, 1333L)))
   }
 
+  test("stickiness: trailing distinct actives, ghost days never emit") {
+    val e = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (2L, "view", "2024-01-01 11:00:00"),
+      (1L, "view", "2024-01-02 10:00:00"),
+      (3L, "view", "2024-01-03 10:00:00"))
+    val r = Planning.eventStickinessOn(e, windowDays = 2).collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    assert(r.toSeq === Seq(
+      ("2024-01-01", 2L, 2L, 1000000L),
+      ("2024-01-02", 1L, 2L, 500000L),   // u1 active; {u1,u2} trailing
+      ("2024-01-03", 1L, 2L, 500000L)))  // u3 active; {u1,u3} trailing
+  }
+
   test("dq rules: clean relation passes every rule") {
     val li = Seq((1L, 1, 10.0, 100.0, 0.05, 0.02, "A", "F"),
       (1L, 2, 20.0, 50.0, 0.0, 0.0, "N", "O"))
