@@ -1026,4 +1026,53 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("hashpartitioning(user_id"), p)
   }
+
+  test("dq_rules: the seven row rules fold into ONE lineitem scan " +
+    "(one more for the fk probe — exactly two scans total); the " +
+    "rule fan-out is a broadcast crossJoin, never an exchange of " +
+    "the fact") {
+    val p = plan(operators.Planning.dqRules(spark, sf))
+    assert("Scan parquet .*lineitem".r.findAllIn(p).size == 2, p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_truss: the fixpoint readout rides the checkpointed " +
+    "edge relation — node/edge-keyed equi-joins only, no cartesian, " +
+    "no parquet rescans") {
+    val p = plan(functions.Clusters.graphTruss(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+  }
+
+  test("event_stickiness: both rollups are day-keyed off the " +
+    "checkpointed incidence; the 30x expansion explodes the " +
+    "collapsed relation, not raw events — no cartesian") {
+    val p = plan(operators.Planning.eventStickiness(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+    assert(p.toLowerCase.contains("explode"), p)
+  }
+
+  test("event_market_basket: singles and the user total cross as " +
+    "broadcasts; the pair join is user-keyed off the checkpointed " +
+    "incidence — no cartesian") {
+    val p = plan(operators.Planning.eventMarketBasket(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 0, p)
+  }
+
+  test("cluster_purity_eval and stream_static_join: dim/label sides " +
+    "broadcast, fact side never exchanged by the join") {
+    val pe = plan(functions.Similarity.clusterPurityEval(spark, sf))
+    assert(!pe.contains("CartesianProduct"), pe)
+    val sj = plan(streaming.Streaming.streamStaticJoin(spark, sf))
+    assert(sj.contains("BroadcastHashJoin"), sj)
+    assert(!sj.contains("SortMergeJoin"), sj)
+  }
 }
