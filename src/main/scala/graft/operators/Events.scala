@@ -792,6 +792,85 @@ object Events {
   def tsHolt(s: SparkSession, dir: String): DataFrame =
     tsHoltOn(Tables.events(s, dir))
 
+  /** L20y: additive Holt-Winters (triple exponential smoothing;
+    * Winters 1960) — [[tsHoltOn]] plus a 7-slot weekly seasonal
+    * state, the forecast rung that handles level + trend + dow
+    * pattern at once. Same exact-dyadic discipline: α = β = γ = ½ so
+    * every update is one arithmetic shift (floor semantics on both
+    * engines — Spark shiftright vs DuckDB floor(v/2.0)):
+    *
+    *   l_t = ⌊(x_t − s_old + l + b) / 2⌋
+    *   b_t = ⌊(l_t − l + b) / 2⌋            (the Holt b-form)
+    *   s_t = ⌊(x_t − l_t + s_old) / 2⌋      (slot (t−1) mod 7)
+    *
+    * Textbook init over the first full season: l₀ = ⌊Σx₁..₇ / 7⌋,
+    * b₀ = 0, s_j = x_j − l₀; SSE accumulates the one-step-ahead error
+    * against l + b + s_old. Series shorter than 8 days are dropped
+    * (init needs a full season plus one step; pinned both engines).
+    * The per-type fold is the ts_holt shape — the recursion lives in
+    * one sort_array(collect_list) aggregate over the calendar-bounded
+    * daily grid, the seasonal array rides inside the fold state, and
+    * types fold independently in parallel; the oracle replays it as
+    * a 7-state-column recursive CTE. */
+  def tsHoltWintersOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint(true) // span + type list + both fold halves
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val z = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+      .join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("x"), lit(0L)).as("x"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .localCheckpoint(true) // init + rest read it
+    val init = z.filter(col("rn") <= 7)
+      .groupBy("event_type")
+      .agg(expr("sum(x) DIV 7").as("l0"),
+        sort_array(collect_list(struct(col("rn"), col("x")))).as("xs"))
+      .filter(size(col("xs")) === 7)
+      .select(col("event_type"), col("l0"),
+        expr("transform(xs, e -> e.x - l0)").as("s0"))
+    val rest = z.filter(col("rn") >= 8)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("rn"), col("x"))))
+        .as("srest"))
+    val slot = "CAST((e.rn - 1) % 7 AS INT)"
+    val sOld = s"element_at(a.s, $slot + 1)"
+    val lNew = s"shiftright(e.x - $sOld + a.l + a.b, 1)"
+    val bNew = s"shiftright($lNew - a.l + a.b, 1)"
+    val sNew = s"shiftright(e.x - $lNew + $sOld, 1)"
+    init.join(rest, Seq("event_type")) // inner: needs >= 8 days
+      .withColumn("acc", expr(
+        s"""aggregate(srest,
+           |  named_struct('l', l0, 'b', CAST(0 AS BIGINT), 's', s0,
+           |    'sse', CAST(0 AS BIGINT), 'n', CAST(7 AS BIGINT)),
+           |  (a, e) -> named_struct(
+           |    'l', $lNew,
+           |    'b', $bNew,
+           |    's', transform(a.s, (v, j) ->
+           |      CASE WHEN j = $slot THEN $sNew ELSE v END),
+           |    'sse', a.sse + (e.x - a.l - a.b - $sOld)
+           |      * (e.x - a.l - a.b - $sOld),
+           |    'n', a.n + 1))""".stripMargin))
+      .select(col("event_type"), col("acc.n").as("n_days"),
+        col("acc.l").as("level"), col("acc.b").as("trend"),
+        expr("element_at(acc.s, CAST(acc.n % 7 AS INT) + 1)")
+          .as("s_next"),
+        (col("acc.l") + col("acc.b")
+          + expr("element_at(acc.s, CAST(acc.n % 7 AS INT) + 1)"))
+          .as("fc_1"),
+        col("acc.sse").as("sse"))
+      .orderBy("event_type")
+  }
+
+  def tsHoltWinters(s: SparkSession, dir: String): DataFrame =
+    tsHoltWintersOn(Tables.events(s, dir))
+
   /** L20p: sequential-pattern support (the GSP/PrefixSpan counting
     * core — Agrawal-Srikant 1996, Pei 2001): for every ordered
     * length-2 and length-3 event-type pattern, how many users contain
@@ -2210,6 +2289,7 @@ object Events {
     "event_cohort_ltv" -> eventCohortLtv,
     "ts_forecast_naive" -> tsForecastNaive,
     "ts_holt" -> tsHolt,
+    "ts_holt_winters" -> tsHoltWinters,
     "event_seq_patterns" -> eventSeqPatterns,
     "sample_bootstrap" -> sampleBootstrap,
     "event_mannwhitney" -> eventMannwhitney,
@@ -2218,6 +2298,70 @@ object Events {
     "event_survival" -> eventSurvival,
     "event_time_to_convert" -> eventTimeToConvert,
   )
+
+  /** Generated DuckDB mirror of [[tsHoltWintersOn]]: the 7 seasonal
+    * slots become 7 recursive-CTE state columns; every dyadic shift
+    * is floor(v/2.0) (≡ Spark's arithmetic shiftright on negatives).
+    * The l/b/s subexpressions are textually nested — verbose but
+    * mechanically identical to the engine's lambda. */
+  private def holtWintersOracleSql: String = {
+    val sCols = (0 to 6).map(j => s"s$j").mkString(", ")
+    val sOld = "CASE CAST((z.rn - 1) % 7 AS INT) " +
+      (0 to 6).map(j => s"WHEN $j THEN h.s$j").mkString(" ") + " END"
+    val lNew = s"CAST(floor((z.x - ($sOld) + h.l + h.b) / 2.0) AS BIGINT)"
+    val bNew = s"CAST(floor((($lNew) - h.l + h.b) / 2.0) AS BIGINT)"
+    val sNew = s"CAST(floor((z.x - ($lNew) + ($sOld)) / 2.0) AS BIGINT)"
+    val sUpd = (0 to 6).map(j =>
+      s"CASE WHEN CAST((z.rn - 1) % 7 AS INT) = $j THEN $sNew " +
+        s"ELSE h.s$j END").mkString(",\n  ")
+    val sInit = (0 to 6).map(j =>
+      s"MAX(CASE WHEN rn = ${j + 1} THEN x END) - MIN(i.l0) AS s$j")
+      .mkString(",\n    ")
+    val sLast = "CASE CAST(h.rn % 7 AS INT) " +
+      (0 to 6).map(j => s"WHEN $j THEN h.s$j").mkString(" ") + " END"
+    s"""WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+       |span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+       |spine AS (SELECT t.event_type, g.d
+       |  FROM (SELECT DISTINCT event_type FROM daily) t
+       |  CROSS JOIN (SELECT UNNEST(generate_series(d0, d1,
+       |    INTERVAL 1 DAY))::DATE AS d FROM span) g),
+       |z AS (SELECT s.event_type, s.d,
+       |    CAST(COALESCE(dl.x, 0) AS BIGINT) AS x,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.event_type
+       |      ORDER BY s.d) AS BIGINT) AS rn
+       |  FROM spine s LEFT JOIN daily dl
+       |    ON s.event_type = dl.event_type AND s.d = dl.d),
+       |nmax AS (SELECT event_type FROM z GROUP BY 1
+       |  HAVING MAX(rn) >= 8),
+       |i AS (SELECT z.event_type, CAST(SUM(x) // 7 AS BIGINT) AS l0
+       |  FROM z JOIN nmax USING (event_type) WHERE rn <= 7
+       |  GROUP BY 1),
+       |si AS (SELECT z.event_type, MIN(i.l0) AS l0,
+       |    $sInit
+       |  FROM z JOIN i USING (event_type) WHERE rn <= 7
+       |  GROUP BY z.event_type),
+       |h(event_type, rn, l, b, $sCols, sse) AS (
+       |  SELECT event_type, CAST(7 AS BIGINT), l0, CAST(0 AS BIGINT),
+       |    $sCols, CAST(0 AS BIGINT)
+       |  FROM si
+       |  UNION ALL
+       |  SELECT z.event_type, z.rn,
+       |  $lNew,
+       |  $bNew,
+       |  $sUpd,
+       |  h.sse + (z.x - h.l - h.b - ($sOld))
+       |    * (z.x - h.l - h.b - ($sOld))
+       |  FROM h JOIN z ON z.event_type = h.event_type
+       |    AND z.rn = h.rn + 1),
+       |last AS (SELECT event_type, MAX(rn) AS rn FROM h GROUP BY 1)
+       |SELECT h.event_type, h.rn AS n_days, h.l AS level,
+       |  h.b AS trend, $sLast AS s_next,
+       |  h.l + h.b + ($sLast) AS fc_1, h.sse
+       |FROM h JOIN last ON last.event_type = h.event_type
+       |  AND last.rn = h.rn
+       |ORDER BY h.event_type""".stripMargin
+  }
 
   private def markovRoundSql(i: Int): String =
     s"""p$i AS (SELECT tm.dst AS state,
@@ -3132,6 +3276,7 @@ object Events {
     // Mirrors tsHoltOn: the dyadic recursion replayed row-by-row by a
     // recursive CTE; floor(·/2.0) is the oracle's spelling of the
     // Spark side's arithmetic shiftright(·, 1) (exact, < 2^52).
+    "ts_holt_winters" -> holtWintersOracleSql,
     "ts_holt" ->
       """WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
         |    CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),

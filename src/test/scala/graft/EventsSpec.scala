@@ -466,6 +466,40 @@ class EventsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("fc_7") == l + 7 * b)
   }
 
+  test("L20y holt-winters: the 14-day fold replayed imperatively — " +
+      "season init x_j - l0, slot rotation, negative-floor shifts, " +
+      "one-step SSE against l + b + s_old") {
+    val base = ts("2024-01-01 00:00:00")
+    // two weeks with a weekly impulse + decline: init week seeds the
+    // seasonal slots, week 2 exercises every slot once
+    val counts = Seq(14, 2, 3, 2, 2, 2, 9, 10, 1, 2, 1, 1, 1, 6)
+    val ev = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(("e", new Timestamp(base.getTime + d * 86400000L)))
+    }.toDF("event_type", "ts")
+    val l0 = counts.take(7).map(_.toLong).sum / 7
+    var l = l0; var b = 0L; var sse = 0L
+    val s = counts.take(7).map(_.toLong - l0).toArray
+    for ((x0, i) <- counts.drop(7).map(_.toLong).zipWithIndex) {
+      val rn = i + 8
+      val j = (rn - 1) % 7
+      val sOld = s(j)
+      sse += (x0 - l - b - sOld) * (x0 - l - b - sOld)
+      val lN = Math.floorDiv(x0 - sOld + l + b, 2)
+      val bN = Math.floorDiv(lN - l + b, 2)
+      s(j) = Math.floorDiv(x0 - lN + sOld, 2)
+      l = lN; b = bN
+    }
+    val r = operators.Events.tsHoltWintersOn(ev).head()
+    assert(r.getAs[Long]("n_days") == 14L)
+    assert(r.getAs[Long]("level") == l)
+    assert(r.getAs[Long]("trend") == b)
+    assert(r.getAs[Long]("s_next") == s(14 % 7))
+    assert(r.getAs[Long]("fc_1") == l + b + s(14 % 7))
+    assert(r.getAs[Long]("sse") == sse)
+    // the replay must itself exercise a negative seasonal / trend
+    assert(s.exists(_ < 0L) && b <= 0L)
+  }
+
   test("L20p seq patterns: greedy earliest-occurrence containment — " +
       "the b AFTER the first a is found even when an earlier b " +
       "precedes it; order gates pairs; repeats need strictly later " +
