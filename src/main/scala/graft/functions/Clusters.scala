@@ -1610,13 +1610,17 @@ object Clusters {
     * embedding dims, SELF-PAIRS INCLUDED, complete for every pair
     * within `cellMicro` distance (3×3 stencil with cell side =
     * cellMicro — provably lossless at radius <= cell side). The
-    * SHARED substrate of the four density/graph ops below
+    * shared substrate of the four density/graph ops below
     * ([[clusterDbscanOnPairs]] eps=20000, [[anomalyLofOnPairs]]
     * eps=20000, [[clusterLinkageLadderOnPairs]] rungs <= 40000,
-    * [[graphCcIncrementalOn]] eps=5000): each consumes a d2-filtered
-    * subset, so the memoized [[gridPairs]] build at cell side 40000
-    * runs the stencil join ONCE per (session, dir) — the knnEdges /
-    * bipartiteEdges cross-query discipline applied to the grid. */
+    * [[graphCcIncrementalOn]] eps=5000), memoized per (session, dir,
+    * CELL SIZE): equal-radius consumers (dbscan + lof) share one
+    * build; different radii build their own. One substrate for all
+    * four at the max radius was measured 3-6x WORSE than per-radius
+    * builds — candidate pairs grow ~r² on this data, so feeding the
+    * eps=5000 consumer from a 40000-radius relation materializes
+    * ~64x the pairs it needs; the r²-growth beats the shared-scan
+    * saving. The knnEdges discipline still applies within a radius. */
   private def gridPairsBuild(emb: DataFrame, cellMicro: Long): DataFrame = {
     val pts = emb.select(col("vec_id"),
         expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000 + 0.5) " +
@@ -1642,15 +1646,15 @@ object Clusters {
   }
 
   private val gridCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+    .empty[(SparkSession, String, Long), DataFrame]
 
-  /** The shared eps<=40000 pair relation, one stencil join per
-    * (session, dir) across the four grid consumers. */
-  private[graft] def gridPairs(s: SparkSession, dir: String): DataFrame =
-    memo(gridCache, s, dir) {
-      gridPairsBuild(Tables.embeddings(s, dir), 40000L)
-        .localCheckpoint(true)
-    }
+  /** The complete-within-`cellMicro` pair relation, one stencil join
+    * per (session, dir, cell size) — see [[gridPairsBuild]]. */
+  private[graft] def gridPairs(s: SparkSession, dir: String,
+      cellMicro: Long): DataFrame =
+    gridCache.getOrElseUpdate((s, dir, cellMicro),
+      gridPairsBuild(Tables.embeddings(s, dir), cellMicro)
+        .localCheckpoint(true))
 
   /** Grid-bucketed DBSCAN (Ester et al. KDD 1996; the cell-partition
     * parallelization of He et al.'s MR-DBSCAN): density clustering
@@ -1723,7 +1727,7 @@ object Clusters {
   }
 
   def clusterDbscan(s: SparkSession, dir: String): DataFrame =
-    clusterDbscanOnPairs(gridPairs(s, dir))
+    clusterDbscanOnPairs(gridPairs(s, dir, 20000L))
 
   /** Eps-bounded Local Outlier Factor (Breunig et al. SIGMOD 2000)
     * over [[clusterDbscanOn]]'s micro-integer grid: where DBSCAN
@@ -1809,7 +1813,7 @@ object Clusters {
   }
 
   def anomalyLof(s: SparkSession, dir: String): DataFrame =
-    anomalyLofOnPairs(gridPairs(s, dir))
+    anomalyLofOnPairs(gridPairs(s, dir, 20000L))
 
   /** Single-linkage dendrogram ladder (SLINK semantics, Sibson 1973;
     * the distributed cut-at-height form): at each rung eps of a fixed
@@ -1832,7 +1836,14 @@ object Clusters {
     * Scale: |rungs| is a constant (4), so the whole op is 4 CC runs
     * on density-bounded edge subsets of ONE stencil join — each CC
     * logarithmic-round with checkpointed constant-size plans; the
-    * census rollups are label-keyed map-side combines. */
+    * census rollups are label-keyed map-side combines. A label-
+    * contraction variant (rung r+1's CC over rung r's component
+    * graph on fresh edges only — the graph_cc_incremental theorem
+    * up the ladder) was implemented and MEASURED SLOWER here (+45%:
+    * the per-rung relabel joins and checkpoints outweigh the CC
+    * saving at any edge set this stencil admits); at a scale where
+    * the rung CCs dominate, that contraction is the known upgrade
+    * path and [[graphCcIncrementalOnPairs]] is its tested core. */
   def clusterLinkageLadderOn(emb: DataFrame,
       rungsMicro: Seq[Long] = Seq(5000L, 10000L, 20000L, 40000L))
       : DataFrame =
@@ -1876,7 +1887,7 @@ object Clusters {
   }
 
   def clusterLinkageLadder(s: SparkSession, dir: String): DataFrame =
-    clusterLinkageLadderOnPairs(gridPairs(s, dir))
+    clusterLinkageLadderOnPairs(gridPairs(s, dir, 40000L))
 
   /** Incremental connected components by LABEL CONTRACTION (the
     * union-find-on-summaries idiom of incremental graph systems, cf.
@@ -1945,7 +1956,7 @@ object Clusters {
   }
 
   def graphCcIncremental(s: SparkSession, dir: String): DataFrame =
-    graphCcIncrementalOnPairs(gridPairs(s, dir))
+    graphCcIncrementalOnPairs(gridPairs(s, dir, 5000L))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "anomaly_lof" -> anomalyLof,
