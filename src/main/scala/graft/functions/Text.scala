@@ -1170,6 +1170,30 @@ object Text {
   def textBpeEncode(s: SparkSession, dir: String): DataFrame =
     textBpeEncodeOn(Tables.documents(s, dir))
 
+  /** L4l': tokenizer fertility by language — symbols emitted per
+    * whitespace word under the trained BPE vocabulary, the standard
+    * cross-lingual tokenizer-fairness readout (a language whose
+    * fertility is 2× another's pays 2× the context budget per word;
+    * the metric multilingual-tokenizer evaluations report): per
+    * language, Σ n_symbols over Σ words in exact milli, off the SAME
+    * per-doc encode relation as [[textBpeEncodeOn]] plus one
+    * broadcast-sized lang join and a |langs|-row rollup. */
+  def textBpeFertilityOn(docs: DataFrame, merges: Int = 3): DataFrame =
+    textBpeEncodeOn(docs, merges)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_words"),
+        sum(col("n_symbols")).as("n_symbols"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_symbols"),
+        expr("CAST(n_symbols * 1000 DIV n_words AS BIGINT)")
+          .as("fertility_milli"))
+      .orderBy("lang")
+
+  def textBpeFertility(s: SparkSession, dir: String): DataFrame =
+    textBpeFertilityOn(Tables.documents(s, dir))
+
   /** L4m: feature hashing (the "hashing trick", Weinberger et al.
     * 2009 — the HashingVectorizer / Vowpal Wabbit featurizer): tokens
     * map to a FIXED 2^b feature space by hash, with a second hash bit
@@ -1203,6 +1227,7 @@ object Text {
     "text_lm_score" -> textLmScore,
     "text_bpe_merges" -> textBpeMerges,
     "text_bpe_encode" -> textBpeEncode,
+    "text_bpe_fertility" -> textBpeFertility,
     "text_repetition" -> textRepetition,
     "dedup_normalized" -> dedupNormalized,
     "text_pii_mask" -> textPiiMask,
@@ -1391,6 +1416,29 @@ object Text {
          |  CAST(SUM(n_sym) AS BIGINT) AS n_symbols
          |FROM t JOIN enc USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same trained-vocab CTE chain as text_bpe_encode, rolled up to
+    // the per-language fertility ratio.
+    "text_bpe_fertility" ->
+      s"""WITH v0 AS (SELECT w, string_split(w, '') AS cs,
+         |    CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w),
+         |${bpeVocabRoundSql(1, "v0")},
+         |${bpeVocabRoundSql(2, "v1")},
+         |${bpeVocabRoundSql(3, "v2")},
+         |enc AS (SELECT w, CAST(len(cs) AS BIGINT) AS n_sym FROM v3),
+         |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(n_sym) AS BIGINT) AS n_symbols
+         |  FROM t JOIN enc USING (w) GROUP BY doc_id)
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(pd.n_tokens) AS BIGINT) AS n_words,
+         |  CAST(SUM(pd.n_symbols) AS BIGINT) AS n_symbols,
+         |  CAST(SUM(pd.n_symbols) * 1000 // SUM(pd.n_tokens) AS BIGINT)
+         |    AS fertility_milli
+         |FROM pd JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "text_bpe_merges" ->
       s"""WITH w0 AS (SELECT string_split(w, '') AS cs
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),

@@ -309,6 +309,26 @@ class ChunkLmSpec extends SparkSpecBase {
     c.unpersist()
   }
 
+  test("BPE fertility: per-language sums reconcile with the per-doc " +
+    "encode relation; ratio is the exact floor milli") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val docs = Tables.documents(spark, sf)
+    val fert = functions.Text.textBpeFertilityOn(docs).collect()
+    val perDoc = functions.Text.textBpeEncodeOn(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(fsum("n_tokens").as("w"), fsum("n_symbols").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      val (w, s) = perDoc(r.getString(0))
+      assert(r.getLong(2) === w && r.getLong(3) === s)
+      assert(r.getLong(4) === s * 1000 / w)
+      assert(r.getLong(4) >= 1000L) // >= 1 symbol per word always
+    }
+  }
+
   test("quality kappa: chance-level, perfect, inverse and degenerate " +
     "confusion matrices hit 0, 1, -1 and NULL") {
     def doc(id: Long, nChars: Long, nToks: Int) =
