@@ -314,6 +314,74 @@ object Planning {
   def eventPower(s: SparkSession, dir: String): DataFrame =
     eventPowerOn(Tables.events(s, dir))
 
+  /** L22d: burstiness of the inter-event gap process (Goh &
+    * Barabási, EPL 2008): B = (σ−μ)/(σ+μ) over per-type interarrival
+    * gaps — −1 for a metronome, 0 for a Poisson process, →1 for
+    * heavy-tailed bursts; the signal that tells a capacity planner
+    * whether mean rate is a usable sizing number. Gaps in whole
+    * seconds (floor of the µs delta — pinned identically both
+    * engines); moments as exact integer sums through DECIMAL(38,0)
+    * (n·Q − S² overflows BIGINT at corpus gap magnitudes), then
+    * B = (√(nQ−S²) − S)/(√(nQ−S²) + S) with one correctly-rounded
+    * sqrt and one division in double (the agg_corr discipline).
+    * NULL gates: fewer than 2 gaps, or an all-zero gap process.
+    * Shape: one type-keyed lag window, one rollup row per type. */
+  def tsBurstinessOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("tus").asc, col("event_id").asc)
+    events
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+        col("event_id"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        expr("(tus - prev) DIV 1000000").as("gap_s"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sum_gap_s"),
+        sum(expr("CAST(gap_s AS DECIMAL(38,0)) * gap_s")).as("q"))
+      .select(col("event_type"), col("n_gaps"), col("sum_gap_s"),
+        expr("""CASE WHEN n_gaps >= 2 AND sum_gap_s > 0 THEN
+               |  (sqrt(CAST(CAST(n_gaps AS DECIMAL(38,0)) * q
+               |     - CAST(sum_gap_s AS DECIMAL(38,0)) * sum_gap_s
+               |     AS DOUBLE)) - CAST(sum_gap_s AS DOUBLE))
+               |  / (sqrt(CAST(CAST(n_gaps AS DECIMAL(38,0)) * q
+               |     - CAST(sum_gap_s AS DECIMAL(38,0)) * sum_gap_s
+               |     AS DOUBLE)) + CAST(sum_gap_s AS DOUBLE))
+               |END""".stripMargin).as("b_burstiness"))
+      .orderBy("event_type")
+  }
+
+  def tsBurstiness(s: SparkSession, dir: String): DataFrame =
+    tsBurstinessOn(Tables.events(s, dir))
+
+  /** L22e: new-vs-returning daily actives — the standard growth
+    * split: a user's first-ever active day classifies them "new" on
+    * that day and "returning" on every later active day. First-seen
+    * is a per-user min over the collapsed (user, day) incidence, the
+    * classification joins it back user-keyed, the readout is a
+    * day-keyed rollup with the exact ppm share. */
+  def eventNewReturningOn(events: DataFrame): DataFrame = {
+    val inc = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .localCheckpoint(true) // first-seen + the classification join
+    val first = inc.groupBy("user_id").agg(min(col("d")).as("d0"))
+    inc.join(first, "user_id")
+      .groupBy("d")
+      .agg(sum(when(col("d") === col("d0"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("d") > col("d0"), 1L).otherwise(0L))
+          .as("n_returning"))
+      .select(col("d"), col("n_new"), col("n_returning"),
+        expr("""CAST(n_new * 1000000 DIV (n_new + n_returning)
+               | AS BIGINT)""".stripMargin).as("new_share_ppm"))
+      .orderBy("d")
+  }
+
+  def eventNewReturning(s: SparkSession, dir: String): DataFrame =
+    eventNewReturningOn(Tables.events(s, dir))
+
   /** L22c: DAU/MAU stickiness (the standard product-engagement
     * ratio): per calendar day, distinct daily actives over distinct
     * trailing-30-day actives, exact in ppm. The trailing-window
@@ -472,9 +540,49 @@ object Planning {
     "dq_rules" -> dqRules,
     "event_market_basket" -> eventMarketBasket,
     "event_stickiness" -> eventStickiness,
+    "ts_burstiness" -> tsBurstiness,
+    "event_new_returning" -> eventNewReturning,
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors tsBurstinessOn: second-floored gaps, HUGEINT moments,
+    // one sqrt + one division in double.
+    "ts_burstiness" ->
+      """WITH g AS (SELECT event_type,
+        |    (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type
+        |      ORDER BY epoch_us(ts) ASC, event_id ASC)) // 1000000
+        |      AS gap_s
+        |  FROM events),
+        |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+        |    SUM(CAST(gap_s AS HUGEINT) * gap_s) AS q
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps, sum_gap_s,
+        |  CASE WHEN n_gaps >= 2 AND sum_gap_s > 0 THEN
+        |    (sqrt(CAST(CAST(n_gaps AS HUGEINT) * q
+        |       - CAST(sum_gap_s AS HUGEINT) * sum_gap_s AS DOUBLE))
+        |     - CAST(sum_gap_s AS DOUBLE))
+        |    / (sqrt(CAST(CAST(n_gaps AS HUGEINT) * q
+        |       - CAST(sum_gap_s AS HUGEINT) * sum_gap_s AS DOUBLE))
+        |     + CAST(sum_gap_s AS DOUBLE))
+        |  END AS b_burstiness
+        |FROM m ORDER BY event_type""".stripMargin,
+    // Mirrors eventNewReturningOn: collapsed incidence, per-user
+    // first-seen min, day rollup with exact ppm share.
+    "event_new_returning" ->
+      """WITH inc AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(d) AS d0 FROM inc GROUP BY 1)
+        |SELECT inc.d,
+        |  CAST(SUM(CASE WHEN inc.d = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN inc.d > f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returning,
+        |  CAST(SUM(CASE WHEN inc.d = f.d0 THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS new_share_ppm
+        |FROM inc JOIN f USING (user_id)
+        |GROUP BY inc.d ORDER BY inc.d""".stripMargin,
     // Mirrors eventStickinessOn: collapsed incidence, 30x expansion
     // with dedup for the trailing distinct, DAU-side inner join.
     "event_stickiness" ->

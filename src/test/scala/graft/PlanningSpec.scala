@@ -254,6 +254,38 @@ class PlanningSpec extends SparkSpecBase {
       ("2024-01-03", 1L, 2L, 500000L)))  // u3 active; {u1,u3} trailing
   }
 
+  test("burstiness: metronome pins -1, bursts go positive, " +
+    "single-gap and zero-gap processes NULL-gate") {
+    val metro = ev((0 to 3).map(i =>
+      (1L, "a", f"2024-01-01 10:0$i:00")): _*) // gaps 60,60,60
+    val m = Planning.tsBurstinessOn(metro).collect()(0)
+    assert(m.getLong(1) === 3L && m.getDouble(3) === -1.0)
+    // gaps 0, 0, 30 -> B = (sqrt(1800) - 30)/(sqrt(1800) + 30)
+    val burst = ev(
+      (1L, "a", "2024-01-01 10:00:00"), (1L, "a", "2024-01-01 10:00:00"),
+      (1L, "a", "2024-01-01 10:00:00"), (1L, "a", "2024-01-01 10:00:30"))
+    val b = Planning.tsBurstinessOn(burst).collect()(0)
+    val expect = (math.sqrt(1800.0) - 30) / (math.sqrt(1800.0) + 30)
+    assert(math.abs(b.getDouble(3) - expect) < 1e-12)
+    // one gap -> n_gaps < 2 -> NULL
+    val one = ev((1L, "a", "2024-01-01 10:00:00"),
+      (1L, "a", "2024-01-01 10:01:00"))
+    assert(Planning.tsBurstinessOn(one).collect()(0).isNullAt(3))
+  }
+
+  test("new vs returning: first-ever day is new, later days returning") {
+    val e = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-02 10:00:00"),
+      (2L, "view", "2024-01-02 11:00:00"))
+    val r = Planning.eventNewReturningOn(e).collect()
+      .map(x => (x.getDate(0).toString, x.getLong(1), x.getLong(2),
+        x.getLong(3)))
+    assert(r.toSeq === Seq(
+      ("2024-01-01", 1L, 0L, 1000000L),
+      ("2024-01-02", 1L, 1L, 500000L)))
+  }
+
   test("dq rules: clean relation passes every rule") {
     val li = Seq((1L, 1, 10.0, 100.0, 0.05, 0.02, "A", "F"),
       (1L, 2, 20.0, 50.0, 0.0, 0.0, "N", "O"))
