@@ -908,10 +908,90 @@ object Corpus {
   def sampleUndersample(s: SparkSession, dir: String): DataFrame =
     sampleUndersampleOn(Tables.documents(s, dir))
 
+  /** Mask rate for [[corpusSpanCorruptionOn]] in milli (150 = T5's
+    * 15% corruption rate). */
+  val SpanCorruptMilli = 150L
+
+  /** L8g: span-corruption pair generation (T5, Raffel et al. 2020
+    * §3.1.4): the denoising-pretraining sample builder — mask ~15% of
+    * tokens, collapse each contiguous masked RUN to one sentinel in
+    * the input, and emit the masked content behind matching sentinels
+    * as the target:
+    *   tokens:  the quick brown fox jumps
+    *   masked:      ^^^^^ ^^^^^
+    *   input:   the <extra_id_0> fox jumps
+    *   target:  <extra_id_0> quick brown
+    * The mask coin is the derandomized LCG on (doc_id, position) —
+    * both engines replay it bit-for-bit; the position step is 61 mod
+    * 1000 (coprime, full-cycle) chosen so masked RUNS actually occur
+    * (a step ≥ the mask window would make every span length 1 and
+    * the sentinel collapse dead code) — and spans are the classic
+    * gaps-and-islands fold: a masked token STARTS a span iff its
+    * predecessor position is unmasked, the span ordinal is the
+    * running count of starts, and both output strings are one
+    * position-ordered aggregation each. Everything is doc-keyed
+    * windows over exploded tokens — embarrassingly parallel over
+    * documents at any corpus size. */
+  def corpusSpanCorruptionOn(docs: DataFrame,
+      maskMilli: Long = SpanCorruptMilli): DataFrame = {
+    require(maskMilli >= 1 && maskMilli <= 999,
+      s"need maskMilli in [1, 999], got $maskMilli")
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        col("col").as("tok"))
+      .withColumn("m", expr(
+        s"((doc_id * 31 + i * 1061) % 1000 + 1000) % 1000" +
+          s" < $maskMilli"))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val spanned = toks
+      .withColumn("prev_m",
+        coalesce(lag(col("m"), 1).over(w), lit(false)))
+      .withColumn("is_start", col("m") && !col("prev_m"))
+      .withColumn("span",
+        sum(when(col("is_start"), 1L).otherwise(0L)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - 1L)
+      .localCheckpoint(true) // input + target + counts read it
+    val input = spanned
+      .select(col("doc_id"), col("i"),
+        when(!col("m"), col("tok"))
+          .when(col("is_start"),
+            concat(lit("<extra_id_"), col("span"), lit(">")))
+          .otherwise(lit(null)).as("piece"))
+      .filter(col("piece").isNotNull)
+      .groupBy("doc_id")
+      .agg(array_join(expr("transform(sort_array(collect_list(" +
+        "struct(i, piece))), e -> e.piece)"), " ").as("input_text"))
+    val target = spanned
+      .filter(col("m"))
+      .select(col("doc_id"), col("i"),
+        when(col("is_start"),
+          concat(lit("<extra_id_"), col("span"), lit("> "), col("tok")))
+          .otherwise(col("tok")).as("piece"))
+      .groupBy("doc_id")
+      .agg(array_join(expr("transform(sort_array(collect_list(" +
+        "struct(i, piece))), e -> e.piece)"), " ").as("target_text"))
+    spanned.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("m").cast("long")).as("n_masked"),
+        sum(col("is_start").cast("long")).as("n_spans"))
+      .join(input, "doc_id")
+      .join(target, Seq("doc_id"), "left")
+      .na.fill("", Seq("target_text"))
+      .select("doc_id", "n_tokens", "n_masked", "n_spans",
+        "input_text", "target_text")
+      .orderBy("doc_id")
+  }
+
+  def corpusSpanCorruption(s: SparkSession, dir: String): DataFrame =
+    corpusSpanCorruptionOn(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_token_budget" -> corpusTokenBudget,
     "corpus_curriculum" -> corpusCurriculum,
     "sample_undersample" -> sampleUndersample,
+    "corpus_span_corruption" -> corpusSpanCorruption,
     "text_pack_sequences" -> textPackSequences,
     "sample_stratified" -> sampleStratified,
     "sample_neyman" -> sampleNeyman,
@@ -942,6 +1022,47 @@ object Corpus {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mirrors corpusSpanCorruptionOn: same LCG mask coin, same
+    // gaps-and-islands span fold, position-ordered aggregations.
+    "corpus_span_corruption" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents),
+         |p AS (SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS i, t[r.i] AS tok
+         |  FROM tk, UNNEST(range(1, len(t) + 1)) AS r(i)),
+         |mm AS (SELECT doc_id, i, tok,
+         |    ((doc_id * 31 + i * 1061) % 1000 + 1000) % 1000
+         |      < $SpanCorruptMilli AS m
+         |  FROM p),
+         |sp AS (SELECT doc_id, i, tok, m,
+         |    m AND NOT COALESCE(LAG(m) OVER (PARTITION BY doc_id
+         |      ORDER BY i), FALSE) AS is_start
+         |  FROM mm),
+         |sp2 AS (SELECT *, SUM(CASE WHEN is_start THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY i
+         |        ROWS UNBOUNDED PRECEDING) - 1 AS span
+         |  FROM sp),
+         |inp AS (SELECT doc_id,
+         |    string_agg(piece, ' ' ORDER BY i) AS input_text
+         |  FROM (SELECT doc_id, i, CASE WHEN NOT m THEN tok
+         |      WHEN is_start THEN '<extra_id_' || span || '>' END
+         |      AS piece FROM sp2)
+         |  WHERE piece IS NOT NULL GROUP BY doc_id),
+         |tgt AS (SELECT doc_id,
+         |    string_agg(piece, ' ' ORDER BY i) AS target_text
+         |  FROM (SELECT doc_id, i, CASE WHEN is_start
+         |      THEN '<extra_id_' || span || '> ' || tok ELSE tok END
+         |      AS piece FROM sp2 WHERE m)
+         |  GROUP BY doc_id),
+         |c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_masked,
+         |    CAST(SUM(CASE WHEN is_start THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_spans
+         |  FROM sp2 GROUP BY doc_id)
+         |SELECT c.doc_id, n_tokens, n_masked, n_spans, inp.input_text,
+         |  COALESCE(tgt.target_text, '') AS target_text
+         |FROM c JOIN inp USING (doc_id) LEFT JOIN tgt USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // Mirrors sampleUndersampleOn: same Knuth hash rank, minority
     // count as a scalar subquery.
     "sample_undersample" ->

@@ -511,6 +511,25 @@ class CorpusSpec extends SparkSpecBase {
     assert(c.toSet.size === 1)
   }
 
+  test("span corruption: adjacent masks collapse to one sentinel, " +
+    "input/target reconstruct, corpus rate lands near 15%") {
+    // doc 1: h(i) = (31 + 61*i) % 1000 -> masked at i=0,1 (31, 92),
+    // clear from i=2 (153, 214, ...): ONE span of length 2
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5")).toDF("doc_id", "text")
+    val r = functions.Corpus.corpusSpanCorruptionOn(docs).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((6L, 2L, 1L)))
+    assert(r.getString(4) === "<extra_id_0> t2 t3 t4 t5")
+    assert(r.getString(5) === "<extra_id_0> t0 t1")
+    // corpus: rate within [10%, 20%], spans strictly fewer than masks
+    // (real multi-token spans exist), reconstruction conserves tokens
+    val c = functions.Corpus.corpusSpanCorruption(spark, sf)
+      .agg(sum("n_tokens").as("t"), sum("n_masked").as("m"),
+        sum("n_spans").as("s"))
+      .as[(Long, Long, Long)].head()
+    assert(c._2 * 10 >= c._1 && c._2 * 5 <= c._1, c.toString)
+    assert(c._3 < c._2)
+  }
+
   test("curriculum: exact CDF ranks, ceil-clamped phases, ties by doc_id") {
     val docs = Seq((1L, "a"), (2L, "a b"), (3L, "c d"), (4L, "a b c d"))
       .toDF("doc_id", "text")
