@@ -987,11 +987,46 @@ object Corpus {
   def corpusSpanCorruption(s: SparkSession, dir: String): DataFrame =
     corpusSpanCorruptionOn(Tables.documents(s, dir))
 
+  /** L8h: fill-in-the-middle transformation (Bavarian et al. 2022,
+    * "Efficient training of language models to fill in the middle"):
+    * rearrange each document into PSM order — prefix, suffix, then
+    * the middle as the continuation target — so an autoregressive
+    * model learns infilling for free. The two cut points are
+    * derandomized per-doc hash draws (sorted, so the middle is well-
+    * formed and possibly empty); the rearrangement is pure array
+    * slicing on the token list with sentinel tokens spliced between
+    * segments — entirely map-side, no shuffle but the output order.
+    * Emitting cut offsets and token counts beside the text keeps the
+    * op auditable (rate/length distributions) without re-parsing. */
+  def corpusFimPairsOn(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("h1", expr("(doc_id * 2654435761) % n"))
+      .withColumn("h2", expr("(doc_id * 1103515245 + 12345) % n"))
+      .withColumn("c1", least(col("h1"), col("h2")))
+      .withColumn("c2", greatest(col("h1"), col("h2")))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("c1"),
+        col("c2"),
+        (col("c2") - col("c1")).as("n_middle"),
+        expr("""array_join(concat(
+               |  array('<PRE>'), slice(t, 1, CAST(c1 AS INT)),
+               |  array('<SUF>'), slice(t, CAST(c2 AS INT) + 1,
+               |    CAST(n - c2 AS INT)),
+               |  array('<MID>'), slice(t, CAST(c1 AS INT) + 1,
+               |    CAST(c2 - c1 AS INT))), ' ')""".stripMargin)
+          .as("fim_text"))
+      .orderBy("doc_id")
+
+  def corpusFimPairs(s: SparkSession, dir: String): DataFrame =
+    corpusFimPairsOn(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_token_budget" -> corpusTokenBudget,
     "corpus_curriculum" -> corpusCurriculum,
     "sample_undersample" -> sampleUndersample,
     "corpus_span_corruption" -> corpusSpanCorruption,
+    "corpus_fim_pairs" -> corpusFimPairs,
     "text_pack_sequences" -> textPackSequences,
     "sample_stratified" -> sampleStratified,
     "sample_neyman" -> sampleNeyman,
@@ -1022,6 +1057,27 @@ object Corpus {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mirrors corpusFimPairsOn: same hash cuts, 1-based list slices.
+    "corpus_fim_pairs" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |cut AS (SELECT doc_id, t, n,
+        |    (doc_id * 2654435761) % n AS h1,
+        |    (doc_id * 1103515245 + 12345) % n AS h2
+        |  FROM tk)
+        |SELECT doc_id, n AS n_tokens,
+        |  LEAST(h1, h2) AS c1, GREATEST(h1, h2) AS c2,
+        |  GREATEST(h1, h2) - LEAST(h1, h2) AS n_middle,
+        |  array_to_string(list_concat(list_concat(list_concat(
+        |    list_concat(['<PRE>'],
+        |      t[1:CAST(LEAST(h1, h2) AS INT)]),
+        |    list_concat(['<SUF>'],
+        |      t[CAST(GREATEST(h1, h2) AS INT) + 1:CAST(n AS INT)])),
+        |    ['<MID>']),
+        |    t[CAST(LEAST(h1, h2) AS INT) + 1:
+        |      CAST(GREATEST(h1, h2) AS INT)]), ' ') AS fim_text
+        |FROM cut ORDER BY doc_id""".stripMargin,
     // Mirrors corpusSpanCorruptionOn: same LCG mask coin, same
     // gaps-and-islands span fold, position-ordered aggregations.
     "corpus_span_corruption" ->

@@ -530,6 +530,22 @@ class CorpusSpec extends SparkSpecBase {
     assert(c._3 < c._2)
   }
 
+  test("fim pairs: PSM rearrangement with hash cuts, token-conserving") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val r = functions.Corpus.corpusFimPairsOn(docs).collect()
+    // doc 1: h1 = 2654435761 % 5 = 1, h2 = 1103527590 % 5 = 0
+    assert((r(0).getLong(2), r(0).getLong(3)) === ((0L, 1L)))
+    assert(r(0).getString(5) === "<PRE> <SUF> b c d e <MID> a")
+    // doc 2: h1 = 2, h2 = 0 -> middle "a b"
+    assert(r(1).getString(5) === "<PRE> <SUF> c d e <MID> a b")
+    // corpus: every row conserves tokens (3 sentinels + n)
+    val c = functions.Corpus.corpusFimPairs(spark, sf)
+      .filter(size(split(col("fim_text"), " ")) =!= col("n_tokens") + 3)
+      .count()
+    assert(c === 0L)
+  }
+
   test("curriculum: exact CDF ranks, ceil-clamped phases, ties by doc_id") {
     val docs = Seq((1L, "a"), (2L, "a b"), (3L, "c d"), (4L, "a b c d"))
       .toDF("doc_id", "text")
