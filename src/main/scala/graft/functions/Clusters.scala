@@ -1427,6 +1427,55 @@ object Clusters {
       .select(col("c_custkey").as("rid"), col("c_name").as("name"),
         col("c_nationkey").as("grp"), col("c_acctbal").as("bal")))
 
+  /** L16e: blocking-recall evaluation of the sorted-neighborhood
+    * stage — the pairs-completeness audit (Christen 2012's blocking
+    * evaluation methodology) behind every "is the SNM window big
+    * enough?" decision: ground truth is the EXACT within-group match
+    * set (grp equi-join + levenshtein ≤ 1 — group-keyed, never a
+    * global cross product), each true pair carries its sort-RANK
+    * distance under the same (name, rid) key the blocker uses, and
+    * the whole window sweep then reads off ONE distance relation —
+    * recall(w) = share of true pairs with rank distance < w, i.e.
+    * the sweep costs one truth join total, not one blocking run per
+    * window. n_candidates is the closed-form (w−1)·n − w(w−1)/2
+    * candidate volume, the cost axis of the recall/cost trade. SNM
+    * verify is a subset of truth by construction, so precision is
+    * identically 1 and recall is the whole story. */
+  def erBlockingEvalOn(records: DataFrame,
+      windows: Seq[Int] = Seq(2, 3, 4, 6, 8)): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 2),
+      s"need windows >= 2, got $windows")
+    val ranked = graft.operators.Windows.denseIdsOn(
+      records.select("rid", "name", "grp"), Seq("name", "rid"))
+      .localCheckpoint(true) // both truth sides + the n scalar
+    val n = ranked.agg(count(lit(1)).as("n"))
+    val truth = ranked.as("x").join(ranked.as("y"),
+        col("x.grp") === col("y.grp") && col("x.rid") < col("y.rid") &&
+          levenshtein(col("x.name"), col("y.name")) <= 1)
+      .select(abs(col("x.dense_id") - col("y.dense_id")).as("dist"))
+      .localCheckpoint(true) // one conditional-sum pass per window
+    val per = windows.map { w =>
+      truth.agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(when(col("dist") < w, 1L).otherwise(0L)), lit(0L))
+            .as("n_found"))
+        .withColumn("win_size", lit(w))
+    }.reduce(_ unionByName _)
+    per.crossJoin(broadcast(n))
+      .select(col("win_size"), col("n_truth"), col("n_found"),
+        expr("CAST((least(win_size, n) - 1) * n" +
+          " - least(win_size, n) * (least(win_size, n) - 1) DIV 2" +
+          " AS BIGINT)").as("n_candidates"),
+        expr("""CASE WHEN n_truth > 0 THEN
+               |  CAST(n_found * 1000000 DIV n_truth AS BIGINT)
+               |END""".stripMargin).as("recall_ppm"))
+      .orderBy("win_size")
+  }
+
+  def erBlockingEval(s: SparkSession, dir: String): DataFrame =
+    erBlockingEvalOn(Tables.customer(s, dir)
+      .select(col("c_custkey").as("rid"), col("c_name").as("name"),
+        col("c_nationkey").as("grp")))
+
   /** Catalog wrapper: customers as entity records — name as the match
     * string, nation as the hard block, account balance as the
     * survivorship value. */
@@ -1969,6 +2018,7 @@ object Clusters {
     "graph_louvain_move" -> graphLouvainMove,
     "er_golden_record" -> erGoldenRecord,
     "er_pipeline" -> erPipeline,
+    "er_blocking_eval" -> erBlockingEval,
     "graph_projection" -> graphProjection,
     "dedup_apply" -> dedupApply,
     "graph_degrees" -> graphDegrees,
@@ -2441,6 +2491,32 @@ object Clusters {
          |  MAX(r.bal) AS surviving_bal
          |FROM lbl l JOIN r ON l.node = r.rid
          |GROUP BY l.cluster_id ORDER BY cluster_id""".stripMargin,
+    // Mirrors erBlockingEvalOn: global (name, rid) rank, group-keyed
+    // exact truth with rank distances, LEFT-join window sweep.
+    "er_blocking_eval" ->
+      """WITH r AS (SELECT c_custkey AS rid, c_name AS name,
+        |    c_nationkey AS grp FROM customer),
+        |rk AS (SELECT rid, name, grp,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY name, rid) AS BIGINT)
+        |      AS dense_id
+        |  FROM r),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rk),
+        |t AS (SELECT abs(x.dense_id - y.dense_id) AS dist
+        |  FROM rk x JOIN rk y ON x.grp = y.grp AND x.rid < y.rid
+        |  WHERE levenshtein(x.name, y.name) <= 1),
+        |w(win) AS (VALUES (2), (3), (4), (6), (8)),
+        |m AS (SELECT w.win, CAST(COUNT(t.dist) AS BIGINT) AS n_truth,
+        |    CAST(COALESCE(SUM(CASE WHEN t.dist < w.win THEN 1
+        |      ELSE 0 END), 0) AS BIGINT) AS n_found
+        |  FROM w LEFT JOIN t ON TRUE GROUP BY w.win)
+        |SELECT CAST(win AS INT) AS win_size, n_truth, n_found,
+        |  CAST((LEAST(win, n.n) - 1) * n.n
+        |    - LEAST(win, n.n) * (LEAST(win, n.n) - 1) // 2 AS BIGINT)
+        |    AS n_candidates,
+        |  CASE WHEN n_truth > 0 THEN
+        |    CAST(n_found * 1000000 // n_truth AS BIGINT) END
+        |    AS recall_ppm
+        |FROM m CROSS JOIN n ORDER BY win_size""".stripMargin,
     "graph_louvain_move" ->
       s"""WITH ${Similarity.knnCoreSql},
          |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,

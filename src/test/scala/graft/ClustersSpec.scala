@@ -216,6 +216,28 @@ class ClustersSpec extends SparkSpecBase {
     assert(c.select("community").distinct().count() < c.count())
   }
 
+  test("er blocking eval: truth pair at rank distance 2 is missed by " +
+    "window 2, caught from 3; candidate volume closed form; corpus " +
+    "recall monotone") {
+    val recs = Seq((1L, "aa", 0L), (2L, "ab", 0L), (3L, "zz", 0L),
+      (4L, "aa", 1L)).toDF("rid", "name", "grp")
+    val r = functions.Clusters.erBlockingEvalOn(recs)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), if (x.isNullAt(4)) -1L else x.getLong(4)))
+    // only truth pair: (1,2), lev("aa","ab") = 1, ranks 1 vs 3
+    assert(r.map(_._2).toSet === Set(1L))
+    // candidate volume clamps at n = 4: windows >= n cover all C(4,2)
+    assert(r.toSeq === Seq(
+      (2, 1L, 0L, 3L, 0L), (3, 1L, 1L, 5L, 1000000L),
+      (4, 1L, 1L, 6L, 1000000L), (6, 1L, 1L, 6L, 1000000L),
+      (8, 1L, 1L, 6L, 1000000L)))
+    val c = functions.Clusters.erBlockingEval(spark, sf)
+      .select("win_size", "recall_ppm").as[(Int, Long)].collect()
+      .sortBy(_._1)
+    assert(c.sliding(2).forall { case Array(a, b) => a._2 <= b._2
+      case _ => true })
+  }
+
   test("k-truss: supports hand-checked, pendant edge peels, cascades " +
     "run to the fixpoint, non-convergence throws") {
     // K4 (every edge closes 2 triangles) + pendant triangle {5,6,7}
