@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Mergeable set sketches beyond single-stream distinct counts — the
@@ -275,7 +275,83 @@ object Sketches {
   def sketchThetaRollup(s: SparkSession, dir: String): DataFrame =
     sketchThetaRollupOn(Tables.events(s, dir))
 
+  /** Bloom geometry for [[sketchBloomFprOn]]: 2^13 bits / 3 hashes
+    * puts the catalog member set near load kn/m ≈ 0.5, where the FPR
+    * (~6%) is actually measurable on the probe set. */
+  val BloomBitsLog2 = 13
+  val BloomK = 3
+
+  /** L17e: Bloom-filter false-positive calibration — MEASURE the FPR
+    * against guaranteed non-members and put it beside the textbook
+    * prediction (1 − e^(−kn/m))^k (Bloom 1970; Broder & Mitzenmacher
+    * 2004 survey): the eval that decides whether a filter's hash
+    * family is behaving before a pipeline trusts "maybe" answers at
+    * scale (the in-catalog accuracy-eval discipline of
+    * sim_ann_recall_eval / dedup_minhash_estimate, applied to the
+    * dedup_bloom machinery — same double-mix position hashes, same
+    * broadcast bit-set probe). The fill ratio n_set_bits/m rides
+    * along as the second theory check (expected m·(1−e^(−kn/m))).
+    * Theory crosses the engines through the pinned round(,9)-then-
+    * floor boundary (the lm_kneser_ney exp contract); n/m is exact
+    * in double because m is a power of two. Measured side is pure
+    * integer. One pass over members, k broadcast probes, 1-row out. */
+  def sketchBloomFprOn(members: DataFrame, probes: DataFrame,
+      bitsLog2: Int = BloomBitsLog2, k: Int = BloomK): DataFrame = {
+    require(bitsLog2 >= 4 && bitsLog2 <= 30, s"bad bitsLog2 $bitsLog2")
+    require(k >= 1 && k <= 8, s"bad k $k")
+    val m = 1L << bitsLog2
+    // xorshift-mixed key hash (splitmix-style): the multiplicative-
+    // only h = key·A mod P maps an arithmetic key progression to a
+    // shifted progression, and a probe set at a constant key offset
+    // then lands on the member bits almost surely (this op MEASURED
+    // that pathology at 995333 ppm vs 75502 theory before the mix was
+    // added — the calibration catching its own hash family)
+    def h(key: Column): Column = {
+      val a = key * lit(2654435761L) + lit(1013904223L)
+      val b = a.bitwiseXOR(shiftright(a, 15))
+      val d = pmod(pmod(b, lit(P)) * lit(2246822519L), lit(P))
+      pmod(d.bitwiseXOR(shiftright(d, 13)), lit(P))
+    }
+    def pos(hc: Column, j: Int): Column =
+      pmod(hc * lit(2L * j + 3) + lit(97L * j + 31), lit(P)) % lit(m)
+    val mh = members.select(h(col("key")).as("h"))
+      .localCheckpoint(true) // k bit projections + the n scalar
+    val bits = (0 until k)
+      .map(j => mh.select(pos(col("h"), j).as("bitpos")))
+      .reduce(_ union _).distinct()
+      .localCheckpoint(true) // k probe joins + the fill count
+    val ph = probes.select(h(col("key")).as("h"))
+    val flagged = (0 until k).foldLeft(ph) { (df, j) =>
+      df.join(broadcast(bits.withColumnRenamed("bitpos", s"bp$j")),
+        pos(col("h"), j) === col(s"bp$j"), "left")
+    }.withColumn("maybe",
+      (0 until k).map(j => col(s"bp$j").isNotNull).reduce(_ && _))
+    flagged
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("maybe").cast("long")).as("n_false_pos"))
+      .crossJoin(broadcast(mh.agg(count(lit(1)).as("n_members"))))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_set_bits"))))
+      .select(lit(m).as("m_bits"), lit(k).as("k_hashes"),
+        col("n_members"), col("n_set_bits"), col("n_probes"),
+        col("n_false_pos"),
+        expr("CAST(n_false_pos * 1000000 DIV n_probes AS BIGINT)")
+          .as("measured_fpr_ppm"),
+        expr(s"""CAST(floor(round(power(
+               |  1.0 - exp(-($k.0 * n_members) / $m.0), $k.0), 9)
+               |  * 1000000) AS BIGINT)""".stripMargin)
+          .as("theory_fpr_ppm"))
+  }
+
+  def sketchBloomFpr(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("key"))
+    // probes offset into a disjoint key space: guaranteed non-members
+    sketchBloomFprOn(keys,
+      keys.select((col("key") + 1000000000L).as("key")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_bloom_fpr" -> sketchBloomFpr,
     "sketch_theta" -> sketchTheta,
     "sketch_quantile" -> sketchQuantile,
     "sketch_theta_rollup" -> sketchThetaRollup,
@@ -283,6 +359,51 @@ object Sketches {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors sketchBloomFprOn: same mixing hash, same k position
+    // hashes, same pinned round(,9)-floor theory boundary.
+    "sketch_bloom_fpr" -> {
+      val m = 1L << BloomBitsLog2
+      def pos(hx: String, j: Int) =
+        s"(($hx * ${2 * j + 3} + ${97 * j + 31}) % $P + $P) % $P % $m"
+      val probeJoin = (0 until BloomK).map { j =>
+        s"""LEFT JOIN bits b$j ON ${pos("p.h", j)} = b$j.bitpos"""
+      }.mkString("\n  ")
+      val maybe = (0 until BloomK)
+        .map(j => s"b$j.bitpos IS NOT NULL").mkString(" AND ")
+      val bitsUnion = (0 until BloomK)
+        .map(j => s"SELECT DISTINCT ${pos("h", j)} AS bitpos FROM mh")
+        .mkString("\n  UNION\n  ")
+      s"""WITH mk AS (SELECT CAST(c_custkey AS BIGINT) AS key
+         |  FROM customer),
+         |ma AS (SELECT key * 2654435761 + 1013904223 AS a FROM mk),
+         |md AS (SELECT xor(a, a >> 15) % $P * 2246822519 % $P AS d
+         |  FROM ma),
+         |mh AS (SELECT xor(d, d >> 13) % $P AS h FROM md),
+         |bits AS ($bitsUnion),
+         |pa AS (SELECT (key + 1000000000) * 2654435761 + 1013904223
+         |    AS a FROM mk),
+         |pd AS (SELECT xor(a, a >> 15) % $P * 2246822519 % $P AS d
+         |  FROM pa),
+         |pr AS (SELECT xor(d, d >> 13) % $P AS h FROM pd),
+         |fl AS (SELECT p.h, $maybe AS maybe
+         |  FROM pr p
+         |  $probeJoin),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         |    CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_false_pos FROM fl),
+         |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM mh),
+         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_set_bits
+         |  FROM bits)
+         |SELECT CAST($m AS BIGINT) AS m_bits,
+         |  CAST($BloomK AS INT) AS k_hashes,
+         |  n_members, n_set_bits, n_probes, n_false_pos,
+         |  CAST(n_false_pos * 1000000 // n_probes AS BIGINT)
+         |    AS measured_fpr_ppm,
+         |  CAST(floor(round(power(
+         |    1.0 - exp(-($BloomK.0 * n_members) / $m.0), $BloomK.0), 9)
+         |    * 1000000) AS BIGINT) AS theory_fpr_ppm
+         |FROM agg CROSS JOIN nm CROSS JOIN nb""".stripMargin
+    },
     "sketch_log_histogram" ->
       """WITH r AS (SELECT l_returnflag,
         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents

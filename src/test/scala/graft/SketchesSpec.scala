@@ -115,4 +115,27 @@ class SketchesSpec extends SparkSpecBase {
     assert(bad == 0, "quantile estimate outside 25% of exact")
     c.unpersist()
   }
+
+  test("bloom fpr: no false positives at trivial load, and the " +
+    "corpus calibration lands near the textbook prediction") {
+    import spark.implicits._
+    // 4 members in 2^16 bits: theory FPR ~ 0 ppm; disjoint probes
+    val members = Seq(1L, 2L, 3L, 4L).toDF("key")
+    val probes = Seq(100L, 200L, 300L).toDF("key")
+    val tiny = functions.Sketches.sketchBloomFprOn(members, probes,
+      bitsLog2 = 16).collect()(0)
+    assert(tiny.getLong(2) === 4L && tiny.getLong(4) === 3L)
+    assert(tiny.getLong(5) === 0L && tiny.getLong(7) === 0L)
+    // corpus: fill ratio within 2% of m(1-e^(-kn/m)); false-positive
+    // COUNT within a loose Poisson envelope of the predicted count
+    // (at spec scale the prediction can round to zero hits)
+    val r = functions.Sketches.sketchBloomFpr(spark, sf).collect()(0)
+    val (m, n, setBits) = (r.getLong(0), r.getLong(2), r.getLong(3))
+    val expFill = m * (1 - math.exp(-3.0 * n / m))
+    assert(math.abs(setBits - expFill) < m * 0.02, s"$setBits vs $expFill")
+    val expected = r.getLong(4) * r.getLong(7) / 1e6
+    assert(r.getLong(7) > 0)
+    assert(r.getLong(5) <= 3 * expected + 4,
+      s"${r.getLong(5)} FPs vs expected $expected")
+  }
 }
