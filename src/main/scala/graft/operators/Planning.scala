@@ -314,6 +314,46 @@ object Planning {
   def eventPower(s: SparkSession, dir: String): DataFrame =
     eventPowerOn(Tables.events(s, dir))
 
+  /** L22f: weighted flow reciprocity (Squartini et al., Nature SR
+    * 2013 — "Reciprocity of weighted networks") over the user-journey
+    * transition graph: for each unordered event-type pair, how much
+    * of the combined A→B / B→A flow is reciprocated,
+    * 2·min(w_ab, w_ba) / (w_ab + w_ba) in exact ppm — 10⁶ for
+    * symmetric flows, → 0 for one-way funnels; the readout that
+    * separates browse loops (view↔click) from conversion funnels
+    * (click→purchase, rarely back). Transition counts are one
+    * user-keyed lead window + a vocabulary-bounded rollup; the
+    * direction pairing is a full-outer self-alignment on ≤ vocab²
+    * rows. Self-loops are excluded (trivially reciprocal). */
+  def graphReciprocityOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val e = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull && col("dst") =!= col("event_type"))
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // both direction slices
+    val fwd = e.filter(col("src") < col("dst"))
+      .withColumnRenamed("n", "n_fwd")
+    val rev = e.filter(col("src") > col("dst"))
+      .select(col("dst").as("src"), col("src").as("dst"),
+        col("n").as("n_rev"))
+    fwd.join(rev, Seq("src", "dst"), "full_outer")
+      .na.fill(0L, Seq("n_fwd", "n_rev"))
+      .select(col("src").as("t_a"), col("dst").as("t_b"),
+        col("n_fwd"), col("n_rev"),
+        expr("""CAST(2 * least(n_fwd, n_rev) * 1000000
+               | DIV (n_fwd + n_rev) AS BIGINT)""".stripMargin)
+          .as("reciprocity_ppm"))
+      .orderBy("t_a", "t_b")
+  }
+
+  def graphReciprocity(s: SparkSession, dir: String): DataFrame =
+    graphReciprocityOn(Tables.events(s, dir))
+
   /** L22d: burstiness of the inter-event gap process (Goh &
     * Barabási, EPL 2008): B = (σ−μ)/(σ+μ) over per-type interarrival
     * gaps — −1 for a metronome, 0 for a Poisson process, →1 for
@@ -542,9 +582,31 @@ object Planning {
     "event_stickiness" -> eventStickiness,
     "ts_burstiness" -> tsBurstiness,
     "event_new_returning" -> eventNewReturning,
+    "graph_reciprocity" -> graphReciprocity,
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors graphReciprocityOn: lead-window transitions, no self
+    // loops, full-outer direction alignment, exact ppm.
+    "graph_reciprocity" ->
+      """WITH tr AS (SELECT user_id, event_type AS src,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tr WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2),
+        |f AS (SELECT src, dst, n AS n_fwd FROM e WHERE src < dst),
+        |r AS (SELECT dst AS src, src AS dst, n AS n_rev FROM e
+        |  WHERE src > dst)
+        |SELECT COALESCE(f.src, r.src) AS t_a,
+        |  COALESCE(f.dst, r.dst) AS t_b,
+        |  COALESCE(n_fwd, CAST(0 AS BIGINT)) AS n_fwd,
+        |  COALESCE(n_rev, CAST(0 AS BIGINT)) AS n_rev,
+        |  CAST(2 * LEAST(COALESCE(n_fwd, 0), COALESCE(n_rev, 0))
+        |    * 1000000 // (COALESCE(n_fwd, 0) + COALESCE(n_rev, 0))
+        |    AS BIGINT) AS reciprocity_ppm
+        |FROM f FULL OUTER JOIN r ON f.src = r.src AND f.dst = r.dst
+        |ORDER BY t_a, t_b""".stripMargin,
     // Mirrors tsBurstinessOn: second-floored gaps, HUGEINT moments,
     // one sqrt + one division in double.
     "ts_burstiness" ->

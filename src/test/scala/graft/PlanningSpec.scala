@@ -286,6 +286,33 @@ class PlanningSpec extends SparkSpecBase {
       ("2024-01-02", 1L, 1L, 500000L)))
   }
 
+  test("reciprocity: symmetric flow pins 10^6, one-way flow pins 0, " +
+    "min-rule exact on asymmetric pairs") {
+    // u1: a->b, b->a (symmetric); u2: a->c, a->c via two sessions?
+    // build per-user chains: u1 a b a ; u2 a c ; u3 a c ; u4 c a? no:
+    // want one-way a->c only: u2 and u3 both a then c
+    val e = ev(
+      (1L, "a", "2024-01-01 10:00:00"), (1L, "b", "2024-01-01 10:01:00"),
+      (1L, "a", "2024-01-01 10:02:00"),
+      (2L, "a", "2024-01-01 10:00:00"), (2L, "c", "2024-01-01 10:01:00"),
+      (3L, "a", "2024-01-01 10:00:00"), (3L, "c", "2024-01-01 10:01:00"),
+      (4L, "c", "2024-01-01 10:00:00"), (4L, "a", "2024-01-01 10:01:00"),
+      (4L, "c", "2024-01-01 10:02:00"), (4L, "a", "2024-01-01 10:03:00"))
+    val r = Planning.graphReciprocityOn(e).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4)))
+    // a<->b: 1 each way -> 10^6; a<->c: fwd a->c = 2+1(u4)=3,
+    // rev c->a = 2 -> 2*2*1e6/5 = 800000
+    assert(r.toSeq === Seq(
+      ("a", "b", 1L, 1L, 1000000L),
+      ("a", "c", 3L, 2L, 800000L)))
+    // one-way only: b -> c never reciprocated
+    val ow = ev((1L, "b", "2024-01-01 10:00:00"),
+      (1L, "c", "2024-01-01 10:01:00"))
+    val o = Planning.graphReciprocityOn(ow).collect()(0)
+    assert((o.getLong(2), o.getLong(3), o.getLong(4)) === ((1L, 0L, 0L)))
+  }
+
   test("dq rules: clean relation passes every rule") {
     val li = Seq((1L, 1, 10.0, 100.0, 0.05, 0.02, "A", "F"),
       (1L, 2, 20.0, 50.0, 0.0, 0.0, "N", "O"))
