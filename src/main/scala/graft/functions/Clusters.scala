@@ -795,6 +795,32 @@ object Clusters {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clustersOn(Dedup.dedupMinhash(s, dir).select("da", "db"))
 
+  /** L2m: soft deduplication — down-WEIGHT near-duplicates instead
+    * of dropping them (the SoftDedup idea: duplicates carry signal;
+    * deleting all but one forfeits it, keeping all over-trains on
+    * it — so give every member of a near-dup cluster sampling weight
+    * 1/|cluster| and the cluster contributes exactly one document's
+    * worth of expected mass to training): every document joins its
+    * MinHash-verified near-dup component and gets weight_ppm =
+    * 10⁶ DIV cluster_size; singletons keep full weight. One LEFT
+    * join of the corpus spine against the cluster relation on top of
+    * the shared shingle→minhash→band→verify→CC chain (memoized
+    * shingles, O(log n) alternating-star CC). Downstream, a
+    * weighted sampler ([[Corpus.sampleWeightedOn]]'s shape) consumes
+    * weight_ppm directly. */
+  def corpusSoftDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id")
+      .join(clustersOn(Dedup.dedupMinhash(s, dir).select("da", "db"),
+          connectedComponentsAltStarOn(_))
+          .select("doc_id", "cluster_id", "n_members"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("n_members"), lit(1L)).as("cluster_size"),
+        expr("CAST(1000000 DIV coalesce(n_members, 1) AS BIGINT)")
+          .as("weight_ppm"))
+      .orderBy("doc_id")
+
   /** Catalog form: the same clustering through the alternating-star
     * algorithm — identical output by construction (shared oracle),
     * O(log n) rounds on graphs whose diameter would stretch label
@@ -2023,6 +2049,7 @@ object Clusters {
     "dedup_apply" -> dedupApply,
     "graph_degrees" -> graphDegrees,
     "dedup_clusters" -> dedupClusters,
+    "corpus_soft_dedup" -> corpusSoftDedup,
     "dedup_clusters_altstar" -> dedupClustersAltStar,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_clustered" -> dedupSemanticClustered,
@@ -2830,6 +2857,24 @@ object Clusters {
         |    ELSE num * 1000 // den END AS BIGINT) END AS r_milli
         |FROM n""".stripMargin,
     "dedup_clusters" -> dedupClustersOracle,
+    // Mirrors corpusSoftDedup: same cluster chain, corpus spine LEFT
+    // join, singleton weight 10^6.
+    "corpus_soft_dedup" ->
+      s"""${Dedup.minhashCoreSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT da, db
+         |  FROM ix JOIN sig sa ON da = sa.doc_id
+         |  JOIN sig sb ON db = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+         |$ccCoreSql
+         |SELECT d.doc_id,
+         |  COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         |  COALESCE(s.n_members, CAST(1 AS BIGINT)) AS cluster_size,
+         |  CAST(1000000 // COALESCE(s.n_members, 1) AS BIGINT)
+         |    AS weight_ppm
+         |FROM documents d
+         |LEFT JOIN lbl l ON l.node = d.doc_id
+         |LEFT JOIN sz s ON s.cluster_id = l.cluster_id
+         |ORDER BY d.doc_id""".stripMargin,
     // identical result contract to dedup_clusters — the oracle is the
     // algorithm-independent reachability closure
     "dedup_clusters_altstar" -> dedupClustersOracle,

@@ -216,6 +216,25 @@ class ClustersSpec extends SparkSpecBase {
     assert(c.select("community").distinct().count() < c.count())
   }
 
+  test("soft dedup: cluster mass sums to one document's worth, " +
+    "singletons keep full weight, corpus covers every doc") {
+    val r = functions.Clusters.corpusSoftDedup(spark, sf)
+    assert(r.count() === Tables.documents(spark, sf).count())
+    // per cluster: sum of weights within one ppm-floor of 10^6
+    val bad = r.groupBy("cluster_id")
+      .agg(sum("weight_ppm").as("w"), count(lit(1)).as("n"))
+      .filter(col("w") > 1000000L || col("w") <= lit(1000000L) - col("n"))
+      .count()
+    assert(bad === 0L)
+    // singleton weight exactly 10^6; every multi-member weight below
+    assert(r.filter(col("cluster_size") === 1 &&
+      col("weight_ppm") =!= 1000000L).count() === 0L)
+    assert(r.filter(col("cluster_size") > 1 &&
+      col("weight_ppm") >= 1000000L).count() === 0L)
+    // near-dup clusters exist at this sf (dedup_clusters is non-empty)
+    assert(r.filter(col("cluster_size") > 1).count() > 0L)
+  }
+
   test("er blocking eval: truth pair at rank distance 2 is missed by " +
     "window 2, caught from 3; candidate volume closed form; corpus " +
     "recall monotone") {
