@@ -244,6 +244,66 @@ object Clusters {
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
     graphPagerankOn(bipartiteEdges(s, dir))
 
+  /** L18s: Katz centrality (Katz 1953; Bonacich 1987) — the walk-count
+    * centrality that PageRank replaced but that link-graph curation
+    * still uses when degree normalization is unwanted (a page cited by
+    * one hub should inherit the hub's full mass, not 1/deg of it):
+    * katz(v) = Σ_{k≥1} α^k · |walks of length k ending at v|,
+    * truncated at `iters` hops.
+    *
+    * The attenuation is DERIVED FROM THE GRAPH, not tuned: α = 1/p
+    * with p the smallest power of two strictly above the max degree,
+    * so α < 1/d_max ≤ 1/λ_max — inside Katz's convergence radius by
+    * construction — and every attenuation step is one exact BIGINT
+    * floor-division x_k(v) = ⌊Σ_{(u,v)∈E} x_{k−1}(u) / p⌋ that the
+    * DuckDB oracle replays bit-for-bit. p itself is spelled in
+    * integers on both engines (min over the 62 BIGINT powers of two
+    * exceeding d_max — no float log2 at the power-of-two boundary)
+    * and rides in on a broadcast single-row relation, the
+    * [[graphPpr]] scalar trick. Magnitudes are self-bounding:
+    * Σ_in x ≤ d_max·SCALE < p·SCALE, so x_k ≤ SCALE = 10⁹ forever.
+    *
+    * Per round: one edge⋈rank equi-join + one map-side-combinable
+    * rollup on the destination — the same two-shuffle Pregel step as
+    * [[graphPagerankOn]], linear plan growth in `iters`. The final
+    * score sums the per-hop relations with a union + rollup (every
+    * node holds a row every round on a graph where each node has an
+    * in-edge — the catalog's undirected form guarantees it).
+    * Contract: every node must appear as a destination; feed
+    * undirected graphs as both directions. */
+  def graphKatzOn(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val Array(cs, cd) = edges.columns.take(2)
+    val e = edges.select(col(cs).cast("long").as("src"),
+      col(cd).cast("long").as("dst"))
+    val dmax = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(max(col("d")).as("dmax"))
+    val p = e.sparkSession.range(1, 63)
+      .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("pw"))
+      .crossJoin(broadcast(dmax))
+      .filter(col("pw") > col("dmax"))
+      .agg(min(col("pw")).as("p"))
+    val nodes = e.select(col("src").as("node")).distinct()
+    var x = nodes.withColumn("x", lit(1000000000L))
+    val hops = (1 to iters).map { _ =>
+      x = e.join(x, col("src") === col("node"))
+        .crossJoin(broadcast(p))
+        .groupBy(col("dst"), col("p"))
+        .agg(expr("sum(x) div p").as("x"))
+        .select(col("dst").as("node"), col("x"))
+      x
+    }
+    hops.reduce(_ union _)
+      .groupBy("node").agg(sum(col("x")).as("katz_scaled"))
+      .orderBy("node")
+  }
+
+  /** Catalog form: the customer⇄supplier trade graph, same substrate
+    * as [[graphPagerank]] so the two centralities read side by side
+    * (Katz rewards raw walk volume, PageRank the normalized share). */
+  def graphKatz(s: SparkSession, dir: String): DataFrame =
+    graphKatzOn(bipartiteEdges(s, dir))
+
   /** L18m: personalized PageRank (Haveliwala 2002; the random-walk-
     * with-restart scorer behind "related items", seed-expansion
     * community detection, and graph-based retrieval): identical
@@ -2054,6 +2114,7 @@ object Clusters {
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_clustered" -> dedupSemanticClustered,
     "graph_pagerank" -> graphPagerank,
+    "graph_katz" -> graphKatz,
     "graph_ppr" -> graphPpr,
     "graph_harmonic" -> graphHarmonic,
     "graph_betweenness" -> graphBetweenness,
@@ -2752,6 +2813,31 @@ object Clusters {
          |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
          |$prIterSql
          |SELECT node, r AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
+    "graph_katz" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src,
+        |    l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |eb AS MATERIALIZED (SELECT src, dst FROM e
+        |       UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |dm AS (SELECT MAX(d) AS dmax FROM (
+        |    SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM eb GROUP BY src)),
+        |p AS (SELECT MIN(CAST(1 AS BIGINT) << CAST(i AS INT)) AS p
+        |  FROM UNNEST(range(1, 63)) AS r(i), dm
+        |  WHERE (CAST(1 AS BIGINT) << CAST(i AS INT)) > dmax),
+        |x0 AS (SELECT DISTINCT src AS node,
+        |    CAST(1000000000 AS BIGINT) AS x FROM eb),
+        |x1 AS MATERIALIZED (SELECT dst AS node,
+        |    CAST(SUM(x) // p AS BIGINT) AS x
+        |  FROM eb JOIN x0 ON src = node CROSS JOIN p GROUP BY dst, p),
+        |x2 AS MATERIALIZED (SELECT dst AS node,
+        |    CAST(SUM(x) // p AS BIGINT) AS x
+        |  FROM eb JOIN x1 ON src = node CROSS JOIN p GROUP BY dst, p),
+        |x3 AS (SELECT dst AS node, CAST(SUM(x) // p AS BIGINT) AS x
+        |  FROM eb JOIN x2 ON src = node CROSS JOIN p GROUP BY dst, p)
+        |SELECT node, CAST(SUM(x) AS BIGINT) AS katz_scaled
+        |FROM (SELECT * FROM x1 UNION ALL SELECT * FROM x2
+        |      UNION ALL SELECT * FROM x3)
+        |GROUP BY node ORDER BY node""".stripMargin,
     "graph_harmonic" ->
       s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
          |    l_suppkey + 1000000 AS dst

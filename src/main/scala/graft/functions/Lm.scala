@@ -187,6 +187,58 @@ object Lm {
     lmPerplexityFilterOn(withBucket(Tables.documents(s, dir)),
       col("bucket") < TrainPct)
 
+  /** Holdout-model training slice for [[corpusRhoSelectOn]]: buckets
+    * [RhoHoLo, TrainPct) of the shared hash split. */
+  val RhoHoLo = 70
+
+  /** L14d: reducible-holdout-loss data selection (Mindermann et al.,
+    * ICML 2022, "RHO-Loss") — the two-model curation rule: a
+    * candidate document is worth training on when the CURRENT model
+    * finds it hard but a small HOLDOUT-trained model finds it easy
+    * (hard + learnable); hard for both models means noise, easy for
+    * both means already learned. Spelled with the repo's count-based
+    * LM as both models: the main model trains on hash buckets
+    * [0,70), the irreducible-loss model on the disjoint holdout
+    * [70,80), and every candidate (bucket ≥ 80, the standard test
+    * split) is scored under both via [[lmNgramBackoffOn]]. With
+    * loss = −score, reducible loss = L_main − L_ho =
+    * avg_ho − avg_main in micro-units — exact integer once each
+    * scoring's per-trigram floors land (shared with the oracle).
+    * Selection keeps the top QUARTER per language (ntile(4) over the
+    * CCNet-style per-language window — never a global sort), the
+    * paper's top-fraction batch-selection rule at corpus granularity.
+    *
+    * Cost shape: two count-table builds + two scoring joins over the
+    * SAME tokenized corpus relation (checkpointed once); candidates
+    * are scored twice but the count tables stay vocabulary-bounded,
+    * so at 100 TB this is two Brants-style MapReduce LM passes — the
+    * documented price of the two-model rule, linear, no new shape. */
+  def corpusRhoSelectOn(docs: DataFrame): DataFrame = {
+    val d = withBucket(docs).localCheckpoint(true)
+    val main = lmNgramBackoffOn(
+      d.where(col("bucket") < RhoHoLo || col("bucket") >= TrainPct),
+      col("bucket") < RhoHoLo)
+    val ho = lmNgramBackoffOn(
+      d.where(col("bucket") >= RhoHoLo), col("bucket") < TrainPct)
+    val j = main
+      .select(col("doc_id"), col("n_tri"),
+        expr("score_micro div n_tri").as("avg_main_micro"))
+      .join(ho.select(col("doc_id"),
+        expr("score_micro div n_tri").as("avg_ho_micro")), Seq("doc_id"))
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("rho_micro", col("avg_ho_micro") - col("avg_main_micro"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("rho_micro").desc, col("doc_id").asc)
+    j.withColumn("sel_q", ntile(4).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tri"),
+        col("avg_main_micro"), col("avg_ho_micro"), col("rho_micro"),
+        (col("sel_q") === 1).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  def corpusRhoSelect(s: SparkSession, dir: String): DataFrame =
+    corpusRhoSelectOn(Tables.documents(s, dir))
+
   // ------------------------------------------------- Kneser-Ney (L14c)
 
   /** Absolute discount D = 0.75 (Chen & Goodman 1998's fixed-discount
@@ -338,10 +390,46 @@ object Lm {
        |  LEFT JOIN c1 u3 ON tri_te.w3 = u3.w
        |  CROSS JOIN nn)""".stripMargin
 
+  /** Parameterized DuckDB replay of one [[lmNgramBackoffOn]] scoring
+    * — count tables over `trainPred` rows of `tk`, every `tri_te`
+    * trigram scored — ending in `d$sfx(doc_id, n_tri, sm)`. Two
+    * instantiations side by side give the corpus_rho_select oracle
+    * its two models. */
+  private def backoffPerDocSqlFor(sfx: String, trainPred: String): String =
+    s"""tri_tr$sfx AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+       |  FROM tk, UNNEST(range(1, len(t) - 1)) r(i) WHERE $trainPred),
+       |c3$sfx AS (SELECT w1, w2, w3, COUNT(*) AS c123
+       |  FROM tri_tr$sfx GROUP BY 1, 2, 3),
+       |bg_tr$sfx AS (SELECT t[i] AS w1, t[i+1] AS w2
+       |  FROM tk, UNNEST(range(1, len(t))) r(i) WHERE $trainPred),
+       |c2$sfx AS (SELECT w1, w2, COUNT(*) AS c12
+       |  FROM bg_tr$sfx GROUP BY 1, 2),
+       |c1$sfx AS (SELECT t[i] AS w, COUNT(*) AS cw
+       |  FROM tk, UNNEST(range(1, len(t) + 1)) r(i)
+       |  WHERE $trainPred GROUP BY 1),
+       |nn$sfx AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM c1$sfx),
+       |sc$sfx AS (SELECT doc_id,
+       |    CAST(floor(CAST(1000000.0 AS DOUBLE) *
+       |      CASE WHEN g3.c123 IS NOT NULL THEN g3.c123 / g12.c12
+       |           WHEN p23.c12 IS NOT NULL THEN CAST($Alpha AS DOUBLE) * p23.c12 / u2.cw
+       |           WHEN u3.cw IS NOT NULL THEN CAST(${Alpha * Alpha} AS DOUBLE) * u3.cw / nn$sfx.n
+       |           ELSE CAST(0.0 AS DOUBLE) END) AS BIGINT) AS su
+       |  FROM tri_te
+       |  LEFT JOIN c3$sfx g3 ON tri_te.w1 = g3.w1 AND tri_te.w2 = g3.w2 AND tri_te.w3 = g3.w3
+       |  LEFT JOIN c2$sfx g12 ON tri_te.w1 = g12.w1 AND tri_te.w2 = g12.w2
+       |  LEFT JOIN c2$sfx p23 ON tri_te.w2 = p23.w1 AND tri_te.w3 = p23.w2
+       |  LEFT JOIN c1$sfx u2 ON tri_te.w2 = u2.w
+       |  LEFT JOIN c1$sfx u3 ON tri_te.w3 = u3.w
+       |  CROSS JOIN nn$sfx),
+       |d$sfx AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+       |    CAST(SUM(su) AS BIGINT) AS sm FROM sc$sfx GROUP BY doc_id)"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_ngram_backoff" -> lmNgramBackoff,
     "lm_perplexity_filter" -> lmPerplexityFilter,
     "lm_kneser_ney" -> lmKneserNey,
+    "corpus_rho_select" -> corpusRhoSelect,
   )
 
   val oracles: Map[String, String] = Map(
@@ -399,5 +487,27 @@ object Lm {
          |  CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
          |  CAST(SUM(su) AS BIGINT) AS score_micro
          |FROM sck GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Two backoff replays (main on [0,70), holdout on [70,80)) over
+    // the shared candidate trigram stream, then the per-lang quartile.
+    "corpus_rho_select" ->
+      s"""WITH tk AS (SELECT doc_id, lang, string_split(text,' ') AS t,
+         |    ${Text.polySql} % 100 AS b FROM documents),
+         |tri_te AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+         |  FROM tk, UNNEST(range(1, len(t) - 1)) r(i)
+         |  WHERE b >= $TrainPct),
+         |${backoffPerDocSqlFor("m", s"b < $RhoHoLo")},
+         |${backoffPerDocSqlFor("h", s"b >= $RhoHoLo AND b < $TrainPct")},
+         |av AS (SELECT dm.doc_id, tk.lang, dm.n_tri,
+         |    CAST(dm.sm // dm.n_tri AS BIGINT) AS avg_main_micro,
+         |    CAST(dh.sm // dh.n_tri AS BIGINT) AS avg_ho_micro,
+         |    CAST(dh.sm // dh.n_tri - dm.sm // dm.n_tri AS BIGINT)
+         |      AS rho_micro
+         |  FROM dm JOIN dh USING (doc_id)
+         |  JOIN tk ON tk.doc_id = dm.doc_id),
+         |sel AS (SELECT *, NTILE(4) OVER (PARTITION BY lang
+         |    ORDER BY rho_micro DESC, doc_id ASC) AS q FROM av)
+         |SELECT doc_id, lang, n_tri, avg_main_micro, avg_ho_micro,
+         |  rho_micro, q = 1 AS selected
+         |FROM sel ORDER BY doc_id""".stripMargin,
   )
 }

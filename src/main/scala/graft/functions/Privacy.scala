@@ -137,6 +137,50 @@ object Privacy {
   def privacyTcloseness(s: SparkSession, dir: String): DataFrame =
     privacyTclosenessOn(Tables.customer(s, dir))
 
+  /** L16e: recursive (c,l)-diversity audit (Machanavajjhala et al.,
+    * TKDD 2007 §4.2) — the rung BETWEEN [[privacyKanonOn]]'s distinct-l
+    * readout and [[privacyTclosenessOn]]'s distributional one: distinct
+    * l-diversity passes a class where one sensitive value covers 99%
+    * of rows and l−1 stragglers cover the rest; the recursive
+    * criterion instead demands the MOST FREQUENT value not dominate
+    * the tail, r₁ < c·(r_l + r_{l+1} + … + r_m) over the class's
+    * desc-sorted sensitive-value counts r₁ ≥ … ≥ r_m. Pure counting —
+    * no logs (that's ENTROPY l-diversity, deliberately skipped: its
+    * Σp·ln p readout has no exact integer spelling), so both engines
+    * replay bit-for-bit.
+    *
+    * QI classes are the (segment, 1000s-balance) cells of the
+    * tcloseness audit, sensitive attribute = nation — the three
+    * privacy audits read off the SAME class key. Shape: one
+    * class×value rollup, one rank window INSIDE each class (≤ 25
+    * nation rows per class — vocabulary-bounded, never a wide
+    * partition), one final class rollup. At 100 TB all three hops key
+    * on the QI prefix; nothing global. Ties in the count rank break
+    * to the lower nation id, shared with the oracle. */
+  def privacyRecursiveLdivOn(rows: DataFrame, l: Int = 3,
+      c: Int = 2): DataFrame = {
+    require(l >= 2 && c >= 1, s"need l >= 2 and c >= 1, got ($c,$l)")
+    val b = rows.select(col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / 1000).cast("long").as("bucket"),
+      col("c_nationkey").as("nation"))
+    val cv = b.groupBy("segment", "bucket", "nation")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("segment", "bucket")
+      .orderBy(col("n").desc, col("nation").asc)
+    cv.withColumn("rk", row_number().over(w))
+      .groupBy("segment", "bucket")
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("m_distinct"),
+        max(when(col("rk") === 1, col("n"))).as("r1"),
+        coalesce(sum(when(col("rk") >= l, col("n"))), lit(0L))
+          .as("tail_sum"))
+      .withColumn("meets_cl", col("r1") < lit(c.toLong) * col("tail_sum"))
+      .orderBy("segment", "bucket")
+  }
+
+  def privacyRecursiveLdiv(s: SparkSession, dir: String): DataFrame =
+    privacyRecursiveLdivOn(Tables.customer(s, dir))
+
   /** Keep-probability for [[privacyLdpFrequencyOn]], in milli (750 =
     * report the true value 75% of the time — ε = ln(3·(K−1)) for the
     * K-ary mechanism). */
@@ -289,9 +333,31 @@ object Privacy {
     "privacy_ldp_frequency" -> privacyLdpFrequency,
     "privacy_dp_quantile" -> privacyDpQuantile,
     "privacy_tcloseness" -> privacyTcloseness,
+    "privacy_recursive_ldiv" -> privacyRecursiveLdiv,
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors privacyRecursiveLdivOn: desc-count rank inside each QI
+    // class with the (n desc, nation asc) tie-break, then r1 vs the
+    // c-scaled tail sum from rank l on.
+    "privacy_recursive_ldiv" ->
+      """WITH b AS (SELECT c_mktsegment AS segment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket,
+        |    c_nationkey AS nation FROM customer),
+        |cv AS (SELECT segment, bucket, nation,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY segment, bucket
+        |    ORDER BY n DESC, nation ASC) AS rk FROM cv)
+        |SELECT segment, bucket,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS m_distinct,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS r1,
+        |  CAST(COALESCE(SUM(CASE WHEN rk >= 3 THEN n END), 0)
+        |    AS BIGINT) AS tail_sum,
+        |  MAX(CASE WHEN rk = 1 THEN n END)
+        |    < 2 * COALESCE(SUM(CASE WHEN rk >= 3 THEN n END), 0) AS meets_cl
+        |FROM rk GROUP BY 1, 2 ORDER BY segment, bucket""".stripMargin,
     // Mirrors privacyTclosenessOn: variational distance with both
     // denominators cleared; absent sensitive values enter via the
     // n_c·(N − Σ_present N_v) residual.

@@ -1404,6 +1404,87 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** L3r: top principal component by fixed-iteration power method —
+    * the spectral readout an embedding pipeline runs before whitening
+    * (Mu et al. 2018's "all-but-the-top": dominant directions of a
+    * sentence-embedding corpus are corpus-wide artifacts worth
+    * removing), for drift detection (did the dominant direction
+    * move?), and as the 1-D projection behind PCA-tree sharding.
+    *
+    * Exact integer end to end, the [[kmeansOn]] discipline: coords
+    * quantize at floor(x·2²⁰); per-dim means floor once (BIGINT DIV
+    * n); the 64×64 covariance is C_ij = ⌊Σ c_i·c_j / n⌋ with the sum
+    * in DECIMAL(38,0) (exact to ~10²⁵ vectors — no overflow cliff at
+    * any reachable corpus size); the iterate starts at the
+    * deterministic e₀·2²⁰ and each of the three unrolled rounds is
+    * u = C·v (DECIMAL sums over 64 terms) followed by max-norm
+    * renormalization v = ⌊u·2²⁰ / max|u|⌋ — every floor a documented
+    * quantization boundary, so DuckDB replays all rounds bit-for-bit
+    * (HUGEINT on its side, same headroom). Sign convention: whatever
+    * sign the e₀-seeded iterate converges to — deterministic, shared
+    * with the oracle. A zero max|u| (degenerate all-equal corpus)
+    * gates the round to NULL rather than fabricating a direction.
+    *
+    * Shape: ONE corpus pass builds the centered coordinate relation;
+    * the d²-fanout covariance join (64·n rows in flight, UPPER
+    * triangle only — mirrored after the rollup) partial-aggregates
+    * map-side down to 2080 carrier rows, and everything after —
+    * matvecs, norms, output — lives on ≤ 64-row relations riding
+    * broadcasts. At 100 TB the covariance rollup is the only shuffle
+    * that sees data; its key space is (i,j), constant. */
+  def simPcaPowerOn(emb: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val qv = emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        floor(col("col").cast("double") * 1048576).cast("long").as("qv"))
+      .localCheckpoint(true) // means + the centered pair join
+    val nm = qv.groupBy("i")
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"))
+      .select(col("i"), col("n"), expr("s DIV n").as("m"))
+    val cen = qv.join(broadcast(nm), "i")
+      .select(col("vec_id"), col("i"), (col("qv") - col("m")).as("c"),
+        col("n"))
+    val upper = cen.as("a")
+      .join(cen.as("b"), col("a.vec_id") === col("b.vec_id")
+        && col("a.i") <= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"), col("a.n").as("n"))
+      .agg(expr("sum(CAST(a.c AS DECIMAL(38,0)) * b.c)").as("sc"))
+      .select(col("i"), col("j"), expr("CAST(sc DIV n AS BIGINT)").as("cv"))
+      .localCheckpoint(true) // read by every unrolled matvec
+    // Fresh aliases on BOTH union children: a self-union whose second
+    // child projects the first's attributes trips Catalyst's
+    // Union.rewriteConstraints (key-not-found on the shared exprIds).
+    val cov = upper
+      .select(col("i").as("i"), col("j").as("j"), col("cv").as("cv"))
+      .union(upper.filter(col("i") < col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cv").as("cv")))
+    var v = nm.select(col("i").as("j"),
+      when(col("i") === 0, lit(1048576L)).otherwise(lit(0L)).as("v"))
+    for (_ <- 1 to iters) {
+      val u = cov.join(broadcast(v), "j")
+        .groupBy("i")
+        .agg(expr("sum(CAST(cv AS DECIMAL(38,0)) * v)").as("u"))
+      val mx = u.agg(max(abs(col("u"))).as("mx"))
+      v = u.crossJoin(broadcast(mx))
+        .select(col("i").as("j"), expr(
+          "CASE WHEN mx > 0 THEN CAST(u * 1048576 DIV mx AS BIGINT) END")
+          .as("v"))
+    }
+    val lam = cov.join(broadcast(v), "j")
+      .groupBy("i")
+      .agg(expr("sum(CAST(cv AS DECIMAL(38,0)) * v)").as("u"))
+      .agg(max(abs(col("u"))).as("mxu"))
+      .select(expr("CAST(mxu DIV 1048576 AS BIGINT)").as("lambda_q"))
+    v.crossJoin(broadcast(lam))
+      .select(col("j").cast("long").as("dim"), col("v").as("loading_q20"),
+        col("lambda_q"))
+      .orderBy("dim")
+  }
+
+  def simPcaPower(s: SparkSession, dir: String): DataFrame =
+    simPcaPowerOn(Tables.embeddings(s, dir))
+
   /** Catalog form: even vs odd vec_id halves of the embedding corpus
     * (the stand-in for "last snapshot vs this snapshot"). */
   def simEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
@@ -1415,6 +1496,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_embedding_drift" -> simEmbeddingDrift,
+    "sim_pca_power" -> simPcaPower,
     "sim_ann_sq" -> simAnnSq,
     "sample_kcenter" -> sampleKcenter,
     "sim_hard_negatives" -> simHardNegatives,
@@ -1569,6 +1651,49 @@ object Similarity {
   }
 
   private val oraclesBase: Map[String, String] = Map(
+    // Mirrors simPcaPowerOn: q20 coords, truncating integer means,
+    // HUGEINT covariance sums, three unrolled max-norm power rounds.
+    "sim_pca_power" ->
+      """WITH qv AS (SELECT vec_id, i.i AS i,
+        |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS qv
+        |  FROM embeddings, range(0, 64) i(i)),
+        |nm AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(qv) // COUNT(*) AS BIGINT) AS m
+        |  FROM qv GROUP BY i),
+        |cen AS (SELECT qv.vec_id, qv.i, qv.qv - nm.m AS c, nm.n
+        |  FROM qv JOIN nm USING (i)),
+        |up AS (SELECT a.i AS i, b.i AS j, a.n AS n,
+        |    SUM(CAST(a.c AS HUGEINT) * b.c) AS sc
+        |  FROM cen a JOIN cen b
+        |    ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2, 3),
+        |cu AS (SELECT i, j, CAST(sc // n AS BIGINT) AS cv FROM up),
+        |cov AS MATERIALIZED (SELECT * FROM cu
+        |  UNION ALL SELECT j AS i, i AS j, cv FROM cu WHERE i < j),
+        |v0 AS (SELECT i AS j, CASE WHEN i = 0 THEN CAST(1048576 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS v FROM nm),
+        |u1 AS (SELECT cov.i, SUM(CAST(cv AS HUGEINT) * v) AS u
+        |  FROM cov JOIN v0 ON cov.j = v0.j GROUP BY 1),
+        |m1 AS (SELECT MAX(ABS(u)) AS mx FROM u1),
+        |v1 AS (SELECT i AS j, CASE WHEN mx > 0
+        |    THEN CAST(u * 1048576 // mx AS BIGINT) END AS v FROM u1, m1),
+        |u2 AS (SELECT cov.i, SUM(CAST(cv AS HUGEINT) * v) AS u
+        |  FROM cov JOIN v1 ON cov.j = v1.j GROUP BY 1),
+        |m2 AS (SELECT MAX(ABS(u)) AS mx FROM u2),
+        |v2 AS (SELECT i AS j, CASE WHEN mx > 0
+        |    THEN CAST(u * 1048576 // mx AS BIGINT) END AS v FROM u2, m2),
+        |u3 AS (SELECT cov.i, SUM(CAST(cv AS HUGEINT) * v) AS u
+        |  FROM cov JOIN v2 ON cov.j = v2.j GROUP BY 1),
+        |m3 AS (SELECT MAX(ABS(u)) AS mx FROM u3),
+        |v3 AS (SELECT i AS j, CASE WHEN mx > 0
+        |    THEN CAST(u * 1048576 // mx AS BIGINT) END AS v FROM u3, m3),
+        |u4 AS (SELECT cov.i, SUM(CAST(cv AS HUGEINT) * v) AS u
+        |  FROM cov JOIN v3 ON cov.j = v3.j GROUP BY 1),
+        |lam AS (SELECT CAST(MAX(ABS(u)) // 1048576 AS BIGINT) AS lambda_q
+        |  FROM u4)
+        |SELECT v3.j AS dim, v3.v AS loading_q20, lambda_q
+        |FROM v3, lam ORDER BY dim""".stripMargin,
     // Mirrors simEmbeddingDriftOn: micro quantize before sum, FLOOR
     // double quotients, cosine through the round(,9) boundary.
     "sim_embedding_drift" ->

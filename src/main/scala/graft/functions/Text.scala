@@ -1081,6 +1081,57 @@ object Text {
   def textLmScore(s: SparkSession, dir: String): DataFrame =
     textLmScoreOn(Tables.documents(s, dir))
 
+  /** Minimum bigram support for [[textCollocationsOn]]. */
+  val CollocMinCount = 5L
+
+  /** L4q: collocation extraction — the corpus's most associated
+    * adjacent word pairs, ranked by LIFT (= exp(PMI); Church & Hanks
+    * 1990's association-ratio spelled without the log so it stays
+    * EXACT integer): lift_ppm = 10⁶·c₁₂·T² / (B·c₁·c₂) with c₁₂ the
+    * bigram count over B total bigrams and c₁,c₂ unigram counts over
+    * T total tokens. The standard corpus-analysis readout behind
+    * stop-phrase lists, multi-word-expression vocab entries, and
+    * tokenizer-merge sanity checks ("did BPE learn the corpus's real
+    * collocations?") — reads beside text_bpe_merges, which greedily
+    * merges the FREQUENT pairs while this ranks the ASSOCIATED ones.
+    *
+    * Shape: the token stream collapses immediately to three count
+    * relations — bigram counts (vocab²-bounded post-support-filter),
+    * unigram counts (vocab-bounded), and two single-row totals riding
+    * broadcasts — then one vocab-keyed join pair; every shuffle is
+    * map-side-combinable wordcount. The min-support filter (≥ 5)
+    * fires BEFORE the unigram joins, so hapax noise (lift explodes
+    * for two words seen exactly once, together) never reaches the
+    * join. Numerator magnitude: c₁₂·T²·10⁶ inside DECIMAL(38,0) —
+    * exact to ~3·10¹² total tokens; past that, run per-domain shards
+    * (the corpus_mix split) and union. Top-50 by (lift desc, w1, w2)
+    * is a TakeOrdered, not a global sort. */
+  def textCollocationsOn(docs: DataFrame,
+      minCount: Long = CollocMinCount): DataFrame = {
+    val base = docs.select(col("doc_id"), toks(col("text")).as("t"))
+    val bg = base.select(posexplode(bigramStructs(col("t"))))
+      .select(col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    val un = base.select(explode(col("t")).as("w"))
+    val uc = un.groupBy("w").agg(count(lit(1)).as("c"))
+    val nt = un.agg(count(lit(1)).as("nt"))
+    bc.filter(col("c12") >= minCount)
+      .join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nb))
+      .crossJoin(broadcast(nt))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("""CAST(CAST(c12 AS DECIMAL(38,0)) * nt * nt * 1000000
+               | DIV (CAST(nb AS DECIMAL(38,0)) * c1 * c2)
+               | AS BIGINT)""".stripMargin).as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  def textCollocations(s: SparkSession, dir: String): DataFrame =
+    textCollocationsOn(Tables.documents(s, dir))
+
   /** L4n: BPE-style tokenizer merge induction — the first `merges`
     * byte-pair merges learned from the corpus (Sennrich et al. 2016,
     * the standard subword-tokenizer training step a corpus pipeline
@@ -1225,6 +1276,7 @@ object Text {
     "text_hashed_features" -> textHashedFeatures,
     "text_chunk" -> textChunk,
     "text_lm_score" -> textLmScore,
+    "text_collocations" -> textCollocations,
     "text_bpe_merges" -> textBpeMerges,
     "text_bpe_encode" -> textBpeEncode,
     "text_bpe_fertility" -> textBpeFertility,
@@ -1478,6 +1530,26 @@ object Text {
       s"""WITH $lmScoreCoreSql
          |SELECT doc_id, n_bigrams, ROUND(sum_lp / n_bigrams, 4) AS avg_logprob
          |FROM per ORDER BY doc_id""".stripMargin,
+    "text_collocations" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |bg AS (SELECT t[i] AS w1, t[i+1] AS w2
+         |       FROM tk, UNNEST(range(1, len(t))) AS r(i)
+         |       WHERE len(t) >= 2),
+         |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |       FROM bg GROUP BY w1, w2),
+         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg),
+         |un AS (SELECT unnest(t) AS w FROM tk),
+         |uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM un GROUP BY w),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM un)
+         |SELECT w1, w2, c12,
+         |  CAST(CAST(c12 AS HUGEINT) * nt * nt * 1000000
+         |       // (CAST(nb AS HUGEINT) * c1 * c2) AS BIGINT) AS lift_ppm
+         |FROM bc
+         |JOIN (SELECT w AS w1, c AS c1 FROM uc) u1 USING (w1)
+         |JOIN (SELECT w AS w2, c AS c2 FROM uc) u2 USING (w2)
+         |CROSS JOIN nb CROSS JOIN nt
+         |WHERE c12 >= $CollocMinCount
+         |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
     "text_repetition" ->
       """WITH base AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
         |uni AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,

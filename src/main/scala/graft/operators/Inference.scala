@@ -547,6 +547,65 @@ object Inference {
   def eventPsmAtt(s: SparkSession, dir: String): DataFrame =
     eventPsmAttOn(Tables.events(s, dir))
 
+  /** L21j: IPTW ATE by propensity subclassification (Rosenbaum &
+    * Rubin 1984; Cochran 1968's 90%-bias-removal result) — the
+    * observational-causal sibling of [[eventPsmAttOn]]: where PSM
+    * matches each treated user to ONE control, inverse-propensity
+    * weighting keeps every user, weights arms to a common covariate
+    * distribution, and reads the AVERAGE treatment effect, not the
+    * ATT. With the propensity fitted per covariate STRATUM (activity
+    * bucket = n_events DIV 4 — the same confounder proxy PSM scores
+    * on), IPTW reduces EXACTLY to the stratified estimator
+    * ATE = Σ_s (n_s/N)·(ȳ₁ₛ − ȳ₀ₛ), which has a clean integer
+    * spelling: per-stratum micro-means via BIGINT DIV, stratum
+    * weights cleared through one DECIMAL(38,0) product, every floor
+    * at a documented quantization boundary. Strata violating
+    * positivity (an arm absent — IPTW's undefined-weight case) are
+    * EXCLUDED before totals, the standard trimming, so N is the
+    * retained population.
+    *
+    * Shape: one fact scan → user rollup (map-side-combinable) →
+    * stratum rollup (tiny) → broadcast totals; nothing past the user
+    * rollup scales with data. Output: one row per retained stratum
+    * with its propensity (e_ppm), arm micro-means, effect, weighted
+    * contribution, and the overall ate_micro riding every row. */
+  def eventIptwOn(events: DataFrame): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))), lit(0L))
+          .as("out_cents"))
+      .withColumn("treated", col("user_id") % 2 === 1)
+      .withColumn("stratum", expr("n_ev DIV 4"))
+    val st = users.groupBy("stratum").agg(
+        count(lit(1)).as("n_s"),
+        sum(when(col("treated"), 1L).otherwise(0L)).as("t_s"),
+        coalesce(sum(when(col("treated"), col("out_cents"))), lit(0L))
+          .as("sum_t_cents"),
+        coalesce(sum(when(!col("treated"), col("out_cents"))), lit(0L))
+          .as("sum_c_cents"))
+      .filter(col("t_s") > 0 && col("t_s") < col("n_s"))
+      .localCheckpoint(true) // totals + the weighted pass
+    val tot = st.agg(sum(col("n_s")).as("n_tot"))
+    val d = st.crossJoin(broadcast(tot))
+      .withColumn("e_ppm", expr("t_s * 1000000 DIV n_s"))
+      .withColumn("y1_micro", expr("sum_t_cents * 1000000 DIV t_s"))
+      .withColumn("y0_micro",
+        expr("sum_c_cents * 1000000 DIV (n_s - t_s)"))
+      .withColumn("d_micro", col("y1_micro") - col("y0_micro"))
+      .withColumn("w_contrib_micro", expr(
+        "CAST(CAST(n_s AS DECIMAL(38,0)) * d_micro DIV n_tot AS BIGINT)"))
+    val ate = d.agg(sum(col("w_contrib_micro")).as("ate_micro"))
+    d.crossJoin(broadcast(ate))
+      .select(col("stratum"), col("n_s"), col("t_s"), col("e_ppm"),
+        col("y1_micro"), col("y0_micro"), col("d_micro"),
+        col("w_contrib_micro"), col("ate_micro"))
+      .orderBy("stratum")
+  }
+
+  def eventIptw(s: SparkSession, dir: String): DataFrame =
+    eventIptwOn(Tables.events(s, dir))
+
   /** CUPED variance reduction (Deng et al., WSDM 2013): adjust each
     * user's experiment-period outcome Y by their PRE-period covariate
     * X — adj = Y − θ(X − E[X]) — so arm means keep their expectation
@@ -679,6 +738,7 @@ object Inference {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_psm_att" -> eventPsmAtt,
+    "event_iptw" -> eventIptw,
     "event_cuped" -> eventCuped,
     "ts_spearman" -> tsSpearman,
     "ts_kendall" -> tsKendall,
@@ -787,6 +847,41 @@ object Inference {
         |FROM j QUALIFY row_number() OVER (PARTITION BY treated_user
         |  ORDER BY gap, dirn, score_c) = 1
         |ORDER BY treated_user""".stripMargin,
+    // Mirrors eventIptwOn: positivity-trimmed strata, integer
+    // micro-means, DECIMAL-cleared stratum weights.
+    "event_iptw" ->
+      """WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END), 0)
+        |      AS BIGINT) AS out_cents,
+        |    user_id % 2 = 1 AS treated
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT n_ev // 4 AS stratum,
+        |    CAST(COUNT(*) AS BIGINT) AS n_s,
+        |    CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS t_s,
+        |    CAST(COALESCE(SUM(CASE WHEN treated THEN out_cents END), 0)
+        |      AS BIGINT) AS sum_t_cents,
+        |    CAST(COALESCE(SUM(CASE WHEN NOT treated THEN out_cents END), 0)
+        |      AS BIGINT) AS sum_c_cents
+        |  FROM u GROUP BY 1
+        |  HAVING t_s > 0 AND t_s < n_s),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM st),
+        |d AS (SELECT stratum, n_s, t_s,
+        |    CAST(t_s * 1000000 // n_s AS BIGINT) AS e_ppm,
+        |    CAST(sum_t_cents * 1000000 // t_s AS BIGINT) AS y1_micro,
+        |    CAST(sum_c_cents * 1000000 // (n_s - t_s) AS BIGINT) AS y0_micro,
+        |    CAST(sum_t_cents * 1000000 // t_s
+        |      - sum_c_cents * 1000000 // (n_s - t_s) AS BIGINT) AS d_micro,
+        |    CAST(CAST(n_s AS HUGEINT)
+        |      * (sum_t_cents * 1000000 // t_s
+        |         - sum_c_cents * 1000000 // (n_s - t_s))
+        |      // n_tot AS BIGINT) AS w_contrib_micro
+        |  FROM st CROSS JOIN tot),
+        |ate AS (SELECT CAST(SUM(w_contrib_micro) AS BIGINT) AS ate_micro
+        |  FROM d)
+        |SELECT stratum, n_s, t_s, e_ppm, y1_micro, y0_micro, d_micro,
+        |  w_contrib_micro, ate_micro
+        |FROM d CROSS JOIN ate ORDER BY stratum""".stripMargin,
     "ts_spearman" ->
       s"""WITH $dailySql,
         |r AS (SELECT event_type,

@@ -329,6 +329,40 @@ class ChunkLmSpec extends SparkSpecBase {
     }
   }
 
+  test("collocations: planted pair ranks first with hand-computed lift; " +
+    "hapax pairs never surface") {
+    // "new york" x 6 as its own docs, plus filler tokens that also
+    // appear 6 times each but never adjacently to the same partner
+    // more than once -> only (new, york) and filler pairs with
+    // support; filler bigrams are all distinct (support 1 < 5).
+    val docs = (1L to 6L).map(i => (i, "new york")) ++
+      (7L to 12L).map(i => (i, s"a${i} b${i}"))
+    val out = functions.Text.textCollocationsOn(
+      docs.toDF("doc_id", "text")).collect()
+    // tokens T = 24, bigrams B = 12; c(new)=c(york)=6, c12=6
+    // lift_ppm = 1e6 * 6 * 24 * 24 / (12 * 6 * 6) = 8_000_000
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "new" && r.getString(1) == "york")
+    assert(r.getLong(2) == 6L && r.getLong(3) == 8000000L)
+  }
+
+  test("collocations: independent pair lands at lift ~1e6, dominated by " +
+    "an associated pair") {
+    // "x y" always together (10 times); "p q" co-occur 5 of the 20
+    // times p appears -> lift(p,q) < lift(x,y)
+    val docs = (1L to 10L).map(i => (i, "x y")) ++
+      (11L to 15L).map(i => (i, "p q")) ++
+      (16L to 30L).map(i => (i, s"p z${i}")) ++
+      (31L to 45L).map(i => (i, s"w${i} q"))
+    val out = functions.Text.textCollocationsOn(docs.toDF("doc_id", "text"))
+      .select("w1", "w2", "lift_ppm").as[(String, String, Long)]
+      .collect().toSeq
+    val m = out.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m.contains(("x", "y")) && m.contains(("p", "q")))
+    assert(m(("x", "y")) > m(("p", "q")))
+  }
+
   test("quality kappa: chance-level, perfect, inverse and degenerate " +
     "confusion matrices hit 0, 1, -1 and NULL") {
     def doc(id: Long, nChars: Long, nToks: Int) =

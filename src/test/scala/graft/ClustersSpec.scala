@@ -164,6 +164,33 @@ class ClustersSpec extends SparkSpecBase {
       (1L, 629187500L), (2L, 629187500L), (3L, 1741625000L)))
   }
 
+  test("graph_katz: path-3 unrolled by hand; attenuation derived as the " +
+    "power of two above d_max") {
+    // path 1-2-3 symmetrized: d_max = 2 -> p = 4
+    //   x1 = (250e6, 500e6, 250e6)
+    //   x2 = (125e6, 125e6, 125e6)
+    //   x3 = (31.25e6, 62.5e6, 31.25e6)
+    val katz = functions.Clusters.graphKatzOn(
+      Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toSeq
+    assert(katz == Seq(
+      (1L, 406250000L), (2L, 687500000L), (3L, 406250000L)))
+    // 2-cycle: d_max = 1 -> p = 2; x_k = S/2^k -> 500e6+250e6+125e6
+    val cyc = functions.Clusters.graphKatzOn(
+      Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"))
+      .as[(Long, Long)].collect().toSeq
+    assert(cyc == Seq((1L, 875000000L), (2L, 875000000L)))
+  }
+
+  test("graph_katz on the corpus: positive everywhere, bounded by the " +
+    "geometric ceiling") {
+    val out = functions.Clusters.graphKatz(spark, sf)
+    assert(out.count() > 0)
+    assert(out.where(col("katz_scaled") <= 0L).count() == 0)
+    // each hop contributes x_k <= S, three hops -> katz < 3*S
+    assert(out.where(col("katz_scaled") >= 3000000000L).count() == 0)
+  }
+
   test("graph_bfs: hop distances on a path graph, horizon cut at maxHops") {
     // path 1-2-3-4-5-6 (symmetrized), source = min node = 1
     val edges = (1L to 5L).flatMap(i =>

@@ -230,6 +230,34 @@ class DedupSimSpec extends SparkSpecBase {
     assert(ann.nonEmpty && recall >= 0.0)
   }
 
+  test("pca power: planted 1-D direction is recovered at max-norm scale; " +
+    "degenerate corpus NULL-gates") {
+    // vectors t*(1,-1,0,0): the only variance direction; after
+    // max-norm the iterate must be exactly (2^20, -2^20, 0, 0)
+    val vecs = Seq(-1.0f, -0.5f, 0.0f, 0.5f, 1.0f).zipWithIndex.map {
+      case (t, i) => (i.toLong, Seq(t, -t, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val out = functions.Similarity.simPcaPowerOn(vecs)
+      .select("dim", "loading_q20", "lambda_q")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq(
+      (0L, 1048576L), (1L, -1048576L), (2L, 0L), (3L, 0L)))
+    assert(out.head._3 > 0L)
+    // all-identical vectors: zero covariance -> max|u| = 0 -> NULL
+    val flat = (0L to 3L).map(i => (i, Seq(0.5f, 0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val g = functions.Similarity.simPcaPowerOn(flat).collect()
+    assert(g.forall(_.isNullAt(1)))
+  }
+
+  test("pca power on the corpus: 64 dims, loadings bounded by the q20 " +
+    "scale with the max hit exactly once per sign pattern") {
+    val out = functions.Similarity.simPcaPower(spark, sf)
+    assert(out.count() == 64)
+    assert(out.where(abs(col("loading_q20")) > 1048576L).count() == 0)
+    assert(out.where(abs(col("loading_q20")) === 1048576L).count() >= 1)
+  }
+
   test("MMR re-rank: hand-computed diversity pick; corpus output is 5 distinct " +
     "ranked picks per query starting from the relevance top-1") {
     // query q = e1; A = (0.8, 0.6) at rel 0.8, B a near-dup of A

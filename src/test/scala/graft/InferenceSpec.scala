@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import graft.operators.Inference
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Hand-computable fixtures for the statistical-inference module
   * (operators/Inference.scala): rank correlations, Cramer's V, BH-FDR,
@@ -106,6 +107,57 @@ class InferenceSpec extends SparkSpecBase {
     assert((r.getLong(2), r.getLong(3)) === ((3L, 3L)))
     assert((r.getLong(4), r.getLong(5), r.getLong(6)) ===
       ((1000L, 5000L, 4000L)))
+  }
+
+  test("iptw: planted uniform effect in one stratum recovers it exactly; " +
+    "no-overlap strata are trimmed") {
+    // users 1..8, 4 events each (stratum 1); odd = treated buys 3.00,
+    // even = control buys 2.00 -> d_micro = 100 cents * 1e6
+    val oneStratum = (1L to 8L).flatMap { u =>
+      val buy = ("purchase", if (u % 2 == 1) 3.0 else 2.0)
+      (Seq(buy) ++ Seq.fill(3)(("view", 0.0))).zipWithIndex.map {
+        case ((et, v), k) =>
+          (u * 10 + k, Timestamp.valueOf("2024-01-05 12:00:00"), u, et, v)
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = operators.Inference.eventIptwOn(oneStratum).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_s") == 8L && r.getAs[Long]("t_s") == 4L)
+    assert(r.getAs[Long]("e_ppm") == 500000L)
+    assert(r.getAs[Long]("y1_micro") == 300000000L)
+    assert(r.getAs[Long]("y0_micro") == 200000000L)
+    assert(r.getAs[Long]("ate_micro") == 100000000L)
+    // all-treated stratum (one odd user with 8 events) must vanish
+    val noOverlap = (1L to 8L).map { k =>
+      (100L + k, Timestamp.valueOf("2024-01-05 12:00:00"), 9L,
+        "view", 0.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out2 = operators.Inference.eventIptwOn(oneStratum.union(noOverlap))
+    assert(out2.where(col("stratum") === 2L).count() == 0)
+    assert(out2.count() == 1)
+  }
+
+  test("iptw: ate is the n_s-weighted mean of per-stratum effects " +
+    "(two-strata hand case)") {
+    // stratum 1 (4 events): 2 treated d=+100c, 2 control; stratum 2
+    // (8 events): 1 treated d=+300c, 1 control
+    def user(u: Long, nEv: Int, buyVal: Double) = {
+      val rows = (("purchase", buyVal)) +: Seq.fill(nEv - 1)(("view", 0.0))
+      rows.zipWithIndex.map { case ((et, v), k) =>
+        (u * 100 + k, Timestamp.valueOf("2024-01-05 12:00:00"), u, et, v)
+      }
+    }
+    val df = (user(1, 4, 3.0) ++ user(3, 4, 3.0) ++ user(2, 4, 2.0) ++
+      user(4, 4, 2.0) ++ user(5, 8, 6.0) ++ user(6, 8, 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = operators.Inference.eventIptwOn(df)
+      .select("stratum", "n_s", "d_micro", "w_contrib_micro", "ate_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // ate = (4*100e6 + 2*300e6) / 6 = 166_666_666 (floor)
+    assert(out == Seq(
+      (1L, 4L, 100000000L, 66666666L, 166666666L),
+      (2L, 2L, 300000000L, 100000000L, 166666666L)))
   }
 
   test("target encode: hand LOO and m-estimate smoothing") {

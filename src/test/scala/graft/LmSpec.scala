@@ -102,4 +102,39 @@ class LmSpec extends SparkSpecBase {
     assert(bad.count() == 0)
     assert(out.count() > 0)
   }
+
+  test("rho select: rho equals an independent two-model replay and the " +
+    "per-lang selected quarter picks the TOP rho band") {
+    val docs = Tables.documents(spark, sf)
+    val out = functions.Lm.corpusRhoSelectOn(docs)
+      .localCheckpoint(true)
+    assert(out.count() > 0)
+    // independent replay: score candidates under both models directly
+    val d = docs.withColumn("bucket",
+      functions.Text.polyHash(col("text")) % 100)
+    val main = functions.Lm.lmNgramBackoffOn(
+      d.where(col("bucket") < 70 || col("bucket") >= 80),
+      col("bucket") < 70)
+      .select(col("doc_id"), expr("score_micro div n_tri").as("em"))
+    val ho = functions.Lm.lmNgramBackoffOn(
+      d.where(col("bucket") >= 70), col("bucket") < 80)
+      .select(col("doc_id"), expr("score_micro div n_tri").as("eh"))
+    val mismatch = out.join(main, "doc_id").join(ho, "doc_id")
+      .where(col("avg_main_micro") =!= col("em") ||
+        col("avg_ho_micro") =!= col("eh") ||
+        col("rho_micro") =!= col("eh") - col("em"))
+    assert(mismatch.count() == 0)
+    // selection is a per-lang prefix of the (rho desc, doc_id) order:
+    // no unselected doc may strictly dominate a selected one
+    val sel = out.where(col("selected")).groupBy("lang")
+      .agg(min(col("rho_micro")).as("lo"), count(lit(1)).as("ns"))
+    val uns = out.where(!col("selected")).groupBy("lang")
+      .agg(max(col("rho_micro")).as("hi"), count(lit(1)).as("nu"))
+    val cross = sel.join(uns, "lang").where(col("hi") > col("lo"))
+    assert(cross.count() == 0)
+    // ntile(4): selected band is the leading quarter (±1 per lang)
+    val offQuarter = sel.join(uns, "lang")
+      .where(abs(col("ns") * 4 - (col("ns") + col("nu"))) >= 4)
+    assert(offQuarter.count() == 0)
+  }
 }

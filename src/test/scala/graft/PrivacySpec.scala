@@ -28,6 +28,40 @@ class PrivacySpec extends SparkSpecBase {
       ("A", "*", 2, 2L, 2L)))
   }
 
+  test("recursive (c,l)-diversity: dominant-value class fails, balanced " +
+    "class passes, thin-tail class zero-gates") {
+    val rows =
+      // class (A, bal~1xxx): 9 of nation 0, 1 each of 1 and 2 ->
+      // r1=9, tail(rk>=3)=1 -> 9 < 2*1 FALSE
+      (1L to 9L).map(i => (i, 0, 1500.0, "A")) ++
+        Seq((10L, 1, 1500.0, "A"), (11L, 2, 1500.0, "A")) ++
+        // class (B, bal~2xxx): 4+4+4 balanced -> r1=4, tail=4 -> 4 < 8 TRUE
+        (20L to 23L).map(i => (i, 0, 2500.0, "B")) ++
+        (24L to 27L).map(i => (i, 1, 2500.0, "B")) ++
+        (28L to 31L).map(i => (i, 2, 2500.0, "B")) ++
+        // class (C, bal~3xxx): only 2 distinct values -> tail empty ->
+        // r1 < 0 never holds
+        Seq((40L, 0, 3500.0, "C"), (41L, 1, 3500.0, "C"))
+    val out = functions.Privacy.privacyRecursiveLdivOn(cust(rows))
+      .select("segment", "n_rows", "m_distinct", "r1", "tail_sum", "meets_cl")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      ("A", 11L, 3L, 9L, 1L, false),
+      ("B", 12L, 3L, 4L, 4L, true),
+      ("C", 2L, 2L, 1L, 0L, false)))
+  }
+
+  test("recursive (c,l)-diversity: rank ties break to the lower nation id") {
+    // two values tied at the top: r1 must be the count of the LOWER id
+    // and the tail starts at rank 3 regardless of the tie
+    val rows = (1L to 3L).map(i => (i, 7, 1500.0, "A")) ++
+      (4L to 6L).map(i => (i, 2, 1500.0, "A")) ++
+      Seq((7L, 5, 1500.0, "A"))
+    val r = functions.Privacy.privacyRecursiveLdivOn(cust(rows)).collect()(0)
+    assert(r.getAs[Long]("r1") == 3L)       // nation 2 wins rank 1
+    assert(r.getAs[Long]("tail_sum") == 1L) // nation 5 at rank 3
+  }
+
   test("ldp: keepMilli=1000 degenerates to exact counts with zero error") {
     val rows = (1L to 40L).map(i => (i, 0, 0.0, s"S${i % 4}"))
     val out = functions.Privacy.privacyLdpFrequencyOn(cust(rows), 1000L)
