@@ -146,9 +146,29 @@ object Lm {
       .orderBy("doc_id")
   }
 
+  /** Memoized per-doc backoff scores for the STANDARD corpus split
+    * (train = bucket < [[TrainPct]]) — the relation both
+    * lm_ngram_backoff and lm_perplexity_filter read. Without this the
+    * perplexity filter re-derives the whole scoring subtree (count
+    * tables + 5-way join) that lm_ngram_backoff just built — PERF.md's
+    * named shared-scan candidate. localCheckpoint truncates the plan so
+    * the second consumer starts from the materialized relation; at
+    * 100 TB this is the "write the scored corpus to parquet once, read
+    * it twice" step. */
+  private val perDocCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def backoffPerDocCached(s: SparkSession, dir: String): DataFrame =
+    perDocCache.synchronized {
+      perDocCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped }
+      perDocCache.getOrElseUpdate((s, dir),
+        lmNgramBackoffOn(withBucket(Tables.documents(s, dir)),
+          col("bucket") < TrainPct).localCheckpoint(true))
+    }
+
   def lmNgramBackoff(s: SparkSession, dir: String): DataFrame =
-    lmNgramBackoffOn(withBucket(Tables.documents(s, dir)),
-      col("bucket") < TrainPct)
+    backoffPerDocCached(s, dir)
 
   /** L14b: CCNet perplexity filter (Wenzek et al. 2020 §4.3) — rank
     * each language's held-out documents by average LM score and cut
@@ -161,9 +181,18 @@ object Lm {
     * (one KenLM per language) — so no single partition ever holds
     * more than one language's documents; within a language the order
     * is (avg desc, doc_id), a deterministic total order. */
-  def lmPerplexityFilterOn(docs: DataFrame, isTrain: Column): DataFrame = {
-    val perDoc = lmNgramBackoffOn(docs, isTrain)
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+  def lmPerplexityFilterOn(docs: DataFrame, isTrain: Column): DataFrame =
+    lmPerplexityFilterFromScores(lmNgramBackoffOn(docs, isTrain),
+      docs.select(col("doc_id"), col("lang")))
+
+  /** Tercile finisher over an ALREADY-SCORED per-doc relation — the
+    * entry point the catalog wrapper uses so lm_perplexity_filter
+    * consumes [[backoffPerDocCached]] instead of re-deriving
+    * lm_ngram_backoff's scoring subtree. */
+  def lmPerplexityFilterFromScores(scores: DataFrame,
+      langs: DataFrame): DataFrame = {
+    val perDoc = scores
+      .join(langs, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_tri"),
         expr("score_micro div n_tri").as("avg_micro"))
     val w = Window.partitionBy("lang")
@@ -184,8 +213,8 @@ object Lm {
   }
 
   def lmPerplexityFilter(s: SparkSession, dir: String): DataFrame =
-    lmPerplexityFilterOn(withBucket(Tables.documents(s, dir)),
-      col("bucket") < TrainPct)
+    lmPerplexityFilterFromScores(backoffPerDocCached(s, dir),
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")))
 
   /** Holdout-model training slice for [[corpusRhoSelectOn]]: buckets
     * [RhoHoLo, TrainPct) of the shared hash split. */
