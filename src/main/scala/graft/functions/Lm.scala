@@ -268,6 +268,50 @@ object Lm {
   def corpusRhoSelect(s: SparkSession, dir: String): DataFrame =
     corpusRhoSelectOn(Tables.documents(s, dir))
 
+  /** L14e: n-gram count-table pruning curve — the sizing audit a
+    * count-based LM runs BEFORE serving (Brants et al. 2007 §3 prune
+    * singleton n-grams to fit 2T tokens on 1500 machines; KenLM's
+    * --prune and SRILM's gtmin are the same knob): for each count
+    * cutoff k ∈ {1, 2, 4, 8}, how many trigram TYPES survive c ≥ k
+    * and how much probability MASS (token occurrences) they retain.
+    * Zipf makes this the cheapest big lever in the stack — singleton
+    * types dominate the table but carry a sliver of the mass — and
+    * this relation is the evidence: the classic "drop half the table,
+    * keep 95% of the mass" readout, per cutoff, in exact ppm.
+    *
+    * Shape: ONE count-table build over the standard train split (the
+    * same c3 relation the backoff LM shards at scale), then a
+    * broadcast 4-row cutoff fanout into a map-side-combinable
+    * conditional rollup — the shuffle carries 4 rows of sums, never
+    * the vocabulary. Cutoffs are powers of two via shiftleft, no
+    * literal-vs-engine drift. */
+  def lmCountPruneOn(docs: DataFrame, isTrain: Column): DataFrame = {
+    val trainTok = docs.where(isTrain)
+      .select(col("doc_id"), Text.toks(col("text")).as("t"))
+    val c3 = ngramsOf(trainTok, 3).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123"))
+    val cuts = docs.sparkSession.range(0, 4)
+      .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))")
+        .as("cutoff"))
+    c3.crossJoin(broadcast(cuts))
+      .groupBy("cutoff")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("c123") >= col("cutoff"), 1L).otherwise(0L))
+          .as("n_types_kept"),
+        sum(col("c123")).as("mass_total"),
+        coalesce(sum(when(col("c123") >= col("cutoff"), col("c123"))),
+          lit(0L)).as("mass_kept"))
+      .withColumn("types_kept_ppm",
+        expr("n_types_kept * 1000000 DIV n_types"))
+      .withColumn("mass_kept_ppm",
+        expr("mass_kept * 1000000 DIV mass_total"))
+      .orderBy("cutoff")
+  }
+
+  def lmCountPrune(s: SparkSession, dir: String): DataFrame =
+    lmCountPruneOn(withBucket(Tables.documents(s, dir)),
+      col("bucket") < TrainPct)
+
   // ------------------------------------------------- Kneser-Ney (L14c)
 
   /** Absolute discount D = 0.75 (Chen & Goodman 1998's fixed-discount
@@ -458,10 +502,28 @@ object Lm {
     "lm_ngram_backoff" -> lmNgramBackoff,
     "lm_perplexity_filter" -> lmPerplexityFilter,
     "lm_kneser_ney" -> lmKneserNey,
+    "lm_count_prune" -> lmCountPrune,
     "corpus_rho_select" -> corpusRhoSelect,
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors lmCountPruneOn: same train split and trigram count
+    // table (countsCoreSql's c3), power-of-two cutoffs via <<.
+    "lm_count_prune" ->
+      s"""WITH $countsCoreSql,
+         |cu AS (SELECT CAST(1 AS BIGINT) << CAST(i AS INT) AS cutoff
+         |  FROM range(0, 4) r(i))
+         |SELECT cutoff, CAST(COUNT(*) AS BIGINT) AS n_types,
+         |  CAST(SUM(CASE WHEN c123 >= cutoff THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_types_kept,
+         |  CAST(SUM(c123) AS BIGINT) AS mass_total,
+         |  CAST(COALESCE(SUM(CASE WHEN c123 >= cutoff THEN c123 END), 0)
+         |    AS BIGINT) AS mass_kept,
+         |  CAST(SUM(CASE WHEN c123 >= cutoff THEN 1 ELSE 0 END)
+         |    * 1000000 // COUNT(*) AS BIGINT) AS types_kept_ppm,
+         |  CAST(COALESCE(SUM(CASE WHEN c123 >= cutoff THEN c123 END), 0)
+         |    * 1000000 // SUM(c123) AS BIGINT) AS mass_kept_ppm
+         |FROM c3 CROSS JOIN cu GROUP BY cutoff ORDER BY cutoff""".stripMargin,
     "lm_ngram_backoff" ->
       s"""WITH $scoreCoreSql
          |SELECT doc_id,

@@ -1482,8 +1482,71 @@ object Similarity {
       .orderBy("dim")
   }
 
+  private val pcaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The corpus top-PC relation (dim, loading_q20, lambda_q),
+    * memoized per (session, dir) — the kmeansCached discipline: both
+    * catalog consumers (sim_pca_power, sim_whiten_abtt) read this
+    * 64-row relation, so a catalog run pays the covariance pass once. */
+  private[graft] def pcaCached(s: SparkSession, dir: String): DataFrame =
+    pcaCache.getOrElseUpdate((s, dir),
+      simPcaPowerOn(Tables.embeddings(s, dir)).localCheckpoint(true))
+
   def simPcaPower(s: SparkSession, dir: String): DataFrame =
-    simPcaPowerOn(Tables.embeddings(s, dir))
+    pcaCached(s, dir)
+
+  /** L3s: all-but-the-top whitening readout (Mu & Viswanath, ICLR
+    * 2018): sentence/doc embedding corpora concentrate a large share
+    * of every vector's energy in a few corpus-wide dominant
+    * directions that carry frequency artifacts, not meaning; removing
+    * the top component(s) improves similarity tasks almost for free.
+    * This op scores the removal: per vector, the projection onto the
+    * corpus top PC ([[simPcaPowerOn]]'s iterate) and the fraction of
+    * centered energy that SURVIVES removing that component —
+    * kept_ppm = 10⁶·(‖c‖²·‖u‖² − ⟨c,u⟩²) / (‖c‖²·‖u‖²), the
+    * Cauchy-Schwarz-bounded [0,10⁶] readout (a vector lying ON the
+    * dominant direction keeps 0). Exact integer end to end: c is the
+    * centered q20 coordinate vector, u the q20 loading vector; both
+    * quadratic forms stay ≤ ~10²⁸ inside DECIMAL(38,0) and the single
+    * DIV is the documented quantization boundary (⟨c,u⟩ // 2²⁰ for
+    * the projection readout — signed truncating division, identical
+    * in both engines). Zero-energy vectors NULL-gate; a degenerate
+    * corpus (NULL loadings) propagates NULL, never fabricates.
+    *
+    * Shape: one corpus pass for coords + means (dim-keyed rollup),
+    * then a per-vector rollup against the BROADCAST 64-row loading
+    * relation — map-side-combinable, nothing quadratic; the PCA
+    * subtree is shared (memoized) with sim_pca_power. */
+  def simWhitenAbttOn(emb: DataFrame, pc: DataFrame): DataFrame = {
+    val qv = emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        floor(col("col").cast("double") * 1048576).cast("long").as("qv"))
+    val nm = qv.groupBy("i")
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"))
+      .select(col("i"), expr("s DIV n").as("m"))
+    val cen = qv.join(broadcast(nm), "i")
+      .select(col("vec_id"), col("i"), (col("qv") - col("m")).as("c"))
+    val u2 = pc.agg(
+      expr("sum(CAST(loading_q20 AS DECIMAL(38,0)) * loading_q20)").as("u2"))
+    cen.join(broadcast(pc.select(col("dim").as("i"),
+        col("loading_q20").as("u"))), "i")
+      .groupBy("vec_id")
+      .agg(expr("sum(CAST(c AS DECIMAL(38,0)) * u)").as("dot"),
+        expr("sum(CAST(c AS DECIMAL(38,0)) * c)").as("c2"))
+      .crossJoin(broadcast(u2))
+      .select(col("vec_id"),
+        expr("CAST(dot DIV 1048576 AS BIGINT)").as("proj_q20"),
+        expr("CAST(c2 AS BIGINT)").as("norm2_q40"),
+        expr("""CAST(CASE WHEN c2 > 0 THEN
+               |  (c2 * u2 - dot * dot) * 1000000 DIV (c2 * u2)
+               |END AS BIGINT)""".stripMargin).as("kept_ppm"))
+      .orderBy("vec_id")
+  }
+
+  def simWhitenAbtt(s: SparkSession, dir: String): DataFrame =
+    simWhitenAbttOn(Tables.embeddings(s, dir), pcaCached(s, dir))
 
   /** Catalog form: even vs odd vec_id halves of the embedding corpus
     * (the stand-in for "last snapshot vs this snapshot"). */
@@ -1497,6 +1560,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_embedding_drift" -> simEmbeddingDrift,
     "sim_pca_power" -> simPcaPower,
+    "sim_whiten_abtt" -> simWhitenAbtt,
     "sim_ann_sq" -> simAnnSq,
     "sample_kcenter" -> sampleKcenter,
     "sim_hard_negatives" -> simHardNegatives,
@@ -1650,50 +1714,73 @@ object Similarity {
     s"$base,\n$rounds"
   }
 
+  /** Shared DuckDB replay of [[simPcaPowerOn]] (q20 coords,
+    * truncating integer means, HUGEINT covariance sums, three
+    * unrolled max-norm power rounds), ending in `cen` (centered
+    * coords), `v3` (the converged iterate) and `lam` — the CTE prefix
+    * both sim_pca_power and sim_whiten_abtt oracles build on. */
+  private val pcaCoreSql: String =
+    """qv AS (SELECT vec_id, i.i AS i,
+      |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576)
+      |      AS BIGINT) AS qv
+      |  FROM embeddings, range(0, 64) i(i)),
+      |nm AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(qv) // COUNT(*) AS BIGINT) AS m
+      |  FROM qv GROUP BY i),
+      |cen AS MATERIALIZED (SELECT qv.vec_id, qv.i, qv.qv - nm.m AS c, nm.n
+      |  FROM qv JOIN nm USING (i)),
+      |up AS (SELECT a.i AS i, b.i AS j, a.n AS n,
+      |    SUM(CAST(a.c AS HUGEINT) * b.c) AS sc
+      |  FROM cen a JOIN cen b
+      |    ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2, 3),
+      |cu AS (SELECT i, j, CAST(sc // n AS BIGINT) AS cv FROM up),
+      |cov AS MATERIALIZED (SELECT * FROM cu
+      |  UNION ALL SELECT j AS i, i AS j, cv FROM cu WHERE i < j),
+      |v0 AS (SELECT i AS j, CASE WHEN i = 0 THEN CAST(1048576 AS BIGINT)
+      |    ELSE CAST(0 AS BIGINT) END AS v FROM nm),
+      |u1 AS (SELECT cov.i, SUM(CAST(cv AS HUGEINT) * v) AS u
+      |  FROM cov JOIN v0 ON cov.j = v0.j GROUP BY 1),
+      |m1 AS (SELECT MAX(ABS(u)) AS mx FROM u1),
+      |v1 AS (SELECT i AS j, CASE WHEN mx > 0
+      |    THEN CAST(u * 1048576 // mx AS BIGINT) END AS v FROM u1, m1),
+      |u2 AS (SELECT cov.i, SUM(CAST(cv AS HUGEINT) * v) AS u
+      |  FROM cov JOIN v1 ON cov.j = v1.j GROUP BY 1),
+      |m2 AS (SELECT MAX(ABS(u)) AS mx FROM u2),
+      |v2 AS (SELECT i AS j, CASE WHEN mx > 0
+      |    THEN CAST(u * 1048576 // mx AS BIGINT) END AS v FROM u2, m2),
+      |u3 AS (SELECT cov.i, SUM(CAST(cv AS HUGEINT) * v) AS u
+      |  FROM cov JOIN v2 ON cov.j = v2.j GROUP BY 1),
+      |m3 AS (SELECT MAX(ABS(u)) AS mx FROM u3),
+      |v3 AS MATERIALIZED (SELECT i AS j, CASE WHEN mx > 0
+      |    THEN CAST(u * 1048576 // mx AS BIGINT) END AS v FROM u3, m3),
+      |u4 AS (SELECT cov.i, SUM(CAST(cv AS HUGEINT) * v) AS u
+      |  FROM cov JOIN v3 ON cov.j = v3.j GROUP BY 1),
+      |lam AS (SELECT CAST(MAX(ABS(u)) // 1048576 AS BIGINT) AS lambda_q
+      |  FROM u4)""".stripMargin
+
   private val oraclesBase: Map[String, String] = Map(
-    // Mirrors simPcaPowerOn: q20 coords, truncating integer means,
-    // HUGEINT covariance sums, three unrolled max-norm power rounds.
     "sim_pca_power" ->
-      """WITH qv AS (SELECT vec_id, i.i AS i,
-        |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576)
-        |      AS BIGINT) AS qv
-        |  FROM embeddings, range(0, 64) i(i)),
-        |nm AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(qv) // COUNT(*) AS BIGINT) AS m
-        |  FROM qv GROUP BY i),
-        |cen AS (SELECT qv.vec_id, qv.i, qv.qv - nm.m AS c, nm.n
-        |  FROM qv JOIN nm USING (i)),
-        |up AS (SELECT a.i AS i, b.i AS j, a.n AS n,
-        |    SUM(CAST(a.c AS HUGEINT) * b.c) AS sc
-        |  FROM cen a JOIN cen b
-        |    ON a.vec_id = b.vec_id AND a.i <= b.i
-        |  GROUP BY 1, 2, 3),
-        |cu AS (SELECT i, j, CAST(sc // n AS BIGINT) AS cv FROM up),
-        |cov AS MATERIALIZED (SELECT * FROM cu
-        |  UNION ALL SELECT j AS i, i AS j, cv FROM cu WHERE i < j),
-        |v0 AS (SELECT i AS j, CASE WHEN i = 0 THEN CAST(1048576 AS BIGINT)
-        |    ELSE CAST(0 AS BIGINT) END AS v FROM nm),
-        |u1 AS (SELECT cov.i, SUM(CAST(cv AS HUGEINT) * v) AS u
-        |  FROM cov JOIN v0 ON cov.j = v0.j GROUP BY 1),
-        |m1 AS (SELECT MAX(ABS(u)) AS mx FROM u1),
-        |v1 AS (SELECT i AS j, CASE WHEN mx > 0
-        |    THEN CAST(u * 1048576 // mx AS BIGINT) END AS v FROM u1, m1),
-        |u2 AS (SELECT cov.i, SUM(CAST(cv AS HUGEINT) * v) AS u
-        |  FROM cov JOIN v1 ON cov.j = v1.j GROUP BY 1),
-        |m2 AS (SELECT MAX(ABS(u)) AS mx FROM u2),
-        |v2 AS (SELECT i AS j, CASE WHEN mx > 0
-        |    THEN CAST(u * 1048576 // mx AS BIGINT) END AS v FROM u2, m2),
-        |u3 AS (SELECT cov.i, SUM(CAST(cv AS HUGEINT) * v) AS u
-        |  FROM cov JOIN v2 ON cov.j = v2.j GROUP BY 1),
-        |m3 AS (SELECT MAX(ABS(u)) AS mx FROM u3),
-        |v3 AS (SELECT i AS j, CASE WHEN mx > 0
-        |    THEN CAST(u * 1048576 // mx AS BIGINT) END AS v FROM u3, m3),
-        |u4 AS (SELECT cov.i, SUM(CAST(cv AS HUGEINT) * v) AS u
-        |  FROM cov JOIN v3 ON cov.j = v3.j GROUP BY 1),
-        |lam AS (SELECT CAST(MAX(ABS(u)) // 1048576 AS BIGINT) AS lambda_q
-        |  FROM u4)
-        |SELECT v3.j AS dim, v3.v AS loading_q20, lambda_q
-        |FROM v3, lam ORDER BY dim""".stripMargin,
+      s"""WITH $pcaCoreSql
+         |SELECT v3.j AS dim, v3.v AS loading_q20, lambda_q
+         |FROM v3, lam ORDER BY dim""".stripMargin,
+    // Mirrors simWhitenAbttOn: per-vector dot/energy rollups against
+    // the converged iterate, single truncating DIVs at the q20 and
+    // ppm boundaries.
+    "sim_whiten_abtt" ->
+      s"""WITH $pcaCoreSql,
+         |u2s AS (SELECT SUM(CAST(v AS HUGEINT) * v) AS u2 FROM v3),
+         |pv AS (SELECT cen.vec_id,
+         |    SUM(CAST(c AS HUGEINT) * v) AS dot,
+         |    SUM(CAST(c AS HUGEINT) * c) AS c2
+         |  FROM cen JOIN v3 ON cen.i = v3.j GROUP BY 1)
+         |SELECT vec_id,
+         |  CAST(dot // 1048576 AS BIGINT) AS proj_q20,
+         |  CAST(c2 AS BIGINT) AS norm2_q40,
+         |  CAST(CASE WHEN c2 > 0 THEN
+         |    (c2 * u2 - dot * dot) * 1000000 // (c2 * u2)
+         |  END AS BIGINT) AS kept_ppm
+         |FROM pv, u2s ORDER BY vec_id""".stripMargin,
     // Mirrors simEmbeddingDriftOn: micro quantize before sum, FLOOR
     // double quotients, cosine through the round(,9) boundary.
     "sim_embedding_drift" ->

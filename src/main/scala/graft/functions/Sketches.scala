@@ -350,15 +350,136 @@ object Sketches {
       keys.select((col("key") + 1000000000L).as("key")))
   }
 
+  /** HLL geometry for [[sketchHllOn]]: m = 2⁸ = 256 registers; the
+    * hash suffix w = h DIV m lives below P/m < 2²² so its MSB index
+    * is ≤ 21 and ρ = 22 − msb ∈ [1, 22] (ρ = 23 for w = 0). */
+  val HllM = 256L
+  val HllWBits = 22
+  /** floor(10⁶ · 0.7213 / (1 + 1.079/256)) — the standard α₂₅₆ bias
+    * constant (Flajolet et al. 2007 §5; Heule et al. 2013 use the
+    * same family), pinned in micro so both engines share it. */
+  val HllAlphaMicro = 718272L
+
+  /** L17f: HyperLogLog distinct-count sketch built from scratch —
+    * the OTHER mergeable cardinality sketch beside [[sketchThetaOn]]'s
+    * KMV: m=256 registers each holding the max leading-zero rank ρ of
+    * the hashed suffix, estimate α·m²/Σ2^(−M_j) with linear-counting
+    * fallback below 2.5m when empty registers remain (Flajolet,
+    * Fusy, Gandouet, Meunier, AofA 2007). Spark's own
+    * approx_count_distinct is HLL++ with an engine-private hash —
+    * un-replayable by construction (hence agg_approx_distinct's
+    * bounds-mode oracle); THIS one is derandomized on the repo's
+    * pinned LCG hash, so the DuckDB oracle replays the registers,
+    * the scaled harmonic sum, and the estimate bit-for-bit — a
+    * hash-exact HLL next to the bounds-checked built-in.
+    *
+    * Exactness spelling: ρ needs the MSB index of w, found with a
+    * 22-row powers-of-two join (no float log2 — the graph_katz
+    * discipline); the harmonic sum is scaled by 2²³ so every term
+    * 2^(23−ρ) is a BIGINT and Σ ≤ 256·2²³; the one estimate division
+    * runs in DECIMAL(38,0); the linear-counting branch's ln is a
+    * documented floor boundary on the 255 possible inputs. Empty
+    * registers contribute V·2²³ via arithmetic — no 256-row spine is
+    * materialized.
+    *
+    * Shape: registers collapse FIRST (groupBy (type, bucket) min(w) —
+    * map-side combinable, ρ is antitone in w so max ρ = ρ(min w));
+    * the powers join runs on ≤ |types|·256 rows, never the fact
+    * stream. The exact distinct stays as the in-catalog eval column,
+    * the pass the sketch replaces at 100×. */
+  def sketchHllOn(events: DataFrame): DataFrame = {
+    val h = events.select(col("event_type"),
+      expr(s"(user_id * 2654435761 + 12345) % $P").as("h"))
+    val reg = h.select(col("event_type"),
+        expr(s"h % $HllM").as("bucket"), expr(s"h DIV $HllM").as("w"))
+      .groupBy("event_type", "bucket").agg(min(col("w")).as("wmin"))
+    val pows = h.sparkSession.range(0, HllWBits)
+      .select(col("id").cast("int").as("i"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("pw"))
+    val rho = reg.join(broadcast(pows), col("pw") <= col("wmin"), "left")
+      .groupBy("event_type", "bucket")
+      .agg(max(col("i")).as("msb"))
+      .select(col("event_type"),
+        coalesce(lit(HllWBits) - col("msb"), lit(HllWBits + 1)).as("rho"))
+    val scale = 1L << (HllWBits + 1)
+    val per = rho.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(${HllWBits + 1} - rho AS INT))")).as("s_hit"))
+      .withColumn("v_empty", lit(HllM) - col("n_hit"))
+      .withColumn("s_scaled", col("s_hit") + col("v_empty") * lit(scale))
+      .withColumn("est_raw", expr(
+        s"""CAST(CAST($HllAlphaMicro AS DECIMAL(38,0))
+           |  * ${HllM * HllM} * $scale
+           |  DIV (CAST(s_scaled AS DECIMAL(38,0)) * 1000000)
+           |  AS BIGINT)""".stripMargin))
+      .withColumn("est",
+        when(col("est_raw") <= lit(5L * HllM / 2) && col("v_empty") > 0,
+          expr(s"CAST(floor(CAST($HllM AS DOUBLE) " +
+            s"* ln(CAST($HllM AS DOUBLE) / v_empty)) AS BIGINT)"))
+          .otherwise(col("est_raw")))
+    val exact = events.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("exact_users"))
+    per.join(exact, Seq("event_type"))
+      .withColumn("err", col("est") - col("exact_users"))
+      .select("event_type", "n_hit", "v_empty", "s_scaled",
+        "est_raw", "est", "exact_users", "err")
+      .orderBy("event_type")
+  }
+
+  def sketchHll(s: SparkSession, dir: String): DataFrame =
+    sketchHllOn(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_bloom_fpr" -> sketchBloomFpr,
     "sketch_theta" -> sketchTheta,
     "sketch_quantile" -> sketchQuantile,
     "sketch_theta_rollup" -> sketchThetaRollup,
     "sketch_log_histogram" -> sketchLogHistogram,
+    "sketch_hll" -> sketchHll,
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors sketchHllOn: same LCG hash, powers-join MSB (no float
+    // log2), 2^23-scaled harmonic sum, pinned ln floor boundary on
+    // the linear-counting branch.
+    "sketch_hll" ->
+      s"""WITH h AS (SELECT event_type,
+         |    (user_id * 2654435761 + 12345) % $P AS h FROM events),
+         |mn AS (SELECT event_type, h % $HllM AS bucket,
+         |    MIN(h // $HllM) AS wmin
+         |  FROM h GROUP BY 1, 2),
+         |ms AS (SELECT event_type, bucket, MAX(i) AS msb
+         |  FROM mn LEFT JOIN range(0, $HllWBits) r(i)
+         |    ON (CAST(1 AS BIGINT) << CAST(i AS INT)) <= wmin
+         |  GROUP BY 1, 2),
+         |rh AS (SELECT event_type,
+         |    COALESCE($HllWBits - msb, ${HllWBits + 1}) AS rho FROM ms),
+         |per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hit,
+         |    CAST(SUM(CAST(1 AS BIGINT)
+         |      << CAST(${HllWBits + 1} - rho AS INT)) AS BIGINT) AS s_hit
+         |  FROM rh GROUP BY 1),
+         |c AS (SELECT event_type, n_hit,
+         |    CAST($HllM - n_hit AS BIGINT) AS v_empty,
+         |    CAST(s_hit + ($HllM - n_hit)
+         |      * (CAST(1 AS BIGINT) << ${HllWBits + 1}) AS BIGINT) AS s_scaled
+         |  FROM per),
+         |e AS (SELECT *, CAST(CAST($HllAlphaMicro AS HUGEINT)
+         |    * ${HllM * HllM} * ${1L << (HllWBits + 1)}
+         |    // (CAST(s_scaled AS HUGEINT) * 1000000) AS BIGINT) AS est_raw
+         |  FROM c),
+         |f AS (SELECT *, CASE WHEN est_raw <= ${5L * HllM / 2}
+         |      AND v_empty > 0
+         |    THEN CAST(floor(CAST($HllM AS DOUBLE)
+         |      * ln(CAST($HllM AS DOUBLE) / v_empty)) AS BIGINT)
+         |    ELSE est_raw END AS est FROM e),
+         |x AS (SELECT event_type,
+         |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+         |  FROM events GROUP BY 1)
+         |SELECT f.event_type, n_hit, v_empty, s_scaled, est_raw, est,
+         |  exact_users, CAST(est - exact_users AS BIGINT) AS err
+         |FROM f JOIN x ON f.event_type = x.event_type
+         |ORDER BY f.event_type""".stripMargin,
     // Mirrors sketchBloomFprOn: same mixing hash, same k position
     // hashes, same pinned round(,9)-floor theory boundary.
     "sketch_bloom_fpr" -> {

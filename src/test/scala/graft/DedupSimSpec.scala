@@ -258,6 +258,39 @@ class DedupSimSpec extends SparkSpecBase {
     assert(out.where(abs(col("loading_q20")) === 1048576L).count() >= 1)
   }
 
+  test("abtt whitening: vectors ON the top PC keep exactly zero energy; " +
+    "the zero-energy vector NULL-gates") {
+    // the pca fixture: every vector is t*(1,-1,0,0), quantization
+    // exact at these t values, so dot^2 == c2*u2 and kept_ppm == 0
+    val vecs = Seq(-1.0f, -0.5f, 0.0f, 0.5f, 1.0f).zipWithIndex.map {
+      case (t, i) => (i.toLong, Seq(t, -t, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val pc = functions.Similarity.simPcaPowerOn(vecs)
+    val out = functions.Similarity.simWhitenAbttOn(vecs, pc)
+      .select("vec_id", "proj_q20", "norm2_q40", "kept_ppm").collect()
+    out.foreach { r =>
+      if (r.getAs[Long]("norm2_q40") > 0L)
+        assert(r.getAs[Long]("kept_ppm") == 0L, s"row $r")
+      else assert(r.isNullAt(3), s"row $r")
+    }
+    // projections carry the sign and order of t
+    val proj = out.sortBy(_.getAs[Long]("vec_id")).map(r =>
+      if (r.isNullAt(1)) 0L else r.getAs[Long]("proj_q20"))
+    assert(proj(0) < proj(1) && proj(1) < proj(3) && proj(3) < proj(4))
+  }
+
+  test("abtt whitening on the corpus: kept_ppm inside Cauchy-Schwarz " +
+    "bounds, one row per vector, projections not all one sign") {
+    val out = functions.Similarity.simWhitenAbtt(spark, sf)
+      .localCheckpoint(true)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.count() == n)
+    assert(out.where(col("kept_ppm") < 0L || col("kept_ppm") > 1000000L)
+      .count() == 0)
+    assert(out.where(col("proj_q20") > 0L).count() > 0)
+    assert(out.where(col("proj_q20") < 0L).count() > 0)
+  }
+
   test("MMR re-rank: hand-computed diversity pick; corpus output is 5 distinct " +
     "ranked picks per query starting from the relevance top-1") {
     // query q = e1; A = (0.8, 0.6) at rel 0.8, B a near-dup of A

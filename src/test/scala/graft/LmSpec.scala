@@ -137,4 +137,36 @@ class LmSpec extends SparkSpecBase {
       .where(abs(col("ns") * 4 - (col("ns") + col("nu"))) >= 4)
     assert(offQuarter.count() == 0)
   }
+
+  test("count prune: hand corpus — cutoff 1 keeps everything, cutoff 2 " +
+    "keeps exactly the repeated trigram's types and mass") {
+    // doc1 trigrams: (a b c) (b c a) (c a b) (a b c) -> abc:2 bca:1 cab:1
+    // doc2 trigrams: (a b c) (b c d) (c d e) (d e f) -> abc:+1 rest 1
+    // table: abc=3, bca=cab=bcd=cde=def=1 -> 6 types, mass 8
+    val docs = Seq((1L, "en", "a b c a b c"), (2L, "en", "a b c d e f"))
+      .toDF("doc_id", "lang", "text")
+    val out = functions.Lm.lmCountPruneOn(docs, lit(true))
+      .select("cutoff", "n_types", "n_types_kept", "mass_total",
+        "mass_kept", "types_kept_ppm", "mass_kept_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 6L, 6L, 8L, 8L, 1000000L, 1000000L),
+      (2L, 6L, 1L, 8L, 3L, 166666L, 375000L),
+      (4L, 6L, 0L, 8L, 0L, 0L, 0L),
+      (8L, 6L, 0L, 8L, 0L, 0L, 0L)))
+  }
+
+  test("count prune on the corpus: curves are monotone in the cutoff " +
+    "and mass retention dominates type retention (Zipf)") {
+    val out = functions.Lm.lmCountPrune(spark, sf)
+      .select("cutoff", "n_types_kept", "mass_kept", "types_kept_ppm",
+        "mass_kept_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.size == 4)
+    out.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3)
+    }
+    // dropping rare types always keeps proportionally more mass
+    out.foreach(r => assert(r._5 >= r._4))
+  }
 }

@@ -138,4 +138,40 @@ class SketchesSpec extends SparkSpecBase {
     assert(r.getLong(5) <= 3 * expected + 4,
       s"${r.getLong(5)} FPs vs expected $expected")
   }
+
+  test("hll: registers are multiplicity-invariant, the raw-estimate " +
+    "formula replays, and linear counting lands within a few of exact") {
+    val users = (1L to 30L)
+    val once = ev(users.map(u => ("X", u)))
+    val thrice = ev(users.flatMap(u => Seq(("X", u), ("X", u), ("X", u))))
+    val a = functions.Sketches.sketchHllOn(once).collect()(0)
+    val b = functions.Sketches.sketchHllOn(thrice).collect()(0)
+    // a register is max-rho over occurrences: duplicates change nothing
+    assert(a.getAs[Long]("s_scaled") == b.getAs[Long]("s_scaled"))
+    assert(a.getAs[Long]("est") == b.getAs[Long]("est"))
+    assert(a.getAs[Long]("exact_users") == 30L)
+    // 30 << 2.5m with empty registers -> the linear-counting branch,
+    // whose error at this occupancy is a couple of collisions at most
+    assert(math.abs(a.getAs[Long]("err")) <= 4L)
+    // mechanism replay: est_raw = floor(alpha_micro*m^2*2^23/(S*1e6))
+    val s = a.getAs[Long]("s_scaled")
+    val want = (BigInt(718272) * 65536 * 8388608 /
+      (BigInt(s) * 1000000)).toLong
+    assert(a.getAs[Long]("est_raw") == want)
+  }
+
+  test("hll on the corpus: register geometry conserved, estimates " +
+    "inside a generous multiple of the published 6.5% error") {
+    val out = functions.Sketches.sketchHll(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_hit") + r.getAs[Long]("v_empty") == 256L)
+      val exact = r.getAs[Long]("exact_users")
+      assert(exact > 0L)
+      assert(math.abs(r.getAs[Long]("err")) <=
+        math.max(10L, exact * 25 / 100),
+        s"${r.getAs[String]("event_type")}: est=${r.getAs[Long]("est")} " +
+          s"exact=$exact")
+    }
+  }
 }
