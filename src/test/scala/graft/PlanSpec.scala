@@ -728,7 +728,12 @@ class PlanSpec extends SparkSpecBase {
 
   test("lm_ngram_backoff: count lookups are equi-joins; only the 1-row N " +
     "relation crosses as a broadcast") {
-    val p = plan(functions.Lm.lmNgramBackoff(spark, sf))
+    // the catalog wrapper returns the memoized localCheckpoint (a
+    // bare scan) — pin the plan of the underlying builder instead
+    val p = plan(functions.Lm.lmNgramBackoffOn(
+      Tables.documents(spark, sf).withColumn("bucket",
+        functions.Text.polyHash(col("text")) % 100),
+      col("bucket") < 80))
     // five count-table lookups, all hash equi-joins
     assert(!p.contains("Cartesian"), p)
     // the single BNLJ-able relation is the broadcast 1-row token total
