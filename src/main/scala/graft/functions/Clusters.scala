@@ -304,6 +304,87 @@ object Clusters {
   def graphKatz(s: SparkSession, dir: String): DataFrame =
     graphKatzOn(bipartiteEdges(s, dir))
 
+  /** L18t: semi-supervised label propagation with clamped seeds (Zhu
+    * & Ghahramani, CMU CALD-02-107; Zhou et al., NIPS 2004 "learning
+    * with local and global consistency") — the transductive move a
+    * corpus pipeline uses to SPREAD sparse expensive labels (human
+    * quality ratings, licensing verdicts, topic tags) over a cheap
+    * similarity graph: labeled nodes hold their label distribution
+    * fixed; every unlabeled node repeatedly takes the degree-averaged
+    * distribution of its neighbors.
+    *
+    * Exact integer spelling: distributions live in milli (seed =
+    * 1000 on its own label), one propagation round is
+    * x_k(v, ℓ) = ⌊Σ_{(u,v)∈E} x_{k−1}(u, ℓ) / deg(v)⌋ — a single
+    * floor per (node, label) per round, replayed by the oracle's
+    * unrolled CTEs; argmax ties break to the smaller label id. Mass
+    * is sub-stochastic by construction (unlabeled-neighbor leakage),
+    * which is the CONFIDENCE readout: conf_milli near 1000 means a
+    * label-pure neighborhood.
+    *
+    * Shape per round: one edge⋈x equi-join + one (node, label)
+    * map-side-combinable rollup + the broadcast-deg division —
+    * the pagerank Pregel step with a |labels|-bounded fanout (≤ 5
+    * here); the argmax window partitions by node over ≤ |labels|
+    * rows. Linear plan growth in `iters`; nothing global. */
+  def graphLabelSpreadOn(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val Array(cs, cd) = edges.columns.take(2)
+    val e = edges.select(col(cs).cast("long").as("src"),
+      col(cd).cast("long").as("dst"))
+    val deg = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val sd = seeds.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label")).localCheckpoint(true)
+    val x0 = sd.select(col("node"), col("label"), lit(1000L).as("x"))
+    var x = x0
+    for (_ <- 1 to iters) {
+      val y = e.join(x, col("src") === col("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(sum(col("x")).as("sx"))
+        .select(col("dst").as("node"), col("label"), col("sx"))
+        .join(deg, "node")
+        .select(col("node"), col("label"), expr("sx DIV deg").as("x"))
+        .join(sd.select("node").distinct(), Seq("node"), "left_anti")
+      x = x0.unionByName(y)
+    }
+    val w = Window.partitionBy("node")
+      .orderBy(col("x").desc, col("label").asc)
+    x.join(sd.select("node").distinct(), Seq("node"), "left_anti")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("node"), col("label").as("pred_label"),
+        col("x").as("conf_milli"))
+      .orderBy("node")
+  }
+
+  /** Catalog form: every 4th customer is seeded with its REGION; the
+    * spread infers regions for suppliers and the unlabeled customers
+    * over the trade graph, and the known nation→region of every node
+    * rides along as the in-catalog accuracy eval (`correct`). */
+  def graphLabelSpread(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_regionkey").cast("long"))
+    val custRegion = Tables.customer(s, dir)
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").cast("long").as("node"),
+        col("n_regionkey").as("region"))
+    val suppRegion = Tables.supplier(s, dir)
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select((col("s_suppkey") + 1000000L).as("node"),
+        col("n_regionkey").as("region"))
+    val seeds = custRegion.filter(col("node") % 4 === 0)
+      .select(col("node"), col("region").as("label"))
+    val truth = custRegion.unionByName(suppRegion)
+    graphLabelSpreadOn(bipartiteEdges(s, dir), seeds)
+      .join(truth, Seq("node"))
+      .select(col("node"), col("pred_label"), col("conf_milli"),
+        col("region").as("true_region"),
+        (col("pred_label") === col("region")).as("correct"))
+      .orderBy("node")
+  }
+
   /** L18m: personalized PageRank (Haveliwala 2002; the random-walk-
     * with-restart scorer behind "related items", seed-expansion
     * community detection, and graph-based retrieval): identical
@@ -2115,6 +2196,7 @@ object Clusters {
     "dedup_semantic_clustered" -> dedupSemanticClustered,
     "graph_pagerank" -> graphPagerank,
     "graph_katz" -> graphKatz,
+    "graph_label_spread" -> graphLabelSpread,
     "graph_ppr" -> graphPpr,
     "graph_harmonic" -> graphHarmonic,
     "graph_betweenness" -> graphBetweenness,
@@ -2813,6 +2895,46 @@ object Clusters {
          |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
          |$prIterSql
          |SELECT node, r AS rank_scaled FROM r3 ORDER BY node""".stripMargin,
+    // Mirrors graphLabelSpreadOn: clamped seeds, three unrolled
+    // degree-averaged milli rounds, (x desc, label asc) argmax.
+    "graph_label_spread" -> {
+      def round(k: Int): String =
+        s"""x$k AS MATERIALIZED (SELECT * FROM x0 UNION ALL
+           |  SELECT y.node, y.label, CAST(y.sx // d.deg AS BIGINT) AS x
+           |  FROM (SELECT eb.dst AS node, p.label, SUM(p.x) AS sx
+           |        FROM eb JOIN x${k - 1} p ON eb.src = p.node
+           |        GROUP BY 1, 2) y
+           |  JOIN deg d ON y.node = d.node
+           |  WHERE y.node NOT IN (SELECT node FROM sd))""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+         |    l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |eb AS MATERIALIZED (SELECT src, dst FROM e
+         |       UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |deg AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM eb GROUP BY 1),
+         |nat AS (SELECT n_nationkey,
+         |    CAST(n_regionkey AS BIGINT) AS region FROM nation),
+         |cr AS (SELECT CAST(c_custkey AS BIGINT) AS node, region
+         |  FROM customer JOIN nat ON c_nationkey = n_nationkey),
+         |sr AS (SELECT CAST(s_suppkey + 1000000 AS BIGINT) AS node,
+         |    region FROM supplier JOIN nat ON s_nationkey = n_nationkey),
+         |sd AS MATERIALIZED (SELECT node, region AS label FROM cr
+         |  WHERE node % 4 = 0),
+         |x0 AS (SELECT node, label, CAST(1000 AS BIGINT) AS x FROM sd),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |pr AS (SELECT node, label AS pred_label, x AS conf_milli
+         |  FROM x3 WHERE node NOT IN (SELECT node FROM sd)
+         |  QUALIFY row_number() OVER (PARTITION BY node
+         |    ORDER BY x DESC, label ASC) = 1),
+         |tr AS (SELECT node, region FROM cr
+         |  UNION ALL SELECT node, region FROM sr)
+         |SELECT pr.node, pred_label, conf_milli, region AS true_region,
+         |  pred_label = region AS correct
+         |FROM pr JOIN tr ON pr.node = tr.node ORDER BY pr.node""".stripMargin
+    },
     "graph_katz" ->
       """WITH e AS (SELECT DISTINCT o_custkey AS src,
         |    l_suppkey + 1000000 AS dst

@@ -1548,6 +1548,69 @@ object Similarity {
   def simWhitenAbtt(s: SparkSession, dir: String): DataFrame =
     simWhitenAbttOn(Tables.embeddings(s, dir), pcaCached(s, dir))
 
+  /** Expected coreset size for [[sampleCoresetOn]]. */
+  val CoresetM = 64L
+
+  /** L10y: lightweight k-means coreset (Bachem, Lucic & Krause, KDD
+    * 2018): a weighted subsample that provably preserves the k-means
+    * cost of ANY candidate clustering, drawn with mixture
+    * probabilities q(x) = ½·1/n + ½·d²(x,μ)/Σd² (μ = the corpus MEAN
+    * — one cheap pass, no clustering needed) and importance weights
+    * w = 1/(m·q). The uniform half guards dense regions, the
+    * distance half guards outliers — the tool that shrinks a
+    * 10⁹-vector embedding corpus to a laptop-sized weighted set
+    * before any expensive curation clustering.
+    *
+    * Derandomized draw, exact to the bit: coords quantize at q20, the
+    * mean floors once per dim (BIGINT DIV), d² is an exact BIGINT,
+    * and "keep x iff hash(x)/10⁶ < m·q(x)" is cross-multiplied into
+    * the integer predicate h·2·n·Σd² < m·10⁶·(Σd² + n·d²(x)) in
+    * DECIMAL(38,0) (exact to ~10²⁵ vectors); weights take one DIV at
+    * the milli boundary. A zero-variance corpus (Σd² = 0, q
+    * degenerates) falls back to the uniform half: keep iff
+    * h < m·10⁶ DIV n with weight n·1000 DIV m.
+    *
+    * Shape: one posexplode pass → dim-keyed mean rollup (64 rows,
+    * broadcast back) → per-vector d² rollup (map-side combinable) →
+    * broadcast scalar totals → a map-only filter. Nothing quadratic,
+    * no window, no sort but the output's. */
+  def sampleCoresetOn(emb: DataFrame, m: Long = CoresetM): DataFrame = {
+    require(m >= 1, s"need m >= 1, got $m")
+    val qv = emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        floor(col("col").cast("double") * 1048576).cast("long").as("qv"))
+    val nm = qv.groupBy("i")
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"))
+      .select(col("i"), expr("s DIV n").as("mu"))
+    val d2 = qv.join(broadcast(nm), "i")
+      .select(col("vec_id"),
+        ((col("qv") - col("mu")) * (col("qv") - col("mu"))).as("t"))
+      .groupBy("vec_id").agg(sum(col("t")).as("d2"))
+      .localCheckpoint(true) // totals + the draw read it
+    val tot = d2.agg(count(lit(1)).as("n"),
+      sum(col("d2").cast("decimal(38,0)")).as("sd2"))
+    d2.crossJoin(broadcast(tot))
+      .withColumn("h",
+        expr(s"(vec_id * 2654435761 + 12345) % ${Text.P} % 1000000"))
+      .filter(expr(
+        s"""CASE WHEN sd2 > 0 THEN
+           |  CAST(h AS DECIMAL(38,0)) * 2 * n * sd2
+           |    < CAST($m AS DECIMAL(38,0)) * 1000000 * (sd2 + n * d2)
+           |ELSE h < $m * 1000000 DIV n END""".stripMargin))
+      .select(col("vec_id"), col("d2"),
+        expr(
+          s"""CAST(CASE WHEN sd2 > 0 THEN
+             |  CAST(2 AS DECIMAL(38,0)) * n * sd2 * 1000
+             |    DIV (CAST($m AS DECIMAL(38,0)) * (sd2 + n * d2))
+             |ELSE n * 1000 DIV $m END AS BIGINT)""".stripMargin)
+          .as("w_milli"))
+      .orderBy("vec_id")
+  }
+
+  def sampleCoreset(s: SparkSession, dir: String): DataFrame =
+    sampleCoresetOn(Tables.embeddings(s, dir))
+
   /** Catalog form: even vs odd vec_id halves of the embedding corpus
     * (the stand-in for "last snapshot vs this snapshot"). */
   def simEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
@@ -1561,6 +1624,7 @@ object Similarity {
     "sim_embedding_drift" -> simEmbeddingDrift,
     "sim_pca_power" -> simPcaPower,
     "sim_whiten_abtt" -> simWhitenAbtt,
+    "sample_coreset" -> sampleCoreset,
     "sim_ann_sq" -> simAnnSq,
     "sample_kcenter" -> sampleKcenter,
     "sim_hard_negatives" -> simHardNegatives,
@@ -1764,6 +1828,35 @@ object Similarity {
       s"""WITH $pcaCoreSql
          |SELECT v3.j AS dim, v3.v AS loading_q20, lambda_q
          |FROM v3, lam ORDER BY dim""".stripMargin,
+    // Mirrors sampleCoresetOn: q20 coords, floored means, exact d2,
+    // cross-multiplied keep predicate, milli weights; the zero-
+    // variance branch replays the uniform fallback.
+    "sample_coreset" ->
+      s"""WITH qv AS (SELECT vec_id, i.i AS i,
+         |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576)
+         |      AS BIGINT) AS qv
+         |  FROM embeddings, range(0, 64) i(i)),
+         |nm AS (SELECT i, CAST(SUM(qv) // COUNT(*) AS BIGINT) AS mu
+         |  FROM qv GROUP BY i),
+         |dd AS (SELECT vec_id,
+         |    CAST(SUM((qv - mu) * (qv - mu)) AS BIGINT) AS d2
+         |  FROM qv JOIN nm USING (i) GROUP BY vec_id),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(d2) AS HUGEINT) AS sd2 FROM dd),
+         |dr AS (SELECT vec_id, d2,
+         |    (vec_id * 2654435761 + 12345) % ${Text.P} % 1000000 AS h,
+         |    n, sd2 FROM dd, tot)
+         |SELECT vec_id, d2,
+         |  CAST(CASE WHEN sd2 > 0 THEN
+         |    CAST(2 AS HUGEINT) * n * sd2 * 1000
+         |      // (CAST(${CoresetM} AS HUGEINT) * (sd2 + n * d2))
+         |  ELSE n * 1000 // ${CoresetM} END AS BIGINT) AS w_milli
+         |FROM dr
+         |WHERE CASE WHEN sd2 > 0 THEN
+         |    CAST(h AS HUGEINT) * 2 * n * sd2
+         |      < CAST(${CoresetM} AS HUGEINT) * 1000000 * (sd2 + n * d2)
+         |  ELSE h < ${CoresetM} * 1000000 // n END
+         |ORDER BY vec_id""".stripMargin,
     // Mirrors simWhitenAbttOn: per-vector dot/energy rollups against
     // the converged iterate, single truncating DIVs at the q20 and
     // ppm boundaries.

@@ -373,6 +373,42 @@ object Text {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** Per-language batch size for [[sampleUncertaintyOn]]. */
+  val UncertaintyPerLang = 32
+
+  /** L10z: uncertainty sampling (Lewis & Gale, SIGIR 1994) — the
+    * active-learning loop's selection step: the next documents worth
+    * sending to the EXPENSIVE labeler (human, frontier-model judge)
+    * are the ones the cheap trained filter is least sure about,
+    * margin = |p − ½| smallest. Closes the distillation loop around
+    * [[qualityLogregOn]]: train → score → pick the boundary batch →
+    * relabel → retrain; a corpus pipeline runs exactly this to grow
+    * its quality-filter training set where it matters.
+    *
+    * Scores come from the memoized trained classifier (one training
+    * chain per catalog run — the quality_auc/ece discipline), so this
+    * op adds ONE margin projection, a per-language rank window over
+    * the margin order (ties to doc_id), and the ≤ 32·|langs|-row
+    * output — the window partitions by language, never global. */
+  def sampleUncertaintyOn(scored: DataFrame, langs: DataFrame,
+      perLang: Int = UncertaintyPerLang): DataFrame = {
+    require(perLang >= 1, s"need perLang >= 1, got $perLang")
+    val m = scored.select(col("doc_id"), col("p_ppm"),
+        abs(col("p_ppm") - 500000L).as("margin_ppm"))
+      .join(langs, Seq("doc_id"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("margin_ppm").asc, col("doc_id").asc)
+    m.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perLang)
+      .select(col("lang"), col("rk"), col("doc_id"), col("p_ppm"),
+        col("margin_ppm"))
+      .orderBy("lang", "rk")
+  }
+
+  def sampleUncertainty(s: SparkSession, dir: String): DataFrame =
+    sampleUncertaintyOn(qualityScored(s, dir),
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")))
+
   /** L4q': AUC of the trained quality classifier — the accept metric
     * a production filter rollout actually reports (accuracy lies
     * under class imbalance; ranking quality is what the keep-
@@ -1304,6 +1340,7 @@ object Text {
     "text_fingerprint" -> textFingerprint,
     "text_novelty" -> textNovelty,
     "quality_logreg" -> qualityLogreg,
+    "sample_uncertainty" -> sampleUncertainty,
     "quality_auc" -> qualityAuc,
     "quality_ece" -> qualityEce,
     "quality_threshold_sweep" -> qualityThresholdSweep,
@@ -1820,6 +1857,21 @@ object Text {
          |SELECT n_pos, n_neg, u1_x2, auc_ppm,
          |  CAST(auc_ppm * 2 - 1000000 AS BIGINT) AS gini_pm
          |FROM fin""".stripMargin,
+    // Mirrors sampleUncertaintyOn: the shared trained scorer, margin
+    // projection, per-language (margin asc, doc_id asc) rank prefix.
+    "sample_uncertainty" ->
+      s"""WITH $logregCoreSql,
+         |m AS (SELECT s.doc_id, d.lang, s.p_ppm,
+         |    abs(s.p_ppm - 500000) AS margin_ppm
+         |  FROM scored s JOIN documents d ON s.doc_id = d.doc_id),
+         |r AS (SELECT lang, doc_id, p_ppm, margin_ppm,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY margin_ppm ASC, doc_id ASC) AS BIGINT) AS rk
+         |  FROM m)
+         |SELECT lang, rk, doc_id, p_ppm,
+         |  CAST(margin_ppm AS BIGINT) AS margin_ppm
+         |FROM r WHERE rk <= $UncertaintyPerLang
+         |ORDER BY lang, rk""".stripMargin,
     // Reliability bins + ECE/MCE; mirrors qualityEceOn term for term
     // (floor divisions on non-negative integers on both engines).
     "quality_ece" ->

@@ -382,4 +382,36 @@ class ChunkLmSpec extends SparkSpecBase {
     // both annotators constant -> pe = 1 -> NULL gate
     assert(kap(doc(1, 500, 50), doc(5, 600, 60)).isNullAt(6))
   }
+
+  test("uncertainty sampling: hand margins select the boundary docs per " +
+    "language; no unselected doc is strictly closer to the boundary") {
+    // synthetic scored relation: margins decided directly
+    val scored = Seq(
+      (1L, 1L, 500000L), (2L, 0L, 500001L), (3L, 1L, 999999L),
+      (4L, 0L, 100L), (5L, 1L, 480000L),
+      (10L, 1L, 700000L), (11L, 0L, 300001L))
+      .toDF("doc_id", "y", "p_ppm")
+    val langs = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"),
+      (5L, "en"), (10L, "de"), (11L, "de")).toDF("doc_id", "lang")
+    val out = functions.Text.sampleUncertaintyOn(scored, langs, perLang = 2)
+      .select("lang", "rk", "doc_id", "margin_ppm")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // en margins: 1->0, 2->1, 3->499999, 4->499900, 5->20000
+    // de margins: 10->200000, 11->199999
+    assert(out == Seq(
+      ("de", 1L, 11L, 199999L), ("de", 2L, 10L, 200000L),
+      ("en", 1L, 1L, 0L), ("en", 2L, 2L, 1L)))
+  }
+
+  test("uncertainty sampling on the corpus: at most the batch size per " +
+    "language and selection is a margin prefix") {
+    val out = functions.Text.sampleUncertainty(spark, sf)
+      .localCheckpoint(true)
+    assert(out.count() > 0)
+    val per = out.groupBy("lang").agg(
+      count(lit(1)).as("n"), max(col("margin_ppm")).as("worst"))
+    assert(per.where(col("n") > 32L).count() == 0)
+    // margins are valid: |p - 1/2| <= 1/2 in ppm
+    assert(out.where(col("margin_ppm") > 500000L).count() == 0)
+  }
 }

@@ -191,6 +191,39 @@ class ClustersSpec extends SparkSpecBase {
     assert(out.where(col("katz_scaled") >= 3000000000L).count() == 0)
   }
 
+  test("graph_label_spread: path-4 with opposite seeds unrolled by hand; " +
+    "symmetric tie breaks to the lower label") {
+    // path 1-2-3-4, seeds 1->label 0 and 4->label 1; three rounds give
+    // node2: {0: 625, 1: 250}, node3: {0: 250, 1: 625}
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq((1L, 0L), (4L, 1L)).toDF("node", "label")
+    val out = functions.Clusters.graphLabelSpreadOn(edges, seeds)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 0L, 625L), (3L, 1L, 625L)))
+    // path 1-2-3: node2 sees both seeds equally -> 500/500 tie -> label 0
+    val e3 = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val s3 = Seq((1L, 0L), (3L, 1L)).toDF("node", "label")
+    val mid = functions.Clusters.graphLabelSpreadOn(e3, s3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(mid == Seq((2L, 0L, 500L)))
+  }
+
+  test("graph_label_spread on the corpus: non-seed nodes only, labels in " +
+    "the region vocabulary, confidence inside (0, 1000]") {
+    val out = functions.Clusters.graphLabelSpread(spark, sf)
+      .localCheckpoint(true)
+    assert(out.count() > 0)
+    assert(out.where(col("node") % 4 === 0 && col("node") < 1000000L)
+      .count() == 0)
+    assert(out.where(col("pred_label") < 0L || col("pred_label") > 4L)
+      .count() == 0)
+    assert(out.where(col("conf_milli") <= 0L || col("conf_milli") > 1000L)
+      .count() == 0)
+    // the in-catalog accuracy eval carries both verdicts
+    assert(out.select("correct").distinct().count() >= 1)
+  }
+
   test("graph_bfs: hop distances on a path graph, horizon cut at maxHops") {
     // path 1-2-3-4-5-6 (symmetrized), source = min node = 1
     val edges = (1L to 5L).flatMap(i =>

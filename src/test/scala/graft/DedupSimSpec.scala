@@ -279,6 +279,37 @@ class DedupSimSpec extends SparkSpecBase {
     assert(proj(0) < proj(1) && proj(1) < proj(3) && proj(3) < proj(4))
   }
 
+  test("coreset: an extreme outlier is always kept; the zero-variance " +
+    "corpus falls back to the uniform draw with constant weights") {
+    // 50 clustered points + 1 outlier: q(outlier) ~ 1/2, m*q >= 1
+    val vecs = ((0L until 50L).map(i => (i, Seq(0.1f, 0.1f, 0.0f, 0.0f)))
+      :+ (99L, Seq(100.0f, -100.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val kept = functions.Similarity.sampleCoresetOn(vecs, m = 32)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(kept.exists(_._1 == 99L), s"outlier dropped: $kept")
+    // the outlier's importance weight is the smallest in the sample
+    val wOut = kept.find(_._1 == 99L).get._3
+    assert(kept.forall(_._3 >= wOut))
+    // all-identical corpus: sd2 = 0 -> uniform branch, w = n*1000/m
+    val flat = (0L until 10L).map(i => (i, Seq(0.5f, 0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val uni = functions.Similarity.sampleCoresetOn(flat, m = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(uni.nonEmpty && uni.forall(r => r._2 == 0L && r._3 == 2000L))
+  }
+
+  test("coreset on the corpus: deterministic draw, positive weights, " +
+    "size in the expected band around m") {
+    val a = functions.Similarity.sampleCoreset(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = functions.Similarity.sampleCoreset(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.forall(_._3 > 0L))
+    assert(a.size >= 16 && a.size <= 256, s"size ${a.size}")
+  }
+
   test("abtt whitening on the corpus: kept_ppm inside Cauchy-Schwarz " +
     "bounds, one row per vector, projections not all one sign") {
     val out = functions.Similarity.simWhitenAbtt(spark, sf)
