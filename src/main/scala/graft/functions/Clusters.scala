@@ -1616,10 +1616,22 @@ object Clusters {
       records.select("rid", "name", "grp"), Seq("name", "rid"))
       .localCheckpoint(true) // both truth sides + the n scalar
     val n = ranked.agg(count(lit(1)).as("n"))
-    val truth = ranked.as("x").join(ranked.as("y"),
-        col("x.grp") === col("y.grp") && col("x.rid") < col("y.rid") &&
-          levenshtein(col("x.name"), col("y.name")) <= 1)
-      .select(abs(col("x.dense_id") - col("y.dense_id")).as("dist"))
+    // Truth via deletion-variant blocking (the join_fuzzy theorem:
+    // lev(x,y) <= 1 ONLY IF the variant sets intersect — a lossless
+    // prefilter), so the within-group pair join is a (grp, variant)
+    // EQUI-join and the exact levenshtein verifies only the few
+    // colliding candidates — never the O(group²) all-pairs scan.
+    val vx = ranked.select(col("rid"), col("grp"), col("name"),
+      col("dense_id"), explode(Fuzzy.variants(col("name"))).as("v"))
+    val truth = vx.as("x").join(vx.as("y"),
+        col("x.grp") === col("y.grp") && col("x.v") === col("y.v") &&
+          col("x.rid") < col("y.rid"))
+      .select(col("x.rid").as("ra"), col("y.rid").as("rb"),
+        col("x.name").as("na"), col("y.name").as("nb"),
+        col("x.dense_id").as("da"), col("y.dense_id").as("db"))
+      .distinct()
+      .filter(levenshtein(col("na"), col("nb")) <= 1)
+      .select(abs(col("da") - col("db")).as("dist"))
       .localCheckpoint(true) // one conditional-sum pass per window
     val per = windows.map { w =>
       truth.agg(count(lit(1)).as("n_truth"),
@@ -1710,8 +1722,21 @@ object Clusters {
     * degree ≥ 1 in it, so walks never dead-end). The dump orderBy
     * lives HERE, not in the library form — consumers like
     * [[graphSkipgramPairs]] feed the sort-free relation to joins. */
+  private val walkCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The uniform walk corpus, memoized per (session, dir) — BOTH
+    * catalog consumers (graph_random_walk itself and the skip-gram
+    * pair extractor) read this relation, so a catalog run pays the
+    * unrolled walk chain once (the r6-verdict shared-subtree rule;
+    * each query independently re-derived a ~4 s walk before). */
+  private def randomWalkCached(s: SparkSession, dir: String): DataFrame =
+    memo(walkCache, s, dir) {
+      graphRandomWalkOn(bipartiteEdges(s, dir)).localCheckpoint(true)
+    }
+
   def graphRandomWalk(s: SparkSession, dir: String): DataFrame =
-    graphRandomWalkOn(bipartiteEdges(s, dir)).orderBy("walk_id", "step")
+    randomWalkCached(s, dir).orderBy("walk_id", "step")
 
   /** Integer node2vec weights for [[graphNode2vecWalkOn]] —
     * return/common/forward = 1/2/4, i.e. p = 2, q = 1/2 in node2vec
@@ -1819,8 +1844,7 @@ object Clusters {
     * unrolled walk subtree (2x the walk cost for a corpus that is
     * n*(steps+1) small rows). */
   def graphSkipgramPairs(s: SparkSession, dir: String): DataFrame =
-    graphSkipgramPairsOn(
-      graphRandomWalkOn(bipartiteEdges(s, dir)).localCheckpoint(true))
+    graphSkipgramPairsOn(randomWalkCached(s, dir))
 
   /** Directed micro-grid eps-pairs (qid, nid, d2) over the first two
     * embedding dims, SELF-PAIRS INCLUDED, complete for every pair

@@ -23,7 +23,7 @@ object Fuzzy {
     * vs "ba" share "a" at distance 2), so candidates are re-verified
     * with the exact levenshtein — blocking is a recall-complete
     * prefilter, never the decision. */
-  private def variants(s: Column): Column = array_union(
+  private[functions] def variants(s: Column): Column = array_union(
     array(s),
     expr(s"transform(sequence(0, length(${s.toString}) - 1), " +
       s"i -> concat(substr(${s.toString}, 1, i), " +

@@ -181,6 +181,118 @@ object Privacy {
   def privacyRecursiveLdiv(s: SparkSession, dir: String): DataFrame =
     privacyRecursiveLdivOn(Tables.customer(s, dir))
 
+  /** Per-user event budget for [[privacyContributionCapOn]]. */
+  val ContributionCap = 8
+
+  /** L16f: user-contribution bounding — the CLIPPING step of
+    * user-level DP aggregation (Wilson et al., VLDB 2020,
+    * "Differentially Private SQL with Bounded User Contribution"):
+    * before noise can promise user-level privacy, each user's
+    * influence on every released count must be bounded, so each user
+    * keeps only their FIRST `cap` events under the deterministic
+    * (ts, event_id) total order and the rest are clipped. The audit
+    * reports, per event type, raw vs capped counts and the clipped
+    * mass in ppm — the utility price of making [[privacyDpCountsOn]]'
+    * sensitivity-1 assumption actually true. Heavy users dominate the
+    * clipped mass by construction; the per-type breakdown shows WHERE
+    * the bound bites.
+    *
+    * Shape: one user-keyed rank window (bounded by per-user activity,
+    * the repo's standard journey partitioning), then a
+    * vocabulary-bounded rollup; integer ppm, total-order output. */
+  def privacyContributionCapOn(events: DataFrame,
+      cap: Int = ContributionCap): DataFrame = {
+    require(cap >= 1, s"need cap >= 1, got $cap")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("n_capped"))
+      .withColumn("n_clipped", col("n_raw") - col("n_capped"))
+      .withColumn("clipped_ppm", expr("n_clipped * 1000000 DIV n_raw"))
+      .orderBy("event_type")
+  }
+
+  def privacyContributionCap(s: SparkSession, dir: String): DataFrame =
+    privacyContributionCapOn(Tables.events(s, dir))
+
+  /** Per-user spend clip for [[privacyDpMeanOn]], in cents. */
+  val DpMeanCapCents = 10000L
+
+  /** L16h: DP mean release (the bounded-mean mechanism: clip each
+    * user's contribution, add noise scaled to the clip to the SUM and
+    * unit noise to the COUNT, divide — Dwork & Roth 2014 §3.4's
+    * noisy-sum/noisy-count quotient, with the clipping step
+    * [[privacyContributionCapOn]] audits made concrete): per event
+    * type, per-user spend is clipped at [[DpMeanCapCents]], the sum
+    * release adds a two-sided geometric draw × cap (sensitivity =
+    * cap after clipping), the count release adds an independent unit
+    * draw, both on pinned derandomized LCG coins (the
+    * privacy_dp_counts surrogate convention — production swaps in a
+    * real RNG and drops the audit columns). ε accounting: two ε≈0.693
+    * releases → 1386 milli total. Released mean = noisy_sum·1000 DIV
+    * noisy_n in milli-cents, NULL-gated when the noisy count lands
+    * non-positive; clipped-user count rides as the utility audit.
+    *
+    * Shape: one user×type rollup (map-side combinable), then a
+    * |types|-row aggregate — nothing past the rollup scales. */
+  def privacyDpMeanOn(events: DataFrame,
+      cap: Long = DpMeanCapCents): DataFrame = {
+    require(cap >= 1, s"need cap >= 1, got $cap")
+    val perUser = events.filter(col("event_type").isNotNull)
+      .groupBy("event_type", "user_id")
+      .agg(coalesce(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")),
+        lit(0L)).as("spend"))
+      .select(col("event_type"), col("user_id"),
+        least(col("spend"), lit(cap)).as("clipped"),
+        (col("spend") > cap).cast("long").as("hit"))
+    perUser.groupBy("event_type")
+      .agg(count(lit(1)).as("n_true"),
+        sum(col("clipped")).as("sum_true_cents"),
+        sum(col("hit")).as("n_clipped_users"))
+      .withColumn("seed",
+        expr("""ascii(substr(event_type, 1, 1)) * 961
+               | + ascii(substr(event_type, 2, 1)) * 31
+               | + length(event_type)""".stripMargin))
+      .withColumn("u",
+        expr("(CAST(seed AS BIGINT) * 1103515245 + 54321) % 766"))
+      .withColumn("noise_sum", expr(dpGeomNoiseSql).cast("long"))
+      .withColumn("u", expr("(CAST(seed AS BIGINT) * 69069 + 98765) % 766"))
+      .withColumn("noise_n", expr(dpGeomNoiseSql).cast("long"))
+      .select(col("event_type"), col("n_true"), col("sum_true_cents"),
+        col("n_clipped_users"), col("noise_sum"), col("noise_n"),
+        greatest(col("sum_true_cents") + col("noise_sum") * cap, lit(0L))
+          .as("sum_released_cents"),
+        greatest(col("n_true") + col("noise_n"), lit(0L))
+          .as("n_released"))
+      .withColumn("mean_released_milli", expr(
+        """CASE WHEN n_released > 0
+          | THEN sum_released_cents * 1000 DIV n_released END"""
+          .stripMargin))
+      .withColumn("epsilon_milli", lit(1386L))
+      .orderBy("event_type")
+  }
+
+  def privacyDpMean(s: SparkSession, dir: String): DataFrame =
+    privacyDpMeanOn(Tables.events(s, dir))
+
+  /** The privacy_dp_counts two-sided geometric ladder (p = 2/3,
+    * ε ≈ 0.693 per draw) over a coin column `u` ∈ [0, 766) — ONE
+    * string evaluated verbatim by both engines (the shared-literal
+    * rule). */
+  private val dpGeomNoiseSql: String =
+    """CASE WHEN u < 256 THEN 0
+      | WHEN u < 384 THEN 1 WHEN u < 512 THEN -1
+      | WHEN u < 576 THEN 2 WHEN u < 640 THEN -2
+      | WHEN u < 672 THEN 3 WHEN u < 704 THEN -3
+      | WHEN u < 720 THEN 4 WHEN u < 736 THEN -4
+      | WHEN u < 744 THEN 5 WHEN u < 752 THEN -5
+      | WHEN u < 756 THEN 6 WHEN u < 760 THEN -6
+      | WHEN u < 762 THEN 7 WHEN u < 764 THEN -7
+      | WHEN u < 765 THEN 8 ELSE -8 END""".stripMargin
+
   /** Keep-probability for [[privacyLdpFrequencyOn]], in milli (750 =
     * report the true value 75% of the time — ε = ln(3·(K−1)) for the
     * K-ary mechanism). */
@@ -334,9 +446,68 @@ object Privacy {
     "privacy_dp_quantile" -> privacyDpQuantile,
     "privacy_tcloseness" -> privacyTcloseness,
     "privacy_recursive_ldiv" -> privacyRecursiveLdiv,
+    "privacy_contribution_cap" -> privacyContributionCap,
+    "privacy_dp_mean" -> privacyDpMean,
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors privacyDpMeanOn: same clip, same two pinned coins and
+    // shared noise ladder, same clamp-then-divide.
+    "privacy_dp_mean" ->
+      s"""WITH pu AS (SELECT event_type, user_id,
+         |    COALESCE(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)
+         |      AS spend
+         |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+         |cl AS (SELECT event_type,
+         |    LEAST(spend, $DpMeanCapCents) AS clipped,
+         |    CASE WHEN spend > $DpMeanCapCents THEN 1 ELSE 0 END AS hit
+         |  FROM pu),
+         |ag AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true,
+         |    CAST(SUM(clipped) AS BIGINT) AS sum_true_cents,
+         |    CAST(SUM(hit) AS BIGINT) AS n_clipped_users,
+         |    ascii(substr(event_type, 1, 1)) * 961
+         |      + ascii(substr(event_type, 2, 1)) * 31
+         |      + length(event_type) AS seed
+         |  FROM cl GROUP BY 1),
+         |n1 AS (SELECT *, (CAST(seed AS BIGINT) * 1103515245 + 54321)
+         |    % 766 AS u FROM ag),
+         |n2 AS (SELECT event_type, n_true, sum_true_cents,
+         |    n_clipped_users, seed,
+         |    CAST($dpGeomNoiseSql AS BIGINT) AS noise_sum FROM n1),
+         |n3 AS (SELECT *, (CAST(seed AS BIGINT) * 69069 + 98765)
+         |    % 766 AS u FROM n2),
+         |n4 AS (SELECT event_type, n_true, sum_true_cents,
+         |    n_clipped_users, noise_sum,
+         |    CAST($dpGeomNoiseSql AS BIGINT) AS noise_n FROM n3),
+         |r AS (SELECT *,
+         |    GREATEST(sum_true_cents + noise_sum * $DpMeanCapCents,
+         |      0) AS sum_released_cents,
+         |    GREATEST(n_true + noise_n, 0) AS n_released FROM n4)
+         |SELECT event_type, n_true, sum_true_cents, n_clipped_users,
+         |  noise_sum, noise_n,
+         |  CAST(sum_released_cents AS BIGINT) AS sum_released_cents,
+         |  CAST(n_released AS BIGINT) AS n_released,
+         |  CAST(CASE WHEN n_released > 0
+         |    THEN sum_released_cents * 1000 // n_released END AS BIGINT)
+         |    AS mean_released_milli,
+         |  CAST(1386 AS BIGINT) AS epsilon_milli
+         |FROM r ORDER BY event_type""".stripMargin,
+    // Mirrors privacyContributionCapOn: same (ts, event_id) rank,
+    // same cap literal, ppm floor.
+    "privacy_contribution_cap" ->
+      s"""WITH r AS (SELECT event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rk
+         |  FROM events)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_raw,
+         |  CAST(SUM(CASE WHEN rk <= $ContributionCap THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_capped,
+         |  CAST(COUNT(*) - SUM(CASE WHEN rk <= $ContributionCap
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+         |  CAST((COUNT(*) - SUM(CASE WHEN rk <= $ContributionCap
+         |    THEN 1 ELSE 0 END)) * 1000000 // COUNT(*) AS BIGINT)
+         |    AS clipped_ppm
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // Mirrors privacyRecursiveLdivOn: desc-count rank inside each QI
     // class with the (n desc, nation asc) tie-break, then r1 vs the
     // c-scaled tail sum from rank l on.

@@ -1578,6 +1578,66 @@ object Events {
   def eventMarkovStationary(s: SparkSession, dir: String): DataFrame =
     eventMarkovStationaryOn(Tables.events(s, dir))
 
+  /** L20u: absorption analysis of the journey chain (Kemeny & Snell
+    * 1960 ch. III: the fundamental matrix N = (I−Q)⁻¹, here its
+    * truncated Neumann series) — treating `absorbing` ('purchase')
+    * as the absorbing state, every transient event type gets
+    *   t(v) ≈ expected further steps to conversion,
+    *       t_k(v) = 1 + Σ_{b transient} q(v,b)·t_{k−1}(b), and
+    *   a(v) ≈ probability of converting within the horizon,
+    *       a_k(v) = q(v,abs) + Σ_{b transient} q(v,b)·a_{k−1}(b)
+    * — the funnel readout "how far is each touchpoint from purchase
+    * and what share ever arrives". Truncation at `iters` terms is the
+    * documented semantics: exact for the k-step horizon, a lower
+    * bound on the untruncated values (mass still in play after k
+    * steps contributes 0). Exact integers: t in milli, a in ppm, one
+    * floor DIV by the row total per state per round, replayed by the
+    * oracle's unrolled CTEs. Censoring: each user's final event has
+    * no successor, so row totals condition on the walk continuing; a
+    * type observed only as a destination is a censored sink
+    * (contributes 0 to both recursions) — both shared with the
+    * oracle.
+    *
+    * Shape: ONE user-keyed lead window builds the transition counts
+    * (the event_markov_stationary substrate), then every round is
+    * arithmetic on the ≤|vocab|² checkpointed count relation —
+    * nothing rescans facts, rounds are constant-size joins. */
+  def eventAbsorptionOn(events: DataFrame, absorbing: String = "purchase",
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull && col("event_type") =!= absorbing)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val t = trans.join(trans.groupBy("src").agg(sum(col("n")).as("r")), "src")
+      .localCheckpoint(true) // referenced every round: keep plans flat
+    var cur = t.select(col("src").as("state")).distinct()
+      .select(col("state"), lit(0L).as("t_milli"), lit(0L).as("a_ppm"))
+    for (_ <- 1 to iters) {
+      cur = t.join(cur.select(col("state").as("dst"),
+          col("t_milli").as("tb"), col("a_ppm").as("ab")), Seq("dst"), "left")
+        .select(col("src"), col("r"), col("n"), col("dst"),
+          coalesce(col("tb"), lit(0L)).as("tb"),
+          coalesce(col("ab"), lit(0L)).as("ab"))
+        .groupBy(col("src"), col("r"))
+        .agg(sum(when(col("dst") =!= absorbing, col("n") * col("tb"))
+            .otherwise(0L)).as("st"),
+          sum(when(col("dst") === absorbing, col("n") * lit(1000000L))
+            .otherwise(col("n") * col("ab"))).as("sa"))
+        .select(col("src").as("state"),
+          (lit(1000L) + expr("st DIV r")).as("t_milli"),
+          expr("sa DIV r").as("a_ppm"))
+        .localCheckpoint(true)
+    }
+    cur.orderBy("state")
+  }
+
+  def eventAbsorption(s: SparkSession, dir: String): DataFrame =
+    eventAbsorptionOn(Tables.events(s, dir))
+
   /** L20m: Welch's unequal-variance t-test on per-user total spend
     * between the two deterministic id-hash arms — the continuous-
     * outcome sibling of [[eventAbTestOn]]'s two-proportion z. After
@@ -2266,6 +2326,7 @@ object Events {
     "event_rate_limit" -> eventRateLimit,
     "ts_anomaly_decomposed" -> tsAnomalyDecomposed,
     "event_markov_stationary" -> eventMarkovStationary,
+    "event_absorption" -> eventAbsorption,
     "ts_decompose" -> tsDecompose,
     "event_regex" -> eventRegex,
     "sample_holdout_temporal" -> sampleHoldoutTemporal,
@@ -2882,6 +2943,34 @@ object Events {
          |SELECT p8.state, p8.pi AS pi_ppm,
          |  CAST(emp.emp_ppm AS BIGINT) AS emp_ppm
          |FROM p8 JOIN emp USING (state) ORDER BY state""".stripMargin,
+    // Mirrors eventAbsorptionOn: same lead substrate, eight unrolled
+    // truncated-Neumann rounds, one floor DIV per state per round.
+    "event_absorption" -> {
+      def round(k: Int): String =
+        s"""c$k AS MATERIALIZED (SELECT tm.src AS state,
+           |    1000 + CAST(SUM(CASE WHEN tm.dst <> 'purchase'
+           |        THEN tm.n * COALESCE(p.t_milli, 0) ELSE 0 END)
+           |      // tm.r AS BIGINT) AS t_milli,
+           |    CAST(SUM(CASE WHEN tm.dst = 'purchase' THEN tm.n * 1000000
+           |        ELSE tm.n * COALESCE(p.a_ppm, 0) END)
+           |      // tm.r AS BIGINT) AS a_ppm
+           |  FROM tm LEFT JOIN c${k - 1} p ON tm.dst = p.state
+           |  GROUP BY tm.src, tm.r)""".stripMargin
+      s"""WITH tp AS (SELECT user_id, event_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS dst
+         |  FROM events),
+         |t AS (SELECT event_type AS src, dst, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tp WHERE dst IS NOT NULL AND event_type <> 'purchase'
+         |  GROUP BY 1, 2),
+         |r AS (SELECT src, CAST(SUM(n) AS BIGINT) AS r FROM t GROUP BY 1),
+         |tm AS MATERIALIZED (SELECT t.src, t.dst, t.n, r.r
+         |  FROM t JOIN r USING (src)),
+         |c0 AS (SELECT DISTINCT src AS state, CAST(0 AS BIGINT) AS t_milli,
+         |    CAST(0 AS BIGINT) AS a_ppm FROM t),
+         |${(1 to 8).map(round).mkString(",\n")}
+         |SELECT state, t_milli, a_ppm FROM c8 ORDER BY state""".stripMargin
+    },
     "ts_decompose" ->
       s"""WITH $decomposeCoreSql
          |SELECT tr.d, tr.dow, tr.v_cents,

@@ -1175,4 +1175,41 @@ class EventsSpec extends SparkSpecBase {
       .select(expr("cv * 1000000 DIV u")).as[Long].head()
     assert(c.map(_.getAs[Long]("phi_num")).sum == nfact * full)
   }
+
+  test("event_absorption: geometric chain unrolled by hand converges on " +
+    "t=1.5 steps / a=1; a censored sink contributes zero") {
+    // transitions from 'view': view->view once, view->purchase twice
+    // (r=3): t_k = 1000 + floor(t_{k-1}/3) -> 1499 at k=8;
+    // a_k = floor((2e6 + a_{k-1})/3) -> 999847 at k=8
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "purchase", ts("2024-01-01 11:00:00")),
+      (3L, 2L, "view", ts("2024-01-02 09:00:00")),
+      (4L, 2L, "view", ts("2024-01-02 10:00:00")),
+      (5L, 2L, "purchase", ts("2024-01-02 11:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = operators.Events.eventAbsorptionOn(ev)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("view", 1499L, 999847L)))
+    // x -> y with y terminal and never absorbing: y is a censored
+    // sink, so x never converts and every step costs exactly 1
+    val dead = Seq(
+      (1L, 1L, "x", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "y", ts("2024-01-01 11:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val g2 = operators.Events.eventAbsorptionOn(dead)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(g2 == Seq(("x", 1000L, 0L)))
+  }
+
+  test("event_absorption on the corpus: probabilities in [0, 1e6], " +
+    "expected steps at least one, purchase never a transient row") {
+    val out = operators.Events.eventAbsorption(spark, sf)
+      .localCheckpoint(true)
+    assert(out.count() > 0)
+    assert(out.where(col("state") === "purchase").count() == 0)
+    assert(out.where(col("a_ppm") < 0L || col("a_ppm") > 1000000L)
+      .count() == 0)
+    assert(out.where(col("t_milli") < 1000L).count() == 0)
+  }
 }

@@ -187,4 +187,72 @@ class PrivacySpec extends SparkSpecBase {
     assert(total == Tables.customer(spark, sf).count())
     out.unpersist()
   }
+
+  test("contribution cap: hand users — the heavy user clips, the light " +
+    "user survives whole, the alternating user clips both types") {
+    import java.sql.Timestamp
+    def u(uid: Long, types: Seq[String]) = types.zipWithIndex.map {
+      case (t, k) => (uid * 100 + k,
+        Timestamp.valueOf(f"2024-01-01 10:${k}%02d:00"), uid, t, 0.0)
+    }
+    // user1: 10xT (keeps 8); user2: 3xU (keeps all);
+    // user3: T,U alternating x12 (keeps first 8 = 4T+4U)
+    val ev = (u(1, Seq.fill(10)("T")) ++ u(2, Seq.fill(3)("U")) ++
+      u(3, (0 until 12).map(k => if (k % 2 == 0) "T" else "U")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = functions.Privacy.privacyContributionCapOn(ev)
+      .select("event_type", "n_raw", "n_capped", "n_clipped", "clipped_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("T", 16L, 12L, 4L, 250000L),
+      ("U", 9L, 7L, 2L, 222222L)))
+  }
+
+  test("dp mean: clip, pinned coins and the quotient replayed by hand") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    // seeds: TT -> noise_sum 0, noise_n 0; UU -> noise_sum 0, noise_n 1
+    val ev = Seq(
+      (1L, t0, 1L, "TT", 50.0),   // 5000 cents, under cap
+      (2L, t0, 2L, "TT", 100.0),  // user2 total 15000 -> clipped 10000
+      (3L, t0, 2L, "TT", 50.0),
+      (4L, t0, 3L, "UU", 20.0))   // 2000 cents
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = functions.Privacy.privacyDpMeanOn(ev)
+      .select("event_type", "n_true", "sum_true_cents", "n_clipped_users",
+        "noise_sum", "noise_n", "sum_released_cents", "n_released",
+        "mean_released_milli")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("TT", 2L, 15000L, 1L, 0L, 0L, 15000L, 2L, 7500000L),
+      ("UU", 1L, 2000L, 0L, 0L, 1L, 2000L, 2L, 1000000L)))
+  }
+
+  test("dp mean on the corpus: releases clamp at zero, epsilon constant, " +
+    "clipped audit bounded by the population") {
+    val out = functions.Privacy.privacyDpMean(spark, sf)
+      .localCheckpoint(true)
+    assert(out.count() > 0)
+    assert(out.where(col("sum_released_cents") < 0L ||
+      col("n_released") < 0L).count() == 0)
+    assert(out.where(col("n_clipped_users") > col("n_true")).count() == 0)
+    assert(out.where(col("epsilon_milli") =!= 1386L).count() == 0)
+    assert(out.where(col("n_released") > 0L &&
+      col("mean_released_milli").isNull).count() == 0)
+  }
+
+  test("contribution cap on the corpus: capped never exceeds raw or " +
+    "cap*users, and totals reconcile") {
+    val out = functions.Privacy.privacyContributionCap(spark, sf)
+      .localCheckpoint(true)
+    assert(out.count() > 0)
+    assert(out.where(col("n_capped") > col("n_raw")).count() == 0)
+    assert(out.where(col("n_clipped") =!=
+      col("n_raw") - col("n_capped")).count() == 0)
+    val users = Tables.events(spark, sf).select("user_id")
+      .distinct().count()
+    val cappedTotal = out.agg(sum("n_capped")).as[Long].head()
+    assert(cappedTotal <= 8L * users)
+  }
 }
