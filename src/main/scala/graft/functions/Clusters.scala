@@ -970,6 +970,66 @@ object Clusters {
     clustersOn(Dedup.dedupMinhash(s, dir).select("da", "db"),
       connectedComponentsAltStarOn(_))
 
+  /** L2n: staged-dedup funnel accounting — the production pipeline
+    * readout (RefinedWeb, Penedo et al. 2023 §3/Table 2, publishes
+    * exactly this table: URL dedup, then exact-substring/hash, then
+    * fuzzy, each charged only what it removes ON TOP of the earlier
+    * rungs): stage 1 = URL-canonical dedup, stage 2 = exact content
+    * hash over stage-1 survivors, stage 3 = MinHash-verified near-dup
+    * components over what remains (keeper = min SURVIVING member per
+    * component). Marginal yield is the decision variable — a fuzzy
+    * rung that "removes 30%" standalone is worthless if exact hashing
+    * already took those rows — and this op measures it directly.
+    * Output: per stage n_in/n_removed/n_out, the stage's marginal
+    * removed_ppm, and the cumulative corpus shrinkage. Counts are
+    * 1-row broadcast scalars unioned into a 3-row report; the cluster
+    * relation rides the shared memoized shingle→minhash→band→verify
+    * chain and the O(log n) alternating-star CC. */
+  def dedupStageFunnelOn(docs: DataFrame, urls: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val s1 = urls.withColumn("curl", Dedup.canonicalUrl(col("url")))
+      .groupBy("curl").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").localCheckpoint(true)
+    val s2 = docs.join(s1, "doc_id")
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").localCheckpoint(true)
+    val lbl = clustersOn(pairs, connectedComponentsAltStarOn(_))
+      .select(col("doc_id"), col("cluster_id"))
+    val rem3 = s2.join(lbl, Seq("doc_id"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(col("cnt") - 1), lit(0L)).as("r"))
+    val cns = docs.agg(count(lit(1)).as("n0"))
+      .crossJoin(s1.agg(count(lit(1)).as("n1")))
+      .crossJoin(s2.agg(count(lit(1)).as("n2")))
+      .crossJoin(rem3)
+      .localCheckpoint(true) // read by all three report rows
+    val rows = cns.select(lit(1L).as("stage_id"), lit("url").as("stage"),
+        col("n0").as("n_in"), (col("n0") - col("n1")).as("n_removed"),
+        col("n1").as("n_out"), col("n0"))
+      .unionByName(cns.select(lit(2L).as("stage_id"),
+        lit("exact").as("stage"), col("n1").as("n_in"),
+        (col("n1") - col("n2")).as("n_removed"), col("n2").as("n_out"),
+        col("n0")))
+      .unionByName(cns.select(lit(3L).as("stage_id"),
+        lit("near").as("stage"), col("n2").as("n_in"),
+        col("r").as("n_removed"), (col("n2") - col("r")).as("n_out"),
+        col("n0")))
+    rows.select(col("stage_id"), col("stage"), col("n_in"),
+        col("n_removed"), col("n_out"),
+        expr("CAST(n_removed * 1000000 DIV n_in AS BIGINT)")
+          .as("removed_ppm"),
+        expr("CAST((n0 - n_out) * 1000000 DIV n0 AS BIGINT)")
+          .as("cum_removed_ppm"))
+      .orderBy("stage_id")
+  }
+
+  def dedupStageFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    dedupStageFunnelOn(docs, Dedup.syntheticUrlsOf(docs),
+      Dedup.dedupMinhash(s, dir).select("da", "db"))
+  }
+
   /** Catalog form (SemDeDup shape): components of the exact embedding
     * cosine pairs at cos >= 0.45 — semantic duplicate groups, one
     * keeper per group. Same propagation loop; only the edge source
@@ -2215,6 +2275,7 @@ object Clusters {
     "graph_degrees" -> graphDegrees,
     "dedup_clusters" -> dedupClusters,
     "corpus_soft_dedup" -> corpusSoftDedup,
+    "dedup_stage_funnel" -> dedupStageFunnel,
     "dedup_clusters_altstar" -> dedupClustersAltStar,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_clustered" -> dedupSemanticClustered,
@@ -3110,6 +3171,52 @@ object Clusters {
     // identical result contract to dedup_clusters — the oracle is the
     // algorithm-independent reachability closure
     "dedup_clusters_altstar" -> dedupClustersOracle,
+    // Mirrors dedupStageFunnelOn: url canon, sha256 over survivors,
+    // per-component surviving-extras; 3-row marginal report.
+    "dedup_stage_funnel" ->
+      s"""${Dedup.minhashCoreSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT da, db
+         |  FROM ix JOIN sig sa ON da = sa.doc_id
+         |  JOIN sig sb ON db = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+         |$ccCoreSql,
+         |uu AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END) ||
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+         |  source || '.example.com/' || lang || '/item-' || (doc_id % 25) ||
+         |  (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) || '?' ||
+         |  (CASE WHEN doc_id % 5 = 0 THEN 'utm_source=feed&' ELSE '' END) ||
+         |  'ref=item' || (doc_id % 25) AS url
+         |  FROM documents),
+         |cu AS (SELECT doc_id,
+         |  replace(replace(
+         |    regexp_replace(regexp_replace(url, '^https?://', ''),
+         |      '^www\\.', ''),
+         |    'utm_source=feed&', ''), '/?', '?') AS curl
+         |  FROM uu),
+         |s1 AS (SELECT MIN(doc_id) AS doc_id FROM cu GROUP BY curl),
+         |s2 AS (SELECT MIN(d.doc_id) AS doc_id
+         |  FROM documents d JOIN s1 USING (doc_id)
+         |  GROUP BY sha256(d.text)),
+         |r3 AS (SELECT COALESCE(SUM(cnt - 1), 0) AS r FROM (
+         |    SELECT l.cluster_id, COUNT(*) AS cnt
+         |    FROM s2 JOIN lbl l ON s2.doc_id = l.node GROUP BY 1)),
+         |cns AS (SELECT (SELECT COUNT(*) FROM documents) AS n0,
+         |    (SELECT COUNT(*) FROM s1) AS n1,
+         |    (SELECT COUNT(*) FROM s2) AS n2, r FROM r3),
+         |rws AS (
+         |  SELECT 1 AS stage_id, 'url' AS stage, n0 AS n_in,
+         |    n0 - n1 AS n_removed, n1 AS n_out, n0 FROM cns
+         |  UNION ALL SELECT 2, 'exact', n1, n1 - n2, n2, n0 FROM cns
+         |  UNION ALL SELECT 3, 'near', n2, r, n2 - r, n0 FROM cns)
+         |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+         |  CAST(n_in AS BIGINT) AS n_in,
+         |  CAST(n_removed AS BIGINT) AS n_removed,
+         |  CAST(n_out AS BIGINT) AS n_out,
+         |  CAST(n_removed * 1000000 // n_in AS BIGINT) AS removed_ppm,
+         |  CAST((n0 - n_out) * 1000000 // n0 AS BIGINT)
+         |    AS cum_removed_ppm
+         |FROM rws ORDER BY stage_id""".stripMargin,
     "dedup_apply" ->
       s"""${Dedup.minhashCoreSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |pairs AS (SELECT da, db

@@ -199,8 +199,10 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .orderBy("curl")
 
-  def dedupUrl(s: SparkSession, dir: String): DataFrame =
-    dedupUrlOn(Tables.documents(s, dir).select(col("doc_id"),
+  /** The deterministic synthetic crawl-URL relation (doc_id, url) —
+    * shared by dedup_url and the staged-funnel's URL rung. */
+  private[functions] def syntheticUrlsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       concat(
         when(col("doc_id") % 3 === 0, "http://").otherwise("https://"),
         when(col("doc_id") % 2 === 0, "www.").otherwise(""),
@@ -209,7 +211,10 @@ object Dedup {
         when(col("doc_id") % 7 === 0, "/").otherwise(""),
         lit("?"),
         when(col("doc_id") % 5 === 0, "utm_source=feed&").otherwise(""),
-        lit("ref=item"), pmod(col("doc_id"), lit(25))).as("url")))
+        lit("ref=item"), pmod(col("doc_id"), lit(25))).as("url"))
+
+  def dedupUrl(s: SparkSession, dir: String): DataFrame =
+    dedupUrlOn(syntheticUrlsOf(Tables.documents(s, dir)))
 
   /** L2: MinHash + LSH banding, then exact-Jaccard verification of the
     * banded candidates (jac >= threshold), over a (doc_id, hs)

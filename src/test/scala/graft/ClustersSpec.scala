@@ -224,6 +224,40 @@ class ClustersSpec extends SparkSpecBase {
     assert(out.select("correct").distinct().count() >= 1)
   }
 
+  test("dedup stage funnel: each rung charged only its marginal " +
+    "removals; an exact-dup pair already removed costs near-dup nothing") {
+    val docs = (1L to 8L).map(i =>
+      (i, if (i == 4) "same text three" else s"text number $i"))
+      .toDF("doc_id", "text")
+      .withColumn("text", when(col("doc_id") === 3, "same text three")
+        .otherwise(col("text")))
+    val urls = (1L to 8L).map(i =>
+      (i, if (i <= 2) "https://www.a.com/x" else s"https://a.com/$i"))
+      .toDF("doc_id", "url")
+    // near-dup graph: (3,4) is ALSO an exact pair (stage 2 takes it);
+    // (5,6) is near-only (stage 3's marginal removal)
+    val pairs = Seq((3L, 4L), (5L, 6L)).toDF("da", "db")
+    val out = functions.Clusters.dedupStageFunnelOn(docs, urls, pairs)
+      .select("stage_id", "stage", "n_in", "n_removed", "n_out",
+        "removed_ppm", "cum_removed_ppm")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "url", 8L, 1L, 7L, 125000L, 125000L),
+      (2L, "exact", 7L, 1L, 6L, 142857L, 250000L),
+      (3L, "near", 6L, 1L, 5L, 166666L, 375000L)))
+  }
+
+  test("dedup stage funnel on the corpus: conservation across rungs and " +
+    "monotone cumulative shrinkage") {
+    val out = functions.Clusters.dedupStageFunnel(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(out.map(_._2) == Seq("url", "exact", "near"))
+    out.sliding(2).foreach { case Seq(a, b) => assert(a._5 == b._3) }
+    out.foreach(r => assert(r._3 - r._4 == r._5))
+    assert(out.map(_._7) == out.map(_._7).sorted)
+  }
+
   test("graph_bfs: hop distances on a path graph, horizon cut at maxHops") {
     // path 1-2-3-4-5-6 (symmetrized), source = min node = 1
     val edges = (1L to 5L).flatMap(i =>
