@@ -1818,6 +1818,50 @@ object Events {
     cdcSnapshotDiffOn(Tables.events(s, dir),
       lit("2024-01-10").cast("timestamp"), lit("2024-01-20").cast("timestamp"))
 
+  /** L20v: incremental aggregate maintenance — the nightly
+    * materialized-view contract (Gupta & Mumick 1995's
+    * self-maintainable SUM/COUNT case): the (event_type, day) rollup
+    * STATE from everything at cut t1, plus the DELTA rollup over
+    * (t1, t2], composed by a full-outer coalesce-sum merge; the
+    * `matches` audit column checks composed == full recompute at t2
+    * row for row — the incremental-equals-batch theorem shipped as a
+    * checked relation (the graph_cc_incremental discipline). At
+    * 100 TB the nightly cost tracks the DELTA: the state table is
+    * read, not rebuilt; SUM/COUNT are self-maintainable so no base
+    * rescan; the merge keys on the same (type, day) the rollups
+    * shuffle on. */
+  def aggIncrementalRollupOn(events: DataFrame, t1: Column,
+      t2: Column): DataFrame = {
+    def rollup(df: DataFrame) = df
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")),
+          lit(0L)).as("cents"))
+    val state = rollup(events.filter(col("ts") <= t1))
+    val delta = rollup(events.filter(col("ts") > t1 && col("ts") <= t2))
+    val batch = rollup(events.filter(col("ts") <= t2))
+    state.select(col("event_type"), col("d"), col("n").as("sn"),
+        col("cents").as("sc"))
+      .join(delta.select(col("event_type"), col("d"), col("n").as("dn"),
+        col("cents").as("dc")), Seq("event_type", "d"), "full_outer")
+      .select(col("event_type"), col("d"),
+        coalesce(col("sn"), lit(0L)).as("state_n"),
+        coalesce(col("dn"), lit(0L)).as("delta_n"),
+        (coalesce(col("sn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_composed"),
+        (coalesce(col("sc"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("cents_composed"))
+      .join(batch.select(col("event_type"), col("d"), col("n").as("n_batch"),
+        col("cents").as("cents_batch")), Seq("event_type", "d"))
+      .withColumn("matches", col("n_composed") === col("n_batch") &&
+        col("cents_composed") === col("cents_batch"))
+      .orderBy("event_type", "d")
+  }
+
+  def aggIncrementalRollup(s: SparkSession, dir: String): DataFrame =
+    aggIncrementalRollupOn(Tables.events(s, dir),
+      lit("2024-01-10").cast("timestamp"), lit("2024-01-20").cast("timestamp"))
+
   /** L20p: time-boxed funnel — [[eventFunnelOn]]'s first-touch chain
     * with a CONVERSION WINDOW: step k counts only when its first
     * qualifying event lands strictly after step k−1's time and within
@@ -2309,6 +2353,7 @@ object Events {
     "event_shapley" -> eventShapley,
     "event_pattern_match" -> eventPatternMatch,
     "cdc_snapshot_diff" -> cdcSnapshotDiff,
+    "agg_incremental_rollup" -> aggIncrementalRollup,
     "event_funnel_window" -> eventFunnelWindow,
     "event_uplift" -> eventUplift,
     "event_adstock" -> eventAdstock,
@@ -2736,6 +2781,40 @@ object Events {
         |       ELSE 'update' END AS change_type
         |FROM new_s n LEFT JOIN old_s o USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // Mirrors aggIncrementalRollupOn: state + delta rollups, full
+    // outer coalesce-sum merge, batch recompute audit.
+    "agg_incremental_rollup" ->
+      """WITH st AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COALESCE(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)),
+        |      0) AS BIGINT) AS cents
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-10' GROUP BY 1, 2),
+        |de AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COALESCE(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)),
+        |      0) AS BIGINT) AS cents
+        |  FROM events WHERE ts > TIMESTAMP '2024-01-10'
+        |    AND ts <= TIMESTAMP '2024-01-20' GROUP BY 1, 2),
+        |ba AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COALESCE(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)),
+        |      0) AS BIGINT) AS cents
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-20' GROUP BY 1, 2),
+        |cm AS (SELECT COALESCE(st.event_type, de.event_type) AS event_type,
+        |    COALESCE(st.d, de.d) AS d,
+        |    CAST(COALESCE(st.n, 0) AS BIGINT) AS state_n,
+        |    CAST(COALESCE(de.n, 0) AS BIGINT) AS delta_n,
+        |    CAST(COALESCE(st.n, 0) + COALESCE(de.n, 0) AS BIGINT)
+        |      AS n_composed,
+        |    CAST(COALESCE(st.cents, 0) + COALESCE(de.cents, 0) AS BIGINT)
+        |      AS cents_composed
+        |  FROM st FULL OUTER JOIN de
+        |    ON st.event_type = de.event_type AND st.d = de.d)
+        |SELECT cm.event_type, cm.d, state_n, delta_n, n_composed,
+        |  cents_composed, ba.n AS n_batch, ba.cents AS cents_batch,
+        |  n_composed = ba.n AND cents_composed = ba.cents AS matches
+        |FROM cm JOIN ba ON cm.event_type = ba.event_type AND cm.d = ba.d
+        |ORDER BY cm.event_type, cm.d""".stripMargin,
     "event_ttest_welch" ->
       """WITH u AS (SELECT user_id,
         |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)

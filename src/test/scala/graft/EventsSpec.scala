@@ -1202,6 +1202,36 @@ class EventsSpec extends SparkSpecBase {
     assert(g2 == Seq(("x", 1000L, 0L)))
   }
 
+  test("agg_incremental_rollup: composed always equals batch (the " +
+    "self-maintainability theorem), delta-only days insert cleanly") {
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-05 10:00:00"), 1.0),
+      (2L, 2L, "view", ts("2024-01-05 11:00:00"), 2.0),
+      (3L, 1L, "view", ts("2024-01-15 10:00:00"), 4.0),   // delta, same key
+      (4L, 3L, "click", ts("2024-01-16 10:00:00"), 8.0),  // delta-only key
+      (5L, 9L, "view", ts("2024-01-25 10:00:00"), 99.0))  // past t2: ignored
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = operators.Events.aggIncrementalRollupOn(ev,
+      lit("2024-01-10").cast("timestamp"), lit("2024-01-20").cast("timestamp"))
+      .select("event_type", "state_n", "delta_n", "n_composed",
+        "cents_composed", "matches")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("click", 0L, 1L, 1L, 800L, true),
+      ("view", 2L, 0L, 2L, 300L, true),
+      ("view", 0L, 1L, 1L, 400L, true)))
+  }
+
+  test("agg_incremental_rollup on the corpus: every row matches and " +
+    "state+delta reconcile") {
+    val out = operators.Events.aggIncrementalRollup(spark, sf)
+      .localCheckpoint(true)
+    assert(out.count() > 0)
+    assert(out.where(!col("matches")).count() == 0)
+    assert(out.where(col("state_n") + col("delta_n") =!= col("n_composed"))
+      .count() == 0)
+  }
+
   test("event_absorption on the corpus: probabilities in [0, 1e6], " +
     "expected steps at least one, purchase never a transient row") {
     val out = operators.Events.eventAbsorption(spark, sf)
