@@ -160,12 +160,39 @@ object ScaleProbe {
         d.withColumn("source", col("lang")))),
     )
 
+    // embedding-corpus probe: perturbed copies (one coordinate nudged
+    // per copy) keep vectors distinct so no cross-copy near-dups
+    def embTimes(k: Int): DataFrame = {
+      val base = Tables.embeddings(spark, sfDir)
+      (0 until k).map { c =>
+        base.select(
+          (col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
+          (if (c == 0) col("embedding")
+           else expr(s"transform(embedding, (x, i) -> CAST(x + CASE " +
+             s"WHEN i = ${c % 64} THEN ${0.001 * c} ELSE 0.0 END AS FLOAT))"))
+            .as("embedding"))
+      }.reduce(_ unionByName _)
+    }
+    val embOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+      // the covariance rollup keys on (i,j) — a CONSTANT 2080-cell
+      // space however the corpus grows; growth must be ~2
+      "sim_pca_power" -> (e => functions.Similarity.simPcaPowerOn(e)),
+      // one pass + broadcast scalars, map-only draw — ~2
+      "sample_coreset" -> (e => functions.Similarity.sampleCoresetOn(e)),
+      // per-vector rollup against broadcast 64-row loadings — ~2
+      "sim_whiten_abtt" -> (e => functions.Similarity.simWhitenAbttOn(e,
+        functions.Similarity.simPcaPowerOn(e).localCheckpoint(true))),
+    )
+
     val only = args.drop(1).toSet
     val picked = ops.filter { case (n, _) => only.isEmpty || only(n) }
+    val pickedEmb = embOps.filter { case (n, _) => only.isEmpty || only(n) }
     val ks = Seq(1, 2, 4)
     val times = collection.mutable.Map[(String, Int), Double]()
-    for (k <- ks; (name, fn) <- picked) {
-      val c = corpusTimes(spark, sfDir, k)
+    for (k <- ks; (gen, list) <- Seq(
+        (corpusTimes(spark, sfDir, _: Int), picked),
+        (embTimes _, pickedEmb)); (name, fn) <- list) {
+      val c = gen(k)
       val t = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(c).count()
@@ -175,7 +202,7 @@ object ScaleProbe {
       println(f"PROBE $name%-18s k=$k%-2d rows=${c.count()}%-7d ${t}%.2f s")
     }
     println(f"\n${"op"}%-18s ${"k=1"}%8s ${"k=2"}%8s ${"k=4"}%8s  x per doubling")
-    picked.foreach { case (name, _) =>
+    (picked ++ pickedEmb).foreach { case (name, _) =>
       val (t1, t2, t4) =
         (times((name, 1)), times((name, 2)), times((name, 4)))
       val g = math.sqrt(t4 / t1) // geometric mean growth per doubling
