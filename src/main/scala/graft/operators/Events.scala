@@ -1638,6 +1638,90 @@ object Events {
   def eventAbsorption(s: SparkSession, dir: String): DataFrame =
     eventAbsorptionOn(Tables.events(s, dir))
 
+  /** The corpus transient-channel vocabulary for
+    * [[eventMarkovAttributionOn]] — pinned (shared with the oracle's
+    * generated removal runs) rather than runtime-discovered. */
+  val MarkovChannels: Seq[String] = Seq("click", "error", "signup", "view")
+
+  /** L20w: Markov removal-effect attribution (Anderl, Becker, von
+    * Wangenheim & Schumann 2014/2016 — the data-driven alternative to
+    * position rules): a channel's credit is how much the chain's
+    * start→conversion probability DROPS when the channel is deleted
+    * and walks entering it are LOST (not re-routed — Anderl's removal
+    * semantics: row totals keep the original denominator). The chain
+    * has a virtual '#start' (each user's first event), the event
+    * types as transient states, 'purchase' absorbing, and an '#end'
+    * sink for last events (censoring mass is real — without it every
+    * state converts eventually and removal effects vanish).
+    *
+    * Each of the 1 + |channels| absorption runs is the
+    * [[eventAbsorptionOn]] recursion (a_ppm only), `iters` unrolled
+    * exact-integer rounds on the checkpointed ≤(V+2)² transition
+    * relation; a removal run filters src ≠ c and lets the
+    * LEFT-join-coalesce-0 zero out mass entering c. Removal
+    * monotonicity (a_removed ≤ a_full at every round, floors
+    * preserved) is asserted in-spec, not clamped. Credit shares
+    * normalize once at the end (milli, NULL when no channel has any
+    * effect). Everything after the one lead-window pass is
+    * vocabulary-bounded arithmetic. */
+  def eventMarkovAttributionOn(events: DataFrame,
+      channels: Seq[String] = MarkovChannels,
+      absorbing: String = "purchase", iters: Int = 8): DataFrame = {
+    require(channels.nonEmpty && iters >= 1,
+      s"need channels + iters >= 1, got $channels, $iters")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seq0 = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+    val startT = seq0.filter(col("rk") === 1)
+      .groupBy(lit("#start").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val midT = seq0
+      .select(col("event_type").as("src"),
+        coalesce(col("dst"), lit("#end")).as("dst"))
+      .filter(col("src") =!= absorbing)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val trans = startT.unionByName(midT)
+    val t = trans.join(trans.groupBy("src").agg(sum(col("n")).as("r")), "src")
+      .localCheckpoint(true) // read by every round of every run
+    def absorb(excluded: Option[String]): DataFrame = {
+      val tt = excluded.map(c => t.filter(col("src") =!= c)).getOrElse(t)
+      var cur = tt.select(col("src").as("state")).distinct()
+        .select(col("state"), lit(0L).as("a_ppm"))
+      for (_ <- 1 to iters) {
+        cur = tt.join(cur.select(col("state").as("dst"),
+            col("a_ppm").as("ab")), Seq("dst"), "left")
+          .groupBy(col("src"), col("r"))
+          .agg(sum(when(col("dst") === absorbing, col("n") * lit(1000000L))
+            .otherwise(col("n") * coalesce(col("ab"), lit(0L)))).as("sa"))
+          .select(col("src").as("state"), expr("sa DIV r").as("a_ppm"))
+          .localCheckpoint(true)
+      }
+      cur.filter(col("state") === "#start").select(col("a_ppm"))
+    }
+    val full = absorb(None).select(col("a_ppm").as("p_full_ppm"))
+    val eff = channels.map { c =>
+        absorb(Some(c)).select(lit(c).as("channel"),
+          col("a_ppm").as("p_removed_ppm"))
+      }.reduce(_ unionByName _)
+      .crossJoin(broadcast(full))
+      .withColumn("removal_effect_ppm",
+        col("p_full_ppm") - col("p_removed_ppm"))
+      .localCheckpoint(true) // totals + the share pass
+    val tot = eff.agg(sum(col("removal_effect_ppm")).as("te"))
+    eff.crossJoin(broadcast(tot))
+      .select(col("channel"), col("p_full_ppm"), col("p_removed_ppm"),
+        col("removal_effect_ppm"),
+        expr("""CAST(CASE WHEN te > 0
+               |  THEN removal_effect_ppm * 1000 DIV te
+               |END AS BIGINT)""".stripMargin).as("attribution_milli"))
+      .orderBy("channel")
+  }
+
+  def eventMarkovAttribution(s: SparkSession, dir: String): DataFrame =
+    eventMarkovAttributionOn(Tables.events(s, dir))
+
   /** L20m: Welch's unequal-variance t-test on per-user total spend
     * between the two deterministic id-hash arms — the continuous-
     * outcome sibling of [[eventAbTestOn]]'s two-proportion z. After
@@ -2372,6 +2456,7 @@ object Events {
     "ts_anomaly_decomposed" -> tsAnomalyDecomposed,
     "event_markov_stationary" -> eventMarkovStationary,
     "event_absorption" -> eventAbsorption,
+    "event_markov_attribution" -> eventMarkovAttribution,
     "ts_decompose" -> tsDecompose,
     "event_regex" -> eventRegex,
     "sample_holdout_temporal" -> sampleHoldoutTemporal,
@@ -2781,6 +2866,65 @@ object Events {
         |       ELSE 'update' END AS change_type
         |FROM new_s n LEFT JOIN old_s o USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // Mirrors eventMarkovAttributionOn: one generated absorption run
+    // per removal (same unrolled recursion as event_absorption), the
+    // '#start'/'#end' framing, Anderl unrenormalized removal.
+    "event_markov_attribution" -> {
+      val chans = MarkovChannels
+      def runSql(tag: String, cond: String): String = {
+        val base =
+          s"""tm_$tag AS (SELECT * FROM tm WHERE $cond),
+             |c0_$tag AS (SELECT DISTINCT src AS state,
+             |    CAST(0 AS BIGINT) AS a FROM tm_$tag)""".stripMargin
+        val rounds = (1 to 8).map { k =>
+          s"""c${k}_$tag AS MATERIALIZED (SELECT t.src AS state,
+             |    CAST(SUM(CASE WHEN t.dst = 'purchase'
+             |        THEN t.n * 1000000
+             |        ELSE t.n * COALESCE(p.a, 0) END) // t.r AS BIGINT)
+             |      AS a
+             |  FROM tm_$tag t LEFT JOIN c${k - 1}_$tag p
+             |    ON t.dst = p.state
+             |  GROUP BY t.src, t.r)""".stripMargin
+        }.mkString(",\n")
+        s"$base,\n$rounds,\n" +
+          s"res_$tag AS (SELECT a FROM c8_$tag WHERE state = '#start')"
+      }
+      val runs = (runSql("full", "TRUE") +:
+        chans.map(c => runSql(c, s"src <> '$c'"))).mkString(",\n")
+      val rows = chans.map(c =>
+        s"""SELECT '$c' AS channel,
+           |    (SELECT a FROM res_full) AS p_full,
+           |    (SELECT a FROM res_$c) AS p_removed""".stripMargin)
+        .mkString("\n  UNION ALL ")
+      s"""WITH sq AS (SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rk,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS dst
+         |  FROM events),
+         |stt AS (SELECT '#start' AS src, event_type AS dst,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sq WHERE rk = 1 GROUP BY 2),
+         |md AS (SELECT event_type AS src, COALESCE(dst, '#end') AS dst,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sq WHERE event_type <> 'purchase' GROUP BY 1, 2),
+         |tru AS (SELECT * FROM stt UNION ALL SELECT * FROM md),
+         |tm AS MATERIALIZED (SELECT tru.src, tru.dst, tru.n, rr.r
+         |  FROM tru JOIN (SELECT src, CAST(SUM(n) AS BIGINT) AS r
+         |    FROM tru GROUP BY 1) rr USING (src)),
+         |$runs,
+         |rws AS (
+         |  $rows),
+         |tot AS (SELECT CAST(SUM(p_full - p_removed) AS BIGINT) AS te
+         |  FROM rws)
+         |SELECT channel, CAST(p_full AS BIGINT) AS p_full_ppm,
+         |  CAST(p_removed AS BIGINT) AS p_removed_ppm,
+         |  CAST(p_full - p_removed AS BIGINT) AS removal_effect_ppm,
+         |  CAST(CASE WHEN te > 0
+         |    THEN (p_full - p_removed) * 1000 // te END AS BIGINT)
+         |    AS attribution_milli
+         |FROM rws, tot ORDER BY channel""".stripMargin
+    },
     // Mirrors aggIncrementalRollupOn: state + delta rollups, full
     // outer coalesce-sum merge, batch recompute audit.
     "agg_incremental_rollup" ->

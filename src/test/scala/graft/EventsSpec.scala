@@ -1202,6 +1202,39 @@ class EventsSpec extends SparkSpecBase {
     assert(g2 == Seq(("x", 1000L, 0L)))
   }
 
+  test("event_markov_attribution: removal effects unrolled by hand on a " +
+    "two-channel chain; shares floor against the effect total") {
+    // u1 view->purchase; u2 view->click->purchase; u3 click(end);
+    // u4 view(end). Exact: a(start)=0.5; remove click -> 0.249999;
+    // remove view -> 0.125
+    val ev = Seq(
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "purchase", ts("2024-01-01 11:00:00")),
+      (3L, 2L, "view", ts("2024-01-02 10:00:00")),
+      (4L, 2L, "click", ts("2024-01-02 11:00:00")),
+      (5L, 2L, "purchase", ts("2024-01-02 12:00:00")),
+      (6L, 3L, "click", ts("2024-01-03 10:00:00")),
+      (7L, 4L, "view", ts("2024-01-04 10:00:00")))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = operators.Events.eventMarkovAttributionOn(ev,
+      channels = Seq("click", "view"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("click", 500000L, 249999L, 250001L, 400L),
+      ("view", 500000L, 125000L, 375000L, 599L)))
+  }
+
+  test("event_markov_attribution on the corpus: removal never helps, " +
+    "p_full constant, shares bounded by 1000") {
+    val out = operators.Events.eventMarkovAttribution(spark, sf)
+      .localCheckpoint(true)
+    assert(out.count() == 4)
+    assert(out.select("p_full_ppm").distinct().count() == 1)
+    assert(out.where(col("removal_effect_ppm") < 0L).count() == 0)
+    val shares = out.agg(sum("attribution_milli")).as[Long].head()
+    assert(shares <= 1000L && shares >= 996L)
+  }
+
   test("agg_incremental_rollup: composed always equals batch (the " +
     "self-maintainability theorem), delta-only days insert cleanly") {
     val ev = Seq(
