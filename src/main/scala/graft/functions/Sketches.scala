@@ -35,7 +35,7 @@ object Sketches {
     * work, not a pass-through). Relative error ~ 1/√(k−2) ≈ 18%. */
   val SketchK = 32
 
-  private val P = 1000000007L
+  private[graft] val P = 1000000007L
 
   /** L17a: theta-sketch audience overlap — per event-type pair, the
     * KMV estimates of each audience, their union (merged sketch) and
@@ -387,22 +387,24 @@ object Sketches {
     * the powers join runs on ≤ |types|·256 rows, never the fact
     * stream. The exact distinct stays as the in-catalog eval column,
     * the pass the sketch replaces at 100×. */
-  def sketchHllOn(events: DataFrame): DataFrame = {
-    val h = events.select(col("event_type"),
-      expr(s"(user_id * 2654435761 + 12345) % $P").as("h"))
-    val reg = h.select(col("event_type"),
-        expr(s"h % $HllM").as("bucket"), expr(s"h DIV $HllM").as("w"))
-      .groupBy("event_type", "bucket").agg(min(col("w")).as("wmin"))
-    val pows = h.sparkSession.range(0, HllWBits)
+  /** Estimate finisher over an HLL register-minima grid keyed by
+    * `keys` + (bucket, wmin): powers-join MSB → ρ, 2²³-scaled
+    * harmonic sum, raw estimate and the linear-counting branch —
+    * shared by the batch per-type sketch and the streaming windowed
+    * grid (where it runs sink-side over ≤ 256 rows per window). */
+  private[graft] def hllFinish(grid: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val pows = grid.sparkSession.range(0, HllWBits)
       .select(col("id").cast("int").as("i"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("pw"))
-    val rho = reg.join(broadcast(pows), col("pw") <= col("wmin"), "left")
-      .groupBy("event_type", "bucket")
+    val rho = grid.join(broadcast(pows), col("pw") <= col("wmin"), "left")
+      .groupBy((kc :+ col("bucket")): _*)
       .agg(max(col("i")).as("msb"))
-      .select(col("event_type"),
-        coalesce(lit(HllWBits) - col("msb"), lit(HllWBits + 1)).as("rho"))
+      .select((kc :+ coalesce(lit(HllWBits) - col("msb"),
+        lit(HllWBits + 1)).as("rho")): _*)
     val scale = 1L << (HllWBits + 1)
-    val per = rho.groupBy("event_type")
+    rho.groupBy(kc: _*)
       .agg(count(lit(1)).as("n_hit"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
           s"CAST(${HllWBits + 1} - rho AS INT))")).as("s_hit"))
@@ -418,9 +420,19 @@ object Sketches {
           expr(s"CAST(floor(CAST($HllM AS DOUBLE) " +
             s"* ln(CAST($HllM AS DOUBLE) / v_empty)) AS BIGINT)"))
           .otherwise(col("est_raw")))
+      .drop("s_hit")
+  }
+
+  def sketchHllOn(events: DataFrame): DataFrame = {
+    val reg = events.select(col("event_type"),
+        expr(s"(user_id * 2654435761 + 12345) % $P").as("h"))
+      .select(col("event_type"),
+        expr(s"h % $HllM").as("bucket"), expr(s"h DIV $HllM").as("w"))
+      .groupBy("event_type", "bucket").agg(min(col("w")).as("wmin"))
     val exact = events.select("event_type", "user_id").distinct()
       .groupBy("event_type").agg(count(lit(1)).as("exact_users"))
-    per.join(exact, Seq("event_type"))
+    hllFinish(reg, Seq("event_type"))
+      .join(exact, Seq("event_type"))
       .withColumn("err", col("est") - col("exact_users"))
       .select("event_type", "n_hit", "v_empty", "s_scaled",
         "est_raw", "est", "exact_users", "err")

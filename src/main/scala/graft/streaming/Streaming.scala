@@ -276,6 +276,41 @@ object Streaming {
   def streamCountmin(s: SparkSession, dir: String): DataFrame =
     countminGrid(Tables.events(s, dir)).orderBy("win_start", "d", "bkt")
 
+  /** T12: windowed distinct-user ESTIMATION with bounded state — the
+    * HLL register grid ([[graft.functions.Sketches]] geometry, same
+    * pinned hash) per 2-minute tumbling window: streaming state per
+    * window is EXACTLY m = 256 register minima whatever the event
+    * rate, the property that lets a watermarked stream keep
+    * cardinality estimates forever where a windowed count-distinct's
+    * state grows with cardinality. The aggregate is a plain windowed
+    * MIN — streamable under a watermark like any windowed count
+    * (StreamingSpec pins batch == readStream on this grid); the
+    * estimate finishes from the ≤ 256-row grid per window
+    * (sink-side under foreachBatch — the stream_topk finisher
+    * position; inline in batch). The exact per-window distinct rides
+    * as the eval column, the pass the sketch replaces. */
+  def hllGrid(ev: DataFrame): DataFrame =
+    ev.select(window(col("ts"), "2 minutes").as("win"),
+        expr(s"(user_id * 2654435761 + 12345) % " +
+          s"${graft.functions.Sketches.P}").as("h"))
+      .groupBy(col("win.start").as("win_start"),
+        expr(s"h % ${graft.functions.Sketches.HllM}").as("bucket"))
+      .agg(min(expr(s"h DIV ${graft.functions.Sketches.HllM}")).as("wmin"))
+
+  def streamHll(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val exact = ev.select(window(col("ts"), "2 minutes").as("win"),
+        col("user_id")).distinct()
+      .groupBy(col("win.start").as("win_start"))
+      .agg(count(lit(1)).as("exact_users"))
+    graft.functions.Sketches.hllFinish(hllGrid(ev), Seq("win_start"))
+      .join(exact, Seq("win_start"))
+      .withColumn("err", col("est") - col("exact_users"))
+      .select("win_start", "n_hit", "v_empty", "s_scaled", "est_raw",
+        "est", "exact_users", "err")
+      .orderBy("win_start")
+  }
+
   /** T9: CDC log replay — materialize the LATEST state of every
     * entity from a change log carrying upserts and tombstones
     * (Debezium/Delta CDF semantics: last writer wins by change time,
@@ -346,6 +381,7 @@ object Streaming {
     "stream_topk" -> streamTopk,
     "stream_cdc_replay" -> streamCdcReplay,
     "stream_countmin" -> streamCountmin,
+    "stream_hll" -> streamHll,
     "stream_dedup" -> streamDedup,
     "stream_user_sessions" -> streamUserSessions,
     "stream_pattern_match" -> streamPatternMatch,
@@ -380,6 +416,44 @@ object Streaming {
         |  FROM log)
         |SELECT user_id, cents AS latest_cents, n_changes
         |FROM rk WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin,
+    // Mirrors streamHll: same pinned hash/geometry as sketch_hll,
+    // per-window register minima + the shared estimate finisher.
+    "stream_hll" ->
+      s"""WITH h AS (SELECT time_bucket(INTERVAL 2 MINUTES, ts)
+         |      AS win_start, user_id,
+         |    (user_id * 2654435761 + 12345) % ${graft.functions.Sketches.P}
+         |      AS h
+         |  FROM events),
+         |mn AS (SELECT win_start,
+         |    h % ${graft.functions.Sketches.HllM} AS bucket,
+         |    MIN(h // ${graft.functions.Sketches.HllM}) AS wmin
+         |  FROM h GROUP BY 1, 2),
+         |ms AS (SELECT win_start, bucket, MAX(i) AS msb
+         |  FROM mn LEFT JOIN range(0, 22) r(i)
+         |    ON (CAST(1 AS BIGINT) << CAST(i AS INT)) <= wmin
+         |  GROUP BY 1, 2),
+         |rh AS (SELECT win_start, COALESCE(22 - msb, 23) AS rho FROM ms),
+         |per AS (SELECT win_start, CAST(COUNT(*) AS BIGINT) AS n_hit,
+         |    CAST(SUM(CAST(1 AS BIGINT) << CAST(23 - rho AS INT))
+         |      AS BIGINT) AS s_hit
+         |  FROM rh GROUP BY 1),
+         |c AS (SELECT win_start, n_hit,
+         |    CAST(256 - n_hit AS BIGINT) AS v_empty,
+         |    CAST(s_hit + (256 - n_hit) * (CAST(1 AS BIGINT) << 23)
+         |      AS BIGINT) AS s_scaled FROM per),
+         |e AS (SELECT *, CAST(CAST(718272 AS HUGEINT) * 65536 * 8388608
+         |    // (CAST(s_scaled AS HUGEINT) * 1000000) AS BIGINT)
+         |      AS est_raw FROM c),
+         |f AS (SELECT *, CASE WHEN est_raw <= 640 AND v_empty > 0
+         |    THEN CAST(floor(256.0 * ln(256.0 / v_empty)) AS BIGINT)
+         |    ELSE est_raw END AS est FROM e),
+         |x AS (SELECT time_bucket(INTERVAL 2 MINUTES, ts) AS win_start,
+         |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+         |  FROM events GROUP BY 1)
+         |SELECT f.win_start, n_hit, v_empty, s_scaled, est_raw, est,
+         |  exact_users, CAST(est - exact_users AS BIGINT) AS err
+         |FROM f JOIN x ON f.win_start = x.win_start
+         |ORDER BY f.win_start""".stripMargin,
     "stream_countmin" ->
       """WITH ec AS (SELECT time_bucket(INTERVAL 2 MINUTES, ts)
         |      AS win_start,

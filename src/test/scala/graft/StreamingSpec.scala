@@ -529,6 +529,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
+  test("T12 HLL register grid per window: streaming == batch, and the " +
+    "finished estimates stay inside the published error envelope") {
+    val streamed = runToSet(
+      streaming.Streaming.hllGrid(
+        eventsStream.withWatermark("ts", "10 minutes")), "t12_out")
+    val batch = streaming.Streaming.hllGrid(Tables.events(spark, sf))
+    assert(streamed == batch.collect().map(_.toString).toSet)
+    // sink-side finisher over the grid: estimates vs exact per window
+    val fin = streaming.Streaming.streamHll(spark, sf).collect()
+    assert(fin.nonEmpty)
+    fin.foreach { r =>
+      val exact = r.getAs[Long]("exact_users")
+      assert(math.abs(r.getAs[Long]("err")) <=
+        math.max(10L, exact * 25 / 100),
+        s"win ${r.get(0)}: est=${r.getAs[Long]("est")} exact=$exact")
+    }
+  }
+
   test("T9 CDC replay: last writer wins by change time, trailing tombstone deletes the key") {
     import spark.implicits._
     val t0 = 1700000000000L
