@@ -409,6 +409,66 @@ object Text {
     sampleUncertaintyOn(qualityScored(s, dir),
       Tables.documents(s, dir).select(col("doc_id"), col("lang")))
 
+  /** Per-token Jensen-Shannon contribution over Laplace-smoothed
+    * unigram distributions — ONE string evaluated verbatim by both
+    * engines (the shared-literal rule; ln correctly rounded, one
+    * round(·10⁹) quantization at the contract boundary). Columns:
+    * ca/cb token counts, na/nb totals, v union-vocabulary size. */
+  private val jsNanoSql: String = {
+    val pa = "((ca + 1) / CAST(na + v AS DOUBLE))"
+    val pb = "((cb + 1) / CAST(nb + v AS DOUBLE))"
+    val m = s"(0.5 * $pa + 0.5 * $pb)"
+    s"CAST(round((0.5 * $pa * ln($pa / $m)" +
+      s" + 0.5 * $pb * ln($pb / $m)) * 1000000000, 0) AS BIGINT)"
+  }
+
+  /** L4r: token-distribution divergence between two corpus slices —
+    * the Jensen-Shannon divergence (Lin 1991; the standard
+    * corpus-comparison measure behind mixture tuning and "did this
+    * source drift" monitoring — symmetric and bounded by ln 2, unlike
+    * KL) over Laplace-smoothed unigram distributions on the UNION
+    * vocabulary (a token present in one slice only is exactly the
+    * signal, never dropped — the profile_drift discipline at the
+    * vocabulary level). Output: the top-`topK` divergence-driving
+    * tokens with their per-token contribution in nano units, the
+    * corpus-level total riding every row (summed over the FULL
+    * vocabulary BEFORE the top-k cut, after per-token quantization so
+    * the sum is order-free).
+    *
+    * Shape: two map-side-combinable wordcounts, one vocabulary-keyed
+    * full-outer join, broadcast totals, a TakeOrdered top-k — nothing
+    * row-scaled shuffles twice. */
+  def textJsDivergenceOn(a: DataFrame, b: DataFrame,
+      topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    def counts(df: DataFrame, c: String) = df
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as(c))
+    val j = counts(a, "ca").join(counts(b, "cb"), Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint(true) // totals + the scored pass
+    val tot = j.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("v"))
+    val scored = j.crossJoin(broadcast(tot))
+      .withColumn("js_nano", expr(jsNanoSql))
+      .localCheckpoint(true) // total + top-k read it
+    val total = scored.agg(sum(col("js_nano")).as("js_total_nano"))
+    scored.crossJoin(broadcast(total))
+      .orderBy(col("js_nano").desc, col("tok").asc)
+      .limit(topK)
+      .select("tok", "ca", "cb", "js_nano", "js_total_nano")
+  }
+
+  /** Catalog form: the src0 slice against the rest of the corpus —
+    * the same split profile_drift monitors on document length, here
+    * at the vocabulary level. */
+  def textJsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    textJsDivergenceOn(docs.filter(col("source") === "src0"),
+      docs.filter(col("source") =!= "src0"))
+  }
+
   /** L4q': AUC of the trained quality classifier — the accept metric
     * a production filter rollout actually reports (accuracy lies
     * under class imbalance; ranking quality is what the keep-
@@ -1341,6 +1401,7 @@ object Text {
     "text_novelty" -> textNovelty,
     "quality_logreg" -> qualityLogreg,
     "sample_uncertainty" -> sampleUncertainty,
+    "text_js_divergence" -> textJsDivergence,
     "quality_auc" -> qualityAuc,
     "quality_ece" -> qualityEce,
     "quality_threshold_sweep" -> qualityThresholdSweep,
@@ -1857,6 +1918,29 @@ object Text {
          |SELECT n_pos, n_neg, u1_x2, auc_ppm,
          |  CAST(auc_ppm * 2 - 1000000 AS BIGINT) AS gini_pm
          |FROM fin""".stripMargin,
+    // Mirrors textJsDivergenceOn: the SAME jsNanoSql string, union
+    // vocabulary with Laplace smoothing, full-vocab total pre-cut.
+    "text_js_divergence" ->
+      s"""WITH ta AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE source = 'src0'),
+         |tb AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE source <> 'src0'),
+         |ga AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ca
+         |  FROM ta GROUP BY 1),
+         |gb AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cb
+         |  FROM tb GROUP BY 1),
+         |j AS (SELECT COALESCE(ga.tok, gb.tok) AS tok,
+         |    COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+         |  FROM ga FULL OUTER JOIN gb ON ga.tok = gb.tok),
+         |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+         |    CAST(SUM(cb) AS BIGINT) AS nb,
+         |    CAST(COUNT(*) AS BIGINT) AS v FROM j),
+         |sc AS (SELECT tok, ca, cb, $jsNanoSql AS js_nano
+         |  FROM j, tot),
+         |tt AS (SELECT CAST(SUM(js_nano) AS BIGINT) AS js_total_nano
+         |  FROM sc)
+         |SELECT tok, ca, cb, js_nano, js_total_nano
+         |FROM sc, tt ORDER BY js_nano DESC, tok ASC LIMIT 50""".stripMargin,
     // Mirrors sampleUncertaintyOn: the shared trained scorer, margin
     // projection, per-language (margin asc, doc_id asc) rank prefix.
     "sample_uncertainty" ->

@@ -1337,6 +1337,48 @@ object Events {
   def tsDecompose(s: SparkSession, dir: String): DataFrame =
     tsDecomposeOn(Tables.events(s, dir))
 
+  /** L20x: trend/seasonality STRENGTH of the decomposition (Wang,
+    * Smith & Hyndman 2006; the `feasts` feature set's F_T/F_S):
+    *   F_T = max(0, 1 − Var(R)/Var(T+R)),
+    *   F_S = max(0, 1 − Var(R)/Var(S+R))
+    * — the one-number answers to "is there a real trend/weekly cycle
+    * or is the decomposition fitting noise", the gate before anyone
+    * trusts ts_forecast_naive's seasonal path. EXACT integers end to
+    * end: with a shared n the variance RATIO equals the ratio of the
+    * numerators n·Σx² − (Σx)², both in DECIMAL(38,0), so no float
+    * variance ever materializes; one truncating DIV at the ppm
+    * boundary, GREATEST(0, ·) for the noise-dominated case,
+    * NULL-gated when a denominator variance is zero. Consumes
+    * [[tsDecomposeOn]]'s complete-frame rows; everything after the
+    * day-bounded rollup is 1-row arithmetic. */
+  def tsSeasonalityStrengthOn(events: DataFrame): DataFrame = {
+    val d = tsDecomposeOn(events).where(col("trend_cents").isNotNull)
+      .select(col("resid_cents").as("r"),
+        (col("seasonal_cents") + col("resid_cents")).as("sr"),
+        (col("trend_cents") + col("resid_cents")).as("tr"))
+    d.agg(count(lit(1)).as("n_days"),
+        sum(col("r")).as("s_r"),
+        sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("q_r"),
+        sum(col("sr")).as("s_sr"),
+        sum(expr("CAST(sr AS DECIMAL(38,0)) * sr")).as("q_sr"),
+        sum(col("tr")).as("s_tr"),
+        sum(expr("CAST(tr AS DECIMAL(38,0)) * tr")).as("q_tr"))
+      .select(col("n_days"),
+        expr("n_days * q_r - CAST(s_r AS DECIMAL(38,0)) * s_r").as("vr"),
+        expr("n_days * q_sr - CAST(s_sr AS DECIMAL(38,0)) * s_sr").as("vsr"),
+        expr("n_days * q_tr - CAST(s_tr AS DECIMAL(38,0)) * s_tr").as("vtr"))
+      .select(col("n_days"),
+        expr("""CAST(CASE WHEN vtr > 0 THEN
+               |  greatest(0, 1000000 - vr * 1000000 DIV vtr)
+               |END AS BIGINT)""".stripMargin).as("f_trend_ppm"),
+        expr("""CAST(CASE WHEN vsr > 0 THEN
+               |  greatest(0, 1000000 - vr * 1000000 DIV vsr)
+               |END AS BIGINT)""".stripMargin).as("f_seasonal_ppm"))
+  }
+
+  def tsSeasonalityStrength(s: SparkSession, dir: String): DataFrame =
+    tsSeasonalityStrengthOn(Tables.events(s, dir))
+
   /** L20m': seasonal-aware anomaly detection — [[anomalyMadOn]]'s
     * robust MAD flag applied to [[tsDecomposeOn]]'s RESIDUAL instead
     * of the raw series (the STL-anomaly recipe: a Friday spike is
@@ -2458,6 +2500,7 @@ object Events {
     "event_absorption" -> eventAbsorption,
     "event_markov_attribution" -> eventMarkovAttribution,
     "ts_decompose" -> tsDecompose,
+    "ts_seasonality_strength" -> tsSeasonalityStrength,
     "event_regex" -> eventRegex,
     "sample_holdout_temporal" -> sampleHoldoutTemporal,
     "event_cusum" -> eventCusum,
@@ -3194,6 +3237,34 @@ object Events {
          |${(1 to 8).map(round).mkString(",\n")}
          |SELECT state, t_milli, a_ppm FROM c8 ORDER BY state""".stripMargin
     },
+    // Mirrors tsSeasonalityStrengthOn: shared-n variance-numerator
+    // ratio, truncating ppm DIV, GREATEST(0) noise clamp.
+    "ts_seasonality_strength" ->
+      s"""WITH $decomposeCoreSql,
+         |j AS (SELECT tr.detr - se.seasonal_cents AS r,
+         |    se.seasonal_cents + (tr.detr - se.seasonal_cents) AS sr,
+         |    tr.trend_cents + (tr.detr - se.seasonal_cents) AS trr
+         |  FROM tr JOIN se ON tr.dow = se.dow
+         |  WHERE tr.trend_cents IS NOT NULL),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(r AS HUGEINT)) AS s_r,
+         |    SUM(CAST(r AS HUGEINT) * r) AS q_r,
+         |    SUM(CAST(sr AS HUGEINT)) AS s_sr,
+         |    SUM(CAST(sr AS HUGEINT) * sr) AS q_sr,
+         |    SUM(CAST(trr AS HUGEINT)) AS s_tr,
+         |    SUM(CAST(trr AS HUGEINT) * trr) AS q_tr
+         |  FROM j),
+         |v AS (SELECT n, n * q_r - s_r * s_r AS vr,
+         |    n * q_sr - s_sr * s_sr AS vsr,
+         |    n * q_tr - s_tr * s_tr AS vtr FROM a)
+         |SELECT n AS n_days,
+         |  CAST(CASE WHEN vtr > 0 THEN
+         |    GREATEST(0, 1000000 - vr * 1000000 // vtr)
+         |  END AS BIGINT) AS f_trend_ppm,
+         |  CAST(CASE WHEN vsr > 0 THEN
+         |    GREATEST(0, 1000000 - vr * 1000000 // vsr)
+         |  END AS BIGINT) AS f_seasonal_ppm
+         |FROM v""".stripMargin,
     "ts_decompose" ->
       s"""WITH $decomposeCoreSql
          |SELECT tr.d, tr.dow, tr.v_cents,

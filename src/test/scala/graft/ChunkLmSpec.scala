@@ -383,6 +383,24 @@ class ChunkLmSpec extends SparkSpecBase {
     assert(kap(doc(1, 500, 50), doc(5, 600, 60)).isNullAt(6))
   }
 
+  test("js divergence: identical slices score exactly zero; disjoint " +
+    "slices are symmetric and the rows sum to the riding total") {
+    val a = Seq((1L, "x y z"), (2L, "x y")).toDF("doc_id", "text")
+    val same = functions.Text.textJsDivergenceOn(a, a).collect()
+    assert(same.nonEmpty)
+    assert(same.forall(r => r.getAs[Long]("js_nano") == 0L &&
+      r.getAs[Long]("js_total_nano") == 0L))
+    val b = Seq((3L, "p q"), (4L, "p")).toDF("doc_id", "text")
+    val ab = functions.Text.textJsDivergenceOn(a, b).collect()
+    val ba = functions.Text.textJsDivergenceOn(b, a).collect()
+    val totAb = ab.head.getAs[Long]("js_total_nano")
+    assert(totAb > 0L)
+    assert(totAb == ba.head.getAs[Long]("js_total_nano"))
+    // the vocabulary fits inside the top-k cut here, so the visible
+    // rows must sum to the full-vocab total
+    assert(ab.map(_.getAs[Long]("js_nano")).sum == totAb)
+  }
+
   test("uncertainty sampling: hand margins select the boundary docs per " +
     "language; no unselected doc is strictly closer to the boundary") {
     // synthetic scored relation: margins decided directly

@@ -1202,6 +1202,29 @@ class EventsSpec extends SparkSpecBase {
     assert(g2 == Seq(("x", 1000L, 0L)))
   }
 
+  test("ts_seasonality_strength: a pure weekly pattern reads F_S = 1 and " +
+    "NULL-gates F_T; a constant series gates both") {
+    // one event per day, value = (i % 7 + 1) dollars: the 7-day MA is
+    // exactly 400 cents everywhere, detr == the seasonal mean per dow,
+    // residual identically zero
+    val weekly = (0 until 21).map { i =>
+      (i.toLong, i.toLong, "purchase",
+        Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+        (i % 7 + 1).toDouble)
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val r = operators.Events.tsSeasonalityStrengthOn(weekly).collect()(0)
+    assert(r.getAs[Long]("n_days") == 15L)
+    assert(r.isNullAt(r.fieldIndex("f_trend_ppm")))
+    assert(r.getAs[Long]("f_seasonal_ppm") == 1000000L)
+    val const = (0 until 21).map { i =>
+      (i.toLong, i.toLong, "purchase",
+        Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"), 5.0)
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val c = operators.Events.tsSeasonalityStrengthOn(const).collect()(0)
+    assert(c.isNullAt(c.fieldIndex("f_trend_ppm")) &&
+      c.isNullAt(c.fieldIndex("f_seasonal_ppm")))
+  }
+
   test("event_markov_attribution: removal effects unrolled by hand on a " +
     "two-channel chain; shares floor against the effect total") {
     // u1 view->purchase; u2 view->click->purchase; u3 click(end);
