@@ -1611,6 +1611,62 @@ object Similarity {
   def sampleCoreset(s: SparkSession, dir: String): DataFrame =
     sampleCoresetOn(Tables.embeddings(s, dir))
 
+  /** Truncation tiers for [[simMatryoshkaEvalOn]]. */
+  val MrlDims = Seq(8, 16, 32, 64)
+
+  /** L3t: Matryoshka truncation-recall evaluation (Kusupati et al.,
+    * NeurIPS 2022 "Matryoshka Representation Learning"; the OpenAI
+    * `dimensions` parameter's cost/recall trade): how much retrieval
+    * quality survives keeping only the FIRST d′ embedding dimensions
+    * — the eval a pipeline runs before shrinking its vector index
+    * 8×. For each tier d′ ∈ {8,16,32,64}: top-k by the truncated dot
+    * product vs the full-dimension top-k, recall_pct per tier (the
+    * sim_ann_recall_matrix discipline: the eval IS the operator;
+    * tier 64 is the self-recall-100 sanity row).
+    *
+    * Exact integers end to end: q20 coords, all four tier dots from
+    * ONE (qid, nid) rollup via conditional sums (≤ 2⁴⁸ — BIGINT
+    * headroom), (dot desc, nid asc) rank ties. Shape: the 5 standard
+    * probes broadcast against one corpus pass (5·n candidate rows,
+    * map-side), one rollup, then k-row windows per tier — at 100 TB
+    * this is the brute-force EVAL path over a sampled probe set, not
+    * the serving path (that is the ANN family). */
+  def simMatryoshkaEvalOn(emb: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val qv = emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        floor(col("col").cast("double") * 1048576).cast("long").as("q"))
+    val probes = qv.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("i"), col("q").as("pq"))
+    val aggs = MrlDims.map(d =>
+      sum(when(col("i") < d, col("q") * col("pq")).otherwise(lit(0L)))
+        .as(s"dot$d"))
+    val dots = qv.join(broadcast(probes), "i")
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true) // ranked once per tier
+    def top(dcol: String) = {
+      val w = Window.partitionBy("qid")
+        .orderBy(col(dcol).desc, col("nid").asc)
+      dots.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k).select("qid", "nid")
+    }
+    val truth = top(s"dot${MrlDims.last}").localCheckpoint(true)
+    val ne = truth.agg(count(lit(1)).as("n_exact"))
+    MrlDims.map { d =>
+      truth.join(top(s"dot$d"), Seq("qid", "nid"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(ne))
+        .select(lit(d.toLong).as("dims"), col("n_exact"), col("n_hit"),
+          expr("n_hit * 100 DIV n_exact").as("recall_pct"))
+    }.reduce(_ unionByName _).orderBy("dims")
+  }
+
+  def simMatryoshkaEval(s: SparkSession, dir: String): DataFrame =
+    simMatryoshkaEvalOn(Tables.embeddings(s, dir))
+
   /** Catalog form: even vs odd vec_id halves of the embedding corpus
     * (the stand-in for "last snapshot vs this snapshot"). */
   def simEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
@@ -1625,6 +1681,7 @@ object Similarity {
     "sim_pca_power" -> simPcaPower,
     "sim_whiten_abtt" -> simWhitenAbtt,
     "sample_coreset" -> sampleCoreset,
+    "sim_matryoshka_eval" -> simMatryoshkaEval,
     "sim_ann_sq" -> simAnnSq,
     "sample_kcenter" -> sampleKcenter,
     "sim_hard_negatives" -> simHardNegatives,
@@ -1828,6 +1885,40 @@ object Similarity {
       s"""WITH $pcaCoreSql
          |SELECT v3.j AS dim, v3.v AS loading_q20, lambda_q
          |FROM v3, lam ORDER BY dim""".stripMargin,
+    // Mirrors simMatryoshkaEvalOn: one conditional-sum rollup yields
+    // all four tier dots; (dot desc, nid) QUALIFY top-k per tier.
+    "sim_matryoshka_eval" -> {
+      val dotCols = MrlDims.map(d =>
+        s"    SUM(CASE WHEN qv.i < $d THEN qv.q * pr.pq ELSE 0 END) AS dot$d")
+        .mkString(",\n")
+      val tiers = MrlDims.map(d =>
+        s"""h$d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+           |  FROM t64 JOIN (SELECT qid, nid FROM dt
+           |    QUALIFY row_number() OVER (PARTITION BY qid
+           |      ORDER BY dot$d DESC, nid ASC) <= 5) s
+           |  USING (qid, nid))""".stripMargin).mkString(",\n")
+      val rows = MrlDims.map(d =>
+        s"""SELECT CAST($d AS BIGINT) AS dims, n_exact, n_hit,
+           |    CAST(n_hit * 100 // n_exact AS BIGINT) AS recall_pct
+           |  FROM h$d, ne""".stripMargin).mkString("\n  UNION ALL ")
+      s"""WITH qv AS (SELECT vec_id, i.i AS i,
+         |    CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576)
+         |      AS BIGINT) AS q
+         |  FROM embeddings, range(0, 64) i(i)),
+         |pr AS (SELECT vec_id AS qid, i, q AS pq FROM qv
+         |  WHERE vec_id < 5),
+         |dt AS (SELECT pr.qid, qv.vec_id AS nid,
+         |$dotCols
+         |  FROM qv JOIN pr ON qv.i = pr.i
+         |  WHERE qv.vec_id <> pr.qid GROUP BY 1, 2),
+         |t64 AS (SELECT qid, nid FROM dt
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY dot64 DESC, nid ASC) <= 5),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM t64),
+         |$tiers
+         |SELECT * FROM (
+         |  $rows) ORDER BY dims""".stripMargin
+    },
     // Mirrors sampleCoresetOn: q20 coords, floored means, exact d2,
     // cross-multiplied keep predicate, milli weights; the zero-
     // variance branch replays the uniform fallback.

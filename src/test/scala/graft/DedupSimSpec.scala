@@ -279,6 +279,24 @@ class DedupSimSpec extends SparkSpecBase {
     assert(proj(0) < proj(1) && proj(1) < proj(3) && proj(3) < proj(4))
   }
 
+  test("matryoshka eval: tier 64 self-recall is 100, recall is within " +
+    "bounds per tier, and a planted prefix-heavy corpus keeps tier-8 high") {
+    val out = functions.Similarity.simMatryoshkaEval(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == Seq(8L, 16L, 32L, 64L))
+    assert(out.last._4 == 100L)
+    out.foreach(r => assert(r._4 >= 0L && r._4 <= 100L && r._2 == 25L))
+    // planted: all signal in dims 0..7, noise beyond -> tier 8 == 100
+    val vecs = (0L until 40L).map { v =>
+      (v, (0 until 64).map(i =>
+        if (i < 8) ((v % 7).toFloat + i) / 10.0f else 0.001f * ((v + i) % 3))
+        .toSeq)
+    }.toDF("vec_id", "embedding")
+    val p = functions.Similarity.simMatryoshkaEvalOn(vecs)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(p.head._1 == 8L && p.head._4 >= 80L, s"planted: $p")
+  }
+
   test("coreset: an extreme outlier is always kept; the zero-variance " +
     "corpus falls back to the uniform draw with constant weights") {
     // 50 clustered points + 1 outlier: q(outlier) ~ 1/2, m*q >= 1
