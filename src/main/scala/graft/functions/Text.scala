@@ -172,6 +172,48 @@ object Text {
   def qualityGopher(s: SparkSession, dir: String): DataFrame =
     qualityGopherOn(Tables.documents(s, dir)).orderBy("doc_id")
 
+  /** L4s: quality-rule funnel — the Gopher cascade's marginal-yield
+    * table (the dedup_stage_funnel discipline applied to quality
+    * filtering; Rae et al. 2021 Table A1 and every FineWeb-style
+    * ablation publish exactly this): rules fire in the fixed order
+    * count → len → stop → rep and each is charged only the documents
+    * that SURVIVED every earlier rule — the marginal-yield curve
+    * rule-ordering decisions are made on (a repetition rule that
+    * "removes 20%" standalone is cheap if the stopword rule already
+    * took those docs). Pure conditional aggregation over the one-pass
+    * per-doc rule relation: n_k = Σ[r_1 ∧ … ∧ r_k], so the whole
+    * report is ONE map-side-combinable aggregate — no reapplication,
+    * no joins. */
+  def qualityFilterFunnelOn(docs: DataFrame): DataFrame = {
+    val g = qualityGopherOn(docs)
+      .select("r_count", "r_len", "r_stop", "r_rep")
+    val cum = Seq("r_count", "r_len", "r_stop", "r_rep")
+      .inits.toSeq.reverse.tail // prefixes: [c], [c,l], [c,l,s], [c,l,s,r]
+    val aggs = count(lit(1)).as("n0") +: cum.zipWithIndex.map {
+      case (rules, i) =>
+        sum(when(rules.map(col).reduce(_ && _), 1L).otherwise(0L))
+          .as(s"n${i + 1}")
+    }
+    val c = g.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    val names = Seq("count", "len", "stop", "rep")
+    names.zipWithIndex.map { case (nm, i) =>
+      c.select(lit(i + 1L).as("stage_id"), lit(nm).as("rule"),
+        col(s"n$i").as("n_in"),
+        (col(s"n$i") - col(s"n${i + 1}")).as("n_removed"),
+        col(s"n${i + 1}").as("n_out"), col("n0"))
+    }.reduce(_ unionByName _)
+      .select(col("stage_id"), col("rule"), col("n_in"), col("n_removed"),
+        col("n_out"),
+        expr("CAST(CASE WHEN n_in > 0 THEN n_removed * 1000000 DIV n_in " +
+          "ELSE 0 END AS BIGINT)").as("removed_ppm"),
+        expr("CAST((n0 - n_out) * 1000000 DIV n0 AS BIGINT)")
+          .as("cum_removed_ppm"))
+      .orderBy("stage_id")
+  }
+
+  def qualityFilterFunnel(s: SparkSession, dir: String): DataFrame =
+    qualityFilterFunnelOn(Tables.documents(s, dir))
+
   /** L4p: template/boilerplate detection by shared document prefixes —
     * web-crawl corpora are full of templated pages ("Welcome to …",
     * cookie banners, listing skeletons) whose OPENINGS repeat across
@@ -1390,6 +1432,7 @@ object Text {
     "text_tfidf" -> textTfidf,
     "text_bm25" -> textBm25,
     "quality_gopher" -> qualityGopher,
+    "quality_filter_funnel" -> qualityFilterFunnel,
     "text_boilerplate" -> textBoilerplate,
     "text_split_assign" -> textSplitAssign,
     "text_tokens" -> textTokens,
@@ -1410,6 +1453,28 @@ object Text {
 
   private def sqlHits(words: Seq[String]): String =
     s"len(list_filter(string_split(text,' '), w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  /** The Gopher rule CTE chain ending in `r(doc_id, n_tokens, n_stop,
+    * c_max, r_count, r_len, r_stop, r_rep)` — shared by the
+    * quality_gopher and quality_filter_funnel oracles. */
+  private lazy val gopherRulesSql: String =
+    s"""b AS (SELECT doc_id,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) - len(string_split(text,' ')) + 1 AS BIGINT)
+       |      AS n_tok_chars,
+       |    CAST(${sqlHits(enStop)} AS BIGINT) AS n_stop,
+       |    CAST(list_max(list_transform(
+       |        list_distinct(string_split(text,' ')),
+       |        w -> len(list_filter(string_split(text,' '),
+       |          x -> x = w)))) AS BIGINT) AS c_max
+       |  FROM documents),
+       |r AS (SELECT doc_id, n_tokens, n_stop, c_max,
+       |    (n_tokens >= 10 AND n_tokens <= 10000) AS r_count,
+       |    (n_tok_chars >= n_tokens * 2 AND n_tok_chars <= n_tokens * 8)
+       |      AS r_len,
+       |    (n_stop >= 2) AS r_stop,
+       |    (c_max * 4 <= n_tokens) AS r_rep
+       |  FROM b)""".stripMargin
 
   /** The langid decision CASE, shared by the text_langid and
     * text_langid_eval oracles (mirrors [[textLangidOn]]'s rule). */
@@ -1794,24 +1859,35 @@ object Text {
         |  n_sharing >= 2 AS is_template
         |FROM p JOIN s ON p.prefix = s.prefix
         |ORDER BY doc_id""".stripMargin,
+    // Mirrors qualityFilterFunnelOn: cumulative-conjunction counts
+    // off the shared rule relation, 4-row marginal report.
+    "quality_filter_funnel" ->
+      s"""WITH $gopherRulesSql,
+         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         |    CAST(SUM(CASE WHEN r_count THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(SUM(CASE WHEN r_count AND r_len THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n2,
+         |    CAST(SUM(CASE WHEN r_count AND r_len AND r_stop
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         |    CAST(SUM(CASE WHEN r_count AND r_len AND r_stop AND r_rep
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n4
+         |  FROM r),
+         |rws AS (
+         |  SELECT 1 AS stage_id, 'count' AS rule, n0 AS n_in,
+         |    n0 - n1 AS n_removed, n1 AS n_out, n0 FROM c
+         |  UNION ALL SELECT 2, 'len', n1, n1 - n2, n2, n0 FROM c
+         |  UNION ALL SELECT 3, 'stop', n2, n2 - n3, n3, n0 FROM c
+         |  UNION ALL SELECT 4, 'rep', n3, n3 - n4, n4, n0 FROM c)
+         |SELECT CAST(stage_id AS BIGINT) AS stage_id, rule,
+         |  n_in, n_removed, n_out,
+         |  CAST(CASE WHEN n_in > 0 THEN n_removed * 1000000 // n_in
+         |    ELSE 0 END AS BIGINT) AS removed_ppm,
+         |  CAST((n0 - n_out) * 1000000 // n0 AS BIGINT)
+         |    AS cum_removed_ppm
+         |FROM rws ORDER BY stage_id""".stripMargin,
     "quality_gopher" ->
-      s"""WITH b AS (SELECT doc_id,
-         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-         |    CAST(length(text) - len(string_split(text,' ')) + 1 AS BIGINT)
-         |      AS n_tok_chars,
-         |    CAST(${sqlHits(enStop)} AS BIGINT) AS n_stop,
-         |    CAST(list_max(list_transform(
-         |        list_distinct(string_split(text,' ')),
-         |        w -> len(list_filter(string_split(text,' '),
-         |          x -> x = w)))) AS BIGINT) AS c_max
-         |  FROM documents),
-         |r AS (SELECT doc_id, n_tokens, n_stop, c_max,
-         |    (n_tokens >= 10 AND n_tokens <= 10000) AS r_count,
-         |    (n_tok_chars >= n_tokens * 2 AND n_tok_chars <= n_tokens * 8)
-         |      AS r_len,
-         |    (n_stop >= 2) AS r_stop,
-         |    (c_max * 4 <= n_tokens) AS r_rep
-         |  FROM b)
+      s"""WITH $gopherRulesSql
          |SELECT doc_id, n_tokens, n_stop, c_max,
          |  r_count, r_len, r_stop, r_rep,
          |  (r_count AND r_len AND r_stop AND r_rep) AS keep,

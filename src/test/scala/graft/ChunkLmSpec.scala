@@ -383,6 +383,43 @@ class ChunkLmSpec extends SparkSpecBase {
     assert(kap(doc(1, 500, 50), doc(5, 600, 60)).isNullAt(6))
   }
 
+  test("quality filter funnel: hand docs — each rule charged only its " +
+    "marginal removals; a doc failing two rules is charged to the first") {
+    // d1 passes all; d2 fails count (3 tokens) AND stop -> charged to
+    // count; d3 passes count/len, fails stop; d4 passes count/len/stop,
+    // fails rep (one token repeated > 1/4 of 20)
+    val stop6 = "the and for are with that"
+    val docs = Seq(
+      (1L, s"$stop6 alpha beta gamma delta epsilon zeta " +
+        "eta theta iota kappa"),                            // 16 tokens
+      (2L, "xx yy zz"),                                     // fails count
+      (3L, "alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lam mu"),                               // fails stop
+      (4L, s"$stop6 rep rep rep rep rep rep rep rep " +
+        "rep rep rep rep rep rep"))                         // fails rep
+      .toDF("doc_id", "text")
+    val out = functions.Text.qualityFilterFunnelOn(docs)
+      .select("stage_id", "rule", "n_in", "n_removed", "n_out")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "count", 4L, 1L, 3L),
+      (2L, "len", 3L, 0L, 3L),
+      (3L, "stop", 3L, 1L, 2L),
+      (4L, "rep", 2L, 1L, 1L)))
+  }
+
+  test("quality filter funnel on the corpus: conservation across rules " +
+    "and the final survivor count equals quality_gopher's keeps") {
+    val out = functions.Text.qualityFilterFunnel(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    out.sliding(2).foreach { case Seq(a, b) => assert(a._5 == b._3) }
+    out.foreach(r => assert(r._3 - r._4 == r._5))
+    val keeps = functions.Text.qualityGopher(spark, sf)
+      .where(col("keep")).count()
+    assert(out.last._5 == keeps)
+  }
+
   test("js divergence: identical slices score exactly zero; disjoint " +
     "slices are symmetric and the rows sum to the riding total") {
     val a = Seq((1L, "x y z"), (2L, "x y")).toDF("doc_id", "text")
