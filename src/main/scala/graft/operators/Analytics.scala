@@ -937,6 +937,49 @@ object Analytics {
   def anomalyMad(s: SparkSession, dir: String): DataFrame =
     anomalyMadOn(Tables.events(s, dir))
 
+  /** L19y: daily-VOLUME anomaly audit — the first alert every
+    * production pipeline wires (did a source silently stop sending?
+    * did a retry storm double a day?): per (event_type, day) row
+    * counts on a ZERO-FILLED calendar spine (a missing day is the
+    * single most important anomaly, and the naive rollup-only shape
+    * cannot see it — no row, no alert), then the [[madModelOn]]
+    * robust location/scale applied to the count series: 'missing' for
+    * zero-count days, 'volume' when |n − med| > 3·1.4826·MAD (the
+    * anomaly_mad gate on counts instead of values, same degenerate
+    * mad=0 guard), 'ok' otherwise. Medians run on the day-bounded
+    * per-type relation; the spine is |types|×|days|; the model joins
+    * broadcast. Emitting every day (not only flags) keeps the audit
+    * self-describing — absence of alerts is itself evidence. */
+  def dqVolumeAnomalyOn(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val span = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+    val filled = spine.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint(true) // model + readout passes
+    val m = filled.groupBy("event_type").agg(median(col("n")).as("med"))
+    val mad = filled.join(broadcast(m), "event_type")
+      .select(col("event_type"), abs(col("n") - col("med")).as("adev"))
+      .groupBy("event_type").agg(median(col("adev")).as("mad"))
+    filled.join(broadcast(m), "event_type")
+      .join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("d"), col("n"), col("med"), col("mad"),
+        when(col("n") === 0L, "missing")
+          .when(col("mad") > 0 &&
+            abs(col("n") - col("med")) > lit(4.4478) * col("mad"), "volume")
+          .otherwise("ok").as("flag"))
+      .orderBy("event_type", "d")
+  }
+
+  def dqVolumeAnomaly(s: SparkSession, dir: String): DataFrame =
+    dqVolumeAnomalyOn(Tables.events(s, dir))
+
   /** Interval-union coverage per key — the sweep-line "merge
     * overlapping intervals" aggregate (distinct covered days, merged
     * segment count, raw-vs-covered overlap factor). The classic form
@@ -989,6 +1032,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_interval_union" -> aggIntervalUnion,
     "anomaly_mad" -> anomalyMad,
+    "dq_volume_anomaly" -> dqVolumeAnomaly,
     "agg_corr" -> aggCorr,
     "agg_regression" -> aggRegression,
     "typed_pipeline" -> typedPipeline,
@@ -1060,6 +1104,30 @@ object Analytics {
         |  first_day, last_day,
         |  raw_days * 1000000 // covered_days AS overlap_ppm
         |FROM agg ORDER BY l_suppkey""".stripMargin,
+    // Mirrors dqVolumeAnomalyOn: zero-filled calendar spine, count
+    // median/MAD, the 3*1.4826 gate on counts.
+    "dq_volume_anomaly" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |sp AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+        |spine AS (SELECT ty.event_type, sp.d0 + CAST(r.i AS INT) AS d
+        |  FROM (SELECT DISTINCT event_type FROM daily) ty, sp,
+        |    UNNEST(range(0, CAST(sp.d1 - sp.d0 AS BIGINT) + 1)) r(i)),
+        |filled AS (SELECT spine.event_type, spine.d,
+        |    COALESCE(daily.n, 0) AS n
+        |  FROM spine LEFT JOIN daily
+        |    ON spine.event_type = daily.event_type AND spine.d = daily.d),
+        |m AS (SELECT event_type, median(n) AS med
+        |  FROM filled GROUP BY 1),
+        |md AS (SELECT f.event_type, median(abs(f.n - m.med)) AS mad
+        |  FROM filled f JOIN m USING (event_type) GROUP BY 1)
+        |SELECT f.event_type, f.d, CAST(f.n AS BIGINT) AS n, m.med, md.mad,
+        |  CASE WHEN f.n = 0 THEN 'missing'
+        |       WHEN md.mad > 0 AND abs(f.n - m.med) > 4.4478 * md.mad
+        |         THEN 'volume'
+        |       ELSE 'ok' END AS flag
+        |FROM filled f JOIN m USING (event_type) JOIN md USING (event_type)
+        |ORDER BY f.event_type, f.d""".stripMargin,
     "anomaly_mad" ->
       """WITH med AS (SELECT event_type, median(value) AS med
         |  FROM events GROUP BY event_type),

@@ -107,4 +107,39 @@ class AnalyticsSpec extends SparkSpecBase {
         r.getAs[Long]("overlap_ppm") >= 1000000L
     })
   }
+
+  test("dq_volume_anomaly: a silently missing day flags 'missing', a " +
+    "retry-storm day flags 'volume', steady days read 'ok'") {
+    import java.sql.Timestamp
+    // type T: 10 events/day on days 1..9 except day 5 (absent) and
+    // day 7 (100 events) -> med 10, mad 0? counts: 10,10,10,10,0,10,100,10,10
+    // med=10, adev: 0x6,10,90,0... adev values {0,0,0,0,10,0,90,0,0} med=0 -> mad=0
+    // mad=0 degenerate: only 'missing' flags fire. Add jitter so mad>0:
+    // counts 8,12,9,11,0,10,100,9,11 -> med 10, adev {2,2,1,1,10,0,90,1,1} med=1 -> mad=1
+    val perDay = Seq(8, 12, 9, 11, 0, 10, 100, 9, 11)
+    val ev = perDay.zipWithIndex.flatMap { case (n, i) =>
+      (0 until n).map { k =>
+        (i.toLong * 1000 + k, k.toLong, "T",
+          Timestamp.valueOf(f"2024-01-0${i + 1}%d 10:00:00"), 1.0)
+      }
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = operators.Analytics.dqVolumeAnomalyOn(ev)
+      .select("d", "n", "flag")
+      .as[(java.sql.Date, Long, String)].collect().toSeq.sortBy(_._1.toString)
+    assert(out.size == 9)
+    assert(out(4)._2 == 0L && out(4)._3 == "missing")
+    assert(out(6)._2 == 100L && out(6)._3 == "volume")
+    assert(out.count(_._3 == "ok") == 7)
+  }
+
+  test("dq_volume_anomaly on the corpus: spine is complete per type and " +
+    "flags are from the closed vocabulary") {
+    val out = operators.Analytics.dqVolumeAnomaly(spark, sf)
+      .localCheckpoint(true)
+    val spine = out.groupBy("event_type").count()
+      .select("count").distinct().count()
+    assert(spine == 1) // every type spans the same calendar
+    assert(out.where(!col("flag").isin("ok", "missing", "volume"))
+      .count() == 0)
+  }
 }
