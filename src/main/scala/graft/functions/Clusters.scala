@@ -1287,6 +1287,61 @@ object Clusters {
       knnEdges(s, dir)
         .select("qid", "nid"))
 
+  /** L18u: per-community CONDUCTANCE — the cut-quality readout that
+    * complements [[graphModularityOn]]'s global score (Kannan, Vempala
+    * & Vetta 2004; Leskovec et al. 2009's NCP plots made it THE
+    * community-quality measure): φ(S) = cut(S) / min(vol(S), 2m −
+    * vol(S)) per community, exact ppm — low φ = a real module, high φ
+    * = a label that leaks. Communities are [[labelPropagationOn]]'s
+    * labels; an LPA label that leaks half its edges is exactly what
+    * this catches before anyone trusts the clustering downstream.
+    *
+    * Exact integers: cut and volume are edge counts (each cross edge
+    * charges BOTH sides; volume counts internal edges twice via the
+    * endpoint explode), one truncating DIV at the ppm boundary,
+    * NULL-gated for isolated communities. Shape: one label join pair
+    * over the undirected edge relation, two label-keyed rollups, a
+    * broadcast 2m scalar — nothing beyond the edge pass scales. */
+  def graphConductanceOn(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val Array(ca, cb) = edges.columns.take(2)
+    val und = edges
+      .select(least(col(ca), col(cb)).cast("long").as("a"),
+        greatest(col(ca), col(cb)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val lab = labels.select(col("node").cast("long").as("node"),
+      col("community").cast("long").as("c"))
+    val e2 = und
+      .join(lab.select(col("node").as("a"), col("c").as("cla")), "a")
+      .join(lab.select(col("node").as("b"), col("c").as("clb")), "b")
+      .localCheckpoint(true) // total + volume + cut passes
+    val tot = e2.agg((count(lit(1)) * 2).as("vol_total"))
+    val vol = e2.select(explode(array(col("cla"), col("clb"))).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("vol"))
+    val cut = e2.filter(col("cla") =!= col("clb"))
+      .select(explode(array(col("cla"), col("clb"))).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("cut"))
+    lab.groupBy("c").agg(count(lit(1)).as("n_nodes"))
+      .join(vol, Seq("c"), "left")
+      .join(cut, Seq("c"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("c").as("community"), col("n_nodes"),
+        coalesce(col("vol"), lit(0L)).as("vol"),
+        coalesce(col("cut"), lit(0L)).as("cut"),
+        col("vol_total"))
+      .select(col("community"), col("n_nodes"), col("vol"), col("cut"),
+        expr("""CAST(CASE WHEN least(vol, vol_total - vol) > 0
+               |  THEN cut * 1000000 DIV least(vol, vol_total - vol)
+               |END AS BIGINT)""".stripMargin).as("phi_ppm"))
+      .orderBy("community")
+  }
+
+  /** Catalog form: conductance of the LPA communities over the same
+    * k-NN similarity graph — the two relations read side by side
+    * (modularity scores the PARTITION, conductance each COMMUNITY). */
+  def graphConductance(s: SparkSession, dir: String): DataFrame =
+    graphConductanceOn(knnEdges(s, dir).select("qid", "nid"),
+      graphCommunities(s, dir))
+
   /** k-core decomposition (the `k`-core): iteratively peel nodes of
     * degree < k until a fixpoint — the standard "dense part of the
     * graph" extraction (spam rings, tightly-coupled near-dup hubs,
@@ -2293,6 +2348,7 @@ object Clusters {
     "graph_neighbor_jaccard" -> graphNeighborJaccard,
     "graph_adamic_adar" -> graphAdamicAdar,
     "graph_communities" -> graphCommunities,
+    "graph_conductance" -> graphConductance,
     "graph_kcore" -> graphKcore,
     "graph_truss" -> graphTruss,
     "graph_modularity" -> graphModularity,
@@ -2916,6 +2972,43 @@ object Clusters {
          |    - ds.deg_sum * ds.deg_sum AS BIGINT) AS contrib_num
          |FROM ds LEFT JOIN ie ON ds.community = ie.community, mm
          |ORDER BY 1""".stripMargin,
+    // Mirrors graphConductanceOn: LPA labels over the same knn graph,
+    // endpoint-explode volume/cut, min-side ppm DIV.
+    "graph_conductance" ->
+      s"""WITH ${Similarity.knnCoreSql},
+         |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,
+         |    GREATEST(qid, nid) AS b FROM knn WHERE qid <> nid),
+         |adj AS (SELECT a AS node, b AS nb FROM und
+         |        UNION ALL SELECT b AS node, a AS nb FROM und),
+         |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+         |$lpaIterSql,
+         |lb AS (SELECT node, lbl AS c FROM l2),
+         |e2 AS (SELECT und.a, und.b, la.c AS cla, lc.c AS clb
+         |  FROM und JOIN lb la ON und.a = la.node
+         |  JOIN lb lc ON und.b = lc.node),
+         |tot AS (SELECT CAST(COUNT(*) * 2 AS BIGINT) AS vol_total FROM e2),
+         |vol AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS vol FROM (
+         |    SELECT cla AS c FROM e2 UNION ALL SELECT clb FROM e2)
+         |  GROUP BY 1),
+         |ct AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cut FROM (
+         |    SELECT cla AS c FROM e2 WHERE cla <> clb
+         |    UNION ALL SELECT clb FROM e2 WHERE cla <> clb)
+         |  GROUP BY 1),
+         |nn AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |  FROM lb GROUP BY 1)
+         |SELECT nn.c AS community, n_nodes,
+         |  CAST(COALESCE(vol.vol, 0) AS BIGINT) AS vol,
+         |  CAST(COALESCE(ct.cut, 0) AS BIGINT) AS cut,
+         |  CAST(CASE WHEN LEAST(COALESCE(vol.vol, 0),
+         |      vol_total - COALESCE(vol.vol, 0)) > 0
+         |    THEN COALESCE(ct.cut, 0) * 1000000
+         |      // LEAST(COALESCE(vol.vol, 0),
+         |           vol_total - COALESCE(vol.vol, 0))
+         |  END AS BIGINT) AS phi_ppm
+         |FROM nn LEFT JOIN vol ON nn.c = vol.c
+         |LEFT JOIN ct ON nn.c = ct.c
+         |CROSS JOIN tot
+         |ORDER BY community""".stripMargin,
     "graph_communities" ->
       s"""WITH ${Similarity.knnCoreSql},
          |und AS (SELECT DISTINCT LEAST(qid, nid) AS a,

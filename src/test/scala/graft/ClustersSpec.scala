@@ -224,6 +224,34 @@ class ClustersSpec extends SparkSpecBase {
     assert(out.select("correct").distinct().count() >= 1)
   }
 
+  test("graph_conductance: two bridged triangles by hand — each side " +
+    "phi = 1/7; an isolated community NULL-gates") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L), (9L, 9L)).toDF("node", "community")
+    val out = functions.Clusters.graphConductanceOn(edges, labels)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+    // vol(each triangle) = 2*3 internal + 1 bridge = 7; cut = 1;
+    // 2m = 14 -> min(7, 7) = 7 -> phi = 142857 ppm
+    assert(out == Seq(
+      (1L, 3L, 7L, 1L, Some(142857L)),
+      (4L, 3L, 7L, 1L, Some(142857L)),
+      (9L, 1L, 0L, 0L, None)))
+  }
+
+  test("graph_conductance on the corpus: volumes conserve the edge " +
+    "count and phi stays in [0, 1e6]") {
+    val out = functions.Clusters.graphConductance(spark, sf)
+      .localCheckpoint(true)
+    assert(out.count() > 0)
+    assert(out.where(col("phi_ppm") < 0L || col("phi_ppm") > 1000000L)
+      .count() == 0)
+    // sum of volumes = 2m
+    val sums = out.agg(sum("vol"), sum("cut")).as[(Long, Long)].head()
+    assert(sums._1 % 2 == 0 && sums._2 % 2 == 0)
+  }
+
   test("dedup stage funnel: each rung charged only its marginal " +
     "removals; an exact-dup pair already removed costs near-dup nothing") {
     val docs = (1L to 8L).map(i =>
