@@ -329,6 +329,56 @@ object Corpus {
   def corpusTemperature(s: SparkSession, dir: String): DataFrame =
     corpusTemperatureOn(Tables.documents(s, dir))
 
+  /** Per-language entropy term for [[corpusTemperatureSweepOn]] —
+    * one string evaluated verbatim by both engines (shared-literal
+    * rule; ln correctly rounded, one round(10⁹) boundary). */
+  private val tempHNanoSql: String =
+    "CAST(round(CASE WHEN share_ppm > 0 THEN " +
+      "-(share_ppm / 1000000.0) * ln(share_ppm / 1000000.0) " +
+      "ELSE 0.0 END * 1000000000, 0) AS BIGINT)"
+
+  /** L8i: temperature SWEEP — the mixture-design table behind picking
+    * τ (Arivazhagan et al. 2019 §4's temperature-based sampling;
+    * XLM/mT5 ship τ≈0.3–0.7): per τ ∈ {¼, ½, ¾, 1} the
+    * exponentiated-share allocation p_l ∝ n_l^τ and the mixture's
+    * Shannon entropy (in nano-nats, per-language terms quantized
+    * BEFORE the order-free sum) — read the τ row whose entropy hits
+    * the diversity target instead of guessing. τ=1 is the
+    * natural-proportion baseline; lower τ flattens toward uniform.
+    *
+    * Determinism without pow(): every tier is spelled from sqrt only
+    * — n^¼ = √√n, n^¾ = √n·√√n — each sqrt IEEE-correctly-rounded in
+    * both engines and the product an exact double multiply, so no
+    * libm-pow 1-ulp drift can flip a floor. Shares clear through
+    * DECIMAL; the language relation is vocabulary-bounded, the sweep
+    * a constant 4× fanout. */
+  def corpusTemperatureSweepOn(docs: DataFrame): DataFrame = {
+    val n = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true) // read by all four tiers
+    val nd = col("n_docs").cast("double")
+    def w(tau: Int): org.apache.spark.sql.Column = tau match {
+      case 250  => floor(sqrt(sqrt(nd)) * 1000000).cast("long")
+      case 500  => floor(sqrt(nd) * 1000000).cast("long")
+      case 750  => floor(sqrt(nd) * sqrt(sqrt(nd)) * 1000000).cast("long")
+      case 1000 => col("n_docs") * 1000000L
+    }
+    Seq(250, 500, 750, 1000).map { tau =>
+      val q = n.withColumn("w_micro", w(tau))
+      val tot = q.agg(sum(col("w_micro")).as("wsum"))
+      val shares = q.crossJoin(broadcast(tot))
+        .select(lit(tau.toLong).as("tau_milli"), col("lang"),
+          col("n_docs"), col("w_micro"),
+          expr("""CAST(CAST(w_micro AS DECIMAL(38,0)) * 1000000
+                 | DIV wsum AS BIGINT)""".stripMargin).as("share_ppm"))
+        .localCheckpoint(true) // entropy + output
+      shares.crossJoin(broadcast(
+        shares.agg(sum(expr(tempHNanoSql)).as("h_total_nano"))))
+    }.reduce(_ unionByName _).orderBy("tau_milli", "lang")
+  }
+
+  def corpusTemperatureSweep(s: SparkSession, dir: String): DataFrame =
+    corpusTemperatureSweepOn(Tables.documents(s, dir))
+
   /** L8d: epoch-repetition planning — turn [[corpusTemperatureOn]]'s
     * per-language TARGET doc counts into a concrete per-document
     * repeat factor (the "how many epochs does each shard see"
@@ -1040,6 +1090,7 @@ object Corpus {
     "corpus_quality_bins" -> corpusQualityBins,
     "corpus_mix" -> corpusMix,
     "corpus_temperature" -> corpusTemperature,
+    "corpus_temperature_sweep" -> corpusTemperatureSweep,
     "profile_stats" -> profileStats,
     "profile_skew" -> profileSkew,
     "quality_audit" -> qualityAudit,
@@ -1394,6 +1445,36 @@ object Corpus {
          |  CAST(CAST(num AS HUGEINT) * 1000000 // tot
          |    - n_docs * 1000000 // nn AS BIGINT) AS delta_ppm
          |FROM x CROSS JOIN t ORDER BY lang""".stripMargin,
+    // Mirrors corpusTemperatureSweepOn: sqrt-composed tiers (no
+    // pow), DECIMAL-cleared shares, shared entropy-term string.
+    "corpus_temperature_sweep" -> {
+      def tier(tau: Int, wExpr: String): String =
+        s"""q$tau AS (SELECT CAST($tau AS BIGINT) AS tau_milli, lang,
+           |    n_docs, $wExpr AS w_micro FROM s),
+           |t$tau AS (SELECT SUM(CAST(w_micro AS HUGEINT)) AS wsum
+           |  FROM q$tau),
+           |sh$tau AS (SELECT tau_milli, lang, n_docs, w_micro,
+           |    CAST(CAST(w_micro AS HUGEINT) * 1000000 // wsum AS BIGINT)
+           |      AS share_ppm
+           |  FROM q$tau, t$tau),
+           |h$tau AS (SELECT CAST(SUM($tempHNanoSql) AS BIGINT)
+           |    AS h_total_nano FROM sh$tau)""".stripMargin
+      val tiers = Seq(
+        250 -> "CAST(floor(sqrt(sqrt(CAST(n_docs AS DOUBLE))) * 1000000) AS BIGINT)",
+        500 -> "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)",
+        750 -> ("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))" +
+          " * sqrt(sqrt(CAST(n_docs AS DOUBLE))) * 1000000) AS BIGINT)"),
+        1000 -> "CAST(n_docs * 1000000 AS BIGINT)")
+      val body = tiers.map { case (t, w) => tier(t, w) }.mkString(",\n")
+      val rows = tiers.map { case (t, _) =>
+        s"SELECT sh$t.*, h$t.h_total_nano FROM sh$t, h$t" }
+        .mkString("\n  UNION ALL ")
+      s"""WITH s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY lang),
+         |$body
+         |SELECT * FROM (
+         |  $rows) ORDER BY tau_milli, lang""".stripMargin
+    },
     "corpus_temperature" ->
       """WITH s AS (SELECT lang, COUNT(*) AS n_docs FROM documents
         |  GROUP BY lang),

@@ -567,4 +567,32 @@ class CorpusSpec extends SparkSpecBase {
       case _ => true
     })
   }
+
+  test("temperature sweep: tau=1 reproduces natural shares, lower tau " +
+    "flattens (entropy monotone down in tau), hand shares at tau=1/2") {
+    // langs: a=900 docs, b=100 -> tau=1 shares 900000/100000;
+    // tau=1/2: w = 30e6 / 10e6 -> shares 750000/250000
+    val docs = ((1L to 900L).map(i => (i, "a")) ++
+      (901L to 1000L).map(i => (i, "b"))).toDF("doc_id", "lang")
+    val out = functions.Corpus.corpusTemperatureSweepOn(docs)
+      .select("tau_milli", "lang", "share_ppm", "h_total_nano")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val m = out.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((1000L, "a")) == 900000L && m((1000L, "b")) == 100000L)
+    assert(m((500L, "a")) == 750000L && m((500L, "b")) == 250000L)
+    // entropy strictly increases as tau drops (shares flatten)
+    val h = out.groupBy(_._1).mapValues(_.head._4)
+    assert(h(250L) > h(500L) && h(500L) > h(750L) && h(750L) > h(1000L))
+  }
+
+  test("temperature sweep on the corpus: four tiers, shares sum to ~1e6 " +
+    "per tier, tau=1 matches the natural document shares") {
+    val out = functions.Corpus.corpusTemperatureSweep(spark, sf)
+      .localCheckpoint(true)
+    assert(out.select("tau_milli").distinct().count() == 4)
+    val sums = out.groupBy("tau_milli").agg(sum("share_ppm").as("s"))
+      .as[(Long, Long)].collect()
+    sums.foreach { case (t, sx) =>
+      assert(sx >= 999990L && sx <= 1000000L, s"tau $t sums $sx") }
+  }
 }
