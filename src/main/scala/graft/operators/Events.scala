@@ -1672,7 +1672,8 @@ object Events {
         .select(col("src").as("state"),
           (lit(1000L) + expr("st DIV r")).as("t_milli"),
           expr("sa DIV r").as("a_ppm"))
-        .localCheckpoint(true)
+      // no per-round checkpoint: 8 lazy rounds against the one
+      // checkpointed count relation (see eventMarkovAttributionOn)
     }
     cur.orderBy("state")
   }
@@ -1728,6 +1729,12 @@ object Events {
     val t = trans.join(trans.groupBy("src").agg(sum(col("n")).as("r")), "src")
       .localCheckpoint(true) // read by every round of every run
     def absorb(excluded: Option[String]): DataFrame = {
+      // NO per-round checkpoint: the rounds chain lazily against the
+      // ONE checkpointed transition relation — the per-run plan is 8
+      // joins over a ≤(V+2)²-row scan, and eagerly materializing each
+      // ≤V-row iterate cost ~0.1 s × rounds × (1+|channels|) runs
+      // (measured 4.6 s for this query at sf0.1, nearly all of it
+      // checkpoint overhead on single-digit-row relations).
       val tt = excluded.map(c => t.filter(col("src") =!= c)).getOrElse(t)
       var cur = tt.select(col("src").as("state")).distinct()
         .select(col("state"), lit(0L).as("a_ppm"))
@@ -1738,7 +1745,6 @@ object Events {
           .agg(sum(when(col("dst") === absorbing, col("n") * lit(1000000L))
             .otherwise(col("n") * coalesce(col("ab"), lit(0L)))).as("sa"))
           .select(col("src").as("state"), expr("sa DIV r").as("a_ppm"))
-          .localCheckpoint(true)
       }
       cur.filter(col("state") === "#start").select(col("a_ppm"))
     }
