@@ -314,6 +314,61 @@ object Planning {
   def eventPower(s: SparkSession, dir: String): DataFrame =
     eventPowerOn(Tables.events(s, dir))
 
+  /** Sample-size factors swept by [[eventMdeCurveOn]], in milli. */
+  val MdeFactorsMilli: Seq[Long] = Seq(250L, 500L, 1000L, 2000L, 4000L)
+
+  /** L21d: minimum-detectable-effect curve — [[eventPowerOn]]'s
+    * inverse, and the planning table experimentation platforms
+    * actually show (Kohavi et al., "Trustworthy Online Controlled
+    * Experiments" ch. 17): at each candidate per-arm size n·f,
+    * f ∈ {¼,½,1,2,4} of the CURRENT population, the smallest absolute
+    * rate lift detectable at α=.05 / power=.8,
+    *   MDE = (z_{α/2}+z_β) · sqrt(2·p̄(1−p̄)/n_f),
+    * with p̄ the pooled conversion. "Can this experiment see a 1%
+    * lift, and how long until it can" is read straight off the rows.
+    *
+    * Determinism: p̄ and the variance term are exact integers
+    * (ppm/ppm²); the single numerator K·2·v stays a BIGINT
+    * (≤ 3.9·10¹⁸); one IEEE division by the exact 10⁶·n_f, one
+    * correctly-rounded sqrt, one pinned floor at the ppm boundary —
+    * identical in both engines (the sqrt-composition rule's sibling:
+    * division and sqrt ARE correctly rounded, pow is not). n_f floors
+    * at 1; a degenerate pooled rate (0 or 1) yields MDE 0 and is the
+    * caller's signal that the normal approximation left the building.
+    * Shape: the event_power user rollup, then a broadcast 5-row
+    * factor fanout — 1-row arithmetic after the rollup. */
+  def eventMdeCurveOn(events: DataFrame): DataFrame = {
+    val users = events
+      .select(col("user_id"),
+        (col("event_type") === "purchase").cast("long").as("isp"))
+      .groupBy("user_id")
+      .agg(max(col("isp")).as("converted"))
+    val base = users.agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_conv"))
+      .select(col("n_users"), col("n_conv"),
+        expr("n_users DIV 2").as("n_arm"),
+        expr("CAST(n_conv * 1000000 DIV n_users AS BIGINT)").as("p_ppm"))
+    val factors = events.sparkSession.range(0, MdeFactorsMilli.size)
+      .select(col("id").cast("int").as("i"))
+      .withColumn("factor_milli", expr(
+        s"CAST(element_at(array(${MdeFactorsMilli.mkString(", ")}), " +
+          "i + 1) AS BIGINT)"))
+      .select("factor_milli")
+    base.crossJoin(broadcast(factors))
+      .select(col("factor_milli"), col("n_users"), col("p_ppm"),
+        greatest(expr("n_arm * factor_milli DIV 1000"), lit(1L))
+          .as("n_per_arm"))
+      .withColumn("mde_ppm", expr(
+        s"""CAST(floor(sqrt(
+           |  CAST($PowerKMicro * 2 * (p_ppm * (1000000 - p_ppm))
+           |    AS DOUBLE)
+           |  / (1000000.0 * n_per_arm))) AS BIGINT)""".stripMargin))
+      .orderBy("factor_milli")
+  }
+
+  def eventMdeCurve(s: SparkSession, dir: String): DataFrame =
+    eventMdeCurveOn(Tables.events(s, dir))
+
   /** L22f: weighted flow reciprocity (Squartini et al., Nature SR
     * 2013 — "Reciprocity of weighted networks") over the user-journey
     * transition graph: for each unordered event-type pair, how much
@@ -575,6 +630,7 @@ object Planning {
     "event_bounce" -> eventBounce,
     "ts_xcorr" -> tsXcorr,
     "event_power" -> eventPower,
+    "event_mde_curve" -> eventMdeCurve,
     "dq_freshness" -> dqFreshness,
     "dq_completeness" -> dqCompleteness,
     "dq_rules" -> dqRules,
@@ -869,6 +925,29 @@ object Planning {
         |    AS populated_ppm,
         |  n_distinct = n_rows - n_null AS is_unique
         |FROM u ORDER BY column_name""".stripMargin,
+    // Mirrors eventMdeCurveOn: pooled rate, exact BIGINT numerator,
+    // one IEEE division + correctly-rounded sqrt, pinned ppm floor.
+    "event_mde_curve" ->
+      s"""WITH u AS (SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS converted
+         |  FROM events GROUP BY user_id),
+         |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    CAST(SUM(converted) AS BIGINT) AS n_conv FROM u),
+         |p AS (SELECT n_users, n_conv, n_users // 2 AS n_arm,
+         |    CAST(n_conv * 1000000 // n_users AS BIGINT) AS p_ppm FROM b),
+         |f AS (SELECT UNNEST([${MdeFactorsMilli.mkString(", ")}])
+         |    AS factor_milli)
+         |SELECT CAST(factor_milli AS BIGINT) AS factor_milli, n_users,
+         |  p_ppm,
+         |  CAST(GREATEST(n_arm * factor_milli // 1000, 1) AS BIGINT)
+         |    AS n_per_arm,
+         |  CAST(floor(sqrt(
+         |    CAST($PowerKMicro * 2 * (p_ppm * (1000000 - p_ppm))
+         |      AS DOUBLE)
+         |    / (1000000.0 * GREATEST(n_arm * factor_milli // 1000, 1))))
+         |    AS BIGINT) AS mde_ppm
+         |FROM p, f ORDER BY factor_milli""".stripMargin,
     "event_power" ->
       s"""WITH u AS (SELECT user_id,
          |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

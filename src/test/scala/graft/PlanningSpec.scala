@@ -325,4 +325,29 @@ class PlanningSpec extends SparkSpecBase {
     assert(r.forall(_.getBoolean(4)))
     assert(r.forall(_.getLong(3) === 0L))
   }
+
+  test("mde curve: hand pooled rate replays the formula; MDE shrinks " +
+    "as 1/sqrt(n) across the factor sweep") {
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    // 100 users, 25 convert -> p = 250000 ppm, n_arm = 50
+    val ev = (1L to 100L).map { u =>
+      (u, t0, u, if (u <= 25) "purchase" else "view", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = operators.Planning.eventMdeCurveOn(ev)
+      .select("factor_milli", "n_per_arm", "p_ppm", "mde_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == Seq(250L, 500L, 1000L, 2000L, 4000L))
+    assert(out.forall(_._3 == 250000L))
+    assert(out.map(_._2) == Seq(12L, 25L, 50L, 100L, 200L))
+    // replay: mde = floor(sqrt(K*2*p(1e6-p) / (1e6*n)))
+    out.foreach { r =>
+      val want = math.floor(math.sqrt(
+        (7848886L * 2L * (250000L * 750000L)).toDouble /
+          (1000000.0 * r._2))).toLong
+      assert(r._4 == want, s"row $r want $want")
+    }
+    // monotone: quadrupling n halves the MDE (within floor slack)
+    assert(out.head._4 > out.last._4)
+  }
 }
