@@ -121,6 +121,37 @@ object Multimodal {
         (lit(48) + length(col("payload")) % 96).as("height"))
       .orderBy("doc_id")
 
+  /** L5g: resolution/aspect gating — the LAION-style image admission
+    * rule (Schuhmann et al. 2022 keep images with min side ≥ a floor
+    * and aspect inside a band; every image-text pipeline runs this
+    * BEFORE paying for CLIP): per source, how many images pass
+    * min(w,h) ≥ 64 and ½ ≤ w/h ≤ 2, with the rejection reason split
+    * out (priority: 'small' then 'aspect' — a doc failing both
+    * charges 'small', pinned). The aspect band is the integer
+    * cross-multiply w ≤ 2h ∧ h ≤ 2w — no float ratio. Dimensions are
+    * [[mmMetadata]]'s surrogate decode (the documented container
+    * boundary); the distributed shape — metadata scan, one
+    * source-keyed conditional rollup — is the real pipeline's. */
+  def mmResolutionFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        (lit(64) + length(encode(col("text"), "UTF-8")) % 128).as("w"),
+        (lit(48) + length(encode(col("text"), "UTF-8")) % 96).as("h"))
+      .select(col("source"),
+        when(least(col("w"), col("h")) < 64, "small")
+          .when(col("w") > col("h") * 2 || col("h") > col("w") * 2,
+            "aspect")
+          .otherwise("kept").as("verdict"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("verdict") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("verdict") === "small", 1L).otherwise(0L))
+          .as("n_small"),
+        sum(when(col("verdict") === "aspect", 1L).otherwise(0L))
+          .as("n_aspect"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000 DIV n_total"))
+      .orderBy("source")
+
   /** L5b: frame sampling — every k-th frame index of a fake decoded
     * video (frame count derived from payload size), the batch shape of
     * S8's frame iterator (raw_to_samples.py:241-258). */
@@ -467,6 +498,7 @@ object Multimodal {
     "udf_inference" -> udfInference,
     "udf_transcode" -> udfTranscode,
     "mm_metadata" -> mmMetadata,
+    "mm_resolution_filter" -> mmResolutionFilter,
     "mm_frame_sample" -> mmFrameSample,
   )
 
@@ -620,6 +652,28 @@ object Multimodal {
         |FROM (SELECT event_id AS f FROM events WHERE event_id < 1000),
         |  UNNEST(range(0, f % 3 + 1)) AS r(i)
         |ORDER BY frame_id, det_i""".stripMargin,
+    // Mirrors mmResolutionFilter: surrogate dims, integer
+    // cross-multiplied aspect band, small-before-aspect priority.
+    "mm_resolution_filter" ->
+      """WITH d AS (SELECT source,
+        |    64 + octet_length(encode(text)) % 128 AS w,
+        |    48 + octet_length(encode(text)) % 96 AS h
+        |  FROM documents),
+        |v AS (SELECT source,
+        |    CASE WHEN LEAST(w, h) < 64 THEN 'small'
+        |         WHEN w > h * 2 OR h > w * 2 THEN 'aspect'
+        |         ELSE 'kept' END AS verdict
+        |  FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN verdict = 'small' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_small,
+        |  CAST(SUM(CASE WHEN verdict = 'aspect' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_aspect,
+        |  CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS kept_ppm
+        |FROM v GROUP BY source ORDER BY source""".stripMargin,
     "mm_metadata" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

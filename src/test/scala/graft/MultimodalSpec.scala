@@ -184,6 +184,25 @@ class MultimodalSpec extends SparkSpecBase {
     assert(c.filter(col("kind") === "image").count() > 0)
     c.unpersist()
   }
+
+  test("resolution filter: verdicts partition the corpus, small wins " +
+    "over aspect, kept dims are inside both gates") {
+    import org.apache.spark.sql.functions._
+    val out = multimodal.Multimodal.mmResolutionFilter(spark, sf)
+      .localCheckpoint(true)
+    assert(out.count() > 0)
+    assert(out.where(col("n_kept") + col("n_small") + col("n_aspect")
+      =!= col("n_total")).count() == 0)
+    // replay the gate on the metadata relation: counts must reconcile
+    val md = multimodal.Multimodal.mmMetadata(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "source"),
+        "doc_id")
+    val kept = md.where(least(col("width"), col("height")) >= 64 &&
+      col("width") <= col("height") * 2 &&
+      col("height") <= col("width") * 2).count()
+    val total = out.agg(sum("n_kept")).collect()(0).getLong(0)
+    assert(total == kept)
+  }
 }
 
 /** Test-only detector standing in for a real codec-backed impl. */
