@@ -70,22 +70,29 @@ object SparkEntry {
     * GK rank error <= n/accuracy (2% value error at accuracy=1000 on
     * these distributions — the bound RobustnessSpec asserts at two
     * sfs). Dumped by Verify as oracle_bounds.json; tools/check.py
-    * evaluates it, and the driver can adopt the same contract to close
-    * its two permanent no_oracle rows. */
+    * evaluates it.
+    *
+    * Round 8: both ops ALSO ship a standard hash-checked oracleSql via
+    * the checked-column convention (exact aggregate + in-bound flags
+    * computed in-query from the sketch estimates; an out-of-bound
+    * sketch flips a flag and hash-mismatches), so the driver's
+    * row/schema/hash gate covers them with no bounds-mode adoption
+    * needed. The bounds entries below are kept in sync with the new
+    * output columns as the richer, self-describing contract. */
   val oracleBounds: Map[String, String] = Map(
     "agg_approx_distinct" ->
       """{"mode": "bounds",
         |"oracle_sql": "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users FROM events GROUP BY event_type",
         |"join_on": ["event_type"],
         |"bounds": [
-        |  "abs(s.approx_users - o.exact_users) <= greatest(1, 0.15 * o.exact_users)",
+        |  "s.approx_in_bound",
         |  "s.exact_users = o.exact_users"]}""".stripMargin,
     "agg_approx_quantile" ->
       """{"mode": "bounds",
-        |"oracle_sql": "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50, quantile_cont(l_extendedprice, 0.95) AS exact_p95, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag",
+        |"oracle_sql": "WITH c AS (SELECT l_returnflag, floor(l_extendedprice * 100 + 0.5) AS cents FROM lineitem) SELECT l_returnflag, quantile_cont(cents, 0.5) AS exact_p50, quantile_cont(cents, 0.95) AS exact_p95, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY l_returnflag",
         |"join_on": ["l_returnflag"],
         |"bounds": [
-        |  "abs(s.approx_p50 - o.exact_p50) <= 0.02 * o.exact_p50",
-        |  "abs(s.approx_p95 - o.exact_p95) <= 0.02 * o.exact_p95",
+        |  "s.p50_in_bound", "s.p95_in_bound",
+        |  "s.exact_p50 = o.exact_p50", "s.exact_p95 = o.exact_p95",
         |  "s.n = o.n"]}""".stripMargin)
 }

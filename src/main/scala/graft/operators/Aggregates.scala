@@ -111,14 +111,30 @@ object Aggregates {
         col("o_orderpriority").asc_nulls_first)
 
   /** A9: approx_count_distinct (HLL++) — the 100 TB-scale substitute
-    * for exact COUNT(DISTINCT). Sketch values are implementation-
-    * specific, so no SQL oracle (driver records rows-only); exact
-    * bounds are asserted in the ScalaTest spec instead. */
-  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    * for exact COUNT(DISTINCT). The sketch estimate itself is
+    * implementation-specific (it can never hash-match a DuckDB
+    * replay), so the OUTPUT is engine-portable checked columns: the
+    * exact aggregate plus an in-bound flag computed in-query from the
+    * sketch estimate (abs err within 3x the published 1.04/sqrt(m)
+    * standard error at Spark's default relativeSD 0.05, i.e. 15%,
+    * with an absolute floor of 1 for tiny groups where HLL++'s sparse
+    * mode is exact anyway). The oracle emits the same exact aggregate
+    * and a literal TRUE — an out-of-bound sketch therefore
+    * hash-MISMATCHES, which is the correctness signal we want. The
+    * sketch plan stays the measured subject; the raw estimate remains
+    * visible via oracleBounds / sketch_hll. */
+  def aggApproxDistinctRaw(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    aggApproxDistinctRaw(s, dir)
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(lit(1.0), col("exact_users") * 0.15))
+          .as("approx_in_bound"))
       .orderBy("event_type")
 
   /** A10: exact median (interpolated percentile-0.5) + mode per group.
@@ -197,19 +213,37 @@ object Aggregates {
 
   /** A13: approximate quantiles (Greenwald-Khanna sketch) beside the
     * exact percentiles — the quantile to reach for at 100 TB, where
-    * exact percentile needs a full sort per group. Like
-    * agg_approx_distinct, sketch internals are implementation-specific
-    * so there is no SQL oracle (driver records a rows-only check);
-    * PlanSpec bounds the error against the exact percentile instead. */
-  def aggApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    * exact percentile needs a full sort per group. Same checked-column
+    * convention as agg_approx_distinct: the GK estimates are
+    * sketch-state-dependent, so the emitted columns are the exact
+    * interpolated percentiles (quantized to integer cents so both
+    * engines interpolate over exact doubles) plus in-bound flags for
+    * the approx values (2% relative — GK at accuracy=1000 guarantees
+    * rank error <= n/1000, far inside 2% value error on these
+    * distributions; RobustnessSpec asserts the bound at two sfs). An
+    * out-of-bound sketch flips the flag and hash-mismatches. */
+  def aggApproxQuantileRaw(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).as("cents"))
       .groupBy("l_returnflag")
       .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+        percentile_approx(col("cents"), lit(0.5), lit(1000))
           .as("approx_p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000))
+        percentile_approx(col("cents"), lit(0.95), lit(1000))
           .as("approx_p95"),
+        percentile(col("cents"), lit(0.5)).as("exact_p50"),
+        percentile(col("cents"), lit(0.95)).as("exact_p95"),
         count(lit(1)).as("n"))
+
+  def aggApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    aggApproxQuantileRaw(s, dir)
+      .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"),
+        col("n"),
+        (abs(col("approx_p50") - col("exact_p50")) <=
+          col("exact_p50") * 0.02).as("p50_in_bound"),
+        (abs(col("approx_p95") - col("exact_p95")) <=
+          col("exact_p95") * 0.02).as("p95_in_bound"))
       .orderBy("l_returnflag")
 
   /** A14: distinct-collection aggregate — collect_set is
@@ -520,5 +554,22 @@ object Aggregates {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // Checked-column convention (see aggApproxDistinct scaladoc): the
+    // oracle computes the exact aggregate and asserts the flag TRUE;
+    // an out-of-bound Spark sketch flips the flag -> hash mismatch.
+    "agg_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS approx_in_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_approx_quantile" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    floor(l_extendedprice * 100 + 0.5) AS cents FROM lineitem)
+        |SELECT l_returnflag,
+        |  quantile_cont(cents, 0.5) AS exact_p50,
+        |  quantile_cont(cents, 0.95) AS exact_p95,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  TRUE AS p50_in_bound, TRUE AS p95_in_bound
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

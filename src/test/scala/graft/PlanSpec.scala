@@ -549,27 +549,26 @@ class PlanSpec extends SparkSpecBase {
 
   test("approx quantiles stay within 2% of exact percentiles on the corpus") {
     import spark.implicits._
-    val approx = operators.Aggregates.aggApproxQuantile(spark, sf)
-      .select(col("l_returnflag"), col("approx_p50"), col("approx_p95"))
-      .as[(String, Double, Double)].collect()
-      .map { case (k, a, b) => k -> (a, b) }.toMap
-    val exact = Tables.lineitem(spark, sf)
-      .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.5D)").as("p50"),
-        expr("percentile(l_extendedprice, 0.95D)").as("p95"))
-      .as[(String, Double, Double)].collect()
-      .map { case (k, a, b) => k -> (a, b) }.toMap
-    assert(exact.nonEmpty)
-    exact.foreach { case (k, (p50, p95)) =>
-      val (a50, a95) = approx(k)
+    val q = operators.Aggregates.aggApproxQuantileRaw(spark, sf)
+      .select(col("l_returnflag"),
+        col("approx_p50").cast("double"), col("approx_p95").cast("double"),
+        col("exact_p50"), col("exact_p95"))
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(q.nonEmpty)
+    q.foreach { case (k, a50, a95, p50, p95) =>
       assert(math.abs(a50 - p50) <= 0.02 * p50, s"$k p50: $a50 vs $p50")
       assert(math.abs(a95 - p95) <= 0.02 * p95, s"$k p95: $a95 vs $p95")
     }
+    // the catalog (hash-checked) form must report every flag true
+    val flags = operators.Aggregates.aggApproxQuantile(spark, sf)
+      .select("p50_in_bound", "p95_in_bound").as[(Boolean, Boolean)]
+      .collect()
+    assert(flags.nonEmpty && flags.forall(f => f._1 && f._2))
   }
 
   test("approx_count_distinct stays within 15% of exact on the corpus") {
     import spark.implicits._
-    val rows = operators.Aggregates.aggApproxDistinct(spark, sf)
+    val rows = operators.Aggregates.aggApproxDistinctRaw(spark, sf)
       .select("approx_users", "exact_users").as[(Long, Long)].collect()
     rows.foreach { case (approx, exact) =>
       assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.15).toLong),

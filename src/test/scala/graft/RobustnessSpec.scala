@@ -87,26 +87,23 @@ class RobustnessSpec extends SparkSpecBase {
     // GK-quantile bounds are relative, not absolute)
     import spark.implicits._
     Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
-      val rows = operators.Aggregates.aggApproxDistinct(spark, dir)
+      val rows = operators.Aggregates.aggApproxDistinctRaw(spark, dir)
         .select("approx_users", "exact_users").as[(Long, Long)].collect()
       assert(rows.nonEmpty)
       rows.foreach { case (approx, exact) =>
         assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.15).toLong),
           s"$dir approx=$approx exact=$exact")
       }
-      val approxQ = operators.Aggregates.aggApproxQuantile(spark, dir)
-        .select(col("l_returnflag"), col("approx_p50"), col("approx_p95"))
-        .as[(String, Double, Double)].collect()
-        .map { case (k, a, b) => k -> (a, b) }.toMap
-      val exactQ = Tables.lineitem(spark, dir)
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, 0.5D)").as("p50"),
-          expr("percentile(l_extendedprice, 0.95D)").as("p95"))
-        .as[(String, Double, Double)].collect()
-        .map { case (k, a, b) => k -> (a, b) }.toMap
-      assert(exactQ.nonEmpty)
-      exactQ.foreach { case (k, (p50, p95)) =>
-        val (a50, a95) = approxQ(k)
+      // raw builder carries approx AND exact side by side (cents
+      // domain); the catalog query folds this bound into its
+      // hash-checked in-bound flags
+      val q = operators.Aggregates.aggApproxQuantileRaw(spark, dir)
+        .select(col("l_returnflag"),
+          col("approx_p50").cast("double"), col("approx_p95").cast("double"),
+          col("exact_p50"), col("exact_p95"))
+        .as[(String, Double, Double, Double, Double)].collect()
+      assert(q.nonEmpty)
+      q.foreach { case (k, a50, a95, p50, p95) =>
         assert(math.abs(a50 - p50) <= 0.02 * p50, s"$dir $k p50: $a50 vs $p50")
         assert(math.abs(a95 - p95) <= 0.02 * p95, s"$dir $k p95: $a95 vs $p95")
       }
