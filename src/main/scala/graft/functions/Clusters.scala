@@ -118,9 +118,11 @@ object Clusters {
     * propagation — whose round count is the graph DIAMETER unless
     * pointer jumping compounds — the star operations provably halve
     * component height every round. Convergence = edge set unchanged,
-    * checked exactly (count equality + empty EXCEPT; at 100 TB the
-    * cheap check is a (count, xor of edge hashes) pair — one partial
-    * aggregate, no set op). Each round re-materializes
+    * checked exactly in ONE action per round (both relations are
+    * distinct, so set equality = no row occurs exactly once in their
+    * union — a single groupBy-count; at 100 TB the cheap check is a
+    * (count, xor of edge hashes) pair — one partial aggregate, no
+    * set op at all). Each round re-materializes
     * (localCheckpoint) so the plan stays constant-size. Output
     * contract matches [[connectedComponentsOn]]: (node, lbl) with
     * lbl = component min, every input endpoint present. */
@@ -145,10 +147,12 @@ object Clusters {
       val mins = nbr.groupBy("u")
         .agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // duplicates tolerated here: smallStar's groupBy-min is
+      // insensitive to them and its trailing distinct restores set
+      // semantics — one fewer shuffle per round
       nbr.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("m").as("a"), col("v").as("b"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       // key every edge on its LARGER endpoint; v <= u by construction
@@ -164,8 +168,14 @@ object Clusters {
     var converged = false
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      // convergence = set equality of two DISTINCT relations, read as
+      // "no row appears exactly once in their union" — count-equality
+      // and subset in ONE action over the two checkpointed RDDs
+      // (replacing the previous count() + except().isEmpty pair; at
+      // suite scale the per-round driver jobs ARE the CC cost)
+      converged = next.unionByName(edges)
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 1).isEmpty
       edges = next
       iter += 1
     }
@@ -2191,14 +2201,21 @@ object Clusters {
     * Scale: |rungs| is a constant (4), so the whole op is 4 CC runs
     * on density-bounded edge subsets of ONE stencil join — each CC
     * logarithmic-round with checkpointed constant-size plans; the
-    * census rollups are label-keyed map-side combines. A label-
-    * contraction variant (rung r+1's CC over rung r's component
-    * graph on fresh edges only — the graph_cc_incremental theorem
-    * up the ladder) was implemented and MEASURED SLOWER here (+45%:
-    * the per-rung relabel joins and checkpoints outweigh the CC
-    * saving at any edge set this stencil admits); at a scale where
-    * the rung CCs dominate, that contraction is the known upgrade
-    * path and [[graphCcIncrementalOnPairs]] is its tested core. */
+    * census rollups are label-keyed map-side combines. The rungs are
+    * INDEPENDENT problems, and at any scale each CC run is partly
+    * driver-latency-bound (its per-round jobs serialize), so the
+    * ladder materializes the four 1-row rung censuses as CONCURRENT
+    * job submissions (the standard Spark multi-job idiom, cf. ML
+    * tuning's parallelism): wall-clock tracks the slowest rung, not
+    * the sum. Two sequential alternatives were built and MEASURED
+    * here (PERF.md round 8): label contraction up the ladder — rung
+    * r+1's CC on fresh band edges mapped through rung r's labels,
+    * exact by the [[graphCcIncrementalOnPairs]] minima-composition
+    * theorem — both with per-rung relabel checkpoints (+45%, round 7)
+    * and lazy-chained (round 8: no win; the chain forces the rungs
+    * sequential, which is exactly the latency the parallel batch form
+    * removes). Contraction remains the upgrade path only where a
+    * single rung's CC dominates wall-clock. */
   def clusterLinkageLadderOn(emb: DataFrame,
       rungsMicro: Seq[Long] = Seq(5000L, 10000L, 20000L, 40000L))
       : DataFrame =
@@ -2218,18 +2235,28 @@ object Clusters {
       .filter(col("qid") < col("nid") &&
         col("d2") <= lit(epsMax) * lit(epsMax))
       .select(col("qid").as("a"), col("nid").as("b"), col("d2"))
-      .localCheckpoint(true) // one rung-filter pass per ladder step
+      .localCheckpoint(true) // one band-filter pass per ladder step
     val nRel = pairs.filter(col("qid") === col("nid"))
       .agg(count(lit(1)).as("n_points"))
+    // independent rungs: submit each rung's CC + 1-row census as its
+    // own concurrent job chain; localCheckpoint(true) inside the
+    // future forces the work there, so the final union is 4 cached
+    // single rows
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val perRung = rungsMicro.sorted.map { eps =>
-      val cc = connectedComponentsAltStarOn(
-        edges.filter(col("d2") <= eps * eps).select("a", "b"))
-      cc.groupBy("lbl").agg(count(lit(1)).as("sz"))
-        .agg(count(lit(1)).as("n_clusters"),
-          coalesce(sum(col("sz")), lit(0L)).as("n_clustered"),
-          coalesce(max(col("sz")), lit(1L)).as("max_cluster_size"))
-        .withColumn("eps_micro", lit(eps))
-    }
+      Future {
+        val cc = connectedComponentsAltStarOn(
+          edges.filter(col("d2") <= eps * eps).select("a", "b"))
+        cc.groupBy("lbl").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_clusters"),
+            coalesce(sum(col("sz")), lit(0L)).as("n_clustered"),
+            coalesce(max(col("sz")), lit(1L)).as("max_cluster_size"))
+          .withColumn("eps_micro", lit(eps))
+          .localCheckpoint(true)
+      }
+    }.map(Await.result(_, Duration.Inf))
     perRung.reduce(_ unionByName _)
       .crossJoin(broadcast(nRel))
       .select(col("eps_micro"), col("n_points"), col("n_clusters"),
