@@ -49,6 +49,8 @@ object Multimodal {
 
   val DetectorConfKey = "spark.graft.media.detector"
   val TranscoderConfKey = "spark.graft.media.transcoder"
+  val ImageDecoderConfKey = "spark.graft.media.imageDecoder"
+  val AudioDecoderConfKey = "spark.graft.media.audioDecoder"
 
   private[multimodal] def instantiate[T](className: String): T = {
     // context classloader first: REPL/notebook-defined impls and
@@ -488,7 +490,117 @@ object Multimodal {
   def mmInterleave(s: SparkSession, dir: String): DataFrame =
     mmInterleaveOn(Tables.documents(s, dir), Tables.embeddings(s, dir))
 
+  /** L5h: REAL image decode behind the pluggable boundary — the
+    * round-8 closure of "decode is a surrogate". Per document a
+    * deterministic RGB raster (pixel = integer pattern of doc_id,x,y)
+    * is encoded into genuine 24-bit BI_RGB BMP bytes
+    * ([[Codecs.bmpEncode]]: 54-byte header, bottom-up rows, BGR,
+    * 4-byte stride padding) carried as a binary column, then DECODED
+    * by the conf-pluggable [[Codecs.ImageDecoder]] (default: the
+    * pure-JVM [[Codecs.BmpDecoder]], a real parser of the actual
+    * header fields) inside mapPartitions with per-partition decoder
+    * init (the M1 model-load contract). Output: real byte size plus
+    * per-channel pixel sums OF THE DECODED RASTER. The oracle replays
+    * the pattern arithmetic and the closed-form BMP size — any
+    * decoder bug (stride, row order, channel order, offsets) is a
+    * hash mismatch. Dimensions stay small (w<=31, h<=19) so the
+    * oracle's explicit pixel relation stays bounded.
+    *
+    * Scale: encode+decode are map-only over the documents scan — no
+    * shuffle before the final orderBy; at 100 TB binary payloads ride
+    * their source partitioning and decoders amortize per partition. */
+  def mmDecodeImage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(ImageDecoderConfKey, classOf[Codecs.BmpDecoder].getName)
+    val encoded = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (16 + id % 16).toInt
+          val h = (12 + id % 8).toInt
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val base = (y * w + x) * 3
+              px(base) = ((id * 7 + x * 13 + y * 31) % 256).toByte
+              px(base + 1) = ((id * 11 + x * 17 + y * 5) % 256).toByte
+              px(base + 2) = ((id * 3 + x * 29 + y * 23) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (id, Codecs.bmpEncode(w, h, px))
+        }
+      }.toDF("doc_id", "img")
+    encoded.as[(Long, Array[Byte])].mapPartitions { it =>
+      val dec = instantiate[Codecs.ImageDecoder](decoderClass)
+      it.map { case (id, bytes) =>
+        val im = dec.decode(bytes)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < im.rgb.length) {
+          sr += im.rgb(i) & 0xff
+          sg += im.rgb(i + 1) & 0xff
+          sb += im.rgb(i + 2) & 0xff
+          i += 3
+        }
+        (id, bytes.length.toLong, im.width, im.height, sr, sg, sb)
+      }
+    }.toDF("doc_id", "n_bytes", "width", "height",
+      "sum_r", "sum_g", "sum_b")
+      .orderBy("doc_id")
+  }
+
+  /** L5i: REAL audio decode — the WAV sibling of [[mmDecodeImage]].
+    * Per document a deterministic PCM16 mono waveform is encoded into
+    * genuine RIFF/WAVE bytes ([[Codecs.wavEncode]]) and decoded by
+    * the conf-pluggable [[Codecs.AudioDecoder]] (default: the
+    * pure-JVM chunk-walking [[Codecs.WavDecoder]]); the emitted
+    * sample statistics come from the DECODED samples, so endianness /
+    * chunk-offset / sign bugs hash-mismatch against the oracle's
+    * arithmetic replay. */
+  def mmDecodeAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(AudioDecoderConfKey, classOf[Codecs.WavDecoder].getName)
+    val encoded = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (160 + id % 64).toInt
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = (((id * 37 + i.toLong * i * 13) % 4096) - 2048).toShort
+            i += 1
+          }
+          (id, Codecs.wavEncode(8000, samples))
+        }
+      }.toDF("doc_id", "wav")
+    encoded.as[(Long, Array[Byte])].mapPartitions { it =>
+      val dec = instantiate[Codecs.AudioDecoder](decoderClass)
+      it.map { case (id, bytes) =>
+        val au = dec.decode(bytes)
+        var sumAbs = 0L; var maxAbs = 0L
+        var i = 0
+        while (i < au.samples.length) {
+          val a = math.abs(au.samples(i).toLong)
+          sumAbs += a
+          if (a > maxAbs) maxAbs = a
+          i += 1
+        }
+        (id, bytes.length.toLong, au.sampleRate,
+          au.samples.length.toLong, sumAbs, maxAbs)
+      }
+    }.toDF("doc_id", "n_bytes", "sample_rate", "n_samples",
+      "sum_abs", "max_abs")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_image" -> mmDecodeImage,
+    "mm_decode_audio" -> mmDecodeAudio,
     "mm_interleave" -> mmInterleave,
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_audio_vad" -> mmAudioVad,
@@ -503,6 +615,38 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // Arithmetic replays of the deterministic rasters/waveforms the
+    // codecs round-trip: the Spark side sums DECODED bytes, so these
+    // rows verify the real BMP/WAV parsers, not just the pattern.
+    "mm_decode_image" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+        |    12 + doc_id % 8 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, xs.x, ys.y
+        |  FROM d, range(0, 31) xs(x), range(0, 19) ys(y)
+        |  WHERE xs.x < w AND ys.y < h)
+        |SELECT doc_id,
+        |  CAST(54 + ((MAX(w) * 3 + 3) // 4) * 4 * MAX(h) AS BIGINT)
+        |    AS n_bytes,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  CAST(SUM((doc_id * 7 + x * 13 + y * 31) % 256) AS BIGINT)
+        |    AS sum_r,
+        |  CAST(SUM((doc_id * 11 + x * 17 + y * 5) % 256) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(SUM((doc_id * 3 + x * 29 + y * 23) % 256) AS BIGINT)
+        |    AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_decode_audio" ->
+      """WITH d AS (SELECT doc_id, 160 + doc_id % 64 AS n FROM documents),
+        |sm AS (SELECT doc_id, n,
+        |    (doc_id * 37 + ss.i * ss.i * 13) % 4096 - 2048 AS s
+        |  FROM d, range(0, 223) ss(i) WHERE ss.i < n)
+        |SELECT doc_id,
+        |  CAST(44 + 2 * MAX(n) AS BIGINT) AS n_bytes,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(MAX(n) AS BIGINT) AS n_samples,
+        |  CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(abs(s)) AS BIGINT) AS max_abs
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_interleave" ->
       """WITH tk AS (SELECT doc_id, len(string_split(text, ' ')) AS n
         |  FROM documents),

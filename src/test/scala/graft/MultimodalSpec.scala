@@ -203,6 +203,107 @@ class MultimodalSpec extends SparkSpecBase {
     val total = out.agg(sum("n_kept")).collect()(0).getLong(0)
     assert(total == kept)
   }
+
+  test("BmpDecoder parses a hand-written byte fixture (not just its " +
+    "own encoder): 2x2 bottom-up BMP with stride padding") {
+    import multimodal.Codecs
+    // 2x2, 24bpp: stride = ((2*3+3)/4)*4 = 8 (2 pad bytes per row).
+    // File rows bottom-up: file row 0 = image row 1.
+    // Pixels (top-down RGB): (255,0,0) (0,255,0) / (0,0,255) (10,20,30)
+    val hdr = Array[Int](
+      'B', 'M', 70, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0,
+      40, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0, 1, 0, 24, 0,
+      0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0)
+    val rows = Array[Int]( // BGR per pixel, bottom row first
+      255, 0, 0, 30, 20, 10, 0, 0, // (0,0,255) (10,20,30) + pad
+      0, 0, 255, 0, 255, 0, 0, 0) // (255,0,0) (0,255,0) + pad
+    val bytes = (hdr ++ rows).map(_.toByte)
+    val im = new Codecs.BmpDecoder().decode(bytes)
+    assert(im.width == 2 && im.height == 2)
+    assert(im.rgb.map(_ & 0xff).toSeq == Seq(
+      255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30))
+  }
+
+  test("BMP/WAV round-trip identity across stride paddings and odd " +
+    "sample counts; WAV decoder walks an interposed chunk") {
+    import multimodal.Codecs
+    val dec = new Codecs.BmpDecoder()
+    // widths spanning all four stride pad cases
+    for (w <- 5 to 8; h <- Seq(1, 3)) {
+      val px = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+      val im = dec.decode(Codecs.bmpEncode(w, h, px))
+      assert(im.width == w && im.height == h)
+      assert(im.rgb.toSeq == px.toSeq, s"w=$w h=$h")
+    }
+    val adec = new Codecs.WavDecoder()
+    for (n <- Seq(1, 2, 160, 223)) {
+      val smp = Array.tabulate(n)(i => ((i * 997) % 4096 - 2048).toShort)
+      val au = adec.decode(Codecs.wavEncode(8000, smp))
+      assert(au.sampleRate == 8000 && au.channels == 1)
+      assert(au.samples.toSeq == smp.toSeq, s"n=$n")
+    }
+    // real-world chunk layout: a LIST chunk between fmt and data
+    // (odd-length, so the even-padding rule is exercised too)
+    val smp = Array.tabulate(7)(i => (i * 100 - 300).toShort)
+    val canon = Codecs.wavEncode(8000, smp)
+    val fmtChunk = canon.slice(12, 36)
+    val dataChunk = canon.slice(36, canon.length)
+    val listChunk = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0,
+      'I', 'N', 'F', 'O', 'x', 0) // len 5 + 1 pad byte
+    val riffLen = 4 + fmtChunk.length + listChunk.length + dataChunk.length
+    val reshuffled = canon.slice(0, 12) ++ fmtChunk ++ listChunk ++ dataChunk
+    // patch the RIFF size field
+    reshuffled(4) = (riffLen & 0xff).toByte
+    reshuffled(5) = ((riffLen >> 8) & 0xff).toByte
+    val au = adec.decode(reshuffled)
+    assert(au.samples.toSeq == smp.toSeq)
+  }
+
+  test("mm_decode_image / mm_decode_audio consume REAL encoded bytes: " +
+    "decoded stats match the pattern arithmetic and the closed-form " +
+    "container sizes; decoder binding is conf-swappable") {
+    import multimodal.Codecs
+    val img = multimodal.Multimodal.mmDecodeImage(spark, sf)
+      .as[(Long, Long, Int, Int, Long, Long, Long)].collect()
+    assert(img.nonEmpty)
+    img.foreach { case (id, nb, w, h, sr, sg, sb) =>
+      assert(w == 16 + id % 16 && h == 12 + id % 8)
+      assert(nb == 54L + Codecs.bmpStride(w).toLong * h)
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        er += (id * 7 + x * 13 + y * 31) % 256
+        eg += (id * 11 + x * 17 + y * 5) % 256
+        eb += (id * 3 + x * 29 + y * 23) % 256
+      }
+      assert(sr == er && sg == eg && sb == eb, s"doc $id")
+    }
+    val au = multimodal.Multimodal.mmDecodeAudio(spark, sf)
+      .as[(Long, Long, Int, Long, Long, Long)].collect()
+    assert(au.nonEmpty)
+    au.foreach { case (id, nb, rate, n, sumAbs, maxAbs) =>
+      assert(rate == 8000 && n == 160 + id % 64 && nb == 44 + 2 * n)
+      val exp = (0L until n).map(i =>
+        math.abs((id * 37 + i * i * 13) % 4096 - 2048))
+      assert(sumAbs == exp.sum && maxAbs == exp.max, s"doc $id")
+    }
+    // a broken decoder binding must change the answer (proves the
+    // emitted stats really flow through the pluggable decode)
+    val key = multimodal.Multimodal.ImageDecoderConfKey
+    spark.conf.set(key, classOf[ZeroImageDecoder].getName)
+    try {
+      val z = multimodal.Multimodal.mmDecodeImage(spark, sf)
+        .agg(sum("sum_r")).collect()(0).getLong(0)
+      assert(z == 0L)
+    } finally spark.conf.unset(key)
+  }
+}
+
+/** Test-only image decoder that ignores the bytes — used to prove the
+  * catalog op's outputs flow through the pluggable decode binding. */
+class ZeroImageDecoder extends multimodal.Codecs.ImageDecoder {
+  def decode(bytes: Array[Byte]): multimodal.Codecs.DecodedImage =
+    multimodal.Codecs.DecodedImage(1, 1, new Array[Byte](3))
 }
 
 /** Test-only detector standing in for a real codec-backed impl. */
