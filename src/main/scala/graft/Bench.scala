@@ -31,6 +31,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The deliberately-single-partition windows carry an IN-PLAN
+    // cardinality assertion (graft.Guards.requireBounded) — the
+    // advisory WindowExec "No Partition Defined" warning adds nothing
+    // for them and used to drown this main's log tail (hundreds of
+    // lines). Catalyst's EliminateWindowPartitions strips the constant
+    // partition key that would otherwise mark the intent in the plan,
+    // so the logger is the remaining lever; the checked bound, not the
+    // log line, is the contract now.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // Warm the JVM/codegen and the parquet footers once so the first
     // timed query doesn't absorb session startup (~5s of JIT).
     // events goes through its loader (ts-encoding adaptation).

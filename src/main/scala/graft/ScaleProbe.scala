@@ -184,25 +184,60 @@ object ScaleProbe {
         functions.Similarity.simPcaPowerOn(e).localCheckpoint(true))),
     )
 
+    // density-grid probe (round-8 verdict ask #7): copies OFFSET in
+    // the first coordinate by half a unit (12.5x the largest eps), so
+    // a corpus doubling covers MORE AREA AT CONSTANT DENSITY — the
+    // regime the MR-DBSCAN candidate bound licenses. Candidate pairs
+    // (the `out=` column) and wall time must both grow ~2x per
+    // doubling at BOTH cell sizes; a density increase at fixed area
+    // is a parameter change (eps vs point spacing), not a scale
+    // change, and is what the r^2 growth note at gridPairsBuild
+    // documents.
+    def embGridTimes(k: Int): DataFrame = {
+      val base = Tables.embeddings(spark, sfDir)
+      (0 until k).map { c =>
+        base.select(
+          (col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
+          (if (c == 0) col("embedding")
+           else expr(s"transform(embedding, (x, i) -> CAST(x + CASE " +
+             s"WHEN i = 0 THEN ${0.5 * c} ELSE 0.0 END AS FLOAT))"))
+            .as("embedding"))
+      }.reduce(_ unionByName _)
+    }
+    val gridOps: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "grid_pairs_eps5e3" ->
+        (e => functions.Clusters.gridPairsBuild(e, 5000L)),
+      "grid_pairs_eps4e4" ->
+        (e => functions.Clusters.gridPairsBuild(e, 40000L)),
+      "cluster_dbscan" -> (e => functions.Clusters.clusterDbscanOn(e)),
+      "cluster_linkage" ->
+        (e => functions.Clusters.clusterLinkageLadderOn(e)),
+      "anomaly_lof" -> (e => functions.Clusters.anomalyLofOn(e)),
+    )
+
     val only = args.drop(1).toSet
     val picked = ops.filter { case (n, _) => only.isEmpty || only(n) }
     val pickedEmb = embOps.filter { case (n, _) => only.isEmpty || only(n) }
+    val pickedGrid = gridOps.filter { case (n, _) => only.isEmpty || only(n) }
     val ks = Seq(1, 2, 4)
     val times = collection.mutable.Map[(String, Int), Double]()
     for (k <- ks; (gen, list) <- Seq(
         (corpusTimes(spark, sfDir, _: Int), picked),
-        (embTimes _, pickedEmb)); (name, fn) <- list) {
+        (embTimes _, pickedEmb), (embGridTimes _, pickedGrid));
+        (name, fn) <- list) {
       val c = gen(k)
+      var outRows = 0L
       val t = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(c).count()
+        outRows = fn(c).count()
         (System.nanoTime() - t0) / 1e9
       }.min
       times((name, k)) = t
-      println(f"PROBE $name%-18s k=$k%-2d rows=${c.count()}%-7d ${t}%.2f s")
+      println(f"PROBE $name%-18s k=$k%-2d rows=${c.count()}%-7d " +
+        f"out=$outRows%-8d ${t}%.2f s")
     }
     println(f"\n${"op"}%-18s ${"k=1"}%8s ${"k=2"}%8s ${"k=4"}%8s  x per doubling")
-    (picked ++ pickedEmb).foreach { case (name, _) =>
+    (picked ++ pickedEmb ++ pickedGrid).foreach { case (name, _) =>
       val (t1, t2, t4) =
         (times((name, 1)), times((name, 2)), times((name, 4)))
       val g = math.sqrt(t4 / t1) // geometric mean growth per doubling

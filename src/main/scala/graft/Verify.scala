@@ -17,6 +17,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The deliberately-single-partition windows carry an IN-PLAN
+    // cardinality assertion (graft.Guards.requireBounded) — the
+    // advisory WindowExec "No Partition Defined" warning adds nothing
+    // for them and used to drown this main's log tail (hundreds of
+    // lines). Catalyst's EliminateWindowPartitions strips the constant
+    // partition key that would otherwise mark the intent in the plan,
+    // so the logger is the remaining lever; the checked bound, not the
+    // log line, is the contract now.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -1986,7 +1986,7 @@ object Clusters {
     * eps=5000 consumer from a 40000-radius relation materializes
     * ~64x the pairs it needs; the r²-growth beats the shared-scan
     * saving. The knnEdges discipline still applies within a radius. */
-  private def gridPairsBuild(emb: DataFrame, cellMicro: Long): DataFrame = {
+  private[graft] def gridPairsBuild(emb: DataFrame, cellMicro: Long): DataFrame = {
     val pts = emb.select(col("vec_id"),
         expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000 + 0.5) " +
           "AS BIGINT)").as("x"),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.Tables
+import graft.{Guards, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -110,11 +110,14 @@ object Corpus {
                |  CAST(nh - 1 AS DOUBLE))) AS BIGINT) ELSE 0 END"""
           .stripMargin).as("w"))
     val tot = stats.agg(sum(col("w")).as("tw"))
-    val alloc = stats.crossJoin(broadcast(tot)) // 1-row scalar side
+    val alloc = Guards.requireBounded(stats, 10000L,
+        "sample_stratified language strata")
+      .crossJoin(broadcast(tot)) // 1-row scalar side
       .withColumn("base", expr(s"CASE WHEN tw > 0 THEN $n * w DIV tw ELSE 0 END"))
       .withColumn("rem", expr(s"CASE WHEN tw > 0 THEN $n * w % tw ELSE 0 END"))
       .withColumn("rr", row_number().over(
-        Window.orderBy(col("rem").desc, col("lang").asc)))
+        Window.partitionBy(Guards.one)
+          .orderBy(col("rem").desc, col("lang").asc)))
     val leftover = alloc.agg((lit(n) - sum(col("base"))).as("spare"))
     val seats = alloc.crossJoin(broadcast(leftover))
       .withColumn("n_h",
@@ -155,8 +158,10 @@ object Corpus {
   def corpusUnimaxOn(docs: DataFrame, budget: Long = 2000L): DataFrame = {
     require(budget > 0, s"need budget > 0, got $budget")
     val stats = docs.groupBy("lang").agg(count(lit(1)).as("n"))
-    val w = Window.orderBy("n", "lang") // |langs| rows, bounded
-    val lv = stats
+    // |langs| rows, bounded
+    val w = Window.partitionBy(Guards.one).orderBy("n", "lang")
+    val lv = Guards.requireBounded(stats, 10000L,
+        "corpus_unimax language strata")
       .withColumn("i", row_number().over(w))
       .withColumn("pre",
         sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding,
@@ -805,7 +810,10 @@ object Corpus {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
     val total = df.agg(count(lit(1)).as("total"))
     // k rows only — the global window is bounded by topK, not by keys
-    val w = Window.orderBy(col("n_rows").desc, col(key).asc)
+    // (the upstream limit IS the guard; the constant partition key
+    // marks the deliberate single partition)
+    val w = Window.partitionBy(Guards.one)
+      .orderBy(col("n_rows").desc, col(key).asc)
     counts.orderBy(col("n_rows").desc, col(key).asc).limit(topK)
       .crossJoin(broadcast(total))
       .withColumn("rnk", row_number().over(w))
@@ -856,10 +864,12 @@ object Corpus {
       .localCheckpoint(true) // read by the histogram and the take
     val budget = scored.agg(expr(s"sum(toks) div $budgetDiv").as("b"))
     // carry-in per score: total tokens of all STRICTLY better scores
-    val wAbove = Window.orderBy(col("ttr_milli").desc)
+    val wAbove = Window.partitionBy(Guards.one)
+      .orderBy(col("ttr_milli").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val hist = scored.groupBy("ttr_milli")
-      .agg(sum(col("toks")).as("st"))
+    val hist = Guards.requireBounded(
+        scored.groupBy("ttr_milli").agg(sum(col("toks")).as("st")),
+        4096L, "corpus_token_budget score histogram")
       .withColumn("above", coalesce(sum(col("st")).over(wAbove), lit(0L)))
       .select("ttr_milli", "above")
     val wIn = Window.partitionBy("ttr_milli")
@@ -905,9 +915,12 @@ object Corpus {
         size(split(col("text"), " ")).cast("long").as("toks"))
       .localCheckpoint(true) // histogram + the rank join
     val n = scored.agg(count(lit(1)).as("n"))
-    val wBelow = Window.orderBy(col("toks").asc)
+    val wBelow = Window.partitionBy(Guards.one)
+      .orderBy(col("toks").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val hist = scored.groupBy("toks").agg(count(lit(1)).as("ct"))
+    val hist = Guards.requireBounded(
+        scored.groupBy("toks").agg(count(lit(1)).as("ct")),
+        1L << 20, "corpus_curriculum length histogram")
       .withColumn("below",
         coalesce(sum(col("ct")).over(wBelow), lit(0L)))
       .select("toks", "below")

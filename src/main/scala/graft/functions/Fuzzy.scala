@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.Tables
+import graft.{Guards, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -165,8 +165,11 @@ object Fuzzy {
     val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val ranked = vocab.withColumn("rank",
-        row_number().over(Window.orderBy(col("cnt").desc, col("tok").asc))
+    val ranked = Guards.requireBounded(vocab, 1L << 24,
+        "text_zipf_audit vocabulary")
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(Guards.one)
+          .orderBy(col("cnt").desc, col("tok").asc))
           .cast("long"))
       .filter(col("rank") <= topK)
       .withColumn("rc_product", col("rank") * col("cnt"))

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.Tables
+import graft.{Guards, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -324,8 +324,9 @@ object Privacy {
       s"need keepMilli in [1,1000], got $keepMilli")
     val base = users.select(col("c_custkey").cast("long").as("uid"),
       col("c_mktsegment").as("seg"))
-    val wK = Window.orderBy("seg") // K-row relation only
-    val cats = base.select("seg").distinct()
+    val wK = Window.partitionBy(Guards.one).orderBy("seg") // K rows only
+    val cats = Guards.requireBounded(base.select("seg").distinct(),
+        1024L, "privacy_ldp_frequency category vocabulary")
       .withColumn("k_idx", row_number().over(wK).cast("long") - 1)
       .localCheckpoint(true) // tiny; read by draw, rollup and readout
     val kCount = cats.agg(count(lit(1)).as("kk"))

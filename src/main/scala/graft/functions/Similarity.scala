@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.Tables
+import graft.{Guards, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -559,7 +559,8 @@ object Similarity {
     // centroid count. The rank window runs over k rows post-limit.
     val seedIds = qv.select("vec_id").distinct().orderBy("vec_id").limit(k)
       .withColumn("cell",
-        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+        (row_number().over(Window.partitionBy(Guards.one)
+          .orderBy("vec_id")) - 1).cast("int"))
     val seed = qv.join(broadcast(seedIds), "vec_id")
       .select(col("cell"), col("i"), col("qv").as("cv"))
     var cent = seed
@@ -986,7 +987,8 @@ object Similarity {
     val qv = grid(emb, "vec_id").localCheckpoint(true)
     val seedIds = qv.select("vec_id").distinct().orderBy("vec_id").limit(k)
       .withColumn("cell",
-        (row_number().over(Window.orderBy("vec_id")) - 1).cast("int"))
+        (row_number().over(Window.partitionBy(Guards.one)
+          .orderBy("vec_id")) - 1).cast("int"))
     val c0 = qv.join(broadcast(seedIds), "vec_id")
       .select(col("sub"), col("cell"), col("i"), col("qv").as("cv"))
     val w = Window.partitionBy("vec_id", "sub")

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.Tables
+import graft.{Guards, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -259,8 +259,11 @@ object Sketches {
       .groupBy("event_type")
       .agg(graft.plans.KmvAgg.kmv(col("h"), k).as("sk"))
     val types = sk.agg(count(lit(1)).as("n_types"))
-    val pooled = sk.select(explode(col("sk")).as("h")).distinct()
-      .withColumn("rn", row_number().over(Window.orderBy("h")))
+    val pooled = Guards.requireBounded(
+        sk.select(explode(col("sk")).as("h")).distinct(),
+        1L << 20, "sketch_theta pooled k-minimum values")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(Guards.one).orderBy("h")))
       .filter(col("rn") <= k)
       .agg(count(lit(1)).as("m"),
         max(when(col("rn") === k, col("h"))).as("kth"))

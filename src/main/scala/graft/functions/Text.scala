@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.Tables
+import graft.{Guards, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -883,11 +883,13 @@ object Text {
     val vocab = docs
       .select(explode(toks(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val ranked = vocab
+    val ranked = Guards.requireBounded(vocab, 1L << 24,
+        "text_coverage_curve vocabulary")
       .withColumn("rk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("token"))))
+        Window.partitionBy(Guards.one)
+          .orderBy(col("cnt").desc, col("token"))))
       .withColumn("cum", sum(col("cnt")).over(
-        Window.orderBy(col("rk"))
+        Window.partitionBy(Guards.one).orderBy(col("rk"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val tot = vocab.agg(sum(col("cnt")).as("total"),
       count(lit(1)).as("n_types"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Guards, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1175,9 +1175,9 @@ object Events {
       .groupBy("t")
       .agg(sum(col("churned")).as("d_events"),
         sum(lit(1L) - col("churned")).as("n_censored"))
-    val wsuf = Window.orderBy(col("t").desc)
+    val wsuf = Window.partitionBy(Guards.one).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byT
+    Guards.requireBounded(byT, 100000L, "event_survival day-gap domain")
       .withColumn("n_at_risk",
         sum(col("d_events") + col("n_censored")).over(wsuf))
       .select(col("t"), col("n_at_risk"), col("d_events"),
@@ -1273,10 +1273,12 @@ object Events {
   def sampleHoldoutTemporalOn(events: DataFrame): DataFrame = {
     val daily = events.groupBy(to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.orderBy("d")
+    val w = Window.partitionBy(Guards.one).orderBy("d")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = daily.agg(sum(col("n")).as("total"))
-    val cutoff = daily.crossJoin(broadcast(tot))
+    val cutoff = Guards.requireBounded(daily, 100000L,
+        "sample_holdout_temporal calendar spine")
+      .crossJoin(broadcast(tot))
       .withColumn("run", sum(col("n")).over(w))
       .filter(col("run") * 5 >= col("total") * 4)
       .agg(min(col("d")).as("cut"))
@@ -1318,8 +1320,10 @@ object Events {
       .groupBy("d").agg(sum(col("cents")).as("v_cents"))
       .withColumn("dow",
         (datediff(col("d"), lit("1970-01-05")) % 7).cast("int"))
-    val w7 = Window.orderBy(col("d").asc).rowsBetween(-3, 3)
-    val trended = daily
+    val w7 = Window.partitionBy(Guards.one)
+      .orderBy(col("d").asc).rowsBetween(-3, 3)
+    val trended = Guards.requireBounded(daily, 100000L,
+        "ts_decompose calendar spine")
       .withColumn("n7", count(lit(1)).over(w7))
       .withColumn("s7", sum(col("v_cents")).over(w7))
       .withColumn("trend_cents", when(col("n7") === 7, expr("s7 div 7")))
@@ -2060,11 +2064,11 @@ object Events {
       sum(when(col("treated") === 1, col("converted"))).as("x_t"),
       sum(when(col("treated") === 0, 1L).otherwise(0L)).as("n_c"),
       sum(when(col("treated") === 0, col("converted"))).as("x_c"))
-    val w = Window.orderBy(
+    val w = Window.partitionBy(Guards.one).orderBy(
       expr("CASE WHEN n_t > 0 AND n_c > 0 THEN " +
         "x_t * 1000000 DIV n_t - x_c * 1000000 DIV n_c END").desc_nulls_last,
       col("segment").asc)
-    cells
+    Guards.requireBounded(cells, 64L, "event_uplift segment cells")
       .withColumn("uplift_ppm",
         expr("""CASE WHEN n_t > 0 AND n_c > 0 THEN
                |  x_t * 1000000 DIV n_t - x_c * 1000000 DIV n_c
@@ -2403,10 +2407,13 @@ object Events {
     * engine bit_count, so both engines run the identical program. */
   def eventShapleyOn(events: DataFrame): DataFrame = {
     val s = events.sparkSession
-    val chW = Window.orderBy("channel") // vocabulary-bounded (<= 8 rows)
-    val channels = events
-      .filter(col("event_type") =!= "purchase")
-      .select(col("event_type").as("channel")).distinct()
+    // vocabulary-bounded (<= 8 rows; the count-based gate below still
+    // gives the precise actionable message)
+    val chW = Window.partitionBy(Guards.one).orderBy("channel")
+    val channels = Guards.requireBounded(
+        events.filter(col("event_type") =!= "purchase")
+          .select(col("event_type").as("channel")).distinct(),
+        64L, "event_shapley channel vocabulary")
       .withColumn("rn", row_number().over(chW).cast("long"))
       .select(col("channel"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(rn - 1 AS INT))").as("bit"))

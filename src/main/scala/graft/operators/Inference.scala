@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{Guards, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -385,9 +385,11 @@ object Inference {
     val bucketed = d.crossJoin(broadcast(xmax))
       .withColumn("b",
         least(expr("n_tokens * 64 DIV (xmax + 1)"), lit(63L)))
-    val bmax = bucketed.groupBy("b").agg(max(col("ttr_ppm")).as("by"))
+    val bmax = Guards.requireBounded(
+        bucketed.groupBy("b").agg(max(col("ttr_ppm")).as("by")),
+        256L, "quality_skyline bucket suffix-max")
       .withColumn("hmax", max(col("by")).over(
-        Window.orderBy(col("b").desc)
+        Window.partitionBy(Guards.one).orderBy(col("b").desc)
           .rowsBetween(Window.unboundedPreceding, -1)))
       .select("b", "hmax")
     val cand = bucketed.join(broadcast(bmax), "b")
@@ -479,9 +481,12 @@ object Inference {
     require(k >= 1, s"need k >= 1, got $k")
     val counts = events.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_true"))
-    val wN = Window.orderBy(col("n_noisy").desc, col("event_type").asc)
-    val wT = Window.orderBy(col("n_true").desc, col("event_type").asc)
-    counts
+    val wN = Window.partitionBy(Guards.one)
+      .orderBy(col("n_noisy").desc, col("event_type").asc)
+    val wT = Window.partitionBy(Guards.one)
+      .orderBy(col("n_true").desc, col("event_type").asc)
+    Guards.requireBounded(counts, 10000L,
+        "privacy_dp_topk event-type vocabulary")
       .withColumn("seed",
         expr("""ascii(substr(event_type, 1, 1)) * 961
                | + ascii(substr(event_type, 2, 1)) * 31
