@@ -2017,9 +2017,13 @@ object Clusters {
     * per (session, dir, cell size) — see [[gridPairsBuild]]. */
   private[graft] def gridPairs(s: SparkSession, dir: String,
       cellMicro: Long): DataFrame =
-    gridCache.getOrElseUpdate((s, dir, cellMicro),
-      gridPairsBuild(Tables.embeddings(s, dir), cellMicro)
-        .localCheckpoint(true))
+    gridCache.synchronized {
+      gridCache.filterInPlace { case ((sess, _, _), _) =>
+        !sess.sparkContext.isStopped }
+      gridCache.getOrElseUpdate((s, dir, cellMicro),
+        gridPairsBuild(Tables.embeddings(s, dir), cellMicro)
+          .localCheckpoint(true))
+    }
 
   /** Grid-bucketed DBSCAN (Ester et al. KDD 1996; the cell-partition
     * parallelization of He et al.'s MR-DBSCAN): density clustering

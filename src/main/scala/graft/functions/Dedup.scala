@@ -375,18 +375,33 @@ object Dedup {
     * Intersections are equi-joins on the (da, db) pair key; the three
     * count rows are 1-row aggregates crossed broadcast-style. */
   def dedupMethodEval(s: SparkSession, dir: String): DataFrame = {
-    val mh = dedupMinhash(s, dir).select("da", "db")
-    val ng = dedupNgram(s, dir).select("da", "db")
-    val sn = dedupSortedNeighborhood(s, dir).select("da", "db")
-    def row(an: String, a: DataFrame, bn: String, b: DataFrame): DataFrame =
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the three candidate generators are INDEPENDENT plans over the
+    // one memoized shingle relation (synchronized memo => built once);
+    // materialize each pair set concurrently (the
+    // cluster_linkage_ladder lesson), then the three 1-row agreement
+    // lines concurrently against the checkpointed pair sets.
+    val built = Seq(
+      "minhash" -> (() => dedupMinhash(s, dir).select("da", "db")),
+      "ngram" -> (() => dedupNgram(s, dir).select("da", "db")),
+      "snm" -> (() => dedupSortedNeighborhood(s, dir).select("da", "db")))
+      .map { case (n, mk) =>
+        n -> Future(mk().localCheckpoint(true))
+      }.map { case (n, f) => n -> Await.result(f, Duration.Inf) }.toMap
+    def row(an: String, bn: String): Future[DataFrame] = Future {
+      val (a, b) = (built(an), built(bn))
       a.agg(count(lit(1)).as("n_a"))
         .crossJoin(b.agg(count(lit(1)).as("n_b")))
         .crossJoin(a.join(b, Seq("da", "db")).agg(count(lit(1)).as("n_both")))
         .select(lit(an).as("method_a"), lit(bn).as("method_b"),
           col("n_a"), col("n_b"), col("n_both"))
-    row("minhash", mh, "ngram", ng)
-      .unionByName(row("minhash", mh, "snm", sn))
-      .unionByName(row("ngram", ng, "snm", sn))
+        .localCheckpoint(true)
+    }
+    Seq(row("minhash", "ngram"), row("minhash", "snm"), row("ngram", "snm"))
+      .map(Await.result(_, Duration.Inf))
+      .reduce(_ unionByName _)
       .orderBy("method_a", "method_b")
   }
 

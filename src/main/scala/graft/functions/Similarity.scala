@@ -581,8 +581,12 @@ object Similarity {
     * sample_cluster_balanced, cluster_purity_eval) read this exact
     * relation, so a catalog run pays Lloyd's iterations once. */
   private[graft] def kmeansCached(s: SparkSession, dir: String): DataFrame =
-    kmCache.getOrElseUpdate((s, dir),
-      kmeansOn(Tables.embeddings(s, dir)).localCheckpoint(true))
+    kmCache.synchronized {
+      kmCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped }
+      kmCache.getOrElseUpdate((s, dir),
+        kmeansOn(Tables.embeddings(s, dir)).localCheckpoint(true))
+    }
 
   def clusterKmeans(s: SparkSession, dir: String): DataFrame =
     kmeansCached(s, dir).orderBy("vec_id")
@@ -714,22 +718,37 @@ object Similarity {
     * is a k·queries-row join — the matrix costs one pass over each
     * method it measures, nothing more. recall_pct stays integer. */
   def simAnnRecallMatrix(s: SparkSession, dir: String): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val exact = simTopk(s, dir).select(col("qid"), col("vec_id"))
-      .localCheckpoint(true) // probed by all four methods
+      .localCheckpoint(true) // probed by all six methods
     val ne = exact.agg(count(lit(1)).as("n_exact"))
-    val methods = Seq(
-      "graph" -> simAnnGraph(s, dir).select(col("qid"),
-        col("nid").as("vec_id")),
-      "ivf" -> simAnnIvf(s, dir), "ivf_mp" -> simAnnIvfMultiprobe(s, dir),
-      "ivfpq" -> simAnnIvfPq(s, dir),
-      "lsh" -> simAnnLsh(s, dir), "pq" -> simAnnPq(s, dir))
-    methods.map { case (name, m) =>
-      exact.join(m.select("qid", "vec_id"), Seq("qid", "vec_id"))
-        .agg(count(lit(1)).as("n_hit"))
-        .crossJoin(broadcast(ne))
-        .select(lit(name).as("method"), col("n_exact"), col("n_hit"),
-          expr("n_hit * 100 div n_exact").as("recall_pct"))
-    }.reduce(_ union _).orderBy("method")
+    // the six methods are INDEPENDENT plans probing one checkpointed
+    // exact relation — build and materialize each 1-row recall line as
+    // a concurrent job chain (the cluster_linkage_ladder lesson: a fan
+    // of independent iterative plans is driver-latency-bound when run
+    // sequentially). Shared trainings (kmeans cells, the k-NN search
+    // graph) stay single-build: every memo getter is synchronized.
+    val methods: Seq[(String, () => DataFrame)] = Seq(
+      "graph" -> (() => simAnnGraph(s, dir).select(col("qid"),
+        col("nid").as("vec_id"))),
+      "ivf" -> (() => simAnnIvf(s, dir)),
+      "ivf_mp" -> (() => simAnnIvfMultiprobe(s, dir)),
+      "ivfpq" -> (() => simAnnIvfPq(s, dir)),
+      "lsh" -> (() => simAnnLsh(s, dir)),
+      "pq" -> (() => simAnnPq(s, dir)))
+    methods.map { case (name, mk) =>
+      Future {
+        exact.join(mk().select("qid", "vec_id"), Seq("qid", "vec_id"))
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(broadcast(ne))
+          .select(lit(name).as("method"), col("n_exact"), col("n_hit"),
+            expr("n_hit * 100 div n_exact").as("recall_pct"))
+          .localCheckpoint(true)
+      }
+    }.map(Await.result(_, Duration.Inf))
+      .reduce(_ union _).orderBy("method")
   }
 
   /** sim_ann_graph knobs — bounded and unrolled, plan linear in
@@ -1492,8 +1511,12 @@ object Similarity {
     * catalog consumers (sim_pca_power, sim_whiten_abtt) read this
     * 64-row relation, so a catalog run pays the covariance pass once. */
   private[graft] def pcaCached(s: SparkSession, dir: String): DataFrame =
-    pcaCache.getOrElseUpdate((s, dir),
-      simPcaPowerOn(Tables.embeddings(s, dir)).localCheckpoint(true))
+    pcaCache.synchronized {
+      pcaCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped }
+      pcaCache.getOrElseUpdate((s, dir),
+        simPcaPowerOn(Tables.embeddings(s, dir)).localCheckpoint(true))
+    }
 
   def simPcaPower(s: SparkSession, dir: String): DataFrame =
     pcaCached(s, dir)
