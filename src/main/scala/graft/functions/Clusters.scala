@@ -1059,6 +1059,68 @@ object Clusters {
         .select("da", "db"))
       .withColumnRenamed("doc_id", "vec_id")
 
+  /** L2j: semantic-dedup THRESHOLD SWEEP — the cosine sibling of
+    * [[clusterLinkageLadderOnPairs]], and the dashboard behind "which
+    * cosine cut do we ship": for each cut of a fixed ladder, the
+    * census of the near-dup graph at that threshold (pair count,
+    * cluster count, clustered mass, largest cluster, retained share).
+    * Raising the cut can only remove edges, so clustered mass and max
+    * cluster size are monotone DECREASING up the ladder (the spec's
+    * invariant — opposite sign to the distance ladder). All cuts
+    * filter the ONE memoized corpus pair relation
+    * ([[Dedup.dedupEmbeddingCached]] over Similarity.cosPairsCached),
+    * and each cut's alternating-star CC + 1-row census materializes
+    * as a CONCURRENT job chain (the linkage-ladder lesson: a fan of
+    * independent iterative plans is driver-latency-bound run
+    * sequentially). Cosines ride the corpus round(·,4) convention,
+    * quantized to integer e4 (floor(cos·1e4 + 0.5): the 4-dp double
+    * is within 1e-12 of the grid, so the +0.5 floor cannot straddle).
+    *
+    * Scale: at 100 TB the pair source swaps for the SemDeDup
+    * within-cell relation ([[semanticPairsClusteredOn]]) — the sweep
+    * itself adds only |cuts| CC runs on monotone-shrinking edge
+    * subsets, each O(log n) rounds. */
+  def dedupSemanticSweepOn(pairs: DataFrame, nPoints: DataFrame,
+      cutsE4: Seq[Long] = Seq(4000L, 4500L, 5000L, 5500L)): DataFrame = {
+    require(cutsE4.nonEmpty && cutsE4.size <= 8,
+      s"the cut ladder must be a small constant, got $cutsE4")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val p = pairs
+      .select(col("da"), col("db"),
+        floor(col("cos") * 10000 + 0.5).cast("long").as("c4"))
+      .localCheckpoint(true) // one filter pass per cut
+    val perCut = cutsE4.sorted.map { cut =>
+      Future {
+        val e = p.filter(col("c4") >= cut)
+        val np = e.agg(count(lit(1)).as("n_pairs"))
+        val cc = connectedComponentsAltStarOn(e.select("da", "db"))
+        cc.groupBy("lbl").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_clusters"),
+            coalesce(sum(col("sz")), lit(0L)).as("n_clustered"),
+            coalesce(max(col("sz")), lit(1L)).as("max_cluster_size"))
+          .crossJoin(broadcast(np))
+          .withColumn("thr_e4", lit(cut))
+          .localCheckpoint(true)
+      }
+    }.map(Await.result(_, Duration.Inf))
+    perCut.reduce(_ unionByName _)
+      .crossJoin(broadcast(nPoints))
+      .select(col("thr_e4"), col("n_points"), col("n_pairs"),
+        col("n_clusters"), col("n_clustered"),
+        (col("n_points") - col("n_clustered")).as("n_singletons"),
+        col("max_cluster_size"),
+        expr("CAST(n_clustered * 1000000 DIV n_points AS BIGINT)")
+          .as("pct_clustered_ppm"))
+      .orderBy("thr_e4")
+  }
+
+  def dedupSemanticSweep(s: SparkSession, dir: String): DataFrame =
+    dedupSemanticSweepOn(
+      Dedup.dedupEmbeddingCached(s, dir, threshold = 0.40),
+      Tables.embeddings(s, dir).agg(count(lit(1)).as("n_points")))
+
   /** Candidate near-dup edges the SemDeDup way (Abbas et al. 2023):
     * pair generation bounded INSIDE k-means cells — vectors are first
     * clustered ([[Similarity.kmeansOn]]), then cosine runs only
@@ -2364,6 +2426,7 @@ object Clusters {
     "dedup_stage_funnel" -> dedupStageFunnel,
     "dedup_clusters_altstar" -> dedupClustersAltStar,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_sweep" -> dedupSemanticSweep,
     "dedup_semantic_clustered" -> dedupSemanticClustered,
     "graph_pagerank" -> graphPagerank,
     "graph_katz" -> graphKatz,
@@ -3386,5 +3449,50 @@ object Clusters {
          |  WHERE round(${Similarity.sqlDot("l.embedding", "r.embedding")}
          |    / (l.nrm * r.nrm), 4) >= 0.45),
          |${ccTailSql("vec_id")}""".stripMargin,
+    // Mirrors dedupSemanticSweepOn via the all-pairs cosine relation
+    // with the cut riding the recursion state (the
+    // cluster_linkage_ladder oracle shape); census rules identical.
+    "dedup_semantic_sweep" ->
+      s"""WITH RECURSIVE e0 AS (SELECT vec_id, embedding,
+         |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cuts AS (SELECT UNNEST([4000, 4500, 5000, 5500])::BIGINT AS thr),
+         |p AS (SELECT l.vec_id AS da, r.vec_id AS db,
+         |    CAST(floor(round(${Similarity.sqlDot("l.embedding",
+        "r.embedding")}
+         |      / (l.nrm * r.nrm), 4) * 10000 + 0.5) AS BIGINT) AS c4
+         |  FROM e0 l JOIN e0 r ON l.vec_id < r.vec_id
+         |  WHERE round(${Similarity.sqlDot("l.embedding", "r.embedding")}
+         |    / (l.nrm * r.nrm), 4) >= 0.40),
+         |pe AS (SELECT c.thr, p.da AS a, p.db AS b
+         |    FROM p JOIN cuts c ON p.c4 >= c.thr
+         |  UNION ALL SELECT c.thr, p.db, p.da
+         |    FROM p JOIN cuts c ON p.c4 >= c.thr),
+         |rr(thr, node, reach) AS (
+         |  SELECT c.thr, e0.vec_id, e0.vec_id FROM cuts c CROSS JOIN e0
+         |  UNION
+         |  SELECT pe.thr, pe.b, rr.reach FROM rr
+         |  JOIN pe ON pe.thr = rr.thr AND pe.a = rr.node),
+         |lbl AS (SELECT thr, node, MIN(reach) AS l FROM rr GROUP BY 1, 2),
+         |sz AS (SELECT thr, l, CAST(COUNT(*) AS BIGINT) AS sz FROM lbl
+         |  GROUP BY 1, 2),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points
+         |  FROM embeddings),
+         |np AS (SELECT c.thr, CAST(COUNT(p.da) AS BIGINT) AS n_pairs
+         |  FROM cuts c LEFT JOIN p ON p.c4 >= c.thr GROUP BY 1),
+         |cen AS (SELECT thr,
+         |    CAST(COUNT(CASE WHEN sz >= 2 THEN 1 END) AS BIGINT)
+         |      AS n_clusters,
+         |    CAST(COALESCE(SUM(CASE WHEN sz >= 2 THEN sz END), 0)
+         |      AS BIGINT) AS n_clustered,
+         |    CAST(MAX(sz) AS BIGINT) AS max_cluster_size
+         |  FROM sz GROUP BY 1)
+         |SELECT c.thr AS thr_e4, n.n_points, np.n_pairs, c.n_clusters,
+         |  c.n_clustered, n.n_points - c.n_clustered AS n_singletons,
+         |  c.max_cluster_size,
+         |  CAST(c.n_clustered * 1000000 // n.n_points AS BIGINT)
+         |    AS pct_clustered_ppm
+         |FROM cen c JOIN np USING (thr) CROSS JOIN n
+         |ORDER BY thr_e4""".stripMargin,
   )
 }

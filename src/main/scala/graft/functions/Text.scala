@@ -418,6 +418,54 @@ object Text {
   /** Per-language batch size for [[sampleUncertaintyOn]]. */
   val UncertaintyPerLang = 32
 
+  /** L10k: inter-rater agreement — Cohen's kappa (Cohen 1960)
+    * between the heuristic labeling rule (the `y` the classifier
+    * trains on) and the trained model's prediction, the
+    * curation-dashboard statistic behind "does the distilled filter
+    * actually reproduce the labeling policy beyond chance". One
+    * confusion-matrix aggregate over the memoized scored relation
+    * (the quality_auc/ece discipline: one training chain per catalog
+    * run), then pure integer arithmetic: with a1/b1 the raters'
+    * positive counts,
+    *   po = (n11 + n00) / n,  pe = (a1·b1 + a0·b0) / n²,
+    *   kappa = (n·(n11+n00) − (a1·b1 + a0·b0)) / (n² − (a1·b1+a0·b0))
+    * emitted in ppm via truncating integer division (negative kappa
+    * — worse than chance — truncates toward zero identically in both
+    * engines, the house rule). Products run in DECIMAL(38,0) so the
+    * n² terms survive any corpus size (the agg_moments precedent);
+    * the degenerate pe = 1 case (both raters constant) yields NULL.
+    *
+    * Scale: one map-side-combinable aggregate over the scored scan —
+    * nothing after the first agg exceeds one row. */
+  def qualityRaterKappa(s: SparkSession, dir: String): DataFrame =
+    qualityScored(s, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1 && col("pred") === 1, 1L)
+          .otherwise(0L)).as("n11"),
+        sum(when(col("y") === 1 && col("pred") === 0, 1L)
+          .otherwise(0L)).as("n10"),
+        sum(when(col("y") === 0 && col("pred") === 1, 1L)
+          .otherwise(0L)).as("n01"),
+        sum(when(col("y") === 0 && col("pred") === 0, 1L)
+          .otherwise(0L)).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("CAST((n11 + n00) * 1000000 DIV n AS BIGINT)").as("po_ppm"),
+        expr("""CAST((CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
+               |  + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00))
+               |  * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * n)
+               |  AS BIGINT)""".stripMargin).as("pe_ppm"),
+        expr("""CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * n >
+               |    CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
+               |    + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00)
+               |  THEN (CAST(n AS DECIMAL(38,0)) * (n11 + n00)
+               |    - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
+               |       + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00)))
+               |    * 1000000
+               |    DIV (CAST(n AS DECIMAL(38,0)) * n
+               |      - (CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
+               |         + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00)))
+               |END AS BIGINT)""".stripMargin).as("kappa_ppm"))
+
   /** L10z: uncertainty sampling (Lewis & Gale, SIGIR 1994) — the
     * active-learning loop's selection step: the next documents worth
     * sending to the EXPENSIVE labeler (human, frontier-model judge)
@@ -1448,6 +1496,7 @@ object Text {
     "sample_uncertainty" -> sampleUncertainty,
     "text_js_divergence" -> textJsDivergence,
     "quality_auc" -> qualityAuc,
+    "quality_rater_kappa" -> qualityRaterKappa,
     "quality_ece" -> qualityEce,
     "quality_threshold_sweep" -> qualityThresholdSweep,
     "quality_kappa" -> qualityKappa,
@@ -1974,6 +2023,40 @@ object Text {
          |SELECT doc_id, y, p_ppm,
          |  CAST(p_ppm >= 500000 AS BIGINT) AS pred
          |FROM scored ORDER BY doc_id""".stripMargin,
+    // Mirrors qualityRaterKappa: same confusion rollup over the same
+    // scored CTE, HUGEINT products mirroring the engine's
+    // DECIMAL(38,0), truncating // on the (possibly negative) kappa.
+    "quality_rater_kappa" ->
+      s"""WITH $logregCoreSql,
+         |sc AS (SELECT y, CAST(p_ppm >= 500000 AS BIGINT) AS pred
+         |  FROM scored),
+         |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n11,
+         |    CAST(SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n10,
+         |    CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n01,
+         |    CAST(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n00
+         |  FROM sc)
+         |SELECT n, n11, n10, n01, n00,
+         |  CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_ppm,
+         |  CAST((CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+         |    + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) * 1000000
+         |    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+         |  CAST(CASE WHEN CAST(n AS HUGEINT) * n >
+         |      CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+         |      + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)
+         |    THEN (CAST(n AS HUGEINT) * (n11 + n00)
+         |      - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+         |         + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)))
+         |      * 1000000
+         |      // (CAST(n AS HUGEINT) * n
+         |        - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+         |           + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)))
+         |  END AS BIGINT) AS kappa_ppm
+         |FROM c""".stripMargin,
     // AUC = Mann-Whitney U over (p_ppm, y) with midrank ties, exact
     // integers (doubled rank sums); mirrors qualityAucOn term for term.
     "quality_auc" ->

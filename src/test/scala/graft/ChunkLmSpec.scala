@@ -226,6 +226,35 @@ class ChunkLmSpec extends SparkSpecBase {
     assert(c.getAs[Long]("auc_ppm") >= 900000L)
   }
 
+  test("quality_rater_kappa: confusion counts reconcile with the scored " +
+    "relation and kappa replays the closed form by hand") {
+    import spark.implicits._
+    val sc = functions.Text.qualityLogreg(spark, sf)
+      .select("y", "pred").as[(Long, Long)].collect()
+    val n = sc.length.toLong
+    val n11 = sc.count { case (y, p) => y == 1 && p == 1 }.toLong
+    val n10 = sc.count { case (y, p) => y == 1 && p == 0 }.toLong
+    val n01 = sc.count { case (y, p) => y == 0 && p == 1 }.toLong
+    val n00 = sc.count { case (y, p) => y == 0 && p == 0 }.toLong
+    val r = functions.Text.qualityRaterKappa(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("n11") == n11 &&
+      r.getAs[Long]("n10") == n10 && r.getAs[Long]("n01") == n01 &&
+      r.getAs[Long]("n00") == n00)
+    val pe = BigInt(n11 + n10) * (n11 + n01) + BigInt(n01 + n00) * (n10 + n00)
+    assert(BigInt(r.getAs[Long]("po_ppm")) ==
+      BigInt(n11 + n00) * 1000000 / n)
+    assert(BigInt(r.getAs[Long]("pe_ppm")) ==
+      pe * 1000000 / (BigInt(n) * n))
+    if (BigInt(n) * n > pe) {
+      val want = (BigInt(n) * (n11 + n00) - pe) * 1000000 /
+        (BigInt(n) * n - pe)
+      assert(BigInt(r.getAs[Long]("kappa_ppm")) == want)
+      // the distilled filter reproduces the labeling rule far beyond
+      // chance (documented near-separable teacher)
+      assert(r.getAs[Long]("kappa_ppm") > 500000L)
+    }
+  }
+
   test("quality_ece: reliability bins replayed by hand; p=1e6 caps into " +
     "bin 9; corpus bins bounded and deterministic") {
     import spark.implicits._

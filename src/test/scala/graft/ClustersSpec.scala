@@ -39,6 +39,31 @@ class ClustersSpec extends SparkSpecBase {
     assert(ca == cb)
   }
 
+  test("dedup_semantic_sweep: censuses are monotone DECREASING up the " +
+    "cut ladder, reconcile with dedup_semantic at the 0.45 operating " +
+    "point, and clustered + singleton mass always totals the corpus") {
+    val sw = functions.Clusters.dedupSemanticSweep(spark, sf)
+      .select("thr_e4", "n_points", "n_pairs", "n_clusters",
+        "n_clustered", "n_singletons", "max_cluster_size")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(sw.map(_._1) == Seq(4000L, 4500L, 5000L, 5500L))
+    assert(sw.map(_._2).distinct.size == 1) // n_points constant
+    assert(sw.forall { case (_, n, _, _, cl, sg, _) => cl + sg == n })
+    // raising the cut only removes edges: pairs, clustered mass and
+    // max cluster size are monotone non-increasing
+    assert(sw.sliding(2).forall { case Seq(lo, hi) =>
+      lo._3 >= hi._3 && lo._5 >= hi._5 && lo._7 >= hi._7 })
+    assert(sw.head._3 > 0, "the 0.40 cut must see some pairs")
+    // the 4500 rung IS dedup_semantic's component census
+    val sem = functions.Clusters.dedupSemantic(spark, sf)
+    val semClusters = sem.select("cluster_id").distinct().count()
+    val semMass = sem.count()
+    val r4500 = sw.find(_._1 == 4500L).get
+    assert(r4500._4 == semClusters && r4500._5 == semMass,
+      s"sweep $r4500 vs semantic ($semClusters, $semMass)")
+  }
+
   test("dedup_semantic covers exactly the paired vectors, one keeper per " +
     "cluster") {
     val out = functions.Clusters.dedupSemantic(spark, sf).cache()
