@@ -598,7 +598,102 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** L5j: perceptual-hash dedup over REAL decoded bytes — the full
+    * image-dedup pipeline with no surrogate left in the hot path:
+    * deterministic rasters (pattern keyed by doc_id % 97, so ~5-doc
+    * groups share a base image up to a small uniform brightness
+    * offset) -> genuine BMP bytes -> REAL decode ([[Codecs.BmpDecoder]]
+    * via the pluggable binding) -> 64-bit average-hash (8x8 block
+    * means vs the global mean; a uniform brightness shift cancels in
+    * the s*n > tot*c cross-multiply, so same-base images hash
+    * IDENTICALLY — the aHash robustness property, here provable) ->
+    * 4x16-bit LSH banding -> Hamming<=2 verify. Banding is lossless
+    * by pigeonhole (2 differing bits touch at most 2 of 4 bands). The
+    * hash is split into two 32-bit halves (h0, h1) so no engine ever
+    * shifts into a BIGINT sign bit. Oracle: all-pairs arithmetic
+    * replay of raster, block bits, and Hamming — a decoder or hash
+    * bug is a hash mismatch.
+    *
+    * Scale: hashing is map-only over the scan (per-partition decoder
+    * init); candidates are band-bucket equi-join mates, never
+    * all-pairs; verify reads two 8-byte halves per candidate. */
+  def mmPhashReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(ImageDecoderConfKey, classOf[Codecs.BmpDecoder].getName)
+    val hashes = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val dec = instantiate[Codecs.ImageDecoder](decoderClass)
+        it.map { id =>
+          val g = id % 97
+          val o = ((id / 97) % 3).toInt
+          val w = (16 + g % 16).toInt
+          val h = (12 + g % 8).toInt
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = (((g * 7 + x * 13 + y * 31) % 240) + o).toByte
+              val base = (y * w + x) * 3
+              px(base) = v; px(base + 1) = v; px(base + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          val im = dec.decode(Codecs.bmpEncode(w, h, px))
+          val bs = new Array[Long](64)
+          val bn = new Array[Long](64)
+          var tot = 0L
+          var yy = 0
+          while (yy < im.height) {
+            var xx = 0
+            while (xx < im.width) {
+              val gray = im.rgb((yy * im.width + xx) * 3) & 0xff
+              val b = (yy * 8 / im.height) * 8 + (xx * 8 / im.width)
+              bs(b) += gray; bn(b) += 1; tot += gray
+              xx += 1
+            }
+            yy += 1
+          }
+          val n = im.width.toLong * im.height
+          var h0 = 0L
+          var h1 = 0L
+          var b = 0
+          while (b < 64) {
+            if (bs(b) * n > tot * bn(b)) {
+              if (b < 32) h0 |= 1L << b else h1 |= 1L << (b - 32)
+            }
+            b += 1
+          }
+          (id, h0, h1)
+        }
+      }.toDF("doc_id", "h0", "h1")
+      .localCheckpoint(true) // band explode + both verify probes
+    val bands = hashes.select(col("doc_id"), explode(array(
+        (0 until 2).map(k => struct(lit(k).as("bi"),
+          expr(s"(h0 >> ${k * 16}) & 65535").as("bv"))) ++
+        (0 until 2).map(k => struct(lit(k + 2).as("bi"),
+          expr(s"(h1 >> ${k * 16}) & 65535").as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val cand = bands.as("l").join(bands.as("r"), Seq("bi", "bv"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(hashes.select(col("doc_id").as("da"), col("h0").as("a0"),
+        col("h1").as("a1")), "da")
+      .join(hashes.select(col("doc_id").as("db"), col("h0").as("b0"),
+        col("h1").as("b1")), "db")
+      .select(col("da"), col("db"),
+        (bit_count(expr("a0 ^ b0")) + bit_count(expr("a1 ^ b1")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .orderBy("da", "db")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_real" -> mmPhashReal,
     "mm_decode_image" -> mmDecodeImage,
     "mm_decode_audio" -> mmDecodeAudio,
     "mm_interleave" -> mmInterleave,
@@ -618,6 +713,40 @@ object Multimodal {
     // Arithmetic replays of the deterministic rasters/waveforms the
     // codecs round-trip: the Spark side sums DECODED bytes, so these
     // rows verify the real BMP/WAV parsers, not just the pattern.
+    // mm_phash_real's oracle is the ALL-PAIRS spelling (proving the
+    // band join lossless at Hamming<=2) over the same block-bit
+    // arithmetic the engine computes from decoded pixels.
+    "mm_phash_real" ->
+      """WITH d AS (SELECT doc_id, doc_id % 97 AS g,
+        |    (doc_id // 97) % 3 AS o FROM documents),
+        |dm AS (SELECT doc_id, g, o, 16 + g % 16 AS w, 12 + g % 8 AS h
+        |  FROM d),
+        |px AS (SELECT doc_id, w, h, o, g, xs.x, ys.y
+        |  FROM dm, range(0, 31) xs(x), range(0, 19) ys(y)
+        |  WHERE xs.x < w AND ys.y < h),
+        |pg AS (SELECT doc_id, (g * 7 + x * 13 + y * 31) % 240 + o AS gray,
+        |    (y * 8 // h) * 8 + (x * 8 // w) AS b FROM px),
+        |bs AS (SELECT doc_id, b, CAST(SUM(gray) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM pg GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS tot,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM pg GROUP BY 1),
+        |bits AS (SELECT bs.doc_id, b,
+        |    CASE WHEN s * n > tot * c THEN 1 ELSE 0 END AS bit
+        |  FROM bs JOIN tt USING (doc_id)),
+        |hh AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN b < 32
+        |      THEN CAST(bit AS BIGINT) << CAST(b AS INT) ELSE 0 END)
+        |      AS BIGINT) AS h0,
+        |    CAST(SUM(CASE WHEN b >= 32
+        |      THEN CAST(bit AS BIGINT) << CAST(b - 32 AS INT) ELSE 0 END)
+        |      AS BIGINT) AS h1
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |    AS BIGINT) AS hamming
+        |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 2
+        |ORDER BY da, db""".stripMargin,
     "mm_decode_image" ->
       """WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w,
         |    12 + doc_id % 8 AS h FROM documents),

@@ -260,6 +260,57 @@ class MultimodalSpec extends SparkSpecBase {
     assert(au.samples.toSeq == smp.toSeq)
   }
 
+  test("mm_phash_real: brightness-shifted same-base images hash " +
+    "IDENTICALLY through the real decode (aHash invariance, provable " +
+    "on the cross-multiplied bit rule); banding is lossless vs the " +
+    "brute-force Hamming<=2 pair set") {
+    import multimodal.Codecs
+    val out = multimodal.Multimodal.mmPhashReal(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // brute-force replay: hash every doc imperatively (same pattern,
+    // through the same real codec), then all-pairs Hamming
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .as[Long].collect().sorted
+    val dec = new Codecs.BmpDecoder()
+    def hash(id: Long): (Long, Long) = {
+      val g = id % 97; val o = ((id / 97) % 3).toInt
+      val w = (16 + g % 16).toInt; val h = (12 + g % 8).toInt
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (((g * 7 + x * 13 + y * 31) % 240) + o).toByte
+        val base = (y * w + x) * 3
+        px(base) = v; px(base + 1) = v; px(base + 2) = v
+      }
+      val im = dec.decode(Codecs.bmpEncode(w, h, px))
+      val bs = new Array[Long](64); val bn = new Array[Long](64)
+      var tot = 0L
+      for (y <- 0 until im.height; x <- 0 until im.width) {
+        val gray = im.rgb((y * im.width + x) * 3) & 0xff
+        val b = (y * 8 / im.height) * 8 + (x * 8 / im.width)
+        bs(b) += gray; bn(b) += 1; tot += gray
+      }
+      val n = im.width.toLong * im.height
+      var h0 = 0L; var h1 = 0L
+      for (b <- 0 until 64 if bs(b) * n > tot * bn(b))
+        if (b < 32) h0 |= 1L << b else h1 |= 1L << (b - 32)
+      (h0, h1)
+    }
+    val hs = ids.map(i => i -> hash(i)).toMap
+    // invariance: same base group => identical hash despite the
+    // brightness offset
+    ids.groupBy(_ % 97).values.filter(_.length >= 2).foreach { grp =>
+      assert(grp.map(hs).distinct.length == 1, s"group ${grp.head % 97}")
+    }
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (a0, a1) = hs(ids(i)); (b0, b1) = hs(ids(j))
+      d = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+      if d <= 2
+    } yield (ids(i), ids(j), d.toLong)).toSet
+    assert(out.toSet == brute, s"engine ${out.size} vs brute ${brute.size}")
+  }
+
   test("mm_decode_image / mm_decode_audio consume REAL encoded bytes: " +
     "decoded stats match the pattern arithmetic and the closed-form " +
     "container sizes; decoder binding is conf-swappable") {
