@@ -995,37 +995,69 @@ object Similarity {
     * subvectors, one update, re-assign to encode) — deterministic
     * integer arithmetic end to end, so the DuckDB oracle replays the
     * codebooks, codes, and ADC sums bit-for-bit. */
-  def pqAnnOn(emb: DataFrame, queries: DataFrame, subDim: Int = 16,
-      k: Int = 8, topK: Int = 5,
-      coarseCells: Option[DataFrame] = None): DataFrame = {
-    def grid(df: DataFrame, id: String): DataFrame = df
-      .select(col(id), posexplode(col("embedding")))
+  private def pqGrid(df: DataFrame, id: String, subDim: Int): DataFrame =
+    df.select(col(id), posexplode(col("embedding")))
       .select(col(id), expr(s"CAST(pos div $subDim AS INT)").as("sub"),
         col("pos").as("i"),
         floor(col("col").cast("double") * 1048576).cast("long").as("qv"))
-    val qv = grid(emb, "vec_id").localCheckpoint(true)
+
+  /** Nearest-codebook assignment carrying the winning quantization
+    * error: (vec_id, sub, cell, d2). */
+  private def pqAssignD2(qv: DataFrame, cent: DataFrame): DataFrame =
+    qv.join(broadcast(cent), Seq("sub", "i"))
+      .groupBy("vec_id", "sub", "cell")
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "sub")
+          .orderBy(col("d2").asc, col("cell").asc)))
+      .filter(col("rn") === 1)
+      .select("vec_id", "sub", "cell", "d2")
+
+  /** PQ training core shared by [[pqAnnOn]] and
+    * [[simPqDistortionOn]]: subspaced integer grid + the one-Lloyd-
+    * round codebook (both checkpointed). */
+  private def pqTrain(emb: DataFrame, subDim: Int, k: Int)
+      : (DataFrame, DataFrame) = {
+    val qv = pqGrid(emb, "vec_id", subDim).localCheckpoint(true)
     val seedIds = qv.select("vec_id").distinct().orderBy("vec_id").limit(k)
       .withColumn("cell",
         (row_number().over(Window.partitionBy(Guards.one)
           .orderBy("vec_id")) - 1).cast("int"))
     val c0 = qv.join(broadcast(seedIds), "vec_id")
       .select(col("sub"), col("cell"), col("i"), col("qv").as("cv"))
-    val w = Window.partitionBy("vec_id", "sub")
-      .orderBy(col("d2").asc, col("cell").asc)
-    def assign(cent: DataFrame): DataFrame =
-      qv.join(broadcast(cent), Seq("sub", "i"))
-        .groupBy("vec_id", "sub", "cell")
-        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "sub", "cell")
-    def update(asg: DataFrame): DataFrame =
-      qv.join(asg, Seq("vec_id", "sub"))
-        .groupBy("sub", "cell", "i")
-        .agg(floor(sum(col("qv")).cast("double") / count(lit(1)))
-          .cast("long").as("cv"))
-    val c1 = update(assign(c0)).localCheckpoint(true)
-    val codes = assign(c1).withColumnRenamed("cell", "code")
+    val c1 = qv
+      .join(pqAssignD2(qv, c0).select("vec_id", "sub", "cell"),
+        Seq("vec_id", "sub"))
+      .groupBy("sub", "cell", "i")
+      .agg(floor(sum(col("qv")).cast("double") / count(lit(1)))
+        .cast("long").as("cv"))
+      .localCheckpoint(true)
+    (qv, c1)
+  }
+
+  private val pqTrainCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** The catalog PQ training, memoized per (session, dir): three
+    * consumers (sim_ann_pq, sim_ann_ivfpq, sim_pq_distortion) read
+    * the same grid + codebook, so a catalog run trains once. */
+  private def pqTrainCached(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    pqTrainCache.synchronized {
+      pqTrainCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped }
+      pqTrainCache.getOrElseUpdate((s, dir),
+        pqTrain(Tables.embeddings(s, dir), 16, 8))
+    }
+
+  def pqAnnOn(emb: DataFrame, queries: DataFrame, subDim: Int = 16,
+      k: Int = 8, topK: Int = 5,
+      coarseCells: Option[DataFrame] = None,
+      trained: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    def grid(df: DataFrame, id: String): DataFrame = pqGrid(df, id, subDim)
+    val (qv, c1) = trained.getOrElse(pqTrain(emb, subDim, k))
+    val codes = pqAssignD2(qv, c1).select("vec_id", "sub", "cell")
+      .withColumnRenamed("cell", "code")
     // ADC: the per-query distance table is (queries x subs x k) rows —
     // a broadcast no matter the corpus size
     val dt = grid(queries, "qid").join(broadcast(c1), Seq("sub", "i"))
@@ -1056,9 +1088,37 @@ object Similarity {
   def simAnnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     pqAnnOn(emb,
-      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"))
+      emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"),
+      trained = Some(pqTrainCached(s, dir)))
       .orderBy("qid", "rnk")
   }
+
+  /** L3k: PQ codebook-health dashboard — per subquantizer the mean
+    * and max quantization error (Jégou et al. 2011's distortion, the
+    * quantity PQ training minimizes) plus code utilization (distinct
+    * codes assigned of k): the "is the codebook good enough / did a
+    * subspace collapse" readout an ANN deployment reads next to the
+    * recall matrix. Errors are the winning assignment's exact
+    * integer-grid d2 — the same relation encoding already computes —
+    * so the op adds one rollup over the memoized training.
+    *
+    * Scale: encode is a map-side join against the broadcast codebook;
+    * the dashboard is a 4-row rollup. */
+  def simPqDistortionOn(emb: DataFrame, subDim: Int = 16, k: Int = 8,
+      trained: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (qv, c1) = trained.getOrElse(pqTrain(emb, subDim, k))
+    pqAssignD2(qv, c1)
+      .groupBy("sub")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("CAST(SUM(d2) DIV COUNT(1) AS BIGINT)").as("mean_d2"),
+        max(col("d2")).as("max_d2"),
+        countDistinct(col("cell")).as("n_codes_used"))
+      .orderBy("sub")
+  }
+
+  def simPqDistortion(s: SparkSession, dir: String): DataFrame =
+    simPqDistortionOn(Tables.embeddings(s, dir),
+      trained = Some(pqTrainCached(s, dir)))
 
   /** The static coarse quantizer shared by [[simAnnIvf]] and the
     * IVFPQ compose: quantized-L2 argmin against the first [[CELLS]]
@@ -1102,7 +1162,8 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
     pqAnnOn(emb,
       emb.filter(col("vec_id") < 5).withColumnRenamed("vec_id", "qid"),
-      coarseCells = Some(coarseCellsOn(emb)))
+      coarseCells = Some(coarseCellsOn(emb)),
+      trained = Some(pqTrainCached(s, dir)))
       .orderBy("qid", "rnk")
   }
 
@@ -1713,6 +1774,7 @@ object Similarity {
     "sim_random_projection" -> simRandomProjection,
     "sim_maxsim" -> simMaxsim,
     "sim_ann_pq" -> simAnnPq,
+    "sim_pq_distortion" -> simPqDistortion,
     "sim_ann_ivfpq" -> simAnnIvfPq,
     "sim_ann_ivf_trained" -> simAnnIvfTrained,
     "sim_sparse_cosine" -> simSparseCosine,
@@ -2076,6 +2138,22 @@ object Similarity {
          |SELECT label, COUNT(*) AS n_qvecs,
          |  CAST(SUM(CAST(ROUND(mx * 10000, 0) AS BIGINT)) AS BIGINT) AS score_x10k
          |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    // Mirrors simPqDistortionOn: the d2-carrying assignment over the
+    // replayed one-round codebook, rolled up per subquantizer.
+    "sim_pq_distortion" ->
+      s"""WITH $pqCoreSql,
+         |ad AS (SELECT vec_id, sub, cell, d2 FROM (
+         |    SELECT qv.vec_id, qv.sub, c1.cell,
+         |      CAST(SUM((qv.qv - c1.cv) * (qv.qv - c1.cv)) AS BIGINT) AS d2
+         |    FROM qv JOIN c1 ON qv.sub = c1.sub AND qv.i = c1.i
+         |    GROUP BY 1, 2, 3)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+         |    ORDER BY d2 ASC, cell ASC) = 1)
+         |SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_d2,
+         |  CAST(MAX(d2) AS BIGINT) AS max_d2,
+         |  CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_codes_used
+         |FROM ad GROUP BY sub ORDER BY sub""".stripMargin,
     "sim_ann_pq" ->
       s"""WITH $pqCoreSql,
          |q AS (SELECT vec_id AS qid, sub, i, qv FROM qv WHERE vec_id < 5),
