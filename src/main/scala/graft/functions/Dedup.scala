@@ -219,6 +219,60 @@ object Dedup {
   /** L2: MinHash + LSH banding, then exact-Jaccard verification of the
     * banded candidates (jac >= threshold), over a (doc_id, hs)
     * shingle-hash relation (see [[shingleHashesOf]]). */
+  /** Step chains shared verbatim by [[dedupLshPlanner]] and its
+    * oracle (the ONE-string convention): exponentiation strictly by
+    * SQUARING over prior step columns and roots strictly by sqrt
+    * composition — every step is a single correctly-rounded IEEE op,
+    * so both engines produce bit-identical doubles and the final ppm
+    * floor cannot straddle a ulp (pow()'s 1-ulp libm drift would). */
+  private val LshJrSql =
+    "CASE r WHEN 2 THEN j2 WHEN 4 THEN j4 WHEN 8 THEN j8 END"
+  private val LshQbSql =
+    "CASE b WHEN 4 THEN q4 WHEN 8 THEN q8 WHEN 16 THEN q16 " +
+      "WHEN 32 THEN q32 END"
+  private val LshThrSql =
+    "CASE r WHEN 2 THEN sqrt(1.0 / b) WHEN 4 THEN sqrt(sqrt(1.0 / b)) " +
+      "WHEN 8 THEN sqrt(sqrt(sqrt(1.0 / b))) END"
+
+  /** L2p: MinHash-LSH parameter PLANNER — the S-curve table (Leskovec
+    * et al., MMDS ch.3) every banding deployment is designed from:
+    * for each (rows-per-band r, bands b) configuration and Jaccard
+    * level J, the candidate-collision probability
+    * 1 − (1 − J^r)^b in ppm, plus the configuration's S-curve
+    * threshold (1/b)^(1/r) — the J where collision probability jumps
+    * (the dedup sibling of [[graft.operators.Events]]'
+    * event_mde_curve: design the index BEFORE paying for it; the
+    * shipped [[K]]=8/[[BANDS]]=4 operating point is the r=2, b=4
+    * row). No corpus input — a pure closed-form planning relation —
+    * and no libm pow: see [[LshJrSql]].
+    *
+    * Scale: a 72-row literal relation; the value at 100 TB is what it
+    * tells you to configure, not what it computes. */
+  def dedupLshPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = (for {
+      r <- Seq(2L, 4L, 8L); b <- Seq(4L, 8L, 16L, 32L)
+      jp <- Seq(50L, 60L, 70L, 80L, 90L, 95L)
+    } yield (r, b, jp)).toDF("r", "b", "j_pct")
+    grid
+      .withColumn("j", col("j_pct") / 100.0)
+      .withColumn("j2", expr("j * j"))
+      .withColumn("j4", expr("j2 * j2"))
+      .withColumn("j8", expr("j4 * j4"))
+      .withColumn("q", expr(s"1.0 - ($LshJrSql)"))
+      .withColumn("q2", expr("q * q"))
+      .withColumn("q4", expr("q2 * q2"))
+      .withColumn("q8", expr("q4 * q4"))
+      .withColumn("q16", expr("q8 * q8"))
+      .withColumn("q32", expr("q16 * q16"))
+      .select(col("r"), col("b"), col("j_pct"),
+        expr(s"CAST(floor((1.0 - ($LshQbSql)) * 1000000 + 0.5) AS BIGINT)")
+          .as("p_collide_ppm"),
+        expr(s"CAST(floor(($LshThrSql) * 1000000 + 0.5) AS BIGINT)")
+          .as("s_threshold_ppm"))
+      .orderBy("r", "b", "j_pct")
+  }
+
   def dedupMinhashOn(hs: DataFrame, threshold: Double = 0.8): DataFrame =
     minhashVerified(hs, threshold, identity)
 
@@ -1037,6 +1091,7 @@ object Dedup {
     "dedup_minhash_estimate" -> dedupMinhashEstimate,
     "dedup_minhash_bbit" -> dedupMinhashBbit,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_lsh_planner" -> dedupLshPlanner,
     "dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
     "dedup_containment" -> dedupContainment,
     "dedup_incremental" -> dedupIncremental,
@@ -1138,6 +1193,29 @@ object Dedup {
        |ORDER BY da, db""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Mirrors dedupLshPlanner step for step via the shared squaring /
+    // sqrt-composition strings (no libm pow on either engine).
+    "dedup_lsh_planner" ->
+      s"""WITH g AS (SELECT r.r, b.b, j.j_pct
+         |    FROM (SELECT UNNEST([2, 4, 8])::BIGINT AS r) r,
+         |    (SELECT UNNEST([4, 8, 16, 32])::BIGINT AS b) b,
+         |    (SELECT UNNEST([50, 60, 70, 80, 90, 95])::BIGINT AS j_pct) j),
+         |s1 AS (SELECT *, j_pct / 100.0 AS j FROM g),
+         |s2 AS (SELECT *, j * j AS j2 FROM s1),
+         |s3 AS (SELECT *, j2 * j2 AS j4 FROM s2),
+         |s4 AS (SELECT *, j4 * j4 AS j8 FROM s3),
+         |s5 AS (SELECT *, 1.0 - ($LshJrSql) AS q FROM s4),
+         |s6 AS (SELECT *, q * q AS q2 FROM s5),
+         |s7 AS (SELECT *, q2 * q2 AS q4 FROM s6),
+         |s8 AS (SELECT *, q4 * q4 AS q8 FROM s7),
+         |s9 AS (SELECT *, q8 * q8 AS q16 FROM s8),
+         |sa AS (SELECT *, q16 * q16 AS q32 FROM s9)
+         |SELECT r, b, j_pct,
+         |  CAST(floor((1.0 - ($LshQbSql)) * 1000000 + 0.5) AS BIGINT)
+         |    AS p_collide_ppm,
+         |  CAST(floor(($LshThrSql) * 1000000 + 0.5) AS BIGINT)
+         |    AS s_threshold_ppm
+         |FROM sa ORDER BY r, b, j_pct""".stripMargin,
     "dedup_token_sort" ->
       """SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_copies

@@ -392,6 +392,31 @@ class DedupSimSpec extends SparkSpecBase {
     assert(counts.length == 5 && counts.forall(_._2 <= 5))
   }
 
+  test("dedup_lsh_planner: hand-checked S-curve values at the shipped " +
+    "operating point; collision probability monotone in J; threshold " +
+    "monotone in r") {
+    val rows = functions.Dedup.dedupLshPlanner(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.length == 72)
+    // shipped K=8/BANDS=4 point is (r=2, b=4): at J=.8,
+    // p = 1-(1-.64)^4 = .98320384; threshold = (1/4)^(1/2) = .5
+    val ship = rows.find(r => r._1 == 2 && r._2 == 4 && r._3 == 80).get
+    assert(ship._4 == 983204L && ship._5 == 500000L, ship)
+    // at J=.5, r=2, b=4: j2=.25, q=.75, q4=.31640625 -> p=.68359375
+    val mid = rows.find(r => r._1 == 2 && r._2 == 4 && r._3 == 50).get
+    assert(mid._4 == 683594L, mid)
+    // p monotone nondecreasing in J per (r, b)
+    rows.groupBy(r => (r._1, r._2)).values.foreach { g =>
+      assert(g.sortBy(_._3).map(_._4).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)))
+    }
+    // steeper bands (larger r) push the threshold up at fixed b
+    rows.groupBy(r => (r._2, r._3)).values.foreach { g =>
+      assert(g.sortBy(_._1).map(_._5).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
   test("sim_pq_distortion: one 4-row dashboard, full vector coverage " +
     "per subquantizer, sane error and utilization bounds, and a " +
     "one-Lloyd-round codebook beats the raw seed codebook") {
