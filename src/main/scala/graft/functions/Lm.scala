@@ -146,6 +146,78 @@ object Lm {
       .orderBy("doc_id")
   }
 
+  /** Jelinek-Mercer interpolation weights (Jelinek & Mercer 1980;
+    * Chen-Goodman 1998 §2.3's baseline the KN variant is judged
+    * against): fixed, held-out-style constants pinned as shared
+    * literals. */
+  val Jm3 = 0.5
+  val Jm2 = 0.3
+  val Jm1 = 0.2
+
+  /** Per-trigram JM score in micro-units — ONE string evaluated by
+    * both engines over identically-named columns (the shared-literal
+    * rule on a float expression): each maximum-likelihood ratio is a
+    * single IEEE division, the weighted sum is left-to-right, and the
+    * floor quantizes BEFORE the per-doc aggregate so integer sums
+    * stay order-free. */
+  private val jmSuSql =
+    s"""CAST(floor(1000000.0 * ($Jm3 * coalesce(CAST(c123 AS DOUBLE) / c12, 0.0)
+       | + $Jm2 * coalesce(CAST(c23 AS DOUBLE) / cw2, 0.0)
+       | + $Jm1 * coalesce(CAST(cw3 AS DOUBLE) / n, 0.0))) AS BIGINT)"""
+      .stripMargin.replace("\n", "")
+
+  /** L14e: Jelinek-Mercer INTERPOLATED trigram scoring — the smoothing
+    * family's linear-mixture member beside stupid backoff
+    * ([[lmNgramBackoffOn]]: pick ONE level) and Kneser-Ney
+    * (discount + continuation): every level contributes always,
+    *   P_JM(w3|w1 w2) = λ3·c(w1w2w3)/c(w1w2) + λ2·c(w2w3)/c(w2)
+    *                  + λ1·c(w3)/N
+    * with absent contexts contributing zero mass. Output per test doc:
+    * trigram count, how many trigrams had each context level
+    * AVAILABLE (the mixture-coverage diagnostic — JM's analogue of
+    * backoff's level histogram), and the quantized score sum.
+    *
+    * Shape: same count tables and 5-way left join as the backoff
+    * scorer (train tokenized once, vocabulary-bounded count relations,
+    * test-trigram-keyed joins); only the scoring expression differs —
+    * the at-scale cost profile is identical. */
+  def lmJelinekMercerOn(docs: DataFrame, isTrain: Column): DataFrame = {
+    val test = docs.where(!isTrain)
+    val trainTok = docs.where(isTrain)
+      .select(col("doc_id"), Text.toks(col("text")).as("t"))
+      .localCheckpoint(true)
+    val c3 = ngramsOf(trainTok, 3).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123"))
+    val c2 = ngramsOf(trainTok, 2).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12")).localCheckpoint(true)
+    val c1 = ngramsOf(trainTok, 1).groupBy("w1")
+      .agg(count(lit(1)).as("cw")).localCheckpoint(true)
+    val n = c1.agg(sum(col("cw")).as("n"))
+    ngrams(test, 3)
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c12").as("c23")), Seq("w2", "w3"), "left")
+      .join(c1.select(col("w1").as("w2"), col("cw").as("cw2")),
+        Seq("w2"), "left")
+      .join(c1.select(col("w1").as("w3"), col("cw").as("cw3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("c123"), col("c23"), col("cw3"),
+        expr(jmSuSql).as("su"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("c123").isNotNull, 1L).otherwise(0L)).as("n_ctx3"),
+        sum(when(col("c23").isNotNull, 1L).otherwise(0L)).as("n_ctx2"),
+        sum(when(col("cw3").isNotNull, 1L).otherwise(0L)).as("n_ctx1"),
+        sum(col("su")).as("score_micro"))
+      .orderBy("doc_id")
+  }
+
+  def lmJelinekMercer(s: SparkSession, dir: String): DataFrame =
+    lmJelinekMercerOn(withBucket(Tables.documents(s, dir)),
+      col("bucket") < TrainPct)
+
   /** Memoized per-doc backoff scores for the STANDARD corpus split
     * (train = bucket < [[TrainPct]]) — the relation both
     * lm_ngram_backoff and lm_perplexity_filter read. Without this the
@@ -500,6 +572,7 @@ object Lm {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_ngram_backoff" -> lmNgramBackoff,
+    "lm_jelinek_mercer" -> lmJelinekMercer,
     "lm_perplexity_filter" -> lmPerplexityFilter,
     "lm_kneser_ney" -> lmKneserNey,
     "lm_count_prune" -> lmCountPrune,
@@ -524,6 +597,30 @@ object Lm {
          |  CAST(COALESCE(SUM(CASE WHEN c123 >= cutoff THEN c123 END), 0)
          |    * 1000000 // SUM(c123) AS BIGINT) AS mass_kept_ppm
          |FROM c3 CROSS JOIN cu GROUP BY cutoff ORDER BY cutoff""".stripMargin,
+    // JM: the same count tables + 5-way join as the backoff scorer,
+    // scored by the SAME jmSuSql string the engine evaluates.
+    "lm_jelinek_mercer" ->
+      s"""WITH $countsCoreSql,
+         |c1 AS (SELECT t[i] AS w, COUNT(*) AS cw
+         |  FROM tk, UNNEST(range(1, len(t) + 1)) r(i) WHERE b < $TrainPct GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM c1),
+         |scj AS (SELECT doc_id, g3.c123 AS c123, g12.c12 AS c12,
+         |    p23.c12 AS c23, u2.cw AS cw2, u3.cw AS cw3, nn.n AS n
+         |  FROM tri_te
+         |  LEFT JOIN c3 g3 ON tri_te.w1 = g3.w1 AND tri_te.w2 = g3.w2 AND tri_te.w3 = g3.w3
+         |  LEFT JOIN c2 g12 ON tri_te.w1 = g12.w1 AND tri_te.w2 = g12.w2
+         |  LEFT JOIN c2 p23 ON tri_te.w2 = p23.w1 AND tri_te.w3 = p23.w2
+         |  LEFT JOIN c1 u2 ON tri_te.w2 = u2.w
+         |  LEFT JOIN c1 u3 ON tri_te.w3 = u3.w
+         |  CROSS JOIN nn),
+         |sc AS (SELECT doc_id, c123, c23, cw3, $jmSuSql AS su FROM scj)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tri,
+         |  CAST(SUM(CASE WHEN c123 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx3,
+         |  CAST(SUM(CASE WHEN c23 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx2,
+         |  CAST(SUM(CASE WHEN cw3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx1,
+         |  CAST(SUM(su) AS BIGINT) AS score_micro
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "lm_ngram_backoff" ->
       s"""WITH $scoreCoreSql
          |SELECT doc_id,

@@ -33,6 +33,45 @@ class LmSpec extends SparkSpecBase {
     assert(r.getLong(5) == exp)
   }
 
+  test("Jelinek-Mercer: hand-checked interpolated scores on the same " +
+    "fixture; context availability nests ctx3 <= ctx2 <= ctx1; corpus " +
+    "coverage diagnostics bounded by n_tri") {
+    val out = functions.Lm.lmJelinekMercerOn(docs, col("doc_id") < 10L)
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(1) == 5L) // n_tri
+    // contexts available per test trigram (train: c(abc)=2, c(bcd)=1,
+    // c(bce)=1; bigrams ab2 bc2 cd ce; unigrams a2 b2 c2 d e, N=8):
+    //  (a,b,c): tri+bi+uni | (b,c,x): none (x OOV) | (c,x,b): uni only
+    //  (x,b,c): bi (bc) + uni | (b,c,d): tri+bi+uni
+    assert(r.getLong(2) == 2L, "n_ctx3") // (a,b,c), (b,c,d)
+    assert(r.getLong(3) == 3L, "n_ctx2") // + (x,b,c)
+    assert(r.getLong(4) == 4L, "n_ctx1") // + (c,x,b)
+    // replay the shared formula in the same double order
+    def su(t3: Option[(Long, Long)], b2: Option[(Long, Long)],
+        u1: Option[Long]): Long =
+      math.floor(1000000.0 * (
+        0.5 * t3.map { case (a, b) => a.toDouble / b }.getOrElse(0.0) +
+        0.3 * b2.map { case (a, b) => a.toDouble / b }.getOrElse(0.0) +
+        0.2 * u1.map(_.toDouble / 8).getOrElse(0.0))).toLong
+    val exp =
+      su(Some((2L, 2L)), Some((2L, 2L)), Some(2L)) + // (a,b,c)
+      su(None, None, None) +                          // (b,c,x)
+      su(None, None, Some(2L)) +                      // (c,x,b): c(b)=2
+      su(None, Some((2L, 2L)), Some(2L)) +            // (x,b,c)
+      // (b,c,d): tri c(bcd)=1/c(bc)=2; bi c(cd)=1/c(c)=2; uni c(d)=1
+      su(Some((1L, 2L)), Some((1L, 2L)), Some(1L))
+    assert(r.getLong(5) == exp, s"got ${r.getLong(5)} want $exp")
+    // corpus: coverage counters bounded and nested
+    val c = functions.Lm.lmJelinekMercer(spark, sf)
+    assert(c.where(col("n_ctx3") > col("n_ctx2") ||
+      col("n_ctx2") > col("n_ctx1") || col("n_ctx1") > col("n_tri") ||
+      col("score_micro") < 0L ||
+      col("score_micro") > col("n_tri") * 1000000L).count() == 0)
+    assert(c.count() > 0)
+  }
+
   test("docs under 3 tokens score no trigrams and are absent") {
     val d = Seq((1L, "a b c", "en"), (10L, "x y", "en"))
       .toDF("doc_id", "text", "lang")
