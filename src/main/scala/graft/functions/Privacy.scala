@@ -441,7 +441,54 @@ object Privacy {
   def privacyDpQuantile(s: SparkSession, dir: String): DataFrame =
     privacyDpQuantileOn(Tables.customer(s, dir))
 
+  /** ln(1/δ) at the pinned δ = 1e-5, quantized to integer nano-nats
+    * BEFORE any further arithmetic (the per-term-quantization rule:
+    * libm ln may differ by 1 ulp between engines — ~2e-14 absolute
+    * here — which the +0.5 floor absorbs by 9 orders of magnitude). */
+  val DpAcctLnInvDeltaNano = "CAST(floor(ln(100000.0) * 1000000000 + 0.5) AS BIGINT)"
+
+  /** L13h: RDP privacy ACCOUNTANT for DP-SGD-style iterated Gaussian
+    * mechanisms (Abadi et al. 2016; Mironov 2017, Rényi DP): for each
+    * (noise multiplier σ, step count T) of a planning grid, the
+    * composed (ε, δ=1e-5) guarantee via the standard RDP recipe —
+    * per order α the Gaussian mechanism costs α/(2σ²) per step, RDP
+    * composes ADDITIVELY over T steps, and the conversion to (ε, δ)
+    * is ε(α) = T·α/(2σ²) + ln(1/δ)/(α−1), minimized over an integer α
+    * grid. The design table a training pipeline reads BEFORE paying
+    * for a private run (the event_mde_curve / dedup_lsh_planner
+    * pattern: plan first, spend second). σ rides a tenths grid so
+    * T·α/(2σ²) is EXACT integer arithmetic in nano-nats
+    * (·100 / (2·σ_e1²)); the one transcendental term is quantized per
+    * the house rule. Output per (σ, T): the minimizing α and ε in
+    * nano-nats, plus the exact-integer RDP slope at that α.
+    *
+    * Scale: a 18-row literal relation with a 63-point α sweep per row
+    * — one partitioned rank window; the value at 100 TB is what it
+    * licenses you to train. */
+  def privacyDpAccountant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = (for {
+      sE1 <- Seq(5L, 8L, 10L, 15L, 20L, 30L)
+      t <- Seq(100L, 1000L, 10000L)
+    } yield (sE1, t)).toDF("sigma_e1", "t_steps")
+    val w = Window.partitionBy("sigma_e1", "t_steps")
+      .orderBy(col("eps_nano").asc, col("alpha").asc)
+    grid
+      .withColumn("alpha", explode(array((2L to 64L).map(lit): _*)))
+      .withColumn("rdp_nano",
+        expr("t_steps * alpha * 100000000000 DIV (2 * sigma_e1 * sigma_e1)"))
+      .withColumn("eps_nano",
+        expr(s"rdp_nano + $DpAcctLnInvDeltaNano DIV (alpha - 1)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("sigma_e1"), col("t_steps"),
+        col("alpha").as("best_alpha"), col("eps_nano"),
+        col("rdp_nano"))
+      .orderBy("sigma_e1", "t_steps")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_dp_accountant" -> privacyDpAccountant,
     "privacy_kanon" -> privacyKanon,
     "privacy_ldp_frequency" -> privacyLdpFrequency,
     "privacy_dp_quantile" -> privacyDpQuantile,
@@ -452,6 +499,29 @@ object Privacy {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors privacyDpAccountant: same integer nano-nat RDP slope,
+    // same quantized ln(1/delta) term, same (eps, alpha) argmin.
+    "privacy_dp_accountant" ->
+      s"""WITH g AS (SELECT s.sigma_e1, t.t_steps
+         |    FROM (SELECT UNNEST([5, 8, 10, 15, 20, 30])::BIGINT
+         |      AS sigma_e1) s,
+         |    (SELECT UNNEST([100, 1000, 10000])::BIGINT AS t_steps) t),
+         |a AS (SELECT g.*, al.alpha FROM g,
+         |    (SELECT UNNEST(range(2, 65)) AS alpha) al),
+         |e AS (SELECT sigma_e1, t_steps, alpha,
+         |    t_steps * alpha * 100000000000
+         |      // (2 * sigma_e1 * sigma_e1) AS rdp_nano,
+         |    t_steps * alpha * 100000000000
+         |      // (2 * sigma_e1 * sigma_e1)
+         |      + $DpAcctLnInvDeltaNano // (alpha - 1) AS eps_nano
+         |  FROM a)
+         |SELECT sigma_e1, t_steps, CAST(alpha AS BIGINT) AS best_alpha,
+         |  CAST(eps_nano AS BIGINT) AS eps_nano,
+         |  CAST(rdp_nano AS BIGINT) AS rdp_nano
+         |FROM e
+         |QUALIFY row_number() OVER (PARTITION BY sigma_e1, t_steps
+         |  ORDER BY eps_nano ASC, alpha ASC) = 1
+         |ORDER BY sigma_e1, t_steps""".stripMargin,
     // Mirrors privacyDpMeanOn: same clip, same two pinned coins and
     // shared noise ladder, same clamp-then-divide.
     "privacy_dp_mean" ->

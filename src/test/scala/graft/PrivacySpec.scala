@@ -255,4 +255,31 @@ class PrivacySpec extends SparkSpecBase {
     val cappedTotal = out.agg(sum("n_capped")).as[Long].head()
     assert(cappedTotal <= 8L * users)
   }
+
+  test("privacy_dp_accountant: one cell replayed by hand (full 63-point " +
+    "alpha sweep); epsilon monotone down in sigma, up in T") {
+    val out = functions.Privacy.privacyDpAccountant(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.length == 18)
+    // hand replay for (sigma=1.0 -> sigma_e1=10, T=1000)
+    val lnNano = math.floor(math.log(100000.0) * 1e9 + 0.5).toLong
+    val sweep = (2L to 64L).map { a =>
+      val rdp = 1000L * a * 100000000000L / (2 * 10 * 10)
+      (rdp + lnNano / (a - 1), a, rdp)
+    }
+    val (bestEps, bestA, bestRdp) = sweep.min
+    val cell = out.find(r => r._1 == 10L && r._2 == 1000L).get
+    assert(cell._3 == bestA && cell._4 == bestEps && cell._5 == bestRdp,
+      s"$cell vs ($bestA, $bestEps, $bestRdp)")
+    // more noise => smaller epsilon at fixed T; more steps => larger
+    // epsilon at fixed sigma
+    out.groupBy(_._2).values.foreach { g =>
+      assert(g.sortBy(_._1).map(_._4).sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1)))
+    }
+    out.groupBy(_._1).values.foreach { g =>
+      assert(g.sortBy(_._2).map(_._4).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)))
+    }
+  }
 }
