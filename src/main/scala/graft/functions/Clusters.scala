@@ -1081,9 +1081,17 @@ object Clusters {
     * itself adds only |cuts| CC runs on monotone-shrinking edge
     * subsets, each O(log n) rounds. */
   def dedupSemanticSweepOn(pairs: DataFrame, nPoints: DataFrame,
-      cutsE4: Seq[Long] = Seq(4000L, 4500L, 5000L, 5500L)): DataFrame = {
+      cutsE4: Seq[Long] = Seq(4000L, 4500L, 5000L, 5500L),
+      sourceThrE4: Long = 4000L): DataFrame = {
     require(cutsE4.nonEmpty && cutsE4.size <= 8,
       s"the cut ladder must be a small constant, got $cutsE4")
+    // The pairs relation was generated AT a threshold; any cut below
+    // it would census a graph silently truncated at the source cut.
+    // The caller declares that source threshold so the coupling is a
+    // checked contract, not a comment.
+    require(cutsE4.min >= sourceThrE4,
+      s"cut ladder min ${cutsE4.min} below the pair-source threshold " +
+        s"$sourceThrE4 — the census would be silently truncated")
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -1119,7 +1127,8 @@ object Clusters {
   def dedupSemanticSweep(s: SparkSession, dir: String): DataFrame =
     dedupSemanticSweepOn(
       Dedup.dedupEmbeddingCached(s, dir, threshold = 0.40),
-      Tables.embeddings(s, dir).agg(count(lit(1)).as("n_points")))
+      Tables.embeddings(s, dir).agg(count(lit(1)).as("n_points")),
+      sourceThrE4 = 4000L)
 
   /** Candidate near-dup edges the SemDeDup way (Abbas et al. 2023):
     * pair generation bounded INSIDE k-means cells — vectors are first

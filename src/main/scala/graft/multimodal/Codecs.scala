@@ -102,7 +102,17 @@ object Codecs {
       require(u16(b, 26) == 1 && u16(b, 28) == 24,
         "only 24-bit single-plane supported")
       require(s32(b, 30) == 0, "only BI_RGB (uncompressed) supported")
+      // Range-check header fields before allocating: the decode
+      // boundary parses external bytes, so a crafted header must fail
+      // fast with a clear message, not overflow width*height*3 into a
+      // NegativeArraySizeException or index past the buffer.
+      require(width > 0 && height > 0 && hRaw != 0 &&
+        width.toLong * height * 3 <= Int.MaxValue,
+        s"corrupt BMP dimensions ${width}x$hRaw")
       val stride = bmpStride(width)
+      require(dataOff >= 54 &&
+        dataOff.toLong + stride.toLong * height <= b.length,
+        s"corrupt BMP data offset $dataOff for ${b.length} bytes")
       val rgb = new Array[Byte](width * height * 3)
       var y = 0
       while (y < height) {
@@ -160,7 +170,13 @@ object Codecs {
       while (off + 8 <= b.length) {
         val id = new String(b, off, 4, "US-ASCII")
         val len = s32(b, off + 4)
+        // A negative len (crafted bytes) would leave `off` unchanged
+        // and loop forever; an oversized one would index past the
+        // buffer mid-parse. Fail fast on either.
+        require(len >= 0 && off + 8 + len.toLong <= b.length,
+          s"corrupt RIFF chunk '$id' len $len at offset $off")
         if (id == "fmt ") {
+          require(len >= 16, s"fmt chunk too short ($len)")
           require(u16(b, off + 8) == 1, "only PCM supported")
           channels = u16(b, off + 10)
           rate = s32(b, off + 12)

@@ -619,14 +619,18 @@ object Events {
       .localCheckpoint(true) // both sides of the lag join read it
     val ks = y.sparkSession.range(1)
       .select(explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"))
+    // Both sides derive from the same checkpointed `y`; rename every
+    // prev-side column so the join condition resolves on disjoint
+    // attributes (no reliance on Spark's self-join disambiguation —
+    // the classic trivially-true-predicate hazard).
     val cur = y.crossJoin(broadcast(ks))
       .select(col("event_type"), col("lag"), col("i"), col("x"))
-    val prev = y.select(col("event_type"), col("i").as("pi"),
-      col("x").as("px"))
+    val prev = y.select(col("event_type").as("p_et"),
+      col("i").as("pi"), col("x").as("px"))
     cur.join(prev,
-        cur("event_type") === prev("event_type") &&
-          prev("pi") === cur("i") - cur("lag"))
-      .groupBy(cur("event_type"), col("lag"))
+        col("p_et") === col("event_type") &&
+          col("pi") === col("i") - col("lag"))
+      .groupBy(col("event_type"), col("lag"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("px")).as("sy"), sum(col("x") * col("px")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
@@ -2292,7 +2296,10 @@ object Events {
       .select(substring(col("cents").cast("string"), 1, 1).as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))
     val tot = obs.agg(sum(col("n_obs")).as("n"))
-    broadcast(expected).join(obs, Seq("digit"), "left")
+    // Broadcast the RIGHT (buildable) side: Spark cannot broadcast the
+    // preserved side of a left-outer join, so hinting `expected` was
+    // silently ignored (HintErrorLogger). `obs` is <= 9 rows.
+    expected.join(broadcast(obs), Seq("digit"), "left")
       .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
       .crossJoin(broadcast(tot)) // 1-row scalar side
       .withColumn("obs_ppm", expr("n_obs * 1000000 DIV n"))
