@@ -54,8 +54,57 @@ object Codecs {
     b(off + 3) = ((v >> 24) & 0xff).toByte
   }
 
-  /** BMP row stride: pixel rows pad to 4-byte boundaries. */
+  /** BMP/DIB row stride: pixel rows pad to 4-byte boundaries. */
   def bmpStride(width: Int): Int = ((width * 3 + 3) / 4) * 4
+
+  /** Pack a top-down RGB raster as a bottom-up BGR stride-padded DIB
+    * pixel array at `dstOff` — the shared byte layout of a BMP body
+    * and an AVI '00db' frame chunk. */
+  private def writeDib(width: Int, height: Int, rgb: Array[Byte],
+      out: Array[Byte], dstOff: Int): Unit = {
+    val stride = bmpStride(width)
+    var y = 0
+    while (y < height) {
+      val dst = dstOff + (height - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < width) {
+        val src = (y * width + x) * 3
+        out(dst + x * 3) = rgb(src + 2)     // B
+        out(dst + x * 3 + 1) = rgb(src + 1) // G
+        out(dst + x * 3 + 2) = rgb(src)     // R
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Unpack a DIB pixel array at `srcOff` into a top-down RGB raster;
+    * validates the raster fits inside the buffer before reading. */
+  private def readDib(b: Array[Byte], srcOff: Int, width: Int,
+      height: Int, topDown: Boolean): Array[Byte] = {
+    val stride = bmpStride(width)
+    require(width > 0 && height > 0 &&
+      width.toLong * height * 3 <= Int.MaxValue,
+      s"corrupt DIB dimensions ${width}x$height")
+    require(srcOff >= 0 &&
+      srcOff.toLong + stride.toLong * height <= b.length,
+      s"corrupt DIB raster offset $srcOff for ${b.length} bytes")
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = srcOff + (if (topDown) y else height - 1 - y) * stride
+      var x = 0
+      while (x < width) {
+        val dst = (y * width + x) * 3
+        rgb(dst) = b(srcRow + x * 3 + 2)     // R
+        rgb(dst + 1) = b(srcRow + x * 3 + 1) // G
+        rgb(dst + 2) = b(srcRow + x * 3)     // B
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
 
   /** Encode a top-down RGB raster as a standard bottom-up 24-bit
     * BI_RGB BMP (BITMAPFILEHEADER + BITMAPINFOHEADER = 54 bytes). */
@@ -72,19 +121,7 @@ object Codecs {
     w16(out, 26, 1); w16(out, 28, 24) // planes, bpp
     w32(out, 30, 0) // BI_RGB
     w32(out, 34, stride * height)
-    var y = 0
-    while (y < height) {
-      val dst = 54 + (height - 1 - y) * stride // bottom-up
-      var x = 0
-      while (x < width) {
-        val src = (y * width + x) * 3
-        out(dst + x * 3) = rgb(src + 2)     // B
-        out(dst + x * 3 + 1) = rgb(src + 1) // G
-        out(dst + x * 3 + 2) = rgb(src)     // R
-        x += 1
-      }
-      y += 1
-    }
+    writeDib(width, height, rgb, out, 54)
     out
   }
 
@@ -102,32 +139,13 @@ object Codecs {
       require(u16(b, 26) == 1 && u16(b, 28) == 24,
         "only 24-bit single-plane supported")
       require(s32(b, 30) == 0, "only BI_RGB (uncompressed) supported")
-      // Range-check header fields before allocating: the decode
-      // boundary parses external bytes, so a crafted header must fail
-      // fast with a clear message, not overflow width*height*3 into a
-      // NegativeArraySizeException or index past the buffer.
-      require(width > 0 && height > 0 && hRaw != 0 &&
-        width.toLong * height * 3 <= Int.MaxValue,
-        s"corrupt BMP dimensions ${width}x$hRaw")
-      val stride = bmpStride(width)
-      require(dataOff >= 54 &&
-        dataOff.toLong + stride.toLong * height <= b.length,
-        s"corrupt BMP data offset $dataOff for ${b.length} bytes")
-      val rgb = new Array[Byte](width * height * 3)
-      var y = 0
-      while (y < height) {
-        val srcRow = dataOff + (if (topDown) y else height - 1 - y) * stride
-        var x = 0
-        while (x < width) {
-          val dst = (y * width + x) * 3
-          rgb(dst) = b(srcRow + x * 3 + 2)     // R
-          rgb(dst + 1) = b(srcRow + x * 3 + 1) // G
-          rgb(dst + 2) = b(srcRow + x * 3)     // B
-          x += 1
-        }
-        y += 1
-      }
-      DecodedImage(width, height, rgb)
+      // readDib range-checks dimensions and the raster extent before
+      // allocating — a crafted header fails fast with a clear message
+      // instead of overflowing width*height*3 or indexing past the
+      // buffer; additionally pin the data offset past the headers.
+      require(dataOff >= 54, s"corrupt BMP data offset $dataOff")
+      DecodedImage(width, height,
+        readDib(b, dataOff, width, height, topDown))
     }
   }
 
@@ -194,6 +212,178 @@ object Codecs {
       }
       require(rate > 0 && samples != null, "missing fmt or data chunk")
       DecodedAudio(rate, channels, samples)
+    }
+  }
+
+  /** Decoded video: per-frame top-down RGB rasters + stream timing. */
+  final case class DecodedVideo(width: Int, height: Int, fps: Int,
+      frames: Array[Array[Byte]])
+
+  trait VideoDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): DecodedVideo
+  }
+
+  private def wTag(b: Array[Byte], off: Int, tag: String): Unit = {
+    var i = 0
+    while (i < 4) { b(off + i) = tag.charAt(i).toByte; i += 1 }
+  }
+
+  /** Closed-form byte size of [[aviEncode]]'s output: 12-byte RIFF
+    * header + 200-byte hdrl LIST (avih 64 + strl 124) + movi LIST
+    * (12 + nFrames x (8 + stride x height)). The oracle replays this. */
+  def aviSize(width: Int, height: Int, nFrames: Int): Int =
+    224 + nFrames * (8 + bmpStride(width) * height)
+
+  /** Encode top-down RGB rasters as an uncompressed RIFF/AVI (the
+    * video container the reference's cv2.VideoCapture loop reads,
+    * raw_to_samples.py:173-196): 'RIFF…AVI ' + LIST hdrl (avih main
+    * header + LIST strl with a 'vids'/'DIB ' strh and a
+    * BITMAPINFOHEADER strf) + LIST movi holding one '00db' chunk per
+    * frame, each a bottom-up BGR stride-padded DIB — the same pixel
+    * array layout as the BMP body, per the public AVI/DIB byte specs. */
+  def aviEncode(width: Int, height: Int, fps: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(fps > 0 && frames.nonEmpty, "need fps > 0 and >= 1 frame")
+    frames.foreach(f => require(f.length == width * height * 3,
+      s"frame length ${f.length} != $width x $height x 3"))
+    val stride = bmpStride(width)
+    val frameBytes = stride * height
+    val nf = frames.length
+    val size = aviSize(width, height, nf)
+    val out = new Array[Byte](size)
+    wTag(out, 0, "RIFF"); w32(out, 4, size - 8); wTag(out, 8, "AVI ")
+    // LIST hdrl: content = 'hdrl' + avih(64) + strl LIST(124) = 192
+    wTag(out, 12, "LIST"); w32(out, 16, 192); wTag(out, 20, "hdrl")
+    // avih (MainAVIHeader, 56 bytes)
+    wTag(out, 24, "avih"); w32(out, 28, 56)
+    val avih = 32
+    w32(out, avih, 1000000 / fps)          // dwMicroSecPerFrame
+    w32(out, avih + 4, fps * frameBytes)   // dwMaxBytesPerSec
+    w32(out, avih + 16, nf)                // dwTotalFrames
+    w32(out, avih + 24, 1)                 // dwStreams
+    w32(out, avih + 28, frameBytes + 8)    // dwSuggestedBufferSize
+    w32(out, avih + 32, width); w32(out, avih + 36, height)
+    // LIST strl: content = 'strl' + strh(64) + strf(48) = 116
+    wTag(out, 88, "LIST"); w32(out, 92, 116); wTag(out, 96, "strl")
+    wTag(out, 100, "strh"); w32(out, 104, 56)
+    val strh = 108
+    wTag(out, strh, "vids"); wTag(out, strh + 4, "DIB ")
+    w32(out, strh + 20, 1)                 // dwScale
+    w32(out, strh + 24, fps)               // dwRate (fps = rate/scale)
+    w32(out, strh + 32, nf)                // dwLength
+    w32(out, strh + 36, frameBytes + 8)    // dwSuggestedBufferSize
+    w16(out, strh + 52, width); w16(out, strh + 54, height) // rcFrame
+    wTag(out, 164, "strf"); w32(out, 168, 40)
+    val strf = 172
+    w32(out, strf, 40)                     // biSize
+    w32(out, strf + 4, width); w32(out, strf + 8, height) // bottom-up
+    w16(out, strf + 12, 1); w16(out, strf + 14, 24) // planes, bpp
+    w32(out, strf + 16, 0)                 // BI_RGB
+    w32(out, strf + 20, frameBytes)        // biSizeImage
+    // LIST movi
+    wTag(out, 212, "LIST"); w32(out, 216, 4 + nf * (8 + frameBytes))
+    wTag(out, 220, "movi")
+    var off = 224
+    frames.foreach { f =>
+      wTag(out, off, "00db"); w32(out, off + 4, frameBytes)
+      writeDib(width, height, f, out, off + 8)
+      off += 8 + frameBytes // stride is 4-aligned, so never odd
+    }
+    out
+  }
+
+  /** The real decoder: walks the top-level RIFF chunk list, descends
+    * the hdrl LIST for the stream headers (avih dims, strh
+    * rate/scale timing, strf raster format), then the movi LIST
+    * collecting '00db'/'00dc' DIB frames — each unpacked through the
+    * same stride/BGR/bottom-up raster logic as BMP. Every chunk
+    * length is validated against the buffer before reading, so
+    * crafted bytes fail fast instead of looping or over-indexing. */
+  final class AviDecoder extends VideoDecoder {
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    private def checkedLen(b: Array[Byte], off: Int, end: Int): Int = {
+      val len = s32(b, off + 4)
+      require(len >= 0 && off + 8 + len.toLong <= end,
+        s"corrupt RIFF chunk '${tag(b, off)}' len $len at offset $off")
+      len
+    }
+
+    def decode(b: Array[Byte]): DecodedVideo = {
+      require(b.length >= 12 && tag(b, 0) == "RIFF" &&
+        tag(b, 8) == "AVI ", "not a RIFF/AVI")
+      var width = 0; var height = 0; var topDown = false
+      var scale = 0; var rate = 0
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+      def parseStrl(from: Int, end: Int): Unit = {
+        var off = from
+        while (off + 8 <= end) {
+          val len = checkedLen(b, off, end)
+          tag(b, off) match {
+            case "strh" if tag(b, off + 8) == "vids" =>
+              require(len >= 56, s"strh too short ($len)")
+              require(tag(b, off + 12) == "DIB " ||
+                s32(b, off + 12) == 0, "only uncompressed DIB video")
+              scale = s32(b, off + 28); rate = s32(b, off + 32)
+            case "strf" =>
+              require(len >= 40, s"strf too short ($len)")
+              width = s32(b, off + 12)
+              val hRaw = s32(b, off + 16)
+              topDown = hRaw < 0
+              height = math.abs(hRaw)
+              require(u16(b, off + 20) == 1 && u16(b, off + 22) == 24,
+                "only 24-bit single-plane supported")
+              require(s32(b, off + 24) == 0, "only BI_RGB supported")
+            case _ => ()
+          }
+          off += 8 + len + (len & 1)
+        }
+      }
+
+      def parseHdrl(from: Int, end: Int): Unit = {
+        var off = from
+        while (off + 8 <= end) {
+          val len = checkedLen(b, off, end)
+          if (tag(b, off) == "LIST" && len >= 4 &&
+            tag(b, off + 8) == "strl") parseStrl(off + 12, off + 8 + len)
+          off += 8 + len + (len & 1)
+        }
+      }
+
+      def parseMovi(from: Int, end: Int): Unit = {
+        var off = from
+        while (off + 8 <= end) {
+          val len = checkedLen(b, off, end)
+          val id = tag(b, off)
+          if (id == "00db" || id == "00dc") {
+            require(width > 0 && height > 0,
+              "movi frame before stream headers")
+            require(len >= bmpStride(width) * height,
+              s"frame chunk len $len short of the raster")
+            frames += readDib(b, off + 8, width, height, topDown)
+          }
+          off += 8 + len + (len & 1)
+        }
+      }
+
+      var off = 12
+      while (off + 8 <= b.length) {
+        val len = checkedLen(b, off, b.length)
+        if (tag(b, off) == "LIST" && len >= 4) {
+          tag(b, off + 8) match {
+            case "hdrl" => parseHdrl(off + 12, off + 8 + len)
+            case "movi" => parseMovi(off + 12, off + 8 + len)
+            case _ => ()
+          }
+        }
+        off += 8 + len + (len & 1)
+      }
+      require(width > 0 && height > 0, "missing strf header")
+      require(scale > 0 && rate > 0, "missing or zero strh timing")
+      require(frames.nonEmpty, "no movi frames")
+      DecodedVideo(width, height, rate / scale, frames.toArray)
     }
   }
 }

@@ -51,6 +51,7 @@ object Multimodal {
   val TranscoderConfKey = "spark.graft.media.transcoder"
   val ImageDecoderConfKey = "spark.graft.media.imageDecoder"
   val AudioDecoderConfKey = "spark.graft.media.audioDecoder"
+  val VideoDecoderConfKey = "spark.graft.media.videoDecoder"
 
   private[multimodal] def instantiate[T](className: String): T = {
     // context classloader first: REPL/notebook-defined impls and
@@ -598,6 +599,88 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** L5k: REAL video container decode — the modality the reference
+    * actually exists to process (raw_to_samples.py:173-196 is a
+    * cv2.VideoCapture per-frame iteration; fps/frame-count probing at
+    * :302-307). Per document a deterministic multi-frame clip is
+    * encoded into a genuine uncompressed RIFF/AVI
+    * ([[Codecs.aviEncode]]: LIST hdrl with avih/strh/strf headers +
+    * LIST movi of '00db' DIB frames) and decoded by the
+    * conf-pluggable [[Codecs.VideoDecoder]] (default: the pure-JVM
+    * chunk-walking [[Codecs.AviDecoder]]) inside mapPartitions with
+    * per-partition decoder init. Every emitted stat comes from the
+    * PARSED container: n_frames is the count of decoded movi chunks,
+    * fps is strh dwRate/dwScale, sum_rgb sums the decoded rasters,
+    * and n_cuts counts inter-frame mean-luma jumps >= 20000 milli —
+    * the scene-cut rule of [[mmSceneCuts]] run over real bytes. A
+    * header, stride, row-order, chunk-offset, or timing bug
+    * hash-mismatches the oracle's arithmetic replay (which also
+    * recomputes the closed-form container size [[Codecs.aviSize]]).
+    * MP4 stays the documented surrogate boundary (no media libs).
+    *
+    * Dimensions stay small (w<=15, h<=10, nf<=6) so the oracle's
+    * explicit frame-pixel relation stays bounded.
+    *
+    * Scale: encode+decode are map-only over the documents scan — no
+    * shuffle before the final orderBy; at 100 TB clips ride their
+    * source partitioning and decoders amortize per partition. */
+  def mmDecodeVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(VideoDecoderConfKey, classOf[Codecs.AviDecoder].getName)
+    val encoded = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 8).toInt
+          val h = (6 + id % 5).toInt
+          val nf = (3 + id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            val px = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = (y * w + x) * 3
+                px(base) =
+                  ((id * 7 + f * 41 + x * 13 + y * 31) % 256).toByte
+                px(base + 1) =
+                  ((id * 11 + f * 19 + x * 17 + y * 5) % 256).toByte
+                px(base + 2) =
+                  ((id * 3 + f * 53 + x * 29 + y * 23) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            px
+          }
+          (id, Codecs.aviEncode(w, h, 10, frames))
+        }
+      }.toDF("doc_id", "avi")
+    encoded.as[(Long, Array[Byte])].mapPartitions { it =>
+      val dec = instantiate[Codecs.VideoDecoder](decoderClass)
+      it.map { case (id, bytes) =>
+        val v = dec.decode(bytes)
+        val denom = v.width.toLong * v.height * 3
+        var sumRgb = 0L
+        var nCuts = 0L
+        var prevM = -1L
+        v.frames.foreach { f =>
+          var fs = 0L
+          var i = 0
+          while (i < f.length) { fs += f(i) & 0xff; i += 1 }
+          sumRgb += fs
+          val m = fs * 1000 / denom
+          if (prevM >= 0 && math.abs(m - prevM) >= 20000) nCuts += 1
+          prevM = m
+        }
+        (id, bytes.length.toLong, v.width, v.height,
+          v.frames.length.toLong, v.fps, sumRgb, nCuts)
+      }
+    }.toDF("doc_id", "n_bytes", "width", "height", "n_frames", "fps",
+      "sum_rgb", "n_cuts")
+      .orderBy("doc_id")
+  }
+
   /** L5j: perceptual-hash dedup over REAL decoded bytes — the full
     * image-dedup pipeline with no surrogate left in the hot path:
     * deterministic rasters (pattern keyed by doc_id % 97, so ~5-doc
@@ -696,6 +779,7 @@ object Multimodal {
     "mm_phash_real" -> mmPhashReal,
     "mm_decode_image" -> mmDecodeImage,
     "mm_decode_audio" -> mmDecodeAudio,
+    "mm_decode_video" -> mmDecodeVideo,
     "mm_interleave" -> mmInterleave,
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_audio_vad" -> mmAudioVad,
@@ -764,6 +848,33 @@ object Multimodal {
         |  CAST(SUM((doc_id * 3 + x * 29 + y * 23) % 256) AS BIGINT)
         |    AS sum_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_decode_video" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 8 AS w,
+        |    6 + doc_id % 5 AS h, 3 + doc_id % 4 AS nf FROM documents),
+        |px AS (SELECT doc_id, w, h, nf, fs.f, xs.x, ys.y
+        |  FROM d, range(0, 6) fs(f), range(0, 15) xs(x),
+        |    range(0, 10) ys(y)
+        |  WHERE fs.f < nf AND xs.x < w AND ys.y < h),
+        |pv AS (SELECT doc_id, w, h, nf, f,
+        |    (doc_id * 7 + f * 41 + x * 13 + y * 31) % 256
+        |    + (doc_id * 11 + f * 19 + x * 17 + y * 5) % 256
+        |    + (doc_id * 3 + f * 53 + x * 29 + y * 23) % 256 AS v
+        |  FROM px),
+        |fm AS (SELECT doc_id, w, h, nf, f,
+        |    CAST(SUM(v) AS BIGINT) AS s,
+        |    (CAST(SUM(v) AS BIGINT) * 1000) // (w * h * 3) AS m
+        |  FROM pv GROUP BY 1, 2, 3, 4, 5),
+        |fc AS (SELECT doc_id, w, h, nf, s, m,
+        |    LAG(m) OVER (PARTITION BY doc_id ORDER BY f) AS pm FROM fm)
+        |SELECT doc_id,
+        |  CAST(224 + MAX(nf) * (8 + ((MAX(w) * 3 + 3) // 4) * 4 * MAX(h))
+        |    AS BIGINT) AS n_bytes,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  CAST(MAX(nf) AS BIGINT) AS n_frames, CAST(10 AS INT) AS fps,
+        |  CAST(SUM(s) AS BIGINT) AS sum_rgb,
+        |  CAST(SUM(CASE WHEN pm IS NOT NULL AND abs(m - pm) >= 20000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+        |FROM fc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_decode_audio" ->
       """WITH d AS (SELECT doc_id, 160 + doc_id % 64 AS n FROM documents),
         |sm AS (SELECT doc_id, n,

@@ -348,6 +348,122 @@ class MultimodalSpec extends SparkSpecBase {
       assert(z == 0L)
     } finally spark.conf.unset(key)
   }
+
+  test("AVI round-trip identity across stride paddings; decoder " +
+    "survives layout variations the encoder never emits (JUNK chunk, " +
+    "idx1, 00dc tag, top-down negative-height strf)") {
+    import multimodal.Codecs
+    val dec = new Codecs.AviDecoder()
+    for (w <- 5 to 8; nf <- Seq(1, 3)) {
+      val h = 4
+      val frames = (0 until nf).map(f =>
+        Array.tabulate(w * h * 3)(i => ((i * 31 + f * 97 + 7) % 256).toByte))
+      val v = dec.decode(Codecs.aviEncode(w, h, 10, frames))
+      assert(v.width == w && v.height == h && v.fps == 10)
+      assert(v.frames.length == nf, s"w=$w nf=$nf")
+      for (f <- 0 until nf)
+        assert(v.frames(f).toSeq == frames(f).toSeq, s"w=$w f=$f")
+    }
+    // layout variations: take a canonical file and rewrite it the way
+    // real muxers do — extra chunks, a different frame tag, top-down
+    // rows — the parsed rasters must not change.
+    val w = 6; val h = 3
+    val frames = (0 until 2).map(f =>
+      Array.tabulate(w * h * 3)(i => ((i * 53 + f * 19) % 256).toByte))
+    val canon = Codecs.aviEncode(w, h, 10, frames)
+    val stride = Codecs.bmpStride(w)
+    val frameBytes = stride * h
+    // (a) JUNK between hdrl and movi + trailing idx1; patched RIFF size
+    val junk = Array[Byte]('J', 'U', 'N', 'K', 6, 0, 0, 0, 1, 2, 3, 4, 5, 6)
+    val idx1 = Array[Byte]('i', 'd', 'x', '1', 4, 0, 0, 0, 0, 0, 0, 0)
+    val varied = canon.slice(0, 212) ++ junk ++
+      canon.slice(212, canon.length) ++ idx1
+    val newLen = varied.length - 8
+    varied(4) = (newLen & 0xff).toByte
+    varied(5) = ((newLen >> 8) & 0xff).toByte
+    val v1 = dec.decode(varied)
+    assert(v1.frames.length == 2 &&
+      v1.frames(1).toSeq == frames(1).toSeq)
+    // (b) 00dc tag instead of 00db
+    val dc = canon.clone()
+    for (f <- 0 until 2) dc(224 + f * (8 + frameBytes) + 3) = 'c'
+    assert(dec.decode(dc).frames(0).toSeq == frames(0).toSeq)
+    // (c) top-down: negate biHeight and reverse each frame's row order
+    val td = canon.clone()
+    val negH = -h
+    for (i <- 0 until 4) td(180 + i) = ((negH >> (8 * i)) & 0xff).toByte
+    for (f <- 0 until 2) {
+      val base = 224 + f * (8 + frameBytes) + 8
+      val rows = (0 until h).map(r =>
+        canon.slice(base + r * stride, base + (r + 1) * stride))
+      for (r <- 0 until h)
+        System.arraycopy(rows(h - 1 - r), 0, td, base + r * stride, stride)
+    }
+    val v3 = dec.decode(td)
+    for (f <- 0 until 2)
+      assert(v3.frames(f).toSeq == frames(f).toSeq, s"top-down f=$f")
+  }
+
+  test("AVI decoder fails fast on corrupt bytes: negative chunk " +
+    "length, truncated buffer, frame chunk shorter than the raster, " +
+    "frame before headers") {
+    import multimodal.Codecs
+    val dec = new Codecs.AviDecoder()
+    val frames = Seq(Array.tabulate(6 * 3 * 3)(i => (i % 256).toByte))
+    val canon = Codecs.aviEncode(6, 3, 10, frames)
+    // negative movi LIST length
+    val neg = canon.clone()
+    neg(216) = -1; neg(217) = -1; neg(218) = -1; neg(219) = -1
+    intercept[IllegalArgumentException](dec.decode(neg))
+    // truncated mid-frame
+    intercept[IllegalArgumentException](
+      dec.decode(canon.slice(0, canon.length - 4)))
+    // frame chunk claims fewer bytes than stride*h needs
+    val short = canon.clone()
+    short(228) = 4; short(229) = 0; short(230) = 0; short(231) = 0
+    intercept[IllegalArgumentException](dec.decode(short))
+    // movi before hdrl: frame with no stream headers yet
+    val hdrl = canon.slice(12, 212)
+    val movi = canon.slice(212, canon.length)
+    val swapped = canon.slice(0, 12) ++ movi ++ hdrl
+    intercept[IllegalArgumentException](dec.decode(swapped))
+  }
+
+  test("mm_decode_video consumes REAL RIFF/AVI bytes: decoded stats " +
+    "match the pattern arithmetic and the closed-form container size; " +
+    "decoder binding is conf-swappable") {
+    import multimodal.Codecs
+    val out = multimodal.Multimodal.mmDecodeVideo(spark, sf)
+      .as[(Long, Long, Int, Int, Long, Int, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, nb, w, h, nf, fps, sumRgb, nCuts) =>
+      assert(w == 8 + id % 8 && h == 6 + id % 5 && nf == 3 + id % 4)
+      assert(fps == 10 && nb == Codecs.aviSize(w, h, nf.toInt))
+      var exp = 0L
+      var cuts = 0L
+      var prevM = -1L
+      for (f <- 0L until nf) {
+        var fs = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          fs += (id * 7 + f * 41 + x * 13 + y * 31) % 256
+          fs += (id * 11 + f * 19 + x * 17 + y * 5) % 256
+          fs += (id * 3 + f * 53 + x * 29 + y * 23) % 256
+        }
+        exp += fs
+        val m = fs * 1000 / (w.toLong * h * 3)
+        if (prevM >= 0 && math.abs(m - prevM) >= 20000) cuts += 1
+        prevM = m
+      }
+      assert(sumRgb == exp && nCuts == cuts, s"doc $id")
+    }
+    val key = multimodal.Multimodal.VideoDecoderConfKey
+    spark.conf.set(key, classOf[ZeroVideoDecoder].getName)
+    try {
+      val z = multimodal.Multimodal.mmDecodeVideo(spark, sf)
+        .agg(sum("sum_rgb")).collect()(0).getLong(0)
+      assert(z == 0L)
+    } finally spark.conf.unset(key)
+  }
 }
 
 /** Test-only image decoder that ignores the bytes — used to prove the
@@ -355,6 +471,14 @@ class MultimodalSpec extends SparkSpecBase {
 class ZeroImageDecoder extends multimodal.Codecs.ImageDecoder {
   def decode(bytes: Array[Byte]): multimodal.Codecs.DecodedImage =
     multimodal.Codecs.DecodedImage(1, 1, new Array[Byte](3))
+}
+
+/** Test-only video decoder that ignores the bytes — proves the
+  * catalog op's outputs flow through the pluggable decode binding. */
+class ZeroVideoDecoder extends multimodal.Codecs.VideoDecoder {
+  def decode(bytes: Array[Byte]): multimodal.Codecs.DecodedVideo =
+    multimodal.Codecs.DecodedVideo(1, 1, 10,
+      Array(new Array[Byte](3)))
 }
 
 /** Test-only detector standing in for a real codec-backed impl. */
