@@ -2651,7 +2651,7 @@ object Clusters {
     * CTE (da, db) — the shared oracle tail; fine at oracle corpus
     * scale (component sizes are tiny), where the engine side runs the
     * label-propagation loop instead. `idCol` names the output id. */
-  private val ccCoreSql: String =
+  private[functions] val ccCoreSql: String =
     """pe AS (SELECT da AS a, db AS b FROM pairs
       |       UNION SELECT db AS a, da AS b FROM pairs),
       |nodes AS (SELECT DISTINCT a AS node FROM pe),

@@ -1084,7 +1084,104 @@ object Corpus {
   def corpusFimPairs(s: SparkSession, dir: String): DataFrame =
     corpusFimPairsOn(Tables.documents(s, dir))
 
+  /** Token-stream shard budget for [[corpusPipelineFull]] — the
+    * mm_pack_shards convention (contiguous stream packing, documents
+    * spanning shard boundaries), so shards-per-language is the exact
+    * ceiling division of the language's final token mass. */
+  val PipelineShardBudget = 4096L
+
+  /** L8z capstone: the END-TO-END curation pipeline a training-data
+    * prep job actually ships, chained as ONE lazy plan over the
+    * memoized relations the individual catalog stages already share
+    * (the round-8 verdict's ask #6; [[Text.corpusCleanOn]] covers
+    * only the first rung):
+    *
+    *   1. clean — PII-mask, quality-rule filter, normalized exact
+    *      dedup ([[Text.corpusCleanOn]]: map-only + one groupBy);
+    *   2. near dedup — MinHash LSH clusters from the memoized
+    *      shingle relation ([[Clusters.dedupClusters]] =
+    *      shingle -> minhash -> band -> verify -> CC); the keeper is
+    *      the min SURVIVING member of each cluster, so a cluster
+    *      whose canonical doc failed stage 1 still keeps exactly one
+    *      representative;
+    *   3. trained quality filter — the memoized 8-step logreg scored
+    *      relation ([[Text.qualityLogreg]]), keep pred = 1;
+    *   4. mixing — temperature-T=2 allocation over the FINAL
+    *      per-language masses ([[corpusTemperatureOn]]'s exact
+    *      integer recipe: wq = floor(sqrt(n)·10⁶), ppm shares,
+    *      target doc counts);
+    *   5. packing — shards per language as the exact ceiling
+    *      division of final token mass by [[PipelineShardBudget]]
+    *      (stream packing — no per-doc window needed for the count).
+    *
+    * Output: one funnel row per language — raw/clean/near-deduped/
+    * final doc counts (monotone decreasing by construction), final
+    * token mass, temperature share + target, shard count. The funnel
+    * is THE dashboard a curation run reports.
+    *
+    * Scale: stages 1-3 are joins keyed on doc_id riding their own
+    * scale-safe plans (LSH banding, O(log n) CC, constant-step
+    * full-batch training); the funnel is one lang-keyed rollup
+    * (map-side combined, language-bounded output); the allocation is
+    * a 1-row broadcast over that bounded relation. Catalog-sibling
+    * reuse: in a long-lived session the shingle relation and the
+    * trained scorer are each built ONCE across dedup_*, quality_*,
+    * and this capstone (the TrieMap memo discipline). */
+  def corpusPipelineFull(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // stage 1: survivors of mask -> rules -> exact dedup
+    val clean = Text.corpusCleanOn(docs)
+      .select(col("doc_id"), col("n_tokens"))
+      .localCheckpoint(true) // read by cs and the funnel
+    // stage 2: near-dup clusters over the full corpus (memoized
+    // shingle chain); keeper = min surviving member per cluster
+    val clusters = Clusters.dedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val cs = clean.join(clusters, Seq("doc_id"), "left")
+      .localCheckpoint(true) // read by keepers and the near filter
+    val keepers = cs.filter(col("cluster_id").isNotNull)
+      .groupBy("cluster_id").agg(min(col("doc_id")).as("keeper_id"))
+    val near = cs.join(keepers, Seq("cluster_id"), "left")
+      .filter(col("cluster_id").isNull || col("doc_id") === col("keeper_id"))
+      .select(col("doc_id"), col("n_tokens"))
+      .localCheckpoint(true) // read by fin and the funnel
+    // stage 3: the trained filter (memoized scored relation)
+    val fin = near.join(
+      Text.qualityLogreg(s, dir).filter(col("pred") === 1L)
+        .select(col("doc_id")),
+      "doc_id")
+    // stages 4+5: per-language funnel -> temperature -> shard count
+    val perDoc = docs.select(col("doc_id"), col("lang"))
+      .join(clean.select(col("doc_id"), lit(1L).as("c"),
+        col("n_tokens")), Seq("doc_id"), "left")
+      .join(near.select(col("doc_id"), lit(1L).as("nr")),
+        Seq("doc_id"), "left")
+      .join(fin.select(col("doc_id"), lit(1L).as("f")),
+        Seq("doc_id"), "left")
+    val funnel = perDoc.groupBy("lang").agg(
+      count(lit(1)).as("n_raw"),
+      coalesce(sum(col("c")), lit(0L)).as("n_clean"),
+      coalesce(sum(col("nr")), lit(0L)).as("n_near"),
+      coalesce(sum(col("f")), lit(0L)).as("n_final"),
+      coalesce(sum(when(col("f").isNotNull,
+        col("n_tokens").cast("long"))), lit(0L)).as("tokens_final"))
+    val alloc = funnel.withColumn("wq",
+      floor(sqrt(col("n_final").cast("double")) * 1000000).cast("long"))
+    val tot = alloc.agg(sum(col("wq")).as("wsum"),
+      sum(col("n_final")).as("nf_total"))
+    alloc.crossJoin(broadcast(tot)) // 1-row scalar side
+      .select(col("lang"), col("n_raw"), col("n_clean"), col("n_near"),
+        col("n_final"), col("tokens_final"),
+        expr("wq * 1000000 div wsum").as("share_ppm"),
+        expr("(wq * 1000000 div wsum) * nf_total div 1000000")
+          .as("target_docs"),
+        expr(s"(tokens_final + ${PipelineShardBudget - 1})" +
+          s" div $PipelineShardBudget").as("n_shards"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_pipeline_full" -> corpusPipelineFull,
     "corpus_token_budget" -> corpusTokenBudget,
     "corpus_curriculum" -> corpusCurriculum,
     "sample_undersample" -> sampleUndersample,
@@ -1121,6 +1218,56 @@ object Corpus {
       |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The capstone composes the stages' OWN shared CTE chains
+    // verbatim (shared-literal rule): minhash pairs + recursive CC
+    // (the dedup_clusters oracle), the corpus_clean chain, and the
+    // 8-step logreg training chain — then replays the funnel,
+    // temperature allocation, and ceiling-division shard count in
+    // exact integer arithmetic.
+    "corpus_pipeline_full" ->
+      s"""${Dedup.minhashCoreSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT da, db
+         |  FROM ix JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+         |${Clusters.ccCoreSql},
+         |${Text.cleanChainSql},
+         |${Text.logregCoreSql},
+         |clean AS (SELECT k.doc_id, k.n_tokens
+         |  FROM ckept k JOIN cdedup d ON k.doc_id = d.doc_id),
+         |cls AS (SELECT c.doc_id, c.n_tokens, l.cluster_id
+         |  FROM clean c LEFT JOIN lbl l ON c.doc_id = l.node),
+         |kp AS (SELECT cluster_id, MIN(doc_id) AS keeper_id
+         |  FROM cls WHERE cluster_id IS NOT NULL GROUP BY cluster_id),
+         |neard AS (SELECT cls.doc_id, cls.n_tokens
+         |  FROM cls LEFT JOIN kp ON cls.cluster_id = kp.cluster_id
+         |  WHERE cls.cluster_id IS NULL OR cls.doc_id = kp.keeper_id),
+         |fin AS (SELECT n.doc_id FROM neard n
+         |  JOIN scored sc ON n.doc_id = sc.doc_id
+         |  WHERE sc.p_ppm >= 500000),
+         |funnel AS (SELECT d.lang,
+         |    CAST(COUNT(*) AS BIGINT) AS n_raw,
+         |    CAST(COUNT(c.doc_id) AS BIGINT) AS n_clean,
+         |    CAST(COUNT(nr.doc_id) AS BIGINT) AS n_near,
+         |    CAST(COUNT(f.doc_id) AS BIGINT) AS n_final,
+         |    CAST(COALESCE(SUM(CASE WHEN f.doc_id IS NOT NULL
+         |      THEN c.n_tokens END), 0) AS BIGINT) AS tokens_final
+         |  FROM documents d
+         |  LEFT JOIN clean c ON d.doc_id = c.doc_id
+         |  LEFT JOIN neard nr ON d.doc_id = nr.doc_id
+         |  LEFT JOIN fin f ON d.doc_id = f.doc_id
+         |  GROUP BY d.lang),
+         |alloc AS (SELECT *,
+         |    CAST(FLOOR(sqrt(CAST(n_final AS DOUBLE)) * 1000000)
+         |      AS BIGINT) AS wq FROM funnel),
+         |tt AS (SELECT CAST(SUM(wq) AS BIGINT) AS wsum,
+         |    CAST(SUM(n_final) AS BIGINT) AS nf_total FROM alloc)
+         |SELECT lang, n_raw, n_clean, n_near, n_final, tokens_final,
+         |  CAST(wq * 1000000 // wsum AS BIGINT) AS share_ppm,
+         |  CAST((wq * 1000000 // wsum) * nf_total // 1000000 AS BIGINT)
+         |    AS target_docs,
+         |  CAST((tokens_final + ${PipelineShardBudget - 1})
+         |    // $PipelineShardBudget AS BIGINT) AS n_shards
+         |FROM alloc, tt ORDER BY lang""".stripMargin,
     // Mirrors corpusFimPairsOn: same hash cuts, 1-based list slices.
     "corpus_fim_pairs" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t,

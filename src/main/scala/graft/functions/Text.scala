@@ -1600,10 +1600,45 @@ object Text {
       |          (a, b) -> a + b) AS sum_lp
       |        FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB mirror of [[corpusCleanOn]]'s mask -> quality-rule ->
+    * normalized-exact-dedup chain, ending in `ckept(doc_id, text,
+    * n_tokens, stop_ratio, keep)` and `cdedup(doc_id, n_variants)`
+    * (names prefixed `c` so the chain composes beside
+    * [[logregCoreSql]]'s `scored` in the corpus_pipeline_full
+    * oracle). Shared by the corpus_clean and corpus_pipeline_full
+    * oracles. */
+  private[functions] lazy val cleanChainSql: String =
+    s"""masked AS (
+       |  SELECT doc_id,
+       |    regexp_replace(
+       |      regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+       |      '[0-9]{6,}', '<NUM>', 'g') AS text
+       |  FROM documents),
+       |cscored AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+       |    CAST(${sqlHits(enStop)} AS DOUBLE)
+       |      / len(string_split(text,' ')) AS stop_ratio,
+       |    (len(string_split(text,' ')) >= 10
+       |     AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+       |       / len(string_split(text,' ')) > 0.1
+       |     AND CAST(${sqlHits(enStop)} AS DOUBLE)
+       |       / len(string_split(text,' ')) > 0.0) AS keep
+       |  FROM masked),
+       |ckept AS (SELECT * FROM cscored WHERE keep),
+       |cdedup AS (
+       |  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_variants
+       |  FROM (SELECT doc_id,
+       |      sha256(trim(regexp_replace(
+       |        regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+       |        ' +', ' ', 'g'))) AS nh
+       |    FROM ckept)
+       |  GROUP BY nh)""".stripMargin
+
   /** DuckDB mirror of [[qualityLogregOn]]'s training + scoring as a
     * reusable CTE chain ending in `scored(doc_id, y, p_ppm)` — shared
     * by the quality_logreg and quality_auc oracles. */
-  private lazy val logregCoreSql: String = {
+  private[functions] lazy val logregCoreSql: String = {
     val sig = "round(1.0/(1.0+exp(-((w.w0 + w.w1*x1 + w.w2*x2)" +
       "/1000000.0))), 9)"
     def stepSql(k: Int, prev: String): String =
@@ -1789,34 +1824,9 @@ object Text {
         |FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id
         |ORDER BY t1.doc_id""".stripMargin,
     "corpus_clean" ->
-      s"""WITH masked AS (
-         |  SELECT doc_id,
-         |    regexp_replace(
-         |      regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
-         |      '[0-9]{6,}', '<NUM>', 'g') AS text
-         |  FROM documents),
-         |scored AS (
-         |  SELECT doc_id, text,
-         |    CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
-         |    CAST(${sqlHits(enStop)} AS DOUBLE)
-         |      / len(string_split(text,' ')) AS stop_ratio,
-         |    (len(string_split(text,' ')) >= 10
-         |     AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
-         |       / len(string_split(text,' ')) > 0.1
-         |     AND CAST(${sqlHits(enStop)} AS DOUBLE)
-         |       / len(string_split(text,' ')) > 0.0) AS keep
-         |  FROM masked),
-         |kept AS (SELECT * FROM scored WHERE keep),
-         |dedup AS (
-         |  SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_variants
-         |  FROM (SELECT doc_id,
-         |      sha256(trim(regexp_replace(
-         |        regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-         |        ' +', ' ', 'g'))) AS nh
-         |    FROM kept)
-         |  GROUP BY nh)
+      s"""WITH $cleanChainSql
          |SELECT k.doc_id, k.n_tokens, k.stop_ratio, d.n_variants
-         |FROM kept k JOIN dedup d ON k.doc_id = d.doc_id
+         |FROM ckept k JOIN cdedup d ON k.doc_id = d.doc_id
          |ORDER BY k.doc_id""".stripMargin,
     "dedup_normalized" ->
       """SELECT sha256(trim(regexp_replace(

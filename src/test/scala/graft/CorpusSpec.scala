@@ -595,4 +595,40 @@ class CorpusSpec extends SparkSpecBase {
     sums.foreach { case (t, sx) =>
       assert(sx >= 999990L && sx <= 1000000L, s"tau $t sums $sx") }
   }
+
+  test("corpus_pipeline_full: funnel monotone per language, totals " +
+    "consistent with the stage queries, temperature + shard columns " +
+    "replay from the funnel counts, deterministic repeat") {
+    val rows = functions.Corpus.corpusPipelineFull(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    val budget = functions.Corpus.PipelineShardBudget
+    rows.foreach { case (lang, raw, cl, nr, fin, toks, share, tgt, sh) =>
+      assert(raw >= cl && cl >= nr && nr >= fin && fin >= 0, lang)
+      assert(sh == (toks + budget - 1) / budget, lang)
+      assert(toks == 0 || fin > 0, lang)
+      assert(share >= 0 && share <= 1000000 && tgt >= 0, lang)
+    }
+    // stage-1 totals match the standalone corpus_clean query
+    assert(rows.map(_._3).sum ==
+      functions.Text.corpusClean(spark, sf).count())
+    // raw totals cover the corpus
+    assert(rows.map(_._2).sum == Tables.documents(spark, sf).count())
+    // temperature + target columns replay imperatively from n_final
+    val wq = rows.map(r => math.floor(math.sqrt(r._5.toDouble) * 1e6).toLong)
+    val wsum = wq.sum
+    val nfTotal = rows.map(_._5).sum
+    rows.zip(wq).foreach { case ((lang, _, _, _, _, _, share, tgt, _), w) =>
+      assert(share == w * 1000000L / wsum, lang)
+      assert(tgt == (w * 1000000L / wsum) * nfTotal / 1000000L, lang)
+    }
+    // shares sum to ~1e6 (floor rounding loses < 1 ppm per language)
+    val ssum = rows.map(_._7).sum
+    assert(ssum > 1000000L - rows.size && ssum <= 1000000L)
+    val again = functions.Corpus.corpusPipelineFull(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(rows == again)
+  }
 }
