@@ -236,13 +236,53 @@ object ScaleProbe {
       println(f"PROBE $name%-18s k=$k%-2d rows=${c.count()}%-7d " +
         f"out=$outRows%-8d ${t}%.2f s")
     }
-    println(f"\n${"op"}%-18s ${"k=1"}%8s ${"k=2"}%8s ${"k=4"}%8s  x per doubling")
-    (picked ++ pickedEmb ++ pickedGrid).foreach { case (name, _) =>
-      val (t1, t2, t4) =
-        (times((name, 1)), times((name, 2)), times((name, 4)))
-      val g = math.sqrt(t4 / t1) // geometric mean growth per doubling
-      println(f"RATIO $name%-18s $t1%8.2f $t2%8.2f $t4%8.2f  ${g}%.2f")
+
+    // --- Concurrent-fan probes (round-9 verdict ask #5) ---
+    // The round-8 fans (linkage rungs, sweep cuts) are driver-latency
+    // wins at sf0.1. Probe them at 2x/4x corpus with the pair inputs
+    // built and checkpointed OUTSIDE the timer (so the ratio measures
+    // the fan of CC censuses, not pair generation), and time the SAME
+    // censuses as one concurrent fan vs |cuts| sequential single-cut
+    // calls — the "does the fan still win when rungs go data-bound"
+    // crossover measured directly at each k.
+    val fanNames = collection.mutable.ArrayBuffer[String]()
+    def probeFan(name: String, k: Int, fn: () => Long): Unit = {
+      val t = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+      }.min
+      times((name, k)) = t
+      if (!fanNames.contains(name)) fanNames += name
+      println(f"PROBE $name%-18s k=$k%-2d $t%.2f s")
     }
+    if (only.isEmpty || only("fans")) {
+      for (k <- ks) {
+        val e = embTimes(k).localCheckpoint(true)
+        val pairs = functions.Dedup.dedupEmbeddingOn(e, 0.4)
+          .localCheckpoint(true)
+        val np = e.agg(count(lit(1)).as("n_points"))
+        val cuts = Seq(4000L, 4500L, 5000L, 5500L)
+        probeFan("sweep_fan", k, () => functions.Clusters
+          .dedupSemanticSweepOn(pairs, np, cuts).count())
+        probeFan("sweep_seq", k, () => cuts.map(c => functions.Clusters
+          .dedupSemanticSweepOn(pairs, np, Seq(c)).count()).sum)
+        val gp = functions.Clusters
+          .gridPairsBuild(embGridTimes(k), 40000L).localCheckpoint(true)
+        val rungs = Seq(5000L, 10000L, 20000L, 40000L)
+        probeFan("ladder_fan", k, () => functions.Clusters
+          .clusterLinkageLadderOnPairs(gp, rungs).count())
+        probeFan("ladder_seq", k, () => rungs.map(r => functions.Clusters
+          .clusterLinkageLadderOnPairs(gp, Seq(r)).count()).sum)
+      }
+    }
+
+    println(f"\n${"op"}%-18s ${"k=1"}%8s ${"k=2"}%8s ${"k=4"}%8s  x per doubling")
+    ((picked ++ pickedEmb ++ pickedGrid).map(_._1) ++ fanNames)
+      .foreach { name =>
+        val (t1, t2, t4) =
+          (times((name, 1)), times((name, 2)), times((name, 4)))
+        val g = math.sqrt(t4 / t1) // geometric mean growth per doubling
+        println(f"RATIO $name%-18s $t1%8.2f $t2%8.2f $t4%8.2f  ${g}%.2f")
+      }
     spark.stop()
   }
 }
