@@ -681,6 +681,88 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** The reference's segment length (raw_to_samples.py:16). */
+  val SegmentLengthSec = 2
+
+  /** L5l: the reference's CORE segmentation loop over REAL container
+    * bytes — raw_to_samples.py:330-341 verbatim semantics:
+    * frames_per_segment = int(fps * 2) with fps taken from the PARSED
+    * stream header (the engine reads strh dwRate/dwScale where the
+    * reference probes cv2 metadata, :302-307), segment starts every
+    * frames_per_segment frames, each segment takes one OVERLAP frame
+    * from its successor (end = min(start + fps*2 + 1, frame_count),
+    * :339), and a trailing window shorter than frames_per_segment is
+    * dropped (:340-341). Every emitted stat — frame spans, per-segment
+    * RGB mass, mean byte value — is computed from frames genuinely
+    * decoded out of the movi chunk list, so this is the reference's
+    * ep3 inner loop running on real bytes end to end (MP4 remains the
+    * documented surrogate boundary). The relational spelling of the
+    * same rule over metadata is [[pipeline.Reference]]'s ref_segments;
+    * this is the decode-path twin.
+    *
+    * Scale: encode+decode+segment are map-only over the documents
+    * scan (per-partition decoder init, segments flatMapped in the
+    * same pass) — no shuffle before the final orderBy. */
+  def mmVideoSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(VideoDecoderConfKey, classOf[Codecs.AviDecoder].getName)
+    val encoded = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 4).toInt
+          val h = (6 + id % 3).toInt
+          val nf = (6 + id % 8).toInt
+          val frames = (0 until nf).map { f =>
+            val px = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = (y * w + x) * 3
+                px(base) =
+                  ((id * 7 + f * 41 + x * 13 + y * 31) % 256).toByte
+                px(base + 1) =
+                  ((id * 11 + f * 19 + x * 17 + y * 5) % 256).toByte
+                px(base + 2) =
+                  ((id * 3 + f * 53 + x * 29 + y * 23) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            px
+          }
+          (id, Codecs.aviEncode(w, h, 2, frames))
+        }
+      }.toDF("doc_id", "avi")
+    encoded.as[(Long, Array[Byte])].mapPartitions { it =>
+      val dec = instantiate[Codecs.VideoDecoder](decoderClass)
+      it.flatMap { case (id, bytes) =>
+        val v = dec.decode(bytes)
+        val fq = v.fps * SegmentLengthSec // frames_per_segment, :330
+        val nf = v.frames.length
+        val denom = v.width.toLong * v.height * 3
+        Iterator.range(0, nf, fq).flatMap { start =>
+          val end = math.min(start + fq + 1, nf) // +1 overlap, :339
+          if (end - start < fq) None // trailing drop, :340-341
+          else {
+            var sum = 0L
+            (start until end).foreach { f =>
+              val fr = v.frames(f)
+              var i = 0
+              while (i < fr.length) { sum += fr(i) & 0xff; i += 1 }
+            }
+            Some((id, (start / fq).toLong, start.toLong, end.toLong,
+              (end - start).toLong, sum,
+              sum * 1000 / ((end - start) * denom)))
+          }
+        }
+      }
+    }.toDF("doc_id", "seg", "start_frame", "end_frame",
+      "n_frames_seg", "sum_rgb", "mean_rgb_milli")
+      .orderBy("doc_id", "seg")
+  }
+
   /** L5j: perceptual-hash dedup over REAL decoded bytes — the full
     * image-dedup pipeline with no surrogate left in the hot path:
     * deterministic rasters (pattern keyed by doc_id % 97, so ~5-doc
@@ -780,6 +862,7 @@ object Multimodal {
     "mm_decode_image" -> mmDecodeImage,
     "mm_decode_audio" -> mmDecodeAudio,
     "mm_decode_video" -> mmDecodeVideo,
+    "mm_video_segments" -> mmVideoSegments,
     "mm_interleave" -> mmInterleave,
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_audio_vad" -> mmAudioVad,
@@ -875,6 +958,40 @@ object Multimodal {
         |  CAST(SUM(CASE WHEN pm IS NOT NULL AND abs(m - pm) >= 20000
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
         |FROM fc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_video_segments" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 4 AS w,
+        |    6 + doc_id % 3 AS h, 6 + doc_id % 8 AS nf FROM documents),
+        |px AS (SELECT doc_id, w, h, nf, fs.f, xs.x, ys.y
+        |  FROM d, range(0, 14) fs(f), range(0, 12) xs(x),
+        |    range(0, 9) ys(y)
+        |  WHERE fs.f < nf AND xs.x < w AND ys.y < h),
+        |pv AS (SELECT doc_id, w, h, nf, f,
+        |    (doc_id * 7 + f * 41 + x * 13 + y * 31) % 256
+        |    + (doc_id * 11 + f * 19 + x * 17 + y * 5) % 256
+        |    + (doc_id * 3 + f * 53 + x * 29 + y * 23) % 256 AS v
+        |  FROM px),
+        |fm AS (SELECT doc_id, w, h, nf, f, CAST(SUM(v) AS BIGINT) AS s
+        |  FROM pv GROUP BY 1, 2, 3, 4, 5),
+        |sg AS (SELECT doc_id, w, h, nf, ss.s AS start_frame
+        |  FROM d, range(0, 14, 4) ss(s) WHERE ss.s < nf),
+        |sb AS (SELECT doc_id, w, h, nf, start_frame,
+        |    LEAST(start_frame + 5, nf) AS end_frame FROM sg
+        |  WHERE LEAST(start_frame + 5, nf) - start_frame >= 4),
+        |agg AS (SELECT sb.doc_id, start_frame // 4 AS seg,
+        |    start_frame, end_frame,
+        |    end_frame - start_frame AS n_frames_seg,
+        |    CAST(SUM(fm.s) AS BIGINT) AS sum_rgb,
+        |    MAX(sb.w * sb.h) AS wh
+        |  FROM sb JOIN fm ON sb.doc_id = fm.doc_id
+        |    AND fm.f >= sb.start_frame AND fm.f < sb.end_frame
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+        |  CAST(start_frame AS BIGINT) AS start_frame,
+        |  CAST(end_frame AS BIGINT) AS end_frame,
+        |  CAST(n_frames_seg AS BIGINT) AS n_frames_seg, sum_rgb,
+        |  CAST(sum_rgb * 1000 // (n_frames_seg * wh * 3) AS BIGINT)
+        |    AS mean_rgb_milli
+        |FROM agg ORDER BY doc_id, seg""".stripMargin,
     "mm_decode_audio" ->
       """WITH d AS (SELECT doc_id, 160 + doc_id % 64 AS n FROM documents),
         |sm AS (SELECT doc_id, n,

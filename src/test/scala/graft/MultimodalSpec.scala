@@ -464,6 +464,41 @@ class MultimodalSpec extends SparkSpecBase {
       assert(z == 0L)
     } finally spark.conf.unset(key)
   }
+
+  test("mm_video_segments replays the reference's segment rule " +
+    "(fps*2 frames per segment, +1 overlap frame, trailing drop) " +
+    "over genuinely decoded AVI frames") {
+    val out = multimodal.Multimodal.mmVideoSegments(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (id, segs) =>
+      val nf = 6 + id % 8
+      val fq = 4L // fps 2 x segment_length_sec 2
+      // expected segment spans straight from raw_to_samples.py:336-341
+      val exp = (0L until nf by fq).flatMap { s0 =>
+        val end = math.min(s0 + fq + 1, nf)
+        if (end - s0 < fq) None else Some((s0 / fq, s0, end))
+      }
+      assert(segs.map(r => (r._2, r._3, r._4)).sorted == exp.sorted, id)
+      // every full-length segment shares its last frame with the next
+      // segment's first (the +1 overlap the reference encodes)
+      segs.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 == b._3 + 1, s"doc $id overlap")
+        case _ => ()
+      }
+      segs.foreach { case (_, _, s0, end, n, sumRgb, mean) =>
+        assert(n == end - s0)
+        val w = 8 + id % 4; val h = 6 + id % 3
+        assert(mean == sumRgb * 1000 / (n * w * h * 3))
+      }
+    }
+    // docs with nf < 4 produce no segment (none exist: min nf is 6);
+    // docs with nf >= 4 all appear
+    assert(byDoc.keySet ==
+      Tables.documents(spark, sf).select("doc_id").as[Long]
+        .collect().toSet)
+  }
 }
 
 /** Test-only image decoder that ignores the bytes — used to prove the
