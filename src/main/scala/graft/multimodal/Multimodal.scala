@@ -624,11 +624,12 @@ object Multimodal {
     * Scale: encode+decode are map-only over the documents scan — no
     * shuffle before the final orderBy; at 100 TB clips ride their
     * source partitioning and decoders amortize per partition. */
-  def mmDecodeVideo(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic multi-frame AVI clip per document shared by
+    * [[mmDecodeVideo]] and [[mmArgmaxTrack]] (one pattern, one
+    * oracle CTE chain — the shared-literal rule). */
+  private def videoClips(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val decoderClass =
-      s.conf.get(VideoDecoderConfKey, classOf[Codecs.AviDecoder].getName)
-    val encoded = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val w = (8 + id % 8).toInt
@@ -656,6 +657,13 @@ object Multimodal {
           (id, Codecs.aviEncode(w, h, 10, frames))
         }
       }.toDF("doc_id", "avi")
+  }
+
+  def mmDecodeVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(VideoDecoderConfKey, classOf[Codecs.AviDecoder].getName)
+    val encoded = videoClips(s, dir)
     encoded.as[(Long, Array[Byte])].mapPartitions { it =>
       val dec = instantiate[Codecs.VideoDecoder](decoderClass)
       it.map { case (id, bytes) =>
@@ -679,6 +687,57 @@ object Multimodal {
     }.toDF("doc_id", "n_bytes", "width", "height", "n_frames", "fps",
       "sum_rgb", "n_cuts")
       .orderBy("doc_id")
+  }
+
+  /** L5m: per-frame argmax "detector" + track statistics over REAL
+    * decoded frames — the shape of the reference's inner loop
+    * (raw_to_samples.py:183-196: run a detector on every decoded
+    * frame, then string per-frame outputs into per-subject
+    * time-series at :200-230), with the neural detector replaced by
+    * a deterministic pixel argmax the oracle can replay: per decoded
+    * frame, the brightest pixel (max R+G+B, first-in-row-major
+    * tie-break) is the "detection", and the consecutive-frame L1
+    * displacement is the track step. The DETECTOR INPUT is genuinely
+    * parsed container bytes — the neural weights remain the
+    * documented surrogate boundary (no ML libs in the container);
+    * what this op proves is the full decode -> per-frame analysis ->
+    * temporal pairing pipeline shape on real bytes.
+    *
+    * Scale: decode + argmax + step are ONE map-only pass (frames of
+    * a clip are colocated by construction, so the temporal pairing
+    * needs no shuffle — the window spelling is only needed when
+    * frames arrive as independent rows). */
+  def mmArgmaxTrack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(VideoDecoderConfKey, classOf[Codecs.AviDecoder].getName)
+    videoClips(s, dir).as[(Long, Array[Byte])].mapPartitions { it =>
+      val dec = instantiate[Codecs.VideoDecoder](decoderClass)
+      it.flatMap { case (id, bytes) =>
+        val v = dec.decode(bytes)
+        var prevX = 0
+        var prevY = 0
+        v.frames.iterator.zipWithIndex.map { case (fr, f) =>
+          var best = -1
+          var bi = 0
+          var i = 0
+          val n = v.width * v.height
+          while (i < n) {
+            val lum = (fr(3 * i) & 0xff) + (fr(3 * i + 1) & 0xff) +
+              (fr(3 * i + 2) & 0xff)
+            if (lum > best) { best = lum; bi = i }
+            i += 1
+          }
+          val x = bi % v.width
+          val y = bi / v.width
+          val step = if (f == 0) 0L
+            else (math.abs(x - prevX) + math.abs(y - prevY)).toLong
+          prevX = x; prevY = y
+          (id, f.toLong, x.toLong, y.toLong, best.toLong, step)
+        }
+      }
+    }.toDF("doc_id", "f", "x_max", "y_max", "v_max", "step_l1")
+      .orderBy("doc_id", "f")
   }
 
   /** The reference's segment length (raw_to_samples.py:16). */
@@ -863,6 +922,7 @@ object Multimodal {
     "mm_decode_audio" -> mmDecodeAudio,
     "mm_decode_video" -> mmDecodeVideo,
     "mm_video_segments" -> mmVideoSegments,
+    "mm_argmax_track" -> mmArgmaxTrack,
     "mm_interleave" -> mmInterleave,
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_audio_vad" -> mmAudioVad,
@@ -876,7 +936,44 @@ object Multimodal {
     "mm_frame_sample" -> mmFrameSample,
   )
 
+  /** The deterministic clip relation `pv(doc_id, w, h, nf, f, x, y,
+    * v)` replaying [[videoClips]]'s pattern — shared by the
+    * mm_decode_video and mm_argmax_track oracles. */
+  private val videoClipSql: String =
+    """d AS (SELECT doc_id, 8 + doc_id % 8 AS w,
+      |    6 + doc_id % 5 AS h, 3 + doc_id % 4 AS nf FROM documents),
+      |px AS (SELECT doc_id, w, h, nf, fs.f, xs.x, ys.y
+      |  FROM d, range(0, 6) fs(f), range(0, 15) xs(x),
+      |    range(0, 10) ys(y)
+      |  WHERE fs.f < nf AND xs.x < w AND ys.y < h),
+      |pv AS (SELECT doc_id, w, h, nf, f, x, y,
+      |    (doc_id * 7 + f * 41 + x * 13 + y * 31) % 256
+      |    + (doc_id * 11 + f * 19 + x * 17 + y * 5) % 256
+      |    + (doc_id * 3 + f * 53 + x * 29 + y * 23) % 256 AS v
+      |  FROM px)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "mm_argmax_track" ->
+      s"""WITH $videoClipSql,
+        |vm AS (SELECT doc_id, f, MAX(v) AS v_max FROM pv GROUP BY 1, 2),
+        |am AS (SELECT pv.doc_id, pv.f, MIN(y * pv.w + x) AS bi,
+        |    MAX(pv.w) AS w2
+        |  FROM pv JOIN vm ON pv.doc_id = vm.doc_id AND pv.f = vm.f
+        |    AND pv.v = vm.v_max
+        |  GROUP BY 1, 2),
+        |tr AS (SELECT am.doc_id, am.f, bi % w2 AS x_max,
+        |    bi // w2 AS y_max, vm.v_max
+        |  FROM am JOIN vm ON am.doc_id = vm.doc_id AND am.f = vm.f),
+        |st AS (SELECT *,
+        |    LAG(x_max) OVER (PARTITION BY doc_id ORDER BY f) AS px2,
+        |    LAG(y_max) OVER (PARTITION BY doc_id ORDER BY f) AS py2
+        |  FROM tr)
+        |SELECT doc_id, CAST(f AS BIGINT) AS f,
+        |  CAST(x_max AS BIGINT) AS x_max, CAST(y_max AS BIGINT) AS y_max,
+        |  CAST(v_max AS BIGINT) AS v_max,
+        |  CAST(COALESCE(abs(x_max - px2) + abs(y_max - py2), 0)
+        |    AS BIGINT) AS step_l1
+        |FROM st ORDER BY doc_id, f""".stripMargin,
     // Arithmetic replays of the deterministic rasters/waveforms the
     // codecs round-trip: the Spark side sums DECODED bytes, so these
     // rows verify the real BMP/WAV parsers, not just the pattern.
@@ -932,17 +1029,7 @@ object Multimodal {
         |    AS sum_b
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_decode_video" ->
-      """WITH d AS (SELECT doc_id, 8 + doc_id % 8 AS w,
-        |    6 + doc_id % 5 AS h, 3 + doc_id % 4 AS nf FROM documents),
-        |px AS (SELECT doc_id, w, h, nf, fs.f, xs.x, ys.y
-        |  FROM d, range(0, 6) fs(f), range(0, 15) xs(x),
-        |    range(0, 10) ys(y)
-        |  WHERE fs.f < nf AND xs.x < w AND ys.y < h),
-        |pv AS (SELECT doc_id, w, h, nf, f,
-        |    (doc_id * 7 + f * 41 + x * 13 + y * 31) % 256
-        |    + (doc_id * 11 + f * 19 + x * 17 + y * 5) % 256
-        |    + (doc_id * 3 + f * 53 + x * 29 + y * 23) % 256 AS v
-        |  FROM px),
+      s"""WITH $videoClipSql,
         |fm AS (SELECT doc_id, w, h, nf, f,
         |    CAST(SUM(v) AS BIGINT) AS s,
         |    (CAST(SUM(v) AS BIGINT) * 1000) // (w * h * 3) AS m

@@ -465,6 +465,30 @@ class MultimodalSpec extends SparkSpecBase {
     } finally spark.conf.unset(key)
   }
 
+  test("mm_argmax_track: per-frame argmax detections from decoded " +
+    "frames — frame spans complete, first step zero, steps bounded " +
+    "by frame dims, detector genuinely reads the decoded bytes") {
+    val out = multimodal.Multimodal.mmArgmaxTrack(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val nf = 3 + id % 4
+      assert(rows.map(_._2).sorted == (0L until nf), s"doc $id")
+      val w = 8 + id % 8; val h = 6 + id % 5
+      rows.foreach { case (_, f, x, y, v, st) =>
+        assert(x < w && y < h && v >= 0 && v <= 765)
+        assert(if (f == 0) st == 0 else st <= (w - 1) + (h - 1))
+      }
+    }
+    val key = multimodal.Multimodal.VideoDecoderConfKey
+    spark.conf.set(key, classOf[ZeroVideoDecoder].getName)
+    try {
+      val z = multimodal.Multimodal.mmArgmaxTrack(spark, sf)
+        .agg(max("v_max"), max("f")).collect()(0)
+      assert(z.getLong(0) == 0L && z.getLong(1) == 0L)
+    } finally spark.conf.unset(key)
+  }
+
   test("mm_video_segments replays the reference's segment rule " +
     "(fps*2 frames per segment, +1 overlap frame, trailing drop) " +
     "over genuinely decoded AVI frames") {
