@@ -740,6 +740,69 @@ object Multimodal {
       .orderBy("doc_id", "f")
   }
 
+  /** L5n: REAL container transcode — the reference's .mov -> .mp4
+    * re-encode step (preprocess_dataset.py:59-70, moviepy
+    * write_videofile) as a genuine decode -> re-encode -> decode
+    * chain with no surrogate anywhere: deterministic raster ->
+    * real BMP bytes -> REAL BMP parse -> re-encode the PARSED raster
+    * as a single-frame RIFF/AVI -> REAL AVI parse -> emit stats of
+    * the twice-decoded raster plus both container sizes. A bug in
+    * either encoder or either parser (stride, row order, channel
+    * order, chunk offsets) breaks the identity and hash-mismatches
+    * the oracle's closed-form replay. The tag-rewriting
+    * [[udfTranscode]] surrogate remains the catalog row for formats
+    * the JVM cannot parse; this is the real-bytes twin.
+    *
+    * Scale: the whole chain is ONE map-only pass over the documents
+    * scan with per-partition decoder init — no shuffle before the
+    * final orderBy. */
+  def mmTranscodeReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgDec =
+      s.conf.get(ImageDecoderConfKey, classOf[Codecs.BmpDecoder].getName)
+    val vidDec =
+      s.conf.get(VideoDecoderConfKey, classOf[Codecs.AviDecoder].getName)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val bd = instantiate[Codecs.ImageDecoder](imgDec)
+        val vd = instantiate[Codecs.VideoDecoder](vidDec)
+        it.map { id =>
+          val w = (16 + id % 16).toInt
+          val h = (12 + id % 8).toInt
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val base = (y * w + x) * 3
+              px(base) = ((id * 7 + x * 13 + y * 31) % 256).toByte
+              px(base + 1) = ((id * 11 + x * 17 + y * 5) % 256).toByte
+              px(base + 2) = ((id * 3 + x * 29 + y * 23) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val src = Codecs.bmpEncode(w, h, px)
+          val im = bd.decode(src)
+          val dst = Codecs.aviEncode(im.width, im.height, 10, Seq(im.rgb))
+          val vv = vd.decode(dst)
+          val fr = vv.frames(0)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < fr.length) {
+            sr += fr(i) & 0xff
+            sg += fr(i + 1) & 0xff
+            sb += fr(i + 2) & 0xff
+            i += 3
+          }
+          (id, src.length.toLong, dst.length.toLong,
+            vv.width, vv.height, sr, sg, sb)
+        }
+      }.toDF("doc_id", "src_bytes", "dst_bytes", "width", "height",
+        "sum_r", "sum_g", "sum_b")
+      .orderBy("doc_id")
+  }
+
   /** The reference's segment length (raw_to_samples.py:16). */
   val SegmentLengthSec = 2
 
@@ -923,6 +986,7 @@ object Multimodal {
     "mm_decode_video" -> mmDecodeVideo,
     "mm_video_segments" -> mmVideoSegments,
     "mm_argmax_track" -> mmArgmaxTrack,
+    "mm_transcode_real" -> mmTranscodeReal,
     "mm_interleave" -> mmInterleave,
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_audio_vad" -> mmAudioVad,
@@ -1011,6 +1075,27 @@ object Multimodal {
         |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 2
         |ORDER BY da, db""".stripMargin,
+    // Same raster pattern as mm_decode_image; dst size is the
+    // closed-form single-frame AVI ([[Codecs.aviSize]] replayed).
+    "mm_transcode_real" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+        |    12 + doc_id % 8 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, xs.x, ys.y
+        |  FROM d, range(0, 31) xs(x), range(0, 19) ys(y)
+        |  WHERE xs.x < w AND ys.y < h)
+        |SELECT doc_id,
+        |  CAST(54 + ((MAX(w) * 3 + 3) // 4) * 4 * MAX(h) AS BIGINT)
+        |    AS src_bytes,
+        |  CAST(224 + 8 + ((MAX(w) * 3 + 3) // 4) * 4 * MAX(h) AS BIGINT)
+        |    AS dst_bytes,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  CAST(SUM((doc_id * 7 + x * 13 + y * 31) % 256) AS BIGINT)
+        |    AS sum_r,
+        |  CAST(SUM((doc_id * 11 + x * 17 + y * 5) % 256) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(SUM((doc_id * 3 + x * 29 + y * 23) % 256) AS BIGINT)
+        |    AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_decode_image" ->
       """WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w,
         |    12 + doc_id % 8 AS h FROM documents),
