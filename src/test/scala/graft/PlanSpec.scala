@@ -958,6 +958,26 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("corpus_pipeline_full: the capstone's funnel joins are all " +
+    "equi-joins on doc_id and the stage relations arrive as memoized " +
+    "checkpoint scans — no cartesian beyond the sanctioned 1-row " +
+    "broadcast, no single-partition exchange") {
+    val p = plan(functions.Corpus.corpusPipelineFull(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // every nested-loop join is a sanctioned 1-row broadcast cross:
+    // the capstone's own wsum/nf_total scalar plus the weight
+    // broadcasts nested inside the printed logreg cache lineage
+    assert(p.split("BroadcastNestedLoopJoin").length ==
+      p.split("BroadcastNestedLoopJoin BuildRight, Cross").length, p)
+    // the funnel itself joins on doc_id/lang — equi-join shuffles
+    assert(p.contains("SortMergeJoin [doc_id") ||
+      p.contains("ShuffledHashJoin [doc_id"), p)
+    // the clean/near stage relations ride checkpointed scans, so the
+    // pii-mask + quality + sha256 chain appears ZERO times in the
+    // executed plan (it ran once at build time)
+    assert(!p.contains("sha2"), p)
+  }
+
   test("quality_ece: one scan into a <=10-row rollup; the ECE scalar " +
     "rides a broadcast, not a cartesian product") {
     val p = plan(functions.Text.qualityEce(spark, sf))
