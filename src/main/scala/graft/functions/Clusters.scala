@@ -998,11 +998,21 @@ object Clusters {
   def graphClusteringCoeff(s: SparkSession, dir: String): DataFrame =
     clusteringCoeffOn(knnEdges(s, dir).select("qid", "nid"))
 
+  private val minhashCcCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   /** Catalog form: components of the MinHash-verified near-dup pairs
     * (jac >= 0.8), i.e. the full Dedup rung chain
-    * shingle -> minhash -> band -> verify -> cluster. */
+    * shingle -> minhash -> band -> verify -> cluster. Memoized per
+    * (session, dir): dedup_clusters, dedup_apply, and
+    * corpus_pipeline_full all consume this exact relation, and a
+    * catalog run must pay the CC rounds once (the knnEdges
+    * discipline). */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    clustersOn(Dedup.dedupMinhash(s, dir).select("da", "db"))
+    memo(minhashCcCache, s, dir) {
+      clustersOn(Dedup.dedupMinhash(s, dir).select("da", "db"))
+        .localCheckpoint(true)
+    }
 
   /** L2m: soft deduplication — down-WEIGHT near-duplicates instead
     * of dropping them (the SoftDedup idea: duplicates carry signal;
