@@ -292,6 +292,224 @@ object Codecs {
     out
   }
 
+  /** One multimodal container: video frames AND the audio track
+    * parsed out of the same RIFF/AVI byte stream. */
+  final case class DecodedAv(video: DecodedVideo, audio: DecodedAudio)
+
+  trait AvDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): DecodedAv
+  }
+
+  /** Closed-form byte size of [[aviEncodeAv]]'s output: 12-byte RIFF
+    * header + 300-byte hdrl (avih 64 + vids strl 124 + auds strl
+    * 100) + movi LIST (12 + per frame one 00db (8 + stride x height)
+    * and one 01wb (8 + 2 x samplesPerFrame)). */
+  def aviAvSize(width: Int, height: Int, nFrames: Int,
+      samplesPerFrame: Int): Int =
+    324 + nFrames * (16 + bmpStride(width) * height + 2 * samplesPerFrame)
+
+  /** Encode an interleaved two-stream AVI — the layout real muxers
+    * emit (vids + auds stream headers in hdrl; movi alternates one
+    * '00db' DIB frame with one '01wb' PCM16 chunk of that frame's
+    * audio span). samples.length must equal nFrames x
+    * samplesPerFrame; the audio rate is fps x samplesPerFrame so the
+    * two streams cover the same wall-clock. */
+  def aviEncodeAv(width: Int, height: Int, fps: Int,
+      frames: Seq[Array[Byte]], samplesPerFrame: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(fps > 0 && frames.nonEmpty && samplesPerFrame > 0,
+      "need fps > 0, >= 1 frame, samplesPerFrame > 0")
+    val nf = frames.length
+    require(samples.length == nf * samplesPerFrame,
+      s"audio length ${samples.length} != $nf x $samplesPerFrame")
+    frames.foreach(f => require(f.length == width * height * 3,
+      s"frame length ${f.length} != $width x $height x 3"))
+    val stride = bmpStride(width)
+    val frameBytes = stride * height
+    val audioBytesPerFrame = 2 * samplesPerFrame
+    val sampleRate = fps * samplesPerFrame
+    val size = aviAvSize(width, height, nf, samplesPerFrame)
+    val out = new Array[Byte](size)
+    wTag(out, 0, "RIFF"); w32(out, 4, size - 8); wTag(out, 8, "AVI ")
+    // LIST hdrl: 'hdrl' + avih(64) + vids strl(124) + auds strl(100)
+    wTag(out, 12, "LIST"); w32(out, 16, 292); wTag(out, 20, "hdrl")
+    wTag(out, 24, "avih"); w32(out, 28, 56)
+    val avih = 32
+    w32(out, avih, 1000000 / fps)
+    w32(out, avih + 4, fps * (frameBytes + audioBytesPerFrame))
+    w32(out, avih + 16, nf)
+    w32(out, avih + 24, 2) // dwStreams: video + audio
+    w32(out, avih + 28, frameBytes + 8)
+    w32(out, avih + 32, width); w32(out, avih + 36, height)
+    // vids strl (identical to aviEncode's)
+    wTag(out, 88, "LIST"); w32(out, 92, 116); wTag(out, 96, "strl")
+    wTag(out, 100, "strh"); w32(out, 104, 56)
+    val strh = 108
+    wTag(out, strh, "vids"); wTag(out, strh + 4, "DIB ")
+    w32(out, strh + 20, 1); w32(out, strh + 24, fps)
+    w32(out, strh + 32, nf); w32(out, strh + 36, frameBytes + 8)
+    w16(out, strh + 52, width); w16(out, strh + 54, height)
+    wTag(out, 164, "strf"); w32(out, 168, 40)
+    val strf = 172
+    w32(out, strf, 40)
+    w32(out, strf + 4, width); w32(out, strf + 8, height)
+    w16(out, strf + 12, 1); w16(out, strf + 14, 24)
+    w32(out, strf + 16, 0); w32(out, strf + 20, frameBytes)
+    // auds strl: strh(64) + WAVEFORMATEX strf(24)
+    wTag(out, 212, "LIST"); w32(out, 216, 92); wTag(out, 220, "strl")
+    wTag(out, 224, "strh"); w32(out, 228, 56)
+    val ash = 232
+    wTag(out, ash, "auds") // fccHandler 0 for PCM
+    w32(out, ash + 20, 1)               // dwScale
+    w32(out, ash + 24, sampleRate)      // dwRate (samples/sec)
+    w32(out, ash + 32, samples.length)  // dwLength in samples
+    w32(out, ash + 36, audioBytesPerFrame + 8)
+    w32(out, ash + 44, 2)               // dwSampleSize
+    wTag(out, 288, "strf"); w32(out, 292, 16)
+    val asf = 296
+    w16(out, asf, 1)                    // wFormatTag PCM
+    w16(out, asf + 2, 1)                // nChannels mono
+    w32(out, asf + 4, sampleRate)
+    w32(out, asf + 8, sampleRate * 2)   // nAvgBytesPerSec
+    w16(out, asf + 12, 2)               // nBlockAlign
+    w16(out, asf + 14, 16)              // wBitsPerSample
+    // LIST movi: interleave 00db / 01wb per frame
+    wTag(out, 312, "LIST")
+    w32(out, 316, 4 + nf * (16 + frameBytes + audioBytesPerFrame))
+    wTag(out, 320, "movi")
+    var off = 324
+    var f = 0
+    while (f < nf) {
+      wTag(out, off, "00db"); w32(out, off + 4, frameBytes)
+      writeDib(width, height, frames(f), out, off + 8)
+      off += 8 + frameBytes
+      wTag(out, off, "01wb"); w32(out, off + 4, audioBytesPerFrame)
+      var i = 0
+      while (i < samplesPerFrame) {
+        w16(out, off + 8 + i * 2, samples(f * samplesPerFrame + i) & 0xffff)
+        i += 1
+      }
+      off += 8 + audioBytesPerFrame
+      f += 1
+    }
+    out
+  }
+
+  /** The real two-stream decoder: same chunk walk as [[AviDecoder]],
+    * but the hdrl parse tracks WHICH stream each strl describes
+    * (strh fccType routes the following strf), and the movi walk
+    * routes '00db'/'00dc' to the raster path and '01wb' to the PCM16
+    * path — one parse of one byte stream yields both typed outputs. */
+  final class AviAvDecoder extends AvDecoder {
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    private def checkedLen(b: Array[Byte], off: Int, end: Int): Int = {
+      val len = s32(b, off + 4)
+      require(len >= 0 && off + 8 + len.toLong <= end,
+        s"corrupt RIFF chunk '${tag(b, off)}' len $len at offset $off")
+      len
+    }
+
+    def decode(b: Array[Byte]): DecodedAv = {
+      require(b.length >= 12 && tag(b, 0) == "RIFF" &&
+        tag(b, 8) == "AVI ", "not a RIFF/AVI")
+      var width = 0; var height = 0; var topDown = false
+      var vScale = 0; var vRate = 0
+      var aRate = 0; var aChannels = 0
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val audio = scala.collection.mutable.ArrayBuffer.empty[Short]
+
+      def parseStrl(from: Int, end: Int): Unit = {
+        var off = from
+        var cur = "" // fccType of the strh seen last in THIS strl
+        while (off + 8 <= end) {
+          val len = checkedLen(b, off, end)
+          tag(b, off) match {
+            case "strh" =>
+              require(len >= 56, s"strh too short ($len)")
+              cur = tag(b, off + 8)
+              if (cur == "vids") {
+                require(tag(b, off + 12) == "DIB " ||
+                  s32(b, off + 12) == 0, "only uncompressed DIB video")
+                vScale = s32(b, off + 28); vRate = s32(b, off + 32)
+              }
+            case "strf" if cur == "vids" =>
+              require(len >= 40, s"strf too short ($len)")
+              width = s32(b, off + 12)
+              val hRaw = s32(b, off + 16)
+              topDown = hRaw < 0
+              height = math.abs(hRaw)
+              require(u16(b, off + 20) == 1 && u16(b, off + 22) == 24,
+                "only 24-bit single-plane supported")
+              require(s32(b, off + 24) == 0, "only BI_RGB supported")
+            case "strf" if cur == "auds" =>
+              require(len >= 16, s"audio strf too short ($len)")
+              require(u16(b, off + 8) == 1, "only PCM supported")
+              aChannels = u16(b, off + 10)
+              aRate = s32(b, off + 12)
+              require(u16(b, off + 22) == 16, "only 16-bit supported")
+            case _ => ()
+          }
+          off += 8 + len + (len & 1)
+        }
+      }
+
+      def parseHdrl(from: Int, end: Int): Unit = {
+        var off = from
+        while (off + 8 <= end) {
+          val len = checkedLen(b, off, end)
+          if (tag(b, off) == "LIST" && len >= 4 &&
+            tag(b, off + 8) == "strl") parseStrl(off + 12, off + 8 + len)
+          off += 8 + len + (len & 1)
+        }
+      }
+
+      def parseMovi(from: Int, end: Int): Unit = {
+        var off = from
+        while (off + 8 <= end) {
+          val len = checkedLen(b, off, end)
+          tag(b, off) match {
+            case "00db" | "00dc" =>
+              require(width > 0 && height > 0,
+                "movi frame before stream headers")
+              require(len >= bmpStride(width) * height,
+                s"frame chunk len $len short of the raster")
+              frames += readDib(b, off + 8, width, height, topDown)
+            case "01wb" =>
+              var i = 0
+              while (i < len / 2) {
+                audio += u16(b, off + 8 + i * 2).toShort
+                i += 1
+              }
+            case _ => ()
+          }
+          off += 8 + len + (len & 1)
+        }
+      }
+
+      var off = 12
+      while (off + 8 <= b.length) {
+        val len = checkedLen(b, off, b.length)
+        if (tag(b, off) == "LIST" && len >= 4) {
+          tag(b, off + 8) match {
+            case "hdrl" => parseHdrl(off + 12, off + 8 + len)
+            case "movi" => parseMovi(off + 12, off + 8 + len)
+            case _ => ()
+          }
+        }
+        off += 8 + len + (len & 1)
+      }
+      require(width > 0 && height > 0, "missing vids strf header")
+      require(vScale > 0 && vRate > 0, "missing or zero strh timing")
+      require(frames.nonEmpty, "no movi frames")
+      require(aRate > 0 && audio.nonEmpty, "missing audio stream")
+      DecodedAv(
+        DecodedVideo(width, height, vRate / vScale, frames.toArray),
+        DecodedAudio(aRate, aChannels, audio.toArray))
+    }
+  }
+
   /** The real decoder: walks the top-level RIFF chunk list, descends
     * the hdrl LIST for the stream headers (avih dims, strh
     * rate/scale timing, strf raster format), then the movi LIST
@@ -319,15 +537,21 @@ object Codecs {
 
       def parseStrl(from: Int, end: Int): Unit = {
         var off = from
+        var cur = "" // fccType of the strh seen last in THIS strl —
+        // a two-stream file's audio strl also carries a strf
+        // (WAVEFORMATEX), which must not be parsed as a bitmap header
         while (off + 8 <= end) {
           val len = checkedLen(b, off, end)
           tag(b, off) match {
-            case "strh" if tag(b, off + 8) == "vids" =>
+            case "strh" =>
               require(len >= 56, s"strh too short ($len)")
-              require(tag(b, off + 12) == "DIB " ||
-                s32(b, off + 12) == 0, "only uncompressed DIB video")
-              scale = s32(b, off + 28); rate = s32(b, off + 32)
-            case "strf" =>
+              cur = tag(b, off + 8)
+              if (cur == "vids") {
+                require(tag(b, off + 12) == "DIB " ||
+                  s32(b, off + 12) == 0, "only uncompressed DIB video")
+                scale = s32(b, off + 28); rate = s32(b, off + 32)
+              }
+            case "strf" if cur == "vids" =>
               require(len >= 40, s"strf too short ($len)")
               width = s32(b, off + 12)
               val hRaw = s32(b, off + 16)

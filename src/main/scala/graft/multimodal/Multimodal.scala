@@ -52,6 +52,7 @@ object Multimodal {
   val ImageDecoderConfKey = "spark.graft.media.imageDecoder"
   val AudioDecoderConfKey = "spark.graft.media.audioDecoder"
   val VideoDecoderConfKey = "spark.graft.media.videoDecoder"
+  val AvDecoderConfKey = "spark.graft.media.avDecoder"
 
   private[multimodal] def instantiate[T](className: String): T = {
     // context classloader first: REPL/notebook-defined impls and
@@ -803,6 +804,86 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** L5o: ONE multimodal container -> BOTH typed modalities in one
+    * parse — the "multimodal column" north star made literal: each
+    * document carries a genuine interleaved two-stream RIFF/AVI
+    * (vids + auds stream headers; movi alternates '00db' DIB frames
+    * with '01wb' PCM16 chunks, the layout real muxers emit), and the
+    * conf-pluggable [[Codecs.AvDecoder]] walks the chunk tree ONCE,
+    * routing frame chunks to the raster path and audio chunks to the
+    * PCM path. Every emitted stat — frame count, sample count, rates
+    * from the two stream headers, RGB mass of the decoded rasters,
+    * absolute mass of the decoded samples — comes from that single
+    * parse; the oracle replays both pattern arithmetics plus the
+    * closed-form container size ([[Codecs.aviAvSize]]), so a bug in
+    * either stream's routing, layout, or endianness hash-mismatches.
+    * The reference's videos are exactly such multiplexed containers
+    * (cv2 reads the video stream of the same files).
+    *
+    * Scale: encode+decode are map-only over the documents scan; a
+    * binary multimodal column rides its source partitioning and both
+    * modalities decode in the same partition-local pass — no second
+    * scan, no shuffle before the final orderBy. */
+  def mmDecodeAv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(AvDecoderConfKey, classOf[Codecs.AviAvDecoder].getName)
+    val encoded = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 6).toInt
+          val h = (5 + id % 4).toInt
+          val nf = (2 + id % 3).toInt
+          val spf = (20 + (id % 10) * 2).toInt
+          val frames = (0 until nf).map { f =>
+            val px = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = (y * w + x) * 3
+                px(base) =
+                  ((id * 5 + f * 37 + x * 11 + y * 19) % 256).toByte
+                px(base + 1) =
+                  ((id * 13 + f * 23 + x * 7 + y * 3) % 256).toByte
+                px(base + 2) =
+                  ((id * 17 + f * 29 + x * 31 + y * 41) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            px
+          }
+          val samples = Array.tabulate(nf * spf)(i =>
+            ((id * 53 + i.toLong * i * 7) % 4096 - 2048).toShort)
+          (id, Codecs.aviEncodeAv(w, h, 10, frames, spf, samples))
+        }
+      }.toDF("doc_id", "avi")
+    encoded.as[(Long, Array[Byte])].mapPartitions { it =>
+      val dec = instantiate[Codecs.AvDecoder](decoderClass)
+      it.map { case (id, bytes) =>
+        val av = dec.decode(bytes)
+        var sumRgb = 0L
+        av.video.frames.foreach { fr =>
+          var i = 0
+          while (i < fr.length) { sumRgb += fr(i) & 0xff; i += 1 }
+        }
+        var sumAbs = 0L
+        var i = 0
+        while (i < av.audio.samples.length) {
+          sumAbs += math.abs(av.audio.samples(i).toLong)
+          i += 1
+        }
+        (id, bytes.length.toLong, av.video.width, av.video.height,
+          av.video.frames.length.toLong, av.video.fps,
+          av.audio.sampleRate, av.audio.samples.length.toLong,
+          sumRgb, sumAbs)
+      }
+    }.toDF("doc_id", "n_bytes", "width", "height", "n_frames", "fps",
+      "sample_rate", "n_samples", "sum_rgb", "sum_abs")
+      .orderBy("doc_id")
+  }
+
   /** The reference's segment length (raw_to_samples.py:16). */
   val SegmentLengthSec = 2
 
@@ -987,6 +1068,7 @@ object Multimodal {
     "mm_video_segments" -> mmVideoSegments,
     "mm_argmax_track" -> mmArgmaxTrack,
     "mm_transcode_real" -> mmTranscodeReal,
+    "mm_decode_av" -> mmDecodeAv,
     "mm_interleave" -> mmInterleave,
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_audio_vad" -> mmAudioVad,
@@ -1017,6 +1099,39 @@ object Multimodal {
       |  FROM px)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Both modality patterns + the closed-form two-stream container
+    // size (Codecs.aviAvSize) replayed from the clip parameters.
+    "mm_decode_av" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 6 AS w,
+        |    5 + doc_id % 4 AS h, 2 + doc_id % 3 AS nf,
+        |    20 + (doc_id % 10) * 2 AS spf FROM documents),
+        |px AS (SELECT doc_id, w, h, nf, fs.f, xs.x, ys.y
+        |  FROM d, range(0, 5) fs(f), range(0, 14) xs(x),
+        |    range(0, 9) ys(y)
+        |  WHERE fs.f < nf AND xs.x < w AND ys.y < h),
+        |pv AS (SELECT doc_id,
+        |    (doc_id * 5 + f * 37 + x * 11 + y * 19) % 256
+        |    + (doc_id * 13 + f * 23 + x * 7 + y * 3) % 256
+        |    + (doc_id * 17 + f * 29 + x * 31 + y * 41) % 256 AS v
+        |  FROM px),
+        |vr AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sum_rgb
+        |  FROM pv GROUP BY doc_id),
+        |au AS (SELECT d.doc_id,
+        |    CAST(SUM(abs((d.doc_id * 53 + ss.i * ss.i * 7) % 4096
+        |      - 2048)) AS BIGINT) AS sum_abs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_samples
+        |  FROM d, range(0, 152) ss(i) WHERE ss.i < nf * spf
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(324 + nf * (16 + ((w * 3 + 3) // 4) * 4 * h + 2 * spf)
+        |    AS BIGINT) AS n_bytes,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames, CAST(10 AS INT) AS fps,
+        |  CAST(10 * spf AS INT) AS sample_rate, au.n_samples,
+        |  vr.sum_rgb, au.sum_abs
+        |FROM d JOIN vr ON d.doc_id = vr.doc_id
+        |  JOIN au ON d.doc_id = au.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "mm_argmax_track" ->
       s"""WITH $videoClipSql,
         |vm AS (SELECT doc_id, f, MAX(v) AS v_max FROM pv GROUP BY 1, 2),

@@ -465,6 +465,58 @@ class MultimodalSpec extends SparkSpecBase {
     } finally spark.conf.unset(key)
   }
 
+  test("two-stream AVI: round-trip identity for BOTH modalities from " +
+    "one parse; the video-only decoder reads the same file's video " +
+    "stream (skipping 01wb and the audio strf); corrupt/missing " +
+    "audio fails fast") {
+    import multimodal.Codecs
+    val w = 6; val h = 3; val spf = 10
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(w * h * 3)(i => ((i * 43 + f * 29) % 256).toByte))
+    val samples = Array.tabulate(3 * spf)(i => ((i * 211) % 4096 - 2048).toShort)
+    val bytes = Codecs.aviEncodeAv(w, h, 10, frames, spf, samples)
+    assert(bytes.length == Codecs.aviAvSize(w, h, 3, spf))
+    val av = new Codecs.AviAvDecoder().decode(bytes)
+    assert(av.video.width == w && av.video.height == h &&
+      av.video.fps == 10 && av.video.frames.length == 3)
+    for (f <- 0 until 3)
+      assert(av.video.frames(f).toSeq == frames(f).toSeq, s"f=$f")
+    assert(av.audio.sampleRate == 100 && av.audio.channels == 1)
+    assert(av.audio.samples.toSeq == samples.toSeq)
+    // interop: the video-only decoder handles the SAME two-stream
+    // container (routes nothing from 01wb, ignores the audio strf)
+    val v = new Codecs.AviDecoder().decode(bytes)
+    assert(v.frames.length == 3 && v.frames(2).toSeq == frames(2).toSeq)
+    // a single-stream file has no audio -> the AV decoder refuses
+    val videoOnly = Codecs.aviEncode(w, h, 10, frames)
+    intercept[IllegalArgumentException](
+      new Codecs.AviAvDecoder().decode(videoOnly))
+  }
+
+  test("mm_decode_av: both modality stats from ONE parsed container " +
+    "match the pattern arithmetic; binding conf-swappable") {
+    import multimodal.Codecs
+    val out = multimodal.Multimodal.mmDecodeAv(spark, sf)
+      .as[(Long, Long, Int, Int, Long, Int, Int, Long, Long, Long)]
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, nb, w, h, nf, fps, rate, ns, sumRgb, sumAbs) =>
+      val spf = (20 + (id % 10) * 2).toInt
+      assert(w == 8 + id % 6 && h == 5 + id % 4 && nf == 2 + id % 3)
+      assert(fps == 10 && rate == 10 * spf && ns == nf * spf)
+      assert(nb == Codecs.aviAvSize(w, h, nf.toInt, spf))
+      var eRgb = 0L
+      for (f <- 0L until nf; y <- 0 until h; x <- 0 until w) {
+        eRgb += (id * 5 + f * 37 + x * 11 + y * 19) % 256
+        eRgb += (id * 13 + f * 23 + x * 7 + y * 3) % 256
+        eRgb += (id * 17 + f * 29 + x * 31 + y * 41) % 256
+      }
+      val eAbs = (0L until ns).map(i =>
+        math.abs((id * 53 + i * i * 7) % 4096 - 2048)).sum
+      assert(sumRgb == eRgb && sumAbs == eAbs, s"doc $id")
+    }
+  }
+
   test("mm_argmax_track: per-frame argmax detections from decoded " +
     "frames — frame spans complete, first step zero, steps bounded " +
     "by frame dims, detector genuinely reads the decoded bytes") {
