@@ -828,7 +828,85 @@ object Multimodal {
     import s.implicits._
     val decoderClass =
       s.conf.get(AvDecoderConfKey, classOf[Codecs.AviAvDecoder].getName)
-    val encoded = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val encoded = mmDecodeAvClips(s, dir)
+    encoded.as[(Long, Array[Byte])].mapPartitions { it =>
+      val dec = instantiate[Codecs.AvDecoder](decoderClass)
+      it.map { case (id, bytes) =>
+        val av = dec.decode(bytes)
+        var sumRgb = 0L
+        av.video.frames.foreach { fr =>
+          var i = 0
+          while (i < fr.length) { sumRgb += fr(i) & 0xff; i += 1 }
+        }
+        var sumAbs = 0L
+        var i = 0
+        while (i < av.audio.samples.length) {
+          sumAbs += math.abs(av.audio.samples(i).toLong)
+          i += 1
+        }
+        (id, bytes.length.toLong, av.video.width, av.video.height,
+          av.video.frames.length.toLong, av.video.fps,
+          av.audio.sampleRate, av.audio.samples.length.toLong,
+          sumRgb, sumAbs)
+      }
+    }.toDF("doc_id", "n_bytes", "width", "height", "n_frames", "fps",
+      "sample_rate", "n_samples", "sum_rgb", "sum_abs")
+      .orderBy("doc_id")
+  }
+
+  /** L5p: cross-modal per-frame ALIGNMENT audit over the two-stream
+    * container — the AV-sync / modality-agreement relation a
+    * multimodal curation pipeline audits before training (silent
+    * bright scenes and loud black frames are the classic mux-shift
+    * symptoms): one [[Codecs.AviAvDecoder]] parse per document, the
+    * audio track sliced into per-frame spans (span length derived
+    * from the PARSED stream lengths, not assumed), and per frame the
+    * decoded luma mean beside the decoded audio magnitude mean with
+    * both binarized agreement flags. All arithmetic is integer
+    * division on decoded bytes, so the oracle replays it exactly.
+    *
+    * Scale: one map-only pass (both modalities live in the same
+    * binary column), frames of a clip colocated by construction. */
+  def mmAvSyncAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(AvDecoderConfKey, classOf[Codecs.AviAvDecoder].getName)
+    // same clip relation as mm_decode_av (shared pattern literals)
+    val encoded = mmDecodeAvClips(s, dir)
+    encoded.as[(Long, Array[Byte])].mapPartitions { it =>
+      val dec = instantiate[Codecs.AvDecoder](decoderClass)
+      it.flatMap { case (id, bytes) =>
+        val av = dec.decode(bytes)
+        val nf = av.video.frames.length
+        val spf = av.audio.samples.length / nf
+        val denom = av.video.width.toLong * av.video.height * 3
+        (0 until nf).map { f =>
+          val fr = av.video.frames(f)
+          var sRgb = 0L
+          var i = 0
+          while (i < fr.length) { sRgb += fr(i) & 0xff; i += 1 }
+          var sAbs = 0L
+          var j = f * spf
+          while (j < (f + 1) * spf) {
+            sAbs += math.abs(av.audio.samples(j).toLong); j += 1
+          }
+          val rgbMeanMilli = sRgb * 1000 / denom
+          val absMean = sAbs / spf
+          val bright = rgbMeanMilli >= 382500L
+          val loud = absMean >= 1024L
+          (id, f.toLong, rgbMeanMilli, absMean, bright, loud,
+            bright != loud)
+        }
+      }
+    }.toDF("doc_id", "f", "rgb_mean_milli", "abs_mean", "bright",
+      "loud", "mismatch")
+      .orderBy("doc_id", "f")
+  }
+
+  /** The [[mmDecodeAv]] clip builder, shared with [[mmAvSyncAudit]]. */
+  private def mmDecodeAvClips(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val w = (8 + id % 6).toInt
@@ -859,29 +937,6 @@ object Multimodal {
           (id, Codecs.aviEncodeAv(w, h, 10, frames, spf, samples))
         }
       }.toDF("doc_id", "avi")
-    encoded.as[(Long, Array[Byte])].mapPartitions { it =>
-      val dec = instantiate[Codecs.AvDecoder](decoderClass)
-      it.map { case (id, bytes) =>
-        val av = dec.decode(bytes)
-        var sumRgb = 0L
-        av.video.frames.foreach { fr =>
-          var i = 0
-          while (i < fr.length) { sumRgb += fr(i) & 0xff; i += 1 }
-        }
-        var sumAbs = 0L
-        var i = 0
-        while (i < av.audio.samples.length) {
-          sumAbs += math.abs(av.audio.samples(i).toLong)
-          i += 1
-        }
-        (id, bytes.length.toLong, av.video.width, av.video.height,
-          av.video.frames.length.toLong, av.video.fps,
-          av.audio.sampleRate, av.audio.samples.length.toLong,
-          sumRgb, sumAbs)
-      }
-    }.toDF("doc_id", "n_bytes", "width", "height", "n_frames", "fps",
-      "sample_rate", "n_samples", "sum_rgb", "sum_abs")
-      .orderBy("doc_id")
   }
 
   /** The reference's segment length (raw_to_samples.py:16). */
@@ -1069,6 +1124,7 @@ object Multimodal {
     "mm_argmax_track" -> mmArgmaxTrack,
     "mm_transcode_real" -> mmTranscodeReal,
     "mm_decode_av" -> mmDecodeAv,
+    "mm_av_sync_audit" -> mmAvSyncAudit,
     "mm_interleave" -> mmInterleave,
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_audio_vad" -> mmAudioVad,
@@ -1132,6 +1188,38 @@ object Multimodal {
         |FROM d JOIN vr ON d.doc_id = vr.doc_id
         |  JOIN au ON d.doc_id = au.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Per-frame replay of both modality patterns with the same
+    // integer divisions the engine applies to DECODED bytes.
+    "mm_av_sync_audit" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 6 AS w,
+        |    5 + doc_id % 4 AS h, 2 + doc_id % 3 AS nf,
+        |    20 + (doc_id % 10) * 2 AS spf FROM documents),
+        |px AS (SELECT doc_id, w, h, nf, spf, fs.f, xs.x, ys.y
+        |  FROM d, range(0, 5) fs(f), range(0, 14) xs(x),
+        |    range(0, 9) ys(y)
+        |  WHERE fs.f < nf AND xs.x < w AND ys.y < h),
+        |pv AS (SELECT doc_id, w, h, spf, f,
+        |    (doc_id * 5 + f * 37 + x * 11 + y * 19) % 256
+        |    + (doc_id * 13 + f * 23 + x * 7 + y * 3) % 256
+        |    + (doc_id * 17 + f * 29 + x * 31 + y * 41) % 256 AS v
+        |  FROM px),
+        |fr AS (SELECT doc_id, spf, f,
+        |    (CAST(SUM(v) AS BIGINT) * 1000) // (w * h * 3)
+        |      AS rgb_mean_milli
+        |  FROM pv GROUP BY doc_id, w, h, spf, f),
+        |sm AS (SELECT d.doc_id, ss.i // spf AS f,
+        |    CAST(SUM(abs((d.doc_id * 53 + ss.i * ss.i * 7) % 4096
+        |      - 2048)) AS BIGINT) // spf AS abs_mean
+        |  FROM d, range(0, 152) ss(i) WHERE ss.i < nf * spf
+        |  GROUP BY d.doc_id, ss.i // spf, spf)
+        |SELECT fr.doc_id, CAST(fr.f AS BIGINT) AS f,
+        |  CAST(rgb_mean_milli AS BIGINT) AS rgb_mean_milli,
+        |  CAST(abs_mean AS BIGINT) AS abs_mean,
+        |  rgb_mean_milli >= 382500 AS bright,
+        |  abs_mean >= 1024 AS loud,
+        |  (rgb_mean_milli >= 382500) <> (abs_mean >= 1024) AS mismatch
+        |FROM fr JOIN sm ON fr.doc_id = sm.doc_id AND fr.f = sm.f
+        |ORDER BY fr.doc_id, f""".stripMargin,
     "mm_argmax_track" ->
       s"""WITH $videoClipSql,
         |vm AS (SELECT doc_id, f, MAX(v) AS v_max FROM pv GROUP BY 1, 2),

@@ -517,6 +517,23 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("mm_av_sync_audit: per-frame cross-modal flags consistent, " +
+    "frame spans complete, span length derived from the parsed " +
+    "streams") {
+    val out = multimodal.Multimodal.mmAvSyncAudit(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, rgbM, absM, bright, loud, mm) =>
+      assert(rgbM >= 0 && rgbM <= 765000 && absM >= 0 && absM <= 2048)
+      assert(bright == (rgbM >= 382500) && loud == (absM >= 1024))
+      assert(mm == (bright != loud))
+    }
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._2).sorted == (0L until (2 + id % 3)), s"doc $id")
+    }
+  }
+
   test("mm_argmax_track: per-frame argmax detections from decoded " +
     "frames — frame spans complete, first step zero, steps bounded " +
     "by frame dims, detector genuinely reads the decoded bytes") {
