@@ -939,6 +939,66 @@ object Multimodal {
       }.toDF("doc_id", "avi")
   }
 
+  /** L5q: crop + re-encode SAMPLE EMISSION over real bytes — the
+    * reference's actual output operation (raw_to_samples.py:241-258:
+    * per-subject bbox crop of every frame, then a new sub-video
+    * written per subject — the files the whole pipeline exists to
+    * produce), run as a genuine decode -> crop -> re-encode ->
+    * decode chain: the clip's real AVI bytes are parsed, every frame
+    * raster is sliced to a deterministic bbox (the `frame[y1:y2,
+    * x1:x2]` slice at :253), the cropped frames re-encode into a NEW
+    * smaller AVI whose bytes are parsed again, and the emitted stats
+    * come from that second parse. Both container sizes are
+    * closed-form in the oracle, and the cropped-pixel sum replays the
+    * pattern over the crop window — a bug in the slice arithmetic,
+    * either encoder, or either parser hash-mismatches.
+    *
+    * Scale: one map-only pass; crops of a clip never leave their
+    * partition (the reference's per-video inner loop shape). */
+  def mmCropClip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(VideoDecoderConfKey, classOf[Codecs.AviDecoder].getName)
+    videoClips(s, dir).as[(Long, Array[Byte])].mapPartitions { it =>
+      val dec = instantiate[Codecs.VideoDecoder](decoderClass)
+      it.map { case (id, bytes) =>
+        val v = dec.decode(bytes)
+        val x1 = (id % 2).toInt
+        val y1 = ((id / 2) % 2).toInt
+        val cw = v.width - x1 - 1
+        val ch = v.height - y1 - 1
+        val cropped = v.frames.map { fr =>
+          val out = new Array[Byte](cw * ch * 3)
+          var y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) {
+              val src = ((y + y1) * v.width + (x + x1)) * 3
+              val dst = (y * cw + x) * 3
+              out(dst) = fr(src)
+              out(dst + 1) = fr(src + 1)
+              out(dst + 2) = fr(src + 2)
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        val sub = Codecs.aviEncode(cw, ch, v.fps, cropped.toSeq)
+        val v2 = dec.decode(sub)
+        var sum = 0L
+        v2.frames.foreach { fr =>
+          var i = 0
+          while (i < fr.length) { sum += fr(i) & 0xff; i += 1 }
+        }
+        (id, bytes.length.toLong, sub.length.toLong,
+          v2.width, v2.height, v2.frames.length.toLong, sum)
+      }
+    }.toDF("doc_id", "src_bytes", "crop_bytes", "crop_w", "crop_h",
+      "n_frames", "sum_rgb_crop")
+      .orderBy("doc_id")
+  }
+
   /** The reference's segment length (raw_to_samples.py:16). */
   val SegmentLengthSec = 2
 
@@ -1125,6 +1185,7 @@ object Multimodal {
     "mm_transcode_real" -> mmTranscodeReal,
     "mm_decode_av" -> mmDecodeAv,
     "mm_av_sync_audit" -> mmAvSyncAudit,
+    "mm_crop_clip" -> mmCropClip,
     "mm_interleave" -> mmInterleave,
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_audio_vad" -> mmAudioVad,
@@ -1220,6 +1281,28 @@ object Multimodal {
         |  (rgb_mean_milli >= 382500) <> (abs_mean >= 1024) AS mismatch
         |FROM fr JOIN sm ON fr.doc_id = sm.doc_id AND fr.f = sm.f
         |ORDER BY fr.doc_id, f""".stripMargin,
+    // Crop window replay over the shared clip pattern + both
+    // closed-form container sizes (Codecs.aviSize for src and crop).
+    "mm_crop_clip" ->
+      s"""WITH $videoClipSql,
+        |cb AS (SELECT doc_id, w, h, nf, doc_id % 2 AS x1,
+        |    (doc_id // 2) % 2 AS y1, w - doc_id % 2 - 1 AS cw,
+        |    h - (doc_id // 2) % 2 - 1 AS ch FROM d),
+        |cs AS (SELECT pv.doc_id, CAST(SUM(pv.v) AS BIGINT)
+        |    AS sum_rgb_crop
+        |  FROM pv JOIN cb ON pv.doc_id = cb.doc_id
+        |  WHERE pv.x >= cb.x1 AND pv.x < cb.x1 + cb.cw
+        |    AND pv.y >= cb.y1 AND pv.y < cb.y1 + cb.ch
+        |  GROUP BY pv.doc_id)
+        |SELECT cb.doc_id,
+        |  CAST(224 + nf * (8 + ((w * 3 + 3) // 4) * 4 * h) AS BIGINT)
+        |    AS src_bytes,
+        |  CAST(224 + nf * (8 + ((cw * 3 + 3) // 4) * 4 * ch) AS BIGINT)
+        |    AS crop_bytes,
+        |  CAST(cw AS INT) AS crop_w, CAST(ch AS INT) AS crop_h,
+        |  CAST(nf AS BIGINT) AS n_frames, cs.sum_rgb_crop
+        |FROM cb JOIN cs ON cb.doc_id = cs.doc_id
+        |ORDER BY cb.doc_id""".stripMargin,
     "mm_argmax_track" ->
       s"""WITH $videoClipSql,
         |vm AS (SELECT doc_id, f, MAX(v) AS v_max FROM pv GROUP BY 1, 2),

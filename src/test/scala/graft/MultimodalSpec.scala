@@ -517,6 +517,30 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("mm_crop_clip: decode -> bbox slice -> re-encode -> decode " +
+    "chain emits the cropped sub-video's stats (the reference's " +
+    "sample-emission loop on real bytes)") {
+    import multimodal.Codecs
+    val out = multimodal.Multimodal.mmCropClip(spark, sf)
+      .as[(Long, Long, Long, Int, Int, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, sb, cb, cw, ch, nf, sum) =>
+      val w = (8 + id % 8).toInt; val h = (6 + id % 5).toInt
+      val x1 = (id % 2).toInt; val y1 = ((id / 2) % 2).toInt
+      assert(cw == w - x1 - 1 && ch == h - y1 - 1 && nf == 3 + id % 4)
+      assert(sb == Codecs.aviSize(w, h, nf.toInt) &&
+        cb == Codecs.aviSize(cw, ch, nf.toInt))
+      var exp = 0L
+      for (f <- 0L until nf; y <- y1 until (y1 + ch);
+           x <- x1 until (x1 + cw)) {
+        exp += (id * 7 + f * 41 + x * 13 + y * 31) % 256
+        exp += (id * 11 + f * 19 + x * 17 + y * 5) % 256
+        exp += (id * 3 + f * 53 + x * 29 + y * 23) % 256
+      }
+      assert(sum == exp, s"doc $id")
+    }
+  }
+
   test("mm_av_sync_audit: per-frame cross-modal flags consistent, " +
     "frame spans complete, span length derived from the parsed " +
     "streams") {
