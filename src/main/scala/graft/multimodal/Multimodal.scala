@@ -999,6 +999,106 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** L5r: the reference's ENTIRE step 3 on real container bytes —
+    * one op chaining every stage of raw_to_samples.py's inner loop
+    * against genuinely parsed AVI frames, end to end:
+    *
+    *   decode (:173-196, real chunk-walk parse) ->
+    *   2-second segmentation with the +1 overlap frame and trailing
+    *   drop (:330-341, fps from the PARSED stream header) ->
+    *   per-frame detection (:183-191 — the replayable argmax
+    *   "detector" of [[mmArgmaxTrack]]; neural weights remain the
+    *   documented surrogate boundary) ->
+    *   per-segment track bbox with pad + clamp (:63-72 pads the
+    *   subject's max box and clamps to the frame; pad scaled to 1 for
+    *   these small rasters) ->
+    *   crop every segment frame to the bbox (:253's
+    *   frame[y1:y2, x1:x2]) ->
+    *   re-encode the cropped segment as its own sub-video (:241-258,
+    *   the sample files the reference exists to emit) ->
+    *   decode THAT and report its stats.
+    *
+    * Output: one row per emitted sample (doc, segment) with the
+    * track bbox, the sub-video's closed-form size, and the cropped
+    * pixel mass from the second parse. The relational spelling over
+    * surrogate metadata is [[pipeline.Reference]]'s ref_ep3_full;
+    * this is the decode-path twin with no surrogate anywhere but the
+    * detector weights.
+    *
+    * Scale: the whole chain is ONE map-only pass per clip — exactly
+    * the reference's per-video loop, embarrassingly parallel over a
+    * 100 TB corpus of clips. */
+  def refEp3Real(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(VideoDecoderConfKey, classOf[Codecs.AviDecoder].getName)
+    segClips(s, dir).as[(Long, Array[Byte])].mapPartitions { it =>
+      val dec = instantiate[Codecs.VideoDecoder](decoderClass)
+      it.flatMap { case (id, bytes) =>
+        val v = dec.decode(bytes)
+        val fq = v.fps * SegmentLengthSec
+        val nf = v.frames.length
+        Iterator.range(0, nf, fq).flatMap { start =>
+          val end = math.min(start + fq + 1, nf)
+          if (end - start < fq) None
+          else {
+            // per-frame argmax detections over the segment's frames
+            val track = (start until end).map { f =>
+              val fr = v.frames(f)
+              var best = -1; var bi = 0
+              var i = 0
+              val n = v.width * v.height
+              while (i < n) {
+                val lum = (fr(3 * i) & 0xff) + (fr(3 * i + 1) & 0xff) +
+                  (fr(3 * i + 2) & 0xff)
+                if (lum > best) { best = lum; bi = i }
+                i += 1
+              }
+              (bi % v.width, bi / v.width)
+            }
+            // pad-1 clamped track bbox (the :63-72 rule)
+            val x1 = math.max(0, track.map(_._1).min - 1)
+            val x2 = math.min(v.width - 1, track.map(_._1).max + 1)
+            val y1 = math.max(0, track.map(_._2).min - 1)
+            val y2 = math.min(v.height - 1, track.map(_._2).max + 1)
+            val cw = x2 - x1 + 1
+            val ch = y2 - y1 + 1
+            val cropped = (start until end).map { f =>
+              val fr = v.frames(f)
+              val out = new Array[Byte](cw * ch * 3)
+              var y = 0
+              while (y < ch) {
+                var x = 0
+                while (x < cw) {
+                  val src = ((y + y1) * v.width + (x + x1)) * 3
+                  val dst = (y * cw + x) * 3
+                  out(dst) = fr(src)
+                  out(dst + 1) = fr(src + 1)
+                  out(dst + 2) = fr(src + 2)
+                  x += 1
+                }
+                y += 1
+              }
+              out
+            }
+            val sub = Codecs.aviEncode(cw, ch, v.fps, cropped)
+            val v2 = dec.decode(sub)
+            var sum = 0L
+            v2.frames.foreach { fr =>
+              var i = 0
+              while (i < fr.length) { sum += fr(i) & 0xff; i += 1 }
+            }
+            Some((id, (start / fq).toLong, start.toLong, end.toLong,
+              x1.toLong, y1.toLong, cw.toLong, ch.toLong,
+              sub.length.toLong, sum))
+          }
+        }
+      }
+    }.toDF("doc_id", "seg", "start_frame", "end_frame", "x1", "y1",
+      "crop_w", "crop_h", "sub_bytes", "sum_rgb_sub")
+      .orderBy("doc_id", "seg")
+  }
+
   /** The reference's segment length (raw_to_samples.py:16). */
   val SegmentLengthSec = 2
 
@@ -1021,11 +1121,12 @@ object Multimodal {
     * Scale: encode+decode+segment are map-only over the documents
     * scan (per-partition decoder init, segments flatMapped in the
     * same pass) — no shuffle before the final orderBy. */
-  def mmVideoSegments(s: SparkSession, dir: String): DataFrame = {
+  /** Longer low-fps clips (fps 2, so frames_per_segment = 4 fits the
+    * 6-13 frame range) shared by [[mmVideoSegments]] and
+    * [[refEp3Real]] — one pattern, one oracle CTE chain. */
+  private def segClips(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val decoderClass =
-      s.conf.get(VideoDecoderConfKey, classOf[Codecs.AviDecoder].getName)
-    val encoded = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val w = (8 + id % 4).toInt
@@ -1053,6 +1154,13 @@ object Multimodal {
           (id, Codecs.aviEncode(w, h, 2, frames))
         }
       }.toDF("doc_id", "avi")
+  }
+
+  def mmVideoSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(VideoDecoderConfKey, classOf[Codecs.AviDecoder].getName)
+    val encoded = segClips(s, dir)
     encoded.as[(Long, Array[Byte])].mapPartitions { it =>
       val dec = instantiate[Codecs.VideoDecoder](decoderClass)
       it.flatMap { case (id, bytes) =>
@@ -1186,6 +1294,7 @@ object Multimodal {
     "mm_decode_av" -> mmDecodeAv,
     "mm_av_sync_audit" -> mmAvSyncAudit,
     "mm_crop_clip" -> mmCropClip,
+    "ref_ep3_real" -> refEp3Real,
     "mm_interleave" -> mmInterleave,
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_audio_vad" -> mmAudioVad,
@@ -1198,6 +1307,28 @@ object Multimodal {
     "mm_resolution_filter" -> mmResolutionFilter,
     "mm_frame_sample" -> mmFrameSample,
   )
+
+  /** The low-fps clip relation (pv with x, y) + the reference's
+    * segment spans (sg raw starts, sb surviving spans) replaying
+    * [[segClips]] — shared by the mm_video_segments and ref_ep3_real
+    * oracles. */
+  private val segClipSql: String =
+    """d AS (SELECT doc_id, 8 + doc_id % 4 AS w,
+      |    6 + doc_id % 3 AS h, 6 + doc_id % 8 AS nf FROM documents),
+      |px AS (SELECT doc_id, w, h, nf, fs.f, xs.x, ys.y
+      |  FROM d, range(0, 14) fs(f), range(0, 12) xs(x),
+      |    range(0, 9) ys(y)
+      |  WHERE fs.f < nf AND xs.x < w AND ys.y < h),
+      |pv AS (SELECT doc_id, w, h, nf, f, x, y,
+      |    (doc_id * 7 + f * 41 + x * 13 + y * 31) % 256
+      |    + (doc_id * 11 + f * 19 + x * 17 + y * 5) % 256
+      |    + (doc_id * 3 + f * 53 + x * 29 + y * 23) % 256 AS v
+      |  FROM px),
+      |sg AS (SELECT doc_id, w, h, nf, ss.s AS start_frame
+      |  FROM d, range(0, 14, 4) ss(s) WHERE ss.s < nf),
+      |sb AS (SELECT doc_id, w, h, nf, start_frame,
+      |    LEAST(start_frame + 5, nf) AS end_frame FROM sg
+      |  WHERE LEAST(start_frame + 5, nf) - start_frame >= 4)""".stripMargin
 
   /** The deterministic clip relation `pv(doc_id, w, h, nf, f, x, y,
     * v)` replaying [[videoClips]]'s pattern — shared by the
@@ -1281,6 +1412,46 @@ object Multimodal {
         |  (rgb_mean_milli >= 382500) <> (abs_mean >= 1024) AS mismatch
         |FROM fr JOIN sm ON fr.doc_id = sm.doc_id AND fr.f = sm.f
         |ORDER BY fr.doc_id, f""".stripMargin,
+    // The whole step-3 replay: per-frame argmax track inside each
+    // surviving segment span, pad-1 clamped bbox, crop-window pixel
+    // sum, closed-form sub-video size.
+    "ref_ep3_real" ->
+      s"""WITH $segClipSql,
+        |vm AS (SELECT doc_id, f, MAX(v) AS v_max FROM pv GROUP BY 1, 2),
+        |am AS (SELECT pv.doc_id, pv.f, MIN(y * pv.w + x) AS bi,
+        |    MAX(pv.w) AS w2
+        |  FROM pv JOIN vm ON pv.doc_id = vm.doc_id AND pv.f = vm.f
+        |    AND pv.v = vm.v_max
+        |  GROUP BY 1, 2),
+        |tr AS (SELECT doc_id, f, bi % w2 AS ax, bi // w2 AS ay FROM am),
+        |bx AS (SELECT sb.doc_id, sb.start_frame // 4 AS seg,
+        |    sb.start_frame, sb.end_frame, sb.w, sb.h,
+        |    GREATEST(MIN(tr.ax) - 1, 0) AS x1,
+        |    LEAST(MAX(tr.ax) + 1, sb.w - 1) AS x2,
+        |    GREATEST(MIN(tr.ay) - 1, 0) AS y1,
+        |    LEAST(MAX(tr.ay) + 1, sb.h - 1) AS y2
+        |  FROM sb JOIN tr ON sb.doc_id = tr.doc_id
+        |    AND tr.f >= sb.start_frame AND tr.f < sb.end_frame
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |cx AS (SELECT bx.doc_id, bx.seg,
+        |    CAST(SUM(pv.v) AS BIGINT) AS sum_rgb_sub
+        |  FROM bx JOIN pv ON bx.doc_id = pv.doc_id
+        |    AND pv.f >= bx.start_frame AND pv.f < bx.end_frame
+        |    AND pv.x >= bx.x1 AND pv.x <= bx.x2
+        |    AND pv.y >= bx.y1 AND pv.y <= bx.y2
+        |  GROUP BY 1, 2)
+        |SELECT bx.doc_id, CAST(bx.seg AS BIGINT) AS seg,
+        |  CAST(start_frame AS BIGINT) AS start_frame,
+        |  CAST(end_frame AS BIGINT) AS end_frame,
+        |  CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+        |  CAST(x2 - x1 + 1 AS BIGINT) AS crop_w,
+        |  CAST(y2 - y1 + 1 AS BIGINT) AS crop_h,
+        |  CAST(224 + (end_frame - start_frame) *
+        |    (8 + (((x2 - x1 + 1) * 3 + 3) // 4) * 4 * (y2 - y1 + 1))
+        |    AS BIGINT) AS sub_bytes,
+        |  cx.sum_rgb_sub
+        |FROM bx JOIN cx ON bx.doc_id = cx.doc_id AND bx.seg = cx.seg
+        |ORDER BY bx.doc_id, seg""".stripMargin,
     // Crop window replay over the shared clip pattern + both
     // closed-form container sizes (Codecs.aviSize for src and crop).
     "mm_crop_clip" ->
@@ -1417,24 +1588,9 @@ object Multimodal {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
         |FROM fc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_video_segments" ->
-      """WITH d AS (SELECT doc_id, 8 + doc_id % 4 AS w,
-        |    6 + doc_id % 3 AS h, 6 + doc_id % 8 AS nf FROM documents),
-        |px AS (SELECT doc_id, w, h, nf, fs.f, xs.x, ys.y
-        |  FROM d, range(0, 14) fs(f), range(0, 12) xs(x),
-        |    range(0, 9) ys(y)
-        |  WHERE fs.f < nf AND xs.x < w AND ys.y < h),
-        |pv AS (SELECT doc_id, w, h, nf, f,
-        |    (doc_id * 7 + f * 41 + x * 13 + y * 31) % 256
-        |    + (doc_id * 11 + f * 19 + x * 17 + y * 5) % 256
-        |    + (doc_id * 3 + f * 53 + x * 29 + y * 23) % 256 AS v
-        |  FROM px),
+      s"""WITH $segClipSql,
         |fm AS (SELECT doc_id, w, h, nf, f, CAST(SUM(v) AS BIGINT) AS s
         |  FROM pv GROUP BY 1, 2, 3, 4, 5),
-        |sg AS (SELECT doc_id, w, h, nf, ss.s AS start_frame
-        |  FROM d, range(0, 14, 4) ss(s) WHERE ss.s < nf),
-        |sb AS (SELECT doc_id, w, h, nf, start_frame,
-        |    LEAST(start_frame + 5, nf) AS end_frame FROM sg
-        |  WHERE LEAST(start_frame + 5, nf) - start_frame >= 4),
         |agg AS (SELECT sb.doc_id, start_frame // 4 AS seg,
         |    start_frame, end_frame,
         |    end_frame - start_frame AS n_frames_seg,

@@ -541,6 +541,44 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("ref_ep3_real: the full step-3 chain on real bytes — spans " +
+    "match mm_video_segments, the bbox is the pad-1 clamped hull of " +
+    "the span's argmax track, the sub-video size is the closed form " +
+    "of the crop dims") {
+    import multimodal.Codecs
+    val out = multimodal.Multimodal.refEp3Real(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(out.nonEmpty)
+    val segs = multimodal.Multimodal.mmVideoSegments(spark, sf)
+      .select("doc_id", "seg", "start_frame", "end_frame")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSet == segs)
+    out.foreach { case (id, _, s0, end, x1, y1, cw, ch, sb, _) =>
+      val w = 8 + id % 4; val h = 6 + id % 3
+      assert(x1 >= 0 && y1 >= 0 && cw >= 1 && ch >= 1 &&
+        x1 + cw <= w && y1 + ch <= h, s"doc $id")
+      assert(sb == Codecs.aviSize(cw.toInt, ch.toInt, (end - s0).toInt))
+      // replay the argmax track of this span; hull + pad-1 clamp
+      val track = (s0 until end).map { f =>
+        var best = -1L; var bx = 0L; var by = 0L
+        for (y <- 0 until h.toInt; x <- 0 until w.toInt) {
+          val lum = (id * 7 + f * 41 + x * 13 + y * 31) % 256 +
+            (id * 11 + f * 19 + x * 17 + y * 5) % 256 +
+            (id * 3 + f * 53 + x * 29 + y * 23) % 256
+          if (lum > best) { best = lum; bx = x; by = y }
+        }
+        (bx, by)
+      }
+      assert(x1 == math.max(0, track.map(_._1).min - 1), s"doc $id x1")
+      assert(x1 + cw - 1 ==
+        math.min(w - 1, track.map(_._1).max + 1), s"doc $id x2")
+      assert(y1 == math.max(0, track.map(_._2).min - 1), s"doc $id y1")
+      assert(y1 + ch - 1 ==
+        math.min(h - 1, track.map(_._2).max + 1), s"doc $id y2")
+    }
+  }
+
   test("mm_av_sync_audit: per-frame cross-modal flags consistent, " +
     "frame spans complete, span length derived from the parsed " +
     "streams") {
