@@ -596,6 +596,62 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("codec fuzz: seeded byte corruptions of valid BMP/WAV/AVI " +
+    "containers either decode or fail fast with require() — never a " +
+    "raw array error, never a hang (the external-bytes contract)") {
+    import multimodal.Codecs
+    val bmp = Codecs.bmpEncode(6, 4,
+      Array.tabulate(6 * 4 * 3)(i => (i % 256).toByte))
+    val wav = Codecs.wavEncode(8000,
+      Array.tabulate(50)(i => ((i * 321) % 4096 - 2048).toShort))
+    val frames = (0 until 2).map(f =>
+      Array.tabulate(5 * 3 * 3)(i => ((i + f * 17) % 256).toByte))
+    val avi = Codecs.aviEncode(5, 3, 10, frames)
+    val avAvi = Codecs.aviEncodeAv(5, 3, 10, frames, 8,
+      Array.tabulate(16)(i => (i * 100).toShort))
+    val bd = new Codecs.BmpDecoder()
+    val wd = new Codecs.WavDecoder()
+    val vd = new Codecs.AviDecoder()
+    val ad = new Codecs.AviAvDecoder()
+    // deterministic LCG over (container, trial): flip 1-4 bytes to
+    // adversarial values at pseudorandom offsets
+    def corrupt(base: Array[Byte], seed: Long): Array[Byte] = {
+      val b = base.clone()
+      var s = seed * 6364136223846793005L + 1442695040888963407L
+      val flips = 1 + (math.abs(s) % 4).toInt
+      for (_ <- 0 until flips) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val off = (math.abs(s) % b.length).toInt
+        s = s * 6364136223846793005L + 1442695040888963407L
+        b(off) = Seq(0x00, 0xff, 0x7f, 0x80)(
+          (math.abs(s) % 4).toInt).toByte
+      }
+      b
+    }
+    def run(name: String, dec: Array[Byte] => Any,
+        base: Array[Byte]): Unit =
+      for (t <- 0 until 300) {
+        val b = corrupt(base, t * 7919L + name.hashCode)
+        try { dec(b); () } catch {
+          case _: IllegalArgumentException => () // require: the contract
+          case e: Throwable =>
+            fail(s"$name trial $t threw ${e.getClass.getName}: " +
+              s"${e.getMessage}")
+        }
+      }
+    run("bmp", bd.decode, bmp)
+    run("wav", wd.decode, wav)
+    run("avi", vd.decode, avi)
+    run("avi_av", ad.decode, avAvi)
+    // truncations at every length must also fail fast or succeed
+    for (n <- 0 until avi.length)
+      try { vd.decode(avi.take(n)); () } catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"truncation $n threw ${e.getClass.getName}")
+      }
+  }
+
   test("mm_argmax_track: per-frame argmax detections from decoded " +
     "frames — frame spans complete, first step zero, steps bounded " +
     "by frame dims, detector genuinely reads the decoded bytes") {
