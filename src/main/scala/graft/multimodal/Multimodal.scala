@@ -628,9 +628,18 @@ object Multimodal {
   /** The deterministic multi-frame AVI clip per document shared by
     * [[mmDecodeVideo]] and [[mmArgmaxTrack]] (one pattern, one
     * oracle CTE chain — the shared-literal rule). */
-  private def videoClips(s: SparkSession, dir: String): DataFrame = {
+  private def videoClips(s: SparkSession, dir: String): DataFrame =
+    videoClipsOn(Tables.documents(s, dir).select(col("doc_id"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong))
+
+  /** Clip builder over any id relation — pure mapPartitions, so it is
+    * STREAMING-LEGAL (a readStream of ids encodes the same clips;
+    * StreamingSpec proves decode-stats equivalence batch vs stream). */
+  private def videoClipsOn(
+      ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    ids
       .mapPartitions { it =>
         it.map { id =>
           val w = (8 + id % 8).toInt
@@ -660,11 +669,23 @@ object Multimodal {
       }.toDF("doc_id", "avi")
   }
 
-  def mmDecodeVideo(s: SparkSession, dir: String): DataFrame = {
+  def mmDecodeVideo(s: SparkSession, dir: String): DataFrame =
+    mmDecodeVideoOn(
+      Tables.documents(s, dir).select(col("doc_id"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong))
+      .orderBy("doc_id")
+
+  /** Streaming-legal core (no sort; encode + decode are both pure
+    * mapPartitions passes): works identically on a batch id relation
+    * and a readStream of ids — the codec boundary composes with
+    * Structured Streaming unchanged. */
+  def mmDecodeVideoOn(
+      ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
     import s.implicits._
     val decoderClass =
       s.conf.get(VideoDecoderConfKey, classOf[Codecs.AviDecoder].getName)
-    val encoded = videoClips(s, dir)
+    val encoded = videoClipsOn(ids)
     encoded.as[(Long, Array[Byte])].mapPartitions { it =>
       val dec = instantiate[Codecs.VideoDecoder](decoderClass)
       it.map { case (id, bytes) =>
@@ -687,7 +708,6 @@ object Multimodal {
       }
     }.toDF("doc_id", "n_bytes", "width", "height", "n_frames", "fps",
       "sum_rgb", "n_cuts")
-      .orderBy("doc_id")
   }
 
   /** L5m: per-frame argmax "detector" + track statistics over REAL

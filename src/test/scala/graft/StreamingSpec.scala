@@ -609,4 +609,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(walk === decl)
     assert(walk.nonEmpty)
   }
+
+  test("real-bytes codec path under readStream: encode -> AVI decode " +
+    "stats over a streaming id source == the batch relation " +
+    "(mapPartitions is streaming-legal end to end)") {
+    import org.apache.spark.sql.Encoders
+    val docDir = {
+      val d = Files.createTempDirectory("graft_stream_docs")
+      Files.copy(Paths.get(s"$sf/documents.parquet"),
+        d.resolve("documents.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      d.toString
+    }
+    val docSchema = spark.read.parquet(docDir).schema
+    val ids = spark.readStream.schema(docSchema).parquet(docDir)
+      .select(col("doc_id")).as[Long](Encoders.scalaLong)
+    val q = multimodal.Multimodal.mmDecodeVideoOn(ids)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mm_stream_out").start()
+    val streamed = try {
+      q.processAllAvailable()
+      spark.table("mm_stream_out").collect().map(_.toString).toSet
+    } finally q.stop()
+    val batch = multimodal.Multimodal
+      .mmDecodeVideoOn(Tables.documents(spark, sf)
+        .select(col("doc_id")).as[Long](Encoders.scalaLong))
+      .collect().map(_.toString).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
