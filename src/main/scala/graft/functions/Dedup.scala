@@ -416,6 +416,23 @@ object Dedup {
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     dedupMinhashOn(shingleHashes(s, dir))
 
+  private val mhPairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The MinHash-verified near-dup pair relation of the catalog
+    * corpus, memoized per (session, dir) — the shingle-cache
+    * discipline one rung up: FIVE catalog consumers read these exact
+    * pairs (dedup_minhash, dedup_stage_funnel, dedup_method_eval,
+    * dedup_clusters_altstar, and the minhash-CC memo behind
+    * dedup_clusters/dedup_apply/corpus_soft_dedup/
+    * corpus_pipeline_full), so a catalog run pays the
+    * band -> bucket -> Jaccard-verify chain once. Pair sets are a
+    * small fraction of the corpus (near-dup edges), so the eager
+    * checkpoint is bounded; at 100 TB this is the staging relation
+    * a production funnel writes to parquet between rungs anyway. */
+  private[graft] def dedupMinhashCached(s: SparkSession, dir: String): DataFrame =
+    memo(mhPairCache, s, dir) { dedupMinhash(s, dir).localCheckpoint(true) }
+
   /** L2g: candidate-generation agreement matrix — do the cheap and
     * expensive dedup paths find the same pairs? For each pair of
     * methods (minhash-LSH banding, exact df-capped n-gram join,
@@ -438,7 +455,7 @@ object Dedup {
     // cluster_linkage_ladder lesson), then the three 1-row agreement
     // lines concurrently against the checkpointed pair sets.
     val built = Seq(
-      "minhash" -> (() => dedupMinhash(s, dir).select("da", "db")),
+      "minhash" -> (() => dedupMinhashCached(s, dir).select("da", "db")),
       "ngram" -> (() => dedupNgram(s, dir).select("da", "db")),
       "snm" -> (() => dedupSortedNeighborhood(s, dir).select("da", "db")))
       .map { case (n, mk) =>
@@ -1090,7 +1107,7 @@ object Dedup {
     "dedup_url" -> dedupUrl,
     "dedup_minhash_estimate" -> dedupMinhashEstimate,
     "dedup_minhash_bbit" -> dedupMinhashBbit,
-    "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash" -> dedupMinhashCached,
     "dedup_lsh_planner" -> dedupLshPlanner,
     "dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
     "dedup_containment" -> dedupContainment,

@@ -577,8 +577,9 @@ object Similarity {
 
   /** The trained catalog k-means assignment (vec_id, cell, d2,
     * n_members), memoized per (session, dir) — the cosPairsCached /
-    * knnEdges discipline: THREE catalog consumers (cluster_kmeans,
-    * sample_cluster_balanced, cluster_purity_eval) read this exact
+    * knnEdges discipline: FIVE catalog consumers (cluster_kmeans,
+    * sample_cluster_balanced, cluster_purity_eval,
+    * sim_ann_ivf_trained, dedup_semantic_clustered) read this exact
     * relation, so a catalog run pays Lloyd's iterations once. */
   private[graft] def kmeansCached(s: SparkSession, dir: String): DataFrame =
     kmCache.synchronized {
@@ -951,12 +952,13 @@ object Similarity {
     * the exact-integer recipe the oracle replays), then exact cosine
     * rerank within the query's cell. Same plan skeleton as the static
     * variant — tiny query side broadcast, cell equi-predicate, one
-    * qid-keyed window — with the (vec_id, cell) assignment
-    * checkpointed once so the probe and build sides don't re-run
-    * Lloyd's. */
+    * qid-keyed window — reading the (vec_id, cell) assignment from
+    * the memoized [[kmeansCached]] relation (same defaults, already
+    * checkpointed), so a catalog run never re-runs Lloyd's for this
+    * query. */
   def simAnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val cells = kmeansOn(emb).select("vec_id", "cell").localCheckpoint(true)
+    val cells = kmeansCached(s, dir).select("vec_id", "cell")
     val e = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .select(col("vec_id"), col("emb"), norm2(col("emb")).as("nrm"))

@@ -1756,10 +1756,23 @@ object Events {
       }
       cur.filter(col("state") === "#start").select(col("a_ppm"))
     }
-    val full = absorb(None).select(col("a_ppm").as("p_full_ppm"))
-    val eff = channels.map { c =>
-        absorb(Some(c)).select(lit(c).as("channel"),
-          col("a_ppm").as("p_removed_ppm"))
+    // The 1 + |channels| runs are INDEPENDENT once `t` is
+    // checkpointed, and each is a deep lazy chain (iters joins) whose
+    // per-action optimizer+codegen cost dominates its single-digit-row
+    // data. Materializing each run's 1-row result as a CONCURRENT job
+    // chain (the linkage-ladder/semantic-sweep fan) keeps every
+    // optimizer pass small and overlaps the runs; the union below then
+    // assembles checkpointed 1-row relations. Measured at sf0.1:
+    // 6.5 s -> ~1 s for the default 4-channel run.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = (None +: channels.map(Some(_))).map { ex =>
+      Future(absorb(ex).localCheckpoint(true))
+    }.map(Await.result(_, Duration.Inf))
+    val full = runs.head.select(col("a_ppm").as("p_full_ppm"))
+    val eff = channels.zip(runs.tail).map { case (c, r) =>
+        r.select(lit(c).as("channel"), col("a_ppm").as("p_removed_ppm"))
       }.reduce(_ unionByName _)
       .crossJoin(broadcast(full))
       .withColumn("removal_effect_ppm",

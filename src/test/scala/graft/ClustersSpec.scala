@@ -537,6 +537,15 @@ class ClustersSpec extends SparkSpecBase {
       functions.Similarity.cosPairsCached(spark, sf))
     assert(!(functions.Clusters.knnEdges(spark, sf) eq
       functions.Clusters.knnEdges(spark, sfB)))
+    // the round-9 continuation caches follow the same discipline
+    assert(functions.Dedup.dedupMinhashCached(spark, sf) eq
+      functions.Dedup.dedupMinhashCached(spark, sf))
+    assert(functions.Clusters.erClustersCached(spark, sf) eq
+      functions.Clusters.erClustersCached(spark, sf))
+    assert(functions.Clusters.tradeEdgesDirected(spark, sf) eq
+      functions.Clusters.tradeEdgesDirected(spark, sf))
+    assert(!(functions.Clusters.tradeEdgesDirected(spark, sf) eq
+      functions.Clusters.tradeEdgesDirected(spark, sfB)))
     // and the two dirs' relations really are different data
     val a = functions.Clusters.knnEdges(spark, sf)
       .agg(sum(col("cos"))).head().getDouble(0)
