@@ -510,6 +510,214 @@ object Codecs {
     }
   }
 
+  // ---------------------------------------------------------------
+  // ISO BMFF (MP4) — the reference's ACTUAL container format
+  // (raw_to_samples.py opens .mp4 files; preprocess_dataset.py:59-70
+  // re-encodes .mov -> .mp4). The codec payload (H.264 et al.) is not
+  // JVM-parseable and stays the documented surrogate boundary, but
+  // everything the reference READS BEFORE decoding — fps, frame
+  // count, duration, track dims (cv2's CAP_PROP_FPS /
+  // CAP_PROP_FRAME_COUNT probe, raw_to_samples.py:302-307) — lives in
+  // the moov box tree, which is a fully specified big-endian byte
+  // layout (ISO/IEC 14496-12). So the container PROBE runs on real
+  // bytes: a genuine box walk over ftyp/moov/mvhd/trak/tkhd/mdhd/
+  // hdlr/stts/mdat, with every box size validated before descent.
+  // ---------------------------------------------------------------
+
+  /** Big-endian reads/writes — ISO BMFF is big-endian, unlike RIFF. */
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def wbe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >> 24) & 0xff).toByte
+    b(off + 1) = ((v >> 16) & 0xff).toByte
+    b(off + 2) = ((v >> 8) & 0xff).toByte
+    b(off + 3) = (v & 0xff).toByte
+  }
+
+  private def wbe16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >> 8) & 0xff).toByte
+    b(off + 1) = (v & 0xff).toByte
+  }
+
+  /** Container-level metadata of one MP4: everything a pipeline's
+    * probe step (ffprobe / cv2 property reads) extracts WITHOUT
+    * touching the codec payload, plus the mdat extent and a payload
+    * byte sum proving the walk reached the actual sample data. */
+  final case class Mp4Meta(brand: String, timescale: Int, duration: Long,
+      nTracks: Int, handler: String, width: Int, height: Int,
+      nSamples: Long, sampleDelta: Int, mdatBytes: Long, payloadSum: Long)
+
+  trait ContainerProbe extends Serializable {
+    def probe(bytes: Array[Byte]): Mp4Meta
+  }
+
+  /** Closed-form byte size of [[mp4Encode]]'s output: ftyp 32 + moov
+    * 329 (mvhd 108 + trak 213: tkhd 92 + mdia 113 of mdhd 32 + hdlr
+    * 33 + minf 40 of stbl 32 of stts 24) + mdat (8 + payload). */
+  def mp4Size(payloadLen: Int): Int = 369 + payloadLen
+
+  /** Encode a minimal-but-genuine single-video-track MP4 box tree
+    * (ISO/IEC 14496-12 layouts, version-0 full boxes): ftyp('isom') +
+    * moov(mvhd + trak(tkhd + mdia(mdhd + hdlr'vide' +
+    * minf(stbl(stts))))) + mdat holding the (opaque) coded payload.
+    * stts carries ONE run of `nSamples` samples at `sampleDelta`
+    * ticks each — exactly where a real muxer puts frame count and
+    * timing, and exactly what a probe reads back (fps = timescale /
+    * sampleDelta for constant-rate streams). `moovLast` emits the
+    * streaming-muxer box order (mdat before moov) so probes must walk
+    * boxes, not assume offsets. */
+  def mp4Encode(timescale: Int, nSamples: Int, sampleDelta: Int,
+      width: Int, height: Int, payload: Array[Byte],
+      moovLast: Boolean = false): Array[Byte] = {
+    require(timescale > 0 && nSamples > 0 && sampleDelta > 0 &&
+      width > 0 && height > 0, "bad mp4 parameters")
+    val duration = nSamples * sampleDelta
+    val out = new Array[Byte](mp4Size(payload.length))
+    var o = 0
+    def box(size: Int, tp: String): Int = {
+      wbe32(out, o, size); wTag(out, o + 4, tp); o += 8; o - 8
+    }
+    // ftyp: major 'isom', minor 0x200, compatible isom/iso2/mp41
+    box(32, "ftyp")
+    wTag(out, o, "isom"); wbe32(out, o + 4, 0x200)
+    wTag(out, o + 8, "isom"); wTag(out, o + 12, "iso2")
+    wTag(out, o + 16, "mp41"); wTag(out, o + 20, "mp42"); o += 24
+    def writeMdat(): Unit = {
+      box(8 + payload.length, "mdat")
+      System.arraycopy(payload, 0, out, o, payload.length)
+      o += payload.length
+    }
+    if (moovLast) writeMdat()
+    box(329, "moov")
+    // mvhd v0: timescale, duration, rate 1.0, volume 1.0, identity
+    // matrix, next_track_ID 2
+    box(108, "mvhd")
+    wbe32(out, o + 12, timescale); wbe32(out, o + 16, duration)
+    wbe32(out, o + 20, 0x10000); wbe16(out, o + 24, 0x100)
+    wbe32(out, o + 36, 0x10000); wbe32(out, o + 52, 0x10000)
+    wbe32(out, o + 68, 0x40000000)
+    wbe32(out, o + 96, 2)
+    o += 100
+    box(213, "trak")
+    // tkhd v0, flags 3 (enabled+in-movie): track 1, dims 16.16 fixed
+    box(92, "tkhd")
+    out(o + 3) = 3
+    wbe32(out, o + 12, 1) // track_ID
+    wbe32(out, o + 20, duration)
+    wbe32(out, o + 40, 0x10000); wbe32(out, o + 56, 0x10000)
+    wbe32(out, o + 72, 0x40000000)
+    wbe32(out, o + 76, width << 16); wbe32(out, o + 80, height << 16)
+    o += 84
+    box(113, "mdia")
+    // mdhd v0: media timescale + duration, language 'und'
+    box(32, "mdhd")
+    wbe32(out, o + 12, timescale); wbe32(out, o + 16, duration)
+    wbe16(out, o + 20, 0x55c4)
+    o += 24
+    box(33, "hdlr")
+    wTag(out, o + 8, "vide") // handler_type; name = one NUL byte
+    o += 25
+    box(40, "minf")
+    box(32, "stbl")
+    // stts: one (sample_count, sample_delta) run
+    box(24, "stts")
+    wbe32(out, o + 4, 1)
+    wbe32(out, o + 8, nSamples); wbe32(out, o + 12, sampleDelta)
+    o += 16
+    if (!moovLast) writeMdat()
+    require(o == out.length, s"encoder wrote $o of ${out.length}")
+    out
+  }
+
+  /** The real probe: walks the top-level box list (big-endian sizes,
+    * each validated against its parent before descent — size==0
+    * (to-end) and size==1 (64-bit largesize) are rejected as
+    * unsupported rather than misparsed), descends
+    * moov/trak/mdia/minf/stbl, and reads brand (ftyp), movie
+    * timescale + duration (mvhd v0), track count and dims (tkhd v0,
+    * 16.16 fixed), handler type (hdlr), the stts sample count/delta,
+    * and the mdat extent + payload byte sum. Box ORDER is free (a
+    * streaming muxer puts moov after mdat) — the walk never assumes
+    * offsets. */
+  final class Mp4Probe extends ContainerProbe {
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    def probe(b: Array[Byte]): Mp4Meta = {
+      require(b.length >= 16, "too short for an MP4")
+      var brand = ""; var timescale = 0; var duration = 0L
+      var nTracks = 0; var handler = ""
+      var width = 0; var height = 0
+      var nSamples = 0L; var sampleDelta = 0
+      var mdatBytes = -1L; var payloadSum = 0L
+
+      def version(off: Int): Int = b(off + 8) & 0xff
+
+      def walk(from: Int, end: Int): Unit = {
+        var off = from
+        while (off + 8 <= end) {
+          val size = be32(b, off)
+          require(size >= 8 && off.toLong + size <= end,
+            s"corrupt box '${if (size >= 8) tag(b, off + 4) else "?"}' " +
+              s"size $size at offset $off")
+          val tp = tag(b, off + 4)
+          tp match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              if (tp == "trak") nTracks += 1
+              walk(off + 8, off + size)
+            case "ftyp" =>
+              require(size >= 16, s"ftyp too short ($size)")
+              brand = tag(b, off + 8)
+            case "mvhd" =>
+              require(version(off) == 0 && size >= 108,
+                "only version-0 mvhd supported")
+              timescale = be32(b, off + 20)
+              duration = be32(b, off + 24).toLong & 0xffffffffL
+            case "tkhd" =>
+              require(version(off) == 0 && size >= 92,
+                "only version-0 tkhd supported")
+              width = be32(b, off + 84) >>> 16
+              height = be32(b, off + 88) >>> 16
+            case "hdlr" =>
+              require(size >= 24, s"hdlr too short ($size)")
+              handler = tag(b, off + 16)
+            case "stts" =>
+              require(size >= 16, s"stts too short ($size)")
+              val n = be32(b, off + 12)
+              require(n >= 1 && size >= 16 + n * 8,
+                s"stts entry count $n overruns box size $size")
+              var i = 0
+              while (i < n) {
+                nSamples += be32(b, off + 16 + i * 8).toLong & 0xffffffffL
+                if (i == 0) sampleDelta = be32(b, off + 20 + i * 8)
+                i += 1
+              }
+            case "mdat" =>
+              mdatBytes = (size - 8).toLong
+              var i = off + 8
+              while (i < off + size) {
+                payloadSum += b(i) & 0xff
+                i += 1
+              }
+            case _ => ()
+          }
+          off += size
+        }
+      }
+
+      walk(0, b.length)
+      require(brand.nonEmpty, "missing ftyp")
+      require(timescale > 0, "missing or zero mvhd timescale")
+      require(nTracks > 0 && handler.nonEmpty, "missing trak/hdlr")
+      require(nSamples > 0 && sampleDelta > 0, "missing stts timing")
+      require(mdatBytes >= 0, "missing mdat")
+      Mp4Meta(brand, timescale, duration, nTracks, handler,
+        width, height, nSamples, sampleDelta, mdatBytes, payloadSum)
+    }
+  }
+
   /** The real decoder: walks the top-level RIFF chunk list, descends
     * the hdrl LIST for the stream headers (avih dims, strh
     * rate/scale timing, strf raster format), then the movi LIST

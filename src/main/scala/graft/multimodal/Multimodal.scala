@@ -53,6 +53,7 @@ object Multimodal {
   val AudioDecoderConfKey = "spark.graft.media.audioDecoder"
   val VideoDecoderConfKey = "spark.graft.media.videoDecoder"
   val AvDecoderConfKey = "spark.graft.media.avDecoder"
+  val Mp4ProbeConfKey = "spark.graft.media.mp4Probe"
 
   private[multimodal] def instantiate[T](className: String): T = {
     // context classloader first: REPL/notebook-defined impls and
@@ -1303,7 +1304,66 @@ object Multimodal {
       .orderBy("da", "db")
   }
 
+  /** L5q: REAL MP4 container probe — the step the reference runs
+    * FIRST on every input: cv2.VideoCapture property reads
+    * (raw_to_samples.py:302-307 CAP_PROP_FPS / CAP_PROP_FRAME_COUNT)
+    * pull fps, frame count, duration and track dims out of the MP4's
+    * moov box tree WITHOUT touching the codec payload. That tree is a
+    * fully specified big-endian byte layout (ISO/IEC 14496-12), so
+    * the probe runs on genuine bytes: per document a minimal but
+    * real single-video-track MP4 is built ([[Codecs.mp4Encode]] —
+    * ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl/stts + an
+    * opaque mdat payload standing in for coded samples), with the
+    * two real muxer BOX ORDERS exercised by parity (even doc_ids get
+    * the streaming layout, mdat before moov), and the conf-pluggable
+    * [[Codecs.ContainerProbe]] (default [[Codecs.Mp4Probe]]) walks
+    * the boxes back out inside mapPartitions. Every emitted field
+    * comes from the PARSED tree — a size, offset, endianness or
+    * fixed-point (16.16 dims) bug hash-mismatches the oracle's
+    * closed-form replay (which recomputes [[Codecs.mp4Size]] and the
+    * mdat payload byte sum). The CODEC payload stays the documented
+    * surrogate boundary — this op moves the container METADATA rung
+    * of the reference's actual format onto real bytes.
+    *
+    * Scale: encode + probe are one map-only pass over the documents
+    * scan (per-partition probe init); no shuffle before the final
+    * orderBy. */
+  def mmMp4Probe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probeClass =
+      s.conf.get(Mp4ProbeConfKey, classOf[Codecs.Mp4Probe].getName)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val probe = instantiate[Codecs.ContainerProbe](probeClass)
+        it.map { id =>
+          val delta = (20 + (id % 4) * 10).toInt
+          val nf = (24 + id % 48).toInt
+          val w = (32 + (id % 8) * 16).toInt
+          val h = (24 + (id % 6) * 16).toInt
+          val plen = nf * (7 + id % 9).toInt
+          val payload = new Array[Byte](plen)
+          var i = 0
+          while (i < plen) {
+            payload(i) = ((id * 31 + i.toLong * i * 5) % 251).toByte
+            i += 1
+          }
+          val bytes = Codecs.mp4Encode(600, nf, delta, w, h, payload,
+            moovLast = id % 2 == 0)
+          val m = probe.probe(bytes)
+          (id, bytes.length.toLong, m.brand, m.timescale, m.duration,
+            m.duration * 1000L / m.timescale, m.nTracks, m.handler,
+            m.width, m.height, m.nSamples,
+            (m.timescale / m.sampleDelta).toInt, m.mdatBytes,
+            m.payloadSum)
+        }
+      }.toDF("doc_id", "n_bytes", "brand", "timescale", "duration",
+        "duration_ms", "n_tracks", "handler", "width", "height",
+        "n_frames", "fps", "mdat_bytes", "payload_sum")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_mp4_probe" -> mmMp4Probe,
     "mm_phash_real" -> mmPhashReal,
     "mm_decode_image" -> mmDecodeImage,
     "mm_decode_audio" -> mmDecodeAudio,
@@ -1367,6 +1427,38 @@ object Multimodal {
       |  FROM px)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Closed-form replay of the probe: container size (Codecs
+    // .mp4Size), stts-derived timing, 16.16 dims, and the mdat
+    // payload byte-sum pattern — independent of box order, which the
+    // engine varies by doc parity.
+    "mm_mp4_probe" ->
+      """WITH d AS (SELECT doc_id,
+        |    20 + (doc_id % 4) * 10 AS delta,
+        |    24 + doc_id % 48 AS nf,
+        |    32 + (doc_id % 8) * 16 AS w,
+        |    24 + (doc_id % 6) * 16 AS h,
+        |    (24 + doc_id % 48) * (7 + doc_id % 9) AS plen
+        |  FROM documents),
+        |ps AS (SELECT d.doc_id,
+        |    CAST(SUM((d.doc_id * 31 + ss.i * ss.i * 5) % 251)
+        |      AS BIGINT) AS payload_sum
+        |  FROM d, range(0, 1065) ss(i) WHERE ss.i < plen
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(369 + plen AS BIGINT) AS n_bytes,
+        |  'isom' AS brand,
+        |  CAST(600 AS INT) AS timescale,
+        |  CAST(nf * delta AS BIGINT) AS duration,
+        |  CAST(nf * delta * 1000 // 600 AS BIGINT) AS duration_ms,
+        |  CAST(1 AS INT) AS n_tracks,
+        |  'vide' AS handler,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(600 // delta AS INT) AS fps,
+        |  CAST(plen AS BIGINT) AS mdat_bytes,
+        |  ps.payload_sum
+        |FROM d JOIN ps ON d.doc_id = ps.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Both modality patterns + the closed-form two-stream container
     // size (Codecs.aviAvSize) replayed from the clip parameters.
     "mm_decode_av" ->

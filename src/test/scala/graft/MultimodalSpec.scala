@@ -710,6 +710,104 @@ class MultimodalSpec extends SparkSpecBase {
       Tables.documents(spark, sf).select("doc_id").as[Long]
         .collect().toSet)
   }
+
+  test("Mp4Probe round-trips both real muxer box orders and survives " +
+    "a free box; every field comes from the parsed tree") {
+    import multimodal.Codecs
+    val probe = new Codecs.Mp4Probe()
+    val payload = Array.tabulate(37)(i => ((i * 11 + 3) % 251).toByte)
+    for (moovLast <- Seq(false, true)) {
+      val bytes = Codecs.mp4Encode(600, 48, 25, 320, 240, payload,
+        moovLast = moovLast)
+      assert(bytes.length == Codecs.mp4Size(37))
+      val m = probe.probe(bytes)
+      assert(m.brand == "isom" && m.timescale == 600, s"moovLast=$moovLast")
+      assert(m.duration == 48L * 25 && m.nTracks == 1 && m.handler == "vide")
+      assert(m.width == 320 && m.height == 240)
+      assert(m.nSamples == 48L && m.sampleDelta == 25)
+      assert(m.mdatBytes == 37L &&
+        m.payloadSum == payload.map(_ & 0xff).map(_.toLong).sum)
+    }
+    // a 'free' box between ftyp and moov (real muxers leave them after
+    // in-place edits) must not change the parse
+    val canon = Codecs.mp4Encode(600, 12, 50, 64, 48, payload)
+    val free = new Array[Byte](16)
+    free(3) = 16; free(4) = 'f'; free(5) = 'r'; free(6) = 'e'; free(7) = 'e'
+    val varied = canon.slice(0, 32) ++ free ++ canon.slice(32, canon.length)
+    val a = probe.probe(canon)
+    val b = probe.probe(varied)
+    assert(a == b)
+  }
+
+  test("Mp4Probe fails fast on corrupt bytes: zero/large box size, " +
+    "64-bit largesize, stts entry overrun, truncation, missing moov") {
+    import multimodal.Codecs
+    val probe = new Codecs.Mp4Probe()
+    val payload = Array.tabulate(20)(i => (i % 251).toByte)
+    val canon = Codecs.mp4Encode(600, 12, 50, 64, 48, payload)
+    def be32set(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = ((v >> 24) & 0xff).toByte; b(off + 1) = ((v >> 16) & 0xff).toByte
+      b(off + 2) = ((v >> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+    }
+    // size 0 ("to end of file") is rejected, not misparsed
+    val zero = canon.clone(); be32set(zero, 32, 0)
+    intercept[IllegalArgumentException](probe.probe(zero))
+    // size 1 (64-bit largesize) is rejected as unsupported
+    val large = canon.clone(); be32set(large, 32, 1)
+    intercept[IllegalArgumentException](probe.probe(large))
+    // a child box size overrunning its parent fails at the parent wall
+    val over = canon.clone(); be32set(over, 40, 5000)
+    intercept[IllegalArgumentException](probe.probe(over))
+    // stts claiming more entries than its box holds
+    val stts = canon.clone()
+    val sttsOff = canon.indexOfSlice("stts".getBytes("US-ASCII").toSeq) - 4
+    be32set(stts, sttsOff + 12, 99)
+    intercept[IllegalArgumentException](probe.probe(stts))
+    // truncated mid-moov
+    intercept[IllegalArgumentException](
+      probe.probe(canon.slice(0, canon.length - payload.length - 12)))
+    // ftyp alone (no moov): missing-metadata contract
+    intercept[IllegalArgumentException](probe.probe(canon.slice(0, 32)))
+  }
+
+  test("mm_mp4_probe consumes REAL ISO-BMFF bytes: parsed metadata " +
+    "matches the parameter arithmetic and the closed-form size; probe " +
+    "binding is conf-swappable") {
+    import multimodal.Codecs
+    val out = multimodal.Multimodal.mmMp4Probe(spark, sf)
+      .as[(Long, Long, String, Int, Long, Long, Int, String, Int, Int,
+        Long, Int, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, nb, brand, ts, dur, durMs, ntr, hdl, w, h,
+        nf, fps, mdat, psum) =>
+      val delta = 20 + (id % 4) * 10
+      val nfE = 24 + id % 48
+      val plen = nfE * (7 + id % 9)
+      assert(brand == "isom" && ts == 600 && ntr == 1 && hdl == "vide")
+      assert(w == 32 + (id % 8) * 16 && h == 24 + (id % 6) * 16)
+      assert(nf == nfE && fps == 600 / delta)
+      assert(dur == nfE * delta && durMs == nfE * delta * 1000 / 600)
+      assert(nb == Codecs.mp4Size(plen.toInt) && mdat == plen)
+      var exp = 0L
+      for (i <- 0L until plen) exp += (id * 31 + i * i * 5) % 251
+      assert(psum == exp, s"doc $id payload sum")
+    }
+    val key = multimodal.Multimodal.Mp4ProbeConfKey
+    spark.conf.set(key, classOf[FixedMp4Probe].getName)
+    try {
+      val brands = multimodal.Multimodal.mmMp4Probe(spark, sf)
+        .select("brand").distinct().as[String].collect().toSeq
+      assert(brands == Seq("fake"))
+    } finally spark.conf.unset(key)
+  }
+}
+
+/** Test-only container probe that ignores the bytes — proves the
+  * catalog op's outputs flow through the pluggable probe binding. */
+class FixedMp4Probe extends multimodal.Codecs.ContainerProbe {
+  def probe(bytes: Array[Byte]): multimodal.Codecs.Mp4Meta =
+    multimodal.Codecs.Mp4Meta("fake", 600, 600L, 1, "vide",
+      1, 1, 1L, 600, 0L, 0L)
 }
 
 /** Test-only image decoder that ignores the bytes — used to prove the
