@@ -631,6 +631,176 @@ object Codecs {
     out
   }
 
+  /** One indexed sample: its ordinal, ABSOLUTE byte offset in the
+    * container, and size — what stsz/stsc/stco resolve to. */
+  final case class Mp4Sample(k: Int, off: Long, size: Int)
+
+  trait ContainerIndexer extends Serializable {
+    def index(bytes: Array[Byte]): Array[Mp4Sample]
+  }
+
+  /** Closed-form byte size of [[mp4EncodeIndexed]]'s output: the
+    * [[mp4Size]] tree grown by stsz (20 + 4n) + stsc 28 + stco 20
+    * inside stbl. */
+  def mp4SizeIndexed(nSamples: Int, payloadLen: Int): Int =
+    437 + 4 * nSamples + payloadLen
+
+  /** [[mp4Encode]] with the full sample INDEX a real reader seeks
+    * through: stsz carries the per-sample byte sizes, stsc maps all
+    * samples into one chunk, stco holds that chunk's ABSOLUTE file
+    * offset (so the index depends on box order — the encoder computes
+    * it, the indexer must honor it). payload = the samples'
+    * concatenated bytes. */
+  def mp4EncodeIndexed(timescale: Int, sampleDelta: Int,
+      width: Int, height: Int, sampleSizes: Array[Int],
+      payload: Array[Byte], moovLast: Boolean = false): Array[Byte] = {
+    val n = sampleSizes.length
+    require(timescale > 0 && sampleDelta > 0 && n > 0 &&
+      width > 0 && height > 0, "bad mp4 parameters")
+    require(sampleSizes.forall(_ >= 0) &&
+      sampleSizes.map(_.toLong).sum == payload.length,
+      "sample sizes must be non-negative and sum to the payload length")
+    val duration = n * sampleDelta
+    val out = new Array[Byte](mp4SizeIndexed(n, payload.length))
+    val mdatOff = if (moovLast) 32 else 32 + 397 + 4 * n
+    var o = 0
+    def box(size: Int, tp: String): Int = {
+      wbe32(out, o, size); wTag(out, o + 4, tp); o += 8; o - 8
+    }
+    box(32, "ftyp")
+    wTag(out, o, "isom"); wbe32(out, o + 4, 0x200)
+    wTag(out, o + 8, "isom"); wTag(out, o + 12, "iso2")
+    wTag(out, o + 16, "mp41"); wTag(out, o + 20, "mp42"); o += 24
+    def writeMdat(): Unit = {
+      require(o == mdatOff, s"mdat at $o, expected $mdatOff")
+      box(8 + payload.length, "mdat")
+      System.arraycopy(payload, 0, out, o, payload.length)
+      o += payload.length
+    }
+    if (moovLast) writeMdat()
+    box(397 + 4 * n, "moov")
+    box(108, "mvhd")
+    wbe32(out, o + 12, timescale); wbe32(out, o + 16, duration)
+    wbe32(out, o + 20, 0x10000); wbe16(out, o + 24, 0x100)
+    wbe32(out, o + 36, 0x10000); wbe32(out, o + 52, 0x10000)
+    wbe32(out, o + 68, 0x40000000)
+    wbe32(out, o + 96, 2)
+    o += 100
+    box(281 + 4 * n, "trak")
+    box(92, "tkhd")
+    out(o + 3) = 3
+    wbe32(out, o + 12, 1)
+    wbe32(out, o + 20, duration)
+    wbe32(out, o + 40, 0x10000); wbe32(out, o + 56, 0x10000)
+    wbe32(out, o + 72, 0x40000000)
+    wbe32(out, o + 76, width << 16); wbe32(out, o + 80, height << 16)
+    o += 84
+    box(181 + 4 * n, "mdia")
+    box(32, "mdhd")
+    wbe32(out, o + 12, timescale); wbe32(out, o + 16, duration)
+    wbe16(out, o + 20, 0x55c4)
+    o += 24
+    box(33, "hdlr")
+    wTag(out, o + 8, "vide")
+    o += 25
+    box(108 + 4 * n, "minf")
+    box(100 + 4 * n, "stbl")
+    box(24, "stts")
+    wbe32(out, o + 4, 1)
+    wbe32(out, o + 8, n); wbe32(out, o + 12, sampleDelta)
+    o += 16
+    box(20 + 4 * n, "stsz")
+    wbe32(out, o + 4, 0) // sample_size 0 => per-sample table follows
+    wbe32(out, o + 8, n)
+    var i = 0
+    while (i < n) { wbe32(out, o + 12 + i * 4, sampleSizes(i)); i += 1 }
+    o += 12 + 4 * n
+    box(28, "stsc")
+    wbe32(out, o + 4, 1)
+    wbe32(out, o + 8, 1)     // first_chunk
+    wbe32(out, o + 12, n)    // samples_per_chunk: all in one chunk
+    wbe32(out, o + 16, 1)    // sample_description_index
+    o += 20
+    box(20, "stco")
+    wbe32(out, o + 4, 1)
+    wbe32(out, o + 8, mdatOff + 8) // absolute offset of sample 0
+    o += 12
+    if (!moovLast) writeMdat()
+    require(o == out.length, s"encoder wrote $o of ${out.length}")
+    out
+  }
+
+  /** The real indexer: the [[Mp4Probe]] box walk extended to the
+    * sample tables — stsz's per-sample sizes, stsc's
+    * samples-per-chunk (the single-chunk layout this encoder emits is
+    * required and CHECKED, not assumed), stco's absolute chunk
+    * offset — cumulated into one (ordinal, absolute offset, size)
+    * row per sample, each verified to lie inside the buffer. This is
+    * the seek path of every real MP4 reader: resolve the index, then
+    * read sample bytes straight out of mdat without touching a
+    * decoder. */
+  final class Mp4Indexer extends ContainerIndexer {
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    def index(b: Array[Byte]): Array[Mp4Sample] = {
+      require(b.length >= 16, "too short for an MP4")
+      var sizes: Array[Int] = null
+      var chunkOff = -1L
+      var samplesPerChunk = -1
+
+      def walk(from: Int, end: Int): Unit = {
+        var off = from
+        while (off + 8 <= end) {
+          val size = be32(b, off)
+          require(size >= 8 && off.toLong + size <= end,
+            s"corrupt box size $size at offset $off")
+          tag(b, off + 4) match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              walk(off + 8, off + size)
+            case "stsz" =>
+              require(size >= 20, s"stsz too short ($size)")
+              val fixed = be32(b, off + 12)
+              val n = be32(b, off + 16)
+              require(n >= 1, s"stsz sample count $n")
+              if (fixed == 0) {
+                require(size >= 20 + n * 4,
+                  s"stsz table for $n samples overruns box size $size")
+                sizes = Array.tabulate(n)(i => be32(b, off + 20 + i * 4))
+              } else sizes = Array.fill(n)(fixed)
+            case "stsc" =>
+              require(size >= 28 && be32(b, off + 12) == 1,
+                "only the single-run stsc layout is supported")
+              samplesPerChunk = be32(b, off + 20)
+            case "stco" =>
+              require(size >= 20 && be32(b, off + 12) == 1,
+                "only the single-chunk stco layout is supported")
+              chunkOff = be32(b, off + 16).toLong & 0xffffffffL
+            case _ => ()
+          }
+          off += size
+        }
+      }
+
+      walk(0, b.length)
+      require(sizes != null, "missing stsz")
+      require(samplesPerChunk == sizes.length,
+        s"stsc samples/chunk $samplesPerChunk != stsz count ${sizes.length}")
+      require(chunkOff >= 0, "missing stco")
+      var cur = chunkOff
+      val out = new Array[Mp4Sample](sizes.length)
+      var k = 0
+      while (k < sizes.length) {
+        require(sizes(k) >= 0 && cur + sizes(k) <= b.length,
+          s"sample $k (${sizes(k)} bytes at $cur) outside the container")
+        out(k) = Mp4Sample(k, cur, sizes(k))
+        cur += sizes(k)
+        k += 1
+      }
+      out
+    }
+  }
+
   /** The real probe: walks the top-level box list (big-endian sizes,
     * each validated against its parent before descent — size==0
     * (to-end) and size==1 (64-bit largesize) are rejected as

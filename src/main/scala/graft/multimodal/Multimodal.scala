@@ -54,6 +54,7 @@ object Multimodal {
   val VideoDecoderConfKey = "spark.graft.media.videoDecoder"
   val AvDecoderConfKey = "spark.graft.media.avDecoder"
   val Mp4ProbeConfKey = "spark.graft.media.mp4Probe"
+  val Mp4IndexerConfKey = "spark.graft.media.mp4Indexer"
 
   private[multimodal] def instantiate[T](className: String): T = {
     // context classloader first: REPL/notebook-defined impls and
@@ -1362,8 +1363,58 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** L5r: REAL MP4 sample extraction through the index boxes — the
+    * SEEK path of every MP4 reader (and of the reference's
+    * cv2.VideoCapture frame positioning): stsz gives per-sample byte
+    * sizes, stsc maps samples to chunks, stco anchors the chunk at
+    * its ABSOLUTE file offset, and the reader cumulates those into
+    * (sample, offset, size) and reads the bytes straight out of mdat
+    * — no decoder involved. Per document an indexed single-chunk MP4
+    * is built ([[Codecs.mp4EncodeIndexed]], both muxer box orders by
+    * parity — the stco offset genuinely differs between them, so an
+    * indexer that assumed layout instead of reading stco would
+    * hash-mismatch), and the conf-pluggable
+    * [[Codecs.ContainerIndexer]] (default [[Codecs.Mp4Indexer]])
+    * resolves the table; the emitted slice sum reads the REAL bytes
+    * at the resolved offset. The oracle replays sizes, prefix-sum
+    * offsets (box-order-aware) and the payload pattern sum.
+    *
+    * Scale: one map-only pass, per-partition indexer init; at 100 TB
+    * this is the shape of clipping N frames out of a shard of videos
+    * without decoding them. */
+  def mmMp4Extract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val indexerClass =
+      s.conf.get(Mp4IndexerConfKey, classOf[Codecs.Mp4Indexer].getName)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val idx = instantiate[Codecs.ContainerIndexer](indexerClass)
+        it.flatMap { id =>
+          val nf = (6 + id % 6).toInt
+          val sizes = Array.tabulate(nf)(k => (10 + ((id + k * 7) % 20)).toInt)
+          val plen = sizes.sum
+          val payload = new Array[Byte](plen)
+          var g = 0
+          while (g < plen) {
+            payload(g) = ((id * 13 + g.toLong * g * 3) % 251).toByte
+            g += 1
+          }
+          val bytes = Codecs.mp4EncodeIndexed(600, 50, 32, 24, sizes,
+            payload, moovLast = id % 2 == 0)
+          idx.index(bytes).iterator.map { sm =>
+            var sum = 0L
+            var i = sm.off.toInt
+            while (i < sm.off + sm.size) { sum += bytes(i) & 0xff; i += 1 }
+            (id, sm.k.toLong, sm.size.toLong, sm.off, sum)
+          }
+        }
+      }.toDF("doc_id", "k", "sample_bytes", "sample_off", "slice_sum")
+      .orderBy("doc_id", "k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_mp4_probe" -> mmMp4Probe,
+    "mm_mp4_extract" -> mmMp4Extract,
     "mm_phash_real" -> mmPhashReal,
     "mm_decode_image" -> mmDecodeImage,
     "mm_decode_audio" -> mmDecodeAudio,
@@ -1459,6 +1510,38 @@ object Multimodal {
         |  ps.payload_sum
         |FROM d JOIN ps ON d.doc_id = ps.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Sizes, prefix-sum absolute offsets (box-order-aware: even docs
+    // use the streaming moov-last layout whose mdat payload starts at
+    // 40; odd docs moov-first at 437 + 4n — Codecs.mp4SizeIndexed),
+    // and the payload pattern summed over each sample's byte range.
+    "mm_mp4_extract" ->
+      """WITH d AS (SELECT doc_id, 6 + doc_id % 6 AS nf FROM documents),
+        |ks AS (SELECT doc_id, nf, kk.k FROM d, range(0, 11) kk(k)
+        |  WHERE kk.k < nf),
+        |sz AS (SELECT doc_id, nf, k,
+        |    10 + ((doc_id + k * 7) % 20) AS s FROM ks),
+        |po AS (SELECT doc_id, nf, k, s,
+        |    COALESCE(SUM(s) OVER (PARTITION BY doc_id ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS rel
+        |  FROM sz),
+        |base AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 40
+        |      ELSE 437 + 4 * nf END AS b
+        |  FROM d),
+        |sl AS (SELECT po.doc_id, po.k,
+        |    CAST(SUM((po.doc_id * 13 + gg.g * gg.g * 3) % 251)
+        |      AS BIGINT) AS slice_sum
+        |  FROM po, range(0, 320) gg(g)
+        |  WHERE gg.g >= po.rel AND gg.g < po.rel + po.s
+        |  GROUP BY po.doc_id, po.k)
+        |SELECT po.doc_id, CAST(po.k AS BIGINT) AS k,
+        |  CAST(po.s AS BIGINT) AS sample_bytes,
+        |  CAST(base.b + po.rel AS BIGINT) AS sample_off,
+        |  sl.slice_sum
+        |FROM po JOIN base ON po.doc_id = base.doc_id
+        |  JOIN sl ON po.doc_id = sl.doc_id AND po.k = sl.k
+        |ORDER BY po.doc_id, k""".stripMargin,
     // Both modality patterns + the closed-form two-stream container
     // size (Codecs.aviAvSize) replayed from the clip parameters.
     "mm_decode_av" ->

@@ -770,6 +770,94 @@ class MultimodalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](probe.probe(canon.slice(0, 32)))
   }
 
+  test("Mp4Indexer resolves stsz/stsc/stco to real byte ranges in both " +
+    "box orders; extracted slices equal the encoder's sample inputs") {
+    import multimodal.Codecs
+    val idx = new Codecs.Mp4Indexer()
+    val sizes = Array(5, 0, 17, 3) // a zero-length sample is legal
+    val payload = Array.tabulate(25)(i => ((i * 7 + 1) % 251).toByte)
+    for (moovLast <- Seq(false, true)) {
+      val bytes = Codecs.mp4EncodeIndexed(600, 50, 32, 24, sizes, payload,
+        moovLast = moovLast)
+      assert(bytes.length == Codecs.mp4SizeIndexed(4, 25))
+      val samples = idx.index(bytes)
+      assert(samples.map(_.size).toSeq == sizes.toSeq, s"moovLast=$moovLast")
+      // offsets are absolute and box-order-dependent: slice the REAL
+      // container at them and compare with the original sample bytes
+      var rel = 0
+      samples.foreach { sm =>
+        val got = bytes.slice(sm.off.toInt, sm.off.toInt + sm.size).toSeq
+        assert(got == payload.slice(rel, rel + sm.size).toSeq,
+          s"moovLast=$moovLast k=${sm.k}")
+        rel += sm.size
+      }
+      // the probe still reads the same file's metadata (shared walk)
+      val m = new Codecs.Mp4Probe().probe(bytes)
+      assert(m.nSamples == 4L && m.width == 32 && m.height == 24)
+    }
+  }
+
+  test("Mp4Indexer fails fast on corrupt index boxes: stsz table " +
+    "overrun, stco pointing outside the container, stsc/stsz mismatch") {
+    import multimodal.Codecs
+    val idx = new Codecs.Mp4Indexer()
+    val sizes = Array(6, 7)
+    val payload = Array.tabulate(13)(i => (i % 251).toByte)
+    val canon = Codecs.mp4EncodeIndexed(600, 50, 32, 24, sizes, payload)
+    def be32set(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = ((v >> 24) & 0xff).toByte; b(off + 1) = ((v >> 16) & 0xff).toByte
+      b(off + 2) = ((v >> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+    }
+    def boxOff(tag: String): Int =
+      canon.indexOfSlice(tag.getBytes("US-ASCII").toSeq) - 4
+    // stsz claiming more samples than its table holds
+    val overrun = canon.clone()
+    be32set(overrun, boxOff("stsz") + 16, 999)
+    intercept[IllegalArgumentException](idx.index(overrun))
+    // stco anchored past the buffer: the per-sample extent check fires
+    val outside = canon.clone()
+    be32set(outside, boxOff("stco") + 16, canon.length - 3)
+    intercept[IllegalArgumentException](idx.index(outside))
+    // stsc samples-per-chunk disagreeing with the stsz count
+    val mismatch = canon.clone()
+    be32set(mismatch, boxOff("stsc") + 20, 7)
+    intercept[IllegalArgumentException](idx.index(mismatch))
+  }
+
+  test("mm_mp4_extract reads sample bytes at index-resolved offsets: " +
+    "sizes, absolute offsets and slice sums match the arithmetic; " +
+    "indexer binding is conf-swappable") {
+    import multimodal.Codecs
+    val out = multimodal.Multimodal.mmMp4Extract(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val nf = (6 + id % 6).toInt
+      assert(rows.length == nf, s"doc $id sample count")
+      val sizes = Array.tabulate(nf)(k => 10 + ((id + k * 7) % 20))
+      val base = if (id % 2 == 0) 40L
+        else 437L + 4 * nf // moov-first: mdat payload after the tree
+      var rel = 0L
+      var g0 = 0L
+      rows.sortBy(_._2).foreach { case (_, k, sb, off, ssum) =>
+        assert(sb == sizes(k.toInt), s"doc $id k=$k size")
+        assert(off == base + rel, s"doc $id k=$k offset")
+        var exp = 0L
+        for (g <- g0 until g0 + sb) exp += (id * 13 + g * g * 3) % 251
+        assert(ssum == exp, s"doc $id k=$k slice sum")
+        rel += sb; g0 += sb
+      }
+    }
+    val key = multimodal.Multimodal.Mp4IndexerConfKey
+    spark.conf.set(key, classOf[FixedMp4Indexer].getName)
+    try {
+      val n = multimodal.Multimodal.mmMp4Extract(spark, sf)
+        .groupBy("doc_id").count().select("count").distinct()
+        .as[Long].collect().toSeq
+      assert(n == Seq(1L)) // the fixed indexer emits ONE sample per doc
+    } finally spark.conf.unset(key)
+  }
+
   test("mm_mp4_probe consumes REAL ISO-BMFF bytes: parsed metadata " +
     "matches the parameter arithmetic and the closed-form size; probe " +
     "binding is conf-swappable") {
@@ -800,6 +888,13 @@ class MultimodalSpec extends SparkSpecBase {
       assert(brands == Seq("fake"))
     } finally spark.conf.unset(key)
   }
+}
+
+/** Test-only indexer that ignores the bytes — proves the catalog
+  * op's outputs flow through the pluggable indexer binding. */
+class FixedMp4Indexer extends multimodal.Codecs.ContainerIndexer {
+  def index(bytes: Array[Byte]): Array[multimodal.Codecs.Mp4Sample] =
+    Array(multimodal.Codecs.Mp4Sample(0, 0L, 0))
 }
 
 /** Test-only container probe that ignores the bytes — proves the
