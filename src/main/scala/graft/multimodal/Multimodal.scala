@@ -1329,11 +1329,21 @@ object Multimodal {
     * Scale: encode + probe are one map-only pass over the documents
     * scan (per-partition probe init); no shuffle before the final
     * orderBy. */
-  def mmMp4Probe(s: SparkSession, dir: String): DataFrame = {
+  def mmMp4Probe(s: SparkSession, dir: String): DataFrame =
+    mmMp4ProbeOn(
+      Tables.documents(s, dir).select(col("doc_id"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong))
+      .orderBy("doc_id")
+
+  /** Streaming-legal core (no sort; encode + probe are one pure
+    * mapPartitions pass) — works identically on a batch id relation
+    * and a readStream of ids. */
+  def mmMp4ProbeOn(ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
     import s.implicits._
     val probeClass =
       s.conf.get(Mp4ProbeConfKey, classOf[Codecs.Mp4Probe].getName)
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    ids
       .mapPartitions { it =>
         val probe = instantiate[Codecs.ContainerProbe](probeClass)
         it.map { id =>
@@ -1360,7 +1370,6 @@ object Multimodal {
       }.toDF("doc_id", "n_bytes", "brand", "timescale", "duration",
         "duration_ms", "n_tracks", "handler", "width", "height",
         "n_frames", "fps", "mdat_bytes", "payload_sum")
-      .orderBy("doc_id")
   }
 
   /** L5r: REAL MP4 sample extraction through the index boxes — the
@@ -1382,11 +1391,19 @@ object Multimodal {
     * Scale: one map-only pass, per-partition indexer init; at 100 TB
     * this is the shape of clipping N frames out of a shard of videos
     * without decoding them. */
-  def mmMp4Extract(s: SparkSession, dir: String): DataFrame = {
+  def mmMp4Extract(s: SparkSession, dir: String): DataFrame =
+    mmMp4ExtractOn(
+      Tables.documents(s, dir).select(col("doc_id"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong))
+      .orderBy("doc_id", "k")
+
+  /** Streaming-legal core (no sort; one pure mapPartitions pass). */
+  def mmMp4ExtractOn(ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
     import s.implicits._
     val indexerClass =
       s.conf.get(Mp4IndexerConfKey, classOf[Codecs.Mp4Indexer].getName)
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    ids
       .mapPartitions { it =>
         val idx = instantiate[Codecs.ContainerIndexer](indexerClass)
         it.flatMap { id =>
@@ -1409,7 +1426,6 @@ object Multimodal {
           }
         }
       }.toDF("doc_id", "k", "sample_bytes", "sample_off", "slice_sum")
-      .orderBy("doc_id", "k")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -637,4 +637,38 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(_.toString).toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("real-bytes MP4 path under readStream: box-tree probe and " +
+    "index-resolved sample extraction over a streaming id source == " +
+    "the batch relations") {
+    import org.apache.spark.sql.Encoders
+    val docDir = {
+      val d = Files.createTempDirectory("graft_stream_mp4")
+      Files.copy(Paths.get(s"$sf/documents.parquet"),
+        d.resolve("documents.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      d.toString
+    }
+    val docSchema = spark.read.parquet(docDir).schema
+    def streamIds = spark.readStream.schema(docSchema).parquet(docDir)
+      .select(col("doc_id")).as[Long](Encoders.scalaLong)
+    def batchIds = Tables.documents(spark, sf)
+      .select(col("doc_id")).as[Long](Encoders.scalaLong)
+    for ((name, core) <- Seq[(String,
+        org.apache.spark.sql.Dataset[Long] =>
+          org.apache.spark.sql.DataFrame)](
+        "probe" -> multimodal.Multimodal.mmMp4ProbeOn,
+        "extract" -> multimodal.Multimodal.mmMp4ExtractOn)) {
+      val q = core(streamIds)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"mp4_stream_$name").start()
+      val streamed = try {
+        q.processAllAvailable()
+        spark.table(s"mp4_stream_$name").collect()
+          .map(_.toString).toSet
+      } finally q.stop()
+      val batch = core(batchIds).collect().map(_.toString).toSet
+      assert(streamed == batch && batch.nonEmpty, name)
+    }
+  }
 }
