@@ -825,18 +825,70 @@ object Codecs {
 
       def version(off: Int): Int = b(off + 8) & 0xff
 
+      def checked(off: Int, end: Int): (Int, String) = {
+        val size = be32(b, off)
+        require(size >= 8 && off.toLong + size <= end,
+          s"corrupt box '${if (size >= 8) tag(b, off + 4) else "?"}' " +
+            s"size $size at offset $off")
+        (size, tag(b, off + 4))
+      }
+
+      // One trak subtree parses into ITS OWN fields (the AviDecoder
+      // stream-scoping lesson: a second track's tkhd carries 0x0 dims
+      // and its stts different timing — blindly merging traks would
+      // corrupt the video fields). The 'vide' track's fields win; a
+      // second video track is rejected rather than silently shadowed.
+      def parseTrak(from: Int, end: Int): Unit = {
+        var tHandler = ""; var tW = 0; var tH = 0
+        var tN = 0L; var tDelta = 0
+        def walkT(f: Int, e: Int): Unit = {
+          var off = f
+          while (off + 8 <= e) {
+            val (size, tp) = checked(off, e)
+            tp match {
+              case "mdia" | "minf" | "stbl" => walkT(off + 8, off + size)
+              case "tkhd" =>
+                require(version(off) == 0 && size >= 92,
+                  "only version-0 tkhd supported")
+                tW = be32(b, off + 84) >>> 16
+                tH = be32(b, off + 88) >>> 16
+              case "hdlr" =>
+                require(size >= 24, s"hdlr too short ($size)")
+                tHandler = tag(b, off + 16)
+              case "stts" =>
+                require(size >= 16, s"stts too short ($size)")
+                val n = be32(b, off + 12)
+                require(n >= 1 && size >= 16 + n * 8,
+                  s"stts entry count $n overruns box size $size")
+                var i = 0
+                while (i < n) {
+                  tN += be32(b, off + 16 + i * 8).toLong & 0xffffffffL
+                  if (i == 0) tDelta = be32(b, off + 20 + i * 8)
+                  i += 1
+                }
+              case _ => ()
+            }
+            off += size
+          }
+        }
+        walkT(from, end)
+        nTracks += 1
+        if (handler.isEmpty || tHandler == "vide") {
+          require(!(handler == "vide" && tHandler == "vide"),
+            "two video tracks: ambiguous probe target")
+          handler = tHandler
+          width = tW; height = tH
+          nSamples = tN; sampleDelta = tDelta
+        }
+      }
+
       def walk(from: Int, end: Int): Unit = {
         var off = from
         while (off + 8 <= end) {
-          val size = be32(b, off)
-          require(size >= 8 && off.toLong + size <= end,
-            s"corrupt box '${if (size >= 8) tag(b, off + 4) else "?"}' " +
-              s"size $size at offset $off")
-          val tp = tag(b, off + 4)
+          val (size, tp) = checked(off, end)
           tp match {
-            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
-              if (tp == "trak") nTracks += 1
-              walk(off + 8, off + size)
+            case "moov" => walk(off + 8, off + size)
+            case "trak" => parseTrak(off + 8, off + size)
             case "ftyp" =>
               require(size >= 16, s"ftyp too short ($size)")
               brand = tag(b, off + 8)
@@ -845,25 +897,6 @@ object Codecs {
                 "only version-0 mvhd supported")
               timescale = be32(b, off + 20)
               duration = be32(b, off + 24).toLong & 0xffffffffL
-            case "tkhd" =>
-              require(version(off) == 0 && size >= 92,
-                "only version-0 tkhd supported")
-              width = be32(b, off + 84) >>> 16
-              height = be32(b, off + 88) >>> 16
-            case "hdlr" =>
-              require(size >= 24, s"hdlr too short ($size)")
-              handler = tag(b, off + 16)
-            case "stts" =>
-              require(size >= 16, s"stts too short ($size)")
-              val n = be32(b, off + 12)
-              require(n >= 1 && size >= 16 + n * 8,
-                s"stts entry count $n overruns box size $size")
-              var i = 0
-              while (i < n) {
-                nSamples += be32(b, off + 16 + i * 8).toLong & 0xffffffffL
-                if (i == 0) sampleDelta = be32(b, off + 20 + i * 8)
-                i += 1
-              }
             case "mdat" =>
               mdatBytes = (size - 8).toLong
               var i = off + 8

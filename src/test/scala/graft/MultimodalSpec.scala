@@ -739,6 +739,53 @@ class MultimodalSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("Mp4Probe scopes fields per trak: a second audio track (0x0 " +
+    "tkhd dims, its own stts) never corrupts the video fields, in " +
+    "either trak order; two video tracks are rejected") {
+    import multimodal.Codecs
+    val probe = new Codecs.Mp4Probe()
+    val payload = Array.tabulate(21)(i => ((i * 3 + 2) % 251).toByte)
+    val canon = Codecs.mp4Encode(600, 30, 20, 128, 96, payload)
+    // canonical moov-first layout: ftyp 0..31, moov at 32 (mvhd at 40,
+    // trak at 148 size 213), mdat at 361
+    val trak = canon.slice(148, 361)
+    // forge an audio trak from the video one: hdlr 'soun' (hdlr box at
+    // trak+140, handler_type at +16), tkhd dims zeroed (tkhd at trak+8,
+    // width/height at +84/+88), different stts (box at trak+189:
+    // sample_count at +16, delta at +20)
+    val soun = trak.clone()
+    soun(156) = 's'; soun(157) = 'o'; soun(158) = 'u'; soun(159) = 'n'
+    for (i <- 92 until 100) soun(i) = 0
+    soun(205) = 0; soun(206) = 0; soun(207) = 0; soun(208) = 77
+    soun(209) = 0; soun(210) = 0; soun(211) = 3; soun(212) = -25 // 999
+    def withMoovSize(bytes: Array[Byte], delta: Int): Array[Byte] = {
+      val out = bytes.clone()
+      val sz = ((out(32) & 0xff) << 24) | ((out(33) & 0xff) << 16) |
+        ((out(34) & 0xff) << 8) | (out(35) & 0xff)
+      val ns = sz + delta
+      out(32) = ((ns >> 24) & 0xff).toByte; out(33) = ((ns >> 16) & 0xff).toByte
+      out(34) = ((ns >> 8) & 0xff).toByte; out(35) = (ns & 0xff).toByte
+      out
+    }
+    // audio trak AFTER the video trak
+    val after = withMoovSize(
+      canon.slice(0, 361) ++ soun ++ canon.slice(361, canon.length), 213)
+    // audio trak BEFORE the video trak
+    val before = withMoovSize(
+      canon.slice(0, 148) ++ soun ++ canon.slice(148, canon.length), 213)
+    for ((name, f) <- Seq("after" -> after, "before" -> before)) {
+      val m = probe.probe(f)
+      assert(m.nTracks == 2, name)
+      assert(m.handler == "vide" && m.width == 128 && m.height == 96, name)
+      assert(m.nSamples == 30L && m.sampleDelta == 20, name)
+      assert(m.mdatBytes == 21L, name)
+    }
+    // a duplicated VIDEO trak is ambiguous and must be rejected
+    val twoVide = withMoovSize(
+      canon.slice(0, 361) ++ trak ++ canon.slice(361, canon.length), 213)
+    intercept[IllegalArgumentException](probe.probe(twoVide))
+  }
+
   test("Mp4Probe fails fast on corrupt bytes: zero/large box size, " +
     "64-bit largesize, stts entry overrun, truncation, missing moov") {
     import multimodal.Codecs
