@@ -658,7 +658,9 @@ class StreamingSpec extends SparkSpecBase {
         org.apache.spark.sql.Dataset[Long] =>
           org.apache.spark.sql.DataFrame)](
         "probe" -> multimodal.Multimodal.mmMp4ProbeOn,
-        "extract" -> multimodal.Multimodal.mmMp4ExtractOn)) {
+        "extract" -> multimodal.Multimodal.mmMp4ExtractOn,
+        "decode_frames" -> multimodal.Multimodal.mmMp4DecodeFramesOn,
+        "png" -> multimodal.Multimodal.mmDecodePngOn)) {
       val q = core(streamIds)
         .writeStream.outputMode("append").format("memory")
         .queryName(s"mp4_stream_$name").start()
