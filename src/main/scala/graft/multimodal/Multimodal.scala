@@ -1180,11 +1180,41 @@ object Multimodal {
     * Scale: the whole chain is ONE map-only pass per clip — exactly
     * the reference's per-video loop, embarrassingly parallel over a
     * 100 TB corpus of clips. */
-  def refEp3Real(s: SparkSession, dir: String): DataFrame = {
+  def refEp3Real(s: SparkSession, dir: String): DataFrame =
+    ep3Chain(segClips(s, dir),
+      s.conf.get(VideoDecoderConfKey, classOf[Codecs.AviDecoder].getName),
+      (w, h, fps, fr) => Codecs.aviEncode(w, h, fps, fr))
+
+  /** L5v: [[refEp3Real]] on the reference's ACTUAL container — the
+    * same step-3 chain (decode -> fps*2 segmentation -> per-frame
+    * argmax detection -> pad-1 clamped track bbox -> crop ->
+    * re-encode each sample -> parse THAT) with every container a
+    * genuine MP4: source clips are [[Codecs.mp4EncodeVideo]] box
+    * trees (stsd 'raw ' RGB24, fps 2 from timescale 600 / delta 300,
+    * both muxer box orders by parity), frames decode through the
+    * real box-walk + stsz/stsc/stco seek path, and each emitted
+    * sample re-encodes as ITS OWN MP4 — exactly the files
+    * raw_to_samples.py writes (mp4 in, sample mp4s out). The frame
+    * pattern is [[segClips]]'s verbatim (the shared-literal rule), so
+    * container independence is a THEOREM the spec checks: this op's
+    * rows equal ref_ep3_real's on every column except the container
+    * size, whose closed form swaps aviSize for mp4SizeVideo. */
+  def refEp3Mp4(s: SparkSession, dir: String): DataFrame =
+    ep3Chain(segClipsMp4(s, dir),
+      s.conf.get(Mp4VideoDecoderConfKey,
+        classOf[Codecs.Mp4VideoDecoder].getName),
+      (w, h, fps, fr) => Codecs.mp4EncodeVideo(600, 600 / fps, w, h, fr))
+
+  /** The step-3 chain body shared by the AVI and MP4 spellings —
+    * container-independent by construction: parameterized only by
+    * the clip relation, the decoder binding, and the sample
+    * re-encoder (a capture-free function, safe to ship to tasks). */
+  private def ep3Chain(clips: DataFrame, decoderClass: String,
+      reencode: (Int, Int, Int, Seq[Array[Byte]]) => Array[Byte])
+      : DataFrame = {
+    val s = clips.sparkSession
     import s.implicits._
-    val decoderClass =
-      s.conf.get(VideoDecoderConfKey, classOf[Codecs.AviDecoder].getName)
-    segClips(s, dir).as[(Long, Array[Byte])].mapPartitions { it =>
+    clips.as[(Long, Array[Byte])].mapPartitions { it =>
       val dec = instantiate[Codecs.VideoDecoder](decoderClass)
       it.flatMap { case (id, bytes) =>
         val v = dec.decode(bytes)
@@ -1233,7 +1263,7 @@ object Multimodal {
               }
               out
             }
-            val sub = Codecs.aviEncode(cw, ch, v.fps, cropped)
+            val sub = reencode(cw, ch, v.fps, cropped)
             val v2 = dec.decode(sub)
             var sum = 0L
             v2.frames.foreach { fr =>
@@ -1306,6 +1336,43 @@ object Multimodal {
           (id, Codecs.aviEncode(w, h, 2, frames))
         }
       }.toDF("doc_id", "avi")
+  }
+
+  /** [[segClips]]'s VERBATIM frame pattern muxed into genuine MP4
+    * containers (fps 2 = timescale 600 / sample delta 300; both
+    * muxer box orders by doc parity) — the source relation of
+    * [[refEp3Mp4]]. One pattern, one oracle CTE chain. */
+  private def segClipsMp4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 4).toInt
+          val h = (6 + id % 3).toInt
+          val nf = (6 + id % 8).toInt
+          val frames = (0 until nf).map { f =>
+            val px = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = (y * w + x) * 3
+                px(base) =
+                  ((id * 7 + f * 41 + x * 13 + y * 31) % 256).toByte
+                px(base + 1) =
+                  ((id * 11 + f * 19 + x * 17 + y * 5) % 256).toByte
+                px(base + 2) =
+                  ((id * 3 + f * 53 + x * 29 + y * 23) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            px
+          }
+          (id, Codecs.mp4EncodeVideo(600, 300, w, h, frames,
+            moovLast = id % 2 == 0))
+        }
+      }.toDF("doc_id", "mp4")
   }
 
   def mmVideoSegments(s: SparkSession, dir: String): DataFrame = {
@@ -1659,6 +1726,7 @@ object Multimodal {
     "mm_av_sync_audit" -> mmAvSyncAudit,
     "mm_crop_clip" -> mmCropClip,
     "ref_ep3_real" -> refEp3Real,
+    "ref_ep3_mp4" -> refEp3Mp4,
     "mm_interleave" -> mmInterleave,
     "mm_scene_cuts" -> mmSceneCuts,
     "mm_audio_vad" -> mmAudioVad,
@@ -1951,6 +2019,46 @@ object Multimodal {
         |  CAST(224 + (end_frame - start_frame) *
         |    (8 + (((x2 - x1 + 1) * 3 + 3) // 4) * 4 * (y2 - y1 + 1))
         |    AS BIGINT) AS sub_bytes,
+        |  cx.sum_rgb_sub
+        |FROM bx JOIN cx ON bx.doc_id = cx.doc_id AND bx.seg = cx.seg
+        |ORDER BY bx.doc_id, seg""".stripMargin,
+    // Identical CTE chain to ref_ep3_real (same frame pattern — the
+    // container-independence theorem); only the emitted sample's
+    // closed-form size changes: mp4SizeVideo's contiguous RGB payload
+    // (539 + n*w*h*3) instead of aviSize's per-frame DIB chunks.
+    "ref_ep3_mp4" ->
+      s"""WITH $segClipSql,
+        |vm AS (SELECT doc_id, f, MAX(v) AS v_max FROM pv GROUP BY 1, 2),
+        |am AS (SELECT pv.doc_id, pv.f, MIN(y * pv.w + x) AS bi,
+        |    MAX(pv.w) AS w2
+        |  FROM pv JOIN vm ON pv.doc_id = vm.doc_id AND pv.f = vm.f
+        |    AND pv.v = vm.v_max
+        |  GROUP BY 1, 2),
+        |tr AS (SELECT doc_id, f, bi % w2 AS ax, bi // w2 AS ay FROM am),
+        |bx AS (SELECT sb.doc_id, sb.start_frame // 4 AS seg,
+        |    sb.start_frame, sb.end_frame, sb.w, sb.h,
+        |    GREATEST(MIN(tr.ax) - 1, 0) AS x1,
+        |    LEAST(MAX(tr.ax) + 1, sb.w - 1) AS x2,
+        |    GREATEST(MIN(tr.ay) - 1, 0) AS y1,
+        |    LEAST(MAX(tr.ay) + 1, sb.h - 1) AS y2
+        |  FROM sb JOIN tr ON sb.doc_id = tr.doc_id
+        |    AND tr.f >= sb.start_frame AND tr.f < sb.end_frame
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |cx AS (SELECT bx.doc_id, bx.seg,
+        |    CAST(SUM(pv.v) AS BIGINT) AS sum_rgb_sub
+        |  FROM bx JOIN pv ON bx.doc_id = pv.doc_id
+        |    AND pv.f >= bx.start_frame AND pv.f < bx.end_frame
+        |    AND pv.x >= bx.x1 AND pv.x <= bx.x2
+        |    AND pv.y >= bx.y1 AND pv.y <= bx.y2
+        |  GROUP BY 1, 2)
+        |SELECT bx.doc_id, CAST(bx.seg AS BIGINT) AS seg,
+        |  CAST(start_frame AS BIGINT) AS start_frame,
+        |  CAST(end_frame AS BIGINT) AS end_frame,
+        |  CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+        |  CAST(x2 - x1 + 1 AS BIGINT) AS crop_w,
+        |  CAST(y2 - y1 + 1 AS BIGINT) AS crop_h,
+        |  CAST(539 + (end_frame - start_frame) *
+        |    (x2 - x1 + 1) * (y2 - y1 + 1) * 3 AS BIGINT) AS sub_bytes,
         |  cx.sum_rgb_sub
         |FROM bx JOIN cx ON bx.doc_id = cx.doc_id AND bx.seg = cx.seg
         |ORDER BY bx.doc_id, seg""".stripMargin,

@@ -1150,6 +1150,30 @@ class MultimodalSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("depth-24"))
   }
 
+  test("ref_ep3_mp4: the full step-3 chain on genuine MP4 bytes " +
+    "equals ref_ep3_real on every column except the container size " +
+    "(the container-independence theorem), and each sample's size is " +
+    "the mp4SizeVideo closed form") {
+    import multimodal.Codecs
+    val mp4 = multimodal.Multimodal.refEp3Mp4(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val avi = multimodal.Multimodal.refEp3Real(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(mp4.nonEmpty && mp4.length == avi.length)
+    mp4.zip(avi).foreach { case (m, a) =>
+      // all columns but sub_bytes (index 8) identical across containers
+      assert(m._1 == a._1 && m._2 == a._2 && m._3 == a._3 &&
+        m._4 == a._4 && m._5 == a._5 && m._6 == a._6 &&
+        m._7 == a._7 && m._8 == a._8 && m._10 == a._10,
+        s"row $m vs $a")
+      val nSeg = (m._4 - m._3).toInt
+      assert(m._9 == Codecs.mp4SizeVideo(nSeg * m._7.toInt * m._8.toInt * 3),
+        s"doc ${m._1} seg ${m._2} sub size")
+    }
+  }
+
   test("mm_mp4_decode_frames: per-doc stats come from genuinely " +
     "parsed MP4 bytes (closed-form size, stts fps, frame count), " +
     "and the decoder binding is conf-swappable") {
