@@ -158,6 +158,22 @@ object ScaleProbe {
       // a groups*k^2 join — linear in corpus, constant per group
       "corpus_dpo_pairs" -> (d => functions.Curation.corpusDpoPairsOn(
         d.withColumn("source", col("lang")))),
+      // the real-codec family: encode -> parse -> stat is ONE
+      // map-only pass over the id scan with per-partition decoder
+      // init and no shuffle — growth per doubling must be ~2 (the
+      // shape that lets 100 TB of containers decode embarrassingly
+      // parallel). PNG adds real DEFLATE both ways; MP4 adds the
+      // box-walk + index-seek path.
+      "mm_decode_png" -> (d => multimodal.Multimodal.mmDecodePngOn(
+        d.select(col("doc_id"))
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong))),
+      "mm_decode_video" -> (d => multimodal.Multimodal.mmDecodeVideoOn(
+        d.select(col("doc_id"))
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong))),
+      "mm_mp4_decode_frames" -> (d =>
+        multimodal.Multimodal.mmMp4DecodeFramesOn(
+          d.select(col("doc_id"))
+            .as[Long](org.apache.spark.sql.Encoders.scalaLong))),
     )
 
     // embedding-corpus probe: perturbed copies (one coordinate nudged

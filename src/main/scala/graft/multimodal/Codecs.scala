@@ -730,13 +730,42 @@ object Codecs {
     out
   }
 
+  /** Cumulate (stsz sizes, stsc samples-per-chunk, stco chunk
+    * offsets) into one (ordinal, absolute offset, size) row per
+    * sample — sample k lives in chunk k / spc at that chunk's stco
+    * anchor plus the within-chunk size prefix, each extent verified
+    * to lie inside the buffer. The constant-interleave contract this
+    * engine emits (every chunk exactly spc samples) is CHECKED:
+    * chunks x spc must equal the stsz count. */
+  private[multimodal] def resolveSamples(sizes: Array[Int], spc: Int,
+      chunkOffs: Array[Long], totalLen: Int): Array[Mp4Sample] = {
+    require(sizes != null, "missing stsz")
+    require(spc >= 1, s"stsc samples/chunk $spc")
+    require(chunkOffs != null && chunkOffs.nonEmpty, "missing stco")
+    require(chunkOffs.length.toLong * spc == sizes.length,
+      s"stsc ${chunkOffs.length} chunks x $spc samples/chunk != " +
+        s"stsz count ${sizes.length}")
+    val out = new Array[Mp4Sample](sizes.length)
+    var k = 0
+    var cur = 0L
+    while (k < sizes.length) {
+      if (k % spc == 0) cur = chunkOffs(k / spc)
+      require(sizes(k) >= 0 && cur >= 0 && cur + sizes(k) <= totalLen,
+        s"sample $k (${sizes(k)} bytes at $cur) outside the container")
+      out(k) = Mp4Sample(k, cur, sizes(k))
+      cur += sizes(k)
+      k += 1
+    }
+    out
+  }
+
   /** The real indexer: the [[Mp4Probe]] box walk extended to the
-    * sample tables — stsz's per-sample sizes, stsc's
-    * samples-per-chunk (the single-chunk layout this encoder emits is
-    * required and CHECKED, not assumed), stco's absolute chunk
-    * offset — cumulated into one (ordinal, absolute offset, size)
-    * row per sample, each verified to lie inside the buffer. This is
-    * the seek path of every real MP4 reader: resolve the index, then
+    * sample tables — stsz's per-sample sizes (fixed or table form),
+    * stsc's samples-per-chunk, stco's absolute chunk offsets (ONE OR
+    * MANY — the multi-chunk layout interleaved real muxers emit) —
+    * cumulated into one (ordinal, absolute offset, size) row per
+    * sample, each verified to lie inside the buffer. This is the
+    * seek path of every real MP4 reader: resolve the index, then
     * read sample bytes straight out of mdat without touching a
     * decoder. */
   final class Mp4Indexer extends ContainerIndexer {
@@ -746,7 +775,7 @@ object Codecs {
     def index(b: Array[Byte]): Array[Mp4Sample] = {
       require(b.length >= 16, "too short for an MP4")
       var sizes: Array[Int] = null
-      var chunkOff = -1L
+      var chunkOffs: Array[Long] = null
       var samplesPerChunk = -1
 
       def walk(from: Int, end: Int): Unit = {
@@ -764,18 +793,25 @@ object Codecs {
               val n = be32(b, off + 16)
               require(n >= 1, s"stsz sample count $n")
               if (fixed == 0) {
-                require(size >= 20 + n * 4,
+                require(size.toLong >= 20L + n.toLong * 4,
                   s"stsz table for $n samples overruns box size $size")
                 sizes = Array.tabulate(n)(i => be32(b, off + 20 + i * 4))
-              } else sizes = Array.fill(n)(fixed)
+              } else {
+                require(fixed.toLong * n <= b.length,
+                  s"$n samples of $fixed bytes exceed the container")
+                sizes = Array.fill(n)(fixed)
+              }
             case "stsc" =>
               require(size >= 28 && be32(b, off + 12) == 1,
                 "only the single-run stsc layout is supported")
               samplesPerChunk = be32(b, off + 20)
             case "stco" =>
-              require(size >= 20 && be32(b, off + 12) == 1,
-                "only the single-chunk stco layout is supported")
-              chunkOff = be32(b, off + 16).toLong & 0xffffffffL
+              require(size >= 16, s"stco too short ($size)")
+              val c = be32(b, off + 12)
+              require(c >= 1 && size.toLong >= 16L + c.toLong * 4,
+                s"stco table for $c chunks overruns box size $size")
+              chunkOffs = Array.tabulate(c)(i =>
+                be32(b, off + 16 + i * 4).toLong & 0xffffffffL)
             case _ => ()
           }
           off += size
@@ -783,21 +819,7 @@ object Codecs {
       }
 
       walk(0, b.length)
-      require(sizes != null, "missing stsz")
-      require(samplesPerChunk == sizes.length,
-        s"stsc samples/chunk $samplesPerChunk != stsz count ${sizes.length}")
-      require(chunkOff >= 0, "missing stco")
-      var cur = chunkOff
-      val out = new Array[Mp4Sample](sizes.length)
-      var k = 0
-      while (k < sizes.length) {
-        require(sizes(k) >= 0 && cur + sizes(k) <= b.length,
-          s"sample $k (${sizes(k)} bytes at $cur) outside the container")
-        out(k) = Mp4Sample(k, cur, sizes(k))
-        cur += sizes(k)
-        k += 1
-      }
-      out
+      resolveSamples(sizes, samplesPerChunk, chunkOffs, b.length)
     }
   }
 
@@ -858,7 +880,7 @@ object Codecs {
               case "stts" =>
                 require(size >= 16, s"stts too short ($size)")
                 val n = be32(b, off + 12)
-                require(n >= 1 && size >= 16 + n * 8,
+                require(n >= 1 && size.toLong >= 16L + n.toLong * 8,
                   s"stts entry count $n overruns box size $size")
                 var i = 0
                 while (i < n) {
@@ -1103,6 +1125,334 @@ object Codecs {
         f
       }
       DecodedVideo(width, height, timescale / sampleDelta, frames)
+    }
+  }
+
+  /** Closed-form byte size of [[mp4EncodeAv]]'s output: ftyp 32 +
+    * moov (824 + 8 x nFrames: mvhd 108 + video trak 379+4nf + audio
+    * trak 329+4nf — each trak's stco carries nf chunk offsets) +
+    * mdat (8 + nFrames x (w x h x 3 + 2 x samplesPerFrame)). */
+  def mp4SizeAv(width: Int, height: Int, nFrames: Int,
+      samplesPerFrame: Int): Int =
+    864 + 8 * nFrames +
+      nFrames * (width * height * 3 + 2 * samplesPerFrame)
+
+  /** Encode an interleaved TWO-TRACK MP4 — the layout real muxers
+    * emit for AV files: one 'vide' trak (stsd 'raw ' RGB24) and one
+    * 'soun' trak (stsd 'sowt', QuickTime's signed little-endian
+    * PCM16 AudioSampleEntry), whose mdat alternates one video raster
+    * with that frame's audio block. Each trak owns its full sample
+    * machinery: the video stco carries nf chunk offsets (one raster
+    * per chunk, stsc run 1-sample-per-chunk), the audio stco nf
+    * offsets (stsc run samplesPerFrame-per-chunk, stsz fixed 2) —
+    * the MULTI-CHUNK index single-track files never exercise. Audio
+    * media timescale = video fps x samplesPerFrame so both tracks
+    * cover the same wall-clock. */
+  def mp4EncodeAv(timescale: Int, sampleDelta: Int, width: Int,
+      height: Int, frames: Seq[Array[Byte]], samplesPerFrame: Int,
+      samples: Array[Short], moovLast: Boolean = false): Array[Byte] = {
+    val nf = frames.length
+    require(timescale > 0 && sampleDelta > 0 && nf > 0 &&
+      width > 0 && height > 0 && samplesPerFrame > 0 &&
+      timescale % sampleDelta == 0, "bad mp4 parameters")
+    require(samples.length == nf * samplesPerFrame,
+      s"audio length ${samples.length} != $nf x $samplesPerFrame")
+    val fsize = width * height * 3
+    frames.foreach(f => require(f.length == fsize,
+      s"frame length ${f.length} != $width x $height x 3"))
+    val duration = nf * sampleDelta
+    val audioRate = (timescale / sampleDelta) * samplesPerFrame
+    val abytes = 2 * samplesPerFrame
+    val out = new Array[Byte](mp4SizeAv(width, height, nf,
+      samplesPerFrame))
+    val mdatOff = if (moovLast) 32 else 856 + 8 * nf
+    var o = 0
+    def box(size: Int, tp: String): Unit = {
+      wbe32(out, o, size); wTag(out, o + 4, tp); o += 8
+    }
+    def chunkOff(f: Int): Int = mdatOff + 8 + f * (fsize + abytes)
+    box(32, "ftyp")
+    wTag(out, o, "isom"); wbe32(out, o + 4, 0x200)
+    wTag(out, o + 8, "isom"); wTag(out, o + 12, "iso2")
+    wTag(out, o + 16, "mp41"); wTag(out, o + 20, "mp42"); o += 24
+    def writeMdat(): Unit = {
+      require(o == mdatOff, s"mdat at $o, expected $mdatOff")
+      box(8 + nf * (fsize + abytes), "mdat")
+      var f = 0
+      while (f < nf) {
+        System.arraycopy(frames(f), 0, out, o, fsize); o += fsize
+        var i = 0
+        while (i < samplesPerFrame) {
+          // 'sowt' = little-endian PCM16 (the QuickTime fourcc)
+          w16(out, o, samples(f * samplesPerFrame + i) & 0xffff)
+          o += 2; i += 1
+        }
+        f += 1
+      }
+    }
+    if (moovLast) writeMdat()
+    box(824 + 8 * nf, "moov")
+    box(108, "mvhd")
+    wbe32(out, o + 12, timescale); wbe32(out, o + 16, duration)
+    wbe32(out, o + 20, 0x10000); wbe16(out, o + 24, 0x100)
+    wbe32(out, o + 36, 0x10000); wbe32(out, o + 52, 0x10000)
+    wbe32(out, o + 68, 0x40000000)
+    wbe32(out, o + 96, 3) // next_track_ID: two tracks used
+    o += 100
+    // ---- video trak ----
+    box(379 + 4 * nf, "trak")
+    box(92, "tkhd")
+    out(o + 3) = 3
+    wbe32(out, o + 12, 1)
+    wbe32(out, o + 20, duration)
+    wbe32(out, o + 40, 0x10000); wbe32(out, o + 56, 0x10000)
+    wbe32(out, o + 72, 0x40000000)
+    wbe32(out, o + 76, width << 16); wbe32(out, o + 80, height << 16)
+    o += 84
+    box(279 + 4 * nf, "mdia")
+    box(32, "mdhd")
+    wbe32(out, o + 12, timescale); wbe32(out, o + 16, duration)
+    wbe16(out, o + 20, 0x55c4)
+    o += 24
+    box(33, "hdlr")
+    wTag(out, o + 8, "vide")
+    o += 25
+    box(206 + 4 * nf, "minf")
+    box(198 + 4 * nf, "stbl")
+    box(102, "stsd")
+    wbe32(out, o + 4, 1)
+    val ve = o + 8
+    wbe32(out, ve, 86); wTag(out, ve + 4, "raw ")
+    wbe16(out, ve + 14, 1)
+    wbe16(out, ve + 32, width); wbe16(out, ve + 34, height)
+    wbe32(out, ve + 36, 0x480000); wbe32(out, ve + 40, 0x480000)
+    wbe16(out, ve + 48, 1)
+    wbe16(out, ve + 82, 24)
+    wbe16(out, ve + 84, 0xffff)
+    o += 94
+    box(24, "stts")
+    wbe32(out, o + 4, 1)
+    wbe32(out, o + 8, nf); wbe32(out, o + 12, sampleDelta)
+    o += 16
+    box(20, "stsz")
+    wbe32(out, o + 4, fsize); wbe32(out, o + 8, nf)
+    o += 12
+    box(28, "stsc")
+    wbe32(out, o + 4, 1)
+    wbe32(out, o + 8, 1); wbe32(out, o + 12, 1); wbe32(out, o + 16, 1)
+    o += 20
+    box(16 + 4 * nf, "stco")
+    wbe32(out, o + 4, nf)
+    var f = 0
+    while (f < nf) { wbe32(out, o + 8 + f * 4, chunkOff(f)); f += 1 }
+    o += 8 + 4 * nf
+    // ---- audio trak ----
+    box(329 + 4 * nf, "trak")
+    box(92, "tkhd")
+    out(o + 3) = 3
+    wbe32(out, o + 12, 2) // track_ID 2; dims stay 0x0 for audio
+    wbe32(out, o + 20, duration)
+    wbe32(out, o + 40, 0x10000); wbe32(out, o + 56, 0x10000)
+    wbe32(out, o + 72, 0x40000000)
+    o += 84
+    box(229 + 4 * nf, "mdia")
+    box(32, "mdhd")
+    wbe32(out, o + 12, audioRate) // media timescale = sample rate
+    wbe32(out, o + 16, nf * samplesPerFrame)
+    wbe16(out, o + 20, 0x55c4)
+    o += 24
+    box(33, "hdlr")
+    wTag(out, o + 8, "soun")
+    o += 25
+    box(156 + 4 * nf, "minf")
+    box(148 + 4 * nf, "stbl")
+    // stsd: one AudioSampleEntry (36 bytes), fourcc 'sowt' (PCM16 LE)
+    box(52, "stsd")
+    wbe32(out, o + 4, 1)
+    val ae = o + 8
+    wbe32(out, ae, 36); wTag(out, ae + 4, "sowt")
+    wbe16(out, ae + 14, 1)            // data_reference_index
+    wbe16(out, ae + 24, 1)            // channelcount: mono
+    wbe16(out, ae + 26, 16)           // samplesize bits
+    wbe32(out, ae + 32, audioRate << 16) // 16.16 fixed
+    o += 44
+    box(24, "stts")
+    wbe32(out, o + 4, 1)
+    wbe32(out, o + 8, nf * samplesPerFrame); wbe32(out, o + 12, 1)
+    o += 16
+    box(20, "stsz")
+    wbe32(out, o + 4, 2); wbe32(out, o + 8, nf * samplesPerFrame)
+    o += 12
+    box(28, "stsc")
+    wbe32(out, o + 4, 1)
+    wbe32(out, o + 8, 1); wbe32(out, o + 12, samplesPerFrame)
+    wbe32(out, o + 16, 1)
+    o += 20
+    box(16 + 4 * nf, "stco")
+    wbe32(out, o + 4, nf)
+    f = 0
+    while (f < nf) {
+      wbe32(out, o + 8 + f * 4, chunkOff(f) + fsize); f += 1
+    }
+    o += 8 + 4 * nf
+    if (!moovLast) writeMdat()
+    require(o == out.length, s"encoder wrote $o of ${out.length}")
+    out
+  }
+
+  /** The real TWO-TRACK MP4 decoder: per-trak scoped box walk (the
+    * [[Mp4Probe]] lesson — each trak's stsd/stts/stsz/stsc/stco
+    * parse into ITS OWN fields, routed by hdlr), then each track's
+    * samples resolve through the shared multi-chunk index cumulation
+    * ([[resolveSamples]]) and read straight out of the interleaved
+    * mdat: video rasters from the 'raw ' track, little-endian PCM16
+    * from the 'sowt' track — one parse of one byte stream yields
+    * both typed modalities, through the genuinely multi-chunk stco
+    * layout interleaving forces. */
+  final class Mp4AvDecoder extends AvDecoder {
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    def decode(b: Array[Byte]): DecodedAv = {
+      require(b.length >= 16, "too short for an MP4")
+      // video track fields
+      var vW = 0; var vH = 0; var vTs = 0; var vDelta = 0
+      var vSizes: Array[Int] = null; var vSpc = -1
+      var vOffs: Array[Long] = null
+      // audio track fields
+      var aRate = 0; var aChannels = 0
+      var aSizes: Array[Int] = null; var aSpc = -1
+      var aOffs: Array[Long] = null
+      var sawVide = false; var sawSoun = false
+
+      def parseTrak(from: Int, end: Int): Unit = {
+        var handler = ""; var format = ""
+        var w = 0; var h = 0; var ts = 0; var delta = 0
+        var channels = 0
+        var sizes: Array[Int] = null; var spc = -1
+        var offs: Array[Long] = null
+        def walkT(f0: Int, e0: Int): Unit = {
+          var off = f0
+          while (off + 8 <= e0) {
+            val size = be32(b, off)
+            require(size >= 8 && off.toLong + size <= e0,
+              s"corrupt box size $size at offset $off")
+            tag(b, off + 4) match {
+              case "mdia" | "minf" | "stbl" => walkT(off + 8, off + size)
+              case "mdhd" =>
+                require(size >= 32 && (b(off + 8) & 0xff) == 0,
+                  "only version-0 mdhd supported")
+                ts = be32(b, off + 20)
+              case "hdlr" =>
+                require(size >= 24, s"hdlr too short ($size)")
+                handler = tag(b, off + 16)
+              case "stsd" =>
+                require(size >= 24 && be32(b, off + 12) == 1,
+                  "only a single-entry stsd is supported")
+                val e = off + 16
+                format = tag(b, e + 4)
+                if (format == "raw ") {
+                  require(size >= 102, s"video stsd too short ($size)")
+                  w = be16(b, e + 32); h = be16(b, e + 34)
+                  require(be16(b, e + 82) == 24,
+                    "only depth-24 packed RGB supported")
+                  require(w > 0 && h > 0 &&
+                    w.toLong * h * 3 <= Int.MaxValue,
+                    s"corrupt stsd dimensions ${w}x$h")
+                } else if (format == "sowt") {
+                  require(size >= 52, s"audio stsd too short ($size)")
+                  channels = be16(b, e + 24)
+                  require(be16(b, e + 26) == 16,
+                    "only 16-bit PCM supported")
+                } else throw new IllegalArgumentException(
+                  s"unsupported sample format '$format' — only " +
+                    "'raw ' video and 'sowt' PCM decode without a codec")
+              case "stts" =>
+                require(size >= 24 && be32(b, off + 12) == 1,
+                  "only the single-run stts layout is supported")
+                delta = be32(b, off + 20)
+              case "stsz" =>
+                require(size >= 20, s"stsz too short ($size)")
+                val fixed = be32(b, off + 12)
+                val n = be32(b, off + 16)
+                require(n >= 1, s"stsz sample count $n")
+                if (fixed == 0) {
+                  require(size.toLong >= 20L + n.toLong * 4,
+                    s"stsz table for $n samples overruns box size $size")
+                  sizes = Array.tabulate(n)(i => be32(b, off + 20 + i * 4))
+                } else {
+                require(fixed.toLong * n <= b.length,
+                  s"$n samples of $fixed bytes exceed the container")
+                sizes = Array.fill(n)(fixed)
+              }
+              case "stsc" =>
+                require(size >= 28 && be32(b, off + 12) == 1,
+                  "only the single-run stsc layout is supported")
+                spc = be32(b, off + 20)
+              case "stco" =>
+                require(size >= 16, s"stco too short ($size)")
+                val c = be32(b, off + 12)
+                require(c >= 1 && size.toLong >= 16L + c.toLong * 4,
+                  s"stco table for $c chunks overruns box size $size")
+                offs = Array.tabulate(c)(i =>
+                  be32(b, off + 16 + i * 4).toLong & 0xffffffffL)
+              case _ => ()
+            }
+            off += size
+          }
+        }
+        walkT(from, end)
+        if (handler == "vide") {
+          require(!sawVide, "two video tracks: ambiguous")
+          sawVide = true
+          require(format == "raw ", "video trak missing 'raw ' stsd")
+          vW = w; vH = h; vTs = ts; vDelta = delta
+          vSizes = sizes; vSpc = spc; vOffs = offs
+        } else if (handler == "soun") {
+          require(!sawSoun, "two audio tracks: ambiguous")
+          sawSoun = true
+          require(format == "sowt", "audio trak missing 'sowt' stsd")
+          aRate = ts // media timescale IS the PCM sample rate
+          aChannels = channels
+          aSizes = sizes; aSpc = spc; aOffs = offs
+        }
+      }
+
+      def walk(from: Int, end: Int): Unit = {
+        var off = from
+        while (off + 8 <= end) {
+          val size = be32(b, off)
+          require(size >= 8 && off.toLong + size <= end,
+            s"corrupt box size $size at offset $off")
+          tag(b, off + 4) match {
+            case "moov" => walk(off + 8, off + size)
+            case "trak" => parseTrak(off + 8, off + size)
+            case _ => ()
+          }
+          off += size
+        }
+      }
+
+      walk(0, b.length)
+      require(sawVide && sawSoun, "need one video and one audio trak")
+      require(vTs > 0 && vDelta > 0, "missing video mdhd/stts timing")
+      require(aRate > 0, "missing audio mdhd timescale")
+      val fsize = vW * vH * 3
+      val frames = resolveSamples(vSizes, vSpc, vOffs, b.length).map {
+        sm =>
+          require(sm.size == fsize,
+            s"sample ${sm.k} is ${sm.size} bytes, raster needs $fsize")
+          val fr = new Array[Byte](fsize)
+          System.arraycopy(b, sm.off.toInt, fr, 0, fsize)
+          fr
+      }
+      val pcm = resolveSamples(aSizes, aSpc, aOffs, b.length).map { sm =>
+        require(sm.size == 2, s"PCM sample ${sm.k} is ${sm.size} bytes")
+        u16(b, sm.off.toInt).toShort // 'sowt': little-endian
+      }
+      DecodedAv(
+        DecodedVideo(vW, vH, vTs / vDelta, frames),
+        DecodedAudio(aRate, aChannels, pcm))
     }
   }
 

@@ -57,6 +57,7 @@ object Multimodal {
   val Mp4IndexerConfKey = "spark.graft.media.mp4Indexer"
   val PngDecoderConfKey = "spark.graft.media.pngDecoder"
   val Mp4VideoDecoderConfKey = "spark.graft.media.mp4VideoDecoder"
+  val Mp4AvDecoderConfKey = "spark.graft.media.mp4AvDecoder"
 
   private[multimodal] def instantiate[T](className: String): T = {
     // context classloader first: REPL/notebook-defined impls and
@@ -1709,10 +1710,93 @@ object Multimodal {
       "sum_rgb", "n_cuts")
   }
 
+  /** L5w: TWO-TRACK MP4 AV decode through the MULTI-CHUNK index —
+    * the MP4 sibling of [[mmDecodeAv]], and the op that forces the
+    * index machinery past the single-chunk case: real muxers
+    * interleave AV files frame by frame, so each trak's stco carries
+    * one chunk offset PER FRAME (video: 1 raster/chunk; audio:
+    * samplesPerFrame PCM16 samples/chunk) and a reader must walk the
+    * per-trak stsz/stsc/stco tables to find anything at all.
+    * [[Codecs.mp4EncodeAv]] emits that genuine layout ('vide' trak
+    * with stsd 'raw ', 'soun' trak with stsd 'sowt' little-endian
+    * PCM16, mdat alternating raster/audio-block per frame, both
+    * muxer box orders by parity) and the conf-pluggable
+    * [[Codecs.AvDecoder]] (default [[Codecs.Mp4AvDecoder]]) parses
+    * BOTH typed modalities out of one byte stream via per-trak
+    * scoped walks + the shared multi-chunk sample cumulation. All
+    * stats from parsed bytes; container size closed-form
+    * ([[Codecs.mp4SizeAv]]).
+    *
+    * Scale: one map-only pass, per-partition decoder init. */
+  def mmMp4DecodeAv(s: SparkSession, dir: String): DataFrame =
+    mmMp4DecodeAvOn(
+      Tables.documents(s, dir).select(col("doc_id"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong))
+      .orderBy("doc_id")
+
+  /** Streaming-legal core (no sort; one pure mapPartitions pass). */
+  def mmMp4DecodeAvOn(
+      ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    val decoderClass = s.conf.get(Mp4AvDecoderConfKey,
+      classOf[Codecs.Mp4AvDecoder].getName)
+    ids.mapPartitions { it =>
+      val dec = instantiate[Codecs.AvDecoder](decoderClass)
+      it.map { id =>
+        val w = (8 + id % 5).toInt
+        val h = (5 + id % 3).toInt
+        val nf = (2 + id % 3).toInt
+        val spf = (16 + (id % 8) * 2).toInt
+        val frames = (0 until nf).map { f =>
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val base = (y * w + x) * 3
+              px(base) =
+                ((id * 7 + f * 31 + x * 17 + y * 13) % 256).toByte
+              px(base + 1) =
+                ((id * 19 + f * 11 + x * 23 + y * 29) % 256).toByte
+              px(base + 2) =
+                ((id * 3 + f * 41 + x * 37 + y * 7) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          px
+        }
+        val samples = Array.tabulate(nf * spf)(i =>
+          ((id * 61 + i.toLong * i * 11) % 4096 - 2048).toShort)
+        val bytes = Codecs.mp4EncodeAv(600, 200, w, h, frames, spf,
+          samples, moovLast = id % 2 == 0)
+        val av = dec.decode(bytes)
+        var sumRgb = 0L
+        av.video.frames.foreach { fr =>
+          var i = 0
+          while (i < fr.length) { sumRgb += fr(i) & 0xff; i += 1 }
+        }
+        var sumAbs = 0L
+        var i = 0
+        while (i < av.audio.samples.length) {
+          sumAbs += math.abs(av.audio.samples(i).toLong)
+          i += 1
+        }
+        (id, bytes.length.toLong, av.video.width, av.video.height,
+          av.video.frames.length.toLong, av.video.fps,
+          av.audio.sampleRate, av.audio.samples.length.toLong,
+          sumRgb, sumAbs)
+      }
+    }.toDF("doc_id", "n_bytes", "width", "height", "n_frames", "fps",
+      "sample_rate", "n_samples", "sum_rgb", "sum_abs")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_mp4_probe" -> mmMp4Probe,
     "mm_mp4_extract" -> mmMp4Extract,
     "mm_mp4_decode_frames" -> mmMp4DecodeFrames,
+    "mm_mp4_decode_av" -> mmMp4DecodeAv,
     "mm_decode_png" -> mmDecodePng,
     "mm_transcode_png" -> mmTranscodePng,
     "mm_phash_real" -> mmPhashReal,
@@ -1843,6 +1927,41 @@ object Multimodal {
         |FROM po JOIN base ON po.doc_id = base.doc_id
         |  JOIN sl ON po.doc_id = sl.doc_id AND po.k = sl.k
         |ORDER BY po.doc_id, k""".stripMargin,
+    // Both modality patterns + the closed-form TWO-TRACK container
+    // size (Codecs.mp4SizeAv — each trak's stco grows with nf) —
+    // box-order independent, which the engine varies by parity.
+    "mm_mp4_decode_av" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w,
+        |    5 + doc_id % 3 AS h, 2 + doc_id % 3 AS nf,
+        |    16 + (doc_id % 8) * 2 AS spf FROM documents),
+        |px AS (SELECT doc_id, w, h, nf, spf, fs.f, xs.x, ys.y
+        |  FROM d, range(0, 5) fs(f), range(0, 13) xs(x),
+        |    range(0, 8) ys(y)
+        |  WHERE fs.f < nf AND xs.x < w AND ys.y < h),
+        |pv AS (SELECT doc_id,
+        |    (doc_id * 7 + f * 31 + x * 17 + y * 13) % 256
+        |    + (doc_id * 19 + f * 11 + x * 23 + y * 29) % 256
+        |    + (doc_id * 3 + f * 41 + x * 37 + y * 7) % 256 AS v
+        |  FROM px),
+        |vr AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sum_rgb
+        |  FROM pv GROUP BY doc_id),
+        |au AS (SELECT d.doc_id,
+        |    CAST(SUM(abs((d.doc_id * 61 + ss.i * ss.i * 11) % 4096
+        |      - 2048)) AS BIGINT) AS sum_abs
+        |  FROM d, range(0, 120) ss(i) WHERE ss.i < nf * spf
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(864 + 8 * nf + nf * (w * h * 3 + 2 * spf) AS BIGINT)
+        |    AS n_bytes,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(3 AS INT) AS fps,
+        |  CAST(3 * spf AS INT) AS sample_rate,
+        |  CAST(nf * spf AS BIGINT) AS n_samples,
+        |  vr.sum_rgb, au.sum_abs
+        |FROM d JOIN vr ON d.doc_id = vr.doc_id
+        |  JOIN au ON d.doc_id = au.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Frame-pattern replay + the closed-form container size (Codecs
     // .mp4SizeVideo) + stts-derived fps + the scene-cut census —
     // box-order independent, which the engine varies by parity.

@@ -649,6 +649,10 @@ class MultimodalSpec extends SparkSpecBase {
     val mp4v = Codecs.mp4EncodeVideo(600, 40, 5, 4, (0 until 2).map(
       f => Array.tabulate(5 * 4 * 3)(i => ((i + f * 9) % 256).toByte)))
     run("mp4video", new Codecs.Mp4VideoDecoder().decode, mp4v)
+    val mp4av = Codecs.mp4EncodeAv(600, 200, 5, 4, (0 until 2).map(
+      f => Array.tabulate(5 * 4 * 3)(i => ((i + f * 9) % 256).toByte)),
+      6, Array.tabulate(12)(i => (i * 211).toShort))
+    run("mp4av", new Codecs.Mp4AvDecoder().decode, mp4av)
     // truncations at every length must also fail fast or succeed
     for ((name, d, base) <- Seq[(String, Array[Byte] => Any,
         Array[Byte])](("avi", vd.decode, avi),
@@ -1150,6 +1154,98 @@ class MultimodalSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("depth-24"))
   }
 
+  test("Mp4AvDecoder: both modalities from ONE two-track MP4 parse " +
+    "through the MULTI-CHUNK stco index (one chunk per frame per " +
+    "trak) — round trip byte-exact in both box orders, probe/indexer " +
+    "interop, foreign formats and index mismatches rejected") {
+    import multimodal.Codecs
+    val dec = new Codecs.Mp4AvDecoder()
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(6 * 4 * 3)(i => ((i * 7 + f * 29) % 256).toByte))
+    val samples = Array.tabulate(3 * 10)(i =>
+      ((i * 317) % 4096 - 2048).toShort)
+    for (moovLast <- Seq(false, true)) {
+      val bytes = Codecs.mp4EncodeAv(600, 200, 6, 4, frames, 10,
+        samples, moovLast)
+      assert(bytes.length == Codecs.mp4SizeAv(6, 4, 3, 10))
+      val av = dec.decode(bytes)
+      assert(av.video.width == 6 && av.video.height == 4 &&
+        av.video.fps == 3 && av.video.frames.length == 3)
+      av.video.frames.zip(frames).foreach { case (got, exp) =>
+        assert(java.util.Arrays.equals(got, exp), s"moovLast=$moovLast")
+      }
+      assert(av.audio.sampleRate == 30 && av.audio.channels == 1)
+      assert(av.audio.samples.toSeq == samples.toSeq)
+      // the single-track probe reads the same two-track bytes
+      // consistently (vide fields win, track census correct)
+      val meta = new Codecs.Mp4Probe().probe(bytes)
+      assert(meta.nTracks == 2 && meta.handler == "vide" &&
+        meta.width == 6 && meta.height == 4 && meta.nSamples == 3)
+    }
+    val bytes = Codecs.mp4EncodeAv(600, 200, 6, 4, frames, 10, samples)
+    def find(pat: String): Int = {
+      val p = pat.getBytes("US-ASCII")
+      (0 to bytes.length - p.length).find(i =>
+        p.indices.forall(j => bytes(i + j) == p(j))).get
+    }
+    // a compressed audio entry must be refused
+    val aac = bytes.clone()
+    "mp4a".getBytes("US-ASCII").copyToArray(aac, find("sowt"))
+    val e1 = intercept[IllegalArgumentException](dec.decode(aac))
+    assert(e1.getMessage.contains("mp4a"))
+    // breaking the audio stsc samples-per-chunk breaks the
+    // chunks x spc == stsz-count invariant — the multi-chunk check
+    val badSpc = bytes.clone()
+    val soundStsc = {
+      // the audio trak's stsc is the second one in the file
+      val first = find("stsc")
+      val p = "stsc".getBytes("US-ASCII")
+      (first + 1 to bytes.length - 4).find(i =>
+        p.indices.forall(j => bytes(i + j) == p(j))).get
+    }
+    // from the tag: verflags(4) + entry_count(4) + first_chunk(4)
+    // put samples_per_chunk at tag+16; patch its low byte
+    badSpc(soundStsc + 19) = 99.toByte
+    val e2 = intercept[IllegalArgumentException](dec.decode(badSpc))
+    assert(e2.getMessage.contains("chunks"))
+  }
+
+  test("mm_mp4_decode_av: both modality stats from ONE parsed " +
+    "two-track MP4 match the pattern arithmetic and the closed-form " +
+    "size; decoder binding is conf-swappable") {
+    import multimodal.Codecs
+    val out = multimodal.Multimodal.mmMp4DecodeAv(spark, sf)
+      .as[(Long, Long, Int, Int, Long, Int, Int, Long, Long, Long)]
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, nb, w, h, nf, fps, rate, ns, sumRgb,
+        sumAbs) =>
+      val ew = (8 + id % 5).toInt; val eh = (5 + id % 3).toInt
+      val enf = (2 + id % 3).toInt; val espf = (16 + (id % 8) * 2).toInt
+      assert(w == ew && h == eh && nf == enf, s"doc $id dims")
+      assert(nb == Codecs.mp4SizeAv(ew, eh, enf, espf), s"doc $id size")
+      assert(fps == 3 && rate == 3 * espf && ns == enf * espf,
+        s"doc $id timing")
+      var er = 0L
+      for (f <- 0 until enf; y <- 0 until eh; x <- 0 until ew)
+        er += (id * 7 + f * 31 + x * 17 + y * 13) % 256 +
+          (id * 19 + f * 11 + x * 23 + y * 29) % 256 +
+          (id * 3 + f * 41 + x * 37 + y * 7) % 256
+      assert(sumRgb == er, s"doc $id sum_rgb")
+      var ea = 0L
+      for (i <- 0 until enf * espf)
+        ea += math.abs((id * 61 + i.toLong * i * 11) % 4096 - 2048)
+      assert(sumAbs == ea, s"doc $id sum_abs")
+    }
+    val key = multimodal.Multimodal.Mp4AvDecoderConfKey
+    spark.conf.set(key, classOf[FixedAvDecoder].getName)
+    try {
+      val z = multimodal.Multimodal.mmMp4DecodeAv(spark, sf)
+        .agg(max("sum_rgb"), max("n_samples")).collect()(0)
+      assert(z.getLong(0) == 0L && z.getLong(1) == 1L)
+    } finally spark.conf.unset(key)
+  }
+
   test("ref_ep3_mp4: the full step-3 chain on genuine MP4 bytes " +
     "equals ref_ep3_real on every column except the container size " +
     "(the container-independence theorem), and each sample's size is " +
@@ -1233,6 +1329,15 @@ class ZeroVideoDecoder extends multimodal.Codecs.VideoDecoder {
   def decode(bytes: Array[Byte]): multimodal.Codecs.DecodedVideo =
     multimodal.Codecs.DecodedVideo(1, 1, 10,
       Array(new Array[Byte](3)))
+}
+
+/** Test-only AV decoder that ignores the bytes — proves the catalog
+  * op's outputs flow through the pluggable decode binding. */
+class FixedAvDecoder extends multimodal.Codecs.AvDecoder {
+  def decode(bytes: Array[Byte]): multimodal.Codecs.DecodedAv =
+    multimodal.Codecs.DecodedAv(
+      multimodal.Codecs.DecodedVideo(1, 1, 3, Array(new Array[Byte](3))),
+      multimodal.Codecs.DecodedAudio(30, 1, new Array[Short](1)))
 }
 
 /** Test-only detector standing in for a real codec-backed impl. */

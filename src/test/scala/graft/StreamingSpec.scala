@@ -660,6 +660,7 @@ class StreamingSpec extends SparkSpecBase {
         "probe" -> multimodal.Multimodal.mmMp4ProbeOn,
         "extract" -> multimodal.Multimodal.mmMp4ExtractOn,
         "decode_frames" -> multimodal.Multimodal.mmMp4DecodeFramesOn,
+        "decode_av" -> multimodal.Multimodal.mmMp4DecodeAvOn,
         "png" -> multimodal.Multimodal.mmDecodePngOn)) {
       val q = core(streamIds)
         .writeStream.outputMode("append").format("memory")
