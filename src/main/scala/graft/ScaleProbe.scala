@@ -174,6 +174,10 @@ object ScaleProbe {
         multimodal.Multimodal.mmMp4DecodeFramesOn(
           d.select(col("doc_id"))
             .as[Long](org.apache.spark.sql.Encoders.scalaLong))),
+      "mm_mp4_decode_av" -> (d =>
+        multimodal.Multimodal.mmMp4DecodeAvOn(
+          d.select(col("doc_id"))
+            .as[Long](org.apache.spark.sql.Encoders.scalaLong))),
     )
 
     // embedding-corpus probe: perturbed copies (one coordinate nudged
