@@ -178,6 +178,10 @@ object ScaleProbe {
         multimodal.Multimodal.mmMp4DecodeAvOn(
           d.select(col("doc_id"))
             .as[Long](org.apache.spark.sql.Encoders.scalaLong))),
+      "mm_decode_gif" -> (d =>
+        multimodal.Multimodal.mmDecodeGifOn(
+          d.select(col("doc_id"))
+            .as[Long](org.apache.spark.sql.Encoders.scalaLong))),
     )
 
     // embedding-corpus probe: perturbed copies (one coordinate nudged

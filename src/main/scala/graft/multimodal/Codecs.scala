@@ -1782,4 +1782,315 @@ object Codecs {
       DecodedImage(width, height, rgb)
     }
   }
+
+  // ---------------------------------------------------------------
+  // GIF87a — the SECOND compressed format, with a genuinely
+  // different entropy coder: variable-width LZW (clear/EOI codes,
+  // 9->12-bit code growth, LSB-first bit packing, 255-byte
+  // sub-blocking), implemented here from the public GIF87a spec in
+  // BOTH directions — no library involvement at all, unlike PNG
+  // whose DEFLATE rides the JDK's zlib. GIF is palette-indexed:
+  // the raster is an INDEX plane and color resolves through the
+  // global color table, so losslessness means index-exact round
+  // trips and the decoded RGB is palette[index] — all replayable
+  // arithmetic. Cross-implementation conformance (our bytes through
+  // ImageIO's GIF reader, ImageIO's GIF bytes through this decoder)
+  // is proven in MultimodalSpec.
+  // ---------------------------------------------------------------
+
+  /** The fixed 256-entry palette both codec directions and the
+    // oracle share: palette(i) = ((i*37)%256, (i*113)%256,
+    // (i*211)%256) — multipliers coprime to 256 so all three
+    // channels permute the byte range. */
+  def gifPalette(i: Int): (Int, Int, Int) =
+    ((i * 37) % 256, (i * 113) % 256, (i * 211) % 256)
+
+  /** Encode an index raster (one byte per pixel, row-major top-down)
+    * as a genuine GIF87a: header + logical screen descriptor +
+    * 256-entry global color table ([[gifPalette]]) + image
+    * descriptor + REAL variable-width LZW (initial code size 9,
+    * clear 256, EOI 257, dictionary growth to 4096 then an emitted
+    * clear — the actual GIF algorithm, not a stored shortcut) packed
+    * LSB-first into 255-byte sub-blocks. */
+  def gifEncode(width: Int, height: Int, indices: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 &&
+      indices.length == width * height,
+      s"index raster length ${indices.length} != $width x $height")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('G'); out.write('I'); out.write('F')
+    out.write('8'); out.write('7'); out.write('a')
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(width); le16(height)
+    out.write(0xf7) // global table, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    var i = 0
+    while (i < 256) {
+      val (r, g, b) = gifPalette(i)
+      out.write(r); out.write(g); out.write(b)
+      i += 1
+    }
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(width); le16(height)
+    out.write(0) // no local table, not interlaced
+    out.write(8) // LZW minimum code size
+
+    // --- LZW compress (GIF variant) ---
+    val Clear = 256
+    val Eoi = 257
+    val lzw = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var codeWidth = 9
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += codeWidth
+      while (bitCnt >= 8) {
+        lzw.write((bitBuf & 0xff).toInt)
+        bitBuf >>>= 8
+        bitCnt -= 8
+      }
+    }
+    // dictionary: (prefix code, next byte) -> code
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var next = 258
+    def key(prefix: Int, b: Int): Integer = Integer.valueOf((prefix << 8) | b)
+    put(Clear)
+    var cur = indices(0) & 0xff
+    i = 1
+    while (i < indices.length) {
+      val b = indices(i) & 0xff
+      val k = key(cur, b)
+      val hit = dict.get(k)
+      if (hit != null) cur = hit.intValue()
+      else {
+        put(cur)
+        dict.put(k, Integer.valueOf(next))
+        next += 1
+        // widen AFTER the first code that needs the new width exists
+        if (next == (1 << codeWidth) + 1 && codeWidth < 12) codeWidth += 1
+        if (next == 4096) { // table full: emit clear, reset
+          put(Clear)
+          dict = new java.util.HashMap[Integer, Integer]()
+          next = 258
+          codeWidth = 9
+        }
+        cur = b
+      }
+      i += 1
+    }
+    put(cur)
+    put(Eoi)
+    if (bitCnt > 0) lzw.write((bitBuf & 0xff).toInt)
+    val comp = lzw.toByteArray
+    var off = 0
+    while (off < comp.length) {
+      val n = math.min(255, comp.length - off)
+      out.write(n)
+      out.write(comp, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Decoded palette image: the index plane AND the resolved RGB. */
+  final case class DecodedGif(width: Int, height: Int,
+      indices: Array[Byte], rgb: Array[Byte])
+
+  trait GifDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): DecodedGif
+  }
+
+  /** The real decoder: validates the GIF87a/89a header, reads the
+    * logical screen descriptor and global color table, walks to the
+    * image descriptor (skipping 89a extension blocks sub-block by
+    * sub-block), concatenates the LZW sub-blocks, and runs a genuine
+    * variable-width LZW decode — string table with clear/EOI
+    * handling, the KwKwK self-reference case, 9->12-bit growth —
+    * undoes four-pass interlacing when the descriptor flags it, and
+    * resolves indices through the PARSED color table (local table
+    * overriding the global one when present). Every
+    * length is validated before reading; corrupt bytes fail fast. */
+  final class GifLzwDecoder extends GifDecoder {
+    def decode(b: Array[Byte]): DecodedGif = {
+      require(b.length >= 14 && b(0) == 'G' && b(1) == 'I' &&
+        b(2) == 'F' && b(3) == '8' && (b(4) == '7' || b(4) == '9') &&
+        b(5) == 'a', "not a GIF87a/89a")
+      def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      val packed = b(10) & 0xff
+      require((packed & 0x80) != 0, "missing global color table")
+      val tableSize = 2 << (packed & 7)
+      var off = 13
+      require(off + tableSize * 3 <= b.length,
+        s"color table of $tableSize entries overruns the buffer")
+      val palette = new Array[Byte](tableSize * 3)
+      System.arraycopy(b, off, palette, 0, tableSize * 3)
+      off += tableSize * 3
+      // walk to the image descriptor, skipping 89a extensions
+      while (off < b.length && (b(off) & 0xff) == 0x21) {
+        off += 2 // extension introducer + label
+        var len = { require(off < b.length, "truncated extension"); b(off) & 0xff }
+        while (len != 0) {
+          off += 1 + len
+          require(off < b.length, "truncated extension sub-blocks")
+          len = b(off) & 0xff
+        }
+        off += 1
+      }
+      require(off + 10 <= b.length && (b(off) & 0xff) == 0x2c,
+        "missing image descriptor")
+      val width = le16(off + 5)
+      val height = le16(off + 7)
+      require(width > 0 && height > 0 &&
+        width.toLong * height <= Int.MaxValue,
+        s"corrupt GIF dimensions ${width}x$height")
+      val ipacked = b(off + 9) & 0xff
+      val interlaced = (ipacked & 0x40) != 0
+      off += 10
+      var palTable = palette
+      var palSize = tableSize
+      if ((ipacked & 0x80) != 0) { // local color table overrides
+        palSize = 2 << (ipacked & 7)
+        require(off + palSize * 3 <= b.length,
+          s"local color table of $palSize entries overruns the buffer")
+        palTable = new Array[Byte](palSize * 3)
+        System.arraycopy(b, off, palTable, 0, palSize * 3)
+        off += palSize * 3
+      }
+      require(off < b.length, "missing LZW code size")
+      val minCode = b(off) & 0xff
+      require(minCode >= 2 && minCode <= 8, s"bad LZW code size $minCode")
+      off += 1
+      val data = new java.io.ByteArrayOutputStream()
+      var len = { require(off < b.length, "truncated image data"); b(off) & 0xff }
+      while (len != 0) {
+        require(off + 1 + len <= b.length, "truncated LZW sub-block")
+        data.write(b, off + 1, len)
+        off += 1 + len
+        require(off < b.length, "missing block terminator")
+        len = b(off) & 0xff
+      }
+      val comp = data.toByteArray
+
+      // --- LZW decompress (GIF variant) ---
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      val nPix = width * height
+      val indices = new Array[Byte](nPix)
+      var outPos = 0
+      // string table as (prefix code, last byte); roots are implicit
+      val prefix = new Array[Int](4096)
+      val last = new Array[Byte](4096)
+      val lenOf = new Array[Int](4096)
+      var next = eoi + 1
+      var codeWidth = minCode + 1
+      var prev = -1
+      var bitBuf = 0L
+      var bitCnt = 0
+      var pos = 0
+      def emit(code: Int): Byte = { // write string for code, return first byte
+        var c = code
+        var n = lenOf(c)
+        val end = outPos + n
+        require(end <= nPix,
+          s"LZW output overruns the ${width}x$height raster")
+        var w = end - 1
+        while (n > 1) {
+          indices(w) = last(c)
+          c = prefix(c); w -= 1; n -= 1
+        }
+        indices(w) = c.toByte // root
+        outPos = end
+        indices(w)
+      }
+      var c = 0
+      while (c < clear) { lenOf(c) = 1; c += 1 }
+      var done = false
+      while (!done && outPos < nPix) {
+        while (bitCnt < codeWidth && pos < comp.length) {
+          bitBuf |= (comp(pos) & 0xffL) << bitCnt
+          bitCnt += 8; pos += 1
+        }
+        require(bitCnt >= codeWidth, "truncated LZW stream")
+        val code = (bitBuf & ((1L << codeWidth) - 1)).toInt
+        bitBuf >>>= codeWidth
+        bitCnt -= codeWidth
+        if (code == clear) {
+          next = eoi + 1; codeWidth = minCode + 1; prev = -1
+        } else if (code == eoi) {
+          done = true
+        } else if (prev == -1) {
+          require(code < clear, s"first code $code after clear not a root")
+          emit(code)
+          prev = code
+        } else {
+          require(code <= next, s"LZW code $code beyond table size $next")
+          val first =
+            if (code < next) emit(code)
+            else { // KwKwK: string = prev's string + its own first byte
+              val f = emit(prev)
+              require(outPos < nPix,
+                s"LZW output overruns the ${width}x$height raster")
+              indices(outPos) = f; outPos += 1
+              f
+            }
+          if (next < 4096) {
+            prefix(next) = prev; last(next) = first
+            lenOf(next) = lenOf(prev) + 1
+            next += 1
+            // the decoder's table is one entry BEHIND the encoder's,
+            // so it widens at 2^w where the encoder widens at 2^w+1
+            // (the classic GIF off-by-one)
+            if (next == (1 << codeWidth) && codeWidth < 12)
+              codeWidth += 1
+          }
+          prev = code
+        }
+      }
+      require(outPos == nPix,
+        s"LZW stream yields $outPos of $nPix pixels")
+      if (!done) {
+        // raster full without having seen EOI: the stream must END
+        // here — more data codes mean the descriptor lied about dims
+        while (bitCnt < codeWidth && pos < comp.length) {
+          bitBuf |= (comp(pos) & 0xffL) << bitCnt
+          bitCnt += 8; pos += 1
+        }
+        if (bitCnt >= codeWidth) {
+          val code = (bitBuf & ((1L << codeWidth) - 1)).toInt
+          require(code == eoi,
+            s"LZW data continues past the ${width}x$height raster")
+        }
+      }
+      // interlaced files store rows in the four-pass order (every 8th
+      // from 0, every 8th from 4, every 4th from 2, every 2nd from
+      // 1); permute stream rows back to display order
+      val display =
+        if (!interlaced) indices
+        else {
+          val out = new Array[Byte](nPix)
+          var k = 0
+          for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+            var y = start
+            while (y < height) {
+              System.arraycopy(indices, k * width, out, y * width, width)
+              k += 1; y += step
+            }
+          }
+          out
+        }
+      val rgb = new Array[Byte](nPix * 3)
+      var p = 0
+      while (p < nPix) {
+        val idx = display(p) & 0xff
+        require(idx < palSize, s"pixel index $idx outside the palette")
+        rgb(p * 3) = palTable(idx * 3)
+        rgb(p * 3 + 1) = palTable(idx * 3 + 1)
+        rgb(p * 3 + 2) = palTable(idx * 3 + 2)
+        p += 1
+      }
+      DecodedGif(width, height, display, rgb)
+    }
+  }
 }

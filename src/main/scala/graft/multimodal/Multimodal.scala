@@ -56,6 +56,7 @@ object Multimodal {
   val Mp4ProbeConfKey = "spark.graft.media.mp4Probe"
   val Mp4IndexerConfKey = "spark.graft.media.mp4Indexer"
   val PngDecoderConfKey = "spark.graft.media.pngDecoder"
+  val GifDecoderConfKey = "spark.graft.media.gifDecoder"
   val Mp4VideoDecoderConfKey = "spark.graft.media.mp4VideoDecoder"
   val Mp4AvDecoderConfKey = "spark.graft.media.mp4AvDecoder"
 
@@ -624,6 +625,72 @@ object Multimodal {
         }
         (id, im.width, im.height, sr, sg, sb,
           png.length < 57 + Codecs.pngRawLen(w, h))
+      }
+    }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+      "compressed")
+  }
+
+  /** L5x: the SECOND compressed format — GIF87a with a genuinely
+    * different entropy coder: variable-width LZW (9->12-bit growth,
+    * clear/EOI, KwKwK, LSB-first packing, 255-byte sub-blocks)
+    * implemented in BOTH directions from the public spec with no
+    * library involvement at all ([[Codecs.gifEncode]] /
+    * [[Codecs.GifLzwDecoder]] — unlike PNG, whose DEFLATE rides the
+    * JDK's zlib). GIF is palette-indexed, so the raster is an INDEX
+    * plane: losslessness means index-exact round trips, and the
+    * decoded RGB resolves through the PARSED global color table
+    * ([[Codecs.gifPalette]]) — the channel sums are the oracle's
+    * nested-mod arithmetic replay, and an LZW width-schedule, bit
+    * packing, sub-blocking, or palette bug is a hash mismatch. The
+    * `compressed` checked column asserts LZW genuinely beat the
+    * stored-equivalent bound — exhaustively spec-verified over all
+    * 768 distinct raster classes (the pattern's period:
+    * lcm(256, 12, 6)). Cross-implementation conformance is proven
+    * both directions against ImageIO's GIF reader/writer.
+    *
+    * Scale: one map-only pass, per-partition decoder init. */
+  def mmDecodeGif(s: SparkSession, dir: String): DataFrame =
+    mmDecodeGifOn(
+      Tables.documents(s, dir).select(col("doc_id"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong))
+      .orderBy("doc_id")
+
+  /** Streaming-legal core (no sort; one pure mapPartitions pass). */
+  def mmDecodeGifOn(ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(GifDecoderConfKey, classOf[Codecs.GifLzwDecoder].getName)
+    ids.mapPartitions { it =>
+      val dec = instantiate[Codecs.GifDecoder](decoderClass)
+      it.map { id =>
+        val w = (16 + id % 12).toInt
+        val h = (10 + id % 6).toInt
+        val idx = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            idx(y * w + x) = ((id * 3 + x * 7 + (y % 3) * 11) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val gif = Codecs.gifEncode(w, h, idx)
+        val im = dec.decode(gif)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < im.rgb.length) {
+          sr += im.rgb(i) & 0xff
+          sg += im.rgb(i + 1) & 0xff
+          sb += im.rgb(i + 2) & 0xff
+          i += 3
+        }
+        // stored-equivalent bound: header 13 + palette 768 + image
+        // descriptor 10 + code-size byte 1 + raw indices in sub-blocks
+        // + terminator 1 + trailer 1
+        val bound = 794 + w * h + (w * h + 254) / 255
+        (id, im.width, im.height, sr, sg, sb, gif.length < bound)
       }
     }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
       "compressed")
@@ -1798,6 +1865,7 @@ object Multimodal {
     "mm_mp4_decode_frames" -> mmMp4DecodeFrames,
     "mm_mp4_decode_av" -> mmMp4DecodeAv,
     "mm_decode_png" -> mmDecodePng,
+    "mm_decode_gif" -> mmDecodeGif,
     "mm_transcode_png" -> mmTranscodePng,
     "mm_phash_real" -> mmPhashReal,
     "mm_decode_image" -> mmDecodeImage,
@@ -1994,6 +2062,24 @@ object Multimodal {
         |  CAST(SUM(CASE WHEN pm IS NOT NULL AND abs(m - pm) >= 20000
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
         |FROM fc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Index pattern resolved through the shared palette formula —
+    // the nested-mod replay of palette[(id*3 + x*7 + (y%3)*11) % 256];
+    // `compressed` is the checked column for the LZW-dependent size
+    // (spec-verified exhaustively over all 768 raster classes).
+    "mm_decode_gif" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 12 AS w,
+        |    10 + doc_id % 6 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |    (doc_id * 3 + xs.x * 7 + (ys.y % 3) * 11) % 256 AS idx
+        |  FROM d, range(0, 27) xs(x), range(0, 15) ys(y)
+        |  WHERE xs.x < w AND ys.y < h)
+        |SELECT doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  CAST(SUM((idx * 37) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((idx * 113) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((idx * 211) % 256) AS BIGINT) AS sum_b,
+        |  TRUE AS compressed
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Lossless round trip: channel sums replay the pattern exactly;
     // `compressed` is the checked column for the one quantity DEFLATE
     // makes data-dependent (spec-verified exhaustively over all 256

@@ -653,6 +653,9 @@ class MultimodalSpec extends SparkSpecBase {
       f => Array.tabulate(5 * 4 * 3)(i => ((i + f * 9) % 256).toByte)),
       6, Array.tabulate(12)(i => (i * 211).toShort))
     run("mp4av", new Codecs.Mp4AvDecoder().decode, mp4av)
+    val gif = Codecs.gifEncode(7, 5,
+      Array.tabulate(35)(i => (i * 23 % 256).toByte))
+    run("gif", new Codecs.GifLzwDecoder().decode, gif)
     // truncations at every length must also fail fast or succeed
     for ((name, d, base) <- Seq[(String, Array[Byte] => Any,
         Array[Byte])](("avi", vd.decode, avi),
@@ -1154,6 +1157,158 @@ class MultimodalSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("depth-24"))
   }
 
+  test("GIF codec: exhaustive index-exact round trip over ALL 768 " +
+    "distinct raster classes (pattern period lcm(256,12,6)) through " +
+    "a from-scratch variable-width LZW; compression beats the " +
+    "stored bound on every class; palette resolves per the formula") {
+    import multimodal.Codecs
+    val dec = new Codecs.GifLzwDecoder()
+    for (id <- 0L until 768L) {
+      val w = (16 + id % 12).toInt
+      val h = (10 + id % 6).toInt
+      val idx = Array.tabulate(w * h) { p =>
+        val x = p % w; val y = p / w
+        ((id * 3 + x * 7 + (y % 3) * 11) % 256).toByte
+      }
+      val gif = Codecs.gifEncode(w, h, idx)
+      val im = dec.decode(gif)
+      assert(im.width == w && im.height == h, s"class $id dims")
+      assert(java.util.Arrays.equals(im.indices, idx),
+        s"class $id indices")
+      // decoded RGB resolves through the parsed palette
+      for (p <- Seq(0, w * h / 2, w * h - 1)) {
+        val (r, g, b) = Codecs.gifPalette(idx(p) & 0xff)
+        assert((im.rgb(p * 3) & 0xff) == r &&
+          (im.rgb(p * 3 + 1) & 0xff) == g &&
+          (im.rgb(p * 3 + 2) & 0xff) == b, s"class $id pixel $p")
+      }
+      val bound = 794 + w * h + (w * h + 254) / 255
+      assert(gif.length < bound,
+        s"class $id: ${gif.length} !< $bound")
+    }
+    // LZW genuinely exercises table growth past the 9-bit boundary on
+    // a large high-entropy raster (distinct-phrase count > 512), and
+    // the round trip still holds
+    val bw = 200; val bh = 100
+    val big = Array.tabulate(bw * bh)(p =>
+      ((p * 131 + (p / bw) * 17 + (p % 7) * p) % 256).toByte)
+    val bigGif = Codecs.gifEncode(bw, bh, big)
+    assert(java.util.Arrays.equals(dec.decode(bigGif).indices, big))
+  }
+
+  test("GIF cross-implementation conformance with the JDK's ImageIO: " +
+    "our LZW bytes decode identically in ImageIO, and ImageIO's GIF " +
+    "output (its own LZW, 89a extensions) decodes identically in our " +
+    "decoder") {
+    import multimodal.Codecs
+    val dec = new Codecs.GifLzwDecoder()
+    for (id <- Seq(0L, 5L, 77L, 300L, 767L)) {
+      val w = (16 + id % 12).toInt
+      val h = (10 + id % 6).toInt
+      val idx = Array.tabulate(w * h) { p =>
+        val x = p % w; val y = p / w
+        ((id * 3 + x * 7 + (y % 3) * 11) % 256).toByte
+      }
+      // direction 1: our encoder -> ImageIO reader (palette-resolved)
+      val ours = Codecs.gifEncode(w, h, idx)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(ours))
+      assert(img != null && img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Codecs.gifPalette(idx(y * w + x) & 0xff)
+        val argb = img.getRGB(x, y)
+        assert(((argb >> 16) & 0xff) == r && ((argb >> 8) & 0xff) == g &&
+          (argb & 0xff) == b, s"class $id ImageIO pixel ($x,$y)")
+      }
+      // direction 2: ImageIO's GIF writer (its own LZW stream, 89a
+      // header/extensions, its own palette handling) -> our decoder;
+      // compare RESOLVED RGB, since the writer may reindex
+      val pr = new Array[Byte](256); val pg = new Array[Byte](256)
+      val pb = new Array[Byte](256)
+      for (i <- 0 until 256) {
+        val (r, g, b) = Codecs.gifPalette(i)
+        pr(i) = r.toByte; pg(i) = g.toByte; pb(i) = b.toByte
+      }
+      val cm = new java.awt.image.IndexColorModel(8, 256, pr, pg, pb)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Codecs.gifPalette(idx(y * w + x) & 0xff)
+        bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "gif", bos))
+      val im = dec.decode(bos.toByteArray)
+      assert(im.width == w && im.height == h, s"class $id foreign dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Codecs.gifPalette(idx(y * w + x) & 0xff)
+        val p = (y * w + x) * 3
+        assert((im.rgb(p) & 0xff) == r && (im.rgb(p + 1) & 0xff) == g &&
+          (im.rgb(p + 2) & 0xff) == b, s"class $id foreign ($x,$y)")
+      }
+    }
+  }
+
+  test("GIF decoder fails fast on corrupt bytes: bad signature, " +
+    "truncations at every length, lying dims (LZW overrun/underrun), " +
+    "and a bad LZW code size are all require() failures") {
+    import multimodal.Codecs
+    val dec = new Codecs.GifLzwDecoder()
+    val idx = Array.tabulate(9 * 7)(p => (p * 31 % 256).toByte)
+    val gif = Codecs.gifEncode(9, 7, idx)
+    val bad = gif.clone(); bad(3) = '9'; bad(4) = '9'
+    intercept[IllegalArgumentException](dec.decode(bad))
+    // a truncation either fails fast with require() or — when only
+    // trailing bytes past the complete image data are cut — decodes
+    // to the exact original raster; never a raw array error
+    for (n <- 0 until gif.length)
+      try {
+        val im = dec.decode(gif.take(n))
+        assert(java.util.Arrays.equals(im.indices, idx),
+          s"truncation $n decoded WRONG data")
+      } catch { case _: IllegalArgumentException => () }
+    // lie about the height in the image descriptor: the LZW stream
+    // then yields too few pixels
+    val tall = gif.clone()
+    val imgOff = 13 + 768 // image descriptor offset
+    tall(imgOff + 7) = 100.toByte
+    val e = intercept[IllegalArgumentException](dec.decode(tall))
+    assert(e.getMessage.contains("LZW"))
+    val wide = gif.clone()
+    wide(imgOff + 5) = 3.toByte // narrower: stream overruns raster
+    val e2 = intercept[IllegalArgumentException](dec.decode(wide))
+    assert(e2.getMessage.contains("overruns") ||
+      e2.getMessage.contains("LZW"))
+    val badCode = gif.clone()
+    badCode(imgOff + 10) = 13.toByte
+    val e3 = intercept[IllegalArgumentException](dec.decode(badCode))
+    assert(e3.getMessage.contains("code size"))
+  }
+
+  test("mm_decode_gif: decoded channel sums match the palette-" +
+    "resolved pattern, every row compressed, binding conf-swappable") {
+    val out = multimodal.Multimodal.mmDecodeGif(spark, sf)
+      .as[(Long, Int, Int, Long, Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, w, h, sr, sg, sb, comp) =>
+      assert(w == 16 + id % 12 && h == 10 + id % 6, s"doc $id dims")
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = (id * 3 + x * 7 + (y % 3) * 11) % 256
+        er += idx * 37 % 256; eg += idx * 113 % 256; eb += idx * 211 % 256
+      }
+      assert(sr == er && sg == eg && sb == eb, s"doc $id sums")
+      assert(comp, s"doc $id not compressed")
+    }
+    val key = multimodal.Multimodal.GifDecoderConfKey
+    spark.conf.set(key, classOf[ZeroGifDecoder].getName)
+    try {
+      val z = multimodal.Multimodal.mmDecodeGif(spark, sf)
+        .agg(max("sum_r"), max("width")).collect()(0)
+      assert(z.getLong(0) == 0L && z.getInt(1) == 1)
+    } finally spark.conf.unset(key)
+  }
+
   test("Mp4AvDecoder: both modalities from ONE two-track MP4 parse " +
     "through the MULTI-CHUNK stco index (one chunk per frame per " +
     "trak) — round trip byte-exact in both box orders, probe/indexer " +
@@ -1329,6 +1484,14 @@ class ZeroVideoDecoder extends multimodal.Codecs.VideoDecoder {
   def decode(bytes: Array[Byte]): multimodal.Codecs.DecodedVideo =
     multimodal.Codecs.DecodedVideo(1, 1, 10,
       Array(new Array[Byte](3)))
+}
+
+/** Test-only GIF decoder that ignores the bytes — proves the catalog
+  * op's outputs flow through the pluggable decode binding. */
+class ZeroGifDecoder extends multimodal.Codecs.GifDecoder {
+  def decode(bytes: Array[Byte]): multimodal.Codecs.DecodedGif =
+    multimodal.Codecs.DecodedGif(1, 1, new Array[Byte](1),
+      new Array[Byte](3))
 }
 
 /** Test-only AV decoder that ignores the bytes — proves the catalog

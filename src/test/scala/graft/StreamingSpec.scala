@@ -661,7 +661,8 @@ class StreamingSpec extends SparkSpecBase {
         "extract" -> multimodal.Multimodal.mmMp4ExtractOn,
         "decode_frames" -> multimodal.Multimodal.mmMp4DecodeFramesOn,
         "decode_av" -> multimodal.Multimodal.mmMp4DecodeAvOn,
-        "png" -> multimodal.Multimodal.mmDecodePngOn)) {
+        "png" -> multimodal.Multimodal.mmDecodePngOn,
+        "gif" -> multimodal.Multimodal.mmDecodeGifOn)) {
       val q = core(streamIds)
         .writeStream.outputMode("append").format("memory")
         .queryName(s"mp4_stream_$name").start()
