@@ -730,6 +730,59 @@ object Codecs {
     out
   }
 
+  /** Parse one stsz box into per-sample sizes — fixed form or table
+    * form, with Long-safe bounds (a corrupted count must not
+    * overflow the Int size guard) and a fits-the-container check
+    * before the fixed-form allocation. Shared by every MP4 reader. */
+  private def parseStsz(b: Array[Byte], off: Int, size: Int): Array[Int] = {
+    require(size >= 20, s"stsz too short ($size)")
+    val fixed = be32(b, off + 12)
+    val n = be32(b, off + 16)
+    require(n >= 1, s"stsz sample count $n")
+    if (fixed == 0) {
+      require(size.toLong >= 20L + n.toLong * 4,
+        s"stsz table for $n samples overruns box size $size")
+      Array.tabulate(n)(i => be32(b, off + 20 + i * 4))
+    } else {
+      require(fixed.toLong * n <= b.length,
+        s"$n samples of $fixed bytes exceed the container")
+      Array.fill(n)(fixed)
+    }
+  }
+
+  /** Parse one single-run stsc box into samples-per-chunk. */
+  private def parseStsc(b: Array[Byte], off: Int, size: Int): Int = {
+    require(size >= 28 && be32(b, off + 12) == 1,
+      "only the single-run stsc layout is supported")
+    be32(b, off + 20)
+  }
+
+  /** Parse one stco box into absolute chunk offsets (one or many). */
+  private def parseStco(b: Array[Byte], off: Int, size: Int): Array[Long] = {
+    require(size >= 16, s"stco too short ($size)")
+    val c = be32(b, off + 12)
+    require(c >= 1 && size.toLong >= 16L + c.toLong * 4,
+      s"stco table for $c chunks overruns box size $size")
+    Array.tabulate(c)(i =>
+      be32(b, off + 16 + i * 4).toLong & 0xffffffffL)
+  }
+
+  /** Parse the 'raw ' VisualSampleEntry of a single-entry stsd into
+    * (width, height), validating depth 24 and the raster bound. The
+    * caller has already read and dispatched on the entry's fourcc. */
+  private def parseRawVideoEntry(b: Array[Byte], off: Int,
+      size: Int): (Int, Int) = {
+    require(size >= 102, s"video stsd too short ($size)")
+    val e = off + 16
+    require(be16(b, e + 82) == 24,
+      s"only depth-24 packed RGB supported (${be16(b, e + 82)})")
+    val w = be16(b, e + 32)
+    val h = be16(b, e + 34)
+    require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue,
+      s"corrupt stsd dimensions ${w}x$h")
+    (w, h)
+  }
+
   /** Cumulate (stsz sizes, stsc samples-per-chunk, stco chunk
     * offsets) into one (ordinal, absolute offset, size) row per
     * sample — sample k lives in chunk k / spc at that chunk's stco
@@ -787,31 +840,9 @@ object Codecs {
           tag(b, off + 4) match {
             case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
               walk(off + 8, off + size)
-            case "stsz" =>
-              require(size >= 20, s"stsz too short ($size)")
-              val fixed = be32(b, off + 12)
-              val n = be32(b, off + 16)
-              require(n >= 1, s"stsz sample count $n")
-              if (fixed == 0) {
-                require(size.toLong >= 20L + n.toLong * 4,
-                  s"stsz table for $n samples overruns box size $size")
-                sizes = Array.tabulate(n)(i => be32(b, off + 20 + i * 4))
-              } else {
-                require(fixed.toLong * n <= b.length,
-                  s"$n samples of $fixed bytes exceed the container")
-                sizes = Array.fill(n)(fixed)
-              }
-            case "stsc" =>
-              require(size >= 28 && be32(b, off + 12) == 1,
-                "only the single-run stsc layout is supported")
-              samplesPerChunk = be32(b, off + 20)
-            case "stco" =>
-              require(size >= 16, s"stco too short ($size)")
-              val c = be32(b, off + 12)
-              require(c >= 1 && size.toLong >= 16L + c.toLong * 4,
-                s"stco table for $c chunks overruns box size $size")
-              chunkOffs = Array.tabulate(c)(i =>
-                be32(b, off + 16 + i * 4).toLong & 0xffffffffL)
+            case "stsz" => sizes = parseStsz(b, off, size)
+            case "stsc" => samplesPerChunk = parseStsc(b, off, size)
+            case "stco" => chunkOffs = parseStco(b, off, size)
             case _ => ()
           }
           off += size
@@ -969,6 +1000,8 @@ object Codecs {
     val nf = frames.length
     require(timescale > 0 && sampleDelta > 0 && nf > 0 &&
       width > 0 && height > 0, "bad mp4 parameters")
+    require(width.toLong * height * 3 * nf + 539 <= Int.MaxValue,
+      s"payload of $nf ${width}x$height frames overflows one buffer")
     val fsize = width * height * 3
     frames.foreach(f => require(f.length == fsize,
       s"frame length ${f.length} != $width x $height x 3"))
@@ -1074,6 +1107,8 @@ object Codecs {
       require(b.length >= 16, "too short for an MP4")
       var width = 0; var height = 0; var format = ""
       var timescale = 0; var sampleDelta = 0
+      var sizes: Array[Int] = null; var spc = -1
+      var chunkOffs: Array[Long] = null
 
       def walk(from: Int, end: Int): Unit = {
         var off = from
@@ -1089,23 +1124,21 @@ object Codecs {
                 "only version-0 mdhd supported")
               timescale = be32(b, off + 20)
             case "stsd" =>
-              require(size >= 102 && be32(b, off + 12) == 1,
+              require(size >= 24 && be32(b, off + 12) == 1,
                 "only a single-entry stsd is supported")
-              val e = off + 16
-              format = tag(b, e + 4)
+              format = tag(b, off + 20)
               require(format == "raw ",
                 s"unsupported sample format '$format' — only the " +
                   "uncompressed 'raw ' RGB entry decodes without a codec")
-              width = be16(b, e + 32); height = be16(b, e + 34)
-              require(be16(b, e + 82) == 24,
-                s"only depth-24 packed RGB supported (${be16(b, e + 82)})")
-              require(width > 0 && height > 0 &&
-                width.toLong * height * 3 <= Int.MaxValue,
-                s"corrupt stsd dimensions ${width}x$height")
+              val (w, h) = parseRawVideoEntry(b, off, size)
+              width = w; height = h
             case "stts" =>
               require(size >= 24 && be32(b, off + 12) == 1,
                 "only the single-run stts layout is supported")
               sampleDelta = be32(b, off + 20)
+            case "stsz" => sizes = parseStsz(b, off, size)
+            case "stsc" => spc = parseStsc(b, off, size)
+            case "stco" => chunkOffs = parseStco(b, off, size)
             case _ => ()
           }
           off += size
@@ -1117,13 +1150,16 @@ object Codecs {
       require(timescale > 0 && sampleDelta > 0,
         "missing mdhd/stts timing")
       val fsize = width * height * 3
-      val frames = new Mp4Indexer().index(b).map { sm =>
-        require(sm.size == fsize,
-          s"sample ${sm.k} is ${sm.size} bytes, raster needs $fsize")
-        val f = new Array[Byte](fsize)
-        System.arraycopy(b, sm.off.toInt, f, 0, fsize)
-        f
-      }
+      // one walk collected metadata AND the sample tables; resolve
+      // the seek index directly (no second pass over the box tree)
+      val frames = resolveSamples(sizes, spc, chunkOffs, b.length)
+        .map { sm =>
+          require(sm.size == fsize,
+            s"sample ${sm.k} is ${sm.size} bytes, raster needs $fsize")
+          val f = new Array[Byte](fsize)
+          System.arraycopy(b, sm.off.toInt, f, 0, fsize)
+          f
+        }
       DecodedVideo(width, height, timescale / sampleDelta, frames)
     }
   }
@@ -1157,6 +1193,9 @@ object Codecs {
       timescale % sampleDelta == 0, "bad mp4 parameters")
     require(samples.length == nf * samplesPerFrame,
       s"audio length ${samples.length} != $nf x $samplesPerFrame")
+    require((width.toLong * height * 3 + 2L * samplesPerFrame) * nf
+      + 864L + 8L * nf <= Int.MaxValue,
+      s"payload of $nf ${width}x$height AV frames overflows one buffer")
     val fsize = width * height * 3
     frames.foreach(f => require(f.length == fsize,
       s"frame length ${f.length} != $width x $height x 3"))
@@ -1352,13 +1391,8 @@ object Codecs {
                 val e = off + 16
                 format = tag(b, e + 4)
                 if (format == "raw ") {
-                  require(size >= 102, s"video stsd too short ($size)")
-                  w = be16(b, e + 32); h = be16(b, e + 34)
-                  require(be16(b, e + 82) == 24,
-                    "only depth-24 packed RGB supported")
-                  require(w > 0 && h > 0 &&
-                    w.toLong * h * 3 <= Int.MaxValue,
-                    s"corrupt stsd dimensions ${w}x$h")
+                  val (vw, vh) = parseRawVideoEntry(b, off, size)
+                  w = vw; h = vh
                 } else if (format == "sowt") {
                   require(size >= 52, s"audio stsd too short ($size)")
                   channels = be16(b, e + 24)
@@ -1371,31 +1405,9 @@ object Codecs {
                 require(size >= 24 && be32(b, off + 12) == 1,
                   "only the single-run stts layout is supported")
                 delta = be32(b, off + 20)
-              case "stsz" =>
-                require(size >= 20, s"stsz too short ($size)")
-                val fixed = be32(b, off + 12)
-                val n = be32(b, off + 16)
-                require(n >= 1, s"stsz sample count $n")
-                if (fixed == 0) {
-                  require(size.toLong >= 20L + n.toLong * 4,
-                    s"stsz table for $n samples overruns box size $size")
-                  sizes = Array.tabulate(n)(i => be32(b, off + 20 + i * 4))
-                } else {
-                require(fixed.toLong * n <= b.length,
-                  s"$n samples of $fixed bytes exceed the container")
-                sizes = Array.fill(n)(fixed)
-              }
-              case "stsc" =>
-                require(size >= 28 && be32(b, off + 12) == 1,
-                  "only the single-run stsc layout is supported")
-                spc = be32(b, off + 20)
-              case "stco" =>
-                require(size >= 16, s"stco too short ($size)")
-                val c = be32(b, off + 12)
-                require(c >= 1 && size.toLong >= 16L + c.toLong * 4,
-                  s"stco table for $c chunks overruns box size $size")
-                offs = Array.tabulate(c)(i =>
-                  be32(b, off + 16 + i * 4).toLong & 0xffffffffL)
+              case "stsz" => sizes = parseStsz(b, off, size)
+              case "stsc" => spc = parseStsc(b, off, size)
+              case "stco" => offs = parseStco(b, off, size)
               case _ => ()
             }
             off += size
@@ -1596,8 +1608,9 @@ object Codecs {
   /** Byte length of the filtered (pre-DEFLATE) scanline stream: one
     * filter-type byte + 3 x width per row. The "compressed beats
     * stored" checked column in mm_decode_png bounds the real file
-    * against 8 + 25 + 12 + this (signature + IHDR + IEND + payload —
-    * what a stored-IDAT PNG of the same raster would at least cost). */
+    * against 57 + this (signature 8 + IHDR chunk 25 + one IDAT
+    * chunk's 12-byte overhead + IEND chunk 12 + payload — what a
+    * stored-IDAT PNG of the same raster would at least cost). */
   def pngRawLen(width: Int, height: Int): Int =
     height * (1 + width * 3)
 
@@ -1940,10 +1953,12 @@ object Codecs {
       }
       require(off + 10 <= b.length && (b(off) & 0xff) == 0x2c,
         "missing image descriptor")
+      require(le16(off + 1) == 0 && le16(off + 3) == 0,
+        "image offset inside the logical screen unsupported")
       val width = le16(off + 5)
       val height = le16(off + 7)
       require(width > 0 && height > 0 &&
-        width.toLong * height <= Int.MaxValue,
+        width.toLong * height * 3 <= Int.MaxValue,
         s"corrupt GIF dimensions ${width}x$height")
       val ipacked = b(off + 9) & 0xff
       val interlaced = (ipacked & 0x40) != 0
@@ -2025,7 +2040,8 @@ object Codecs {
           emit(code)
           prev = code
         } else {
-          require(code <= next, s"LZW code $code beyond table size $next")
+          require(code < next || (code == next && next < 4096),
+            s"LZW code $code beyond table size $next")
           val first =
             if (code < next) emit(code)
             else { // KwKwK: string = prev's string + its own first byte

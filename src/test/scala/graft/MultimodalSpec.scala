@@ -1283,6 +1283,12 @@ class MultimodalSpec extends SparkSpecBase {
     badCode(imgOff + 10) = 13.toByte
     val e3 = intercept[IllegalArgumentException](dec.decode(badCode))
     assert(e3.getMessage.contains("code size"))
+    // a positioned sub-image (left/top != 0) is refused, not silently
+    // decoded as if it were the full logical screen
+    val offset = gif.clone()
+    offset(imgOff + 1) = 2.toByte
+    val e4 = intercept[IllegalArgumentException](dec.decode(offset))
+    assert(e4.getMessage.contains("offset"))
   }
 
   test("mm_decode_gif: decoded channel sums match the palette-" +

@@ -161,4 +161,92 @@ class PropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  // --- codec round-trip identity on RANDOM content ---------------
+  // The exhaustive specs in MultimodalSpec cover every raster CLASS
+  // of the catalog patterns; these properties cover arbitrary
+  // content — the worst case for the entropy coders (random bytes
+  // defeat LZW/DEFLATE modeling, drive the width schedule and
+  // dictionary growth down different paths) and for every layout
+  // edge (stride paddings, odd dims, 1-pixel images).
+
+  private val dimsSeed = Gen.zip(
+    Gen.choose(1, 40), Gen.choose(1, 30), Gen.choose(0L, Long.MaxValue))
+
+  test("codec property: BMP and PNG round-trip ANY raster exactly") {
+    import multimodal.Codecs
+    val bd = new Codecs.BmpDecoder()
+    val pd = new Codecs.PngDecoder()
+    forAll(dimsSeed) { case (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rgb = new Array[Byte](w * h * 3)
+      rnd.nextBytes(rgb)
+      val bmp = bd.decode(Codecs.bmpEncode(w, h, rgb))
+      assert(bmp.width == w && bmp.height == h &&
+        java.util.Arrays.equals(bmp.rgb, rgb))
+      val png = pd.decode(Codecs.pngEncode(w, h, rgb))
+      assert(png.width == w && png.height == h &&
+        java.util.Arrays.equals(png.rgb, rgb))
+    }
+  }
+
+  test("codec property: GIF LZW round-trips ANY index plane exactly " +
+    "— incl. large random rasters that drive the table to 4096 and " +
+    "through the mid-stream clear/reset") {
+    import multimodal.Codecs
+    val dec = new Codecs.GifLzwDecoder()
+    forAll(Gen.zip(Gen.choose(1, 90), Gen.choose(1, 70),
+      Gen.choose(0L, Long.MaxValue))) { case (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val idx = new Array[Byte](w * h)
+      rnd.nextBytes(idx)
+      val out = dec.decode(Codecs.gifEncode(w, h, idx))
+      assert(out.width == w && out.height == h &&
+        java.util.Arrays.equals(out.indices, idx))
+    }
+    // deterministic table-full case: 6300 random pixels adds > 4096
+    // dictionary entries, forcing the encoder's clear/reset path
+    val rnd = new scala.util.Random(7)
+    val big = new Array[Byte](90 * 70)
+    rnd.nextBytes(big)
+    assert(java.util.Arrays.equals(
+      dec.decode(Codecs.gifEncode(90, 70, big)).indices, big))
+  }
+
+  test("codec property: WAV, AVI, MP4 video and two-track MP4 AV " +
+    "round-trip ANY content exactly") {
+    import multimodal.Codecs
+    forAll(Gen.zip(Gen.choose(1, 12), Gen.choose(1, 9),
+      Gen.choose(0L, Long.MaxValue))) { case (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val nf = 1 + (seed % 4).toInt.abs
+      val frames = (0 until nf).map { _ =>
+        val f = new Array[Byte](w * h * 3); rnd.nextBytes(f); f
+      }
+      val n = 1 + rnd.nextInt(300)
+      val pcm = Array.fill(n)(rnd.nextInt(65536).toShort)
+      val wav = new Codecs.WavDecoder().decode(Codecs.wavEncode(8000, pcm))
+      assert(wav.samples.toSeq == pcm.toSeq)
+      val avi = new Codecs.AviDecoder().decode(
+        Codecs.aviEncode(w, h, 10, frames))
+      assert(avi.frames.length == nf &&
+        avi.frames.zip(frames).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b) })
+      val mp4 = new Codecs.Mp4VideoDecoder().decode(
+        Codecs.mp4EncodeVideo(600, 60, w, h, frames,
+          moovLast = seed % 2 == 0))
+      assert(mp4.frames.length == nf &&
+        mp4.frames.zip(frames).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b) })
+      val spf = 1 + rnd.nextInt(40)
+      val samples = Array.fill(nf * spf)(rnd.nextInt(65536).toShort)
+      val av = new Codecs.Mp4AvDecoder().decode(
+        Codecs.mp4EncodeAv(600, 200, w, h, frames, spf, samples,
+          moovLast = seed % 2 == 1))
+      assert(av.video.frames.length == nf &&
+        av.audio.samples.toSeq == samples.toSeq &&
+        av.video.frames.zip(frames).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b) })
+    }
+  }
 }

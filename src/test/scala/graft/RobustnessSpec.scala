@@ -239,4 +239,32 @@ class RobustnessSpec extends SparkSpecBase {
       functions.Clusters.graphBetweennessOn(someEdges,
         Seq(1L).toDF("node"), maxHops = 1))
   }
+
+  test("codec ops are deterministic under task retry: every " +
+    "partition's FIRST attempt runs the full decode then dies, the " +
+    "retried attempt rebuilds from scratch, and the relation is " +
+    "identical — the at-scale task-failure contract (cluster " +
+    "maxFailures is 4; a 1000-executor job retries constantly)") {
+    import org.apache.spark.TaskContext
+    import org.apache.spark.sql.{Dataset, Encoders}
+    val ids: Dataset[Long] = spark.range(0, 200)
+      .select(col("id").as("doc_id")).as[Long](Encoders.scalaLong)
+    def killFirst[T](ds: Dataset[T])(
+        implicit e: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+      ds.mapPartitions { it =>
+        val rows = it.toVector // force the decode work in THIS attempt
+        if (TaskContext.get.attemptNumber == 0)
+          throw new RuntimeException(
+            "injected first-attempt failure (after the work ran)")
+        rows.iterator
+      }
+    val pngBase = multimodal.Multimodal.mmDecodePngOn(ids)
+      .as[(Long, Int, Int, Long, Long, Long, Boolean)]
+    val png = killFirst(pngBase).collect().toSet
+    assert(png == pngBase.collect().toSet && png.size == 200)
+    val avBase = multimodal.Multimodal.mmMp4DecodeAvOn(ids)
+      .as[(Long, Long, Int, Int, Long, Int, Int, Long, Long, Long)]
+    val av = killFirst(avBase).collect().toSet
+    assert(av == avBase.collect().toSet && av.size == 200)
+  }
 }

@@ -7,8 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * gives the suite its own JVM; suites share this lazy session). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // local[4, 2] = 4 threads, maxFailures 2 — one task retry, the
+    // production shape (cluster default is 4; bare local's 1 is the
+    // special case). RobustnessSpec's retry-determinism test kills
+    // every first attempt and relies on this.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
