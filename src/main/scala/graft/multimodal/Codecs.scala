@@ -1811,6 +1811,35 @@ object Codecs {
   // is proven in MultimodalSpec.
   // ---------------------------------------------------------------
 
+  /** Magic-byte format detection — the DISPATCH rung every mixed
+    * ingest needs. The reference trusts file extensions
+    * (preprocess_dataset.py:10-31 filters on .mp4/.mov); content
+    * sniffing is the robust form: the first bytes of every container
+    * format are fixed by its spec (BMP 'BM', PNG signature, GIF
+    * 'GIF8', RIFF fourcc + form type, ISO-BMFF 'ftyp' at offset 4),
+    * so format resolves before any parser is chosen. Unknown bytes
+    * tag as "unknown" rather than throwing — dispatch decides what
+    * to do with them (quarantine, in the reference's error-channel
+    * idiom). */
+  def sniff(b: Array[Byte]): String = {
+    if (b == null || b.length < 2) "unknown"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' &&
+      b(2) == 'F' && b(3) == '8') "gif"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' &&
+      b(2) == 'F' && b(3) == 'F') {
+      if (b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+        "wav"
+      else if (b(8) == 'A' && b(9) == 'V' && b(10) == 'I' &&
+        b(11) == ' ') "avi"
+      else "unknown"
+    } else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' &&
+      b(6) == 'y' && b(7) == 'p') "mp4"
+    else "unknown"
+  }
+
   /** The fixed 256-entry palette both codec directions and the
     // oracle share: palette(i) = ((i*37)%256, (i*113)%256,
     // (i*211)%256) — multipliers coprime to 256 so all three

@@ -696,6 +696,193 @@ object Multimodal {
       "compressed")
   }
 
+  /** L5y: SNIFF-AND-DISPATCH over a MIXED-format corpus — the
+    * ingest rung the reference's extension filter
+    * (preprocess_dataset.py:10-31) approximates: files arrive with
+    * six different container formats interleaved (per doc parity:
+    * BMP, PNG, GIF, WAV, AVI, MP4), the format is detected from the
+    * MAGIC BYTES alone ([[Codecs.sniff]] — no filename, no schema
+    * column), and each container routes to its real decoder. The
+    * emitted `format` column comes from the sniffer, so the oracle
+    * (which derives the format from doc parity) checks that content
+    * detection got every file right; `content_sum` is the decoded
+    * payload mass (RGB sum for rasters/frames, |PCM| sum for audio)
+    * under each format's own deterministic pattern — all six decode
+    * paths exercised in ONE relation, every stat from parsed bytes.
+    *
+    * Scale: one map-only pass; the dispatch is per-row and the six
+    * decoders amortize per partition like any other binding. */
+  def mmSniffDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mmSniffCore(s, dir).mapPartitions { it =>
+      val dec = new SniffDecoders() // per-partition init (M1 contract)
+      it.map { case (id, bytes) =>
+        // content detection ALONE picks the parser
+        val format = Codecs.sniff(bytes)
+        require(format != "unknown",
+          s"sniffer failed on an internally-built container (doc $id)")
+        (id, format, dec.sum(format, bytes))
+      }
+    }.toDF("doc_id", "format", "content_sum")
+      .orderBy("doc_id")
+  }
+
+  /** One real decoder per format, instantiated ONCE PER PARTITION —
+    * the dispatch table behind [[mmSniffDecode]] and
+    * [[mmDecodeQuarantine]]. `sum` is the unified decoded-payload
+    * mass: RGB sum for rasters/frames, |PCM| sum for audio. */
+  private final class SniffDecoders extends Serializable {
+    private val bmp = new Codecs.BmpDecoder()
+    private val png = new Codecs.PngDecoder()
+    private val gif = new Codecs.GifLzwDecoder()
+    private val wav = new Codecs.WavDecoder()
+    private val avi = new Codecs.AviDecoder()
+    private val mp4 = new Codecs.Mp4VideoDecoder()
+    private def rgbSum(a: Array[Byte]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) & 0xff; i += 1 }
+      s
+    }
+    def sum(format: String, bytes: Array[Byte]): Long = format match {
+      case "bmp" => rgbSum(bmp.decode(bytes).rgb)
+      case "png" => rgbSum(png.decode(bytes).rgb)
+      case "gif" => rgbSum(gif.decode(bytes).rgb)
+      case "wav" =>
+        val au = wav.decode(bytes)
+        var s = 0L; var i = 0
+        while (i < au.samples.length) {
+          s += math.abs(au.samples(i).toLong); i += 1
+        }
+        s
+      case "avi" => avi.decode(bytes).frames.map(rgbSum).sum
+      case "mp4" => mp4.decode(bytes).frames.map(rgbSum).sum
+      case other => throw new IllegalStateException(
+        s"no decoder for sniffed format '$other'")
+    }
+  }
+
+  /** The mixed-format container corpus both sniff ops share: per doc
+    * parity one of six container formats, each built with the SAME
+    * deterministic pattern its dedicated mm_decode_* op uses (the
+    * shared-literal rule, six times over). */
+  private def mmSniffCore(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        def raster(w: Int, h: Int)(px: (Int, Int) => (Long, Long, Long))
+            : Array[Byte] = {
+          val out = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (r, g, b) = px(x, y)
+              val base = (y * w + x) * 3
+              out(base) = (r % 256).toByte
+              out(base + 1) = (g % 256).toByte
+              out(base + 2) = (b % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        it.map { id =>
+          val bytes = (id % 6) match {
+            case 0 =>
+              val w = (16 + id % 16).toInt; val h = (12 + id % 8).toInt
+              Codecs.bmpEncode(w, h, raster(w, h)((x, y) => (
+                id * 7 + x * 13 + y * 31, id * 11 + x * 17 + y * 5,
+                id * 3 + x * 29 + y * 23)))
+            case 1 =>
+              val w = (16 + id % 16).toInt; val h = (12 + id % 8).toInt
+              Codecs.pngEncode(w, h, raster(w, h)((x, y) => (
+                id * 5 + x * 19 + y * 37, id * 13 + x * 7 + y * 11,
+                id * 17 + x * 23 + y * 3)))
+            case 2 =>
+              val w = (16 + id % 12).toInt; val h = (10 + id % 6).toInt
+              Codecs.gifEncode(w, h, Array.tabulate(w * h) { p =>
+                val x = p % w; val y = p / w
+                ((id * 3 + x * 7 + (y % 3) * 11) % 256).toByte
+              })
+            case 3 =>
+              val n = (160 + id % 64).toInt
+              Codecs.wavEncode(8000, Array.tabulate(n)(i =>
+                (((id * 37 + i.toLong * i * 13) % 4096) - 2048).toShort))
+            case 4 =>
+              val w = (8 + id % 8).toInt; val h = (6 + id % 5).toInt
+              val nf = (3 + id % 4).toInt
+              Codecs.aviEncode(w, h, 10, (0 until nf).map(f =>
+                raster(w, h)((x, y) => (
+                  id * 7 + f * 41 + x * 13 + y * 31,
+                  id * 11 + f * 19 + x * 17 + y * 5,
+                  id * 3 + f * 53 + x * 29 + y * 23))))
+            case _ =>
+              val w = (8 + id % 6).toInt; val h = (6 + id % 4).toInt
+              val nf = (3 + id % 4).toInt
+              Codecs.mp4EncodeVideo(600, (20 + (id % 3) * 20).toInt,
+                w, h, (0 until nf).map(f =>
+                  raster(w, h)((x, y) => (
+                    id * 9 + f * 43 + x * 11 + y * 29,
+                    id * 15 + f * 23 + x * 19 + y * 7,
+                    id * 5 + f * 47 + x * 31 + y * 17))),
+                moovLast = id % 2 == 0)
+          }
+          (id, bytes)
+        }
+      }
+  }
+
+  /** L5z: the reference's ERROR CHANNEL on real bytes — its
+    * per-file try/except + quarantine catalog (preprocess_dataset
+    * .py:52,65-70; raw_to_samples.py:385-396) run against genuinely
+    * corrupted containers: a deterministic slice of each format
+    * class gets its MAGIC BYTES flipped (sniffing tags it
+    * unknown_format — nothing is even attempted), a slice of the
+    * PNGs gets one IDAT byte flipped (the format's CRC GUARANTEES
+    * detection — decode_error), and everything else decodes to its
+    * pattern sum. The catch boundary is exactly the codecs'
+    * fail-fast contract: only IllegalArgumentException quarantines;
+    * anything else would be an engine bug and propagates. One
+    * relation, three channels, every row accounted for — the E1-E3
+    * error-channel idiom with real parsers in the loop.
+    *
+    * Scale: one map-only pass; quarantine is a column, not a
+    * second job. */
+  def mmDecodeQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = mmSniffCore(s, dir)
+    base.mapPartitions { it =>
+      val dec = new SniffDecoders() // per-partition init (M1 contract)
+      it.map { case (id, bytes0) =>
+        val magicCorrupt = (id / 6) % 5 == 2
+        val bodyCorrupt = id % 6 == 1 && (id / 6) % 5 == 3
+        val bytes =
+          if (magicCorrupt) {
+            val b = bytes0.clone()
+            b(0) = (b(0) ^ 0xff).toByte
+            b(5) = (b(5) ^ 0xff).toByte // breaks 'ftyp' too
+            b
+          } else if (bodyCorrupt) {
+            val b = bytes0.clone()
+            b(45) = (b(45) ^ 0x5a).toByte // inside the first IDAT data
+            b
+          } else bytes0
+        val format = Codecs.sniff(bytes)
+        if (format == "unknown")
+          (id, "unknown_format", "unknown", None: Option[Long])
+        else
+          try (id, "ok", format, Some(dec.sum(format, bytes)))
+          catch {
+            case _: IllegalArgumentException =>
+              (id, "decode_error", format, None)
+          }
+      }
+    }.toDF("doc_id", "status", "format", "content_sum")
+      .orderBy("doc_id")
+  }
+
   /** L5t: REAL format transcode — BMP in, PNG out, both ends parsed.
     * The reference's re-encode step (preprocess_dataset.py:59-70
     * converts .mov to .mp4) as a genuine FORMAT CONVERSION between
@@ -1866,6 +2053,8 @@ object Multimodal {
     "mm_mp4_decode_av" -> mmMp4DecodeAv,
     "mm_decode_png" -> mmDecodePng,
     "mm_decode_gif" -> mmDecodeGif,
+    "mm_sniff_decode" -> mmSniffDecode,
+    "mm_decode_quarantine" -> mmDecodeQuarantine,
     "mm_transcode_png" -> mmTranscodePng,
     "mm_phash_real" -> mmPhashReal,
     "mm_decode_image" -> mmDecodeImage,
@@ -1929,6 +2118,72 @@ object Multimodal {
       |    + (doc_id * 11 + f * 19 + x * 17 + y * 5) % 256
       |    + (doc_id * 3 + f * 53 + x * 29 + y * 23) % 256 AS v
       |  FROM px)""".stripMargin
+
+  /** The six per-parity pattern-sum CTEs (each format's dedicated
+    * mm_decode_* arithmetic, the shared-literal rule six times
+    * over) + their union `sums(doc_id, format, s)` — shared by the
+    * mm_sniff_decode and mm_decode_quarantine oracles. */
+  private val sniffSumsSql: String =
+    """bmp AS (SELECT d.doc_id, CAST(SUM(
+        |    (d.doc_id * 7 + x * 13 + y * 31) % 256
+        |    + (d.doc_id * 11 + x * 17 + y * 5) % 256
+        |    + (d.doc_id * 3 + x * 29 + y * 23) % 256) AS BIGINT) AS s
+        |  FROM (SELECT doc_id, 16 + doc_id % 16 AS w,
+        |      12 + doc_id % 8 AS h FROM documents
+        |    WHERE doc_id % 6 = 0) d,
+        |    range(0, 31) xs(x), range(0, 19) ys(y)
+        |  WHERE xs.x < w AND ys.y < h GROUP BY d.doc_id),
+        |png AS (SELECT d.doc_id, CAST(SUM(
+        |    (d.doc_id * 5 + x * 19 + y * 37) % 256
+        |    + (d.doc_id * 13 + x * 7 + y * 11) % 256
+        |    + (d.doc_id * 17 + x * 23 + y * 3) % 256) AS BIGINT) AS s
+        |  FROM (SELECT doc_id, 16 + doc_id % 16 AS w,
+        |      12 + doc_id % 8 AS h FROM documents
+        |    WHERE doc_id % 6 = 1) d,
+        |    range(0, 31) xs(x), range(0, 19) ys(y)
+        |  WHERE xs.x < w AND ys.y < h GROUP BY d.doc_id),
+        |gif AS (SELECT d.doc_id, CAST(SUM(
+        |    ((d.doc_id * 3 + x * 7 + (y % 3) * 11) % 256 * 37) % 256
+        |    + ((d.doc_id * 3 + x * 7 + (y % 3) * 11) % 256 * 113) % 256
+        |    + ((d.doc_id * 3 + x * 7 + (y % 3) * 11) % 256 * 211) % 256)
+        |    AS BIGINT) AS s
+        |  FROM (SELECT doc_id, 16 + doc_id % 12 AS w,
+        |      10 + doc_id % 6 AS h FROM documents
+        |    WHERE doc_id % 6 = 2) d,
+        |    range(0, 27) xs(x), range(0, 15) ys(y)
+        |  WHERE xs.x < w AND ys.y < h GROUP BY d.doc_id),
+        |wav AS (SELECT d.doc_id, CAST(SUM(abs(
+        |    (d.doc_id * 37 + ss.i * ss.i * 13) % 4096 - 2048))
+        |    AS BIGINT) AS s
+        |  FROM (SELECT doc_id, 160 + doc_id % 64 AS n FROM documents
+        |    WHERE doc_id % 6 = 3) d, range(0, 223) ss(i)
+        |  WHERE ss.i < n GROUP BY d.doc_id),
+        |avi AS (SELECT d.doc_id, CAST(SUM(
+        |    (d.doc_id * 7 + f * 41 + x * 13 + y * 31) % 256
+        |    + (d.doc_id * 11 + f * 19 + x * 17 + y * 5) % 256
+        |    + (d.doc_id * 3 + f * 53 + x * 29 + y * 23) % 256)
+        |    AS BIGINT) AS s
+        |  FROM (SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 5 AS h,
+        |      3 + doc_id % 4 AS nf FROM documents
+        |    WHERE doc_id % 6 = 4) d,
+        |    range(0, 6) fs(f), range(0, 15) xs(x), range(0, 10) ys(y)
+        |  WHERE fs.f < nf AND xs.x < w AND ys.y < h GROUP BY d.doc_id),
+        |mp4 AS (SELECT d.doc_id, CAST(SUM(
+        |    (d.doc_id * 9 + f * 43 + x * 11 + y * 29) % 256
+        |    + (d.doc_id * 15 + f * 23 + x * 19 + y * 7) % 256
+        |    + (d.doc_id * 5 + f * 47 + x * 31 + y * 17) % 256)
+        |    AS BIGINT) AS s
+        |  FROM (SELECT doc_id, 8 + doc_id % 6 AS w, 6 + doc_id % 4 AS h,
+        |      3 + doc_id % 4 AS nf FROM documents
+        |    WHERE doc_id % 6 = 5) d,
+        |    range(0, 6) fs(f), range(0, 13) xs(x), range(0, 9) ys(y)
+        |  WHERE fs.f < nf AND xs.x < w AND ys.y < h GROUP BY d.doc_id),
+      |sums AS (SELECT doc_id, 'bmp' AS format, s FROM bmp
+      |  UNION ALL SELECT doc_id, 'png', s FROM png
+      |  UNION ALL SELECT doc_id, 'gif', s FROM gif
+      |  UNION ALL SELECT doc_id, 'wav', s FROM wav
+      |  UNION ALL SELECT doc_id, 'avi', s FROM avi
+      |  UNION ALL SELECT doc_id, 'mp4', s FROM mp4)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Closed-form replay of the probe: container size (Codecs
@@ -2062,6 +2317,36 @@ object Multimodal {
         |  CAST(SUM(CASE WHEN pm IS NOT NULL AND abs(m - pm) >= 20000
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
         |FROM fc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Six per-parity selects, each replaying ITS format's dedicated
+    // pattern (the shared-literal rule, six times over); the format
+    // column derives from doc parity here but from MAGIC-BYTE
+    // sniffing in the engine — a misdetected container shows up as a
+    // format-column hash mismatch, a misrouted or buggy decode as a
+    // content_sum mismatch.
+    "mm_sniff_decode" ->
+      s"""WITH $sniffSumsSql
+        |SELECT doc_id, format, s AS content_sum FROM sums
+        |ORDER BY doc_id""".stripMargin,
+    // The error-channel twin: corrupt classes derived by the same
+    // arithmetic the engine uses — magic-corrupted docs quarantine
+    // as unknown_format, body-corrupted PNGs (CRC guarantees
+    // detection) as decode_error, everything else decodes to its
+    // pattern sum.
+    "mm_decode_quarantine" ->
+      s"""WITH $sniffSumsSql,
+        |cls AS (SELECT doc_id, format, s,
+        |    CASE WHEN (doc_id // 6) % 5 = 2 THEN 'magic'
+        |      WHEN doc_id % 6 = 1 AND (doc_id // 6) % 5 = 3
+        |        THEN 'body'
+        |      ELSE 'ok' END AS c
+        |  FROM sums)
+        |SELECT doc_id,
+        |  CASE c WHEN 'magic' THEN 'unknown_format'
+        |    WHEN 'body' THEN 'decode_error' ELSE 'ok' END AS status,
+        |  CASE WHEN c = 'magic' THEN 'unknown' ELSE format END
+        |    AS format,
+        |  CASE WHEN c = 'ok' THEN s ELSE NULL END AS content_sum
+        |FROM cls ORDER BY doc_id""".stripMargin,
     // Index pattern resolved through the shared palette formula —
     // the nested-mod replay of palette[(id*3 + x*7 + (y%3)*11) % 256];
     // `compressed` is the checked column for the LZW-dependent size

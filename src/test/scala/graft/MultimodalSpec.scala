@@ -1315,6 +1315,69 @@ class MultimodalSpec extends SparkSpecBase {
     } finally spark.conf.unset(key)
   }
 
+  test("sniff: every encoder's output is detected from magic bytes " +
+    "alone; garbage, truncated, and misleading bytes tag as unknown " +
+    "without throwing") {
+    import multimodal.Codecs
+    val px = Array.tabulate(4 * 3 * 3)(i => (i * 5 % 256).toByte)
+    assert(Codecs.sniff(Codecs.bmpEncode(4, 3, px)) == "bmp")
+    assert(Codecs.sniff(Codecs.pngEncode(4, 3, px)) == "png")
+    assert(Codecs.sniff(Codecs.gifEncode(4, 3,
+      Array.tabulate(12)(i => (i * 9).toByte))) == "gif")
+    assert(Codecs.sniff(Codecs.wavEncode(8000,
+      Array.tabulate(10)(i => (i * 50).toShort))) == "wav")
+    assert(Codecs.sniff(Codecs.aviEncode(4, 3, 10, Seq(px))) == "avi")
+    assert(Codecs.sniff(Codecs.mp4EncodeVideo(600, 60, 4, 3,
+      Seq(px))) == "mp4")
+    assert(Codecs.sniff(Codecs.mp4EncodeVideo(600, 60, 4, 3,
+      Seq(px), moovLast = true)) == "mp4")
+    assert(Codecs.sniff(null) == "unknown")
+    assert(Codecs.sniff(Array.emptyByteArray) == "unknown")
+    assert(Codecs.sniff(Array[Byte](1, 2, 3, 4)) == "unknown")
+    assert(Codecs.sniff("RIFFxxxxJUNK".getBytes("US-ASCII")) == "unknown")
+    assert(Codecs.sniff("GIF7".getBytes("US-ASCII")) == "unknown")
+  }
+
+  test("mm_sniff_decode: six container formats interleaved in one " +
+    "corpus, every format detected from content and routed to its " +
+    "real decoder — format census complete, sums format-consistent") {
+    val out = multimodal.Multimodal.mmSniffDecode(spark, sf)
+      .as[(Long, String, Long)].collect()
+    assert(out.nonEmpty)
+    val expected = Seq("bmp", "png", "gif", "wav", "avi", "mp4")
+    out.foreach { case (id, fmt, sum) =>
+      assert(fmt == expected((id % 6).toInt), s"doc $id sniffed $fmt")
+      assert(sum > 0, s"doc $id empty content")
+    }
+    // parity classes all present at this corpus size
+    assert(out.map(_._2).distinct.sorted.toSeq == expected.sorted)
+  }
+
+  test("mm_decode_quarantine: the error channel on real bytes — " +
+    "magic-corrupted docs quarantine as unknown_format before any " +
+    "parse, CRC-corrupted PNGs as decode_error, everything else " +
+    "decodes; all three channels present, every doc accounted for") {
+    val out = multimodal.Multimodal.mmDecodeQuarantine(spark, sf)
+      .as[(Long, String, String, Option[Long])].collect()
+    assert(out.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.length == nDocs, "a channel dropped rows")
+    out.foreach { case (id, status, fmt, sum) =>
+      val magic = (id / 6) % 5 == 2
+      val body = id % 6 == 1 && (id / 6) % 5 == 3
+      if (magic) {
+        assert(status == "unknown_format" && fmt == "unknown" &&
+          sum.isEmpty, s"doc $id")
+      } else if (body) {
+        assert(status == "decode_error" && fmt == "png" && sum.isEmpty,
+          s"doc $id")
+      } else {
+        assert(status == "ok" && sum.exists(_ > 0), s"doc $id")
+      }
+    }
+    assert(out.map(_._2).distinct.length == 3, "a channel is empty")
+  }
+
   test("Mp4AvDecoder: both modalities from ONE two-track MP4 parse " +
     "through the MULTI-CHUNK stco index (one chunk per frame per " +
     "trak) — round trip byte-exact in both box orders, probe/indexer " +
