@@ -35,19 +35,19 @@ object Codecs {
     def decode(bytes: Array[Byte]): DecodedAudio
   }
 
-  private def u16(b: Array[Byte], off: Int): Int =
+  private[multimodal] def u16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
-  private def s32(b: Array[Byte], off: Int): Int =
+  private[multimodal] def s32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
       ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
 
-  private def w16(b: Array[Byte], off: Int, v: Int): Unit = {
+  private[multimodal] def w16(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = (v & 0xff).toByte
     b(off + 1) = ((v >> 8) & 0xff).toByte
   }
 
-  private def w32(b: Array[Byte], off: Int, v: Int): Unit = {
+  private[multimodal] def w32(b: Array[Byte], off: Int, v: Int): Unit = {
     b(off) = (v & 0xff).toByte
     b(off + 1) = ((v >> 8) & 0xff).toByte
     b(off + 2) = ((v >> 16) & 0xff).toByte
@@ -223,7 +223,7 @@ object Codecs {
     def decode(bytes: Array[Byte]): DecodedVideo
   }
 
-  private def wTag(b: Array[Byte], off: Int, tag: String): Unit = {
+  private[multimodal] def wTag(b: Array[Byte], off: Int, tag: String): Unit = {
     var i = 0
     while (i < 4) { b(off + i) = tag.charAt(i).toByte; i += 1 }
   }
@@ -1722,8 +1722,13 @@ object Codecs {
           case "IHDR" =>
             require(!seenIhdr && len == 13, "bad IHDR")
             width = be32(b, off + 8); height = be32(b, off + 12)
+            // bound BOTH the raster AND the filtered stream
+            // (pngRawLen adds one filter byte per row, so crafted
+            // dims can pass the raster bound yet overflow the
+            // filtered length — validate in Long arithmetic)
             require(width > 0 && height > 0 &&
-              width.toLong * height * 3 <= Int.MaxValue,
+              width.toLong * height * 3 <= Int.MaxValue &&
+              height.toLong * (1L + width.toLong * 3) <= Int.MaxValue,
               s"corrupt PNG dimensions ${width}x$height")
             require((b(off + 16) & 0xff) == 8, "only 8-bit depth")
             require((b(off + 17) & 0xff) == 2, "only truecolor RGB")

@@ -161,6 +161,13 @@ object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val reg = spark.sessionState.functionRegistry
+    // idempotent per session: re-registering emits a "replaced a
+    // previously registered function" warning per function per call
+    // site (Verify/Bench invoke many queries in one session), so
+    // skip when the full set is already present
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(
+          "graft_shingles"))) return
     reg.createOrReplaceTempFunction(
       "graft_poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
