@@ -299,6 +299,81 @@ object ScaleProbe {
       }
     }
 
+    // --- Per-format codec throughput (round-9 verdict ask #8) ---
+    // The 1x-4x corpus probe is overhead-dominated at sf-sized
+    // containers; THIS probe builds containers big enough that codec
+    // CPU dominates (256x256 rasters, 8x128x128 clips) and reports
+    // bytes/s per format — the first number a 100 TB ingest design
+    // review asks. Encode-only and encode+decode passes are timed
+    // separately so decode throughput is the difference.
+    if (only.isEmpty || only("codec_bytes")) {
+      import org.apache.spark.sql.Encoders
+      val nDocs = sys.env.getOrElse("CODEC_DOCS", "2000").toInt
+      val ids = spark.range(nDocs)
+        .select(col("id")).as[Long](Encoders.scalaLong)
+      def bigRaster(id: Long, w: Int, h: Int): Array[Byte] =
+        Array.tabulate(w * h * 3)(i => ((i * 7 + id * 13) % 256).toByte)
+      def bigGray(id: Long, w: Int, h: Int): Array[Byte] =
+        Array.tabulate(w * h)(i => ((i * 7 + id * 13) % 256).toByte)
+      val codecs: Seq[(String, Long => Array[Byte],
+          () => Array[Byte] => Long)] = Seq(
+        ("bmp", id => multimodal.Codecs.bmpEncode(256, 256,
+            bigRaster(id, 256, 256)),
+          () => { val d = new multimodal.Codecs.BmpDecoder()
+            b => d.decode(b).rgb.length.toLong }),
+        ("png", id => multimodal.Codecs.pngEncode(256, 256,
+            bigRaster(id, 256, 256)),
+          () => { val d = new multimodal.Codecs.PngDecoder()
+            b => d.decode(b).rgb.length.toLong }),
+        ("gif", id => multimodal.Codecs.gifEncode(256, 256,
+            bigGray(id, 256, 256)),
+          () => { val d = new multimodal.Codecs.GifLzwDecoder()
+            b => d.decode(b).rgb.length.toLong }),
+        ("jpeg", id => multimodal.Jpeg.encodeGray(256, 256,
+            bigGray(id, 256, 256)),
+          () => { val d = new multimodal.Jpeg.JpegDecoder()
+            b => d.decode(b).rgb.length.toLong }),
+        ("wav", id => multimodal.Codecs.wavEncode(8000,
+            Array.tabulate(200000)(i => ((i * 31 + id) % 4096).toShort)),
+          () => { val d = new multimodal.Codecs.WavDecoder()
+            b => d.decode(b).samples.length.toLong }),
+        ("avi", id => multimodal.Codecs.aviEncode(128, 128, 10,
+            (0 until 8).map(f => bigRaster(id + f, 128, 128))),
+          () => { val d = new multimodal.Codecs.AviDecoder()
+            b => d.decode(b).frames.length.toLong }),
+        ("mjpeg", id => multimodal.Jpeg.aviEncodeMjpeg(128, 128, 10,
+            (0 until 8).map(f => multimodal.Jpeg.encodeGray(128, 128,
+              bigGray(id + f, 128, 128)))),
+          () => { val d = new multimodal.Jpeg.MjpegAviDecoder()
+            b => d.decode(b).frames.length.toLong }),
+        ("mp4", id => multimodal.Codecs.mp4EncodeVideo(600, 60, 128, 128,
+            (0 until 8).map(f => bigRaster(id + f, 128, 128)),
+            moovLast = id % 2 == 0),
+          () => { val d = new multimodal.Codecs.Mp4VideoDecoder()
+            b => d.decode(b).frames.length.toLong }),
+      )
+      for ((fmt, build, mkDec) <- codecs) {
+        val bytes = ids.mapPartitions(it =>
+          it.map(id => build(id).length.toLong))(Encoders.scalaLong)
+          .reduce(_ + _)
+        def time(f: => Long): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val tEnc = time(ids.mapPartitions(it =>
+          it.map(id => build(id).length.toLong))(Encoders.scalaLong)
+          .reduce(_ + _))
+        val tFull = time(ids.mapPartitions { it =>
+          val dec = mkDec()
+          it.map(id => dec(build(id)))
+        }(Encoders.scalaLong).reduce(_ + _))
+        val mb = bytes / 1e6
+        val decS = math.max(tFull - tEnc, 1e-3)
+        println(f"PROBE codec_bytes $fmt%-6s n=$nDocs bytes=${mb}%.0fMB " +
+          f"enc=${tEnc}%.2fs full=${tFull}%.2fs " +
+          f"dec_MBps=${mb / decS}%.0f full_MBps=${mb / tFull}%.0f")
+      }
+    }
+
     println(f"\n${"op"}%-18s ${"k=1"}%8s ${"k=2"}%8s ${"k=4"}%8s  x per doubling")
     ((picked ++ pickedEmb ++ pickedGrid).map(_._1) ++ fanNames)
       .foreach { name =>

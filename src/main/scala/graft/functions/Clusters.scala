@@ -577,7 +577,7 @@ object Clusters {
     * construction — the orders x lineitem join — runs once into a
     * checkpoint, memoized per (session, dir) across the NINE
     * consuming catalog wrappers. */
-  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
     memo(bipCache, s, dir) { bipartiteEdgesBuild(s, dir) }
 
   private val dirTradeCache = scala.collection.concurrent.TrieMap
@@ -2138,6 +2138,66 @@ object Clusters {
     * [[graphRandomWalk]]. */
   def graphNode2vecWalk(s: SparkSession, dir: String): DataFrame =
     graphNode2vecWalkOn(bipartiteEdges(s, dir))
+
+  /** Adjacency-array spelling of [[graphNode2vecWalkOn]] — the
+    * round-10 structural attempt at the suite's standing #1: build
+    * the neighbor ARRAY relation once, carry the previous node's
+    * array on the frontier, and classify candidates with
+    * array_contains instead of the Σdeg-sized LEFT join against the
+    * edge set. Per step this trades the second (classification) join
+    * over the candidate relation for (a) an explode of the current
+    * node's array and (b) one n-sized join AFTER the draw to fetch
+    * the new prev's array (never carried through the window — a
+    * deg-sized array per candidate row would be O(Σdeg·deg) shuffle
+    * bytes). Identical draw arithmetic, identical output — the
+    * equivalence is spec-checked. Scale caveat recorded in PERF.md:
+    * array_contains is O(deg(prev)) per candidate, so hub-heavy
+    * graphs prefer the join spelling; bounded-degree graphs win
+    * here. */
+  def graphNode2vecWalkAdjOn(edges: DataFrame, steps: Int = 3): DataFrame = {
+    require(steps >= 1, s"need steps >= 1, got $steps")
+    val Array(cs, cd) = edges.columns.take(2)
+    val e = edges.select(col(cs).cast("long").as("src"),
+      col(cd).cast("long").as("dst")).distinct()
+    val nbrs = e.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint(true) // read by every step's expand AND refetch
+    var frontier = nbrs.select(col("src").as("walk_id"),
+      col("src").as("prev"), col("src").as("cur"),
+      col("nbrs").as("nbrs_prev"))
+    var out = frontier.select(col("walk_id"), lit(0L).as("step"),
+      col("cur").as("node"))
+    val wC = Window.partitionBy("walk_id").orderBy("dst")
+    for (k <- 1 to steps) {
+      val cand = frontier.as("f")
+        .join(nbrs.as("n"), col("f.cur") === col("n.src"))
+        .select(col("f.walk_id"), col("f.prev"), col("f.cur"),
+          col("f.nbrs_prev"), explode(col("n.nbrs")).as("dst"))
+      val weighted = cand.select(col("walk_id"), col("cur"), col("dst"),
+        when(col("dst") === col("prev"), lit(N2vReturnW))
+          .when(array_contains(col("nbrs_prev"), col("dst")),
+            lit(N2vCommonW))
+          .otherwise(lit(N2vForwardW)).as("w"))
+      val drawn = weighted
+        .withColumn("cumw", sum(col("w"))
+          .over(wC.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .withColumn("tot", sum(col("w")).over(wC.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("r", expr(
+          s"((walk_id * 1103515245 + $k * 12345 + 6789) % 2147483648) % tot"))
+        .filter(col("cumw") > col("r") && col("cumw") - col("w") <= col("r"))
+      frontier = drawn.select(col("walk_id"), col("cur").as("prev"),
+        col("dst").as("cur"))
+        .join(nbrs, col("prev") === nbrs("src")) // n rows, post-draw
+        .select(col("walk_id"), col("prev"), col("cur"),
+          col("nbrs").as("nbrs_prev"))
+        .localCheckpoint(true)
+      out = out.union(frontier.select(col("walk_id"),
+        lit(k.toLong).as("step"), col("cur").as("node")))
+    }
+    out.orderBy("walk_id", "step")
+  }
 
   /** L18p: skip-gram pair extraction — the step that turns a walk
     * corpus into word2vec/DeepWalk TRAINING PAIRS: for every walk

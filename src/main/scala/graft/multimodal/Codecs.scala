@@ -1833,6 +1833,8 @@ object Codecs {
       b(2) == 'N' && b(3) == 'G') "png"
     else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' &&
       b(2) == 'F' && b(3) == '8') "gif"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff &&
+      (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) "jpeg"
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' &&
       b(2) == 'F' && b(3) == 'F') {
       if (b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')

@@ -59,6 +59,8 @@ object Multimodal {
   val GifDecoderConfKey = "spark.graft.media.gifDecoder"
   val Mp4VideoDecoderConfKey = "spark.graft.media.mp4VideoDecoder"
   val Mp4AvDecoderConfKey = "spark.graft.media.mp4AvDecoder"
+  val JpegDecoderConfKey = "spark.graft.media.jpegDecoder"
+  val MjpegDecoderConfKey = "spark.graft.media.mjpegDecoder"
 
   private[multimodal] def instantiate[T](className: String): T = {
     // context classloader first: REPL/notebook-defined impls and
@@ -696,6 +698,130 @@ object Multimodal {
       "compressed")
   }
 
+  /** The mm_decode_jpeg / mm_decode_mjpeg grayscale raster: CONSTANT
+    * per 8x8 block, even values in [32, 222] — the class the whole
+    * JPEG transform chain inverts exactly (see [[Jpeg]] scaladoc:
+    * FDCT of a constant block is DC-only with coefficient 8*(v-128),
+    * the K.1 DC quantizer 16 divides it for even v, and the integer
+    * IDCT maps dc = 8k back to k+128 exactly — all three steps
+    * spec-proven exhaustively). `f` offsets the pattern per frame. */
+  private def jpegBlockGray(id: Long, f: Int, bw: Int, bh: Int): Array[Byte] = {
+    val w = bw * 8
+    val g = new Array[Byte](w * bh * 8)
+    var bj = 0
+    while (bj < bh) {
+      var bi = 0
+      while (bi < bw) {
+        val v = (2 * ((id * 5 + f * 29 + bi * 19 + bj * 37) % 96) + 32).toByte
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) { g((bj * 8 + y) * w + bi * 8 + x) = v; x += 1 }
+          y += 1
+        }
+        bi += 1
+      }
+      bj += 1
+    }
+    g
+  }
+
+  /** L5z: the THIRD compressed format — baseline JPEG (ITU-T T.81)
+    * with a from-scratch canonical-Huffman entropy coder AND a
+    * from-scratch fixed-point integer DCT pair ([[Jpeg.encodeGray]] /
+    * [[Jpeg.JpegDecoder]] — no library involvement at all; PNG's
+    * DEFLATE rides the JDK's zlib, GIF brought its own LZW, JPEG
+    * brings both machines a lossy transform codec needs). JPEG is
+    * LOSSY, so the corpus rasters are drawn from the codec's exactly
+    * invertible class (constant even-valued 8x8 blocks,
+    * [[jpegBlockGray]]) — decoded luma sums hash-match the oracle's
+    * closed-form block arithmetic, and a Huffman, zigzag, quantizer,
+    * byte-stuffing, or IDCT bug is a hash mismatch, not a tolerance
+    * judgement. The `compressed` checked column asserts the entropy
+    * stream beat the raw 8-bpp plane (exhaustively spec-verified over
+    * all 96 raster classes, the pattern's period). Conformance vs
+    * ImageIO's JPEG reader/writer is proven both directions in
+    * MultimodalJpegSpec.
+    *
+    * Scale: one map-only pass, per-partition decoder init. */
+  def mmDecodeJpeg(s: SparkSession, dir: String): DataFrame =
+    mmDecodeJpegOn(
+      Tables.documents(s, dir).select(col("doc_id"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong))
+      .orderBy("doc_id")
+
+  /** Streaming-legal core (no sort; one pure mapPartitions pass). */
+  def mmDecodeJpegOn(ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(JpegDecoderConfKey, classOf[Jpeg.JpegDecoder].getName)
+    ids.mapPartitions { it =>
+      val dec = instantiate[Codecs.ImageDecoder](decoderClass)
+      it.map { id =>
+        val bw = (2 + id % 3).toInt
+        val bh = (1 + id % 2).toInt
+        val g = jpegBlockGray(id, 0, bw, bh)
+        val jpeg = Jpeg.encodeGray(bw * 8, bh * 8, g)
+        val im = dec.decode(jpeg)
+        var sl = 0L
+        var i = 0
+        while (i < im.rgb.length) { sl += im.rgb(i) & 0xff; i += 3 }
+        (id, im.width, im.height, sl,
+          jpeg.length < Jpeg.GrayHeaderLen + g.length)
+      }
+    }.toDF("doc_id", "width", "height", "sum_luma", "compressed")
+  }
+
+  /** L5z2: M-JPEG AVI — JPEG scans as the per-frame payload of the
+    * engine's RIFF chunk walk ([[Jpeg.aviEncodeMjpeg]] /
+    * [[Jpeg.MjpegAviDecoder]]): a genuinely COMPRESSED video codec
+    * inside a real container, which is what the reference's
+    * cv2.VideoCapture loop (raw_to_samples.py:173-196) actually
+    * decodes in practice. Every frame is an independent baseline
+    * JPEG from the exactly invertible class, so per-clip decoded
+    * sums stay hash-exact; frame count and fps come from the parsed
+    * strh. Frame byte sizes are entropy-coded and data-dependent —
+    * the container size never crosses the oracle boundary raw; the
+    * `compressed` checked column bounds it against the stored-DIB
+    * equivalent (spec-verified over the pattern's full period).
+    *
+    * Scale: map-only, per-partition decoder init, one container per
+    * row — the same shape that ScaleProbes flat on the DIB path. */
+  def mmDecodeMjpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(MjpegDecoderConfKey, classOf[Jpeg.MjpegAviDecoder].getName)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .mapPartitions { it =>
+        val dec = instantiate[Codecs.VideoDecoder](decoderClass)
+        it.map { id =>
+          val bw = (2 + id % 2).toInt
+          val bh = (1 + id % 2).toInt
+          val nf = (2 + id % 3).toInt
+          val fps = (8 + (id % 5) * 2).toInt
+          val frames = (0 until nf).map(f =>
+            Jpeg.encodeGray(bw * 8, bh * 8, jpegBlockGray(id, f, bw, bh)))
+          val avi = Jpeg.aviEncodeMjpeg(bw * 8, bh * 8, fps, frames)
+          val vid = dec.decode(avi)
+          var sl = 0L
+          var fi = 0
+          while (fi < vid.frames.length) {
+            val fr = vid.frames(fi)
+            var i = 0
+            while (i < fr.length) { sl += fr(i) & 0xff; i += 3 }
+            fi += 1
+          }
+          // stored-DIB bound: the uncompressed AVI of the same clip
+          (id, vid.width, vid.height, vid.frames.length.toLong, vid.fps,
+            sl, avi.length < Codecs.aviSize(bw * 8, bh * 8, nf))
+        }
+      }.toDF("doc_id", "width", "height", "n_frames", "fps", "sum_luma",
+        "compressed")
+      .orderBy("doc_id")
+  }
+
   /** L5y: SNIFF-AND-DISPATCH over a MIXED-format corpus — the
     * ingest rung the reference's extension filter
     * (preprocess_dataset.py:10-31) approximates: files arrive with
@@ -714,7 +840,18 @@ object Multimodal {
     * decoders amortize per partition like any other binding. */
   def mmSniffDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    mmSniffCore(s, dir).mapPartitions { it =>
+    mmSniffDecodeOn(
+      Tables.documents(s, dir).select(col("doc_id")).as[Long])
+      .orderBy("doc_id")
+  }
+
+  /** Streaming-legal core (no sort; sniff + dispatch is one pure
+    * mapPartitions pass — proven batch == readStream in
+    * StreamingSpec). */
+  def mmSniffDecodeOn(ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    mmSniffCoreOn(ids).mapPartitions { it =>
       val dec = new SniffDecoders() // per-partition init (M1 contract)
       it.map { case (id, bytes) =>
         // content detection ALONE picks the parser
@@ -724,7 +861,6 @@ object Multimodal {
         (id, format, dec.sum(format, bytes))
       }
     }.toDF("doc_id", "format", "content_sum")
-      .orderBy("doc_id")
   }
 
   /** One real decoder per format, instantiated ONCE PER PARTITION —
@@ -743,22 +879,41 @@ object Multimodal {
       while (i < a.length) { s += a(i) & 0xff; i += 1 }
       s
     }
-    def sum(format: String, bytes: Array[Byte]): Long = format match {
-      case "bmp" => rgbSum(bmp.decode(bytes).rgb)
-      case "png" => rgbSum(png.decode(bytes).rgb)
-      case "gif" => rgbSum(gif.decode(bytes).rgb)
-      case "wav" =>
-        val au = wav.decode(bytes)
-        var s = 0L; var i = 0
-        while (i < au.samples.length) {
-          s += math.abs(au.samples(i).toLong); i += 1
-        }
-        s
-      case "avi" => avi.decode(bytes).frames.map(rgbSum).sum
-      case "mp4" => mp4.decode(bytes).frames.map(rgbSum).sum
-      case other => throw new IllegalStateException(
-        s"no decoder for sniffed format '$other'")
-    }
+    def sum(format: String, bytes: Array[Byte]): Long =
+      stats(format, bytes)._1
+
+    /** Decoded (content_sum, width, height, payload_bytes) — the
+      * per-container feature row the pipeline capstone funnels on.
+      * Audio has no raster: w = h = 0, payload = PCM byte count. */
+    def stats(format: String, bytes: Array[Byte]): (Long, Int, Int, Long) =
+      format match {
+        case "bmp" =>
+          val im = bmp.decode(bytes)
+          (rgbSum(im.rgb), im.width, im.height, im.rgb.length.toLong)
+        case "png" =>
+          val im = png.decode(bytes)
+          (rgbSum(im.rgb), im.width, im.height, im.rgb.length.toLong)
+        case "gif" =>
+          val im = gif.decode(bytes)
+          (rgbSum(im.rgb), im.width, im.height, im.rgb.length.toLong)
+        case "wav" =>
+          val au = wav.decode(bytes)
+          var s = 0L; var i = 0
+          while (i < au.samples.length) {
+            s += math.abs(au.samples(i).toLong); i += 1
+          }
+          (s, 0, 0, au.samples.length * 2L)
+        case "avi" =>
+          val v = avi.decode(bytes)
+          (v.frames.map(rgbSum).sum, v.width, v.height,
+            v.frames.map(_.length.toLong).sum)
+        case "mp4" =>
+          val v = mp4.decode(bytes)
+          (v.frames.map(rgbSum).sum, v.width, v.height,
+            v.frames.map(_.length.toLong).sum)
+        case other => throw new IllegalStateException(
+          s"no decoder for sniffed format '$other'")
+      }
   }
 
   /** The mixed-format container corpus both sniff ops share: per doc
@@ -768,8 +923,23 @@ object Multimodal {
   private def mmSniffCore(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
+    mmSniffCoreOn(Tables.documents(s, dir).select(col("doc_id")).as[Long])
+  }
+
+  /** Streaming-legal form of the mixed-format corpus builder (one
+    * pure mapPartitions over an id source — batch or readStream). */
+  private[multimodal] def mmSniffCoreOn(
+      ids: org.apache.spark.sql.Dataset[Long])
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    val s = ids.sparkSession
+    import s.implicits._
+    ids.mapPartitions(it => it.map(id => (id, sniffContainer(id))))
+  }
+
+  /** One deterministic container per id, format by parity (BMP, PNG,
+    * GIF, WAV, AVI, MP4) — the per-id byte builder behind the sniff /
+    * quarantine / pipeline corpora. */
+  private[multimodal] def sniffContainer(id: Long): Array[Byte] = {
         def raster(w: Int, h: Int)(px: (Int, Int) => (Long, Long, Long))
             : Array[Byte] = {
           val out = new Array[Byte](w * h * 3)
@@ -788,8 +958,7 @@ object Multimodal {
           }
           out
         }
-        it.map { id =>
-          val bytes = (id % 6) match {
+          (id % 6) match {
             case 0 =>
               val w = (16 + id % 16).toInt; val h = (12 + id % 8).toInt
               Codecs.bmpEncode(w, h, raster(w, h)((x, y) => (
@@ -829,9 +998,6 @@ object Multimodal {
                     id * 5 + f * 47 + x * 31 + y * 17))),
                 moovLast = id % 2 == 0)
           }
-          (id, bytes)
-        }
-      }
   }
 
   /** L5z: the reference's ERROR CHANNEL on real bytes — its
@@ -852,23 +1018,41 @@ object Multimodal {
     * second job. */
   def mmDecodeQuarantine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = mmSniffCore(s, dir)
-    base.mapPartitions { it =>
+    mmDecodeQuarantineOn(
+      Tables.documents(s, dir).select(col("doc_id")).as[Long])
+      .orderBy("doc_id")
+  }
+
+  /** Streaming-legal core: the error channel is a COLUMN of one pure
+    * map pass, so it runs unchanged under readStream/foreachBatch —
+    * the reference's quarantine catalog in streaming spelling
+    * (proven in StreamingSpec). */
+  /** The deterministic corruption classes shared by the quarantine op
+    * and the pipeline capstone: a slice of every format class gets its
+    * magic bytes flipped, a slice of the PNGs one IDAT byte flipped. */
+  private def corruptMaybe(id: Long, bytes0: Array[Byte]): Array[Byte] = {
+    val magicCorrupt = (id / 6) % 5 == 2
+    val bodyCorrupt = id % 6 == 1 && (id / 6) % 5 == 3
+    if (magicCorrupt) {
+      val b = bytes0.clone()
+      b(0) = (b(0) ^ 0xff).toByte
+      b(5) = (b(5) ^ 0xff).toByte // breaks 'ftyp' too
+      b
+    } else if (bodyCorrupt) {
+      val b = bytes0.clone()
+      b(45) = (b(45) ^ 0x5a).toByte // inside the first IDAT data
+      b
+    } else bytes0
+  }
+
+  def mmDecodeQuarantineOn(
+      ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    mmSniffCoreOn(ids).mapPartitions { it =>
       val dec = new SniffDecoders() // per-partition init (M1 contract)
       it.map { case (id, bytes0) =>
-        val magicCorrupt = (id / 6) % 5 == 2
-        val bodyCorrupt = id % 6 == 1 && (id / 6) % 5 == 3
-        val bytes =
-          if (magicCorrupt) {
-            val b = bytes0.clone()
-            b(0) = (b(0) ^ 0xff).toByte
-            b(5) = (b(5) ^ 0xff).toByte // breaks 'ftyp' too
-            b
-          } else if (bodyCorrupt) {
-            val b = bytes0.clone()
-            b(45) = (b(45) ^ 0x5a).toByte // inside the first IDAT data
-            b
-          } else bytes0
+        val bytes = corruptMaybe(id, bytes0)
         val format = Codecs.sniff(bytes)
         if (format == "unknown")
           (id, "unknown_format", "unknown", None: Option[Long])
@@ -880,7 +1064,103 @@ object Multimodal {
           }
       }
     }.toDF("doc_id", "status", "format", "content_sum")
+  }
+
+  /** L5cap: the MULTIMODAL INGESTION CAPSTONE — the mm twin of
+    * corpus_pipeline_full: sniff -> quarantine -> decode -> exact
+    * near-dedup on decoded content -> resolution filter -> shard
+    * packing, composed as ONE lazy plan over real container bytes,
+    * reported as a funnel row per format (the shape an ingest design
+    * review reads first). The corpus deliberately contains
+    * duplicates: every container whose class index has (id/6) % 4
+    * == 1 is a byte-identical re-upload of its predecessor in the
+    * same format class (seed id-6 — parity preserved), so the dedup
+    * stage has real work; the quarantine corruption classes are the
+    * mm_decode_quarantine ones (shared corruptMaybe). Stage rules:
+    * (1) magic-flipped containers quarantine as unknown_format,
+    * CRC-caught PNG corruption as decode_error (the codecs' fail-
+    * fast contract is the catch boundary); (2) surviving docs decode
+    * ONCE to (content_sum, w, h, payload_bytes); (3) exact dedup
+    * groups on the full decoded identity, keeper = min doc_id (group
+    * members have identical dims by construction, so dedup and
+    * resolution cannot disagree within a group); (4) resolution drops
+    * rasters/videos with min(w,h) < 8 (audio exempt — no raster);
+    * (5) survivors pack into 8192-byte shards per format in doc
+    * order (the mm_pack_shards rule).
+    *
+    * Scale: decode is ONE map-only pass; dedup is a window over the
+    * decoded-identity key (high cardinality — no skew); the pack
+    * prefix-sum partitions by format like mm_pack_shards (6
+    * partitions here; the two-phase prefix-sum spelling in
+    * Curation.scala is the drop-in at real format counts); the
+    * funnel aggregation is 7 rows. */
+  def mmPipelineFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 8192L
+    val decoded = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val dec = new SniffDecoders() // per-partition init (M1 contract)
+        it.map { id =>
+          val seed = if ((id / 6) % 4 == 1) id - 6 else id
+          val bytes = corruptMaybe(id, sniffContainer(seed))
+          val format = Codecs.sniff(bytes)
+          if (format == "unknown")
+            (id, "unknown_format", "unknown", 0L, 0, 0, 0L)
+          else
+            try {
+              val (sum, w, h, payload) = dec.stats(format, bytes)
+              (id, "ok", format, sum, w, h, payload)
+            } catch {
+              case _: IllegalArgumentException =>
+                (id, "decode_error", format, 0L, 0, 0, 0L)
+            }
+        }
+      }.toDF("doc_id", "status", "format", "content_sum", "w", "h",
+        "payload")
+    // quarantined rows carry zero stats — without the status-keyed
+    // salt they would all land in ONE window partition per format
+    // (the skew no 100 TB plan survives); keyed by doc_id they cost
+    // nothing and their rn is never read
+    val dedupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("format"), col("w"), col("h"),
+        col("content_sum"), col("payload"),
+        when(col("status") === "ok", lit(0L)).otherwise(col("doc_id")))
       .orderBy("doc_id")
+    val staged = decoded
+      .withColumn("rn",
+        when(col("status") === "ok", row_number().over(dedupW)))
+      .withColumn("stage",
+        when(col("status") =!= "ok", lit("quarantined"))
+          .when(col("rn") > 1, lit("dup"))
+          .when(col("w") > 0 && least(col("w"), col("h")) < 8,
+            lit("small"))
+          .otherwise(lit("kept")))
+    val packW = org.apache.spark.sql.expressions.Window
+      .partitionBy("format").orderBy("doc_id")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val packed = staged
+      .withColumn("cum",
+        when(col("stage") === "kept", sum(
+          when(col("stage") === "kept", col("payload")).otherwise(0L))
+          .over(packW)))
+      .withColumn("shard",
+        when(col("stage") === "kept",
+          expr(s"(cum - payload) div $budget")))
+    packed.groupBy("format")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("stage") === "quarantined", 1L).otherwise(0L))
+          .as("n_quarantined"),
+        sum(when(col("stage") === "dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("stage") === "small", 1L).otherwise(0L))
+          .as("n_small"),
+        sum(when(col("stage") === "kept", 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("stage") === "kept", col("payload")).otherwise(0L))
+          .as("bytes_kept"),
+        coalesce(max(col("shard")) + 1L, lit(0L)).as("n_shards"))
+      .orderBy("format")
   }
 
   /** L5t: REAL format transcode — BMP in, PNG out, both ends parsed.
@@ -2053,6 +2333,9 @@ object Multimodal {
     "mm_mp4_decode_av" -> mmMp4DecodeAv,
     "mm_decode_png" -> mmDecodePng,
     "mm_decode_gif" -> mmDecodeGif,
+    "mm_decode_jpeg" -> mmDecodeJpeg,
+    "mm_decode_mjpeg" -> mmDecodeMjpeg,
+    "mm_pipeline_full" -> mmPipelineFull,
     "mm_sniff_decode" -> mmSniffDecode,
     "mm_decode_quarantine" -> mmDecodeQuarantine,
     "mm_transcode_png" -> mmTranscodePng,
@@ -2365,6 +2648,136 @@ object Multimodal {
         |  CAST(SUM((idx * 211) % 256) AS BIGINT) AS sum_b,
         |  TRUE AS compressed
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The capstone oracle composes the stages' own closed forms: the
+    // six sniffSumsSql pattern-sum CTEs evaluated at the SEED id (the
+    // dedup corpus re-uploads every (id/6)%4==1 container from seed
+    // id-6), the quarantine corruption classes, format-parity dims
+    // and payload byte counts, the dedup window, the resolution rule
+    // and the shard prefix-sum — the funnel row per format.
+    "mm_pipeline_full" ->
+      (s"""WITH $sniffSumsSql,
+        |ids AS (SELECT doc_id,
+        |    CASE WHEN (doc_id // 6) % 4 = 1 THEN doc_id - 6
+        |      ELSE doc_id END AS e,
+        |    (doc_id // 6) % 5 = 2 AS magic,
+        |    doc_id % 6 = 1 AND (doc_id // 6) % 5 = 3 AS body
+        |  FROM documents),
+        |dims AS (SELECT doc_id AS e,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN 16 + doc_id % 16
+        |      WHEN 1 THEN 16 + doc_id % 16
+        |      WHEN 2 THEN 16 + doc_id % 12
+        |      WHEN 3 THEN 0
+        |      WHEN 4 THEN 8 + doc_id % 8
+        |      ELSE 8 + doc_id % 6 END AS w,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN 12 + doc_id % 8
+        |      WHEN 1 THEN 12 + doc_id % 8
+        |      WHEN 2 THEN 10 + doc_id % 6
+        |      WHEN 3 THEN 0
+        |      WHEN 4 THEN 6 + doc_id % 5
+        |      ELSE 6 + doc_id % 4 END AS h,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN (16 + doc_id % 16) * (12 + doc_id % 8) * 3
+        |      WHEN 1 THEN (16 + doc_id % 16) * (12 + doc_id % 8) * 3
+        |      WHEN 2 THEN (16 + doc_id % 12) * (10 + doc_id % 6) * 3
+        |      WHEN 3 THEN (160 + doc_id % 64) * 2
+        |      WHEN 4 THEN (3 + doc_id % 4) * (8 + doc_id % 8)
+        |        * (6 + doc_id % 5) * 3
+        |      ELSE (3 + doc_id % 4) * (8 + doc_id % 6)
+        |        * (6 + doc_id % 4) * 3 END AS payload
+        |  FROM documents),
+        |rows0 AS (SELECT i.doc_id,
+        |    CASE WHEN i.magic THEN 'unknown' ELSE su.format END
+        |      AS format,
+        |    CASE WHEN i.magic OR i.body THEN 'quarantined'
+        |      ELSE 'ok' END AS st,
+        |    CASE WHEN i.magic OR i.body THEN 0 ELSE su.s END AS s,
+        |    CASE WHEN i.magic OR i.body THEN 0 ELSE d.w END AS w,
+        |    CASE WHEN i.magic OR i.body THEN 0 ELSE d.h END AS h,
+        |    CASE WHEN i.magic OR i.body THEN 0 ELSE d.payload END
+        |      AS payload
+        |  FROM ids i
+        |  JOIN sums su ON su.doc_id = i.e
+        |  JOIN dims d ON d.e = i.e),
+        |okr AS (SELECT doc_id, format, s, w, h, payload,
+        |    ROW_NUMBER() OVER (PARTITION BY format, w, h, s, payload
+        |      ORDER BY doc_id) AS rn
+        |  FROM rows0 WHERE st = 'ok'),
+        |staged AS (
+        |  SELECT doc_id, format, 'quarantined' AS stage, payload
+        |    FROM rows0 WHERE st <> 'ok'
+        |  UNION ALL
+        |  SELECT doc_id, format,
+        |    CASE WHEN rn > 1 THEN 'dup'
+        |      WHEN w > 0 AND LEAST(w, h) < 8 THEN 'small'
+        |      ELSE 'kept' END AS stage, payload
+        |  FROM okr),
+        |packed AS (SELECT doc_id, format, stage, payload,
+        |    CASE WHEN stage = 'kept' THEN
+        |      (SUM(CASE WHEN stage = 'kept' THEN payload ELSE 0 END)
+        |        OVER (PARTITION BY format ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       - payload) // 8192
+        |    END AS shard
+        |  FROM staged)
+        |SELECT format,
+        |  CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN stage = 'quarantined' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_quarantined,
+        |  CAST(SUM(CASE WHEN stage = 'dup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN stage = 'small' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_small,
+        |  CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN stage = 'kept' THEN payload ELSE 0 END)
+        |    AS BIGINT) AS bytes_kept,
+        |  CAST(COALESCE(MAX(shard) + 1, 0) AS BIGINT) AS n_shards
+        |FROM packed GROUP BY format ORDER BY format""").stripMargin,
+    // JPEG is lossy, but the corpus rasters are drawn from the
+    // codec's exactly invertible class (constant even-valued 8x8
+    // blocks — the lossless-class theorem proven exhaustively in
+    // MultimodalJpegSpec), so the decoded luma sum is the closed-form
+    // 64 * blockValue arithmetic; `compressed` is the checked column
+    // for the Huffman-dependent byte size (spec-verified over all 96
+    // raster classes).
+    "mm_decode_jpeg" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS bw,
+        |    1 + doc_id % 2 AS bh FROM documents),
+        |bl AS (SELECT doc_id, bw, bh, bis.i AS bi, bjs.j AS bj
+        |  FROM d, range(0, 5) bis(i), range(0, 3) bjs(j)
+        |  WHERE bis.i < bw AND bjs.j < bh)
+        |SELECT doc_id,
+        |  CAST(MAX(bw) * 8 AS INT) AS width,
+        |  CAST(MAX(bh) * 8 AS INT) AS height,
+        |  CAST(SUM(64 * (2 * ((doc_id * 5 + bi * 19 + bj * 37) % 96)
+        |    + 32)) AS BIGINT) AS sum_luma,
+        |  TRUE AS compressed
+        |FROM bl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // M-JPEG: per-frame JPEGs from the same invertible class inside
+    // the RIFF walk; frame count/fps from the parsed strh; the
+    // container size is entropy-dependent so `compressed` bounds it
+    // against the stored-DIB AVI of the same clip (checked column,
+    // full-period spec verification).
+    "mm_decode_mjpeg" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 2 AS bw,
+        |    1 + doc_id % 2 AS bh, 2 + doc_id % 3 AS nf,
+        |    8 + (doc_id % 5) * 2 AS fps FROM documents),
+        |bl AS (SELECT doc_id, bw, bh, nf, fps, fs.f AS f,
+        |    bis.i AS bi, bjs.j AS bj
+        |  FROM d, range(0, 5) fs(f), range(0, 4) bis(i),
+        |    range(0, 3) bjs(j)
+        |  WHERE fs.f < nf AND bis.i < bw AND bjs.j < bh)
+        |SELECT doc_id,
+        |  CAST(MAX(bw) * 8 AS INT) AS width,
+        |  CAST(MAX(bh) * 8 AS INT) AS height,
+        |  CAST(MAX(nf) AS BIGINT) AS n_frames,
+        |  CAST(MAX(fps) AS INT) AS fps,
+        |  CAST(SUM(64 * (2 * ((doc_id * 5 + f * 29 + bi * 19
+        |    + bj * 37) % 96) + 32)) AS BIGINT) AS sum_luma,
+        |  TRUE AS compressed
+        |FROM bl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Lossless round trip: channel sums replay the pattern exactly;
     // `compressed` is the checked column for the one quantity DEFLATE
     // makes data-dependent (spec-verified exhaustively over all 256

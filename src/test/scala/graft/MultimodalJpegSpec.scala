@@ -1,0 +1,487 @@
+package graft
+
+import graft.multimodal.{Codecs, Jpeg}
+
+/** The JPEG codec contract (Codecs ladder rung 3 — lossy): integer
+  * IDCT exactness on the DC-only class, exhaustive constant-block
+  * round trips (the mm_decode_jpeg oracle's lossless class),
+  * tolerance round trips on general content, cross-implementation
+  * conformance against the JDK's ImageIO JPEG reader/writer in both
+  * directions, M-JPEG AVI, and the fail-fast external-bytes
+  * contract under corruption + truncation. Also hosts the
+  * interlaced-GIF decode spec (hand-built files — neither our
+  * encoder nor ImageIO's GIF87a writer emits interlaced streams).
+  */
+class MultimodalJpegSpec extends SparkSpecBase {
+
+  private val dec = new Jpeg.JpegDecoder
+
+  /** The mm_decode_jpeg block-value pattern: even values in
+    * [32, 222] — the class for which the whole transform chain is
+    * exactly invertible (see Jpeg scaladoc). */
+  private def blockValue(id: Long, bi: Int, bj: Int): Int =
+    (2 * ((id * 5 + bi * 19 + bj * 37) % 96) + 32).toInt
+
+  private def constBlockGray(id: Long, bw: Int, bh: Int): Array[Byte] = {
+    val w = bw * 8; val h = bh * 8
+    val g = new Array[Byte](w * h)
+    var bj = 0
+    while (bj < bh) {
+      var bi = 0
+      while (bi < bw) {
+        val v = blockValue(id, bi, bj).toByte
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            g((bj * 8 + y) * w + bi * 8 + x) = v
+            x += 1
+          }
+          y += 1
+        }
+        bi += 1
+      }
+      bj += 1
+    }
+    g
+  }
+
+  test("integer IDCT maps every DC-only block dc=8k exactly to the " +
+    "constant k+128 (all 256 k classes) — the lossless-class theorem " +
+    "the mm_decode_jpeg oracle rests on") {
+    val coef = new Array[Int](64)
+    val out = new Array[Int](64)
+    var k = -128
+    while (k <= 127 ) {
+      java.util.Arrays.fill(coef, 0)
+      coef(0) = 8 * k
+      Jpeg.idctBlock(coef, out)
+      val expect = math.max(0, math.min(255, k + 128))
+      var i = 0
+      while (i < 64) {
+        assert(out(i) == expect, s"k=$k sample $i: ${out(i)} != $expect")
+        i += 1
+      }
+      k += 1
+    }
+  }
+
+  test("JPEG gray round trip is EXACT for every constant-block value " +
+    "class (all 96 even values x multi-block geometry), and the " +
+    "compressed stream beats the raw 8-bpp plane on every class") {
+    var id = 0L
+    while (id < 96) {
+      val bw = (2 + id % 3).toInt; val bh = (1 + id % 2).toInt
+      val g = constBlockGray(id, bw, bh)
+      val jpeg = Jpeg.encodeGray(bw * 8, bh * 8, g)
+      val im = dec.decode(jpeg)
+      assert(im.width == bw * 8 && im.height == bh * 8, s"class $id dims")
+      var i = 0
+      while (i < g.length) {
+        val want = g(i) & 0xff
+        assert((im.rgb(3 * i) & 0xff) == want &&
+          (im.rgb(3 * i + 1) & 0xff) == want &&
+          (im.rgb(3 * i + 2) & 0xff) == want,
+          s"class $id pixel $i: ${im.rgb(3 * i) & 0xff} != $want")
+        i += 1
+      }
+      assert(jpeg.length < Jpeg.GrayHeaderLen + g.length,
+        s"class $id: ${jpeg.length} !< ${Jpeg.GrayHeaderLen + g.length}")
+      id += 1
+    }
+  }
+
+  test("JPEG gray round trip on smooth general content (non-aligned " +
+    "dims exercise edge-replication padding): bounded per-pixel error, " +
+    "small mean error") {
+    for ((w, h) <- Seq((37, 23), (8, 8), (65, 17), (9, 40))) {
+      val g = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          g(y * w + x) = (40 + x * 140 / w + y * 60 / h).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val im = dec.decode(Jpeg.encodeGray(w, h, g))
+      assert(im.width == w && im.height == h)
+      var sumAbs = 0L; var maxAbs = 0
+      var i = 0
+      while (i < g.length) {
+        val d = math.abs((im.rgb(3 * i) & 0xff) - (g(i) & 0xff))
+        sumAbs += d; if (d > maxAbs) maxAbs = d
+        i += 1
+      }
+      assert(maxAbs <= 32, s"${w}x$h max |err| $maxAbs")
+      assert(sumAbs.toDouble / g.length <= 6.0,
+        s"${w}x$h mean |err| ${sumAbs.toDouble / g.length}")
+    }
+  }
+
+  test("color 4:4:4 JPEG: gray-valued RGB survives the YCbCr round " +
+    "trip exactly on constant blocks (the conversion coefficients sum " +
+    "per channel); smooth color content stays within tolerance") {
+    // gray-valued color: R=G=B=v, constant blocks -> exact
+    val g = constBlockGray(7L, 3, 2)
+    val rgb = new Array[Byte](g.length * 3)
+    var i = 0
+    while (i < g.length) {
+      rgb(3 * i) = g(i); rgb(3 * i + 1) = g(i); rgb(3 * i + 2) = g(i)
+      i += 1
+    }
+    val im = dec.decode(Jpeg.encodeColor444(24, 16, rgb))
+    assert(im.width == 24 && im.height == 16)
+    assert(java.util.Arrays.equals(im.rgb, rgb),
+      "gray-valued color round trip not exact")
+    // smooth color gradient within tolerance
+    val w2 = 40; val h2 = 24
+    val c2 = new Array[Byte](w2 * h2 * 3)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val base = (y * w2 + x) * 3
+        c2(base) = (40 + x * 4).toByte
+        c2(base + 1) = (60 + y * 6).toByte
+        c2(base + 2) = (200 - x * 2 - y).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val im2 = dec.decode(Jpeg.encodeColor444(w2, h2, c2))
+    var sumAbs = 0L; var maxAbs = 0
+    i = 0
+    while (i < c2.length) {
+      val d = math.abs((im2.rgb(i) & 0xff) - (c2(i) & 0xff))
+      sumAbs += d; if (d > maxAbs) maxAbs = d
+      i += 1
+    }
+    assert(maxAbs <= 32, s"color max |err| $maxAbs")
+    assert(sumAbs.toDouble / c2.length <= 6.0,
+      s"color mean |err| ${sumAbs.toDouble / c2.length}")
+  }
+
+  test("cross-implementation conformance vs the JDK's ImageIO JPEG " +
+    "reader: our constant-block bytes decode pixel-EXACT through " +
+    "ImageIO (both IDCTs are exact on the DC-only class), our general " +
+    "bytes within +-3 of ImageIO's decode") {
+    import javax.imageio.ImageIO
+    // exact on the lossless class
+    for (id <- Seq(0L, 13L, 50L, 95L)) {
+      val bw = (2 + id % 3).toInt; val bh = (1 + id % 2).toInt
+      val g = constBlockGray(id, bw, bh)
+      val jpeg = Jpeg.encodeGray(bw * 8, bh * 8, g)
+      val bi = ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      assert(bi != null, s"class $id: ImageIO cannot read our JPEG")
+      assert(bi.getWidth == bw * 8 && bi.getHeight == bh * 8)
+      var y = 0
+      while (y < bh * 8) {
+        var x = 0
+        while (x < bw * 8) {
+          val want = g(y * bw * 8 + x) & 0xff
+          // raw sample, not getRGB: Java gamma-converts CS_GRAY there
+          val got = bi.getRaster.getSample(x, y, 0)
+          assert(got == want, s"class $id ImageIO pixel ($x,$y): $got != $want")
+          x += 1
+        }
+        y += 1
+      }
+    }
+    // tolerance on general content: both decoders read the SAME bytes
+    val w = 24; val h = 24
+    val g = new Array[Byte](w * h)
+    var i = 0
+    while (i < g.length) { g(i) = (50 + (i * 7) % 150).toByte; i += 1 }
+    val jpeg = Jpeg.encodeGray(w, h, g)
+    val ours = dec.decode(jpeg)
+    val theirs = ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val a = ours.rgb((y * w + x) * 3) & 0xff
+        val b = theirs.getRaster.getSample(x, y, 0)
+        assert(math.abs(a - b) <= 3, s"IDCT drift at ($x,$y): $a vs $b")
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  test("cross-implementation conformance the other direction: ImageIO's " +
+    "gray AND color JPEG writer output (foreign Huffman/quant choices, " +
+    "foreign subsampling) decodes through our decoder within tolerance " +
+    "of ImageIO's own re-read") {
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    // grayscale
+    val w = 40; val h = 26
+    val src = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = 40 + (x * 5 + y * 3) % 180
+        src.getRaster.setSample(x, y, 0, v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(src, "jpg", bos), "ImageIO refused gray jpg write")
+    val foreign = bos.toByteArray
+    val ours = dec.decode(foreign)
+    val reread = ImageIO.read(new java.io.ByteArrayInputStream(foreign))
+    assert(ours.width == w && ours.height == h)
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val a = ours.rgb((y * w + x) * 3) & 0xff
+        val b = reread.getRaster.getSample(x, y, 0)
+        assert(math.abs(a - b) <= 3, s"foreign gray ($x,$y): $a vs $b")
+        x += 1
+      }
+      y += 1
+    }
+    // color (ImageIO emits subsampled YCbCr; upsampling filters differ
+    // between implementations, so the bound is looser and a mean bound
+    // guards aggregate quality)
+    val csrc = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        csrc.setRGB(x, y, ((40 + x * 4) << 16) | ((60 + y * 5) << 8) | (220 - x * 3))
+        x += 1
+      }
+      y += 1
+    }
+    val cbos = new java.io.ByteArrayOutputStream()
+    assert(ImageIO.write(csrc, "jpg", cbos), "ImageIO refused color jpg write")
+    val cForeign = cbos.toByteArray
+    val cOurs = dec.decode(cForeign)
+    val cReread = ImageIO.read(new java.io.ByteArrayInputStream(cForeign))
+    assert(cOurs.width == w && cOurs.height == h)
+    var sumAbs = 0L; var maxAbs = 0
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = cReread.getRGB(x, y)
+        val base = (y * w + x) * 3
+        val dr = math.abs((cOurs.rgb(base) & 0xff) - ((p >> 16) & 0xff))
+        val dg = math.abs((cOurs.rgb(base + 1) & 0xff) - ((p >> 8) & 0xff))
+        val db = math.abs((cOurs.rgb(base + 2) & 0xff) - (p & 0xff))
+        sumAbs += dr + dg + db
+        maxAbs = math.max(maxAbs, math.max(dr, math.max(dg, db)))
+        x += 1
+      }
+      y += 1
+    }
+    assert(maxAbs <= 48, s"foreign color max |err| $maxAbs") // edge upsampling
+    assert(sumAbs.toDouble / (w * h * 3) <= 4.0,
+      s"foreign color mean |err| ${sumAbs.toDouble / (w * h * 3)}")
+  }
+
+  test("M-JPEG AVI: constant-block JPEG frames mux into a real RIFF " +
+    "walk and decode back exactly; fps from strh; DIB decoder rejects " +
+    "MJPG streams and vice versa") {
+    val w = 16; val h = 16
+    val frames = (0 until 4).map { f =>
+      val g = constBlockGray(f * 11L, 2, 2)
+      Jpeg.encodeGray(w, h, g)
+    }
+    val avi = Jpeg.aviEncodeMjpeg(w, h, 12, frames)
+    val mdec = new Jpeg.MjpegAviDecoder
+    val vid = mdec.decode(avi)
+    assert(vid.width == w && vid.height == h && vid.fps == 12 &&
+      vid.frames.length == 4)
+    for (f <- 0 until 4) {
+      val g = constBlockGray(f * 11L, 2, 2)
+      var i = 0
+      while (i < g.length) {
+        assert((vid.frames(f)(3 * i) & 0xff) == (g(i) & 0xff),
+          s"frame $f pixel $i")
+        i += 1
+      }
+    }
+    // cross-codec rejection: the DIB AviDecoder must fail fast on an
+    // MJPG stream, and the MjpegAviDecoder on a DIB stream
+    intercept[IllegalArgumentException] {
+      new Codecs.AviDecoder().decode(avi)
+    }
+    val rgbFrame = new Array[Byte](w * h * 3)
+    val dib = Codecs.aviEncode(w, h, 12, Seq(rgbFrame))
+    intercept[IllegalArgumentException] {
+      mdec.decode(dib)
+    }
+  }
+
+  test("JPEG fail-fast external-bytes contract: 400 seeded byte " +
+    "corruptions either throw IllegalArgumentException or decode to a " +
+    "structurally valid raster (JPEG has no CRC — entropy bit flips " +
+    "can decode to different pixels); EVERY truncation fails fast; " +
+    "crafted dim overflow is caught") {
+    val base = Jpeg.encodeGray(24, 16, constBlockGray(3L, 3, 2))
+    val rnd = new scala.util.Random(42)
+    var t = 0
+    while (t < 400) {
+      val b = base.clone()
+      val n = 1 + rnd.nextInt(3)
+      var i = 0
+      while (i < n) {
+        val p = rnd.nextInt(b.length)
+        b(p) = (b(p) ^ (1 << rnd.nextInt(8))).toByte
+        i += 1
+      }
+      try {
+        val im = dec.decode(b)
+        assert(im.width > 0 && im.height > 0 &&
+          im.rgb.length == im.width * im.height * 3)
+      } catch {
+        case _: IllegalArgumentException => () // the contract
+        case e: Throwable =>
+          fail(s"corruption $t threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+      t += 1
+    }
+    var len = 0
+    while (len < base.length) {
+      try {
+        dec.decode(java.util.Arrays.copyOf(base, len))
+        fail(s"truncation at $len decoded")
+      } catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"truncation $len threw ${e.getClass.getName}")
+      }
+      len += 1
+    }
+    // M-JPEG truncations too (container + payload layers compose)
+    val avi = Jpeg.aviEncodeMjpeg(16, 16, 10,
+      Seq(Jpeg.encodeGray(16, 16, constBlockGray(1L, 2, 2))))
+    val mdec = new Jpeg.MjpegAviDecoder
+    var n2 = 0
+    while (n2 < avi.length) {
+      try {
+        mdec.decode(java.util.Arrays.copyOf(avi, n2))
+        fail(s"mjpeg truncation at $n2 decoded")
+      } catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"mjpeg truncation $n2 threw ${e.getClass.getName}")
+      }
+      n2 += 1
+    }
+  }
+
+  test("mm_decode_jpeg / mm_decode_mjpeg consume REAL JPEG bytes: " +
+    "catalog rows replay the closed-form block arithmetic, every " +
+    "checked `compressed` flag true, and a swapped decoder binding " +
+    "changes the outputs (bytes genuinely flow through the codec)") {
+    import graft.multimodal.Multimodal
+    val rows = Multimodal.mmDecodeJpeg(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    for ((id, w, h, sl, comp) <- rows.take(60)) {
+      val bw = (2 + id % 3).toInt; val bh = (1 + id % 2).toInt
+      assert(w == bw * 8 && h == bh * 8, s"doc $id dims")
+      var want = 0L
+      for (bj <- 0 until bh; bi <- 0 until bw)
+        want += 64L * (2 * ((id * 5 + bi * 19 + bj * 37) % 96) + 32)
+      assert(sl == want, s"doc $id sum $sl != $want")
+      assert(comp, s"doc $id not compressed")
+    }
+    val mrows = Multimodal.mmDecodeMjpeg(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getInt(4), r.getLong(5), r.getBoolean(6)))
+    assert(mrows.nonEmpty)
+    for ((id, w, h, nf, fps, sl, comp) <- mrows.take(60)) {
+      val bw = (2 + id % 2).toInt; val bh = (1 + id % 2).toInt
+      assert(w == bw * 8 && h == bh * 8, s"clip $id dims")
+      assert(nf == 2 + id % 3 && fps == 8 + (id % 5) * 2, s"clip $id meta")
+      var want = 0L
+      for (f <- 0 until nf.toInt; bj <- 0 until bh; bi <- 0 until bw)
+        want += 64L * (2 * ((id * 5 + f * 29 + bi * 19 + bj * 37) % 96) + 32)
+      assert(sl == want, s"clip $id sum $sl != $want")
+      assert(comp, s"clip $id not compressed")
+    }
+    // binding swap: a decoder that ignores the bytes changes outputs
+    val key = Multimodal.JpegDecoderConfKey
+    spark.conf.set(key, classOf[ZeroImageDecoder].getName)
+    try {
+      val zero = Multimodal.mmDecodeJpeg(spark, sf).collect()
+      assert(zero.forall(r => r.getInt(1) == 1 && r.getLong(3) == 0L),
+        "swapped binding not in effect")
+    } finally spark.conf.unset(key)
+  }
+
+  test("mm_decode_mjpeg `compressed` checked column is a THEOREM over " +
+    "the pattern's full period: every M-JPEG container beats the " +
+    "stored-DIB AVI of the same clip") {
+    var id = 0L
+    while (id < 480) { // lcm(96, 2, 3, 5)
+      val bw = (2 + id % 2).toInt; val bh = (1 + id % 2).toInt
+      val nf = (2 + id % 3).toInt
+      val frames = (0 until nf).map { f =>
+        val w = bw * 8
+        val g = new Array[Byte](w * bh * 8)
+        for (bj <- 0 until bh; bi <- 0 until bw) {
+          val v = (2 * ((id * 5 + f * 29 + bi * 19 + bj * 37) % 96) + 32).toByte
+          for (y <- 0 until 8; x <- 0 until 8)
+            g((bj * 8 + y) * w + bi * 8 + x) = v
+        }
+        Jpeg.encodeGray(bw * 8, bh * 8, g)
+      }
+      val avi = Jpeg.aviEncodeMjpeg(bw * 8, bh * 8, 10, frames)
+      assert(avi.length < Codecs.aviSize(bw * 8, bh * 8, nf),
+        s"class $id: ${avi.length} !< ${Codecs.aviSize(bw * 8, bh * 8, nf)}")
+      id += 1
+    }
+  }
+
+  test("sniffer detects JPEG magic (FFD8FF) without disturbing the " +
+    "six-format corpus classes") {
+    val jpeg = Jpeg.encodeGray(8, 8, constBlockGray(1L, 1, 1))
+    assert(Codecs.sniff(jpeg) == "jpeg")
+    assert(Codecs.sniff(Array[Byte](0xff.toByte, 0xd8.toByte, 0x00)) ==
+      "unknown")
+  }
+
+  test("interlaced GIF87a decodes index-exact: hand-built files (pass-" +
+    "order-permuted raster + interlace flag) across heights below and " +
+    "above every pass stride — the path no writer in this container " +
+    "emits") {
+    val gdec = new Codecs.GifLzwDecoder
+    for (h <- Seq(1, 2, 3, 4, 5, 7, 8, 9, 11, 16); w <- Seq(3, 16)) {
+      val idx = new Array[Byte](w * h)
+      var i = 0
+      while (i < idx.length) { idx(i) = ((i * 31 + h * 7) % 256).toByte; i += 1 }
+      // rows in the four-pass storage order
+      val passes = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+      val stored = new Array[Byte](w * h)
+      var k = 0
+      for ((start, step) <- passes) {
+        var y = start
+        while (y < h) {
+          System.arraycopy(idx, y * w, stored, k * w, w)
+          k += 1; y += step
+        }
+      }
+      assert(k == h, s"pass permutation covered $k of $h rows")
+      val gif = Codecs.gifEncode(w, h, stored)
+      // image descriptor: header 6 + LSD 7 + GCT 768 -> 0x2C at 781;
+      // packed byte at 790 gains the interlace flag
+      assert((gif(781) & 0xff) == 0x2c, "fixture layout drifted")
+      gif(790) = (gif(790) | 0x40).toByte
+      val im = gdec.decode(gif)
+      assert(im.width == w && im.height == h, s"${w}x$h dims")
+      assert(java.util.Arrays.equals(im.indices, idx),
+        s"${w}x$h interlace undo not index-exact")
+    }
+  }
+}

@@ -675,4 +675,85 @@ class StreamingSpec extends SparkSpecBase {
       assert(streamed == batch && batch.nonEmpty, name)
     }
   }
+
+  test("mixed-format sniff-dispatch under readStream: magic-byte " +
+    "detection + six real decoders over a streaming id source == the " +
+    "batch relation, and the JPEG path joins the ladder " +
+    "(mm_decode_jpeg core streams too)") {
+    import org.apache.spark.sql.Encoders
+    val docDir = {
+      val d = Files.createTempDirectory("graft_stream_sniff")
+      Files.copy(Paths.get(s"$sf/documents.parquet"),
+        d.resolve("documents.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      d.toString
+    }
+    val docSchema = spark.read.parquet(docDir).schema
+    def streamIds = spark.readStream.schema(docSchema).parquet(docDir)
+      .select(col("doc_id")).as[Long](Encoders.scalaLong)
+    def batchIds = Tables.documents(spark, sf)
+      .select(col("doc_id")).as[Long](Encoders.scalaLong)
+    for ((name, core) <- Seq[(String,
+        org.apache.spark.sql.Dataset[Long] =>
+          org.apache.spark.sql.DataFrame)](
+        "sniff" -> multimodal.Multimodal.mmSniffDecodeOn,
+        "jpeg" -> multimodal.Multimodal.mmDecodeJpegOn)) {
+      val q = core(streamIds)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"sniff_stream_$name").start()
+      val streamed = try {
+        q.processAllAvailable()
+        spark.table(s"sniff_stream_$name").collect()
+          .map(_.toString).toSet
+      } finally q.stop()
+      val batch = core(batchIds).collect().map(_.toString).toSet
+      assert(streamed == batch && batch.nonEmpty, name)
+    }
+  }
+
+  test("quarantine error channel under foreachBatch: the reference's " +
+    "per-file try/except catalog in streaming spelling — ok rows and " +
+    "quarantined rows land in SEPARATE sinks per micro-batch, and " +
+    "their union == the batch relation") {
+    import org.apache.spark.sql.Encoders
+    val docDir = {
+      val d = Files.createTempDirectory("graft_stream_quar")
+      Files.copy(Paths.get(s"$sf/documents.parquet"),
+        d.resolve("documents.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      d.toString
+    }
+    val okDir = Files.createTempDirectory("graft_quar_ok").toString + "/ok"
+    val errDir = Files.createTempDirectory("graft_quar_err").toString + "/err"
+    val docSchema = spark.read.parquet(docDir).schema
+    val ids = spark.readStream.schema(docSchema).parquet(docDir)
+      .select(col("doc_id")).as[Long](Encoders.scalaLong)
+    val q = multimodal.Multimodal.mmDecodeQuarantineOn(ids)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the reference writes success_df and error_df separately
+        // (raw_to_samples.py:385-396); same split, streaming form
+        batch.persist()
+        batch.filter(col("status") === "ok")
+          .write.mode("append").parquet(okDir)
+        batch.filter(col("status") =!= "ok")
+          .write.mode("append").parquet(errDir)
+        batch.unpersist()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ok = spark.read.parquet(okDir)
+    val err = spark.read.parquet(errDir)
+    val streamedUnion = ok.unionByName(err).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val batchRel = multimodal.Multimodal
+      .mmDecodeQuarantine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(streamedUnion == batchRel && batchRel.nonEmpty)
+    assert(err.count() > 0, "no quarantined rows at this sf")
+    assert(ok.count() > 0)
+  }
 }

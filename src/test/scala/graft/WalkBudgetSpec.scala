@@ -130,4 +130,29 @@ class WalkBudgetSpec extends SparkSpecBase {
     val expected = r.map(_._2).scanLeft(0L)(_ + _).tail
     assert(r.map(_._1) === expected)
   }
+
+  test("node2vec: the adjacency-array spelling draws IDENTICAL walks " +
+    "to the join spelling (same LCG, same cumulative line) on the " +
+    "sf corpus") {
+    import graft.functions.Clusters
+    val e = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L),
+      (3L, 4L), (4L, 3L), (4L, 5L), (5L, 4L), (2L, 5L), (5L, 2L),
+      (5L, 6L), (6L, 5L), (6L, 1L), (1L, 6L)))
+      .toDF("src", "dst")
+    val a = Clusters.graphNode2vecWalkOn(e, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val b = Clusters.graphNode2vecWalkAdjOn(e, steps = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(a == b && a.nonEmpty)
+    // and on the real catalog corpus
+    val ca = Clusters.graphNode2vecWalk(spark, sf)
+      .collect().map(_.toString).toSet
+    val cb = Clusters.graphNode2vecWalkAdjOn(
+      Clusters.bipartiteEdges(spark, sf))
+      .collect().map(_.toString).toSet
+    assert(ca == cb && ca.nonEmpty)
+  }
 }
