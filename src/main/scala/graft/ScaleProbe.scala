@@ -352,25 +352,45 @@ object ScaleProbe {
           () => { val d = new multimodal.Codecs.Mp4VideoDecoder()
             b => d.decode(b).frames.length.toLong }),
       )
+      // raster (decoded-payload) sizes are fixed by the builders:
+      // 256x256x3 for stills, 8x128x128x3 for clips, 400 KB PCM
+      val rasterBytes: Map[String, Long] = Map(
+        "bmp" -> 256L * 256 * 3, "png" -> 256L * 256 * 3,
+        "gif" -> 256L * 256 * 3, "jpeg" -> 256L * 256 * 3,
+        "wav" -> 400000L, "avi" -> 8L * 128 * 128 * 3,
+        "mjpeg" -> 8L * 128 * 128 * 3, "mp4" -> 8L * 128 * 128 * 3)
       for ((fmt, build, mkDec) <- codecs) {
+        // single-core decode throughput: pre-built containers, a
+        // driver-side decode loop, best of 3 — the per-core number a
+        // design review multiplies by the fleet's cores
+        val k = 50
+        val pre = (0 until k).map(i => build(i.toLong)).toArray
+        val preBytes = pre.map(_.length.toLong).sum
+        val dec0 = mkDec()
+        pre.foreach(dec0) // JIT warm
+        val tCore = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          pre.foreach(dec0)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        // distributed encode+decode pass (the catalog ops' shape):
+        // parallel lower bound over container bytes
         val bytes = ids.mapPartitions(it =>
           it.map(id => build(id).length.toLong))(Encoders.scalaLong)
           .reduce(_ + _)
-        def time(f: => Long): Double = {
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-        }
-        val tEnc = time(ids.mapPartitions(it =>
-          it.map(id => build(id).length.toLong))(Encoders.scalaLong)
-          .reduce(_ + _))
-        val tFull = time(ids.mapPartitions { it =>
+        val t0 = System.nanoTime()
+        ids.mapPartitions { it =>
           val dec = mkDec()
           it.map(id => dec(build(id)))
-        }(Encoders.scalaLong).reduce(_ + _))
-        val mb = bytes / 1e6
-        val decS = math.max(tFull - tEnc, 1e-3)
-        println(f"PROBE codec_bytes $fmt%-6s n=$nDocs bytes=${mb}%.0fMB " +
-          f"enc=${tEnc}%.2fs full=${tFull}%.2fs " +
-          f"dec_MBps=${mb / decS}%.0f full_MBps=${mb / tFull}%.0f")
+        }(Encoders.scalaLong).reduce(_ + _)
+        val tFull = (System.nanoTime() - t0) / 1e9
+        val coreMB = preBytes / 1e6 / tCore
+        val coreRasterMB = k * rasterBytes(fmt) / 1e6 / tCore
+        println(f"PROBE codec_bytes $fmt%-6s n=$nDocs " +
+          f"container=${bytes / 1e6}%.0fMB " +
+          f"core_dec_MBps=$coreMB%.0f " +
+          f"core_raster_MBps=$coreRasterMB%.0f " +
+          f"cluster_encdec_MBps=${bytes / 1e6 / tFull}%.0f")
       }
     }
 

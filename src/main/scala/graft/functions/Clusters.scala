@@ -2135,9 +2135,14 @@ object Clusters {
   }
 
   /** Catalog form: biased walks over the same trade graph as
-    * [[graphRandomWalk]]. */
+    * [[graphRandomWalk]] — the adjacency-array spelling, which the
+    * round-10 isolated measurement put at ~1.7x the join spelling on
+    * this corpus (PERF.md round-10 section; the join spelling stays
+    * as [[graphNode2vecWalkOn]] — the hub-robust form a skewed-degree
+    * graph would switch back to — and the two are equivalence-proven
+    * in WalkBudgetSpec). */
   def graphNode2vecWalk(s: SparkSession, dir: String): DataFrame =
-    graphNode2vecWalkOn(bipartiteEdges(s, dir))
+    graphNode2vecWalkAdjOn(bipartiteEdges(s, dir))
 
   /** Adjacency-array spelling of [[graphNode2vecWalkOn]] — the
     * round-10 structural attempt at the suite's standing #1: build

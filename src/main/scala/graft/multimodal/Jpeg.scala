@@ -452,9 +452,18 @@ object Jpeg {
     * baseline JFIF JPEG: SOI, APP0, K.1 luminance DQT, SOF0 (one
     * component, 1x1 sampling), the two K.3 luminance DHTs, a single
     * interleaved SOS, byte-stuffed entropy data, EOI. */
-  def encodeGray(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+  def encodeGray(width: Int, height: Int, gray: Array[Byte]): Array[Byte] =
+    encodeGray(width, height, gray, 0)
+
+  /** [[encodeGray]] with a DRI restart interval: every `restart` MCUs
+    * the entropy stream byte-aligns, emits the cycling RST0-7 marker,
+    * and resets the DC predictor (T.81 B.2.4.4/E.1.4) — the
+    * resilience feature real camera JPEGs carry; 0 = none. */
+  def encodeGray(width: Int, height: Int, gray: Array[Byte],
+      restart: Int): Array[Byte] = {
     require(width > 0 && height > 0 && gray.length == width * height,
       s"plane length ${gray.length} != $width x $height")
+    require(restart >= 0 && restart <= 65535, s"bad DRI $restart")
     val (plane, pw, ph) = padPlane(width, height,
       (x, y) => gray(y * width + x) & 0xff)
     val out = new java.io.ByteArrayOutputStream()
@@ -470,21 +479,29 @@ object Jpeg {
     out.write(1); out.write(0x11); out.write(0) // id 1, H=V=1, Tq 0
     writeDht(out, 0, 0, DcLumBits, DcLumVals)
     writeDht(out, 1, 0, AcLumBits, AcLumVals)
+    if (restart > 0) { marker(out, 0xdd); wbe16(out, 4); wbe16(out, restart) }
     marker(out, 0xda); wbe16(out, 8) // SOS
     out.write(1); out.write(1); out.write(0x00) // comp 1 uses Td=Ta=0
     out.write(0); out.write(63); out.write(0)   // Ss, Se, AhAl
-    val bw = new BitWriter(out)
+    var bw = new BitWriter(out)
     val zz = new Array[Int](64)
     var pred = 0
-    var by = 0
-    while (by < ph / 8) {
-      var bx = 0
-      while (bx < pw / 8) {
-        quantBlock(plane, pw, bx * 8, by * 8, QLum, zz)
-        pred = encodeBlock(bw, zz, pred, DcLumEnc, AcLumEnc)
-        bx += 1
+    val totalMcus = (ph / 8) * (pw / 8)
+    var mcu = 0
+    var rstN = 0
+    while (mcu < totalMcus) {
+      val bx = mcu % (pw / 8)
+      val by = mcu / (pw / 8)
+      quantBlock(plane, pw, bx * 8, by * 8, QLum, zz)
+      pred = encodeBlock(bw, zz, pred, DcLumEnc, AcLumEnc)
+      mcu += 1
+      if (restart > 0 && mcu % restart == 0 && mcu < totalMcus) {
+        bw.flush() // byte-align before the marker
+        marker(out, 0xd0 + rstN)
+        rstN = (rstN + 1) % 8
+        pred = 0
+        bw = new BitWriter(out)
       }
-      by += 1
     }
     bw.flush()
     marker(out, 0xd9) // EOI

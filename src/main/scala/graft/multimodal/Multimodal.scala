@@ -773,6 +773,61 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "sum_luma", "compressed")
   }
 
+  /** L5z3: real format conversion INTO the lossy codec — BMP in,
+    * baseline 4:4:4 COLOR JPEG out, both ends parsed (the
+    * mm_transcode_png twin, with the re-encode step crossing the
+    * lossy boundary): decode 24-bit BMP bytes with the pluggable BMP
+    * decoder, re-encode the raster as a real three-component YCbCr
+    * JPEG ([[Jpeg.encodeColor444]]), decode THAT with the pluggable
+    * JPEG decoder, and prove losslessness by byte-comparing the final
+    * raster against the original (`lossless_ok`). The raster is
+    * gray-valued constant blocks — the class BOTH boundaries invert
+    * exactly: R=G=B survives the integer BT.601 round trip (the
+    * conversion coefficients sum per channel), and constant even
+    * blocks survive quantization (the ORACLES.md round-10
+    * convention). `jpeg_smaller` asserts the entropy-coded container
+    * beat the uncompressed BMP; both flags exhaustively
+    * spec-verified over all 96 raster classes. Emitted sums come
+    * from the FINAL decode.
+    *
+    * Scale: one map-only pass, per-partition decoder init. */
+  def mmTranscodeJpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bmpClass =
+      s.conf.get(ImageDecoderConfKey, classOf[Codecs.BmpDecoder].getName)
+    val jpegClass =
+      s.conf.get(JpegDecoderConfKey, classOf[Jpeg.JpegDecoder].getName)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val bmpDec = instantiate[Codecs.ImageDecoder](bmpClass)
+        val jpegDec = instantiate[Codecs.ImageDecoder](jpegClass)
+        it.map { id =>
+          val bw = (4 + id % 3).toInt
+          val bh = (2 + id % 2).toInt
+          val g = jpegBlockGray(id, 0, bw, bh)
+          val rgb = new Array[Byte](g.length * 3)
+          var i = 0
+          while (i < g.length) {
+            rgb(3 * i) = g(i); rgb(3 * i + 1) = g(i)
+            rgb(3 * i + 2) = g(i)
+            i += 1
+          }
+          val bmp = Codecs.bmpEncode(bw * 8, bh * 8, rgb)
+          val im1 = bmpDec.decode(bmp)
+          val jpeg = Jpeg.encodeColor444(im1.width, im1.height, im1.rgb)
+          val im2 = jpegDec.decode(jpeg)
+          var sum = 0L
+          i = 0
+          while (i < im2.rgb.length) { sum += im2.rgb(i) & 0xff; i += 1 }
+          (id, bmp.length.toLong, im2.width, im2.height, sum,
+            java.util.Arrays.equals(im2.rgb, rgb),
+            jpeg.length < bmp.length)
+        }
+      }.toDF("doc_id", "bmp_bytes", "width", "height", "sum_rgb",
+        "lossless_ok", "jpeg_smaller")
+      .orderBy("doc_id")
+  }
+
   /** L5z2: M-JPEG AVI — JPEG scans as the per-frame payload of the
     * engine's RIFF chunk walk ([[Jpeg.aviEncodeMjpeg]] /
     * [[Jpeg.MjpegAviDecoder]]): a genuinely COMPRESSED video codec
@@ -788,12 +843,19 @@ object Multimodal {
     *
     * Scale: map-only, per-partition decoder init, one container per
     * row — the same shape that ScaleProbes flat on the DIB path. */
-  def mmDecodeMjpeg(s: SparkSession, dir: String): DataFrame = {
+  def mmDecodeMjpeg(s: SparkSession, dir: String): DataFrame =
+    mmDecodeMjpegOn(
+      Tables.documents(s, dir).select(col("doc_id"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong))
+      .orderBy("doc_id")
+
+  /** Streaming-legal core (no sort; one pure mapPartitions pass). */
+  def mmDecodeMjpegOn(ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
     import s.implicits._
     val decoderClass =
       s.conf.get(MjpegDecoderConfKey, classOf[Jpeg.MjpegAviDecoder].getName)
-    Tables.documents(s, dir).select(col("doc_id"))
-      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+    ids
       .mapPartitions { it =>
         val dec = instantiate[Codecs.VideoDecoder](decoderClass)
         it.map { id =>
@@ -819,7 +881,6 @@ object Multimodal {
         }
       }.toDF("doc_id", "width", "height", "n_frames", "fps", "sum_luma",
         "compressed")
-      .orderBy("doc_id")
   }
 
   /** L5y: SNIFF-AND-DISPATCH over a MIXED-format corpus — the
@@ -1740,17 +1801,45 @@ object Multimodal {
         classOf[Codecs.Mp4VideoDecoder].getName),
       (w, h, fps, fr) => Codecs.mp4EncodeVideo(600, 600 / fps, w, h, fr))
 
+  /** L5w: [[refEp3Real]] over a genuinely COMPRESSED video codec —
+    * the reference's loop as it actually runs in practice: source
+    * clips are M-JPEG AVIs (every frame an independent baseline JPEG
+    * inside the RIFF walk), the decode step runs the from-scratch
+    * Huffman + integer-IDCT path per frame, and each emitted sample
+    * re-encodes as an uncompressed DIB AVI — a real compressed-in /
+    * raw-out TRANSCODE, the cv2.VideoCapture -> VideoWriter shape of
+    * raw_to_samples.py:173-196 + 241-258. Frames are drawn from the
+    * JPEG codec's exactly invertible class ([[jpegBlockGray]] — the
+    * ORACLES.md round-10 convention), so every downstream stat stays
+    * hash-exact: the argmax detector sees block-constant luma (the
+    * oracle's pixel-level MIN(y*w+x) replay is unchanged), crops
+    * slice exact rasters at ANY alignment (the sub-video is DIB, so
+    * no re-quantization touches the cropped pixels), and sub_bytes
+    * is aviSize's closed form. */
+  def refEp3Mjpeg(s: SparkSession, dir: String): DataFrame =
+    ep3Chain(segClipsMjpeg(s, dir),
+      s.conf.get(MjpegDecoderConfKey,
+        classOf[Jpeg.MjpegAviDecoder].getName),
+      (w, h, fps, fr) => Codecs.aviEncode(w, h, fps, fr),
+      subDecoderClass = s.conf.get(VideoDecoderConfKey,
+        classOf[Codecs.AviDecoder].getName))
+
   /** The step-3 chain body shared by the AVI and MP4 spellings —
     * container-independent by construction: parameterized only by
     * the clip relation, the decoder binding, and the sample
     * re-encoder (a capture-free function, safe to ship to tasks). */
   private def ep3Chain(clips: DataFrame, decoderClass: String,
-      reencode: (Int, Int, Int, Seq[Array[Byte]]) => Array[Byte])
-      : DataFrame = {
+      reencode: (Int, Int, Int, Seq[Array[Byte]]) => Array[Byte],
+      subDecoderClass: String = null): DataFrame = {
     val s = clips.sparkSession
     import s.implicits._
+    val subClass =
+      if (subDecoderClass == null) decoderClass else subDecoderClass
     clips.as[(Long, Array[Byte])].mapPartitions { it =>
       val dec = instantiate[Codecs.VideoDecoder](decoderClass)
+      val subDec =
+        if (subClass == decoderClass) dec
+        else instantiate[Codecs.VideoDecoder](subClass)
       it.flatMap { case (id, bytes) =>
         val v = dec.decode(bytes)
         val fq = v.fps * SegmentLengthSec
@@ -1799,7 +1888,7 @@ object Multimodal {
               out
             }
             val sub = reencode(cw, ch, v.fps, cropped)
-            val v2 = dec.decode(sub)
+            val v2 = subDec.decode(sub)
             var sum = 0L
             v2.frames.foreach { fr =>
               var i = 0
@@ -1841,6 +1930,25 @@ object Multimodal {
   /** Longer low-fps clips (fps 2, so frames_per_segment = 4 fits the
     * 6-13 frame range) shared by [[mmVideoSegments]] and
     * [[refEp3Real]] — one pattern, one oracle CTE chain. */
+  /** [[jpegBlockGray]] frames (the JPEG codec's invertible class)
+    * muxed as M-JPEG AVIs at fps 2 — the source relation of
+    * [[refEp3Mjpeg]]. Gray block rasters: R=G=B per pixel, so the
+    * oracle's pixel value is 3x the block gray. */
+  private def segClipsMjpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bw = (2 + id % 2).toInt
+          val bh = (1 + id % 2).toInt
+          val nf = (6 + id % 6).toInt
+          val frames = (0 until nf).map(f =>
+            Jpeg.encodeGray(bw * 8, bh * 8, jpegBlockGray(id, f, bw, bh)))
+          (id, Jpeg.aviEncodeMjpeg(bw * 8, bh * 8, 2, frames))
+        }
+      }.toDF("doc_id", "avi")
+  }
+
   private def segClips(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id")).as[Long]
@@ -2336,6 +2444,8 @@ object Multimodal {
     "mm_decode_jpeg" -> mmDecodeJpeg,
     "mm_decode_mjpeg" -> mmDecodeMjpeg,
     "mm_pipeline_full" -> mmPipelineFull,
+    "ref_ep3_mjpeg" -> refEp3Mjpeg,
+    "mm_transcode_jpeg" -> mmTranscodeJpeg,
     "mm_sniff_decode" -> mmSniffDecode,
     "mm_decode_quarantine" -> mmDecodeQuarantine,
     "mm_transcode_png" -> mmTranscodePng,
@@ -2755,6 +2865,26 @@ object Multimodal {
         |    + 32)) AS BIGINT) AS sum_luma,
         |  TRUE AS compressed
         |FROM bl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // BMP -> color JPEG transcode on the doubly invertible class
+    // (gray-valued constant even blocks): closed-form BMP size,
+    // final-decode sum = 3 x 64 x block gray, both flags checked
+    // columns (spec-verified over all 96 classes).
+    "mm_transcode_jpeg" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 3 AS bw,
+        |    2 + doc_id % 2 AS bh FROM documents),
+        |bl AS (SELECT doc_id, bw, bh, bis.i AS bi, bjs.j AS bj
+        |  FROM d, range(0, 7) bis(i), range(0, 4) bjs(j)
+        |  WHERE bis.i < bw AND bjs.j < bh)
+        |SELECT doc_id,
+        |  CAST(54 + ((MAX(bw) * 8 * 3 + 3) // 4) * 4 * MAX(bh) * 8
+        |    AS BIGINT) AS bmp_bytes,
+        |  CAST(MAX(bw) * 8 AS INT) AS width,
+        |  CAST(MAX(bh) * 8 AS INT) AS height,
+        |  CAST(SUM(3 * 64 * (2 * ((doc_id * 5 + bi * 19 + bj * 37)
+        |    % 96) + 32)) AS BIGINT) AS sum_rgb,
+        |  TRUE AS lossless_ok,
+        |  TRUE AS jpeg_smaller
+        |FROM bl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // M-JPEG: per-frame JPEGs from the same invertible class inside
     // the RIFF walk; frame count/fps from the parsed strh; the
     // container size is entropy-dependent so `compressed` bounds it
@@ -2890,6 +3020,62 @@ object Multimodal {
     // sum, closed-form sub-video size.
     "ref_ep3_real" ->
       s"""WITH $segClipSql,
+        |vm AS (SELECT doc_id, f, MAX(v) AS v_max FROM pv GROUP BY 1, 2),
+        |am AS (SELECT pv.doc_id, pv.f, MIN(y * pv.w + x) AS bi,
+        |    MAX(pv.w) AS w2
+        |  FROM pv JOIN vm ON pv.doc_id = vm.doc_id AND pv.f = vm.f
+        |    AND pv.v = vm.v_max
+        |  GROUP BY 1, 2),
+        |tr AS (SELECT doc_id, f, bi % w2 AS ax, bi // w2 AS ay FROM am),
+        |bx AS (SELECT sb.doc_id, sb.start_frame // 4 AS seg,
+        |    sb.start_frame, sb.end_frame, sb.w, sb.h,
+        |    GREATEST(MIN(tr.ax) - 1, 0) AS x1,
+        |    LEAST(MAX(tr.ax) + 1, sb.w - 1) AS x2,
+        |    GREATEST(MIN(tr.ay) - 1, 0) AS y1,
+        |    LEAST(MAX(tr.ay) + 1, sb.h - 1) AS y2
+        |  FROM sb JOIN tr ON sb.doc_id = tr.doc_id
+        |    AND tr.f >= sb.start_frame AND tr.f < sb.end_frame
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |cx AS (SELECT bx.doc_id, bx.seg,
+        |    CAST(SUM(pv.v) AS BIGINT) AS sum_rgb_sub
+        |  FROM bx JOIN pv ON bx.doc_id = pv.doc_id
+        |    AND pv.f >= bx.start_frame AND pv.f < bx.end_frame
+        |    AND pv.x >= bx.x1 AND pv.x <= bx.x2
+        |    AND pv.y >= bx.y1 AND pv.y <= bx.y2
+        |  GROUP BY 1, 2)
+        |SELECT bx.doc_id, CAST(bx.seg AS BIGINT) AS seg,
+        |  CAST(start_frame AS BIGINT) AS start_frame,
+        |  CAST(end_frame AS BIGINT) AS end_frame,
+        |  CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+        |  CAST(x2 - x1 + 1 AS BIGINT) AS crop_w,
+        |  CAST(y2 - y1 + 1 AS BIGINT) AS crop_h,
+        |  CAST(224 + (end_frame - start_frame) *
+        |    (8 + (((x2 - x1 + 1) * 3 + 3) // 4) * 4 * (y2 - y1 + 1))
+        |    AS BIGINT) AS sub_bytes,
+        |  cx.sum_rgb_sub
+        |FROM bx JOIN cx ON bx.doc_id = cx.doc_id AND bx.seg = cx.seg
+        |ORDER BY bx.doc_id, seg""".stripMargin,
+    // The ep3 chain over M-JPEG: pixel values are 3x the block gray
+    // (R=G=B), the argmax/track/bbox/crop machinery is the shared
+    // pixel-level replay, and sub_bytes is the DIB-AVI closed form
+    // (the emitted samples are uncompressed — a real transcode).
+    "ref_ep3_mjpeg" ->
+      """WITH d AS (SELECT doc_id, 16 + (doc_id % 2) * 8 AS w,
+        |    8 + (doc_id % 2) * 8 AS h, 6 + doc_id % 6 AS nf
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, nf, fs.f, xs.x, ys.y
+        |  FROM d, range(0, 12) fs(f), range(0, 24) xs(x),
+        |    range(0, 16) ys(y)
+        |  WHERE fs.f < nf AND xs.x < w AND ys.y < h),
+        |pv AS (SELECT doc_id, w, h, nf, f, x, y,
+        |    3 * (2 * ((doc_id * 5 + f * 29 + (x // 8) * 19
+        |      + (y // 8) * 37) % 96) + 32) AS v
+        |  FROM px),
+        |sg AS (SELECT doc_id, w, h, nf, ss.s AS start_frame
+        |  FROM d, range(0, 12, 4) ss(s) WHERE ss.s < nf),
+        |sb AS (SELECT doc_id, w, h, nf, start_frame,
+        |    LEAST(start_frame + 5, nf) AS end_frame FROM sg
+        |  WHERE LEAST(start_frame + 5, nf) - start_frame >= 4),
         |vm AS (SELECT doc_id, f, MAX(v) AS v_max FROM pv GROUP BY 1, 2),
         |am AS (SELECT pv.doc_id, pv.f, MIN(y * pv.w + x) AS bi,
         |    MAX(pv.w) AS w2

@@ -452,6 +452,96 @@ class MultimodalJpegSpec extends SparkSpecBase {
       "unknown")
   }
 
+  test("mm_transcode_jpeg flags are THEOREMS over all 96 raster " +
+    "classes: BMP -> color 4:4:4 JPEG -> decode is byte-lossless on " +
+    "the doubly invertible class, and the JPEG always beats the BMP") {
+    val bmpDec = new Codecs.BmpDecoder
+    var id = 0L
+    while (id < 96) {
+      val bw = (4 + id % 3).toInt; val bh = (2 + id % 2).toInt
+      val g = new Array[Byte](bw * 8 * bh * 8)
+      for (bj <- 0 until bh; bi <- 0 until bw) {
+        val v = (2 * ((id * 5 + bi * 19 + bj * 37) % 96) + 32).toByte
+        for (y <- 0 until 8; x <- 0 until 8)
+          g((bj * 8 + y) * bw * 8 + bi * 8 + x) = v
+      }
+      val rgb = new Array[Byte](g.length * 3)
+      var i = 0
+      while (i < g.length) {
+        rgb(3 * i) = g(i); rgb(3 * i + 1) = g(i); rgb(3 * i + 2) = g(i)
+        i += 1
+      }
+      val bmp = Codecs.bmpEncode(bw * 8, bh * 8, rgb)
+      val im1 = bmpDec.decode(bmp)
+      val jpeg = Jpeg.encodeColor444(im1.width, im1.height, im1.rgb)
+      val im2 = dec.decode(jpeg)
+      assert(java.util.Arrays.equals(im2.rgb, rgb),
+        s"class $id not lossless")
+      assert(jpeg.length < bmp.length,
+        s"class $id: jpeg ${jpeg.length} !< bmp ${bmp.length}")
+      id += 1
+    }
+  }
+
+  test("ref_ep3_mjpeg: segments replay the fps*2/+1-overlap/trailing-" +
+    "drop rule per clip, and every emitted sample's byte size is the " +
+    "DIB-AVI closed form (compressed in, raw out — the transcode is " +
+    "structural, not asserted)") {
+    import graft.multimodal.Multimodal
+    val rows = Multimodal.refEp3Mjpeg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    for ((id, segs) <- byDoc.take(80)) {
+      val nf = (6 + id % 6).toInt
+      val expected = (0 until nf by 4)
+        .map(st => (st, math.min(st + 5, nf)))
+        .filter { case (st, en) => en - st >= 4 }
+      assert(segs.map(r => (r._3.toInt, r._4.toInt)).toSet ==
+        expected.toSet, s"doc $id spans")
+      for ((_, _, st, en, cw, ch, subBytes, sum) <- segs) {
+        assert(subBytes ==
+          Codecs.aviSize(cw.toInt, ch.toInt, (en - st).toInt).toLong,
+          s"doc $id sub_bytes")
+        assert(sum > 0)
+      }
+    }
+  }
+
+  test("restart markers: DRI + cycling RST0-7 streams decode exactly " +
+    "(DC predictors reset per interval), across intervals that do and " +
+    "do not divide the MCU count; corrupted RST ordinal fails fast; " +
+    "ImageIO reads our restart streams") {
+    import javax.imageio.ImageIO
+    val g = constBlockGray(17L, 5, 4) // 20 MCUs
+    for (ri <- Seq(1, 3, 4, 7, 20, 25)) {
+      val jpeg = Jpeg.encodeGray(40, 32, g, ri)
+      val im = dec.decode(jpeg)
+      var i = 0
+      while (i < g.length) {
+        assert((im.rgb(3 * i) & 0xff) == (g(i) & 0xff),
+          s"ri=$ri pixel $i")
+        i += 1
+      }
+      val bi = ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      assert(bi != null && bi.getRaster.getSample(0, 0, 0) ==
+        (g(0) & 0xff), s"ri=$ri foreign read")
+    }
+    // break the first RST marker's ordinal: decoder must fail fast
+    val jpeg = Jpeg.encodeGray(40, 32, g, 3)
+    var p = -1
+    var i = 2
+    while (p < 0 && i + 1 < jpeg.length) {
+      if ((jpeg(i) & 0xff) == 0xff && (jpeg(i + 1) & 0xff) == 0xd0)
+        p = i + 1
+      i += 1
+    }
+    assert(p > 0, "no RST0 found in the stream")
+    jpeg(p) = 0xd5.toByte
+    intercept[IllegalArgumentException] { dec.decode(jpeg) }
+  }
+
   test("interlaced GIF87a decodes index-exact: hand-built files (pass-" +
     "order-permuted raster + interlace flag) across heights below and " +
     "above every pass stride — the path no writer in this container " +

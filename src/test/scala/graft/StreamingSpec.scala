@@ -697,7 +697,8 @@ class StreamingSpec extends SparkSpecBase {
         org.apache.spark.sql.Dataset[Long] =>
           org.apache.spark.sql.DataFrame)](
         "sniff" -> multimodal.Multimodal.mmSniffDecodeOn,
-        "jpeg" -> multimodal.Multimodal.mmDecodeJpegOn)) {
+        "jpeg" -> multimodal.Multimodal.mmDecodeJpegOn,
+        "mjpeg" -> multimodal.Multimodal.mmDecodeMjpegOn)) {
       val q = core(streamIds)
         .writeStream.outputMode("append").format("memory")
         .queryName(s"sniff_stream_$name").start()
