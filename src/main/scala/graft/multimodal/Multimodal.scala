@@ -886,16 +886,18 @@ object Multimodal {
   /** L5y: SNIFF-AND-DISPATCH over a MIXED-format corpus — the
     * ingest rung the reference's extension filter
     * (preprocess_dataset.py:10-31) approximates: files arrive with
-    * six different container formats interleaved (per doc parity:
-    * BMP, PNG, GIF, WAV, AVI, MP4), the format is detected from the
+    * SEVEN different container formats interleaved (per doc parity:
+    * BMP, PNG, GIF, WAV, AVI, MP4, and — since round 10 — baseline
+    * JPEG, the lossy one), the format is detected from the
     * MAGIC BYTES alone ([[Codecs.sniff]] — no filename, no schema
     * column), and each container routes to its real decoder. The
     * emitted `format` column comes from the sniffer, so the oracle
     * (which derives the format from doc parity) checks that content
     * detection got every file right; `content_sum` is the decoded
     * payload mass (RGB sum for rasters/frames, |PCM| sum for audio)
-    * under each format's own deterministic pattern — all six decode
-    * paths exercised in ONE relation, every stat from parsed bytes.
+    * under each format's own deterministic pattern — all seven
+    * decode paths exercised in ONE relation, every stat from parsed
+    * bytes.
     *
     * Scale: one map-only pass; the dispatch is per-row and the six
     * decoders amortize per partition like any other binding. */
@@ -935,6 +937,7 @@ object Multimodal {
     private val wav = new Codecs.WavDecoder()
     private val avi = new Codecs.AviDecoder()
     private val mp4 = new Codecs.Mp4VideoDecoder()
+    private val jpeg = new Jpeg.JpegDecoder()
     private def rgbSum(a: Array[Byte]): Long = {
       var s = 0L; var i = 0
       while (i < a.length) { s += a(i) & 0xff; i += 1 }
@@ -972,6 +975,9 @@ object Multimodal {
           val v = mp4.decode(bytes)
           (v.frames.map(rgbSum).sum, v.width, v.height,
             v.frames.map(_.length.toLong).sum)
+        case "jpeg" =>
+          val im = jpeg.decode(bytes)
+          (rgbSum(im.rgb), im.width, im.height, im.rgb.length.toLong)
         case other => throw new IllegalStateException(
           s"no decoder for sniffed format '$other'")
       }
@@ -998,8 +1004,8 @@ object Multimodal {
   }
 
   /** One deterministic container per id, format by parity (BMP, PNG,
-    * GIF, WAV, AVI, MP4) — the per-id byte builder behind the sniff /
-    * quarantine / pipeline corpora. */
+    * GIF, WAV, AVI, MP4, JPEG) — the per-id byte builder behind the
+    * sniff / quarantine / pipeline corpora. */
   private[multimodal] def sniffContainer(id: Long): Array[Byte] = {
         def raster(w: Int, h: Int)(px: (Int, Int) => (Long, Long, Long))
             : Array[Byte] = {
@@ -1019,7 +1025,7 @@ object Multimodal {
           }
           out
         }
-          (id % 6) match {
+          (id % 7) match {
             case 0 =>
               val w = (16 + id % 16).toInt; val h = (12 + id % 8).toInt
               Codecs.bmpEncode(w, h, raster(w, h)((x, y) => (
@@ -1048,7 +1054,7 @@ object Multimodal {
                   id * 7 + f * 41 + x * 13 + y * 31,
                   id * 11 + f * 19 + x * 17 + y * 5,
                   id * 3 + f * 53 + x * 29 + y * 23))))
-            case _ =>
+            case 5 =>
               val w = (8 + id % 6).toInt; val h = (6 + id % 4).toInt
               val nf = (3 + id % 4).toInt
               Codecs.mp4EncodeVideo(600, (20 + (id % 3) * 20).toInt,
@@ -1058,6 +1064,14 @@ object Multimodal {
                     id * 15 + f * 23 + x * 19 + y * 7,
                     id * 5 + f * 47 + x * 31 + y * 17))),
                 moovLast = id % 2 == 0)
+            case _ =>
+              // the LOSSY format joins the mixed ingest: baseline
+              // JPEG from the invertible class (the mm_decode_jpeg
+              // pattern verbatim — the shared-literal rule)
+              Jpeg.encodeGray((2 + id % 3).toInt * 8,
+                (1 + id % 2).toInt * 8,
+                jpegBlockGray(id, 0, (2 + id % 3).toInt,
+                  (1 + id % 2).toInt))
           }
   }
 
@@ -1092,8 +1106,8 @@ object Multimodal {
     * and the pipeline capstone: a slice of every format class gets its
     * magic bytes flipped, a slice of the PNGs one IDAT byte flipped. */
   private def corruptMaybe(id: Long, bytes0: Array[Byte]): Array[Byte] = {
-    val magicCorrupt = (id / 6) % 5 == 2
-    val bodyCorrupt = id % 6 == 1 && (id / 6) % 5 == 3
+    val magicCorrupt = (id / 7) % 5 == 2
+    val bodyCorrupt = id % 7 == 1 && (id / 7) % 5 == 3
     if (magicCorrupt) {
       val b = bytes0.clone()
       b(0) = (b(0) ^ 0xff).toByte
@@ -1133,9 +1147,9 @@ object Multimodal {
     * packing, composed as ONE lazy plan over real container bytes,
     * reported as a funnel row per format (the shape an ingest design
     * review reads first). The corpus deliberately contains
-    * duplicates: every container whose class index has (id/6) % 4
+    * duplicates: every container whose class index has (id/7) % 4
     * == 1 is a byte-identical re-upload of its predecessor in the
-    * same format class (seed id-6 — parity preserved), so the dedup
+    * same format class (seed id-7 — parity preserved), so the dedup
     * stage has real work; the quarantine corruption classes are the
     * mm_decode_quarantine ones (shared corruptMaybe). Stage rules:
     * (1) magic-flipped containers quarantine as unknown_format,
@@ -1162,7 +1176,7 @@ object Multimodal {
       .mapPartitions { it =>
         val dec = new SniffDecoders() // per-partition init (M1 contract)
         it.map { id =>
-          val seed = if ((id / 6) % 4 == 1) id - 6 else id
+          val seed = if ((id / 7) % 4 == 1) id - 7 else id
           val bytes = corruptMaybe(id, sniffContainer(seed))
           val format = Codecs.sniff(bytes)
           if (format == "unknown")
@@ -2512,7 +2526,7 @@ object Multimodal {
       |    + (doc_id * 3 + f * 53 + x * 29 + y * 23) % 256 AS v
       |  FROM px)""".stripMargin
 
-  /** The six per-parity pattern-sum CTEs (each format's dedicated
+  /** The seven per-parity pattern-sum CTEs (each format's dedicated
     * mm_decode_* arithmetic, the shared-literal rule six times
     * over) + their union `sums(doc_id, format, s)` — shared by the
     * mm_sniff_decode and mm_decode_quarantine oracles. */
@@ -2523,7 +2537,7 @@ object Multimodal {
         |    + (d.doc_id * 3 + x * 29 + y * 23) % 256) AS BIGINT) AS s
         |  FROM (SELECT doc_id, 16 + doc_id % 16 AS w,
         |      12 + doc_id % 8 AS h FROM documents
-        |    WHERE doc_id % 6 = 0) d,
+        |    WHERE doc_id % 7 = 0) d,
         |    range(0, 31) xs(x), range(0, 19) ys(y)
         |  WHERE xs.x < w AND ys.y < h GROUP BY d.doc_id),
         |png AS (SELECT d.doc_id, CAST(SUM(
@@ -2532,7 +2546,7 @@ object Multimodal {
         |    + (d.doc_id * 17 + x * 23 + y * 3) % 256) AS BIGINT) AS s
         |  FROM (SELECT doc_id, 16 + doc_id % 16 AS w,
         |      12 + doc_id % 8 AS h FROM documents
-        |    WHERE doc_id % 6 = 1) d,
+        |    WHERE doc_id % 7 = 1) d,
         |    range(0, 31) xs(x), range(0, 19) ys(y)
         |  WHERE xs.x < w AND ys.y < h GROUP BY d.doc_id),
         |gif AS (SELECT d.doc_id, CAST(SUM(
@@ -2542,14 +2556,14 @@ object Multimodal {
         |    AS BIGINT) AS s
         |  FROM (SELECT doc_id, 16 + doc_id % 12 AS w,
         |      10 + doc_id % 6 AS h FROM documents
-        |    WHERE doc_id % 6 = 2) d,
+        |    WHERE doc_id % 7 = 2) d,
         |    range(0, 27) xs(x), range(0, 15) ys(y)
         |  WHERE xs.x < w AND ys.y < h GROUP BY d.doc_id),
         |wav AS (SELECT d.doc_id, CAST(SUM(abs(
         |    (d.doc_id * 37 + ss.i * ss.i * 13) % 4096 - 2048))
         |    AS BIGINT) AS s
         |  FROM (SELECT doc_id, 160 + doc_id % 64 AS n FROM documents
-        |    WHERE doc_id % 6 = 3) d, range(0, 223) ss(i)
+        |    WHERE doc_id % 7 = 3) d, range(0, 223) ss(i)
         |  WHERE ss.i < n GROUP BY d.doc_id),
         |avi AS (SELECT d.doc_id, CAST(SUM(
         |    (d.doc_id * 7 + f * 41 + x * 13 + y * 31) % 256
@@ -2558,7 +2572,7 @@ object Multimodal {
         |    AS BIGINT) AS s
         |  FROM (SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 5 AS h,
         |      3 + doc_id % 4 AS nf FROM documents
-        |    WHERE doc_id % 6 = 4) d,
+        |    WHERE doc_id % 7 = 4) d,
         |    range(0, 6) fs(f), range(0, 15) xs(x), range(0, 10) ys(y)
         |  WHERE fs.f < nf AND xs.x < w AND ys.y < h GROUP BY d.doc_id),
         |mp4 AS (SELECT d.doc_id, CAST(SUM(
@@ -2568,15 +2582,24 @@ object Multimodal {
         |    AS BIGINT) AS s
         |  FROM (SELECT doc_id, 8 + doc_id % 6 AS w, 6 + doc_id % 4 AS h,
         |      3 + doc_id % 4 AS nf FROM documents
-        |    WHERE doc_id % 6 = 5) d,
+        |    WHERE doc_id % 7 = 5) d,
         |    range(0, 6) fs(f), range(0, 13) xs(x), range(0, 9) ys(y)
         |  WHERE fs.f < nf AND xs.x < w AND ys.y < h GROUP BY d.doc_id),
+        |jpg AS (SELECT d.doc_id, CAST(SUM(3 * 64 *
+        |    (2 * ((d.doc_id * 5 + bis.i * 19 + bjs.j * 37) % 96)
+        |     + 32)) AS BIGINT) AS s
+        |  FROM (SELECT doc_id, 2 + doc_id % 3 AS bw,
+        |      1 + doc_id % 2 AS bh FROM documents
+        |    WHERE doc_id % 7 = 6) d,
+        |    range(0, 5) bis(i), range(0, 3) bjs(j)
+        |  WHERE bis.i < bw AND bjs.j < bh GROUP BY d.doc_id),
       |sums AS (SELECT doc_id, 'bmp' AS format, s FROM bmp
       |  UNION ALL SELECT doc_id, 'png', s FROM png
       |  UNION ALL SELECT doc_id, 'gif', s FROM gif
       |  UNION ALL SELECT doc_id, 'wav', s FROM wav
       |  UNION ALL SELECT doc_id, 'avi', s FROM avi
-      |  UNION ALL SELECT doc_id, 'mp4', s FROM mp4)""".stripMargin
+      |  UNION ALL SELECT doc_id, 'mp4', s FROM mp4
+      |  UNION ALL SELECT doc_id, 'jpeg', s FROM jpg)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Closed-form replay of the probe: container size (Codecs
@@ -2728,8 +2751,8 @@ object Multimodal {
     "mm_decode_quarantine" ->
       s"""WITH $sniffSumsSql,
         |cls AS (SELECT doc_id, format, s,
-        |    CASE WHEN (doc_id // 6) % 5 = 2 THEN 'magic'
-        |      WHEN doc_id % 6 = 1 AND (doc_id // 6) % 5 = 3
+        |    CASE WHEN (doc_id // 7) % 5 = 2 THEN 'magic'
+        |      WHEN doc_id % 7 = 1 AND (doc_id // 7) % 5 = 3
         |        THEN 'body'
         |      ELSE 'ok' END AS c
         |  FROM sums)
@@ -2759,43 +2782,47 @@ object Multimodal {
         |  TRUE AS compressed
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // The capstone oracle composes the stages' own closed forms: the
-    // six sniffSumsSql pattern-sum CTEs evaluated at the SEED id (the
-    // dedup corpus re-uploads every (id/6)%4==1 container from seed
-    // id-6), the quarantine corruption classes, format-parity dims
+    // seven sniffSumsSql pattern-sum CTEs evaluated at the SEED id
+    // (the dedup corpus re-uploads every (id/7)%4==1 container from
+    // seed id-7), the quarantine corruption classes, format-parity dims
     // and payload byte counts, the dedup window, the resolution rule
     // and the shard prefix-sum — the funnel row per format.
     "mm_pipeline_full" ->
       (s"""WITH $sniffSumsSql,
         |ids AS (SELECT doc_id,
-        |    CASE WHEN (doc_id // 6) % 4 = 1 THEN doc_id - 6
+        |    CASE WHEN (doc_id // 7) % 4 = 1 THEN doc_id - 7
         |      ELSE doc_id END AS e,
-        |    (doc_id // 6) % 5 = 2 AS magic,
-        |    doc_id % 6 = 1 AND (doc_id // 6) % 5 = 3 AS body
+        |    (doc_id // 7) % 5 = 2 AS magic,
+        |    doc_id % 7 = 1 AND (doc_id // 7) % 5 = 3 AS body
         |  FROM documents),
         |dims AS (SELECT doc_id AS e,
-        |    CASE doc_id % 6
+        |    CASE doc_id % 7
         |      WHEN 0 THEN 16 + doc_id % 16
         |      WHEN 1 THEN 16 + doc_id % 16
         |      WHEN 2 THEN 16 + doc_id % 12
         |      WHEN 3 THEN 0
         |      WHEN 4 THEN 8 + doc_id % 8
-        |      ELSE 8 + doc_id % 6 END AS w,
-        |    CASE doc_id % 6
+        |      WHEN 5 THEN 8 + doc_id % 6
+        |      ELSE (2 + doc_id % 3) * 8 END AS w,
+        |    CASE doc_id % 7
         |      WHEN 0 THEN 12 + doc_id % 8
         |      WHEN 1 THEN 12 + doc_id % 8
         |      WHEN 2 THEN 10 + doc_id % 6
         |      WHEN 3 THEN 0
         |      WHEN 4 THEN 6 + doc_id % 5
-        |      ELSE 6 + doc_id % 4 END AS h,
-        |    CASE doc_id % 6
+        |      WHEN 5 THEN 6 + doc_id % 4
+        |      ELSE (1 + doc_id % 2) * 8 END AS h,
+        |    CASE doc_id % 7
         |      WHEN 0 THEN (16 + doc_id % 16) * (12 + doc_id % 8) * 3
         |      WHEN 1 THEN (16 + doc_id % 16) * (12 + doc_id % 8) * 3
         |      WHEN 2 THEN (16 + doc_id % 12) * (10 + doc_id % 6) * 3
         |      WHEN 3 THEN (160 + doc_id % 64) * 2
         |      WHEN 4 THEN (3 + doc_id % 4) * (8 + doc_id % 8)
         |        * (6 + doc_id % 5) * 3
-        |      ELSE (3 + doc_id % 4) * (8 + doc_id % 6)
-        |        * (6 + doc_id % 4) * 3 END AS payload
+        |      WHEN 5 THEN (3 + doc_id % 4) * (8 + doc_id % 6)
+        |        * (6 + doc_id % 4) * 3
+        |      ELSE (2 + doc_id % 3) * 8 * (1 + doc_id % 2) * 8 * 3
+        |      END AS payload
         |  FROM documents),
         |rows0 AS (SELECT i.doc_id,
         |    CASE WHEN i.magic THEN 'unknown' ELSE su.format END

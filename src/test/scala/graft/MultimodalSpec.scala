@@ -1338,15 +1338,16 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Codecs.sniff("GIF7".getBytes("US-ASCII")) == "unknown")
   }
 
-  test("mm_sniff_decode: six container formats interleaved in one " +
-    "corpus, every format detected from content and routed to its " +
-    "real decoder — format census complete, sums format-consistent") {
+  test("mm_sniff_decode: SEVEN container formats interleaved in one " +
+    "corpus (the lossy JPEG included since round 10), every format " +
+    "detected from content and routed to its real decoder — format " +
+    "census complete, sums format-consistent") {
     val out = multimodal.Multimodal.mmSniffDecode(spark, sf)
       .as[(Long, String, Long)].collect()
     assert(out.nonEmpty)
-    val expected = Seq("bmp", "png", "gif", "wav", "avi", "mp4")
+    val expected = Seq("bmp", "png", "gif", "wav", "avi", "mp4", "jpeg")
     out.foreach { case (id, fmt, sum) =>
-      assert(fmt == expected((id % 6).toInt), s"doc $id sniffed $fmt")
+      assert(fmt == expected((id % 7).toInt), s"doc $id sniffed $fmt")
       assert(sum > 0, s"doc $id empty content")
     }
     // parity classes all present at this corpus size
@@ -1363,8 +1364,8 @@ class MultimodalSpec extends SparkSpecBase {
     val nDocs = Tables.documents(spark, sf).count()
     assert(out.length == nDocs, "a channel dropped rows")
     out.foreach { case (id, status, fmt, sum) =>
-      val magic = (id / 6) % 5 == 2
-      val body = id % 6 == 1 && (id / 6) % 5 == 3
+      val magic = (id / 7) % 5 == 2
+      val body = id % 7 == 1 && (id / 7) % 5 == 3
       if (magic) {
         assert(status == "unknown_format" && fmt == "unknown" &&
           sum.isEmpty, s"doc $id")
