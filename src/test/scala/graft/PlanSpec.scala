@@ -978,6 +978,23 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("sha2"), p)
   }
 
+  test("mm_pipeline_full: ONE decode pass feeds the whole funnel — " +
+    "no cartesian, no join at all (the stages chain through windows " +
+    "over the decoded relation), exactly two window operators " +
+    "(dedup identity + pack prefix-sum), and the quarantined rows' " +
+    "status-keyed salt appears in the dedup partition key") {
+    val p = plan(multimodal.Multimodal.mmPipelineFull(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin"), p)
+    // the decode mapPartitions appears exactly once: the stages read
+    // ONE pass, never re-derive it
+    assert(p.split("MapPartitions").length - 1 == 1, p)
+    assert(p.split("Window").length - 1 == 2, p)
+    // the anti-skew salt: quarantined rows window per doc_id
+    assert(p.contains("CASE WHEN (status"), p)
+  }
+
   test("quality_ece: one scan into a <=10-row rollup; the ECE scalar " +
     "rides a broadcast, not a cartesian product") {
     val p = plan(functions.Text.qualityEce(spark, sf))

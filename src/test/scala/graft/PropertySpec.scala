@@ -213,6 +213,67 @@ class PropertySpec extends AnyFunSuite {
       dec.decode(Codecs.gifEncode(90, 70, big)).indices, big))
   }
 
+  test("codec property: JPEG round-trips ANY gray plane within the " +
+    "quantizer bound, decodes structurally valid rasters at ANY " +
+    "random dims (edge padding), round-trips the invertible class " +
+    "exactly at random geometry, and survives ImageIO on the same " +
+    "random bytes within the cross-IDCT bound") {
+    import multimodal.Jpeg
+    val dec = new Jpeg.JpegDecoder()
+    forAll(Gen.zip(Gen.choose(1, 40), Gen.choose(1, 30),
+      Gen.choose(0L, Long.MaxValue))) { case (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val g = new Array[Byte](w * h)
+      rnd.nextBytes(g)
+      val jpeg = Jpeg.encodeGray(w, h, g)
+      val im = dec.decode(jpeg)
+      assert(im.width == w && im.height == h &&
+        im.rgb.length == w * h * 3)
+      // random noise is the worst case for a quality-50 quantizer:
+      // per-pixel error is bounded by half the largest AC quantizer
+      // times the basis gain — 128 is a safe structural bound that
+      // still catches layout/entropy bugs (those produce ~uniform
+      // garbage)
+      var i = 0
+      while (i < g.length) {
+        assert(math.abs((im.rgb(3 * i) & 0xff) - (g(i) & 0xff)) <= 128)
+        i += 1
+      }
+      // ImageIO agrees on the same bytes within the cross-IDCT bound
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpeg))
+      assert(bi != null && bi.getWidth == w && bi.getHeight == h)
+      var worst = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          worst = math.max(worst, math.abs(
+            (im.rgb((y * w + x) * 3) & 0xff) -
+              bi.getRaster.getSample(x, y, 0)))
+          x += 1
+        }
+        y += 1
+      }
+      assert(worst <= 3, s"cross-IDCT drift $worst on random content")
+      // invertible class at random block geometry: exact
+      val bw = 1 + rnd.nextInt(4); val bh = 1 + rnd.nextInt(3)
+      val cg = new Array[Byte](bw * 8 * bh * 8)
+      for (bj <- 0 until bh; bi2 <- 0 until bw) {
+        val v = (2 * rnd.nextInt(128)).toByte
+        for (yy <- 0 until 8; xx <- 0 until 8)
+          cg((bj * 8 + yy) * bw * 8 + bi2 * 8 + xx) = v
+      }
+      val cim = dec.decode(Jpeg.encodeGray(bw * 8, bh * 8, cg))
+      var j = 0
+      while (j < cg.length) {
+        assert((cim.rgb(3 * j) & 0xff) == (cg(j) & 0xff),
+          s"invertible class broke at $j")
+        j += 1
+      }
+    }
+  }
+
   test("codec property: WAV, AVI, MP4 video and two-track MP4 AV " +
     "round-trip ANY content exactly") {
     import multimodal.Codecs

@@ -266,5 +266,16 @@ class RobustnessSpec extends SparkSpecBase {
       .as[(Long, Long, Int, Int, Long, Int, Int, Long, Long, Long)]
     val av = killFirst(avBase).collect().toSet
     assert(av == avBase.collect().toSet && av.size == 200)
+    // the round-10 lossy tier retries identically too: the JPEG
+    // integer transforms and Huffman coder are pure functions of the
+    // bytes, so attempt 2 reproduces attempt 1 bit for bit
+    val jBase = multimodal.Multimodal.mmDecodeJpegOn(ids)
+      .as[(Long, Int, Int, Long, Boolean)]
+    val j = killFirst(jBase).collect().toSet
+    assert(j == jBase.collect().toSet && j.size == 200)
+    val mBase = multimodal.Multimodal.mmDecodeMjpegOn(ids)
+      .as[(Long, Int, Int, Long, Int, Long, Boolean)]
+    val m = killFirst(mBase).collect().toSet
+    assert(m == mBase.collect().toSet && m.size == 200)
   }
 }
