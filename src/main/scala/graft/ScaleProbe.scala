@@ -182,6 +182,14 @@ object ScaleProbe {
         multimodal.Multimodal.mmDecodeGifOn(
           d.select(col("doc_id"))
             .as[Long](org.apache.spark.sql.Encoders.scalaLong))),
+      "mm_decode_jpeg" -> (d =>
+        multimodal.Multimodal.mmDecodeJpegOn(
+          d.select(col("doc_id"))
+            .as[Long](org.apache.spark.sql.Encoders.scalaLong))),
+      "mm_decode_mjpeg" -> (d =>
+        multimodal.Multimodal.mmDecodeMjpegOn(
+          d.select(col("doc_id"))
+            .as[Long](org.apache.spark.sql.Encoders.scalaLong))),
     )
 
     // embedding-corpus probe: perturbed copies (one coordinate nudged
