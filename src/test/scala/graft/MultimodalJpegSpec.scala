@@ -542,6 +542,37 @@ class MultimodalJpegSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { dec.decode(jpeg) }
   }
 
+  test("M-JPEG container fuzz: 300 seeded byte corruptions across the " +
+    "RIFF walk + JPEG payloads either fail fast with " +
+    "IllegalArgumentException or decode to structurally valid frames " +
+    "of the stream dims — never any other throwable") {
+    val base = Jpeg.aviEncodeMjpeg(16, 16, 10, (0 until 3).map(f =>
+      Jpeg.encodeGray(16, 16, constBlockGray(f * 7L, 2, 2))))
+    val mdec = new Jpeg.MjpegAviDecoder
+    val rnd = new scala.util.Random(1234)
+    var t = 0
+    while (t < 300) {
+      val b = base.clone()
+      val n = 1 + rnd.nextInt(3)
+      var i = 0
+      while (i < n) {
+        val p = rnd.nextInt(b.length)
+        b(p) = (b(p) ^ (1 << rnd.nextInt(8))).toByte
+        i += 1
+      }
+      try {
+        val v = mdec.decode(b)
+        assert(v.width > 0 && v.height > 0 && v.frames.nonEmpty &&
+          v.frames.forall(_.length == v.width * v.height * 3))
+      } catch {
+        case _: IllegalArgumentException => () // the contract
+        case e: Throwable =>
+          fail(s"corruption $t threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+      t += 1
+    }
+  }
+
   test("interlaced GIF87a decodes index-exact: hand-built files (pass-" +
     "order-permuted raster + interlace flag) across heights below and " +
     "above every pass stride — the path no writer in this container " +
