@@ -1611,8 +1611,14 @@ object Codecs {
     * against 57 + this (signature 8 + IHDR chunk 25 + one IDAT
     * chunk's 12-byte overhead + IEND chunk 12 + payload — what a
     * stored-IDAT PNG of the same raster would at least cost). */
-  def pngRawLen(width: Int, height: Int): Int =
-    height * (1 + width * 3)
+  def pngRawLen(width: Int, height: Int): Int = {
+    // validate in Long BEFORE the Int multiply so crafted dims can
+    // never overflow silently — every caller inherits the invariant
+    val raw = height.toLong * (1L + width.toLong * 3)
+    require(width > 0 && height > 0 && raw <= Int.MaxValue,
+      s"filtered PNG stream for ${width}x$height exceeds Int range")
+    raw.toInt
+  }
 
   /** Encode a top-down RGB raster as a genuine 8-bit truecolor PNG:
     * per-row adaptive filtering that CYCLES all five spec filters

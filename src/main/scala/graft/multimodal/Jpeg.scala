@@ -521,11 +521,15 @@ object Jpeg {
       val r = rgb(base) & 0xff
       val g = rgb(base + 1) & 0xff
       val b = rgb(base + 2) & 0xff
-      sel match {
+      val v = sel match {
         case 0 => (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
         case 1 => 128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16)
         case _ => 128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16)
       }
+      // Saturated pixels can round to 256 (pure blue: Cb = 128 + 128.0...;
+      // pure red: Cr likewise) — clamp to the 8-bit sample range T.81
+      // assumes before the level shift. R=G=B inputs are unaffected.
+      if (v < 0) 0 else if (v > 255) 255 else v
     }
     val planes = (0 to 2).map(c => padPlane(width, height, ch(c)))
     val out = new java.io.ByteArrayOutputStream()
@@ -807,8 +811,16 @@ object Jpeg {
           val r = rs >> 4
           val s = rs & 0x0f
           if (s == 0) {
-            if (r == 15) k += 16 // ZRL
-            else open = false    // EOB
+            // T.81 F.1.2.2: s==0 admits exactly EOB (r=0) and ZRL (r=15);
+            // any other run with size 0 is a malformed stream — fail fast
+            // rather than silently treating it as EOB.
+            require(r == 0 || r == 15, s"undefined AC run/size symbol (r=$r, s=0)")
+            if (r == 15) {
+              k += 16 // ZRL
+              // a ZRL may not advance past the last coefficient — if it
+              // does, the stream is malformed; don't silently drop coefs
+              require(k <= 63, "ZRL advances past block end")
+            } else open = false // EOB
           } else {
             k += r
             require(k < 64, "AC run past block end")
@@ -853,6 +865,11 @@ object Jpeg {
         if (restartInterval > 0 && mcu % restartInterval == 0 &&
           mcu < totalMcus) {
           br.align()
+          // T.81 B.1.1.2 permits optional 0xFF fill bytes before any
+          // marker — skip a run of them before the RSTn check, exactly
+          // as the EOI handling below does.
+          while (br.pos + 1 < b.length && (b(br.pos) & 0xff) == 0xff &&
+            (b(br.pos + 1) & 0xff) == 0xff) br.pos += 1
           require(br.pos + 2 <= b.length &&
             (b(br.pos) & 0xff) == 0xff &&
             (b(br.pos + 1) & 0xff) == 0xd0 + rstN,

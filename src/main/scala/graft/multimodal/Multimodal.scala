@@ -1165,10 +1165,11 @@ object Multimodal {
     *
     * Scale: decode is ONE map-only pass; dedup is a window over the
     * decoded-identity key (high cardinality — no skew); the pack
-    * prefix-sum partitions by format like mm_pack_shards (6
-    * partitions here; the two-phase prefix-sum spelling in
-    * Curation.scala is the drop-in at real format counts); the
-    * funnel aggregation is 7 rows. */
+    * prefix-sum partitions by format like mm_pack_shards (7
+    * partitions here — one per sniff format; the two-phase
+    * prefix-sum spelling in Curation.scala is the drop-in at real
+    * format counts); the funnel aggregation is 8 rows (7 formats +
+    * the unknown channel). */
   def mmPipelineFull(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val budget = 8192L
@@ -1838,6 +1839,157 @@ object Multimodal {
       subDecoderClass = s.conf.get(VideoDecoderConfKey,
         classOf[Codecs.AviDecoder].getName))
 
+  /** L6a: the END-TO-END reference capstone — ALL THREE entry points
+    * chained as ONE lazy plan, the way the reference is actually
+    * operated (README.md:6-32 chains them by hand through the
+    * filesystem):
+    *
+    *   EP1 preprocess (preprocess_dataset.py:10-132): a mixed-format
+    *   corpus — compressed M-JPEG AVIs (the '.mov' class that NEEDS
+    *   converting, :60-69) and raw-DIB AVIs (the '.mp4' class that is
+    *   copied, :71-73) — gets a folder-vocabulary action label
+    *   (:14-19), already-converted files SKIP the transcode
+    *   (:53-55, the docs already in the raw catalog), convert
+    *   failures land in the exceptions channel (:62-67), and every
+    *   convert is a REAL compressed-in/raw-out transcode through the
+    *   from-scratch JPEG decode path;
+    *
+    *   EP2 id continuation (preprocessed_to_raw.py:26-52): the
+    *   existing catalog's dense ids come first, the new batch
+    *   continues from max+1 in path order, every file renamed to the
+    *   '{:06}.mp4' rule (:40);
+    *
+    *   EP3 step 3 (raw_to_samples.py:310-396): the [[ep3Samples]]
+    *   chain — segment / argmax-detect / pad-1 bbox / crop /
+    *   re-encode each sample / parse THAT — over every cataloged
+    *   container's post-EP1 bytes.
+    *
+    * Output: one row per emitted sample (status 'ok') carrying its
+    * EP2 identity (file_index / file_name / dataset) and EP3 stats,
+    * plus one row per EP1 exception (status 'error', catalog and
+    * sample columns null) — the success/error catalog pair the
+    * reference's operator reads at the end of a run.
+    *
+    * Frames are drawn from the JPEG codec's exactly invertible class
+    * ([[jpegBlockGray]], the ORACLES.md convention) so every stat
+    * stays hash-exact through the lossy codec; both format classes
+    * share the pattern, so the oracle has ONE pixel CTE and the
+    * transcode's pixel-identity is part of what the hash checks.
+    *
+    * Scale: decode -> transcode -> EP3 is ONE map-only pass per doc
+    * (containers never leave their task; only per-sample stat tuples
+    * flow on). EP2's dense enumeration is the reference's sequential
+    * catalog append — the ONE deliberate global window (the
+    * ref_id_continuation note), fed only slim catalog columns plus
+    * each doc's <=3 small sample structs, never bytes. At 100 TB the
+    * window input is one row per container (the catalog, ~10^8 rows
+    * of ~100 bytes), which a single task holds; the alternative —
+    * re-deriving the decode relation for a join — would run the
+    * decode pass twice. */
+  def refPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mjpegClass = s.conf.get(MjpegDecoderConfKey,
+      classOf[Jpeg.MjpegAviDecoder].getName)
+    val aviClass =
+      s.conf.get(VideoDecoderConfKey, classOf[Codecs.AviDecoder].getName)
+    val perDoc = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val mjpegDec = instantiate[Codecs.VideoDecoder](mjpegClass)
+        val aviDec = instantiate[Codecs.VideoDecoder](aviClass)
+        it.map { id =>
+          val existing = id % 11 == 3 // already converted in a prior run
+          val corrupt = !existing && id % 13 == 5 // EP1 exception class
+          val isMov = id % 5 < 2 // the extension that needs converting
+          val bw = (2 + id % 2).toInt
+          val bh = (1 + id % 2).toInt
+          val nf = (6 + id % 6).toInt
+          val w = bw * 8; val h = bh * 8
+          val grays = (0 until nf).map(f => jpegBlockGray(id, f, bw, bh))
+          val src =
+            if (isMov)
+              Jpeg.aviEncodeMjpeg(w, h, 2,
+                grays.map(g => Jpeg.encodeGray(w, h, g)))
+            else
+              Codecs.aviEncode(w, h, 2, grays.map { g =>
+                val px = new Array[Byte](g.length * 3)
+                var i = 0
+                while (i < g.length) {
+                  px(3 * i) = g(i); px(3 * i + 1) = g(i)
+                  px(3 * i + 2) = g(i)
+                  i += 1
+                }
+                px
+              })
+          val bytes =
+            if (corrupt) java.util.Arrays.copyOf(src, src.length / 2)
+            else src
+          val fmt = if (isMov) "mjpeg_avi" else "dib_avi"
+          val action = (id % 4) match {
+            case 0 => "eat"; case 1 => "play"; case 2 => "sleep"
+            case _ => "walk"
+          }
+          val path = s"videos/$id.avi"
+          try {
+            // EP1: decode with the extension-selected decoder; movs
+            // transcode to raw DIB (convert_to_mp4), mp4s are copied
+            val v = (if (isMov) mjpegDec else aviDec).decode(bytes)
+            val raw =
+              if (isMov) Codecs.aviEncode(v.width, v.height, v.fps,
+                v.frames.toSeq)
+              else bytes
+            // EP3: parse the post-EP1 container (step 3 re-reads the
+            // raw file EP1/EP2 wrote) and run the shared chain
+            val samples = ep3Samples(aviDec.decode(raw),
+              (cw, ch, fps, fr) => Codecs.aviEncode(cw, ch, fps, fr),
+              aviDec).toSeq
+            (id, "ok", fmt, action, path, existing,
+              Option(raw.length.toLong), samples)
+          } catch {
+            case _: IllegalArgumentException =>
+              (id, "error", fmt, action, path, existing,
+                Option.empty[Long], Seq
+                  .empty[(Long, Long, Long, Long, Long, Long, Long,
+                    Long, Long)])
+          }
+        }
+      }.toDF("doc_id", "status", "fmt", "action", "path", "existing",
+        "raw_bytes", "samples")
+    // EP2: dense catalog ids — existing rows first (their prior-run
+    // enumeration), the new batch continuing from max+1 in path
+    // order; exceptions never enter the catalog (the running count
+    // skips them)
+    val wCat = org.apache.spark.sql.expressions.Window
+      .orderBy(col("existing").desc, col("path"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ok = col("status") === "ok"
+    perDoc
+      .withColumn("file_index",
+        when(ok, sum(when(ok, 1L).otherwise(0L)).over(wCat) - 1))
+      .withColumn("file_name",
+        when(ok, concat(lpad(col("file_index").cast("string"), 6, "0"),
+          lit(".avi"))))
+      .withColumn("dataset",
+        when(ok, when(col("existing"), "batch0").otherwise("batch1")))
+      .select(col("doc_id"), col("dataset"), col("action"), col("fmt"),
+        col("status"), col("file_index"), col("file_name"),
+        col("raw_bytes"), explode_outer(col("samples")).as("smp"))
+      .select(col("doc_id"), col("dataset"), col("action"), col("fmt"),
+        col("status"), col("file_index"), col("file_name"),
+        col("raw_bytes"),
+        col("smp._1").as("seg"),
+        when(ok, concat(lit("samples/"),
+          lpad(col("file_index").cast("string"), 6, "0"), lit("/seg"),
+          lpad(col("smp._1").cast("string"), 2, "0"), lit(".avi")))
+          .as("sample_path"),
+        col("smp._2").as("start_frame"), col("smp._3").as("end_frame"),
+        col("smp._4").as("x1"), col("smp._5").as("y1"),
+        col("smp._6").as("crop_w"), col("smp._7").as("crop_h"),
+        col("smp._8").as("sub_bytes"), col("smp._9").as("sum_rgb_sub"))
+      .orderBy(col("doc_id"), col("seg").asc_nulls_first)
+  }
+
   /** The step-3 chain body shared by the AVI and MP4 spellings —
     * container-independent by construction: parameterized only by
     * the clip relation, the decoder binding, and the sample
@@ -1855,68 +2007,86 @@ object Multimodal {
         if (subClass == decoderClass) dec
         else instantiate[Codecs.VideoDecoder](subClass)
       it.flatMap { case (id, bytes) =>
-        val v = dec.decode(bytes)
-        val fq = v.fps * SegmentLengthSec
-        val nf = v.frames.length
-        Iterator.range(0, nf, fq).flatMap { start =>
-          val end = math.min(start + fq + 1, nf)
-          if (end - start < fq) None
-          else {
-            // per-frame argmax detections over the segment's frames
-            val track = (start until end).map { f =>
-              val fr = v.frames(f)
-              var best = -1; var bi = 0
-              var i = 0
-              val n = v.width * v.height
-              while (i < n) {
-                val lum = (fr(3 * i) & 0xff) + (fr(3 * i + 1) & 0xff) +
-                  (fr(3 * i + 2) & 0xff)
-                if (lum > best) { best = lum; bi = i }
-                i += 1
-              }
-              (bi % v.width, bi / v.width)
-            }
-            // pad-1 clamped track bbox (the :63-72 rule)
-            val x1 = math.max(0, track.map(_._1).min - 1)
-            val x2 = math.min(v.width - 1, track.map(_._1).max + 1)
-            val y1 = math.max(0, track.map(_._2).min - 1)
-            val y2 = math.min(v.height - 1, track.map(_._2).max + 1)
-            val cw = x2 - x1 + 1
-            val ch = y2 - y1 + 1
-            val cropped = (start until end).map { f =>
-              val fr = v.frames(f)
-              val out = new Array[Byte](cw * ch * 3)
-              var y = 0
-              while (y < ch) {
-                var x = 0
-                while (x < cw) {
-                  val src = ((y + y1) * v.width + (x + x1)) * 3
-                  val dst = (y * cw + x) * 3
-                  out(dst) = fr(src)
-                  out(dst + 1) = fr(src + 1)
-                  out(dst + 2) = fr(src + 2)
-                  x += 1
-                }
-                y += 1
-              }
-              out
-            }
-            val sub = reencode(cw, ch, v.fps, cropped)
-            val v2 = subDec.decode(sub)
-            var sum = 0L
-            v2.frames.foreach { fr =>
-              var i = 0
-              while (i < fr.length) { sum += fr(i) & 0xff; i += 1 }
-            }
-            Some((id, (start / fq).toLong, start.toLong, end.toLong,
-              x1.toLong, y1.toLong, cw.toLong, ch.toLong,
-              sub.length.toLong, sum))
-          }
+        ep3Samples(dec.decode(bytes), reencode, subDec).map {
+          case (seg, start, end, x1, y1, cw, ch, subBytes, sum) =>
+            (id, seg, start, end, x1, y1, cw, ch, subBytes, sum)
         }
       }
     }.toDF("doc_id", "seg", "start_frame", "end_frame", "x1", "y1",
       "crop_w", "crop_h", "sub_bytes", "sum_rgb_sub")
       .orderBy("doc_id", "seg")
+  }
+
+  /** The per-clip body of the step-3 chain — segmentation (:330-341)
+    * -> per-frame argmax detection (:183-191) -> pad-1 clamped track
+    * bbox (:63-72) -> per-frame crop (:253) -> sample re-encode
+    * (:241-258) -> parse of the emitted sample — shared verbatim by
+    * [[ep3Chain]] (the three ref_ep3_* spellings) and
+    * [[refPipelineE2e]] (the EP1->EP2->EP3 capstone), so the capstone
+    * cannot drift from the stage ops it composes. Emits one tuple per
+    * kept segment: (seg, start, end, x1, y1, crop_w, crop_h,
+    * sub_bytes, sum_rgb_sub). */
+  private def ep3Samples(v: Codecs.DecodedVideo,
+      reencode: (Int, Int, Int, Seq[Array[Byte]]) => Array[Byte],
+      subDec: Codecs.VideoDecoder)
+      : Iterator[(Long, Long, Long, Long, Long, Long, Long, Long, Long)] = {
+    val fq = v.fps * SegmentLengthSec
+    val nf = v.frames.length
+    Iterator.range(0, nf, fq).flatMap { start =>
+      val end = math.min(start + fq + 1, nf)
+      if (end - start < fq) None
+      else {
+        // per-frame argmax detections over the segment's frames
+        val track = (start until end).map { f =>
+          val fr = v.frames(f)
+          var best = -1; var bi = 0
+          var i = 0
+          val n = v.width * v.height
+          while (i < n) {
+            val lum = (fr(3 * i) & 0xff) + (fr(3 * i + 1) & 0xff) +
+              (fr(3 * i + 2) & 0xff)
+            if (lum > best) { best = lum; bi = i }
+            i += 1
+          }
+          (bi % v.width, bi / v.width)
+        }
+        // pad-1 clamped track bbox (the :63-72 rule)
+        val x1 = math.max(0, track.map(_._1).min - 1)
+        val x2 = math.min(v.width - 1, track.map(_._1).max + 1)
+        val y1 = math.max(0, track.map(_._2).min - 1)
+        val y2 = math.min(v.height - 1, track.map(_._2).max + 1)
+        val cw = x2 - x1 + 1
+        val ch = y2 - y1 + 1
+        val cropped = (start until end).map { f =>
+          val fr = v.frames(f)
+          val out = new Array[Byte](cw * ch * 3)
+          var y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) {
+              val src = ((y + y1) * v.width + (x + x1)) * 3
+              val dst = (y * cw + x) * 3
+              out(dst) = fr(src)
+              out(dst + 1) = fr(src + 1)
+              out(dst + 2) = fr(src + 2)
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        val sub = reencode(cw, ch, v.fps, cropped)
+        val v2 = subDec.decode(sub)
+        var sum = 0L
+        v2.frames.foreach { fr =>
+          var i = 0
+          while (i < fr.length) { sum += fr(i) & 0xff; i += 1 }
+        }
+        Some(((start / fq).toLong, start.toLong, end.toLong,
+          x1.toLong, y1.toLong, cw.toLong, ch.toLong,
+          sub.length.toLong, sum))
+      }
+    }
   }
 
   /** The reference's segment length (raw_to_samples.py:16). */
@@ -2459,6 +2629,7 @@ object Multimodal {
     "mm_decode_mjpeg" -> mmDecodeMjpeg,
     "mm_pipeline_full" -> mmPipelineFull,
     "ref_ep3_mjpeg" -> refEp3Mjpeg,
+    "ref_pipeline_e2e" -> refPipelineE2e,
     "mm_transcode_jpeg" -> mmTranscodeJpeg,
     "mm_sniff_decode" -> mmSniffDecode,
     "mm_decode_quarantine" -> mmDecodeQuarantine,
@@ -3138,6 +3309,113 @@ object Multimodal {
         |  cx.sum_rgb_sub
         |FROM bx JOIN cx ON bx.doc_id = cx.doc_id AND bx.seg = cx.seg
         |ORDER BY bx.doc_id, seg""".stripMargin,
+    // The EP1->EP2->EP3 capstone: the d CTE classifies each doc
+    // (format / existing / exception / action vocab), cat replays
+    // EP2's dense id continuation as a running count over
+    // (existing DESC, path), the pv..cx chain is ref_ep3_mjpeg's
+    // pixel replay verbatim (both format classes share the gray
+    // block pattern — the transcode's pixel-identity is part of the
+    // hash), raw_bytes is the post-EP1 DIB container's closed form,
+    // and errors are EP1's exception channel (no catalog identity).
+    "ref_pipeline_e2e" ->
+      """WITH d AS (SELECT doc_id, 16 + (doc_id % 2) * 8 AS w,
+        |    8 + (doc_id % 2) * 8 AS h, 6 + doc_id % 6 AS nf,
+        |    doc_id % 11 = 3 AS existing,
+        |    doc_id % 11 <> 3 AND doc_id % 13 = 5 AS corrupt,
+        |    CASE WHEN doc_id % 5 < 2 THEN 'mjpeg_avi'
+        |      ELSE 'dib_avi' END AS fmt,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'eat'
+        |      WHEN 1 THEN 'play' WHEN 2 THEN 'sleep'
+        |      ELSE 'walk' END AS action,
+        |    'videos/' || doc_id || '.avi' AS path
+        |  FROM documents),
+        |cat AS (SELECT *, CASE WHEN NOT corrupt THEN
+        |      SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END)
+        |        OVER (ORDER BY existing DESC, path
+        |          ROWS UNBOUNDED PRECEDING) - 1
+        |    END AS file_index
+        |  FROM d),
+        |px AS (SELECT doc_id, w, h, nf, fs.f, xs.x, ys.y
+        |  FROM d, range(0, 12) fs(f), range(0, 24) xs(x),
+        |    range(0, 16) ys(y)
+        |  WHERE NOT corrupt AND fs.f < nf AND xs.x < w AND ys.y < h),
+        |pv AS (SELECT doc_id, w, h, nf, f, x, y,
+        |    3 * (2 * ((doc_id * 5 + f * 29 + (x // 8) * 19
+        |      + (y // 8) * 37) % 96) + 32) AS v
+        |  FROM px),
+        |sg AS (SELECT doc_id, w, h, nf, ss.s AS start_frame
+        |  FROM d, range(0, 12, 4) ss(s)
+        |  WHERE NOT corrupt AND ss.s < nf),
+        |sb AS (SELECT doc_id, w, h, nf, start_frame,
+        |    LEAST(start_frame + 5, nf) AS end_frame FROM sg
+        |  WHERE LEAST(start_frame + 5, nf) - start_frame >= 4),
+        |vm AS (SELECT doc_id, f, MAX(v) AS v_max FROM pv GROUP BY 1, 2),
+        |am AS (SELECT pv.doc_id, pv.f, MIN(y * pv.w + x) AS bi,
+        |    MAX(pv.w) AS w2
+        |  FROM pv JOIN vm ON pv.doc_id = vm.doc_id AND pv.f = vm.f
+        |    AND pv.v = vm.v_max
+        |  GROUP BY 1, 2),
+        |tr AS (SELECT doc_id, f, bi % w2 AS ax, bi // w2 AS ay FROM am),
+        |bx AS (SELECT sb.doc_id, sb.start_frame // 4 AS seg,
+        |    sb.start_frame, sb.end_frame, sb.w, sb.h,
+        |    GREATEST(MIN(tr.ax) - 1, 0) AS x1,
+        |    LEAST(MAX(tr.ax) + 1, sb.w - 1) AS x2,
+        |    GREATEST(MIN(tr.ay) - 1, 0) AS y1,
+        |    LEAST(MAX(tr.ay) + 1, sb.h - 1) AS y2
+        |  FROM sb JOIN tr ON sb.doc_id = tr.doc_id
+        |    AND tr.f >= sb.start_frame AND tr.f < sb.end_frame
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |cx AS (SELECT bx.doc_id, bx.seg,
+        |    CAST(SUM(pv.v) AS BIGINT) AS sum_rgb_sub
+        |  FROM bx JOIN pv ON bx.doc_id = pv.doc_id
+        |    AND pv.f >= bx.start_frame AND pv.f < bx.end_frame
+        |    AND pv.x >= bx.x1 AND pv.x <= bx.x2
+        |    AND pv.y >= bx.y1 AND pv.y <= bx.y2
+        |  GROUP BY 1, 2),
+        |success AS (SELECT c.doc_id,
+        |    CASE WHEN c.existing THEN 'batch0'
+        |      ELSE 'batch1' END AS dataset,
+        |    c.action, c.fmt, 'ok' AS status,
+        |    CAST(c.file_index AS BIGINT) AS file_index,
+        |    lpad(CAST(c.file_index AS VARCHAR), 6, '0') || '.avi'
+        |      AS file_name,
+        |    CAST(224 + c.nf * (8 + ((c.w * 3 + 3) // 4) * 4 * c.h)
+        |      AS BIGINT) AS raw_bytes,
+        |    CAST(bx.seg AS BIGINT) AS seg,
+        |    'samples/' || lpad(CAST(c.file_index AS VARCHAR), 6, '0')
+        |      || '/seg' || lpad(CAST(bx.seg AS VARCHAR), 2, '0')
+        |      || '.avi' AS sample_path,
+        |    CAST(bx.start_frame AS BIGINT) AS start_frame,
+        |    CAST(bx.end_frame AS BIGINT) AS end_frame,
+        |    CAST(bx.x1 AS BIGINT) AS x1, CAST(bx.y1 AS BIGINT) AS y1,
+        |    CAST(bx.x2 - bx.x1 + 1 AS BIGINT) AS crop_w,
+        |    CAST(bx.y2 - bx.y1 + 1 AS BIGINT) AS crop_h,
+        |    CAST(224 + (bx.end_frame - bx.start_frame) *
+        |      (8 + (((bx.x2 - bx.x1 + 1) * 3 + 3) // 4) * 4
+        |        * (bx.y2 - bx.y1 + 1)) AS BIGINT) AS sub_bytes,
+        |    cx.sum_rgb_sub
+        |  FROM cat c
+        |  JOIN bx ON bx.doc_id = c.doc_id
+        |  JOIN cx ON cx.doc_id = bx.doc_id AND cx.seg = bx.seg
+        |  WHERE NOT c.corrupt),
+        |errors AS (SELECT doc_id, CAST(NULL AS VARCHAR) AS dataset,
+        |    action, fmt, 'error' AS status,
+        |    CAST(NULL AS BIGINT) AS file_index,
+        |    CAST(NULL AS VARCHAR) AS file_name,
+        |    CAST(NULL AS BIGINT) AS raw_bytes,
+        |    CAST(NULL AS BIGINT) AS seg,
+        |    CAST(NULL AS VARCHAR) AS sample_path,
+        |    CAST(NULL AS BIGINT) AS start_frame,
+        |    CAST(NULL AS BIGINT) AS end_frame,
+        |    CAST(NULL AS BIGINT) AS x1, CAST(NULL AS BIGINT) AS y1,
+        |    CAST(NULL AS BIGINT) AS crop_w,
+        |    CAST(NULL AS BIGINT) AS crop_h,
+        |    CAST(NULL AS BIGINT) AS sub_bytes,
+        |    CAST(NULL AS BIGINT) AS sum_rgb_sub
+        |  FROM cat WHERE corrupt)
+        |SELECT * FROM
+        |  (SELECT * FROM success UNION ALL SELECT * FROM errors)
+        |ORDER BY doc_id, seg NULLS FIRST""".stripMargin,
     // Identical CTE chain to ref_ep3_real (same frame pattern — the
     // container-independence theorem); only the emitted sample's
     // closed-form size changes: mp4SizeVideo's contiguous RGB payload

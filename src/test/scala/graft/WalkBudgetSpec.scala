@@ -147,8 +147,11 @@ class WalkBudgetSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
     assert(a == b && a.nonEmpty)
-    // and on the real catalog corpus
-    val ca = Clusters.graphNode2vecWalk(spark, sf)
+    // and on the real catalog corpus: the JOIN spelling vs the
+    // ADJACENCY spelling (the catalog key delegates to the latter,
+    // so comparing through graphNode2vecWalk would be a tautology)
+    val ca = Clusters.graphNode2vecWalkOn(
+      Clusters.bipartiteEdges(spark, sf))
       .collect().map(_.toString).toSet
     val cb = Clusters.graphNode2vecWalkAdjOn(
       Clusters.bipartiteEdges(spark, sf))
