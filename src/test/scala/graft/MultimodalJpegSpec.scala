@@ -605,4 +605,71 @@ class MultimodalJpegSpec extends SparkSpecBase {
         s"${w}x$h interlace undo not index-exact")
     }
   }
+
+  test("ref_pipeline_e2e: the capstone composes the stage ops without " +
+    "re-derivation — EP3 sample stats equal ref_ep3_mjpeg's rows per " +
+    "ok doc, the EP2 catalog is a dense prior-batch-first enumeration " +
+    "with {:06} names, EP1's exception channel is exactly the corrupt " +
+    "class, and the transcode genuinely rides the M-JPEG binding") {
+    import graft.multimodal.Multimodal
+    val rows = Multimodal.refPipelineE2e(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ok = rows.filter(_.getString(4) == "ok")
+    val err = rows.filter(_.getString(4) == "error")
+    // EP1 exceptions: exactly the corrupt class, no catalog identity,
+    // no sample payload
+    assert(err.nonEmpty && ok.nonEmpty)
+    assert(err.forall { r =>
+      val id = r.getLong(0)
+      id % 11 != 3 && id % 13 == 5 &&
+        r.isNullAt(1) && r.isNullAt(5) && r.isNullAt(6) &&
+        r.isNullAt(7) && r.isNullAt(8) && r.isNullAt(9)
+    }, "error rows must be the corrupt class with null catalog columns")
+    val okIds = ok.map(_.getLong(0)).toSet
+    assert(okIds.forall(id => id % 11 == 3 || id % 13 != 5))
+    // EP2: dense 0..n-1 ids, the existing batch strictly first
+    val cat = ok.map(r => (r.getLong(0), r.getLong(5), r.getString(1),
+      r.getString(6))).distinct.sortBy(_._2)
+    assert(cat.map(_._2).toSeq == (0L until cat.length).toSeq,
+      "file_index not a dense enumeration")
+    val b0 = cat.filter(_._3 == "batch0").map(_._2)
+    val b1 = cat.filter(_._3 == "batch1").map(_._2)
+    assert(b0.nonEmpty && b1.nonEmpty && b0.max < b1.min,
+      "existing catalog ids must precede the new batch")
+    assert(cat.forall { case (_, fi, _, fn) => fn == f"$fi%06d.avi" },
+      "the {:06} naming rule")
+    assert(cat.filter(_._3 == "batch0").map(_._1).toSet ==
+      okIds.filter(_ % 11 == 3), "batch0 = the already-converted class")
+    // sample_path carries the EP2 identity
+    assert(ok.forall { r =>
+      r.getString(9) ==
+        f"samples/${r.getLong(5)}%06d/seg${r.getLong(8)}%02d.avi"
+    })
+    // composition theorem: the EP3 columns equal the standalone
+    // stage op's rows for every cataloged doc (same id -> same
+    // clip class by construction)
+    val e2e = ok.map(r => (r.getLong(0), r.getLong(8), r.getLong(10),
+      r.getLong(11), r.getLong(12), r.getLong(13), r.getLong(14),
+      r.getLong(15), r.getLong(16), r.getLong(17))).toSet
+    val stage = Multimodal.refEp3Mjpeg(spark, sf).collect()
+      .filter(r => okIds.contains(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9))).toSet
+    assert(e2e == stage, "capstone EP3 stats drifted from ref_ep3_mjpeg")
+    // binding swap: a video decoder that ignores the bytes changes the
+    // mov docs' outputs (the transcode genuinely decodes JPEG scans)
+    spark.conf.set(Multimodal.MjpegDecoderConfKey,
+      classOf[ZeroVideoDecoder].getName)
+    try {
+      val swapped = Multimodal.refPipelineE2e(spark, sf).collect()
+        .filter(r => r.getString(4) == "ok" && r.getLong(0) % 5 < 2)
+        .map(r => (r.getLong(0), Option(if (r.isNullAt(16)) null
+          else r.getLong(16)))).toSet
+      val orig = ok.filter(_.getLong(0) % 5 < 2)
+        .map(r => (r.getLong(0), Option(if (r.isNullAt(16)) null
+          else r.getLong(16)))).toSet
+      assert(swapped != orig, "swapped M-JPEG binding not in effect")
+    } finally spark.conf.unset(Multimodal.MjpegDecoderConfKey)
+  }
 }

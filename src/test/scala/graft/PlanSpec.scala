@@ -995,6 +995,21 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("CASE WHEN (status"), p)
   }
 
+  test("ref_pipeline_e2e: ONE decode/transcode/EP3 pass feeds the " +
+    "whole capstone — no join anywhere (the EP2 catalog merge is the " +
+    "one deliberate global window over slim catalog columns), the " +
+    "decode mapPartitions appears exactly once, one window, one " +
+    "generate (the sample explode)") {
+    val p = plan(multimodal.Multimodal.refPipelineE2e(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.split("MapPartitions").length - 1 == 1, p)
+    assert(p.split("Window").length - 1 == 1, p)
+    assert(p.split("Generate").length - 1 == 1, p)
+  }
+
   test("quality_ece: one scan into a <=10-row rollup; the ECE scalar " +
     "rides a broadcast, not a cartesian product") {
     val p = plan(functions.Text.qualityEce(spark, sf))
