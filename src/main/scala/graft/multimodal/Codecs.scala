@@ -1620,6 +1620,35 @@ object Codecs {
     raw.toInt
   }
 
+  /** The Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass.
+    * Pass k holds the pixels at (x0 + i*dx, y0 + j*dy). */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Byte length of the filtered stream of an Adam7-INTERLACED PNG:
+    * each non-empty pass is its own sub-image (one filter byte per
+    * pass scanline); passes with zero width or height contribute
+    * NOTHING, not even filter bytes (spec §8.2). Long-validated like
+    * [[pngRawLen]]. */
+  def pngRawLenAdam7(width: Int, height: Int): Int = {
+    require(width > 0 && height > 0,
+      s"corrupt PNG dimensions ${width}x$height")
+    var total = 0L
+    var k = 0
+    while (k < 7) {
+      val (x0, y0, dx, dy) = Adam7(k)
+      val pw = if (width > x0) ((width - x0 + dx - 1) / dx).toLong else 0L
+      val ph = if (height > y0) ((height - y0 + dy - 1) / dy).toLong else 0L
+      if (pw > 0 && ph > 0) total += ph * (1L + pw * 3)
+      k += 1
+    }
+    require(total <= Int.MaxValue,
+      s"interlaced filtered PNG stream for ${width}x$height " +
+        "exceeds Int range")
+    total.toInt
+  }
+
   /** Encode a top-down RGB raster as a genuine 8-bit truecolor PNG:
     * per-row adaptive filtering that CYCLES all five spec filters
     * (row y uses type y % 5), real DEFLATE compression, and the
@@ -1703,7 +1732,11 @@ object Codecs {
     * in the file fails fast), concatenates the IDAT stream, inflates
     * it through the JDK's zlib, requires the inflated length to match
     * the IHDR dims exactly, and reverses the per-row adaptive filter
-    * (all five spec types) into a top-down RGB raster. */
+    * (all five spec types) into a top-down RGB raster. Adam7
+    * interlaced files decode too: each non-empty pass unfilters as
+    * its own sub-image and scatters onto the pass grid (spec §8.2) —
+    * foreign progressive PNGs (e.g. ImageIO's) are conformance-
+    * tested in MultimodalSpec. */
   final class PngDecoder extends ImageDecoder {
     def decode(b: Array[Byte]): DecodedImage = {
       require(b.length >= 8 + 25 + 12, "too short for a PNG")
@@ -1713,6 +1746,7 @@ object Codecs {
       }
       var off = 8
       var width = 0; var height = 0
+      var interlaced = false
       var seenIhdr = false; var seenIend = false
       val idat = new java.io.ByteArrayOutputStream()
       while (off + 12 <= b.length && !seenIend) {
@@ -1738,9 +1772,11 @@ object Codecs {
               s"corrupt PNG dimensions ${width}x$height")
             require((b(off + 16) & 0xff) == 8, "only 8-bit depth")
             require((b(off + 17) & 0xff) == 2, "only truecolor RGB")
-            require(b(off + 18) == 0 && b(off + 19) == 0 &&
-              b(off + 20) == 0,
-              "only deflate / adaptive filtering / no interlace")
+            require(b(off + 18) == 0 && b(off + 19) == 0,
+              "only deflate / adaptive filtering")
+            require((b(off + 20) & 0xff) <= 1,
+              s"unknown interlace method ${b(off + 20) & 0xff}")
+            interlaced = b(off + 20) == 1
             seenIhdr = true
           case "IDAT" =>
             require(seenIhdr, "IDAT before IHDR")
@@ -1754,7 +1790,9 @@ object Codecs {
       }
       require(seenIhdr && seenIend, "missing IHDR or IEND")
       val rowLen = width * 3
-      val raw = new Array[Byte](pngRawLen(width, height))
+      val raw = new Array[Byte](
+        if (interlaced) pngRawLenAdam7(width, height)
+        else pngRawLen(width, height))
       val infl = new java.util.zip.Inflater()
       infl.setInput(idat.toByteArray)
       var got = 0
@@ -1776,34 +1814,72 @@ object Codecs {
           throw new IllegalArgumentException(
             s"corrupt DEFLATE stream in IDAT at byte $got")
       } finally infl.end()
-      val rgb = new Array[Byte](height * rowLen)
-      var y = 0
-      while (y < height) {
-        val ro = y * (1 + rowLen)
-        val ft = raw(ro) & 0xff
-        require(ft <= 4, s"unknown PNG filter type $ft on row $y")
-        var x = 0
-        while (x < rowLen) {
-          val cur = raw(ro + 1 + x) & 0xff
-          // filters reference RECONSTRUCTED neighbors (spec §6.5)
-          val left = if (x >= 3) rgb(y * rowLen + x - 3) & 0xff else 0
-          val up = if (y > 0) rgb((y - 1) * rowLen + x) & 0xff else 0
-          val ul =
-            if (x >= 3 && y > 0) rgb((y - 1) * rowLen + x - 3) & 0xff
-            else 0
-          val pred = ft match {
-            case 0 => 0
-            case 1 => left
-            case 2 => up
-            case 3 => (left + up) / 2
-            case _ => paeth(left, up, ul)
+      // reverse the per-row adaptive filter over one (sub-)image's
+      // scanlines — filters reference RECONSTRUCTED neighbors within
+      // the SAME pass (spec §6.5; for interlaced images each pass is
+      // filtered as an independent sub-image, §8.2)
+      def unfilter(srcOff: Int, w: Int, h: Int): Array[Byte] = {
+        val rl = w * 3
+        val out = new Array[Byte](h * rl)
+        var y = 0
+        while (y < h) {
+          val ro = srcOff + y * (1 + rl)
+          val ft = raw(ro) & 0xff
+          require(ft <= 4, s"unknown PNG filter type $ft on row $y")
+          var x = 0
+          while (x < rl) {
+            val cur = raw(ro + 1 + x) & 0xff
+            val left = if (x >= 3) out(y * rl + x - 3) & 0xff else 0
+            val up = if (y > 0) out((y - 1) * rl + x) & 0xff else 0
+            val ul =
+              if (x >= 3 && y > 0) out((y - 1) * rl + x - 3) & 0xff
+              else 0
+            val pred = ft match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) / 2
+              case _ => paeth(left, up, ul)
+            }
+            out(y * rl + x) = ((cur + pred) & 0xff).toByte
+            x += 1
           }
-          rgb(y * rowLen + x) = ((cur + pred) & 0xff).toByte
-          x += 1
+          y += 1
         }
-        y += 1
+        out
       }
-      DecodedImage(width, height, rgb)
+      if (!interlaced) DecodedImage(width, height, unfilter(0, width, height))
+      else {
+        // Adam7: each non-empty pass unfilters as its own sub-image,
+        // then scatters onto the final raster at (x0+i*dx, y0+j*dy)
+        val rgb = new Array[Byte](height * rowLen)
+        var srcOff = 0
+        var k = 0
+        while (k < 7) {
+          val (x0, y0, dx, dy) = Adam7(k)
+          val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+          val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+          if (pw > 0 && ph > 0) {
+            val sub = unfilter(srcOff, pw, ph)
+            srcOff += ph * (1 + pw * 3)
+            var j = 0
+            while (j < ph) {
+              var i = 0
+              while (i < pw) {
+                val dst = ((y0 + j * dy) * width + (x0 + i * dx)) * 3
+                val src = (j * pw + i) * 3
+                rgb(dst) = sub(src)
+                rgb(dst + 1) = sub(src + 1)
+                rgb(dst + 2) = sub(src + 2)
+                i += 1
+              }
+              j += 1
+            }
+          }
+          k += 1
+        }
+        DecodedImage(width, height, rgb)
+      }
     }
   }
 

@@ -1030,6 +1030,124 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("Adam7 interlaced PNG decodes pixel-exact: hand-built files " +
+    "(pass-split sub-images, per-pass filter cycling, empty-pass " +
+    "elision) across dims below/above every pass stride, plus " +
+    "ImageIO-written progressive PNGs as foreign interlaced bytes") {
+    import multimodal.Codecs
+    val dec = new Codecs.PngDecoder()
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+      (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    def buildInterlaced(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+      val filtered = new java.io.ByteArrayOutputStream()
+      for ((x0, y0, dx, dy) <- passes) {
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        if (pw > 0 && ph > 0) {
+          val rl = pw * 3
+          val sub = new Array[Byte](ph * rl)
+          for (j <- 0 until ph; i <- 0 until pw; c <- 0 until 3)
+            sub((j * pw + i) * 3 + c) =
+              px(((y0 + j * dy) * w + (x0 + i * dx)) * 3 + c)
+          for (j <- 0 until ph) {
+            val ft = j % 5 // cycle all five filters within each pass
+            filtered.write(ft)
+            for (x <- 0 until rl) {
+              val cur = sub(j * rl + x) & 0xff
+              val left = if (x >= 3) sub(j * rl + x - 3) & 0xff else 0
+              val up = if (j > 0) sub((j - 1) * rl + x) & 0xff else 0
+              val ul =
+                if (x >= 3 && j > 0) sub((j - 1) * rl + x - 3) & 0xff
+                else 0
+              val pred = ft match {
+                case 0 => 0
+                case 1 => left
+                case 2 => up
+                case 3 => (left + up) / 2
+                case _ => paeth(left, up, ul)
+              }
+              filtered.write((cur - pred) & 0xff)
+            }
+          }
+        }
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(filtered.toByteArray); defl.finish()
+      val idat = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](512)
+      while (!defl.finished()) idat.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a,
+        0x1a, 0x0a))
+      def wbe32(v: Int): Array[Byte] = Array((v >> 24).toByte,
+        (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      def chunk(tp: String, data: Array[Byte]): Unit = {
+        out.write(wbe32(data.length))
+        val tb = tp.getBytes("US-ASCII")
+        out.write(tb)
+        out.write(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        out.write(wbe32(crc.getValue.toInt))
+      }
+      val ihdr = new java.io.ByteArrayOutputStream()
+      ihdr.write(wbe32(w)); ihdr.write(wbe32(h))
+      ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0)
+      ihdr.write(1) // Adam7
+      chunk("IHDR", ihdr.toByteArray)
+      chunk("IDAT", idat.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    for (w <- Seq(1, 2, 3, 4, 5, 7, 8, 9, 16);
+         h <- Seq(1, 2, 3, 5, 8, 9, 11, 16)) {
+      val px = Array.tabulate(w * h * 3) { j =>
+        val p = j / 3; val x = p % w; val y = p / w
+        ((x * 13 + y * 29 + j % 3 * 47 + w * 3 + h * 7) % 256).toByte
+      }
+      val im = dec.decode(buildInterlaced(w, h, px))
+      assert(im.width == w && im.height == h, s"${w}x$h dims")
+      assert(java.util.Arrays.equals(im.rgb, px),
+        s"${w}x$h deinterlace not pixel-exact")
+    }
+    // foreign interlaced bytes: the JDK PNG writer's progressive mode
+    // (its own filter heuristics and IDAT chunking) through our decoder
+    for ((w, h) <- Seq((17, 11), (8, 8), (3, 19), (33, 5))) {
+      val px = Array.tabulate(w * h * 3)(j => ((j * 31 + w + h) % 256)
+        .toByte)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val base = (y * w + x) * 3
+        bi.setRGB(x, y, ((px(base) & 0xff) << 16) |
+          ((px(base + 1) & 0xff) << 8) | (px(base + 2) & 0xff))
+      }
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      val prm = writer.getDefaultWriteParam
+      assert(prm.canWriteProgressive, "JDK PNG writer lost progressive")
+      prm.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), prm)
+      writer.dispose(); ios.close()
+      val foreign = bos.toByteArray
+      assert(foreign(8 + 8 + 12) == 1, "ImageIO did not write Adam7")
+      val im = dec.decode(foreign)
+      assert(im.width == w && im.height == h, s"${w}x$h foreign dims")
+      assert(java.util.Arrays.equals(im.rgb, px),
+        s"${w}x$h foreign interlaced pixels")
+    }
+  }
+
   test("PNG decoder fails fast on corrupt bytes: flipped IDAT byte is " +
     "a CRC error, bad signature, truncations, lying IHDR dims, and " +
     "an unknown filter type are all require() failures") {
