@@ -508,6 +508,25 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Integer BT.601 forward conversion at one pixel, clamped to the
+    * [0,255] sample range T.81 assumes (saturated primaries can round
+    * to 256: pure blue's Cb and pure red's Cr). The coefficients sum
+    * exactly per channel, so gray inputs (R=G=B) map to Y=v,
+    * Cb=Cr=128 without rounding loss. sel: 0=Y, 1=Cb, 2=Cr. */
+  private def yccAt(rgb: Array[Byte], width: Int, sel: Int,
+      x: Int, y: Int): Int = {
+    val base = (y * width + x) * 3
+    val r = rgb(base) & 0xff
+    val g = rgb(base + 1) & 0xff
+    val b = rgb(base + 2) & 0xff
+    val v = sel match {
+      case 0 => (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+      case 1 => 128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16)
+      case _ => 128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16)
+    }
+    if (v < 0) 0 else if (v > 255) 255 else v
+  }
+
   /** Encode a top-down RGB raster as a baseline 4:4:4 YCbCr JPEG
     * (three components, 1x1 sampling each, K.1/K.2 quantizers, all
     * four K.3 Huffman tables, one interleaved scan). The integer
@@ -516,21 +535,7 @@ object Jpeg {
   def encodeColor444(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
     require(width > 0 && height > 0 && rgb.length == width * height * 3,
       s"raster length ${rgb.length} != $width x $height x 3")
-    def ch(sel: Int)(x: Int, y: Int): Int = {
-      val base = (y * width + x) * 3
-      val r = rgb(base) & 0xff
-      val g = rgb(base + 1) & 0xff
-      val b = rgb(base + 2) & 0xff
-      val v = sel match {
-        case 0 => (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
-        case 1 => 128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16)
-        case _ => 128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16)
-      }
-      // Saturated pixels can round to 256 (pure blue: Cb = 128 + 128.0...;
-      // pure red: Cr likewise) — clamp to the 8-bit sample range T.81
-      // assumes before the level shift. R=G=B inputs are unaffected.
-      if (v < 0) 0 else if (v > 255) 255 else v
-    }
+    def ch(sel: Int)(x: Int, y: Int): Int = yccAt(rgb, width, sel, x, y)
     val planes = (0 to 2).map(c => padPlane(width, height, ch(c)))
     val out = new java.io.ByteArrayOutputStream()
     marker(out, 0xd8)
@@ -575,6 +580,118 @@ object Jpeg {
         bx += 1
       }
       by += 1
+    }
+    bw.flush()
+    marker(out, 0xd9)
+    out.toByteArray
+  }
+
+  /** Encode a top-down RGB raster as a baseline 4:2:0 YCbCr JPEG —
+    * the subsampling real pipelines actually emit: Y at full
+    * resolution (sampling factors 2x2), Cb/Cr box-averaged 2x2
+    * (1x1), MCU = 16x16 pixels = 4 Y blocks + Cb + Cr in the T.81
+    * A.2.3 interleave order. Chroma downsamples as the 2x2 box mean
+    * of the edge-replicated full-resolution plane (round half up) —
+    * the filter T.81 leaves to the encoder; the decoder's
+    * replication upsample is its inverse on constant 2x2 quads.
+    * Gray inputs (R=G=B) have Cb=Cr=128 everywhere, so the
+    * invertible-class analysis extends unchanged to subsampled
+    * color — proven per class in the 4:2:0 round-trip spec. */
+  def encodeColor420(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == width * height * 3,
+      s"raster length ${rgb.length} != $width x $height x 3")
+    val mw = (width + 15) / 16 * 16
+    val mh = (height + 15) / 16 * 16
+    // Y at full resolution, edge-replicated to the 16-pixel MCU grid
+    val yP = new Array[Int](mw * mh)
+    var py = 0
+    while (py < mh) {
+      val sy = math.min(py, height - 1)
+      var px = 0
+      while (px < mw) {
+        yP(py * mw + px) = yccAt(rgb, width, 0, math.min(px, width - 1), sy)
+        px += 1
+      }
+      py += 1
+    }
+    // chroma at half resolution: 2x2 box mean over the edge-replicated
+    // full-res conversion (partial boundary quads replicate the edge)
+    val cw = mw / 2; val chh = mh / 2
+    val cbP = new Array[Int](cw * chh)
+    val crP = new Array[Int](cw * chh)
+    var cy = 0
+    while (cy < chh) {
+      var cx = 0
+      while (cx < cw) {
+        var sel = 1
+        while (sel <= 2) {
+          var sum = 0
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              sum += yccAt(rgb, width, sel,
+                math.min(2 * cx + dx, width - 1),
+                math.min(2 * cy + dy, height - 1))
+              dx += 1
+            }
+            dy += 1
+          }
+          val v = (sum + 2) / 4
+          if (sel == 1) cbP(cy * cw + cx) = v else crP(cy * cw + cx) = v
+          sel += 1
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    marker(out, 0xd8)
+    marker(out, 0xe0); wbe16(out, 16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0)
+    wbe16(out, 1); wbe16(out, 1); out.write(0); out.write(0)
+    writeDqt(out, 0, QLum)
+    writeDqt(out, 1, QChr)
+    marker(out, 0xc0); wbe16(out, 17) // SOF0, 3 components
+    out.write(8); wbe16(out, height); wbe16(out, width); out.write(3)
+    out.write(1); out.write(0x22); out.write(0) // Y, 2x2
+    out.write(2); out.write(0x11); out.write(1) // Cb, 1x1
+    out.write(3); out.write(0x11); out.write(1) // Cr, 1x1
+    writeDht(out, 0, 0, DcLumBits, DcLumVals)
+    writeDht(out, 1, 0, AcLumBits, AcLumVals)
+    writeDht(out, 0, 1, DcChrBits, DcChrVals)
+    writeDht(out, 1, 1, AcChrBits, AcChrVals)
+    marker(out, 0xda); wbe16(out, 12)
+    out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x11)
+    out.write(3); out.write(0x11)
+    out.write(0); out.write(63); out.write(0)
+    val bw = new BitWriter(out)
+    val zz = new Array[Int](64)
+    val preds = new Array[Int](3)
+    var my = 0
+    while (my < mh / 16) {
+      var mx = 0
+      while (mx < mw / 16) {
+        var j = 0
+        while (j < 2) {
+          var i = 0
+          while (i < 2) {
+            quantBlock(yP, mw, (mx * 2 + i) * 8, (my * 2 + j) * 8, QLum, zz)
+            preds(0) = encodeBlock(bw, zz, preds(0), DcLumEnc, AcLumEnc)
+            i += 1
+          }
+          j += 1
+        }
+        quantBlock(cbP, cw, mx * 8, my * 8, QChr, zz)
+        preds(1) = encodeBlock(bw, zz, preds(1), DcChrEnc, AcChrEnc)
+        quantBlock(crP, cw, mx * 8, my * 8, QChr, zz)
+        preds(2) = encodeBlock(bw, zz, preds(2), DcChrEnc, AcChrEnc)
+        mx += 1
+      }
+      my += 1
     }
     bw.flush()
     marker(out, 0xd9)

@@ -786,9 +786,10 @@ object Multimodal {
     * conversion coefficients sum per channel), and constant even
     * blocks survive quantization (the ORACLES.md round-10
     * convention). `jpeg_smaller` asserts the entropy-coded container
-    * beat the uncompressed BMP; both flags exhaustively
-    * spec-verified over all 96 raster classes. Emitted sums come
-    * from the FINAL decode.
+    * beat the uncompressed BMP; the 420 pair re-proves both through
+    * [[Jpeg.encodeColor420]] (2x2 chroma averaging is exact on
+    * Cb=Cr=128); all four flags exhaustively spec-verified over all
+    * 96 raster classes. Emitted sums come from the FINAL decode.
     *
     * Scale: one map-only pass, per-partition decoder init. */
   def mmTranscodeJpeg(s: SparkSession, dir: String): DataFrame = {
@@ -819,12 +820,20 @@ object Multimodal {
           var sum = 0L
           i = 0
           while (i < im2.rgb.length) { sum += im2.rgb(i) & 0xff; i += 1 }
+          // the 4:2:0 leg: the subsampling real pipelines emit —
+          // chroma box-averaging is exact on Cb=Cr=128, so the same
+          // class proves the subsampled transcode lossless too
+          val jpeg420 = Jpeg.encodeColor420(im1.width, im1.height, im1.rgb)
+          val im3 = jpegDec.decode(jpeg420)
           (id, bmp.length.toLong, im2.width, im2.height, sum,
             java.util.Arrays.equals(im2.rgb, rgb),
-            jpeg.length < bmp.length)
+            jpeg.length < bmp.length,
+            java.util.Arrays.equals(im3.rgb, rgb),
+            jpeg420.length < bmp.length)
         }
       }.toDF("doc_id", "bmp_bytes", "width", "height", "sum_rgb",
-        "lossless_ok", "jpeg_smaller")
+        "lossless_ok", "jpeg_smaller", "lossless420_ok",
+        "jpeg420_smaller")
       .orderBy("doc_id")
   }
 
@@ -3081,7 +3090,9 @@ object Multimodal {
         |  CAST(SUM(3 * 64 * (2 * ((doc_id * 5 + bi * 19 + bj * 37)
         |    % 96) + 32)) AS BIGINT) AS sum_rgb,
         |  TRUE AS lossless_ok,
-        |  TRUE AS jpeg_smaller
+        |  TRUE AS jpeg_smaller,
+        |  TRUE AS lossless420_ok,
+        |  TRUE AS jpeg420_smaller
         |FROM bl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // M-JPEG: per-frame JPEGs from the same invertible class inside
     // the RIFF walk; frame count/fps from the parsed strh; the

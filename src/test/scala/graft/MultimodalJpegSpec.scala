@@ -163,6 +163,88 @@ class MultimodalJpegSpec extends SparkSpecBase {
       s"color mean |err| ${sumAbs.toDouble / c2.length}")
   }
 
+  test("color 4:2:0 JPEG: the subsampled encoder round-trips " +
+    "gray-valued constant blocks EXACTLY over all 96 classes and " +
+    "MCU-crossing dims (2x2 box averaging is exact on Cb=Cr=128; the " +
+    "decoder's replication upsample inverts it), smooth color within " +
+    "tolerance, and ImageIO reads our 4:2:0 bytes pixel-exact on the " +
+    "invertible class") {
+    // exact: every constant-block class, dims below/at/above the
+    // 16-pixel MCU grid (partial Y blocks, partial chroma blocks)
+    for (id <- 0L until 96L;
+         (bw, bh) <- Seq((2, 2), (3, 1), (2, 3))) {
+      val g = constBlockGray(id, bw, bh)
+      val rgb = new Array[Byte](g.length * 3)
+      var i = 0
+      while (i < g.length) {
+        rgb(3 * i) = g(i); rgb(3 * i + 1) = g(i); rgb(3 * i + 2) = g(i)
+        i += 1
+      }
+      val im = dec.decode(Jpeg.encodeColor420(bw * 8, bh * 8, rgb))
+      assert(im.width == bw * 8 && im.height == bh * 8, s"class $id dims")
+      assert(java.util.Arrays.equals(im.rgb, rgb),
+        s"class $id ${bw}x$bh 4:2:0 gray-valued round trip not exact")
+    }
+    // non-multiple-of-16 dims: edge replication keeps partial
+    // constant blocks constant, so the class stays exact
+    for ((w, h) <- Seq((17, 9), (8, 8), (24, 12), (15, 23))) {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (2 * (((x / 8) * 19 + (y / 8) * 37 + 11) % 96) + 32).toByte
+        val base = (y * w + x) * 3
+        rgb(base) = v; rgb(base + 1) = v; rgb(base + 2) = v
+      }
+      val im = dec.decode(Jpeg.encodeColor420(w, h, rgb))
+      assert(im.width == w && im.height == h, s"${w}x$h dims")
+      assert(java.util.Arrays.equals(im.rgb, rgb),
+        s"${w}x$h 4:2:0 round trip not exact")
+    }
+    // smooth color content within tolerance (chroma is now averaged
+    // AND replicated, so the bound is looser than 4:4:4's)
+    val w2 = 40; val h2 = 24
+    val c2 = new Array[Byte](w2 * h2 * 3)
+    for (y <- 0 until h2; x <- 0 until w2) {
+      val base = (y * w2 + x) * 3
+      c2(base) = (40 + x * 4).toByte
+      c2(base + 1) = (60 + y * 6).toByte
+      c2(base + 2) = (200 - x * 2 - y).toByte
+    }
+    val im2 = dec.decode(Jpeg.encodeColor420(w2, h2, c2))
+    var sumAbs = 0L; var maxAbs = 0
+    var i = 0
+    while (i < c2.length) {
+      val d = math.abs((im2.rgb(i) & 0xff) - (c2(i) & 0xff))
+      sumAbs += d; if (d > maxAbs) maxAbs = d
+      i += 1
+    }
+    assert(maxAbs <= 48, s"4:2:0 color max |err| $maxAbs")
+    assert(sumAbs.toDouble / c2.length <= 8.0,
+      s"4:2:0 color mean |err| ${sumAbs.toDouble / c2.length}")
+    // cross-implementation: ImageIO decodes our subsampled bytes
+    // pixel-exact on the DC-only class (its upsampler is also exact
+    // on constant chroma)
+    for (id <- Seq(3L, 41L, 88L)) {
+      val g = constBlockGray(id, 2, 2)
+      val rgb = new Array[Byte](g.length * 3)
+      var j = 0
+      while (j < g.length) {
+        rgb(3 * j) = g(j); rgb(3 * j + 1) = g(j); rgb(3 * j + 2) = g(j)
+        j += 1
+      }
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Jpeg.encodeColor420(16, 16, rgb)))
+      assert(bi != null && bi.getWidth == 16 && bi.getHeight == 16)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val p = bi.getRGB(x, y)
+        val base = (y * 16 + x) * 3
+        assert(((p >> 16) & 0xff) == (rgb(base) & 0xff) &&
+          ((p >> 8) & 0xff) == (rgb(base + 1) & 0xff) &&
+          (p & 0xff) == (rgb(base + 2) & 0xff),
+          s"class $id ImageIO 4:2:0 pixel ($x,$y)")
+      }
+    }
+  }
+
   test("cross-implementation conformance vs the JDK's ImageIO JPEG " +
     "reader: our constant-block bytes decode pixel-EXACT through " +
     "ImageIO (both IDCTs are exact on the DC-only class), our general " +
@@ -479,6 +561,14 @@ class MultimodalJpegSpec extends SparkSpecBase {
         s"class $id not lossless")
       assert(jpeg.length < bmp.length,
         s"class $id: jpeg ${jpeg.length} !< bmp ${bmp.length}")
+      // the 4:2:0 leg: chroma averaging is exact on Cb=Cr=128, so the
+      // subsampled flags are the same theorems
+      val jpeg420 = Jpeg.encodeColor420(im1.width, im1.height, im1.rgb)
+      val im3 = dec.decode(jpeg420)
+      assert(java.util.Arrays.equals(im3.rgb, rgb),
+        s"class $id 4:2:0 not lossless")
+      assert(jpeg420.length < bmp.length,
+        s"class $id: jpeg420 ${jpeg420.length} !< bmp ${bmp.length}")
       id += 1
     }
   }
