@@ -227,14 +227,22 @@ object Aggregates {
       .select(col("l_returnflag"),
         floor(col("l_extendedprice") * 100 + 0.5).as("cents"))
       .groupBy("l_returnflag")
+      // ONE sketch and ONE exact buffer serve both percentiles (the
+      // array forms): four scalar aggregates each kept their own
+      // per-group value buffer / GK sketch — measured as 1.7x of this
+      // op's noop cost for identical output (PERF.md noop-gap audit)
       .agg(
-        percentile_approx(col("cents"), lit(0.5), lit(1000))
-          .as("approx_p50"),
-        percentile_approx(col("cents"), lit(0.95), lit(1000))
-          .as("approx_p95"),
-        percentile(col("cents"), lit(0.5)).as("exact_p50"),
-        percentile(col("cents"), lit(0.95)).as("exact_p95"),
+        percentile_approx(col("cents"), array(lit(0.5), lit(0.95)),
+          lit(1000)).as("approx_arr"),
+        percentile(col("cents"), array(lit(0.5), lit(0.95)))
+          .as("exact_arr"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        element_at(col("approx_arr"), 1).as("approx_p50"),
+        element_at(col("approx_arr"), 2).as("approx_p95"),
+        element_at(col("exact_arr"), 1).as("exact_p50"),
+        element_at(col("exact_arr"), 2).as("exact_p95"),
+        col("n"))
 
   def aggApproxQuantile(s: SparkSession, dir: String): DataFrame =
     aggApproxQuantileRaw(s, dir)
