@@ -1181,35 +1181,59 @@ object Multimodal {
     * the unknown channel). */
   def mmPipelineFull(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    mmPipelineStagesOn(mmPipelineDecodedOn(
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]))
+  }
+
+  /** The capstone's decode pass on an arbitrary id source — split out
+    * so the planted-skew spec can feed a PATHOLOGICAL id multiset
+    * (90% one format class, high corruption-class density) through
+    * the real decode path. */
+  private[graft] def mmPipelineDecodedOn(
+      ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    ids.mapPartitions { it =>
+      val dec = new SniffDecoders() // per-partition init (M1 contract)
+      it.map { id =>
+        val seed = if ((id / 7) % 4 == 1) id - 7 else id
+        val bytes = corruptMaybe(id, sniffContainer(seed))
+        val format = Codecs.sniff(bytes)
+        if (format == "unknown")
+          (id, "unknown_format", "unknown", 0L, 0, 0, 0L)
+        else
+          try {
+            val (sum, w, h, payload) = dec.stats(format, bytes)
+            (id, "ok", format, sum, w, h, payload)
+          } catch {
+            case _: IllegalArgumentException =>
+              (id, "decode_error", format, 0L, 0, 0, 0L)
+          }
+      }
+    }.toDF("doc_id", "status", "format", "content_sum", "w", "h",
+      "payload")
+  }
+
+  /** The dedup window's partition key — exported so the planted-skew
+    * spec measures partition sizes of the SAME key the op's window
+    * uses: ok rows key on the full decoded identity (high
+    * cardinality), quarantined rows salt by doc_id so zero-stat rows
+    * can never form one giant partition. */
+  private[graft] def mmPipelineDedupKey: Seq[org.apache.spark.sql.Column] =
+    Seq(col("format"), col("w"), col("h"), col("content_sum"),
+      col("payload"),
+      when(col("status") === "ok", lit(0L)).otherwise(col("doc_id")))
+
+  /** The capstone's post-decode stages (dedup window, resolution
+    * filter, shard pack, funnel) on an arbitrary decoded relation. */
+  private[graft] def mmPipelineStagesOn(decoded: DataFrame): DataFrame = {
     val budget = 8192L
-    val decoded = Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        val dec = new SniffDecoders() // per-partition init (M1 contract)
-        it.map { id =>
-          val seed = if ((id / 7) % 4 == 1) id - 7 else id
-          val bytes = corruptMaybe(id, sniffContainer(seed))
-          val format = Codecs.sniff(bytes)
-          if (format == "unknown")
-            (id, "unknown_format", "unknown", 0L, 0, 0, 0L)
-          else
-            try {
-              val (sum, w, h, payload) = dec.stats(format, bytes)
-              (id, "ok", format, sum, w, h, payload)
-            } catch {
-              case _: IllegalArgumentException =>
-                (id, "decode_error", format, 0L, 0, 0, 0L)
-            }
-        }
-      }.toDF("doc_id", "status", "format", "content_sum", "w", "h",
-        "payload")
     // quarantined rows carry zero stats — without the status-keyed
     // salt they would all land in ONE window partition per format
     // (the skew no 100 TB plan survives); keyed by doc_id they cost
     // nothing and their rn is never read
     val dedupW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("format"), col("w"), col("h"),
-        col("content_sum"), col("payload"),
-        when(col("status") === "ok", lit(0L)).otherwise(col("doc_id")))
+      .partitionBy(mmPipelineDedupKey: _*)
       .orderBy("doc_id")
     val staged = decoded
       .withColumn("rn",

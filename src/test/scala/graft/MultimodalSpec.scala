@@ -1497,6 +1497,70 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.map(_._2).distinct.length == 3, "a channel is empty")
   }
 
+  test("mm_pipeline_full planted-skew: a pathological corpus (90% one " +
+    "format class, ~45% quarantine) keeps every dedup-window " +
+    "partition bounded under the op's OWN key — quarantined rows are " +
+    "singletons, ok partitions bounded by content multiplicity, and " +
+    "the UNSALTED key demonstrably concentrates the quarantine into " +
+    "one giant partition") {
+    import spark.implicits._
+    import multimodal.Multimodal
+    // 90% JPEG class (id % 7 == 6); even k takes the magic-corrupt
+    // quotient residue (q % 5 == 2) -> ~half of those quarantine;
+    // 10% spread over the other six format classes
+    val ids: Seq[Long] = (0 until 6000).map { k =>
+      if (k < 5400) {
+        val q = if (k % 2 == 0) 5L * (k / 2) + 2 else 5L * (k / 2)
+        7L * q + 6
+      } else 7L * (k - 5400) + (k % 6)
+    }
+    val decoded = Multimodal.mmPipelineDecodedOn(
+      spark.createDataset(ids)).cache()
+    try {
+      val nQuar = decoded.filter(col("status") =!= "ok").count()
+      assert(nQuar >= 2500, s"corpus not pathological enough: $nQuar")
+      // partition sizes of the SAME key the op's window partitions by
+      val keyed = decoded
+        .groupBy(Multimodal.mmPipelineDedupKey: _*)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("status") =!= "ok", 1L).otherwise(0L))
+            .as("n_quar"))
+        .select("n", "n_quar").as[(Long, Long)].collect()
+      // 1. every quarantined row is its own window partition: the
+      //    zero-stat rows can never form a skew partition
+      assert(keyed.filter(_._2 > 0).forall(r => r._1 == 1L),
+        "a quarantined row shared a window partition")
+      // 2. ok partitions are bounded by content multiplicity (this
+      //    planted JPEG stride yields 47 identity classes, largest
+      //    224 copies), never by corpus size or quarantine share —
+      //    at 100 TB the bound is the copy count of the most-
+      //    duplicated document, which exact dedup cannot avoid
+      //    colocating
+      val maxOk = keyed.filter(_._2 == 0).map(_._1).max
+      assert(maxOk <= 256, s"ok partition grew past multiplicity: $maxOk")
+      // 3. counterfactual: WITHOUT the status salt, all unknown_format
+      //    rows share one (format,0,0,0,0) key — the skew partition
+      //    the salt exists to prevent
+      val maxUnsalted = decoded
+        .groupBy(col("format"), col("w"), col("h"), col("content_sum"),
+          col("payload"))
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).as[Long].head()
+      assert(maxUnsalted >= nQuar / 2 && maxUnsalted >= 4 * maxOk,
+        s"counterfactual lost its point: $maxUnsalted vs $nQuar/$maxOk")
+      // 4. the stages run on the planted corpus and account for
+      //    every row
+      val funnel = Multimodal.mmPipelineStagesOn(decoded)
+        .select(col("n_total"), col("n_quarantined"), col("n_dup"),
+          col("n_small"), col("n_kept"))
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(funnel.map(_._1).sum == 6000L, "funnel dropped rows")
+      assert(funnel.forall(r => r._1 == r._2 + r._3 + r._4 + r._5),
+        "funnel stages do not partition the census")
+      assert(funnel.map(_._2).sum == nQuar)
+    } finally decoded.unpersist()
+  }
+
   test("Mp4AvDecoder: both modalities from ONE two-track MP4 parse " +
     "through the MULTI-CHUNK stco index (one chunk per frame per " +
     "trak) — round trip byte-exact in both box orders, probe/indexer " +
