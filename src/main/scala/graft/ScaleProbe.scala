@@ -317,6 +317,11 @@ object ScaleProbe {
     if (only.isEmpty || only("codec_bytes")) {
       import org.apache.spark.sql.Encoders
       val nDocs = sys.env.getOrElse("CODEC_DOCS", "2000").toInt
+      // CODEC_RASTER scales the still edge (clips use half) — at 512
+      // codec CPU dominates scheduling overhead end to end, which is
+      // the regime the thread-scaling column is meaningful in
+      val rw = sys.env.getOrElse("CODEC_RASTER", "256").toInt
+      val cw = rw / 2
       val ids = spark.range(nDocs)
         .select(col("id")).as[Long](Encoders.scalaLong)
       def bigRaster(id: Long, w: Int, h: Int): Array[Byte] =
@@ -325,48 +330,48 @@ object ScaleProbe {
         Array.tabulate(w * h)(i => ((i * 7 + id * 13) % 256).toByte)
       val codecs: Seq[(String, Long => Array[Byte],
           () => Array[Byte] => Long)] = Seq(
-        ("bmp", id => multimodal.Codecs.bmpEncode(256, 256,
-            bigRaster(id, 256, 256)),
+        ("bmp", id => multimodal.Codecs.bmpEncode(rw, rw,
+            bigRaster(id, rw, rw)),
           () => { val d = new multimodal.Codecs.BmpDecoder()
             b => d.decode(b).rgb.length.toLong }),
-        ("png", id => multimodal.Codecs.pngEncode(256, 256,
-            bigRaster(id, 256, 256)),
+        ("png", id => multimodal.Codecs.pngEncode(rw, rw,
+            bigRaster(id, rw, rw)),
           () => { val d = new multimodal.Codecs.PngDecoder()
             b => d.decode(b).rgb.length.toLong }),
-        ("gif", id => multimodal.Codecs.gifEncode(256, 256,
-            bigGray(id, 256, 256)),
+        ("gif", id => multimodal.Codecs.gifEncode(rw, rw,
+            bigGray(id, rw, rw)),
           () => { val d = new multimodal.Codecs.GifLzwDecoder()
             b => d.decode(b).rgb.length.toLong }),
-        ("jpeg", id => multimodal.Jpeg.encodeGray(256, 256,
-            bigGray(id, 256, 256)),
+        ("jpeg", id => multimodal.Jpeg.encodeGray(rw, rw,
+            bigGray(id, rw, rw)),
           () => { val d = new multimodal.Jpeg.JpegDecoder()
             b => d.decode(b).rgb.length.toLong }),
         ("wav", id => multimodal.Codecs.wavEncode(8000,
             Array.tabulate(200000)(i => ((i * 31 + id) % 4096).toShort)),
           () => { val d = new multimodal.Codecs.WavDecoder()
             b => d.decode(b).samples.length.toLong }),
-        ("avi", id => multimodal.Codecs.aviEncode(128, 128, 10,
-            (0 until 8).map(f => bigRaster(id + f, 128, 128))),
+        ("avi", id => multimodal.Codecs.aviEncode(cw, cw, 10,
+            (0 until 8).map(f => bigRaster(id + f, cw, cw))),
           () => { val d = new multimodal.Codecs.AviDecoder()
             b => d.decode(b).frames.length.toLong }),
-        ("mjpeg", id => multimodal.Jpeg.aviEncodeMjpeg(128, 128, 10,
-            (0 until 8).map(f => multimodal.Jpeg.encodeGray(128, 128,
-              bigGray(id + f, 128, 128)))),
+        ("mjpeg", id => multimodal.Jpeg.aviEncodeMjpeg(cw, cw, 10,
+            (0 until 8).map(f => multimodal.Jpeg.encodeGray(cw, cw,
+              bigGray(id + f, cw, cw)))),
           () => { val d = new multimodal.Jpeg.MjpegAviDecoder()
             b => d.decode(b).frames.length.toLong }),
-        ("mp4", id => multimodal.Codecs.mp4EncodeVideo(600, 60, 128, 128,
-            (0 until 8).map(f => bigRaster(id + f, 128, 128)),
+        ("mp4", id => multimodal.Codecs.mp4EncodeVideo(600, 60, cw, cw,
+            (0 until 8).map(f => bigRaster(id + f, cw, cw)),
             moovLast = id % 2 == 0),
           () => { val d = new multimodal.Codecs.Mp4VideoDecoder()
             b => d.decode(b).frames.length.toLong }),
       )
       // raster (decoded-payload) sizes are fixed by the builders:
-      // 256x256x3 for stills, 8x128x128x3 for clips, 400 KB PCM
+      // rw x rw x 3 for stills, 8 x cw x cw x 3 for clips, 400 KB PCM
       val rasterBytes: Map[String, Long] = Map(
-        "bmp" -> 256L * 256 * 3, "png" -> 256L * 256 * 3,
-        "gif" -> 256L * 256 * 3, "jpeg" -> 256L * 256 * 3,
-        "wav" -> 400000L, "avi" -> 8L * 128 * 128 * 3,
-        "mjpeg" -> 8L * 128 * 128 * 3, "mp4" -> 8L * 128 * 128 * 3)
+        "bmp" -> rw.toLong * rw * 3, "png" -> rw.toLong * rw * 3,
+        "gif" -> rw.toLong * rw * 3, "jpeg" -> rw.toLong * rw * 3,
+        "wav" -> 400000L, "avi" -> 8L * cw * cw * 3,
+        "mjpeg" -> 8L * cw * cw * 3, "mp4" -> 8L * cw * cw * 3)
       for ((fmt, build, mkDec) <- codecs) {
         // single-core decode throughput: pre-built containers, a
         // driver-side decode loop, best of 3 — the per-core number a
@@ -379,6 +384,15 @@ object ScaleProbe {
         val tCore = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           pre.foreach(dec0)
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        // single-core ENCODE+DECODE (the same work unit the
+        // distributed pass runs per row) — the honest denominator
+        // for the thread-scaling ratio below
+        val tCoreEncDec = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < k) { dec0(build(i.toLong)); i += 1 }
           (System.nanoTime() - t0) / 1e9
         }.min
         // distributed encode+decode pass (the catalog ops' shape):
@@ -394,11 +408,15 @@ object ScaleProbe {
         val tFull = (System.nanoTime() - t0) / 1e9
         val coreMB = preBytes / 1e6 / tCore
         val coreRasterMB = k * rasterBytes(fmt) / 1e6 / tCore
-        println(f"PROBE codec_bytes $fmt%-6s n=$nDocs " +
+        val coreEncDecMB = preBytes / 1e6 / tCoreEncDec
+        val clusterMB = bytes / 1e6 / tFull
+        println(f"PROBE codec_bytes $fmt%-6s n=$nDocs raster=$rw " +
           f"container=${bytes / 1e6}%.0fMB " +
           f"core_dec_MBps=$coreMB%.0f " +
           f"core_raster_MBps=$coreRasterMB%.0f " +
-          f"cluster_encdec_MBps=${bytes / 1e6 / tFull}%.0f")
+          f"core_encdec_MBps=$coreEncDecMB%.0f " +
+          f"cluster_encdec_MBps=$clusterMB%.0f " +
+          f"thread_scale=${clusterMB / coreEncDecMB}%.1f")
       }
     }
 

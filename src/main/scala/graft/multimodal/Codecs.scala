@@ -1684,6 +1684,15 @@ object Codecs {
       }
       y += 1
     }
+    pngWrap(width, height, 0, filtered)
+  }
+
+  /** DEFLATE the filtered stream and wrap it in signature + IHDR +
+    * <=512-byte IDAT chunks + IEND with spec CRCs — shared by the
+    * sequential and Adam7 encoders (only the IHDR interlace byte and
+    * the filtered-stream layout differ). */
+  private def pngWrap(width: Int, height: Int, interlace: Int,
+      filtered: Array[Byte]): Array[Byte] = {
     val defl = new java.util.zip.Deflater(
       java.util.zip.Deflater.BEST_SPEED)
     defl.setInput(filtered)
@@ -1714,7 +1723,8 @@ object Codecs {
     wbe32(ihdr, 0, width); wbe32(ihdr, 4, height)
     ihdr(8) = 8 // bit depth
     ihdr(9) = 2 // color type: truecolor RGB
-    // compression 0 (deflate), filter 0 (adaptive), interlace 0
+    // compression 0 (deflate), filter 0 (adaptive)
+    ihdr(12) = interlace.toByte
     chunk("IHDR", ihdr, 0, 13)
     var off = 0
     while (off < idat.length) {
@@ -1724,6 +1734,72 @@ object Codecs {
     }
     chunk("IEND", Array.emptyByteArray, 0, 0)
     out.toByteArray
+  }
+
+  /** [[pngEncode]]'s Adam7 INTERLACED twin: the raster splits into
+    * the seven pass sub-images (spec §8.2), each filtered
+    * independently with the same cycling five-filter strategy (row j
+    * of a pass uses type j % 5, filters referencing neighbors within
+    * the pass), the concatenated pass streams DEFLATE as one zlib
+    * stream, and the IHDR carries interlace method 1. Decodes through
+    * [[PngDecoder]]'s deinterlace path and through foreign readers
+    * (ImageIO conformance in MultimodalSpec). */
+  def pngEncodeAdam7(width: Int, height: Int,
+      rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == width * height * 3,
+      s"raster length ${rgb.length} != $width x $height x 3")
+    val filtered = new Array[Byte](pngRawLenAdam7(width, height))
+    var o = 0
+    var k = 0
+    while (k < 7) {
+      val (x0, y0, dx, dy) = Adam7(k)
+      val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val rl = pw * 3
+        val sub = new Array[Byte](ph * rl)
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            val src = ((y0 + j * dy) * width + (x0 + i * dx)) * 3
+            val dst = (j * pw + i) * 3
+            sub(dst) = rgb(src)
+            sub(dst + 1) = rgb(src + 1)
+            sub(dst + 2) = rgb(src + 2)
+            i += 1
+          }
+          j += 1
+        }
+        j = 0
+        while (j < ph) {
+          val ft = j % 5
+          filtered(o) = ft.toByte
+          var x = 0
+          while (x < rl) {
+            val cur = sub(j * rl + x) & 0xff
+            val left = if (x >= 3) sub(j * rl + x - 3) & 0xff else 0
+            val up = if (j > 0) sub((j - 1) * rl + x) & 0xff else 0
+            val ul =
+              if (x >= 3 && j > 0) sub((j - 1) * rl + x - 3) & 0xff
+              else 0
+            val pred = ft match {
+              case 0 => 0
+              case 1 => left
+              case 2 => up
+              case 3 => (left + up) / 2
+              case _ => paeth(left, up, ul)
+            }
+            filtered(o + 1 + x) = ((cur - pred) & 0xff).toByte
+            x += 1
+          }
+          o += 1 + rl
+          j += 1
+        }
+      }
+      k += 1
+    }
+    pngWrap(width, height, 1, filtered)
   }
 
   /** The real decoder: verifies the 8-byte signature, walks the chunk

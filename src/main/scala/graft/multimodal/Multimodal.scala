@@ -1323,11 +1323,19 @@ object Multimodal {
           var sum = 0L
           var i = 0
           while (i < im2.rgb.length) { sum += im2.rgb(i) & 0xff; i += 1 }
+          // the Adam7 leg: re-encode INTERLACED (the progressive form
+          // real encoders emit for web delivery), decode through the
+          // seven-pass deinterlace, byte-compare — pass split, per-
+          // pass filtering, or scatter bugs all flip the flag
+          val im3 = pd.decode(
+            Codecs.pngEncodeAdam7(im1.width, im1.height, im1.rgb))
           (id, bmp.length.toLong, im2.width, im2.height, sum,
-            lossless, png.length < bmp.length)
+            lossless, png.length < bmp.length,
+            im3.width == w && im3.height == h &&
+              java.util.Arrays.equals(im3.rgb, px))
         }
       }.toDF("doc_id", "bmp_bytes", "width", "height", "sum_rgb",
-        "lossless_ok", "png_smaller")
+        "lossless_ok", "png_smaller", "lossless_adam7_ok")
       .orderBy("doc_id")
   }
 
@@ -3181,7 +3189,8 @@ object Multimodal {
         |    + (doc_id * 3 + x * 29 + y * 23) % 256) AS BIGINT)
         |    AS sum_rgb,
         |  TRUE AS lossless_ok,
-        |  TRUE AS png_smaller
+        |  TRUE AS png_smaller,
+        |  TRUE AS lossless_adam7_ok
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Both modality patterns + the closed-form two-stream container
     // size (Codecs.aviAvSize) replayed from the clip parameters.

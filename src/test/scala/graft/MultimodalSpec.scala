@@ -982,6 +982,13 @@ class MultimodalSpec extends SparkSpecBase {
         s"class $id: png not smaller than bmp")
       // h >= 12 rows, filters cycle y % 5 => all five types appear
       assert(h >= 5)
+      // the Adam7 encoder leg (the mm_transcode_png
+      // lossless_adam7_ok theorem): interlaced round trip exact on
+      // every class
+      val im7 = dec.decode(Codecs.pngEncodeAdam7(w, h, px))
+      assert(im7.width == w && im7.height == h, s"class $id adam7 dims")
+      assert(java.util.Arrays.equals(im7.rgb, px),
+        s"class $id adam7 pixels")
     }
   }
 
@@ -1145,6 +1152,20 @@ class MultimodalSpec extends SparkSpecBase {
       assert(im.width == w && im.height == h, s"${w}x$h foreign dims")
       assert(java.util.Arrays.equals(im.rgb, px),
         s"${w}x$h foreign interlaced pixels")
+      // and the reverse direction: OUR Adam7 encoder's bytes through
+      // ImageIO's deinterlacer, pixel-exact
+      val img2 = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(
+          multimodal.Codecs.pngEncodeAdam7(w, h, px)))
+      assert(img2 != null && img2.getWidth == w && img2.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img2.getRGB(x, y)
+        val base = (y * w + x) * 3
+        assert(((argb >> 16) & 0xff) == (px(base) & 0xff) &&
+          ((argb >> 8) & 0xff) == (px(base + 1) & 0xff) &&
+          (argb & 0xff) == (px(base + 2) & 0xff),
+          s"${w}x$h our-adam7-through-ImageIO pixel ($x,$y)")
+      }
     }
   }
 
@@ -1221,11 +1242,13 @@ class MultimodalSpec extends SparkSpecBase {
     "on every row (byte-compare against the original raster) and the " +
     "compressed container beats the uncompressed one") {
     val out = multimodal.Multimodal.mmTranscodePng(spark, sf)
-      .as[(Long, Long, Int, Int, Long, Boolean, Boolean)].collect()
+      .as[(Long, Long, Int, Int, Long, Boolean, Boolean, Boolean)]
+      .collect()
     assert(out.nonEmpty)
-    out.foreach { case (id, bb, w, h, sum, lossless, smaller) =>
+    out.foreach { case (id, bb, w, h, sum, lossless, smaller, adam7) =>
       assert(lossless, s"doc $id lossy")
       assert(smaller, s"doc $id png not smaller")
+      assert(adam7, s"doc $id adam7 leg lossy")
       val stride = ((w * 3 + 3) / 4) * 4
       assert(bb == 54 + stride * h, s"doc $id bmp size")
     }
