@@ -1076,11 +1076,29 @@ object Multimodal {
             case _ =>
               // the LOSSY format joins the mixed ingest: baseline
               // JPEG from the invertible class (the mm_decode_jpeg
-              // pattern verbatim — the shared-literal rule)
-              Jpeg.encodeGray((2 + id % 3).toInt * 8,
-                (1 + id % 2).toInt * 8,
-                jpegBlockGray(id, 0, (2 + id % 3).toInt,
-                  (1 + id % 2).toInt))
+              // pattern verbatim — the shared-literal rule). Half the
+              // class ships as subsampled 4:2:0 COLOR JPEG (the form
+              // real pipelines emit), half as grayscale: the decoded
+              // raster is IDENTICAL either way (R=G=B gray-valued
+              // rasters invert exactly through both paths), so every
+              // downstream stat is format-path-independent and the
+              // oracles are untouched — but the mixed corpus now
+              // exercises the decoder's chroma upsampling on every
+              // sniff/quarantine/pipeline/streaming pass
+              val bw = (2 + id % 3).toInt; val bh = (1 + id % 2).toInt
+              val g = jpegBlockGray(id, 0, bw, bh)
+              if ((id / 7) % 2 == 0)
+                Jpeg.encodeGray(bw * 8, bh * 8, g)
+              else {
+                val rgb = new Array[Byte](g.length * 3)
+                var i = 0
+                while (i < g.length) {
+                  rgb(3 * i) = g(i); rgb(3 * i + 1) = g(i)
+                  rgb(3 * i + 2) = g(i)
+                  i += 1
+                }
+                Jpeg.encodeColor420(bw * 8, bh * 8, rgb)
+              }
           }
   }
 
