@@ -786,10 +786,9 @@ object Multimodal {
     * conversion coefficients sum per channel), and constant even
     * blocks survive quantization (the ORACLES.md round-10
     * convention). `jpeg_smaller` asserts the entropy-coded container
-    * beat the uncompressed BMP; the 420 pair re-proves both through
-    * [[Jpeg.encodeColor420]] (2x2 chroma averaging is exact on
-    * Cb=Cr=128); all four flags exhaustively spec-verified over all
-    * 96 raster classes. Emitted sums come from the FINAL decode.
+    * beat the uncompressed BMP; both flags exhaustively spec-verified
+    * over all 96 raster classes (alongside [[mmTranscodeJpeg420]]'s).
+    * Emitted sums come from the FINAL decode.
     *
     * Scale: one map-only pass, per-partition decoder init. */
   def mmTranscodeJpeg(s: SparkSession, dir: String): DataFrame = {
@@ -820,20 +819,59 @@ object Multimodal {
           var sum = 0L
           i = 0
           while (i < im2.rgb.length) { sum += im2.rgb(i) & 0xff; i += 1 }
-          // the 4:2:0 leg: the subsampling real pipelines emit —
-          // chroma box-averaging is exact on Cb=Cr=128, so the same
-          // class proves the subsampled transcode lossless too
-          val jpeg420 = Jpeg.encodeColor420(im1.width, im1.height, im1.rgb)
-          val im3 = jpegDec.decode(jpeg420)
           (id, bmp.length.toLong, im2.width, im2.height, sum,
             java.util.Arrays.equals(im2.rgb, rgb),
-            jpeg.length < bmp.length,
-            java.util.Arrays.equals(im3.rgb, rgb),
-            jpeg420.length < bmp.length)
+            jpeg.length < bmp.length)
         }
       }.toDF("doc_id", "bmp_bytes", "width", "height", "sum_rgb",
-        "lossless_ok", "jpeg_smaller", "lossless420_ok",
-        "jpeg420_smaller")
+        "lossless_ok", "jpeg_smaller")
+      .orderBy("doc_id")
+  }
+
+  /** L5z4: [[mmTranscodeJpeg]]'s SUBSAMPLED twin — BMP in, 4:2:0
+    * YCbCr JPEG out ([[Jpeg.encodeColor420]], the form real pipelines
+    * actually emit), decoded back through the chroma-upsampling path.
+    * The raster class extends the invertible analysis to subsampled
+    * color: gray-valued pixels keep Cb=Cr=128, which 2x2 box
+    * averaging preserves exactly, so `lossless_ok` is the same
+    * theorem (spec-verified over all 96 classes alongside the 4:4:4
+    * flags). A separate catalog key — not extra columns on the 4:4:4
+    * op — so the cross-round bench cost of each transcode form stays
+    * individually visible. */
+  def mmTranscodeJpeg420(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bmpClass =
+      s.conf.get(ImageDecoderConfKey, classOf[Codecs.BmpDecoder].getName)
+    val jpegClass =
+      s.conf.get(JpegDecoderConfKey, classOf[Jpeg.JpegDecoder].getName)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val bmpDec = instantiate[Codecs.ImageDecoder](bmpClass)
+        val jpegDec = instantiate[Codecs.ImageDecoder](jpegClass)
+        it.map { id =>
+          val bw = (4 + id % 3).toInt
+          val bh = (2 + id % 2).toInt
+          val g = jpegBlockGray(id, 0, bw, bh)
+          val rgb = new Array[Byte](g.length * 3)
+          var i = 0
+          while (i < g.length) {
+            rgb(3 * i) = g(i); rgb(3 * i + 1) = g(i)
+            rgb(3 * i + 2) = g(i)
+            i += 1
+          }
+          val bmp = Codecs.bmpEncode(bw * 8, bh * 8, rgb)
+          val im1 = bmpDec.decode(bmp)
+          val jpeg = Jpeg.encodeColor420(im1.width, im1.height, im1.rgb)
+          val im2 = jpegDec.decode(jpeg)
+          var sum = 0L
+          i = 0
+          while (i < im2.rgb.length) { sum += im2.rgb(i) & 0xff; i += 1 }
+          (id, bmp.length.toLong, im2.width, im2.height, sum,
+            java.util.Arrays.equals(im2.rgb, rgb),
+            jpeg.length < bmp.length)
+        }
+      }.toDF("doc_id", "bmp_bytes", "width", "height", "sum_rgb",
+        "lossless_ok", "jpeg_smaller")
       .orderBy("doc_id")
   }
 
@@ -1341,19 +1379,62 @@ object Multimodal {
           var sum = 0L
           var i = 0
           while (i < im2.rgb.length) { sum += im2.rgb(i) & 0xff; i += 1 }
-          // the Adam7 leg: re-encode INTERLACED (the progressive form
-          // real encoders emit for web delivery), decode through the
-          // seven-pass deinterlace, byte-compare — pass split, per-
-          // pass filtering, or scatter bugs all flip the flag
-          val im3 = pd.decode(
-            Codecs.pngEncodeAdam7(im1.width, im1.height, im1.rgb))
           (id, bmp.length.toLong, im2.width, im2.height, sum,
-            lossless, png.length < bmp.length,
-            im3.width == w && im3.height == h &&
-              java.util.Arrays.equals(im3.rgb, px))
+            lossless, png.length < bmp.length)
         }
       }.toDF("doc_id", "bmp_bytes", "width", "height", "sum_rgb",
-        "lossless_ok", "png_smaller", "lossless_adam7_ok")
+        "lossless_ok", "png_smaller")
+      .orderBy("doc_id")
+  }
+
+  /** L5t2: [[mmTranscodePng]]'s INTERLACED twin — BMP in, Adam7
+    * progressive PNG out ([[Codecs.pngEncodeAdam7]]: seven pass
+    * sub-images, per-pass filtering, one zlib stream), decoded back
+    * through the deinterlace path and byte-compared (`lossless_ok` —
+    * pass split, per-pass filter, or scatter bugs all flip it).
+    * `png_smaller` proves even the interlaced layout beats the
+    * uncompressed container on every class. A separate catalog key
+    * for the same reason as [[mmTranscodeJpeg420]]. */
+  def mmTranscodePngAdam7(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bmpDecClass =
+      s.conf.get(ImageDecoderConfKey, classOf[Codecs.BmpDecoder].getName)
+    val pngDecClass =
+      s.conf.get(PngDecoderConfKey, classOf[Codecs.PngDecoder].getName)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val bd = instantiate[Codecs.ImageDecoder](bmpDecClass)
+        val pd = instantiate[Codecs.ImageDecoder](pngDecClass)
+        it.map { id =>
+          val w = (16 + id % 16).toInt
+          val h = (12 + id % 8).toInt
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val base = (y * w + x) * 3
+              px(base) = ((id * 7 + x * 13 + y * 31) % 256).toByte
+              px(base + 1) = ((id * 11 + x * 17 + y * 5) % 256).toByte
+              px(base + 2) = ((id * 3 + x * 29 + y * 23) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val bmp = Codecs.bmpEncode(w, h, px)
+          val im1 = bd.decode(bmp)
+          val png = Codecs.pngEncodeAdam7(im1.width, im1.height, im1.rgb)
+          val im2 = pd.decode(png)
+          val lossless = im2.width == w && im2.height == h &&
+            java.util.Arrays.equals(im2.rgb, px)
+          var sum = 0L
+          var i = 0
+          while (i < im2.rgb.length) { sum += im2.rgb(i) & 0xff; i += 1 }
+          (id, bmp.length.toLong, im2.width, im2.height, sum,
+            lossless, png.length < bmp.length)
+        }
+      }.toDF("doc_id", "bmp_bytes", "width", "height", "sum_rgb",
+        "lossless_ok", "png_smaller")
       .orderBy("doc_id")
   }
 
@@ -2690,9 +2771,11 @@ object Multimodal {
     "ref_ep3_mjpeg" -> refEp3Mjpeg,
     "ref_pipeline_e2e" -> refPipelineE2e,
     "mm_transcode_jpeg" -> mmTranscodeJpeg,
+    "mm_transcode_jpeg420" -> mmTranscodeJpeg420,
     "mm_sniff_decode" -> mmSniffDecode,
     "mm_decode_quarantine" -> mmDecodeQuarantine,
     "mm_transcode_png" -> mmTranscodePng,
+    "mm_transcode_png_adam7" -> mmTranscodePngAdam7,
     "mm_phash_real" -> mmPhashReal,
     "mm_decode_image" -> mmDecodeImage,
     "mm_decode_audio" -> mmDecodeAudio,
@@ -3140,9 +3223,26 @@ object Multimodal {
         |  CAST(SUM(3 * 64 * (2 * ((doc_id * 5 + bi * 19 + bj * 37)
         |    % 96) + 32)) AS BIGINT) AS sum_rgb,
         |  TRUE AS lossless_ok,
-        |  TRUE AS jpeg_smaller,
-        |  TRUE AS lossless420_ok,
-        |  TRUE AS jpeg420_smaller
+        |  TRUE AS jpeg_smaller
+        |FROM bl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The 4:2:0 twin replays the same closed forms (identical raster
+    // class and dims; only the codec path differs — and gray-valued
+    // pixels invert exactly through the subsampled path too).
+    "mm_transcode_jpeg420" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 3 AS bw,
+        |    2 + doc_id % 2 AS bh FROM documents),
+        |bl AS (SELECT doc_id, bw, bh, bis.i AS bi, bjs.j AS bj
+        |  FROM d, range(0, 7) bis(i), range(0, 4) bjs(j)
+        |  WHERE bis.i < bw AND bjs.j < bh)
+        |SELECT doc_id,
+        |  CAST(54 + ((MAX(bw) * 8 * 3 + 3) // 4) * 4 * MAX(bh) * 8
+        |    AS BIGINT) AS bmp_bytes,
+        |  CAST(MAX(bw) * 8 AS INT) AS width,
+        |  CAST(MAX(bh) * 8 AS INT) AS height,
+        |  CAST(SUM(3 * 64 * (2 * ((doc_id * 5 + bi * 19 + bj * 37)
+        |    % 96) + 32)) AS BIGINT) AS sum_rgb,
+        |  TRUE AS lossless_ok,
+        |  TRUE AS jpeg_smaller
         |FROM bl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // M-JPEG: per-frame JPEGs from the same invertible class inside
     // the RIFF walk; frame count/fps from the parsed strh; the
@@ -3207,8 +3307,27 @@ object Multimodal {
         |    + (doc_id * 3 + x * 29 + y * 23) % 256) AS BIGINT)
         |    AS sum_rgb,
         |  TRUE AS lossless_ok,
-        |  TRUE AS png_smaller,
-        |  TRUE AS lossless_adam7_ok
+        |  TRUE AS png_smaller
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The Adam7 twin replays the same closed forms (identical raster
+    // class and dims; only the stream layout differs — interlaced
+    // passes deinterlace back to the same pixels).
+    "mm_transcode_png_adam7" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+        |    12 + doc_id % 8 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, xs.x, ys.y
+        |  FROM d, range(0, 31) xs(x), range(0, 19) ys(y)
+        |  WHERE xs.x < w AND ys.y < h)
+        |SELECT doc_id,
+        |  CAST(54 + ((MAX(w) * 3 + 3) // 4) * 4 * MAX(h) AS BIGINT)
+        |    AS bmp_bytes,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  CAST(SUM((doc_id * 7 + x * 13 + y * 31) % 256
+        |    + (doc_id * 11 + x * 17 + y * 5) % 256
+        |    + (doc_id * 3 + x * 29 + y * 23) % 256) AS BIGINT)
+        |    AS sum_rgb,
+        |  TRUE AS lossless_ok,
+        |  TRUE AS png_smaller
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Both modality patterns + the closed-form two-stream container
     // size (Codecs.aviAvSize) replayed from the clip parameters.

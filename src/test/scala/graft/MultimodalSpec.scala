@@ -1242,15 +1242,23 @@ class MultimodalSpec extends SparkSpecBase {
     "on every row (byte-compare against the original raster) and the " +
     "compressed container beats the uncompressed one") {
     val out = multimodal.Multimodal.mmTranscodePng(spark, sf)
-      .as[(Long, Long, Int, Int, Long, Boolean, Boolean, Boolean)]
-      .collect()
+      .as[(Long, Long, Int, Int, Long, Boolean, Boolean)].collect()
     assert(out.nonEmpty)
-    out.foreach { case (id, bb, w, h, sum, lossless, smaller, adam7) =>
+    out.foreach { case (id, bb, w, h, sum, lossless, smaller) =>
       assert(lossless, s"doc $id lossy")
       assert(smaller, s"doc $id png not smaller")
-      assert(adam7, s"doc $id adam7 leg lossy")
       val stride = ((w * 3 + 3) / 4) * 4
       assert(bb == 54 + stride * h, s"doc $id bmp size")
+    }
+    // the Adam7 twin: same raster class through the interlaced layout
+    val out7 = multimodal.Multimodal.mmTranscodePngAdam7(spark, sf)
+      .as[(Long, Long, Int, Int, Long, Boolean, Boolean)].collect()
+    assert(out7.length == out.length)
+    out7.zip(out).foreach { case (a, b) =>
+      assert(a._6 && a._7, s"doc ${a._1} adam7 flags")
+      // identical decoded identity — only the container layout differs
+      assert(a._5 == b._5 && a._3 == b._3 && a._4 == b._4,
+        s"doc ${a._1} adam7 decode drifted from sequential")
     }
   }
 
