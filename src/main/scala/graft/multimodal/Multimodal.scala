@@ -1080,9 +1080,15 @@ object Multimodal {
                 id * 3 + x * 29 + y * 23)))
             case 1 =>
               val w = (16 + id % 16).toInt; val h = (12 + id % 8).toInt
-              Codecs.pngEncode(w, h, raster(w, h)((x, y) => (
+              val px = raster(w, h)((x, y) => (
                 id * 5 + x * 19 + y * 37, id * 13 + x * 7 + y * 11,
-                id * 17 + x * 23 + y * 3)))
+                id * 17 + x * 23 + y * 3))
+              // half the class ships Adam7 INTERLACED (the progressive
+              // form web encoders emit) — deinterlaced pixels are
+              // identical, so every stat and oracle is unchanged while
+              // the ingest tier exercises the seven-pass path per run
+              if ((id / 7) % 2 == 0) Codecs.pngEncode(w, h, px)
+              else Codecs.pngEncodeAdam7(w, h, px)
             case 2 =>
               val w = (16 + id % 12).toInt; val h = (10 + id % 6).toInt
               Codecs.gifEncode(w, h, Array.tabulate(w * h) { p =>
@@ -2047,8 +2053,23 @@ object Multimodal {
           val grays = (0 until nf).map(f => jpegBlockGray(id, f, bw, bh))
           val src =
             if (isMov)
-              Jpeg.aviEncodeMjpeg(w, h, 2,
-                grays.map(g => Jpeg.encodeGray(w, h, g)))
+              // alternate gray / 4:2:0-color scans per frame (the
+              // segClipsMjpeg convention — decoded rasters identical,
+              // oracle untouched, chroma path exercised)
+              Jpeg.aviEncodeMjpeg(w, h, 2, grays.zipWithIndex.map {
+                case (g, f) =>
+                  if (f % 2 == 0) Jpeg.encodeGray(w, h, g)
+                  else {
+                    val rgb = new Array[Byte](g.length * 3)
+                    var i = 0
+                    while (i < g.length) {
+                      rgb(3 * i) = g(i); rgb(3 * i + 1) = g(i)
+                      rgb(3 * i + 2) = g(i)
+                      i += 1
+                    }
+                    Jpeg.encodeColor420(w, h, rgb)
+                  }
+              })
             else
               Codecs.aviEncode(w, h, 2, grays.map { g =>
                 val px = new Array[Byte](g.length * 3)
@@ -2266,8 +2287,26 @@ object Multimodal {
           val bw = (2 + id % 2).toInt
           val bh = (1 + id % 2).toInt
           val nf = (6 + id % 6).toInt
-          val frames = (0 until nf).map(f =>
-            Jpeg.encodeGray(bw * 8, bh * 8, jpegBlockGray(id, f, bw, bh)))
+          // frames alternate grayscale and 4:2:0 COLOR JPEG scans
+          // (M-JPEG frames are independent, so mixed variants in one
+          // stream are legal); gray-valued rasters decode identically
+          // through both paths, so every downstream stat — and the
+          // oracle — is unchanged while the chain exercises chroma
+          // upsampling inside the RIFF walk
+          val frames = (0 until nf).map { f =>
+            val g = jpegBlockGray(id, f, bw, bh)
+            if (f % 2 == 0) Jpeg.encodeGray(bw * 8, bh * 8, g)
+            else {
+              val rgb = new Array[Byte](g.length * 3)
+              var i = 0
+              while (i < g.length) {
+                rgb(3 * i) = g(i); rgb(3 * i + 1) = g(i)
+                rgb(3 * i + 2) = g(i)
+                i += 1
+              }
+              Jpeg.encodeColor420(bw * 8, bh * 8, rgb)
+            }
+          }
           (id, Jpeg.aviEncodeMjpeg(bw * 8, bh * 8, 2, frames))
         }
       }.toDF("doc_id", "avi")
