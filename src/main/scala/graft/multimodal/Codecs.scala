@@ -2019,7 +2019,16 @@ object Codecs {
     * clear 256, EOI 257, dictionary growth to 4096 then an emitted
     * clear — the actual GIF algorithm, not a stored shortcut) packed
     * LSB-first into 255-byte sub-blocks. */
-  def gifEncode(width: Int, height: Int, indices: Array[Byte]): Array[Byte] = {
+  def gifEncode(width: Int, height: Int, indices: Array[Byte]): Array[Byte] =
+    gifEncode(width, height, indices, interlaced = false)
+
+  /** [[gifEncode]] with the GIF87a INTERLACE option: rows are stored
+    * in the four-pass order (start 0 step 8, 4/8, 2/4, 1/2) and the
+    * image descriptor carries the 0x40 flag — the progressive layout
+    * legacy web encoders emit, which [[GifLzwDecoder]] already undoes
+    * (spec'd against hand-built files since round 10). */
+  def gifEncode(width: Int, height: Int, indices: Array[Byte],
+      interlaced: Boolean): Array[Byte] = {
     require(width > 0 && height > 0 &&
       indices.length == width * height,
       s"index raster length ${indices.length} != $width x $height")
@@ -2038,8 +2047,25 @@ object Codecs {
     }
     out.write(0x2c) // image descriptor
     le16(0); le16(0); le16(width); le16(height)
-    out.write(0) // no local table, not interlaced
+    // no local table; bit 6 = interlaced row order
+    out.write(if (interlaced) 0x40 else 0)
     out.write(8) // LZW minimum code size
+    // interlace stores the rows in four-pass order; the LZW below is
+    // layout-agnostic, so permute first
+    val stored =
+      if (!interlaced) indices
+      else {
+        val p = new Array[Byte](indices.length)
+        var k = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+          var y = start
+          while (y < height) {
+            System.arraycopy(indices, y * width, p, k * width, width)
+            k += 1; y += step
+          }
+        }
+        p
+      }
 
     // --- LZW compress (GIF variant) ---
     val Clear = 256
@@ -2062,10 +2088,10 @@ object Codecs {
     var next = 258
     def key(prefix: Int, b: Int): Integer = Integer.valueOf((prefix << 8) | b)
     put(Clear)
-    var cur = indices(0) & 0xff
+    var cur = stored(0) & 0xff
     i = 1
-    while (i < indices.length) {
-      val b = indices(i) & 0xff
+    while (i < stored.length) {
+      val b = stored(i) & 0xff
       val k = key(cur, b)
       val hit = dict.get(k)
       if (hit != null) cur = hit.intValue()

@@ -1444,6 +1444,98 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** L5t3: the PALETTE transcode — BMP in, GIF87a out, both ends
+    * parsed. GIF is palette-indexed, so this conversion is color
+    * QUANTIZATION; the corpus rasters are drawn from the palette's
+    * exact image (the invertible-class convention applied to
+    * palettization: every pixel IS a palette color, quantization is
+    * exact, and `lossless_ok` — byte-compare of BOTH the recovered
+    * index plane and the resolved RGB — is a theorem). Index recovery
+    * inverts [[Codecs.gifPalette]] through its red channel (37 is odd,
+    * hence a unit mod 256: r determines the index) and fail-fasts on
+    * any pixel outside the palette. Odd docs emit INTERLACED GIFs
+    * ([[Codecs.gifEncode]]'s four-pass row order) — the decoder
+    * undoes the layout, so every stat is layout-independent and the
+    * oracle is one closed form. `compressed` asserts the LZW stream
+    * beat raw index storage (the mm_decode_gif stored-equivalent
+    * bound; spec-verified over the pattern's full period in both
+    * layouts). Index pattern shared with
+    * [[mmDecodeGif]] (the shared-literal rule).
+    *
+    * Scale: one map-only pass, two per-partition decoder inits. */
+  def mmTranscodeGif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bmpClass =
+      s.conf.get(ImageDecoderConfKey, classOf[Codecs.BmpDecoder].getName)
+    val gifClass =
+      s.conf.get(GifDecoderConfKey, classOf[Codecs.GifLzwDecoder].getName)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val bd = instantiate[Codecs.ImageDecoder](bmpClass)
+        val gd = instantiate[Codecs.GifDecoder](gifClass)
+        // the palette's red channel is a bijection (37 odd): r -> index
+        val idxOfR = {
+          val m = new Array[Byte](256)
+          var i = 0
+          while (i < 256) {
+            m(Codecs.gifPalette(i)._1) = i.toByte
+            i += 1
+          }
+          m
+        }
+        it.map { id =>
+          val w = (16 + id % 12).toInt
+          val h = (10 + id % 6).toInt
+          val idx = new Array[Byte](w * h)
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((id * 3 + x * 7 + (y % 3) * 11) % 256).toInt
+              idx(y * w + x) = v.toByte
+              val (r, g, b) = Codecs.gifPalette(v)
+              val base = (y * w + x) * 3
+              px(base) = r.toByte; px(base + 1) = g.toByte
+              px(base + 2) = b.toByte
+              x += 1
+            }
+            y += 1
+          }
+          val bmp = Codecs.bmpEncode(w, h, px)
+          val im1 = bd.decode(bmp)
+          // palettize: exact inverse on this corpus, fail-fast contract
+          val rec = new Array[Byte](w * h)
+          var i = 0
+          while (i < rec.length) {
+            val r = im1.rgb(3 * i) & 0xff
+            val ix = idxOfR(r) & 0xff
+            val (pr, pg, pb) = Codecs.gifPalette(ix)
+            require(pr == r && pg == (im1.rgb(3 * i + 1) & 0xff) &&
+              pb == (im1.rgb(3 * i + 2) & 0xff),
+              s"pixel $i outside the palette")
+            rec(i) = ix.toByte
+            i += 1
+          }
+          val gif = Codecs.gifEncode(w, h, rec, interlaced = id % 2 == 1)
+          val im2 = gd.decode(gif)
+          var sum = 0L
+          i = 0
+          while (i < im2.rgb.length) { sum += im2.rgb(i) & 0xff; i += 1 }
+          // the mm_decode_gif stored-equivalent bound: the LZW stream
+          // must beat raw index storage (the 768-byte global palette
+          // makes a BMP size comparison meaningless at these rasters)
+          val bound = 794 + w * h + (w * h + 254) / 255
+          (id, bmp.length.toLong, im2.width, im2.height, sum,
+            java.util.Arrays.equals(im2.indices, idx) &&
+              java.util.Arrays.equals(im2.rgb, px),
+            gif.length < bound)
+        }
+      }.toDF("doc_id", "bmp_bytes", "width", "height", "sum_rgb",
+        "lossless_ok", "compressed")
+      .orderBy("doc_id")
+  }
+
   /** L5i: REAL audio decode — the WAV sibling of [[mmDecodeImage]].
     * Per document a deterministic PCM16 mono waveform is encoded into
     * genuine RIFF/WAVE bytes ([[Codecs.wavEncode]]) and decoded by
@@ -2815,6 +2907,7 @@ object Multimodal {
     "mm_decode_quarantine" -> mmDecodeQuarantine,
     "mm_transcode_png" -> mmTranscodePng,
     "mm_transcode_png_adam7" -> mmTranscodePngAdam7,
+    "mm_transcode_gif" -> mmTranscodeGif,
     "mm_phash_real" -> mmPhashReal,
     "mm_decode_image" -> mmDecodeImage,
     "mm_decode_audio" -> mmDecodeAudio,
@@ -3348,6 +3441,26 @@ object Multimodal {
         |  TRUE AS lossless_ok,
         |  TRUE AS png_smaller
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The palette transcode: sums are the palette expansion of the
+    // mm_decode_gif index pattern (shared-literal rule); interlace is
+    // layout-only, so one closed form covers both parities.
+    "mm_transcode_gif" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 12 AS w,
+        |    10 + doc_id % 6 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, xs.x, ys.y
+        |  FROM d, range(0, 28) xs(x), range(0, 16) ys(y)
+        |  WHERE xs.x < w AND ys.y < h),
+        |v AS (SELECT doc_id, w, h,
+        |    (doc_id * 3 + x * 7 + (y % 3) * 11) % 256 AS i FROM px)
+        |SELECT doc_id,
+        |  CAST(54 + ((MAX(w) * 3 + 3) // 4) * 4 * MAX(h) AS BIGINT)
+        |    AS bmp_bytes,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  CAST(SUM((i * 37) % 256 + (i * 113) % 256 + (i * 211) % 256)
+        |    AS BIGINT) AS sum_rgb,
+        |  TRUE AS lossless_ok,
+        |  TRUE AS compressed
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // The Adam7 twin replays the same closed forms (identical raster
     // class and dims; only the stream layout differs — interlaced
     // passes deinterlace back to the same pixels).

@@ -1196,6 +1196,12 @@ class MultimodalSpec extends SparkSpecBase {
     for (n <- 0 until png.length)
       try { dec.decode(png.take(n)); fail(s"truncation $n decoded") }
       catch { case _: IllegalArgumentException => () }
+    // same sweep over the Adam7 layout: truncated interlaced files
+    // must fail fast too, never scatter partial passes
+    val png7 = Codecs.pngEncodeAdam7(8, 6, px)
+    for (n <- 0 until png7.length)
+      try { dec.decode(png7.take(n)); fail(s"adam7 truncation $n decoded") }
+      catch { case _: IllegalArgumentException => () }
     // lying IHDR dims: claim a taller image than IDAT holds (patch
     // height at offset 8+8+4, then fix the IHDR CRC so the walk
     // reaches the inflate-length check)
@@ -1259,6 +1265,21 @@ class MultimodalSpec extends SparkSpecBase {
       // identical decoded identity — only the container layout differs
       assert(a._5 == b._5 && a._3 == b._3 && a._4 == b._4,
         s"doc ${a._1} adam7 decode drifted from sequential")
+    }
+  }
+
+  test("mm_transcode_gif: BMP -> GIF palettization is exact on the " +
+    "palette-image corpus (index plane AND resolved RGB byte-compared " +
+    "through the interleaved gray/interlaced layouts), every " +
+    "container beats the stored bound") {
+    val out = multimodal.Multimodal.mmTranscodeGif(spark, sf)
+      .as[(Long, Long, Int, Int, Long, Boolean, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, bb, w, h, _, lossless, compressed) =>
+      assert(lossless, s"doc $id palettization lossy")
+      assert(compressed, s"doc $id lzw not compressed")
+      val stride = ((w * 3 + 3) / 4) * 4
+      assert(bb == 54 + stride * h, s"doc $id bmp size")
     }
   }
 
@@ -1334,6 +1355,16 @@ class MultimodalSpec extends SparkSpecBase {
       val bound = 794 + w * h + (w * h + 254) / 255
       assert(gif.length < bound,
         s"class $id: ${gif.length} !< $bound")
+      // the mm_transcode_gif theorems in BOTH layouts: the INTERLACED
+      // encoder round-trips index-exact (the decoder undoes the
+      // four-pass row order) and still beats the stored bound
+      val gifI = Codecs.gifEncode(w, h, idx, interlaced = true)
+      assert((gifI(13 + 768 + 9) & 0x40) != 0, s"class $id: no flag")
+      val imI = dec.decode(gifI)
+      assert(java.util.Arrays.equals(imI.indices, idx),
+        s"class $id interlaced indices")
+      assert(gifI.length < bound,
+        s"class $id interlaced: ${gifI.length} !< $bound")
     }
     // LZW genuinely exercises table growth past the 9-bit boundary on
     // a large high-entropy raster (distinct-phrase count > 512), and
@@ -1415,6 +1446,15 @@ class MultimodalSpec extends SparkSpecBase {
         val im = dec.decode(gif.take(n))
         assert(java.util.Arrays.equals(im.indices, idx),
           s"truncation $n decoded WRONG data")
+      } catch { case _: IllegalArgumentException => () }
+    // same sweep over the INTERLACED layout: a truncated interlaced
+    // file must never scatter partial passes into a wrong answer
+    val gifI = Codecs.gifEncode(9, 7, idx, interlaced = true)
+    for (n <- 0 until gifI.length)
+      try {
+        val im = dec.decode(gifI.take(n))
+        assert(java.util.Arrays.equals(im.indices, idx),
+          s"interlaced truncation $n decoded WRONG data")
       } catch { case _: IllegalArgumentException => () }
     // lie about the height in the image descriptor: the LZW stream
     // then yields too few pixels
