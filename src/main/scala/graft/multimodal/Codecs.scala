@@ -174,8 +174,98 @@ object Codecs {
     out
   }
 
+  // ---------------------------------------------------------------
+  // ITU-T G.711 companding — the COMPRESSED AUDIO rung (2:1
+  // logarithmic PCM, the telephony format real ingest corpora carry
+  // inside WAVE containers as format tags 7/µ-law and 6/A-law).
+  // Implemented from the public G.711 segment tables; psychoacoustic
+  // codecs (AAC/MP3) remain the documented out-of-scope boundary —
+  // G.711 is a pure per-sample quantizer, fully replayable.
+  // ---------------------------------------------------------------
+
+  private val MuBias = 0x84
+  private val MuClip = 32635
+
+  /** µ-law compress one PCM16 sample to its 8-bit codeword (G.711
+    * table 2a: sign + 3-bit segment + 4-bit mantissa, complemented on
+    * the wire). */
+  def mulawEncode(pcm: Short): Byte = {
+    var x = pcm.toInt
+    val sign = if (x < 0) { x = -x; 0x80 } else 0
+    if (x > MuClip) x = MuClip
+    x += MuBias
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+    (~(sign | (exp << 4) | ((x >> (exp + 3)) & 0x0f))).toByte
+  }
+
+  /** µ-law expand one codeword to PCM16 — exact integer closed form
+    * (((mant*8 + 132) << exp) - 132, signed), replayed verbatim by
+    * the oracle SQL. */
+  def mulawDecode(u: Byte): Short = {
+    val c = ~u & 0xff
+    val mag = ((((c & 0x0f) << 3) + MuBias) << ((c >> 4) & 7)) - MuBias
+    (if ((c & 0x80) != 0) -mag else mag).toShort
+  }
+
+  /** A-law compress one PCM16 sample (G.711 table 1a: 13-bit
+    * magnitude, sign + segment + mantissa, even bits inverted). */
+  def alawEncode(pcm: Short): Byte = {
+    var x = pcm.toInt >> 3 // 16-bit to the 13-bit A-law grid
+    val mask = if (x >= 0) 0xd5 else { x = -x - 1; 0x55 }
+    if (x > 0xfff) x = 0xfff
+    var seg = 0
+    while (seg < 8 && x > ((0x1f << seg) | ((1 << seg) - 1))) seg += 1
+    val aval =
+      if (seg >= 8) 0x7f
+      else (seg << 4) | ((x >> (if (seg < 2) 1 else seg)) & 0x0f)
+    (aval ^ mask).toByte
+  }
+
+  /** A-law expand one codeword to PCM16 — exact integer closed form,
+    * replayed verbatim by the oracle SQL. Never yields 0 (the A-law
+    * grid is offset by half a step), so expand/compress is a bijection
+    * on all 256 codewords. */
+  def alawDecode(a: Byte): Short = {
+    val c = (a ^ 0x55) & 0xff
+    val m = (c & 0x0f) << 4
+    val t = ((c >> 4) & 7) match {
+      case 0 => m + 8
+      case 1 => m + 0x108
+      case seg => (m + 0x108) << (seg - 1)
+    }
+    (if ((c & 0x80) != 0) t else -t).toShort
+  }
+
+  /** Encode G.711 codewords as a genuine RIFF/WAVE: format tag 7
+    * (µ-law) or 6 (A-law), 8 bits/sample, mono. The layout mirrors
+    * [[wavEncode]]'s canonical 44-byte header with the companded
+    * byte stream as data — the files telephony pipelines carry. */
+  def wavEncodeG711(sampleRate: Int, codes: Array[Byte],
+      mulaw: Boolean): Array[Byte] = {
+    val out = new Array[Byte](44 + codes.length)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    w32(out, 4, 36 + codes.length)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    w32(out, 16, 16)
+    w16(out, 20, if (mulaw) 7 else 6)
+    w16(out, 22, 1) // mono
+    w32(out, 24, sampleRate)
+    w32(out, 28, sampleRate) // byte rate: 1 byte/sample
+    w16(out, 32, 1) // block align
+    w16(out, 34, 8) // bits per sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    w32(out, 40, codes.length)
+    System.arraycopy(codes, 0, out, 44, codes.length)
+    out
+  }
+
   /** The real decoder: walks the RIFF chunk list (fmt may be followed
-    * by LIST/fact chunks before data in the wild), validates PCM16. */
+    * by LIST/fact chunks before data in the wild), validates PCM16 or
+    * G.711 (format tags 6/7, 8-bit) and expands companded streams to
+    * PCM16 through the exact G.711 integer tables. */
   final class WavDecoder extends AudioDecoder {
     def decode(b: Array[Byte]): DecodedAudio = {
       require(b.length >= 44 && b(0) == 'R' && b(1) == 'I' &&
@@ -184,7 +274,9 @@ object Codecs {
       var off = 12
       var rate = 0
       var channels = 0
-      var samples: Array[Short] = null
+      var fmtTag = -1
+      var dataOff = -1
+      var dataLen = -1
       while (off + 8 <= b.length) {
         val id = new String(b, off, 4, "US-ASCII")
         val len = s32(b, off + 4)
@@ -195,22 +287,41 @@ object Codecs {
           s"corrupt RIFF chunk '$id' len $len at offset $off")
         if (id == "fmt ") {
           require(len >= 16, s"fmt chunk too short ($len)")
-          require(u16(b, off + 8) == 1, "only PCM supported")
+          fmtTag = u16(b, off + 8)
+          require(fmtTag == 1 || fmtTag == 6 || fmtTag == 7,
+            s"unsupported WAVE format tag $fmtTag " +
+              "(PCM / A-law / mu-law only)")
           channels = u16(b, off + 10)
           rate = s32(b, off + 12)
-          require(u16(b, off + 22) == 16, "only 16-bit supported")
+          val bits = u16(b, off + 22)
+          if (fmtTag == 1) require(bits == 16, "PCM must be 16-bit")
+          else require(bits == 8, "G.711 must be 8-bit")
         } else if (id == "data") {
-          val n = len / 2
-          samples = new Array[Short](n)
-          var i = 0
-          while (i < n) {
-            samples(i) = u16(b, off + 8 + i * 2).toShort
-            i += 1
-          }
+          dataOff = off + 8
+          dataLen = len
         }
         off += 8 + len + (len & 1) // chunks pad to even length
       }
-      require(rate > 0 && samples != null, "missing fmt or data chunk")
+      require(rate > 0 && dataOff >= 0 && fmtTag >= 0,
+        "missing fmt or data chunk")
+      val samples: Array[Short] = fmtTag match {
+        case 1 =>
+          val n = dataLen / 2
+          val s = new Array[Short](n)
+          var i = 0
+          while (i < n) { s(i) = u16(b, dataOff + i * 2).toShort; i += 1 }
+          s
+        case 7 =>
+          val s = new Array[Short](dataLen)
+          var i = 0
+          while (i < dataLen) { s(i) = mulawDecode(b(dataOff + i)); i += 1 }
+          s
+        case _ =>
+          val s = new Array[Short](dataLen)
+          var i = 0
+          while (i < dataLen) { s(i) = alawDecode(b(dataOff + i)); i += 1 }
+          s
+      }
       DecodedAudio(rate, channels, samples)
     }
   }

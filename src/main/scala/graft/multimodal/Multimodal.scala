@@ -1536,6 +1536,107 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** L5i2: COMPRESSED audio decode — G.711 µ-law/A-law WAVE files
+    * (format tags 7/6, the telephony companding real ingest corpora
+    * carry) through the real RIFF walk and the exact integer
+    * expansion tables ([[Codecs.mulawDecode]]/[[Codecs.alawDecode]],
+    * proven bit-identical to the javax.sound reference on all 256
+    * codewords of both laws). G.711 is per-sample logarithmic
+    * quantization — no inter-sample state — so the oracle replays
+    * the expansion closed-form per sample; psychoacoustic codecs
+    * (AAC/MP3) remain the documented out-of-scope boundary.
+    *
+    * Scale: one map-only pass, per-partition decoder init. */
+  def mmDecodeG711(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(AudioDecoderConfKey, classOf[Codecs.WavDecoder].getName)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val dec = instantiate[Codecs.AudioDecoder](decoderClass)
+        it.map { id =>
+          val n = (160 + id % 64).toInt
+          val mu = id % 2 == 0
+          val codes = new Array[Byte](n)
+          var i = 0
+          while (i < n) {
+            codes(i) = ((id * 29 + i.toLong * i * 7) % 256).toByte
+            i += 1
+          }
+          val wav = Codecs.wavEncodeG711(8000, codes, mu)
+          val au = dec.decode(wav)
+          var sumAbs = 0L; var maxAbs = 0L
+          i = 0
+          while (i < au.samples.length) {
+            val a = math.abs(au.samples(i).toLong)
+            sumAbs += a
+            if (a > maxAbs) maxAbs = a
+            i += 1
+          }
+          (id, wav.length.toLong, if (mu) "mulaw" else "alaw",
+            au.sampleRate, au.samples.length.toLong, sumAbs, maxAbs)
+        }
+      }.toDF("doc_id", "n_bytes", "law", "sample_rate", "n_samples",
+        "sum_abs", "max_abs")
+      .orderBy("doc_id")
+  }
+
+  /** L5t4: the COMPANDING transcode — PCM16 WAVE in, G.711 WAVE out,
+    * both ends parsed. The PCM corpus is drawn from the law's
+    * codeword image (samples = expand(code)), so compression is
+    * exactly invertible at the SAMPLE level — including µ-law's
+    * dual zero, which folds 0x7F -> 0xFF on the wire but expands to
+    * the same sample — and `lossless_ok` (byte-compare of the final
+    * decoded samples against the source) is a theorem over all 256
+    * codewords of both laws. `half_size` is the closed-form 2:1
+    * ratio: g711_bytes = 44 + n vs pcm_bytes = 44 + 2n.
+    *
+    * Scale: one map-only pass, per-partition decoder init. */
+  def mmTranscodeG711(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(AudioDecoderConfKey, classOf[Codecs.WavDecoder].getName)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val dec = instantiate[Codecs.AudioDecoder](decoderClass)
+        it.map { id =>
+          val n = (160 + id % 64).toInt
+          val mu = id % 2 == 0
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            val c = ((id * 29 + i.toLong * i * 7) % 256).toByte
+            samples(i) =
+              if (mu) Codecs.mulawDecode(c) else Codecs.alawDecode(c)
+            i += 1
+          }
+          val pcm = Codecs.wavEncode(8000, samples)
+          val au1 = dec.decode(pcm)
+          val codes = new Array[Byte](au1.samples.length)
+          i = 0
+          while (i < codes.length) {
+            codes(i) =
+              if (mu) Codecs.mulawEncode(au1.samples(i))
+              else Codecs.alawEncode(au1.samples(i))
+            i += 1
+          }
+          val g711 = Codecs.wavEncodeG711(8000, codes, mu)
+          val au2 = dec.decode(g711)
+          var sumAbs = 0L
+          i = 0
+          while (i < au2.samples.length) {
+            sumAbs += math.abs(au2.samples(i).toLong); i += 1
+          }
+          (id, pcm.length.toLong, g711.length.toLong,
+            if (mu) "mulaw" else "alaw", au2.samples.length.toLong,
+            sumAbs, java.util.Arrays.equals(au2.samples, samples),
+            g711.length < pcm.length)
+        }
+      }.toDF("doc_id", "pcm_bytes", "g711_bytes", "law", "n_samples",
+        "sum_abs", "lossless_ok", "half_size")
+      .orderBy("doc_id")
+  }
+
   /** L5i: REAL audio decode — the WAV sibling of [[mmDecodeImage]].
     * Per document a deterministic PCM16 mono waveform is encoded into
     * genuine RIFF/WAVE bytes ([[Codecs.wavEncode]]) and decoded by
@@ -2911,6 +3012,8 @@ object Multimodal {
     "mm_phash_real" -> mmPhashReal,
     "mm_decode_image" -> mmDecodeImage,
     "mm_decode_audio" -> mmDecodeAudio,
+    "mm_decode_g711" -> mmDecodeG711,
+    "mm_transcode_g711" -> mmTranscodeG711,
     "mm_decode_video" -> mmDecodeVideo,
     "mm_video_segments" -> mmVideoSegments,
     "mm_argmax_track" -> mmArgmaxTrack,
@@ -3943,6 +4046,67 @@ object Multimodal {
         |  CAST(sum_rgb * 1000 // (n_frames_seg * wh * 3) AS BIGINT)
         |    AS mean_rgb_milli
         |FROM agg ORDER BY doc_id, seg""".stripMargin,
+    // G.711 expansion replayed closed-form per sample: mu-law
+    // (((m*8+132) << e) - 132 on the complemented byte; A-law the
+    // segment table on the 0x55-xored byte. Same per-sample integer
+    // steps as Codecs.mulawDecode/alawDecode.
+    "mm_decode_g711" ->
+      """WITH d AS (SELECT doc_id, 160 + doc_id % 64 AS n,
+        |    doc_id % 2 = 0 AS mu FROM documents),
+        |sc AS (SELECT doc_id, n, mu, ii.i AS i,
+        |    (doc_id * 29 + ii.i * ii.i * 7) % 256 AS c
+        |  FROM d, range(0, 224) ii(i) WHERE ii.i < n),
+        |v AS (SELECT doc_id, n, mu, i,
+        |    CASE WHEN mu THEN (CASE WHEN (255 - c) >= 128 THEN -1 ELSE 1 END)
+        |      * ((((255 - c) % 16) * 8 + 132)
+        |        * (1 << (((255 - c) // 16) % 8)) - 132)
+        |    ELSE (CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END)
+        |      * (CASE WHEN (xor(c, 85) // 16) % 8 = 0
+        |           THEN (xor(c, 85) % 16) * 16 + 8
+        |         WHEN (xor(c, 85) // 16) % 8 = 1
+        |           THEN (xor(c, 85) % 16) * 16 + 264
+        |         ELSE ((xor(c, 85) % 16) * 16 + 264)
+        |           * (1 << ((xor(c, 85) // 16) % 8 - 1)) END)
+        |    END AS val
+        |  FROM sc)
+        |SELECT doc_id, CAST(44 + MAX(n) AS BIGINT) AS n_bytes,
+        |  MAX(CASE WHEN mu THEN 'mulaw' ELSE 'alaw' END) AS law,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(val)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(ABS(val)) AS BIGINT) AS max_abs
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The companding transcode: the PCM corpus is the codeword image,
+    // so the final decode replays the same expansion; sizes are the
+    // closed 2:1 forms and both flags are codeword-class theorems.
+    "mm_transcode_g711" ->
+      """WITH d AS (SELECT doc_id, 160 + doc_id % 64 AS n,
+        |    doc_id % 2 = 0 AS mu FROM documents),
+        |sc AS (SELECT doc_id, n, mu, ii.i AS i,
+        |    (doc_id * 29 + ii.i * ii.i * 7) % 256 AS c
+        |  FROM d, range(0, 224) ii(i) WHERE ii.i < n),
+        |v AS (SELECT doc_id, n, mu, i,
+        |    CASE WHEN mu THEN (CASE WHEN (255 - c) >= 128 THEN -1 ELSE 1 END)
+        |      * ((((255 - c) % 16) * 8 + 132)
+        |        * (1 << (((255 - c) // 16) % 8)) - 132)
+        |    ELSE (CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END)
+        |      * (CASE WHEN (xor(c, 85) // 16) % 8 = 0
+        |           THEN (xor(c, 85) % 16) * 16 + 8
+        |         WHEN (xor(c, 85) // 16) % 8 = 1
+        |           THEN (xor(c, 85) % 16) * 16 + 264
+        |         ELSE ((xor(c, 85) % 16) * 16 + 264)
+        |           * (1 << ((xor(c, 85) // 16) % 8 - 1)) END)
+        |    END AS val
+        |  FROM sc)
+        |SELECT doc_id,
+        |  CAST(44 + 2 * MAX(n) AS BIGINT) AS pcm_bytes,
+        |  CAST(44 + MAX(n) AS BIGINT) AS g711_bytes,
+        |  MAX(CASE WHEN mu THEN 'mulaw' ELSE 'alaw' END) AS law,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(val)) AS BIGINT) AS sum_abs,
+        |  TRUE AS lossless_ok,
+        |  TRUE AS half_size
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_decode_audio" ->
       """WITH d AS (SELECT doc_id, 160 + doc_id % 64 AS n FROM documents),
         |sm AS (SELECT doc_id, n,

@@ -641,6 +641,8 @@ class MultimodalSpec extends SparkSpecBase {
       }
     run("bmp", bd.decode, bmp)
     run("wav", wd.decode, wav)
+    run("wav_g711", wd.decode, Codecs.wavEncodeG711(8000,
+      Array.tabulate(50)(i => ((i * 37) % 256).toByte), mulaw = true))
     run("avi", vd.decode, avi)
     run("avi_av", ad.decode, avAvi)
     val png = Codecs.pngEncode(6, 5,
@@ -1265,6 +1267,91 @@ class MultimodalSpec extends SparkSpecBase {
       // identical decoded identity — only the container layout differs
       assert(a._5 == b._5 && a._3 == b._3 && a._4 == b._4,
         s"doc ${a._1} adam7 decode drifted from sequential")
+    }
+  }
+
+  test("G.711 mu-law/A-law: expansion matches the javax.sound " +
+    "reference bit-for-bit on all 256 codewords of both laws, " +
+    "compress(expand(c)) == c (A-law bijective on all 256; mu-law's " +
+    "negative zero 0x7F folds to 0xFF — the G.711 dual zero), " +
+    "quantization error bounded over the FULL 16-bit range, and " +
+    "G.711 WAVE containers decode through the real RIFF walk") {
+    import multimodal.Codecs
+    import javax.sound.sampled._
+    def reference(codes: Array[Byte],
+        enc: AudioFormat.Encoding): Array[Short] = {
+      val fmt = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(codes), fmt, codes.length)
+      val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+      val buf = pcm.readAllBytes()
+      Array.tabulate(buf.length / 2)(i =>
+        ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort)
+    }
+    val all = Array.tabulate(256)(i => i.toByte)
+    val refMu = reference(all, AudioFormat.Encoding.ULAW)
+    val refA = reference(all, AudioFormat.Encoding.ALAW)
+    assert(refMu.length == 256 && refA.length == 256)
+    for (c <- 0 until 256) {
+      assert(Codecs.mulawDecode(all(c)) == refMu(c),
+        s"mu-law $c: ${Codecs.mulawDecode(all(c))} vs ref ${refMu(c)}")
+      assert(Codecs.alawDecode(all(c)) == refA(c),
+        s"A-law $c: ${Codecs.alawDecode(all(c))} vs ref ${refA(c)}")
+    }
+    // compress(expand) — the invertible-class theorem per codeword
+    for (c <- 0 until 256) {
+      val mu = Codecs.mulawEncode(Codecs.mulawDecode(all(c)))
+      if (c == 0x7f) assert(mu == 0xff.toByte, "negative zero folds")
+      else assert(mu == all(c), s"mu-law compress(expand($c)) = $mu")
+      assert(Codecs.alawEncode(Codecs.alawDecode(all(c))) == all(c),
+        s"A-law compress(expand($c))")
+    }
+    // quantization bound over the full 16-bit range: error < the
+    // segment step (mu-law top step 8<<5=256 on the 14-bit grid ->
+    // 1024 after clip headroom; A-law top step 16 on the 13-bit grid
+    // -> 1024 after <<3). Scan exhaustively and pin the worst case.
+    var worstMu = 0; var worstA = 0
+    var x = Short.MinValue.toInt
+    while (x <= Short.MaxValue) {
+      val s = x.toShort
+      val em = math.abs(Codecs.mulawDecode(Codecs.mulawEncode(s)) - x)
+      val ea = math.abs(Codecs.alawDecode(Codecs.alawEncode(s)) - x)
+      if (em > worstMu) worstMu = em
+      if (ea > worstA) worstA = ea
+      x += 1
+    }
+    assert(worstMu <= 1024, s"mu-law worst quantization error $worstMu")
+    assert(worstA <= 1024, s"A-law worst quantization error $worstA")
+    // the container path: G.711 WAVs decode through the RIFF walk
+    val dec = new Codecs.WavDecoder()
+    val codes = Array.tabulate(300)(i => ((i * 37 + 11) % 256).toByte)
+    for (mu <- Seq(true, false)) {
+      val au = dec.decode(Codecs.wavEncodeG711(8000, codes, mu))
+      assert(au.sampleRate == 8000 && au.samples.length == 300)
+      for (i <- 0 until 300) {
+        val want = if (mu) Codecs.mulawDecode(codes(i))
+          else Codecs.alawDecode(codes(i))
+        assert(au.samples(i) == want, s"mu=$mu sample $i")
+      }
+    }
+    // foreign bytes: javax.sound WRITES a ULAW/ALAW WAVE file; our
+    // RIFF walk + expander must read it sample-exact
+    for ((enc, mu) <- Seq((AudioFormat.Encoding.ULAW, true),
+      (AudioFormat.Encoding.ALAW, false))) {
+      val fmt = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(codes), fmt, codes.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+      val au = dec.decode(bos.toByteArray)
+      assert(au.samples.length == 300, s"foreign $enc length")
+      for (i <- 0 until 300) {
+        val want = if (mu) Codecs.mulawDecode(codes(i))
+          else Codecs.alawDecode(codes(i))
+        assert(au.samples(i) == want, s"foreign $enc sample $i")
+      }
     }
   }
 
