@@ -1547,38 +1547,44 @@ object Multimodal {
     * (AAC/MP3) remain the documented out-of-scope boundary.
     *
     * Scale: one map-only pass, per-partition decoder init. */
-  def mmDecodeG711(s: SparkSession, dir: String): DataFrame = {
+  def mmDecodeG711(s: SparkSession, dir: String): DataFrame =
+    mmDecodeG711On(
+      Tables.documents(s, dir).select(col("doc_id"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong))
+      .orderBy("doc_id")
+
+  /** Streaming-legal core (no sort; one pure mapPartitions pass). */
+  def mmDecodeG711On(ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
     import s.implicits._
     val decoderClass =
       s.conf.get(AudioDecoderConfKey, classOf[Codecs.WavDecoder].getName)
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        val dec = instantiate[Codecs.AudioDecoder](decoderClass)
-        it.map { id =>
-          val n = (160 + id % 64).toInt
-          val mu = id % 2 == 0
-          val codes = new Array[Byte](n)
-          var i = 0
-          while (i < n) {
-            codes(i) = ((id * 29 + i.toLong * i * 7) % 256).toByte
-            i += 1
-          }
-          val wav = Codecs.wavEncodeG711(8000, codes, mu)
-          val au = dec.decode(wav)
-          var sumAbs = 0L; var maxAbs = 0L
-          i = 0
-          while (i < au.samples.length) {
-            val a = math.abs(au.samples(i).toLong)
-            sumAbs += a
-            if (a > maxAbs) maxAbs = a
-            i += 1
-          }
-          (id, wav.length.toLong, if (mu) "mulaw" else "alaw",
-            au.sampleRate, au.samples.length.toLong, sumAbs, maxAbs)
+    ids.mapPartitions { it =>
+      val dec = instantiate[Codecs.AudioDecoder](decoderClass)
+      it.map { id =>
+        val n = (160 + id % 64).toInt
+        val mu = id % 2 == 0
+        val codes = new Array[Byte](n)
+        var i = 0
+        while (i < n) {
+          codes(i) = ((id * 29 + i.toLong * i * 7) % 256).toByte
+          i += 1
         }
-      }.toDF("doc_id", "n_bytes", "law", "sample_rate", "n_samples",
-        "sum_abs", "max_abs")
-      .orderBy("doc_id")
+        val wav = Codecs.wavEncodeG711(8000, codes, mu)
+        val au = dec.decode(wav)
+        var sumAbs = 0L; var maxAbs = 0L
+        i = 0
+        while (i < au.samples.length) {
+          val a = math.abs(au.samples(i).toLong)
+          sumAbs += a
+          if (a > maxAbs) maxAbs = a
+          i += 1
+        }
+        (id, wav.length.toLong, if (mu) "mulaw" else "alaw",
+          au.sampleRate, au.samples.length.toLong, sumAbs, maxAbs)
+      }
+    }.toDF("doc_id", "n_bytes", "law", "sample_rate", "n_samples",
+      "sum_abs", "max_abs")
   }
 
   /** L5t4: the COMPANDING transcode — PCM16 WAVE in, G.711 WAVE out,

@@ -698,7 +698,8 @@ class StreamingSpec extends SparkSpecBase {
           org.apache.spark.sql.DataFrame)](
         "sniff" -> multimodal.Multimodal.mmSniffDecodeOn,
         "jpeg" -> multimodal.Multimodal.mmDecodeJpegOn,
-        "mjpeg" -> multimodal.Multimodal.mmDecodeMjpegOn)) {
+        "mjpeg" -> multimodal.Multimodal.mmDecodeMjpegOn,
+        "g711" -> multimodal.Multimodal.mmDecodeG711On)) {
       val q = core(streamIds)
         .writeStream.outputMode("append").format("memory")
         .queryName(s"sniff_stream_$name").start()
