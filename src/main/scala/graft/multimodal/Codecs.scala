@@ -2113,6 +2113,9 @@ object Codecs {
       else "unknown"
     } else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' &&
       b(6) == 'y' && b(7) == 'p') "mp4"
+    else if (b.length >= 4 &&
+      ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))) "tiff"
     else "unknown"
   }
 
@@ -2438,6 +2441,282 @@ object Codecs {
         p += 1
       }
       DecodedGif(width, height, display, rgb)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // TIFF (baseline TIFF 6.0) — the FOURTH container architecture in
+  // the ladder: an offset-linked tag directory (IFD) instead of a
+  // chunk walk (RIFF/PNG), a box tree (MP4), or a fixed header
+  // (BMP/WAV). Both byte orders decode; little-endian is written.
+  // Truecolor RGB 8/8/8 in strips, Compression 1 (none) or 32773
+  // (PackBits — TIFF 6.0 §9, a real RLE entropy coder). The JDK's
+  // ImageIO TIFF plugin is the cross-implementation reference.
+  // ---------------------------------------------------------------
+
+  /** PackBits-compress one row (TIFF 6.0 §9): control n in 0..127 =
+    * n+1 literal bytes follow; control -1..-127 = the next byte
+    * repeats 1-n times; -128 is a no-op. Greedy: repeat runs of >= 3
+    * are encoded as runs, everything else accumulates literals.
+    * Compressed rows never cross row boundaries (the spec's rule for
+    * TIFF PackBits). */
+  def packBits(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    val n = row.length
+    while (i < n) {
+      // measure the run at i
+      var run = 1
+      while (i + run < n && run < 128 && row(i + run) == row(i)) run += 1
+      if (run >= 3) {
+        out.write(1 - run) // -(run-1)
+        out.write(row(i))
+        i += run
+      } else {
+        // literal stretch: until the next >=3 run or 128 bytes
+        val start = i
+        i += run
+        var lit = run
+        while (i < n && lit < 128) {
+          var r2 = 1
+          while (i + r2 < n && r2 < 3 && row(i + r2) == row(i)) r2 += 1
+          if (r2 >= 3) i = i // stop: a run starts here
+          if (r2 >= 3) lit = 128 // break
+          else {
+            val take = math.min(r2, 128 - lit)
+            i += take; lit += take
+            if (take < r2) lit = 128
+          }
+        }
+        val len = i - start
+        out.write(len - 1)
+        out.write(row, start, len)
+      }
+    }
+    out.toByteArray
+  }
+
+  /** PackBits-decompress `src` into exactly `expected` bytes —
+    * fail-fast on overrun, underrun, or a control byte past the
+    * buffer (the external-bytes contract). -128 no-ops are
+    * tolerated (the spec permits them). */
+  def unpackBits(src: Array[Byte], from: Int, until: Int,
+      expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var i = from
+    var o = 0
+    while (i < until && o < expected) {
+      val c = src(i)
+      i += 1
+      if (c >= 0) {
+        val len = c + 1
+        require(i + len <= until && o + len <= expected,
+          s"PackBits literal overrun at $i")
+        System.arraycopy(src, i, out, o, len)
+        i += len; o += len
+      } else if (c != -128) {
+        val len = 1 - c
+        require(i < until && o + len <= expected,
+          s"PackBits run overrun at $i")
+        java.util.Arrays.fill(out, o, o + len, src(i))
+        i += 1; o += len
+      }
+    }
+    require(o == expected,
+      s"PackBits stream yields $o bytes, expected $expected")
+    out
+  }
+
+  /** Rows per strip written by [[tiffEncode]] — small enough that
+    * every in-repo raster exercises MULTIPLE strips. */
+  val TiffRowsPerStrip = 4
+
+  /** Encode a top-down RGB raster as a baseline little-endian TIFF:
+    * 8-byte header -> strip data ([[TiffRowsPerStrip]] rows each,
+    * optionally PackBits-compressed per row) -> BitsPerSample +
+    * strip-table arrays -> one IFD with the ten baseline-RGB tags in
+    * ascending order. */
+  def tiffEncode(width: Int, height: Int, rgb: Array[Byte],
+      packbits: Boolean): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == width * height * 3,
+      s"raster length ${rgb.length} != $width x $height x 3")
+    val rowLen = width * 3
+    val nStrips = (height + TiffRowsPerStrip - 1) / TiffRowsPerStrip
+    val strips = (0 until nStrips).map { st =>
+      val y0 = st * TiffRowsPerStrip
+      val y1 = math.min(y0 + TiffRowsPerStrip, height)
+      if (!packbits)
+        java.util.Arrays.copyOfRange(rgb, y0 * rowLen, y1 * rowLen)
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        var y = y0
+        while (y < y1) {
+          val row = java.util.Arrays.copyOfRange(rgb, y * rowLen,
+            (y + 1) * rowLen)
+          bos.write(packBits(row))
+          y += 1
+        }
+        bos.toByteArray
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    // header: II, 42, IFD offset (filled after layout is known)
+    val stripOff = new Array[Int](nStrips)
+    var off = 8
+    for (st <- 0 until nStrips) { stripOff(st) = off; off += strips(st).length }
+    val bpsOff = off // 3 SHORTs
+    off += 6
+    val soOff = off // strip offsets array (if n > 1)
+    if (nStrips > 1) off += 4 * nStrips
+    val sbcOff = off // strip byte counts array (if n > 1)
+    if (nStrips > 1) off += 4 * nStrips
+    val ifdOff = off
+    out.write('I'); out.write('I'); w16(42); w32(ifdOff)
+    strips.foreach(s => out.write(s))
+    w16(8); w16(8); w16(8) // BitsPerSample values
+    if (nStrips > 1) {
+      stripOff.foreach(w32)
+      strips.foreach(s => w32(s.length))
+    }
+    // IFD: 10 entries, ascending tag order
+    def entry(tag: Int, tpe: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(tpe); w32(count)
+      if (tpe == 3 && count == 1) { w16(value); w16(0) } // SHORT inline
+      else w32(value)
+    }
+    w16(10)
+    entry(256, 4, 1, width) // ImageWidth LONG
+    entry(257, 4, 1, height) // ImageLength LONG
+    entry(258, 3, 3, bpsOff) // BitsPerSample SHORT[3] at offset
+    entry(259, 3, 1, if (packbits) 32773 else 1) // Compression
+    entry(262, 3, 1, 2) // Photometric: RGB
+    entry(273, 4, nStrips, if (nStrips == 1) stripOff(0) else soOff)
+    entry(277, 3, 1, 3) // SamplesPerPixel
+    entry(278, 4, 1, TiffRowsPerStrip)
+    entry(279, 4, nStrips,
+      if (nStrips == 1) strips(0).length else sbcOff)
+    entry(284, 3, 1, 1) // PlanarConfiguration: chunky
+    w32(0) // no next IFD
+    out.toByteArray
+  }
+
+  /** The real decoder: validates the byte-order magic (both orders),
+    * walks the IFD validating every entry offset, requires the
+    * baseline-RGB shape (8/8/8, photometric 2, chunky, compression
+    * none or PackBits), reads each strip through its offset/count
+    * pair, and assembles the top-down RGB raster. Unknown tags are
+    * skipped (ancillary metadata); anything outside the supported
+    * shape fails fast with IllegalArgumentException. */
+  final class TiffDecoder extends ImageDecoder {
+    def decode(b: Array[Byte]): DecodedImage = {
+      require(b.length >= 8, "too short for a TIFF")
+      val le =
+        if (b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) true
+        else if (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)
+          false
+        else throw new IllegalArgumentException("not a TIFF")
+      def u16(off: Int): Int = {
+        require(off >= 0 && off + 2 <= b.length, s"u16 past buffer at $off")
+        if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+        else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+      }
+      def u32(off: Int): Long = {
+        require(off >= 0 && off + 4 <= b.length, s"u32 past buffer at $off")
+        if (le) (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+          ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+        else ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+          ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+      }
+      val ifd = u32(4)
+      require(ifd >= 8 && ifd + 2 <= b.length, s"bad IFD offset $ifd")
+      val nEntries = u16(ifd.toInt)
+      require(ifd + 2 + nEntries * 12L + 4 <= b.length,
+        s"IFD of $nEntries entries past buffer")
+      // one integral value from an entry (SHORT or LONG, count 1)
+      def scalar(off: Int, tpe: Int): Long = tpe match {
+        case 3 => u16(off)
+        case 4 => u32(off)
+        case t =>
+          throw new IllegalArgumentException(s"unsupported tag type $t")
+      }
+      // a vector of count integral values (inline when they fit)
+      def vector(entryOff: Int, tpe: Int, count: Int): Array[Long] = {
+        val size = (if (tpe == 3) 2 else 4) * count
+        val base =
+          if (size <= 4) entryOff + 8 else u32(entryOff + 8).toInt
+        Array.tabulate(count)(i =>
+          scalar(base + i * (if (tpe == 3) 2 else 4), tpe))
+      }
+      var width = 0L; var height = 0L
+      var compression = 1L; var photometric = -1L
+      var spp = 1L; var rps = Long.MaxValue; var planar = 1L
+      var bps: Array[Long] = Array(1L)
+      var stripOffs: Array[Long] = null
+      var stripLens: Array[Long] = null
+      var i = 0
+      while (i < nEntries) {
+        val e = (ifd + 2 + i * 12).toInt
+        val tag = u16(e); val tpe = u16(e + 2)
+        val count = u32(e + 4)
+        require(count >= 0 && count <= Int.MaxValue, s"bad count $count")
+        tag match {
+          case 256 => width = scalar(e + 8, tpe)
+          case 257 => height = scalar(e + 8, tpe)
+          case 258 => bps = vector(e, tpe, count.toInt)
+          case 259 => compression = scalar(e + 8, tpe)
+          case 262 => photometric = scalar(e + 8, tpe)
+          case 273 => stripOffs = vector(e, tpe, count.toInt)
+          case 277 => spp = scalar(e + 8, tpe)
+          case 278 => rps = scalar(e + 8, tpe)
+          case 279 => stripLens = vector(e, tpe, count.toInt)
+          case 284 => planar = scalar(e + 8, tpe)
+          case _ => () // ancillary tag: skipped
+        }
+        i += 1
+      }
+      require(width > 0 && height > 0 &&
+        width * height * 3 <= Int.MaxValue,
+        s"corrupt TIFF dimensions ${width}x$height")
+      require(photometric == 2, s"only RGB photometric (got $photometric)")
+      require(spp == 3, s"only 3 samples/pixel (got $spp)")
+      require(bps.length == 3 && bps.forall(_ == 8),
+        s"only 8/8/8 bits (got ${bps.mkString(",")})")
+      require(planar == 1, "only chunky planar configuration")
+      require(compression == 1 || compression == 32773,
+        s"only none/PackBits compression (got $compression)")
+      require(stripOffs != null && stripLens != null &&
+        stripOffs.length == stripLens.length, "missing strip tables")
+      require(rps > 0, "bad RowsPerStrip")
+      val w = width.toInt; val h = height.toInt
+      val rowLen = w * 3
+      val rpsEff = math.min(rps, height)
+      val expStrips = ((height + rpsEff - 1) / rpsEff).toInt
+      require(stripOffs.length == expStrips,
+        s"${stripOffs.length} strips, expected $expStrips")
+      val rgb = new Array[Byte](h * rowLen)
+      var st = 0
+      var y0 = 0
+      while (st < stripOffs.length) {
+        val rows = math.min(rps, (h - y0).toLong).toInt
+        val expected = rows * rowLen
+        val so = stripOffs(st); val sl = stripLens(st)
+        require(so >= 0 && sl >= 0 && so + sl <= b.length,
+          s"strip $st ($so+$sl) past buffer")
+        if (compression == 1) {
+          require(sl == expected,
+            s"strip $st holds $sl bytes, expected $expected")
+          System.arraycopy(b, so.toInt, rgb, y0 * rowLen, expected)
+        } else {
+          val u = unpackBits(b, so.toInt, (so + sl).toInt, expected)
+          System.arraycopy(u, 0, rgb, y0 * rowLen, expected)
+        }
+        y0 += rows
+        st += 1
+      }
+      require(y0 == h, s"strips cover $y0 rows of $h")
+      DecodedImage(w, h, rgb)
     }
   }
 }

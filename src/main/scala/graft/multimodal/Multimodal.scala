@@ -62,6 +62,9 @@ object Multimodal {
   val JpegDecoderConfKey = "spark.graft.media.jpegDecoder"
   val MjpegDecoderConfKey = "spark.graft.media.mjpegDecoder"
 
+  /** Conf key binding the TIFF decoder implementation. */
+  val TiffDecoderConfKey = "spark.graft.media.tiffDecoder"
+
   private[multimodal] def instantiate[T](className: String): T = {
     // context classloader first: REPL/notebook-defined impls and
     // runtime-added jars are visible there but not to this class's
@@ -1533,6 +1536,109 @@ object Multimodal {
         }
       }.toDF("doc_id", "bmp_bytes", "width", "height", "sum_rgb",
         "lossless_ok", "compressed")
+      .orderBy("doc_id")
+  }
+
+  /** L5y: TIFF decode — the FOURTH container architecture (an
+    * offset-linked IFD tag directory; RIFF/PNG walk chunks, MP4
+    * walks a box tree, BMP/WAV read fixed headers) with PackBits RLE
+    * (TIFF 6.0 §9) as a new entropy coder. Corpus: gray-blocky
+    * rasters (the jpegBlockGray value family — runs of 24 bytes, so
+    * PackBits genuinely compresses), even docs stored, odd docs
+    * PackBits. TIFF is LOSSLESS, so decoded sums are closed-form with
+    * no class restriction; `size_ok` is the checked container-size
+    * column: stored docs match the closed form EXACTLY, PackBits docs
+    * beat it (theorem spec over the pattern period). ImageIO's TIFF
+    * plugin is the conformance reference (both directions, both
+    * compressions, MultimodalSpec). */
+  def mmDecodeTiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass = s.conf.get(TiffDecoderConfKey,
+      classOf[Codecs.TiffDecoder].getName)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val dec = instantiate[Codecs.ImageDecoder](decoderClass)
+        it.map { id =>
+          val w = (16 + id % 16).toInt
+          val h = (12 + id % 8).toInt
+          val pb = id % 2 == 1
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v =
+                (2 * ((id * 5 + (x / 8) * 19 + (y / 8) * 37) % 96) + 32)
+                  .toByte
+              val base = (y * w + x) * 3
+              px(base) = v; px(base + 1) = v; px(base + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          val tiff = Codecs.tiffEncode(w, h, px, packbits = pb)
+          val im = dec.decode(tiff)
+          var sum = 0L
+          var i = 0
+          while (i < im.rgb.length) { sum += im.rgb(i) & 0xff; i += 1 }
+          val nStrips = (h + Codecs.TiffRowsPerStrip - 1) /
+            Codecs.TiffRowsPerStrip
+          val plainSize = 140 + 3 * w * h + 8 * nStrips
+          (id, im.width, im.height, if (pb) "packbits" else "none",
+            sum,
+            if (pb) tiff.length < plainSize else tiff.length == plainSize)
+        }
+      }.toDF("doc_id", "width", "height", "compression", "sum_rgb",
+        "size_ok")
+      .orderBy("doc_id")
+  }
+
+  /** L5t5: the TIFF transcode — BMP in, PackBits TIFF out, both ends
+    * parsed. TIFF is lossless, so the corpus is GENERAL content (the
+    * mm_decode_image raster pattern — no invertible-class restriction
+    * needed) and `lossless_ok` byte-compares the final decode against
+    * the original raster; PackBits on non-run content may expand, so
+    * there is deliberately no size flag here (the size theorems live
+    * in mm_decode_tiff's run-heavy corpus). */
+  def mmTranscodeTiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bmpClass =
+      s.conf.get(ImageDecoderConfKey, classOf[Codecs.BmpDecoder].getName)
+    val tiffClass = s.conf.get(TiffDecoderConfKey,
+      classOf[Codecs.TiffDecoder].getName)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val bd = instantiate[Codecs.ImageDecoder](bmpClass)
+        val td = instantiate[Codecs.ImageDecoder](tiffClass)
+        it.map { id =>
+          val w = (16 + id % 16).toInt
+          val h = (12 + id % 8).toInt
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val base = (y * w + x) * 3
+              px(base) = ((id * 7 + x * 13 + y * 31) % 256).toByte
+              px(base + 1) = ((id * 11 + x * 17 + y * 5) % 256).toByte
+              px(base + 2) = ((id * 3 + x * 29 + y * 23) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val bmp = Codecs.bmpEncode(w, h, px)
+          val im1 = bd.decode(bmp)
+          val tiff = Codecs.tiffEncode(im1.width, im1.height, im1.rgb,
+            packbits = true)
+          val im2 = td.decode(tiff)
+          var sum = 0L
+          var i = 0
+          while (i < im2.rgb.length) { sum += im2.rgb(i) & 0xff; i += 1 }
+          (id, bmp.length.toLong, im2.width, im2.height, sum,
+            java.util.Arrays.equals(im2.rgb, px))
+        }
+      }.toDF("doc_id", "bmp_bytes", "width", "height", "sum_rgb",
+        "lossless_ok")
       .orderBy("doc_id")
   }
 
@@ -3019,6 +3125,8 @@ object Multimodal {
     "mm_decode_image" -> mmDecodeImage,
     "mm_decode_audio" -> mmDecodeAudio,
     "mm_decode_g711" -> mmDecodeG711,
+    "mm_decode_tiff" -> mmDecodeTiff,
+    "mm_transcode_tiff" -> mmTranscodeTiff,
     "mm_transcode_g711" -> mmTranscodeG711,
     "mm_decode_video" -> mmDecodeVideo,
     "mm_video_segments" -> mmVideoSegments,
@@ -4052,6 +4160,41 @@ object Multimodal {
         |  CAST(sum_rgb * 1000 // (n_frames_seg * wh * 3) AS BIGINT)
         |    AS mean_rgb_milli
         |FROM agg ORDER BY doc_id, seg""".stripMargin,
+    // TIFF: gray-blocky closed-form sums (lossless codec, no class
+    // restriction); size_ok is the checked container-size column
+    // (stored == closed form; PackBits < it), theorem-spec'd.
+    "mm_decode_tiff" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+        |    12 + doc_id % 8 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, xs.x, ys.y
+        |  FROM d, range(0, 31) xs(x), range(0, 19) ys(y)
+        |  WHERE xs.x < w AND ys.y < h)
+        |SELECT doc_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  MAX(CASE WHEN doc_id % 2 = 1 THEN 'packbits'
+        |    ELSE 'none' END) AS compression,
+        |  CAST(SUM(3 * (2 * ((doc_id * 5 + (x // 8) * 19
+        |    + (y // 8) * 37) % 96) + 32)) AS BIGINT) AS sum_rgb,
+        |  TRUE AS size_ok
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // TIFF transcode: the mm_decode_image raster pattern through
+    // BMP -> PackBits TIFF -> decode; sums from the final decode.
+    "mm_transcode_tiff" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+        |    12 + doc_id % 8 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, xs.x, ys.y
+        |  FROM d, range(0, 31) xs(x), range(0, 19) ys(y)
+        |  WHERE xs.x < w AND ys.y < h)
+        |SELECT doc_id,
+        |  CAST(54 + ((MAX(w) * 3 + 3) // 4) * 4 * MAX(h) AS BIGINT)
+        |    AS bmp_bytes,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  CAST(SUM((doc_id * 7 + x * 13 + y * 31) % 256
+        |    + (doc_id * 11 + x * 17 + y * 5) % 256
+        |    + (doc_id * 3 + x * 29 + y * 23) % 256) AS BIGINT)
+        |    AS sum_rgb,
+        |  TRUE AS lossless_ok
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // G.711 expansion replayed closed-form per sample: mu-law
     // (((m*8+132) << e) - 132 on the complemented byte; A-law the
     // segment table on the 0x55-xored byte. Same per-sample integer

@@ -1270,6 +1270,121 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("TIFF codec: lossless round trip over raster classes in BOTH " +
+    "compressions (none / PackBits) and strip shapes, PackBits " +
+    "beats the stored strips on run-heavy content, ImageIO " +
+    "conformance both directions, fail-fast on corrupt/truncated/" +
+    "unsupported-shape bytes") {
+    import multimodal.Codecs
+    val dec = new Codecs.TiffDecoder()
+    // round trip: dims below/at/above the 4-row strip size, both
+    // compressions, general content (TIFF is lossless — no class
+    // restriction needed)
+    for (id <- 0L until 64L; pb <- Seq(false, true)) {
+      val w = (5 + id % 13).toInt
+      val h = (3 + id % 9).toInt
+      val px = Array.tabulate(w * h * 3) { j =>
+        val p = j / 3; val x = p % w; val y = p / w
+        ((id * 7 + x * 13 + y * 31 + j % 3 * 47) % 256).toByte
+      }
+      val tiff = Codecs.tiffEncode(w, h, px, packbits = pb)
+      assert(Codecs.sniff(tiff) == "tiff", s"class $id sniff")
+      val im = dec.decode(tiff)
+      assert(im.width == w && im.height == h, s"class $id pb=$pb dims")
+      assert(java.util.Arrays.equals(im.rgb, px),
+        s"class $id pb=$pb pixels")
+    }
+    // PackBits genuinely compresses run-heavy (gray-blocky) content
+    for (id <- 0L until 16L) {
+      val w = 32; val h = 24
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        px((y * w + x) * 3 + c) =
+          (2 * ((id * 5 + (x / 8) * 19 + (y / 8) * 37) % 96) + 32).toByte
+      val plain = Codecs.tiffEncode(w, h, px, packbits = false)
+      val packed = Codecs.tiffEncode(w, h, px, packbits = true)
+      assert(packed.length < plain.length,
+        s"class $id: ${packed.length} !< ${plain.length}")
+      assert(java.util.Arrays.equals(dec.decode(packed).rgb, px))
+    }
+    // the mm_decode_tiff size_ok theorem over the pattern's FULL
+    // 96-class period: stored containers equal the closed form
+    // exactly, PackBits containers beat it
+    for (id <- 0L until 96L) {
+      val w = (16 + id % 16).toInt
+      val h = (12 + id % 8).toInt
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        px((y * w + x) * 3 + c) =
+          (2 * ((id * 5 + (x / 8) * 19 + (y / 8) * 37) % 96) + 32).toByte
+      val nStrips = (h + Codecs.TiffRowsPerStrip - 1) /
+        Codecs.TiffRowsPerStrip
+      val plainSize = 140 + 3 * w * h + 8 * nStrips
+      assert(Codecs.tiffEncode(w, h, px, packbits = false).length ==
+        plainSize, s"class $id stored size")
+      assert(Codecs.tiffEncode(w, h, px, packbits = true).length <
+        plainSize, s"class $id packbits not smaller")
+    }
+    // cross-implementation: our bytes (BOTH compressions) through
+    // ImageIO's TIFF reader, and ImageIO's TIFF writer output (its
+    // own strip/IFD/byte-order choices) through our decoder
+    val w = 21; val h = 11
+    val px = Array.tabulate(w * h * 3)(j => ((j * 31 + 7) % 256).toByte)
+    for (pb <- Seq(false, true)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(
+          Codecs.tiffEncode(w, h, px, packbits = pb)))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"ImageIO cannot read our TIFF (pb=$pb)")
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val base = (y * w + x) * 3
+        assert(((argb >> 16) & 0xff) == (px(base) & 0xff) &&
+          ((argb >> 8) & 0xff) == (px(base + 1) & 0xff) &&
+          (argb & 0xff) == (px(base + 2) & 0xff),
+          s"pb=$pb ImageIO pixel ($x,$y)")
+      }
+    }
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      bi.setRGB(x, y, ((px(base) & 0xff) << 16) |
+        ((px(base + 1) & 0xff) << 8) | (px(base + 2) & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "tiff", bos),
+      "JDK lost its TIFF writer")
+    val foreign = bos.toByteArray
+    val im = dec.decode(foreign)
+    assert(im.width == w && im.height == h, "foreign dims")
+    assert(java.util.Arrays.equals(im.rgb, px), "foreign pixels")
+    // fail-fast: truncations at every length, corrupted magic,
+    // unsupported shape (grayscale photometric)
+    val tiff = Codecs.tiffEncode(9, 7,
+      Array.tabulate(9 * 7 * 3)(i => (i * 11 % 256).toByte),
+      packbits = true)
+    for (n <- 0 until tiff.length)
+      try { dec.decode(tiff.take(n)); fail(s"truncation $n decoded") }
+      catch { case _: IllegalArgumentException => () }
+    val badMagic = tiff.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](dec.decode(badMagic))
+    // 300-trial byte-corruption fuzz: require() or correct, never raw
+    var s0 = 12345L
+    for (t <- 0 until 300) {
+      val b = tiff.clone()
+      s0 = s0 * 6364136223846793005L + 1442695040888963407L
+      b((math.abs(s0) % b.length).toInt) =
+        Seq(0x00, 0xff, 0x7f, 0x80)((t % 4)).toByte
+      try { dec.decode(b); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"trial $t threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("G.711 mu-law/A-law: expansion matches the javax.sound " +
     "reference bit-for-bit on all 256 codewords of both laws, " +
     "compress(expand(c)) == c (A-law bijective on all 256; mu-law's " +
