@@ -190,6 +190,56 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("codec property: TIFF round-trips ANY raster exactly in BOTH " +
+    "compressions, and PackBits inverts on adversarial rows " +
+    "(alternating bytes, 128+ runs, exactly-128 literal stretches)") {
+    import multimodal.Codecs
+    val dec = new Codecs.TiffDecoder()
+    forAll(dimsSeed) { case (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rgb = new Array[Byte](w * h * 3)
+      rnd.nextBytes(rgb)
+      for (pb <- Seq(false, true)) {
+        val im = dec.decode(Codecs.tiffEncode(w, h, rgb, pb))
+        assert(im.width == w && im.height == h &&
+          java.util.Arrays.equals(im.rgb, rgb), s"pb=$pb")
+      }
+    }
+    // PackBits boundary rows through the raw kernel: worst-case
+    // alternating literals, runs longer than a 128 control span,
+    // run lengths straddling the >=3 encode threshold, and the
+    // exactly-128 literal stretch
+    def rt(row: Array[Byte]): Unit = {
+      val packed = Codecs.packBits(row)
+      assert(java.util.Arrays.equals(
+        Codecs.unpackBits(packed, 0, packed.length, row.length), row),
+        s"row of ${row.length} failed")
+    }
+    rt(Array.tabulate(257)(i => (i % 2).toByte)) // alternating
+    rt(Array.fill(300)(7.toByte)) // 300-run: two control spans
+    rt(Array.fill(128)(9.toByte) ++ Array.tabulate(128)(_.toByte))
+    rt((0 until 20).flatMap(k =>
+      Array.fill(2 + k % 3)((k % 5).toByte)).toArray) // 2/3/4-runs
+    rt(Array.tabulate(128)(i => (i * 31 % 251).toByte)) // exactly 128
+    rt(Array[Byte](5)) // single byte
+    // random rows, any length
+    forAll(Gen.zip(Gen.choose(1, 700), Gen.choose(0L, Long.MaxValue))) {
+      case (n, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val row = new Array[Byte](n)
+        // mix runs and noise: runs of random length 1..40
+        var i = 0
+        while (i < n) {
+          val len = math.min(1 + rnd.nextInt(40), n - i)
+          val v = rnd.nextInt(256).toByte
+          if (rnd.nextBoolean()) java.util.Arrays.fill(row, i, i + len, v)
+          else (i until i + len).foreach(j => row(j) = rnd.nextInt(256).toByte)
+          i += len
+        }
+        rt(row)
+    }
+  }
+
   test("codec property: GIF LZW round-trips ANY index plane exactly " +
     "— incl. large random rasters that drive the table to 4096 and " +
     "through the mid-stream clear/reset") {
