@@ -125,11 +125,19 @@ object Events {
       .crossJoin(broadcast(span))
       .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("d"))
     val w = Window.partitionBy("event_type").orderBy("d")
+    // round-half-away-from-zero at 4 decimals in EXACT integer
+    // arithmetic, then ONE division of identical integers: round(x, 4)
+    // on the double quotient cents/100/n is a latent per-sf hash
+    // hazard (a tie like ...37875 rounds differently per engine ulp —
+    // caught live at sf0.001), while (|cents|*200 + n) div (2n) is the
+    // same BIGINT in both engines and int/1e4 is one IEEE division
+    val avgE4 = when(col("cents") >= 0,
+      expr("(cents * 200 + n) div (2 * n)"))
+      .otherwise(-expr("(-cents * 200 + n) div (2 * n)"))
     spine.join(daily, Seq("event_type", "d"), "left")
       .select(col("event_type"), col("d"),
         coalesce(col("n"), lit(0L)).as("n"),
-        last(round((col("cents") / 100.0) / col("n"), 4), ignoreNulls = true)
-          .over(w).as("avg_ff"))
+        (last(avgE4, ignoreNulls = true).over(w) / 10000.0).as("avg_ff"))
       .orderBy("event_type", "d")
   }
 
@@ -3637,8 +3645,12 @@ object Events {
         |  FROM (SELECT DISTINCT event_type FROM events) t, span s)
         |SELECT sp.event_type, sp.d,
         |  COALESCE(dl.n, 0) AS n,
-        |  last_value(round((dl.cents / 100.0) / dl.n, 4) IGNORE NULLS)
-        |    OVER (PARTITION BY sp.event_type ORDER BY sp.d) AS avg_ff
+        |  last_value(CASE WHEN dl.cents >= 0
+        |      THEN (dl.cents * 200 + dl.n) // (2 * dl.n)
+        |      ELSE -((-dl.cents * 200 + dl.n) // (2 * dl.n))
+        |    END IGNORE NULLS)
+        |    OVER (PARTITION BY sp.event_type ORDER BY sp.d) / 10000.0
+        |    AS avg_ff
         |FROM spine sp LEFT JOIN daily dl
         |  ON sp.event_type = dl.event_type AND sp.d = dl.d
         |ORDER BY sp.event_type, sp.d""".stripMargin,
