@@ -244,9 +244,14 @@ object Codecs {
     * byte stream as data — the files telephony pipelines carry. */
   def wavEncodeG711(sampleRate: Int, codes: Array[Byte],
       mulaw: Boolean): Array[Byte] = {
-    val out = new Array[Byte](44 + codes.length)
+    // RIFF chunks pad to even length: one zero pad byte after an
+    // odd-length data chunk (1 byte/sample makes odd counts common
+    // here, unlike PCM16). The 'data' size field stays codes.length;
+    // the RIFF size counts the pad (it is part of the chunk stream).
+    val pad = codes.length & 1
+    val out = new Array[Byte](44 + codes.length + pad)
     out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
-    w32(out, 4, 36 + codes.length)
+    w32(out, 4, 36 + codes.length + pad)
     out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
     out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
     w32(out, 16, 16)
@@ -1723,10 +1728,15 @@ object Codecs {
     * chunk's 12-byte overhead + IEND chunk 12 + payload — what a
     * stored-IDAT PNG of the same raster would at least cost). */
   def pngRawLen(width: Int, height: Int): Int = {
-    // validate in Long BEFORE the Int multiply so crafted dims can
-    // never overflow silently — every caller inherits the invariant
+    // bound each dimension FIRST (2^24 is far beyond any real PNG and
+    // keeps the Long product below 2^50), then validate the product in
+    // Long before the Int multiply — crafted dims near 2^31 would
+    // otherwise wrap the Long expression itself and pass the check
+    require(width > 0 && height > 0 &&
+      width < (1 << 24) && height < (1 << 24),
+      s"corrupt PNG dimensions ${width}x$height")
     val raw = height.toLong * (1L + width.toLong * 3)
-    require(width > 0 && height > 0 && raw <= Int.MaxValue,
+    require(raw <= Int.MaxValue,
       s"filtered PNG stream for ${width}x$height exceeds Int range")
     raw.toInt
   }
@@ -1743,7 +1753,10 @@ object Codecs {
     * NOTHING, not even filter bytes (spec §8.2). Long-validated like
     * [[pngRawLen]]. */
   def pngRawLenAdam7(width: Int, height: Int): Int = {
-    require(width > 0 && height > 0,
+    // same per-dimension bound as pngRawLen: with both dims < 2^24
+    // every per-pass Long product stays below 2^50 — no silent wrap
+    require(width > 0 && height > 0 &&
+      width < (1 << 24) && height < (1 << 24),
       s"corrupt PNG dimensions ${width}x$height")
     var total = 0L
     var k = 0
@@ -2676,7 +2689,12 @@ object Codecs {
         }
         i += 1
       }
+      // bound each u32-range dimension BEFORE forming the product:
+      // width and height can each be up to 2^32-1 here, so the naive
+      // width*height*3 Long product could wrap past 2^63 and pass the
+      // check; with both < 2^24 the product is below 2^50
       require(width > 0 && height > 0 &&
+        width < (1L << 24) && height < (1L << 24) &&
         width * height * 3 <= Int.MaxValue,
         s"corrupt TIFF dimensions ${width}x$height")
       require(photometric == 2, s"only RGB photometric (got $photometric)")

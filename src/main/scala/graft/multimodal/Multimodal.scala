@@ -1701,7 +1701,8 @@ object Multimodal {
     * the same sample — and `lossless_ok` (byte-compare of the final
     * decoded samples against the source) is a theorem over all 256
     * codewords of both laws. `half_size` is the closed-form 2:1
-    * ratio: g711_bytes = 44 + n vs pcm_bytes = 44 + 2n.
+    * ratio: g711_bytes = 44 + n + (n % 2) (RIFF pads odd data chunks
+    * to even length) vs pcm_bytes = 44 + 2n.
     *
     * Scale: one map-only pass, per-partition decoder init. */
   def mmTranscodeG711(s: SparkSession, dir: String): DataFrame = {
@@ -4218,7 +4219,8 @@ object Multimodal {
         |           * (1 << ((xor(c, 85) // 16) % 8 - 1)) END)
         |    END AS val
         |  FROM sc)
-        |SELECT doc_id, CAST(44 + MAX(n) AS BIGINT) AS n_bytes,
+        |SELECT doc_id, CAST(44 + MAX(n) + MAX(n) % 2 AS BIGINT)
+        |    AS n_bytes,
         |  MAX(CASE WHEN mu THEN 'mulaw' ELSE 'alaw' END) AS law,
         |  CAST(8000 AS INT) AS sample_rate,
         |  CAST(COUNT(*) AS BIGINT) AS n_samples,
@@ -4249,7 +4251,7 @@ object Multimodal {
         |  FROM sc)
         |SELECT doc_id,
         |  CAST(44 + 2 * MAX(n) AS BIGINT) AS pcm_bytes,
-        |  CAST(44 + MAX(n) AS BIGINT) AS g711_bytes,
+        |  CAST(44 + MAX(n) + MAX(n) % 2 AS BIGINT) AS g711_bytes,
         |  MAX(CASE WHEN mu THEN 'mulaw' ELSE 'alaw' END) AS law,
         |  CAST(COUNT(*) AS BIGINT) AS n_samples,
         |  CAST(SUM(ABS(val)) AS BIGINT) AS sum_abs,

@@ -1439,17 +1439,27 @@ class MultimodalSpec extends SparkSpecBase {
     }
     assert(worstMu <= 1024, s"mu-law worst quantization error $worstMu")
     assert(worstA <= 1024, s"A-law worst quantization error $worstA")
-    // the container path: G.711 WAVs decode through the RIFF walk
+    // the container path: G.711 WAVs decode through the RIFF walk;
+    // odd sample counts get the RIFF pad byte (chunks pad to even),
+    // the data size field stays at n, and the file length is even
     val dec = new Codecs.WavDecoder()
     val codes = Array.tabulate(300)(i => ((i * 37 + 11) % 256).toByte)
-    for (mu <- Seq(true, false)) {
-      val au = dec.decode(Codecs.wavEncodeG711(8000, codes, mu))
-      assert(au.sampleRate == 8000 && au.samples.length == 300)
-      for (i <- 0 until 300) {
-        val want = if (mu) Codecs.mulawDecode(codes(i))
-          else Codecs.alawDecode(codes(i))
-        assert(au.samples(i) == want, s"mu=$mu sample $i")
+    for (mu <- Seq(true, false); n <- Seq(300, 299)) {
+      val cs = codes.take(n)
+      val wav = Codecs.wavEncodeG711(8000, cs, mu)
+      assert(wav.length == 44 + n + (n % 2) && wav.length % 2 == 0,
+        s"RIFF even-length padding for n=$n")
+      val au = dec.decode(wav)
+      assert(au.sampleRate == 8000 && au.samples.length == n)
+      for (i <- 0 until n) {
+        val want = if (mu) Codecs.mulawDecode(cs(i))
+          else Codecs.alawDecode(cs(i))
+        assert(au.samples(i) == want, s"mu=$mu n=$n sample $i")
       }
+      // a strict foreign reader accepts the padded file too
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      assert(ais.getFrameLength == n, s"javax.sound frames for n=$n")
     }
     // foreign bytes: javax.sound WRITES a ULAW/ALAW WAVE file; our
     // RIFF walk + expander must read it sample-exact
