@@ -936,20 +936,21 @@ object Multimodal {
   /** L5y: SNIFF-AND-DISPATCH over a MIXED-format corpus — the
     * ingest rung the reference's extension filter
     * (preprocess_dataset.py:10-31) approximates: files arrive with
-    * SEVEN different container formats interleaved (per doc parity:
-    * BMP, PNG, GIF, WAV, AVI, MP4, and — since round 10 — baseline
-    * JPEG, the lossy one), the format is detected from the
+    * EIGHT different container formats interleaved (per doc parity:
+    * BMP, PNG, GIF, WAV, AVI, MP4, baseline JPEG — the lossy one,
+    * since round 10 — and, since round 12, TIFF with both strip
+    * layouts), the format is detected from the
     * MAGIC BYTES alone ([[Codecs.sniff]] — no filename, no schema
     * column), and each container routes to its real decoder. The
     * emitted `format` column comes from the sniffer, so the oracle
     * (which derives the format from doc parity) checks that content
     * detection got every file right; `content_sum` is the decoded
     * payload mass (RGB sum for rasters/frames, |PCM| sum for audio)
-    * under each format's own deterministic pattern — all seven
+    * under each format's own deterministic pattern — all eight
     * decode paths exercised in ONE relation, every stat from parsed
     * bytes.
     *
-    * Scale: one map-only pass; the dispatch is per-row and the six
+    * Scale: one map-only pass; the dispatch is per-row and the eight
     * decoders amortize per partition like any other binding. */
   def mmSniffDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -988,6 +989,7 @@ object Multimodal {
     private val avi = new Codecs.AviDecoder()
     private val mp4 = new Codecs.Mp4VideoDecoder()
     private val jpeg = new Jpeg.JpegDecoder()
+    private val tiff = new Codecs.TiffDecoder()
     private def rgbSum(a: Array[Byte]): Long = {
       var s = 0L; var i = 0
       while (i < a.length) { s += a(i) & 0xff; i += 1 }
@@ -1028,15 +1030,18 @@ object Multimodal {
         case "jpeg" =>
           val im = jpeg.decode(bytes)
           (rgbSum(im.rgb), im.width, im.height, im.rgb.length.toLong)
+        case "tiff" =>
+          val im = tiff.decode(bytes)
+          (rgbSum(im.rgb), im.width, im.height, im.rgb.length.toLong)
         case other => throw new IllegalStateException(
           s"no decoder for sniffed format '$other'")
       }
   }
 
   /** The mixed-format container corpus both sniff ops share: per doc
-    * parity one of six container formats, each built with the SAME
+    * parity one of eight container formats, each built with the SAME
     * deterministic pattern its dedicated mm_decode_* op uses (the
-    * shared-literal rule, six times over). */
+    * shared-literal rule, eight times over). */
   private def mmSniffCore(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import s.implicits._
@@ -1054,8 +1059,8 @@ object Multimodal {
   }
 
   /** One deterministic container per id, format by parity (BMP, PNG,
-    * GIF, WAV, AVI, MP4, JPEG) — the per-id byte builder behind the
-    * sniff / quarantine / pipeline corpora. */
+    * GIF, WAV, AVI, MP4, JPEG, TIFF) — the per-id byte builder behind
+    * the sniff / quarantine / pipeline corpora. */
   private[multimodal] def sniffContainer(id: Long): Array[Byte] = {
         def raster(w: Int, h: Int)(px: (Int, Int) => (Long, Long, Long))
             : Array[Byte] = {
@@ -1075,14 +1080,21 @@ object Multimodal {
           }
           out
         }
-          (id % 7) match {
+        // dims and counts derive from the CLASS INDEX q = id/8, not id:
+        // within a fixed residue class mod 8, id % k collapses for any
+        // k sharing a factor with 8 (every BMP would be 12 px tall,
+        // every JPEG one block high), while q cycles ALL residues of
+        // every modulus — full dim coverage per format. Pixel patterns
+        // stay id-based (each format's dedicated mm_decode_* literal).
+        val q = id / 8
+          (id % 8) match {
             case 0 =>
-              val w = (16 + id % 16).toInt; val h = (12 + id % 8).toInt
+              val w = (16 + q % 16).toInt; val h = (12 + q % 8).toInt
               Codecs.bmpEncode(w, h, raster(w, h)((x, y) => (
                 id * 7 + x * 13 + y * 31, id * 11 + x * 17 + y * 5,
                 id * 3 + x * 29 + y * 23)))
             case 1 =>
-              val w = (16 + id % 16).toInt; val h = (12 + id % 8).toInt
+              val w = (16 + q % 16).toInt; val h = (12 + q % 8).toInt
               val px = raster(w, h)((x, y) => (
                 id * 5 + x * 19 + y * 37, id * 13 + x * 7 + y * 11,
                 id * 17 + x * 23 + y * 3))
@@ -1090,37 +1102,38 @@ object Multimodal {
               // form web encoders emit) — deinterlaced pixels are
               // identical, so every stat and oracle is unchanged while
               // the ingest tier exercises the seven-pass path per run
-              if ((id / 7) % 2 == 0) Codecs.pngEncode(w, h, px)
+              // ((q/2)%2, decorrelated from the q%2 dim parity)
+              if ((q / 2) % 2 == 0) Codecs.pngEncode(w, h, px)
               else Codecs.pngEncodeAdam7(w, h, px)
             case 2 =>
-              val w = (16 + id % 12).toInt; val h = (10 + id % 6).toInt
+              val w = (16 + q % 12).toInt; val h = (10 + q % 6).toInt
               Codecs.gifEncode(w, h, Array.tabulate(w * h) { p =>
                 val x = p % w; val y = p / w
                 ((id * 3 + x * 7 + (y % 3) * 11) % 256).toByte
               })
             case 3 =>
-              val n = (160 + id % 64).toInt
+              val n = (160 + q % 64).toInt
               Codecs.wavEncode(8000, Array.tabulate(n)(i =>
                 (((id * 37 + i.toLong * i * 13) % 4096) - 2048).toShort))
             case 4 =>
-              val w = (8 + id % 8).toInt; val h = (6 + id % 5).toInt
-              val nf = (3 + id % 4).toInt
+              val w = (8 + q % 8).toInt; val h = (6 + q % 5).toInt
+              val nf = (3 + q % 4).toInt
               Codecs.aviEncode(w, h, 10, (0 until nf).map(f =>
                 raster(w, h)((x, y) => (
                   id * 7 + f * 41 + x * 13 + y * 31,
                   id * 11 + f * 19 + x * 17 + y * 5,
                   id * 3 + f * 53 + x * 29 + y * 23))))
             case 5 =>
-              val w = (8 + id % 6).toInt; val h = (6 + id % 4).toInt
-              val nf = (3 + id % 4).toInt
-              Codecs.mp4EncodeVideo(600, (20 + (id % 3) * 20).toInt,
+              val w = (8 + q % 6).toInt; val h = (6 + q % 4).toInt
+              val nf = (3 + q % 4).toInt
+              Codecs.mp4EncodeVideo(600, (20 + (q % 3) * 20).toInt,
                 w, h, (0 until nf).map(f =>
                   raster(w, h)((x, y) => (
                     id * 9 + f * 43 + x * 11 + y * 29,
                     id * 15 + f * 23 + x * 19 + y * 7,
                     id * 5 + f * 47 + x * 31 + y * 17))),
-                moovLast = id % 2 == 0)
-            case _ =>
+                moovLast = q % 2 == 0)
+            case 6 =>
               // the LOSSY format joins the mixed ingest: baseline
               // JPEG from the invertible class (the mm_decode_jpeg
               // pattern verbatim — the shared-literal rule). Half the
@@ -1132,9 +1145,9 @@ object Multimodal {
               // oracles are untouched — but the mixed corpus now
               // exercises the decoder's chroma upsampling on every
               // sniff/quarantine/pipeline/streaming pass
-              val bw = (2 + id % 3).toInt; val bh = (1 + id % 2).toInt
+              val bw = (2 + q % 3).toInt; val bh = (1 + q % 2).toInt
               val g = jpegBlockGray(id, 0, bw, bh)
-              if ((id / 7) % 2 == 0)
+              if ((q / 2) % 2 == 0)
                 Jpeg.encodeGray(bw * 8, bh * 8, g)
               else {
                 val rgb = new Array[Byte](g.length * 3)
@@ -1146,6 +1159,30 @@ object Multimodal {
                 }
                 Jpeg.encodeColor420(bw * 8, bh * 8, rgb)
               }
+            case _ =>
+              // the FOURTH container architecture joins the mixed
+              // ingest: baseline TIFF with the mm_decode_tiff
+              // gray-blocky pattern verbatim (the shared-literal
+              // rule). Half the class ships PackBits-compressed
+              // strips, half uncompressed — TIFF is lossless, so the
+              // decoded raster (and every downstream stat and oracle)
+              // is identical either way while the ingest tier
+              // exercises BOTH strip paths per run
+              val w = (16 + q % 16).toInt; val h = (12 + q % 8).toInt
+              val px = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = (2 * ((id * 5 + (x / 8) * 19 + (y / 8) * 37)
+                    % 96) + 32).toByte
+                  val base = (y * w + x) * 3
+                  px(base) = v; px(base + 1) = v; px(base + 2) = v
+                  x += 1
+                }
+                y += 1
+              }
+              Codecs.tiffEncode(w, h, px, packbits = (q / 2) % 2 == 0)
           }
   }
 
@@ -1178,10 +1215,15 @@ object Multimodal {
     * (proven in StreamingSpec). */
   /** The deterministic corruption classes shared by the quarantine op
     * and the pipeline capstone: a slice of every format class gets its
-    * magic bytes flipped, a slice of the PNGs one IDAT byte flipped. */
+    * magic bytes flipped, a slice of the PNGs one IDAT byte flipped
+    * (CRC-32 GUARANTEES detection), and a slice of the TIFFs a
+    * strip-offset byte forced high (the decoder's strip/offset
+    * validation guarantees detection — TIFF has no CRC, so only
+    * VALIDATED STRUCTURE can carry a provable corruption class). */
   private def corruptMaybe(id: Long, bytes0: Array[Byte]): Array[Byte] = {
-    val magicCorrupt = (id / 7) % 5 == 2
-    val bodyCorrupt = id % 7 == 1 && (id / 7) % 5 == 3
+    val magicCorrupt = (id / 8) % 5 == 2
+    val bodyCorrupt = id % 8 == 1 && (id / 8) % 5 == 3
+    val stripCorrupt = id % 8 == 7 && (id / 8) % 5 == 3
     if (magicCorrupt) {
       val b = bytes0.clone()
       b(0) = (b(0) ^ 0xff).toByte
@@ -1190,6 +1232,16 @@ object Multimodal {
     } else if (bodyCorrupt) {
       val b = bytes0.clone()
       b(45) = (b(45) ^ 0x5a).toByte // inside the first IDAT data
+      b
+    } else if (stripCorrupt) {
+      val b = bytes0.clone()
+      // the encoder writes the 126-byte IFD last; the StripOffsets
+      // entry (tag 273, 6th of 10) keeps its value/pointer field at
+      // len-56..len-53. Forcing the high byte to >= 0x7f sends the
+      // offset (or the offsets-array pointer) past any corpus file
+      // (< 2^24 bytes), so the decoder's bounds checks MUST throw —
+      // the deterministic-detection theorem for a CRC-less container
+      b(b.length - 53) = (b(b.length - 53) | 0x7f).toByte
       b
     } else bytes0
   }
@@ -1221,9 +1273,9 @@ object Multimodal {
     * packing, composed as ONE lazy plan over real container bytes,
     * reported as a funnel row per format (the shape an ingest design
     * review reads first). The corpus deliberately contains
-    * duplicates: every container whose class index has (id/7) % 4
+    * duplicates: every container whose class index has (id/8) % 4
     * == 1 is a byte-identical re-upload of its predecessor in the
-    * same format class (seed id-7 — parity preserved), so the dedup
+    * same format class (seed id-8 — parity preserved), so the dedup
     * stage has real work; the quarantine corruption classes are the
     * mm_decode_quarantine ones (shared corruptMaybe). Stage rules:
     * (1) magic-flipped containers quarantine as unknown_format,
@@ -1239,10 +1291,10 @@ object Multimodal {
     *
     * Scale: decode is ONE map-only pass; dedup is a window over the
     * decoded-identity key (high cardinality — no skew); the pack
-    * prefix-sum partitions by format like mm_pack_shards (7
+    * prefix-sum partitions by format like mm_pack_shards (8
     * partitions here — one per sniff format; the two-phase
     * prefix-sum spelling in Curation.scala is the drop-in at real
-    * format counts); the funnel aggregation is 8 rows (7 formats +
+    * format counts); the funnel aggregation is 9 rows (8 formats +
     * the unknown channel). */
   def mmPipelineFull(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1261,7 +1313,7 @@ object Multimodal {
     ids.mapPartitions { it =>
       val dec = new SniffDecoders() // per-partition init (M1 contract)
       it.map { id =>
-        val seed = if ((id / 7) % 4 == 1) id - 7 else id
+        val seed = if ((id / 8) % 4 == 1) id - 8 else id
         val bytes = corruptMaybe(id, sniffContainer(seed))
         val format = Codecs.sniff(bytes)
         if (format == "unknown")
@@ -1553,9 +1605,22 @@ object Multimodal {
     * compressions, MultimodalSpec). */
   def mmDecodeTiff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    mmDecodeTiffOn(
+      Tables.documents(s, dir).select(col("doc_id")).as[Long])
+      .orderBy("doc_id")
+  }
+
+  /** Streaming-legal core (no sort; the IFD walk + strip reads are
+    * one pure mapPartitions pass — batch == readStream proven in
+    * StreamingSpec, same contract as the sniff/JPEG/M-JPEG/G.711
+    * cores). */
+  def mmDecodeTiffOn(
+      ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
     val decoderClass = s.conf.get(TiffDecoderConfKey,
       classOf[Codecs.TiffDecoder].getName)
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    ids
       .mapPartitions { it =>
         val dec = instantiate[Codecs.ImageDecoder](decoderClass)
         it.map { id =>
@@ -1590,7 +1655,6 @@ object Multimodal {
         }
       }.toDF("doc_id", "width", "height", "compression", "sum_rgb",
         "size_ok")
-      .orderBy("doc_id")
   }
 
   /** L5t5: the TIFF transcode — BMP in, PackBits TIFF out, both ends
@@ -3189,8 +3253,8 @@ object Multimodal {
       |    + (doc_id * 3 + f * 53 + x * 29 + y * 23) % 256 AS v
       |  FROM px)""".stripMargin
 
-  /** The seven per-parity pattern-sum CTEs (each format's dedicated
-    * mm_decode_* arithmetic, the shared-literal rule six times
+  /** The eight per-parity pattern-sum CTEs (each format's dedicated
+    * mm_decode_* arithmetic, the shared-literal rule eight times
     * over) + their union `sums(doc_id, format, s)` — shared by the
     * mm_sniff_decode and mm_decode_quarantine oracles. */
   private val sniffSumsSql: String =
@@ -3198,18 +3262,18 @@ object Multimodal {
         |    (d.doc_id * 7 + x * 13 + y * 31) % 256
         |    + (d.doc_id * 11 + x * 17 + y * 5) % 256
         |    + (d.doc_id * 3 + x * 29 + y * 23) % 256) AS BIGINT) AS s
-        |  FROM (SELECT doc_id, 16 + doc_id % 16 AS w,
-        |      12 + doc_id % 8 AS h FROM documents
-        |    WHERE doc_id % 7 = 0) d,
+        |  FROM (SELECT doc_id, 16 + (doc_id // 8) % 16 AS w,
+        |      12 + (doc_id // 8) % 8 AS h FROM documents
+        |    WHERE doc_id % 8 = 0) d,
         |    range(0, 31) xs(x), range(0, 19) ys(y)
         |  WHERE xs.x < w AND ys.y < h GROUP BY d.doc_id),
         |png AS (SELECT d.doc_id, CAST(SUM(
         |    (d.doc_id * 5 + x * 19 + y * 37) % 256
         |    + (d.doc_id * 13 + x * 7 + y * 11) % 256
         |    + (d.doc_id * 17 + x * 23 + y * 3) % 256) AS BIGINT) AS s
-        |  FROM (SELECT doc_id, 16 + doc_id % 16 AS w,
-        |      12 + doc_id % 8 AS h FROM documents
-        |    WHERE doc_id % 7 = 1) d,
+        |  FROM (SELECT doc_id, 16 + (doc_id // 8) % 16 AS w,
+        |      12 + (doc_id // 8) % 8 AS h FROM documents
+        |    WHERE doc_id % 8 = 1) d,
         |    range(0, 31) xs(x), range(0, 19) ys(y)
         |  WHERE xs.x < w AND ys.y < h GROUP BY d.doc_id),
         |gif AS (SELECT d.doc_id, CAST(SUM(
@@ -3217,25 +3281,26 @@ object Multimodal {
         |    + ((d.doc_id * 3 + x * 7 + (y % 3) * 11) % 256 * 113) % 256
         |    + ((d.doc_id * 3 + x * 7 + (y % 3) * 11) % 256 * 211) % 256)
         |    AS BIGINT) AS s
-        |  FROM (SELECT doc_id, 16 + doc_id % 12 AS w,
-        |      10 + doc_id % 6 AS h FROM documents
-        |    WHERE doc_id % 7 = 2) d,
+        |  FROM (SELECT doc_id, 16 + (doc_id // 8) % 12 AS w,
+        |      10 + (doc_id // 8) % 6 AS h FROM documents
+        |    WHERE doc_id % 8 = 2) d,
         |    range(0, 27) xs(x), range(0, 15) ys(y)
         |  WHERE xs.x < w AND ys.y < h GROUP BY d.doc_id),
         |wav AS (SELECT d.doc_id, CAST(SUM(abs(
         |    (d.doc_id * 37 + ss.i * ss.i * 13) % 4096 - 2048))
         |    AS BIGINT) AS s
-        |  FROM (SELECT doc_id, 160 + doc_id % 64 AS n FROM documents
-        |    WHERE doc_id % 7 = 3) d, range(0, 223) ss(i)
+        |  FROM (SELECT doc_id, 160 + (doc_id // 8) % 64 AS n FROM documents
+        |    WHERE doc_id % 8 = 3) d, range(0, 223) ss(i)
         |  WHERE ss.i < n GROUP BY d.doc_id),
         |avi AS (SELECT d.doc_id, CAST(SUM(
         |    (d.doc_id * 7 + f * 41 + x * 13 + y * 31) % 256
         |    + (d.doc_id * 11 + f * 19 + x * 17 + y * 5) % 256
         |    + (d.doc_id * 3 + f * 53 + x * 29 + y * 23) % 256)
         |    AS BIGINT) AS s
-        |  FROM (SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 5 AS h,
-        |      3 + doc_id % 4 AS nf FROM documents
-        |    WHERE doc_id % 7 = 4) d,
+        |  FROM (SELECT doc_id, 8 + (doc_id // 8) % 8 AS w,
+        |      6 + (doc_id // 8) % 5 AS h,
+        |      3 + (doc_id // 8) % 4 AS nf FROM documents
+        |    WHERE doc_id % 8 = 4) d,
         |    range(0, 6) fs(f), range(0, 15) xs(x), range(0, 10) ys(y)
         |  WHERE fs.f < nf AND xs.x < w AND ys.y < h GROUP BY d.doc_id),
         |mp4 AS (SELECT d.doc_id, CAST(SUM(
@@ -3243,26 +3308,36 @@ object Multimodal {
         |    + (d.doc_id * 15 + f * 23 + x * 19 + y * 7) % 256
         |    + (d.doc_id * 5 + f * 47 + x * 31 + y * 17) % 256)
         |    AS BIGINT) AS s
-        |  FROM (SELECT doc_id, 8 + doc_id % 6 AS w, 6 + doc_id % 4 AS h,
-        |      3 + doc_id % 4 AS nf FROM documents
-        |    WHERE doc_id % 7 = 5) d,
+        |  FROM (SELECT doc_id, 8 + (doc_id // 8) % 6 AS w,
+        |      6 + (doc_id // 8) % 4 AS h,
+        |      3 + (doc_id // 8) % 4 AS nf FROM documents
+        |    WHERE doc_id % 8 = 5) d,
         |    range(0, 6) fs(f), range(0, 13) xs(x), range(0, 9) ys(y)
         |  WHERE fs.f < nf AND xs.x < w AND ys.y < h GROUP BY d.doc_id),
         |jpg AS (SELECT d.doc_id, CAST(SUM(3 * 64 *
         |    (2 * ((d.doc_id * 5 + bis.i * 19 + bjs.j * 37) % 96)
         |     + 32)) AS BIGINT) AS s
-        |  FROM (SELECT doc_id, 2 + doc_id % 3 AS bw,
-        |      1 + doc_id % 2 AS bh FROM documents
-        |    WHERE doc_id % 7 = 6) d,
+        |  FROM (SELECT doc_id, 2 + (doc_id // 8) % 3 AS bw,
+        |      1 + (doc_id // 8) % 2 AS bh FROM documents
+        |    WHERE doc_id % 8 = 6) d,
         |    range(0, 5) bis(i), range(0, 3) bjs(j)
         |  WHERE bis.i < bw AND bjs.j < bh GROUP BY d.doc_id),
+        |tif AS (SELECT d.doc_id, CAST(SUM(3 *
+        |    (2 * ((d.doc_id * 5 + (x // 8) * 19 + (y // 8) * 37) % 96)
+        |     + 32)) AS BIGINT) AS s
+        |  FROM (SELECT doc_id, 16 + (doc_id // 8) % 16 AS w,
+        |      12 + (doc_id // 8) % 8 AS h FROM documents
+        |    WHERE doc_id % 8 = 7) d,
+        |    range(0, 31) xs(x), range(0, 19) ys(y)
+        |  WHERE xs.x < w AND ys.y < h GROUP BY d.doc_id),
       |sums AS (SELECT doc_id, 'bmp' AS format, s FROM bmp
       |  UNION ALL SELECT doc_id, 'png', s FROM png
       |  UNION ALL SELECT doc_id, 'gif', s FROM gif
       |  UNION ALL SELECT doc_id, 'wav', s FROM wav
       |  UNION ALL SELECT doc_id, 'avi', s FROM avi
       |  UNION ALL SELECT doc_id, 'mp4', s FROM mp4
-      |  UNION ALL SELECT doc_id, 'jpeg', s FROM jpg)""".stripMargin
+      |  UNION ALL SELECT doc_id, 'jpeg', s FROM jpg
+      |  UNION ALL SELECT doc_id, 'tiff', s FROM tif)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Closed-form replay of the probe: container size (Codecs
@@ -3409,13 +3484,15 @@ object Multimodal {
     // The error-channel twin: corrupt classes derived by the same
     // arithmetic the engine uses — magic-corrupted docs quarantine
     // as unknown_format, body-corrupted PNGs (CRC guarantees
-    // detection) as decode_error, everything else decodes to its
-    // pattern sum.
+    // detection) and strip-corrupted TIFFs (offset validation
+    // guarantees detection) as decode_error, everything else decodes
+    // to its pattern sum.
     "mm_decode_quarantine" ->
       s"""WITH $sniffSumsSql,
         |cls AS (SELECT doc_id, format, s,
-        |    CASE WHEN (doc_id // 7) % 5 = 2 THEN 'magic'
-        |      WHEN doc_id % 7 = 1 AND (doc_id // 7) % 5 = 3
+        |    CASE WHEN (doc_id // 8) % 5 = 2 THEN 'magic'
+        |      WHEN (doc_id % 8 = 1 OR doc_id % 8 = 7)
+        |          AND (doc_id // 8) % 5 = 3
         |        THEN 'body'
         |      ELSE 'ok' END AS c
         |  FROM sums)
@@ -3445,46 +3522,55 @@ object Multimodal {
         |  TRUE AS compressed
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // The capstone oracle composes the stages' own closed forms: the
-    // seven sniffSumsSql pattern-sum CTEs evaluated at the SEED id
-    // (the dedup corpus re-uploads every (id/7)%4==1 container from
-    // seed id-7), the quarantine corruption classes, format-parity dims
+    // eight sniffSumsSql pattern-sum CTEs evaluated at the SEED id
+    // (the dedup corpus re-uploads every (id/8)%4==1 container from
+    // seed id-8), the quarantine corruption classes, format-parity dims
     // and payload byte counts, the dedup window, the resolution rule
     // and the shard prefix-sum — the funnel row per format.
     "mm_pipeline_full" ->
       (s"""WITH $sniffSumsSql,
         |ids AS (SELECT doc_id,
-        |    CASE WHEN (doc_id // 7) % 4 = 1 THEN doc_id - 7
+        |    CASE WHEN (doc_id // 8) % 4 = 1 THEN doc_id - 8
         |      ELSE doc_id END AS e,
-        |    (doc_id // 7) % 5 = 2 AS magic,
-        |    doc_id % 7 = 1 AND (doc_id // 7) % 5 = 3 AS body
+        |    (doc_id // 8) % 5 = 2 AS magic,
+        |    (doc_id % 8 = 1 OR doc_id % 8 = 7)
+        |      AND (doc_id // 8) % 5 = 3 AS body
         |  FROM documents),
         |dims AS (SELECT doc_id AS e,
-        |    CASE doc_id % 7
-        |      WHEN 0 THEN 16 + doc_id % 16
-        |      WHEN 1 THEN 16 + doc_id % 16
-        |      WHEN 2 THEN 16 + doc_id % 12
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN 16 + (doc_id // 8) % 16
+        |      WHEN 1 THEN 16 + (doc_id // 8) % 16
+        |      WHEN 2 THEN 16 + (doc_id // 8) % 12
         |      WHEN 3 THEN 0
-        |      WHEN 4 THEN 8 + doc_id % 8
-        |      WHEN 5 THEN 8 + doc_id % 6
-        |      ELSE (2 + doc_id % 3) * 8 END AS w,
-        |    CASE doc_id % 7
-        |      WHEN 0 THEN 12 + doc_id % 8
-        |      WHEN 1 THEN 12 + doc_id % 8
-        |      WHEN 2 THEN 10 + doc_id % 6
+        |      WHEN 4 THEN 8 + (doc_id // 8) % 8
+        |      WHEN 5 THEN 8 + (doc_id // 8) % 6
+        |      WHEN 6 THEN (2 + (doc_id // 8) % 3) * 8
+        |      ELSE 16 + (doc_id // 8) % 16 END AS w,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN 12 + (doc_id // 8) % 8
+        |      WHEN 1 THEN 12 + (doc_id // 8) % 8
+        |      WHEN 2 THEN 10 + (doc_id // 8) % 6
         |      WHEN 3 THEN 0
-        |      WHEN 4 THEN 6 + doc_id % 5
-        |      WHEN 5 THEN 6 + doc_id % 4
-        |      ELSE (1 + doc_id % 2) * 8 END AS h,
-        |    CASE doc_id % 7
-        |      WHEN 0 THEN (16 + doc_id % 16) * (12 + doc_id % 8) * 3
-        |      WHEN 1 THEN (16 + doc_id % 16) * (12 + doc_id % 8) * 3
-        |      WHEN 2 THEN (16 + doc_id % 12) * (10 + doc_id % 6) * 3
-        |      WHEN 3 THEN (160 + doc_id % 64) * 2
-        |      WHEN 4 THEN (3 + doc_id % 4) * (8 + doc_id % 8)
-        |        * (6 + doc_id % 5) * 3
-        |      WHEN 5 THEN (3 + doc_id % 4) * (8 + doc_id % 6)
-        |        * (6 + doc_id % 4) * 3
-        |      ELSE (2 + doc_id % 3) * 8 * (1 + doc_id % 2) * 8 * 3
+        |      WHEN 4 THEN 6 + (doc_id // 8) % 5
+        |      WHEN 5 THEN 6 + (doc_id // 8) % 4
+        |      WHEN 6 THEN (1 + (doc_id // 8) % 2) * 8
+        |      ELSE 12 + (doc_id // 8) % 8 END AS h,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN (16 + (doc_id // 8) % 16)
+        |        * (12 + (doc_id // 8) % 8) * 3
+        |      WHEN 1 THEN (16 + (doc_id // 8) % 16)
+        |        * (12 + (doc_id // 8) % 8) * 3
+        |      WHEN 2 THEN (16 + (doc_id // 8) % 12)
+        |        * (10 + (doc_id // 8) % 6) * 3
+        |      WHEN 3 THEN (160 + (doc_id // 8) % 64) * 2
+        |      WHEN 4 THEN (3 + (doc_id // 8) % 4)
+        |        * (8 + (doc_id // 8) % 8) * (6 + (doc_id // 8) % 5) * 3
+        |      WHEN 5 THEN (3 + (doc_id // 8) % 4)
+        |        * (8 + (doc_id // 8) % 6) * (6 + (doc_id // 8) % 4) * 3
+        |      WHEN 6 THEN (2 + (doc_id // 8) % 3) * 8
+        |        * (1 + (doc_id // 8) % 2) * 8 * 3
+        |      ELSE (16 + (doc_id // 8) % 16)
+        |        * (12 + (doc_id // 8) % 8) * 3
         |      END AS payload
         |  FROM documents),
         |rows0 AS (SELECT i.doc_id,

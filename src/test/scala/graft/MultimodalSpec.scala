@@ -1732,6 +1732,10 @@ class MultimodalSpec extends SparkSpecBase {
       Seq(px))) == "mp4")
     assert(Codecs.sniff(Codecs.mp4EncodeVideo(600, 60, 4, 3,
       Seq(px), moovLast = true)) == "mp4")
+    assert(Codecs.sniff(Codecs.tiffEncode(4, 3, px,
+      packbits = true)) == "tiff")
+    assert(Codecs.sniff(Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8))
+      == "tiff") // big-endian magic too
     assert(Codecs.sniff(null) == "unknown")
     assert(Codecs.sniff(Array.emptyByteArray) == "unknown")
     assert(Codecs.sniff(Array[Byte](1, 2, 3, 4)) == "unknown")
@@ -1739,16 +1743,18 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Codecs.sniff("GIF7".getBytes("US-ASCII")) == "unknown")
   }
 
-  test("mm_sniff_decode: SEVEN container formats interleaved in one " +
-    "corpus (the lossy JPEG included since round 10), every format " +
-    "detected from content and routed to its real decoder — format " +
-    "census complete, sums format-consistent") {
+  test("mm_sniff_decode: EIGHT container formats interleaved in one " +
+    "corpus (the lossy JPEG since round 10, TIFF with both strip " +
+    "layouts since round 12), every format detected from content and " +
+    "routed to its real decoder — format census complete, sums " +
+    "format-consistent") {
     val out = multimodal.Multimodal.mmSniffDecode(spark, sf)
       .as[(Long, String, Long)].collect()
     assert(out.nonEmpty)
-    val expected = Seq("bmp", "png", "gif", "wav", "avi", "mp4", "jpeg")
+    val expected =
+      Seq("bmp", "png", "gif", "wav", "avi", "mp4", "jpeg", "tiff")
     out.foreach { case (id, fmt, sum) =>
-      assert(fmt == expected((id % 7).toInt), s"doc $id sniffed $fmt")
+      assert(fmt == expected((id % 8).toInt), s"doc $id sniffed $fmt")
       assert(sum > 0, s"doc $id empty content")
     }
     // parity classes all present at this corpus size
@@ -1757,27 +1763,38 @@ class MultimodalSpec extends SparkSpecBase {
 
   test("mm_decode_quarantine: the error channel on real bytes — " +
     "magic-corrupted docs quarantine as unknown_format before any " +
-    "parse, CRC-corrupted PNGs as decode_error, everything else " +
-    "decodes; all three channels present, every doc accounted for") {
+    "parse, CRC-corrupted PNGs AND strip-corrupted TIFFs as " +
+    "decode_error, everything else decodes; all three channels " +
+    "present, every doc accounted for") {
     val out = multimodal.Multimodal.mmDecodeQuarantine(spark, sf)
       .as[(Long, String, String, Option[Long])].collect()
     assert(out.nonEmpty)
     val nDocs = Tables.documents(spark, sf).count()
     assert(out.length == nDocs, "a channel dropped rows")
     out.foreach { case (id, status, fmt, sum) =>
-      val magic = (id / 7) % 5 == 2
-      val body = id % 7 == 1 && (id / 7) % 5 == 3
+      val magic = (id / 8) % 5 == 2
+      val body = id % 8 == 1 && (id / 8) % 5 == 3
+      val strip = id % 8 == 7 && (id / 8) % 5 == 3
       if (magic) {
         assert(status == "unknown_format" && fmt == "unknown" &&
           sum.isEmpty, s"doc $id")
       } else if (body) {
         assert(status == "decode_error" && fmt == "png" && sum.isEmpty,
           s"doc $id")
+      } else if (strip) {
+        assert(status == "decode_error" && fmt == "tiff" && sum.isEmpty,
+          s"doc $id")
       } else {
         assert(status == "ok" && sum.exists(_ > 0), s"doc $id")
       }
     }
     assert(out.map(_._2).distinct.length == 3, "a channel is empty")
+    // both CRC-less-format (tiff) and CRC-format (png) decode_error
+    // slices are present at this corpus size
+    assert(out.exists(r => r._2 == "decode_error" && r._3 == "tiff"),
+      "no strip-corrupted TIFF at this sf")
+    assert(out.exists(r => r._2 == "decode_error" && r._3 == "png"),
+      "no CRC-corrupted PNG at this sf")
   }
 
   test("mm_pipeline_full planted-skew: a pathological corpus (90% one " +
@@ -1788,14 +1805,17 @@ class MultimodalSpec extends SparkSpecBase {
     "one giant partition") {
     import spark.implicits._
     import multimodal.Multimodal
-    // 90% JPEG class (id % 7 == 6); even k takes the magic-corrupt
+    // 90% JPEG class (id % 8 == 6); even k takes the magic-corrupt
     // quotient residue (q % 5 == 2) -> ~half of those quarantine;
-    // 10% spread over the other six format classes
+    // 10% spread over the other seven format classes (incl. TIFF)
     val ids: Seq[Long] = (0 until 6000).map { k =>
       if (k < 5400) {
         val q = if (k % 2 == 0) 5L * (k / 2) + 2 else 5L * (k / 2)
-        7L * q + 6
-      } else 7L * (k - 5400) + (k % 6)
+        8L * q + 6
+      } else {
+        val r = k % 7
+        8L * (k - 5400) + (if (r == 6) 7 else r)
+      }
     }
     val decoded = Multimodal.mmPipelineDecodedOn(
       spark.createDataset(ids)).cache()
@@ -1814,13 +1834,15 @@ class MultimodalSpec extends SparkSpecBase {
       assert(keyed.filter(_._2 > 0).forall(r => r._1 == 1L),
         "a quarantined row shared a window partition")
       // 2. ok partitions are bounded by content multiplicity (this
-      //    planted JPEG stride yields 47 identity classes, largest
-      //    224 copies), never by corpus size or quarantine share —
+      //    planted JPEG stride's ok ids are 8q+6 with q=5m: dims from
+      //    q%3/q%2, gray blocks from id*5 mod 96 — identities have a
+      //    short period in m, 7 content families, largest 675
+      //    copies), never by corpus size or quarantine share —
       //    at 100 TB the bound is the copy count of the most-
       //    duplicated document, which exact dedup cannot avoid
       //    colocating
       val maxOk = keyed.filter(_._2 == 0).map(_._1).max
-      assert(maxOk <= 256, s"ok partition grew past multiplicity: $maxOk")
+      assert(maxOk <= 704, s"ok partition grew past multiplicity: $maxOk")
       // 3. counterfactual: WITHOUT the status salt, all unknown_format
       //    rows share one (format,0,0,0,0) key — the skew partition
       //    the salt exists to prevent

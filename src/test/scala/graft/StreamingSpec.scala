@@ -677,9 +677,9 @@ class StreamingSpec extends SparkSpecBase {
   }
 
   test("mixed-format sniff-dispatch under readStream: magic-byte " +
-    "detection + six real decoders over a streaming id source == the " +
-    "batch relation, and the JPEG path joins the ladder " +
-    "(mm_decode_jpeg core streams too)") {
+    "detection + eight real decoders over a streaming id source == " +
+    "the batch relation, and the JPEG, M-JPEG, G.711 and TIFF decode " +
+    "cores hold the same contract") {
     import org.apache.spark.sql.Encoders
     val docDir = {
       val d = Files.createTempDirectory("graft_stream_sniff")
@@ -699,7 +699,8 @@ class StreamingSpec extends SparkSpecBase {
         "sniff" -> multimodal.Multimodal.mmSniffDecodeOn,
         "jpeg" -> multimodal.Multimodal.mmDecodeJpegOn,
         "mjpeg" -> multimodal.Multimodal.mmDecodeMjpegOn,
-        "g711" -> multimodal.Multimodal.mmDecodeG711On)) {
+        "g711" -> multimodal.Multimodal.mmDecodeG711On,
+        "tiff" -> multimodal.Multimodal.mmDecodeTiffOn)) {
       val q = core(streamIds)
         .writeStream.outputMode("append").format("memory")
         .queryName(s"sniff_stream_$name").start()
