@@ -579,8 +579,13 @@ object Corpus {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         count(col("__hit")).as("n_hits"))
+      // 6-decimal half-away rounding in EXACT BIGINT ((a*2e6 + b) div
+      // (2b)), one IEEE division by 1e6 — round(a/b, 6) on the double
+      // quotient is the ts_gapfill ulp-tie hazard; the threshold then
+      // compares identical doubles in both engines
       .withColumn("hit_ratio",
-        round(col("n_hits").cast("double") / col("n_shingles"), 6))
+        expr("(n_hits * 2000000 + n_shingles) div (2 * n_shingles)")
+          / 1000000.0)
       .withColumn("contaminated", col("hit_ratio") >= threshold)
       .orderBy("doc_id")
   }
@@ -1751,10 +1756,10 @@ object Corpus {
         |         FROM corpus JOIN bench USING (hs) GROUP BY doc_id)
         |SELECT sz.doc_id, sz.n_shingles,
         |  COALESCE(hits.n_hits, 0) AS n_hits,
-        |  round(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / sz.n_shingles, 6)
-        |    AS hit_ratio,
-        |  round(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / sz.n_shingles, 6)
-        |    >= 0.2 AS contaminated
+        |  ((COALESCE(hits.n_hits, 0) * 2000000 + sz.n_shingles)
+        |    // (2 * sz.n_shingles)) / 1000000.0 AS hit_ratio,
+        |  ((COALESCE(hits.n_hits, 0) * 2000000 + sz.n_shingles)
+        |    // (2 * sz.n_shingles)) / 1000000.0 >= 0.2 AS contaminated
         |FROM sz LEFT JOIN hits ON sz.doc_id = hits.doc_id
         |ORDER BY sz.doc_id""".stripMargin,
   )

@@ -1180,14 +1180,23 @@ object Text {
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("top_bigram_cnt"))
     top1.join(top2, Seq("doc_id"), "left")
+      .withColumn("top_bigram_cnt",
+        coalesce(col("top_bigram_cnt"), lit(0L)))
+      .withColumn("nb", greatest(col("n_tokens") - 1, lit(1)))
+      // 6-decimal half-away rounding of both fractions in EXACT
+      // BIGINT ((a*2e6 + b) div (2b)), one IEEE division by 1e6 at
+      // the end — round(a/b, 6) on the double quotient is the
+      // ts_gapfill ulp-tie hazard; the 0.2 thresholds compare the
+      // SAME integers (frac < 0.2 <=> e6 < 200000 exactly)
+      .withColumn("te6",
+        expr("(top_tok_cnt * 2000000 + n_tokens) div (2 * n_tokens)"))
+      .withColumn("be6",
+        expr("(top_bigram_cnt * 2000000 + nb) div (2 * nb)"))
       .select(col("doc_id"), col("n_tokens"), col("top_tok_cnt"),
-        round(col("top_tok_cnt").cast("double") / col("n_tokens"), 6)
-          .as("top_tok_frac"),
-        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
-        round(coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") /
-          greatest(col("n_tokens") - 1, lit(1)), 6).as("top_bigram_frac"))
-      .withColumn("rep_ok",
-        col("top_tok_frac") < 0.2 && col("top_bigram_frac") < 0.2)
+        (col("te6") / 1000000.0).as("top_tok_frac"),
+        col("top_bigram_cnt"),
+        (col("be6") / 1000000.0).as("top_bigram_frac"),
+        (col("te6") < 200000L && col("be6") < 200000L).as("rep_ok"))
       .orderBy("doc_id")
   }
 
@@ -1813,14 +1822,18 @@ object Text {
         |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY 1, 2),
         |t2 AS (SELECT doc_id, MAX(c) AS top_bigram_cnt FROM bc GROUP BY 1)
         |SELECT t1.doc_id, t1.n_tokens, t1.top_tok_cnt,
-        |  round(CAST(t1.top_tok_cnt AS DOUBLE) / t1.n_tokens, 6)
-        |    AS top_tok_frac,
+        |  ((t1.top_tok_cnt * 2000000 + t1.n_tokens)
+        |    // (2 * t1.n_tokens)) / 1000000.0 AS top_tok_frac,
         |  COALESCE(t2.top_bigram_cnt, 0) AS top_bigram_cnt,
-        |  round(CAST(COALESCE(t2.top_bigram_cnt, 0) AS DOUBLE)
-        |    / greatest(t1.n_tokens - 1, 1), 6) AS top_bigram_frac,
-        |  (round(CAST(t1.top_tok_cnt AS DOUBLE) / t1.n_tokens, 6) < 0.2
-        |   AND round(CAST(COALESCE(t2.top_bigram_cnt, 0) AS DOUBLE)
-        |     / greatest(t1.n_tokens - 1, 1), 6) < 0.2) AS rep_ok
+        |  ((COALESCE(t2.top_bigram_cnt, 0) * 2000000
+        |      + greatest(t1.n_tokens - 1, 1))
+        |    // (2 * greatest(t1.n_tokens - 1, 1))) / 1000000.0
+        |    AS top_bigram_frac,
+        |  (((t1.top_tok_cnt * 2000000 + t1.n_tokens)
+        |      // (2 * t1.n_tokens)) < 200000
+        |   AND ((COALESCE(t2.top_bigram_cnt, 0) * 2000000
+        |      + greatest(t1.n_tokens - 1, 1))
+        |    // (2 * greatest(t1.n_tokens - 1, 1))) < 200000) AS rep_ok
         |FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id
         |ORDER BY t1.doc_id""".stripMargin,
     "corpus_clean" ->

@@ -589,12 +589,17 @@ object Analytics {
     Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
     Tables.part(s, dir).createOrReplaceTempView("v_part")
     s.sql(
-      """SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      """SELECT (CAST(SUM(CASE WHEN p_type = 'PROMO'
         |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
-        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
-        |  AS promo_revenue_pct
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END)
+        |    * 20000000000 AS DECIMAL(38,0))
+        |   + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))))
+        |    * 10000 AS DECIMAL(38,0)))
+        |  div (2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))))
+        |    * 10000 AS DECIMAL(38,0)))
+        |  / 10000.0 AS promo_revenue_pct
         |FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin)
@@ -659,8 +664,11 @@ object Analytics {
     * bloc's share of a market's promo-part revenue per year — the
     * conditional-sum-over-sum ratio with nation joined in BOTH roles
     * (customer's nation picks the market region, supplier's nation
-    * picks the bloc). Both sums stay DECIMAL to one double division
-    * (the sql_q14 ratio recipe). */
+    * picks the bloc). Both sums stay DECIMAL and the 4-decimal
+    * half-away rounding happens in exact 128-bit integer arithmetic
+    * — round(num/den, 4) on the double quotient of two exact
+    * decimals is the ts_gapfill ulp-tie hazard (the sql_q14 ratio
+    * recipe, hardened). */
   def sqlQ8(s: SparkSession, dir: String): DataFrame = {
     Tables.part(s, dir).createOrReplaceTempView("v_part")
     Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
@@ -671,12 +679,17 @@ object Analytics {
     Tables.region(s, dir).createOrReplaceTempView("v_region")
     s.sql(
       """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
-        |  round(CAST(SUM(CASE WHEN n2.n_nationkey % 2 = 0
+        |  (CAST(SUM(CASE WHEN n2.n_nationkey % 2 = 0
         |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
-        |        * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
-        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
-        |    AS mkt_share
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END)
+        |      * 200000000 AS DECIMAL(38,0))
+        |   + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+        |      * 10000 AS DECIMAL(38,0)))
+        |   div (2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+        |      * 10000 AS DECIMAL(38,0)))
+        |   / 10000.0 AS mkt_share
         |FROM v_lineitem
         |JOIN v_part ON p_partkey = l_partkey AND p_type = 'PROMO'
         |JOIN v_supplier ON s_suppkey = l_suppkey
@@ -1261,12 +1274,17 @@ object Analytics {
         |LIMIT 100""".stripMargin,
     "sql_q8" ->
       """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
-        |  round(CAST(SUM(CASE WHEN n2.n_nationkey % 2 = 0
+        |  (CAST(SUM(CASE WHEN n2.n_nationkey % 2 = 0
         |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
-        |        * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
-        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
-        |    AS mkt_share
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END)
+        |      * 200000000 AS HUGEINT)
+        |   + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+        |      * 10000 AS HUGEINT))
+        |   // (2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+        |      * 10000 AS HUGEINT))
+        |   / 10000.0 AS mkt_share
         |FROM lineitem
         |JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
         |JOIN supplier ON s_suppkey = l_suppkey
@@ -1332,12 +1350,17 @@ object Analytics {
         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
     "sql_q14" ->
-      """SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      """SELECT (CAST(SUM(CASE WHEN p_type = 'PROMO'
         |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
-        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
-        |  AS promo_revenue_pct
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END)
+        |    * 20000000000 AS HUGEINT)
+        |   + CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))))
+        |    * 10000 AS HUGEINT))
+        |  // (2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))))
+        |    * 10000 AS HUGEINT))
+        |  / 10000.0 AS promo_revenue_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,

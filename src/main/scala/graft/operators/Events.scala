@@ -70,9 +70,15 @@ object Events {
         count(when(c, 1)).as(s"s${i + 1}")
       }: _*)
     counts.select(explode(array(steps.indices.map { k =>
+        // 4-decimal half-away rounding of s_k/s0 in EXACT BIGINT
+        // ((a*20000 + b) div (2b)), one IEEE division by 1e4 at the
+        // end — round(a/b, 4) on the double quotient is the
+        // ts_gapfill ulp-tie hazard (counts are nonnegative, so no
+        // sign branch)
         struct(lit(k + 1).as("step_idx"), lit(steps(k)).as("step"),
           col(s"s$k").as("n_users"),
-          round(col(s"s$k").cast("double") / col("s0"), 4).as("pct"))
+          (expr(s"(s$k * 20000 + s0) div (2 * s0)") / 10000.0)
+            .as("pct"))
       }: _*)).as("f"))
       .select(col("f.step_idx"), col("f.step"), col("f.n_users"), col("f.pct"))
       .orderBy("step_idx")
@@ -191,8 +197,13 @@ object Events {
       .groupBy(col("event_type").as("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
     pairs
+      // exact BIGINT half-away rounding at 4 decimals (counts are
+      // positive): round(n/tot, 4) on the double quotient is the
+      // ts_gapfill ulp-tie hazard
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy("src")))
       .withColumn("p",
-        round(col("n") / sum(col("n")).over(Window.partitionBy("src")), 4))
+        expr("(n * 20000 + tot) div (2 * tot)") / 10000.0)
+      .drop("tot")
       .orderBy("src", "dst")
   }
 
@@ -3589,9 +3600,11 @@ object Events {
         |    COUNT(CASE WHEN t0 < t1 AND t1 < t2 THEN 1 END) AS s2
         |  FROM per)
         |SELECT 1 AS step_idx, 'view' AS step, s0 AS n_users,
-        |  round(CAST(s0 AS DOUBLE) / s0, 4) AS pct FROM f
-        |UNION ALL SELECT 2, 'click', s1, round(CAST(s1 AS DOUBLE) / s0, 4) FROM f
-        |UNION ALL SELECT 3, 'purchase', s2, round(CAST(s2 AS DOUBLE) / s0, 4) FROM f
+        |  ((s0 * 20000 + s0) // (2 * s0)) / 10000.0 AS pct FROM f
+        |UNION ALL SELECT 2, 'click', s1,
+        |  ((s1 * 20000 + s0) // (2 * s0)) / 10000.0 FROM f
+        |UNION ALL SELECT 3, 'purchase', s2,
+        |  ((s2 * 20000 + s0) // (2 * s0)) / 10000.0 FROM f
         |ORDER BY step_idx""".stripMargin,
     "scd2_intervals" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
@@ -3631,7 +3644,8 @@ object Events {
         |c AS (SELECT src, dst, COUNT(*) AS n FROM p
         |  WHERE dst IS NOT NULL GROUP BY src, dst)
         |SELECT src, dst, n,
-        |  ROUND(n / SUM(n) OVER (PARTITION BY src), 4) AS p
+        |  ((n * 20000 + SUM(n) OVER (PARTITION BY src))
+        |    // (2 * SUM(n) OVER (PARTITION BY src))) / 10000.0 AS p
         |FROM c ORDER BY src, dst""".stripMargin,
     "ts_gapfill" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
