@@ -702,14 +702,21 @@ object Jpeg {
   // Decoder.
   // ----------------------------------------------------------------
 
-  /** Baseline sequential JPEG decoder (T.81 §F.2): SOF0 only, 8-bit,
-    * 1 or 3 components, sampling factors 1..2, one interleaved scan,
-    * DRI/RSTn restart intervals, APPn/COM skipped, every marker
-    * length validated. Output is a top-down RGB raster (grayscale
-    * replicates; 3-component output converts from YCbCr with the
-    * integer BT.601 inverse, chroma upsampled by replication).
-    * External-bytes contract: any malformed input fails fast with
-    * IllegalArgumentException — never any other throwable. */
+  /** Huffman JPEG decoder: baseline sequential (SOF0, T.81 §F.2) and
+    * — since round 12 — PROGRESSIVE (SOF2, T.81 Annex G.2: spectral
+    * selection + successive approximation, DC/AC first and refinement
+    * scans, EOB runs, multi-scan DHT/DQT/DRI re-definition). 8-bit,
+    * 1 or 3 components, sampling factors 1..2, DRI/RSTn restart
+    * intervals, APPn/COM skipped, every marker length validated.
+    * Arithmetic coding (SOF9/SOF10) and hierarchical mode stay
+    * fail-fast out of scope. Output is a top-down RGB raster
+    * (grayscale replicates; 3-component output converts from YCbCr
+    * with the integer BT.601 inverse, chroma upsampled by
+    * replication). External-bytes contract: any malformed input fails
+    * fast with IllegalArgumentException — never any other throwable.
+    * Conformance: ImageIO's progressive writer output (gray and
+    * subsampled color) decodes within the foreign-bytes tolerances
+    * (MultimodalJpegSpec). */
   final class JpegDecoder extends Codecs.ImageDecoder {
 
     def decode(b: Array[Byte]): Codecs.DecodedImage = {
@@ -736,9 +743,21 @@ object Jpeg {
       var cTd: Array[Int] = null
       var cTa: Array[Int] = null
       var sawSof = false
+      var progressive = false
       var scanStart = -1
+      // SOS parameters of the most recently parsed scan header
+      var scanNs = 0
+      var scanCi: Array[Int] = null // frame-component index per scan slot
+      var scanSs = 0; var scanSe = 63; var scanAh = 0; var scanAl = 0
 
-      while (scanStart < 0) {
+      // Parse marker segments until the next SOS (returns true) or —
+      // when between progressive scans — EOI (returns false). Shared
+      // by the initial header walk and the progressive multi-scan
+      // driver (DHT/DQT/DRI may legally arrive between scans).
+      def parseToScanOrEoi(betweenScans: Boolean): Boolean = {
+        scanStart = -1
+        var eoiSeen = false
+        while (scanStart < 0 && !eoiSeen) {
         require(pos + 2 <= b.length, "truncated JPEG (no SOS)")
         require((b(pos) & 0xff) == 0xff, f"expected marker at $pos")
         // skip fill bytes (B.1.1.2 allows any number of 0xFF)
@@ -746,11 +765,15 @@ object Jpeg {
         val m = b(pos + 1) & 0xff
         pos += 2
         m match {
-          case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
+          case 0xd9 =>
+            if (betweenScans) eoiSeen = true
+            else throw new IllegalArgumentException("EOI before SOS")
           case 0x01 => () // TEM, standalone
           case _ if m >= 0xd0 && m <= 0xd7 =>
             throw new IllegalArgumentException("RST outside entropy data")
-          case 0xc0 =>
+          case 0xc0 | 0xc2 =>
+            require(!sawSof, "multiple SOF markers")
+            progressive = m == 0xc2
             val len = be16(pos)
             require(len >= 8 && pos + len <= b.length, "bad SOF0 length")
             require((b(pos + 2) & 0xff) == 8, "only 8-bit precision")
@@ -780,7 +803,7 @@ object Jpeg {
             pos += len
           case sof if (sof >= 0xc1 && sof <= 0xcf) && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
             throw new IllegalArgumentException(
-              f"unsupported SOF marker 0xff$sof%02x (baseline SOF0 only)")
+              f"unsupported SOF marker 0xff$sof%02x (SOF0/SOF2 only)")
           case 0xdb =>
             val len = be16(pos)
             require(len >= 2 && pos + len <= b.length, "bad DQT length")
@@ -834,26 +857,54 @@ object Jpeg {
             pos += len
           case 0xda =>
             val len = be16(pos)
-            require(sawSof, "SOS before SOF0")
+            require(sawSof, "SOS before SOF")
             require(len >= 6 && pos + len <= b.length, "bad SOS length")
             val ns = b(pos + 2) & 0xff
-            require(ns == nComp, "scan must cover all frame components")
             require(len == 6 + 2 * ns, "SOS length != component count")
+            require(ns >= 1 && ns <= nComp, "bad scan component count")
+            scanNs = ns
+            scanCi = new Array[Int](ns)
+            var prev = -1
             var c = 0
             while (c < ns) {
               val id = b(pos + 3 + c * 2) & 0xff
-              // scan order must match frame order (single interleaved
-              // scan — what every baseline encoder emits)
-              require(id == cId(c), "scan component order != frame order")
-              cTd(c) = (b(pos + 4 + c * 2) & 0xff) >> 4
-              cTa(c) = b(pos + 4 + c * 2) & 0x0f
-              require(cTd(c) < 4 && cTa(c) < 4, "bad SOS table id")
+              // scan components must be frame components in frame
+              // order (a strictly ascending subset — T.81 B.2.3)
+              var fi = prev + 1
+              while (fi < nComp && cId(fi) != id) fi += 1
+              require(fi < nComp, s"scan component $id not in frame order")
+              scanCi(c) = fi
+              prev = fi
+              cTd(fi) = (b(pos + 4 + c * 2) & 0xff) >> 4
+              cTa(fi) = b(pos + 4 + c * 2) & 0x0f
+              require(cTd(fi) < 4 && cTa(fi) < 4, "bad SOS table id")
               c += 1
             }
-            require((b(pos + 3 + 2 * ns) & 0xff) == 0 &&
-              (b(pos + 4 + 2 * ns) & 0xff) == 63 &&
-              (b(pos + 5 + 2 * ns) & 0xff) == 0,
-              "not a sequential full-spectrum scan")
+            scanSs = b(pos + 3 + 2 * ns) & 0xff
+            scanSe = b(pos + 4 + 2 * ns) & 0xff
+            scanAh = (b(pos + 5 + 2 * ns) & 0xff) >> 4
+            scanAl = b(pos + 5 + 2 * ns) & 0x0f
+            if (!progressive) {
+              require(ns == nComp && scanCi.zipWithIndex.forall(
+                p => p._1 == p._2),
+                "scan must cover all frame components")
+              require(scanSs == 0 && scanSe == 63 &&
+                scanAh == 0 && scanAl == 0,
+                "not a sequential full-spectrum scan")
+            } else {
+              // T.81 G.1: DC band is [0,0]; AC bands are single-
+              // component; successive approximation refines one bit
+              require(scanSs <= 63 && scanSe <= 63 && scanSs <= scanSe,
+                "bad spectral selection")
+              if (scanSs == 0)
+                require(scanSe == 0,
+                  "progressive DC scan must have Se = 0")
+              else require(ns == 1,
+                "progressive AC scan must be single-component")
+              require(scanAl <= 13 && scanAh <= 13 &&
+                (scanAh == 0 || scanAh == scanAl + 1),
+                "bad successive-approximation bits")
+            }
             scanStart = pos + len
             pos += len
           case _ if m >= 0xe0 && m <= 0xfe => // APPn, COM
@@ -865,11 +916,16 @@ object Jpeg {
             throw new IllegalArgumentException(
               f"unsupported JPEG marker 0xff$other%02x")
         }
+        }
+        scanStart >= 0
       }
+      require(parseToScanOrEoi(betweenScans = false), "no scan")
 
       // resolve tables now — every referenced table must exist
+      // (baseline: the single scan references them all; progressive
+      // scans re-check per scan, since DHT may arrive between scans)
       var c = 0
-      while (c < nComp) {
+      if (!progressive) while (c < nComp) {
         require(qTabs(cTq(c)) != null, s"missing quant table ${cTq(c)}")
         require(dcTabs(cTd(c)) != null, s"missing DC table ${cTd(c)}")
         require(acTabs(cTa(c)) != null, s"missing AC table ${cTa(c)}")
@@ -898,6 +954,7 @@ object Jpeg {
         c += 1
       }
 
+      if (!progressive) {
       val br = new BitReader(b, scanStart, b.length)
       val preds = new Array[Int](nComp)
       val coef = new Array[Int](64)
@@ -1005,6 +1062,299 @@ object Jpeg {
         (b(p + 1) & 0xff) == 0xff) p += 1
       require(p + 2 <= b.length && (b(p) & 0xff) == 0xff &&
         (b(p + 1) & 0xff) == 0xd9, "missing EOI after scan")
+      } else {
+        // ---- progressive mode (T.81 Annex G.2, Huffman coding) ----
+        // Quantized DCT coefficients accumulate across scans, one
+        // zigzag-ordered 64-int block per block position over the
+        // MCU-padded grid; dequantize + IDCT happen once, after EOI.
+        val bW = new Array[Int](nComp)
+        val niW = new Array[Int](nComp); val niH = new Array[Int](nComp)
+        val coefs = new Array[Array[Int]](nComp)
+        c = 0
+        while (c < nComp) {
+          bW(c) = mcusX * cH(c)
+          val bHc = mcusY * cV(c)
+          // non-interleaved scans cover the component's OWN block
+          // grid (A.2.2: ceil of its sample dims), which can be
+          // narrower than the MCU-padded grid
+          val xi = (width * cH(c) + hMax - 1) / hMax
+          val yi = (height * cV(c) + vMax - 1) / vMax
+          niW(c) = (xi + 7) / 8; niH(c) = (yi + 7) / 8
+          require(bW(c).toLong * bHc * 64 <= Int.MaxValue,
+            "component coefficient store too large")
+          coefs(c) = new Array[Int](bW(c) * bHc * 64)
+          c += 1
+        }
+        val dcDone = new Array[Boolean](nComp)
+        val preds = new Array[Int](nComp)
+
+        var moreScans = true
+        while (moreScans) {
+          val br = new BitReader(b, scanStart, b.length)
+          java.util.Arrays.fill(preds, 0)
+          var eobrun = 0
+          var rstN = 0
+
+          def decodeHuff(t: HuffDec): Int = {
+            var code = br.nextBit()
+            var l = 1
+            while (code > t.maxCode(l)) {
+              require(l < 16, "invalid Huffman code in entropy data")
+              code = (code << 1) | br.nextBit()
+              l += 1
+            }
+            t.huffVal(t.valPtr(l) + code - t.minCode(l)) & 0xff
+          }
+
+          // RSTn boundary every restartInterval decode units (MCUs
+          // when interleaved, blocks when not) — resets DC preds AND
+          // the EOB run (G.1.2.2)
+          def expectRst(done: Int, total: Int): Unit =
+            if (restartInterval > 0 && done % restartInterval == 0 &&
+              done < total) {
+              require(eobrun == 0, "EOB run across a restart boundary")
+              br.align()
+              while (br.pos + 1 < b.length && (b(br.pos) & 0xff) == 0xff &&
+                (b(br.pos + 1) & 0xff) == 0xff) br.pos += 1
+              require(br.pos + 2 <= b.length &&
+                (b(br.pos) & 0xff) == 0xff &&
+                (b(br.pos + 1) & 0xff) == 0xd0 + rstN,
+                s"missing RST$rstN after unit $done")
+              br.pos += 2
+              rstN = (rstN + 1) % 8
+              java.util.Arrays.fill(preds, 0)
+            }
+
+          def decodeDcAt(ci: Int, off: Int): Unit =
+            if (scanAh == 0) {
+              val t = decodeHuff(dcTabs(cTd(ci)))
+              require(t <= 11, s"bad DC category $t")
+              preds(ci) += extend(br.receive(t), t)
+              coefs(ci)(off) = preds(ci) << scanAl
+            } else {
+              // DC refinement: one raw correction bit, no table
+              coefs(ci)(off) |= br.nextBit() << scanAl
+            }
+
+          // first AC scan for a band (G.1.2.2): EOB runs + ZRL + new
+          // coefficients at magnitude << Al
+          def acFirstAt(ci: Int, off: Int): Unit =
+            if (eobrun > 0) eobrun -= 1
+            else {
+              val zz = coefs(ci)
+              var k = scanSs
+              var open = true
+              while (open && k <= scanSe) {
+                val rs = decodeHuff(acTabs(cTa(ci)))
+                val r = rs >> 4
+                val s = rs & 0x0f
+                if (s == 0) {
+                  if (r == 15) {
+                    k += 16 // ZRL
+                    require(k <= scanSe + 1, "ZRL past band end")
+                  } else {
+                    // EOBn: run of 2^r + receive(r) blocks, this one
+                    // included
+                    eobrun = (1 << r) - 1 +
+                      (if (r > 0) br.receive(r) else 0)
+                    open = false
+                  }
+                } else {
+                  k += r
+                  require(k <= scanSe, "AC run past band end")
+                  zz(off + k) = extend(br.receive(s), s) << scanAl
+                  k += 1
+                }
+              }
+            }
+
+          // AC refinement scan (G.1.2.3): correction bits over
+          // nonzero-history coefficients, new ±1<<Al insertions over
+          // zero-history positions
+          def acRefineAt(ci: Int, off: Int): Unit = {
+            val zz = coefs(ci)
+            val p1 = 1 << scanAl
+            val m1 = -1 << scanAl
+            def correct(k: Int): Unit = {
+              val cur = zz(off + k)
+              if (br.nextBit() == 1 && (cur & p1) == 0)
+                zz(off + k) = if (cur >= 0) cur + p1 else cur + m1
+            }
+            var k = scanSs
+            if (eobrun == 0) {
+              var open = true
+              while (open && k <= scanSe) {
+                val rs = decodeHuff(acTabs(cTa(ci)))
+                var r = rs >> 4
+                val s = rs & 0x0f
+                var newval = 0
+                if (s == 0) {
+                  if (r < 15) {
+                    // EOBn: this block's remaining history refines
+                    // below, then eobrun-1 further whole blocks
+                    eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+                    open = false
+                  }
+                  // r == 15: ZRL — skip 16 zero-history positions
+                } else {
+                  require(s == 1, s"bad refinement size $s")
+                  newval = if (br.nextBit() == 1) p1 else m1
+                }
+                if (open) {
+                  // advance: correction bits on nonzero history, r
+                  // zero-history skips, then place newval (if any)
+                  var placed = false
+                  while (!placed && k <= scanSe) {
+                    if (zz(off + k) != 0) { correct(k); k += 1 }
+                    else if (r == 0) {
+                      if (s != 0) zz(off + k) = newval
+                      k += 1
+                      placed = true
+                    } else { r -= 1; k += 1 }
+                  }
+                  require(placed || s == 0,
+                    "refinement coefficient past band end")
+                }
+              }
+            }
+            if (eobrun > 0) {
+              // EOB region: only history refinement to the band end
+              while (k <= scanSe) {
+                if (zz(off + k) != 0) correct(k)
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+
+          if (scanSs == 0) {
+            // DC scan — interleaved in MCU order when ns > 1,
+            // non-interleaved over the component's own grid when
+            // ns == 1 (A.2.2/A.2.3)
+            if (scanAh == 0) {
+              var i = 0
+              while (i < scanNs) {
+                val ci = scanCi(i)
+                require(dcTabs(cTd(ci)) != null,
+                  s"missing DC table ${cTd(ci)}")
+                dcDone(ci) = true
+                i += 1
+              }
+            } else {
+              var i = 0
+              while (i < scanNs) {
+                require(dcDone(scanCi(i)),
+                  "DC refinement before the first DC scan")
+                i += 1
+              }
+            }
+            if (scanNs == 1) {
+              val ci = scanCi(0)
+              val total = niW(ci) * niH(ci)
+              var bi = 0
+              while (bi < total) {
+                val off =
+                  ((bi / niW(ci)) * bW(ci) + bi % niW(ci)) * 64
+                decodeDcAt(ci, off)
+                bi += 1
+                expectRst(bi, total)
+              }
+            } else {
+              val totalMcus = mcusX * mcusY
+              var mcu = 0
+              while (mcu < totalMcus) {
+                val mx = mcu % mcusX
+                val my = mcu / mcusX
+                var i = 0
+                while (i < scanNs) {
+                  val ci = scanCi(i)
+                  var j = 0
+                  while (j < cV(ci)) {
+                    var ii = 0
+                    while (ii < cH(ci)) {
+                      val off = ((my * cV(ci) + j) * bW(ci) +
+                        mx * cH(ci) + ii) * 64
+                      decodeDcAt(ci, off)
+                      ii += 1
+                    }
+                    j += 1
+                  }
+                  i += 1
+                }
+                mcu += 1
+                expectRst(mcu, totalMcus)
+              }
+            }
+          } else {
+            // AC scan — always single-component, non-interleaved
+            val ci = scanCi(0)
+            require(dcDone(ci),
+              "AC scan before the component's first DC scan")
+            require(acTabs(cTa(ci)) != null,
+              s"missing AC table ${cTa(ci)}")
+            val total = niW(ci) * niH(ci)
+            var bi = 0
+            while (bi < total) {
+              val off = ((bi / niW(ci)) * bW(ci) + bi % niW(ci)) * 64
+              if (scanAh == 0) acFirstAt(ci, off) else acRefineAt(ci, off)
+              bi += 1
+              expectRst(bi, total)
+            }
+          }
+          require(eobrun == 0, "EOB run past the last block of the scan")
+
+          br.align()
+          pos = br.pos
+          moreScans = parseToScanOrEoi(betweenScans = true)
+        }
+
+        c = 0
+        while (c < nComp) {
+          require(dcDone(c), s"no DC scan for component $c")
+          require(qTabs(cTq(c)) != null, s"missing quant table ${cTq(c)}")
+          c += 1
+        }
+
+        // dequantize + IDCT every block of the padded grid into the
+        // component planes (pad blocks hold zeros -> flat 128, cropped
+        // by the color resolve)
+        val coef = new Array[Int](64)
+        val samp = new Array[Int](64)
+        c = 0
+        while (c < nComp) {
+          val q = qTabs(cTq(c))
+          val zz = coefs(c)
+          val bHc = mcusY * cV(c)
+          val pw = planeW(c)
+          val plane = planes(c)
+          var by = 0
+          while (by < bHc) {
+            var bx = 0
+            while (bx < bW(c)) {
+              val off = (by * bW(c) + bx) * 64
+              var k = 0
+              while (k < 64) {
+                coef(Zigzag(k)) = zz(off + k) * q(k)
+                k += 1
+              }
+              idctBlock(coef, samp)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  plane((by * 8 + y) * pw + bx * 8 + x) =
+                    samp(y * 8 + x).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+      }
 
       // color resolve
       val rgb = new Array[Byte](width * height * 3)

@@ -368,6 +368,162 @@ class MultimodalJpegSpec extends SparkSpecBase {
       s"foreign color mean |err| ${sumAbs.toDouble / (w * h * 3)}")
   }
 
+  test("progressive JPEG (T.81 Annex G.2): ImageIO's progressive " +
+    "writer output — spectral selection + successive approximation, " +
+    "gray AND subsampled color — decodes through our multi-scan " +
+    "path within the foreign-bytes tolerances; the streams really " +
+    "are SOF2 multi-scan; every truncation and 400 corruptions " +
+    "fail fast; arithmetic-coded SOFs stay rejected") {
+    import javax.imageio.ImageIO
+    import javax.imageio.{IIOImage, ImageWriteParam}
+    import java.awt.image.BufferedImage
+
+    def writeProgressive(src: BufferedImage): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(src, null, null), param)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+
+    // marker census (entropy-aware walk): the file must really be
+    // SOF2 with MULTIPLE scans, or this test silently tests baseline
+    def census(b: Array[Byte]): (Boolean, Int) = {
+      var sof2 = false; var nSos = 0
+      var p = 2
+      var inScan = false
+      while (p + 1 < b.length) {
+        if (!inScan) {
+          assert((b(p) & 0xff) == 0xff, s"marker walk lost at $p")
+          val m = b(p + 1) & 0xff
+          if (m == 0xc2) sof2 = true
+          if (m == 0xda) { nSos += 1; inScan = true }
+          if (m == 0xd9) p = b.length
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) p += 2
+          else p += 2 + (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff))
+        } else {
+          // scan entropy: skip to the next true marker (not a stuffed
+          // 0xFF00, not a restart)
+          if ((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) != 0 &&
+            !((b(p + 1) & 0xff) >= 0xd0 && (b(p + 1) & 0xff) <= 0xd7))
+            inScan = false
+          else p += 1
+        }
+      }
+      (sof2, nSos)
+    }
+
+    // gray gradient (multi-block: DC refine + AC first/refine paths)
+    val w = 40; val h = 26
+    val src = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        src.getRaster.setSample(x, y, 0, 40 + (x * 5 + y * 3) % 180)
+        x += 1
+      }
+      y += 1
+    }
+    val prog = writeProgressive(src)
+    val (sof2, nSos) = census(prog)
+    assert(sof2, "ImageIO did not emit SOF2")
+    assert(nSos >= 3, s"expected a multi-scan progression, got $nSos")
+    val ours = dec.decode(prog)
+    val reread = ImageIO.read(new java.io.ByteArrayInputStream(prog))
+    assert(ours.width == w && ours.height == h)
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val a = ours.rgb((y * w + x) * 3) & 0xff
+        val b = reread.getRaster.getSample(x, y, 0)
+        assert(math.abs(a - b) <= 3, s"progressive gray ($x,$y): $a vs $b")
+        x += 1
+      }
+      y += 1
+    }
+
+    // color (subsampled YCbCr through the progressive path; the
+    // foreign-color tolerances of the baseline conformance test)
+    val csrc = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        csrc.setRGB(x, y,
+          ((40 + x * 4) << 16) | ((60 + y * 5) << 8) | (220 - x * 3))
+        x += 1
+      }
+      y += 1
+    }
+    val cProg = writeProgressive(csrc)
+    val (cSof2, cNSos) = census(cProg)
+    assert(cSof2 && cNSos >= 3, s"color progression: $cSof2/$cNSos")
+    val cOurs = dec.decode(cProg)
+    val cReread = ImageIO.read(new java.io.ByteArrayInputStream(cProg))
+    assert(cOurs.width == w && cOurs.height == h)
+    var sumAbs = 0L; var maxAbs = 0
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = cReread.getRGB(x, y)
+        val base = (y * w + x) * 3
+        val dr = math.abs((cOurs.rgb(base) & 0xff) - ((p >> 16) & 0xff))
+        val dg = math.abs((cOurs.rgb(base + 1) & 0xff) - ((p >> 8) & 0xff))
+        val db = math.abs((cOurs.rgb(base + 2) & 0xff) - (p & 0xff))
+        sumAbs += dr + dg + db
+        maxAbs = math.max(maxAbs, math.max(dr, math.max(dg, db)))
+        x += 1
+      }
+      y += 1
+    }
+    assert(maxAbs <= 48, s"progressive color max |err| $maxAbs")
+    assert(sumAbs.toDouble / (w * h * 3) <= 4.0,
+      s"progressive color mean |err| ${sumAbs.toDouble / (w * h * 3)}")
+
+    // every truncation fails fast (a progressive stream without its
+    // EOI or with a severed scan is never silently accepted)
+    var len = 2
+    while (len < prog.length) {
+      val cut = java.util.Arrays.copyOf(prog, len)
+      try { dec.decode(cut); fail(s"truncation at $len decoded") }
+      catch { case _: IllegalArgumentException => () }
+      len += 1
+    }
+    // seeded corruption: IllegalArgumentException is the ONLY legal
+    // throwable (wrong pixels are acceptable for undetectable entropy
+    // flips in a CRC-less format; crashes are not)
+    for (t <- 0 until 400) {
+      val bcopy = prog.clone()
+      val r = new scala.util.Random(t * 7919L + 17)
+      val idx = 2 + r.nextInt(bcopy.length - 2)
+      bcopy(idx) = (bcopy(idx) ^ (1 << r.nextInt(8))).toByte
+      try { dec.decode(bcopy); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"trial $t threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    // arithmetic coding stays out of scope: rewriting SOF2 -> SOF10
+    // (0xce, arithmetic progressive) must fail fast at the marker
+    val arith = prog.clone()
+    var p2 = 2
+    var done = false
+    while (!done) {
+      val m = arith(p2 + 1) & 0xff
+      if (m == 0xc2) { arith(p2 + 1) = 0xce.toByte; done = true }
+      else p2 += 2 + (((arith(p2 + 2) & 0xff) << 8) | (arith(p2 + 3) & 0xff))
+    }
+    intercept[IllegalArgumentException] { dec.decode(arith) }
+  }
+
   test("M-JPEG AVI: constant-block JPEG frames mux into a real RIFF " +
     "walk and decode back exactly; fps from strh; DIB decoder rejects " +
     "MJPG streams and vice versa") {
