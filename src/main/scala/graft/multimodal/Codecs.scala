@@ -511,11 +511,103 @@ object Codecs {
     out
   }
 
+  /** Closed-form byte size of [[aviEncodeAvG711]]'s output: as
+    * [[aviAvSize]] but the audio chunks carry ONE companded byte per
+    * sample (plus the RIFF pad byte when samplesPerFrame is odd). */
+  def aviAvG711Size(width: Int, height: Int, nFrames: Int,
+      samplesPerFrame: Int): Int =
+    324 + nFrames * (16 + bmpStride(width) * height +
+      samplesPerFrame + (samplesPerFrame & 1))
+
+  /** The COMPANDED-audio twin of [[aviEncodeAv]]: identical
+    * interleaved two-stream layout, but the auds stream is G.711
+    * (WAVEFORMATEX wFormatTag 7 µ-law / 6 A-law, 8 bits/sample,
+    * block align 1) and each '01wb' chunk carries that frame's span
+    * of codewords — the telephony-audio AVIs surveillance and
+    * call-recording pipelines mux. Odd-length audio chunks get the
+    * RIFF pad byte. */
+  def aviEncodeAvG711(width: Int, height: Int, fps: Int,
+      frames: Seq[Array[Byte]], samplesPerFrame: Int,
+      codes: Array[Byte], mulaw: Boolean): Array[Byte] = {
+    require(fps > 0 && frames.nonEmpty && samplesPerFrame > 0,
+      "need fps > 0, >= 1 frame, samplesPerFrame > 0")
+    val nf = frames.length
+    require(codes.length == nf * samplesPerFrame,
+      s"audio length ${codes.length} != $nf x $samplesPerFrame")
+    frames.foreach(f => require(f.length == width * height * 3,
+      s"frame length ${f.length} != $width x $height x 3"))
+    val stride = bmpStride(width)
+    val frameBytes = stride * height
+    val audioChunk = samplesPerFrame
+    val audioPad = samplesPerFrame & 1
+    val sampleRate = fps * samplesPerFrame
+    val size = aviAvG711Size(width, height, nf, samplesPerFrame)
+    val out = new Array[Byte](size)
+    wTag(out, 0, "RIFF"); w32(out, 4, size - 8); wTag(out, 8, "AVI ")
+    wTag(out, 12, "LIST"); w32(out, 16, 292); wTag(out, 20, "hdrl")
+    wTag(out, 24, "avih"); w32(out, 28, 56)
+    val avih = 32
+    w32(out, avih, 1000000 / fps)
+    w32(out, avih + 4, fps * (frameBytes + audioChunk))
+    w32(out, avih + 16, nf)
+    w32(out, avih + 24, 2) // dwStreams: video + audio
+    w32(out, avih + 28, frameBytes + 8)
+    w32(out, avih + 32, width); w32(out, avih + 36, height)
+    wTag(out, 88, "LIST"); w32(out, 92, 116); wTag(out, 96, "strl")
+    wTag(out, 100, "strh"); w32(out, 104, 56)
+    val strh = 108
+    wTag(out, strh, "vids"); wTag(out, strh + 4, "DIB ")
+    w32(out, strh + 20, 1); w32(out, strh + 24, fps)
+    w32(out, strh + 32, nf); w32(out, strh + 36, frameBytes + 8)
+    w16(out, strh + 52, width); w16(out, strh + 54, height)
+    wTag(out, 164, "strf"); w32(out, 168, 40)
+    val strf = 172
+    w32(out, strf, 40)
+    w32(out, strf + 4, width); w32(out, strf + 8, height)
+    w16(out, strf + 12, 1); w16(out, strf + 14, 24)
+    w32(out, strf + 16, 0); w32(out, strf + 20, frameBytes)
+    wTag(out, 212, "LIST"); w32(out, 216, 92); wTag(out, 220, "strl")
+    wTag(out, 224, "strh"); w32(out, 228, 56)
+    val ash = 232
+    wTag(out, ash, "auds")
+    w32(out, ash + 20, 1)               // dwScale
+    w32(out, ash + 24, sampleRate)      // dwRate (samples/sec)
+    w32(out, ash + 32, codes.length)    // dwLength in samples
+    w32(out, ash + 36, audioChunk + 8)
+    w32(out, ash + 44, 1)               // dwSampleSize: 1 byte
+    wTag(out, 288, "strf"); w32(out, 292, 16)
+    val asf = 296
+    w16(out, asf, if (mulaw) 7 else 6)  // wFormatTag G.711
+    w16(out, asf + 2, 1)                // nChannels mono
+    w32(out, asf + 4, sampleRate)
+    w32(out, asf + 8, sampleRate)       // nAvgBytesPerSec: 1 byte/sample
+    w16(out, asf + 12, 1)               // nBlockAlign
+    w16(out, asf + 14, 8)               // wBitsPerSample
+    wTag(out, 312, "LIST")
+    w32(out, 316, 4 + nf * (16 + frameBytes + audioChunk + audioPad))
+    wTag(out, 320, "movi")
+    var off = 324
+    var f = 0
+    while (f < nf) {
+      wTag(out, off, "00db"); w32(out, off + 4, frameBytes)
+      writeDib(width, height, frames(f), out, off + 8)
+      off += 8 + frameBytes
+      wTag(out, off, "01wb"); w32(out, off + 4, audioChunk)
+      System.arraycopy(codes, f * samplesPerFrame, out, off + 8,
+        samplesPerFrame)
+      off += 8 + audioChunk + audioPad
+      f += 1
+    }
+    out
+  }
+
   /** The real two-stream decoder: same chunk walk as [[AviDecoder]],
     * but the hdrl parse tracks WHICH stream each strl describes
     * (strh fccType routes the following strf), and the movi walk
-    * routes '00db'/'00dc' to the raster path and '01wb' to the PCM16
-    * path — one parse of one byte stream yields both typed outputs. */
+    * routes '00db'/'00dc' to the raster path and '01wb' to the audio
+    * path (PCM16, or G.711 µ/A-law expanded through the exact
+    * integer tables) — one parse of one byte stream yields both
+    * typed outputs. */
   final class AviAvDecoder extends AvDecoder {
     private def tag(b: Array[Byte], off: Int): String =
       new String(b, off, 4, "US-ASCII")
@@ -532,7 +624,7 @@ object Codecs {
         tag(b, 8) == "AVI ", "not a RIFF/AVI")
       var width = 0; var height = 0; var topDown = false
       var vScale = 0; var vRate = 0
-      var aRate = 0; var aChannels = 0
+      var aRate = 0; var aChannels = 0; var aFmt = 0
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       val audio = scala.collection.mutable.ArrayBuffer.empty[Short]
 
@@ -561,10 +653,14 @@ object Codecs {
               require(s32(b, off + 24) == 0, "only BI_RGB supported")
             case "strf" if cur == "auds" =>
               require(len >= 16, s"audio strf too short ($len)")
-              require(u16(b, off + 8) == 1, "only PCM supported")
+              aFmt = u16(b, off + 8)
+              require(aFmt == 1 || aFmt == 6 || aFmt == 7,
+                s"only PCM or G.711 audio (got format tag $aFmt)")
               aChannels = u16(b, off + 10)
               aRate = s32(b, off + 12)
-              require(u16(b, off + 22) == 16, "only 16-bit supported")
+              val bits = u16(b, off + 22)
+              require(if (aFmt == 1) bits == 16 else bits == 8,
+                s"bad bits/sample $bits for format tag $aFmt")
             case _ => ()
           }
           off += 8 + len + (len & 1)
@@ -593,10 +689,21 @@ object Codecs {
                 s"frame chunk len $len short of the raster")
               frames += readDib(b, off + 8, width, height, topDown)
             case "01wb" =>
-              var i = 0
-              while (i < len / 2) {
-                audio += u16(b, off + 8 + i * 2).toShort
-                i += 1
+              require(aFmt != 0, "movi audio before the auds strf")
+              if (aFmt == 1) {
+                var i = 0
+                while (i < len / 2) {
+                  audio += u16(b, off + 8 + i * 2).toShort
+                  i += 1
+                }
+              } else {
+                // companded: expand each codeword byte (G.711)
+                var i = 0
+                while (i < len) {
+                  val c = b(off + 8 + i)
+                  audio += (if (aFmt == 7) mulawDecode(c) else alawDecode(c))
+                  i += 1
+                }
               }
             case _ => ()
           }

@@ -2182,6 +2182,84 @@ object Multimodal {
       .orderBy("doc_id", "f")
   }
 
+  /** L5p2: the COMPANDED-audio leg of the AV-sync family — the same
+    * per-frame alignment audit as [[mmAvSyncAudit]], but the clips'
+    * audio track is G.711 (µ-law for even docs, A-law for odd) muxed
+    * as 8-bit '01wb' chunks ([[Codecs.aviEncodeAvG711]]), so
+    * COMPRESSED audio flows through the same one-parse AV container
+    * walk that the PCM leg proves — not just through its own
+    * decode/transcode keys. The audio corpus is the law's codeword
+    * image (the invertible-class convention for companding:
+    * samples == expand(code) exactly), so every emitted stat is the
+    * closed-form expansion arithmetic and `n_bytes` pins the whole
+    * 1-byte-per-sample container layout.
+    *
+    * Scale: one map-only pass; both modalities decode in the same
+    * partition-local parse. */
+  def mmAvSyncG711(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(AvDecoderConfKey, classOf[Codecs.AviAvDecoder].getName)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val dec = instantiate[Codecs.AvDecoder](decoderClass)
+        it.flatMap { id =>
+          // shared pattern literals with mmDecodeAvClips (video) and
+          // the codeword image (audio)
+          val w = (8 + id % 6).toInt
+          val h = (5 + id % 4).toInt
+          val nf = (2 + id % 3).toInt
+          val spf = (20 + (id % 10) * 2).toInt
+          val mu = id % 2 == 0
+          val frames = (0 until nf).map { f =>
+            val px = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = (y * w + x) * 3
+                px(base) =
+                  ((id * 5 + f * 37 + x * 11 + y * 19) % 256).toByte
+                px(base + 1) =
+                  ((id * 13 + f * 23 + x * 7 + y * 3) % 256).toByte
+                px(base + 2) =
+                  ((id * 17 + f * 29 + x * 31 + y * 41) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            px
+          }
+          val codes = Array.tabulate(nf * spf)(i =>
+            ((id * 53 + i.toLong * i * 7) % 256).toByte)
+          val bytes = Codecs.aviEncodeAvG711(w, h, 10, frames, spf,
+            codes, mu)
+          val av = dec.decode(bytes)
+          val spfDec = av.audio.samples.length / av.video.frames.length
+          val denom = av.video.width.toLong * av.video.height * 3
+          (0 until av.video.frames.length).map { f =>
+            val fr = av.video.frames(f)
+            var sRgb = 0L
+            var i = 0
+            while (i < fr.length) { sRgb += fr(i) & 0xff; i += 1 }
+            var sAbs = 0L
+            var j = f * spfDec
+            while (j < (f + 1) * spfDec) {
+              sAbs += math.abs(av.audio.samples(j).toLong); j += 1
+            }
+            val rgbMeanMilli = sRgb * 1000 / denom
+            val absMean = sAbs / spfDec
+            (id, f.toLong, bytes.length.toLong,
+              if (mu) "mulaw" else "alaw", rgbMeanMilli, absMean,
+              rgbMeanMilli >= 382500L, absMean >= 4096L,
+              (rgbMeanMilli >= 382500L) != (absMean >= 4096L))
+          }
+        }
+      }.toDF("doc_id", "f", "n_bytes", "law", "rgb_mean_milli",
+        "abs_mean", "bright", "loud", "mismatch")
+      .orderBy("doc_id", "f")
+  }
+
   /** The [[mmDecodeAv]] clip builder, shared with [[mmAvSyncAudit]]. */
   private def mmDecodeAvClips(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -3199,6 +3277,7 @@ object Multimodal {
     "mm_transcode_real" -> mmTranscodeReal,
     "mm_decode_av" -> mmDecodeAv,
     "mm_av_sync_audit" -> mmAvSyncAudit,
+    "mm_av_sync_g711" -> mmAvSyncG711,
     "mm_crop_clip" -> mmCropClip,
     "ref_ep3_real" -> refEp3Real,
     "ref_ep3_mp4" -> refEp3Mp4,
@@ -3849,6 +3928,63 @@ object Multimodal {
         |  abs_mean >= 1024 AS loud,
         |  (rgb_mean_milli >= 382500) <> (abs_mean >= 1024) AS mismatch
         |FROM fr JOIN sm ON fr.doc_id = sm.doc_id AND fr.f = sm.f
+        |ORDER BY fr.doc_id, f""".stripMargin,
+    // The companded leg: same video pattern replay; audio replays the
+    // G.711 expansion closed-form per codeword (the mm_decode_g711
+    // CASE, mu-law for even docs / A-law for odd) over each frame
+    // span; n_bytes is the closed 1-byte-per-sample container form
+    // (spf is always even, so no audio pad bytes).
+    "mm_av_sync_g711" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 6 AS w,
+        |    5 + doc_id % 4 AS h, 2 + doc_id % 3 AS nf,
+        |    20 + (doc_id % 10) * 2 AS spf,
+        |    doc_id % 2 = 0 AS mu FROM documents),
+        |px AS (SELECT doc_id, w, h, nf, spf, fs.f, xs.x, ys.y
+        |  FROM d, range(0, 5) fs(f), range(0, 14) xs(x),
+        |    range(0, 9) ys(y)
+        |  WHERE fs.f < nf AND xs.x < w AND ys.y < h),
+        |pv AS (SELECT doc_id, w, h, spf, f,
+        |    (doc_id * 5 + f * 37 + x * 11 + y * 19) % 256
+        |    + (doc_id * 13 + f * 23 + x * 7 + y * 3) % 256
+        |    + (doc_id * 17 + f * 29 + x * 31 + y * 41) % 256 AS v
+        |  FROM px),
+        |fr AS (SELECT doc_id, spf, f,
+        |    (CAST(SUM(v) AS BIGINT) * 1000) // (w * h * 3)
+        |      AS rgb_mean_milli
+        |  FROM pv GROUP BY doc_id, w, h, spf, f),
+        |sc AS (SELECT d.doc_id, d.mu, d.spf, ss.i AS i,
+        |    (d.doc_id * 53 + ss.i * ss.i * 7) % 256 AS c
+        |  FROM d, range(0, 152) ss(i) WHERE ss.i < nf * spf),
+        |sv AS (SELECT doc_id, spf, i // spf AS f,
+        |    CASE WHEN mu THEN (CASE WHEN (255 - c) >= 128 THEN -1 ELSE 1 END)
+        |      * ((((255 - c) % 16) * 8 + 132)
+        |        * (1 << (((255 - c) // 16) % 8)) - 132)
+        |    ELSE (CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END)
+        |      * (CASE WHEN (xor(c, 85) // 16) % 8 = 0
+        |           THEN (xor(c, 85) % 16) * 16 + 8
+        |         WHEN (xor(c, 85) // 16) % 8 = 1
+        |           THEN (xor(c, 85) % 16) * 16 + 264
+        |         ELSE ((xor(c, 85) % 16) * 16 + 264)
+        |           * (1 << ((xor(c, 85) // 16) % 8 - 1)) END)
+        |    END AS val
+        |  FROM sc),
+        |sm AS (SELECT doc_id, f,
+        |    CAST(SUM(ABS(val)) AS BIGINT) // spf AS abs_mean
+        |  FROM sv GROUP BY doc_id, f, spf),
+        |nb AS (SELECT doc_id,
+        |    CAST(324 + nf * (16 + ((w * 3 + 3) // 4) * 4 * h + spf)
+        |      AS BIGINT) AS n_bytes,
+        |    CASE WHEN mu THEN 'mulaw' ELSE 'alaw' END AS law
+        |  FROM d)
+        |SELECT fr.doc_id, CAST(fr.f AS BIGINT) AS f,
+        |  nb.n_bytes, nb.law,
+        |  CAST(rgb_mean_milli AS BIGINT) AS rgb_mean_milli,
+        |  CAST(abs_mean AS BIGINT) AS abs_mean,
+        |  rgb_mean_milli >= 382500 AS bright,
+        |  abs_mean >= 4096 AS loud,
+        |  (rgb_mean_milli >= 382500) <> (abs_mean >= 4096) AS mismatch
+        |FROM fr JOIN sm ON fr.doc_id = sm.doc_id AND fr.f = sm.f
+        |JOIN nb ON fr.doc_id = nb.doc_id
         |ORDER BY fr.doc_id, f""".stripMargin,
     // The whole step-3 replay: per-frame argmax track inside each
     // surviving segment span, pad-1 clamped bbox, crop-window pixel

@@ -645,6 +645,9 @@ class MultimodalSpec extends SparkSpecBase {
       Array.tabulate(50)(i => ((i * 37) % 256).toByte), mulaw = true))
     run("avi", vd.decode, avi)
     run("avi_av", ad.decode, avAvi)
+    run("avi_av_g711", ad.decode, Codecs.aviEncodeAvG711(5, 4, 10,
+      Seq(Array.tabulate(5 * 4 * 3)(i => (i * 11 % 256).toByte)), 12,
+      Array.tabulate(12)(i => ((i * 37) % 256).toByte), mulaw = true))
     val png = Codecs.pngEncode(6, 5,
       Array.tabulate(6 * 5 * 3)(i => (i * 13 % 256).toByte))
     run("png", new Codecs.PngDecoder().decode, png)
@@ -1795,6 +1798,36 @@ class MultimodalSpec extends SparkSpecBase {
       "no strip-corrupted TIFF at this sf")
     assert(out.exists(r => r._2 == "decode_error" && r._3 == "png"),
       "no CRC-corrupted PNG at this sf")
+  }
+
+  test("G.711-in-AVI: the companded two-stream container round-trips " +
+    "sample-exact through the one-parse AV walk (both laws, odd and " +
+    "even spans incl. the RIFF pad), the closed size form holds, and " +
+    "PCM clips are unaffected") {
+    import multimodal.Codecs
+    val dec = new Codecs.AviAvDecoder()
+    val w = 6; val h = 5
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(w * h * 3)(i => ((i * 13 + f * 29) % 256).toByte))
+    for (mu <- Seq(true, false); spf <- Seq(10, 11)) {
+      val codes = Array.tabulate(3 * spf)(i => ((i * 53 + 7) % 256).toByte)
+      val bytes = Codecs.aviEncodeAvG711(w, h, 10, frames, spf, codes, mu)
+      assert(bytes.length == Codecs.aviAvG711Size(w, h, 3, spf),
+        s"size form mu=$mu spf=$spf")
+      val av = dec.decode(bytes)
+      assert(av.video.width == w && av.video.height == h &&
+        av.video.frames.length == 3 && av.video.fps == 10)
+      av.video.frames.zip(frames).foreach { case (got, exp) =>
+        assert(java.util.Arrays.equals(got, exp), s"mu=$mu spf=$spf")
+      }
+      assert(av.audio.sampleRate == 10 * spf &&
+        av.audio.samples.length == 3 * spf)
+      for (i <- 0 until 3 * spf) {
+        val want = if (mu) Codecs.mulawDecode(codes(i))
+          else Codecs.alawDecode(codes(i))
+        assert(av.audio.samples(i) == want, s"mu=$mu spf=$spf sample $i")
+      }
+    }
   }
 
   test("mm_pipeline_full planted-skew: a pathological corpus (90% one " +
