@@ -508,6 +508,95 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Encode an 8-bit grayscale plane as a PROGRESSIVE JPEG (SOF2,
+    * T.81 Annex G.2) with the simplest legal spectral-selection
+    * progression: scan 1 carries the complete DC band ([0,0], Ah=Al=0)
+    * and scan 2 the complete AC band ([1,63], Ah=Al=0) — no
+    * successive approximation, every EOB an EOB0. The quantized
+    * coefficients are IDENTICAL to [[encodeGray]]'s (same DQT, same
+    * FDCT, same half-away quantizer), so decoding the progressive
+    * stream must reproduce the baseline decode bit-for-bit — the
+    * cross-mode equivalence theorem MultimodalJpegSpec pins, and the
+    * reason the invertible-class oracle carries over unchanged. */
+  def encodeGrayProgressive(width: Int, height: Int,
+      gray: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height,
+      s"plane length ${gray.length} != $width x $height")
+    val (plane, pw, ph) = padPlane(width, height,
+      (x, y) => gray(y * width + x) & 0xff)
+    val out = new java.io.ByteArrayOutputStream()
+    marker(out, 0xd8) // SOI
+    marker(out, 0xe0); wbe16(out, 16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0)
+    wbe16(out, 1); wbe16(out, 1); out.write(0); out.write(0)
+    writeDqt(out, 0, QLum)
+    marker(out, 0xc2); wbe16(out, 11) // SOF2, 1 component
+    out.write(8); wbe16(out, height); wbe16(out, width); out.write(1)
+    out.write(1); out.write(0x11); out.write(0) // id 1, H=V=1, Tq 0
+    writeDht(out, 0, 0, DcLumBits, DcLumVals)
+    writeDht(out, 1, 0, AcLumBits, AcLumVals)
+    // quantize every block once; both scans read the same coefficients
+    val nbx = pw / 8; val nby = ph / 8
+    val blocks = Array.ofDim[Int](nbx * nby, 64)
+    var bi = 0
+    while (bi < nbx * nby) {
+      quantBlock(plane, pw, (bi % nbx) * 8, (bi / nbx) * 8, QLum,
+        blocks(bi))
+      bi += 1
+    }
+    // scan 1: DC band (diff category + magnitude bits, as baseline)
+    marker(out, 0xda); wbe16(out, 8)
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(0); out.write(0) // Ss=0, Se=0, AhAl=0
+    var bw = new BitWriter(out)
+    var pred = 0
+    bi = 0
+    while (bi < nbx * nby) {
+      val diff = blocks(bi)(0) - pred
+      pred = blocks(bi)(0)
+      val cat = bitLength(math.abs(diff))
+      bw.put(DcLumEnc.codeOf(cat), DcLumEnc.lenOf(cat))
+      if (cat > 0)
+        bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+      bi += 1
+    }
+    bw.flush()
+    // scan 2: AC band [1,63] (run/size + ZRL, EOB0 per early-ending
+    // block — a legal EOB run of exactly one)
+    marker(out, 0xda); wbe16(out, 8)
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(1); out.write(63); out.write(0) // Ss=1, Se=63, AhAl=0
+    bw = new BitWriter(out)
+    bi = 0
+    while (bi < nbx * nby) {
+      val zz = blocks(bi)
+      var run = 0
+      var k = 1
+      while (k < 64) {
+        val v = zz(k)
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) {
+            bw.put(AcLumEnc.codeOf(0xf0), AcLumEnc.lenOf(0xf0))
+            run -= 16
+          }
+          val s = bitLength(math.abs(v))
+          val sym = (run << 4) | s
+          bw.put(AcLumEnc.codeOf(sym), AcLumEnc.lenOf(sym))
+          bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) bw.put(AcLumEnc.codeOf(0x00), AcLumEnc.lenOf(0x00))
+      bi += 1
+    }
+    bw.flush()
+    marker(out, 0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Integer BT.601 forward conversion at one pixel, clamped to the
     * [0,255] sample range T.81 assumes (saturated primaries can round
     * to 256: pure blue's Cb and pure red's Cr). The coefficients sum

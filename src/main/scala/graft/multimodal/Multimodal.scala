@@ -776,6 +776,76 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "sum_luma", "compressed")
   }
 
+  /** L5z2b: PROGRESSIVE JPEG decode over in-repo bytes — the
+    * mm_decode_jpeg corpus re-encoded as a two-scan SOF2 stream
+    * ([[Jpeg.encodeGrayProgressive]]: complete DC band scan, then the
+    * complete AC band scan) and decoded through the decoder's
+    * multi-scan progressive path (T.81 Annex G.2 — the same path the
+    * ImageIO-conformance spec proves on foreign spectral-selection +
+    * successive-approximation streams). `progressive` is the checked
+    * container column: an entropy-aware marker census of the emitted
+    * bytes proves they really are SOF2 with exactly two scans (a
+    * silent fallback to baseline could not pass it).
+    * `matches_baseline` re-encodes the same raster as baseline SOF0
+    * and byte-compares the two decodes — the spectral-split
+    * equivalence theorem (identical quantized coefficients => byte-
+    * identical decodes) as a per-row checked column, so the oracle
+    * stays the mm_decode_jpeg closed form unchanged.
+    *
+    * Scale: one map-only pass, per-partition decoder init. */
+  def mmDecodeJpegProg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(JpegDecoderConfKey, classOf[Jpeg.JpegDecoder].getName)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val dec = instantiate[Codecs.ImageDecoder](decoderClass)
+        it.map { id =>
+          val bw = (2 + id % 3).toInt
+          val bh = (1 + id % 2).toInt
+          val g = jpegBlockGray(id, 0, bw, bh)
+          val prog = Jpeg.encodeGrayProgressive(bw * 8, bh * 8, g)
+          val im = dec.decode(prog)
+          var sl = 0L
+          var i = 0
+          while (i < im.rgb.length) { sl += im.rgb(i) & 0xff; i += 3 }
+          val base = dec.decode(Jpeg.encodeGray(bw * 8, bh * 8, g))
+          val (sof2, nSos) = jpegMarkerCensus(prog)
+          (id, im.width, im.height, sl, sof2 && nSos == 2,
+            im.width == base.width && im.height == base.height &&
+              java.util.Arrays.equals(im.rgb, base.rgb))
+        }
+      }.toDF("doc_id", "width", "height", "sum_luma", "progressive",
+        "matches_baseline")
+      .orderBy("doc_id")
+  }
+
+  /** Entropy-aware JPEG marker census: (SOF2 present, number of SOS
+    * scans) — the checked-column helper behind mm_decode_jpeg_prog
+    * (inside scans it skips to the next true marker, honoring 0xFF00
+    * stuffing and RSTn). */
+  private def jpegMarkerCensus(b: Array[Byte]): (Boolean, Int) = {
+    var sof2 = false; var nSos = 0
+    var p = 2
+    var inScan = false
+    while (p + 1 < b.length) {
+      if (!inScan) {
+        val m = b(p + 1) & 0xff
+        if (m == 0xc2) sof2 = true
+        if (m == 0xda) { nSos += 1; inScan = true }
+        if (m == 0xd9) p = b.length
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) p += 2
+        else p += 2 + (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff))
+      } else {
+        if ((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) != 0 &&
+          !((b(p + 1) & 0xff) >= 0xd0 && (b(p + 1) & 0xff) <= 0xd7))
+          inScan = false
+        else p += 1
+      }
+    }
+    (sof2, nSos)
+  }
+
   /** L5z3: real format conversion INTO the lossy codec — BMP in,
     * baseline 4:4:4 COLOR JPEG out, both ends parsed (the
     * mm_transcode_png twin, with the re-encode step crossing the
@@ -1147,9 +1217,15 @@ object Multimodal {
               // sniff/quarantine/pipeline/streaming pass
               val bw = (2 + q % 3).toInt; val bh = (1 + q % 2).toInt
               val g = jpegBlockGray(id, 0, bw, bh)
-              if ((q / 2) % 2 == 0)
-                Jpeg.encodeGray(bw * 8, bh * 8, g)
-              else {
+              if ((q / 2) % 2 == 0) {
+                // the gray half further splits baseline/PROGRESSIVE
+                // (two-scan SOF2): the invertible class decodes
+                // byte-identically through either path, so stats and
+                // oracles are unchanged while the ingest tier
+                // exercises the multi-scan decoder on every pass
+                if ((q / 2) % 4 == 0) Jpeg.encodeGray(bw * 8, bh * 8, g)
+                else Jpeg.encodeGrayProgressive(bw * 8, bh * 8, g)
+              } else {
                 val rgb = new Array[Byte](g.length * 3)
                 var i = 0
                 while (i < g.length) {
@@ -3253,6 +3329,7 @@ object Multimodal {
     "mm_decode_png" -> mmDecodePng,
     "mm_decode_gif" -> mmDecodeGif,
     "mm_decode_jpeg" -> mmDecodeJpeg,
+    "mm_decode_jpeg_prog" -> mmDecodeJpegProg,
     "mm_decode_mjpeg" -> mmDecodeMjpeg,
     "mm_pipeline_full" -> mmPipelineFull,
     "ref_ep3_mjpeg" -> refEp3Mjpeg,
@@ -3719,6 +3796,25 @@ object Multimodal {
         |  CAST(SUM(64 * (2 * ((doc_id * 5 + bi * 19 + bj * 37) % 96)
         |    + 32)) AS BIGINT) AS sum_luma,
         |  TRUE AS compressed
+        |FROM bl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The progressive twin: the SAME closed form (the spectral-split
+    // equivalence theorem — identical quantized coefficients decode
+    // byte-identically through the multi-scan path); both container
+    // facts are checked columns (SOF2 two-scan census, baseline
+    // byte-equality), theorem-spec'd over all 96 raster classes.
+    "mm_decode_jpeg_prog" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS bw,
+        |    1 + doc_id % 2 AS bh FROM documents),
+        |bl AS (SELECT doc_id, bw, bh, bis.i AS bi, bjs.j AS bj
+        |  FROM d, range(0, 5) bis(i), range(0, 3) bjs(j)
+        |  WHERE bis.i < bw AND bjs.j < bh)
+        |SELECT doc_id,
+        |  CAST(MAX(bw) * 8 AS INT) AS width,
+        |  CAST(MAX(bh) * 8 AS INT) AS height,
+        |  CAST(SUM(64 * (2 * ((doc_id * 5 + bi * 19 + bj * 37) % 96)
+        |    + 32)) AS BIGINT) AS sum_luma,
+        |  TRUE AS progressive,
+        |  TRUE AS matches_baseline
         |FROM bl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // BMP -> color JPEG transcode on the doubly invertible class
     // (gray-valued constant even blocks): closed-form BMP size,

@@ -524,6 +524,147 @@ class MultimodalJpegSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] { dec.decode(arith) }
   }
 
+  test("in-repo progressive encoder (two-scan SOF2 spectral split): " +
+    "the stream census proves SOF2 + exactly two scans on every one " +
+    "of the 96 classes, the progressive decode is byte-IDENTICAL to " +
+    "the baseline decode of the same raster (spectral-split " +
+    "equivalence: identical quantized coefficients), ImageIO reads " +
+    "our progressive bytes pixel-exact on the constant class and " +
+    "within +-3 on general content, and truncations fail fast") {
+    import javax.imageio.ImageIO
+    def census(b: Array[Byte]): (Boolean, Int) = {
+      var sof2 = false; var nSos = 0
+      var p = 2
+      var inScan = false
+      while (p + 1 < b.length) {
+        if (!inScan) {
+          assert((b(p) & 0xff) == 0xff, s"marker walk lost at $p")
+          val m = b(p + 1) & 0xff
+          if (m == 0xc2) sof2 = true
+          if (m == 0xda) { nSos += 1; inScan = true }
+          if (m == 0xd9) p = b.length
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) p += 2
+          else p += 2 + (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff))
+        } else {
+          if ((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) != 0 &&
+            !((b(p + 1) & 0xff) >= 0xd0 && (b(p + 1) & 0xff) <= 0xd7))
+            inScan = false
+          else p += 1
+        }
+      }
+      (sof2, nSos)
+    }
+    // all 96 invertible classes: census + byte-identity + exactness
+    var id = 0L
+    while (id < 96) {
+      val bw = (2 + id % 3).toInt; val bh = (1 + id % 2).toInt
+      val g = constBlockGray(id, bw, bh)
+      val prog = Jpeg.encodeGrayProgressive(bw * 8, bh * 8, g)
+      val (sof2, nSos) = census(prog)
+      assert(sof2 && nSos == 2, s"class $id census: $sof2/$nSos")
+      val base = dec.decode(Jpeg.encodeGray(bw * 8, bh * 8, g))
+      val ours = dec.decode(prog)
+      assert(ours.width == base.width && ours.height == base.height &&
+        java.util.Arrays.equals(ours.rgb, base.rgb),
+        s"class $id: progressive decode != baseline decode")
+      var i = 0
+      while (i < g.length) {
+        assert((ours.rgb(3 * i) & 0xff) == (g(i) & 0xff),
+          s"class $id pixel $i not exact")
+        i += 1
+      }
+      id += 1
+    }
+    // ImageIO conformance on our progressive bytes: exact on the
+    // constant class (DC-only blocks; both IDCTs are exact there)
+    for (cid <- Seq(0L, 13L, 50L, 95L)) {
+      val bw = (2 + cid % 3).toInt; val bh = (1 + cid % 2).toInt
+      val g = constBlockGray(cid, bw, bh)
+      val prog = Jpeg.encodeGrayProgressive(bw * 8, bh * 8, g)
+      val bi = ImageIO.read(new java.io.ByteArrayInputStream(prog))
+      assert(bi != null, s"class $cid: ImageIO cannot read our SOF2")
+      assert(bi.getWidth == bw * 8 && bi.getHeight == bh * 8)
+      var y = 0
+      while (y < bh * 8) {
+        var x = 0
+        while (x < bw * 8) {
+          val want = g(y * bw * 8 + x) & 0xff
+          val got = bi.getRaster.getSample(x, y, 0)
+          assert(got == want, s"class $cid ImageIO ($x,$y): $got != $want")
+          x += 1
+        }
+        y += 1
+      }
+    }
+    // general content, non-aligned dims (padding + long AC runs +
+    // ZRL): byte-identity to baseline holds beyond the constant class,
+    // and ImageIO agrees within the IDCT-drift tolerance
+    for ((w, h) <- Seq((37, 23), (65, 17), (9, 40))) {
+      val g = new Array[Byte](w * h)
+      var i = 0
+      while (i < g.length) {
+        g(i) = (40 + (i * 7) % 170).toByte
+        i += 1
+      }
+      val prog = Jpeg.encodeGrayProgressive(w, h, g)
+      val (sof2, nSos) = census(prog)
+      assert(sof2 && nSos == 2, s"${w}x$h census: $sof2/$nSos")
+      val ours = dec.decode(prog)
+      val base = dec.decode(Jpeg.encodeGray(w, h, g))
+      assert(java.util.Arrays.equals(ours.rgb, base.rgb),
+        s"${w}x$h: progressive decode != baseline decode")
+      val theirs = ImageIO.read(new java.io.ByteArrayInputStream(prog))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val a = ours.rgb((y * w + x) * 3) & 0xff
+          val b = theirs.getRaster.getSample(x, y, 0)
+          assert(math.abs(a - b) <= 3, s"IDCT drift at ($x,$y): $a vs $b")
+          x += 1
+        }
+        y += 1
+      }
+    }
+    // every truncation of a representative stream fails fast
+    val tProg = Jpeg.encodeGrayProgressive(16, 16, constBlockGray(7L, 2, 2))
+    var len = 2
+    while (len < tProg.length) {
+      try { dec.decode(java.util.Arrays.copyOf(tProg, len))
+        fail(s"truncation at $len decoded") }
+      catch { case _: IllegalArgumentException => () }
+      len += 1
+    }
+  }
+
+  test("mm_decode_jpeg_prog catalog rows: the closed-form block " +
+    "arithmetic replays, every `progressive` and `matches_baseline` " +
+    "checked flag is true, and a swapped decoder binding changes the " +
+    "outputs") {
+    import graft.multimodal.Multimodal
+    val rows = Multimodal.mmDecodeJpegProg(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    for ((id, w, h, sl, prog, mb) <- rows.take(60)) {
+      val bw = (2 + id % 3).toInt; val bh = (1 + id % 2).toInt
+      assert(w == bw * 8 && h == bh * 8, s"doc $id dims")
+      var want = 0L
+      for (bj <- 0 until bh; bi <- 0 until bw)
+        want += 64L * (2 * ((id * 5 + bi * 19 + bj * 37) % 96) + 32)
+      assert(sl == want, s"doc $id sum $sl != $want")
+      assert(prog, s"doc $id census flag false")
+      assert(mb, s"doc $id baseline-equality flag false")
+    }
+    val key = Multimodal.JpegDecoderConfKey
+    spark.conf.set(key, classOf[ZeroImageDecoder].getName)
+    try {
+      val zero = Multimodal.mmDecodeJpegProg(spark, sf).collect()
+      assert(zero.forall(r => r.getInt(1) == 1 && r.getLong(3) == 0L),
+        "swapped binding not in effect")
+    } finally spark.conf.unset(key)
+  }
+
   test("M-JPEG AVI: constant-block JPEG frames mux into a real RIFF " +
     "walk and decode back exactly; fps from strh; DIB decoder rejects " +
     "MJPG streams and vice versa") {
