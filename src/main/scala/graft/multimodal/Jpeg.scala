@@ -597,6 +597,212 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** The 32 symbols an AC SUCCESSIVE-APPROXIMATION refinement scan
+    * can emit (G.1.2.3): EOBn for n=0..14, ZRL, and (r,1) for
+    * r=0..15 — the stock Annex K AC table lacks the EOBn codes, so
+    * SA scans carry their own canonical table (31 codes at 5 bits +
+    * one at 6; Kraft 63/64, the all-ones code stays reserved per
+    * C.2). */
+  private val AcRefBits = Array(0, 0, 0, 0, 31, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcRefVals: Array[Byte] = {
+    val b = new Array[Byte](32)
+    var i = 0
+    while (i < 15) { b(i) = (i << 4).toByte; i += 1 } // EOBn
+    b(15) = 0xf0.toByte                               // ZRL
+    var r = 0
+    while (r < 16) { b(16 + r) = ((r << 4) | 1).toByte; r += 1 }
+    b
+  }
+  private val AcRefEnc = new HuffEnc(AcRefBits, AcRefVals)
+
+  /** Encode an 8-bit grayscale plane as a SIX-SCAN progressive JPEG
+    * with spectral selection AND successive approximation (T.81
+    * G.1.2): DC first at Al=1, AC first scans for the [1,5] and
+    * [6,63] bands at Al=1, then the DC refinement bit and the two AC
+    * refinement scans at Ah=1/Al=0 — real EOB runs (dedicated
+    * refinement Huffman table carrying the EOBn codes the stock
+    * Annex K table lacks), correction bits interleaved exactly as
+    * G.1.2.3's advance walk reads them, and +-1 insertions over
+    * zero-history positions. The point transform loses nothing by
+    * the time the progression completes (DC: arithmetic shift +
+    * correction bit; AC: truncate-toward-zero halving + correction
+    * bit for |c| >= 2, +-1 insertion for |c| == 1), so the final
+    * coefficients equal [[encodeGray]]'s exactly and the decode is
+    * byte-identical to baseline — the same cross-mode equivalence
+    * theorem [[encodeGrayProgressive]] pins, now through the
+    * refinement paths. */
+  def encodeGrayProgressiveSA(width: Int, height: Int,
+      gray: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height,
+      s"plane length ${gray.length} != $width x $height")
+    val (plane, pw, ph) = padPlane(width, height,
+      (x, y) => gray(y * width + x) & 0xff)
+    val out = new java.io.ByteArrayOutputStream()
+    marker(out, 0xd8) // SOI
+    marker(out, 0xe0); wbe16(out, 16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0)
+    wbe16(out, 1); wbe16(out, 1); out.write(0); out.write(0)
+    writeDqt(out, 0, QLum)
+    marker(out, 0xc2); wbe16(out, 11) // SOF2, 1 component
+    out.write(8); wbe16(out, height); wbe16(out, width); out.write(1)
+    out.write(1); out.write(0x11); out.write(0) // id 1, H=V=1, Tq 0
+    writeDht(out, 0, 0, DcLumBits, DcLumVals)
+    writeDht(out, 1, 0, AcLumBits, AcLumVals)
+    writeDht(out, 1, 1, AcRefBits, AcRefVals)
+    val nbx = pw / 8; val nby = ph / 8
+    val blocks = Array.ofDim[Int](nbx * nby, 64)
+    var bi = 0
+    while (bi < nbx * nby) {
+      quantBlock(plane, pw, (bi % nbx) * 8, (bi / nbx) * 8, QLum,
+        blocks(bi))
+      bi += 1
+    }
+    def sos(ta: Int, ss: Int, se: Int, ahAl: Int): BitWriter = {
+      marker(out, 0xda); wbe16(out, 8)
+      out.write(1); out.write(1); out.write(ta)
+      out.write(ss); out.write(se); out.write(ahAl)
+      new BitWriter(out)
+    }
+    // AC point transform truncates toward ZERO (G.1.2.1 — unlike
+    // DC's arithmetic shift), preserving sign and |t| = |c| >> Al
+    def pt(v: Int): Int = if (v < 0) -((-v) >> 1) else v >> 1
+
+    // scan 1: DC first, Al=1 — diff coding over the SHIFTED values
+    var bw = sos(0, 0, 0, 0x01)
+    var pred = 0
+    bi = 0
+    while (bi < nbx * nby) {
+      val t = blocks(bi)(0) >> 1 // arithmetic shift (G.1.2.1, DC)
+      val diff = t - pred
+      pred = t
+      val cat = bitLength(math.abs(diff))
+      bw.put(DcLumEnc.codeOf(cat), DcLumEnc.lenOf(cat))
+      if (cat > 0)
+        bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+      bi += 1
+    }
+    bw.flush()
+    // scans 2-3: AC first for each band at Al=1 (stock table,
+    // EOB0 per early-ending block)
+    for ((ss, se) <- Seq((1, 5), (6, 63))) {
+      bw = sos(0, ss, se, 0x01)
+      bi = 0
+      while (bi < nbx * nby) {
+        val zz = blocks(bi)
+        var run = 0
+        var k = ss
+        while (k <= se) {
+          val t = pt(zz(k))
+          if (t == 0) run += 1
+          else {
+            while (run >= 16) {
+              bw.put(AcLumEnc.codeOf(0xf0), AcLumEnc.lenOf(0xf0))
+              run -= 16
+            }
+            val s = bitLength(math.abs(t))
+            val sym = (run << 4) | s
+            bw.put(AcLumEnc.codeOf(sym), AcLumEnc.lenOf(sym))
+            bw.put(if (t < 0) t + (1 << s) - 1 else t, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) bw.put(AcLumEnc.codeOf(0x00), AcLumEnc.lenOf(0x00))
+        bi += 1
+      }
+      bw.flush()
+    }
+    // scan 4: DC refinement — one raw bit per block (two's-complement
+    // bit 0; (c >> 1) << 1 | (c & 1) == c for either sign)
+    bw = sos(0, 0, 0, 0x10)
+    bi = 0
+    while (bi < nbx * nby) {
+      bw.put(blocks(bi)(0) & 1, 1)
+      bi += 1
+    }
+    bw.flush()
+    // scans 5-6: AC refinement per band (Ah=1, Al=0, refinement
+    // table) — history nonzero iff |c| >= 2 (sent in the first scan),
+    // insertion iff |c| == 1, correction bit = bit 0 of |c|
+    for ((ss, se) <- Seq((1, 5), (6, 63))) {
+      bw = sos(1, ss, se, 0x10)
+      var eobrun = 0
+      val pending = new java.io.ByteArrayOutputStream() // one bit/byte
+      def flushEob(): Unit = if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        bw.put(AcRefEnc.codeOf(r << 4), AcRefEnc.lenOf(r << 4))
+        if (r > 0) bw.put(eobrun - (1 << r), r)
+        val pb = pending.toByteArray
+        var i = 0
+        while (i < pb.length) { bw.put(pb(i), 1); i += 1 }
+        pending.reset(); eobrun = 0
+      }
+      bi = 0
+      while (bi < nbx * nby) {
+        val zz = blocks(bi)
+        var k = ss
+        var blockOpen = true
+        while (blockOpen && k <= se) {
+          // next insertion position at or after k
+          var j = k
+          while (j <= se && math.abs(zz(j)) != 1) j += 1
+          if (j > se) {
+            // EOB region: the tail's correction bits ride the run
+            var p = k
+            while (p <= se) {
+              if (math.abs(zz(p)) >= 2) pending.write(math.abs(zz(p)) & 1)
+              p += 1
+            }
+            eobrun += 1
+            if (eobrun == 32767) flushEob()
+            blockOpen = false
+          } else {
+            flushEob()
+            // ZRLs while >= 16 zero-history positions precede j; each
+            // consumes exactly 16 zeros with crossed corrections
+            // interleaved after its symbol (the decoder's advance)
+            var segStart = k
+            var emitted = false
+            while (!emitted) {
+              var zc = 0
+              var p = segStart
+              while (p < j) { if (zz(p) == 0) zc += 1; p += 1 }
+              if (zc < 16) {
+                bw.put(AcRefEnc.codeOf((zc << 4) | 1),
+                  AcRefEnc.lenOf((zc << 4) | 1))
+                bw.put(if (zz(j) > 0) 1 else 0, 1) // sign of +-1
+                p = segStart
+                while (p < j) {
+                  if (math.abs(zz(p)) >= 2)
+                    bw.put(math.abs(zz(p)) & 1, 1)
+                  p += 1
+                }
+                emitted = true
+              } else {
+                bw.put(AcRefEnc.codeOf(0xf0), AcRefEnc.lenOf(0xf0))
+                var consumed = 0
+                p = segStart
+                while (consumed < 16) {
+                  if (zz(p) == 0) consumed += 1
+                  else bw.put(math.abs(zz(p)) & 1, 1)
+                  p += 1
+                }
+                segStart = p
+              }
+            }
+            k = j + 1
+          }
+        }
+        bi += 1
+      }
+      flushEob()
+      bw.flush()
+    }
+    marker(out, 0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Integer BT.601 forward conversion at one pixel, clamped to the
     * [0,255] sample range T.81 assumes (saturated primaries can round
     * to 256: pure blue's Cb and pure red's Cr). The coefficients sum

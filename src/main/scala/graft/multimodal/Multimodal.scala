@@ -820,6 +820,45 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** L5z2c: SUCCESSIVE-APPROXIMATION progressive decode — the same
+    * corpus through [[Jpeg.encodeGrayProgressiveSA]]'s six-scan
+    * progression (DC/AC firsts at Al=1, then DC-bit and AC refinement
+    * scans with real EOB runs), driving the decoder's G.1.2.3
+    * refinement paths (correction bits, +-1 insertions, EOB regions)
+    * that [[mmDecodeJpegProg]]'s two-scan split never enters. Same
+    * checked-column convention: `progressive` asserts SOF2 + exactly
+    * SIX scans, `matches_baseline` the byte-equality of the completed
+    * progression with the baseline decode — so the oracle keeps the
+    * mm_decode_jpeg closed form.
+    *
+    * Scale: one map-only pass, per-partition decoder init. */
+  def mmDecodeJpegProgSa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoderClass =
+      s.conf.get(JpegDecoderConfKey, classOf[Jpeg.JpegDecoder].getName)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val dec = instantiate[Codecs.ImageDecoder](decoderClass)
+        it.map { id =>
+          val bw = (2 + id % 3).toInt
+          val bh = (1 + id % 2).toInt
+          val g = jpegBlockGray(id, 0, bw, bh)
+          val sa = Jpeg.encodeGrayProgressiveSA(bw * 8, bh * 8, g)
+          val im = dec.decode(sa)
+          var sl = 0L
+          var i = 0
+          while (i < im.rgb.length) { sl += im.rgb(i) & 0xff; i += 3 }
+          val base = dec.decode(Jpeg.encodeGray(bw * 8, bh * 8, g))
+          val (sof2, nSos) = jpegMarkerCensus(sa)
+          (id, im.width, im.height, sl, sof2 && nSos == 6,
+            im.width == base.width && im.height == base.height &&
+              java.util.Arrays.equals(im.rgb, base.rgb))
+        }
+      }.toDF("doc_id", "width", "height", "sum_luma", "progressive",
+        "matches_baseline")
+      .orderBy("doc_id")
+  }
+
   /** Entropy-aware JPEG marker census: (SOF2 present, number of SOS
     * scans) — the checked-column helper behind mm_decode_jpeg_prog
     * (inside scans it skips to the next true marker, honoring 0xFF00
@@ -1218,13 +1257,16 @@ object Multimodal {
               val bw = (2 + q % 3).toInt; val bh = (1 + q % 2).toInt
               val g = jpegBlockGray(id, 0, bw, bh)
               if ((q / 2) % 2 == 0) {
-                // the gray half further splits baseline/PROGRESSIVE
-                // (two-scan SOF2): the invertible class decodes
-                // byte-identically through either path, so stats and
-                // oracles are unchanged while the ingest tier
-                // exercises the multi-scan decoder on every pass
+                // the gray half further splits baseline/PROGRESSIVE:
+                // the invertible class decodes byte-identically
+                // through every path, so stats and oracles are
+                // unchanged while the ingest tier exercises the
+                // multi-scan decoder (two-scan spectral split and
+                // six-scan successive approximation) on every pass
                 if ((q / 2) % 4 == 0) Jpeg.encodeGray(bw * 8, bh * 8, g)
-                else Jpeg.encodeGrayProgressive(bw * 8, bh * 8, g)
+                else if ((q / 2) % 8 == 2)
+                  Jpeg.encodeGrayProgressive(bw * 8, bh * 8, g)
+                else Jpeg.encodeGrayProgressiveSA(bw * 8, bh * 8, g)
               } else {
                 val rgb = new Array[Byte](g.length * 3)
                 var i = 0
@@ -3330,6 +3372,7 @@ object Multimodal {
     "mm_decode_gif" -> mmDecodeGif,
     "mm_decode_jpeg" -> mmDecodeJpeg,
     "mm_decode_jpeg_prog" -> mmDecodeJpegProg,
+    "mm_decode_jpeg_prog_sa" -> mmDecodeJpegProgSa,
     "mm_decode_mjpeg" -> mmDecodeMjpeg,
     "mm_pipeline_full" -> mmPipelineFull,
     "ref_ep3_mjpeg" -> refEp3Mjpeg,
@@ -3803,6 +3846,27 @@ object Multimodal {
     // facts are checked columns (SOF2 two-scan census, baseline
     // byte-equality), theorem-spec'd over all 96 raster classes.
     "mm_decode_jpeg_prog" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS bw,
+        |    1 + doc_id % 2 AS bh FROM documents),
+        |bl AS (SELECT doc_id, bw, bh, bis.i AS bi, bjs.j AS bj
+        |  FROM d, range(0, 5) bis(i), range(0, 3) bjs(j)
+        |  WHERE bis.i < bw AND bjs.j < bh)
+        |SELECT doc_id,
+        |  CAST(MAX(bw) * 8 AS INT) AS width,
+        |  CAST(MAX(bh) * 8 AS INT) AS height,
+        |  CAST(SUM(64 * (2 * ((doc_id * 5 + bi * 19 + bj * 37) % 96)
+        |    + 32)) AS BIGINT) AS sum_luma,
+        |  TRUE AS progressive,
+        |  TRUE AS matches_baseline
+        |FROM bl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The successive-approximation twin: the SAME closed form again
+    // (the completed six-scan progression reconstructs every
+    // coefficient exactly — DC shift + correction bit, AC
+    // truncate-toward-zero halving + correction bit / +-1 insertion
+    // — so the decode is byte-identical to baseline); census asserts
+    // SOF2 + exactly six scans, theorem-spec'd over all 96 classes
+    // AND general content.
+    "mm_decode_jpeg_prog_sa" ->
       """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS bw,
         |    1 + doc_id % 2 AS bh FROM documents),
         |bl AS (SELECT doc_id, bw, bh, bis.i AS bi, bjs.j AS bj

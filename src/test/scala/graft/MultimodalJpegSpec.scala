@@ -637,6 +637,98 @@ class MultimodalJpegSpec extends SparkSpecBase {
     }
   }
 
+  test("in-repo successive-approximation encoder (six-scan SA " +
+    "progression: DC/AC firsts at Al=1, DC bit + AC refinements with " +
+    "real EOB runs over the dedicated refinement table): census " +
+    "proves SOF2 + exactly six scans, the completed progression " +
+    "decodes byte-IDENTICAL to baseline on all 96 classes AND on " +
+    "general content (insertions, corrections, ZRL, EOB regions all " +
+    "live), ImageIO reads our SA bytes, truncations fail fast") {
+    import javax.imageio.ImageIO
+    def census(b: Array[Byte]): (Boolean, Int) = {
+      var sof2 = false; var nSos = 0
+      var p = 2
+      var inScan = false
+      while (p + 1 < b.length) {
+        if (!inScan) {
+          assert((b(p) & 0xff) == 0xff, s"marker walk lost at $p")
+          val m = b(p + 1) & 0xff
+          if (m == 0xc2) sof2 = true
+          if (m == 0xda) { nSos += 1; inScan = true }
+          if (m == 0xd9) p = b.length
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) p += 2
+          else p += 2 + (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff))
+        } else {
+          if ((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) != 0 &&
+            !((b(p + 1) & 0xff) >= 0xd0 && (b(p + 1) & 0xff) <= 0xd7))
+            inScan = false
+          else p += 1
+        }
+      }
+      (sof2, nSos)
+    }
+    var id = 0L
+    while (id < 96) {
+      val bw = (2 + id % 3).toInt; val bh = (1 + id % 2).toInt
+      val g = constBlockGray(id, bw, bh)
+      val sa = Jpeg.encodeGrayProgressiveSA(bw * 8, bh * 8, g)
+      val (sof2, nSos) = census(sa)
+      assert(sof2 && nSos == 6, s"class $id census: $sof2/$nSos")
+      val base = dec.decode(Jpeg.encodeGray(bw * 8, bh * 8, g))
+      val ours = dec.decode(sa)
+      assert(ours.width == base.width && ours.height == base.height &&
+        java.util.Arrays.equals(ours.rgb, base.rgb),
+        s"class $id: SA decode != baseline decode")
+      var i = 0
+      while (i < g.length) {
+        assert((ours.rgb(3 * i) & 0xff) == (g(i) & 0xff),
+          s"class $id pixel $i not exact")
+        i += 1
+      }
+      id += 1
+    }
+    // general content: nonzero AC coefficients of every parity flow
+    // through corrections (|c| >= 2), insertions (|c| == 1), ZRL and
+    // EOB-region paths; the progression must still complete exactly
+    for ((w, h) <- Seq((37, 23), (65, 17), (9, 40), (48, 48))) {
+      val g = new Array[Byte](w * h)
+      var i = 0
+      while (i < g.length) {
+        g(i) = (20 + (i * 13) % 211).toByte
+        i += 1
+      }
+      val sa = Jpeg.encodeGrayProgressiveSA(w, h, g)
+      val (sof2, nSos) = census(sa)
+      assert(sof2 && nSos == 6, s"${w}x$h census: $sof2/$nSos")
+      val ours = dec.decode(sa)
+      val base = dec.decode(Jpeg.encodeGray(w, h, g))
+      assert(java.util.Arrays.equals(ours.rgb, base.rgb),
+        s"${w}x$h: SA decode != baseline decode")
+      val theirs = ImageIO.read(new java.io.ByteArrayInputStream(sa))
+      assert(theirs != null, s"${w}x$h: ImageIO cannot read our SA bytes")
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val a = ours.rgb((y * w + x) * 3) & 0xff
+          val b = theirs.getRaster.getSample(x, y, 0)
+          assert(math.abs(a - b) <= 3, s"IDCT drift at ($x,$y): $a vs $b")
+          x += 1
+        }
+        y += 1
+      }
+    }
+    // truncation fail-fast on a representative six-scan stream
+    val tSa = Jpeg.encodeGrayProgressiveSA(16, 16, constBlockGray(7L, 2, 2))
+    var len = 2
+    while (len < tSa.length) {
+      try { dec.decode(java.util.Arrays.copyOf(tSa, len))
+        fail(s"truncation at $len decoded") }
+      catch { case _: IllegalArgumentException => () }
+      len += 1
+    }
+  }
+
   test("mm_decode_jpeg_prog catalog rows: the closed-form block " +
     "arithmetic replays, every `progressive` and `matches_baseline` " +
     "checked flag is true, and a swapped decoder binding changes the " +
@@ -655,6 +747,19 @@ class MultimodalJpegSpec extends SparkSpecBase {
       assert(sl == want, s"doc $id sum $sl != $want")
       assert(prog, s"doc $id census flag false")
       assert(mb, s"doc $id baseline-equality flag false")
+    }
+    // the successive-approximation twin replays the same closed form
+    // with its own census (six scans) and baseline-equality flags
+    val saRows = Multimodal.mmDecodeJpegProgSa(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+    assert(saRows.length == rows.length)
+    for (((id, w, h, sl, prog, mb), (bid, bw2, bh2, bsl, _, _))
+         <- saRows.zip(rows).take(60)) {
+      assert(id == bid && w == bw2 && h == bh2 && sl == bsl,
+        s"doc $id: SA stats diverge from the two-scan key")
+      assert(prog, s"doc $id SA census flag false")
+      assert(mb, s"doc $id SA baseline-equality flag false")
     }
     val key = Multimodal.JpegDecoderConfKey
     spark.conf.set(key, classOf[ZeroImageDecoder].getName)
