@@ -2647,6 +2647,147 @@ object Codecs {
     out
   }
 
+  /** TIFF LZW compress (TIFF 6.0 §13): MSB-first bit packing,
+    * variable 9..12-bit codes, Clear=256/EOI=257, and the spec's
+    * EARLY CHANGE — the code width bumps one code before the table
+    * demands it (the de-facto interop behavior every TIFF
+    * reader/writer shares; contrast the GIF pair above, which is
+    * LSB-first without early change). One independent stream per
+    * strip. */
+  def lzwCompress(data: Array[Byte]): Array[Byte] = {
+    require(data.nonEmpty, "empty LZW input")
+    val Clear = 256; val Eoi = 257
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0; var codeWidth = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << codeWidth) | code
+      bitCnt += codeWidth
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var next = 258
+    def key(prefix: Int, b: Int): Integer =
+      Integer.valueOf((prefix << 8) | b)
+    put(Clear)
+    var cur = data(0) & 0xff
+    var i = 1
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      val k = key(cur, b)
+      val hit = dict.get(k)
+      if (hit != null) cur = hit.intValue()
+      else {
+        put(cur)
+        dict.put(k, Integer.valueOf(next))
+        next += 1
+        // EARLY CHANGE: widen when entry (1<<w)-1 is added — one
+        // code before the GIF encoder's (1<<w)+1 threshold
+        if (next == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        if (next == 4094) { // spec: clear when entry 4094 would follow
+          put(Clear)
+          dict = new java.util.HashMap[Integer, Integer]()
+          next = 258; codeWidth = 9
+        }
+        cur = b
+      }
+      i += 1
+    }
+    put(cur)
+    put(Eoi)
+    if (bitCnt > 0) // left-align the tail bits in the final byte
+      out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** TIFF LZW decompress into exactly `expected` bytes — MSB-first,
+    * early change (the decoder's table is one entry behind the
+    * encoder's, so it widens at (1<<w)-1 where the encoder widens at
+    * 1<<w), fail-fast on overrun/underrun/bad codes. A strip that
+    * fills `expected` may end with or without the trailing EOI (both
+    * appear in the wild), but further DATA codes fail. */
+  def lzwDecompress(src: Array[Byte], from: Int, until: Int,
+      expected: Int): Array[Byte] = {
+    val Clear = 256; val Eoi = 257
+    val outArr = new Array[Byte](expected)
+    var outPos = 0
+    val prefix = new Array[Int](4096)
+    val last = new Array[Byte](4096)
+    val lenOf = new Array[Int](4096)
+    var c0 = 0
+    while (c0 < 256) { lenOf(c0) = 1; c0 += 1 }
+    var next = 258; var codeWidth = 9; var prev = -1
+    var bitBuf = 0L; var bitCnt = 0; var pos = from
+    def emit(code: Int): Byte = {
+      var c = code
+      var n = lenOf(c)
+      val end = outPos + n
+      require(end <= expected, "LZW output overruns the strip")
+      var w = end - 1
+      while (n > 1) {
+        outArr(w) = last(c)
+        c = prefix(c); w -= 1; n -= 1
+      }
+      outArr(w) = c.toByte
+      outPos = end
+      outArr(w)
+    }
+    var done = false
+    while (!done && outPos < expected) {
+      while (bitCnt < codeWidth && pos < until) {
+        bitBuf = (bitBuf << 8) | (src(pos) & 0xffL)
+        bitCnt += 8; pos += 1
+      }
+      require(bitCnt >= codeWidth, "truncated LZW stream")
+      val code =
+        ((bitBuf >>> (bitCnt - codeWidth)) & ((1 << codeWidth) - 1)).toInt
+      bitCnt -= codeWidth
+      if (code == Clear) { next = 258; codeWidth = 9; prev = -1 }
+      else if (code == Eoi) done = true
+      else if (prev == -1) {
+        require(code < 256, s"first code $code after clear not a root")
+        emit(code)
+        prev = code
+      } else {
+        require(code < next || (code == next && next < 4096),
+          s"LZW code $code beyond table size $next")
+        val first =
+          if (code < next) emit(code)
+          else { // KwKwK
+            val f = emit(prev)
+            require(outPos < expected, "LZW output overruns the strip")
+            outArr(outPos) = f; outPos += 1
+            f
+          }
+        if (next < 4096) {
+          prefix(next) = prev; last(next) = first
+          lenOf(next) = lenOf(prev) + 1
+          next += 1
+          if (next == (1 << codeWidth) - 1 && codeWidth < 12)
+            codeWidth += 1
+        }
+        prev = code
+      }
+    }
+    require(outPos == expected,
+      s"LZW strip yields $outPos of $expected bytes")
+    if (!done) {
+      // strip full without EOI: tolerate a clean end, reject more data
+      while (bitCnt < codeWidth && pos < until) {
+        bitBuf = (bitBuf << 8) | (src(pos) & 0xffL)
+        bitCnt += 8; pos += 1
+      }
+      if (bitCnt >= codeWidth) {
+        val code =
+          ((bitBuf >>> (bitCnt - codeWidth)) & ((1 << codeWidth) - 1)).toInt
+        require(code == Eoi, "LZW data continues past the strip")
+      }
+    }
+    outArr
+  }
+
   /** Rows per strip written by [[tiffEncode]] — small enough that
     * every in-repo raster exercises MULTIPLE strips. */
   val TiffRowsPerStrip = 4
@@ -2657,7 +2798,17 @@ object Codecs {
     * strip-table arrays -> one IFD with the ten baseline-RGB tags in
     * ascending order. */
   def tiffEncode(width: Int, height: Int, rgb: Array[Byte],
-      packbits: Boolean): Array[Byte] = {
+      packbits: Boolean): Array[Byte] =
+    tiffEncodeComp(width, height, rgb, if (packbits) 32773 else 1)
+
+  /** [[tiffEncode]] with LZW strips (compression 5) — each strip an
+    * independent [[lzwCompress]] stream over its rows. */
+  def tiffEncodeLzw(width: Int, height: Int,
+      rgb: Array[Byte]): Array[Byte] =
+    tiffEncodeComp(width, height, rgb, 5)
+
+  private def tiffEncodeComp(width: Int, height: Int, rgb: Array[Byte],
+      compression: Int): Array[Byte] = {
     require(width > 0 && height > 0 && rgb.length == width * height * 3,
       s"raster length ${rgb.length} != $width x $height x 3")
     val rowLen = width * 3
@@ -2665,8 +2816,11 @@ object Codecs {
     val strips = (0 until nStrips).map { st =>
       val y0 = st * TiffRowsPerStrip
       val y1 = math.min(y0 + TiffRowsPerStrip, height)
-      if (!packbits)
+      if (compression == 1)
         java.util.Arrays.copyOfRange(rgb, y0 * rowLen, y1 * rowLen)
+      else if (compression == 5)
+        lzwCompress(
+          java.util.Arrays.copyOfRange(rgb, y0 * rowLen, y1 * rowLen))
       else {
         val bos = new java.io.ByteArrayOutputStream()
         var y = y0
@@ -2710,7 +2864,7 @@ object Codecs {
     entry(256, 4, 1, width) // ImageWidth LONG
     entry(257, 4, 1, height) // ImageLength LONG
     entry(258, 3, 3, bpsOff) // BitsPerSample SHORT[3] at offset
-    entry(259, 3, 1, if (packbits) 32773 else 1) // Compression
+    entry(259, 3, 1, compression) // Compression
     entry(262, 3, 1, 2) // Photometric: RGB
     entry(273, 4, nStrips, if (nStrips == 1) stripOff(0) else soOff)
     entry(277, 3, 1, 3) // SamplesPerPixel
@@ -2725,7 +2879,8 @@ object Codecs {
   /** The real decoder: validates the byte-order magic (both orders),
     * walks the IFD validating every entry offset, requires the
     * baseline-RGB shape (8/8/8, photometric 2, chunky, compression
-    * none or PackBits), reads each strip through its offset/count
+    * none/PackBits/LZW, predictor none or horizontal differencing),
+    * reads each strip through its offset/count
     * pair, and assembles the top-down RGB raster. Unknown tags are
     * skipped (ancillary metadata); anything outside the supported
     * shape fails fast with IllegalArgumentException. */
@@ -2772,6 +2927,7 @@ object Codecs {
       var width = 0L; var height = 0L
       var compression = 1L; var photometric = -1L
       var spp = 1L; var rps = Long.MaxValue; var planar = 1L
+      var predictor = 1L
       var bps: Array[Long] = Array(1L)
       var stripOffs: Array[Long] = null
       var stripLens: Array[Long] = null
@@ -2792,6 +2948,7 @@ object Codecs {
           case 278 => rps = scalar(e + 8, tpe)
           case 279 => stripLens = vector(e, tpe, count.toInt)
           case 284 => planar = scalar(e + 8, tpe)
+          case 317 => predictor = scalar(e + 8, tpe)
           case _ => () // ancillary tag: skipped
         }
         i += 1
@@ -2809,8 +2966,11 @@ object Codecs {
       require(bps.length == 3 && bps.forall(_ == 8),
         s"only 8/8/8 bits (got ${bps.mkString(",")})")
       require(planar == 1, "only chunky planar configuration")
-      require(compression == 1 || compression == 32773,
-        s"only none/PackBits compression (got $compression)")
+      require(compression == 1 || compression == 32773 ||
+        compression == 5,
+        s"only none/PackBits/LZW compression (got $compression)")
+      require(predictor == 1 || predictor == 2,
+        s"only none/horizontal predictor (got $predictor)")
       require(stripOffs != null && stripLens != null &&
         stripOffs.length == stripLens.length, "missing strip tables")
       require(rps > 0, "bad RowsPerStrip")
@@ -2833,6 +2993,9 @@ object Codecs {
           require(sl == expected,
             s"strip $st holds $sl bytes, expected $expected")
           System.arraycopy(b, so.toInt, rgb, y0 * rowLen, expected)
+        } else if (compression == 5) {
+          val u = lzwDecompress(b, so.toInt, (so + sl).toInt, expected)
+          System.arraycopy(u, 0, rgb, y0 * rowLen, expected)
         } else {
           val u = unpackBits(b, so.toInt, (so + sl).toInt, expected)
           System.arraycopy(u, 0, rgb, y0 * rowLen, expected)
@@ -2841,6 +3004,20 @@ object Codecs {
         st += 1
       }
       require(y0 == h, s"strips cover $y0 rows of $h")
+      if (predictor == 2) {
+        // horizontal differencing (TIFF 6.0 §14): per row, each
+        // sample stores the delta to the previous pixel's sample
+        var y = 0
+        while (y < h) {
+          val base = y * rowLen
+          var x = 3
+          while (x < rowLen) {
+            rgb(base + x) = (rgb(base + x) + rgb(base + x - 3)).toByte
+            x += 1
+          }
+          y += 1
+        }
+      }
       DecodedImage(w, h, rgb)
     }
   }

@@ -1300,7 +1300,14 @@ object Multimodal {
                 }
                 y += 1
               }
-              Codecs.tiffEncode(w, h, px, packbits = (q / 2) % 2 == 0)
+              // the TIFF slice cycles all three strip compressions
+              // (stats are decode-side, so the split is oracle-
+              // neutral like the JPEG progressive one above)
+              if ((q / 2) % 2 == 0)
+                Codecs.tiffEncode(w, h, px, packbits = true)
+              else if ((q / 2) % 4 == 1)
+                Codecs.tiffEncodeLzw(w, h, px)
+              else Codecs.tiffEncode(w, h, px, packbits = false)
           }
   }
 
@@ -1822,6 +1829,72 @@ object Multimodal {
       }.toDF("doc_id", "bmp_bytes", "width", "height", "sum_rgb",
         "lossless_ok")
       .orderBy("doc_id")
+  }
+
+  /** L5t6: the LZW TIFF transcode — BMP in, LZW TIFF out (TIFF 6.0
+    * §13: MSB-first variable-width codes with the spec's early
+    * change; [[Codecs.lzwCompress]]), both ends parsed. Lossless
+    * like [[mmTranscodeTiff]], so the SAME closed-form oracle;
+    * `lzw_tag` is the checked container column — a direct IFD walk
+    * of the emitted bytes proves Compression(259) == 5 (a silent
+    * fallback to stored/PackBits could not pass it). */
+  def mmTranscodeTiffLzw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bmpClass =
+      s.conf.get(ImageDecoderConfKey, classOf[Codecs.BmpDecoder].getName)
+    val tiffClass = s.conf.get(TiffDecoderConfKey,
+      classOf[Codecs.TiffDecoder].getName)
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val bd = instantiate[Codecs.ImageDecoder](bmpClass)
+        val td = instantiate[Codecs.ImageDecoder](tiffClass)
+        it.map { id =>
+          val w = (16 + id % 16).toInt
+          val h = (12 + id % 8).toInt
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val base = (y * w + x) * 3
+              px(base) = ((id * 7 + x * 13 + y * 31) % 256).toByte
+              px(base + 1) = ((id * 11 + x * 17 + y * 5) % 256).toByte
+              px(base + 2) = ((id * 3 + x * 29 + y * 23) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val bmp = Codecs.bmpEncode(w, h, px)
+          val im1 = bd.decode(bmp)
+          val tiff = Codecs.tiffEncodeLzw(im1.width, im1.height, im1.rgb)
+          val im2 = td.decode(tiff)
+          var sum = 0L
+          var i = 0
+          while (i < im2.rgb.length) { sum += im2.rgb(i) & 0xff; i += 1 }
+          (id, bmp.length.toLong, im2.width, im2.height, sum,
+            tiffCompressionTag(tiff) == 5,
+            java.util.Arrays.equals(im2.rgb, px))
+        }
+      }.toDF("doc_id", "bmp_bytes", "width", "height", "sum_rgb",
+        "lzw_tag", "lossless_ok")
+      .orderBy("doc_id")
+  }
+
+  /** Direct little-endian IFD walk for Compression(259) — the
+    * checked-column helper behind mm_transcode_tiff_lzw (reads only
+    * our own encoder's II-order output; -1 when absent). */
+  private def tiffCompressionTag(b: Array[Byte]): Long = {
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (u16(o) & 0xffffL) | ((u16(o + 2) & 0xffffL) << 16)
+    val ifd = u32(4).toInt
+    val n = u16(ifd)
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + i * 12
+      if (u16(e) == 259) return u16(e + 8).toLong
+      i += 1
+    }
+    -1L
   }
 
   /** L5i2: COMPRESSED audio decode — G.711 µ-law/A-law WAVE files
@@ -3390,6 +3463,7 @@ object Multimodal {
     "mm_decode_g711" -> mmDecodeG711,
     "mm_decode_tiff" -> mmDecodeTiff,
     "mm_transcode_tiff" -> mmTranscodeTiff,
+    "mm_transcode_tiff_lzw" -> mmTranscodeTiffLzw,
     "mm_transcode_g711" -> mmTranscodeG711,
     "mm_decode_video" -> mmDecodeVideo,
     "mm_video_segments" -> mmVideoSegments,
@@ -4576,6 +4650,25 @@ object Multimodal {
         |    + (doc_id * 11 + x * 17 + y * 5) % 256
         |    + (doc_id * 3 + x * 29 + y * 23) % 256) AS BIGINT)
         |    AS sum_rgb,
+        |  TRUE AS lossless_ok
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The LZW twin: lossless => the SAME closed form; lzw_tag is the
+    // checked Compression(259)==5 IFD fact of the emitted container.
+    "mm_transcode_tiff_lzw" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS w,
+        |    12 + doc_id % 8 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, xs.x, ys.y
+        |  FROM d, range(0, 31) xs(x), range(0, 19) ys(y)
+        |  WHERE xs.x < w AND ys.y < h)
+        |SELECT doc_id,
+        |  CAST(54 + ((MAX(w) * 3 + 3) // 4) * 4 * MAX(h) AS BIGINT)
+        |    AS bmp_bytes,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  CAST(SUM((doc_id * 7 + x * 13 + y * 31) % 256
+        |    + (doc_id * 11 + x * 17 + y * 5) % 256
+        |    + (doc_id * 3 + x * 29 + y * 23) % 256) AS BIGINT)
+        |    AS sum_rgb,
+        |  TRUE AS lzw_tag,
         |  TRUE AS lossless_ok
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // G.711 expansion replayed closed-form per sample: mu-law

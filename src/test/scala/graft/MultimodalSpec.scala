@@ -1388,6 +1388,155 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("TIFF LZW (compression 5, MSB-first early change): exact " +
+    "round trips both general and run-heavy content, genuinely " +
+    "compresses runs, the big-table path (width 9->12 + mid-stream " +
+    "Clear) survives both our round trip AND ImageIO both " +
+    "directions, a hand-built predictor-2 file un-differences " +
+    "correctly, and corruption never escapes IllegalArgument") {
+    import multimodal.Codecs
+    val dec = new Codecs.TiffDecoder()
+    // round trips across strip-boundary dims, general content
+    for (id <- 0L until 64L) {
+      val w = (5 + id % 13).toInt
+      val h = (3 + id % 9).toInt
+      val px = Array.tabulate(w * h * 3) { j =>
+        val p = j / 3; val x = p % w; val y = p / w
+        ((id * 7 + x * 13 + y * 31 + j % 3 * 47) % 256).toByte
+      }
+      val tiff = Codecs.tiffEncodeLzw(w, h, px)
+      assert(Codecs.sniff(tiff) == "tiff", s"class $id sniff")
+      val im = dec.decode(tiff)
+      assert(im.width == w && im.height == h, s"class $id dims")
+      assert(java.util.Arrays.equals(im.rgb, px), s"class $id pixels")
+    }
+    // LZW beats stored on run-heavy (gray-blocky) content
+    for (id <- 0L until 16L) {
+      val w = 32; val h = 24
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        px((y * w + x) * 3 + c) =
+          (2 * ((id * 5 + (x / 8) * 19 + (y / 8) * 37) % 96) + 32).toByte
+      val plain = Codecs.tiffEncode(w, h, px, packbits = false)
+      val lzw = Codecs.tiffEncodeLzw(w, h, px)
+      assert(lzw.length < plain.length,
+        s"class $id: ${lzw.length} !< ${plain.length}")
+      assert(java.util.Arrays.equals(dec.decode(lzw).rgb, px))
+    }
+    // direct codec round trip through the FULL width ladder: ~60 KB
+    // of low-redundancy bytes forces 9->10->11->12-bit codes and a
+    // mid-stream Clear at entry 4094
+    var seed = 424242L
+    val big = Array.tabulate(60000) { _ =>
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 33).toByte
+    }
+    assert(java.util.Arrays.equals(
+      Codecs.lzwDecompress(Codecs.lzwCompress(big), 0,
+        Codecs.lzwCompress(big).length, big.length), big),
+      "big-table LZW round trip")
+    // the same ladder through ImageIO BOTH directions: one wide
+    // image = 12 KB strips, enough adds per strip to clear the table
+    val bw = 1000; val bh = 8
+    seed = 99L
+    val bpx = Array.tabulate(bw * bh * 3) { _ =>
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 33).toByte
+    }
+    val bigTiff = Codecs.tiffEncodeLzw(bw, bh, bpx)
+    assert(java.util.Arrays.equals(dec.decode(bigTiff).rgb, bpx))
+    val bimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bigTiff))
+    assert(bimg != null && bimg.getWidth == bw && bimg.getHeight == bh,
+      "ImageIO cannot read our LZW TIFF")
+    for (y <- 0 until bh; x <- 0 until bw) {
+      val argb = bimg.getRGB(x, y)
+      val base = (y * bw + x) * 3
+      assert(((argb >> 16) & 0xff) == (bpx(base) & 0xff) &&
+        ((argb >> 8) & 0xff) == (bpx(base + 1) & 0xff) &&
+        (argb & 0xff) == (bpx(base + 2) & 0xff),
+        s"ImageIO LZW pixel ($x,$y)")
+    }
+    // ImageIO's own LZW writer output through our decoder
+    val w = 21; val h = 11
+    val px = Array.tabulate(w * h * 3)(j => ((j * 31 + 7) % 256).toByte)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      bi.setRGB(x, y, ((px(base) & 0xff) << 16) |
+        ((px(base + 1) & 0xff) << 8) | (px(base + 2) & 0xff))
+    }
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val wparam = writer.getDefaultWriteParam
+    wparam.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    wparam.setCompressionType("LZW")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(bi, null, null), wparam)
+    ios.close(); writer.dispose()
+    val foreign = bos.toByteArray
+    val fim = dec.decode(foreign)
+    assert(fim.width == w && fim.height == h, "foreign LZW dims")
+    assert(java.util.Arrays.equals(fim.rgb, px), "foreign LZW pixels")
+    // hand-built predictor-2 file (horizontal differencing, TIFF 6.0
+    // §14): difference each row per channel, LZW the single strip,
+    // write the 11-entry IFD with tag 317=2 — our decoder must
+    // un-difference back to the raster
+    val pw = 13; val ph = 5
+    val ppx = Array.tabulate(pw * ph * 3)(j => ((j * 53 + 11) % 256).toByte)
+    val diff = ppx.clone()
+    for (y <- 0 until ph; x <- (pw * 3 - 1) to 3 by -1) {
+      val base = y * pw * 3
+      diff(base + x) = (diff(base + x) - ppx(base + x - 3)).toByte
+    }
+    val strip = Codecs.lzwCompress(diff)
+    val hand = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { hand.write(v & 0xff); hand.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    val bpsOff = 8 + strip.length
+    val ifdOff = bpsOff + 6
+    hand.write('I'); hand.write('I'); w16(42); w32(ifdOff)
+    hand.write(strip, 0, strip.length)
+    w16(8); w16(8); w16(8)
+    def entry(tag: Int, tpe: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(tpe); w32(count)
+      if (tpe == 3 && count == 1) { w16(value); w16(0) } else w32(value)
+    }
+    w16(11)
+    entry(256, 4, 1, pw); entry(257, 4, 1, ph)
+    entry(258, 3, 3, bpsOff); entry(259, 3, 1, 5)
+    entry(262, 3, 1, 2); entry(273, 4, 1, 8)
+    entry(277, 3, 1, 3); entry(278, 4, 1, ph)
+    entry(279, 4, 1, strip.length); entry(284, 3, 1, 1)
+    entry(317, 3, 1, 2)
+    w32(0)
+    val pim = dec.decode(hand.toByteArray)
+    assert(pim.width == pw && pim.height == ph, "predictor dims")
+    assert(java.util.Arrays.equals(pim.rgb, ppx), "predictor pixels")
+    // fail-fast: truncations + 300-trial corruption fuzz
+    val small = Codecs.tiffEncodeLzw(9, 7,
+      Array.tabulate(9 * 7 * 3)(i => (i * 11 % 256).toByte))
+    for (n <- 0 until small.length)
+      try { dec.decode(small.take(n)); fail(s"truncation $n decoded") }
+      catch { case _: IllegalArgumentException => () }
+    var s0 = 54321L
+    for (t <- 0 until 300) {
+      val b = small.clone()
+      s0 = s0 * 6364136223846793005L + 1442695040888963407L
+      b((math.abs(s0) % b.length).toInt) =
+        Seq(0x00, 0xff, 0x7f, 0x80)((t % 4)).toByte
+      try { dec.decode(b); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"trial $t threw ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("G.711 mu-law/A-law: expansion matches the javax.sound " +
     "reference bit-for-bit on all 256 codewords of both laws, " +
     "compress(expand(c)) == c (A-law bijective on all 256; mu-law's " +
