@@ -1721,12 +1721,13 @@ object Multimodal {
     * walks a box tree, BMP/WAV read fixed headers) with PackBits RLE
     * (TIFF 6.0 §9) as a new entropy coder. Corpus: gray-blocky
     * rasters (the jpegBlockGray value family — runs of 24 bytes, so
-    * PackBits genuinely compresses), even docs stored, odd docs
-    * PackBits. TIFF is LOSSLESS, so decoded sums are closed-form with
-    * no class restriction; `size_ok` is the checked container-size
-    * column: stored docs match the closed form EXACTLY, PackBits docs
-    * beat it (theorem spec over the pattern period). ImageIO's TIFF
-    * plugin is the conformance reference (both directions, both
+    * PackBits genuinely compresses), cycling all three strip
+    * compressions mod 3 (stored / PackBits / LZW). TIFF is LOSSLESS,
+    * so decoded sums are closed-form with no class restriction;
+    * `size_ok` is the checked container-size column: stored docs
+    * match the closed form EXACTLY, PackBits and LZW docs beat it
+    * (theorem spec over the pattern period). ImageIO's TIFF plugin
+    * is the conformance reference (both directions, all three
     * compressions, MultimodalSpec). */
   def mmDecodeTiff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1751,7 +1752,7 @@ object Multimodal {
         it.map { id =>
           val w = (16 + id % 16).toInt
           val h = (12 + id % 8).toInt
-          val pb = id % 2 == 1
+          val mode = (id % 3).toInt // 0 stored, 1 PackBits, 2 LZW
           val px = new Array[Byte](w * h * 3)
           var y = 0
           while (y < h) {
@@ -1766,7 +1767,11 @@ object Multimodal {
             }
             y += 1
           }
-          val tiff = Codecs.tiffEncode(w, h, px, packbits = pb)
+          val tiff = mode match {
+            case 0 => Codecs.tiffEncode(w, h, px, packbits = false)
+            case 1 => Codecs.tiffEncode(w, h, px, packbits = true)
+            case _ => Codecs.tiffEncodeLzw(w, h, px)
+          }
           val im = dec.decode(tiff)
           var sum = 0L
           var i = 0
@@ -1774,9 +1779,10 @@ object Multimodal {
           val nStrips = (h + Codecs.TiffRowsPerStrip - 1) /
             Codecs.TiffRowsPerStrip
           val plainSize = 140 + 3 * w * h + 8 * nStrips
-          (id, im.width, im.height, if (pb) "packbits" else "none",
-            sum,
-            if (pb) tiff.length < plainSize else tiff.length == plainSize)
+          (id, im.width, im.height,
+            Seq("none", "packbits", "lzw")(mode), sum,
+            if (mode == 0) tiff.length == plainSize
+            else tiff.length < plainSize)
         }
       }.toDF("doc_id", "width", "height", "compression", "sum_rgb",
         "size_ok")
@@ -4628,8 +4634,8 @@ object Multimodal {
         |  WHERE xs.x < w AND ys.y < h)
         |SELECT doc_id,
         |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
-        |  MAX(CASE WHEN doc_id % 2 = 1 THEN 'packbits'
-        |    ELSE 'none' END) AS compression,
+        |  MAX(CASE doc_id % 3 WHEN 0 THEN 'none'
+        |    WHEN 1 THEN 'packbits' ELSE 'lzw' END) AS compression,
         |  CAST(SUM(3 * (2 * ((doc_id * 5 + (x // 8) * 19
         |    + (y // 8) * 37) % 96) + 32)) AS BIGINT) AS sum_rgb,
         |  TRUE AS size_ok

@@ -1312,7 +1312,7 @@ class MultimodalSpec extends SparkSpecBase {
     }
     // the mm_decode_tiff size_ok theorem over the pattern's FULL
     // 96-class period: stored containers equal the closed form
-    // exactly, PackBits containers beat it
+    // exactly, PackBits AND LZW containers beat it
     for (id <- 0L until 96L) {
       val w = (16 + id % 16).toInt
       val h = (12 + id % 8).toInt
@@ -1327,6 +1327,8 @@ class MultimodalSpec extends SparkSpecBase {
         plainSize, s"class $id stored size")
       assert(Codecs.tiffEncode(w, h, px, packbits = true).length <
         plainSize, s"class $id packbits not smaller")
+      assert(Codecs.tiffEncodeLzw(w, h, px).length <
+        plainSize, s"class $id lzw not smaller")
     }
     // cross-implementation: our bytes (BOTH compressions) through
     // ImageIO's TIFF reader, and ImageIO's TIFF writer output (its
