@@ -696,7 +696,12 @@ object Similarity {
     * tiny (5·k rows) join + agg on top. recall_pct is integer
     * arithmetic, never a float ratio. */
   def simAnnRecallEval(s: SparkSession, dir: String): DataFrame = {
+    // the exact relation is probed TWICE (hit join + per-query
+    // denominator); checkpoint the tiny k·queries-row result so the
+    // brute-force scan behind it runs once, not twice — the
+    // simAnnRecallMatrix lesson applied to the single-method eval
     val exact = simTopk(s, dir).select(col("qid"), col("vec_id"))
+      .localCheckpoint(true)
     val ann = simAnnLsh(s, dir).select(col("qid"), col("vec_id"))
     val hits = exact.join(ann, Seq("qid", "vec_id"))
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))

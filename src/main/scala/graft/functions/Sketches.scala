@@ -145,11 +145,15 @@ object Sketches {
         element_at(col("sv"),
           expr("CAST((m - 1) * 950000 div 1000000 + 1 AS INT)"))
           .as("p95_cents"))
-    // exact rank picks under the identical rule — the accuracy eval
+    // exact rank picks under the identical rule — the accuracy eval.
+    // Group sizes ride a broadcast map-side-combined count, NOT a
+    // second (unordered, whole-partition-buffering) window pass: one
+    // WindowExec instead of two over the fact scan.
     val wr = Window.partitionBy("l_returnflag").orderBy("cents", "h")
+    val nPer = rows.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     val exact = rows
       .withColumn("rn", row_number().over(wr))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .join(broadcast(nPer), "l_returnflag")
       .groupBy("l_returnflag").agg(
         max(col("n")).as("n"),
         max(when(expr("rn = (n - 1) * 500000 div 1000000 + 1"),

@@ -139,9 +139,12 @@ object Text {
     *   r_stop  — >= 2 stopword hits (the C4 "has real prose" proxy);
     *   r_rep   — top token's frequency <= 1/4 of the doc
     *             (4·c_max <= n, the repetition gate).
-    * c_max runs map-side as a distinct x occurrence lambda scan
-    * (O(n·distinct) per row — bounded by doc length, zero shuffle);
-    * the whole op is one embarrassingly parallel projection. */
+    * c_max runs map-side as the longest run in the SORTED token array
+    * (one array_sort + one linear aggregate fold per row — O(n log n),
+    * the same run-length form that took text_entropy 6x in r9; the
+    * earlier distinct x occurrence lambda was O(n·distinct) and
+    * dominated this op's noop read); the whole op stays one
+    * embarrassingly parallel projection, zero shuffle. */
   def qualityGopherOn(docs: DataFrame, minTokens: Int = 10,
       maxTokens: Int = 10000): DataFrame = {
     val t = toks(col("text"))
@@ -150,9 +153,15 @@ object Text {
         size(t).cast("long").as("n_tokens"),
         (length(col("text")) - size(t) + 1).cast("long").as("n_tok_chars"),
         hits(t, enStop).cast("long").as("n_stop"))
-      .withColumn("c_max",
-        array_max(transform(array_distinct(col("t")),
-          w => size(filter(col("t"), x => x === w)))).cast("long"))
+      .withColumn("c_max", expr(
+        """aggregate(array_sort(t),
+          |  named_struct('prev', CAST(NULL AS STRING),
+          |    'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+          |  (a, x) -> named_struct('prev', x,
+          |    'run', CASE WHEN a.prev <=> x THEN a.run + 1L ELSE 1L END,
+          |    'best', GREATEST(a.best,
+          |      CASE WHEN a.prev <=> x THEN a.run + 1L ELSE 1L END)),
+          |  a -> a.best)""".stripMargin))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("c_max"),
         (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
           .as("r_count"),
