@@ -146,14 +146,16 @@ object Sketches {
           expr("CAST((m - 1) * 950000 div 1000000 + 1 AS INT)"))
           .as("p95_cents"))
     // exact rank picks under the identical rule — the accuracy eval.
-    // Group sizes ride a broadcast map-side-combined count, NOT a
-    // second (unordered, whole-partition-buffering) window pass: one
-    // WindowExec instead of two over the fact scan.
+    // The group size rides the SAME sorted window spec under an
+    // unbounded frame, so Catalyst folds row_number and count into
+    // ONE WindowExec (two frame processors, one sort, one pass) —
+    // not the second whole-partition-buffering window pass a bare
+    // count().over(partitionBy) costs.
     val wr = Window.partitionBy("l_returnflag").orderBy("cents", "h")
-    val nPer = rows.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     val exact = rows
       .withColumn("rn", row_number().over(wr))
-      .join(broadcast(nPer), "l_returnflag")
+      .withColumn("n", count(lit(1)).over(wr.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
       .groupBy("l_returnflag").agg(
         max(col("n")).as("n"),
         max(when(expr("rn = (n - 1) * 500000 div 1000000 + 1"),

@@ -369,8 +369,10 @@ object Aggregates {
     val rk = Window.partitionBy("l_returnflag").orderBy("cents")
     val bounds = rows
       .withColumn("rn", row_number().over(rk))
-      .withColumn("m",
-        count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      // same sorted spec + unbounded frame => ONE WindowExec carries
+      // both rn and m (no second whole-partition-buffering pass)
+      .withColumn("m", count(lit(1)).over(rk.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
       .groupBy("l_returnflag").agg(
         max(when(expr("rn = (m - 1) * 50000 div 1000000 + 1"),
           col("cents"))).as("lo_cents"),

@@ -2245,7 +2245,10 @@ object Events {
     val rk = Window.partitionBy("event_type").orderBy("gap_us", "event_id")
     gaps
       .withColumn("rn", row_number().over(rk))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+      // same sorted spec + unbounded frame => ONE WindowExec carries
+      // both rn and m (no second whole-partition-buffering pass)
+      .withColumn("m", count(lit(1)).over(rk.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
       .groupBy("event_type").agg(
         max(col("m")).as("n_gaps"),
         expr("sum(gap_us) DIV count(1)").as("mean_gap_us"),
@@ -2293,7 +2296,9 @@ object Events {
       .orderBy("slope_micro", "x1", "x2")
     slopes
       .withColumn("rn", row_number().over(rk))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy("event_type")))
+      // one WindowExec for rn + m (see tsInterarrivalOn)
+      .withColumn("m", count(lit(1)).over(rk.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
       .groupBy("event_type").agg(
         max(col("m")).as("n_pairs"),
         max(when(expr("rn = (m - 1) * 500000 div 1000000 + 1"),
