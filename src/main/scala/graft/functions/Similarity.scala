@@ -1314,7 +1314,10 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select("qid", "vec_id")
+    // probed twice (hit join + denominator): checkpoint the tiny
+    // k·queries-row exact result — see simAnnRecallEval
     val exact = simTopk(s, dir).select(col("qid"), col("vec_id"))
+      .localCheckpoint(true)
     val hits = exact.join(proj, Seq("qid", "vec_id"))
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
     exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
