@@ -795,10 +795,21 @@ object Multimodal {
     * Scale: one map-only pass, per-partition decoder init. */
   def mmDecodeJpegProg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    mmDecodeJpegProgOn(
+      Tables.documents(s, dir).select(col("doc_id")).as[Long])
+      .orderBy("doc_id")
+  }
+
+  /** Streaming-legal core (no sort; one pure mapPartitions pass —
+    * batch == readStream proven in StreamingSpec alongside the other
+    * ingest decode cores). */
+  def mmDecodeJpegProgOn(
+      ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
     val decoderClass =
       s.conf.get(JpegDecoderConfKey, classOf[Jpeg.JpegDecoder].getName)
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
+    ids.mapPartitions { it =>
         val dec = instantiate[Codecs.ImageDecoder](decoderClass)
         it.map { id =>
           val bw = (2 + id % 3).toInt
@@ -817,7 +828,6 @@ object Multimodal {
         }
       }.toDF("doc_id", "width", "height", "sum_luma", "progressive",
         "matches_baseline")
-      .orderBy("doc_id")
   }
 
   /** L5z2c: SUCCESSIVE-APPROXIMATION progressive decode — the same
@@ -834,10 +844,19 @@ object Multimodal {
     * Scale: one map-only pass, per-partition decoder init. */
   def mmDecodeJpegProgSa(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    mmDecodeJpegProgSaOn(
+      Tables.documents(s, dir).select(col("doc_id")).as[Long])
+      .orderBy("doc_id")
+  }
+
+  /** Streaming-legal core (no sort; one pure mapPartitions pass). */
+  def mmDecodeJpegProgSaOn(
+      ids: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
     val decoderClass =
       s.conf.get(JpegDecoderConfKey, classOf[Jpeg.JpegDecoder].getName)
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
+    ids.mapPartitions { it =>
         val dec = instantiate[Codecs.ImageDecoder](decoderClass)
         it.map { id =>
           val bw = (2 + id % 3).toInt
@@ -856,7 +875,6 @@ object Multimodal {
         }
       }.toDF("doc_id", "width", "height", "sum_luma", "progressive",
         "matches_baseline")
-      .orderBy("doc_id")
   }
 
   /** Entropy-aware JPEG marker census: (SOF2 present, number of SOS

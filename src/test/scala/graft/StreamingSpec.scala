@@ -698,6 +698,8 @@ class StreamingSpec extends SparkSpecBase {
           org.apache.spark.sql.DataFrame)](
         "sniff" -> multimodal.Multimodal.mmSniffDecodeOn,
         "jpeg" -> multimodal.Multimodal.mmDecodeJpegOn,
+        "jpeg_prog" -> multimodal.Multimodal.mmDecodeJpegProgOn,
+        "jpeg_prog_sa" -> multimodal.Multimodal.mmDecodeJpegProgSaOn,
         "mjpeg" -> multimodal.Multimodal.mmDecodeMjpegOn,
         "g711" -> multimodal.Multimodal.mmDecodeG711On,
         "tiff" -> multimodal.Multimodal.mmDecodeTiffOn)) {
