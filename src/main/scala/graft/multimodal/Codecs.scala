@@ -2802,25 +2802,47 @@ object Codecs {
     tiffEncodeComp(width, height, rgb, if (packbits) 32773 else 1)
 
   /** [[tiffEncode]] with LZW strips (compression 5) — each strip an
-    * independent [[lzwCompress]] stream over its rows. */
-  def tiffEncodeLzw(width: Int, height: Int,
-      rgb: Array[Byte]): Array[Byte] =
-    tiffEncodeComp(width, height, rgb, 5)
+    * independent [[lzwCompress]] stream over its rows. With
+    * `predictor2`, rows are horizontally differenced per channel
+    * before compression and the file carries Predictor(317)=2
+    * (TIFF 6.0 §14 — the combination foreign LZW TIFFs commonly
+    * ship; smooth content compresses markedly better). */
+  def tiffEncodeLzw(width: Int, height: Int, rgb: Array[Byte],
+      predictor2: Boolean = false): Array[Byte] =
+    tiffEncodeComp(width, height, rgb, 5, predictor2)
 
   private def tiffEncodeComp(width: Int, height: Int, rgb: Array[Byte],
-      compression: Int): Array[Byte] = {
+      compression: Int, predictor2: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && rgb.length == width * height * 3,
       s"raster length ${rgb.length} != $width x $height x 3")
+    require(!predictor2 || compression == 5,
+      "predictor 2 is only written with LZW strips")
     val rowLen = width * 3
+    val src =
+      if (!predictor2) rgb
+      else {
+        val d = rgb.clone()
+        var y = 0
+        while (y < height) {
+          val base = y * rowLen
+          var x = rowLen - 1
+          while (x >= 3) {
+            d(base + x) = (d(base + x) - rgb(base + x - 3)).toByte
+            x -= 1
+          }
+          y += 1
+        }
+        d
+      }
     val nStrips = (height + TiffRowsPerStrip - 1) / TiffRowsPerStrip
     val strips = (0 until nStrips).map { st =>
       val y0 = st * TiffRowsPerStrip
       val y1 = math.min(y0 + TiffRowsPerStrip, height)
       if (compression == 1)
-        java.util.Arrays.copyOfRange(rgb, y0 * rowLen, y1 * rowLen)
+        java.util.Arrays.copyOfRange(src, y0 * rowLen, y1 * rowLen)
       else if (compression == 5)
         lzwCompress(
-          java.util.Arrays.copyOfRange(rgb, y0 * rowLen, y1 * rowLen))
+          java.util.Arrays.copyOfRange(src, y0 * rowLen, y1 * rowLen))
       else {
         val bos = new java.io.ByteArrayOutputStream()
         var y = y0
@@ -2860,7 +2882,7 @@ object Codecs {
       if (tpe == 3 && count == 1) { w16(value); w16(0) } // SHORT inline
       else w32(value)
     }
-    w16(10)
+    w16(if (predictor2) 11 else 10)
     entry(256, 4, 1, width) // ImageWidth LONG
     entry(257, 4, 1, height) // ImageLength LONG
     entry(258, 3, 3, bpsOff) // BitsPerSample SHORT[3] at offset
@@ -2872,6 +2894,7 @@ object Codecs {
     entry(279, 4, nStrips,
       if (nStrips == 1) strips(0).length else sbcOff)
     entry(284, 3, 1, 1) // PlanarConfiguration: chunky
+    if (predictor2) entry(317, 3, 1, 2) // Predictor: horizontal diff
     w32(0) // no next IFD
     out.toByteArray
   }

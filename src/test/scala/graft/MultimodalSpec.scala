@@ -1518,6 +1518,57 @@ class MultimodalSpec extends SparkSpecBase {
     val pim = dec.decode(hand.toByteArray)
     assert(pim.width == pw && pim.height == ph, "predictor dims")
     assert(java.util.Arrays.equals(pim.rgb, ppx), "predictor pixels")
+    // predictor-2 ENCODE (the symmetric rung): our differenced-LZW
+    // bytes round-trip through our decoder, ImageIO reads them
+    // pixel-exact, and on smooth content the predictor genuinely
+    // helps (differenced rows are near-constant -> longer LZW runs)
+    val sw = 40; val sh = 16
+    val smooth = new Array[Byte](sw * sh * 3)
+    for (y <- 0 until sh; x <- 0 until sw; c <- 0 until 3)
+      smooth((y * sw + x) * 3 + c) = (30 + x * 3 + y * 2 + c * 5).toByte
+    val pred = Codecs.tiffEncodeLzw(sw, sh, smooth, predictor2 = true)
+    assert(java.util.Arrays.equals(dec.decode(pred).rgb, smooth),
+      "predictor-2 encode round trip")
+    assert(pred.length <
+      Codecs.tiffEncodeLzw(sw, sh, smooth).length,
+      "predictor 2 not smaller on smooth content")
+    val pimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pred))
+    assert(pimg != null, "ImageIO cannot read our predictor-2 LZW")
+    for (y <- 0 until sh; x <- 0 until sw) {
+      val argb = pimg.getRGB(x, y)
+      val base = (y * sw + x) * 3
+      assert(((argb >> 16) & 0xff) == (smooth(base) & 0xff) &&
+        ((argb >> 8) & 0xff) == (smooth(base + 1) & 0xff) &&
+        (argb & 0xff) == (smooth(base + 2) & 0xff),
+        s"ImageIO predictor-2 pixel ($x,$y)")
+    }
+    // hand-built BIG-ENDIAN (MM) file: the decoder's byte-order
+    // branch on real bytes, not just the sniffer's magic check
+    val mw = 6; val mh = 3
+    val mpx = Array.tabulate(mw * mh * 3)(j => ((j * 37 + 3) % 256).toByte)
+    val mm = new java.io.ByteArrayOutputStream()
+    def b16(v: Int): Unit = { mm.write((v >> 8) & 0xff); mm.write(v & 0xff) }
+    def b32(v: Int): Unit = { b16((v >>> 16) & 0xffff); b16(v & 0xffff) }
+    val mBpsOff = 8 + mpx.length
+    val mIfdOff = mBpsOff + 6
+    mm.write('M'); mm.write('M'); b16(42); b32(mIfdOff)
+    mm.write(mpx, 0, mpx.length)
+    b16(8); b16(8); b16(8)
+    def mEntry(tag: Int, tpe: Int, count: Int, value: Int): Unit = {
+      b16(tag); b16(tpe); b32(count)
+      if (tpe == 3 && count == 1) { b16(value); b16(0) } else b32(value)
+    }
+    b16(10)
+    mEntry(256, 4, 1, mw); mEntry(257, 4, 1, mh)
+    mEntry(258, 3, 3, mBpsOff); mEntry(259, 3, 1, 1)
+    mEntry(262, 3, 1, 2); mEntry(273, 4, 1, 8)
+    mEntry(277, 3, 1, 3); mEntry(278, 4, 1, mh)
+    mEntry(279, 4, 1, mpx.length); mEntry(284, 3, 1, 1)
+    b32(0)
+    val mim = dec.decode(mm.toByteArray)
+    assert(mim.width == mw && mim.height == mh, "MM dims")
+    assert(java.util.Arrays.equals(mim.rgb, mpx), "MM pixels")
     // fail-fast: truncations + 300-trial corruption fuzz
     val small = Codecs.tiffEncodeLzw(9, 7,
       Array.tabulate(9 * 7 * 3)(i => (i * 11 % 256).toByte))
