@@ -346,6 +346,14 @@ object ScaleProbe {
             bigGray(id, rw, rw)),
           () => { val d = new multimodal.Jpeg.JpegDecoder()
             b => d.decode(b).rgb.length.toLong }),
+        ("tiff", id => multimodal.Codecs.tiffEncode(rw, rw,
+            bigRaster(id, rw, rw), packbits = true),
+          () => { val d = new multimodal.Codecs.TiffDecoder()
+            b => d.decode(b).rgb.length.toLong }),
+        ("tiff_lzw", id => multimodal.Codecs.tiffEncodeLzw(rw, rw,
+            bigRaster(id, rw, rw)),
+          () => { val d = new multimodal.Codecs.TiffDecoder()
+            b => d.decode(b).rgb.length.toLong }),
         ("wav", id => multimodal.Codecs.wavEncode(8000,
             Array.tabulate(200000)(i => ((i * 31 + id) % 4096).toShort)),
           () => { val d = new multimodal.Codecs.WavDecoder()
@@ -370,6 +378,7 @@ object ScaleProbe {
       val rasterBytes: Map[String, Long] = Map(
         "bmp" -> rw.toLong * rw * 3, "png" -> rw.toLong * rw * 3,
         "gif" -> rw.toLong * rw * 3, "jpeg" -> rw.toLong * rw * 3,
+        "tiff" -> rw.toLong * rw * 3, "tiff_lzw" -> rw.toLong * rw * 3,
         "wav" -> 400000L, "avi" -> 8L * cw * cw * 3,
         "mjpeg" -> 8L * cw * cw * 3, "mp4" -> 8L * cw * cw * 3)
       for ((fmt, build, mkDec) <- codecs) {
