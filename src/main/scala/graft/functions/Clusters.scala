@@ -294,13 +294,26 @@ object Clusters {
       .filter(col("pw") > col("dmax"))
       .agg(min(col("pw")).as("p"))
     val nodes = e.select(col("src").as("node")).distinct()
+    // Round 12 (optimization): checkpoint the 1-row attenuation scalar
+    // and each V-sized hop relation. The lazy chain re-derived hop k-1
+    // inside hop k AND inside every union branch (hop 1 evaluated
+    // `iters` times, the dmax aggregate over the edge relation once
+    // per hop per branch — ~2x the whole query's work at iters = 3,
+    // plan-verified: 30 scans / 100 Exchange nodes collapsed to one
+    // linear chain). Three eager V-row materializations buy the
+    // elimination; the markov per-round-checkpoint rejection does not
+    // apply — that loop's iterates were single-digit rows where
+    // checkpoint overhead dominated, these are V-sized and re-derived
+    // multiplicatively by the union fan.
+    val pc = p.localCheckpoint(true)
     var x = nodes.withColumn("x", lit(1000000000L))
     val hops = (1 to iters).map { _ =>
       x = e.join(x, col("src") === col("node"))
-        .crossJoin(broadcast(p))
+        .crossJoin(broadcast(pc))
         .groupBy(col("dst"), col("p"))
         .agg(expr("sum(x) div p").as("x"))
         .select(col("dst").as("node"), col("x"))
+        .localCheckpoint(true) // read by hop k+1 AND the union
       x
     }
     hops.reduce(_ union _)
@@ -2149,16 +2162,30 @@ object Clusters {
     * the neighbor ARRAY relation once, carry the previous node's
     * array on the frontier, and classify candidates with
     * array_contains instead of the Σdeg-sized LEFT join against the
-    * edge set. Per step this trades the second (classification) join
-    * over the candidate relation for (a) an explode of the current
-    * node's array and (b) one n-sized join AFTER the draw to fetch
-    * the new prev's array (never carried through the window — a
-    * deg-sized array per candidate row would be O(Σdeg·deg) shuffle
-    * bytes). Identical draw arithmetic, identical output — the
-    * equivalence is spec-checked. Scale caveat recorded in PERF.md:
-    * array_contains is O(deg(prev)) per candidate, so hub-heavy
-    * graphs prefer the join spelling; bounded-degree graphs win
-    * here. */
+    * edge set.
+    *
+    * Round 12 (optimization): the WINDOW is gone — the draw rides the
+    * aggregation. The prior spelling shuffled the Σdeg-row candidate
+    * relation into a walk-keyed window (shuffle + SORT + two frame
+    * processors + filter) for the cumulative-weight line, then joined
+    * nbrs a second time to refetch the drawn node's array. Both
+    * disappear: the classified candidates groupBy (walk_id, cur) into
+    * tot = sum(w) (map-side combinable, codegen) and arr =
+    * sort_array(collect_list(struct(dst, w))) — dst is unique per
+    * group, so struct order = the window's ORDER BY dst — and the
+    * drawn index is #(prefix sums <= r), one O(deg) `aggregate` fold
+    * per walk row. The new prev's array is transform(arr, s -> s.dst)
+    * (arr IS cur's full sorted adjacency), so the post-draw refetch
+    * join disappears too. Per step: one expand join + one groupBy
+    * exchange, no sort, no window, no refetch. Classification is
+    * UNCHANGED (codegen'd array_contains per candidate row — an
+    * earlier all-in-one-row fold variant was measured 12x WORSE: a
+    * hub's O(deg_cur x deg_prev) probes landed in ONE interpreted
+    * lambda with no row-level parallelism; candidates keep the probes
+    * codegen'd and spread across rows). Identical draw arithmetic,
+    * identical output — equivalence stays spec-checked. Scale caveat
+    * unchanged: membership probes are O(deg(prev)) per candidate, so
+    * hub-heavy graphs still prefer the join spelling. */
   def graphNode2vecWalkAdjOn(edges: DataFrame, steps: Int = 3): DataFrame = {
     require(steps >= 1, s"need steps >= 1, got $steps")
     val Array(cs, cd) = edges.columns.take(2)
@@ -2166,38 +2193,46 @@ object Clusters {
       col(cd).cast("long").as("dst")).distinct()
     val nbrs = e.groupBy("src")
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-      .localCheckpoint(true) // read by every step's expand AND refetch
+      .localCheckpoint(true) // read by every step's expand
     var frontier = nbrs.select(col("src").as("walk_id"),
       col("src").as("prev"), col("src").as("cur"),
       col("nbrs").as("nbrs_prev"))
     var out = frontier.select(col("walk_id"), lit(0L).as("step"),
       col("cur").as("node"))
-    val wC = Window.partitionBy("walk_id").orderBy("dst")
     for (k <- 1 to steps) {
       val cand = frontier.as("f")
         .join(nbrs.as("n"), col("f.cur") === col("n.src"))
         .select(col("f.walk_id"), col("f.prev"), col("f.cur"),
           col("f.nbrs_prev"), explode(col("n.nbrs")).as("dst"))
+      // codegen'd per-candidate weights; nbrs_prev never crosses an
+      // exchange (classified in the expand stage, dropped before the
+      // groupBy shuffle ships the slim (walk_id, cur, dst, w) rows)
       val weighted = cand.select(col("walk_id"), col("cur"), col("dst"),
         when(col("dst") === col("prev"), lit(N2vReturnW))
           .when(array_contains(col("nbrs_prev"), col("dst")),
             lit(N2vCommonW))
           .otherwise(lit(N2vForwardW)).as("w"))
       val drawn = weighted
-        .withColumn("cumw", sum(col("w"))
-          .over(wC.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)))
-        .withColumn("tot", sum(col("w")).over(wC.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .groupBy("walk_id", "cur")
+        .agg(sum(col("w")).as("tot"),
+          sort_array(collect_list(struct(col("dst"), col("w"))))
+            .as("arr"))
         .withColumn("r", expr(
-          s"((walk_id * 1103515245 + $k * 12345 + 6789) % 2147483648) % tot"))
-        .filter(col("cumw") > col("r") && col("cumw") - col("w") <= col("r"))
-      frontier = drawn.select(col("walk_id"), col("cur").as("prev"),
-        col("dst").as("cur"))
-        .join(nbrs, col("prev") === nbrs("src")) // n rows, post-draw
-        .select(col("walk_id"), col("prev"), col("cur"),
-          col("nbrs").as("nbrs_prev"))
-        .localCheckpoint(true)
+          s"((walk_id * 1103515245 + $k * 12345 + 6789) % 2147483648)" +
+            " % tot"))
+        // drawn 0-based index = #(strictly-increasing prefix sums <= r)
+        .withColumn("sel", expr(
+          """aggregate(arr,
+            |  named_struct('cum', CAST(0 AS BIGINT), 'cnt', 0),
+            |  (st, s) -> named_struct('cum', st.cum + s.w,
+            |    'cnt', st.cnt + IF(st.cum + s.w <= r, 1, 0)),
+            |  st -> st.cnt)""".stripMargin))
+      frontier = drawn
+        .select(col("walk_id"), col("cur").as("prev"),
+          expr("arr[sel].dst").as("cur"),
+          expr("transform(arr, s -> s.dst)").as("nbrs_prev"))
+        .localCheckpoint(true) // each union branch would otherwise
+        // re-derive every earlier step's draw chain
       out = out.union(frontier.select(col("walk_id"),
         lit(k.toLong).as("step"), col("cur").as("node")))
     }

@@ -753,8 +753,14 @@ object Dedup {
     val prefix = hs
       .withColumn("df", count(lit(1)).over(wdf))
       .withColumn("pos", row_number().over(wdoc))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      // set size rides the SAME sorted window spec under an explicit
+      // unbounded frame (the r12 one-WindowExec fold): a bare
+      // count(*) OVER (PARTITION BY doc_id) was a SECOND
+      // whole-partition-buffering WindowExec pass over the shingle
+      // relation beside the ordered row_number pass
+      .withColumn("n", count(lit(1)).over(wdoc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       // ceil(4n/5) = (4n + 4) div 5, all BIGINT
       .filter(expr("pos <= n - ((4 * n + 4) div 5) + 1"))
       .select("doc_id", "hs")

@@ -301,24 +301,44 @@ object Multimodal {
   val PhashHamMax = 8
 
   def mmPhashDedupOn(docs: DataFrame): DataFrame = {
-    val pix = docs.filter(length(col("text")) >= 1)
+    // Round 12 (optimization): the signature is PER-DOC ARRAY MATH,
+    // not a 60-row-per-doc relation. The prior spelling exploded the
+    // pixel grid (60x the doc count), computed it TWICE (the mean
+    // subtree and the bits subtree each re-ran the ascii/substring
+    // projection), shuffled the 60x relation doc-keyed for the mean,
+    // and verified candidates by joining 60 bit-ROWS per side. All of
+    // that is local to one doc row: the grid, its mean, the bit
+    // vector and the four band values are array folds over the text;
+    // the verify Hamming distance is one zip_with over the two
+    // 60-element arrays a candidate pair carries. Shuffled bytes drop
+    // from 60 rows/doc (twice) to 4 band rows/doc + one 60-long
+    // array per candidate side; the explode never exists. Identical
+    // integer arithmetic (same grid sample, same div-mean, same
+    // power-of-two band packing, same Hamming), identical output.
+    val sig = docs.filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-      .select(col("doc_id"), col("text"), col("n"),
-        posexplode(sequence(lit(0), lit(PhashPix - 1))))
-      .select(col("doc_id"), col("pos").as("i"),
-        expr(s"ascii(substring(text, CAST(1 + (pos * (n - 1)) div ${PhashPix - 1} AS INT), 1))")
-          .cast("long").as("p"))
-    val mean = pix.groupBy("doc_id")
-      .agg(expr(s"sum(p) div $PhashPix").as("avgp"))
-    val bits = pix.join(mean, "doc_id")
-      .select(col("doc_id"), col("i"),
-        when(col("p") > col("avgp"), 1L).otherwise(0L).as("bit"))
-      .localCheckpoint(true) // probed by banding AND the verify join
-    val bands = bits
-      .select(col("doc_id"), expr(s"i div $PhashBandBits").as("band"),
-        (col("bit") *
-          expr(s"CAST(power(2, i % $PhashBandBits) AS BIGINT)")).as("bv1"))
-      .groupBy("doc_id", "band").agg(sum(col("bv1")).as("bv"))
+      .withColumn("parr", expr(
+        s"""transform(sequence(0, ${PhashPix - 1}), i ->
+           |  CAST(ascii(substring(text,
+           |    CAST(1 + (i * (n - 1)) div ${PhashPix - 1} AS INT), 1))
+           |  AS BIGINT))""".stripMargin))
+      .withColumn("avgp", expr(
+        s"aggregate(parr, CAST(0 AS BIGINT), (a, x) -> a + x)" +
+          s" div $PhashPix"))
+      .withColumn("bits", expr(
+        "transform(parr, x -> CASE WHEN x > avgp THEN CAST(1 AS BIGINT)" +
+          " ELSE CAST(0 AS BIGINT) END)"))
+      .select(col("doc_id"), col("bits"))
+      .localCheckpoint(true) // banding + both sides of the verify join
+    val bands = sig.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(0, 3), b ->
+         |  aggregate(slice(bits, b * $PhashBandBits + 1, $PhashBandBits),
+         |    named_struct('s', CAST(0 AS BIGINT), 'j', 0),
+         |    (st, x) -> named_struct(
+         |      's', st.s + x * CAST(power(2, st.j) AS BIGINT),
+         |      'j', st.j + 1),
+         |    st -> st.s))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bv"))
     val cand = bands.as("l")
       .join(bands.as("r"),
         col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
@@ -326,12 +346,12 @@ object Multimodal {
       .select(col("l.doc_id").as("da"), col("r.doc_id").as("db"))
       .distinct()
     cand
-      .join(bits.select(col("doc_id").as("da"), col("i"),
-        col("bit").as("ba")), "da")
-      .join(bits.select(col("doc_id").as("db"), col("i"),
-        col("bit").as("bb")), Seq("db", "i"))
-      .groupBy("da", "db")
-      .agg(sum(when(col("ba") =!= col("bb"), 1L).otherwise(0L))
+      .join(sig.select(col("doc_id").as("da"), col("bits").as("ba")), "da")
+      .join(sig.select(col("doc_id").as("db"), col("bits").as("bb")), "db")
+      .select(col("da"), col("db"), expr(
+        """aggregate(zip_with(ba, bb, (x, y) ->
+          |  IF(x <> y, CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
         .as("hamming"))
       .filter(col("hamming") <= PhashHamMax)
       .orderBy("da", "db")
