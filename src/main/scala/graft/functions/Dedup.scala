@@ -612,10 +612,14 @@ object Dedup {
       sum(when(expr(s"(h >> $j) & 1") === 1, col("cnt"))
         .otherwise(-col("cnt"))).as(s"s$j"))
     val sums = tokCnt.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+    // Round 12 (optimization): checkpoint the slim (doc_id, simhash)
+    // signature — the lazy self-join below re-derived the whole
+    // token-explode + 32-sum aggregation on BOTH sides.
     val sig = sums.select(col("doc_id"),
       (0 until 32).map(j =>
         when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
+      .localCheckpoint(true)
     // Hamming 0 == signature equality, so the pair search is a hash
     // EQUI-join on simhash (shuffle on the signature), never the
     // O(n^2) cross join. For a nonzero threshold t at scale, band the
@@ -662,7 +666,14 @@ object Dedup {
   private[graft] def simhash64Sig(s: SparkSession, dir: String): DataFrame =
     simhash64SigOf(tokenCounts(s, dir))
 
-  def dedupSimhash64On(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def dedupSimhash64On(sig0: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // Round 12 (optimization): the plan referenced the signature FOUR
+    // times (banding self-join l/r + verify sides a/b), re-deriving
+    // the token aggregation + SimHash64Agg chain each time
+    // (plan-verified: the scan→explode→agg subtree appeared 4x).
+    // One eager checkpoint of the slim (doc_id, h0..h3) relation —
+    // 4 re-derivations become 1 build + 4 reads.
+    val sig = sig0.localCheckpoint(true)
     val bandLong = sig.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), col(s"h$b").as("bh"))): _*)).as("x"))
