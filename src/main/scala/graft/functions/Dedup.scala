@@ -295,6 +295,14 @@ object Dedup {
         graft.plans.MinHashAgg.minhash(col("hs"), K).as("sig"))
       .select(col("doc_id") +: col("n_shingles") +:
         (0 until K).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
+      // Round 12 (optimization): every rung references this relation
+      // 2-4x (banding self-join l/r; estimate/bbit additionally join
+      // it back per pair side), and the MinHashAgg
+      // TypedImperativeAggregate is corpus-sized POST-exchange work
+      // that AQE exchange reuse does not deduplicate (plan-verified:
+      // the ObjectHashAggregate chain appeared up to 4x). One slim
+      // (doc_id, n_shingles, m0..m{K-1}) checkpoint.
+      .localCheckpoint(true)
     // band hashes: pairs of adjacent signature rows.
     val banded = sig.select(
       col("doc_id") +: (0 until BANDS).map(b =>

@@ -419,6 +419,13 @@ object Privacy {
         abs(lit(2000L) * col("cum") - lit(2L) * lit(qMilli) * col("n")))
       .withColumn("w", expr(dpqWeightSql(epsMilli)))
       .select("cents", "t", "cum", "d", "w", "n")
+      // Round 12 (optimization): three consumers (true-quantile
+      // filter, total-weight agg, the selection sweep) re-derived this
+      // relation, and its derivation contains the bucketed
+      // prefix-sweep WINDOW passes — post-exchange work that AQE
+      // exchange reuse does NOT deduplicate (unlike the exchanges
+      // themselves). One distinct-cents-sized checkpoint, three reads.
+      .localCheckpoint(true)
     // true quantile: minimal v with 1000·cum >= q·n
     val trueQ = ranked
       .filter(lit(1000L) * col("cum") >= lit(qMilli) * col("n"))
