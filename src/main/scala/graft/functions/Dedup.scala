@@ -728,6 +728,10 @@ object Dedup {
       .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= maxDf)
       .select("doc_id", "hs")
+      // Round 12 (optimization): the self-join (a/b) and the size
+      // aggregate all re-ran the shingle-keyed df WINDOW — one
+      // checkpoint of the capped (doc_id, hs) relation, three reads.
+      .localCheckpoint(true)
     val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
     keep.as("a")
       .join(keep.as("b"),

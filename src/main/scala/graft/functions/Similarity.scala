@@ -874,20 +874,12 @@ object Similarity {
     * in floor(x*2^20)-quantized integer space so the argmin (with
     * centroid-id tie-break) is bit-identical in the oracle. */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val qv = Tables.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos").as("i"),
-        floor(col("col").cast("double") * 1048576).cast("long").as("qv"))
-    val cent = qv.filter(col("vec_id") < CELLS)
-      .select(col("vec_id").as("cid"), col("i"), col("qv").as("cv"))
-    // quantized L2 to every centroid; argmin with cid tie-break
-    val d2 = qv.join(broadcast(cent), "i")
-      .groupBy("vec_id", "cid")
-      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
-    val w0 = Window.partitionBy("vec_id")
-      .orderBy(col("d2").asc, col("cid").asc)
-    val cells = d2.withColumn("rn", row_number().over(w0))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cid").as("cell"))
+    // Round 12 (optimization): the assignment (quantized L2 to every
+    // centroid, argmin with cid tie-break) is [[coarseCellRanksOn]]'s
+    // rn = 1 slice — previously spelled inline with an identical plan;
+    // riding the shared (now checkpointed) relation stops the
+    // corpus-side e's two references from re-deriving it.
+    val cells = coarseCellsOn(Tables.embeddings(s, dir))
     // exact cosine rerank within the query's cell
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
@@ -1148,6 +1140,13 @@ object Similarity {
       .groupBy("vec_id", "cid")
       .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
       .withColumn("rn", row_number().over(w0))
+      // Round 12 (optimization): every consumer references this
+      // relation 2-3x (cells + query probes, each joined into the
+      // corpus-side relation that is itself read twice), re-running
+      // the 64x explode + d2 aggregation + argmin WINDOW each time —
+      // post-exchange work exchange reuse cannot recover. One
+      // CELLS-rows-per-vector checkpoint.
+      .localCheckpoint(true)
   }
 
   private def coarseCellsOn(emb: DataFrame): DataFrame =

@@ -1492,6 +1492,11 @@ object Events {
         coalesce(sum(when(col("event_type") === "purchase", 1L)
           .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
+      // Round 12 (optimization): touches and purchases are each read
+      // twice (credit join + organic anti-join), re-running this
+      // user-keyed running-sum WINDOW over the full fact stream 4x —
+      // one checkpoint, four reads.
+      .localCheckpoint(true)
     val touches = marked.filter(col("event_type") =!= "purchase")
       .select(col("user_id"), (col("p_before") + 1).as("conv"),
         col("tus"), col("event_id"), col("event_type"))
@@ -1558,6 +1563,9 @@ object Events {
         coalesce(sum(when(col("event_type") === "purchase", 1L)
           .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
+      // Round 12 (optimization): same 4-reference window dedup as
+      // the position model above.
+      .localCheckpoint(true)
     val touches = marked.filter(col("event_type") =!= "purchase")
       .select(col("user_id"), (col("p_before") + 1).as("conv"),
         col("tus"), col("event_id"), col("event_type"))
