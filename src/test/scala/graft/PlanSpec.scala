@@ -89,8 +89,13 @@ class PlanSpec extends SparkSpecBase {
 
   test("dedup_simhash64: signature subtree cached, equi-joins only") {
     val p = plan(functions.Dedup.dedupSimhash64(spark, sf))
-    // token counts come from the shared persisted relation
-    assert(p.contains("InMemoryTableScan"), p)
+    // r12: the signature relation itself is checkpointed (one
+    // MinHash-style ObjectHashAggregate build, four reads), so the
+    // plan's leaves are the materialized signature RDD — the cached
+    // token relation now lives inside the checkpoint build instead of
+    // appearing as an InMemoryTableScan leaf of every branch
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("ObjectHashAggregate"), p) // sig never rebuilt
     // banding + verification are hash equi-joins, never a cross join
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
